@@ -1,38 +1,258 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, compared against DuckDB at sf0.01 (row count + schema +
+order-insensitive value hash). Column names are aliased identically on
+both sides (driver sorts columns by name before hashing).
+
+NULL-semantics note: both sides express missing as NULL (Spark
+``try_divide`` ↔ DuckDB ``/0 → NULL``); no NaN can appear in any result.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import wt
+from pandas_weights_spark.sources import load_table
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: quantity-weighted average price per return flag
+    (SURVEY.md §7 minimum end-to-end slice)."""
+    wdf = wt(_li(spark, SF001), "l_quantity")
+    return wdf.groupby("l_returnflag", sort=True).mean()
+
+
+# --------------------------------------------------------------------------
+# queries: name -> callable(spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+# Oracle building blocks (FIXTURES.md §B): weighted count / sum / mean / var
+# as plain SQL over the same parquet, NULL-safe, matching reference
+# semantics (ddof subtracted from the *weighted* count).
+_W = "l_quantity"
+
+
+def _q_global_sum(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .sum(subset=["l_extendedprice", "l_discount", "l_tax"])
+        .select(
+            F.col("l_extendedprice").alias("sum_price"),
+            F.col("l_discount").alias("sum_disc"),
+            F.col("l_tax").alias("sum_tax"),
+        )
+    )
+
+
+def _q_global_mean(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .mean(subset=["l_extendedprice", "l_discount"])
+        .select(
+            F.col("l_extendedprice").alias("mean_price"),
+            F.col("l_discount").alias("mean_disc"),
+        )
+    )
+
+
+def _q_global_var_std(spark, sf_dir):
+    wdf = wt(_li(spark, sf_dir), _W)
+    v = wdf.var(subset=["l_extendedprice"]).select(
+        F.col("l_extendedprice").alias("var_price")
+    )
+    s = wdf.std(subset=["l_extendedprice"]).select(
+        F.col("l_extendedprice").alias("std_price")
+    )
+    return v.crossJoin(s)
+
+
+def _q_count_skipna(spark, sf_dir):
+    # Derive a NULL-bearing column so the skipna NA-channel is really
+    # exercised (the raw testdata has no NULLs): price NULL where tax==0.
+    df = _li(spark, sf_dir).withColumn(
+        "price_n", F.when(F.col("l_tax") > 0, F.col("l_extendedprice"))
+    )
+    wdf = wt(df, _W)
+    a = wdf.count(subset=["price_n"]).select(F.col("price_n").alias("cnt_skipna"))
+    b = wdf.count(skipna=False, subset=["price_n"]).select(
+        F.col("price_n").alias("cnt_noskip")
+    )
+    return a.crossJoin(b)
+
+
+def _q_sum_min_count(spark, sf_dir):
+    # All-NULL column + min_count=1 → NULL (reference tests/test_frame.py:80-87)
+    df = _li(spark, sf_dir).withColumn(
+        "all_null", F.lit(None).cast("double")
+    )
+    wdf = wt(df, _W)
+    return (
+        wdf.sum(min_count=1, subset=["l_extendedprice", "all_null"])
+        .select(
+            F.col("l_extendedprice").alias("sum_price"),
+            F.col("all_null").alias("sum_none"),
+        )
+    )
+
+
+def _q_group_mean(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag", "l_linestatus")[["l_extendedprice", "l_discount"]]
+        .mean()
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_extendedprice").alias("mean_price"),
+            F.col("l_discount").alias("mean_disc"),
+        )
+    )
+
+
+def _q_group_var(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .agg_all(["count", "sum", "var", "std"])
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice_count").alias("w_count"),
+            F.col("l_extendedprice_sum").alias("w_sum"),
+            F.col("l_extendedprice_var").alias("w_var"),
+            F.col("l_extendedprice_std").alias("w_std"),
+        )
+    )
+
+
+def _q_group_mean_customer(spark, sf_dir):
+    # weights with sign variety (c_acctbal can be negative)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        wt(cust, "c_acctbal")
+        .groupby("c_mktsegment")[["c_custkey"]]
+        .agg_all(["count", "sum"])
+        .select(
+            "c_mktsegment",
+            F.col("c_custkey_count").alias("w_count"),
+            F.col("c_custkey_sum").alias("w_sum"),
+        )
+    )
+
+
+_ORACLE: dict[str, str] = {
+    "global_sum": """
+        SELECT SUM(l_quantity * l_extendedprice) AS sum_price,
+               SUM(l_quantity * l_discount)      AS sum_disc,
+               SUM(l_quantity * l_tax)           AS sum_tax
+        FROM lineitem
+    """,
+    "global_mean": """
+        SELECT SUM(l_quantity * l_extendedprice)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+               AS mean_price,
+               SUM(l_quantity * l_discount)
+                 / SUM(CASE WHEN l_discount IS NOT NULL THEN l_quantity END)
+               AS mean_disc
+        FROM lineitem
+    """,
+    "global_var_std": """
+        WITH m AS (
+          SELECT SUM(l_quantity * l_extendedprice)  AS s,
+                 SUM(l_extendedprice * l_extendedprice * l_quantity) AS ss,
+                 COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                                   THEN l_quantity END), 0.0) AS c
+          FROM lineitem
+        )
+        SELECT (ss - s*s/c) / (c - 1) AS var_price,
+               CASE WHEN (ss - s*s/c) / (c - 1) >= 0
+                    THEN sqrt((ss - s*s/c) / (c - 1)) END AS std_price
+        FROM m
+    """,
+    "count_skipna": """
+        WITH t AS (
+          SELECT l_quantity,
+                 CASE WHEN l_tax > 0 THEN l_extendedprice END AS price_n
+          FROM lineitem
+        )
+        SELECT COALESCE(SUM(CASE WHEN price_n IS NOT NULL THEN l_quantity END), 0.0)
+                 AS cnt_skipna,
+               COALESCE(SUM(l_quantity), 0.0) AS cnt_noskip
+        FROM t
+    """,
+    "sum_min_count": """
+        SELECT CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
+                    THEN COALESCE(SUM(l_quantity * l_extendedprice), 0.0) END
+                 AS sum_price,
+               CAST(NULL AS DOUBLE) AS sum_none
+        FROM lineitem
+    """,
+    "group_mean": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity * l_extendedprice)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+               AS mean_price,
+               SUM(l_quantity * l_discount)
+                 / SUM(CASE WHEN l_discount IS NOT NULL THEN l_quantity END)
+               AS mean_disc
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "group_var": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                                   THEN l_quantity END), 0.0) AS c,
+                 CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
+                      THEN COALESCE(SUM(l_quantity * l_extendedprice), 0.0) END AS s,
+                 CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
+                      THEN COALESCE(SUM(l_extendedprice * l_extendedprice
+                                        * l_quantity), 0.0) END AS ss
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               c AS w_count,
+               COALESCE(s, 0.0) AS w_sum,
+               (ss - s*s/c) / (c - 1) AS w_var,
+               CASE WHEN (ss - s*s/c) / (c - 1) >= 0
+                    THEN sqrt((ss - s*s/c) / (c - 1)) END AS w_std
+        FROM m
+    """,
+    "group_mean_customer": """
+        SELECT c_mktsegment,
+               COALESCE(SUM(CASE WHEN c_custkey IS NOT NULL THEN c_acctbal END), 0.0)
+                 AS w_count,
+               COALESCE(SUM(c_acctbal * c_custkey), 0.0) AS w_sum
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "global_sum": _q_global_sum,
+        "global_mean": _q_global_mean,
+        "global_var_std": _q_global_var_std,
+        "count_skipna": _q_count_skipna,
+        "sum_min_count": _q_sum_min_count,
+        "group_mean": _q_group_mean,
+        "group_var": _q_group_var,
+        "group_mean_customer": _q_group_mean_customer,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

@@ -1,0 +1,205 @@
+"""Weighted Pearson correlation operators.
+
+Three surfaces, mirroring the reference:
+
+* :func:`frame_corr` — pairwise matrix over a table's numeric columns
+  (reference ``frame.py:253-285``), long form ``(col_x, col_y, corr)``.
+* :func:`grouped_corr` — per-group matrices (reference ``frame.py:630-660``)
+  as ``(keys…, col_x, col_y, corr)``. The reference iterates groups on the
+  driver; here it is ONE distributed ``groupBy().agg()`` over all pair
+  moments followed by a JVM-side ``inline`` unpivot — group cardinality is
+  unbounded and there is exactly one shuffle.
+* :func:`aligned_corr` — correlation against another table's column,
+  aligned by an explicit inner join (reference ``series.py:222-247``,
+  ``435-468``: pandas label alignment incl. duplicate-label cross-pairing
+  → join fan-out).
+
+Only the i<=j triangle's moments are computed (k(k+1)/2 pairs, reference
+frame.py:272-283 does the same); the mirror is emitted by reusing the
+computed value. All moments for all pairs land in a single aggregate, so
+Catalyst's common-subexpression elimination shares duplicated sums.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_weights_spark._stats import corr_from_moments, corr_moment_exprs
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+    from pandas_weights_spark.frame import WeightedDataFrame
+
+__all__ = ["frame_corr", "grouped_corr", "aligned_corr", "to_matrix"]
+
+
+def _check_method(method: str) -> None:
+    if method != "pearson":
+        raise NotImplementedError(
+            "Only 'pearson' weighted correlation is supported."
+        )
+
+
+def _pair_moment_exprs(
+    wdf: "WeightedDataFrame", cols: Sequence[str]
+) -> list[Column]:
+    """Aggregate expressions for every i<=j pair's seven moments."""
+    w = wdf.weights
+    exprs: list[Column] = []
+    for i, cx in enumerate(cols):
+        x = wdf._value(cx)
+        for j in range(i, len(cols)):
+            cy = cols[j]
+            y = wdf._value(cy)
+            for name, expr in corr_moment_exprs(x, y, w).items():
+                exprs.append(expr.alias(f"__m_{i}_{j}_{name}"))
+    return exprs
+
+
+def _pair_corr(i: int, j: int, ddof: int, min_periods: int) -> Column:
+    m = lambda name: F.col(f"__m_{i}_{j}_{name}")  # noqa: E731
+    return corr_from_moments(
+        m("n"), m("w"), m("wx"), m("wy"), m("wxy"), m("wxx"), m("wyy"),
+        ddof=ddof, min_periods=min_periods,
+    )
+
+
+def _pair_structs(
+    cols: Sequence[str], ddof: int, min_periods: int
+) -> list[Column]:
+    """One struct per *ordered* pair; the j<i mirror reuses the i<=j moments
+    (symmetry exploitation as in reference frame.py:272-283)."""
+    structs = []
+    for i, cx in enumerate(cols):
+        for j, cy in enumerate(cols):
+            lo, hi = (i, j) if i <= j else (j, i)
+            corr = _pair_corr(lo, hi, ddof, min_periods)
+            structs.append(
+                F.struct(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    corr.alias("corr"),
+                )
+            )
+    return structs
+
+
+def frame_corr(
+    wdf: "WeightedDataFrame",
+    method: str = "pearson",
+    min_periods: int = 1,
+    ddof: int = 1,
+    subset: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Weighted Pearson matrix, long form. One aggregate pass."""
+    _check_method(method)
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    if not cols:
+        raise ValueError("no numeric columns to correlate")
+    moments = wdf.df.agg(*_pair_moment_exprs(wdf, cols))
+    return moments.select(
+        F.inline(F.array(*_pair_structs(cols, ddof, min_periods)))
+    )
+
+
+def grouped_corr(
+    wdf: "WeightedDataFrame",
+    keys: Sequence[str],
+    dropna: bool = True,
+    sort: bool = False,
+    method: str = "pearson",
+    min_periods: int = 1,
+    ddof: int = 1,
+) -> DataFrame:
+    """Per-group weighted Pearson matrices, long form, single shuffle."""
+    _check_method(method)
+    cols = [c for c in wdf.numeric_columns() if c not in keys]
+    if not cols:
+        raise ValueError("no numeric columns to correlate")
+    df = wdf.df
+    if dropna:
+        for k in keys:
+            df = df.where(F.col(k).isNotNull())
+    moments = df.groupBy(*[F.col(k) for k in keys]).agg(
+        *_pair_moment_exprs(wdf, cols)
+    )
+    out = moments.select(
+        *keys, F.inline(F.array(*_pair_structs(cols, ddof, min_periods)))
+    )
+    if sort:
+        out = out.orderBy(*keys, "col_x", "col_y")
+    return out
+
+
+def aligned_corr(
+    left: DataFrame,
+    x_col: str,
+    other: DataFrame,
+    y_col: str,
+    on: Union[str, Sequence[str]],
+    by: Optional[Sequence[str]] = None,
+    method: str = "pearson",
+    min_periods: Optional[int] = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Correlate ``left[x_col]`` (weights already bound on ``left`` under
+    ``WEIGHT_COL``) against ``other[y_col]``, aligned by inner join on
+    ``on`` — the engine's replacement for pandas label alignment
+    (series.py:238-239). Duplicate join keys fan out like duplicate index
+    labels (README.md:84-135). ``by`` adds per-group output
+    (series.py:435-468); default ``min_periods`` is 1 (series.py:246).
+
+    At scale: if ``other`` is small it is broadcast automatically by AQE;
+    a skewed ``on`` key benefits from AQE skew handling.
+    """
+    from pandas_weights_spark.frame import WEIGHT_COL
+
+    _check_method(method)
+    min_periods = 1 if min_periods is None else min_periods
+    on_cols = [on] if isinstance(on, str) else list(on)
+    by = list(by) if by else []
+
+    y_alias = "__pw_other__"
+    left_sel = left.select(
+        *dict.fromkeys(on_cols + by), F.col(x_col).alias("__pw_x__"), F.col(WEIGHT_COL)
+    )
+    right_sel = other.select(*on_cols, F.col(y_col).alias(y_alias))
+    joined = left_sel.join(right_sel, on=on_cols, how="inner")
+
+    x = F.col("__pw_x__").cast("double")
+    y = F.col(y_alias).cast("double")
+    w = F.col(WEIGHT_COL)
+    moments = {
+        name: expr.alias(f"__m_{name}")
+        for name, expr in corr_moment_exprs(x, y, w).items()
+    }
+    m = lambda name: F.col(f"__m_{name}")  # noqa: E731
+    corr = corr_from_moments(
+        m("n"), m("w"), m("wx"), m("wy"), m("wxy"), m("wxx"), m("wyy"),
+        ddof=ddof, min_periods=min_periods,
+    ).alias("corr")
+
+    if by:
+        return (
+            joined.groupBy(*by).agg(*moments.values()).select(*by, corr).orderBy(*by)
+        )
+    return joined.agg(*moments.values()).select(corr)
+
+
+def to_matrix(long_form: DataFrame) -> "pd.DataFrame":
+    """Pivot long-form ``(col_x, col_y, corr)`` to a square pandas matrix.
+
+    Driver-side convenience for the reference's k×k output shape
+    (frame.py:270) — k is the column count, so the collected data is tiny.
+    """
+    pdf = long_form.toPandas()
+    order = list(dict.fromkeys(pdf["col_x"]))
+    return (
+        pdf.pivot(index="col_x", columns="col_y", values="corr")
+        .reindex(index=order, columns=order)
+        .rename_axis(index=None, columns=None)
+    )

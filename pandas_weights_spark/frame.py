@@ -1,0 +1,397 @@
+"""WeightedDataFrame / WeightedSeries — the engine's core abstractions.
+
+PySpark-native re-expression of the reference's accessors
+(``/root/reference/src/pandas_weights/frame.py:47-367`` and
+``series.py:44-264``). A ``WeightedDataFrame`` is a *logical* pair
+``(DataFrame, weight Column)`` — no data is copied or materialized at bind
+time; every statistic compiles to one ``df.agg(...)`` (a single
+partial+final aggregate, no shuffle for global stats beyond the final
+reduce) that Catalyst optimizes with full column pruning and predicate
+pushdown intact.
+
+Documented divergences from the reference (see SURVEY.md §7):
+
+* Weights bind by **column name or Column expression only** — Spark has no
+  row index, so positional array binding (frame.py:100-101) is out of scope.
+* Results are DataFrames (1-row wide for global stats) instead of
+  pandas Series; missing values are NULL instead of NaN.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandas_weights_spark import _stats
+
+__all__ = ["wt", "WeightedDataFrame", "WeightedSeries", "WEIGHT_COL"]
+
+#: Reserved internal name for the materialized weight expression.
+WEIGHT_COL = "__pw_weight__"
+
+_NUMERIC_TYPES = (T.NumericType, T.BooleanType)
+
+
+def _is_numeric(field: T.StructField) -> bool:
+    """Numeric-or-bool check mirroring ``select_dtypes(include=["number",
+    "bool"])`` (frame.py:268, frame.py:496-503)."""
+    return isinstance(field.dataType, _NUMERIC_TYPES)
+
+
+def _is_float(field: T.StructField) -> bool:
+    return isinstance(field.dataType, (T.FloatType, T.DoubleType))
+
+
+def wt(
+    df: DataFrame,
+    weights: Union[str, Column],
+    na_weight: Optional[float] = None,
+    nan_as_null: bool = True,
+) -> "WeightedDataFrame":
+    """Bind a weight column to a DataFrame (reference ``df.wt(...)``,
+    frame.py:80-109).
+
+    Parameters
+    ----------
+    weights
+        Column *name* within ``df`` (the column is then excluded from the
+        data columns, frame.py:103-104) or an arbitrary Column expression.
+    na_weight
+        Fill value for NULL weights (frame.py:106-107).
+    nan_as_null
+        Normalize float NaN to NULL on weights and float data columns so
+        that parity with pandas' NaN-skipping holds even for parquet files
+        containing literal NaNs (``F.sum`` skips NULL, not NaN).
+    """
+    return WeightedDataFrame(df, weights, na_weight=na_weight, nan_as_null=nan_as_null)
+
+
+class WeightedDataFrame:
+    """A DataFrame with a bound per-row weight (frame.py:47-78)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        weights: Union[str, Column],
+        na_weight: Optional[float] = None,
+        nan_as_null: bool = True,
+        _data_cols: Optional[list[str]] = None,
+    ) -> None:
+        if isinstance(weights, str):
+            if weights not in df.columns:
+                raise KeyError(f"weight column {weights!r} not in DataFrame")
+            w = F.col(weights).cast("double")
+            data_cols = [c for c in df.columns if c != weights]
+        elif isinstance(weights, Column):
+            w = weights.cast("double")
+            data_cols = list(df.columns)
+        else:
+            raise TypeError(
+                "weights must be a column name or Column expression; "
+                "positional arrays are not supported on a distributed "
+                "DataFrame (no row index — see README 'Divergences')"
+            )
+        if nan_as_null:
+            w = F.nanvl(w, F.lit(None).cast("double"))
+        if na_weight is not None:
+            w = F.coalesce(w, F.lit(float(na_weight)))
+
+        # Materialize the weight once under a reserved name; Catalyst prunes
+        # it wherever unused, so this costs nothing at scan time.
+        self._df = df.withColumn(WEIGHT_COL, w)
+        self._nan_as_null = nan_as_null
+        if _data_cols is not None:
+            data_cols = _data_cols
+        self._data_cols = [c for c in data_cols if c != WEIGHT_COL]
+
+    # -- plumbing -----------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """Underlying DataFrame *including* the bound weight column."""
+        return self._df
+
+    @property
+    def weights(self) -> Column:
+        return F.col(WEIGHT_COL)
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._data_cols)
+
+    def _subset(self, cols: Sequence[str]) -> "WeightedDataFrame":
+        missing = [c for c in cols if c not in self._data_cols]
+        if missing:
+            raise KeyError(f"columns not in data: {missing}")
+        out = object.__new__(WeightedDataFrame)
+        out._df = self._df
+        out._nan_as_null = self._nan_as_null
+        out._data_cols = list(cols)
+        return out
+
+    def __getitem__(
+        self, key: Union[str, Sequence[str]]
+    ) -> Union["WeightedSeries", "WeightedDataFrame"]:
+        """Project to one column (→ WeightedSeries) or a list of columns
+        (→ WeightedDataFrame), weights carried along (frame.py:111-122)."""
+        if isinstance(key, str):
+            return WeightedSeries._from_weighted(self, key)
+        return self._subset(list(key))
+
+    def numeric_columns(self) -> list[str]:
+        """Numeric/bool data columns (frame.py:496-503)."""
+        by_name = {f.name: f for f in self._df.schema.fields}
+        return [c for c in self._data_cols if _is_numeric(by_name[c])]
+
+    def _value(self, name: str) -> Column:
+        """A data column normalized for weighted math: cast to double,
+        NaN→NULL for float inputs (pandas treats NaN as missing; Spark
+        aggregates skip only NULL)."""
+        field = next(f for f in self._df.schema.fields if f.name == name)
+        col = F.col(name).cast("double")
+        if self._nan_as_null and _is_float(field):
+            col = F.nanvl(col, F.lit(None).cast("double"))
+        return col
+
+    def _agg_1row(self, builder, subset: Optional[Sequence[str]]) -> DataFrame:
+        cols = list(subset) if subset is not None else self.numeric_columns()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        w = self.weights
+        return self._df.agg(*[builder(self._value(c), w).alias(c) for c in cols])
+
+    # -- the weighted view ----------------------------------------------------
+
+    def weighted(self) -> DataFrame:
+        """Numeric data columns multiplied by the weights (frame.py:124-132);
+        non-numeric columns pass through unchanged (grouped semantics,
+        frame.py:505-510)."""
+        num = set(self.numeric_columns())
+        exprs = [
+            (self._value(c) * self.weights).alias(c) if c in num else F.col(c)
+            for c in self._data_cols
+        ]
+        return self._df.select(*exprs)
+
+    # -- whole-table aggregates (frame.py:189-251) ---------------------------
+
+    def count(
+        self, skipna: bool = True, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        return self._agg_1row(
+            lambda x, w: _stats.w_count(x, w, skipna=skipna), subset
+        )
+
+    def sum(
+        self, min_count: int = 0, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        return self._agg_1row(
+            lambda x, w: _stats.w_sum(x, w, min_count=min_count), subset
+        )
+
+    def mean(
+        self, skipna: bool = True, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        return self._agg_1row(
+            lambda x, w: _stats.w_mean(x, w, skipna=skipna), subset
+        )
+
+    def var(
+        self,
+        ddof: int = 1,
+        skipna: bool = True,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        return self._agg_1row(
+            lambda x, w: _stats.w_var(x, w, ddof=ddof, skipna=skipna), subset
+        )
+
+    def std(
+        self,
+        ddof: int = 1,
+        skipna: bool = True,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        return self._agg_1row(
+            lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna), subset
+        )
+
+    # -- correlation / grouping / resample / apply (separate modules) --------
+
+    def corr(
+        self,
+        method: str = "pearson",
+        min_periods: int = 1,
+        ddof: int = 1,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Pairwise weighted Pearson matrix in long form
+        ``(col_x, col_y, corr)`` — see :mod:`pandas_weights_spark.corr`."""
+        from pandas_weights_spark.corr import frame_corr
+
+        return frame_corr(
+            self, method=method, min_periods=min_periods, ddof=ddof, subset=subset
+        )
+
+    def corr_matrix(self, **kwargs):
+        """Driver-side k×k pandas pivot of :meth:`corr` (small-k convenience,
+        mirrors the reference's square output, frame.py:253-285)."""
+        from pandas_weights_spark.corr import to_matrix
+
+        return to_matrix(self.corr(**kwargs))
+
+    def groupby(self, *keys, dropna: bool = True, sort: bool = False):
+        from pandas_weights_spark.groupby import WeightedGroupBy
+
+        return WeightedGroupBy(self, list(keys), dropna=dropna, sort=sort)
+
+    def cube(self, *keys, dropna: bool = True, sort: bool = False):
+        """Weighted aggregates over grouping-set cubes — native compose
+        (SURVEY.md §2.6: 'cheap win' beyond reference scope)."""
+        from pandas_weights_spark.groupby import WeightedGroupBy
+
+        return WeightedGroupBy(self, list(keys), dropna=dropna, sort=sort, mode="cube")
+
+    def rollup(self, *keys, dropna: bool = True, sort: bool = False):
+        from pandas_weights_spark.groupby import WeightedGroupBy
+
+        return WeightedGroupBy(
+            self, list(keys), dropna=dropna, sort=sort, mode="rollup"
+        )
+
+    def resample(
+        self,
+        rule: Union[str, dt.timedelta],
+        on: str,
+        origin: str = "start_day",
+        offset: Optional[Union[str, dt.timedelta]] = None,
+    ):
+        from pandas_weights_spark.resample import WeightedResampler
+
+        return WeightedResampler(self, rule, on=on, origin=origin, offset=offset)
+
+    def apply(self, func, schema, axis: int = 0):
+        """Apply an arbitrary Python function over the *pre-weighted* data
+        (frame.py:287-367) — see :mod:`pandas_weights_spark.apply`."""
+        from pandas_weights_spark.apply import frame_apply
+
+        return frame_apply(self, func, schema, axis=axis)
+
+
+class WeightedSeries:
+    """Single weighted column — ``(df, value_col, weight)`` triple
+    (reference ``series.py:44-264``)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        value: str,
+        weights: Union[str, Column],
+        na_weight: Optional[float] = None,
+        nan_as_null: bool = True,
+    ) -> None:
+        self._wdf = WeightedDataFrame(
+            df, weights, na_weight=na_weight, nan_as_null=nan_as_null
+        )._subset([value])
+        self._value_col = value
+
+    @classmethod
+    def _from_weighted(cls, wdf: WeightedDataFrame, value: str) -> "WeightedSeries":
+        out = object.__new__(cls)
+        out._wdf = wdf._subset([value])
+        out._value_col = value
+        return out
+
+    @property
+    def name(self) -> str:
+        return self._value_col
+
+    @property
+    def df(self) -> DataFrame:
+        return self._wdf.df
+
+    @property
+    def weights(self) -> Column:
+        return self._wdf.weights
+
+    def weighted(self) -> DataFrame:
+        """value*weight as a 1-column DataFrame (series.py:99-107)."""
+        return self._wdf.weighted().select(self._value_col)
+
+    def _scalar(self, df1row: DataFrame) -> DataFrame:
+        return df1row
+
+    def count(self, skipna: bool = True) -> DataFrame:
+        return self._wdf.count(skipna=skipna, subset=[self._value_col])
+
+    def sum(self, min_count: int = 0) -> DataFrame:
+        return self._wdf.sum(min_count=min_count, subset=[self._value_col])
+
+    def mean(self, skipna: bool = True) -> DataFrame:
+        return self._wdf.mean(skipna=skipna, subset=[self._value_col])
+
+    def var(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        return self._wdf.var(ddof=ddof, skipna=skipna, subset=[self._value_col])
+
+    def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        return self._wdf.std(ddof=ddof, skipna=skipna, subset=[self._value_col])
+
+    def value(self, df1row: Optional[DataFrame] = None):
+        """Collect a 1-row/1-col stat DataFrame to a Python scalar
+        (testing convenience)."""
+        row = (df1row if df1row is not None else self.mean()).collect()[0]
+        return row[0]
+
+    def groupby(self, *keys, dropna: bool = True, sort: bool = False):
+        from pandas_weights_spark.groupby import WeightedGroupBy
+
+        return WeightedGroupBy(self._wdf, list(keys), dropna=dropna, sort=sort)
+
+    def resample(
+        self,
+        rule: Union[str, dt.timedelta],
+        on: str,
+        origin: str = "start_day",
+        offset: Optional[Union[str, dt.timedelta]] = None,
+    ):
+        from pandas_weights_spark.resample import WeightedResampler
+
+        return WeightedResampler(self._wdf, rule, on=on, origin=origin, offset=offset)
+
+    def corr(
+        self,
+        other: DataFrame,
+        other_value: str,
+        on: Union[str, Sequence[str]],
+        by: Optional[Sequence[str]] = None,
+        method: str = "pearson",
+        min_periods: Optional[int] = None,
+        ddof: int = 1,
+    ) -> DataFrame:
+        """Weighted Pearson against another table's column, aligned by an
+        explicit inner join on ``on`` (the Spark analog of pandas label
+        alignment, series.py:238-239; duplicate keys fan out exactly like
+        pandas duplicate-label cross-pairing, README.md:84-135)."""
+        from pandas_weights_spark.corr import aligned_corr
+
+        return aligned_corr(
+            self._wdf.df,
+            self._value_col,
+            other,
+            other_value,
+            on=on,
+            by=by,
+            method=method,
+            min_periods=min_periods,
+            ddof=ddof,
+        )
+
+    def apply(self, func, schema):
+        from pandas_weights_spark.apply import series_apply
+
+        return series_apply(self, func, schema)

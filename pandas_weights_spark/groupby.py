@@ -1,0 +1,220 @@
+"""Weighted grouped aggregation (reference ``frame.py:449-679``,
+``series.py:341-481``).
+
+Each statistic compiles to exactly one ``df.groupBy(keys).agg(...)`` —
+a single shuffle with map-side partial aggregation — versus the
+reference's three independent grouped passes for ``var``
+(frame.py:599-609). ``agg_all`` fuses several statistics over the same
+grouping into that same single shuffle, which the reference cannot do
+at all.
+
+Scale notes (100 TB posture):
+* The shuffle is keyed on the grouping columns; AQE handles skewed keys
+  and partition coalescing at runtime.
+* No ``collect()`` anywhere — results stay distributed.
+* ``mode="cube"|"rollup"`` compose the same weighted expressions with
+  native grouping sets (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import _stats
+
+if TYPE_CHECKING:
+    from pandas_weights_spark.frame import WeightedDataFrame
+
+__all__ = ["WeightedGroupBy"]
+
+#: statistic name → kernel builder (x, w, **kwargs) -> Column
+_KERNELS: dict[str, Callable[..., Column]] = {
+    "count": lambda x, w, **k: _stats.w_count(x, w, skipna=k.get("skipna", True)),
+    "sum": lambda x, w, **k: _stats.w_sum(x, w, min_count=k.get("min_count", 0)),
+    "mean": lambda x, w, **k: _stats.w_mean(x, w, skipna=k.get("skipna", True)),
+    "var": lambda x, w, **k: _stats.w_var(
+        x, w, ddof=k.get("ddof", 1), skipna=k.get("skipna", True)
+    ),
+    "std": lambda x, w, **k: _stats.w_std(
+        x, w, ddof=k.get("ddof", 1), skipna=k.get("skipna", True)
+    ),
+}
+
+
+class WeightedGroupBy:
+    """Lazy weighted group-by: ``(WeightedDataFrame, keys)`` pair.
+
+    ``dropna=True`` (pandas groupby default) drops rows whose key is NULL
+    before grouping; Spark's native default keeps them, so the filter is
+    explicit (SURVEY.md §2.3 row 19). ``sort=True`` orders the result by
+    the group keys (pandas ``sort=True`` default — here opt-in because a
+    global sort is an extra exchange at scale).
+    """
+
+    def __init__(
+        self,
+        wdf: "WeightedDataFrame",
+        keys: Sequence[str],
+        dropna: bool = True,
+        sort: bool = False,
+        mode: str = "groupby",
+    ) -> None:
+        if not keys:
+            raise ValueError("groupby requires at least one key column")
+        missing = [k for k in keys if k not in wdf.df.columns]
+        if missing:
+            raise KeyError(f"group keys not in DataFrame: {missing}")
+        if mode not in ("groupby", "cube", "rollup"):
+            raise ValueError(f"unknown grouping mode: {mode!r}")
+        self._wdf = wdf
+        self._keys = list(keys)
+        self._dropna = dropna
+        self._sort = sort
+        self._mode = mode
+
+    # -- plumbing -------------------------------------------------------------
+
+    def __getitem__(self, key):
+        """Narrow the aggregated columns (frame.py:468-477)."""
+        cols = [key] if isinstance(key, str) else list(key)
+        out = WeightedGroupBy(
+            self._wdf._subset(cols),
+            self._keys,
+            dropna=self._dropna,
+            sort=self._sort,
+            mode=self._mode,
+        )
+        return out
+
+    def _value_cols(self) -> list[str]:
+        """Numeric data columns minus the group keys (frame.py:496-503:
+        keys are 'exclusions', never aggregated)."""
+        return [c for c in self._wdf.numeric_columns() if c not in self._keys]
+
+    def _grouped(self):
+        df = self._wdf.df
+        if self._dropna:
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+        keys = [F.col(k) for k in self._keys]
+        if self._mode == "cube":
+            return df.cube(*keys)
+        if self._mode == "rollup":
+            return df.rollup(*keys)
+        return df.groupBy(*keys)
+
+    def _finish(self, out: DataFrame) -> DataFrame:
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        return out
+
+    def _agg(self, builder: Callable[[Column, Column], Column]) -> DataFrame:
+        cols = self._value_cols()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        w = self._wdf.weights
+        exprs = [builder(self._wdf._value(c), w).alias(c) for c in cols]
+        return self._finish(self._grouped().agg(*exprs))
+
+    # -- statistics (frame.py:512-628) -----------------------------------------
+
+    def count(self, skipna: bool = True) -> DataFrame:
+        return self._agg(lambda x, w: _stats.w_count(x, w, skipna=skipna))
+
+    def sum(self, min_count: int = 0) -> DataFrame:
+        return self._agg(lambda x, w: _stats.w_sum(x, w, min_count=min_count))
+
+    def mean(self, skipna: bool = True) -> DataFrame:
+        return self._agg(lambda x, w: _stats.w_mean(x, w, skipna=skipna))
+
+    def var(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        return self._agg(lambda x, w: _stats.w_var(x, w, ddof=ddof, skipna=skipna))
+
+    def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        return self._agg(lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna))
+
+    def agg_all(self, stats: Sequence[str], **kwargs) -> DataFrame:
+        """Several statistics in ONE aggregate pass / shuffle.
+
+        Output columns ``{col}_{stat}``. The reference re-groups per
+        statistic (SURVEY.md §3.2); here Catalyst fuses the shared moments
+        (Σwx appears in mean and var) via common-subexpression elimination
+        within a single exchange.
+        """
+        cols = self._value_cols()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        bad = [s for s in stats if s not in _KERNELS]
+        if bad:
+            raise ValueError(f"unknown statistics: {bad}")
+        w = self._wdf.weights
+        exprs = [
+            _KERNELS[s](self._wdf._value(c), w, **kwargs).alias(f"{c}_{s}")
+            for c in cols
+            for s in stats
+        ]
+        return self._finish(self._grouped().agg(*exprs))
+
+    # -- correlation (frame.py:630-660) ----------------------------------------
+
+    def corr(
+        self,
+        method: str = "pearson",
+        min_periods: int = 1,
+        ddof: int = 1,
+    ) -> DataFrame:
+        """Per-group pairwise weighted Pearson, long form
+        ``(keys…, col_x, col_y, corr)``.
+
+        Unlike the reference — which iterates groups on the driver
+        (frame.py:645-651) — this is one distributed
+        ``groupBy(keys).agg(<all pair moments>)`` followed by a JVM-side
+        unpivot; group cardinality is unbounded.
+        """
+        from pandas_weights_spark.corr import grouped_corr
+
+        return grouped_corr(
+            self._wdf,
+            self._keys,
+            dropna=self._dropna,
+            sort=self._sort,
+            method=method,
+            min_periods=min_periods,
+            ddof=ddof,
+        )
+
+    # -- apply (frame.py:662-679) -----------------------------------------------
+
+    def apply(self, func, schema) -> DataFrame:
+        """``applyInPandas`` over each group's *pre-weighted* rows."""
+        from pandas_weights_spark.apply import grouped_apply
+
+        return grouped_apply(self, func, schema)
+
+    # -- iteration (frame.py:463-466) --------------------------------------------
+
+    def __iter__(self):
+        """Yield ``(key, WeightedDataFrame-of-group)`` pairs.
+
+        Driver-side parity convenience (reference frame.py:463-466).
+        Collects the DISTINCT KEYS only (not the data); each yielded group
+        is a filtered lazy view. Documented small-cardinality only — at
+        scale use ``agg_all``/``apply`` instead.
+        """
+        key_rows = (
+            self._wdf.df.select(*self._keys).distinct().orderBy(*self._keys).collect()
+        )
+        for row in key_rows:
+            if self._dropna and any(row[k] is None for k in self._keys):
+                continue
+            cond = None
+            for k in self._keys:
+                c = F.col(k).eqNullSafe(F.lit(row[k]))
+                cond = c if cond is None else (cond & c)
+            sub = self._wdf._subset(self._wdf.columns)
+            sub._df = self._wdf.df.where(cond)
+            key = row[self._keys[0]] if len(self._keys) == 1 else tuple(row)
+            yield key, sub

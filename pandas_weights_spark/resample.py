@@ -1,0 +1,226 @@
+"""Weighted time-bucketed aggregation (reference ``WeightedFrameResampler``,
+``/root/reference/src/pandas_weights/frame.py:370-446``).
+
+pandas ``resample(rule)`` with fixed-frequency rules maps to Spark's
+tumbling ``F.window(ts, interval, startTime=...)``; calendar rules
+(month/year starts) map to ``date_trunc``. Both are plain ``groupBy``
+aggregations — a single shuffle keyed on the bucket, streaming-safe
+partials (the same expressions run unchanged under Structured Streaming,
+see :mod:`pandas_weights_spark.streaming`).
+
+Origin semantics: pandas defaults to ``origin="start_day"`` (midnight of
+the first timestamp). Spark windows are epoch-aligned, so ``start_day``
+costs one tiny extra job — ``agg(min(ts))`` over a single pruned column —
+to derive the window phase. Use ``origin="epoch"`` to skip it.
+
+Divergence (documented, SURVEY.md §3.3): only non-empty buckets are
+emitted. pandas emits the full bucket range with NA rows; use
+``complete=True`` on an aggregate to left-join a generated bucket spine
+(``F.sequence`` + ``explode``) for pandas-shaped output.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from typing import TYPE_CHECKING, Callable, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import _stats
+
+if TYPE_CHECKING:
+    from pandas_weights_spark.frame import WeightedDataFrame
+
+__all__ = ["WeightedResampler", "parse_rule"]
+
+_FIXED_UNITS = {
+    "w": 7 * 86400,
+    "d": 86400,
+    "h": 3600,
+    "t": 60,
+    "min": 60,
+    "s": 1,
+}
+_CALENDAR_UNITS = {"m": "month", "ms": "month", "me": "month", "y": "year", "ys": "year", "ye": "year"}
+
+_RULE_RE = re.compile(r"^\s*(\d*)\s*([a-zA-Z]+)\s*$")
+
+
+def parse_rule(rule: Union[str, dt.timedelta]) -> tuple[str, int]:
+    """Parse a pandas-ish offset rule.
+
+    Returns ``("fixed", seconds)`` for fixed-frequency rules
+    (``"2D"``, ``"6H"``, ``"30min"``, ``timedelta``) or
+    ``("month"|"year", n)`` for calendar rules (``"MS"``, ``"YS"``…).
+    """
+    if isinstance(rule, dt.timedelta):
+        secs = int(rule.total_seconds())
+        if secs <= 0:
+            raise ValueError(f"rule must be positive, got {rule!r}")
+        return "fixed", secs
+    m = _RULE_RE.match(rule)
+    if not m:
+        raise ValueError(f"cannot parse resample rule {rule!r}")
+    n = int(m.group(1) or 1)
+    unit = m.group(2).lower()
+    if unit in _FIXED_UNITS:
+        return "fixed", n * _FIXED_UNITS[unit]
+    if unit in _CALENDAR_UNITS:
+        if n != 1:
+            raise NotImplementedError(f"multi-{unit} calendar rules not supported")
+        return _CALENDAR_UNITS[unit], 1
+    raise ValueError(f"unknown resample rule unit {unit!r} in {rule!r}")
+
+
+def _as_seconds(value: Union[str, dt.timedelta]) -> int:
+    if isinstance(value, dt.timedelta):
+        return int(value.total_seconds())
+    kind, secs = parse_rule(value)
+    if kind != "fixed":
+        raise ValueError(f"offset must be a fixed duration, got {value!r}")
+    return secs
+
+
+class WeightedResampler:
+    """Lazy weighted resampler: stores the rule, derives the bucket per
+    aggregate call (mirrors the reference's lazy design, frame.py:370-379).
+    """
+
+    def __init__(
+        self,
+        wdf: "WeightedDataFrame",
+        rule: Union[str, dt.timedelta],
+        on: str,
+        origin: str = "start_day",
+        offset: Optional[Union[str, dt.timedelta]] = None,
+    ) -> None:
+        if on not in wdf.df.columns:
+            raise KeyError(f"timestamp column {on!r} not in DataFrame")
+        self._wdf = wdf
+        self._on = on
+        self._kind, self._n = parse_rule(rule)
+        self._origin = origin
+        self._offset_secs = _as_seconds(offset) if offset is not None else 0
+
+    # -- bucketing -------------------------------------------------------------
+
+    def _start_time_seconds(self) -> int:
+        """Window phase (seconds past epoch-alignment) for F.window."""
+        if self._origin == "epoch":
+            base = 0
+        elif self._origin == "start_day":
+            # One extra tiny job: min over a single pruned column.
+            first = self._wdf.df.agg(F.min(F.col(self._on))).collect()[0][0]
+            if first is None:
+                base = 0
+            else:
+                day = dt.datetime(
+                    first.year, first.month, first.day, tzinfo=dt.timezone.utc
+                )
+                base = int(day.timestamp())
+        else:
+            ts = dt.datetime.fromisoformat(self._origin)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=dt.timezone.utc)
+            base = int(ts.timestamp())
+        return (base + self._offset_secs) % self._n
+
+    def bucket(self) -> Column:
+        """The bucket-start timestamp Column for the configured rule."""
+        ts = F.col(self._on)
+        if self._kind == "fixed":
+            phase = self._start_time_seconds()
+            return F.window(
+                ts, f"{self._n} seconds", startTime=f"{phase} seconds"
+            ).start
+        return F.date_trunc(self._kind, ts)
+
+    def _agg(
+        self, builder: Callable[[Column, Column], Column], complete: bool = False
+    ) -> DataFrame:
+        cols = [c for c in self._wdf.numeric_columns() if c != self._on]
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        w = self._wdf.weights
+        exprs = [builder(self._wdf._value(c), w).alias(c) for c in cols]
+        out = (
+            self._wdf.df.where(F.col(self._on).isNotNull())
+            .groupBy(self.bucket().alias(self._on))
+            .agg(*exprs)
+        )
+        if complete:
+            out = self._complete(out)
+        return out.orderBy(self._on)
+
+    def _complete(self, out: DataFrame) -> DataFrame:
+        """Left-join against a generated bucket spine so empty buckets are
+        emitted with NULLs (pandas full-range semantics, SURVEY.md §3.3)."""
+        if self._kind == "fixed":
+            step = F.expr(f"INTERVAL {self._n} SECOND")
+        else:
+            step = F.expr(f"INTERVAL 1 {self._kind.upper()}")
+        spine = (
+            out.agg(
+                F.min(self._on).alias("lo"), F.max(self._on).alias("hi")
+            )
+            .select(
+                F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias(self._on)
+            )
+        )
+        return spine.join(out, on=self._on, how="left")
+
+    # -- statistics (frame.py:381-446) -------------------------------------------
+
+    def count(self, skipna: bool = True, complete: bool = False) -> DataFrame:
+        return self._agg(
+            lambda x, w: _stats.w_count(x, w, skipna=skipna), complete=complete
+        )
+
+    def sum(self, min_count: int = 0, complete: bool = False) -> DataFrame:
+        return self._agg(
+            lambda x, w: _stats.w_sum(x, w, min_count=min_count), complete=complete
+        )
+
+    def mean(self, skipna: bool = True, complete: bool = False) -> DataFrame:
+        return self._agg(
+            lambda x, w: _stats.w_mean(x, w, skipna=skipna), complete=complete
+        )
+
+    def var(
+        self, ddof: int = 1, skipna: bool = True, complete: bool = False
+    ) -> DataFrame:
+        return self._agg(
+            lambda x, w: _stats.w_var(x, w, ddof=ddof, skipna=skipna),
+            complete=complete,
+        )
+
+    def std(
+        self, ddof: int = 1, skipna: bool = True, complete: bool = False
+    ) -> DataFrame:
+        return self._agg(
+            lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna),
+            complete=complete,
+        )
+
+    def agg_all(self, stats: Sequence[str], **kwargs) -> DataFrame:
+        """Several statistics in one bucket-keyed aggregate pass."""
+        from pandas_weights_spark.groupby import _KERNELS
+
+        cols = [c for c in self._wdf.numeric_columns() if c != self._on]
+        bad = [s for s in stats if s not in _KERNELS]
+        if bad:
+            raise ValueError(f"unknown statistics: {bad}")
+        w = self._wdf.weights
+        exprs = [
+            _KERNELS[s](self._wdf._value(c), w, **kwargs).alias(f"{c}_{s}")
+            for c in cols
+            for s in stats
+        ]
+        return (
+            self._wdf.df.where(F.col(self._on).isNotNull())
+            .groupBy(self.bucket().alias(self._on))
+            .agg(*exprs)
+            .orderBy(self._on)
+        )
