@@ -1,0 +1,204 @@
+"""Golden-value ports of the reference correlation tests (FIXTURES.md
+§A4-A6; reference /root/reference/tests/test_frame.py:365-499 and
+tests/test_series.py:103-127, 230-276)."""
+
+import pytest
+
+from pandas_weights_spark import wt
+from pandas_weights_spark.corr import aligned_corr
+from pandas_weights_spark.frame import WEIGHT_COL
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def corr_frame(spark):
+    return spark.createDataFrame(
+        [
+            (1.0, 2.0, 4.0, "x", 1.0),
+            (2.0, 4.0, 3.0, "y", 2.0),
+            (3.0, 6.0, 2.0, "z", 3.0),
+            (4.0, 8.0, 1.0, "w", 4.0),
+        ],
+        "A double, B double, C double, Label string, weights double",
+    )
+
+
+def corr_map(df):
+    return {(r["col_x"], r["col_y"]): r["corr"] for r in df.collect()}
+
+
+class TestFrameCorr:
+    def test_perfect_correlations(self, corr_frame):
+        m = corr_map(wt(corr_frame, "weights").corr())
+        assert m[("A", "B")] == approx(1.0)
+        assert m[("A", "C")] == approx(-1.0)
+        assert m[("A", "A")] == approx(1.0)
+        assert m[("B", "C")] == approx(-1.0)
+        # symmetric mirror present
+        assert m[("B", "A")] == approx(1.0)
+
+    def test_non_numeric_excluded(self, corr_frame):
+        m = corr_map(wt(corr_frame, "weights").corr())
+        assert not any("Label" in k for k in m)
+        assert len(m) == 9  # 3x3
+
+    def test_min_periods_nullifies(self, spark):
+        # B has a NULL → only 3 valid pairs; min_periods=4 → NULL row/col
+        df = spark.createDataFrame(
+            [
+                (1.0, 2.0, 1.0),
+                (2.0, 4.0, 1.0),
+                (3.0, None, 1.0),
+                (4.0, 8.0, 1.0),
+            ],
+            "A double, B double, weights double",
+        )
+        m = corr_map(wt(df, "weights").corr(min_periods=4))
+        assert m[("A", "B")] is None
+        assert m[("B", "B")] is None
+        assert m[("A", "A")] == approx(1.0)
+
+    def test_unsupported_method(self, corr_frame):
+        with pytest.raises(NotImplementedError):
+            wt(corr_frame, "weights").corr(method="spearman")
+
+    def test_zero_variance_is_null(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 5.0, 1.0), (2.0, 5.0, 1.0)], "A double, B double, weights double"
+        )
+        m = corr_map(wt(df, "weights").corr())
+        assert m[("A", "B")] is None  # var(B) == 0 guard (_stats.py:70-71)
+
+    def test_corr_matrix_pandas(self, corr_frame):
+        mat = wt(corr_frame, "weights").corr_matrix()
+        assert mat.loc["A", "C"] == approx(-1.0)
+        assert list(mat.columns) == ["A", "B", "C"]
+
+
+class TestGroupedCorr:
+    def test_per_group_matrices(self, spark):
+        # FIXTURES A5: group A → corr(X,Y)=1, corr(X,Z)=−1; B → −1, 1
+        df = spark.createDataFrame(
+            [
+                ("A", 1.0, 2.0, 3.0, 1.0),
+                ("A", 2.0, 4.0, 2.0, 2.0),
+                ("A", 3.0, 6.0, 1.0, 3.0),
+                ("B", 1.0, 3.0, 1.0, 1.5),
+                ("B", 2.0, 2.0, 2.0, 2.5),
+                ("B", 3.0, 1.0, 3.0, 3.5),
+            ],
+            "Group string, X double, Y double, Z double, weights double",
+        )
+        out = wt(df, "weights").groupby("Group").corr()
+        m = {(r["Group"], r["col_x"], r["col_y"]): r["corr"] for r in out.collect()}
+        assert m[("A", "X", "Y")] == approx(1.0)
+        assert m[("A", "X", "Z")] == approx(-1.0)
+        assert m[("B", "X", "Y")] == approx(-1.0)
+        assert m[("B", "X", "Z")] == approx(1.0)
+        assert m[("A", "X", "X")] == approx(1.0)
+
+    def test_min_periods_pairwise_complete(self, spark):
+        # Y variant with NULLs: per-pair validity, not per-row deletion
+        df = spark.createDataFrame(
+            [
+                ("A", 1.0, 2.0, 1.0),
+                ("A", 2.0, 4.0, 1.0),
+                ("A", 3.0, None, 1.0),
+                ("B", 1.0, 3.0, 1.0),
+                ("B", 2.0, None, 1.0),
+                ("B", 3.0, 1.0, 1.0),
+            ],
+            "Group string, X double, Y double, weights double",
+        )
+        out = wt(df, "weights").groupby("Group").corr(min_periods=3)
+        m = {(r["Group"], r["col_x"], r["col_y"]): r["corr"] for r in out.collect()}
+        assert m[("A", "X", "Y")] is None  # only 2 valid pairs
+        assert m[("A", "X", "X")] == approx(1.0)  # 3 valid
+
+
+class TestAlignedCorr:
+    def _left(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("A", 1, 1.0, 1.0),
+                ("A", 2, 2.0, 2.0),
+                ("B", 1, 3.0, 1.5),
+                ("B", 2, 4.0, 2.5),
+            ],
+            "key string, row_id int, vals double, weights double",
+        )
+        return wt(df, "weights").df  # carries WEIGHT_COL
+
+    def test_duplicate_key_fanout_matches_pandas_cross_pairing(self, spark):
+        # FIXTURES A6: duplicate join keys → cross-pairing → corr 0.0 per group
+        left = self._left(spark)
+        other = spark.createDataFrame(
+            [("A", 2.0), ("A", 4.0), ("B", 8.0), ("B", 6.0)],
+            "key string, other double",
+        )
+        out = aligned_corr(
+            left, "vals", other, "other", on="key", by=["key"]
+        )
+        m = {r["key"]: r["corr"] for r in out.collect()}
+        assert m["A"] == approx(0.0, rel=1e-9)
+        assert m["B"] == approx(0.0, rel=1e-9)
+
+    def test_unique_composite_key(self, spark):
+        # unique-key variant (README.md:111-135): join on (key, row_id)
+        left = self._left(spark)
+        other = spark.createDataFrame(
+            [("A", 1, 2.0), ("A", 2, 4.0), ("B", 1, 8.0), ("B", 2, 6.0)],
+            "key string, row_id int, other double",
+        )
+        out = aligned_corr(
+            left, "vals", other, "other", on=["key", "row_id"], by=["key"]
+        )
+        m = {r["key"]: r["corr"] for r in out.collect()}
+        assert m["A"] == approx(1.0)
+        assert m["B"] == approx(-1.0)
+
+    def test_partial_other(self, spark):
+        # other covers A only → B group disappears (inner join)
+        left = self._left(spark)
+        other = spark.createDataFrame(
+            [("A", 1, 10.0), ("A", 2, 20.0)], "key string, row_id int, other double"
+        )
+        out = aligned_corr(
+            left, "vals", other, "other", on=["key", "row_id"], by=["key"]
+        )
+        m = {r["key"]: r["corr"] for r in out.collect()}
+        assert m["A"] == approx(1.0)
+        assert "B" not in m
+
+    def test_min_periods(self, spark):
+        left = self._left(spark)
+        other = spark.createDataFrame(
+            [("A", 1, 2.0), ("A", 2, 4.0), ("B", 1, 8.0), ("B", 2, 6.0)],
+            "key string, row_id int, other double",
+        )
+        out = aligned_corr(
+            left, "vals", other, "other", on=["key", "row_id"], by=["key"],
+            min_periods=3,
+        )
+        assert all(r["corr"] is None for r in out.collect())
+
+    def test_global_scalar(self, spark):
+        left = self._left(spark)
+        other = spark.createDataFrame(
+            [("A", 1, 2.0), ("A", 2, 4.0), ("B", 1, 6.0), ("B", 2, 8.0)],
+            "key string, row_id int, other double",
+        )
+        out = aligned_corr(left, "vals", other, "other", on=["key", "row_id"])
+        assert out.collect()[0]["corr"] == approx(1.0)
+
+    def test_series_corr_api(self, spark):
+        df = spark.createDataFrame(
+            [("A", 1.0, 1.0), ("B", 2.0, 2.0), ("C", 3.0, 1.0)],
+            "k string, v double, weights double",
+        )
+        other = spark.createDataFrame(
+            [("A", 2.0), ("B", 4.0), ("C", 6.0)], "k string, y double"
+        )
+        ws = wt(df, "weights")["v"]
+        out = ws.corr(other, "y", on="k")
+        assert out.collect()[0]["corr"] == approx(1.0)

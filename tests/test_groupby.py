@@ -1,0 +1,131 @@
+"""Golden-value ports of the reference grouped tests (FIXTURES.md §A2;
+reference /root/reference/tests/test_frame.py:165-244)."""
+
+import pytest
+
+from pandas_weights_spark import wt
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    return spark.createDataFrame(
+        [("A", 10.0, 1.0), ("A", 20.0, 2.0), ("B", 30.0, 1.5), ("B", 40.0, 2.5)],
+        "Group string, Value double, weights double",
+    )
+
+
+@pytest.fixture(scope="module")
+def grouped_nan(spark):
+    # Value NaN variant: 10, 20, NULL, 40 (tests/test_frame.py:210-226)
+    return spark.createDataFrame(
+        [("A", 10.0, 1.0), ("A", 20.0, 2.0), ("B", None, 1.5), ("B", 40.0, 2.5)],
+        "Group string, Value double, weights double",
+    )
+
+
+def by_group(df):
+    return {r["Group"]: r.asDict() for r in df.collect()}
+
+
+class TestGroupedAggregates:
+    def test_sum(self, grouped):
+        g = by_group(wt(grouped, "weights").groupby("Group").sum())
+        assert g["A"]["Value"] == approx(50.0)
+        assert g["B"]["Value"] == approx(145.0)
+
+    def test_mean(self, grouped):
+        g = by_group(wt(grouped, "weights").groupby("Group").mean())
+        assert g["A"]["Value"] == approx(16.666666666666668)
+        assert g["B"]["Value"] == approx(36.25)
+
+    def test_var(self, grouped):
+        g = by_group(wt(grouped, "weights").groupby("Group").var())
+        assert g["A"]["Value"] == approx(33.333333333333314, rel=1e-9)
+        assert g["B"]["Value"] == approx(31.25)
+
+    def test_std(self, grouped):
+        g = by_group(wt(grouped, "weights").groupby("Group").std())
+        assert g["A"]["Value"] == approx(5.773502691896255, rel=1e-9)
+        assert g["B"]["Value"] == approx(5.5901699437494745)
+
+    def test_count_skipna(self, grouped_nan):
+        g = by_group(wt(grouped_nan, "weights").groupby("Group").count())
+        assert g["A"]["Value"] == approx(3.0)
+        assert g["B"]["Value"] == approx(2.5)
+
+    def test_count_no_skipna(self, grouped_nan):
+        g = by_group(
+            wt(grouped_nan, "weights").groupby("Group").count(skipna=False)
+        )
+        assert g["A"]["Value"] == approx(3.0)
+        assert g["B"]["Value"] == approx(4.0)
+
+    def test_mean_nan_skipna(self, grouped_nan):
+        g = by_group(wt(grouped_nan, "weights").groupby("Group").mean())
+        assert g["A"]["Value"] == approx(16.666666666666668)
+        assert g["B"]["Value"] == approx(40.0)
+
+    def test_mean_nan_no_skipna(self, grouped_nan):
+        g = by_group(
+            wt(grouped_nan, "weights").groupby("Group").mean(skipna=False)
+        )
+        assert g["A"]["Value"] == approx(16.666666666666668)
+        assert g["B"]["Value"] == approx(25.0)
+
+    def test_numeric_group_keys(self, spark):
+        # numeric-key variant (tests/test_frame.py:13-21)
+        df = spark.createDataFrame(
+            [(1, 10.0, 1.0), (1, 20.0, 2.0), (2, 30.0, 1.5), (2, 40.0, 2.5)],
+            "Group int, Value double, weights double",
+        )
+        rows = {r["Group"]: r for r in wt(df, "weights").groupby("Group").sum().collect()}
+        assert rows[1]["Value"] == approx(50.0)
+        assert rows[2]["Value"] == approx(145.0)
+        # numeric key is never aggregated (exclusions, frame.py:485-487)
+        assert set(rows[1].asDict()) == {"Group", "Value"}
+
+    def test_multi_key(self, spark):
+        df = spark.createDataFrame(
+            [("A", "x", 10.0, 1.0), ("A", "y", 20.0, 2.0), ("B", "x", 30.0, 1.5)],
+            "G1 string, G2 string, Value double, weights double",
+        )
+        rows = wt(df, "weights").groupby("G1", "G2", sort=True).sum().collect()
+        assert [(r["G1"], r["G2"]) for r in rows] == [("A", "x"), ("A", "y"), ("B", "x")]
+
+    def test_dropna_key(self, spark):
+        df = spark.createDataFrame(
+            [("A", 10.0, 1.0), (None, 20.0, 2.0), ("B", 30.0, 1.5)],
+            "Group string, Value double, weights double",
+        )
+        assert wt(df, "weights").groupby("Group").sum().count() == 2
+        assert wt(df, "weights").groupby("Group", dropna=False).sum().count() == 3
+
+    def test_getitem_narrows(self, spark):
+        df = spark.createDataFrame(
+            [("A", 10.0, 5.0, 1.0), ("B", 20.0, 6.0, 2.0)],
+            "Group string, V1 double, V2 double, weights double",
+        )
+        out = wt(df, "weights").groupby("Group")[["V1"]].sum()
+        assert out.columns == ["Group", "V1"]
+
+    def test_agg_all_single_pass(self, grouped):
+        g = by_group(
+            wt(grouped, "weights").groupby("Group").agg_all(["mean", "var"])
+        )
+        assert g["A"]["Value_mean"] == approx(16.666666666666668)
+        assert g["A"]["Value_var"] == approx(33.333333333333314, rel=1e-9)
+
+    def test_iteration(self, grouped):
+        keys = []
+        for key, wdf in wt(grouped, "weights").groupby("Group"):
+            keys.append(key)
+            if key == "A":
+                assert wdf.sum().collect()[0]["Value"] == approx(50.0)
+        assert keys == ["A", "B"]
+
+    def test_rollup(self, grouped):
+        rows = wt(grouped, "weights").rollup("Group").sum().collect()
+        total = {r["Group"]: r["Value"] for r in rows}
+        assert total[None] == approx(195.0)  # grand total row
+        assert total["A"] == approx(50.0)

@@ -1,0 +1,138 @@
+"""Golden-value ports of the reference resample tests (FIXTURES.md §A3;
+reference /root/reference/tests/test_frame.py:305-362)."""
+
+import datetime as dt
+
+import pytest
+
+from pandas_weights_spark import wt
+from pandas_weights_spark.resample import parse_rule
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def timeseries(spark):
+    # ts 2024-01-01..04 daily; Value 1, 2, NULL, 4; weights 1..4
+    rows = [
+        (dt.datetime(2024, 1, 1), 1.0, 1.0),
+        (dt.datetime(2024, 1, 2), 2.0, 2.0),
+        (dt.datetime(2024, 1, 3), None, 3.0),
+        (dt.datetime(2024, 1, 4), 4.0, 4.0),
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, Value double, weights double")
+
+
+def by_bucket(df):
+    return {r["ts"]: r.asDict() for r in df.collect()}
+
+
+B1 = dt.datetime(2024, 1, 1)
+B2 = dt.datetime(2024, 1, 3)
+
+
+class TestParseRule:
+    def test_fixed(self):
+        assert parse_rule("2D") == ("fixed", 2 * 86400)
+        assert parse_rule("6H") == ("fixed", 6 * 3600)
+        assert parse_rule("30min") == ("fixed", 1800)
+        assert parse_rule("90s") == ("fixed", 90)
+        assert parse_rule(dt.timedelta(days=1)) == ("fixed", 86400)
+        assert parse_rule("W") == ("fixed", 7 * 86400)
+
+    def test_calendar(self):
+        assert parse_rule("MS") == ("month", 1)
+        assert parse_rule("YS") == ("year", 1)
+
+    def test_bad(self):
+        with pytest.raises(ValueError):
+            parse_rule("2X")
+        with pytest.raises(NotImplementedError):
+            parse_rule("3MS")
+
+
+class TestResample:
+    def test_sum(self, timeseries):
+        g = by_bucket(wt(timeseries, "weights").resample("2D", on="ts").sum())
+        assert set(g) == {B1, B2}
+        assert g[B1]["Value"] == approx(5.0)   # 1*1 + 2*2
+        assert g[B2]["Value"] == approx(16.0)  # 4*4
+
+    def test_count(self, timeseries):
+        g = by_bucket(wt(timeseries, "weights").resample("2D", on="ts").count())
+        assert g[B1]["Value"] == approx(3.0)
+        assert g[B2]["Value"] == approx(4.0)
+
+    def test_count_no_skipna(self, timeseries):
+        g = by_bucket(
+            wt(timeseries, "weights").resample("2D", on="ts").count(skipna=False)
+        )
+        assert g[B1]["Value"] == approx(3.0)
+        assert g[B2]["Value"] == approx(7.0)
+
+    def test_mean(self, timeseries):
+        g = by_bucket(wt(timeseries, "weights").resample("2D", on="ts").mean())
+        assert g[B1]["Value"] == approx(5.0 / 3.0)
+        assert g[B2]["Value"] == approx(4.0)
+
+    def test_var(self, timeseries):
+        # single-valid-row bucket → 0.0 falls out of the formula
+        # (tests/test_frame.py:341-362 — do not special-case)
+        g = by_bucket(wt(timeseries, "weights").resample("2D", on="ts").var())
+        assert g[B1]["Value"] == approx(1.0 / 3.0)
+        assert g[B2]["Value"] == approx(0.0)
+
+    def test_std(self, timeseries):
+        g = by_bucket(wt(timeseries, "weights").resample("2D", on="ts").std())
+        assert g[B1]["Value"] == approx((1.0 / 3.0) ** 0.5)
+        assert g[B2]["Value"] == approx(0.0)
+
+    def test_start_day_origin_not_epoch_aligned(self, spark):
+        # 2024-01-01 is an ODD number of days since epoch: without the
+        # origin fix, 2-day windows would start 2023-12-31.
+        rows = [
+            (dt.datetime(2024, 1, 1, 5), 1.0, 1.0),
+            (dt.datetime(2024, 1, 2, 5), 2.0, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, Value double, weights double")
+        g = by_bucket(wt(df, "weights").resample("2D", on="ts").sum())
+        assert set(g) == {dt.datetime(2024, 1, 1)}
+
+    def test_epoch_origin(self, spark):
+        rows = [(dt.datetime(2024, 1, 1, 5), 1.0, 1.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, Value double, weights double")
+        g = by_bucket(
+            wt(df, "weights").resample("2D", on="ts", origin="epoch").sum()
+        )
+        assert set(g) == {dt.datetime(2023, 12, 31)}
+
+    def test_month_rule(self, spark):
+        rows = [
+            (dt.datetime(2024, 1, 15), 1.0, 2.0),
+            (dt.datetime(2024, 2, 20), 3.0, 4.0),
+            (dt.datetime(2024, 2, 25), 5.0, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, Value double, weights double")
+        g = by_bucket(wt(df, "weights").resample("MS", on="ts").sum())
+        assert g[dt.datetime(2024, 1, 1)]["Value"] == approx(2.0)
+        assert g[dt.datetime(2024, 2, 1)]["Value"] == approx(17.0)
+
+    def test_complete_spine_emits_empty_buckets(self, spark):
+        rows = [
+            (dt.datetime(2024, 1, 1), 1.0, 1.0),
+            (dt.datetime(2024, 1, 5), 2.0, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, Value double, weights double")
+        out = wt(df, "weights").resample("2D", on="ts").sum(complete=True).collect()
+        assert [r["ts"] for r in out] == [
+            dt.datetime(2024, 1, 1),
+            dt.datetime(2024, 1, 3),
+            dt.datetime(2024, 1, 5),
+        ]
+        assert out[1]["Value"] is None
+
+    def test_agg_all(self, timeseries):
+        g = by_bucket(
+            wt(timeseries, "weights").resample("2D", on="ts").agg_all(["sum", "mean"])
+        )
+        assert g[B1]["Value_sum"] == approx(5.0)
+        assert g[B1]["Value_mean"] == approx(5.0 / 3.0)
