@@ -152,6 +152,147 @@ def _q_group_mean_customer(spark, sf_dir):
     )
 
 
+def _q_resample_2d(spark, sf_dir):
+    # 2-day tumbling buckets on l_shipdate, origin=start_day (pandas parity)
+    return (
+        wt(_li(spark, sf_dir), _W)[["l_extendedprice", "l_discount"]]
+        .resample("2D", on="l_shipdate")
+        .agg_all(["sum", "mean"])
+        .select(
+            F.col("l_shipdate").alias("bucket"),
+            F.col("l_extendedprice_sum").alias("sum_price"),
+            F.col("l_extendedprice_mean").alias("mean_price"),
+            F.col("l_discount_sum").alias("sum_disc"),
+        )
+    )
+
+
+def _q_resample_6h_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    wexpr = (F.col("user_id") % 7 + 1).cast("double")
+    return (
+        wt(ev, wexpr)[["value"]]
+        .resample("6H", on="ts")
+        .agg_all(["count", "sum", "mean"])
+        .select(
+            F.col("ts").alias("bucket"),
+            F.col("value_count").alias("w_count"),
+            F.col("value_sum").alias("w_sum"),
+            F.col("value_mean").alias("w_mean"),
+        )
+    )
+
+
+def _q_corr_pair(spark, sf_dir):
+    # pairwise-complete mask really exercised: discount NULLed where tax<0.02
+    df = _li(spark, sf_dir).withColumn(
+        "disc_n", F.when(F.col("l_tax") >= 0.02, F.col("l_discount"))
+    )
+    wdf = wt(df, _W)
+    return wdf.corr(subset=["l_extendedprice", "disc_n"]).where(
+        (F.col("col_x") == "l_extendedprice") & (F.col("col_y") == "disc_n")
+    ).select(F.round(F.col("corr"), 6).alias("corr"))
+
+
+def _q_corr_matrix(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .corr(subset=["l_extendedprice", "l_discount", "l_tax"])
+        .select(
+            "col_x", "col_y", F.round(F.col("corr"), 6).alias("corr")
+        )
+    )
+
+
+def _q_group_corr(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)[
+            ["l_returnflag", "l_extendedprice", "l_discount"]
+        ]
+        .groupby("l_returnflag")
+        .corr()
+        .where(F.col("col_x") < F.col("col_y"))
+        .select(
+            "l_returnflag", "col_x", "col_y",
+            F.round(F.col("corr"), 6).alias("corr"),
+        )
+    )
+
+
+def _q_aligned_corr(spark, sf_dir):
+    # orders.o_totalprice vs customer.c_acctbal aligned on custkey,
+    # weighted by a derived orders-side weight, per order status
+    from pandas_weights_spark.corr import aligned_corr
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    left = wt(orders, (F.col("o_orderkey") % 10 + 1).cast("double")).df
+    out = aligned_corr(
+        left, "o_totalprice", cust, "c_acctbal",
+        on="o_custkey", by=["o_orderstatus"],
+    )
+    return out.select(
+        "o_orderstatus", F.round(F.col("corr"), 6).alias("corr")
+    )
+
+
+def _q_cube_sum(spark, sf_dir):
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .cube("l_returnflag", "l_linestatus")[["l_extendedprice"]]
+        .sum()
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_extendedprice").alias("w_sum"),
+        )
+    )
+
+
+# weighted Pearson moments as SQL, mirroring _stats.corr_from_moments
+# (products left-associated exactly like the kernel: (w*x)*y etc.)
+_CORR_SQL = """
+WITH m AS (
+  SELECT {group_cols}
+         COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL
+                     AND {w} IS NOT NULL THEN 1 END) AS n,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END) AS sw,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {x}) AS sx,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {x} * {y}) AS sxy,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {y}) AS sy,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {x} * {x}) AS sxx,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {y} * {y}) AS syy
+  FROM {table} {group_by}
+)
+SELECT {out_cols}
+       ROUND(CASE WHEN n >= {min_periods} AND sw > {ddof}
+                   AND (sxx - (sx*sx)/sw) / (sw - {ddof}) > 0
+                   AND (syy - (sy*sy)/sw) / (sw - {ddof}) > 0
+             THEN ((sxy - (sx*sy)/sw) / (sw - {ddof}))
+                  / sqrt(((sxx - (sx*sx)/sw) / (sw - {ddof}))
+                         * ((syy - (sy*sy)/sw) / (sw - {ddof})))
+             END, 6) AS corr
+FROM m
+"""
+
+
+def _corr_sql(x, y, w, table, group=None, min_periods=1, ddof=1):
+    g = list(group) if group else []
+    return _CORR_SQL.format(
+        x=x, y=y, w=w, table=table,
+        group_cols=(", ".join(g) + "," if g else ""),
+        group_by=("GROUP BY " + ", ".join(g) if g else ""),
+        out_cols=(", ".join(g) + "," if g else ""),
+        min_periods=min_periods, ddof=float(ddof),
+    )
+
+
 _ORACLE: dict[str, str] = {
     "global_sum": """
         SELECT SUM(l_quantity * l_extendedprice) AS sum_price,
@@ -238,7 +379,80 @@ _ORACLE: dict[str, str] = {
         FROM customer
         GROUP BY c_mktsegment
     """,
+    "resample_2d": """
+        WITH o AS (SELECT date_trunc('day', MIN(l_shipdate)) AS org FROM lineitem)
+        SELECT time_bucket(INTERVAL 2 DAY, l_shipdate, (SELECT org FROM o))
+                 AS bucket,
+               SUM(l_extendedprice * l_quantity) AS sum_price,
+               SUM(l_extendedprice * l_quantity)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+                 AS mean_price,
+               SUM(l_discount * l_quantity) AS sum_disc
+        FROM lineitem
+        GROUP BY bucket
+    """,
+    "resample_6h_events": """
+        WITH t AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                 CAST(user_id % 7 + 1 AS DOUBLE) AS w
+          FROM events
+        ), o AS (SELECT date_trunc('day', MIN(ts)) AS org FROM t)
+        SELECT time_bucket(INTERVAL 6 HOUR, ts, (SELECT org FROM o)) AS bucket,
+               COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+                 AS w_count,
+               COALESCE(SUM(value * w), 0.0) AS w_sum,
+               SUM(value * w)
+                 / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
+        FROM t
+        GROUP BY bucket
+    """,
+    "cube_sum": """
+        SELECT l_returnflag, l_linestatus,
+               COALESCE(SUM(l_extendedprice * l_quantity), 0.0) AS w_sum
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
 }
+
+_ORACLE["corr_pair"] = _corr_sql(
+    "l_extendedprice", "disc_n", "l_quantity",
+    """(SELECT l_extendedprice, l_quantity,
+               CASE WHEN l_tax >= 0.02 THEN l_discount END AS disc_n
+        FROM lineitem)""",
+)
+
+_ORACLE["group_corr"] = (
+    "SELECT l_returnflag, 'l_discount' AS col_x, 'l_extendedprice' AS col_y, "
+    "corr FROM ("
+    + _corr_sql(
+        "l_extendedprice", "l_discount", "l_quantity", "lineitem",
+        group=["l_returnflag"],
+    )
+    + ")"
+)
+
+_ORACLE["aligned_corr"] = (
+    "SELECT o_orderstatus, corr FROM ("
+    + _corr_sql(
+        "x", "y", "w",
+        """(SELECT o_orderstatus, o_totalprice AS x, c_acctbal AS y,
+                   CAST(o_orderkey % 10 + 1 AS DOUBLE) AS w
+            FROM orders JOIN customer ON o_custkey = c_custkey)""",
+        group=["o_orderstatus"],
+    )
+    + ")"
+)
+
+_MATRIX_COLS = ("l_extendedprice", "l_discount", "l_tax")
+_ORACLE["corr_matrix"] = "\nUNION ALL\n".join(
+    f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, corr FROM ("
+    + _corr_sql(
+        _MATRIX_COLS[min(i, j)], _MATRIX_COLS[max(i, j)], "l_quantity", "lineitem"
+    )
+    + ")"
+    for i, cx in enumerate(_MATRIX_COLS)
+    for j, cy in enumerate(_MATRIX_COLS)
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -251,6 +465,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_mean": _q_group_mean,
         "group_var": _q_group_var,
         "group_mean_customer": _q_group_mean_customer,
+        "resample_2d": _q_resample_2d,
+        "resample_6h_events": _q_resample_6h_events,
+        "corr_pair": _q_corr_pair,
+        "corr_matrix": _q_corr_matrix,
+        "group_corr": _q_group_corr,
+        "aligned_corr": _q_aligned_corr,
+        "cube_sum": _q_cube_sum,
     }
 
 
