@@ -250,6 +250,124 @@ def _q_cube_sum(spark, sf_dir):
     )
 
 
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    # exact dedup with synthetic duplicates: shifted exact copies must all
+    # fold back onto the originals (min-id survivor policy)
+    from pandas_weights_spark.functions.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with_dups = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return exact_dedup(with_dups, "text", "doc_id").select("doc_id")
+
+
+def _q_text_metrics(spark, sf_dir):
+    from pandas_weights_spark.functions import text as TX
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.lang_id(t).alias("lang_pred"),
+        TX.quality_score(t).alias("quality"),
+        TX.fingerprint(t).alias("fp"),
+    )
+
+
+def _q_doc_weighted_stats(spark, sf_dir):
+    # §2 weighted kernels applied to the documents table: n_chars-weighted
+    # token-count stats per language
+    from pandas_weights_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tok_n", token_count(F.col("text"))
+    )
+    return (
+        wt(docs, "n_chars")
+        .groupby("lang")[["tok_n"]]
+        .agg_all(["count", "mean", "var"])
+        .select(
+            "lang",
+            F.col("tok_n_count").alias("w_count"),
+            F.col("tok_n_mean").alias("w_mean"),
+            F.col("tok_n_var").alias("w_var"),
+        )
+    )
+
+
+def _q_minhash_neardup(spark, sf_dir):
+    # full MinHash→LSH→Jaccard pipeline over documents + mutated copies
+    # (first word dropped) — the mutated pair must surface as a near-dup
+    from pandas_weights_spark.functions.dedup import minhash_near_duplicates
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    base = docs.unionByName(mutated)
+    return minhash_near_duplicates(
+        base, "text", "doc_id", threshold=0.4, num_hashes=16, bands=4,
+        shingle_size=3,
+    )
+
+
+def _q_simhash_neardup(spark, sf_dir):
+    # SimHash uses Spark's xxhash64 — no SQL oracle (rows-only check);
+    # correctness covered by tests/test_dedup.py::TestSimHash
+    from pandas_weights_spark.functions.dedup import simhash
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    return docs.select(
+        "doc_id", simhash(F.col("text"), 32).alias("simhash")
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    from pandas_weights_spark.functions.similarity import topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_bruteforce(queries, emb, k=5)
+
+
+def _q_ann_topk_lsh(spark, sf_dir):
+    # approximate path — recall depends on bucket collisions, so no SQL
+    # oracle (rows-only); exactness vs bruteforce asserted in tests
+    from pandas_weights_spark.functions.similarity import topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_lsh(queries, emb, k=5, planes=4)
+
+
+def _q_weighted_centroids(spark, sf_dir):
+    from pandas_weights_spark.functions.similarity import weighted_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = weighted_centroids(
+        emb, "embedding", (F.col("vec_id") % 7 + 1).cast("double"), ["label"]
+    )
+    return out.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("centroid"), 6).alias("centroid"),
+    )
+
+
 # weighted Pearson moments as SQL, mirroring _stats.corr_from_moments
 # (products left-associated exactly like the kernel: (w*x)*y etc.)
 _CORR_SQL = """
@@ -443,6 +561,173 @@ _ORACLE["aligned_corr"] = (
     + ")"
 )
 
+_ORACLE["dedup_exact"] = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents
+    )
+    SELECT doc_id FROM base
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM base GROUP BY md5(lower(trim(text)))
+    )
+"""
+
+# occurrences(needle) as replace-arithmetic; marker tables mirror
+# pandas_weights_spark.functions.text.LANG_MARKERS
+_OCC = "((length({t}) - length(replace({t}, '{m}', ''))) / {n})"
+
+
+def _occ_sum(t: str, markers: tuple[str, ...]) -> str:
+    return " + ".join(
+        _OCC.format(t=t, m=f" {m} ", n=len(m) + 2) for m in markers
+    )
+
+
+def _text_metrics_sql() -> str:
+    from pandas_weights_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n".join(
+        f"({_occ_sum('p', LANG_MARKERS[lang])}) / nt AS s_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+    stop = _occ_sum("p", ("the", "a", "and", "of", "to"))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lt,
+             ' ' || lower(text) || ' ' AS p,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lt, p, ntok, CAST(ntok AS DOUBLE) AS nt,
+             length(lt) AS n_chars,
+             length(lt) - length(replace(lt, ' ', '')) AS n_spaces
+      FROM t
+    ), sc AS (
+      SELECT doc_id, ntok, nt, {scores},
+             CASE WHEN ntok = 0 THEN 0.0 ELSE
+               round(0.5 * greatest(0.0, 1.0 - abs((n_chars - n_spaces) / nt - 6.5) / 6.5)
+                     + 0.5 * least(1.0, ({stop}) * 10.0 / nt), 6)
+             END AS quality,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split_regex(trim(lower(lt)), '\\s+'))), ' ')) AS fp
+      FROM s
+    )
+    SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, {lang_case} AS lang_pred,
+           quality, fp
+    FROM sc
+    """
+
+
+_ORACLE["text_metrics"] = _text_metrics_sql()
+
+_ORACLE["doc_weighted_stats"] = """
+    WITH t AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS w,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS DOUBLE) AS x
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             COALESCE(SUM(CASE WHEN x IS NOT NULL THEN w END), 0.0) AS c,
+             CASE WHEN COUNT(x * w) >= 1
+                  THEN COALESCE(SUM(x * w), 0.0) END AS s,
+             CASE WHEN COUNT(x * w) >= 1
+                  THEN COALESCE(SUM(x * x * w), 0.0) END AS ss
+      FROM t GROUP BY lang
+    )
+    SELECT lang, c AS w_count, s / c AS w_mean,
+           (ss - s*s/c) / (c - 1) AS w_var
+    FROM m
+"""
+
+
+def _minhash_sql() -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i} ' || x)))" for i in range(16)
+    )
+    bands = ", ".join(
+        f"md5(array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|')) AS b{b}"
+        for b in range(4)
+    )
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+      FROM documents WHERE doc_id < 200
+    ), tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                  ELSE [array_to_string(w, ' ')] END AS s
+      FROM tok
+    ), sig AS (
+      SELECT doc_id, list_distinct(s) AS sd, [{sig}] AS sig FROM sh
+    ), band AS (
+      SELECT doc_id, sd, {bands} FROM sig
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sd AS sa, b.sd AS sb
+      FROM band a JOIN band b
+        ON a.doc_id < b.doc_id AND ({band_or})
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE), 6)
+             AS jaccard
+    FROM pairs
+    WHERE round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE), 6)
+          >= 0.4
+    """
+
+
+_ORACLE["minhash_neardup"] = _minhash_sql()
+
+_ORACLE["ann_topk"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS sim
+      FROM embeddings c CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+_ORACLE["weighted_centroids"] = """
+    WITH e AS (
+      SELECT label, CAST(vec_id % 7 + 1 AS DOUBLE) AS w,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT label, dim,
+           round(SUM(v * w) / SUM(CASE WHEN v IS NOT NULL THEN w END), 6)
+             AS centroid
+    FROM e GROUP BY label, dim
+"""
+
 _MATRIX_COLS = ("l_extendedprice", "l_discount", "l_tax")
 _ORACLE["corr_matrix"] = "\nUNION ALL\n".join(
     f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, corr FROM ("
@@ -472,6 +757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_corr": _q_group_corr,
         "aligned_corr": _q_aligned_corr,
         "cube_sum": _q_cube_sum,
+        "dedup_exact": _q_dedup_exact,
+        "text_metrics": _q_text_metrics,
+        "doc_weighted_stats": _q_doc_weighted_stats,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_neardup": _q_simhash_neardup,  # rows-only (xxhash64)
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)
+        "weighted_centroids": _q_weighted_centroids,
     }
 
 

@@ -1,0 +1,9 @@
+"""Large-scale data-pipeline operators beyond the reference's surface
+(SURVEY.md §2.6 'north-star extensions'; BASELINE.json north star).
+
+Everything here is expression-first: built-in ``pyspark.sql.functions``
+(JVM, whole-stage codegen) wherever the semantics allow, Arrow-batched
+Pandas UDFs only where they genuinely don't (multimodal decode).
+"""
+
+from pandas_weights_spark.functions import dedup, similarity, text  # noqa: F401

@@ -1,0 +1,279 @@
+"""Deduplication operators for document pipelines (SURVEY.md §2.6 /
+BASELINE.json north star): exact, MinHash+LSH near-dup, n-gram Jaccard,
+SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+
+* **Exact dedup** — hash-groupBy on a content digest: one shuffle keyed
+  on md5(text), no full-text comparison, no driver involvement.
+* **MinHash signatures** — entirely *row-local* expressions: shingles via
+  ``transform``/``sequence`` (no explode), per-permutation minimum via
+  ``array_min`` over md5 of seeded shingles. md5 hex strings order
+  lexicographically the same everywhere, so the signature is engine- and
+  partitioning-independent (and therefore SQL-oracle-checkable).
+* **LSH banding** — signatures are split into bands; a self-join on
+  ``(band_index, band_hash)`` yields candidate pairs only — the join key
+  is short and uniformly distributed, so the shuffle is balanced; the
+  quadratic blow-up is confined to same-bucket collisions, which is the
+  point of LSH.
+* **Verification** — candidates are re-checked with exact shingle
+  Jaccard (``array_intersect``/``array_union`` on distinct shingles).
+
+All hot-path logic is JVM expressions; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.text import tokens, word_ngrams
+
+__all__ = [
+    "content_key",
+    "exact_dedup",
+    "duplicate_groups",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard",
+    "minhash_near_duplicates",
+    "simhash",
+    "hamming_distance",
+    "embedding_near_duplicates",
+]
+
+
+def content_key(text: Column, normalize: bool = True) -> Column:
+    """Content digest used as the exact-dedup grouping key."""
+    t = F.lower(F.trim(text)) if normalize else text
+    return F.md5(t)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Keep one row (minimum id) per distinct content digest.
+
+    One shuffle on the digest; survivor selection is a plain min-agg +
+    semi-join back, so no row payload travels through the shuffle twice.
+    """
+    keyed = df.withColumn("__ck__", content_key(F.col(text_col), normalize))
+    survivors = keyed.groupBy("__ck__").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(survivors, on=["__ck__", id_col], how="inner")
+        .drop("__ck__")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """(digest, n_dupes) for digests occurring more than once."""
+    return (
+        df.groupBy(content_key(F.col(text_col), normalize).alias("content_key"))
+        .agg(F.count(F.lit(1)).alias("n_dupes"))
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_size: int = 3
+) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    Permutation *i* is simulated by hashing each shingle with a seed
+    prefix: ``md5(i || ' ' || shingle)``; the signature element is the
+    lexicographic minimum. String min over md5-hex is engine-portable
+    (pure ASCII compare), unlike engine-specific 64-bit hashes.
+    """
+    shingles = word_ngrams(text, shingle_size)
+
+    def seeded_md5(i: int):
+        # factory keeps the lambda unary — pyspark passes the array index
+        # as a second argument to binary lambdas, which must not happen here
+        return lambda s: F.md5(F.concat(F.lit(f"{i} "), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, seeded_md5(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 4,
+    rows_per_band: Optional[int] = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) whose signatures collide in ≥1 band.
+
+    Explodes each row into ``bands`` small (band_idx, band_hash) keys and
+    self-joins — the classic LSH bucket join. Output is distinct pairs.
+    """
+    sig = F.col(sig_col)
+    n = df.select(F.size(sig).alias("n")).first()["n"]
+    r = rows_per_band or n // bands
+    if r * bands > n:
+        raise ValueError(f"bands={bands} x rows={r} exceeds signature length {n}")
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(sig, b * r + 1, r)))
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over the *distinct* elements of two arrays."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.try_divide(inter, union)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle → minhash → LSH bucket join →
+    exact-Jaccard verify. Returns (id_a, id_b, jaccard) above threshold.
+
+    The expensive exact Jaccard runs only on LSH candidates. The shingle
+    arrays are recomputed on the (small) candidate side rather than
+    carried through the bucket shuffle — cheaper at scale than shuffling
+    every document's full shingle set.
+    """
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias(
+            "minhash"
+        ),
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), shingle_size)).alias("sh"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash of the token set as a ``bits``-length binary string.
+
+    Per bit: sum of ±1 contributions of each token's xxhash64 bit →
+    majority sign. Row-local expressions only. (xxhash64 is Spark-
+    specific, so this op carries a rows-only correctness check rather
+    than a SQL oracle — documented in __spark_entry__.)
+    """
+    toks = F.array_distinct(tokens(F.lower(text)))
+
+    def bit_merge(b: int):
+        # factory keeps the merge lambda binary (acc, elem) — see
+        # minhash_signature for why the seed can't be a default param
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_chars = [
+        F.when(F.aggregate(toks, F.lit(0), bit_merge(b)) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for b in range(bits)
+    ]
+    return F.concat(*bit_chars)
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 64) -> Column:
+    """Hamming distance between two equal-length bit-strings."""
+    diffs = [
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(bits)
+    ]
+    total = diffs[0]
+    for d in diffs[1:]:
+        total = total + d
+    return total
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidate generation
+    (random-hyperplane signs) + exact cosine verify.
+
+    See :mod:`pandas_weights_spark.functions.similarity` for the shared
+    primitives; buckets bound the quadratic term exactly like MinHash
+    banding does for text.
+    """
+    from pandas_weights_spark.functions.similarity import (
+        cosine_similarity,
+        hyperplane_bucket,
+    )
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim, bucket_planes, seed).alias("__b__"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__b__") == F.col("b.__b__"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths (SURVEY.md §2.6 / BASELINE.json north star):
+
+* :func:`topk_bruteforce` — exact cosine top-k. The query set is
+  broadcast (it is small by construction); the corpus streams through
+  map-side, so the only shuffle is the final per-query top-k, which is
+  bounded by ``|queries| × k`` rows after partial aggregation. This is
+  the correctness baseline at any corpus size.
+* :func:`topk_lsh` — approximate path: random-hyperplane buckets prune
+  the corpus before the exact rerank. At 100 TB the bucket join replaces
+  the full scan-per-query; recall is tunable via ``planes`` (fewer
+  planes → bigger buckets → higher recall, more compute).
+
+Vector math is pure JVM expressions (``zip_with`` + ``aggregate``) in
+deterministic sequential order — no UDF, no Arrow transfer, and the
+per-row dot product is reproducible bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "weighted_centroids",
+    "topk_bruteforce",
+    "hyperplane_bucket",
+    "topk_lsh",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic for floats)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def weighted_centroids(
+    df: DataFrame, vec_col: str, weight: Column, by: Sequence[str]
+) -> DataFrame:
+    """Per-group weighted centroid: dimension-wise ``Σ w·v / Σ w`` —
+    the §2 weighted-mean kernel lifted to array columns.
+
+    ``posexplode`` + one groupBy(keys, dim): the shuffle key space is
+    ``|groups| × dim``, independent of row count, and partial aggregation
+    compresses each partition to at most that many rows before the
+    exchange. Output long form: (keys…, dim, centroid).
+    """
+    exploded = df.select(
+        *by,
+        weight.cast("double").alias("__w__"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v__"),
+    )
+    return exploded.groupBy(*by, "dim").agg(
+        F.try_divide(
+            F.sum(F.col("__v__").cast("double") * F.col("__w__")),
+            F.sum(F.when(F.col("__v__").isNotNull(), F.col("__w__"))),
+        ).alias("centroid")
+    )
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × streamed corpus.
+
+    Ties break on corpus id (deterministic). Output:
+    (query_id, neighbor_id, cosine, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv__")
+    )
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side constants,
+    shipped into the plan as literals — a few KB, not data)."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int, seed: int = 42) -> Column:
+    """Sign-pattern bucket id (string of 0/1) from random hyperplanes."""
+    hps = _hyperplanes(dim, planes, seed)
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in hp])) >= 0, "1").otherwise("0")
+        for hp in hps
+    ]
+    return F.concat(*bits)
+
+
+def topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    planes: int = 6,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket equi-join prunes the corpus,
+    then exact cosine + rank within the shared bucket.
+
+    With p planes the corpus is cut ~2^p-fold per query. Candidates that
+    fall outside the query's bucket are missed (that is the approximation);
+    raise recall by lowering ``planes`` or probing neighbor buckets.
+    """
+    dim = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()["d"]
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv__"),
+        hyperplane_bucket(F.col(query_vec), dim, planes, seed).alias("__b__"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+        hyperplane_bucket(F.col(corpus_vec), dim, planes, seed).alias("__b__"),
+    )
+    scored = c.join(F.broadcast(q), on="__b__").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )

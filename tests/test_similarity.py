@@ -1,0 +1,95 @@
+"""Tests for similarity search (functions/similarity.py) on the real
+embeddings testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions import similarity as SIM
+from pandas_weights_spark.sources import load_table
+from tests.conftest import approx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+class TestVectorMath:
+    def test_dot_and_norm(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+        )
+        r = df.select(
+            SIM.dot(F.col("a"), F.col("b")).alias("d"),
+            SIM.l2_norm(F.col("a")).alias("n"),
+            SIM.cosine_similarity(F.col("a"), F.col("a")).alias("self"),
+        ).first()
+        assert r["d"] == approx(32.0)
+        assert r["n"] == approx(14.0 ** 0.5)
+        assert r["self"] == approx(1.0)
+
+    def test_zero_vector_null_cosine(self, spark):
+        df = spark.createDataFrame(
+            [([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>"
+        )
+        assert (
+            df.select(SIM.cosine_similarity(F.col("a"), F.col("b")).alias("c"))
+            .first()["c"]
+            is None
+        )
+
+
+class TestTopK:
+    def test_bruteforce_self_is_top1(self, emb):
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.topk_bruteforce(queries, emb, k=5)
+        rows = out.collect()
+        assert len(rows) == 15
+        top1 = {r["query_id"]: r for r in rows if r["rank"] == 1}
+        for qid, r in top1.items():
+            assert r["neighbor_id"] == qid  # self-similarity = 1.0
+            assert r["cosine"] == approx(1.0, rel=1e-6)
+
+    def test_lsh_recall_vs_bruteforce(self, emb):
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.topk_bruteforce(queries, emb, k=3).collect()
+        }
+        approx_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.topk_lsh(queries, emb, k=3, planes=2).collect()
+        }
+        # with 2 planes (4 buckets) recall should be substantial
+        recall = len(exact & approx_pairs) / len(exact)
+        assert recall >= 0.5
+        # every query at least finds itself
+        assert all((q, q) in approx_pairs for q in range(5))
+
+
+class TestWeightedCentroids:
+    def test_centroid_values(self, spark):
+        rows = [
+            (0, [1.0, 0.0], 1.0),
+            (0, [3.0, 2.0], 3.0),
+            (1, [5.0, 5.0], 2.0),
+        ]
+        df = spark.createDataFrame(rows, "label int, v array<float>, w double")
+        out = SIM.weighted_centroids(df, "v", F.col("w"), ["label"])
+        m = {(r["label"], r["dim"]): r["centroid"] for r in out.collect()}
+        assert m[(0, 0)] == approx((1.0 + 9.0) / 4.0)
+        assert m[(0, 1)] == approx(6.0 / 4.0)
+        assert m[(1, 0)] == approx(5.0)
+
+    def test_real_embeddings_shape(self, emb):
+        out = SIM.weighted_centroids(
+            emb, "embedding", (F.col("vec_id") % 7 + 1).cast("double"), ["label"]
+        )
+        n_labels = emb.select("label").distinct().count()
+        assert out.count() == n_labels * 64

@@ -1,0 +1,80 @@
+"""Tests for text-analysis operators (functions/text.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions import text as TX
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "der Hund und die Katze ist nicht hier"),
+        (2, "le chat et la souris est dans les champs"),
+        (3, ""),
+        (4, "xyzzy"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def col_map(df, col):
+    return {r["doc_id"]: r[col] for r in df.collect()}
+
+
+class TestTokens:
+    def test_token_count(self, docs):
+        m = col_map(docs.select("doc_id", TX.token_count(F.col("text")).alias("n")), "n")
+        assert m[0] == 9
+        assert m[3] == 0
+        assert m[4] == 1
+
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        out = df.select(TX.word_ngrams(F.col("text"), 3).alias("g")).first()["g"]
+        assert out == ["a b c", "b c d"]
+
+    def test_word_ngrams_short_doc(self, spark):
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        out = df.select(TX.word_ngrams(F.col("text"), 3).alias("g")).first()["g"]
+        assert out == ["a b"]
+
+    def test_char_ngrams(self, spark):
+        df = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+        out = df.select(TX.char_ngrams(F.col("text"), 2).alias("g")).first()["g"]
+        assert out == ["ab", "bc", "cd"]
+
+
+class TestLangId:
+    def test_lang_id(self, docs):
+        m = col_map(docs.select("doc_id", TX.lang_id(F.col("text")).alias("l")), "l")
+        assert m[0] == "en"
+        assert m[1] == "de"
+        assert m[2] == "fr"
+        assert m[3] == "und"
+        assert m[4] == "und"
+
+    def test_occurrences(self, spark):
+        df = spark.createDataFrame([(0, "a b a b a")], "doc_id long, text string")
+        out = df.select(TX.occurrences(F.col("text"), "a").alias("n")).first()["n"]
+        assert out == approx(3.0)
+
+
+class TestQualityAndFingerprint:
+    def test_quality_bounds(self, docs):
+        m = col_map(
+            docs.select("doc_id", TX.quality_score(F.col("text")).alias("q")), "q"
+        )
+        assert all(0.0 <= v <= 1.0 for v in m.values())
+        assert m[3] == 0.0  # empty text
+        assert m[0] > m[4]  # real sentence beats noise token
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta")],
+            "doc_id long, text string",
+        )
+        m = col_map(df.select("doc_id", TX.fingerprint(F.col("text")).alias("f")), "f")
+        assert m[0] == m[1]
+        assert m[0] != m[2]
