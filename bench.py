@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full computation, no
+driver-side collect bottleneck). One warm-up query amortizes JVM/codegen
+startup so the numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline subset of __spark_entry__.queries() — one per operator family
+HEADLINE = [
+    "group_mean",          # weighted grouped mean (flagship)
+    "group_var",           # fused count/sum/var/std single pass
+    "global_var_std",      # whole-table moments
+    "resample_2d",         # time-bucketed weighted aggs (lineitem)
+    "resample_6h_events",  # time-bucketed, expression weights (events)
+    "corr_matrix",         # pairwise weighted Pearson (one agg pass)
+    "group_corr",          # per-group corr
+    "aligned_corr",        # join-aligned corr (orders x customer)
+    "cube_sum",            # grouping sets
+    "dedup_exact",         # hash-groupBy dedup (documents x2)
+    "text_metrics",        # tokenize/lang-id/quality/fingerprint
+    "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
+    "ann_topk",            # brute-force cosine top-k
+    "weighted_centroids",  # per-label weighted centroid (64 dims)
+]
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pandas-weights-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    # warm-up: run the flagship once to JIT codegen + fill file index caches
+    materialize(qs["group_mean"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

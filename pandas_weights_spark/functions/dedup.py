@@ -106,14 +106,18 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 4,
     rows_per_band: Optional[int] = None,
+    sig_len: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) whose signatures collide in ≥1 band.
 
     Explodes each row into ``bands`` small (band_idx, band_hash) keys and
     self-joins — the classic LSH bucket join. Output is distinct pairs.
+
+    Pass ``sig_len`` when known — otherwise a probe job runs the signature
+    expression once to measure it.
     """
     sig = F.col(sig_col)
-    n = df.select(F.size(sig).alias("n")).first()["n"]
+    n = sig_len or df.select(F.size(sig).alias("n")).first()["n"]
     r = rows_per_band or n // bands
     if r * bands > n:
         raise ValueError(f"bands={bands} x rows={r} exceeds signature length {n}")
@@ -175,7 +179,7 @@ def minhash_near_duplicates(
             "minhash"
         ),
     )
-    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands, sig_len=num_hashes)
     shingled = df.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(F.col(text_col), shingle_size)).alias("sh"),

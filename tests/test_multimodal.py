@@ -1,0 +1,89 @@
+"""Tests for multimodal column plumbing (functions/multimodal.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions import multimodal as MM
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, bytearray(b"payload-zero"), "fake/jpeg", 640, 480, None),
+        (1, bytearray(b"payload-one"), "fake/wav", None, None, 4500),
+        (2, None, "fake/jpeg", None, None, None),
+        (3, bytearray(b"real-image"), "image/png", 64, 64, None),
+        (4, bytearray(b"unknown"), "application/octet-stream", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, payload binary, mime string, width int, height int, "
+        "duration_ms long",
+    )
+    return df.select(
+        "id",
+        MM.media_struct(
+            F.col("payload"), F.col("mime"), F.col("width"), F.col("height"),
+            F.col("duration_ms"),
+        ).alias("media"),
+    )
+
+
+class TestDecode:
+    def test_fake_decoder_deterministic(self, media):
+        out = MM.decode_features(media, "media", dim=8, on_error="null")
+        rows = {r["id"]: r["features"] for r in out.collect()}
+        assert len(rows[0]) == 8
+        assert all(-1.0 <= v <= 1.0 for v in rows[0])
+        # deterministic across runs
+        again = {
+            r["id"]: r["features"]
+            for r in MM.decode_features(media, "media", dim=8, on_error="null").collect()
+        }
+        assert [approx(v) for v in again[0]] == list(rows[0])
+
+    def test_null_payload_and_unknown_mime(self, media):
+        rows = {
+            r["id"]: r["features"]
+            for r in MM.decode_features(media, "media", dim=4, on_error="null").collect()
+        }
+        assert rows[2] is None  # null payload
+        assert rows[3] is None  # unavailable decoder, on_error=null
+        assert rows[4] is None  # unknown mime prefix
+
+    def test_real_decoder_raises_cleanly(self, media):
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as exc_info:
+            MM.decode_features(media.where("id = 3"), "media", dim=4).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, Py4JJavaError
+        )
+
+    def test_features_flow_into_similarity(self, media, spark):
+        from pandas_weights_spark.functions.similarity import cosine_similarity
+
+        feats = MM.decode_features(media.where("id < 2"), "media", dim=8)
+        pair = feats.alias("a").crossJoin(feats.alias("b")).where(
+            F.col("a.id") < F.col("b.id")
+        )
+        sim = pair.select(
+            cosine_similarity(F.col("a.features"), F.col("b.features")).alias("c")
+        ).first()["c"]
+        assert sim is not None and -1.0 <= sim <= 1.0
+
+
+class TestFrameSample:
+    def test_row_explosion_by_duration(self, media):
+        out = MM.frame_sample_plan(media, "media", every_ms=1000)
+        counts = (
+            out.groupBy("id").count().collect()
+        )
+        m = {r["id"]: r["count"] for r in counts}
+        assert m[1] == 4  # 4500ms / 1000ms → 4 frames
+        assert m[0] == 1  # no duration → single frame at t=0
+        ts = sorted(
+            r["frame_ts_ms"] for r in out.where("id = 1").collect()
+        )
+        assert ts == [0, 1000, 2000, 3000]

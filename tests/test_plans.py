@@ -1,0 +1,81 @@
+"""Plan-shape tests: the performance contract is structural (SURVEY.md
+§4.3) — one shuffle per grouping, map-side partials, no Python eval in
+expression paths, filters pushed to the parquet scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import wt
+from pandas_weights_spark import plans as P
+from pandas_weights_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF, "lineitem")
+
+
+class TestAggPlans:
+    def test_grouped_mean_single_shuffle_with_partials(self, lineitem):
+        df = wt(lineitem, "l_quantity").groupby("l_returnflag").mean()
+        P.assert_single_shuffle_agg(df)
+
+    def test_agg_all_fuses_into_one_pass(self, lineitem):
+        df = (
+            wt(lineitem, "l_quantity")
+            .groupby("l_returnflag")[["l_extendedprice"]]
+            .agg_all(["count", "sum", "mean", "var", "std"])
+        )
+        P.assert_single_shuffle_agg(df)
+
+    def test_global_agg_no_hash_exchange(self, lineitem):
+        df = wt(lineitem, "l_quantity").mean(subset=["l_extendedprice"])
+        plan = P.physical_plan(df)
+        assert "partial_" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_grouped_corr_single_shuffle(self, lineitem):
+        df = (
+            wt(lineitem, "l_quantity")[["l_returnflag", "l_extendedprice", "l_discount"]]
+            .groupby("l_returnflag")
+            .corr()
+        )
+        P.assert_single_shuffle_agg(df)
+
+    def test_no_python_eval_anywhere(self, lineitem):
+        from pandas_weights_spark.functions.text import lang_id, quality_score
+
+        docs = load_table(lineitem.sparkSession, SF, "documents")
+        df = docs.select(lang_id(F.col("text")), quality_score(F.col("text")))
+        assert not P.has_python_eval(df)
+        df2 = wt(lineitem, "l_quantity").groupby("l_returnflag").var()
+        assert not P.has_python_eval(df2)
+
+
+class TestScanPruning:
+    def test_filter_pushdown_reaches_scan(self, lineitem):
+        df = (
+            wt(lineitem.where(F.col("l_returnflag") == "A"), "l_quantity")
+            .groupby("l_linestatus")[["l_extendedprice"]]
+            .sum()
+        )
+        filters = P.pushed_filters(df)
+        assert any("l_returnflag" in f for f in filters), filters
+
+    def test_column_pruning_reaches_scan(self, lineitem):
+        df = (
+            wt(lineitem, "l_quantity")
+            .groupby("l_returnflag")[["l_extendedprice"]]
+            .mean()
+        )
+        plan = P.physical_plan(df)
+        import re
+
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m, plan
+        read = m.group(1)
+        # only the key, the weight, and the selected value column are read
+        assert "l_extendedprice" in read and "l_quantity" in read
+        assert "l_comment" not in read and "l_partkey" not in read
