@@ -156,6 +156,41 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.try_divide(inter, union)
 
 
+def minhash_signatures_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signatures via the aggregation formulation: explode
+    shingles → ``groupBy(id).agg(MIN(md5(seed || shingle)) …)``.
+
+    Equivalent values to :func:`minhash_signature` (same seeded md5
+    string-min), but structured for scale and plan quality:
+
+    * the shingle expression evaluates ONCE (in the Generate node), not
+      once per permutation — the row-local array formulation duplicates
+      the tokenize/slice tree into all ``num_hashes`` transforms, which
+      blows up codegen;
+    * map-side partial MIN compresses each partition to |docs|×k before
+      the shuffle;
+    * the aggregation ends in an Exchange, so a self-join over the
+      signatures computes them once (ReuseExchange), not twice.
+
+    Output: (id_col, h0 … h{k-1}).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), shingle_size)).alias("__s__"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i} "), F.col("__s__")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -168,18 +203,45 @@ def minhash_near_duplicates(
     """End-to-end near-dup pipeline: shingle → minhash → LSH bucket join →
     exact-Jaccard verify. Returns (id_a, id_b, jaccard) above threshold.
 
-    The expensive exact Jaccard runs only on LSH candidates. The shingle
-    arrays are recomputed on the (small) candidate side rather than
-    carried through the bucket shuffle — cheaper at scale than shuffling
-    every document's full shingle set.
+    Uses the aggregation-formulation signatures (see
+    :func:`minhash_signatures_agg`); the banded self-join reuses the
+    signature exchange on both sides. The expensive exact Jaccard runs
+    only on LSH candidates; shingle arrays are recomputed on the (small)
+    candidate side rather than carried through the bucket shuffle.
     """
-    sigs = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias(
-            "minhash"
-        ),
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    sigs = minhash_signatures_agg(df, text_col, id_col, num_hashes, shingle_size)
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
     )
-    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands, sig_len=num_hashes)
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
     shingled = df.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(F.col(text_col), shingle_size)).alias("sh"),
