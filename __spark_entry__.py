@@ -368,6 +368,107 @@ def _q_weighted_centroids(spark, sf_dir):
     )
 
 
+def _q_star_join_mean(spark, sf_dir):
+    # weighted agg over a star join: lineitem ⋈ orders ⋈ customer,
+    # quantity-weighted mean price per market segment. customer is tiny →
+    # explicit broadcast; orders joins shuffle-side.
+    li = _li(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        wt(joined, _W)
+        .groupby("c_mktsegment")[["l_extendedprice"]]
+        .agg_all(["count", "mean"])
+        .select(
+            "c_mktsegment",
+            F.col("l_extendedprice_count").alias("w_count"),
+            F.col("l_extendedprice_mean").alias("w_mean"),
+        )
+    )
+
+
+def _q_grouped_apply(spark, sf_dir):
+    # arbitrary-Python extension point (reference frame.py:662-679):
+    # per-group spread of the weighted price, via applyInPandas
+    import pandas as pd
+
+    def spread(pdf: "pd.DataFrame") -> "pd.Series":
+        return pd.Series({"spread": pdf["l_extendedprice"].max()
+                          - pdf["l_extendedprice"].min()})
+
+    return (
+        wt(_li(spark, sf_dir), _W)[["l_returnflag", "l_extendedprice"]]
+        .groupby("l_returnflag")
+        .apply(spread, "l_returnflag string, spread double")
+    )
+
+
+def _q_series_apply(spark, sf_dir):
+    # elementwise apply over weighted values via mapInPandas
+    ws = wt(_li(spark, sf_dir), _W)["l_extendedprice"]
+    return ws.apply(lambda x: x + 2.0, "l_extendedprice double").select(
+        F.col("l_extendedprice").alias("wprice_plus2")
+    )
+
+
+def _q_events_group(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        wt(ev, (F.col("user_id") % 7 + 1).cast("double"))[["value"]]
+        .groupby("event_type")
+        .agg_all(["count", "sum", "mean", "var", "std"])
+        .select(
+            "event_type",
+            F.col("value_count").alias("w_count"),
+            F.col("value_sum").alias("w_sum"),
+            F.col("value_mean").alias("w_mean"),
+            F.col("value_var").alias("w_var"),
+            F.col("value_std").alias("w_std"),
+        )
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    # multimodal plumbing end-to-end: documents → binary payload + media
+    # struct → Arrow-batched decode (deterministic fake) → per-lang
+    # weighted centroid of the features. mapInPandas → rows-only check.
+    from pandas_weights_spark.functions.multimodal import (
+        decode_features,
+        media_struct,
+    )
+    from pandas_weights_spark.functions.similarity import weighted_centroids
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    media = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        media_struct(
+            F.encode(F.col("text"), "utf-8"), F.lit("fake/doc")
+        ).alias("media"),
+    )
+    feats = decode_features(media, "media", dim=8, on_error="null")
+    return weighted_centroids(
+        feats, "features", F.col("n_chars").cast("double"), ["lang"]
+    ).select("lang", "dim", F.round(F.col("centroid"), 6).alias("centroid"))
+
+
+def _q_row_stats(spark, sf_dir):
+    # axis=1 statistics (reference frame.py:189-251): quantity-weighted
+    # row variance/std over three price columns. Pure row-local
+    # expressions — no shuffle, whole-stage codegen end to end.
+    wdf = wt(_li(spark, sf_dir), _W)[["l_extendedprice", "l_discount", "l_tax"]]
+    var_df = wdf.row_std()
+    return var_df.select(
+        "l_extendedprice", "l_discount", "l_tax", "row_std"
+    )
+
+
 # weighted Pearson moments as SQL, mirroring _stats.corr_from_moments
 # (products left-associated exactly like the kernel: (w*x)*y etc.)
 _CORR_SQL = """
@@ -560,6 +661,68 @@ _ORACLE["aligned_corr"] = (
     )
     + ")"
 )
+
+_ORACLE["row_stats"] = """
+    WITH t AS (
+      SELECT l_extendedprice AS a, l_discount AS b, l_tax AS c,
+             l_quantity AS w,
+             l_quantity * (l_extendedprice + l_discount + l_tax) AS ws,
+             l_quantity * (l_extendedprice * l_extendedprice
+                           + l_discount * l_discount + l_tax * l_tax) AS wss,
+             l_quantity * 3.0 AS cnt
+      FROM lineitem
+    )
+    SELECT a AS l_extendedprice, b AS l_discount, c AS l_tax,
+           CASE WHEN (wss - (ws * ws) / cnt) / (cnt - 1.0) >= 0
+                THEN sqrt((wss - (ws * ws) / cnt) / (cnt - 1.0)) END AS row_std
+    FROM t
+"""
+
+_ORACLE["star_join_mean"] = """
+    SELECT c_mktsegment,
+           COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                             THEN l_quantity END), 0.0) AS w_count,
+           SUM(l_extendedprice * l_quantity)
+             / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+             AS w_mean
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+_ORACLE["grouped_apply"] = """
+    SELECT l_returnflag,
+           MAX(l_extendedprice * l_quantity) - MIN(l_extendedprice * l_quantity)
+             AS spread
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+_ORACLE["series_apply"] = """
+    SELECT l_extendedprice * l_quantity + 2.0 AS wprice_plus2 FROM lineitem
+"""
+
+_ORACLE["events_group"] = """
+    WITH t AS (
+      SELECT event_type, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0) AS c,
+             CASE WHEN COUNT(value * w) >= 1
+                  THEN COALESCE(SUM(value * w), 0.0) END AS s,
+             CASE WHEN COUNT(value * w) >= 1
+                  THEN COALESCE(SUM(value * value * w), 0.0) END AS ss
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, c AS w_count, COALESCE(s, 0.0) AS w_sum,
+           s / c AS w_mean,
+           (ss - s*s/c) / (c - 1) AS w_var,
+           CASE WHEN (ss - s*s/c) / (c - 1) >= 0
+                THEN sqrt((ss - s*s/c) / (c - 1)) END AS w_std
+    FROM m
+"""
 
 _ORACLE["dedup_exact"] = """
     WITH base AS (
@@ -765,6 +928,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)
         "weighted_centroids": _q_weighted_centroids,
+        "row_stats": _q_row_stats,
+        "star_join_mean": _q_star_join_mean,
+        "grouped_apply": _q_grouped_apply,
+        "series_apply": _q_series_apply,
+        "events_group": _q_events_group,
+        "multimodal_features": _q_multimodal_features,  # rows-only (fake decode)
     }
 
 

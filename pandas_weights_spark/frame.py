@@ -165,6 +165,83 @@ class WeightedDataFrame:
         w = self.weights
         return self._df.agg(*[builder(self._value(c), w).alias(c) for c in cols])
 
+    # -- row-wise (axis=1) statistics ----------------------------------------
+    #
+    # The reference delegates axis=1 to pandas (frame.py:189, 213): the
+    # row's weight scales every cell, so e.g. row-sum = w·Σx over the
+    # row's non-null cells. Here they are pure row-local expressions over
+    # an array of the numeric columns — no aggregation, no shuffle.
+
+    def _row_moments(self, subset: Optional[Sequence[str]], skipna: bool):
+        """Row-local moments: (n_valid, count, w·Σx, w·Σx²).
+
+        ``n_valid`` counts cells that are valid in the *weighted* frame —
+        i.e. 0 whenever the row's weight is NULL, matching pandas where a
+        NaN weight poisons every cell of the row (frame.py:132).
+        """
+        cols = list(subset) if subset is not None else self.numeric_columns()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        vals = F.array(*[self._value(c) for c in cols])
+        valid = F.filter(vals, lambda v: v.isNotNull())
+        w = self.weights
+        n_valid = F.when(w.isNotNull(), F.size(valid)).otherwise(0).cast("double")
+        n_all = F.lit(float(len(cols)))
+        s = F.aggregate(valid, F.lit(0.0), lambda acc, v: acc + v)
+        ss = F.aggregate(valid, F.lit(0.0), lambda acc, v: acc + v * v)
+        cnt = F.coalesce(w, F.lit(0.0)) * (n_valid if skipna else n_all)
+        return n_valid, cnt, w * s, w * ss
+
+    def _rowwise(self, stat: str, expr: Column) -> DataFrame:
+        return self._df.select(*self._data_cols, expr.alias(f"row_{stat}"))
+
+    def row_count(
+        self, skipna: bool = True, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        _nv, cnt, _ws, _wss = self._row_moments(subset, skipna)
+        return self._rowwise("count", cnt)
+
+    def row_sum(
+        self, min_count: int = 0, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        n_valid, _cnt, ws, _wss = self._row_moments(subset, True)
+        if min_count > 0:
+            expr = F.when(n_valid >= min_count, ws)
+        else:
+            expr = F.coalesce(ws, F.lit(0.0))
+        return self._rowwise("sum", expr)
+
+    def row_mean(
+        self, skipna: bool = True, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        n_valid, cnt, ws, _wss = self._row_moments(subset, skipna)
+        return self._rowwise("mean", F.try_divide(F.when(n_valid >= 1, ws), cnt))
+
+    def row_var(
+        self,
+        ddof: int = 1,
+        skipna: bool = True,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        n_valid, cnt, ws, wss = self._row_moments(subset, skipna)
+        expr = _stats.variance_from_weighted_moments(
+            F.when(n_valid >= 1, ws), F.when(n_valid >= 1, wss), cnt, ddof=ddof
+        )
+        return self._rowwise("var", expr)
+
+    def row_std(
+        self,
+        ddof: int = 1,
+        skipna: bool = True,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        var_df = self.row_var(ddof=ddof, skipna=skipna, subset=subset)
+        v = F.col("row_var")
+        return var_df.select(
+            *[c for c in var_df.columns if c != "row_var"],
+            F.when(v >= 0, F.sqrt(v)).alias("row_std"),
+        )
+
     # -- the weighted view ----------------------------------------------------
 
     def weighted(self) -> DataFrame:
