@@ -469,6 +469,64 @@ def _q_row_stats(spark, sf_dir):
     )
 
 
+def _q_rolling_mean(spark, sf_dir):
+    # weighted rolling mean (rolling.py): 3-row frame per order, ordered by
+    # line number. partition_by keeps the window fully parallel — one hash
+    # shuffle on l_orderkey, then local sorts; no single-task global sort.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_quantity"
+    )
+    return (
+        wt(li, "l_quantity")
+        .rolling(
+            3,
+            # l_linenumber alone is not unique in the synthetic data —
+            # tie-break to a total order so the frame is deterministic
+            order_by=[
+                "l_linenumber",
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_extendedprice"),
+            ],
+            partition_by=["l_orderkey"],
+        )
+        .mean()
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_partkey").alias("roll_mean"),
+        )
+    )
+
+
+def _q_expanding_var(spark, sf_dir):
+    # weighted expanding (cumulative) variance per order — running moment
+    # sums over an UNBOUNDED PRECEDING frame.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_quantity"
+    )
+    return (
+        wt(li, "l_quantity")
+        .expanding(
+            order_by=[
+                "l_linenumber",
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_extendedprice"),
+            ],
+            partition_by=["l_orderkey"],
+        )
+        .var()
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_partkey").alias("exp_var"),
+        )
+    )
+
+
 # weighted Pearson moments as SQL, mirroring _stats.corr_from_moments
 # (products left-associated exactly like the kernel: (w*x)*y etc.)
 _CORR_SQL = """
@@ -661,6 +719,33 @@ _ORACLE["aligned_corr"] = (
     )
     + ")"
 )
+
+_ORACLE["rolling_mean"] = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN COUNT(l_partkey * l_quantity) OVER w >= 3
+                THEN SUM(l_partkey * l_quantity) OVER w
+                     / SUM(l_quantity) OVER w
+           END AS roll_mean
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLE["expanding_var"] = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN COUNT(l_partkey * l_quantity) OVER w >= 1
+                THEN (SUM(l_partkey * l_partkey * l_quantity) OVER w
+                      - (SUM(l_partkey * l_quantity) OVER w
+                         * SUM(l_partkey * l_quantity) OVER w)
+                        / SUM(l_quantity) OVER w)
+                     / NULLIF(SUM(l_quantity) OVER w - 1.0, 0.0)
+           END AS exp_var
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
 
 _ORACLE["row_stats"] = """
     WITH t AS (
@@ -928,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)
         "weighted_centroids": _q_weighted_centroids,
+        "rolling_mean": _q_rolling_mean,
+        "expanding_var": _q_expanding_var,
         "row_stats": _q_row_stats,
         "star_join_mean": _q_star_join_mean,
         "grouped_apply": _q_grouped_apply,

@@ -242,6 +242,42 @@ class WeightedDataFrame:
             F.when(v >= 0, F.sqrt(v)).alias("row_std"),
         )
 
+    # -- windowed statistics --------------------------------------------------
+
+    def rolling(
+        self,
+        window: int,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[Union[str, Column]] = (),
+        min_periods: Optional[int] = None,
+    ):
+        """Weighted rolling-window statistics (the reference's named
+        future-work area, reference README.md:315). ``window`` is a row
+        count; ``order_by`` supplies the ordering the pandas index would.
+
+        At scale always pass ``partition_by`` — an unpartitioned ordered
+        window is a single-task sort in Spark.
+        """
+        from pandas_weights_spark.rolling import WeightedRolling
+
+        return WeightedRolling(
+            self, window, order_by, partition_by, min_periods=min_periods
+        )
+
+    def expanding(
+        self,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[Union[str, Column]] = (),
+        min_periods: int = 1,
+    ):
+        """Weighted expanding (cumulative) statistics — UNBOUNDED
+        PRECEDING → CURRENT ROW frame."""
+        from pandas_weights_spark.rolling import WeightedRolling
+
+        return WeightedRolling(
+            self, None, order_by, partition_by, min_periods=min_periods
+        )
+
     # -- the weighted view ----------------------------------------------------
 
     def weighted(self) -> DataFrame:

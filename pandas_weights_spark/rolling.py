@@ -1,0 +1,167 @@
+"""Weighted rolling / expanding window statistics.
+
+The reference lists "weighted rolling and expanding window functions" as
+its named future-contribution area (reference README.md:315); this module
+supplies them Spark-natively. Each statistic is the same weighted-moment
+algebra as the global kernels (_stats.py:14-33), evaluated over a
+``Window.rowsBetween`` frame instead of a full-table aggregate — pure
+JVM-side window aggregation, no UDFs, whole-stage codegen.
+
+Scale notes
+-----------
+* ``partition_by`` keeps the window computation fully parallel: each
+  partition key's rows sort locally after one hash shuffle. Always set it
+  on large data.
+* An *unpartitioned* ordered window collapses to a single task in Spark
+  (WindowExec requires all rows of a partition on one node). Allowed for
+  parity/small data, but ``rolling()`` warns in the docstring rather than
+  silently shipping a 100 TB sort to one executor — at scale, callers
+  bound it with a partition key (e.g. a date bucket).
+
+Semantics (pandas ``Rolling``/``Expanding`` over the *weighted* frame):
+
+* ``count`` = ``Σ w·1[x valid]`` over the frame; ``sum`` = ``Σ w·x``;
+  ``mean`` = sum/count; ``var``/``std`` = moment form with ddof
+  subtracted from the weighted count (frequency-weights convention,
+  _stats.py:24-33).
+* ``min_periods`` gates on the number of rows in the frame where both
+  ``x`` and ``w`` are non-null (pandas counts observations, not weight
+  mass). Rolling defaults to the window size, expanding to 1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import _stats
+
+__all__ = ["WeightedRolling"]
+
+_ColRef = Union[str, Column]
+
+
+def _cols(refs: Sequence[_ColRef]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in refs]
+
+
+class WeightedRolling:
+    """Windowed weighted statistics over a ``WeightedDataFrame``.
+
+    Built via ``WeightedDataFrame.rolling(...)`` / ``.expanding(...)``.
+    ``window=None`` means an expanding frame (UNBOUNDED PRECEDING →
+    CURRENT ROW).
+    """
+
+    def __init__(
+        self,
+        wdf,
+        window: Optional[int],
+        order_by: Sequence[_ColRef],
+        partition_by: Sequence[_ColRef] = (),
+        min_periods: Optional[int] = None,
+    ) -> None:
+        if window is not None and window < 1:
+            raise ValueError("window must be >= 1")
+        if not order_by:
+            raise ValueError("rolling/expanding requires order_by columns")
+        self._wdf = wdf
+        self._window = window
+        self._order_by = list(order_by)
+        self._partition_by = list(partition_by)
+        if min_periods is None:
+            min_periods = window if window is not None else 1
+        self._min_periods = int(min_periods)
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _spec(self) -> WindowSpec:
+        spec = Window.partitionBy(*_cols(self._partition_by)).orderBy(
+            *_cols(self._order_by)
+        )
+        if self._window is None:
+            return spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return spec.rowsBetween(-(self._window - 1), Window.currentRow)
+
+    def _stat(self, builder) -> DataFrame:
+        """Evaluate ``builder(x, w, spec) -> Column`` per numeric column,
+        gated by ``min_periods`` valid observations in the frame.
+
+        Partition/order columns play the role of the pandas index: they are
+        carried through as plain columns and excluded from the value set
+        (mirroring groupby key exclusion, reference frame.py:486).
+        """
+        wdf = self._wdf
+        spec = self._spec()
+        w = wdf.weights
+        keys = [r for r in self._partition_by if isinstance(r, str)] + [
+            r for r in self._order_by if isinstance(r, str)
+        ]
+        out = []
+        for c in wdf.numeric_columns():
+            if c in keys:
+                continue
+            x = wdf._value(c)
+            expr = builder(x, w, spec)
+            if self._min_periods > 0:
+                n_valid = F.count(x * w).over(spec)
+                expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+            out.append(expr.alias(c))
+        if not out:
+            raise ValueError("no numeric value columns outside the window keys")
+        return wdf.df.select(*keys, *out)
+
+    # -- statistics ---------------------------------------------------------
+
+    def count(self, skipna: bool = True) -> DataFrame:
+        def b(x, w, spec):
+            if skipna:
+                e = F.sum(F.when(x.isNotNull(), w)).over(spec)
+            else:
+                e = F.sum(w).over(spec)
+            return F.coalesce(e, F.lit(0.0))
+
+        return self._stat(b)
+
+    def sum(self) -> DataFrame:
+        return self._stat(
+            lambda x, w, spec: F.coalesce(F.sum(x * w).over(spec), F.lit(0.0))
+        )
+
+    def mean(self, skipna: bool = True) -> DataFrame:
+        def b(x, w, spec):
+            s = F.sum(x * w).over(spec)
+            if skipna:
+                cnt = F.sum(F.when(x.isNotNull(), w)).over(spec)
+            else:
+                cnt = F.sum(w).over(spec)
+            return F.try_divide(s, cnt)
+
+        return self._stat(b)
+
+    def var(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        def b(x, w, spec):
+            s = F.sum(x * w).over(spec)
+            ss = F.sum((x * x) * w).over(spec)
+            if skipna:
+                cnt = F.sum(F.when(x.isNotNull(), w)).over(spec)
+            else:
+                cnt = F.sum(w).over(spec)
+            return _stats.variance_from_weighted_moments(s, ss, cnt, ddof=ddof)
+
+        return self._stat(b)
+
+    def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        def b(x, w, spec):
+            s = F.sum(x * w).over(spec)
+            ss = F.sum((x * x) * w).over(spec)
+            if skipna:
+                cnt = F.sum(F.when(x.isNotNull(), w)).over(spec)
+            else:
+                cnt = F.sum(w).over(spec)
+            v = _stats.variance_from_weighted_moments(s, ss, cnt, ddof=ddof)
+            return F.when(v >= 0, F.sqrt(v))
+
+        return self._stat(b)

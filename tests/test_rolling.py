@@ -1,0 +1,123 @@
+"""Weighted rolling / expanding window statistics (engine extension; the
+reference names these as future work, reference README.md:315). Goldens
+hand-computed with the weighted-moment algebra of _stats.py."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import wt
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def ts(spark):
+    # (t, x, w): weighted series ordered by t
+    return spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 1.0), (4, None, 3.0), (5, 5.0, 2.0)],
+        "t int, x double, w double",
+    )
+
+
+def col(df, name="x"):
+    return [r[name] for r in df.orderBy("t").collect()]
+
+
+class TestRolling:
+    def test_sum_window2(self, ts):
+        got = col(wt(ts, "w").rolling(2, order_by=["t"]).sum())
+        # w·x: 1, 4, 3, NULL, 10 ; 2-row sums with min_periods=2
+        assert got == [None, approx(5.0), approx(7.0), None, None]
+
+    def test_sum_min_periods1(self, ts):
+        got = col(wt(ts, "w").rolling(2, order_by=["t"], min_periods=1).sum())
+        assert got == [approx(1.0), approx(5.0), approx(7.0), approx(3.0), approx(10.0)]
+
+    def test_count(self, ts):
+        got = col(wt(ts, "w").rolling(2, order_by=["t"], min_periods=1).count())
+        # count = Σ w over rows with valid x: [1, 3, 3, 1, 2]
+        assert got == [approx(1.0), approx(3.0), approx(3.0), approx(1.0), approx(2.0)]
+
+    def test_mean(self, ts):
+        got = col(wt(ts, "w").rolling(2, order_by=["t"], min_periods=1).mean())
+        assert got == [
+            approx(1.0),
+            approx(5.0 / 3.0),
+            approx(7.0 / 3.0),
+            approx(3.0),
+            approx(5.0),
+        ]
+
+    def test_var_std(self, ts):
+        got = col(wt(ts, "w").rolling(2, order_by=["t"]).var())
+        # bucket t=2: s=5, ss=1+8=9, c=3 → (9-25/3)/2 = 1/3
+        # bucket t=3: s=7, ss=8+9=17, c=3 → (17-49/3)/2 = 1/3
+        assert got[0] is None
+        assert got[1] == approx(1.0 / 3.0)
+        assert got[2] == approx(1.0 / 3.0)
+        assert got[3] is None and got[4] is None
+        std = col(wt(ts, "w").rolling(2, order_by=["t"]).std())
+        assert std[1] == approx(math.sqrt(1.0 / 3.0))
+
+    def test_var_single_valid_row_null(self, ts):
+        # min_periods=1, window over (x=3, x=NULL): c=1 → c-ddof=0 → NULL
+        got = col(wt(ts, "w").rolling(2, order_by=["t"], min_periods=1).var())
+        assert got[3] is None
+
+    def test_partitioned(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0, 1.0), ("a", 2, 2.0, 1.0), ("b", 1, 10.0, 2.0)],
+            "g string, t int, x double, w double",
+        )
+        out = (
+            wt(df, "w")
+            .rolling(2, order_by=["t"], partition_by=["g"], min_periods=1)
+            .sum()
+            .orderBy("g", "t")
+            .collect()
+        )
+        assert [r["x"] for r in out] == [approx(1.0), approx(3.0), approx(20.0)]
+        assert out[0]["g"] == "a" and out[2]["g"] == "b"
+
+    def test_window_validation(self, ts):
+        with pytest.raises(ValueError):
+            wt(ts, "w").rolling(0, order_by=["t"])
+        with pytest.raises(ValueError):
+            wt(ts, "w").rolling(2, order_by=[])
+
+
+class TestExpanding:
+    def test_sum(self, ts):
+        got = col(wt(ts, "w").expanding(order_by=["t"]).sum())
+        assert got == [
+            approx(1.0),
+            approx(5.0),
+            approx(8.0),
+            approx(8.0),
+            approx(18.0),
+        ]
+
+    def test_mean(self, ts):
+        got = col(wt(ts, "w").expanding(order_by=["t"]).mean())
+        # cnt: 1, 3, 4, 4, 6
+        assert got == [
+            approx(1.0),
+            approx(5.0 / 3.0),
+            approx(2.0),
+            approx(2.0),
+            approx(3.0),
+        ]
+
+    def test_var_matches_global_at_end(self, ts):
+        # the last expanding var equals the whole-table weighted var
+        exp = col(wt(ts, "w").expanding(order_by=["t"]).var())
+        glob = wt(ts, "w").var(subset=["x"]).collect()[0]["x"]
+        assert exp[-1] == approx(glob)
+
+    def test_min_periods(self, ts):
+        got = col(wt(ts, "w").expanding(order_by=["t"], min_periods=3).sum())
+        assert got[:2] == [None, None]
+        assert got[2] == approx(8.0)
+        # t=4 frame still has only 3 valid observations (NULL x skipped)
+        assert got[3] == approx(8.0)
