@@ -30,6 +30,8 @@ HEADLINE = [
     "group_corr",          # per-group corr
     "aligned_corr",        # join-aligned corr (orders x customer)
     "cube_sum",            # grouping sets
+    "star_join_mean",      # broadcast star join + weighted agg
+    "rolling_mean",        # partitioned weighted rolling window
     "dedup_exact",         # hash-groupBy dedup (documents x2)
     "text_metrics",        # tokenize/lang-id/quality/fingerprint
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
