@@ -250,6 +250,20 @@ def _q_cube_sum(spark, sf_dir):
     )
 
 
+def _q_rollup_mean(spark, sf_dir):
+    # hierarchical grouping sets: rollup composes the same weighted
+    # expressions as groupby — one Expand + single agg pass, no extra shuffle
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .rollup("l_returnflag", "l_linestatus")[["l_extendedprice"]]
+        .mean()
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_extendedprice").alias("w_mean"),
+        )
+    )
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -316,6 +330,25 @@ def _q_minhash_neardup(spark, sf_dir):
     return minhash_near_duplicates(
         base, "text", "doc_id", threshold=0.4, num_hashes=16, bands=4,
         shingle_size=3,
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    # exact n-gram Jaccard near-dup via the distributed shingle inverted
+    # index (dedup.py): recall-1.0 complement to the MinHash pipeline
+    from pandas_weights_spark.functions.dedup import (
+        ngram_jaccard_near_duplicates,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return ngram_jaccard_near_duplicates(
+        docs.unionByName(mutated), "text", "doc_id", n=3, threshold=0.5
     )
 
 
@@ -691,6 +724,15 @@ _ORACLE: dict[str, str] = {
     """,
 }
 
+_ORACLE["rollup_mean"] = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_extendedprice * l_quantity)
+             / SUM(CASE WHEN l_extendedprice IS NOT NULL
+                        THEN l_quantity END) AS w_mean
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
 _ORACLE["corr_pair"] = _corr_sql(
     "l_extendedprice", "disc_n", "l_quantity",
     """(SELECT l_extendedprice, l_quantity,
@@ -943,6 +985,35 @@ def _minhash_sql() -> str:
     """
 
 
+_ORACLE["ngram_jaccard"] = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+      FROM documents WHERE doc_id < 150
+    ), tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                  ELSE [array_to_string(w, ' ')] END AS s
+      FROM tok
+    ), s2 AS (
+      SELECT doc_id, list_distinct(s) AS sd FROM sh
+    )
+    SELECT id_a, id_b, jac AS jaccard
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+                   / CAST(len(a.sd) + len(b.sd)
+                          - len(list_intersect(a.sd, b.sd)) AS DOUBLE), 6)
+               AS jac
+      FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+    )
+    WHERE jac >= 0.5
+"""
+
 _ORACLE["minhash_neardup"] = _minhash_sql()
 
 _ORACLE["ann_topk"] = """
@@ -1005,10 +1076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_corr": _q_group_corr,
         "aligned_corr": _q_aligned_corr,
         "cube_sum": _q_cube_sum,
+        "rollup_mean": _q_rollup_mean,
         "dedup_exact": _q_dedup_exact,
         "text_metrics": _q_text_metrics,
         "doc_weighted_stats": _q_doc_weighted_stats,
         "minhash_neardup": _q_minhash_neardup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,  # rows-only (xxhash64)
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)

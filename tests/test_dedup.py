@@ -98,3 +98,45 @@ class TestEmbeddingNearDup:
         assert (0, 1) in pairs
         assert pairs[(0, 1)] > 0.99
         assert not any(2 in p for p in pairs)
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            ngram_jaccard_near_duplicates,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "quick brown fox jumps over the lazy dog"),  # 1 word off
+                (3, "completely different text about spark engines here"),
+                (4, "the quick brown fox jumps over the lazy dog"),  # exact
+            ],
+            "doc_id int, text string",
+        )
+        out = ngram_jaccard_near_duplicates(
+            df, "text", "doc_id", n=3, threshold=0.5
+        ).orderBy("id_a", "id_b")
+        rows = [(r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()]
+        # doc1 has 7 trigrams, doc2 has 6 (all shared) → 6/7
+        assert (1, 2, round(6 / 7, 6)) in rows
+        assert (1, 4, 1.0) in rows
+        assert (2, 4, round(6 / 7, 6)) in rows
+        assert all(3 not in (a, b) for a, b, _ in rows)
+
+    def test_stop_shingle_pruning(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            ngram_jaccard_near_duplicates,
+        )
+
+        # a shingle present in every doc is pruned at max_shingle_docs=2,
+        # so the only co-occurrence disappears → no pairs
+        df = spark.createDataFrame(
+            [(i, "common shared shingle " + str(i)) for i in range(1, 4)],
+            "doc_id int, text string",
+        )
+        out = ngram_jaccard_near_duplicates(
+            df, "text", "doc_id", n=3, threshold=0.01, max_shingle_docs=2
+        )
+        assert out.count() == 0
