@@ -466,6 +466,32 @@ def _q_events_group(spark, sf_dir):
     )
 
 
+def _q_session_agg(spark, sf_dir):
+    # session windows (gap-based) with weighted aggregates — native
+    # F.session_window; identical code path serves Structured Streaming
+    # (streaming/__init__.py:weighted_session_stream)
+    from pandas_weights_spark.streaming import weighted_session_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    out = weighted_session_stream(
+        ev,
+        weights=(F.col("user_id") % 7 + 1).cast("double"),
+        keys=["user_id"],
+        on="ts",
+        gap="1 hour",
+        stats=("count", "sum", "mean"),
+        value_cols=["value"],
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("value_count").alias("w_count"),
+        F.col("value_sum").alias("w_sum"),
+        F.col("value_mean").alias("w_mean"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     # multimodal plumbing end-to-end: documents → binary payload + media
     # struct → Arrow-batched decode (deterministic fake) → per-lang
@@ -723,6 +749,33 @@ _ORACLE: dict[str, str] = {
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 }
+
+_ORACLE["session_agg"] = """
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CAST(user_id % 7 + 1 AS DOUBLE) AS w,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM t
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 HOUR AS session_end,
+           COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+             AS w_count,
+           COALESCE(SUM(value * w), 0.0) AS w_sum,
+           SUM(value * w)
+             / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
+    FROM s
+    GROUP BY user_id, sess_id
+"""
 
 _ORACLE["rollup_mean"] = """
     SELECT l_returnflag, l_linestatus,
@@ -1093,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_apply": _q_grouped_apply,
         "series_apply": _q_series_apply,
         "events_group": _q_events_group,
+        "session_agg": _q_session_agg,
         "multimodal_features": _q_multimodal_features,  # rows-only (fake decode)
     }
 

@@ -36,7 +36,12 @@ from pandas_weights_spark.frame import WEIGHT_COL, wt
 from pandas_weights_spark.groupby import _KERNELS
 from pandas_weights_spark.resample import parse_rule
 
-__all__ = ["weighted_resample_stream", "weighted_groupby_stream"]
+__all__ = [
+    "weighted_resample_stream",
+    "weighted_groupby_stream",
+    "weighted_session_stream",
+    "streaming_exact_dedup",
+]
 
 
 def weighted_resample_stream(
@@ -115,3 +120,79 @@ def weighted_groupby_stream(
         .groupBy(*keys)
         .agg(*exprs)
     )
+
+
+def weighted_session_stream(
+    stream: DataFrame,
+    weights: Union[str, "F.Column"],
+    keys: Sequence[str],
+    on: str,
+    gap: str = "5 minutes",
+    watermark: str = "1 hour",
+    stats: Sequence[str] = ("count", "sum", "mean"),
+    value_cols: Sequence[str] | None = None,
+    **stat_kwargs,
+) -> DataFrame:
+    """Weighted aggregates over *session* windows (activity bursts
+    separated by ``gap`` of silence) — native ``F.session_window``, so
+    Spark's incremental session-merge state store does the heavy
+    lifting; the weighted kernels ride along as ordinary aggregate
+    expressions. Emits ``keys…, session_start, session_end`` plus
+    ``{col}_{stat}``.
+
+    Works identically on a batch DataFrame (no watermark needed there).
+    """
+    bad = [s for s in stats if s not in _KERNELS]
+    if bad:
+        raise ValueError(f"unknown statistics: {bad}")
+    wdf = wt(stream, weights)
+    cols = value_cols or [
+        c for c in wdf.numeric_columns() if c not in keys and c != on
+    ]
+    if not cols:
+        raise ValueError("no numeric columns to aggregate")
+    w = wdf.weights
+    exprs = [
+        _KERNELS[s](wdf._value(c), w, **stat_kwargs).alias(f"{c}_{s}")
+        for c in cols
+        for s in stats
+    ]
+    df = wdf.df
+    if df.isStreaming:
+        df = df.withWatermark(on, watermark)
+    return (
+        df.groupBy(*keys, F.session_window(F.col(on), gap))
+        .agg(*exprs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str,
+    on: str,
+    watermark: str = "1 hour",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    content digest, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of
+    :func:`pandas_weights_spark.functions.dedup.exact_dedup`.
+
+    State is keyed on the 32-char digest, not the document payload, so
+    the state store stays small no matter how large documents are.
+    Duplicates arriving later than ``watermark`` after the original are
+    not guaranteed to drop — size the watermark to the pipeline's
+    reordering bound.
+    """
+    from pandas_weights_spark.functions.dedup import content_key
+
+    keyed = stream.withColumn(
+        "__ck__", content_key(F.col(text_col), normalize)
+    )
+    if keyed.isStreaming:
+        keyed = keyed.withWatermark(on, watermark)
+        return keyed.dropDuplicatesWithinWatermark(["__ck__"]).drop("__ck__")
+    return keyed.dropDuplicates(["__ck__"]).drop("__ck__")

@@ -119,3 +119,102 @@ class TestStreamingGroupBy:
         for k in expected:
             assert got[k]["Value_sum"] == approx(expected[k]["Value_sum"])
             assert got[k]["Value_mean"] == approx(expected[k]["Value_mean"])
+
+
+class TestSessionWindows:
+    def test_sessions_and_weighted_stats(self, spark, tmp_path):
+        # two activity bursts per key separated by >10min of silence
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(minutes=m), "A", float(m), 2.0)
+            for m in (0, 2, 4)            # session 1
+        ] + [
+            (base + dt.timedelta(minutes=m), "A", float(m), 1.0)
+            for m in (30, 31)             # session 2
+        ] + [
+            (base + dt.timedelta(minutes=m), "B", 10.0, 1.0)
+            for m in (5,)                 # lone session
+        ]
+        d = tmp_path / "sess_src"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(d))
+
+        from pandas_weights_spark.streaming import weighted_session_stream
+
+        stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+        agg = weighted_session_stream(
+            stream, weights="w", keys=["grp"], on="ts", gap="10 minutes",
+            watermark="1 minute", stats=("count", "sum", "mean"),
+            value_cols=["Value"],
+        )
+        out = run_stream(spark, agg, "session_stream").collect()
+        got = {
+            (r["grp"], r["session_start"]): r for r in out
+        }
+        assert len(got) == 3
+        s1 = got[("A", base)]
+        # w·x: 2*(0+2+4)=12 over Σw=6
+        assert s1["Value_sum"] == approx(12.0)
+        assert s1["Value_count"] == approx(6.0)
+        assert s1["Value_mean"] == approx(2.0)
+        # session end extends gap past the last event
+        assert s1["session_end"] == base + dt.timedelta(minutes=14)
+        s2 = got[("A", base + dt.timedelta(minutes=30))]
+        assert s2["Value_mean"] == approx(30.5)
+
+    def test_batch_dataframe_works_too(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(base, "A", 1.0, 1.0), (base + dt.timedelta(minutes=1), "A", 3.0, 3.0)],
+            SCHEMA,
+        )
+        from pandas_weights_spark.streaming import weighted_session_stream
+
+        out = weighted_session_stream(
+            df, weights="w", keys=["grp"], on="ts", gap="5 minutes",
+            stats=("mean",), value_cols=["Value"],
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["Value_mean"] == approx(10.0 / 4.0)
+
+
+class TestStreamingDedup:
+    def test_first_occurrence_survives(self, spark, tmp_path):
+        base = dt.datetime(2024, 1, 1)
+        schema = "ts timestamp, doc_id int, text string"
+        rows1 = [
+            (base, 1, "alpha beta"),
+            (base + dt.timedelta(seconds=30), 2, "gamma delta"),
+        ]
+        rows2 = [
+            (base + dt.timedelta(minutes=1), 3, "  Alpha Beta  "),  # dup of 1
+            (base + dt.timedelta(minutes=2), 4, "epsilon"),
+        ]
+        d = tmp_path / "dedup_src"
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            str(d / "p1")
+        )
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            str(d / "p2")
+        )
+
+        from pandas_weights_spark.streaming import streaming_exact_dedup
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(d))
+        )
+        out = streaming_exact_dedup(stream, "text", on="ts", watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+        )
+        assert 4 in ids and len(ids) == 3
+        assert (1 in ids) != (3 in ids)  # exactly one of the dup pair
