@@ -1,0 +1,107 @@
+"""Sinks — the write path for pipeline outputs at scale.
+
+The reference has no I/O layer (SURVEY.md §2.6); these helpers encode the
+layout decisions that matter at 100 TB, where a naive ``df.write`` produces
+either millions of tiny files (one per shuffle partition per partition-key
+value) or a handful of giant ones:
+
+* ``write_partitioned`` — hive-style partition directories with a bounded
+  file count per partition: rows are repartitioned on the partition keys
+  (plus a salt when one key value is huge) *before* the write, so each
+  output directory gets ``files_per_partition`` parquet files regardless
+  of the upstream shuffle layout.
+* ``write_bucketed`` — persists a table bucketed+sorted on a join key via
+  ``saveAsTable``; later equi-joins/aggregations on that key skip the
+  shuffle entirely (Spark reads bucket files co-located).
+* ``write_sorted`` — global order + max-records-per-file, for downstream
+  consumers that range-prune (parquet min/max statistics make predicate
+  pushdown effective only when files are key-clustered).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_partitioned", "write_bucketed", "write_sorted"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write hive-partitioned output with a controlled file count.
+
+    ``repartition(partition cols [, salt])`` aligns the shuffle layout
+    with the directory layout: every task holds rows of exactly one
+    (or ``1/files_per_partition``-th of one) partition value, so each
+    directory receives exactly ``files_per_partition`` files instead of
+    ``shuffle.partitions`` fragments.
+    """
+    cols = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        out = df.repartition(*cols, salt.alias("__salt__"))
+    else:
+        out = df.repartition(*cols)
+    (
+        out.write.mode(mode)
+        .format(format)
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    A join or aggregation between two tables bucketed the same way on
+    the same key runs shuffle-free — the single biggest win available
+    for repeated large-scale joins (e.g. lineitem ⋈ orders every run).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: Sequence[str],
+    max_records_per_file: Optional[int] = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Globally range-sorted output for min/max-pruning consumers.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives a total
+    order across files without a single-task global sort; each parquet
+    file then covers a narrow key range, so downstream filters on the
+    sort key skip whole files from footer statistics alone.
+    """
+    out = df.repartitionByRange(*[F.col(c) for c in sort_by]).sortWithinPartitions(
+        *sort_by
+    )
+    writer = out.write.mode(mode).format(format)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
