@@ -375,6 +375,19 @@ def _q_ann_topk(spark, sf_dir):
     return topk_bruteforce(queries, emb, k=5)
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    # IVF path exactness invariant: probing every cell (nprobe == n_cells)
+    # must reproduce brute-force exactly — same oracle as ann_topk.
+    from pandas_weights_spark.functions.similarity import topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_ivf(queries, emb, k=5, n_cells=8, nprobe=8, iters=1,
+                    corpus_id="vec_id")
+
+
 def _q_ann_topk_lsh(spark, sf_dir):
     # approximate path — recall depends on bucket collisions, so no SQL
     # oracle (rows-only); exactness vs bruteforce asserted in tests
@@ -1087,6 +1100,24 @@ _ORACLE["ann_topk"] = """
     FROM ranked WHERE rank <= 5
 """
 
+_ORACLE["ann_topk_ivf"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS sim
+      FROM embeddings c CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
 _ORACLE["weighted_centroids"] = """
     WITH e AS (
       SELECT label, CAST(vec_id % 7 + 1 AS DOUBLE) AS w,
@@ -1137,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,  # rows-only (xxhash64)
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)
         "weighted_centroids": _q_weighted_centroids,
         "rolling_mean": _q_rolling_mean,

@@ -34,6 +34,10 @@ __all__ = [
     "topk_bruteforce",
     "hyperplane_bucket",
     "topk_lsh",
+    "train_ivf_centroids",
+    "nearest_cell",
+    "probe_cells",
+    "topk_ivf",
 ]
 
 
@@ -178,6 +182,144 @@ def topk_lsh(
         hyperplane_bucket(F.col(corpus_vec), dim, planes, seed).alias("__b__"),
     )
     scored = c.join(F.broadcast(q), on="__b__").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    corpus_vec: str,
+    n_cells: int,
+    id_col: str,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Coarse IVF quantizer: k-means on cosine similarity.
+
+    Deterministic init (the ``n_cells`` lowest-id vectors), then
+    ``iters`` distributed Lloyd rounds: assignment is a JVM-side argmax
+    over centroid literals; re-estimation is posexplode → groupBy(cell,
+    dim) avg — one narrow shuffle of (cell, dim, partial-sum), never the
+    vectors themselves. Only the k×d centroid table (a few KB) ever
+    reaches the driver, so the same code trains on a 10^11-row corpus.
+    """
+    rows = (
+        corpus.orderBy(id_col).limit(n_cells).select(corpus_vec).collect()
+    )
+    cents = [list(map(float, r[corpus_vec])) for r in rows]
+    for _ in range(iters):
+        # assign first, explode second: a generator in the same select as
+        # the struct-field argmax trips Spark's analyzer (field names
+        # degrade to col1/col2 and the `.i` access fails to resolve)
+        assigned = corpus.select(
+            nearest_cell(F.col(corpus_vec), cents).alias("__cell__"),
+            F.col(corpus_vec).alias("__v__"),
+        )
+        comp = (
+            assigned.select("__cell__", F.posexplode("__v__"))
+            .groupBy("__cell__", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(cents))}
+        for r in comp:
+            new[r["__cell__"]][r["pos"]] = r["m"]
+        cents = [
+            [new[i].get(p, cents[i][p]) for p in range(len(cents[i]))]
+            if new.get(i)
+            else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-cosine cell id as a pure Column expression (centroids are
+    plan literals). Ties resolve to the larger cell index (struct max)."""
+    scored = [
+        F.struct(
+            cosine_similarity(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored))["i"]
+
+
+def probe_cells(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cell ids (descending similarity) as an array."""
+    scored = [
+        F.struct(
+            cosine_similarity(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k: coarse-quantize the corpus into ``n_cells`` cells, probe
+    only the ``nprobe`` cells nearest each query, exact-rank inside them.
+
+    The scale path complements :func:`topk_lsh`: the corpus side is
+    partition-pruned by cell (a ``nprobe/n_cells`` fraction scanned per
+    query) and the per-cell join key is dense and balanced. With
+    ``nprobe == n_cells`` the result is *exactly* ``topk_bruteforce``
+    (every cell probed) — the correctness invariant the tests and the
+    SQL oracle pin down.
+
+    Pass ``centroids`` to reuse a trained quantizer (e.g. persisted from
+    a previous run) instead of re-training.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, corpus_vec, n_cells, id_col=corpus_id, iters=iters
+        )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+        nearest_cell(F.col(corpus_vec), centroids).alias("__cell__"),
+    )
+    # two-step select: the probe-cell array is computed before the
+    # generator (see analyzer note in train_ivf_centroids)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv__"),
+        probe_cells(F.col(query_vec), centroids, nprobe).alias("__cells__"),
+    ).select(
+        "query_id", "__qv__", F.explode("__cells__").alias("__cell__")
+    )
+    scored = c.join(F.broadcast(q), on="__cell__").select(
         "query_id",
         "neighbor_id",
         cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),

@@ -41,6 +41,7 @@ __all__ = [
     "weighted_groupby_stream",
     "weighted_session_stream",
     "streaming_exact_dedup",
+    "weighted_running_stats_stream",
 ]
 
 
@@ -196,3 +197,88 @@ def streaming_exact_dedup(
         keyed = keyed.withWatermark(on, watermark)
         return keyed.dropDuplicatesWithinWatermark(["__ck__"]).drop("__ck__")
     return keyed.dropDuplicates(["__ck__"]).drop("__ck__")
+
+
+def weighted_running_stats_stream(
+    stream: DataFrame,
+    weights: str,
+    keys: Sequence[str],
+    value_col: str,
+    ddof: int = 1,
+) -> DataFrame:
+    """Per-key *running* weighted stats as a custom stateful operator
+    (``applyInPandasWithState``).
+
+    Built-in streaming aggregation (``weighted_groupby_stream``) already
+    covers running totals; this operator exists for semantics the agg
+    path cannot express: it emits one row *per key per micro-batch* with
+    the running count/sum/mean/var AND the batch's own contribution
+    (``batch_rows``) — i.e. output keyed on (key, batch) rather than key.
+
+    State is four moment scalars per key (Σw, Σwx, Σwx², n) — merged
+    associatively with each batch's partial sums, so state size is O(1)
+    per key no matter how much data streams through. The per-batch
+    reduction happens in Arrow-vectorized pandas; only the 4-number
+    state crosses batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("w", DoubleType()),
+            StructField("wx", DoubleType()),
+            StructField("wxx", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    out_fields = [StructField(k, StringType()) for k in keys] + [
+        StructField("batch_rows", LongType()),
+        StructField("w_count", DoubleType()),
+        StructField("w_sum", DoubleType()),
+        StructField("w_mean", DoubleType()),
+        StructField("w_var", DoubleType()),
+    ]
+    out_schema = StructType(out_fields)
+
+    def update(key, pdfs, state):
+        w = wx = wxx = 0.0
+        n = 0
+        if state.exists:
+            w, wx, wxx, n = state.get
+        rows = 0
+        for pdf in pdfs:
+            valid = pdf[[value_col, weights]].dropna()
+            rows += len(pdf)
+            w += float((valid[weights]).sum())
+            wx += float((valid[value_col] * valid[weights]).sum())
+            wxx += float(
+                (valid[value_col] * valid[value_col] * valid[weights]).sum()
+            )
+            n += len(valid)
+        state.update((w, wx, wxx, n))
+        mean = wx / w if w > 0 else None
+        denom = w - ddof
+        var = (wxx - wx * wx / w) / denom if w > 0 and denom > 0 else None
+        yield pd.DataFrame(
+            [list(key) + [rows, w, wx, mean, var]],
+            columns=[f.name for f in out_fields],
+        )
+
+    return (
+        stream.groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

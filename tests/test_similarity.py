@@ -93,3 +93,64 @@ class TestWeightedCentroids:
         )
         n_labels = emb.select("label").distinct().count()
         assert out.count() == n_labels * 64
+
+
+class TestIVF:
+    def test_full_probe_equals_bruteforce(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            topk_bruteforce,
+            topk_ivf,
+        )
+
+        corpus = load_table(spark, SF, "embeddings").limit(200)
+        queries = corpus.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = topk_bruteforce(queries, corpus, k=5).collect()
+        ivf = topk_ivf(
+            queries, corpus, k=5, n_cells=8, nprobe=8, iters=1
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(map(tuple, ivf), key=lambda t: (t[0], t[3])) == sorted(
+            map(tuple, exact), key=lambda t: (t[0], t[3])
+        )
+
+    def test_partial_probe_recall(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            topk_bruteforce,
+            topk_ivf,
+        )
+
+        corpus = load_table(spark, SF, "embeddings").limit(200)
+        queries = corpus.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_bruteforce(queries, corpus, k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_ivf(
+                queries, corpus, k=5, n_cells=8, nprobe=4, iters=2
+            ).collect()
+        }
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.5, recall
+
+    def test_centroid_reuse(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            topk_ivf,
+            train_ivf_centroids,
+        )
+
+        corpus = load_table(spark, SF, "embeddings").limit(50)
+        queries = corpus.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = train_ivf_centroids(
+            corpus, "embedding", n_cells=4, id_col="vec_id", iters=1
+        )
+        a = topk_ivf(queries, corpus, k=3, centroids=cents, nprobe=4).collect()
+        b = topk_ivf(queries, corpus, k=3, centroids=cents, nprobe=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -218,3 +218,56 @@ class TestStreamingDedup:
         )
         assert 4 in ids and len(ids) == 3
         assert (1 in ids) != (3 in ids)  # exactly one of the dup pair
+
+
+class TestRunningStatsState:
+    def test_state_merges_across_batches(self, spark, source_dir):
+        from pandas_weights_spark.streaming import weighted_running_stats_stream
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")   # force 2 micro-batches
+            .parquet(str(source_dir))
+        )
+        out = weighted_running_stats_stream(
+            stream, weights="w", keys=["grp"], value_col="Value"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM running_stats").collect()
+        # one row per key per batch
+        assert len(rows) == 4
+        final = {
+            r["grp"]: r
+            for r in rows
+            if r["batch_rows"] > 0
+        }
+        # last emitted row per key carries the full-stream running stats —
+        # compare with the one-pass batch kernel
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        expect = {
+            r["grp"]: r
+            for r in wt(batch, "w")[["grp", "Value"]]
+            .groupby("grp")
+            .agg_all(["count", "sum", "mean", "var"])
+            .collect()
+        }
+        latest = {}
+        for r in rows:
+            latest[r["grp"]] = r  # memory sink appends in batch order
+        for g, e in expect.items():
+            got = latest[g]
+            assert got["w_count"] == approx(e["Value_count"])
+            assert got["w_sum"] == approx(e["Value_sum"])
+            assert got["w_mean"] == approx(e["Value_mean"])
+            assert got["w_var"] == approx(e["Value_var"])
