@@ -250,6 +250,21 @@ def _q_cube_sum(spark, sf_dir):
     )
 
 
+def _q_group_quantile(spark, sf_dir):
+    # weighted median/p90 per group (quantile.py): inverted CDF over
+    # cumulative weight; window + agg share one hash exchange
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .quantile([0.5, 0.9])
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice_p50").alias("price_p50"),
+            F.col("l_extendedprice_p90").alias("price_p90"),
+        )
+    )
+
+
 def _q_rollup_mean(spark, sf_dir):
     # hierarchical grouping sets: rollup composes the same weighted
     # expressions as groupby — one Expand + single agg pass, no extra shuffle
@@ -502,6 +517,19 @@ def _q_session_agg(spark, sf_dir):
         F.col("value_count").alias("w_count"),
         F.col("value_sum").alias("w_sum"),
         F.col("value_mean").alias("w_mean"),
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    # whitespace + BPE-ish regex token counts (text.py) — length-budget
+    # filters for training pipelines; pure JVM regexp, no UDF
+    from pandas_weights_spark.functions.text import bpe_token_count, token_count
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -788,6 +816,36 @@ _ORACLE["session_agg"] = """
              / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
     FROM s
     GROUP BY user_id, sess_id
+"""
+
+_ORACLE["token_counts"] = """
+    SELECT doc_id,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents WHERE doc_id < 500
+"""
+
+_ORACLE["group_quantile"] = """
+    WITH v AS (
+      SELECT l_returnflag AS g, l_extendedprice AS x, l_quantity AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+    ), c AS (
+      SELECT g, x,
+             SUM(w) OVER (PARTITION BY g ORDER BY x
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY g) AS tw
+      FROM v
+    )
+    SELECT g AS l_returnflag,
+           MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS price_p50,
+           MIN(CASE WHEN cw >= 0.9 * tw THEN x END) AS price_p90
+    FROM c GROUP BY g
 """
 
 _ORACLE["rollup_mean"] = """
@@ -1152,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_min_count": _q_sum_min_count,
         "group_mean": _q_group_mean,
         "group_var": _q_group_var,
+        "group_quantile": _q_group_quantile,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
         "resample_6h_events": _q_resample_6h_events,
@@ -1163,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_mean": _q_rollup_mean,
         "dedup_exact": _q_dedup_exact,
         "text_metrics": _q_text_metrics,
+        "token_counts": _q_token_counts,
         "doc_weighted_stats": _q_doc_weighted_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,

@@ -242,6 +242,24 @@ class WeightedDataFrame:
             F.when(v >= 0, F.sqrt(v)).alias("row_std"),
         )
 
+    # -- quantiles ------------------------------------------------------------
+
+    def quantile(
+        self,
+        q: Union[float, Sequence[float]] = 0.5,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Weighted quantile(s) — inverted-CDF over cumulative weight
+        (engine extension; see pandas_weights_spark.quantile). Global
+        form is a total order: exact but single-task — prefer grouped
+        quantiles at scale."""
+        from pandas_weights_spark.quantile import weighted_quantiles
+
+        return weighted_quantiles(self, q, subset=subset)
+
+    def median(self, subset: Optional[Sequence[str]] = None) -> DataFrame:
+        return self.quantile(0.5, subset=subset)
+
     # -- windowed statistics --------------------------------------------------
 
     def rolling(

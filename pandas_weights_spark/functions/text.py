@@ -26,6 +26,8 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "LANG_MARKERS",
+    "BPE_TOKEN_PATTERN",
+    "bpe_token_count",
 ]
 
 
@@ -153,3 +155,19 @@ def fingerprint(text: Column) -> Column:
     return F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(text)))))
     )
+
+#: BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
+#: engine-portable subset): contraction suffixes, letter runs, digit
+#: runs, and single non-space symbols each count as one token.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex.
+
+    Upper-bounds the BPE vocab token count (every merge only shrinks
+    it), which is what length-budget filters in training pipelines
+    actually need. Pure JVM regexp — no tokenizer library, no UDF.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+

@@ -136,6 +136,32 @@ class WeightedGroupBy:
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         return self._agg(lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna))
 
+    def quantile(self, q=0.5) -> DataFrame:
+        """Per-group weighted quantile(s) (inverted CDF over cumulative
+        weight; see pandas_weights_spark.quantile). One shuffle: the
+        final groupBy reuses the window's hash partitioning."""
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "quantile is not defined for cube/rollup grouping sets"
+            )
+        from pandas_weights_spark.quantile import weighted_quantiles
+
+        wdf = self._wdf
+        if self._dropna:
+            sub = wdf._subset(wdf.columns)
+            df = wdf.df
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+            sub._df = df
+            wdf = sub
+        out = weighted_quantiles(
+            wdf, q, subset=self._value_cols(), keys=self._keys
+        )
+        return self._finish(out)
+
+    def median(self) -> DataFrame:
+        return self.quantile(0.5)
+
     def agg_all(self, stats: Sequence[str], **kwargs) -> DataFrame:
         """Several statistics in ONE aggregate pass / shuffle.
 

@@ -1,0 +1,110 @@
+"""Weighted quantiles (engine extension): inverted-CDF over cumulative
+weight, ties merged, zero/NULL-weight rows carry no mass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import wt
+from pandas_weights_spark.plans import count_exchanges
+from tests.conftest import approx
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # x: 1..4 with weights 1,1,1,1 → cum 1,2,3,4 of total 4
+    return spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)],
+        "x double, w double",
+    )
+
+
+def one(df, col):
+    return df.collect()[0][col]
+
+
+class TestGlobalQuantile:
+    def test_median_even_mass(self, spark, df):
+        # q*W = 2 → smallest x with cum ≥ 2 is 2.0 (inverted CDF, no interp)
+        assert one(wt(df, "w").median(), "x_p50") == approx(2.0)
+
+    def test_quartiles(self, spark, df):
+        out = wt(df, "w").quantile([0.25, 0.75, 1.0])
+        r = out.collect()[0]
+        assert r["x_p25"] == approx(1.0)
+        assert r["x_p75"] == approx(3.0)
+        assert r["x_p100"] == approx(4.0)
+
+    def test_weights_shift_the_median(self, spark):
+        d = spark.createDataFrame(
+            [(1.0, 10.0), (2.0, 1.0), (3.0, 1.0)], "x double, w double"
+        )
+        # total 12, q·W=6 → x=1 already holds mass 10
+        assert one(wt(d, "w").median(), "x_p50") == approx(1.0)
+
+    def test_ties_merge(self, spark):
+        d = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 1.0), (2.0, 1.0), (5.0, 1.0)],
+            "x double, w double",
+        )
+        # cum at value 2 (both rows) = 3 ≥ 2 → median 2
+        assert one(wt(d, "w").median(), "x_p50") == approx(2.0)
+
+    def test_zero_and_null_weight_excluded(self, spark):
+        d = spark.createDataFrame(
+            [(0.5, 0.0), (1.0, None), (2.0, 1.0), (3.0, 1.0)],
+            "x double, w double",
+        )
+        assert one(wt(d, "w").median(), "x_p50") == approx(2.0)
+
+    def test_all_excluded_gives_null(self, spark):
+        d = spark.createDataFrame(
+            [(1.0, 0.0), (2.0, None)], "x double, w double"
+        )
+        assert one(wt(d, "w").median(), "x_p50") is None
+
+    def test_invalid_q(self, df):
+        with pytest.raises(ValueError):
+            wt(df, "w").quantile(0.0)
+        with pytest.raises(ValueError):
+            wt(df, "w").quantile(1.5)
+
+
+class TestGroupedQuantile:
+    def test_per_group(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 9.0, 5.0),
+             ("b", 4.0, 1.0), ("b", 6.0, 1.0)],
+            "g string, x double, w double",
+        )
+        rows = {
+            r["g"]: r
+            for r in wt(d, "w").groupby("g").quantile([0.5, 1.0]).collect()
+        }
+        # group a: total 7, q·W=3.5 → cum(1)=1, cum(2)=2, cum(9)=7 → 9
+        assert rows["a"]["x_p50"] == approx(9.0)
+        assert rows["a"]["x_p100"] == approx(9.0)
+        assert rows["b"]["x_p50"] == approx(4.0)
+        assert rows["b"]["x_p100"] == approx(6.0)
+
+    def test_dropna_key(self, spark):
+        d = spark.createDataFrame(
+            [(None, 1.0, 1.0), ("b", 2.0, 1.0)], "g string, x double, w double"
+        )
+        out = wt(d, "w").groupby("g").median().collect()
+        assert [r["g"] for r in out] == ["b"]
+        out2 = wt(d, "w").groupby("g", dropna=False).median().collect()
+        assert sorted([r["g"] for r in out2], key=str) == ["None", "b"] or len(out2) == 2
+
+    def test_single_shuffle(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1.0, 1.0), ("b", 2.0, 1.0)], "g string, x double, w double"
+        )
+        out = wt(d, "w").groupby("g").median()
+        assert count_exchanges(out) == 1
+
+    def test_cube_raises(self, spark):
+        d = spark.createDataFrame(
+            [("a", 1.0, 1.0)], "g string, x double, w double"
+        )
+        with pytest.raises(NotImplementedError):
+            wt(d, "w").cube("g").quantile(0.5)

@@ -78,3 +78,21 @@ class TestQualityAndFingerprint:
         m = col_map(df.select("doc_id", TX.fingerprint(F.col("text")).alias("f")), "f")
         assert m[0] == m[1]
         assert m[0] != m[2]
+
+
+class TestBpeTokens:
+    def test_counts(self, spark):
+        from pandas_weights_spark.functions.text import bpe_token_count
+
+        df = spark.createDataFrame(
+            [("Hello, world! It's 2024",),
+             ("",),
+             ("one-two",)],
+            "text string",
+        )
+        got = [
+            r["n"]
+            for r in df.select(bpe_token_count(F.col("text")).alias("n")).collect()
+        ]
+        # Hello , world ! It 's 2024 → 7 ; "" → 0 ; one - two → 3
+        assert got == [7, 0, 3]
