@@ -32,10 +32,14 @@ HEADLINE = [
     "cube_sum",            # grouping sets
     "star_join_mean",      # broadcast star join + weighted agg
     "rolling_mean",        # partitioned weighted rolling window
+    "group_quantile",      # weighted median/p90 (window + agg, one shuffle)
+    "session_agg",         # gap-based session windows (events)
     "dedup_exact",         # hash-groupBy dedup (documents x2)
     "text_metrics",        # tokenize/lang-id/quality/fingerprint
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
+    "ngram_jaccard",       # exact jaccard via shingle inverted index
     "ann_topk",            # brute-force cosine top-k
+    "ann_topk_ivf",        # IVF cells: train + probe + exact rank
     "weighted_centroids",  # per-label weighted centroid (64 dims)
 ]
 

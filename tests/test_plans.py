@@ -79,3 +79,62 @@ class TestScanPruning:
         # only the key, the weight, and the selected value column are read
         assert "l_extendedprice" in read and "l_quantity" in read
         assert "l_comment" not in read and "l_partkey" not in read
+
+
+class TestNewOperatorPlans:
+    def test_rowwise_stats_no_exchange(self, lineitem):
+        # axis=1 stats are row-local expressions — nothing to shuffle
+        df = wt(lineitem, "l_quantity").row_var(
+            subset=["l_extendedprice", "l_discount", "l_tax"]
+        )
+        assert P.count_exchanges(df) == 0
+        assert not P.has_python_eval(df)
+
+    def test_rolling_single_exchange_one_window(self, lineitem):
+        df = (
+            wt(
+                lineitem.select(
+                    "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+                ),
+                "l_quantity",
+            )
+            .rolling(3, order_by=["l_linenumber"], partition_by=["l_orderkey"])
+            .mean()
+        )
+        plan = P.physical_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Window") == 1, plan  # all aggs share one window
+        assert not P.has_python_eval(df)
+
+    def test_quantile_reuses_window_exchange(self, lineitem):
+        df = (
+            wt(lineitem, "l_quantity")
+            .groupby("l_returnflag")[["l_extendedprice"]]
+            .quantile([0.5, 0.9])
+        )
+        # window partitioning == grouping key → agg rides the same shuffle
+        assert P.count_exchanges(df) == 1, P.physical_plan(df)
+
+    def test_similarity_and_dedup_no_python_eval(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            minhash_near_duplicates,
+            ngram_jaccard_near_duplicates,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        for df in (
+            minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5),
+            ngram_jaccard_near_duplicates(docs, "text", "doc_id", threshold=0.5),
+        ):
+            assert not P.has_python_eval(df)
+
+    def test_topk_broadcasts_queries(self, spark):
+        from pandas_weights_spark.functions.similarity import topk_bruteforce
+
+        emb = load_table(spark, SF, "embeddings")
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = P.physical_plan(topk_bruteforce(q, emb, k=3))
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        assert P.count_exchanges(topk_bruteforce(q, emb, k=3)) <= 1
