@@ -380,6 +380,19 @@ def _q_simhash_neardup(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    # embedding-cosine near-dup: hyperplane-LSH candidate buckets + exact
+    # cosine verify. The hyperplanes are deterministic plan literals
+    # (similarity._hyperplanes), so the oracle reproduces the identical
+    # bucketing and the check is exact, not rows-only.
+    from pandas_weights_spark.functions.dedup import embedding_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.3, bucket_planes=4, seed=42
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     from pandas_weights_spark.functions.similarity import topk_bruteforce
 
@@ -1140,6 +1153,38 @@ _ORACLE["ngram_jaccard"] = """
 
 _ORACLE["minhash_neardup"] = _minhash_sql()
 
+
+def _embedding_neardup_sql(dim: int = 64, planes: int = 4, seed: int = 42,
+                           threshold: float = 0.3) -> str:
+    # reproduce dedup.embedding_near_duplicates exactly: same hyperplane
+    # literals (driver-side deterministic PRNG), same sign-bit bucket
+    # string, same round-then-threshold on the cosine.
+    from pandas_weights_spark.functions.similarity import _hyperplanes
+
+    hps = _hyperplanes(dim, planes, seed)
+    bits = ",\n             ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in hp)}]) >= 0 THEN '1' ELSE '0' END"
+        for hp in hps
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat({bits}) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b2.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+_ORACLE["embedding_neardup"] = _embedding_neardup_sql()
+
 _ORACLE["ann_topk"] = """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                WHERE vec_id < 5),
@@ -1227,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,  # rows-only (xxhash64)
+        "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)

@@ -211,9 +211,10 @@ def train_ivf_centroids(
     """Coarse IVF quantizer: k-means on cosine similarity.
 
     Deterministic init (the ``n_cells`` lowest-id vectors), then
-    ``iters`` distributed Lloyd rounds: assignment is a JVM-side argmax
-    over centroid literals; re-estimation is posexplode → groupBy(cell,
-    dim) avg — one narrow shuffle of (cell, dim, partial-sum), never the
+    ``iters`` distributed Lloyd rounds: assignment is a JVM-side
+    codegen argmax over centroid literals; re-estimation is one
+    groupBy(cell) with a per-dimension ``avg`` column — map-side
+    partials mean only n_cells × dim numbers cross the wire, never the
     vectors themselves. Only the k×d centroid table (a few KB) ever
     reaches the driver, so the same code trains on a 10^11-row corpus.
     """
@@ -225,53 +226,66 @@ def train_ivf_centroids(
         # assign first, explode second: a generator in the same select as
         # the struct-field argmax trips Spark's analyzer (field names
         # degrade to col1/col2 and the `.i` access fails to resolve)
+        dim = len(cents[0])
         assigned = corpus.select(
             nearest_cell(F.col(corpus_vec), cents).alias("__cell__"),
             F.col(corpus_vec).alias("__v__"),
         )
+        # per-dimension avg columns: map-side partials shuffle only
+        # n_cells × dim numbers, never the vectors (vs a posexplode
+        # shuffle of rows × dim)
         comp = (
-            assigned.select("__cell__", F.posexplode("__v__"))
-            .groupBy("__cell__", "pos")
-            .agg(F.avg("col").alias("m"))
+            assigned.groupBy("__cell__")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v__", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
             .collect()
         )
-        new = {c: dict() for c in range(len(cents))}
-        for r in comp:
-            new[r["__cell__"]][r["pos"]] = r["m"]
-        cents = [
-            [new[i].get(p, cents[i][p]) for p in range(len(cents[i]))]
-            if new.get(i)
-            else cents[i]
-            for i in range(len(cents))
-        ]
+        new = {r["__cell__"]: [r[f"m{i}"] for i in range(dim)] for r in comp}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
+
+
+def _literal_cosine(vec: Column, centroid: list[float]) -> Column:
+    """Cosine against a *literal* centroid, unrolled as an element_at
+    chain: whole-stage-codegen-compilable, unlike higher-order-function
+    lambdas which Spark interprets per row. The centroid's norm is
+    pre-divided out driver-side, so per row it is one dot product plus
+    one norm."""
+    n = math.sqrt(sum(x * x for x in centroid)) or 1.0
+    unit = [x / n for x in centroid]
+    dot_expr = None
+    for i, x in enumerate(unit):
+        term = F.element_at(vec, i + 1).cast("double") * F.lit(x)
+        dot_expr = term if dot_expr is None else dot_expr + term
+    return F.try_divide(dot_expr, l2_norm(vec))
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                _literal_cosine(vec, c).alias("s"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
 
 
 def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmax-cosine cell id as a pure Column expression (centroids are
     plan literals). Ties resolve to the larger cell index (struct max)."""
-    scored = [
-        F.struct(
-            cosine_similarity(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*scored))["i"]
+    return F.array_max(_cell_scores(vec, centroids))["i"]
 
 
 def probe_cells(
     vec: Column, centroids: list[list[float]], nprobe: int
 ) -> Column:
     """The ``nprobe`` nearest cell ids (descending similarity) as an array."""
-    scored = [
-        F.struct(
-            cosine_similarity(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    ranked = F.reverse(F.array_sort(_cell_scores(vec, centroids)))
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
 
 
