@@ -249,29 +249,25 @@ def train_ivf_centroids(
     return cents
 
 
-def _literal_cosine(vec: Column, centroid: list[float]) -> Column:
-    """Cosine against a *literal* centroid, unrolled as an element_at
-    chain: whole-stage-codegen-compilable, unlike higher-order-function
-    lambdas which Spark interprets per row. The centroid's norm is
-    pre-divided out driver-side, so per row it is one dot product plus
-    one norm."""
-    n = math.sqrt(sum(x * x for x in centroid)) or 1.0
-    unit = [x / n for x in centroid]
-    dot_expr = None
-    for i, x in enumerate(unit):
-        term = F.element_at(vec, i + 1).cast("double") * F.lit(x)
-        dot_expr = term if dot_expr is None else dot_expr + term
-    return F.try_divide(dot_expr, l2_norm(vec))
-
-
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                _literal_cosine(vec, c).alias("s"), F.lit(i).alias("i")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    """Per-cell ``(score, cell_id)`` structs for one vector.
+
+    The centroid matrix ships as ONE nested-array literal (a single
+    Literal plan node — a k×d unrolled expression tree makes Catalyst
+    analysis the bottleneck, dwarfing execution). Centroids are
+    L2-normalized driver-side and the query vector's own norm is a
+    positive constant across cells, so plain dot against unit centroids
+    gives the same ordering as cosine — no per-cell norm work at all.
+    """
+    units = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        units.append([x / n for x in c])
+    mat = F.lit(units)
+    return F.zip_with(
+        mat,
+        F.sequence(F.lit(0), F.lit(len(units) - 1)),
+        lambda c, i: F.struct(dot(vec, c).alias("s"), i.alias("i")),
     )
 
 
