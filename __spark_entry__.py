@@ -279,6 +279,48 @@ def _q_rollup_mean(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    # sequential Poisson sampling (sample.py): deterministic md5 uniform /
+    # weight, TakeOrdered top-n — the oracle mirrors the hash arithmetic
+    # term-for-term so the selected set is bit-identical
+    from pandas_weights_spark.sample import weighted_sample
+
+    return weighted_sample(
+        _li(spark, sf_dir), F.col("l_quantity"), 1000,
+        ["l_orderkey", "l_linenumber"], seed=42,
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # per-stratum weighted quota (one window shuffle on the strata keys)
+    from pandas_weights_spark.sample import stratified_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stratified_sample(
+        orders, F.col("o_totalprice"), 200,
+        by=["o_orderstatus"], key_cols=["o_orderkey"], seed=42,
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _q_hash_split(spark, sf_dir):
+    # deterministic train/val/test assignment (pure map, no shuffle),
+    # verified via per-split row count and character mass
+    from pandas_weights_spark.sample import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"],
+            seed=42,
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -870,6 +912,47 @@ _ORACLE["rollup_mean"] = """
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+def _sample_sqls() -> dict[str, str]:
+    # mirror sample.py's md5-digit uniform exactly (same IEEE term order)
+    from pandas_weights_spark.sample import uniform_hash_sql
+
+    u_li = uniform_hash_sql(["l_orderkey", "l_linenumber"], 42)
+    u_ord = uniform_hash_sql(["o_orderkey"], 42)
+    u_doc = uniform_hash_sql(["doc_id"], 42)
+    return {
+        "weighted_sample": f"""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             {u_li} / l_quantity AS skey
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_quantity > 0
+      ORDER BY skey, l_orderkey, l_linenumber
+      LIMIT 1000
+    )
+""",
+        "stratified_sample": f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY {u_ord} / o_totalprice, o_orderkey
+             ) AS rk
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ) WHERE rk <= 200
+""",
+        "hash_split": f"""
+    SELECT CASE WHEN {u_doc} < 0.8 THEN 'train'
+                WHEN {u_doc} < {0.8 + 0.1!r} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    FROM documents GROUP BY 1
+""",
+    }
+
+
+_ORACLE.update(_sample_sqls())
+
 _ORACLE["corr_pair"] = _corr_sql(
     "l_extendedprice", "disc_n", "l_quantity",
     """(SELECT l_extendedprice, l_quantity,
@@ -1265,6 +1348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_corr": _q_aligned_corr,
         "cube_sum": _q_cube_sum,
         "rollup_mean": _q_rollup_mean,
+        "weighted_sample": _q_weighted_sample,
+        "stratified_sample": _q_stratified_sample,
+        "hash_split": _q_hash_split,
         "dedup_exact": _q_dedup_exact,
         "text_metrics": _q_text_metrics,
         "token_counts": _q_token_counts,

@@ -1,0 +1,167 @@
+"""Weighted sampling operators (training-data pipeline extensions).
+
+Not in the reference (SURVEY.md §2.6 records the absence — it has no
+sampling surface at all); these are the operations a large-scale
+training-data pipeline needs: draw a weighted subset of a corpus, draw
+per-stratum quotas, and assign deterministic train/val/test splits.
+
+Design constraints, in priority order:
+
+1. **Deterministic.** All "randomness" derives from
+   :func:`uniform_hash` — an md5-based uniform in (0, 1) computed from
+   the row's key columns and a seed. Same rows + same seed → same
+   sample, on any cluster size, any partitioning, any engine. That also
+   makes every operator exactly expressible as ANSI SQL for the DuckDB
+   oracle (the md5 digit arithmetic is mirrored term-for-term so the
+   IEEE doubles are bit-identical).
+2. **No transcendentals.** Weighted selection uses *sequential Poisson
+   sampling* (Ohlsson 1998): rank by ``u / w`` ascending and keep the
+   first ``n`` — an order-sampling approximation of probability-
+   proportional-to-size without the ``u^(1/w)`` / ``ln(u)/w`` key of
+   Efraimidis-Spirakis. Division is exactly rounded in IEEE 754, so
+   Spark and the oracle rank identically bit-for-bit; ``pow``/``ln``
+   are only faithfully rounded and could disagree at the margin.
+3. **Scale.** :func:`weighted_sample` is ``orderBy(key).limit(n)`` —
+   Spark's TakeOrdered: each partition keeps its local top-``n`` and
+   only ``n × partitions`` candidate rows ever move, no full sort, no
+   full shuffle. :func:`stratified_sample` is one window shuffle on the
+   strata keys. :func:`hash_split` is a pure map — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "uniform_hash",
+    "weighted_sample",
+    "stratified_sample",
+    "hash_split",
+]
+
+_HEX = "0123456789abcdef"
+
+
+def uniform_hash(key_cols: Sequence[Column], seed: int = 42) -> Column:
+    """Deterministic uniform in (0, 1) from md5 of the key columns.
+
+    The first 8 hex digits of ``md5(concat_ws('|', keys…, seed))`` are
+    accumulated most-significant-first as ``Σ digit_i · 16^-(i+1)``, then
+    ``2^-33`` is added so the value is strictly positive (safe as a
+    divisor). Each step is exactly rounded IEEE arithmetic in the same
+    order as the SQL oracle mirror, so both engines produce the
+    bit-identical double.
+    """
+    h = F.md5(F.concat_ws("|", *key_cols, F.lit(str(seed))))
+    u: Optional[Column] = None
+    for i in range(8):
+        digit = (
+            F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
+        ).cast("double") * F.lit(16.0 ** -(i + 1))
+        u = digit if u is None else u + digit
+    assert u is not None
+    return u + F.lit(2.0**-33)
+
+
+def uniform_hash_sql(key_cols: Sequence[str], seed: int = 42) -> str:
+    """The DuckDB mirror of :func:`uniform_hash` (same term order)."""
+    keys = ", ".join(key_cols)
+    h = f"md5(concat_ws('|', {keys}, '{seed}'))"
+    terms = " + ".join(
+        f"CAST(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1 AS DOUBLE)"
+        f" * {16.0 ** -(i + 1)!r}"
+        for i in range(8)
+    )
+    return f"({terms} + {2.0**-33!r})"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Draw ``n`` rows with probability ~proportional to ``weight``.
+
+    Sequential Poisson sampling: rank ascending by ``u / w`` (ties broken
+    by the key columns) and keep the first ``n``. Rows with NULL or
+    non-positive weight are excluded — they have no selection
+    probability. Executes as TakeOrdered (per-partition top-``n``, then a
+    single merge of ``n``-row candidate sets), so it scales to any corpus
+    size for ``n`` that fits on one executor.
+    """
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    w = weight.cast("double")
+    ranked = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__pw_skey__", u / w
+    )
+    out = ranked.orderBy(F.col("__pw_skey__").asc(), *key_cols).limit(n)
+    return out.drop("__pw_skey__")
+
+
+def stratified_sample(
+    df: DataFrame,
+    weight: Column,
+    n_per_stratum: int,
+    by: Sequence[str],
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum :func:`weighted_sample`: up to ``n_per_stratum`` rows
+    from every ``by`` group, weight-proportional within the group.
+
+    One window shuffle on the strata keys; strata are processed
+    independently, so group count is unbounded. Skewed strata are
+    bounded by the per-partition sort of the window, not a global sort.
+    """
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    w = weight.cast("double")
+    win = Window.partitionBy(*by).orderBy(
+        (u / w).asc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__pw_rank__", F.row_number().over(win))
+        .where(F.col("__pw_rank__") <= n_per_stratum)
+        .drop("__pw_rank__")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic split label (train/val/test…).
+
+    ``fractions`` maps label → fraction; they must sum to ~1. The
+    assignment is a pure map over :func:`uniform_hash` — no shuffle, no
+    state, stable under re-partitioning and re-runs, and any row's split
+    can be recomputed from its keys alone (the property that keeps
+    train/test membership stable as a 100 TB corpus is re-processed
+    incrementally).
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    expr: Optional[Column] = None
+    acc = 0.0
+    labels = list(fractions.items())
+    for label, frac in labels[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

@@ -1,0 +1,152 @@
+"""Weighted sampling operators (sample.py): determinism, weight
+proportionality, stratified quotas, split assignment, and bit-exact
+DuckDB mirroring of the hash uniform."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.sample import (
+    hash_split,
+    stratified_sample,
+    uniform_hash,
+    uniform_hash_sql,
+    weighted_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").cache()
+
+
+class TestUniformHash:
+    def test_matches_duckdb_bit_exact(self, lineitem):
+        got = {
+            (r[0], r[1]): r[2]
+            for r in lineitem.select(
+                "l_orderkey",
+                "l_linenumber",
+                uniform_hash(
+                    [F.col("l_orderkey"), F.col("l_linenumber")], 7
+                ).alias("u"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+        )
+        usql = uniform_hash_sql(["l_orderkey", "l_linenumber"], 7)
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.sql(
+                f"SELECT l_orderkey, l_linenumber, {usql} FROM lineitem"
+            ).fetchall()
+        }
+        assert got == want  # exact float equality, not approx
+
+    def test_range_and_spread(self, lineitem):
+        stats = lineitem.select(
+            uniform_hash([F.col("l_orderkey"), F.col("l_linenumber")], 1).alias("u")
+        ).agg(
+            F.min("u"), F.max("u"), F.avg("u"), F.count("u")
+        ).first()
+        assert 0 < stats[0] and stats[1] < 1
+        assert 0.45 < stats[2] < 0.55
+
+    def test_seed_changes_values(self, lineitem):
+        keys = [F.col("l_orderkey"), F.col("l_linenumber")]
+        diff = lineitem.select(
+            (uniform_hash(keys, 1) == uniform_hash(keys, 2)).alias("same")
+        ).where("same").count()
+        assert diff == 0
+
+
+class TestWeightedSample:
+    def test_size_and_determinism(self, lineitem):
+        a = weighted_sample(
+            lineitem, F.col("l_quantity"), 100,
+            ["l_orderkey", "l_linenumber"], seed=3,
+        )
+        b = weighted_sample(
+            lineitem, F.col("l_quantity"), 100,
+            ["l_orderkey", "l_linenumber"], seed=3,
+        )
+        rows_a = sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in a.collect())
+        rows_b = sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in b.collect())
+        assert len(rows_a) == 100
+        assert rows_a == rows_b
+
+    def test_weight_proportionality(self, spark):
+        # two weight classes 10:1 — the heavy class should dominate
+        rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        out = weighted_sample(df, F.col("w"), 400, ["id"], seed=5)
+        heavy = out.where("w = 10.0").count()
+        assert heavy > 300  # E[heavy] ≈ 364 of 400
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)],
+            "id long, w double",
+        )
+        out = weighted_sample(df, F.col("w"), 10, ["id"])
+        assert {r["id"] for r in out.collect()} == {1, 5}
+
+
+class TestStratifiedSample:
+    def test_quota_per_stratum(self, lineitem):
+        out = stratified_sample(
+            lineitem, F.col("l_quantity"), 50,
+            by=["l_returnflag"], key_cols=["l_orderkey", "l_linenumber"],
+        )
+        counts = {
+            r["l_returnflag"]: r["n"]
+            for r in out.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+        }
+        flags = {
+            r["l_returnflag"]
+            for r in lineitem.select("l_returnflag").distinct().collect()
+        }
+        assert set(counts) == flags
+        assert all(n == 50 for n in counts.values())
+
+    def test_small_stratum_returned_whole(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 1.0), (3, "b", 1.0)],
+            "id long, g string, w double",
+        )
+        out = stratified_sample(df, F.col("w"), 10, by=["g"], key_cols=["id"])
+        assert out.count() == 3
+
+
+class TestHashSplit:
+    def test_fractions_and_disjoint(self, lineitem):
+        out = hash_split(
+            lineitem, {"train": 0.8, "val": 0.1, "test": 0.1},
+            ["l_orderkey", "l_linenumber"],
+        )
+        total = lineitem.count()
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == total
+        assert abs(counts["train"] / total - 0.8) < 0.03
+        assert abs(counts["val"] / total - 0.1) < 0.02
+
+    def test_stable_under_repartition(self, lineitem):
+        a = hash_split(lineitem, {"train": 0.5, "test": 0.5}, ["l_orderkey", "l_linenumber"])
+        b = hash_split(
+            lineitem.repartition(13), {"train": 0.5, "test": 0.5},
+            ["l_orderkey", "l_linenumber"],
+        )
+        ka = {(r["l_orderkey"], r["l_linenumber"]): r["split"] for r in a.collect()}
+        kb = {(r["l_orderkey"], r["l_linenumber"]): r["split"] for r in b.collect()}
+        assert ka == kb
+
+    def test_bad_fractions_raise(self, lineitem):
+        with pytest.raises(ValueError):
+            hash_split(lineitem, {"a": 0.5, "b": 0.2}, ["l_orderkey"])
