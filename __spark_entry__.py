@@ -204,6 +204,36 @@ def _q_corr_matrix(spark, sf_dir):
     )
 
 
+def _q_cov_matrix(spark, sf_dir):
+    # weighted covariance matrix (extension: reference has corr only) —
+    # same one-pass pair-moment aggregate as corr_matrix
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .cov(subset=["l_extendedprice", "l_discount", "l_tax"])
+        .select("col_x", "col_y", F.round(F.col("cov"), 6).alias("cov"))
+    )
+
+
+def _q_value_counts(spark, sf_dir):
+    # weight-mass per distinct value (weighted value_counts)
+    from pandas_weights_spark.frame import WeightedSeries
+
+    li = _li(spark, sf_dir)
+    s = WeightedSeries(li, "l_returnflag", F.col("l_quantity"))
+    return s.value_counts(sort=False).select(
+        F.col("l_returnflag"), F.col("count").alias("w_count")
+    )
+
+
+def _q_histogram(spark, sf_dir):
+    # fixed-width weighted histogram, explicit bounds, single agg pass
+    from pandas_weights_spark.frame import WeightedSeries
+
+    li = _li(spark, sf_dir)
+    s = WeightedSeries(li, "l_extendedprice", F.col("l_quantity"))
+    return s.histogram(0.0, 60000.0, 12)
+
+
 def _q_group_corr(spark, sf_dir):
     return (
         wt(_li(spark, sf_dir), _W)[
@@ -1317,7 +1347,64 @@ _ORACLE["weighted_centroids"] = """
     FROM e GROUP BY label, dim
 """
 
+# weighted covariance moments mirroring _stats.cov_from_moments
+_COV_SQL = """
+WITH m AS (
+  SELECT COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL
+                     AND {w} IS NOT NULL THEN 1 END) AS n,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END) AS sw,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {x}) AS sx,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {y}) AS sy,
+         SUM(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN {w} END
+             * {x} * {y}) AS sxy
+  FROM {table}
+)
+SELECT ROUND(CASE WHEN n >= {min_periods} AND sw > {ddof}
+             THEN (sxy - (sx*sy)/sw) / (sw - {ddof}) END, 6) AS cov
+FROM m
+"""
+
+
+def _cov_sql(x, y, w, table, min_periods=1, ddof=1):
+    return _COV_SQL.format(
+        x=x, y=y, w=w, table=table, min_periods=min_periods, ddof=float(ddof)
+    )
+
+
+_ORACLE["value_counts"] = """
+    SELECT l_returnflag, COALESCE(SUM(l_quantity), 0.0) AS w_count
+    FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+"""
+
+_ORACLE["histogram"] = """
+    SELECT bin,
+           CAST(0.0 AS DOUBLE) + bin * CAST(5000.0 AS DOUBLE) AS bin_lo,
+           count
+    FROM (
+      SELECT LEAST(11, CAST(FLOOR((l_extendedprice - 0.0) / 5000.0)
+                            AS INTEGER)) AS bin,
+             COALESCE(SUM(l_quantity), 0.0) AS count
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_extendedprice >= 0.0 AND l_extendedprice <= 60000.0
+      GROUP BY 1
+    )
+"""
+
 _MATRIX_COLS = ("l_extendedprice", "l_discount", "l_tax")
+
+_ORACLE["cov_matrix"] = "\nUNION ALL\n".join(
+    f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, cov FROM ("
+    + _cov_sql(
+        _MATRIX_COLS[min(i, j)], _MATRIX_COLS[max(i, j)], "l_quantity", "lineitem"
+    )
+    + ")"
+    for i, cx in enumerate(_MATRIX_COLS)
+    for j, cy in enumerate(_MATRIX_COLS)
+)
+
 _ORACLE["corr_matrix"] = "\nUNION ALL\n".join(
     f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, corr FROM ("
     + _corr_sql(
@@ -1344,6 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_6h_events": _q_resample_6h_events,
         "corr_pair": _q_corr_pair,
         "corr_matrix": _q_corr_matrix,
+        "cov_matrix": _q_cov_matrix,
+        "value_counts": _q_value_counts,
+        "histogram": _q_histogram,
         "group_corr": _q_group_corr,
         "aligned_corr": _q_aligned_corr,
         "cube_sum": _q_cube_sum,

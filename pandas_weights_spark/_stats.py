@@ -43,6 +43,7 @@ __all__ = [
     "variance_from_weighted_moments",
     "corr_moment_exprs",
     "corr_from_moments",
+    "cov_from_moments",
     "CORR_MOMENTS",
 ]
 
@@ -181,3 +182,32 @@ def corr_from_moments(
         & (var_y > 0)
     )
     return F.when(ok, F.try_divide(cov, F.sqrt(var_x * var_y)))
+
+
+def cov_from_moments(
+    n: Column,
+    w: Column,
+    wx: Column,
+    wy: Column,
+    wxy: Column,
+    *,
+    ddof: int = 1,
+    min_periods: int = 1,
+) -> Column:
+    """Weighted covariance from aggregated moments:
+    ``(Σwxy − ΣwxΣwy/W) / (W − ddof)``, frequency-weights ddof as in
+    :func:`variance_from_weighted_moments`. Extension beyond the
+    reference (it has corr only, _stats.py:36-73); shares the corr guard
+    chain minus the positive-variance checks, which only protect corr's
+    denominator.
+    """
+    denom = w - F.lit(float(ddof))
+    cov = F.try_divide(wxy - F.try_divide(wx * wy, w), denom)
+    ok = (
+        (n >= F.lit(min_periods))
+        & w.isNotNull()
+        & ~F.isnan(w)
+        & (F.abs(w) != F.lit(_INF))
+        & (w > F.lit(float(ddof)))
+    )
+    return F.when(ok, cov)

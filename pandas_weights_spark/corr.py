@@ -27,14 +27,25 @@ from typing import TYPE_CHECKING, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pandas_weights_spark._stats import corr_from_moments, corr_moment_exprs
+from pandas_weights_spark._stats import (
+    corr_from_moments,
+    corr_moment_exprs,
+    cov_from_moments,
+)
 
 if TYPE_CHECKING:
     import pandas as pd
 
     from pandas_weights_spark.frame import WeightedDataFrame
 
-__all__ = ["frame_corr", "grouped_corr", "aligned_corr", "to_matrix"]
+__all__ = [
+    "frame_corr",
+    "grouped_corr",
+    "aligned_corr",
+    "frame_cov",
+    "grouped_cov",
+    "to_matrix",
+]
 
 
 def _check_method(method: str) -> None:
@@ -45,9 +56,12 @@ def _check_method(method: str) -> None:
 
 
 def _pair_moment_exprs(
-    wdf: "WeightedDataFrame", cols: Sequence[str]
+    wdf: "WeightedDataFrame",
+    cols: Sequence[str],
+    names: Optional[Sequence[str]] = None,
 ) -> list[Column]:
-    """Aggregate expressions for every i<=j pair's seven moments."""
+    """Aggregate expressions for every i<=j pair's moments (all seven by
+    default; cov passes the five it needs so the extra sums never run)."""
     w = wdf.weights
     exprs: list[Column] = []
     for i, cx in enumerate(cols):
@@ -56,8 +70,13 @@ def _pair_moment_exprs(
             cy = cols[j]
             y = wdf._value(cy)
             for name, expr in corr_moment_exprs(x, y, w).items():
+                if names is not None and name not in names:
+                    continue
                 exprs.append(expr.alias(f"__m_{i}_{j}_{name}"))
     return exprs
+
+
+_COV_MOMENTS = ("n", "w", "wx", "wy", "wxy")
 
 
 def _pair_corr(i: int, j: int, ddof: int, min_periods: int) -> Column:
@@ -68,8 +87,21 @@ def _pair_corr(i: int, j: int, ddof: int, min_periods: int) -> Column:
     )
 
 
+def _pair_cov(i: int, j: int, swap: bool, ddof: int, min_periods: int) -> Column:
+    m = lambda name: F.col(f"__m_{i}_{j}_{name}")  # noqa: E731
+    # cov(x, y) is symmetric, but the mirror entry's (wx, wy) swap keeps
+    # the formula's float evaluation identical either way
+    wx, wy = (m("wy"), m("wx")) if swap else (m("wx"), m("wy"))
+    return cov_from_moments(
+        m("n"), m("w"), wx, wy, m("wxy"), ddof=ddof, min_periods=min_periods
+    )
+
+
 def _pair_structs(
-    cols: Sequence[str], ddof: int, min_periods: int
+    cols: Sequence[str],
+    ddof: int,
+    min_periods: int,
+    stat: str = "corr",
 ) -> list[Column]:
     """One struct per *ordered* pair; the j<i mirror reuses the i<=j moments
     (symmetry exploitation as in reference frame.py:272-283)."""
@@ -77,12 +109,15 @@ def _pair_structs(
     for i, cx in enumerate(cols):
         for j, cy in enumerate(cols):
             lo, hi = (i, j) if i <= j else (j, i)
-            corr = _pair_corr(lo, hi, ddof, min_periods)
+            if stat == "corr":
+                val = _pair_corr(lo, hi, ddof, min_periods)
+            else:
+                val = _pair_cov(lo, hi, j < i, ddof, min_periods)
             structs.append(
                 F.struct(
                     F.lit(cx).alias("col_x"),
                     F.lit(cy).alias("col_y"),
-                    corr.alias("corr"),
+                    val.alias(stat),
                 )
             )
     return structs
@@ -129,6 +164,55 @@ def grouped_corr(
     )
     out = moments.select(
         *keys, F.inline(F.array(*_pair_structs(cols, ddof, min_periods)))
+    )
+    if sort:
+        out = out.orderBy(*keys, "col_x", "col_y")
+    return out
+
+
+def frame_cov(
+    wdf: "WeightedDataFrame",
+    min_periods: int = 1,
+    ddof: int = 1,
+    subset: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Weighted covariance matrix, long form ``(col_x, col_y, cov)``.
+
+    Same single-aggregate-pass plan as :func:`frame_corr` (the pair
+    moment set is a subset of corr's); extension beyond the reference,
+    which implements corr only.
+    """
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    if not cols:
+        raise ValueError("no numeric columns to covary")
+    moments = wdf.df.agg(*_pair_moment_exprs(wdf, cols, names=_COV_MOMENTS))
+    return moments.select(
+        F.inline(F.array(*_pair_structs(cols, ddof, min_periods, stat="cov")))
+    )
+
+
+def grouped_cov(
+    wdf: "WeightedDataFrame",
+    keys: Sequence[str],
+    dropna: bool = True,
+    sort: bool = False,
+    min_periods: int = 1,
+    ddof: int = 1,
+) -> DataFrame:
+    """Per-group weighted covariance matrices, long form, single shuffle."""
+    cols = [c for c in wdf.numeric_columns() if c not in keys]
+    if not cols:
+        raise ValueError("no numeric columns to covary")
+    df = wdf.df
+    if dropna:
+        for k in keys:
+            df = df.where(F.col(k).isNotNull())
+    moments = df.groupBy(*[F.col(k) for k in keys]).agg(
+        *_pair_moment_exprs(wdf, cols, names=_COV_MOMENTS)
+    )
+    out = moments.select(
+        *keys,
+        F.inline(F.array(*_pair_structs(cols, ddof, min_periods, stat="cov"))),
     )
     if sort:
         out = out.orderBy(*keys, "col_x", "col_y")

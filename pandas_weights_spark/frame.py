@@ -376,6 +376,19 @@ class WeightedDataFrame:
 
         return to_matrix(self.corr(**kwargs))
 
+    def cov(
+        self,
+        min_periods: int = 1,
+        ddof: int = 1,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Pairwise weighted covariance matrix, long form
+        ``(col_x, col_y, cov)`` — extension beyond the reference (corr
+        only); same one-aggregate-pass plan."""
+        from pandas_weights_spark.corr import frame_cov
+
+        return frame_cov(self, min_periods=min_periods, ddof=ddof, subset=subset)
+
     def groupby(self, *keys, dropna: bool = True, sort: bool = False):
         from pandas_weights_spark.groupby import WeightedGroupBy
 
@@ -471,6 +484,63 @@ class WeightedSeries:
 
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         return self._wdf.std(ddof=ddof, skipna=skipna, subset=[self._value_col])
+
+    def value_counts(
+        self,
+        dropna: bool = True,
+        sort: bool = True,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Weight-mass per distinct value: ``(value, count)`` where
+        ``count = Σw`` over the value's rows (extension beyond the
+        reference — the weighted analog of ``Series.value_counts``).
+
+        One hash aggregate; with ``sort`` the result is totally ordered
+        by count — fine for the tail-inspection use case, but skip
+        ``sort`` when feeding another operator at scale.
+        """
+        d = self._wdf.df
+        v = F.col(self._value_col)
+        if dropna:
+            d = d.where(v.isNotNull())
+        out = d.groupBy(v.alias(self._value_col)).agg(
+            F.coalesce(F.sum(self._wdf.weights), F.lit(0.0)).alias("count")
+        )
+        if sort:
+            out = out.orderBy(
+                F.col("count").asc() if ascending else F.col("count").desc(),
+                self._value_col,
+            )
+        return out
+
+    def histogram(self, lo: float, hi: float, bins: int) -> DataFrame:
+        """Fixed-width weighted histogram over ``[lo, hi]``:
+        ``(bin, bin_lo, count)`` with ``count = Σw`` per bucket.
+
+        Single aggregate pass with explicit bounds (no pre-scan for
+        min/max); values outside the range are dropped, and ``hi`` lands
+        in the last bucket. The shuffle key space is ``bins``, not rows.
+        """
+        if bins <= 0:
+            raise ValueError("bins must be positive")
+        if not lo < hi:
+            raise ValueError("need lo < hi")
+        width = (hi - lo) / bins
+        v = F.col(self._value_col).cast("double")
+        b = F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+        )
+        d = self._wdf.df.where(v.isNotNull() & (v >= lo) & (v <= hi))
+        return (
+            d.groupBy(b.alias("bin"))
+            .agg(F.coalesce(F.sum(self._wdf.weights), F.lit(0.0)).alias("count"))
+            .select(
+                "bin",
+                (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+                "count",
+            )
+        )
 
     def value(self, df1row: Optional[DataFrame] = None):
         """Collect a 1-row/1-col stat DataFrame to a Python scalar

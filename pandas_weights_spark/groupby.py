@@ -212,6 +212,21 @@ class WeightedGroupBy:
             ddof=ddof,
         )
 
+    def cov(self, min_periods: int = 1, ddof: int = 1) -> DataFrame:
+        """Per-group pairwise weighted covariance, long form
+        ``(keys…, col_x, col_y, cov)`` — extension beyond the reference
+        (corr only); same single-shuffle plan as :meth:`corr`."""
+        from pandas_weights_spark.corr import grouped_cov
+
+        return grouped_cov(
+            self._wdf,
+            self._keys,
+            dropna=self._dropna,
+            sort=self._sort,
+            min_periods=min_periods,
+            ddof=ddof,
+        )
+
     # -- apply (frame.py:662-679) -----------------------------------------------
 
     def apply(self, func, schema) -> DataFrame:
