@@ -204,6 +204,21 @@ def _q_corr_matrix(spark, sf_dir):
     )
 
 
+def _q_group_skew_kurt(spark, sf_dir):
+    # weighted skewness/kurtosis fused with mean in ONE aggregate pass
+    # (agg_all) — higher-moment extension beyond the reference
+    out = (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .agg_all(["skew", "kurt"])
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice_skew"), 6).alias("skew"),
+        F.round(F.col("l_extendedprice_kurt"), 6).alias("kurt"),
+    )
+
+
 def _q_cov_matrix(spark, sf_dir):
     # weighted covariance matrix (extension: reference has corr only) —
     # same one-pass pair-moment aggregate as corr_matrix
@@ -1373,6 +1388,40 @@ def _cov_sql(x, y, w, table, min_periods=1, ddof=1):
     )
 
 
+_ORACLE["group_skew_kurt"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                               THEN l_quantity END), 0.0) AS w,
+             SUM(l_extendedprice * l_quantity) AS s1,
+             SUM(l_extendedprice * l_extendedprice * l_quantity) AS s2,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_quantity) AS s3,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice * l_quantity) AS s4
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT l_returnflag, w, s1/w AS mu, s2/w AS s2w, s3/w AS s3w,
+             s4/w AS s4w
+      FROM m
+    ), cm AS (
+      SELECT l_returnflag, w,
+             s2w - mu*mu AS m2,
+             s3w - CAST(3.0 AS DOUBLE)*mu*s2w
+                 + CAST(2.0 AS DOUBLE)*mu*mu*mu AS m3,
+             s4w - CAST(4.0 AS DOUBLE)*mu*s3w
+                 + CAST(6.0 AS DOUBLE)*mu*mu*s2w
+                 - CAST(3.0 AS DOUBLE)*mu*mu*mu*mu AS m4
+      FROM c
+    )
+    SELECT l_returnflag,
+           ROUND(CASE WHEN w > 0 AND m2 > 0
+                 THEN m3 / (m2 * sqrt(m2)) END, 6) AS skew,
+           ROUND(CASE WHEN w > 0 AND m2 > 0
+                 THEN m4 / (m2 * m2) - CAST(3.0 AS DOUBLE) END, 6) AS kurt
+    FROM cm
+"""
+
 _ORACLE["value_counts"] = """
     SELECT l_returnflag, COALESCE(SUM(l_quantity), 0.0) AS w_count
     FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
@@ -1432,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_pair": _q_corr_pair,
         "corr_matrix": _q_corr_matrix,
         "cov_matrix": _q_cov_matrix,
+        "group_skew_kurt": _q_group_skew_kurt,
         "value_counts": _q_value_counts,
         "histogram": _q_histogram,
         "group_corr": _q_group_corr,

@@ -41,6 +41,8 @@ __all__ = [
     "w_var",
     "w_std",
     "variance_from_weighted_moments",
+    "w_skew",
+    "w_kurt",
     "corr_moment_exprs",
     "corr_from_moments",
     "cov_from_moments",
@@ -121,6 +123,57 @@ def w_std(x: Column, w: Column, *, ddof: int = 1, skipna: bool = True) -> Column
     """
     v = w_var(x, w, ddof=ddof, skipna=skipna)
     return F.when(v >= 0, F.sqrt(v))
+
+
+# --- weighted higher moments (extensions beyond the reference) -------------
+
+
+def _central_moments(x: Column, w: Column, *, skipna: bool, upto: int):
+    """Weighted central moments via raw power sums: one aggregate pass.
+
+    ``Sk = Σ w·x^k`` with the kernel's left-associated product order
+    (``((x*x)*x)*w`` …) — the SQL oracles mirror the same order so the
+    IEEE results are bit-identical.
+    """
+    W = w_count(x, w, skipna=skipna)
+    s1 = F.try_divide(w_sum(x, w, min_count=1), W)  # μ
+    s2w = F.try_divide(w_sum(x * x, w, min_count=1), W)
+    mu = s1
+    m2 = s2w - mu * mu
+    out = {"W": W, "mu": mu, "m2": m2, "s2w": s2w}
+    if upto >= 3:
+        s3w = F.try_divide(w_sum(x * x * x, w, min_count=1), W)
+        out["s3w"] = s3w
+        out["m3"] = s3w - F.lit(3.0) * mu * s2w + F.lit(2.0) * mu * mu * mu
+    if upto >= 4:
+        s4w = F.try_divide(w_sum(x * x * x * x, w, min_count=1), W)
+        out["m4"] = (
+            s4w
+            - F.lit(4.0) * mu * out["s3w"]
+            + F.lit(6.0) * mu * mu * s2w
+            - F.lit(3.0) * mu * mu * mu * mu
+        )
+    return out
+
+
+def w_skew(x: Column, w: Column, *, skipna: bool = True) -> Column:
+    """Weighted skewness ``m3 / m2^1.5`` (population / biased definition,
+    the frequency-weights analog of ``scipy.stats.skew(bias=True)``).
+    Extension beyond the reference; NULL when ``W <= 0`` or ``m2 <= 0``."""
+    m = _central_moments(x, w, skipna=skipna, upto=3)
+    ok = (m["W"] > 0) & (m["m2"] > 0)
+    return F.when(ok, F.try_divide(m["m3"], m["m2"] * F.sqrt(m["m2"])))
+
+
+def w_kurt(x: Column, w: Column, *, skipna: bool = True) -> Column:
+    """Weighted excess kurtosis ``m4 / m2² − 3`` (population / biased
+    definition). Extension beyond the reference; NULL when ``W <= 0`` or
+    ``m2 <= 0``."""
+    m = _central_moments(x, w, skipna=skipna, upto=4)
+    ok = (m["W"] > 0) & (m["m2"] > 0)
+    return F.when(
+        ok, F.try_divide(m["m4"], m["m2"] * m["m2"]) - F.lit(3.0)
+    )
 
 
 # --- weighted Pearson correlation -----------------------------------------

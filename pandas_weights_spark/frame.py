@@ -352,6 +352,24 @@ class WeightedDataFrame:
             lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna), subset
         )
 
+    def skew(
+        self, skipna: bool = True, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        """Weighted skewness (population definition; extension beyond the
+        reference). Single aggregate pass via raw power sums."""
+        return self._agg_1row(
+            lambda x, w: _stats.w_skew(x, w, skipna=skipna), subset
+        )
+
+    def kurt(
+        self, skipna: bool = True, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        """Weighted excess kurtosis (population definition; extension
+        beyond the reference)."""
+        return self._agg_1row(
+            lambda x, w: _stats.w_kurt(x, w, skipna=skipna), subset
+        )
+
     # -- correlation / grouping / resample / apply (separate modules) --------
 
     def corr(
@@ -484,6 +502,12 @@ class WeightedSeries:
 
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         return self._wdf.std(ddof=ddof, skipna=skipna, subset=[self._value_col])
+
+    def skew(self, skipna: bool = True) -> DataFrame:
+        return self._wdf.skew(skipna=skipna, subset=[self._value_col])
+
+    def kurt(self, skipna: bool = True) -> DataFrame:
+        return self._wdf.kurt(skipna=skipna, subset=[self._value_col])
 
     def value_counts(
         self,

@@ -41,6 +41,8 @@ _KERNELS: dict[str, Callable[..., Column]] = {
     "std": lambda x, w, **k: _stats.w_std(
         x, w, ddof=k.get("ddof", 1), skipna=k.get("skipna", True)
     ),
+    "skew": lambda x, w, **k: _stats.w_skew(x, w, skipna=k.get("skipna", True)),
+    "kurt": lambda x, w, **k: _stats.w_kurt(x, w, skipna=k.get("skipna", True)),
 }
 
 
@@ -135,6 +137,14 @@ class WeightedGroupBy:
 
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         return self._agg(lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna))
+
+    def skew(self, skipna: bool = True) -> DataFrame:
+        """Per-group weighted skewness (extension beyond the reference)."""
+        return self._agg(lambda x, w: _stats.w_skew(x, w, skipna=skipna))
+
+    def kurt(self, skipna: bool = True) -> DataFrame:
+        """Per-group weighted excess kurtosis (extension)."""
+        return self._agg(lambda x, w: _stats.w_kurt(x, w, skipna=skipna))
 
     def quantile(self, q=0.5) -> DataFrame:
         """Per-group weighted quantile(s) (inverted CDF over cumulative

@@ -1,0 +1,108 @@
+"""Weighted skewness / kurtosis (population definition) — extensions
+beyond the reference, built on the same one-pass moment kernels."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import wt
+
+
+def _pop_moments(xs, ws):
+    rows = [(x, w) for x, w in zip(xs, ws) if x is not None and w is not None]
+    W = sum(w for _, w in rows)
+    mu = sum(w * x for x, w in rows) / W
+    m2 = sum(w * (x - mu) ** 2 for x, w in rows) / W
+    m3 = sum(w * (x - mu) ** 3 for x, w in rows) / W
+    m4 = sum(w * (x - mu) ** 4 for x, w in rows) / W
+    return W, mu, m2, m3, m4
+
+
+def _skew(xs, ws):
+    _, _, m2, m3, _ = _pop_moments(xs, ws)
+    return m3 / (m2 * math.sqrt(m2))
+
+
+def _kurt(xs, ws):
+    _, _, m2, _, m4 = _pop_moments(xs, ws)
+    return m4 / (m2 * m2) - 3.0
+
+
+XS = [1.0, 2.0, 2.5, 4.0, 10.0, 3.0]
+WS = [1.0, 2.0, 1.0, 3.0, 1.0, 2.0]
+
+
+@pytest.fixture(scope="module")
+def wdf(spark):
+    return wt(
+        spark.createDataFrame(list(zip(XS, WS)), "x double, w double"), "w"
+    )
+
+
+class TestGlobal:
+    def test_skew_matches_oracle(self, wdf):
+        got = wdf.skew().collect()[0]["x"]
+        assert got == pytest.approx(_skew(XS, WS), rel=1e-12)
+
+    def test_kurt_matches_oracle(self, wdf):
+        got = wdf.kurt().collect()[0]["x"]
+        assert got == pytest.approx(_kurt(XS, WS), rel=1e-12)
+
+    def test_weight_replication_equivalence(self, spark):
+        # integer weights == replicating rows (frequency-weights meaning)
+        flat = [x for x, w in zip(XS, WS) for _ in range(int(w))]
+        wdf1 = wt(
+            spark.createDataFrame([(x, 1.0) for x in flat], "x double, w double"),
+            "w",
+        )
+        assert wdf1.skew().collect()[0]["x"] == pytest.approx(
+            _skew(XS, WS), rel=1e-12
+        )
+
+    def test_symmetric_zero_skew(self, spark):
+        rows = [(-2.0, 1.0), (-1.0, 2.0), (0.0, 3.0), (1.0, 2.0), (2.0, 1.0)]
+        wdf = wt(spark.createDataFrame(rows, "x double, w double"), "w")
+        assert wdf.skew().collect()[0]["x"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_degenerate_null(self, spark):
+        wdf = wt(
+            spark.createDataFrame([(5.0, 2.0), (5.0, 3.0)], "x double, w double"),
+            "w",
+        )
+        assert wdf.skew().collect()[0]["x"] is None  # m2 == 0
+        assert wdf.kurt().collect()[0]["x"] is None
+
+    def test_null_data_skipped(self, spark):
+        rows = [(1.0, 1.0), (None, 9.0), (2.0, 1.0), (7.0, 2.0)]
+        wdf = wt(spark.createDataFrame(rows, "x double, w double"), "w")
+        xs = [r[0] for r in rows]
+        ws = [r[1] for r in rows]
+        assert wdf.skew().collect()[0]["x"] == pytest.approx(
+            _skew(xs, ws), rel=1e-12
+        )
+
+
+class TestGrouped:
+    def test_per_group_values(self, spark):
+        rows = [("a", x, w) for x, w in zip(XS, WS)] + [
+            ("b", 1.0, 1.0), ("b", 5.0, 2.0), ("b", 9.0, 1.0), ("b", 2.0, 1.0)
+        ]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        got = {r["g"]: r["x"] for r in wdf.groupby("g").skew().collect()}
+        assert got["a"] == pytest.approx(_skew(XS, WS), rel=1e-12)
+        bx = [1.0, 5.0, 9.0, 2.0]
+        bw = [1.0, 2.0, 1.0, 1.0]
+        assert got["b"] == pytest.approx(_skew(bx, bw), rel=1e-12)
+
+    def test_agg_all_fusion(self, spark):
+        rows = [("a", x, w) for x, w in zip(XS, WS)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        out = wdf.groupby("g").agg_all(["mean", "var", "skew", "kurt"])
+        r = out.collect()[0]
+        assert r["x_skew"] == pytest.approx(_skew(XS, WS), rel=1e-12)
+        assert r["x_kurt"] == pytest.approx(_kurt(XS, WS), rel=1e-12)
