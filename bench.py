@@ -38,9 +38,15 @@ HEADLINE = [
     "text_metrics",        # tokenize/lang-id/quality/fingerprint
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
     "ngram_jaccard",       # exact jaccard via shingle inverted index
+    "embedding_neardup",   # hyperplane-LSH buckets + exact cosine verify
     "ann_topk",            # brute-force cosine top-k
     "ann_topk_ivf",        # IVF cells: train + probe + exact rank
     "weighted_centroids",  # per-label weighted centroid (64 dims)
+    "cov_matrix",          # weighted covariance (one agg pass)
+    "group_skew_kurt",     # higher moments fused via agg_all
+    "histogram",           # fixed-width weighted histogram
+    "weighted_sample",     # deterministic pps sample (TakeOrdered)
+    "hash_split",          # shuffle-free split assignment + agg
 ]
 
 

@@ -18,6 +18,11 @@ Entry point::
 from pandas_weights_spark.frame import WeightedDataFrame, WeightedSeries, wt
 from pandas_weights_spark.groupby import WeightedGroupBy
 from pandas_weights_spark.resample import WeightedResampler
+from pandas_weights_spark.sample import (
+    hash_split,
+    stratified_sample,
+    weighted_sample,
+)
 
 __version__ = "0.1.0"
 
@@ -27,5 +32,8 @@ __all__ = [
     "WeightedSeries",
     "WeightedGroupBy",
     "WeightedResampler",
+    "weighted_sample",
+    "stratified_sample",
+    "hash_split",
     "__version__",
 ]

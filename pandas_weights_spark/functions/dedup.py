@@ -315,14 +315,19 @@ def embedding_near_duplicates(
     banding does for text.
     """
     from pandas_weights_spark.functions.similarity import (
-        cosine_similarity,
+        dot,
         hyperplane_bucket,
+        l2_norm,
     )
 
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    # per-row norm computed ONCE before the self-join — the pair step then
+    # does a single dot per candidate instead of dot + two norm folds;
+    # float-identical to cosine_similarity's |a|·|b| order (oracle parity)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__n__"),
         hyperplane_bucket(F.col(vec_col), dim, bucket_planes, seed).alias("__b__"),
     )
     a = bucketed.alias("a")
@@ -339,7 +344,11 @@ def embedding_near_duplicates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+                F.try_divide(
+                    dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                    F.col("a.__n__") * F.col("b.__n__"),
+                ),
+                6,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

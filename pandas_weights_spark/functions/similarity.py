@@ -102,18 +102,28 @@ def topk_bruteforce(
     Ties break on corpus id (deterministic). Output:
     (query_id, neighbor_id, cosine, rank).
     """
+    # norms are computed ONCE per side before the join (|Q| + |corpus|
+    # sqrt-folds instead of one per candidate pair); the float result is
+    # identical to cosine_similarity's |a|·|b| order, so oracle parity holds
     q = F.broadcast(
         queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv__"),
+            l2_norm(F.col(query_vec)).alias("__qn__"),
         )
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv__")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+        l2_norm(F.col(corpus_vec)).alias("__cn__"),
     )
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+        F.try_divide(
+            dot(F.col("__qv__"), F.col("__cv__")),
+            F.col("__qn__") * F.col("__cn__"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -174,17 +184,22 @@ def topk_lsh(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv__"),
+        l2_norm(F.col(query_vec)).alias("__qn__"),
         hyperplane_bucket(F.col(query_vec), dim, planes, seed).alias("__b__"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv__"),
+        l2_norm(F.col(corpus_vec)).alias("__cn__"),
         hyperplane_bucket(F.col(corpus_vec), dim, planes, seed).alias("__b__"),
     )
     scored = c.join(F.broadcast(q), on="__b__").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+        F.try_divide(
+            dot(F.col("__qv__"), F.col("__cv__")),
+            F.col("__qn__") * F.col("__cn__"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -318,6 +333,7 @@ def topk_ivf(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv__"),
+        l2_norm(F.col(corpus_vec)).alias("__cn__"),
         nearest_cell(F.col(corpus_vec), centroids).alias("__cell__"),
     )
     # two-step select: the probe-cell array is computed before the
@@ -325,14 +341,18 @@ def topk_ivf(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv__"),
+        l2_norm(F.col(query_vec)).alias("__qn__"),
         probe_cells(F.col(query_vec), centroids, nprobe).alias("__cells__"),
     ).select(
-        "query_id", "__qv__", F.explode("__cells__").alias("__cell__")
+        "query_id", "__qv__", "__qn__", F.explode("__cells__").alias("__cell__")
     )
     scored = c.join(F.broadcast(q), on="__cell__").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+        F.try_divide(
+            dot(F.col("__qv__"), F.col("__cv__")),
+            F.col("__qn__") * F.col("__cn__"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -128,6 +128,45 @@ class TestNewOperatorPlans:
         ):
             assert not P.has_python_eval(df)
 
+    def test_weighted_sample_is_take_ordered(self, lineitem):
+        # πps sample must compile to TakeOrdered (per-partition top-n,
+        # no full sort / full shuffle) with the filter pushed to the scan
+        from pandas_weights_spark.sample import weighted_sample
+
+        df = weighted_sample(
+            lineitem, F.col("l_quantity"), 100, ["l_orderkey", "l_linenumber"]
+        )
+        plan = P.physical_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+        assert not P.has_python_eval(df)
+
+    def test_hash_split_no_exchange(self, lineitem):
+        from pandas_weights_spark.sample import hash_split
+
+        df = hash_split(
+            lineitem, {"train": 0.8, "test": 0.2}, ["l_orderkey", "l_linenumber"]
+        )
+        assert P.count_exchanges(df) == 0
+        assert not P.has_python_eval(df)
+
+    def test_cov_single_shuffle(self, lineitem):
+        df = (
+            wt(lineitem, "l_quantity")[
+                ["l_returnflag", "l_extendedprice", "l_discount"]
+            ]
+            .groupby("l_returnflag")
+            .cov()
+        )
+        P.assert_single_shuffle_agg(df)
+
+    def test_histogram_single_shuffle(self, lineitem):
+        from pandas_weights_spark.frame import WeightedSeries
+
+        s = WeightedSeries(lineitem, "l_extendedprice", F.col("l_quantity"))
+        P.assert_single_shuffle_agg(s.histogram(0.0, 60000.0, 12))
+
     def test_topk_broadcasts_queries(self, spark):
         from pandas_weights_spark.functions.similarity import topk_bruteforce
 
