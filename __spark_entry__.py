@@ -366,6 +366,26 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # concat-and-chunk token packing: md5-deterministic buckets, one
+    # window shuffle; oracle mirrors the hash + running-sum arithmetic
+    from pandas_weights_spark.functions.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, F.col("n_chars"), budget=4096, key_cols=["doc_id"],
+        n_buckets=8, seed=42,
+    ).select("doc_id", "bucket", "pack_id", "pack_offset", "tokens")
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    # inverted-index TF-IDF, top-3 terms per document, all JVM built-ins
+    from pandas_weights_spark.functions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -998,6 +1018,59 @@ def _sample_sqls() -> dict[str, str]:
 
 _ORACLE.update(_sample_sqls())
 
+
+def _pack_sql() -> str:
+    from pandas_weights_spark.sample import uniform_hash_sql
+
+    u = uniform_hash_sql(["doc_id"], 42)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, n_chars AS tokens,
+             CAST(FLOOR({u} * CAST(8 AS DOUBLE)) AS INTEGER) AS bucket
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), w AS (
+      SELECT doc_id, tokens, bucket,
+             COALESCE(SUM(tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM b
+    )
+    SELECT doc_id, bucket,
+           CAST(bucket AS BIGINT) * 1000000000
+             + CAST(FLOOR(s / 4096) AS BIGINT) AS pack_id,
+           s % 4096 AS pack_offset, tokens
+    FROM w
+"""
+
+
+_ORACLE["pack_sequences"] = _pack_sql()
+
+_ORACLE["tfidf_top_terms"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * (ln((CAST(nn.n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      / (CAST(dfq AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  + CAST(1.0 AS DOUBLE)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+"""
+
 _ORACLE["corr_pair"] = _corr_sql(
     "l_extendedprice", "disc_n", "l_quantity",
     """(SELECT l_extendedprice, l_quantity,
@@ -1491,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
+        "pack_sequences": _q_pack_sequences,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_exact": _q_dedup_exact,
         "text_metrics": _q_text_metrics,
         "token_counts": _q_token_counts,

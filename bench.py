@@ -47,6 +47,8 @@ HEADLINE = [
     "histogram",           # fixed-width weighted histogram
     "weighted_sample",     # deterministic pps sample (TakeOrdered)
     "hash_split",          # shuffle-free split assignment + agg
+    "pack_sequences",      # token-budget packing (bucketed cumsum)
+    "tfidf_top_terms",     # inverted-index tf-idf, top-k window
 ]
 
 

@@ -1,0 +1,73 @@
+"""Token-budget sequence packing (training-data pipeline extension).
+
+LLM pre-training pipelines pack variable-length documents into
+fixed-size token windows ("concat and chunk"). The distributed shape of
+that operation: assign every document a deterministic bucket, order
+documents within the bucket, take the exclusive running token total, and
+cut packs every ``budget`` tokens. Documents can straddle a pack
+boundary exactly as concat-and-chunk does; the pack id and offset tell
+the materialization step where each document's tokens land.
+
+Scale posture: ONE window shuffle, partitioned by bucket — no global
+ordering, no driver state. Bucket count controls parallelism (each
+bucket's running sum is independent), so the operator handles any corpus
+size; buckets are md5-deterministic (sample.uniform_hash), so the
+packing is reproducible run-to-run and engine-to-engine, which makes the
+whole operator expressible as ANSI window SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.sample import uniform_hash
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column,
+    budget: int,
+    key_cols: Sequence[str],
+    n_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each document to a fixed-budget token pack.
+
+    Output adds ``bucket``, ``pack_id`` (globally unique:
+    ``bucket * ceil-free arithmetic`` — pack ids are dense within a
+    bucket, ``bucket``-prefixed across buckets), ``pack_offset`` (token
+    offset of this document inside its pack), and ``tokens``.
+    Documents with NULL or non-positive token counts are excluded.
+
+    One window shuffle on ``bucket``; within a bucket the order is the
+    key columns (deterministic). A document whose tokens cross the
+    boundary belongs to the pack where it starts, mirroring
+    concat-and-chunk materialization.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    t = token_col.cast("long")
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    bucket = F.floor(u * F.lit(float(n_buckets))).cast("int")
+    base = (
+        df.where(t.isNotNull() & (t > 0))
+        .withColumn("tokens", t)  # withColumn replaces an existing column
+        .withColumn("bucket", bucket)
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(*[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("tokens").over(win), F.lit(0).cast("long"))
+    return base.select(
+        "*",
+        (F.col("bucket").cast("long") * F.lit(1_000_000_000)
+         + F.floor(start / F.lit(budget))).alias("pack_id"),
+        (start % F.lit(budget)).alias("pack_offset"),
+    )

@@ -1,0 +1,99 @@
+"""Sequence packing (packing.py) and TF-IDF top terms (text.py) —
+training-pipeline extensions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.packing import pack_sequences
+from pandas_weights_spark.functions.text import tfidf_top_terms
+
+
+class TestPackSequences:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, 300 + (i * 37) % 700) for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, tokens long")
+
+    def test_offsets_are_running_totals(self, docs):
+        out = pack_sequences(
+            docs, F.col("tokens"), budget=1000, key_cols=["doc_id"],
+            n_buckets=4,
+        ).collect()
+        by_bucket = {}
+        for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+            start = by_bucket.get(r["bucket"], 0)
+            assert r["pack_id"] == r["bucket"] * 1_000_000_000 + start // 1000
+            assert r["pack_offset"] == start % 1000
+            by_bucket[r["bucket"]] = start + r["tokens"]
+
+    def test_every_doc_packed_once(self, docs):
+        out = pack_sequences(
+            docs, F.col("tokens"), budget=512, key_cols=["doc_id"]
+        )
+        assert out.count() == 200
+        assert out.select("doc_id").distinct().count() == 200
+
+    def test_deterministic_across_partitionings(self, docs):
+        a = pack_sequences(docs, F.col("tokens"), 1000, ["doc_id"], n_buckets=4)
+        b = pack_sequences(
+            docs.repartition(7), F.col("tokens"), 1000, ["doc_id"], n_buckets=4
+        )
+        ka = {(r["doc_id"]): (r["pack_id"], r["pack_offset"]) for r in a.collect()}
+        kb = {(r["doc_id"]): (r["pack_id"], r["pack_offset"]) for r in b.collect()}
+        assert ka == kb
+
+    def test_excludes_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, None), (4, 5)], "doc_id long, tokens long"
+        )
+        out = pack_sequences(df, F.col("tokens"), 100, ["doc_id"])
+        assert {r["doc_id"] for r in out.collect()} == {1, 4}
+
+    def test_bad_budget_raises(self, spark):
+        df = spark.createDataFrame([(1, 10)], "doc_id long, tokens long")
+        with pytest.raises(ValueError):
+            pack_sequences(df, F.col("tokens"), 0, ["doc_id"])
+
+
+class TestTfidf:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple cherry cherry date"),
+            (3, "elderberry"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_scores_match_formula(self, corpus):
+        out = tfidf_top_terms(corpus, "text", "doc_id", k=10).collect()
+        got = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+        n = 4
+
+        def want(tf, df):
+            return round(tf * (math.log((n + 1) / (df + 1)) + 1.0), 6)
+
+        assert got[(0, "apple")] == pytest.approx(want(2, 2))
+        assert got[(0, "banana")] == pytest.approx(want(1, 2))
+        assert got[(2, "cherry")] == pytest.approx(want(2, 2))
+        assert got[(2, "date")] == pytest.approx(want(1, 1))
+        assert got[(3, "elderberry")] == pytest.approx(want(1, 1))
+
+    def test_rank_and_k(self, corpus):
+        out = tfidf_top_terms(corpus, "text", "doc_id", k=1).collect()
+        top = {r["doc_id"]: (r["term"], r["rank"]) for r in out}
+        assert len(out) == 4  # one per doc
+        assert top[0] == ("apple", 1)   # tf=2 beats banana tf=1
+        assert top[2] == ("cherry", 1)  # tf=2 beats the rarer date tf=1
+        assert top[3] == ("elderberry", 1)
+
+    def test_case_folding(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Apple APPLE apple"), (1, "pear")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+        top0 = [r for r in out if r["doc_id"] == 0][0]
+        assert top0["term"] == "apple"
