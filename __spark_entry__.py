@@ -167,6 +167,20 @@ def _q_resample_2d(spark, sf_dir):
     )
 
 
+def _q_resample_2d_right(spark, sf_dir):
+    # closed="right"/label="right" resample: (lo, hi] intervals labeled by
+    # the upper edge — 1µs pre-shift + label shift (resample.py)
+    return (
+        wt(_li(spark, sf_dir), _W)[["l_extendedprice"]]
+        .resample("2D", on="l_shipdate", closed="right", label="right")
+        .sum()
+        .select(
+            F.col("l_shipdate").alias("bucket"),
+            F.col("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 def _q_resample_6h_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     wexpr = (F.col("user_id") % 7 + 1).cast("double")
@@ -888,6 +902,16 @@ _ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY bucket
     """,
+    "resample_2d_right": """
+        WITH o AS (SELECT date_trunc('day', MIN(l_shipdate)) AS org FROM lineitem)
+        SELECT time_bucket(INTERVAL 2 DAY,
+                           l_shipdate - INTERVAL 1 MICROSECOND,
+                           (SELECT org FROM o))
+                 + INTERVAL 2 DAY AS bucket,
+               SUM(l_extendedprice * l_quantity) AS sum_price
+        FROM lineitem
+        GROUP BY bucket
+    """,
     "resample_6h_events": """
         WITH t AS (
           SELECT CAST(ts AS TIMESTAMP) AS ts, value,
@@ -1550,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantile": _q_group_quantile,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
+        "resample_2d_right": _q_resample_2d_right,
         "resample_6h_events": _q_resample_6h_events,
         "corr_pair": _q_corr_pair,
         "corr_matrix": _q_corr_matrix,

@@ -432,10 +432,15 @@ class WeightedDataFrame:
         on: str,
         origin: str = "start_day",
         offset: Optional[Union[str, dt.timedelta]] = None,
+        closed: str = "left",
+        label: str = "left",
     ):
         from pandas_weights_spark.resample import WeightedResampler
 
-        return WeightedResampler(self, rule, on=on, origin=origin, offset=offset)
+        return WeightedResampler(
+            self, rule, on=on, origin=origin, offset=offset,
+            closed=closed, label=label,
+        )
 
     def apply(self, func, schema, axis: int = 0):
         """Apply an arbitrary Python function over the *pre-weighted* data
@@ -583,10 +588,15 @@ class WeightedSeries:
         on: str,
         origin: str = "start_day",
         offset: Optional[Union[str, dt.timedelta]] = None,
+        closed: str = "left",
+        label: str = "left",
     ):
         from pandas_weights_spark.resample import WeightedResampler
 
-        return WeightedResampler(self._wdf, rule, on=on, origin=origin, offset=offset)
+        return WeightedResampler(
+            self._wdf, rule, on=on, origin=origin, offset=offset,
+            closed=closed, label=label,
+        )
 
     def corr(
         self,

@@ -95,14 +95,20 @@ class WeightedResampler:
         on: str,
         origin: str = "start_day",
         offset: Optional[Union[str, dt.timedelta]] = None,
+        closed: str = "left",
+        label: str = "left",
     ) -> None:
         if on not in wdf.df.columns:
             raise KeyError(f"timestamp column {on!r} not in DataFrame")
+        if closed not in ("left", "right") or label not in ("left", "right"):
+            raise ValueError("closed/label must be 'left' or 'right'")
         self._wdf = wdf
         self._on = on
         self._kind, self._n = parse_rule(rule)
         self._origin = origin
         self._offset_secs = _as_seconds(offset) if offset is not None else 0
+        self._closed = closed
+        self._label = label
 
     # -- bucketing -------------------------------------------------------------
 
@@ -128,14 +134,28 @@ class WeightedResampler:
         return (base + self._offset_secs) % self._n
 
     def bucket(self) -> Column:
-        """The bucket-start timestamp Column for the configured rule."""
+        """The bucket-label timestamp Column for the configured rule.
+
+        ``closed="right"`` makes intervals ``(lo, hi]``: timestamps are
+        microsecond-precision, so shifting by 1µs before bucketing moves
+        exactly the boundary points into the preceding bucket.
+        ``label="right"`` labels each bucket by its upper edge.
+        """
         ts = F.col(self._on)
+        if self._closed == "right":
+            ts = ts - F.expr("INTERVAL 1 MICROSECOND")
         if self._kind == "fixed":
             phase = self._start_time_seconds()
-            return F.window(
+            start = F.window(
                 ts, f"{self._n} seconds", startTime=f"{phase} seconds"
             ).start
-        return F.date_trunc(self._kind, ts)
+            if self._label == "right":
+                start = start + F.expr(f"INTERVAL {self._n} SECOND")
+            return start
+        start = F.date_trunc(self._kind, ts)
+        if self._label == "right":
+            start = start + F.expr(f"INTERVAL 1 {self._kind.upper()}")
+        return start
 
     def _agg(
         self, builder: Callable[[Column, Column], Column], complete: bool = False

@@ -136,3 +136,52 @@ class TestResample:
         )
         assert g[B1]["Value_sum"] == approx(5.0)
         assert g[B1]["Value_mean"] == approx(5.0 / 3.0)
+
+
+class TestClosedLabelRight:
+    """Differential vs pandas resample closed/label semantics."""
+
+    ROWS = [
+        (dt.datetime(2024, 1, 1), 1.0, 1.0),
+        (dt.datetime(2024, 1, 2), 2.0, 2.0),
+        (dt.datetime(2024, 1, 3), 3.0, 3.0),
+        (dt.datetime(2024, 1, 4), 4.0, 4.0),
+        (dt.datetime(2024, 1, 5), 5.0, 1.0),
+        (dt.datetime(2024, 1, 6, 12), 6.0, 2.0),
+    ]
+
+    def _pandas_expected(self, closed, label):
+        import pandas as pd
+
+        idx = pd.DatetimeIndex([r[0] for r in self.ROWS])
+        vw = pd.Series(
+            [v * w for _, v, w in self.ROWS], index=idx
+        )
+        exp = vw.resample(
+            "2D", closed=closed, label=label, origin="epoch"
+        ).sum()
+        return {k.to_pydatetime(): v for k, v in exp.items() if v != 0}
+
+    @pytest.mark.parametrize(
+        "closed,label",
+        [("left", "left"), ("right", "left"), ("right", "right"),
+         ("left", "right")],
+    )
+    def test_matches_pandas(self, spark, closed, label):
+        df = spark.createDataFrame(
+            self.ROWS, "ts timestamp, Value double, weights double"
+        )
+        out = (
+            wt(df, "weights")
+            .resample("2D", on="ts", origin="epoch", closed=closed, label=label)
+            .sum()
+        )
+        got = {r["ts"]: r["Value"] for r in out.collect()}
+        assert got == self._pandas_expected(closed, label)
+
+    def test_bad_closed_raises(self, spark):
+        df = spark.createDataFrame(
+            self.ROWS, "ts timestamp, Value double, weights double"
+        )
+        with pytest.raises(ValueError):
+            wt(df, "weights").resample("2D", on="ts", closed="both")
