@@ -122,6 +122,26 @@ def _q_group_mean(spark, sf_dir):
     )
 
 
+def _q_group_var_salted(spark, sf_dir):
+    # skew-salted two-stage aggregation (groupby.agg_all_salted): same
+    # semantics as agg_all, hot keys spread over 16 reducers in stage 1.
+    # Rounded to 6 — the moment-merge summation order differs from the
+    # single-stage plan, so bit-exactness is not expected (only here).
+    out = (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .agg_all_salted(["count", "mean", "std"], salt_buckets=16)
+    )
+    # scale-free outputs only (mean/std ~1e4): a 4-decimal cell is ~1e9x
+    # the worst-case order-of-summation noise, raw sums (~1e10) are not
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice_count"), 4).alias("w_count"),
+        F.round(F.col("l_extendedprice_mean"), 4).alias("w_mean"),
+        F.round(F.col("l_extendedprice_std"), 4).alias("w_std"),
+    )
+
+
 def _q_group_var(spark, sf_dir):
     return (
         wt(_li(spark, sf_dir), _W)
@@ -862,6 +882,25 @@ _ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     """,
+    "group_var_salted": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                                   THEN l_quantity END), 0.0) AS c,
+                 CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
+                      THEN COALESCE(SUM(l_quantity * l_extendedprice), 0.0) END AS s,
+                 CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
+                      THEN COALESCE(SUM(l_extendedprice * l_extendedprice
+                                        * l_quantity), 0.0) END AS ss
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               ROUND(c, 4) AS w_count,
+               ROUND(s / c, 4) AS w_mean,
+               ROUND(CASE WHEN (ss - s*s/c) / (c - 1) >= 0
+                          THEN sqrt((ss - s*s/c) / (c - 1)) END, 4) AS w_std
+        FROM m
+    """,
     "group_var": """
         WITH m AS (
           SELECT l_returnflag,
@@ -1571,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_min_count": _q_sum_min_count,
         "group_mean": _q_group_mean,
         "group_var": _q_group_var,
+        "group_var_salted": _q_group_var_salted,
         "group_quantile": _q_group_quantile,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,

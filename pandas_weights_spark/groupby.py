@@ -194,6 +194,135 @@ class WeightedGroupBy:
         ]
         return self._finish(self._grouped().agg(*exprs))
 
+    def agg_all_salted(
+        self, stats: Sequence[str], salt_buckets: int = 32, **kwargs
+    ) -> DataFrame:
+        """:meth:`agg_all` with explicit skew salting: identical output,
+        two-stage execution.
+
+        Stage 1 groups on ``(keys…, salt)`` where ``salt`` spreads each
+        hot key over ``salt_buckets`` reducers and computes the *moment
+        sums* (Σw masked, Σwx, Σwx², valid count). Stage 2 re-groups on
+        the keys alone — at most ``|groups| × salt_buckets`` rows cross
+        the second exchange — sums the moments (they are associative),
+        and assembles the statistics. Use when a group key is so hot
+        that AQE skew handling is not enough; for well-distributed keys
+        prefer :meth:`agg_all` (one shuffle).
+
+        Supports ``count/sum/mean/var/std/skew/kurt``. ``min_count``/
+        ``min_periods`` guards need the *global* valid count, which is
+        carried as a moment, so semantics match :meth:`agg_all` exactly.
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError("salting applies to plain groupby only")
+        cols = self._value_cols()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        bad = [s for s in stats if s not in _KERNELS]
+        if bad:
+            raise ValueError(f"unknown statistics: {bad}")
+        skipna = kwargs.get("skipna", True)
+        ddof = kwargs.get("ddof", 1)
+        min_count = kwargs.get("min_count", 0)
+        need4 = any(s in ("skew", "kurt") for s in stats)
+
+        df = self._wdf.df
+        if self._dropna:
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+        w = self._wdf.weights
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+
+        # stage 1: per-(keys, salt) moment sums — map-side partials make
+        # each hot key's load 1/salt_buckets of the rows per reducer
+        partial = []
+        for c in cols:
+            x = self._wdf._value(c)
+            wv = F.when(x.isNotNull(), w)
+            partial += [
+                F.sum(wv).alias(f"__{c}_cw"),  # Σw over valid x
+                F.sum(w).alias(f"__{c}_aw"),  # Σw over all rows
+                F.count(x * w).alias(f"__{c}_n"),  # valid (x, w) pairs
+                F.sum(x * w).alias(f"__{c}_s1"),
+                F.sum(x * x * w).alias(f"__{c}_s2"),
+            ]
+            if need4:
+                partial += [
+                    F.sum(x * x * x * w).alias(f"__{c}_s3"),
+                    F.sum(x * x * x * x * w).alias(f"__{c}_s4"),
+                ]
+        stage1 = df.withColumn("__salt__", salt).groupBy(
+            *self._keys, "__salt__"
+        ).agg(*partial)
+
+        # stage 2: merge moments per key, assemble statistics
+        merged = stage1.groupBy(*self._keys).agg(
+            *[
+                F.sum(f"__{c}_{m}").alias(f"__{c}_{m}")
+                for c in cols
+                for m in (
+                    ("cw", "aw", "n", "s1", "s2", "s3", "s4")
+                    if need4
+                    else ("cw", "aw", "n", "s1", "s2")
+                )
+            ]
+        )
+        out_exprs = []
+        for c in cols:
+            cw = F.coalesce(F.col(f"__{c}_cw"), F.lit(0.0))
+            aw = F.coalesce(F.col(f"__{c}_aw"), F.lit(0.0))
+            n = F.col(f"__{c}_n")
+            s1 = F.col(f"__{c}_s1")
+            s2 = F.col(f"__{c}_s2")
+            W = cw if skipna else aw
+            # min_count applies to `sum` only; mean/var/skew/kurt always
+            # guard at 1 valid pair, exactly like the agg_all kernels
+            s1g = F.when(n >= F.lit(1), s1)
+            for s in stats:
+                if s == "count":
+                    e = W
+                elif s == "sum":
+                    e = (
+                        F.when(n >= F.lit(min_count), F.coalesce(s1, F.lit(0.0)))
+                        if min_count > 0
+                        else F.coalesce(s1, F.lit(0.0))
+                    )
+                elif s == "mean":
+                    e = F.try_divide(s1g, W)
+                elif s in ("var", "std"):
+                    v = _stats.variance_from_weighted_moments(
+                        s1g, F.when(n >= 1, s2), W, ddof=ddof
+                    )
+                    e = v if s == "var" else F.when(v >= 0, F.sqrt(v))
+                else:  # skew / kurt — population central moments
+                    mu = F.try_divide(s1g, W)
+                    s2w = F.try_divide(F.when(n >= 1, s2), W)
+                    m2 = s2w - mu * mu
+                    s3w = F.try_divide(F.col(f"__{c}_s3"), W)
+                    if s == "skew":
+                        m3 = (
+                            s3w - F.lit(3.0) * mu * s2w
+                            + F.lit(2.0) * mu * mu * mu
+                        )
+                        e = F.when(
+                            (W > 0) & (m2 > 0),
+                            F.try_divide(m3, m2 * F.sqrt(m2)),
+                        )
+                    else:
+                        s4w = F.try_divide(F.col(f"__{c}_s4"), W)
+                        m4 = (
+                            s4w
+                            - F.lit(4.0) * mu * s3w
+                            + F.lit(6.0) * mu * mu * s2w
+                            - F.lit(3.0) * mu * mu * mu * mu
+                        )
+                        e = F.when(
+                            (W > 0) & (m2 > 0),
+                            F.try_divide(m4, m2 * m2) - F.lit(3.0),
+                        )
+                out_exprs.append(e.alias(f"{c}_{s}"))
+        return self._finish(merged.select(*self._keys, *out_exprs))
+
     # -- correlation (frame.py:630-660) ----------------------------------------
 
     def corr(

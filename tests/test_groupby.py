@@ -129,3 +129,62 @@ class TestGroupedAggregates:
         total = {r["Group"]: r["Value"] for r in rows}
         assert total[None] == approx(195.0)  # grand total row
         assert total["A"] == approx(50.0)
+
+
+class TestSaltedAggAll:
+    """agg_all_salted must equal agg_all (two-stage moment merge)."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # one hot key (90% of rows), NULLs sprinkled in data and weights
+        rows = []
+        for i in range(2000):
+            g = "hot" if i % 10 else f"cold{i % 7}"
+            v = None if i % 97 == 0 else float(i % 50)
+            w = None if i % 101 == 0 else 1.0 + (i % 5)
+            rows.append((g, v, w))
+        return wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+
+    @pytest.mark.parametrize("stats", [["count", "sum", "mean", "var", "std"],
+                                       ["mean", "skew", "kurt"]])
+    def test_matches_agg_all(self, skewed, stats):
+        plain = {
+            r["g"]: r.asDict()
+            for r in skewed.groupby("g").agg_all(stats).collect()
+        }
+        salted = {
+            r["g"]: r.asDict()
+            for r in skewed.groupby("g").agg_all_salted(stats, 8).collect()
+        }
+        assert set(plain) == set(salted)
+        for g, row in plain.items():
+            for k, v in row.items():
+                if k == "g":
+                    continue
+                if v is None:
+                    assert salted[g][k] is None, (g, k)
+                else:
+                    assert salted[g][k] == pytest.approx(v, rel=1e-9), (g, k)
+
+    def test_two_exchanges(self, skewed):
+        from pandas_weights_spark import plans as P
+
+        df = skewed.groupby("g").agg_all_salted(["mean", "var"], 8)
+        plan = P.physical_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    def test_skipna_false(self, skewed):
+        plain = {
+            r["g"]: r["x_count"]
+            for r in skewed.groupby("g").agg_all(["count"], skipna=False).collect()
+        }
+        salted = {
+            r["g"]: r["x_count"]
+            for r in skewed.groupby("g").agg_all_salted(
+                ["count"], 4, skipna=False
+            ).collect()
+        }
+        for g in plain:
+            assert salted[g] == pytest.approx(plain[g], rel=1e-9)
