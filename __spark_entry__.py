@@ -329,6 +329,16 @@ def _q_cube_sum(spark, sf_dir):
     )
 
 
+def _q_group_mode(spark, sf_dir):
+    # per-group weighted mode: argmax of weight mass over distinct values
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_linenumber"]]
+        .mode()
+        .select("l_returnflag", "l_linenumber", F.col("count").alias("mass"))
+    )
+
+
 def _q_group_quantile(spark, sf_dir):
     # weighted median/p90 per group (quantile.py): inverted CDF over
     # cumulative weight; window + agg share one hash exchange
@@ -881,6 +891,19 @@ _ORACLE: dict[str, str] = {
                AS mean_disc
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "group_mode": """
+        WITH mass AS (
+          SELECT l_returnflag, l_linenumber,
+                 COALESCE(SUM(l_quantity), 0.0) AS m
+          FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2
+        ), r AS (
+          SELECT l_returnflag, l_linenumber, m,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY m DESC, l_linenumber) AS rk
+          FROM mass
+        )
+        SELECT l_returnflag, l_linenumber, m AS mass FROM r WHERE rk = 1
     """,
     "group_var_salted": """
         WITH m AS (
@@ -1612,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_var": _q_group_var,
         "group_var_salted": _q_group_var_salted,
         "group_quantile": _q_group_quantile,
+        "group_mode": _q_group_mode,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
         "resample_2d_right": _q_resample_2d_right,

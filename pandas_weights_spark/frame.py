@@ -542,6 +542,20 @@ class WeightedSeries:
             )
         return out
 
+    def mode(self, dropna: bool = True) -> DataFrame:
+        """The value with the largest weight mass: 1 row
+        ``(value, count)``. Ties break to the smallest value
+        (deterministic). Extension beyond the reference — the weighted
+        analog of ``Series.mode`` collapsed to its first entry.
+
+        TakeOrdered over the value-mass aggregate: one shuffle keyed on
+        the distinct values, then a 1-row merge.
+        """
+        vc = self.value_counts(dropna=dropna, sort=False)
+        return vc.orderBy(
+            F.col("count").desc(), F.col(self._value_col).asc()
+        ).limit(1)
+
     def histogram(self, lo: float, hi: float, bins: int) -> DataFrame:
         """Fixed-width weighted histogram over ``[lo, hi]``:
         ``(bin, bin_lo, count)`` with ``count = Σw`` per bucket.

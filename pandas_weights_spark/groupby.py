@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_weights_spark import _stats
@@ -193,6 +193,43 @@ class WeightedGroupBy:
             for s in stats
         ]
         return self._finish(self._grouped().agg(*exprs))
+
+    def mode(self, dropna_values: bool = True) -> DataFrame:
+        """Per-group weighted mode of the single selected value column:
+        ``(keys…, <col>, count)`` where ``count`` is the winning value's
+        weight mass. Ties break to the smallest value.
+
+        Narrow first (``grouped[["col"]].mode()``). Two exchanges: the
+        (keys, value) mass aggregate, then the per-key argmax window —
+        the window input is already one row per distinct (keys, value).
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError("mode is not defined for cube/rollup")
+        cols = self._value_cols()
+        if len(cols) != 1:
+            raise ValueError(
+                "mode needs exactly one value column; select with "
+                "grouped[['col']]"
+            )
+        c = cols[0]
+        df = self._wdf.df
+        if self._dropna:
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+        if dropna_values:
+            df = df.where(F.col(c).isNotNull())
+        mass = df.groupBy(*self._keys, c).agg(
+            F.coalesce(F.sum(self._wdf.weights), F.lit(0.0)).alias("count")
+        )
+        win = Window.partitionBy(*self._keys).orderBy(
+            F.col("count").desc(), F.col(c).asc()
+        )
+        out = (
+            mass.withColumn("__rk__", F.row_number().over(win))
+            .where(F.col("__rk__") == 1)
+            .drop("__rk__")
+        )
+        return self._finish(out)
 
     def agg_all_salted(
         self, stats: Sequence[str], salt_buckets: int = 32, **kwargs

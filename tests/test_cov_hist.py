@@ -154,3 +154,51 @@ class TestHistogram:
             s.histogram(0, 10, 0)
         with pytest.raises(ValueError):
             s.histogram(5, 5, 3)
+
+
+class TestMode:
+    def test_global_mode(self, spark):
+        rows = [("x", 1.0), ("x", 2.0), ("y", 5.0), ("z", 2.0)]
+        s = WeightedSeries(
+            spark.createDataFrame(rows, "v string, w double"), "v", "w"
+        )
+        r = s.mode().collect()
+        assert len(r) == 1
+        assert (r[0]["v"], r[0]["count"]) == ("y", 5.0)
+
+    def test_global_mode_tie_smallest(self, spark):
+        rows = [(2.0, 3.0), (1.0, 3.0), (5.0, 1.0)]
+        s = WeightedSeries(
+            spark.createDataFrame(rows, "v double, w double"), "v", "w"
+        )
+        r = s.mode().collect()[0]
+        assert (r["v"], r["count"]) == (1.0, 3.0)
+
+    def test_grouped_mode(self, spark):
+        from pandas_weights_spark import wt
+
+        rows = [
+            ("a", 1.0, 1.0), ("a", 1.0, 1.0), ("a", 2.0, 5.0),
+            ("b", 3.0, 2.0), ("b", 4.0, 1.0), ("b", None, 9.0),
+        ]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, v double, w double"), "w"
+        )
+        got = {
+            r["g"]: (r["v"], r["count"])
+            for r in wdf.groupby("g")[["v"]].mode().collect()
+        }
+        assert got == {"a": (2.0, 5.0), "b": (3.0, 2.0)}
+
+    def test_grouped_mode_needs_one_column(self, spark):
+        from pandas_weights_spark import wt
+
+        rows = [("a", 1.0, 2.0, 1.0)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, v double, u double, w double"),
+            "w",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            wdf.groupby("g").mode()
