@@ -15,7 +15,12 @@ Entry point::
     wdf.corr()                           # pairwise weighted Pearson (long form)
 """
 
-from pandas_weights_spark.frame import WeightedDataFrame, WeightedSeries, wt
+from pandas_weights_spark.frame import (
+    WeightedDataFrame,
+    WeightedSeries,
+    install_accessor,
+    wt,
+)
 from pandas_weights_spark.groupby import WeightedGroupBy
 from pandas_weights_spark.resample import WeightedResampler
 from pandas_weights_spark.sample import (
@@ -28,6 +33,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "wt",
+    "install_accessor",
     "WeightedDataFrame",
     "WeightedSeries",
     "WeightedGroupBy",

@@ -71,6 +71,25 @@ def wt(
     return WeightedDataFrame(df, weights, na_weight=na_weight, nan_as_null=nan_as_null)
 
 
+def install_accessor() -> None:
+    """Install ``DataFrame.wt(weights, na_weight=None)`` for call-site
+    parity with the reference's pandas accessor
+    (``@register_dataframe_accessor("wt")``, frame.py:46). Optional —
+    the functional ``wt(df, ...)`` is the primary API; this just lets
+    reference code move over verbatim::
+
+        import pandas_weights_spark as pws
+        pws.install_accessor()
+        df.wt("weight_col").groupby("k").mean()
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    def _wt(self, weights, na_weight=None, nan_as_null=True):
+        return wt(self, weights, na_weight=na_weight, nan_as_null=nan_as_null)
+
+    _DF.wt = _wt
+
+
 class WeightedDataFrame:
     """A DataFrame with a bound per-row weight (frame.py:47-78)."""
 

@@ -147,3 +147,16 @@ class TestAggregates:
     def test_weighted_view(self, basic):
         vals = [r["A"] for r in wt(basic, "weights").weighted().collect()]
         assert sorted(vals) == [approx(0.5), approx(3.0), approx(6.0)]
+
+
+class TestInstallAccessor:
+    def test_df_wt_call_parity(self, spark):
+        import pandas_weights_spark as pws
+
+        pws.install_accessor()
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (3.0, 4.0)], "x double, w double"
+        )
+        got = df.wt("w").mean().collect()[0]["x"]
+        want = pws.wt(df, "w").mean().collect()[0]["x"]
+        assert got == want
