@@ -49,6 +49,9 @@ HEADLINE = [
     "hash_split",          # shuffle-free split assignment + agg
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
+    "group_var_salted",    # skew-salted two-stage moment merge
+    "group_mode",          # per-group argmax by weight mass
+    "resample_2d_right",   # closed/label-right bucketing
 ]
 
 

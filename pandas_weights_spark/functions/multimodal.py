@@ -180,3 +180,63 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    media_col: str,
+    width: int,
+    height: int,
+    out_col: str = "resized",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Arrow-batched media resize: adds ``out_col`` as a media struct with
+    the target dimensions.
+
+    The Spark-side contract (mapInPandas linear scan, struct-in /
+    struct-out schema, batch sizing) is real; the pixel work is behind
+    DECODE-style dispatch — the ``fake/`` mime family produces a
+    deterministic payload (truncated/cycled to width*height bytes) for
+    tests, real image mimes raise NotImplementedError until a codec is
+    plugged in (this container ships none).
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    media_field = next(f for f in df.schema.fields if f.name == media_col)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, media_field.dataType)]
+    )
+
+    def _fake_resize(payload: bytes) -> bytes:
+        need = width * height
+        if not payload:
+            return b"\x00" * need
+        reps = need // len(payload) + 1
+        return (payload * reps)[:need]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                if m is None or m.get("payload") is None:
+                    out.append(None)
+                    continue
+                mime = m.get("mime") or ""
+                if mime.startswith("fake/"):
+                    r = dict(m)
+                    r["payload"] = _fake_resize(bytes(m["payload"]))
+                    r["width"] = width
+                    r["height"] = height
+                    out.append(r)
+                else:
+                    raise NotImplementedError(
+                        "image resize requires PIL/opencv, not available in "
+                        "this environment — plug a codec into resize_media"
+                    )
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in pdf.columns}, out_col: out}
+            )
+
+    return df.mapInPandas(run, out_schema)

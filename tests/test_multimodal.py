@@ -87,3 +87,48 @@ class TestFrameSample:
             r["frame_ts_ms"] for r in out.where("id = 1").collect()
         )
         assert ts == [0, 1000, 2000, 3000]
+
+
+class TestResize:
+    def test_fake_resize_batch_shape(self, spark):
+        from pandas_weights_spark.functions.multimodal import (
+            media_struct,
+            resize_media,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"abcdef")), (2, bytearray(b"")), (3, None)],
+            "id long, payload binary",
+        ).select(
+            "id",
+            media_struct(
+                F.col("payload"), F.lit("fake/x"),
+                width=F.lit(100), height=F.lit(50),
+            ).alias("media"),
+        )
+        out = {r["id"]: r["resized"] for r in
+               resize_media(df, "media", 4, 3).collect()}
+        assert out[3] is None  # NULL payload passes through as NULL
+        r1 = out[1]
+        assert (r1["width"], r1["height"]) == (4, 3)
+        assert len(r1["payload"]) == 12
+        assert bytes(r1["payload"]) == (b"abcdef" * 2)[:12]
+        assert len(out[2]["payload"]) == 12  # empty payload zero-filled
+
+    def test_real_mime_raises(self, spark):
+        from pandas_weights_spark.functions.multimodal import (
+            media_struct,
+            resize_media,
+        )
+        from pyspark.sql import functions as F
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "id long, payload binary"
+        ).select(
+            "id",
+            media_struct(F.col("payload"), F.lit("image/png")).alias("media"),
+        )
+        with _pytest.raises(Exception):
+            resize_media(df, "media", 2, 2).collect()
