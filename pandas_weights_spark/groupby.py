@@ -376,6 +376,10 @@ class WeightedGroupBy:
         ``groupBy(keys).agg(<all pair moments>)`` followed by a JVM-side
         unpivot; group cardinality is unbounded.
         """
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "corr is not defined for cube/rollup grouping sets"
+            )
         from pandas_weights_spark.corr import grouped_corr
 
         return grouped_corr(
@@ -392,6 +396,10 @@ class WeightedGroupBy:
         """Per-group pairwise weighted covariance, long form
         ``(keys…, col_x, col_y, cov)`` — extension beyond the reference
         (corr only); same single-shuffle plan as :meth:`corr`."""
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "cov is not defined for cube/rollup grouping sets"
+            )
         from pandas_weights_spark.corr import grouped_cov
 
         return grouped_cov(
@@ -407,6 +415,10 @@ class WeightedGroupBy:
 
     def apply(self, func, schema) -> DataFrame:
         """``applyInPandas`` over each group's *pre-weighted* rows."""
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "apply is not defined for cube/rollup grouping sets"
+            )
         from pandas_weights_spark.apply import grouped_apply
 
         return grouped_apply(self, func, schema)

@@ -188,3 +188,19 @@ class TestSaltedAggAll:
         }
         for g in plain:
             assert salted[g] == pytest.approx(plain[g], rel=1e-9)
+
+
+class TestCubeRollupGuards:
+    def test_non_additive_ops_raise(self, spark):
+        rows = [("a", "x", 1.0, 1.0), ("b", "y", 2.0, 2.0)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, h string, v double, w double"),
+            "w",
+        )
+        for grouped in (wdf.cube("g", "h"), wdf.rollup("g", "h")):
+            for op in ("corr", "cov", "apply", "mode"):
+                with pytest.raises(NotImplementedError):
+                    if op == "apply":
+                        grouped.apply(lambda pdf: pdf, "g string")
+                    else:
+                        getattr(grouped, op)()
