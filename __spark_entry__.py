@@ -317,6 +317,24 @@ def _q_aligned_corr(spark, sf_dir):
     )
 
 
+def _q_aligned_cov(spark, sf_dir):
+    # cov analog of aligned_corr: join-aligned weighted covariance
+    from pandas_weights_spark.corr import aligned_cov
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    left = wt(orders, (F.col("o_orderkey") % 10 + 1).cast("double")).df
+    out = aligned_cov(
+        left, "o_totalprice", cust, "c_acctbal",
+        on="o_custkey", by=["o_orderstatus"],
+    )
+    return out.select(
+        "o_orderstatus", F.round(F.col("cov"), 4).alias("cov")
+    )
+
+
 def _q_cube_sum(spark, sf_dir):
     return (
         wt(_li(spark, sf_dir), _W)
@@ -1186,6 +1204,30 @@ _ORACLE["aligned_corr"] = (
     + ")"
 )
 
+_ORACLE["aligned_cov"] = """
+    WITH j AS (
+      SELECT o_orderstatus, o_totalprice AS x, c_acctbal AS y,
+             CAST(o_orderkey % 10 + 1 AS DOUBLE) AS w
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), m AS (
+      SELECT o_orderstatus,
+             COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         AND w IS NOT NULL THEN 1 END) AS n,
+             SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN w END) AS sw,
+             SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN w END
+                 * x) AS sx,
+             SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN w END
+                 * y) AS sy,
+             SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN w END
+                 * x * y) AS sxy
+      FROM j GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           ROUND(CASE WHEN n >= 1 AND sw > 1.0
+                 THEN (sxy - (sx*sy)/sw) / (sw - 1.0) END, 4) AS cov
+    FROM m
+"""
+
 _ORACLE["rolling_mean"] = """
     SELECT l_orderkey, l_linenumber,
            CASE WHEN COUNT(l_partkey * l_quantity) OVER w >= 3
@@ -1648,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "group_corr": _q_group_corr,
         "aligned_corr": _q_aligned_corr,
+        "aligned_cov": _q_aligned_cov,
         "cube_sum": _q_cube_sum,
         "rollup_mean": _q_rollup_mean,
         "weighted_sample": _q_weighted_sample,

@@ -42,6 +42,7 @@ __all__ = [
     "frame_corr",
     "grouped_corr",
     "aligned_corr",
+    "aligned_cov",
     "frame_cov",
     "grouped_cov",
     "to_matrix",
@@ -272,6 +273,55 @@ def aligned_corr(
             joined.groupBy(*by).agg(*moments.values()).select(*by, corr).orderBy(*by)
         )
     return joined.agg(*moments.values()).select(corr)
+
+
+def aligned_cov(
+    left: DataFrame,
+    x_col: str,
+    other: DataFrame,
+    y_col: str,
+    on: Union[str, Sequence[str]],
+    by: Optional[Sequence[str]] = None,
+    min_periods: Optional[int] = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Weighted covariance of ``left[x_col]`` against ``other[y_col]``
+    aligned by inner join on ``on`` — the cov analog of
+    :func:`aligned_corr` (extension: the reference aligns corr only).
+    Same join fan-out semantics; only the five cov moments are computed.
+    """
+    from pandas_weights_spark.frame import WEIGHT_COL
+
+    min_periods = 1 if min_periods is None else min_periods
+    on_cols = [on] if isinstance(on, str) else list(on)
+    by = list(by) if by else []
+
+    y_alias = "__pw_other__"
+    left_sel = left.select(
+        *dict.fromkeys(on_cols + by), F.col(x_col).alias("__pw_x__"), F.col(WEIGHT_COL)
+    )
+    right_sel = other.select(*on_cols, F.col(y_col).alias(y_alias))
+    joined = left_sel.join(right_sel, on=on_cols, how="inner")
+
+    x = F.col("__pw_x__").cast("double")
+    y = F.col(y_alias).cast("double")
+    w = F.col(WEIGHT_COL)
+    moments = {
+        name: expr.alias(f"__m_{name}")
+        for name, expr in corr_moment_exprs(x, y, w).items()
+        if name in _COV_MOMENTS
+    }
+    m = lambda name: F.col(f"__m_{name}")  # noqa: E731
+    cov = cov_from_moments(
+        m("n"), m("w"), m("wx"), m("wy"), m("wxy"),
+        ddof=ddof, min_periods=min_periods,
+    ).alias("cov")
+
+    if by:
+        return (
+            joined.groupBy(*by).agg(*moments.values()).select(*by, cov).orderBy(*by)
+        )
+    return joined.agg(*moments.values()).select(cov)
 
 
 def to_matrix(long_form: DataFrame) -> "pd.DataFrame":

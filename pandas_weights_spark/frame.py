@@ -659,6 +659,30 @@ class WeightedSeries:
             ddof=ddof,
         )
 
+    def cov(
+        self,
+        other: DataFrame,
+        other_value: str,
+        on: Union[str, Sequence[str]],
+        by: Optional[Sequence[str]] = None,
+        min_periods: Optional[int] = None,
+        ddof: int = 1,
+    ) -> DataFrame:
+        """Weighted covariance against another table's column, aligned by
+        inner join on ``on`` — cov analog of :meth:`corr` (extension)."""
+        from pandas_weights_spark.corr import aligned_cov
+
+        return aligned_cov(
+            self._wdf.df,
+            self._value_col,
+            other,
+            other_value,
+            on=on,
+            by=by,
+            min_periods=min_periods,
+            ddof=ddof,
+        )
+
     def apply(self, func, schema):
         from pandas_weights_spark.apply import series_apply
 
