@@ -347,6 +347,26 @@ def _q_cube_sum(spark, sf_dir):
     )
 
 
+def _q_group_quantile_binned(spark, sf_dir):
+    # approximate weighted quantile via fixed binning — the 100 TB path:
+    # shuffle volume is groups x bins, not rows; error <= (hi-lo)/bins.
+    # l_quantity weights are integral doubles, so bucket masses are exact
+    # and the check is value-exact despite the two-stage summation.
+    from pandas_weights_spark.quantile import weighted_quantiles_binned
+
+    out = weighted_quantiles_binned(
+        wt(_li(spark, sf_dir), _W),
+        [0.5, 0.9],
+        lo=0.0, hi=60000.0, bins=1024,
+        subset=["l_extendedprice"], keys=["l_returnflag"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("l_extendedprice_p50").alias("price_p50"),
+        F.col("l_extendedprice_p90").alias("price_p90"),
+    )
+
+
 def _q_group_mode(spark, sf_dir):
     # per-group weighted mode: argmax of weight mass over distinct values
     return (
@@ -909,6 +929,33 @@ _ORACLE: dict[str, str] = {
                AS mean_disc
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "group_quantile_binned": """
+        WITH b AS (
+          SELECT l_returnflag,
+                 LEAST(1023, CAST(FLOOR(
+                   (LEAST(GREATEST(l_extendedprice, CAST(0.0 AS DOUBLE)),
+                          CAST(60000.0 AS DOUBLE)) - CAST(0.0 AS DOUBLE))
+                   / CAST(58.59375 AS DOUBLE)) AS INTEGER)) AS bin,
+                 SUM(l_quantity) AS bm
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+          GROUP BY 1, 2
+        ), c AS (
+          SELECT l_returnflag, bin,
+                 SUM(bm) OVER (PARTITION BY l_returnflag ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 SUM(bm) OVER (PARTITION BY l_returnflag) AS tw
+          FROM b
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN cw >= 0.5 * tw
+                   THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
+                   END) AS price_p50,
+               MIN(CASE WHEN cw >= 0.9 * tw
+                   THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
+                   END) AS price_p90
+        FROM c GROUP BY 1
     """,
     "group_mode": """
         WITH mass AS (
@@ -1677,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_var": _q_group_var,
         "group_var_salted": _q_group_var_salted,
         "group_quantile": _q_group_quantile,
+        "group_quantile_binned": _q_group_quantile_binned,
         "group_mode": _q_group_mode,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,

@@ -27,7 +27,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["weighted_quantiles", "quantile_col_name"]
+__all__ = ["weighted_quantiles", "weighted_quantiles_binned", "quantile_col_name"]
 
 
 def quantile_col_name(col: str, q: float) -> str:
@@ -91,3 +91,124 @@ def weighted_quantiles(
             )
     staged = df.select(*sel)
     return staged.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def weighted_quantiles_binned(
+    wdf,
+    qs: Union[float, Sequence[float]],
+    lo: float,
+    hi: float,
+    bins: int = 4096,
+    subset: Optional[Sequence[str]] = None,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Approximate weighted quantiles via a fixed binning of ``[lo, hi]``
+    — the 100 TB path: NO per-row sort, just one hash aggregate on
+    ``(keys, bin)`` (at most ``groups × bins`` rows ever shuffle) plus a
+    tiny bin-level window.
+
+    The returned value is the lower edge of the bucket where the
+    cumulative weight first reaches ``q × Σw``: error ≤ ``(hi-lo)/bins``
+    deterministically. Values are clamped into [lo, hi] (mass outside the
+    range accumulates in the edge buckets), so Σw matches the exact
+    definition. Same output column names as :func:`weighted_quantiles`.
+    """
+    if isinstance(qs, float):
+        qs = [qs]
+    qs = [float(q) for q in qs]
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile must be in (0, 1], got {q}")
+    if bins <= 0 or not lo < hi:
+        raise ValueError("need bins > 0 and lo < hi")
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    cols = [c for c in cols if c not in keys]
+    if not cols:
+        raise ValueError("no numeric columns for quantile")
+
+    w = wdf.weights
+    df = wdf.df
+    width = (hi - lo) / bins
+    sel = [F.col(k) for k in keys]
+    part = [F.col(k) for k in keys]
+    aggs1, aggs2 = [], []
+    for c in cols:
+        x = wdf._value(c)
+        clamped = F.least(F.greatest(x, F.lit(float(lo))), F.lit(float(hi)))
+        b = F.least(
+            F.lit(bins - 1),
+            F.floor((clamped - F.lit(float(lo))) / F.lit(width)).cast("int"),
+        )
+        mass = F.when(x.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+        sel += [
+            F.when(mass > 0, b).alias(f"__b_{c}__"),
+            mass.alias(f"__m_{c}__"),
+        ]
+        aggs1.append(F.sum(f"__m_{c}__").alias(f"__bm_{c}__"))
+    staged = df.select(*sel)
+    if len(cols) == 1:
+        # fast path: no generator — the whole map side stays in one
+        # whole-stage-codegen span feeding the (keys, bin) hash aggregate
+        c = cols[0]
+        binned = (
+            staged.select(
+                *[F.col(k) for k in keys],
+                F.lit(0).alias("__ci__"),
+                F.col(f"__b_{c}__").alias("__b__"),
+                F.col(f"__m_{c}__").alias("__m__"),
+            )
+            .where(F.col("__b__").isNotNull())
+            .groupBy(*[F.col(k) for k in keys], "__ci__", "__b__")
+            .agg(F.sum("__m__").alias("__bm__"))
+        )
+    else:
+        # multi-column: one scan, per-column bins unioned via explode of
+        # (col_idx, bin, mass) structs — the generator costs codegen
+        # fusion, so multi-column binning trades map-side speed for a
+        # single pass over the data
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.col(f"__b_{c}__").alias("b"),
+                    F.col(f"__m_{c}__").alias("m"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+        exploded = staged.select(
+            *[F.col(k) for k in keys], F.explode(pairs).alias("p")
+        )
+        binned = (
+            exploded.select(
+                *[F.col(k) for k in keys],
+                F.col("p.ci").alias("__ci__"),
+                F.col("p.b").alias("__b__"),
+                F.col("p.m").alias("__m__"),
+            )
+            .where(F.col("__b__").isNotNull())
+            .groupBy(*[F.col(k) for k in keys], "__ci__", "__b__")
+            .agg(F.sum("__m__").alias("__bm__"))
+        )
+    cum_w = Window.partitionBy(*part, "__ci__").orderBy("__b__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy(*part, "__ci__")
+    cdf = binned.select(
+        *[F.col(k) for k in keys],
+        "__ci__",
+        "__b__",
+        F.sum("__bm__").over(cum_w).alias("__cw__"),
+        F.sum("__bm__").over(tot_w).alias("__tw__"),
+    )
+    aggs = []
+    for i, c in enumerate(cols):
+        for q in qs:
+            edge = F.lit(float(lo)) + F.col("__b__") * F.lit(width)
+            hit = F.when(
+                (F.col("__ci__") == i)
+                & (F.col("__cw__") >= F.lit(q) * F.col("__tw__")),
+                edge,
+            )
+            aggs.append(F.min(hit).alias(quantile_col_name(c, q)))
+    return cdf.groupBy(*[F.col(k) for k in keys]).agg(*aggs)

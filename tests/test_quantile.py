@@ -108,3 +108,44 @@ class TestGroupedQuantile:
         )
         with pytest.raises(NotImplementedError):
             wt(d, "w").cube("g").quantile(0.5)
+
+
+class TestBinnedQuantile:
+    def test_error_bound_vs_exact(self, spark):
+        from pandas_weights_spark.quantile import (
+            weighted_quantiles,
+            weighted_quantiles_binned,
+        )
+
+        rows = [(f"g{i%3}", float((i * 37) % 1000), 1.0 + i % 5)
+                for i in range(3000)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        exact = {
+            r["g"]: (r["x_p50"], r["x_p90"])
+            for r in weighted_quantiles(wdf, [0.5, 0.9], ["x"], ["g"]).collect()
+        }
+        approx = {
+            r["g"]: (r["x_p50"], r["x_p90"])
+            for r in weighted_quantiles_binned(
+                wdf, [0.5, 0.9], lo=0.0, hi=1000.0, bins=500,
+                subset=["x"], keys=["g"],
+            ).collect()
+        }
+        width = 1000.0 / 500
+        for g in exact:
+            for a, e in zip(approx[g], exact[g]):
+                assert abs(a - e) <= width + 1e-9, (g, a, e)
+
+    def test_global_and_validation(self, spark):
+        from pandas_weights_spark.quantile import weighted_quantiles_binned
+
+        rows = [(float(v), 1.0) for v in range(100)]
+        wdf = wt(spark.createDataFrame(rows, "x double, w double"), "w")
+        r = weighted_quantiles_binned(
+            wdf, 0.5, lo=0.0, hi=99.0, bins=99, subset=["x"]
+        ).collect()[0]
+        assert abs(r["x_p50"] - 49.0) <= 1.01
+        with pytest.raises(ValueError):
+            weighted_quantiles_binned(wdf, 0.5, lo=5, hi=5, bins=10)
