@@ -50,6 +50,7 @@ HEADLINE = [
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
     "group_var_salted",    # skew-salted two-stage moment merge
+    "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
     "resample_2d_right",   # closed/label-right bucketing
 ]
