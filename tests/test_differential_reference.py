@@ -238,3 +238,38 @@ class TestSeriesCorr:
         )
         got = aligned_corr(left, "x", right, "y", on="k").collect()[0]["corr"]
         eq(got, ref, f"series corr seed={seed}")
+
+
+class TestNaWeight:
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_na_weight_fill_matches(self, spark, seed):
+        data = make_frame(seed)
+        pdf = pdf_of(data).drop(columns=["g"])
+        ref = pdf.wt("w", na_weight=1.5).mean()
+        got = wt(sdf_of(spark, data), "w", na_weight=1.5).mean().collect()[0]
+        for c in ("a", "b"):
+            eq(got[c], ref[c], f"na_weight mean seed={seed} col={c}")
+
+
+class TestMultiKeyGroupBy:
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_two_key_grouped_sum(self, spark, seed):
+        rng = random.Random(seed * 31)
+        n = 23
+        data = {
+            "g": [rng.choice(["x", "y"]) for _ in range(n)],
+            "h": [rng.choice([1, 2, 3]) for _ in range(n)],
+            "a": [round(rng.uniform(-5, 5), 3) for _ in range(n)],
+            "w": [round(rng.uniform(0.5, 2.0), 3) for _ in range(n)],
+        }
+        pdf = pd.DataFrame(data)
+        ref = pdf.wt("w").groupby(["g", "h"]).sum()
+        sdf = spark.createDataFrame(
+            list(zip(data["g"], data["h"], data["a"], data["w"])),
+            "g string, h long, a double, w double",
+        )
+        rows = wt(sdf, "w").groupby("g", "h").sum().collect()
+        got = {(r["g"], r["h"]): r["a"] for r in rows}
+        assert set(got) == set(ref.index)
+        for key in ref.index:
+            eq(got[key], ref.loc[key, "a"], f"2key sum {key}")
