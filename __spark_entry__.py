@@ -367,6 +367,20 @@ def _q_group_quantile_binned(spark, sf_dir):
     )
 
 
+def _q_group_zscore(spark, sf_dir):
+    # per-row standardization against group weighted moments (transform
+    # counterpart of the aggregates) — one window shuffle
+    out = (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .zscore()
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice_z"), 6).alias("z"),
+    )
+
+
 def _q_group_mode(spark, sf_dir):
     # per-group weighted mode: argmax of weight mass over distinct values
     return (
@@ -956,6 +970,21 @@ _ORACLE: dict[str, str] = {
                    THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
                    END) AS price_p90
         FROM c GROUP BY 1
+    """,
+    "group_zscore": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                                   THEN l_quantity END), 0.0) AS c,
+                 SUM(l_extendedprice * l_quantity) AS s,
+                 SUM(l_extendedprice * l_extendedprice * l_quantity) AS ss
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_orderkey, l.l_linenumber,
+               ROUND(CASE WHEN (ss - s*s/c) / (c - 1) > 0
+                     THEN (l.l_extendedprice - s/c)
+                          / sqrt((ss - s*s/c) / (c - 1)) END, 6) AS z
+        FROM lineitem l JOIN m USING (l_returnflag)
     """,
     "group_mode": """
         WITH mass AS (
@@ -1726,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantile": _q_group_quantile,
         "group_quantile_binned": _q_group_quantile_binned,
         "group_mode": _q_group_mode,
+        "group_zscore": _q_group_zscore,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
         "resample_2d_right": _q_resample_2d_right,

@@ -194,6 +194,43 @@ class WeightedGroupBy:
         ]
         return self._finish(self._grouped().agg(*exprs))
 
+    def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        """Per-row standardization against the row's GROUP weighted
+        moments: adds ``{col}_z = (x − μ_g) / σ_g`` for every numeric
+        column (extension — the transform counterpart of the aggregates,
+        pandas ``groupby.transform('zscore')``-style).
+
+        One window shuffle on the keys; the group moments are window
+        sums of the same expressions the aggregate path uses, so the
+        statistics agree exactly with :meth:`mean`/:meth:`std`.
+        Degenerate groups (σ ≤ 0 or W ≤ ddof) yield NULL.
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "zscore is not defined for cube/rollup grouping sets"
+            )
+        cols = self._value_cols()
+        if not cols:
+            raise ValueError("no numeric columns to standardize")
+        df = self._wdf.df
+        if self._dropna:
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+        w = self._wdf.weights
+        win = Window.partitionBy(*self._keys)
+        out_cols = list(df.columns)
+        for c in cols:
+            x = self._wdf._value(c)
+            mask = F.when(x.isNotNull(), w) if skipna else w
+            W = F.coalesce(F.sum(mask).over(win), F.lit(0.0))
+            s1 = F.sum(x * w).over(win)
+            s2 = F.sum(x * x * w).over(win)
+            var = _stats.variance_from_weighted_moments(s1, s2, W, ddof=ddof)
+            mu = F.try_divide(s1, W)
+            z = F.when(var > 0, F.try_divide(x - mu, F.sqrt(var)))
+            out_cols.append(z.alias(f"{c}_z"))
+        return df.select(*out_cols)
+
     def mode(self, dropna_values: bool = True) -> DataFrame:
         """Per-group weighted mode of the single selected value column:
         ``(keys…, <col>, count)`` where ``count`` is the winning value's

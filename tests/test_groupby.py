@@ -204,3 +204,38 @@ class TestCubeRollupGuards:
                         grouped.apply(lambda pdf: pdf, "g string")
                     else:
                         getattr(grouped, op)()
+
+
+class TestZScore:
+    def test_matches_group_stats(self, spark):
+        rows = [
+            ("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 4.0, 1.0),
+            ("b", 10.0, 1.0), ("b", 20.0, 3.0),
+        ]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        stats = {
+            r["g"]: (r["x_mean"], r["x_std"])
+            for r in wdf.groupby("g").agg_all(["mean", "std"]).collect()
+        }
+        out = wdf.groupby("g").zscore().collect()
+        for r in out:
+            mu, sd = stats[r["g"]]
+            assert r["x_z"] == pytest.approx((r["x"] - mu) / sd, rel=1e-12)
+
+    def test_degenerate_group_null(self, spark):
+        rows = [("a", 5.0, 1.0), ("a", 5.0, 2.0)]  # zero variance
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        out = wdf.groupby("g").zscore().collect()
+        assert all(r["x_z"] is None for r in out)
+
+    def test_null_value_has_null_z(self, spark):
+        rows = [("a", 1.0, 1.0), ("a", None, 2.0), ("a", 3.0, 1.0)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        out = {(r["g"], r["x"]): r["x_z"] for r in wdf.groupby("g").zscore().collect()}
+        assert out[("a", None)] is None
