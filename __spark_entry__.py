@@ -432,6 +432,18 @@ def _q_weighted_sample(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+def _q_poisson_sample(spark, sf_dir):
+    # Poisson pps: include with prob min(1, n*w/Sum_w) — pure map after a
+    # 1-row total; Sum l_quantity is an exact integral double, so the
+    # inclusion predicate is bit-identical in the oracle
+    from pandas_weights_spark.sample import poisson_sample
+
+    return poisson_sample(
+        _li(spark, sf_dir), F.col("l_quantity"), 500,
+        ["l_orderkey", "l_linenumber"], seed=42,
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum weighted quota (one window shuffle on the strata keys)
     from pandas_weights_spark.sample import stratified_sample
@@ -1175,6 +1187,15 @@ def _sample_sqls() -> dict[str, str]:
       LIMIT 1000
     )
 """,
+        "poisson_sample": f"""
+    WITH t AS (SELECT SUM(l_quantity) AS tw FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_quantity > 0)
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem, t
+    WHERE l_quantity IS NOT NULL AND l_quantity > 0
+      AND {u_li} < LEAST(CAST(1.0 AS DOUBLE),
+                         CAST(500.0 AS DOUBLE) * l_quantity / tw)
+""",
         "stratified_sample": f"""
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
       SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1772,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_sum": _q_cube_sum,
         "rollup_mean": _q_rollup_mean,
         "weighted_sample": _q_weighted_sample,
+        "poisson_sample": _q_poisson_sample,
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,

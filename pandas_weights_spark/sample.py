@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "uniform_hash",
     "weighted_sample",
+    "poisson_sample",
     "stratified_sample",
     "hash_split",
 ]
@@ -101,6 +102,41 @@ def weighted_sample(
     )
     out = ranked.orderBy(F.col("__pw_skey__").asc(), *key_cols).limit(n)
     return out.drop("__pw_skey__")
+
+
+def poisson_sample(
+    df: DataFrame,
+    weight: Column,
+    expected_n: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    total_weight: Optional[float] = None,
+) -> DataFrame:
+    """Poisson πps sampling: include each row independently with
+    probability ``min(1, expected_n · w / Σw)``.
+
+    The scale-extreme variant: after one tiny aggregate for ``Σw``
+    (skippable by passing ``total_weight``), selection is a PURE MAP —
+    no sort, no TakeOrdered merge, no shuffle of any kind — so it
+    composes with arbitrary downstream plans at any corpus size. Sample
+    size is random with mean ≤ ``expected_n`` (exactly ``expected_n``
+    when no weight is capped); use :func:`weighted_sample` when an exact
+    count matters.
+    """
+    w = weight.cast("double")
+    if total_weight is None:
+        total_weight = (
+            df.where(w.isNotNull() & (w > 0))
+            .agg(F.sum(w).alias("t"))
+            .collect()[0]["t"]
+        )
+    if not total_weight or total_weight <= 0:
+        return df.where(F.lit(False))
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    p = F.least(
+        F.lit(1.0), F.lit(float(expected_n)) * w / F.lit(float(total_weight))
+    )
+    return df.where(w.isNotNull() & (w > 0) & (u < p))
 
 
 def stratified_sample(

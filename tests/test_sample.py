@@ -150,3 +150,47 @@ class TestHashSplit:
     def test_bad_fractions_raise(self, lineitem):
         with pytest.raises(ValueError):
             hash_split(lineitem, {"a": 0.5, "b": 0.2}, ["l_orderkey"])
+
+
+class TestPoissonSample:
+    def test_expected_size_and_determinism(self, lineitem):
+        from pandas_weights_spark.sample import poisson_sample
+
+        a = poisson_sample(
+            lineitem, F.col("l_quantity"), 500,
+            ["l_orderkey", "l_linenumber"], seed=3,
+        )
+        b = poisson_sample(
+            lineitem, F.col("l_quantity"), 500,
+            ["l_orderkey", "l_linenumber"], seed=3,
+        )
+        na, nb = a.count(), b.count()
+        assert na == nb  # deterministic
+        assert 350 < na < 650  # mean 500, sd ~22
+
+    def test_heavy_rows_oversampled(self, spark):
+        from pandas_weights_spark.sample import poisson_sample
+
+        rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        out = poisson_sample(df, F.col("w"), 600, ["id"]).collect()
+        heavy = sum(1 for r in out if r["w"] == 10.0)
+        light = len(out) - heavy
+        assert heavy > 5 * max(light, 1) * 0.7  # ~10x inclusion ratio
+
+    def test_zero_total_weight_empty(self, spark):
+        from pandas_weights_spark.sample import poisson_sample
+
+        df = spark.createDataFrame([(1, 0.0), (2, None)], "id long, w double")
+        assert poisson_sample(df, F.col("w"), 10, ["id"]).count() == 0
+
+    def test_map_only_plan(self, lineitem):
+        from pandas_weights_spark import plans as P
+        from pandas_weights_spark.sample import poisson_sample
+
+        df = poisson_sample(
+            lineitem, F.col("l_quantity"), 100,
+            ["l_orderkey", "l_linenumber"], total_weight=117000.0,
+        )
+        assert P.count_exchanges(df) == 0
+        assert not P.has_python_eval(df)
