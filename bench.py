@@ -46,7 +46,9 @@ HEADLINE = [
     "group_skew_kurt",     # higher moments fused via agg_all
     "histogram",           # fixed-width weighted histogram
     "weighted_sample",     # deterministic pps sample (TakeOrdered)
+    "poisson_sample",      # map-only pps inclusion
     "hash_split",          # shuffle-free split assignment + agg
+    "group_zscore",        # windowed per-row standardization
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
     "group_var_salted",    # skew-salted two-stage moment merge
