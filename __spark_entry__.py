@@ -381,6 +381,18 @@ def _q_group_zscore(spark, sf_dir):
     )
 
 
+def _q_group_mad(spark, sf_dir):
+    # robust spread: weighted median of |x - weighted median(x)| per group
+    out = (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .mad()
+    )
+    return out.select(
+        "l_returnflag", F.col("l_extendedprice").alias("mad")
+    )
+
+
 def _q_group_mode(spark, sf_dir):
     # per-group weighted mode: argmax of weight mass over distinct values
     return (
@@ -982,6 +994,37 @@ _ORACLE: dict[str, str] = {
                    THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
                    END) AS price_p90
         FROM c GROUP BY 1
+    """,
+    "group_mad": """
+        WITH v AS (
+          SELECT l_returnflag AS g, l_extendedprice AS x, l_quantity AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        ), c AS (
+          SELECT g, x, w,
+                 SUM(w) OVER (PARTITION BY g ORDER BY x
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY g) AS tw
+          FROM v
+        ), med AS (
+          SELECT g, MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS m
+          FROM c GROUP BY g
+        ), d AS (
+          SELECT v.g, abs(v.x - med.m) AS x, v.w
+          FROM v JOIN med USING (g)
+        ), c2 AS (
+          SELECT g, x,
+                 SUM(w) OVER (PARTITION BY g ORDER BY x
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY g) AS tw
+          FROM d
+        )
+        SELECT g AS l_returnflag,
+               MIN(CASE WHEN cw >= 0.5 * tw THEN x END)
+                 * CAST(1.0 AS DOUBLE) AS mad
+        FROM c2 GROUP BY g
     """,
     "group_zscore": """
         WITH m AS (
@@ -1775,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_var_salted": _q_group_var_salted,
         "group_quantile": _q_group_quantile,
         "group_quantile_binned": _q_group_quantile_binned,
+        "group_mad": _q_group_mad,
         "group_mode": _q_group_mode,
         "group_zscore": _q_group_zscore,
         "group_mean_customer": _q_group_mean_customer,

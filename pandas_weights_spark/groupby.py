@@ -172,6 +172,59 @@ class WeightedGroupBy:
     def median(self) -> DataFrame:
         return self.quantile(0.5)
 
+    def mad(self, scale: float = 1.0) -> DataFrame:
+        """Weighted median absolute deviation per group:
+        ``scale · median_w(|x − median_w(x)|)`` — the robust spread
+        companion to :meth:`std` (extension; pass ``scale≈1.4826`` for
+        normal-consistency). Two window shuffles: the group medians (a
+        tiny frame) broadcast-join back onto the rows, then the deviation
+        median reuses the same inverted-CDF machinery.
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "mad is not defined for cube/rollup grouping sets"
+            )
+        from pandas_weights_spark.frame import WEIGHT_COL, wt as _wt
+        from pandas_weights_spark.quantile import (
+            quantile_col_name,
+            weighted_quantiles,
+        )
+
+        cols = self._value_cols()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        wdf = self._wdf
+        df = wdf.df
+        if self._dropna:
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+            sub = wdf._subset(wdf.columns)
+            sub._df = df
+            wdf = sub
+        med = weighted_quantiles(wdf, 0.5, subset=cols, keys=self._keys)
+        joined = df.join(F.broadcast(med), on=self._keys)
+        dev = joined.select(
+            *self._keys,
+            F.col(WEIGHT_COL),
+            *[
+                F.abs(
+                    wdf._value(c) - F.col(quantile_col_name(c, 0.5))
+                ).alias(c)
+                for c in cols
+            ],
+        )
+        out = weighted_quantiles(
+            _wt(dev, WEIGHT_COL), 0.5, subset=cols, keys=self._keys
+        )
+        renamed = out.select(
+            *self._keys,
+            *[
+                (F.col(quantile_col_name(c, 0.5)) * F.lit(float(scale))).alias(c)
+                for c in cols
+            ],
+        )
+        return self._finish(renamed)
+
     def agg_all(self, stats: Sequence[str], **kwargs) -> DataFrame:
         """Several statistics in ONE aggregate pass / shuffle.
 

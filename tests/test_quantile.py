@@ -149,3 +149,46 @@ class TestBinnedQuantile:
         assert abs(r["x_p50"] - 49.0) <= 1.01
         with pytest.raises(ValueError):
             weighted_quantiles_binned(wdf, 0.5, lo=5, hi=5, bins=10)
+
+
+class TestMad:
+    def test_matches_manual(self, spark):
+        rows = [
+            ("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 9.0, 1.0),
+            ("b", 5.0, 1.0), ("b", 6.0, 1.0), ("b", 7.0, 2.0),
+        ]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+
+        def wmedian(vals, ws):
+            order = sorted(zip(vals, ws))
+            tot = sum(ws)
+            cum = 0.0
+            for v, w in order:
+                cum += w
+                if cum >= 0.5 * tot:
+                    return v
+
+        got = {r["g"]: r["x"] for r in wdf.groupby("g").mad().collect()}
+        for g in ("a", "b"):
+            sub = [(x, w) for gg, x, w in rows if gg == g]
+            m = wmedian([x for x, _ in sub], [w for _, w in sub])
+            mad = wmedian([abs(x - m) for x, _ in sub], [w for _, w in sub])
+            assert got[g] == pytest.approx(mad, rel=1e-12), g
+
+    def test_scale_factor(self, spark):
+        rows = [("a", float(v), 1.0) for v in range(10)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        plain = wdf.groupby("g").mad().collect()[0]["x"]
+        scaled = wdf.groupby("g").mad(scale=1.4826).collect()[0]["x"]
+        assert scaled == pytest.approx(plain * 1.4826, rel=1e-12)
+
+    def test_constant_group_zero(self, spark):
+        rows = [("a", 4.0, 1.0), ("a", 4.0, 3.0)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        assert wdf.groupby("g").mad().collect()[0]["x"] == 0.0
