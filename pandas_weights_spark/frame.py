@@ -281,6 +281,38 @@ class WeightedDataFrame:
 
     # -- windowed statistics --------------------------------------------------
 
+    def mad(
+        self, scale: float = 1.0, subset: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        """Whole-table weighted median absolute deviation per column
+        (extension): ``scale · median_w(|x − median_w(x)|)``. The 1-row
+        median frame broadcast-crossjoins back onto the rows; see
+        ``WeightedGroupBy.mad`` for the grouped variant.
+        """
+        from pandas_weights_spark.quantile import (
+            quantile_col_name,
+            weighted_quantiles,
+        )
+
+        cols = list(subset) if subset is not None else self.numeric_columns()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        med = weighted_quantiles(self, 0.5, subset=cols, keys=())
+        dev = self._df.crossJoin(F.broadcast(med)).select(
+            F.col(WEIGHT_COL),
+            *[
+                F.abs(self._value(c) - F.col(quantile_col_name(c, 0.5))).alias(c)
+                for c in cols
+            ],
+        )
+        out = weighted_quantiles(wt(dev, WEIGHT_COL), 0.5, subset=cols, keys=())
+        return out.select(
+            *[
+                (F.col(quantile_col_name(c, 0.5)) * F.lit(float(scale))).alias(c)
+                for c in cols
+            ]
+        )
+
     def rolling(
         self,
         window: int,

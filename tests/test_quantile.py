@@ -192,3 +192,11 @@ class TestMad:
             spark.createDataFrame(rows, "g string, x double, w double"), "w"
         )
         assert wdf.groupby("g").mad().collect()[0]["x"] == 0.0
+
+    def test_global_mad(self, spark):
+        rows = [(1.0, 1.0), (2.0, 2.0), (9.0, 1.0), (3.0, 1.0)]
+        wdf = wt(spark.createDataFrame(rows, "x double, w double"), "w")
+        # weighted median = 2 (cum 1,3 of 5 >= 2.5); |x-2| = 1,0,7,1 with
+        # w 1,2,1,1 → sorted (0,2),(1,1),(1,1),(7,1): cum 2,3 >= 2.5 → 1
+        got = wdf.mad().collect()[0]["x"]
+        assert got == pytest.approx(1.0)
