@@ -1254,7 +1254,11 @@ def _sample_sqls() -> dict[str, str]:
     SELECT CASE WHEN {u_doc} < 0.8 THEN 'train'
                 WHEN {u_doc} < {0.8 + 0.1!r} THEN 'val'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+           COUNT(*) AS n_docs,
+           -- DuckDB SUM(BIGINT) -> HUGEINT -> float64 in fetchdf(); Spark
+           -- emits int64. Cast back so the driver's type-sensitive hash
+           -- matches (same failure class as the DECIMAL-literal rule).
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM documents GROUP BY 1
 """,
     }
@@ -1282,7 +1286,9 @@ def _pack_sql() -> str:
     SELECT doc_id, bucket,
            CAST(bucket AS BIGINT) * 1000000000
              + CAST(FLOOR(s / 4096) AS BIGINT) AS pack_id,
-           s % 4096 AS pack_offset, tokens
+           -- s is a SUM() window -> HUGEINT; % keeps HUGEINT -> float64 in
+           -- fetchdf(). Cast to BIGINT to match Spark's int64.
+           CAST(s % 4096 AS BIGINT) AS pack_offset, tokens
     FROM w
 """
 
