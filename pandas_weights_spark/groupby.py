@@ -46,6 +46,34 @@ _KERNELS: dict[str, Callable[..., Column]] = {
 }
 
 
+def _join_group_stats(
+    df: DataFrame, stats: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Left-join per-group statistics back onto the row frame.
+
+    The scale-safe shape for per-row transforms: the statistics frame is
+    one row per group (tiny relative to ``df``), so AQE broadcast-joins
+    it at runtime — no forced ``F.broadcast`` hint, because group-key
+    cardinality is unbounded and a hinted broadcast of a huge side OOMs
+    the executors; a plain shuffle join is safe at any cardinality.
+
+    Uses null-safe key equality (``<=>``) so NULL-key groups keep their
+    statistics (matching ``Window.partitionBy`` / pandas ``dropna=False``
+    semantics, where NULL is an ordinary group key). The stats frame's
+    key columns are renamed before the join and dropped after, so the
+    output has exactly ``df``'s columns plus the statistic columns.
+    """
+    renamed = stats
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__pw_sk_{k}__")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(renamed[f"__pw_sk_{k}__"])
+        cond = c if cond is None else (cond & c)
+    out = df.join(renamed, cond, "left")
+    return out.drop(*[f"__pw_sk_{k}__" for k in keys])
+
+
 class WeightedGroupBy:
     """Lazy weighted group-by: ``(WeightedDataFrame, keys)`` pair.
 
@@ -202,7 +230,13 @@ class WeightedGroupBy:
             sub._df = df
             wdf = sub
         med = weighted_quantiles(wdf, 0.5, subset=cols, keys=self._keys)
-        joined = df.join(F.broadcast(med), on=self._keys)
+        # Per-group medians are one row per group — usually tiny, but the
+        # key cardinality is unbounded, so no forced broadcast hint: AQE
+        # picks broadcast when the frame is small and a safe shuffle join
+        # otherwise. Null-safe equality keeps NULL-key groups (window
+        # grouping treats NULL as a key; plain `=` would drop them when
+        # dropna=False).
+        joined = _join_group_stats(df, med, self._keys)
         dev = joined.select(
             *self._keys,
             F.col(WEIGHT_COL),
@@ -253,10 +287,16 @@ class WeightedGroupBy:
         column (extension — the transform counterpart of the aggregates,
         pandas ``groupby.transform('zscore')``-style).
 
-        One window shuffle on the keys; the group moments are window
-        sums of the same expressions the aggregate path uses, so the
-        statistics agree exactly with :meth:`mean`/:meth:`std`.
-        Degenerate groups (σ ≤ 0 or W ≤ ddof) yield NULL.
+        Scale shape: ``groupBy(keys).agg(moment sums)`` produces one tiny
+        row per group, which AQE broadcast-joins back onto the rows; the
+        standardization is then a pure map. (A ``Window.partitionBy(keys)``
+        formulation is numerically identical but shuffles the ENTIRE table
+        into one task per distinct key — with 3 return flags that is 3
+        tasks for 100 TB. The agg+join shape keeps the big side's
+        partitioning untouched.) The moments are the same expressions the
+        aggregate path uses, so the statistics agree exactly with
+        :meth:`mean`/:meth:`std`. Degenerate groups (σ ≤ 0 or W ≤ ddof)
+        yield NULL.
         """
         if self._mode != "groupby":
             raise NotImplementedError(
@@ -270,19 +310,28 @@ class WeightedGroupBy:
             for k in self._keys:
                 df = df.where(F.col(k).isNotNull())
         w = self._wdf.weights
-        win = Window.partitionBy(*self._keys)
-        out_cols = list(df.columns)
+        aggs = []
         for c in cols:
             x = self._wdf._value(c)
             mask = F.when(x.isNotNull(), w) if skipna else w
-            W = F.coalesce(F.sum(mask).over(win), F.lit(0.0))
-            s1 = F.sum(x * w).over(win)
-            s2 = F.sum(x * x * w).over(win)
+            aggs.append(
+                F.coalesce(F.sum(mask), F.lit(0.0)).alias(f"__pw_zW_{c}__")
+            )
+            aggs.append(F.sum(x * w).alias(f"__pw_z1_{c}__"))
+            aggs.append(F.sum(x * x * w).alias(f"__pw_z2_{c}__"))
+        moments = df.groupBy(*[F.col(k) for k in self._keys]).agg(*aggs)
+        joined = _join_group_stats(df, moments, self._keys)
+        out_cols = [F.col(c) for c in df.columns]
+        for c in cols:
+            x = self._wdf._value(c)
+            W = F.col(f"__pw_zW_{c}__")
+            s1 = F.col(f"__pw_z1_{c}__")
+            s2 = F.col(f"__pw_z2_{c}__")
             var = _stats.variance_from_weighted_moments(s1, s2, W, ddof=ddof)
             mu = F.try_divide(s1, W)
             z = F.when(var > 0, F.try_divide(x - mu, F.sqrt(var)))
             out_cols.append(z.alias(f"{c}_z"))
-        return df.select(*out_cols)
+        return joined.select(*out_cols)
 
     def mode(self, dropna_values: bool = True) -> DataFrame:
         """Per-group weighted mode of the single selected value column:

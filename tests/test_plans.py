@@ -115,6 +115,22 @@ class TestNewOperatorPlans:
         # window partitioning == grouping key → agg rides the same shuffle
         assert P.count_exchanges(df) == 1, P.physical_plan(df)
 
+    def test_zscore_no_full_table_window(self, lineitem):
+        # The transform must be agg -> join-back -> map, NOT a
+        # Window.partitionBy(keys) over the whole table: with a
+        # low-cardinality key the window would funnel the entire
+        # dataset into a handful of tasks at scale.
+        df = (
+            wt(lineitem, "l_quantity")
+            .groupby("l_returnflag")[["l_extendedprice"]]
+            .zscore()
+        )
+        plan = P.physical_plan(df)
+        assert "Window" not in plan, plan
+        # the group-moments side still aggregates with map-side partials
+        assert "partial_" in plan
+        assert not P.has_python_eval(df)
+
     def test_similarity_and_dedup_no_python_eval(self, spark):
         from pandas_weights_spark.functions.dedup import (
             minhash_near_duplicates,
