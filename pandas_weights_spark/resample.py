@@ -114,6 +114,17 @@ class WeightedResampler:
 
     def _start_time_seconds(self) -> int:
         """Window phase (seconds past epoch-alignment) for F.window."""
+        # COORDINATE SYSTEM: Spark's TimeWindow buckets on the session-
+        # local WALL CLOCK (verified: under America/New_York,
+        # window(ts,'12 hours',startTime=0).start lands on local
+        # midnight, not 19:00). Spark also collects timestamps as
+        # session-tz-naive datetimes. So every anchor here is computed in
+        # "naive local treated as UTC" coordinates — which IS the
+        # wall-clock second count TimeWindow phases against. Converting
+        # the anchor to true UTC epoch seconds (e.g. via
+        # unix_timestamp(date_trunc('day', ts))) would be the actual
+        # tz bug: it shifts the phase by the zone offset.
+        # tests/test_resample.py::TestStartDayTimezone pins this.
         if self._origin == "epoch":
             base = 0
         elif self._origin == "start_day":
@@ -127,6 +138,8 @@ class WeightedResampler:
                 )
                 base = int(day.timestamp())
         else:
+            # Naive origin = "in the data's clock" (pandas semantics);
+            # naive-as-UTC is exactly the wall-clock coordinate above.
             ts = dt.datetime.fromisoformat(self._origin)
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=dt.timezone.utc)

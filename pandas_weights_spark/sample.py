@@ -55,8 +55,18 @@ def uniform_hash(key_cols: Sequence[Column], seed: int = 42) -> Column:
     divisor). Each step is exactly rounded IEEE arithmetic in the same
     order as the SQL oracle mirror, so both engines produce the
     bit-identical double.
+
+    Each key is ``coalesce(cast(k as string), '\\0null')`` before the
+    concat: ``concat_ws`` silently SKIPS null arguments, so without the
+    sentinel two key tuples differing only in NULL placement — e.g.
+    ``(NULL, 'a')`` vs ``('a', NULL)`` — would collide to the same
+    uniform and correlate their sample/split decisions. The NUL-byte
+    sentinel cannot appear in data that also casts to the same string.
     """
-    h = F.md5(F.concat_ws("|", *key_cols, F.lit(str(seed))))
+    enc = [
+        F.coalesce(c.cast("string"), F.lit("\x00null")) for c in key_cols
+    ]
+    h = F.md5(F.concat_ws("|", *enc, F.lit(str(seed))))
     u: Optional[Column] = None
     for i in range(8):
         digit = (
@@ -69,7 +79,9 @@ def uniform_hash(key_cols: Sequence[Column], seed: int = 42) -> Column:
 
 def uniform_hash_sql(key_cols: Sequence[str], seed: int = 42) -> str:
     """The DuckDB mirror of :func:`uniform_hash` (same term order)."""
-    keys = ", ".join(key_cols)
+    keys = ", ".join(
+        f"coalesce(CAST({k} AS VARCHAR), chr(0) || 'null')" for k in key_cols
+    )
     h = f"md5(concat_ws('|', {keys}, '{seed}'))"
     terms = " + ".join(
         f"CAST(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1 AS DOUBLE)"

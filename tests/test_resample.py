@@ -185,3 +185,29 @@ class TestClosedLabelRight:
         )
         with pytest.raises(ValueError):
             wt(df, "weights").resample("2D", on="ts", closed="both")
+
+
+class TestStartDayTimezone:
+    def test_start_day_anchor_honors_session_timezone(self, spark):
+        # Anchor must be midnight in the SESSION timezone, not UTC:
+        # under America/New_York, UTC-midnight alignment would place the
+        # 12H bucket edges at 19:00/07:00 local instead of 00:00/12:00.
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            rows = [
+                (dt.datetime(2024, 1, 1, 1), 1.0, 1.0),
+                (dt.datetime(2024, 1, 1, 13), 3.0, 1.0),
+            ]
+            df = spark.createDataFrame(
+                rows, "ts timestamp, Value double, weights double"
+            )
+            g = by_bucket(wt(df, "weights").resample("12H", on="ts").sum())
+            assert set(g) == {
+                dt.datetime(2024, 1, 1, 0),
+                dt.datetime(2024, 1, 1, 12),
+            }
+            assert g[dt.datetime(2024, 1, 1, 0)]["Value"] == approx(1.0)
+            assert g[dt.datetime(2024, 1, 1, 12)]["Value"] == approx(3.0)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
