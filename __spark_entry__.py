@@ -595,8 +595,8 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_simhash_neardup(spark, sf_dir):
-    # SimHash uses Spark's xxhash64 — no SQL oracle (rows-only check);
-    # correctness covered by tests/test_dedup.py::TestSimHash
+    # md5-derived SimHash bits (dedup.simhash) — engine-portable, so the
+    # DuckDB oracle (_simhash_sql) reproduces the fingerprint exactly
     from pandas_weights_spark.functions.dedup import simhash
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select(
@@ -1629,6 +1629,42 @@ _ORACLE["ngram_jaccard"] = """
 _ORACLE["minhash_neardup"] = _minhash_sql()
 
 
+def _simhash_sql(bits: int = 32) -> str:
+    # digit-for-digit mirror of dedup.simhash: bit b of a token = bit
+    # (b % 4) of hex digit (b // 4) of md5(token); per-doc sum of ±1
+    # contributions over DISTINCT tokens; majority sign -> '1'/'0'.
+    sums = ",\n           ".join(
+        "SUM(CASE WHEN (((instr('0123456789abcdef',"
+        f" substring(h, {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    chars = ", ".join(
+        f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+                 string_split_regex(trim(lower(text)), '\\s+'))) AS t
+      FROM base
+    ), h AS (
+      SELECT doc_id, md5(t) AS h FROM tok
+    ), bs AS (
+      SELECT doc_id,
+           {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT base.doc_id, concat({chars}) AS simhash
+    FROM base LEFT JOIN bs USING (doc_id)
+    """
+
+
+_ORACLE["simhash_neardup"] = _simhash_sql()
+
+
 def _embedding_neardup_sql(dim: int = 64, planes: int = 4, seed: int = 42,
                            threshold: float = 0.3) -> str:
     # reproduce dedup.embedding_near_duplicates exactly: same hyperplane
@@ -1854,7 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_stats": _q_doc_weighted_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_neardup": _q_simhash_neardup,  # rows-only (xxhash64)
+        "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,

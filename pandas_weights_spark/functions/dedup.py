@@ -261,22 +261,34 @@ def minhash_near_duplicates(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash of the token set as a ``bits``-length binary string.
 
-    Per bit: sum of ±1 contributions of each token's xxhash64 bit →
-    majority sign. Row-local expressions only. (xxhash64 is Spark-
-    specific, so this op carries a rows-only correctness check rather
-    than a SQL oracle — documented in __spark_entry__.)
+    Per bit: sum of ±1 contributions of each distinct token → majority
+    sign. Token bit ``b`` is bit ``b % 4`` of hex digit ``b // 4`` of
+    ``md5(token)`` — md5 instead of ``xxhash64`` keeps the fingerprint
+    engine-portable, so the DuckDB oracle reproduces it digit-for-digit
+    (__spark_entry__ ``simhash_neardup``). ``bits ≤ 128`` (md5 width).
+    Row-local expressions only.
     """
+    if bits > 128:
+        raise ValueError("simhash supports at most 128 bits (md5 width)")
     toks = F.array_distinct(tokens(F.lower(text)))
 
     def bit_merge(b: int):
         # factory keeps the merge lambda binary (acc, elem) — see
-        # minhash_signature for why the seed can't be a default param
-        return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+        # minhash_signature for why the position can't be a default param
+        pos, shift = b // 4 + 1, b % 4
+
+        def merge(acc, t):
+            digit = F.instr(F.lit(_HEX), F.substring(F.md5(t), pos, 1)) - F.lit(1)
+            bit = F.shiftright(digit, shift).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
 
     bit_chars = [
         F.when(F.aggregate(toks, F.lit(0), bit_merge(b)) > 0, F.lit("1")).otherwise(
