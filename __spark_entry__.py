@@ -644,8 +644,9 @@ def _q_ann_topk_ivf(spark, sf_dir):
 
 
 def _q_ann_topk_lsh(spark, sf_dir):
-    # approximate path — recall depends on bucket collisions, so no SQL
-    # oracle (rows-only); exactness vs bruteforce asserted in tests
+    # approximate path, but fully deterministic: the hyperplane literals
+    # are derived from the seed, so the DuckDB oracle (_ann_lsh_sql)
+    # reproduces buckets, candidates, and ranks exactly
     from pandas_weights_spark.functions.similarity import topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1714,6 +1715,45 @@ _ORACLE["ann_topk"] = """
     FROM ranked WHERE rank <= 5
 """
 
+def _ann_lsh_sql(dim: int = 64, planes: int = 4, seed: int = 42,
+                 k: int = 5) -> str:
+    # FULL mirror of similarity.topk_lsh (not just the subset-of-
+    # bruteforce invariant): the hyperplanes are deterministic plan
+    # literals, so DuckDB reproduces the same buckets, the same
+    # candidate set, and the same ranks.
+    from pandas_weights_spark.functions.similarity import _hyperplanes
+
+    hps = _hyperplanes(dim, planes, seed)
+    bits = ",\n             ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in hp)}]) >= 0 THEN '1' ELSE '0' END"
+        for hp in hps
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, concat({bits}) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+"""
+
+
+_ORACLE["ann_topk_lsh"] = _ann_lsh_sql()
+
 _ORACLE["ann_topk_ivf"] = """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                WHERE vec_id < 5),
@@ -1894,7 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
-        "ann_topk_lsh": _q_ann_topk_lsh,  # rows-only (approximate path)
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "weighted_centroids": _q_weighted_centroids,
         "rolling_mean": _q_rolling_mean,
         "expanding_var": _q_expanding_var,
