@@ -217,6 +217,24 @@ def _q_resample_6h_events(spark, sf_dir):
     )
 
 
+def _q_resample_3m(spark, sf_dir):
+    # multi-period calendar rule ("3ME"): month-index arithmetic, end
+    # anchored on the first timestamp's month (pandas semantics,
+    # resample.py bucket()); the oracle mirrors the ceil arithmetic.
+    # lineitem spans ~7 years -> ~28 quarterly buckets.
+    return (
+        wt(_li(spark, sf_dir), _W)[["l_extendedprice"]]
+        .resample("3ME", on="l_shipdate")
+        .agg_all(["count", "sum", "mean"])
+        .select(
+            F.col("l_shipdate").alias("bucket"),
+            F.col("l_extendedprice_count").alias("w_count"),
+            F.col("l_extendedprice_sum").alias("w_sum"),
+            F.col("l_extendedprice_mean").alias("w_mean"),
+        )
+    )
+
+
 def _q_corr_pair(spark, sf_dir):
     # pairwise-complete mask really exercised: discount NULLed where tax<0.02
     df = _li(spark, sf_dir).withColumn(
@@ -1139,6 +1157,32 @@ _ORACLE: dict[str, str] = {
         FROM t
         GROUP BY bucket
     """,
+    "resample_3m": """
+        WITH t AS (
+          SELECT CAST(l_shipdate AS TIMESTAMP) AS ts,
+                 l_extendedprice AS value, l_quantity AS w
+          FROM lineitem
+        ), a AS (
+          SELECT year(MIN(ts)) * 12 + month(MIN(ts)) - 1 AS mf FROM t
+        ), b AS (
+          SELECT value, w,
+                 (SELECT mf FROM a)
+                   + CAST(ceil(((year(ts) * 12 + month(ts) - 1)
+                                - (SELECT mf FROM a)) / 3.0) AS BIGINT) * 3
+                   AS lm
+          FROM t
+        )
+        SELECT CAST(last_day(make_date(CAST(floor(lm / 12.0) AS INT),
+                                       CAST(lm % 12 + 1 AS INT), 1))
+                    AS TIMESTAMP) AS bucket,
+               COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+                 AS w_count,
+               COALESCE(SUM(value * w), 0.0) AS w_sum,
+               SUM(value * w)
+                 / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
+        FROM b
+        GROUP BY bucket
+    """,
     "cube_sum": """
         SELECT l_returnflag, l_linestatus,
                COALESCE(SUM(l_extendedprice * l_quantity), 0.0) AS w_sum
@@ -1907,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_2d": _q_resample_2d,
         "resample_2d_right": _q_resample_2d_right,
         "resample_6h_events": _q_resample_6h_events,
+        "resample_3m": _q_resample_3m,
         "corr_pair": _q_corr_pair,
         "corr_matrix": _q_corr_matrix,
         "cov_matrix": _q_cov_matrix,

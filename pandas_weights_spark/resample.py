@@ -43,17 +43,37 @@ _FIXED_UNITS = {
     "min": 60,
     "s": 1,
 }
-_CALENDAR_UNITS = {"m": "month", "ms": "month", "me": "month", "y": "year", "ys": "year", "ye": "year"}
+#: calendar unit → (anchor side, unit width in months).
+#: Bare "m"/"q"/"y" are the deprecated pandas aliases of the END forms
+#: ("M" ≡ "ME" since pandas 2.2).
+_CALENDAR_UNITS = {
+    "ms": ("start", 1),
+    "qs": ("start", 3),
+    "ys": ("start", 12),
+    "as": ("start", 12),  # pandas legacy alias for YS
+    "me": ("end", 1),
+    "qe": ("end", 3),
+    "ye": ("end", 12),
+    "m": ("end", 1),
+    "q": ("end", 3),
+    "y": ("end", 12),
+    "a": ("end", 12),
+}
 
 _RULE_RE = re.compile(r"^\s*(\d*)\s*([a-zA-Z]+)\s*$")
 
 
-def parse_rule(rule: Union[str, dt.timedelta]) -> tuple[str, int]:
+def parse_rule(
+    rule: Union[str, dt.timedelta],
+) -> tuple[str, Union[int, tuple[str, int, int]]]:
     """Parse a pandas-ish offset rule.
 
     Returns ``("fixed", seconds)`` for fixed-frequency rules
     (``"2D"``, ``"6H"``, ``"30min"``, ``timedelta``) or
-    ``("month"|"year", n)`` for calendar rules (``"MS"``, ``"YS"``…).
+    ``("cal", (anchor, unit_months, total_months))`` for calendar rules —
+    ``"MS"``/``"3ME"``/``"2QS"``/``"YE"``… — where ``anchor`` is
+    ``"start"`` or ``"end"``, ``unit_months`` the width of one unit
+    (1/3/12 for month/quarter/year) and ``total_months = n · unit``.
     """
     if isinstance(rule, dt.timedelta):
         secs = int(rule.total_seconds())
@@ -65,12 +85,13 @@ def parse_rule(rule: Union[str, dt.timedelta]) -> tuple[str, int]:
         raise ValueError(f"cannot parse resample rule {rule!r}")
     n = int(m.group(1) or 1)
     unit = m.group(2).lower()
+    if n < 1:
+        raise ValueError(f"rule must be positive, got {rule!r}")
     if unit in _FIXED_UNITS:
         return "fixed", n * _FIXED_UNITS[unit]
     if unit in _CALENDAR_UNITS:
-        if n != 1:
-            raise NotImplementedError(f"multi-{unit} calendar rules not supported")
-        return _CALENDAR_UNITS[unit], 1
+        anchor, u = _CALENDAR_UNITS[unit]
+        return "cal", (anchor, u, n * u)
     raise ValueError(f"unknown resample rule unit {unit!r} in {rule!r}")
 
 
@@ -104,7 +125,13 @@ class WeightedResampler:
             raise ValueError("closed/label must be 'left' or 'right'")
         self._wdf = wdf
         self._on = on
-        self._kind, self._n = parse_rule(rule)
+        self._kind, info = parse_rule(rule)
+        if self._kind == "fixed":
+            self._n = info
+            self._cal: Optional[tuple[str, int, int]] = None
+        else:
+            self._n = 0
+            self._cal = info
         self._origin = origin
         self._offset_secs = _as_seconds(offset) if offset is not None else 0
         self._closed = closed
@@ -146,18 +173,40 @@ class WeightedResampler:
             base = int(ts.timestamp())
         return (base + self._offset_secs) % self._n
 
+    def _anchor_month_index(self) -> int:
+        """Month index (``year·12 + month − 1``) of the first timestamp —
+        one tiny job over a single pruned column (pandas anchors calendar
+        rules on the first observation; reference frame.py:163 accepts
+        any pandas frequency)."""
+        first = self._wdf.df.agg(F.min(F.col(self._on))).collect()[0][0]
+        if first is None:
+            return 0
+        return first.year * 12 + first.month - 1
+
     def bucket(self) -> Column:
         """The bucket-label timestamp Column for the configured rule.
 
-        ``closed="right"`` makes intervals ``(lo, hi]``: timestamps are
-        microsecond-precision, so shifting by 1µs before bucketing moves
-        exactly the boundary points into the preceding bucket.
-        ``label="right"`` labels each bucket by its upper edge.
+        Fixed rules: ``closed="right"`` makes intervals ``(lo, hi]`` —
+        timestamps are microsecond-precision, so shifting by 1µs before
+        bucketing moves exactly the boundary points into the preceding
+        bucket; ``label="right"`` labels each bucket by its upper edge.
+
+        Calendar rules (``"3ME"``, ``"2QS"``, ``"YE"``…) use pure
+        month-index arithmetic — ``m = year·12 + month − 1`` — so the
+        bucket is a row-local expression and the only extra cost is the
+        one-row anchor job. Anchoring matches pandas: start-anchored
+        rules (``MS/QS/YS``) floor the first timestamp to its unit start
+        and bucket ``P + ⌊(m−P)/N⌋·N`` (label = first day); end-anchored
+        rules (``ME/QE/YE``) anchor on the unit end ``A`` of the first
+        timestamp and bucket ``A + ⌈(m−A)/N⌉·N`` (label = last day, so
+        the first bucket may be a partial unit — pandas semantics,
+        verified differentially). ``closed``/``label`` are fixed by the
+        anchor side for calendar rules, as in pandas.
         """
         ts = F.col(self._on)
-        if self._closed == "right":
-            ts = ts - F.expr("INTERVAL 1 MICROSECOND")
         if self._kind == "fixed":
+            if self._closed == "right":
+                ts = ts - F.expr("INTERVAL 1 MICROSECOND")
             phase = self._start_time_seconds()
             start = F.window(
                 ts, f"{self._n} seconds", startTime=f"{phase} seconds"
@@ -165,10 +214,27 @@ class WeightedResampler:
             if self._label == "right":
                 start = start + F.expr(f"INTERVAL {self._n} SECOND")
             return start
-        start = F.date_trunc(self._kind, ts)
-        if self._label == "right":
-            start = start + F.expr(f"INTERVAL 1 {self._kind.upper()}")
-        return start
+        anchor, u, total = self._cal
+        m_first = self._anchor_month_index()
+        m = F.year(ts) * F.lit(12) + F.month(ts) - F.lit(1)
+        if anchor == "start":
+            p = m_first - (m_first % u)
+            lm = F.lit(p) + F.floor((m - F.lit(p)) / F.lit(total)).cast(
+                "long"
+            ) * F.lit(total)
+        else:
+            a = m_first - (m_first % u) + (u - 1)
+            lm = F.lit(a) + F.ceil((m - F.lit(a)) / F.lit(total)).cast(
+                "long"
+            ) * F.lit(total)
+        day = F.make_date(
+            F.floor(lm / F.lit(12)).cast("int"),
+            (F.pmod(lm, F.lit(12)) + F.lit(1)).cast("int"),
+            F.lit(1),
+        )
+        if anchor == "end":
+            day = F.last_day(day)
+        return day.cast("timestamp")
 
     def _agg(
         self, builder: Callable[[Column, Column], Column], complete: bool = False
@@ -192,16 +258,35 @@ class WeightedResampler:
         emitted with NULLs (pandas full-range semantics, SURVEY.md §3.3)."""
         if self._kind == "fixed":
             step = F.expr(f"INTERVAL {self._n} SECOND")
-        else:
-            step = F.expr(f"INTERVAL 1 {self._kind.upper()}")
-        spine = (
-            out.agg(
+            spine = out.agg(
                 F.min(self._on).alias("lo"), F.max(self._on).alias("hi")
+            ).select(
+                F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias(
+                    self._on
+                )
             )
-            .select(
-                F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias(self._on)
-            )
-        )
+        else:
+            # Month-end labels don't step uniformly (Feb 29 → May 31…);
+            # walk month STARTS by N months and map back to last_day for
+            # end-anchored rules.
+            anchor, _, total = self._cal
+            step = F.expr(f"INTERVAL {total} MONTH")
+            lab = F.explode(
+                F.sequence(
+                    F.date_trunc("month", F.col("lo")),
+                    F.date_trunc("month", F.col("hi")),
+                    step,
+                )
+            ).alias(self._on)
+            spine = out.agg(
+                F.min(self._on).alias("lo"), F.max(self._on).alias("hi")
+            ).select(lab)
+            if anchor == "end":
+                spine = spine.select(
+                    F.last_day(F.col(self._on))
+                    .cast("timestamp")
+                    .alias(self._on)
+                )
         return spine.join(out, on=self._on, how="left")
 
     # -- statistics (frame.py:381-446) -------------------------------------------

@@ -40,14 +40,18 @@ class TestParseRule:
         assert parse_rule("W") == ("fixed", 7 * 86400)
 
     def test_calendar(self):
-        assert parse_rule("MS") == ("month", 1)
-        assert parse_rule("YS") == ("year", 1)
+        assert parse_rule("MS") == ("cal", ("start", 1, 1))
+        assert parse_rule("YS") == ("cal", ("start", 12, 12))
+        assert parse_rule("3ME") == ("cal", ("end", 1, 3))
+        assert parse_rule("2QS") == ("cal", ("start", 3, 6))
+        assert parse_rule("QE") == ("cal", ("end", 3, 3))
+        assert parse_rule("M") == ("cal", ("end", 1, 1))
 
     def test_bad(self):
         with pytest.raises(ValueError):
             parse_rule("2X")
-        with pytest.raises(NotImplementedError):
-            parse_rule("3MS")
+        with pytest.raises(ValueError):
+            parse_rule("0D")
 
 
 class TestResample:
@@ -211,3 +215,70 @@ class TestStartDayTimezone:
             assert g[dt.datetime(2024, 1, 1, 12)]["Value"] == approx(3.0)
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+class TestCalendarRules:
+    """Differential vs pandas for multi-period calendar rules
+    (reference rule surface: any pandas frequency, frame.py:163)."""
+
+    @pytest.mark.parametrize(
+        "rule",
+        ["2MS", "3MS", "ME", "3ME", "QS", "2QS", "QE", "YE", "2YS"],
+    )
+    def test_weighted_sum_matches_pandas(self, spark, rule):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        n = 60
+        ts = (
+            pd.Timestamp("2023-02-07 13:00")
+            + pd.to_timedelta(np.sort(rng.integers(0, 900, n)), unit="D")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s")
+        )
+        v = rng.normal(10, 3, n)
+        v[::7] = np.nan
+        w = rng.integers(1, 5, n).astype(float)
+        pdf = pd.DataFrame({"ts": ts, "v": v, "w": w})
+        sdf = spark.createDataFrame(pdf)
+
+        got = {
+            r["ts"]: r["v"]
+            for r in wt(sdf, "w").resample(rule, on="ts").sum().collect()
+        }
+        exp = (
+            pdf.assign(wv=pdf.v * pdf.w).set_index("ts").resample(rule)["wv"].sum()
+        )
+        sizes = pdf.set_index("ts").resample(rule)["v"].size()
+        nonempty = sizes[sizes > 0].index
+        assert set(got) == {t.to_pydatetime() for t in nonempty}
+        for t in nonempty:
+            assert got[t.to_pydatetime()] == approx(exp[t]), (rule, t)
+
+    def test_complete_emits_empty_calendar_buckets(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-10", "2024-11-20"]),
+                "v": [1.0, 2.0],
+                "w": [1.0, 1.0],
+            }
+        )
+        out = (
+            wt(spark.createDataFrame(pdf), "w")
+            .resample("3ME", on="ts")
+            .sum(complete=True)
+            .collect()
+        )
+        labels = [r["ts"] for r in out]
+        # anchored at Jan (first month end), stepping 3 months
+        assert labels == [
+            dt.datetime(2024, 1, 31),
+            dt.datetime(2024, 4, 30),
+            dt.datetime(2024, 7, 31),
+            dt.datetime(2024, 10, 31),
+            dt.datetime(2025, 1, 31),
+        ]
+        vals = {r["ts"]: r["v"] for r in out}
+        assert vals[dt.datetime(2024, 4, 30)] is None
