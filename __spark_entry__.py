@@ -45,67 +45,51 @@ def entry(spark: SparkSession) -> DataFrame:
 _W = "l_quantity"
 
 
-def _q_global_sum(spark, sf_dir):
-    return (
-        wt(_li(spark, sf_dir), _W)
-        .sum(subset=["l_extendedprice", "l_discount", "l_tax"])
-        .select(
-            F.col("l_extendedprice").alias("sum_price"),
-            F.col("l_discount").alias("sum_disc"),
-            F.col("l_tax").alias("sum_tax"),
-        )
-    )
-
-
-def _q_global_mean(spark, sf_dir):
-    return (
-        wt(_li(spark, sf_dir), _W)
-        .mean(subset=["l_extendedprice", "l_discount"])
-        .select(
-            F.col("l_extendedprice").alias("mean_price"),
-            F.col("l_discount").alias("mean_disc"),
-        )
-    )
-
-
-def _q_global_var_std(spark, sf_dir):
+def _q_global_stats(spark, sf_dir):
+    # whole-frame weighted sum / mean / var / std in one driver row
+    # (reference frame.py:215-251) — each stat is a one-row aggregate;
+    # the crossJoins only zip three scalar rows on the driver side.
     wdf = wt(_li(spark, sf_dir), _W)
+    s = wdf.sum(subset=["l_extendedprice", "l_discount", "l_tax"]).select(
+        F.col("l_extendedprice").alias("sum_price"),
+        F.col("l_discount").alias("sum_disc"),
+        F.col("l_tax").alias("sum_tax"),
+    )
+    m = wdf.mean(subset=["l_extendedprice", "l_discount"]).select(
+        F.col("l_extendedprice").alias("mean_price"),
+        F.col("l_discount").alias("mean_disc"),
+    )
     v = wdf.var(subset=["l_extendedprice"]).select(
         F.col("l_extendedprice").alias("var_price")
     )
-    s = wdf.std(subset=["l_extendedprice"]).select(
+    d = wdf.std(subset=["l_extendedprice"]).select(
         F.col("l_extendedprice").alias("std_price")
     )
-    return v.crossJoin(s)
+    return s.crossJoin(m).crossJoin(v).crossJoin(d)
 
 
-def _q_count_skipna(spark, sf_dir):
-    # Derive a NULL-bearing column so the skipna NA-channel is really
-    # exercised (the raw testdata has no NULLs): price NULL where tax==0.
-    df = _li(spark, sf_dir).withColumn(
-        "price_n", F.when(F.col("l_tax") > 0, F.col("l_extendedprice"))
+def _q_null_semantics(spark, sf_dir):
+    # NA-channel semantics in one row: skipna count on a derived
+    # NULL-bearing column (price NULL where tax==0 — raw testdata has no
+    # NULLs), plus min_count: satisfied on a real column, NULL on an
+    # all-NULL column (reference tests/test_frame.py:80-87).
+    df = (
+        _li(spark, sf_dir)
+        .withColumn(
+            "price_n", F.when(F.col("l_tax") > 0, F.col("l_extendedprice"))
+        )
+        .withColumn("all_null", F.lit(None).cast("double"))
     )
     wdf = wt(df, _W)
     a = wdf.count(subset=["price_n"]).select(F.col("price_n").alias("cnt_skipna"))
     b = wdf.count(skipna=False, subset=["price_n"]).select(
         F.col("price_n").alias("cnt_noskip")
     )
-    return a.crossJoin(b)
-
-
-def _q_sum_min_count(spark, sf_dir):
-    # All-NULL column + min_count=1 → NULL (reference tests/test_frame.py:80-87)
-    df = _li(spark, sf_dir).withColumn(
-        "all_null", F.lit(None).cast("double")
+    c = wdf.sum(min_count=1, subset=["l_extendedprice", "all_null"]).select(
+        F.col("l_extendedprice").alias("sum_price"),
+        F.col("all_null").alias("sum_none"),
     )
-    wdf = wt(df, _W)
-    return (
-        wdf.sum(min_count=1, subset=["l_extendedprice", "all_null"])
-        .select(
-            F.col("l_extendedprice").alias("sum_price"),
-            F.col("all_null").alias("sum_none"),
-        )
-    )
+    return a.crossJoin(b).crossJoin(c)
 
 
 def _q_group_mean(spark, sf_dir):
@@ -173,32 +157,25 @@ def _q_group_mean_customer(spark, sf_dir):
 
 
 def _q_resample_2d(spark, sf_dir):
-    # 2-day tumbling buckets on l_shipdate, origin=start_day (pandas parity)
-    return (
-        wt(_li(spark, sf_dir), _W)[["l_extendedprice", "l_discount"]]
-        .resample("2D", on="l_shipdate")
-        .agg_all(["sum", "mean"])
-        .select(
-            F.col("l_shipdate").alias("bucket"),
-            F.col("l_extendedprice_sum").alias("sum_price"),
-            F.col("l_extendedprice_mean").alias("mean_price"),
-            F.col("l_discount_sum").alias("sum_disc"),
+    # 2-day tumbling buckets on l_shipdate, origin=start_day (pandas
+    # parity), both interval closures in one tagged union: closed/label
+    # "left" ([lo, hi), default) and "right" ((lo, hi] labeled by the
+    # upper edge — 1µs pre-shift + label shift, resample.py).
+    wdf = wt(_li(spark, sf_dir), _W)[["l_extendedprice", "l_discount"]]
+    parts = []
+    for edge in ("left", "right"):
+        parts.append(
+            wdf.resample("2D", on="l_shipdate", closed=edge, label=edge)
+            .agg_all(["sum", "mean"])
+            .select(
+                F.lit(edge).alias("edge"),
+                F.col("l_shipdate").alias("bucket"),
+                F.col("l_extendedprice_sum").alias("sum_price"),
+                F.col("l_extendedprice_mean").alias("mean_price"),
+                F.col("l_discount_sum").alias("sum_disc"),
+            )
         )
-    )
-
-
-def _q_resample_2d_right(spark, sf_dir):
-    # closed="right"/label="right" resample: (lo, hi] intervals labeled by
-    # the upper edge — 1µs pre-shift + label shift (resample.py)
-    return (
-        wt(_li(spark, sf_dir), _W)[["l_extendedprice"]]
-        .resample("2D", on="l_shipdate", closed="right", label="right")
-        .sum()
-        .select(
-            F.col("l_shipdate").alias("bucket"),
-            F.col("l_extendedprice").alias("sum_price"),
-        )
-    )
+    return parts[0].unionByName(parts[1])
 
 
 def _q_resample_6h_events(spark, sf_dir):
@@ -246,14 +223,20 @@ def _q_corr_pair(spark, sf_dir):
     ).select(F.round(F.col("corr"), 6).alias("corr"))
 
 
-def _q_corr_matrix(spark, sf_dir):
-    return (
-        wt(_li(spark, sf_dir), _W)
-        .corr(subset=["l_extendedprice", "l_discount", "l_tax"])
-        .select(
-            "col_x", "col_y", F.round(F.col("corr"), 6).alias("corr")
-        )
+def _q_corr_cov_matrix(spark, sf_dir):
+    # weighted correlation matrix (reference frame.py:253-285) and the
+    # covariance-matrix extension, zipped per (col_x, col_y) pair — each
+    # side is one aggregate pass over the same pair moments; the join is
+    # 9x9 rows, broadcast-trivial.
+    wdf = wt(_li(spark, sf_dir), _W)
+    cols = ["l_extendedprice", "l_discount", "l_tax"]
+    corr = wdf.corr(subset=cols).select(
+        "col_x", "col_y", F.round(F.col("corr"), 6).alias("corr")
     )
+    cov = wdf.cov(subset=cols).select(
+        "col_x", "col_y", F.round(F.col("cov"), 6).alias("cov")
+    )
+    return corr.join(cov, on=["col_x", "col_y"])
 
 
 def _q_group_skew_kurt(spark, sf_dir):
@@ -268,16 +251,6 @@ def _q_group_skew_kurt(spark, sf_dir):
         "l_returnflag",
         F.round(F.col("l_extendedprice_skew"), 6).alias("skew"),
         F.round(F.col("l_extendedprice_kurt"), 6).alias("kurt"),
-    )
-
-
-def _q_cov_matrix(spark, sf_dir):
-    # weighted covariance matrix (extension: reference has corr only) —
-    # same one-pass pair-moment aggregate as corr_matrix
-    return (
-        wt(_li(spark, sf_dir), _W)
-        .cov(subset=["l_extendedprice", "l_discount", "l_tax"])
-        .select("col_x", "col_y", F.round(F.col("cov"), 6).alias("cov"))
     )
 
 
@@ -316,53 +289,48 @@ def _q_group_corr(spark, sf_dir):
     )
 
 
-def _q_aligned_corr(spark, sf_dir):
+def _q_aligned_corr_cov(spark, sf_dir):
     # orders.o_totalprice vs customer.c_acctbal aligned on custkey,
     # weighted by a derived orders-side weight, per order status
-    from pandas_weights_spark.corr import aligned_corr
+    # (reference series.py:222-247 corr-with-other, plus the cov analog) —
+    # the per-status zip join is 3x3 rows.
+    from pandas_weights_spark.corr import aligned_corr, aligned_cov
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "o_custkey"
     )
     left = wt(orders, (F.col("o_orderkey") % 10 + 1).cast("double")).df
-    out = aligned_corr(
+    corr = aligned_corr(
         left, "o_totalprice", cust, "c_acctbal",
         on="o_custkey", by=["o_orderstatus"],
-    )
-    return out.select(
-        "o_orderstatus", F.round(F.col("corr"), 6).alias("corr")
-    )
-
-
-def _q_aligned_cov(spark, sf_dir):
-    # cov analog of aligned_corr: join-aligned weighted covariance
-    from pandas_weights_spark.corr import aligned_cov
-
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
-        "c_custkey", "o_custkey"
-    )
-    left = wt(orders, (F.col("o_orderkey") % 10 + 1).cast("double")).df
-    out = aligned_cov(
+    ).select("o_orderstatus", F.round(F.col("corr"), 6).alias("corr"))
+    cov = aligned_cov(
         left, "o_totalprice", cust, "c_acctbal",
         on="o_custkey", by=["o_orderstatus"],
-    )
-    return out.select(
-        "o_orderstatus", F.round(F.col("cov"), 4).alias("cov")
-    )
+    ).select("o_orderstatus", F.round(F.col("cov"), 4).alias("cov"))
+    return corr.join(cov, on="o_orderstatus")
 
 
-def _q_cube_sum(spark, sf_dir):
-    return (
-        wt(_li(spark, sf_dir), _W)
-        .cube("l_returnflag", "l_linestatus")[["l_extendedprice"]]
-        .sum()
-        .select(
-            "l_returnflag", "l_linestatus",
-            F.col("l_extendedprice").alias("w_sum"),
+def _q_grouping_sets(spark, sf_dir):
+    # grouping-set paths in one tagged union: CUBE and ROLLUP over
+    # (returnflag, linestatus), weighted sum + mean each — one Expand +
+    # single agg pass per mode, no extra shuffle.
+    wdf = wt(_li(spark, sf_dir), _W)
+    parts = []
+    for mode in ("cube", "rollup"):
+        g = getattr(wdf, mode)("l_returnflag", "l_linestatus")
+        parts.append(
+            g[["l_extendedprice"]]
+            .agg_all(["sum", "mean"])
+            .select(
+                F.lit(mode).alias("mode"),
+                "l_returnflag", "l_linestatus",
+                F.col("l_extendedprice_sum").alias("w_sum"),
+                F.col("l_extendedprice_mean").alias("w_mean"),
+            )
         )
-    )
+    return parts[0].unionByName(parts[1])
 
 
 def _q_group_quantile_binned(spark, sf_dir):
@@ -432,20 +400,6 @@ def _q_group_quantile(spark, sf_dir):
             "l_returnflag",
             F.col("l_extendedprice_p50").alias("price_p50"),
             F.col("l_extendedprice_p90").alias("price_p90"),
-        )
-    )
-
-
-def _q_rollup_mean(spark, sf_dir):
-    # hierarchical grouping sets: rollup composes the same weighted
-    # expressions as groupby — one Expand + single agg pass, no extra shuffle
-    return (
-        wt(_li(spark, sf_dir), _W)
-        .rollup("l_returnflag", "l_linestatus")[["l_extendedprice"]]
-        .mean()
-        .select(
-            "l_returnflag", "l_linestatus",
-            F.col("l_extendedprice").alias("w_mean"),
         )
     )
 
@@ -828,62 +782,45 @@ def _q_row_stats(spark, sf_dir):
     )
 
 
-def _q_rolling_mean(spark, sf_dir):
-    # weighted rolling mean (rolling.py): 3-row frame per order, ordered by
-    # line number. partition_by keeps the window fully parallel — one hash
+def _q_window_stats(spark, sf_dir):
+    # weighted ordered-window transforms (rolling.py) in one tagged
+    # union: 3-row rolling mean and expanding (cumulative) variance per
+    # order. partition_by keeps both windows fully parallel — one hash
     # shuffle on l_orderkey, then local sorts; no single-task global sort.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_quantity"
     )
-    return (
-        wt(li, "l_quantity")
-        .rolling(
-            3,
-            # l_linenumber alone is not unique in the synthetic data —
-            # tie-break to a total order so the frame is deterministic
-            order_by=[
-                "l_linenumber",
-                F.col("l_partkey"),
-                F.col("l_suppkey"),
-                F.col("l_extendedprice"),
-            ],
-            partition_by=["l_orderkey"],
-        )
+    # l_linenumber alone is not unique in the synthetic data — tie-break
+    # to a total order so the frames are deterministic
+    order = [
+        "l_linenumber",
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_extendedprice"),
+    ]
+    wdf = wt(li, "l_quantity")
+    roll = (
+        wdf.rolling(3, order_by=order, partition_by=["l_orderkey"])
         .mean()
         .select(
+            F.lit("roll_mean").alias("stat"),
             "l_orderkey",
             "l_linenumber",
-            F.col("l_partkey").alias("roll_mean"),
+            F.col("l_partkey").alias("val"),
         )
     )
-
-
-def _q_expanding_var(spark, sf_dir):
-    # weighted expanding (cumulative) variance per order — running moment
-    # sums over an UNBOUNDED PRECEDING frame.
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-        "l_extendedprice", "l_quantity"
-    )
-    return (
-        wt(li, "l_quantity")
-        .expanding(
-            order_by=[
-                "l_linenumber",
-                F.col("l_partkey"),
-                F.col("l_suppkey"),
-                F.col("l_extendedprice"),
-            ],
-            partition_by=["l_orderkey"],
-        )
+    exp = (
+        wdf.expanding(order_by=order, partition_by=["l_orderkey"])
         .var()
         .select(
+            F.lit("exp_var").alias("stat"),
             "l_orderkey",
             "l_linenumber",
-            F.col("l_partkey").alias("exp_var"),
+            F.col("l_partkey").alias("val"),
         )
     )
+    return roll.unionByName(exp)
 
 
 # weighted Pearson moments as SQL, mirroring _stats.corr_from_moments
@@ -930,51 +867,48 @@ def _corr_sql(x, y, w, table, group=None, min_periods=1, ddof=1):
 
 
 _ORACLE: dict[str, str] = {
-    "global_sum": """
-        SELECT SUM(l_quantity * l_extendedprice) AS sum_price,
-               SUM(l_quantity * l_discount)      AS sum_disc,
-               SUM(l_quantity * l_tax)           AS sum_tax
-        FROM lineitem
-    """,
-    "global_mean": """
-        SELECT SUM(l_quantity * l_extendedprice)
-                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
-               AS mean_price,
-               SUM(l_quantity * l_discount)
-                 / SUM(CASE WHEN l_discount IS NOT NULL THEN l_quantity END)
-               AS mean_disc
-        FROM lineitem
-    """,
-    "global_var_std": """
-        WITH m AS (
-          SELECT SUM(l_quantity * l_extendedprice)  AS s,
+    "global_stats": """
+        WITH s AS (
+          SELECT SUM(l_quantity * l_extendedprice) AS sum_price,
+                 SUM(l_quantity * l_discount)      AS sum_disc,
+                 SUM(l_quantity * l_tax)           AS sum_tax
+          FROM lineitem
+        ), m AS (
+          SELECT SUM(l_quantity * l_extendedprice)
+                   / SUM(CASE WHEN l_extendedprice IS NOT NULL
+                              THEN l_quantity END) AS mean_price,
+                 SUM(l_quantity * l_discount)
+                   / SUM(CASE WHEN l_discount IS NOT NULL
+                              THEN l_quantity END) AS mean_disc
+          FROM lineitem
+        ), v AS (
+          SELECT SUM(l_quantity * l_extendedprice)  AS vs,
                  SUM(l_extendedprice * l_extendedprice * l_quantity) AS ss,
                  COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
                                    THEN l_quantity END), 0.0) AS c
           FROM lineitem
         )
-        SELECT (ss - s*s/c) / (c - 1) AS var_price,
-               CASE WHEN (ss - s*s/c) / (c - 1) >= 0
-                    THEN sqrt((ss - s*s/c) / (c - 1)) END AS std_price
-        FROM m
+        SELECT s.sum_price, s.sum_disc, s.sum_tax,
+               m.mean_price, m.mean_disc,
+               (ss - vs*vs/c) / (c - 1) AS var_price,
+               CASE WHEN (ss - vs*vs/c) / (c - 1) >= 0
+                    THEN sqrt((ss - vs*vs/c) / (c - 1)) END AS std_price
+        FROM s, m, v
     """,
-    "count_skipna": """
+    "null_semantics": """
         WITH t AS (
-          SELECT l_quantity,
+          SELECT l_quantity, l_extendedprice,
                  CASE WHEN l_tax > 0 THEN l_extendedprice END AS price_n
           FROM lineitem
         )
         SELECT COALESCE(SUM(CASE WHEN price_n IS NOT NULL THEN l_quantity END), 0.0)
                  AS cnt_skipna,
-               COALESCE(SUM(l_quantity), 0.0) AS cnt_noskip
-        FROM t
-    """,
-    "sum_min_count": """
-        SELECT CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
+               COALESCE(SUM(l_quantity), 0.0) AS cnt_noskip,
+               CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
                     THEN COALESCE(SUM(l_quantity * l_extendedprice), 0.0) END
                  AS sum_price,
                CAST(NULL AS DOUBLE) AS sum_none
-        FROM lineitem
+        FROM t
     """,
     "group_mean": """
         SELECT l_returnflag, l_linestatus,
@@ -1122,7 +1056,8 @@ _ORACLE: dict[str, str] = {
     """,
     "resample_2d": """
         WITH o AS (SELECT date_trunc('day', MIN(l_shipdate)) AS org FROM lineitem)
-        SELECT time_bucket(INTERVAL 2 DAY, l_shipdate, (SELECT org FROM o))
+        SELECT 'left' AS edge,
+               time_bucket(INTERVAL 2 DAY, l_shipdate, (SELECT org FROM o))
                  AS bucket,
                SUM(l_extendedprice * l_quantity) AS sum_price,
                SUM(l_extendedprice * l_quantity)
@@ -1131,14 +1066,17 @@ _ORACLE: dict[str, str] = {
                SUM(l_discount * l_quantity) AS sum_disc
         FROM lineitem
         GROUP BY bucket
-    """,
-    "resample_2d_right": """
-        WITH o AS (SELECT date_trunc('day', MIN(l_shipdate)) AS org FROM lineitem)
-        SELECT time_bucket(INTERVAL 2 DAY,
+        UNION ALL
+        SELECT 'right' AS edge,
+               time_bucket(INTERVAL 2 DAY,
                            l_shipdate - INTERVAL 1 MICROSECOND,
                            (SELECT org FROM o))
                  + INTERVAL 2 DAY AS bucket,
-               SUM(l_extendedprice * l_quantity) AS sum_price
+               SUM(l_extendedprice * l_quantity) AS sum_price,
+               SUM(l_extendedprice * l_quantity)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+                 AS mean_price,
+               SUM(l_discount * l_quantity) AS sum_disc
         FROM lineitem
         GROUP BY bucket
     """,
@@ -1183,11 +1121,22 @@ _ORACLE: dict[str, str] = {
         FROM b
         GROUP BY bucket
     """,
-    "cube_sum": """
-        SELECT l_returnflag, l_linestatus,
-               COALESCE(SUM(l_extendedprice * l_quantity), 0.0) AS w_sum
+    "grouping_sets": """
+        SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+               COALESCE(SUM(l_extendedprice * l_quantity), 0.0) AS w_sum,
+               SUM(l_extendedprice * l_quantity)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+                 AS w_mean
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+               COALESCE(SUM(l_extendedprice * l_quantity), 0.0) AS w_sum,
+               SUM(l_extendedprice * l_quantity)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
+                 AS w_mean
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 }
 
@@ -1246,15 +1195,6 @@ _ORACLE["group_quantile"] = """
            MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS price_p50,
            MIN(CASE WHEN cw >= 0.9 * tw THEN x END) AS price_p90
     FROM c GROUP BY g
-"""
-
-_ORACLE["rollup_mean"] = """
-    SELECT l_returnflag, l_linestatus,
-           SUM(l_extendedprice * l_quantity)
-             / SUM(CASE WHEN l_extendedprice IS NOT NULL
-                        THEN l_quantity END) AS w_mean
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 def _sample_sqls() -> dict[str, str]:
@@ -1383,19 +1323,7 @@ _ORACLE["group_corr"] = (
     + ")"
 )
 
-_ORACLE["aligned_corr"] = (
-    "SELECT o_orderstatus, corr FROM ("
-    + _corr_sql(
-        "x", "y", "w",
-        """(SELECT o_orderstatus, o_totalprice AS x, c_acctbal AS y,
-                   CAST(o_orderkey % 10 + 1 AS DOUBLE) AS w
-            FROM orders JOIN customer ON o_custkey = c_custkey)""",
-        group=["o_orderstatus"],
-    )
-    + ")"
-)
-
-_ORACLE["aligned_cov"] = """
+_ALIGNED_COV_SQL = """
     WITH j AS (
       SELECT o_orderstatus, o_totalprice AS x, c_acctbal AS y,
              CAST(o_orderkey % 10 + 1 AS DOUBLE) AS w
@@ -1419,29 +1347,41 @@ _ORACLE["aligned_cov"] = """
     FROM m
 """
 
-_ORACLE["rolling_mean"] = """
-    SELECT l_orderkey, l_linenumber,
+_ORACLE["aligned_corr_cov"] = (
+    "SELECT a.o_orderstatus, a.corr, b.cov FROM (SELECT o_orderstatus, corr FROM ("
+    + _corr_sql(
+        "x", "y", "w",
+        """(SELECT o_orderstatus, o_totalprice AS x, c_acctbal AS y,
+                   CAST(o_orderkey % 10 + 1 AS DOUBLE) AS w
+            FROM orders JOIN customer ON o_custkey = c_custkey)""",
+        group=["o_orderstatus"],
+    )
+    + ")) AS a JOIN ("
+    + _ALIGNED_COV_SQL
+    + ") AS b USING (o_orderstatus)"
+)
+
+_ORACLE["window_stats"] = """
+    SELECT 'roll_mean' AS stat, l_orderkey, l_linenumber,
            CASE WHEN COUNT(l_partkey * l_quantity) OVER w >= 3
                 THEN SUM(l_partkey * l_quantity) OVER w
                      / SUM(l_quantity) OVER w
-           END AS roll_mean
+           END AS val
     FROM lineitem
     WINDOW w AS (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-"""
-
-_ORACLE["expanding_var"] = """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN COUNT(l_partkey * l_quantity) OVER w >= 1
-                THEN (SUM(l_partkey * l_partkey * l_quantity) OVER w
-                      - (SUM(l_partkey * l_quantity) OVER w
-                         * SUM(l_partkey * l_quantity) OVER w)
-                        / SUM(l_quantity) OVER w)
-                     / NULLIF(SUM(l_quantity) OVER w - 1.0, 0.0)
-           END AS exp_var
+    UNION ALL
+    SELECT 'exp_var' AS stat, l_orderkey, l_linenumber,
+           CASE WHEN COUNT(l_partkey * l_quantity) OVER w2 >= 1
+                THEN (SUM(l_partkey * l_partkey * l_quantity) OVER w2
+                      - (SUM(l_partkey * l_quantity) OVER w2
+                         * SUM(l_partkey * l_quantity) OVER w2)
+                        / SUM(l_quantity) OVER w2)
+                     / NULLIF(SUM(l_quantity) OVER w2 - 1.0, 0.0)
+           END AS val
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey
+    WINDOW w2 AS (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
@@ -1911,22 +1851,16 @@ _ORACLE["histogram"] = """
 
 _MATRIX_COLS = ("l_extendedprice", "l_discount", "l_tax")
 
-_ORACLE["cov_matrix"] = "\nUNION ALL\n".join(
-    f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, cov FROM ("
-    + _cov_sql(
-        _MATRIX_COLS[min(i, j)], _MATRIX_COLS[max(i, j)], "l_quantity", "lineitem"
-    )
-    + ")"
-    for i, cx in enumerate(_MATRIX_COLS)
-    for j, cy in enumerate(_MATRIX_COLS)
-)
-
-_ORACLE["corr_matrix"] = "\nUNION ALL\n".join(
-    f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, corr FROM ("
+_ORACLE["corr_cov_matrix"] = "\nUNION ALL\n".join(
+    f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, corr, cov FROM ("
     + _corr_sql(
         _MATRIX_COLS[min(i, j)], _MATRIX_COLS[max(i, j)], "l_quantity", "lineitem"
     )
-    + ")"
+    + ") AS a, ("
+    + _cov_sql(
+        _MATRIX_COLS[min(i, j)], _MATRIX_COLS[max(i, j)], "l_quantity", "lineitem"
+    )
+    + ") AS b"
     for i, cx in enumerate(_MATRIX_COLS)
     for j, cy in enumerate(_MATRIX_COLS)
 )
@@ -1934,11 +1868,8 @@ _ORACLE["corr_matrix"] = "\nUNION ALL\n".join(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "global_sum": _q_global_sum,
-        "global_mean": _q_global_mean,
-        "global_var_std": _q_global_var_std,
-        "count_skipna": _q_count_skipna,
-        "sum_min_count": _q_sum_min_count,
+        "global_stats": _q_global_stats,
+        "null_semantics": _q_null_semantics,
         "group_mean": _q_group_mean,
         "group_var": _q_group_var,
         "group_var_salted": _q_group_var_salted,
@@ -1949,20 +1880,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_zscore": _q_group_zscore,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
-        "resample_2d_right": _q_resample_2d_right,
         "resample_6h_events": _q_resample_6h_events,
         "resample_3m": _q_resample_3m,
         "corr_pair": _q_corr_pair,
-        "corr_matrix": _q_corr_matrix,
-        "cov_matrix": _q_cov_matrix,
+        "corr_cov_matrix": _q_corr_cov_matrix,
         "group_skew_kurt": _q_group_skew_kurt,
         "value_counts": _q_value_counts,
         "histogram": _q_histogram,
         "group_corr": _q_group_corr,
-        "aligned_corr": _q_aligned_corr,
-        "aligned_cov": _q_aligned_cov,
-        "cube_sum": _q_cube_sum,
-        "rollup_mean": _q_rollup_mean,
+        "aligned_corr_cov": _q_aligned_corr_cov,
+        "grouping_sets": _q_grouping_sets,
         "weighted_sample": _q_weighted_sample,
         "poisson_sample": _q_poisson_sample,
         "stratified_sample": _q_stratified_sample,
@@ -1981,8 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "weighted_centroids": _q_weighted_centroids,
-        "rolling_mean": _q_rolling_mean,
-        "expanding_var": _q_expanding_var,
+        "window_stats": _q_window_stats,
         "row_stats": _q_row_stats,
         "star_join_mean": _q_star_join_mean,
         "grouped_apply": _q_grouped_apply,

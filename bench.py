@@ -23,15 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "group_mean",          # weighted grouped mean (flagship)
     "group_var",           # fused count/sum/var/std single pass
-    "global_var_std",      # whole-table moments
-    "resample_2d",         # time-bucketed weighted aggs (lineitem)
+    "global_stats",        # whole-table sum/mean/var/std moments
+    "resample_2d",         # time-bucketed weighted aggs, both closures
     "resample_6h_events",  # time-bucketed, expression weights (events)
-    "corr_matrix",         # pairwise weighted Pearson (one agg pass)
+    "resample_3m",         # multi-period calendar buckets (quarterly)
+    "corr_cov_matrix",     # pairwise weighted Pearson + cov (one agg pass each)
     "group_corr",          # per-group corr
-    "aligned_corr",        # join-aligned corr (orders x customer)
-    "cube_sum",            # grouping sets
+    "aligned_corr_cov",    # join-aligned corr + cov (orders x customer)
+    "grouping_sets",       # cube + rollup weighted aggs
     "star_join_mean",      # broadcast star join + weighted agg
-    "rolling_mean",        # partitioned weighted rolling window
+    "window_stats",        # partitioned rolling mean + expanding var
     "group_quantile",      # weighted median/p90 (window + agg, one shuffle)
     "session_agg",         # gap-based session windows (events)
     "dedup_exact",         # hash-groupBy dedup (documents x2)
@@ -42,19 +43,17 @@ HEADLINE = [
     "ann_topk",            # brute-force cosine top-k
     "ann_topk_ivf",        # IVF cells: train + probe + exact rank
     "weighted_centroids",  # per-label weighted centroid (64 dims)
-    "cov_matrix",          # weighted covariance (one agg pass)
     "group_skew_kurt",     # higher moments fused via agg_all
     "histogram",           # fixed-width weighted histogram
     "weighted_sample",     # deterministic pps sample (TakeOrdered)
     "poisson_sample",      # map-only pps inclusion
     "hash_split",          # shuffle-free split assignment + agg
-    "group_zscore",        # windowed per-row standardization
+    "group_zscore",        # agg + broadcast join-back standardization
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
     "group_var_salted",    # skew-salted two-stage moment merge
     "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
-    "resample_2d_right",   # closed/label-right bucketing
 ]
 
 
