@@ -733,6 +733,46 @@ def _q_session_agg(spark, sf_dir):
     )
 
 
+def _q_stream_resample(spark, sf_dir):
+    # Structured Streaming path through the SAME weighted kernels
+    # (streaming/__init__.py:weighted_resample_stream): events replayed
+    # as a file stream, 6-hour epoch-aligned tumbling windows, one
+    # availableNow pass into a memory sink. Output mode "complete" emits
+    # every window at termination, so the batch SQL oracle checks the
+    # streaming result exactly (batch/stream kernel parity).
+    from pandas_weights_spark.sources import load_table_stream
+    from pandas_weights_spark.streaming import weighted_resample_stream
+
+    stream = load_table_stream(spark, sf_dir, "events")
+    agg = weighted_resample_stream(
+        stream,
+        weights=(F.col("user_id") % 7 + 1).cast("double"),
+        on="ts",
+        rule="6H",
+        stats=("count", "sum", "mean"),
+        value_cols=["value"],
+    )
+    out = agg.select(
+        F.col("window_start").alias("bucket"),
+        F.col("value_count").alias("w_count"),
+        F.col("value_sum").alias("w_sum"),
+        F.col("value_mean").alias("w_mean"),
+    )
+    sink = "stream_resample_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_token_counts(spark, sf_dir):
     # whitespace + BPE-ish regex token counts (text.py) — length-budget
     # filters for training pipelines; pure JVM regexp, no UDF
@@ -1165,6 +1205,23 @@ _ORACLE["session_agg"] = """
              / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
     FROM s
     GROUP BY user_id, sess_id
+"""
+
+_ORACLE["stream_resample"] = """
+    WITH t AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(user_id % 7 + 1 AS DOUBLE) AS w
+      FROM events
+    )
+    SELECT time_bucket(INTERVAL 6 HOUR, ts,
+                       TIMESTAMP '1970-01-01 00:00:00') AS bucket,
+           COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+             AS w_count,
+           COALESCE(SUM(value * w), 0.0) AS w_sum,
+           SUM(value * w)
+             / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
+    FROM t
+    GROUP BY bucket
 """
 
 _ORACLE["token_counts"] = """
@@ -1915,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_apply": _q_series_apply,
         "events_group": _q_events_group,
         "session_agg": _q_session_agg,
+        "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,  # rows-only (fake decode)
     }
 

@@ -62,6 +62,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Read one parquet table as a file-source *stream* (``readStream``)
+    — the replay twin of :func:`load_table`, for driving the
+    ``pandas_weights_spark.streaming`` operators over the test layout.
+
+    File streams need an explicit schema; it is taken from the parquet
+    footer via a batch reader (metadata-only, no data scan). Nanosecond
+    timestamps get the same long-read + microsecond truncation as the
+    batch path, so batch and stream see identical values.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a *directory*; the test layout stores
+    # each table as one file, so stream the directory and glob-filter to
+    # the table's file.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All test tables as a dict (lazy — nothing is scanned until used)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -271,3 +271,27 @@ class TestRunningStatsState:
             assert got["w_sum"] == approx(e["Value_sum"])
             assert got["w_mean"] == approx(e["Value_mean"])
             assert got["w_var"] == approx(e["Value_var"])
+
+
+class TestLoadTableStream:
+    def test_stream_matches_batch_rows(self, spark):
+        # the replay twin of load_table: same rows, same (truncated-µs)
+        # timestamps, single-file table streamed via pathGlobFilter
+        from pandas_weights_spark.sources import load_table, load_table_stream
+
+        sf = "/root/testdata/sf0.001"
+        stream = load_table_stream(spark, sf, "events").select(
+            "event_id", "ts", "value"
+        )
+        # no aggregation -> append mode (complete needs an agg)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("load_table_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM load_table_stream_test")
+        batch = load_table(spark, sf, "events").select("event_id", "ts", "value")
+        assert sorted(got.collect()) == sorted(batch.collect())
