@@ -289,6 +289,24 @@ def _q_group_corr(spark, sf_dir):
     )
 
 
+def _q_spearman_corr(spark, sf_dir):
+    # weighted Spearman per return flag: average-tie ranks over the
+    # pairwise-complete mask (distinct-value cumulative counts joined
+    # back), then the weighted Pearson kernel on ranks (corr.py:
+    # spearman_corr). Ranks are half-integers and weights integral, so
+    # the moment sums are exact and the oracle matches bit-for-bit
+    # before the ROUND.
+    from pandas_weights_spark.corr import spearman_corr
+
+    out = spearman_corr(
+        wt(_li(spark, sf_dir), _W),
+        "l_extendedprice",
+        "l_discount",
+        by=["l_returnflag"],
+    )
+    return out.select("l_returnflag", F.round(F.col("corr"), 6).alias("corr"))
+
+
 def _q_aligned_corr_cov(spark, sf_dir):
     # orders.o_totalprice vs customer.c_acctbal aligned on custkey,
     # weighted by a derived orders-side weight, per order status
@@ -1404,6 +1422,42 @@ _ALIGNED_COV_SQL = """
     FROM m
 """
 
+_SPEARMAN_RANKED = """(
+    WITH v AS (
+      SELECT l_returnflag AS g, l_extendedprice AS x, l_discount AS y,
+             l_quantity AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ), cx AS (
+      SELECT g, x, COUNT(*) AS n FROM v GROUP BY g, x
+    ), rx AS (
+      SELECT g, x,
+             CAST(SUM(n) OVER (PARTITION BY g ORDER BY x
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               - CAST(n - 1 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS rnk
+      FROM cx
+    ), cy AS (
+      SELECT g, y, COUNT(*) AS n FROM v GROUP BY g, y
+    ), ry AS (
+      SELECT g, y,
+             CAST(SUM(n) OVER (PARTITION BY g ORDER BY y
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               - CAST(n - 1 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS rnk
+      FROM cy
+    )
+    SELECT v.g, rx.rnk AS x, ry.rnk AS y, v.w
+    FROM v
+    JOIN rx ON v.g = rx.g AND v.x = rx.x
+    JOIN ry ON v.g = ry.g AND v.y = ry.y
+)"""
+
+_ORACLE["spearman_corr"] = (
+    "SELECT g AS l_returnflag, corr FROM ("
+    + _corr_sql("x", "y", "w", _SPEARMAN_RANKED, group=["g"])
+    + ")"
+)
+
 _ORACLE["aligned_corr_cov"] = (
     "SELECT a.o_orderstatus, a.corr, b.cov FROM (SELECT o_orderstatus, corr FROM ("
     + _corr_sql(
@@ -1945,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts": _q_value_counts,
         "histogram": _q_histogram,
         "group_corr": _q_group_corr,
+        "spearman_corr": _q_spearman_corr,
         "aligned_corr_cov": _q_aligned_corr_cov,
         "grouping_sets": _q_grouping_sets,
         "weighted_sample": _q_weighted_sample,

@@ -45,14 +45,18 @@ __all__ = [
     "aligned_cov",
     "frame_cov",
     "grouped_cov",
+    "spearman_corr",
     "to_matrix",
 ]
 
 
 def _check_method(method: str) -> None:
+    # reference raises for non-pearson too (frame.py:263-266); the
+    # engine additionally ships pair-level spearman via spearman_corr.
     if method != "pearson":
         raise NotImplementedError(
-            "Only 'pearson' weighted correlation is supported."
+            "Only 'pearson' weighted correlation is supported here; "
+            "for a column pair use spearman_corr()."
         )
 
 
@@ -322,6 +326,89 @@ def aligned_cov(
             joined.groupBy(*by).agg(*moments.values()).select(*by, cov).orderBy(*by)
         )
     return joined.agg(*moments.values()).select(cov)
+
+
+def _avg_ranks(
+    df: DataFrame, col: str, keys: Sequence[str], out: str
+) -> DataFrame:
+    """Average ranks (pandas ``rank(method="average")``) per distinct
+    value of ``col`` within each ``keys`` group.
+
+    Two-stage: count rows per distinct value (map-side combine), then a
+    cumulative-count window over the *distinct values* — shuffle and
+    window volume are bounded by value cardinality, not row count. The
+    average rank of a tie group is ``cum − (n−1)/2``.
+    """
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__n__"))
+    win = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cnt.select(
+        *keys,
+        col,
+        (
+            F.sum("__n__").over(win).cast("double")
+            - (F.col("__n__") - F.lit(1)).cast("double") / F.lit(2.0)
+        ).alias(out),
+    )
+
+
+def spearman_corr(
+    wdf: "WeightedDataFrame",
+    x_col: str,
+    y_col: str,
+    by: Optional[Sequence[str]] = None,
+    min_periods: int = 1,
+    ddof: int = 1,
+) -> DataFrame:
+    """Weighted Spearman rank correlation of two columns (extension: the
+    reference raises for non-pearson, frame.py:263-266).
+
+    Semantics: average-tie ranks over the pairwise-complete mask
+    (x, y, w all non-NULL — exactly the rows pandas
+    ``.corr(method="spearman")`` ranks), then the weighted Pearson
+    kernel (:func:`~pandas_weights_spark._stats.corr_from_moments`) on
+    the ranks. At unit weights this reproduces pandas spearman.
+
+    Plan: ranks come from per-distinct-value row counts joined back to
+    the masked rows — the ordering window runs over distinct values,
+    not rows. Like exact quantiles (quantile.py), a global ordering is
+    inherently sort-bound for near-unique continuous columns; the join
+    itself shuffles on (keys, value) which is high-cardinality and
+    therefore parallel.
+    """
+    from pandas_weights_spark.frame import WEIGHT_COL
+
+    keys = list(by) if by else []
+    # _value wraps in nanvl so pandas NaN means missing, like every kernel
+    x = wdf._value(x_col)
+    y = wdf._value(y_col)
+    w = F.col(WEIGHT_COL)
+    v = wdf.df.where(x.isNotNull() & y.isNotNull() & w.isNotNull()).select(
+        *keys, x.alias("__x__"), y.alias("__y__"), w.alias(WEIGHT_COL)
+    )
+    rx = _avg_ranks(v, "__x__", keys, "__rx__")
+    ry = _avg_ranks(v, "__y__", keys, "__ry__")
+    j = v.join(rx, on=keys + ["__x__"]).join(ry, on=keys + ["__y__"])
+
+    moments = {
+        name: expr.alias(f"__m_{name}")
+        for name, expr in corr_moment_exprs(
+            F.col("__rx__"), F.col("__ry__"), F.col(WEIGHT_COL)
+        ).items()
+    }
+    m = lambda name: F.col(f"__m_{name}")  # noqa: E731
+    corr = corr_from_moments(
+        m("n"), m("w"), m("wx"), m("wy"), m("wxy"), m("wxx"), m("wyy"),
+        ddof=ddof, min_periods=min_periods,
+    ).alias("corr")
+    if keys:
+        return j.groupBy(*keys).agg(*moments.values()).select(*keys, corr)
+    return j.agg(*moments.values()).select(corr)
 
 
 def to_matrix(long_form: DataFrame) -> "pd.DataFrame":

@@ -202,3 +202,90 @@ class TestAlignedCorr:
         ws = wt(df, "weights")["v"]
         out = ws.corr(other, "y", on="k")
         assert out.collect()[0]["corr"] == approx(1.0)
+
+
+class TestSpearman:
+    """spearman_corr extension (reference raises for non-pearson,
+    frame.py:263-266): average-tie ranks + weighted pearson kernel."""
+
+    def test_unit_weights_match_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=80)
+        y = 0.6 * x + rng.normal(scale=0.8, size=80)
+        # inject ties and NULL pairs
+        x[::9] = 1.5
+        y[::7] = np.nan
+        pdf = pd.DataFrame({"x": x, "y": y, "w": np.ones(80)})
+        from pandas_weights_spark.corr import spearman_corr
+
+        got = spearman_corr(
+            wt(spark.createDataFrame(pdf), "w"), "x", "y"
+        ).collect()[0]["corr"]
+        # pandas spearman needs scipy (absent here): rank over the
+        # pairwise-complete mask, then plain pearson on the ranks
+        m = pdf.dropna(subset=["x", "y"])
+        exp = m["x"].rank(method="average").corr(m["y"].rank(method="average"))
+        assert got == approx(exp)
+
+    def test_integer_weights_equal_row_repetition(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=40)
+        y = rng.normal(size=40)
+        w = rng.integers(1, 4, size=40)
+        pdf = pd.DataFrame({"x": x, "y": y, "w": w.astype(float)})
+        from pandas_weights_spark.corr import spearman_corr
+
+        got = spearman_corr(
+            wt(spark.createDataFrame(pdf), "w"), "x", "y"
+        ).collect()[0]["corr"]
+
+        # NOTE: repetition changes the RANKS too, so the right oracle is
+        # weighted-pearson-on-original-ranks, not pandas on the expanded
+        # frame. Ranks from the unexpanded frame, weighted moments by w:
+        rx = pdf["x"].rank(method="average")
+        ry = pdf["y"].rank(method="average")
+        ws = pdf["w"]
+        sw = ws.sum()
+        cov = ((rx * ry * ws).sum() - (rx * ws).sum() * (ry * ws).sum() / sw) / (sw - 1)
+        vx = ((rx * rx * ws).sum() - (rx * ws).sum() ** 2 / sw) / (sw - 1)
+        vy = ((ry * ry * ws).sum() - (ry * ws).sum() ** 2 / sw) / (sw - 1)
+        assert got == approx(cov / (vx * vy) ** 0.5)
+
+    def test_grouped(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        n = 60
+        pdf = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b", "c"], n // 3),
+                "x": rng.normal(size=n),
+                "y": rng.normal(size=n),
+                "w": np.ones(n),
+            }
+        )
+        from pandas_weights_spark.corr import spearman_corr
+
+        got = {
+            r["g"]: r["corr"]
+            for r in spearman_corr(
+                wt(spark.createDataFrame(pdf), "w"), "x", "y", by=["g"]
+            ).collect()
+        }
+        for g, sub in pdf.groupby("g"):
+            exp = (
+                sub["x"].rank(method="average")
+                .corr(sub["y"].rank(method="average"))
+            )
+            assert got[g] == approx(exp), g
+
+    def test_matrix_method_still_raises(self, corr_frame):
+        with pytest.raises(NotImplementedError):
+            wt(corr_frame, "weights").corr(method="spearman")
