@@ -386,15 +386,26 @@ def _q_group_zscore(spark, sf_dir):
 
 
 def _q_group_mad(spark, sf_dir):
-    # robust spread: weighted median of |x - weighted median(x)| per group
-    out = (
-        wt(_li(spark, sf_dir), _W)
-        .groupby("l_returnflag")[["l_extendedprice"]]
-        .mad()
+    # robust spread: weighted median of |x - weighted median(x)| per
+    # group, in BOTH modes — exact (inverted-CDF windows) and binned
+    # (the 100 TB path: two groups x bins aggregates; integral weights
+    # make bucket masses exact, so the check is value-exact).
+    def g():
+        return wt(_li(spark, sf_dir), _W).groupby("l_returnflag")[
+            ["l_extendedprice"]
+        ]
+
+    exact = g().mad().select(
+        F.lit("exact").alias("mode"),
+        "l_returnflag",
+        F.col("l_extendedprice").alias("mad"),
     )
-    return out.select(
-        "l_returnflag", F.col("l_extendedprice").alias("mad")
+    binned = g().mad(exact=False, lo=0.0, hi=60000.0, bins=1024).select(
+        F.lit("binned").alias("mode"),
+        "l_returnflag",
+        F.col("l_extendedprice").alias("mad"),
     )
+    return exact.unionByName(binned)
 
 
 def _q_group_mode(spark, sf_dir):
@@ -1031,11 +1042,54 @@ _ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS cw,
                  SUM(w) OVER (PARTITION BY g) AS tw
           FROM d
+        ), bb1 AS (
+          SELECT g,
+                 LEAST(1023, CAST(FLOOR(
+                   (LEAST(GREATEST(x, CAST(0.0 AS DOUBLE)),
+                          CAST(60000.0 AS DOUBLE)) - CAST(0.0 AS DOUBLE))
+                   / CAST(58.59375 AS DOUBLE)) AS INTEGER)) AS bin,
+                 SUM(w) AS bm
+          FROM v GROUP BY 1, 2
+        ), bc1 AS (
+          SELECT g, bin,
+                 SUM(bm) OVER (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 SUM(bm) OVER (PARTITION BY g) AS tw
+          FROM bb1
+        ), bmed AS (
+          SELECT g, MIN(CASE WHEN cw >= 0.5 * tw
+                   THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
+                   END) AS m
+          FROM bc1 GROUP BY g
+        ), bd AS (
+          SELECT v.g, abs(v.x - bmed.m) AS x, v.w
+          FROM v JOIN bmed USING (g)
+        ), bb2 AS (
+          SELECT g,
+                 LEAST(1023, CAST(FLOOR(
+                   (LEAST(GREATEST(x, CAST(0.0 AS DOUBLE)),
+                          CAST(60000.0 AS DOUBLE)) - CAST(0.0 AS DOUBLE))
+                   / CAST(58.59375 AS DOUBLE)) AS INTEGER)) AS bin,
+                 SUM(w) AS bm
+          FROM bd GROUP BY 1, 2
+        ), bc2 AS (
+          SELECT g, bin,
+                 SUM(bm) OVER (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 SUM(bm) OVER (PARTITION BY g) AS tw
+          FROM bb2
         )
-        SELECT g AS l_returnflag,
+        SELECT 'exact' AS mode, g AS l_returnflag,
                MIN(CASE WHEN cw >= 0.5 * tw THEN x END)
                  * CAST(1.0 AS DOUBLE) AS mad
         FROM c2 GROUP BY g
+        UNION ALL
+        SELECT 'binned' AS mode, g AS l_returnflag,
+               MIN(CASE WHEN cw >= 0.5 * tw
+                   THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
+                   END)
+                 * CAST(1.0 AS DOUBLE) AS mad
+        FROM bc2 GROUP BY g
     """,
     "group_zscore": """
         WITH m AS (

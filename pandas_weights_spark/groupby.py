@@ -174,15 +174,32 @@ class WeightedGroupBy:
         """Per-group weighted excess kurtosis (extension)."""
         return self._agg(lambda x, w: _stats.w_kurt(x, w, skipna=skipna))
 
-    def quantile(self, q=0.5) -> DataFrame:
+    def quantile(
+        self,
+        q=0.5,
+        exact: bool = True,
+        lo: Optional[float] = None,
+        hi: Optional[float] = None,
+        bins: int = 4096,
+    ) -> DataFrame:
         """Per-group weighted quantile(s) (inverted CDF over cumulative
         weight; see pandas_weights_spark.quantile). One shuffle: the
-        final groupBy reuses the window's hash partitioning."""
+        final groupBy reuses the window's hash partitioning.
+
+        ``exact=False`` switches to the fixed-binning approximation over
+        ``[lo, hi]`` (required then) — shuffle volume groups × bins
+        instead of rows, error ≤ ``(hi−lo)/bins``. **This is the default
+        to reach for at 100 TB**: the exact path sorts every group's
+        rows inside its window partition, which degrades when group
+        cardinality is low relative to data size."""
         if self._mode != "groupby":
             raise NotImplementedError(
                 "quantile is not defined for cube/rollup grouping sets"
             )
-        from pandas_weights_spark.quantile import weighted_quantiles
+        from pandas_weights_spark.quantile import (
+            weighted_quantiles,
+            weighted_quantiles_binned,
+        )
 
         wdf = self._wdf
         if self._dropna:
@@ -192,21 +209,41 @@ class WeightedGroupBy:
                 df = df.where(F.col(k).isNotNull())
             sub._df = df
             wdf = sub
-        out = weighted_quantiles(
-            wdf, q, subset=self._value_cols(), keys=self._keys
-        )
+        if exact:
+            out = weighted_quantiles(
+                wdf, q, subset=self._value_cols(), keys=self._keys
+            )
+        else:
+            if lo is None or hi is None:
+                raise ValueError("exact=False needs explicit lo and hi")
+            out = weighted_quantiles_binned(
+                wdf, q, lo=lo, hi=hi, bins=bins,
+                subset=self._value_cols(), keys=self._keys,
+            )
         return self._finish(out)
 
     def median(self) -> DataFrame:
         return self.quantile(0.5)
 
-    def mad(self, scale: float = 1.0) -> DataFrame:
+    def mad(
+        self,
+        scale: float = 1.0,
+        exact: bool = True,
+        lo: Optional[float] = None,
+        hi: Optional[float] = None,
+        bins: int = 4096,
+    ) -> DataFrame:
         """Weighted median absolute deviation per group:
         ``scale · median_w(|x − median_w(x)|)`` — the robust spread
         companion to :meth:`std` (extension; pass ``scale≈1.4826`` for
         normal-consistency). Two window shuffles: the group medians (a
         tiny frame) broadcast-join back onto the rows, then the deviation
         median reuses the same inverted-CDF machinery.
+
+        ``exact=False`` routes BOTH median passes through the binned
+        approximation over ``[lo, hi]`` (deviations bin over
+        ``[0, hi−lo]``) — the 100 TB shape: two groups × bins
+        aggregates instead of two per-row sorts; error ≤ 2·(hi−lo)/bins.
         """
         if self._mode != "groupby":
             raise NotImplementedError(
@@ -216,8 +253,11 @@ class WeightedGroupBy:
         from pandas_weights_spark.quantile import (
             quantile_col_name,
             weighted_quantiles,
+            weighted_quantiles_binned,
         )
 
+        if not exact and (lo is None or hi is None):
+            raise ValueError("exact=False needs explicit lo and hi")
         cols = self._value_cols()
         if not cols:
             raise ValueError("no numeric columns to aggregate")
@@ -229,7 +269,13 @@ class WeightedGroupBy:
             sub = wdf._subset(wdf.columns)
             sub._df = df
             wdf = sub
-        med = weighted_quantiles(wdf, 0.5, subset=cols, keys=self._keys)
+        if exact:
+            med = weighted_quantiles(wdf, 0.5, subset=cols, keys=self._keys)
+        else:
+            med = weighted_quantiles_binned(
+                wdf, 0.5, lo=lo, hi=hi, bins=bins,
+                subset=cols, keys=self._keys,
+            )
         # Per-group medians are one row per group — usually tiny, but the
         # key cardinality is unbounded, so no forced broadcast hint: AQE
         # picks broadcast when the frame is small and a safe shuffle join
@@ -247,9 +293,16 @@ class WeightedGroupBy:
                 for c in cols
             ],
         )
-        out = weighted_quantiles(
-            _wt(dev, WEIGHT_COL), 0.5, subset=cols, keys=self._keys
-        )
+        if exact:
+            out = weighted_quantiles(
+                _wt(dev, WEIGHT_COL), 0.5, subset=cols, keys=self._keys
+            )
+        else:
+            out = weighted_quantiles_binned(
+                _wt(dev, WEIGHT_COL), 0.5,
+                lo=0.0, hi=hi - lo, bins=bins,
+                subset=cols, keys=self._keys,
+            )
         renamed = out.select(
             *self._keys,
             *[

@@ -200,3 +200,63 @@ class TestMad:
         # w 1,2,1,1 → sorted (0,2),(1,1),(1,1),(7,1): cum 2,3 >= 2.5 → 1
         got = wdf.mad().collect()[0]["x"]
         assert got == pytest.approx(1.0)
+
+
+class TestBinnedMode:
+    """exact=False routing on the groupby surface (quantile + mad)."""
+
+    def test_quantile_binned_close_to_exact(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        rows = [
+            ("a" if i % 2 else "b", float(v), float(rng.integers(1, 4)))
+            for i, v in enumerate(rng.uniform(0, 100, 400))
+        ]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        exact = {
+            r["g"]: r["x_p50"]
+            for r in wdf.groupby("g").quantile(0.5).collect()
+        }
+        approx_q = {
+            r["g"]: r["x_p50"]
+            for r in wdf.groupby("g")
+            .quantile(0.5, exact=False, lo=0.0, hi=100.0, bins=1000)
+            .collect()
+        }
+        for g in ("a", "b"):
+            assert abs(approx_q[g] - exact[g]) <= 100.0 / 1000 + 1e-9, g
+
+    def test_mad_binned_close_to_exact(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        rows = [
+            ("a" if i % 2 else "b", float(v), float(rng.integers(1, 4)))
+            for i, v in enumerate(rng.uniform(0, 100, 400))
+        ]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        exact = {r["g"]: r["x"] for r in wdf.groupby("g").mad().collect()}
+        binned = {
+            r["g"]: r["x"]
+            for r in wdf.groupby("g")
+            .mad(exact=False, lo=0.0, hi=100.0, bins=1000)
+            .collect()
+        }
+        # both medians binned: error bound is twice one bucket width
+        for g in ("a", "b"):
+            assert abs(binned[g] - exact[g]) <= 2 * 100.0 / 1000 + 1e-9, g
+
+    def test_binned_requires_bounds(self, spark):
+        rows = [("a", 1.0, 1.0)]
+        wdf = wt(
+            spark.createDataFrame(rows, "g string, x double, w double"), "w"
+        )
+        with pytest.raises(ValueError):
+            wdf.groupby("g").quantile(0.5, exact=False)
+        with pytest.raises(ValueError):
+            wdf.groupby("g").mad(exact=False, lo=0.0)
