@@ -49,12 +49,16 @@ _HEX = "0123456789abcdef"
 def uniform_hash(key_cols: Sequence[Column], seed: int = 42) -> Column:
     """Deterministic uniform in (0, 1) from md5 of the key columns.
 
-    The first 8 hex digits of ``md5(concat_ws('|', keys…, seed))`` are
-    accumulated most-significant-first as ``Σ digit_i · 16^-(i+1)``, then
-    ``2^-33`` is added so the value is strictly positive (safe as a
-    divisor). Each step is exactly rounded IEEE arithmetic in the same
-    order as the SQL oracle mirror, so both engines produce the
-    bit-identical double.
+    The first 8 hex digits of ``md5(concat_ws('|', keys…, seed))`` form
+    a 32-bit integer ``v``; the uniform is ``v · 2⁻³² + 2⁻³³`` (the
+    offset keeps it strictly positive — safe as a divisor). This equals
+    the digit sum ``Σ digit_i · 16^-(i+1) + 2⁻³³`` the SQL oracle mirror
+    computes *bit-for-bit*: every term is a small integer at a
+    power-of-two scale, so each partial sum is exact IEEE arithmetic.
+    The engine uses the single-``conv`` form because one md5 per row
+    beats eight — expression-level CSE does not merge repeated md5
+    calls inside a codegen'd Filter, which made the digit-sum form 8×
+    the hash work in sampling filters.
 
     Each key is ``coalesce(cast(k as string), '\\0null')`` before the
     concat: ``concat_ws`` silently SKIPS null arguments, so without the
@@ -67,14 +71,8 @@ def uniform_hash(key_cols: Sequence[Column], seed: int = 42) -> Column:
         F.coalesce(c.cast("string"), F.lit("\x00null")) for c in key_cols
     ]
     h = F.md5(F.concat_ws("|", *enc, F.lit(str(seed))))
-    u: Optional[Column] = None
-    for i in range(8):
-        digit = (
-            F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
-        ).cast("double") * F.lit(16.0 ** -(i + 1))
-        u = digit if u is None else u + digit
-    assert u is not None
-    return u + F.lit(2.0**-33)
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long").cast("double")
+    return v * F.lit(2.0**-32) + F.lit(2.0**-33)
 
 
 def uniform_hash_sql(key_cols: Sequence[str], seed: int = 42) -> str:
