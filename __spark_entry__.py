@@ -225,18 +225,17 @@ def _q_corr_pair(spark, sf_dir):
 
 def _q_corr_cov_matrix(spark, sf_dir):
     # weighted correlation matrix (reference frame.py:253-285) and the
-    # covariance-matrix extension, zipped per (col_x, col_y) pair — each
-    # side is one aggregate pass over the same pair moments; the join is
-    # 9x9 rows, broadcast-trivial.
+    # covariance-matrix extension, FUSED: the cov moments are a subset of
+    # corr's, so both stats come out of ONE aggregate pass over the pair
+    # moments (corr.py frame_corr_cov) — one scan, no join.
     wdf = wt(_li(spark, sf_dir), _W)
     cols = ["l_extendedprice", "l_discount", "l_tax"]
-    corr = wdf.corr(subset=cols).select(
-        "col_x", "col_y", F.round(F.col("corr"), 6).alias("corr")
+    return wdf.corr_cov(subset=cols).select(
+        "col_x",
+        "col_y",
+        F.round(F.col("corr"), 6).alias("corr"),
+        F.round(F.col("cov"), 6).alias("cov"),
     )
-    cov = wdf.cov(subset=cols).select(
-        "col_x", "col_y", F.round(F.col("cov"), 6).alias("cov")
-    )
-    return corr.join(cov, on=["col_x", "col_y"])
 
 
 def _q_group_skew_kurt(spark, sf_dir):
@@ -310,24 +309,23 @@ def _q_spearman_corr(spark, sf_dir):
 def _q_aligned_corr_cov(spark, sf_dir):
     # orders.o_totalprice vs customer.c_acctbal aligned on custkey,
     # weighted by a derived orders-side weight, per order status
-    # (reference series.py:222-247 corr-with-other, plus the cov analog) —
-    # the per-status zip join is 3x3 rows.
-    from pandas_weights_spark.corr import aligned_corr, aligned_cov
+    # (reference series.py:222-247 corr-with-other, plus the cov analog);
+    # corr and cov share ONE alignment join + aggregate (aligned_corr_cov).
+    from pandas_weights_spark.corr import aligned_corr_cov
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "o_custkey"
     )
     left = wt(orders, (F.col("o_orderkey") % 10 + 1).cast("double")).df
-    corr = aligned_corr(
+    return aligned_corr_cov(
         left, "o_totalprice", cust, "c_acctbal",
         on="o_custkey", by=["o_orderstatus"],
-    ).select("o_orderstatus", F.round(F.col("corr"), 6).alias("corr"))
-    cov = aligned_cov(
-        left, "o_totalprice", cust, "c_acctbal",
-        on="o_custkey", by=["o_orderstatus"],
-    ).select("o_orderstatus", F.round(F.col("cov"), 4).alias("cov"))
-    return corr.join(cov, on="o_orderstatus")
+    ).select(
+        "o_orderstatus",
+        F.round(F.col("corr"), 6).alias("corr"),
+        F.round(F.col("cov"), 4).alias("cov"),
+    )
 
 
 def _q_grouping_sets(spark, sf_dir):

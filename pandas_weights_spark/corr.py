@@ -43,8 +43,10 @@ __all__ = [
     "grouped_corr",
     "aligned_corr",
     "aligned_cov",
+    "aligned_corr_cov",
     "frame_cov",
     "grouped_cov",
+    "frame_corr_cov",
     "spearman_corr",
     "to_matrix",
 ]
@@ -224,6 +226,40 @@ def grouped_cov(
     return out
 
 
+def frame_corr_cov(
+    wdf: "WeightedDataFrame",
+    min_periods: int = 1,
+    ddof: int = 1,
+    subset: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Correlation AND covariance matrices fused into one aggregate pass,
+    long form ``(col_x, col_y, corr, cov)``.
+
+    The cov moments are a subset of corr's, so computing both stats from
+    one moment aggregate is free relative to :func:`frame_corr` alone —
+    half the scans of running :func:`frame_corr` + :func:`frame_cov`
+    separately and joining. Values are bit-identical to the separate
+    paths (same moment expressions, same ``*_from_moments`` kernels).
+    """
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    if not cols:
+        raise ValueError("no numeric columns to correlate")
+    moments = wdf.df.agg(*_pair_moment_exprs(wdf, cols))
+    structs = []
+    for i, cx in enumerate(cols):
+        for j, cy in enumerate(cols):
+            lo, hi = (i, j) if i <= j else (j, i)
+            structs.append(
+                F.struct(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    _pair_corr(lo, hi, ddof, min_periods).alias("corr"),
+                    _pair_cov(lo, hi, j < i, ddof, min_periods).alias("cov"),
+                )
+            )
+    return moments.select(F.inline(F.array(*structs)))
+
+
 def aligned_corr(
     left: DataFrame,
     x_col: str,
@@ -326,6 +362,61 @@ def aligned_cov(
             joined.groupBy(*by).agg(*moments.values()).select(*by, cov).orderBy(*by)
         )
     return joined.agg(*moments.values()).select(cov)
+
+
+def aligned_corr_cov(
+    left: DataFrame,
+    x_col: str,
+    other: DataFrame,
+    y_col: str,
+    on: Union[str, Sequence[str]],
+    by: Optional[Sequence[str]] = None,
+    min_periods: Optional[int] = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Aligned correlation AND covariance in one join + one aggregate —
+    the fused form of :func:`aligned_corr` / :func:`aligned_cov` (which
+    each re-run the alignment join). Output ``(by…, corr, cov)``; values
+    bit-identical to the separate paths (same moments, same kernels).
+    """
+    from pandas_weights_spark.frame import WEIGHT_COL
+
+    min_periods = 1 if min_periods is None else min_periods
+    on_cols = [on] if isinstance(on, str) else list(on)
+    by = list(by) if by else []
+
+    y_alias = "__pw_other__"
+    left_sel = left.select(
+        *dict.fromkeys(on_cols + by), F.col(x_col).alias("__pw_x__"), F.col(WEIGHT_COL)
+    )
+    right_sel = other.select(*on_cols, F.col(y_col).alias(y_alias))
+    joined = left_sel.join(right_sel, on=on_cols, how="inner")
+
+    x = F.col("__pw_x__").cast("double")
+    y = F.col(y_alias).cast("double")
+    w = F.col(WEIGHT_COL)
+    moments = {
+        name: expr.alias(f"__m_{name}")
+        for name, expr in corr_moment_exprs(x, y, w).items()
+    }
+    m = lambda name: F.col(f"__m_{name}")  # noqa: E731
+    corr = corr_from_moments(
+        m("n"), m("w"), m("wx"), m("wy"), m("wxy"), m("wxx"), m("wyy"),
+        ddof=ddof, min_periods=min_periods,
+    ).alias("corr")
+    cov = cov_from_moments(
+        m("n"), m("w"), m("wx"), m("wy"), m("wxy"),
+        ddof=ddof, min_periods=min_periods,
+    ).alias("cov")
+
+    if by:
+        return (
+            joined.groupBy(*by)
+            .agg(*moments.values())
+            .select(*by, corr, cov)
+            .orderBy(*by)
+        )
+    return joined.agg(*moments.values()).select(corr, cov)
 
 
 def _avg_ranks(

@@ -458,6 +458,21 @@ class WeightedDataFrame:
 
         return frame_cov(self, min_periods=min_periods, ddof=ddof, subset=subset)
 
+    def corr_cov(
+        self,
+        min_periods: int = 1,
+        ddof: int = 1,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Corr AND cov matrices in ONE aggregate pass, long form
+        ``(col_x, col_y, corr, cov)`` — half the scans of calling
+        :meth:`corr` + :meth:`cov` separately and joining."""
+        from pandas_weights_spark.corr import frame_corr_cov
+
+        return frame_corr_cov(
+            self, min_periods=min_periods, ddof=ddof, subset=subset
+        )
+
     def groupby(self, *keys, dropna: bool = True, sort: bool = False):
         from pandas_weights_spark.groupby import WeightedGroupBy
 

@@ -74,6 +74,20 @@ class TestFrameCorr:
         assert mat.loc["A", "C"] == approx(-1.0)
         assert list(mat.columns) == ["A", "B", "C"]
 
+    def test_fused_corr_cov_matches_separate(self, corr_frame):
+        wdf = wt(corr_frame, "weights")
+        fused = {
+            (r["col_x"], r["col_y"]): (r["corr"], r["cov"])
+            for r in wdf.corr_cov().collect()
+        }
+        corr = corr_map(wdf.corr())
+        cov = {
+            (r["col_x"], r["col_y"]): r["cov"] for r in wdf.cov().collect()
+        }
+        assert set(fused) == set(corr) == set(cov)
+        for k, (c, v) in fused.items():
+            assert c == corr[k] and v == cov[k]  # bit-identical kernels
+
 
 class TestGroupedCorr:
     def test_per_group_matrices(self, spark):
@@ -142,6 +156,36 @@ class TestAlignedCorr:
         m = {r["key"]: r["corr"] for r in out.collect()}
         assert m["A"] == approx(0.0, rel=1e-9)
         assert m["B"] == approx(0.0, rel=1e-9)
+
+    def test_fused_aligned_corr_cov_matches_separate(self, spark):
+        from pandas_weights_spark.corr import aligned_corr_cov, aligned_cov
+
+        left = self._left(spark)
+        other = spark.createDataFrame(
+            [("A", 1, 2.0), ("A", 2, 4.0), ("B", 1, 9.0), ("B", 2, 5.0)],
+            "key string, row_id int, other double",
+        )
+        fused = {
+            r["key"]: (r["corr"], r["cov"])
+            for r in aligned_corr_cov(
+                left, "vals", other, "other", on=["key", "row_id"], by=["key"]
+            ).collect()
+        }
+        corr = {
+            r["key"]: r["corr"]
+            for r in aligned_corr(
+                left, "vals", other, "other", on=["key", "row_id"], by=["key"]
+            ).collect()
+        }
+        cov = {
+            r["key"]: r["cov"]
+            for r in aligned_cov(
+                left, "vals", other, "other", on=["key", "row_id"], by=["key"]
+            ).collect()
+        }
+        assert set(fused) == {"A", "B"}
+        for k, (c, v) in fused.items():
+            assert c == corr[k] and v == cov[k]  # bit-identical kernels
 
     def test_unique_composite_key(self, spark):
         # unique-key variant (README.md:111-135): join on (key, row_id)
