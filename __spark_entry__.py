@@ -850,10 +850,12 @@ def _q_row_stats(spark, sf_dir):
 
 
 def _q_window_stats(spark, sf_dir):
-    # weighted ordered-window transforms (rolling.py) in one tagged
-    # union: 3-row rolling mean and expanding (cumulative) variance per
-    # order. partition_by keeps both windows fully parallel — one hash
-    # shuffle on l_orderkey, then local sorts; no single-task global sort.
+    # weighted ordered-window transforms (rolling.py): 3-row rolling mean
+    # and expanding (cumulative) variance per order. Both frames share the
+    # SAME partition+order, so exposing them as Columns (rolling.col)
+    # lets one WindowExec evaluate both after a single shuffle + local
+    # sort — previously each stat re-scanned, re-shuffled and re-sorted.
+    # stack() unpivots to the tagged-union shape.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_quantity"
@@ -867,27 +869,22 @@ def _q_window_stats(spark, sf_dir):
         F.col("l_extendedprice"),
     ]
     wdf = wt(li, "l_quantity")
-    roll = (
-        wdf.rolling(3, order_by=order, partition_by=["l_orderkey"])
-        .mean()
-        .select(
-            F.lit("roll_mean").alias("stat"),
-            "l_orderkey",
-            "l_linenumber",
-            F.col("l_partkey").alias("val"),
-        )
+    roll = wdf.rolling(3, order_by=order, partition_by=["l_orderkey"])
+    exp = wdf.expanding(order_by=order, partition_by=["l_orderkey"])
+    both = wdf.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        roll.col("mean", "l_partkey").alias("__roll__"),
+        exp.col("var", "l_partkey").alias("__exp__"),
     )
-    exp = (
-        wdf.expanding(order_by=order, partition_by=["l_orderkey"])
-        .var()
-        .select(
-            F.lit("exp_var").alias("stat"),
-            "l_orderkey",
-            "l_linenumber",
-            F.col("l_partkey").alias("val"),
-        )
-    )
-    return roll.unionByName(exp)
+    return both.select(
+        F.expr(
+            "stack(2, 'roll_mean', __roll__, 'exp_var', __exp__)"
+            " AS (stat, val)"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    ).select("stat", "l_orderkey", "l_linenumber", "val")
 
 
 # weighted Pearson moments as SQL, mirroring _stats.corr_from_moments

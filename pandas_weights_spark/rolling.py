@@ -115,53 +115,75 @@ class WeightedRolling:
 
     # -- statistics ---------------------------------------------------------
 
-    def count(self, skipna: bool = True) -> DataFrame:
-        def b(x, w, spec):
-            if skipna:
-                e = F.sum(F.when(x.isNotNull(), w)).over(spec)
-            else:
-                e = F.sum(w).over(spec)
-            return F.coalesce(e, F.lit(0.0))
+    def _builder(self, stat: str, ddof: int, skipna: bool):
+        """``builder(x, w, spec) -> Column`` for a named statistic."""
 
-        return self._stat(b)
+        def cnt_of(x, w, spec):
+            if skipna:
+                return F.sum(F.when(x.isNotNull(), w)).over(spec)
+            return F.sum(w).over(spec)
+
+        if stat == "count":
+            return lambda x, w, spec: F.coalesce(cnt_of(x, w, spec), F.lit(0.0))
+        if stat == "sum":
+            return lambda x, w, spec: F.coalesce(
+                F.sum(x * w).over(spec), F.lit(0.0)
+            )
+        if stat == "mean":
+            return lambda x, w, spec: F.try_divide(
+                F.sum(x * w).over(spec), cnt_of(x, w, spec)
+            )
+        if stat == "var":
+            return lambda x, w, spec: _stats.variance_from_weighted_moments(
+                F.sum(x * w).over(spec),
+                F.sum((x * x) * w).over(spec),
+                cnt_of(x, w, spec),
+                ddof=ddof,
+            )
+        if stat == "std":
+
+            def b(x, w, spec):
+                v = _stats.variance_from_weighted_moments(
+                    F.sum(x * w).over(spec),
+                    F.sum((x * x) * w).over(spec),
+                    cnt_of(x, w, spec),
+                    ddof=ddof,
+                )
+                return F.when(v >= 0, F.sqrt(v))
+
+            return b
+        raise ValueError(f"unknown rolling statistic {stat!r}")
+
+    def col(
+        self, stat: str, column: str, ddof: int = 1, skipna: bool = True
+    ) -> Column:
+        """The windowed statistic for one value column as a bare
+        ``Column`` — composable into a caller's own ``select``, so
+        several window frames sharing one partition+order (e.g. a 3-row
+        rolling mean AND an expanding variance) evaluate in a SINGLE
+        WindowExec: one shuffle, one sort, instead of one pass per
+        frame. Same min_periods gate as the DataFrame-returning stats.
+        """
+        wdf = self._wdf
+        spec = self._spec()
+        x = wdf._value(column)
+        expr = self._builder(stat, ddof, skipna)(x, wdf.weights, spec)
+        if self._min_periods > 0:
+            n_valid = F.count(x * wdf.weights).over(spec)
+            expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+        return expr
+
+    def count(self, skipna: bool = True) -> DataFrame:
+        return self._stat(self._builder("count", 1, skipna))
 
     def sum(self) -> DataFrame:
-        return self._stat(
-            lambda x, w, spec: F.coalesce(F.sum(x * w).over(spec), F.lit(0.0))
-        )
+        return self._stat(self._builder("sum", 1, True))
 
     def mean(self, skipna: bool = True) -> DataFrame:
-        def b(x, w, spec):
-            s = F.sum(x * w).over(spec)
-            if skipna:
-                cnt = F.sum(F.when(x.isNotNull(), w)).over(spec)
-            else:
-                cnt = F.sum(w).over(spec)
-            return F.try_divide(s, cnt)
-
-        return self._stat(b)
+        return self._stat(self._builder("mean", 1, skipna))
 
     def var(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
-        def b(x, w, spec):
-            s = F.sum(x * w).over(spec)
-            ss = F.sum((x * x) * w).over(spec)
-            if skipna:
-                cnt = F.sum(F.when(x.isNotNull(), w)).over(spec)
-            else:
-                cnt = F.sum(w).over(spec)
-            return _stats.variance_from_weighted_moments(s, ss, cnt, ddof=ddof)
-
-        return self._stat(b)
+        return self._stat(self._builder("var", ddof, skipna))
 
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
-        def b(x, w, spec):
-            s = F.sum(x * w).over(spec)
-            ss = F.sum((x * x) * w).over(spec)
-            if skipna:
-                cnt = F.sum(F.when(x.isNotNull(), w)).over(spec)
-            else:
-                cnt = F.sum(w).over(spec)
-            v = _stats.variance_from_weighted_moments(s, ss, cnt, ddof=ddof)
-            return F.when(v >= 0, F.sqrt(v))
-
-        return self._stat(b)
+        return self._stat(self._builder("std", ddof, skipna))

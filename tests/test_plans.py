@@ -106,6 +106,34 @@ class TestNewOperatorPlans:
         assert plan.count("Window") == 1, plan  # all aggs share one window
         assert not P.has_python_eval(df)
 
+    def test_mixed_frames_share_one_window_exec(self, lineitem):
+        # rolling.col exposes stats as Columns so a rolling AND an
+        # expanding frame over the same partition+order evaluate in ONE
+        # WindowExec: one shuffle, one sort — not one pass per frame.
+        wdf = wt(
+            lineitem.select(
+                "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+            ),
+            "l_quantity",
+        )
+        roll = wdf.rolling(
+            3, order_by=["l_linenumber"], partition_by=["l_orderkey"]
+        )
+        exp = wdf.expanding(
+            order_by=["l_linenumber"], partition_by=["l_orderkey"]
+        )
+        df = wdf.df.select(
+            "l_orderkey",
+            "l_linenumber",
+            roll.col("mean", "l_extendedprice").alias("r"),
+            exp.col("var", "l_extendedprice").alias("e"),
+        )
+        plan = P.physical_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Window") == 1, plan
+        assert plan.count("Sort") == 1, plan
+        assert not P.has_python_eval(df)
+
     def test_quantile_reuses_window_exchange(self, lineitem):
         df = (
             wt(lineitem, "l_quantity")
