@@ -158,24 +158,45 @@ def _q_group_mean_customer(spark, sf_dir):
 
 def _q_resample_2d(spark, sf_dir):
     # 2-day tumbling buckets on l_shipdate, origin=start_day (pandas
-    # parity), both interval closures in one tagged union: closed/label
-    # "left" ([lo, hi), default) and "right" ((lo, hi] labeled by the
-    # upper edge — 1µs pre-shift + label shift, resample.py).
+    # parity), both interval closures — closed/label "left" ([lo, hi),
+    # default) and "right" ((lo, hi] labeled by the upper edge, 1µs
+    # pre-shift + label shift, resample.py) — in ONE scan: each row
+    # explodes to its two (edge, bucket) labels and a single tagged
+    # groupBy aggregates both closures (resample.agg_all and weighted
+    # groupby share the same _KERNELS, so values are identical to the
+    # per-closure passes the query previously unioned).
     wdf = wt(_li(spark, sf_dir), _W)[["l_extendedprice", "l_discount"]]
-    parts = []
-    for edge in ("left", "right"):
-        parts.append(
+    buckets = [
+        F.struct(
+            F.lit(edge).alias("edge"),
             wdf.resample("2D", on="l_shipdate", closed=edge, label=edge)
-            .agg_all(["sum", "mean"])
-            .select(
-                F.lit(edge).alias("edge"),
-                F.col("l_shipdate").alias("bucket"),
-                F.col("l_extendedprice_sum").alias("sum_price"),
-                F.col("l_extendedprice_mean").alias("mean_price"),
-                F.col("l_discount_sum").alias("sum_disc"),
-            )
+            .bucket()
+            .alias("bucket"),
         )
-    return parts[0].unionByName(parts[1])
+        for edge in ("left", "right")
+    ]
+    tagged = (
+        wdf.df.where(F.col("l_shipdate").isNotNull())
+        .select(
+            F.explode(F.array(*buckets)).alias("eb"),
+            "l_extendedprice",
+            "l_discount",
+            F.col(_W).alias("__w__"),
+        )
+        .select("eb.edge", "eb.bucket", "l_extendedprice", "l_discount", "__w__")
+    )
+    return (
+        wt(tagged, "__w__")[["l_extendedprice", "l_discount"]]
+        .groupby("edge", "bucket")
+        .agg_all(["sum", "mean"])
+        .select(
+            "edge",
+            "bucket",
+            F.col("l_extendedprice_sum").alias("sum_price"),
+            F.col("l_extendedprice_mean").alias("mean_price"),
+            F.col("l_discount_sum").alias("sum_disc"),
+        )
+    )
 
 
 def _q_resample_6h_events(spark, sf_dir):
