@@ -16,8 +16,12 @@ grouped statistic.
 
 Scale note: *global* (ungrouped) quantiles order the whole table in a
 single window partition — exact but single-task, like any total order in
-Spark. At 100 TB use grouped quantiles, or pre-filter, or accept
-``approxQuantile`` (unweighted) where approximation is tolerable.
+Spark. **At scale, default to** :func:`weighted_quantiles_binned` (the
+same API surface via ``exact=False`` on the groupby/frame methods): its
+shuffle is ``groups × bins`` regardless of row count, with error bounded
+by ``range/bins``, and it is the documented 100 TB path for the whole
+quantile family (quantile, median, MAD). Reserve this exact path for
+bounded-size groups or small tables.
 """
 
 from __future__ import annotations
