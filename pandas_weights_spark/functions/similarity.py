@@ -41,6 +41,33 @@ __all__ = [
 ]
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every top-k path: rank ``(query_id, neighbor_id,
+    cosine)`` candidates per query, keep the first ``k``.
+
+    Query count is tiny relative to the corpus, so scale-safety of the
+    per-query ranking matters: partitioned_topk (topk.py) rides the
+    optimizer's Partial WindowGroupLimit for ordinary ``k`` (map tasks
+    pre-filter to local top-k before the shuffle) and switches to the
+    salted two-stage plan when ``k`` exceeds the pushdown threshold.
+    """
+    from pandas_weights_spark.topk import partitioned_topk
+
+    return partitioned_topk(
+        scored,
+        part_by=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+        salt_by=["neighbor_id"],
+        rank_col="rank",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product (deterministic for floats)."""
     return F.aggregate(
@@ -125,19 +152,7 @@ def topk_bruteforce(
             F.col("__qn__") * F.col("__cn__"),
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
@@ -201,19 +216,7 @@ def topk_lsh(
             F.col("__qn__") * F.col("__cn__"),
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def train_ivf_centroids(
@@ -354,16 +357,4 @@ def topk_ivf(
             F.col("__qn__") * F.col("__cn__"),
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)

@@ -392,8 +392,12 @@ class WeightedGroupBy:
         weight mass. Ties break to the smallest value.
 
         Narrow first (``grouped[["col"]].mode()``). Two exchanges: the
-        (keys, value) mass aggregate, then the per-key argmax window —
-        the window input is already one row per distinct (keys, value).
+        (keys, value) mass aggregate, then a per-key ``max_by`` argmax —
+        an ordinary aggregation with map-side partials, NOT a
+        ``Window.partitionBy(keys)``: with a low-cardinality key a window
+        would funnel every distinct (key, value) row into a handful of
+        sort tasks, while the argmax aggregate stays fully parallel (the
+        same scale argument as :meth:`zscore`, groupby.py:345).
         """
         if self._mode != "groupby":
             raise NotImplementedError("mode is not defined for cube/rollup")
@@ -413,13 +417,24 @@ class WeightedGroupBy:
         mass = df.groupBy(*self._keys, c).agg(
             F.coalesce(F.sum(self._wdf.weights), F.lit(0.0)).alias("count")
         )
-        win = Window.partitionBy(*self._keys).orderBy(
-            F.col("count").desc(), F.col(c).asc()
+        # argmax by (count desc, value asc): max_by over the lexicographic
+        # (count, -value) struct. The cast-to-double tie-breaker keeps
+        # bool/int columns orderable under unary minus.
+        winner = F.max_by(
+            F.struct(F.col(c).alias("value"), F.col("count").alias("count")),
+            F.struct(
+                F.col("count").alias("m"),
+                (-F.col(c).cast("double")).alias("t"),
+            ),
         )
         out = (
-            mass.withColumn("__rk__", F.row_number().over(win))
-            .where(F.col("__rk__") == 1)
-            .drop("__rk__")
+            mass.groupBy(*self._keys)
+            .agg(winner.alias("__pw_win__"))
+            .select(
+                *self._keys,
+                F.col("__pw_win__.value").alias(c),
+                F.col("__pw_win__.count").alias("count"),
+            )
         )
         return self._finish(out)
 

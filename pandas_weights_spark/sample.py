@@ -24,15 +24,16 @@ Design constraints, in priority order:
 3. **Scale.** :func:`weighted_sample` is ``orderBy(key).limit(n)`` —
    Spark's TakeOrdered: each partition keeps its local top-``n`` and
    only ``n × partitions`` candidate rows ever move, no full sort, no
-   full shuffle. :func:`stratified_sample` is one window shuffle on the
-   strata keys. :func:`hash_split` is a pure map — no shuffle at all.
+   full shuffle. :func:`stratified_sample` is a rank-limited window
+   with group-limit pushdown (salted above the threshold — topk.py).
+   :func:`hash_split` is a pure map — no shuffle at all.
 """
 
 from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -160,21 +161,25 @@ def stratified_sample(
     """Per-stratum :func:`weighted_sample`: up to ``n_per_stratum`` rows
     from every ``by`` group, weight-proportional within the group.
 
-    One window shuffle on the strata keys; strata are processed
-    independently, so group count is unbounded. Skewed strata are
-    bounded by the per-partition sort of the window, not a global sort.
+    Selection goes through partitioned_topk (topk.py): for ordinary
+    quotas the rank-limited window is scale-safe even with FEW strata
+    (the optimizer's Partial WindowGroupLimit pre-filters each map task
+    to its local top-``n`` per stratum before the shuffle, so a 3-strata
+    100 TB input never funnels into 3 sort tasks); quotas above the
+    pushdown threshold switch to a salted two-stage top-k that selects
+    exactly the same rows.
     """
+    from pandas_weights_spark.topk import partitioned_topk
+
     u = uniform_hash([F.col(c) for c in key_cols], seed)
     w = weight.cast("double")
-    win = Window.partitionBy(*by).orderBy(
-        (u / w).asc(), *[F.col(c) for c in key_cols]
-    )
-    return (
-        df.where(w.isNotNull() & (w > 0))
-        .withColumn("__pw_rank__", F.row_number().over(win))
-        .where(F.col("__pw_rank__") <= n_per_stratum)
-        .drop("__pw_rank__")
-    )
+    return partitioned_topk(
+        df.where(w.isNotNull() & (w > 0)),
+        part_by=list(by),
+        order_by=[(u / w).asc(), *[F.col(c) for c in key_cols]],
+        k=n_per_stratum,
+        salt_by=list(key_cols),
+    ).drop("__pw_rank__")
 
 
 def hash_split(

@@ -1,0 +1,106 @@
+"""Partitioned top-k with a scale-aware execution choice.
+
+``Window.partitionBy(part).orderBy(...)`` + ``row_number() <= k`` is the
+idiomatic per-partition top-k, and for ``k`` up to
+``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000) Spark's
+``InferWindowGroupLimit`` rule makes it scale-safe on its own: a
+*Partial* ``WindowGroupLimit`` runs below the exchange, so every map
+task pre-filters to its local top-k per group and only
+``k × map_partitions`` rows per group ever shuffle or hit the final
+per-group sort — even when the partition key has 3 distinct values over
+100 TB (pinned by tests/test_plans.py).
+
+Above the threshold the optimizer leaves the raw window in place, and a
+low-cardinality partition key funnels every row into a handful of sort
+tasks. For that regime this module salts the first pass:
+
+1. rank within ``(part, salt)`` where ``salt = hash(row id) % buckets``
+   — parallelism is ``|parts| × buckets``; keep rows ranked ``<= k``;
+2. re-rank the ≤ ``buckets × k`` survivors per partition in the plain
+   window.
+
+The salted result is EXACTLY the unsalted top-k: every true top-k row
+has at most k−1 rows ahead of it globally, hence at most k−1 ahead of it
+inside its own salt bucket, so stage 1 never drops it. Ties must be
+broken to a total order by ``order_by`` (callers append a unique id),
+otherwise "top-k" itself is ill-defined.
+
+:func:`partitioned_topk` picks the plan automatically: the single
+window (one exchange, group-limit pushdown) when ``k`` is under the
+session's threshold, the salted two-stage otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["partitioned_topk"]
+
+_ColRef = Union[str, Column]
+
+_THRESHOLD_CONF = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+
+def _cols(refs: Sequence[_ColRef]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in refs]
+
+
+def _group_limit_threshold(df: DataFrame) -> int:
+    try:
+        return int(df.sparkSession.conf.get(_THRESHOLD_CONF))
+    except Exception:
+        return 1000
+
+
+def partitioned_topk(
+    df: DataFrame,
+    part_by: Sequence[_ColRef],
+    order_by: Sequence[_ColRef],
+    k: int,
+    salt_by: Sequence[_ColRef],
+    salt_buckets: int = 32,
+    rank_col: str = "__pw_rank__",
+    force_salt: Optional[bool] = None,
+) -> DataFrame:
+    """Top-``k`` rows per ``part_by`` partition under ``order_by``
+    (a total order), with the final rank (1-based) in ``rank_col``.
+
+    ``salt_by`` identifies rows (any deterministic, roughly-uniform
+    columns — an id, the sample key); it only routes rows to stage-1
+    sub-sorts in the salted regime and never affects which rows win.
+    ``force_salt`` overrides the automatic plan choice (used by tests).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
+    part = _cols(part_by)
+    order = _cols(order_by)
+    final = Window.partitionBy(*part).orderBy(*order)
+    use_salt = (
+        force_salt
+        if force_salt is not None
+        else k > _group_limit_threshold(df)
+    )
+    if use_salt:
+        salt = F.pmod(F.xxhash64(*_cols(salt_by)), F.lit(salt_buckets))
+        df = (
+            df.withColumn("__pw_salt__", salt)
+            .withColumn(
+                rank_col,
+                F.row_number().over(
+                    Window.partitionBy(*part, F.col("__pw_salt__")).orderBy(
+                        *order
+                    )
+                ),
+            )
+            .where(F.col(rank_col) <= k)
+            .drop("__pw_salt__")
+        )
+    return (
+        df.withColumn(rank_col, F.row_number().over(final))
+        .where(F.col(rank_col) <= k)
+    )
