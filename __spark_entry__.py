@@ -438,16 +438,23 @@ def _q_group_mode(spark, sf_dir):
 
 
 def _q_group_quantile(spark, sf_dir):
-    # weighted median/p90 per group (quantile.py): inverted CDF over
-    # cumulative weight; window + agg share one hash exchange
+    # full weighted describe() per group: the five moment/extremum stats
+    # fuse into one aggregate pass (agg_all), the median/p90 ride the
+    # inverted-CDF window (quantile.py), joined on the key — exercises
+    # the describe surface end-to-end under the oracle
     return (
         wt(_li(spark, sf_dir), _W)
         .groupby("l_returnflag")[["l_extendedprice"]]
-        .quantile([0.5, 0.9])
+        .describe(qs=[0.5, 0.9])
         .select(
             "l_returnflag",
+            F.col("l_extendedprice_count").alias("w_count"),
+            F.col("l_extendedprice_mean").alias("w_mean"),
+            F.col("l_extendedprice_std").alias("w_std"),
+            F.col("l_extendedprice_min").alias("x_min"),
             F.col("l_extendedprice_p50").alias("price_p50"),
             F.col("l_extendedprice_p90").alias("price_p90"),
+            F.col("l_extendedprice_max").alias("x_max"),
         )
     )
 
@@ -1335,11 +1342,38 @@ _ORACLE["group_quantile"] = """
                           AND CURRENT ROW) AS cw,
              SUM(w) OVER (PARTITION BY g) AS tw
       FROM v
+    ), q AS (
+      SELECT g,
+             MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS price_p50,
+             MIN(CASE WHEN cw >= 0.9 * tw THEN x END) AS price_p90
+      FROM c GROUP BY g
+    ), m AS (
+      SELECT l_returnflag AS g,
+             COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                               THEN l_quantity END), 0.0) AS cnt,
+             CASE WHEN COUNT(l_extendedprice * l_quantity) >= 1
+                  THEN COALESCE(SUM(l_extendedprice * l_quantity), 0.0)
+                  END AS s,
+             CASE WHEN COUNT(l_extendedprice * l_quantity) >= 1
+                  THEN COALESCE(SUM(l_extendedprice * l_extendedprice
+                                    * l_quantity), 0.0) END AS ss,
+             MIN(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 0
+                      THEN l_extendedprice END) AS x_min,
+             MAX(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 0
+                      THEN l_extendedprice END) AS x_max
+      FROM lineitem GROUP BY l_returnflag
     )
-    SELECT g AS l_returnflag,
-           MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS price_p50,
-           MIN(CASE WHEN cw >= 0.9 * tw THEN x END) AS price_p90
-    FROM c GROUP BY g
+    SELECT m.g AS l_returnflag,
+           m.cnt AS w_count,
+           m.s / m.cnt AS w_mean,
+           CASE WHEN (m.ss - m.s*m.s/m.cnt) / (m.cnt - 1) >= 0
+                THEN sqrt((m.ss - m.s*m.s/m.cnt) / (m.cnt - 1))
+                END AS w_std,
+           m.x_min,
+           q.price_p50,
+           q.price_p90,
+           m.x_max
+    FROM m JOIN q ON m.g = q.g
 """
 
 def _sample_sqls() -> dict[str, str]:

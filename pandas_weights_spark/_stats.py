@@ -125,6 +125,20 @@ def w_std(x: Column, w: Column, *, ddof: int = 1, skipna: bool = True) -> Column
     return F.when(v >= 0, F.sqrt(v))
 
 
+def w_min(x: Column, w: Column) -> Column:
+    """Minimum observed value carrying probability mass: rows with NULL
+    ``x`` or NULL/non-positive weight are excluded — the same mass rule
+    as the weighted-quantile family (quantile.py), of which min is the
+    q→0⁺ limit. Extension beyond the reference (used by describe())."""
+    return F.min(F.when(w.isNotNull() & (w > 0), x))
+
+
+def w_max(x: Column, w: Column) -> Column:
+    """Maximum observed value carrying probability mass (the q=1
+    weighted quantile); same mass rule as :func:`w_min`."""
+    return F.max(F.when(w.isNotNull() & (w > 0), x))
+
+
 # --- weighted higher moments (extensions beyond the reference) -------------
 
 

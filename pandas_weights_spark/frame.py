@@ -279,6 +279,49 @@ class WeightedDataFrame:
     def median(self, subset: Optional[Sequence[str]] = None) -> DataFrame:
         return self.quantile(0.5, subset=subset)
 
+    def describe(
+        self,
+        qs: Sequence[float] = (0.25, 0.5, 0.75),
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Whole-table weighted summary — pandas ``describe`` over the
+        weighted distribution: one row with ``{col}_count/_mean/_std/
+        _min``, a ``{col}_p{q}`` per requested quantile, and
+        ``{col}_max``. One fused aggregate pass for the five moment/
+        extremum statistics plus the quantile pass (both 1-row frames,
+        trivially cross-joined). Grouped variant:
+        ``WeightedGroupBy.describe`` (with the binned 100 TB switch).
+        """
+        from pandas_weights_spark.groupby import _KERNELS
+        from pandas_weights_spark.quantile import (
+            quantile_col_name,
+            weighted_quantiles,
+        )
+
+        qs = [float(q) for q in qs]
+        cols = list(subset) if subset is not None else self.numeric_columns()
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        w = self.weights
+        stats = ["count", "mean", "std", "min", "max"]
+        moments = self._df.agg(
+            *[
+                _KERNELS[s](self._value(c), w).alias(f"{c}_{s}")
+                for c in cols
+                for s in stats
+            ]
+        )
+        quants = weighted_quantiles(self, qs, subset=cols)
+        joined = moments.crossJoin(quants)
+        order = []
+        for c in cols:
+            for s in ("count", "mean", "std", "min"):
+                order.append(f"{c}_{s}")
+            for q in qs:
+                order.append(quantile_col_name(c, q))
+            order.append(f"{c}_max")
+        return joined.select(*order)
+
     # -- windowed statistics --------------------------------------------------
 
     def mad(

@@ -43,6 +43,8 @@ _KERNELS: dict[str, Callable[..., Column]] = {
     ),
     "skew": lambda x, w, **k: _stats.w_skew(x, w, skipna=k.get("skipna", True)),
     "kurt": lambda x, w, **k: _stats.w_kurt(x, w, skipna=k.get("skipna", True)),
+    "min": lambda x, w, **k: _stats.w_min(x, w),
+    "max": lambda x, w, **k: _stats.w_max(x, w),
 }
 
 
@@ -333,6 +335,49 @@ class WeightedGroupBy:
             for s in stats
         ]
         return self._finish(self._grouped().agg(*exprs))
+
+    def describe(
+        self,
+        qs: Sequence[float] = (0.25, 0.5, 0.75),
+        exact: bool = True,
+        lo: Optional[float] = None,
+        hi: Optional[float] = None,
+        bins: int = 4096,
+    ) -> DataFrame:
+        """Per-group weighted summary — pandas ``describe`` over the
+        weighted distribution: ``{col}_count/_mean/_std/_min``, one
+        ``{col}_p{q}`` per requested quantile, and ``{col}_max``.
+
+        Two passes joined on the group keys: the five moment/extremum
+        statistics fuse into ONE aggregate (:meth:`agg_all`), and the
+        quantiles ride the usual inverted-CDF window (``exact=False``
+        switches to the binned approximation — the 100 TB default, see
+        :meth:`quantile`). min/max use the quantile family's mass rule
+        (rows with NULL/non-positive weight carry no mass).
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "describe is not defined for cube/rollup grouping sets"
+            )
+        qs = [float(q) for q in qs]
+        moments = self.agg_all(["count", "mean", "std", "min", "max"])
+        quants = self.quantile(qs, exact=exact, lo=lo, hi=hi, bins=bins)
+        cond = [
+            moments[k].eqNullSafe(quants[k]) for k in self._keys
+        ]  # null-safe: dropna=False keeps NULL-key groups
+        from pandas_weights_spark.quantile import quantile_col_name
+
+        joined = moments.join(quants, on=cond, how="inner")
+        order = []
+        for c in self._value_cols():
+            order.append(moments[f"{c}_count"])
+            order.append(moments[f"{c}_mean"])
+            order.append(moments[f"{c}_std"])
+            order.append(moments[f"{c}_min"])
+            for q in qs:
+                order.append(quants[quantile_col_name(c, q)])
+            order.append(moments[f"{c}_max"])
+        return joined.select(*[moments[k] for k in self._keys], *order)
 
     def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         """Per-row standardization against the row's GROUP weighted

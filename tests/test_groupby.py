@@ -239,3 +239,57 @@ class TestZScore:
         )
         out = {(r["g"], r["x"]): r["x_z"] for r in wdf.groupby("g").zscore().collect()}
         assert out[("a", None)] is None
+
+
+class TestDescribe:
+    """describe() = the fused moment/extremum agg joined with quantiles;
+    integer weights checked against pandas row-repetition semantics."""
+
+    def test_grouped_matches_components(self, grouped):
+        g = wt(grouped, "weights").groupby("Group")
+        d = by_group(g.describe())
+        mean = by_group(g.mean())
+        med = by_group(g.quantile(0.5))
+        for k in ("A", "B"):
+            assert d[k]["Value_mean"] == mean[k]["Value"]
+            assert d[k]["Value_p50"] == med[k]["Value_p50"]
+        # weighted extremes over mass-carrying rows
+        assert d["A"]["Value_min"] == 10.0 and d["A"]["Value_max"] == 20.0
+        assert d["A"]["Value_count"] == approx(3.0)
+
+    def test_grouped_binned_mode(self, grouped):
+        g = wt(grouped, "weights").groupby("Group")
+        d = by_group(g.describe(exact=False, lo=0.0, hi=50.0, bins=5000))
+        # bin width 0.01 -> binned median within one bin of exact
+        assert abs(d["B"]["Value_p50"] - 40.0) <= 0.011
+
+    def test_global_against_repetition(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(50, 10, 40).round(3)
+        w = rng.integers(1, 5, 40)
+        pdf = pd.DataFrame({"v": v, "w": w.astype(float)})
+        rep = pd.Series(np.repeat(v, w))
+        out = (
+            wt(spark.createDataFrame(pdf), "w")
+            .describe(qs=[0.5])
+            .collect()[0]
+            .asDict()
+        )
+        assert out["v_count"] == approx(float(w.sum()))
+        assert out["v_mean"] == approx(rep.mean())
+        assert out["v_min"] == rep.min() and out["v_max"] == rep.max()
+        # inverted-CDF median = smallest value with cum weight >= half
+        cum = pdf.sort_values("v").assign(c=lambda d: d.w.cumsum())
+        exp_med = cum.loc[cum.c >= w.sum() * 0.5, "v"].iloc[0]
+        assert out["v_p50"] == exp_med
+
+    def test_zero_weight_rows_carry_no_mass(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 0.0), (2.0, 1.0), (3.0, 2.0)], "v double, w double"
+        )
+        out = wt(df, "w").describe().collect()[0].asDict()
+        assert out["v_min"] == 2.0  # the zero-weight 1.0 is massless
+        assert out["v_max"] == 3.0
