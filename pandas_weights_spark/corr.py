@@ -420,29 +420,75 @@ def aligned_corr_cov(
 
 
 def _avg_ranks(
-    df: DataFrame, col: str, keys: Sequence[str], out: str
+    df: DataFrame, col: str, keys: Sequence[str], out: str, bands: int = 256
 ) -> DataFrame:
     """Average ranks (pandas ``rank(method="average")``) per distinct
     value of ``col`` within each ``keys`` group.
 
-    Two-stage: count rows per distinct value (map-side combine), then a
-    cumulative-count window over the *distinct values* — shuffle and
-    window volume are bounded by value cardinality, not row count. The
-    average rank of a tie group is ``cum − (n−1)/2``.
+    Distributed prefix sum in three bounded stages — NOT a cumulative
+    window over ``Window.partitionBy(keys)``, which would sort every
+    distinct value of a group in ONE task (for near-unique continuous
+    columns with a low-cardinality key that is the whole table into a
+    handful of sorts — the zscore-class scale-killer):
+
+    1. count rows per distinct value (map-side combine), range-band each
+       value into one of ``bands`` slots via the group's min/max (a
+       one-row-per-group frame, broadcast back);
+    2. per-band totals (≤ groups × bands rows) and their exclusive
+       running sum — the only ordered window left runs over ≤ ``bands``
+       rows per group;
+    3. cumulative count *within* each (group, band) — parallelism is
+       ``groups × bands`` — plus the band offset = the global cumulative
+       count, exactly.
+
+    All counts are integers, so the banded sums are bit-identical to the
+    single-window form. The average rank of a tie group is
+    ``cum − (n−1)/2``.
     """
     from pyspark.sql import Window
 
+    kc = [F.col(k) for k in keys]
     cnt = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__n__"))
-    win = (
-        Window.partitionBy(*[F.col(k) for k in keys])
+    rng = cnt.groupBy(*keys).agg(
+        F.min(col).alias("__lo__"), F.max(col).alias("__hi__")
+    )
+    if keys:
+        j = cnt.join(rng, on=list(keys))
+    else:
+        j = cnt.crossJoin(F.broadcast(rng))
+    x = F.col(col).cast("double")
+    lo = F.col("__lo__").cast("double")
+    hi = F.col("__hi__").cast("double")
+    band = F.when(
+        hi > lo,
+        F.least(
+            F.lit(bands - 1),
+            F.floor((x - lo) / (hi - lo) * F.lit(float(bands))).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    j = j.withColumn("__band__", band).drop("__lo__", "__hi__")
+    btot = j.groupBy(*keys, "__band__").agg(F.sum("__n__").alias("__bn__"))
+    off_win = (
+        Window.partitionBy(*kc)
+        .orderBy("__band__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        *keys,
+        "__band__",
+        F.coalesce(F.sum("__bn__").over(off_win), F.lit(0)).alias("__off__"),
+    )
+    j = j.join(off, on=list(keys) + ["__band__"])
+    cum_win = (
+        Window.partitionBy(*kc, F.col("__band__"))
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return cnt.select(
+    return j.select(
         *keys,
         col,
         (
-            F.sum("__n__").over(win).cast("double")
+            (F.sum("__n__").over(cum_win) + F.col("__off__")).cast("double")
             - (F.col("__n__") - F.lit(1)).cast("double") / F.lit(2.0)
         ).alias(out),
     )

@@ -143,7 +143,28 @@ class TestNewOperatorPlans:
         # window partitioning == grouping key → agg rides the same shuffle
         assert P.count_exchanges(df) == 1, P.physical_plan(df)
 
-    def test_zscore_no_full_table_window(self, lineitem):
+    def test_spearman_rank_windows_are_banded(self, lineitem):
+        # the cumulative-count windows must partition by (keys, band),
+        # never by the group keys alone over the distinct-value frame —
+        # the banded prefix sum keeps ranking parallel when the key has
+        # 3 distinct values and the ranked column is near-unique
+        from pandas_weights_spark.corr import spearman_corr
+
+        df = spearman_corr(
+            wt(lineitem, "l_quantity"),
+            "l_extendedprice",
+            "l_discount",
+            by=["l_returnflag"],
+        )
+        plan = P.physical_plan(df)
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        for spec in specs:
+            # every ordered-window spec is either banded or runs over the
+            # <= bands-rows-per-group offset frame (which orders by band)
+            assert "__band__" in spec, spec
         # The transform must be agg -> join-back -> map, NOT a
         # Window.partitionBy(keys) over the whole table: with a
         # low-cardinality key the window would funnel the entire
