@@ -843,8 +843,9 @@ def _q_token_counts(spark, sf_dir):
 
 def _q_multimodal_features(spark, sf_dir):
     # multimodal plumbing end-to-end: documents → binary payload + media
-    # struct → Arrow-batched decode (deterministic fake) → per-lang
-    # weighted centroid of the features. mapInPandas → rows-only check.
+    # struct → Arrow-batched decode (deterministic sha256 fake) →
+    # per-lang weighted centroid of the features. The oracle reproduces
+    # the sha256 expansion exactly (ASCII counter suffix, u/2^31 - 1).
     from pandas_weights_spark.functions.multimodal import (
         decode_features,
         media_struct,
@@ -1376,6 +1377,35 @@ _ORACLE["group_quantile"] = """
     FROM m JOIN q ON m.g = q.g
 """
 
+def _multimodal_sql() -> str:
+    # mirror deterministic_fake_features digit-for-digit: one sha256
+    # round covers dim=8 (32 hex chars -> 8 exact uint32 -> u/2^31 - 1,
+    # every step exact IEEE), then the weighted-centroid mean. The ASCII
+    # counter suffix exists precisely so DuckDB's VARCHAR sha256 can
+    # reproduce the payload hash.
+    digit = (
+        "CAST(instr('0123456789abcdef', substring(h, d*8+{i}, 1)) - 1 "
+        "AS DOUBLE) * {w!r}"
+    )
+    u = "\n       + ".join(
+        digit.format(i=i + 1, w=float(16 ** (7 - i))) for i in range(8)
+    )
+    return f"""
+    WITH t AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS w, sha256(text || '0') AS h
+      FROM documents WHERE doc_id < 100
+    ), f AS (
+      SELECT lang, w, CAST(g.d AS INTEGER) AS dim,
+             ({u}) / 2147483648.0 - 1.0 AS v
+      FROM t, generate_series(0, 7) AS g(d)
+    )
+    SELECT lang, dim,
+           ROUND(SUM(v * w) / SUM(CASE WHEN v IS NOT NULL THEN w END), 6)
+             AS centroid
+    FROM f GROUP BY lang, dim
+"""
+
+
 def _sample_sqls() -> dict[str, str]:
     # mirror sample.py's md5-digit uniform exactly (same IEEE term order)
     from pandas_weights_spark.sample import uniform_hash_sql
@@ -1429,6 +1459,7 @@ def _sample_sqls() -> dict[str, str]:
 
 
 _ORACLE.update(_sample_sqls())
+_ORACLE["multimodal_features"] = _multimodal_sql()
 
 
 def _pack_sql() -> str:
@@ -2132,7 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_group": _q_events_group,
         "session_agg": _q_session_agg,
         "stream_resample": _q_stream_resample,
-        "multimodal_features": _q_multimodal_features,  # rows-only (fake decode)
+        "multimodal_features": _q_multimodal_features,
     }
 
 

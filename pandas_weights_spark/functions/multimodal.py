@@ -74,11 +74,16 @@ def deterministic_fake_features(payload: bytes, dim: int = 8) -> list[float]:
 
     Stands in for a real encoder so the distributed pipeline (schema,
     batching, downstream similarity ops) is exercised with stable values.
+    The expansion counter is appended as ASCII (``payload + b"0"``,
+    ``b"1"``…) so the whole expansion is expressible in engines whose
+    ``sha256`` is string-typed (the DuckDB oracle mirrors it digit-for-
+    digit; each float is ``u/2³¹ − 1`` with ``u`` an exact 32-bit
+    integer, so both engines produce bit-identical doubles).
     """
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        h = hashlib.sha256(payload + str(counter).encode("ascii")).digest()
         for i in range(0, 32, 4):
             (u,) = struct.unpack(">I", h[i : i + 4])
             out.append((u / 2**31) - 1.0)
