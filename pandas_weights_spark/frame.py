@@ -464,6 +464,15 @@ class WeightedDataFrame:
             lambda x, w: _stats.w_kurt(x, w, skipna=skipna), subset
         )
 
+    def min(self, subset: Optional[Sequence[str]] = None) -> DataFrame:
+        """Minimum over mass-carrying rows (the q→0⁺ weighted quantile;
+        rows with NULL/non-positive weight are excluded)."""
+        return self._agg_1row(lambda x, w: _stats.w_min(x, w), subset)
+
+    def max(self, subset: Optional[Sequence[str]] = None) -> DataFrame:
+        """Maximum over mass-carrying rows (the q=1 weighted quantile)."""
+        return self._agg_1row(lambda x, w: _stats.w_max(x, w), subset)
+
     # -- correlation / grouping / resample / apply (separate modules) --------
 
     def corr(

@@ -168,6 +168,16 @@ class WeightedGroupBy:
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         return self._agg(lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna))
 
+    def min(self) -> DataFrame:
+        """Per-group minimum over mass-carrying rows (the q→0⁺ weighted
+        quantile; rows with NULL/non-positive weight are excluded)."""
+        return self._agg(lambda x, w: _stats.w_min(x, w))
+
+    def max(self) -> DataFrame:
+        """Per-group maximum over mass-carrying rows (the q=1 weighted
+        quantile)."""
+        return self._agg(lambda x, w: _stats.w_max(x, w))
+
     def skew(self, skipna: bool = True) -> DataFrame:
         """Per-group weighted skewness (extension beyond the reference)."""
         return self._agg(lambda x, w: _stats.w_skew(x, w, skipna=skipna))

@@ -160,3 +160,13 @@ class TestInstallAccessor:
         got = df.wt("w").mean().collect()[0]["x"]
         want = pws.wt(df, "w").mean().collect()[0]["x"]
         assert got == want
+
+
+def test_frame_min_max(spark):
+    from pandas_weights_spark import wt
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 1.0), (3.0, 2.0)], "v double, w double"
+    )
+    assert wt(df, "w").min().collect()[0]["v"] == 2.0  # massless row excluded
+    assert wt(df, "w").max().collect()[0]["v"] == 3.0

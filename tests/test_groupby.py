@@ -293,3 +293,10 @@ class TestDescribe:
         out = wt(df, "w").describe().collect()[0].asDict()
         assert out["v_min"] == 2.0  # the zero-weight 1.0 is massless
         assert out["v_max"] == 3.0
+
+    def test_min_max_methods(self, grouped):
+        g = wt(grouped, "weights").groupby("Group")
+        mn = by_group(g.min())
+        mx = by_group(g.max())
+        assert mn["A"]["Value"] == 10.0 and mx["A"]["Value"] == 20.0
+        assert mn["B"]["Value"] == 30.0 and mx["B"]["Value"] == 40.0
