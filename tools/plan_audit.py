@@ -1,0 +1,111 @@
+"""Plan audit: sweep EVERY driver query's physical plan for scale-risk
+patterns and print a verdict table.
+
+Risks flagged:
+
+* ``python-eval``  — BatchEvalPython / row-at-a-time Python in the plan
+  (Arrow-batched ``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas`` are reported separately as ``arrow`` — those
+  are the sanctioned Python surfaces: apply/multimodal/streaming state).
+* ``cartesian``    — CartesianProduct / BroadcastNestedLoopJoin with no
+  join keys: quadratic candidate generation.
+* ``global-window``— an ordered window whose partition spec is EMPTY
+  (whole-table single-task sort). The exact global quantile/median path
+  is the one documented holder of this (binned variant is the scale
+  path); anything else is a regression.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if a query outside the documented allowlist trips a risk.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: documented, accepted exceptions — query -> set of allowed risk tags
+ALLOW = {
+    # Arrow-batched Python IS the operator's contract on these surfaces
+    "grouped_apply": {"arrow"},
+    "series_apply": {"arrow"},
+    "multimodal_features": {"arrow"},
+    "session_agg": {"arrow"},
+}
+
+_GLOBAL_WINDOW = re.compile(
+    r"windowspecdefinition\((?![^)]*,\s*[^)]*\bASC\b[^)]*,)"
+)
+
+
+def audit_plan(plan: str) -> set[str]:
+    risks: set[str] = set()
+    if "BatchEvalPython" in plan:
+        risks.add("python-eval")
+    if any(
+        t in plan
+        for t in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    ):
+        risks.add("arrow")
+    if "CartesianProduct" in plan:
+        risks.add("cartesian")
+    if "BroadcastNestedLoopJoin" in plan and "Cross" in plan:
+        # broadcast cross of a tiny literal frame (e.g. a 1-row median)
+        # is fine; flag only when BOTH sides exceed a leaf threshold is
+        # not determinable statically — report for eyeballing
+        risks.add("bnl-cross")
+    # ordered window with empty partition spec: the spec starts with the
+    # ordering expression list; partitioned specs list partition columns
+    # before the first "ASC NULLS"/"DESC NULLS" ordering entry.
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        if " ASC" in head or " DESC" in head:
+            risks.add("global-window")
+    return risks
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    failures = []
+    for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            failures.append(name)
+            continue
+        risks = audit_plan(plan)
+        allowed = ALLOW.get(name, set())
+        bad = {r for r in risks if r not in allowed and r != "bnl-cross"}
+        status = "FAIL" if bad else "ok"
+        detail = ",".join(sorted(risks)) or "-"
+        print(f"{status:4} {name:28} {detail}")
+        if bad:
+            failures.append(name)
+    spark.stop()
+    print(f"\n{len(failures)} queries with unallowed risks")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
