@@ -632,6 +632,26 @@ class WeightedSeries:
     def kurt(self, skipna: bool = True) -> DataFrame:
         return self._wdf.kurt(skipna=skipna, subset=[self._value_col])
 
+    def min(self) -> DataFrame:
+        return self._wdf.min(subset=[self._value_col])
+
+    def max(self) -> DataFrame:
+        return self._wdf.max(subset=[self._value_col])
+
+    def quantile(self, q: Union[float, Sequence[float]] = 0.5) -> DataFrame:
+        return self._wdf.quantile(q, subset=[self._value_col])
+
+    def median(self) -> DataFrame:
+        return self._wdf.median(subset=[self._value_col])
+
+    def mad(self, scale: float = 1.0) -> DataFrame:
+        return self._wdf.mad(scale=scale, subset=[self._value_col])
+
+    def describe(
+        self, qs: Sequence[float] = (0.25, 0.5, 0.75)
+    ) -> DataFrame:
+        return self._wdf.describe(qs=qs, subset=[self._value_col])
+
     def value_counts(
         self,
         dropna: bool = True,

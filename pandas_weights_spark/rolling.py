@@ -173,6 +173,36 @@ class WeightedRolling:
             expr = F.when(n_valid >= F.lit(self._min_periods), expr)
         return expr
 
+    def agg_all(
+        self, stats: Sequence[str], ddof: int = 1, skipna: bool = True
+    ) -> DataFrame:
+        """Several windowed statistics in ONE pass: all stats share the
+        frame's WindowSpec, so they evaluate in a single WindowExec (one
+        shuffle, one local sort) with columns ``{col}_{stat}``."""
+        wdf = self._wdf
+        spec = self._spec()
+        w = wdf.weights
+        keys = [r for r in self._partition_by if isinstance(r, str)] + [
+            r for r in self._order_by if isinstance(r, str)
+        ]
+        builders = {s: self._builder(s, ddof, skipna) for s in stats}
+        out = []
+        for c in wdf.numeric_columns():
+            if c in keys:
+                continue
+            x = wdf._value(c)
+            gate = None
+            if self._min_periods > 0:
+                gate = F.count(x * w).over(spec) >= F.lit(self._min_periods)
+            for s, b in builders.items():
+                expr = b(x, w, spec)
+                if gate is not None:
+                    expr = F.when(gate, expr)
+                out.append(expr.alias(f"{c}_{s}"))
+        if not out:
+            raise ValueError("no numeric value columns outside the window keys")
+        return wdf.df.select(*keys, *out)
+
     def count(self, skipna: bool = True) -> DataFrame:
         return self._stat(self._builder("count", 1, skipna))
 

@@ -260,3 +260,16 @@ class TestBinnedMode:
             wdf.groupby("g").quantile(0.5, exact=False)
         with pytest.raises(ValueError):
             wdf.groupby("g").mad(exact=False, lo=0.0)
+
+
+def test_series_quantile_describe(spark):
+    from pandas_weights_spark.frame import WeightedSeries
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 1.0)], "v double, w double"
+    )
+    s = WeightedSeries(df, "v", "w")
+    assert s.median().collect()[0]["v_p50"] == 2.0
+    d = s.describe(qs=[0.5]).collect()[0].asDict()
+    assert d["v_count"] == 4.0 and d["v_min"] == 1.0 and d["v_max"] == 3.0
+    assert d["v_p50"] == 2.0

@@ -121,3 +121,23 @@ class TestExpanding:
         assert got[2] == approx(8.0)
         # t=4 frame still has only 3 valid observations (NULL x skipped)
         assert got[3] == approx(8.0)
+
+
+def test_agg_all_one_window_exec(spark):
+    import pandas_weights_spark.plans as P
+    from pandas_weights_spark import wt
+
+    df = spark.createDataFrame(
+        [(1, i, float(i % 7), 1.0 + i % 3) for i in range(40)],
+        "g int, i int, v double, w double",
+    )
+    wdf = wt(df, "w")
+    roll = wdf.rolling(3, order_by=["i"], partition_by=["g"])
+    out = roll.agg_all(["count", "sum", "mean", "var", "std"])
+    plan = P.physical_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+    rows = {r["i"]: r for r in out.collect()}
+    single = {r["i"]: r for r in roll.mean().collect()}
+    for i, r in rows.items():
+        assert r["v_mean"] == single[i]["v"], i  # identical expressions
