@@ -36,7 +36,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from pandas_weights_spark import wt
-    from pandas_weights_spark.sample import weighted_sample
+    from pandas_weights_spark.corr import spearman_corr
+    from pandas_weights_spark.sample import stratified_sample, weighted_sample
 
     # synthetic lineitem-ish table: 20M+ rows, 200 groups, skewed key
     df = (
@@ -80,6 +81,25 @@ def main() -> int:
     bench("rolling mean w=100", lambda: wt(
         df.select("g", "id", "x", "w"), "w")
         .rolling(100, order_by=["id"], partition_by=["g"]).mean())
+
+    # round-2 additions — the restructured low-cardinality-safe paths.
+    # "3 groups" is the adversarial case: a window formulation would
+    # funnel all n rows into 3 tasks; these must stay flat-ish vs the
+    # 200-group variants above.
+    df3 = df.withColumn("g3", F.pmod(F.col("id"), 3))
+    wdf3 = wt(df3, "w")
+    bench("zscore 3 groups", lambda: wdf3.groupby("g3")[["x"]].zscore())
+    bench("mode 3 groups", lambda: wt(
+        df3.select("g3", F.pmod(F.col("id"), 1000).alias("v"), "w"), "w")
+        .groupby("g3")[["v"]].mode())
+    bench("describe binned 3 groups", lambda: wdf3.groupby("g3")[["x"]]
+          .describe(qs=[0.5], exact=False, lo=0.0, hi=10000.0, bins=4096))
+    bench("stratified 1k x 3 strata", lambda: stratified_sample(
+        df3, F.col("w"), 1000, ["g3"], ["id"]))
+    bench("spearman 3 groups", lambda: spearman_corr(
+        wt(df3.select("g3", "x",
+                      (F.col("x") * 0.5 + F.col("id") % 13).alias("y"), "w"),
+           "w"), "x", "y", by=["g3"]))
 
     spark.stop()
     return 0
