@@ -144,11 +144,18 @@ def main() -> int:
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
 
+    # best-of-2 per query: a single pass is hostage to transient host
+    # contention (observed 4-10x inflation across the board on a noisy
+    # run); the min of two measurements estimates the plan's cost, which
+    # is what this bench exists to track.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(
