@@ -322,6 +322,16 @@ class WeightedDataFrame:
             order.append(f"{c}_max")
         return joined.select(*order)
 
+    def cdf(
+        self, subset: Optional[Sequence[str]] = None, bands: int = 256
+    ) -> DataFrame:
+        """Whole-table per-row weighted CDF (percentile-rank) transform:
+        adds ``{col}_cdf`` per selected column — see
+        :func:`pandas_weights_spark.quantile.weighted_cdf`."""
+        from pandas_weights_spark.quantile import weighted_cdf
+
+        return weighted_cdf(self, subset=subset, bands=bands)
+
     # -- windowed statistics --------------------------------------------------
 
     def mad(

@@ -389,6 +389,30 @@ class WeightedGroupBy:
             order.append(moments[f"{c}_max"])
         return joined.select(*[moments[k] for k in self._keys], *order)
 
+    def cdf(self, bands: int = 256) -> DataFrame:
+        """Per-row weighted CDF (percentile-rank) transform against the
+        row's group: adds ``{col}_cdf`` for every selected numeric
+        column — see :func:`pandas_weights_spark.quantile.weighted_cdf`
+        (banded prefix sum; the transform counterpart of
+        :meth:`quantile`)."""
+        from pandas_weights_spark.quantile import weighted_cdf
+
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "cdf is not defined for cube/rollup grouping sets"
+            )
+        wdf = self._wdf
+        if self._dropna:
+            df = wdf.df
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+            sub = wdf._subset(wdf.columns)
+            sub._df = df
+            wdf = sub
+        return weighted_cdf(
+            wdf, subset=self._value_cols(), keys=self._keys, bands=bands
+        )
+
     def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         """Per-row standardization against the row's GROUP weighted
         moments: adds ``{col}_z = (x − μ_g) / σ_g`` for every numeric

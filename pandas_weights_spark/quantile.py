@@ -31,7 +31,12 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["weighted_quantiles", "weighted_quantiles_binned", "quantile_col_name"]
+__all__ = [
+    "weighted_quantiles",
+    "weighted_quantiles_binned",
+    "weighted_cdf",
+    "quantile_col_name",
+]
 
 
 def quantile_col_name(col: str, q: float) -> str:
@@ -95,6 +100,112 @@ def weighted_quantiles(
             )
     staged = df.select(*sel)
     return staged.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def weighted_cdf(
+    wdf,
+    subset: Optional[Sequence[str]] = None,
+    keys: Sequence[str] = (),
+    bands: int = 256,
+) -> DataFrame:
+    """Per-row weighted CDF transform (percentile-rank): adds
+    ``{col}_cdf = F(x) = Σ mass(value ≤ x) / Σ mass`` within the row's
+    group for every selected column — the transform counterpart of
+    :func:`weighted_quantiles` (``min x with F(x) ≥ q`` is exactly the
+    q-quantile; the invariant is pinned by tests). ``mass`` is the
+    quantile family's rule: ``w`` where value and weight are non-NULL
+    and ``w > 0``, else 0. Rows whose value is NULL keep a NULL cdf.
+
+    Scale shape — the banded prefix sum (same as spearman's ranks, NOT
+    an ordered window over ``Window.partitionBy(keys)``): mass per
+    distinct value (map-side combine), range-band via the group's
+    min/max, per-band exclusive offsets (the only ordered window runs
+    over ≤ ``bands`` rows per group), cumulative within (group, band),
+    then one join back onto the rows keyed by (group, value).
+    """
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    cols = [c for c in cols if c not in keys]
+    if not cols:
+        raise ValueError("no numeric columns for cdf")
+    w = wdf.weights
+    out = wdf.df
+    kc = list(keys)
+    for c in cols:
+        x = wdf._value(c)
+        mass = F.when(x.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+        mv = (
+            out.select(*kc, x.alias("__v__"), mass.alias("__m__"))
+            .where(F.col("__v__").isNotNull())
+            .groupBy(*kc, "__v__")
+            .agg(F.sum("__m__").alias("__m__"))
+        )
+        rng = mv.groupBy(*kc).agg(
+            F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__")
+        )
+        j = mv.join(rng, on=kc) if kc else mv.crossJoin(F.broadcast(rng))
+        v = F.col("__v__").cast("double")
+        lo = F.col("__lo__").cast("double")
+        hi = F.col("__hi__").cast("double")
+        band = F.when(
+            hi > lo,
+            F.least(
+                F.lit(bands - 1),
+                F.floor((v - lo) / (hi - lo) * F.lit(float(bands))).cast(
+                    "int"
+                ),
+            ),
+        ).otherwise(F.lit(0))
+        j = j.withColumn("__band__", band).drop("__lo__", "__hi__")
+        btot = j.groupBy(*kc, "__band__").agg(F.sum("__m__").alias("__bm__"))
+        off_win = (
+            Window.partitionBy(*[F.col(k) for k in kc])
+            .orderBy("__band__")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = btot.select(
+            *kc,
+            "__band__",
+            F.coalesce(F.sum("__bm__").over(off_win), F.lit(0.0)).alias(
+                "__off__"
+            ),
+        )
+        tot = btot.groupBy(*kc).agg(F.sum("__bm__").alias("__tw__"))
+        cum_win = (
+            Window.partitionBy(*[F.col(k) for k in kc], F.col("__band__"))
+            .orderBy("__v__")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        j = j.join(off, on=kc + ["__band__"])
+        cdf_map = j.select(
+            *kc,
+            "__v__",
+            (F.sum("__m__").over(cum_win) + F.col("__off__")).alias("__cw__"),
+        )
+        cdf_map = (
+            cdf_map.join(tot, on=kc)
+            if kc
+            else cdf_map.crossJoin(F.broadcast(tot))
+        )
+        cdf_map = cdf_map.select(
+            *[F.col(k).alias(f"__pw_ck_{k}__") for k in kc],
+            F.col("__v__").alias(f"__pw_cv_{c}__"),
+            F.when(
+                F.col("__tw__") > 0,
+                F.try_divide(F.col("__cw__"), F.col("__tw__")),
+            ).alias(f"{c}_cdf"),
+        )
+        # key columns renamed (self-join lineage) + null-safe equality so
+        # NULL-key groups (dropna=False) keep their transform
+        cond = None
+        for k in kc:
+            e = out[k].eqNullSafe(cdf_map[f"__pw_ck_{k}__"])
+            cond = e if cond is None else (cond & e)
+        ve = wdf._value(c).eqNullSafe(cdf_map[f"__pw_cv_{c}__"])
+        cond = ve if cond is None else (cond & ve)
+        out = out.join(cdf_map, on=cond, how="left").drop(
+            *[f"__pw_ck_{k}__" for k in kc], f"__pw_cv_{c}__"
+        )
+    return out
 
 
 def weighted_quantiles_binned(

@@ -273,3 +273,80 @@ def test_series_quantile_describe(spark):
     d = s.describe(qs=[0.5]).collect()[0].asDict()
     assert d["v_count"] == 4.0 and d["v_min"] == 1.0 and d["v_max"] == 3.0
     assert d["v_p50"] == 2.0
+
+
+class TestWeightedCdf:
+    def test_brute_force_small(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("A", 1.0, 1.0), ("A", 2.0, 2.0), ("A", 3.0, 1.0),
+             ("B", 5.0, 4.0), ("B", 7.0, 1.0), ("B", None, 9.0),
+             ("B", 6.0, 0.0)],
+            "g string, v double, w double",
+        )
+        out = {
+            (r["g"], r["v"]): r["v_cdf"]
+            for r in wt(df, "w").groupby("g").cdf().collect()
+        }
+        # group A: masses 1,2,1 (total 4) -> cdf 0.25, 0.75, 1.0
+        assert out[("A", 1.0)] == 0.25
+        assert out[("A", 2.0)] == 0.75
+        assert out[("A", 3.0)] == 1.0
+        # group B: only v=5 (w=4) and v=7 (w=1) carry mass
+        assert out[("B", 5.0)] == 0.8
+        assert out[("B", 7.0)] == 1.0
+        # zero-weight row keeps a defined position (mass <= 6.0 = 4/5)
+        assert out[("B", 6.0)] == 0.8
+        # NULL value -> NULL cdf, row retained
+        assert out[("B", None)] is None
+
+    def test_quantile_inverse_invariant(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (int(i % 3), float(rng.normal(50, 10)), float(rng.integers(1, 5)))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g int, v double, w double")
+        g = wt(df, "w").groupby("g")
+        cdf = {
+            (r["g"], r["v"]): r["v_cdf"] for r in g.cdf().collect()
+        }
+        for q in (0.25, 0.5, 0.9):
+            qv = {r["g"]: r[f"v_p{int(q*100)}"] for r in g.quantile(q).collect()}
+            for grp, x in qv.items():
+                # the q-quantile is the SMALLEST value whose cdf >= q
+                assert cdf[(grp, x)] >= q
+                below = [
+                    c for (gg, vv), c in cdf.items()
+                    if gg == grp and vv is not None and vv < x and c is not None
+                ]
+                assert all(c < q for c in below), (grp, q)
+
+    def test_global_cdf(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 1.0), (3.0, 2.0)], "v double, w double"
+        )
+        out = {r["v"]: r["v_cdf"] for r in wt(df, "w").cdf().collect()}
+        assert out[1.0] == 0.25 and out[2.0] == 0.5 and out[3.0] == 1.0
+
+    def test_banded_plan(self, spark):
+        import pandas_weights_spark.plans as P
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(1, float(i), 1.0) for i in range(50)], "g int, v double, w double"
+        )
+        plan = P.physical_plan(wt(df, "w").groupby("g").cdf())
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs
+        for spec in specs:
+            assert "__band__" in spec, spec
