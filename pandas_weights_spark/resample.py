@@ -322,6 +322,52 @@ class WeightedResampler:
             complete=complete,
         )
 
+    def quantile(
+        self,
+        q: Union[float, Sequence[float]] = 0.5,
+        exact: bool = True,
+        lo: Optional[float] = None,
+        hi: Optional[float] = None,
+        bins: int = 4096,
+    ) -> DataFrame:
+        """Weighted quantile(s) per time bucket (extension — the
+        reference resampler has count/sum/mean/var/std only,
+        frame.py:381-446; pandas resamplers accept ``quantile``).
+
+        The bucket label becomes the grouping key of the usual quantile
+        machinery (quantile.py): the inverted-CDF window partitions on
+        the bucket — buckets are naturally numerous on long ranges, and
+        ``exact=False`` switches to the binned CDF (shuffle ∝ buckets ×
+        bins) for short-range/huge-data shapes.
+        """
+        from pandas_weights_spark.quantile import (
+            weighted_quantiles,
+            weighted_quantiles_binned,
+        )
+
+        cols = [c for c in self._wdf.numeric_columns() if c != self._on]
+        if not cols:
+            raise ValueError("no numeric columns to aggregate")
+        staged = self._wdf._subset(cols)
+        staged._df = self._wdf.df.where(
+            F.col(self._on).isNotNull()
+        ).withColumn(self._on, self.bucket())
+        if exact:
+            out = weighted_quantiles(
+                staged, q, subset=cols, keys=[self._on]
+            )
+        else:
+            if lo is None or hi is None:
+                raise ValueError("exact=False needs explicit lo and hi")
+            out = weighted_quantiles_binned(
+                staged, q, lo=lo, hi=hi, bins=bins,
+                subset=cols, keys=[self._on],
+            )
+        return out.orderBy(self._on)
+
+    def median(self, **kwargs) -> DataFrame:
+        return self.quantile(0.5, **kwargs)
+
     def agg_all(self, stats: Sequence[str], **kwargs) -> DataFrame:
         """Several statistics in one bucket-keyed aggregate pass."""
         from pandas_weights_spark.groupby import _KERNELS

@@ -282,3 +282,56 @@ class TestCalendarRules:
         ]
         vals = {r["ts"]: r["v"] for r in out}
         assert vals[dt.datetime(2024, 4, 30)] is None
+
+
+class TestResampleQuantile:
+    def test_matches_grouped_quantile_on_bucket(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(5)
+        n = 200
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 20, n), unit="D"),
+                "v": rng.normal(10, 3, n).round(3),
+                "w": rng.integers(1, 4, n).astype(float),
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        wdf = wt(sdf, "w")
+        got = {
+            r["ts"]: r["v_p50"]
+            for r in wdf.resample("5D", on="ts").quantile(0.5).collect()
+        }
+        # brute-force check per bucket via pandas inverted CDF
+        bucket = (
+            pdf.ts - pd.Timestamp("2024-01-01")
+        ).dt.days // 5 * 5
+        for b, grp in pdf.assign(b=bucket).groupby("b"):
+            srt = grp.sort_values("v")
+            cum = srt.w.cumsum()
+            exp = srt.v[cum >= srt.w.sum() * 0.5].iloc[0]
+            key = (pd.Timestamp("2024-01-01") + pd.Timedelta(days=b)).to_pydatetime()
+            assert got[key] == exp, b
+
+    def test_binned_close_to_exact(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(f"2024-01-{d+1:02d}T00:00:00", float(v), 1.0)
+             for d, v in enumerate(range(0, 30))],
+            "ts string, v double, w double",
+        ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+        r = wt(df, "w").resample("10D", on="ts")
+        exact = {x["ts"]: x["v_p50"] for x in r.quantile(0.5).collect()}
+        binned = {
+            x["ts"]: x["v_p50"]
+            for x in r.quantile(0.5, exact=False, lo=0.0, hi=30.0, bins=3000).collect()
+        }
+        assert set(exact) == set(binned)
+        for k in exact:
+            assert abs(exact[k] - binned[k]) <= 0.011, k
