@@ -91,6 +91,16 @@ def load_table_stream(
     )
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Watermarks (EventTimeWatermark) require TIMESTAMP, not
+    # TIMESTAMP_NTZ; parquet written with naive timestamps infers NTZ.
+    # Cast NTZ event-time columns to the session-zoned type — with the
+    # engine's pinned spark.sql.session.timeZone=UTC this is
+    # value-preserving, and it is what every streaming operator needs.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
