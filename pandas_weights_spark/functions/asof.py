@@ -1,0 +1,170 @@
+"""Distributed as-of (nearest-key) join.
+
+``asof_join(left, right, on, by)`` attaches to every left row the
+closest right row at-or-before (``backward``) / at-or-after
+(``forward``) it on the ordering column, per equality key — the
+time-series join behind feature lookup ("latest signal as of this
+event"), trade/quote alignment, and slowly-changing-dimension reads.
+Semantics mirror ``pandas.merge_asof`` (left outer; ``tolerance``;
+``allow_exact_matches``); the reference library has no join surface at
+all (SURVEY.md §2.6 — joins out of reference scope), so this is an
+engine extension.
+
+Spark has no as-of join primitive, and the naive formulations are both
+scale-broken: an inequality join is a BroadcastNestedLoopJoin
+(quadratic), and a per-left-row subquery doesn't distribute. The
+scalable shape is the UNION + ORDERED CARRY:
+
+1. union the two sides into one frame tagged by origin, with the right
+   side's payload packed into ONE struct column (NULL on left rows);
+2. one window per ``by`` key ordered by (``on``, tag):
+   ``last(payload, ignorenulls=True)`` carries the most recent right
+   payload forward onto each left row;
+3. keep the left rows, unpack the struct, apply ``tolerance``.
+
+Cost: ONE shuffle, partitioned by the ``by`` key (both inputs shuffle
+once, together) — the same price as a single equi-join, regardless of
+how many right rows precede each left row. The tag breaks ties at equal
+``on`` so ``allow_exact_matches`` is exact, and the payload struct is
+carried atomically (per-column ``last(ignorenulls)`` could mix rows
+when payload columns contain NULLs). Without ``by`` the window is
+global (single-task sort) — same documented caveat as the exact global
+quantile; pass ``by`` at scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+_PAYLOAD = "__pw_asof_payload__"
+_TAG = "__pw_asof_tag__"
+
+
+def _tolerance_cond(
+    left_on: Column,
+    right_on: Column,
+    tolerance: Union[str, dt.timedelta, int, float, None],
+    direction: str,
+) -> Column:
+    """True iff the matched right row is within ``tolerance``.
+
+    The gap is oriented (backward: left−right ≥ 0; forward:
+    right−left ≥ 0), so no abs() is needed. Timestamp gaps compare as
+    day-time intervals (works for TIMESTAMP and TIMESTAMP_NTZ alike);
+    numeric ``on`` columns take a numeric tolerance.
+    """
+    if tolerance is None:
+        return F.lit(True)
+    gap = (left_on - right_on) if direction == "backward" else (right_on - left_on)
+    if isinstance(tolerance, (int, float)) and not isinstance(tolerance, bool):
+        return gap <= F.lit(tolerance)
+    if isinstance(tolerance, dt.timedelta):
+        secs = tolerance.total_seconds()
+    else:
+        # accept both pandas rule codes ("600s", "15min") and natural
+        # duration strings ("600 seconds", "2 hours")
+        try:
+            from pandas_weights_spark.resample import parse_rule
+
+            kind, info = parse_rule(tolerance)
+            if kind != "fixed":
+                raise ValueError(
+                    f"tolerance must be a fixed duration, got {tolerance!r}"
+                )
+            secs = float(info)
+        except ValueError:
+            import pandas as pd
+
+            secs = pd.Timedelta(tolerance).total_seconds()
+    return gap <= F.make_dt_interval(secs=F.lit(secs))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    tolerance: Union[str, dt.timedelta, int, float, None] = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: nearest right row per left row along ``on``.
+
+    Parameters follow ``pandas.merge_asof``: ``on`` must exist in both
+    frames (timestamp or numeric); ``by`` are equality keys; backward
+    matches the latest right row with ``r.on <= l.on`` (strict ``<``
+    when ``allow_exact_matches=False``), forward the earliest with
+    ``r.on >= l.on``; ``tolerance`` bounds the gap (unmatched → NULLs,
+    row kept — left outer). Right payload columns that collide with a
+    left column name get ``suffix``; the matched ordering value is
+    always emitted as ``f"{on}{suffix}"``.
+
+    Ties among right rows at the same (``by``, ``on``) resolve to the
+    last one in the right frame's sort order under the window —
+    pre-aggregate the right side to unique keys for a fully
+    deterministic result (the driver query does).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    by = list(by or [])
+    for c in [on, *by]:
+        if c not in left.columns:
+            raise KeyError(f"column {c!r} not in left frame")
+        if c not in right.columns:
+            raise KeyError(f"column {c!r} not in right frame")
+    payload_cols = [c for c in right.columns if c not in by]  # keeps `on`
+    out_names = {
+        c: (c + suffix if (c == on or c in left.columns) else c)
+        for c in payload_cols
+    }
+
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD)
+    payload_type = right.select(payload).schema[0].dataType
+
+    # Matchable right rows must sort BEFORE the left row in traversal
+    # order. At equal `on`, allow_exact puts right first (0 < 1),
+    # disallow puts right after (2 > 1).
+    right_tag = 0 if allow_exact_matches else 2
+    left_side = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
+        F.lit(1).alias(_TAG),
+    )
+    right_side = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in by and c != on
+            else F.col(c)
+            for c in left.columns
+        ],
+        payload,
+        F.lit(right_tag).alias(_TAG),
+    )
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    win = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(order, F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(_PAYLOAD, ignorenulls=True).over(win)
+    matched = left_side.unionByName(right_side).select(
+        "*", carried.alias("__pw_asof_match__")
+    )
+    m = F.col("__pw_asof_match__")
+    ok = m.isNotNull() & _tolerance_cond(
+        F.col(on), m.getField(on), tolerance, direction
+    )
+    return matched.where(F.col(_TAG) == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(ok, m.getField(c)).alias(out_names[c])
+            for c in payload_cols
+        ],
+    )
