@@ -550,12 +550,16 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_text_metrics(spark, sf_dir):
+    # full text-analysis surface in one row-local pass: whitespace +
+    # BPE-ish regex token counts, n-gram language id, quality score,
+    # content fingerprint — all JVM Column expressions, no UDF
     from pandas_weights_spark.functions import text as TX
 
     t = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
         TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(t).cast("long").alias("bpe_tokens"),
         TX.lang_id(t).alias("lang_pred"),
         TX.quality_score(t).alias("quality"),
         TX.fingerprint(t).alias("fp"),
@@ -828,16 +832,32 @@ def _q_stream_resample(spark, sf_dir):
     return spark.table(sink)
 
 
-def _q_token_counts(spark, sf_dir):
-    # whitespace + BPE-ish regex token counts (text.py) — length-budget
-    # filters for training pipelines; pure JVM regexp, no UDF
-    from pandas_weights_spark.functions.text import bpe_token_count, token_count
+def _q_asof_join(spark, sf_dir):
+    # distributed as-of join (functions/asof.py): each purchase event
+    # picks up the latest at-or-before view event of the same user —
+    # union + ordered-carry window, ONE shuffle on user_id. The right
+    # side is pre-aggregated to unique (user_id, ts) so the tie rule is
+    # deterministic; DuckDB's native ASOF LEFT JOIN is the oracle (an
+    # independent implementation of the same semantics).
+    from pandas_weights_spark.functions.asof import asof_join
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("ws_tokens"),
-        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("view_ts"),
+        "view_value",
     )
 
 
@@ -1320,15 +1340,18 @@ _ORACLE["stream_resample"] = """
     GROUP BY bucket
 """
 
-_ORACLE["token_counts"] = """
-    SELECT doc_id,
-           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+'))
-                END AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text,
-                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                AS BIGINT) AS bpe_tokens
-    FROM documents WHERE doc_id < 500
+_ORACLE["asof_join"] = """
+    WITH v AS (
+      SELECT user_id, ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.ts AS view_ts, v.view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 _ORACLE["group_quantile"] = """
@@ -1738,15 +1761,18 @@ def _text_metrics_sql() -> str:
       SELECT doc_id, lower(text) AS lt,
              ' ' || lower(text) || ' ' AS p,
              CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+             len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS btok
       FROM documents
     ), s AS (
-      SELECT doc_id, lt, p, ntok, CAST(ntok AS DOUBLE) AS nt,
+      SELECT doc_id, lt, p, ntok, btok, CAST(ntok AS DOUBLE) AS nt,
              length(lt) AS n_chars,
              length(lt) - length(replace(lt, ' ', '')) AS n_spaces
       FROM t
     ), sc AS (
-      SELECT doc_id, ntok, nt, {scores},
+      SELECT doc_id, ntok, btok, nt, {scores},
              CASE WHEN ntok = 0 THEN 0.0 ELSE
                round(0.5 * greatest(0.0, 1.0 - abs((n_chars - n_spaces) / nt - 6.5) / 6.5)
                      + 0.5 * least(1.0, ({stop}) * 10.0 / nt), 6)
@@ -1755,7 +1781,8 @@ def _text_metrics_sql() -> str:
                  string_split_regex(trim(lower(lt)), '\\s+'))), ' ')) AS fp
       FROM s
     )
-    SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, {lang_case} AS lang_pred,
+    SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(btok AS BIGINT) AS bpe_tokens, {lang_case} AS lang_pred,
            quality, fp
     FROM sc
     """
@@ -2145,7 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_exact": _q_dedup_exact,
         "text_metrics": _q_text_metrics,
-        "token_counts": _q_token_counts,
+        "asof_join": _q_asof_join,
         "doc_weighted_stats": _q_doc_weighted_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
