@@ -56,9 +56,11 @@ HEADLINE = [
     "group_mode",          # per-group argmax by weight mass
     "spearman_corr",       # rank transform + pearson kernel
     "stream_resample",     # availableNow streaming resample (events)
+    "asof_join",           # union + ordered-carry nearest-key join
     # bench-local (not in the 50-query driver gate; defined in main())
     "group_cdf",           # per-row weighted percentile-rank transform
     "resample_quantile",   # bucket-keyed weighted median
+    "ewm_mean",            # banded-rescale exponentially-weighted mean
 ]
 
 
@@ -165,8 +167,21 @@ def main() -> int:
             .median()
         )
 
+    def _ewm_mean(spark_, sf_dir_):
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return (
+            wt(li, "l_quantity")[["l_extendedprice"]]
+            .ewm(
+                order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+                partition_by=["l_returnflag"],
+                alpha=0.05,
+            )
+            .mean()
+        )
+
     qs["group_cdf"] = _group_cdf
     qs["resample_quantile"] = _resample_quantile
+    qs["ewm_mean"] = _ewm_mean
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))

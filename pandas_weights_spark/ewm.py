@@ -1,0 +1,280 @@
+"""Weighted exponentially-weighted-moment (EWM) statistics.
+
+``wdf.ewm(order_by=..., alpha=...)`` generalizes pandas
+``DataFrame.ewm(adjust=True, ignore_na=False)`` to per-row weights: at
+row ``i`` (position ``p_i`` within its partition in ``order_by`` order)
+
+    mean_i = Σ_j ρ^(p_i−p_j) · w_j · x_j  /  Σ_j ρ^(p_i−p_j) · w_j
+
+over valid rows ``j ≤ i`` (``x`` and ``w`` non-NULL), with ``ρ = 1−α``.
+Invalid rows contribute no mass but still advance the decay clock —
+exactly pandas ``ignore_na=False``. With unit weights this reproduces
+``pandas.DataFrame.ewm(...).mean()/var()/std()`` bit-for-bit in exact
+arithmetic (pinned by the differential tests). The reference library has
+no EWM surface; pandas does, and recency-weighting a training corpus is
+the weighted use case.
+
+Scale design — banded rescale, not a per-row geometric sum
+----------------------------------------------------------
+The naive formulations both fail: a sliding window re-sums O(n·depth)
+terms, and the classic prefix trick ``ρ^p · Σ ρ^(−p_j)·t_j`` overflows
+``double`` once ``p·log10(1/ρ) > 308``. Instead rows are cut into bands
+of ``B = ⌊75 / log10(1/ρ)⌋`` rows, so every exponent that is ever
+materialized stays within ±1e150 even for the squared-decay sum:
+
+1. position ``p`` via ``row_number`` per partition (shuffle #1);
+2. in-band prefix sums of ``t_j · ρ^(−r_j)`` (``r`` = offset in band)
+   under a window partitioned by (keys, band) — partitions are ≤ B
+   rows, so ONE giant key still parallelizes across bands (shuffle #2);
+3. per-band totals, aggregated map-side, then the previous band's total
+   joins back (shuffle #3 over a frame ~n/B rows).
+
+A row's value combines its in-band prefix with the previous band's
+total decayed by ``ρ^B ≤ 1e-37``; bands further back are dropped —
+their multiplier is ``ρ^2B ≤ 1e-75``, beneath double precision relative
+to the retained terms, so the result equals the exact sum to machine
+precision. No unbounded ordered window anywhere.
+
+``var(bias=False)`` uses the pandas debias factor
+``D² / (D² − V)`` with ``V = Σ ρ^(2(p_i−p_j)) · w_j²`` — the same
+banded machinery at decay ``ρ²``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["WeightedEWM"]
+
+_ColRef = Union[str, Column]
+
+_P = "__pw_ewm_p__"
+_BAND = "__pw_ewm_band__"
+_R = "__pw_ewm_r__"
+
+
+def resolve_alpha(
+    alpha: Optional[float] = None,
+    com: Optional[float] = None,
+    span: Optional[float] = None,
+    halflife: Optional[float] = None,
+) -> float:
+    """pandas ewm decay parametrizations → alpha (exactly one given)."""
+    given = [v is not None for v in (alpha, com, span, halflife)]
+    if sum(given) != 1:
+        raise ValueError("pass exactly one of alpha / com / span / halflife")
+    if alpha is not None:
+        a = float(alpha)
+    elif com is not None:
+        if com < 0:
+            raise ValueError("com must be >= 0")
+        a = 1.0 / (1.0 + float(com))
+    elif span is not None:
+        if span < 1:
+            raise ValueError("span must be >= 1")
+        a = 2.0 / (float(span) + 1.0)
+    else:
+        if halflife <= 0:
+            raise ValueError("halflife must be > 0")
+        a = 1.0 - math.exp(math.log(0.5) / float(halflife))
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {a}")
+    return a
+
+
+class WeightedEWM:
+    """EWM statistics over a ``WeightedDataFrame`` — built via
+    ``WeightedDataFrame.ewm(...)``. Emits the partition/order key
+    columns plus one transformed column per numeric value column
+    (the same output shape as :class:`rolling.WeightedRolling`)."""
+
+    def __init__(
+        self,
+        wdf,
+        order_by: Sequence[_ColRef],
+        partition_by: Sequence[_ColRef] = (),
+        alpha: Optional[float] = None,
+        com: Optional[float] = None,
+        span: Optional[float] = None,
+        halflife: Optional[float] = None,
+        min_periods: int = 0,
+    ) -> None:
+        if not order_by:
+            raise ValueError("ewm requires order_by columns")
+        if any(not isinstance(r, str) for r in partition_by):
+            raise ValueError("ewm partition_by entries must be column names")
+        self._wdf = wdf
+        self._order_by = list(order_by)
+        self._partition_by = list(partition_by)
+        self._alpha = resolve_alpha(alpha, com, span, halflife)
+        self._min_periods = int(min_periods)
+
+    # -- banded prefix machinery -------------------------------------------
+
+    def _band_size(self, rho: float) -> int:
+        if rho == 0.0:  # alpha == 1: only the current row matters
+            return 1
+        decades = -math.log10(rho)
+        if decades <= 0:
+            raise ValueError("alpha must be > 0")
+        return max(1, int(75.0 / decades))
+
+    def _key_cols(self) -> list[str]:
+        return [r for r in self._partition_by if isinstance(r, str)] + [
+            r for r in self._order_by if isinstance(r, str)
+        ]
+
+    def _stat(self, kind: str, bias: bool = False) -> DataFrame:
+        wdf = self._wdf
+        alpha = self._alpha
+        rho = 1.0 - alpha
+        B = self._band_size(rho)
+        keys = self._key_cols()
+        pcols = [F.col(c) if isinstance(c, str) else c for c in self._partition_by]
+        ocols = [F.col(c) if isinstance(c, str) else c for c in self._order_by]
+        w = wdf.weights
+
+        cols = [c for c in wdf.numeric_columns() if c not in keys]
+        if not cols:
+            raise ValueError("no numeric value columns outside the ewm keys")
+
+        pos_win = Window.partitionBy(*pcols).orderBy(*ocols)
+        base = wdf.df.select(
+            "*",
+            (F.row_number().over(pos_win) - 1).alias(_P),
+        ).select(
+            "*",
+            F.expr(f"`{_P}` div {B}").alias(_BAND),
+            (F.col(_P) % F.lit(B)).cast("double").alias(_R),
+        )
+
+        # ln(1/rho)·r and ln(1/rho)·(B-1-r) both stay <= 75 decades.
+        if rho > 0.0:
+            ln_inv = math.log(1.0 / rho)
+            up = F.exp(F.lit(ln_inv) * F.col(_R))  # rho^(-r)
+            down = F.exp(F.lit(-ln_inv) * F.col(_R))  # rho^(+r)
+            up2 = F.exp(F.lit(2.0 * ln_inv) * F.col(_R))
+            carry1 = F.lit(rho**B)  # rho^B   (>= 1e-75 by band sizing)
+            carry2 = F.lit(rho ** (2 * B))  # rho^2B (>= 1e-150)
+        else:
+            up = down = up2 = F.lit(1.0)
+            carry1 = carry2 = F.lit(0.0)
+
+        part_keys = [*pcols, F.col(_BAND)]
+        in_win = (
+            Window.partitionBy(*part_keys)
+            .orderBy(F.col(_P))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+        # per-column scaled terms; NULL-safe mass rule of the kernels
+        need_var = kind in ("var", "std")
+        terms: list[Column] = []
+        names: list[str] = []
+        for c in cols:
+            x = wdf._value(c)
+            valid = x.isNotNull() & w.isNotNull()
+            m = F.when(valid, w).otherwise(F.lit(0.0))
+            terms += [
+                (m * up).alias(f"__tD_{c}__"),
+                (m * x * up).alias(f"__tN_{c}__"),
+            ]
+            names += [f"__tD_{c}__", f"__tN_{c}__"]
+            if need_var:
+                terms.append((m * x * x * up).alias(f"__tM_{c}__"))
+                names.append(f"__tM_{c}__")
+                if not bias:
+                    terms.append((m * m * up2).alias(f"__tV_{c}__"))
+                    names.append(f"__tV_{c}__")
+            if self._min_periods > 0:
+                terms.append(valid.cast("long").alias(f"__tc_{c}__"))
+                names.append(f"__tc_{c}__")
+
+        staged = base.select("*", *terms)
+        # one WindowExec for every in-band prefix (shared spec)
+        prefixed = staged.select(
+            "*", *[F.sum(n).over(in_win).alias(f"__p{n}") for n in names]
+        )
+
+        # Previous band's total as a RANGE frame over the band index —
+        # same partitioning, and the (keys, band, p) sort from the
+        # prefix window already satisfies the (keys, band) order, so
+        # this adds NO exchange, NO extra sort, and NO self-join (an
+        # earlier join formulation re-scanned the whole input for the
+        # carry branch). Bands are dense per partition (positions are
+        # contiguous), so band b−1 is the full previous band.
+        prev_win = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col(_BAND))
+            .rangeBetween(-1, -1)
+        )
+        all_prev_win = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col(_BAND))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        carry_exprs = []
+        for n in names:
+            if n.startswith("__tc_"):  # counts don't decay: exact total
+                carry_exprs.append(
+                    F.coalesce(
+                        F.sum(n).over(all_prev_win), F.lit(0)
+                    ).alias(f"__c{n}")
+                )
+            else:
+                carry_exprs.append(
+                    F.coalesce(F.sum(n).over(prev_win), F.lit(0.0)).alias(
+                        f"__c{n}"
+                    )
+                )
+        j = prefixed.select("*", *carry_exprs)
+
+        out_cols: list[Column] = []
+        for c in cols:
+            D = (F.col(f"__p__tD_{c}__") + carry1 * F.col(f"__c__tD_{c}__")) * down
+            N = (F.col(f"__p__tN_{c}__") + carry1 * F.col(f"__c__tN_{c}__")) * down
+            mean = F.try_divide(N, D)
+            if kind == "mean":
+                expr = mean
+            else:
+                M = (
+                    F.col(f"__p__tM_{c}__") + carry1 * F.col(f"__c__tM_{c}__")
+                ) * down
+                biased = F.try_divide(M, D) - mean * mean
+                if bias:
+                    var = biased
+                else:
+                    V = (
+                        F.col(f"__p__tV_{c}__")
+                        + carry2 * F.col(f"__c__tV_{c}__")
+                    ) * down * down
+                    var = F.try_divide(D * D, D * D - V) * biased
+                if kind == "var":
+                    expr = var
+                else:
+                    expr = F.when(var >= 0, F.sqrt(var))
+            expr = F.when(D > 0, expr)
+            if self._min_periods > 0:
+                n_valid = F.col(f"__p__tc_{c}__") + F.col(f"__c__tc_{c}__")
+                expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+            out_cols.append(expr.alias(c))
+        return j.select(*keys, *out_cols)
+
+    # -- statistics ---------------------------------------------------------
+
+    def mean(self) -> DataFrame:
+        """EWM weighted mean per numeric column (pandas ``ewm().mean()``
+        at unit weights)."""
+        return self._stat("mean")
+
+    def var(self, bias: bool = False) -> DataFrame:
+        """EWM weighted variance; ``bias=False`` applies the pandas
+        debias factor ``D²/(D²−V)``."""
+        return self._stat("var", bias=bias)
+
+    def std(self, bias: bool = False) -> DataFrame:
+        return self._stat("std", bias=bias)

@@ -400,6 +400,34 @@ class WeightedDataFrame:
             self, None, order_by, partition_by, min_periods=min_periods
         )
 
+    def ewm(
+        self,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[str] = (),
+        alpha: Optional[float] = None,
+        com: Optional[float] = None,
+        span: Optional[float] = None,
+        halflife: Optional[float] = None,
+        min_periods: int = 0,
+    ):
+        """Weighted exponentially-weighted statistics (pandas
+        ``DataFrame.ewm(adjust=True, ignore_na=False)`` generalized to
+        per-row weights — no reference analog; see ewm.py for the
+        banded-rescale scale design: no unbounded ordered window, a
+        single giant partition key still parallelizes across bands)."""
+        from pandas_weights_spark.ewm import WeightedEWM
+
+        return WeightedEWM(
+            self,
+            order_by,
+            partition_by,
+            alpha=alpha,
+            com=com,
+            span=span,
+            halflife=halflife,
+            min_periods=min_periods,
+        )
+
     # -- the weighted view ----------------------------------------------------
 
     def weighted(self) -> DataFrame:

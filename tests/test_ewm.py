@@ -1,0 +1,135 @@
+"""EWM: differential vs pandas ewm (unit weights), weighted semantics,
+band-boundary exactness, and parametrization checks."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark import wt
+from pandas_weights_spark.ewm import resolve_alpha
+
+
+def _pdf(seed=0, n=300, n_keys=3, nan_frac=0.15):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=n)
+    x[rng.random(n) < nan_frac] = np.nan
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, n_keys, n),
+            "i": np.arange(n),
+            "x": x,
+            "w": np.ones(n),
+        }
+    )
+
+
+def _spark_ewm(spark, pdf, stat, weights="w", **ewm_kw):
+    sdf = spark.createDataFrame(pdf)
+    e = wt(sdf, weights).ewm(order_by=["i"], partition_by=["g"], **ewm_kw)
+    out = getattr(e, stat[0])(**stat[1]).toPandas()
+    return out.sort_values(["g", "i"]).reset_index(drop=True)["x"].to_numpy()
+
+
+def _pandas_ewm(pdf, stat, alpha):
+    parts = []
+    for g, grp in pdf.sort_values("i").groupby("g"):
+        e = grp["x"].ewm(alpha=alpha, adjust=True, ignore_na=False)
+        s = getattr(e, stat[0])(**{k: v for k, v in stat[1].items()})
+        parts.append(pd.DataFrame({"g": g, "i": grp["i"], "x": s}))
+    got = pd.concat(parts).sort_values(["g", "i"]).reset_index(drop=True)
+    return got["x"].to_numpy()
+
+
+@pytest.mark.parametrize("alpha", [0.9, 0.3, 0.05])
+@pytest.mark.parametrize(
+    "stat",
+    [
+        ("mean", {}),
+        ("var", {"bias": True}),
+        ("var", {"bias": False}),
+        ("std", {"bias": False}),
+    ],
+    ids=["mean", "var_biased", "var", "std"],
+)
+def test_differential_vs_pandas(spark, alpha, stat):
+    pdf = _pdf(seed=7)
+    got = _spark_ewm(spark, pdf, stat, alpha=alpha)
+    exp = _pandas_ewm(pdf, stat, alpha)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_band_boundaries_exact(spark):
+    # alpha chosen so the band size is tiny (B = 75/decades); a series
+    # much longer than B exercises in-band prefix + carry. Compare vs
+    # pandas on a single partition.
+    alpha = 1.0 - 1e-20  # rho = 1e-20 -> B = 3
+    pdf = _pdf(seed=3, n=100, n_keys=1, nan_frac=0.0)
+    got = _spark_ewm(spark, pdf, ("mean", {}), alpha=alpha)
+    exp = _pandas_ewm(pdf, ("mean", {}), alpha)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_small_alpha_single_band(spark):
+    alpha = 0.001  # B far larger than n: pure in-band path
+    pdf = _pdf(seed=4, n=200, n_keys=2, nan_frac=0.1)
+    got = _spark_ewm(spark, pdf, ("mean", {}), alpha=alpha)
+    exp = _pandas_ewm(pdf, ("mean", {}), alpha)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_weights_scale_invariance(spark):
+    # EWM mean is invariant to a global weight rescale
+    pdf = _pdf(seed=5, nan_frac=0.0)
+    pdf["w2"] = 7.5
+    a = _spark_ewm(spark, pdf, ("mean", {}), weights="w", alpha=0.2)
+    b = _spark_ewm(spark, pdf, ("mean", {}), weights="w2", alpha=0.2)
+    np.testing.assert_allclose(a, b, rtol=1e-12, equal_nan=True)
+
+
+def test_weighted_vs_handrolled(spark):
+    # per-row weights against a direct O(n^2) computation
+    rng = np.random.default_rng(11)
+    n, alpha = 60, 0.25
+    x = rng.normal(size=n)
+    w = rng.uniform(0.5, 3.0, size=n)
+    pdf = pd.DataFrame({"g": 0, "i": np.arange(n), "x": x, "w": w})
+    got = _spark_ewm(spark, pdf, ("mean", {}), alpha=alpha)
+    rho = 1 - alpha
+    exp = np.array(
+        [
+            np.sum(rho ** (i - np.arange(i + 1)) * w[: i + 1] * x[: i + 1])
+            / np.sum(rho ** (i - np.arange(i + 1)) * w[: i + 1])
+            for i in range(n)
+        ]
+    )
+    np.testing.assert_allclose(got, exp, rtol=1e-10)
+
+
+def test_min_periods_gate(spark):
+    pdf = _pdf(seed=6, n=50, n_keys=1, nan_frac=0.3)
+    got = _spark_ewm(spark, pdf, ("mean", {}), alpha=0.3, min_periods=5)
+    valid_so_far = (~np.isnan(pdf.sort_values("i")["x"].to_numpy())).cumsum()
+    assert np.isnan(got[valid_so_far < 5]).all()
+    assert not np.isnan(got[valid_so_far >= 5]).any()
+
+
+def test_parametrizations():
+    assert resolve_alpha(alpha=0.3) == 0.3
+    assert resolve_alpha(com=3.0) == 0.25
+    assert resolve_alpha(span=3.0) == 0.5
+    hl = resolve_alpha(halflife=2.0)
+    assert math.isclose((1 - hl) ** 2, 0.5)
+    with pytest.raises(ValueError):
+        resolve_alpha()
+    with pytest.raises(ValueError):
+        resolve_alpha(alpha=0.1, span=5)
+
+
+def test_no_order_by_raises(spark):
+    pdf = _pdf()
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError):
+        wt(sdf, "w").ewm(order_by=[], alpha=0.5)
