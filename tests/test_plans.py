@@ -242,3 +242,52 @@ class TestNewOperatorPlans:
         plan = P.physical_plan(topk_bruteforce(q, emb, k=3))
         assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
         assert P.count_exchanges(topk_bruteforce(q, emb, k=3)) <= 1
+
+    def test_asof_join_single_shuffle_no_bnl(self, spark):
+        # union + ordered-carry: ONE hash shuffle on the by-key; never a
+        # BroadcastNestedLoopJoin / CartesianProduct (the naive
+        # inequality-join plans, quadratic at scale).
+        from pandas_weights_spark.functions.asof import asof_join
+        from pandas_weights_spark.sources import load_table
+
+        ev = load_table(spark, SF, "events")
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("view_value")
+        )
+        df = asof_join(left, right, on="ts", by=["user_id"])
+        plan = P.physical_plan(df)
+        assert P.count_exchanges(df) == 1, plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+        assert not P.has_python_eval(df)
+
+    def test_ewm_one_exchange_bounded_windows(self, lineitem):
+        # banded rescale: one hash shuffle; the in-band prefix window is
+        # partitioned by (keys, band) — never an unbounded ordered
+        # window over the bare partition keys; one scan (no self-join
+        # duplicating the input lineage).
+        df = (
+            wt(
+                lineitem.select(
+                    "l_orderkey",
+                    "l_linenumber",
+                    "l_extendedprice",
+                    "l_quantity",
+                    "l_returnflag",
+                ),
+                "l_quantity",
+            )[["l_extendedprice"]]
+            .ewm(
+                order_by=["l_orderkey", "l_linenumber"],
+                partition_by=["l_returnflag"],
+                alpha=0.1,
+            )
+            .mean()
+        )
+        plan = P.physical_plan(df)
+        assert P.count_exchanges(df) == 1, plan
+        assert plan.count("Scan parquet") == 1, plan
+        assert "__pw_ewm_band__" in plan, plan
+        assert not P.has_python_eval(df)
