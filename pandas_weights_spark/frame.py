@@ -844,3 +844,49 @@ class WeightedSeries:
         from pandas_weights_spark.apply import series_apply
 
         return series_apply(self, func, schema)
+
+    # -- windowed transforms (delegate to the narrowed frame: the value
+    # column is the only data column, so the frame-level operators emit
+    # exactly this series' transform) --------------------------------------
+
+    def rolling(
+        self,
+        window: int,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[Union[str, Column]] = (),
+        min_periods: Optional[int] = None,
+    ):
+        return self._wdf.rolling(
+            window, order_by, partition_by, min_periods=min_periods
+        )
+
+    def expanding(
+        self,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[Union[str, Column]] = (),
+        min_periods: int = 1,
+    ):
+        return self._wdf.expanding(order_by, partition_by, min_periods=min_periods)
+
+    def ewm(
+        self,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[str] = (),
+        alpha: Optional[float] = None,
+        com: Optional[float] = None,
+        span: Optional[float] = None,
+        halflife: Optional[float] = None,
+        min_periods: int = 0,
+    ):
+        return self._wdf.ewm(
+            order_by,
+            partition_by,
+            alpha=alpha,
+            com=com,
+            span=span,
+            halflife=halflife,
+            min_periods=min_periods,
+        )
+
+    def cdf(self, bands: int = 256) -> DataFrame:
+        return self._wdf.cdf(subset=[self._value_col], bands=bands)

@@ -133,3 +133,18 @@ def test_no_order_by_raises(spark):
     sdf = spark.createDataFrame(pdf)
     with pytest.raises(ValueError):
         wt(sdf, "w").ewm(order_by=[], alpha=0.5)
+
+
+def test_series_level_delegation(spark):
+    pdf = _pdf(seed=8, n=100, n_keys=2, nan_frac=0.0)
+    sdf = spark.createDataFrame(pdf)
+    s = wt(sdf, "w")["x"]
+    out = s.ewm(order_by=["i"], partition_by=["g"], alpha=0.3).mean()
+    assert set(out.columns) == {"g", "i", "x"}
+    assert out.count() == 100
+    r = s.rolling(3, order_by=["i"], partition_by=["g"]).mean()
+    assert set(r.columns) == {"g", "i", "x"}
+    e = s.expanding(order_by=["i"], partition_by=["g"]).mean()
+    assert e.count() == 100
+    c = s.cdf()
+    assert "x_cdf" in c.columns
