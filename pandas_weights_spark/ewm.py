@@ -22,12 +22,19 @@ terms, and the classic prefix trick ``ρ^p · Σ ρ^(−p_j)·t_j`` overflows
 of ``B = ⌊75 / log10(1/ρ)⌋`` rows, so every exponent that is ever
 materialized stays within ±1e150 even for the squared-decay sum:
 
-1. position ``p`` via ``row_number`` per partition (shuffle #1);
+1. position ``p`` via ``row_number`` per partition;
 2. in-band prefix sums of ``t_j · ρ^(−r_j)`` (``r`` = offset in band)
-   under a window partitioned by (keys, band) — partitions are ≤ B
-   rows, so ONE giant key still parallelizes across bands (shuffle #2);
-3. per-band totals, aggregated map-side, then the previous band's total
-   joins back (shuffle #3 over a frame ~n/B rows).
+   under a window partitioned by (keys, band);
+3. the previous band's total via a RANGE frame over the band index on
+   the same sort — no join, no extra exchange.
+
+The whole plan has ONE exchange, on the bare partition keys (pinned by
+test_ewm_one_exchange_bounded_windows): the ``row_number`` window needs
+every row of a key in one task, so a single giant key is still one
+sort task. What the (keys, band) sub-partitioning buys is *bounded
+window-operator state* — each prefix-sum frame holds ≤ B rows, so
+memory/spill per window partition is capped regardless of key size —
+not extra task parallelism.
 
 A row's value combines its in-band prefix with the previous band's
 total decayed by ``ρ^B ≤ 1e-37``; bands further back are dropped —
@@ -179,13 +186,18 @@ class WeightedEWM:
             x = wdf._value(c)
             valid = x.isNotNull() & w.isNotNull()
             m = F.when(valid, w).otherwise(F.lit(0.0))
+            # xz: x with invalid rows zeroed, NOT left NULL — `m * x` is
+            # 0 * NULL = NULL, and a NULL term makes the in-band prefix
+            # sum NULL whenever every row so far in the band is invalid,
+            # silently dropping the carried value at band starts.
+            xz = F.when(valid, x).otherwise(F.lit(0.0))
             terms += [
                 (m * up).alias(f"__tD_{c}__"),
-                (m * x * up).alias(f"__tN_{c}__"),
+                (m * xz * up).alias(f"__tN_{c}__"),
             ]
             names += [f"__tD_{c}__", f"__tN_{c}__"]
             if need_var:
-                terms.append((m * x * x * up).alias(f"__tM_{c}__"))
+                terms.append((m * xz * xz * up).alias(f"__tM_{c}__"))
                 names.append(f"__tM_{c}__")
                 if not bias:
                     terms.append((m * m * up2).alias(f"__tV_{c}__"))

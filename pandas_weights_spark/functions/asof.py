@@ -110,6 +110,14 @@ def asof_join(
     last one in the right frame's sort order under the window —
     pre-aggregate the right side to unique keys for a fully
     deterministic result (the driver query does).
+
+    NULL ``on`` values: right rows with NULL ``on`` are dropped (they
+    have no position on the ordering axis — under the window's NULLS
+    FIRST sort they would otherwise be carried into every left row
+    with no real match); left rows with NULL ``on`` are kept but never
+    match (NULL payload). ``pandas.merge_asof`` raises on NULL keys
+    instead — a divergence chosen deliberately: dropping a 100 TB job
+    over one NULL row is the wrong default for a distributed engine.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -124,6 +132,17 @@ def asof_join(
         c: (c + suffix if (c == on or c in left.columns) else c)
         for c in payload_cols
     }
+    collisions = sorted(set(out_names.values()) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"as-of output column(s) {collisions} already exist in the left "
+            f"frame; rename them or pass a different suffix= (got {suffix!r})"
+        )
+
+    # NULL `on` right rows have no position on the ordering axis; under
+    # the NULLS FIRST window sort they would be carried into left rows
+    # that have no real match. Drop them before the union.
+    right = right.where(F.col(on).isNotNull())
 
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD)
     payload_type = right.select(payload).schema[0].dataType
@@ -157,8 +176,10 @@ def asof_join(
     matched = left_side.unionByName(right_side).select(
         "*", carried.alias("__pw_asof_match__")
     )
+    # A NULL-`on` left row has no position either: forward's desc sort
+    # puts it last, where a carried payload would reach it — gate it out.
     m = F.col("__pw_asof_match__")
-    ok = m.isNotNull() & _tolerance_cond(
+    ok = F.col(on).isNotNull() & m.isNotNull() & _tolerance_cond(
         F.col(on), m.getField(on), tolerance, direction
     )
     return matched.where(F.col(_TAG) == 1).select(

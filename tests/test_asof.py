@@ -148,3 +148,53 @@ def test_no_by_global(spark):
         .collect()
     )
     assert [r["b"] for r in out] == [None, 7.0]
+
+
+def test_null_on_right_rows_dropped(spark):
+    # a right row with NULL `on` sorts NULLS FIRST under backward asc —
+    # without the filter its payload is carried into left rows that
+    # have no real at-or-before match.
+    left = spark.createDataFrame([(1, 5.0, 1.0)], "k long, ts double, a double")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 50.0, 7.0)], "k long, ts double, b double"
+    )
+    out = asof_join(left, right, on="ts", by=["k"]).collect()[0]
+    assert out["b"] is None  # the NULL-ts phantom must not match
+
+
+def test_null_on_left_rows_kept_unmatched(spark):
+    # pandas.merge_asof raises on NULL keys; we keep the row, unmatched
+    # — both directions (forward's desc sort puts NULL left rows last,
+    # where a carried payload would otherwise reach them).
+    left = spark.createDataFrame(
+        [(1, None, 1.0), (1, 10.0, 2.0)], "k long, ts double, a double"
+    )
+    right = spark.createDataFrame([(1, 5.0, 7.0)], "k long, ts double, b double")
+    for direction in ("backward", "forward"):
+        rows = {
+            r["a"]: r
+            for r in asof_join(
+                left, right, on="ts", by=["k"], direction=direction
+            ).collect()
+        }
+        assert len(rows) == 2
+        assert rows[1.0]["b"] is None  # NULL-ts left row never matches
+    assert rows[2.0]["b"] is None  # forward: nothing at-or-after 10
+    back = {
+        r["a"]: r for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert back[2.0]["b"] == 7.0
+
+
+def test_output_name_collision_raises(spark):
+    # left already has the computed f"{on}{suffix}" name — silently
+    # emitting duplicate column names breaks downstream select-by-name.
+    left = spark.createDataFrame(
+        [(1, 5.0, 1.0)], "k long, ts double, ts_right double"
+    )
+    right = spark.createDataFrame([(1, 4.0, 7.0)], "k long, ts double, b double")
+    with pytest.raises(ValueError, match="ts_right"):
+        asof_join(left, right, on="ts", by=["k"])
+    # a different suffix resolves it
+    out = asof_join(left, right, on="ts", by=["k"], suffix="_r")
+    assert set(out.columns) == {"k", "ts", "ts_right", "ts_r", "b"}

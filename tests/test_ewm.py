@@ -64,12 +64,30 @@ def test_differential_vs_pandas(spark, alpha, stat):
 def test_band_boundaries_exact(spark):
     # alpha chosen so the band size is tiny (B = 75/decades); a series
     # much longer than B exercises in-band prefix + carry. Compare vs
-    # pandas on a single partition.
-    alpha = 1.0 - 1e-20  # rho = 1e-20 -> B = 3
-    pdf = _pdf(seed=3, n=100, n_keys=1, nan_frac=0.0)
+    # pandas on a single partition. NOTE: alpha must be representable in
+    # float64 — 1 - 1e-20 rounds to exactly 1.0 (1e-20 << ulp(1.0)),
+    # which degenerates to the trivial passthrough and tests nothing.
+    alpha = 1.0 - 1e-12  # rho = 1e-12 -> B = 75/12 = 6
+    n = 100
+    from pandas_weights_spark.ewm import WeightedEWM
+
+    B = WeightedEWM._band_size(None, 1.0 - alpha)
+    assert 1 < B < n, f"band size {B} must force multi-band carry (n={n})"
+    pdf = _pdf(seed=3, n=n, n_keys=1, nan_frac=0.0)
     got = _spark_ewm(spark, pdf, ("mean", {}), alpha=alpha)
     exp = _pandas_ewm(pdf, ("mean", {}), alpha)
     np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_multi_band_carry_mid_alpha(spark):
+    # a directly-representable alpha whose band is still far smaller
+    # than the series: rho = 0.01 -> B = 37, n = 300 spans ~9 bands per
+    # key; nan rows keep advancing the decay clock across band edges.
+    alpha = 0.99
+    pdf = _pdf(seed=13, n=300, n_keys=2, nan_frac=0.1)
+    got = _spark_ewm(spark, pdf, ("mean", {}), alpha=alpha)
+    exp = _pandas_ewm(pdf, ("mean", {}), alpha)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
 
 
 def test_small_alpha_single_band(spark):
