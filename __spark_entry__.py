@@ -925,11 +925,17 @@ def _q_window_stats(spark, sf_dir):
         "l_linenumber",
         roll.col("mean", "l_partkey").alias("__roll__"),
         exp.col("var", "l_partkey").alias("__exp__"),
+        # pairwise windowed corr (rolling.pair_col) shares the SAME
+        # spec, so all three stats still run in one WindowExec; rounded
+        # to 6 like the global corr oracle (sqrt float fidelity)
+        F.round(
+            roll.pair_col("corr", "l_partkey", "l_extendedprice"), 6
+        ).alias("__rc__"),
     )
     return both.select(
         F.expr(
-            "stack(2, 'roll_mean', __roll__, 'exp_var', __exp__)"
-            " AS (stat, val)"
+            "stack(3, 'roll_mean', __roll__, 'exp_var', __exp__,"
+            " 'roll_corr', __rc__) AS (stat, val)"
         ),
         "l_orderkey",
         "l_linenumber",
@@ -1653,6 +1659,35 @@ _ORACLE["window_stats"] = """
     WINDOW w2 AS (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    UNION ALL
+    SELECT 'roll_corr' AS stat, l_orderkey, l_linenumber,
+           ROUND(CASE WHEN n >= 3 AND sw > 1.0
+                       AND (sxx - (sx*sx)/sw) / (sw - 1.0) > 0
+                       AND (syy - (sy*sy)/sw) / (sw - 1.0) > 0
+                 THEN ((sxy - (sx*sy)/sw) / (sw - 1.0))
+                      / sqrt(((sxx - (sx*sx)/sw) / (sw - 1.0))
+                             * ((syy - (sy*sy)/sw) / (sw - 1.0)))
+                 END, 6) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             COUNT(m) OVER w3 AS n,
+             SUM(m) OVER w3 AS sw,
+             SUM(m * l_partkey) OVER w3 AS sx,
+             SUM(m * l_extendedprice) OVER w3 AS sy,
+             SUM(m * l_partkey * l_extendedprice) OVER w3 AS sxy,
+             SUM(m * l_partkey * l_partkey) OVER w3 AS sxx,
+             SUM(m * l_extendedprice * l_extendedprice) OVER w3 AS syy
+      FROM (SELECT *,
+                   CASE WHEN l_partkey IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                        THEN l_quantity END AS m
+            FROM lineitem)
+      WINDOW w3 AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                            l_extendedprice
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
 """
 
 _ORACLE["row_stats"] = """

@@ -203,6 +203,87 @@ class WeightedRolling:
             raise ValueError("no numeric value columns outside the window keys")
         return wdf.df.select(*keys, *out)
 
+    # -- pairwise statistics ------------------------------------------------
+
+    def pair_col(
+        self,
+        stat: str,
+        x: str,
+        y: str,
+        ddof: int = 1,
+        min_periods: Optional[int] = None,
+    ) -> Column:
+        """Windowed weighted pairwise ``corr``/``cov`` between two value
+        columns as a bare ``Column`` (pandas ``rolling().corr(other)`` /
+        ``cov(other)`` over the weighted frame; the reference README
+        names windowed functions as its contribution frontier,
+        README.md:315).
+
+        Pairwise NA rule: a row contributes mass only when ``x``, ``y``
+        AND ``w`` are all non-null (reference _stats.py:36-73's aligned
+        mask, applied per frame). All six moment sums share this
+        window's spec, so stacking several ``pair_col``/``col`` exprs in
+        one select still evaluates in a SINGLE WindowExec — one shuffle,
+        one sort. Guard chain (NULL on failure) follows
+        corr_from_moments: W ≤ ddof, non-positive variance, and fewer
+        than ``min_periods`` pair-valid rows in the frame.
+        """
+        if stat not in ("corr", "cov"):
+            raise ValueError(f"pairwise statistic must be corr/cov, got {stat!r}")
+        wdf = self._wdf
+        spec = self._spec()
+        w = wdf.weights
+        xv = wdf._value(x)
+        yv = wdf._value(y)
+        valid = xv.isNotNull() & yv.isNotNull() & w.isNotNull()
+        # products left-associated like the kernel / oracle SQL:
+        # (w*x), (w*x)*y, ... so float results match bit-for-bit
+        m = F.when(valid, w)
+        n = F.count(m).over(spec)
+        sw = F.sum(m).over(spec)
+        sx = F.sum(m * xv).over(spec)
+        sy = F.sum(m * yv).over(spec)
+        sxy = F.sum(m * xv * yv).over(spec)
+        mp = self._min_periods if min_periods is None else int(min_periods)
+        if stat == "cov":
+            return _stats.cov_from_moments(
+                n, sw, sx, sy, sxy, ddof=ddof, min_periods=mp
+            )
+        sxx = F.sum(m * xv * xv).over(spec)
+        syy = F.sum(m * yv * yv).over(spec)
+        return _stats.corr_from_moments(
+            n, sw, sx, sy, sxy, sxx, syy, ddof=ddof, min_periods=mp
+        )
+
+    def _pair_frame(self, stat, x, y, ddof, min_periods) -> DataFrame:
+        keys = [r for r in self._partition_by if isinstance(r, str)] + [
+            r for r in self._order_by if isinstance(r, str)
+        ]
+        expr = self.pair_col(stat, x, y, ddof=ddof, min_periods=min_periods)
+        return self._wdf.df.select(*keys, expr.alias(f"{x}_{y}_{stat}"))
+
+    def corr(
+        self,
+        x: str,
+        y: str,
+        ddof: int = 1,
+        min_periods: Optional[int] = None,
+    ) -> DataFrame:
+        """Windowed weighted Pearson correlation of ``x`` vs ``y``;
+        output column ``{x}_{y}_corr`` alongside the window keys."""
+        return self._pair_frame("corr", x, y, ddof, min_periods)
+
+    def cov(
+        self,
+        x: str,
+        y: str,
+        ddof: int = 1,
+        min_periods: Optional[int] = None,
+    ) -> DataFrame:
+        """Windowed weighted covariance of ``x`` vs ``y``; output column
+        ``{x}_{y}_cov`` alongside the window keys."""
+        return self._pair_frame("cov", x, y, ddof, min_periods)
+
     def count(self, skipna: bool = True) -> DataFrame:
         return self._stat(self._builder("count", 1, skipna))
 

@@ -141,3 +141,123 @@ def test_agg_all_one_window_exec(spark):
     single = {r["i"]: r for r in roll.mean().collect()}
     for i, r in rows.items():
         assert r["v_mean"] == single[i]["v"], i  # identical expressions
+
+
+class TestPairwise:
+    """Rolling/expanding weighted corr & cov (pair_col / corr / cov)."""
+
+    def _pdf(self, seed=0, n=120, n_keys=3, nan_frac=0.12):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=n)
+        y = 0.6 * x + rng.normal(scale=0.5, size=n)
+        x[rng.random(n) < nan_frac] = np.nan
+        y[rng.random(n) < nan_frac] = np.nan
+        return pd.DataFrame(
+            {
+                "g": rng.integers(0, n_keys, n),
+                "i": np.arange(n),
+                "x": x,
+                "y": y,
+                "w": np.ones(n),
+            }
+        )
+
+    def _pandas_pair(self, pdf, stat, window, min_periods):
+        # pandas rolling corr/cov with a pairwise-complete mask: blank
+        # half-valid rows in BOTH columns first (pandas' own rolling
+        # corr keeps x-valid rows in x's moments even when y is NaN;
+        # our kernel uses the aligned mask of the reference,
+        # _stats.py:36-73)
+        import numpy as np
+        import pandas as pd
+
+        parts = []
+        for g, grp in pdf.sort_values("i").groupby("g"):
+            m = grp["x"].notna() & grp["y"].notna()
+            x = grp["x"].where(m)
+            y = grp["y"].where(m)
+            if window is None:
+                r = x.expanding(min_periods=min_periods)
+            else:
+                r = x.rolling(window, min_periods=min_periods)
+            s = r.corr(y) if stat == "corr" else r.cov(y)
+            parts.append(pd.DataFrame({"g": g, "i": grp["i"], "v": s}))
+        out = pd.concat(parts).sort_values(["g", "i"]).reset_index(drop=True)
+        return out["v"].to_numpy()
+
+    @pytest.mark.parametrize("stat", ["corr", "cov"])
+    @pytest.mark.parametrize("window,min_periods", [(5, 3), (None, 2)])
+    def test_differential_vs_pandas(self, spark, stat, window, min_periods):
+        import numpy as np
+
+        pdf = self._pdf(seed=9)
+        sdf = spark.createDataFrame(pdf)
+        w = wt(sdf, "w")
+        r = (
+            w.rolling(window, order_by=["i"], partition_by=["g"],
+                      min_periods=min_periods)
+            if window is not None
+            else w.expanding(order_by=["i"], partition_by=["g"],
+                             min_periods=min_periods)
+        )
+        out = getattr(r, stat)("x", "y").toPandas()
+        got = (
+            out.sort_values(["g", "i"]).reset_index(drop=True)[f"x_y_{stat}"]
+            .to_numpy()
+        )
+        exp = self._pandas_pair(pdf, stat, window, min_periods)
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12,
+                                   equal_nan=True)
+
+    def test_weighted_handrolled(self, spark):
+        # per-row weights vs a direct weighted-moment computation
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        n, W = 40, 3
+        x = rng.normal(size=n)
+        y = rng.normal(size=n)
+        wv = rng.uniform(0.5, 2.5, size=n)
+        pdf = pd.DataFrame({"i": np.arange(n), "x": x, "y": y, "w": wv})
+        out = (
+            wt(spark.createDataFrame(pdf), "w")
+            .rolling(W, order_by=["i"], min_periods=W)
+            .cov("x", "y")
+            .toPandas()
+            .sort_values("i")["x_y_cov"]
+            .to_numpy()
+        )
+        exp = np.full(n, np.nan)
+        for i in range(W - 1, n):
+            s = slice(i - W + 1, i + 1)
+            sw = wv[s].sum()
+            cov = (
+                (wv[s] * x[s] * y[s]).sum()
+                - (wv[s] * x[s]).sum() * (wv[s] * y[s]).sum() / sw
+            ) / (sw - 1.0)
+            exp[i] = cov
+        np.testing.assert_allclose(out, exp, rtol=1e-9, equal_nan=True)
+
+    def test_single_window_exec_when_stacked(self, spark, ts):
+        # corr + cov + a plain rolling mean in one select = ONE Window node
+        w = wt(ts.withColumn("y", F.col("x") * 2 + 1), "w")
+        r = w.rolling(2, order_by=["t"], min_periods=1)
+        df = w.df.select(
+            "t",
+            r.pair_col("corr", "x", "y").alias("c"),
+            r.pair_col("cov", "x", "y").alias("v"),
+            r.col("mean", "x").alias("m"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") <= 1 or plan.count("WindowExec") <= 1
+        rows = df.orderBy("t").collect()
+        # perfectly linear y=2x+1 -> corr 1 wherever defined
+        assert rows[1]["c"] == approx(1.0)
+
+    def test_pair_col_rejects_unknown(self, ts):
+        with pytest.raises(ValueError):
+            wt(ts, "w").rolling(2, order_by=["t"]).pair_col("kurt", "x", "x")
