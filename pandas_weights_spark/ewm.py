@@ -109,6 +109,8 @@ class WeightedEWM:
         span: Optional[float] = None,
         halflife: Optional[float] = None,
         min_periods: int = 0,
+        adjust: bool = True,
+        ignore_na: bool = False,
     ) -> None:
         if not order_by:
             raise ValueError("ewm requires order_by columns")
@@ -119,6 +121,8 @@ class WeightedEWM:
         self._partition_by = list(partition_by)
         self._alpha = resolve_alpha(alpha, com, span, halflife)
         self._min_periods = int(min_periods)
+        self._adjust = bool(adjust)
+        self._ignore_na = bool(ignore_na)
 
     # -- banded prefix machinery -------------------------------------------
 
@@ -136,6 +140,14 @@ class WeightedEWM:
         ]
 
     def _stat(self, kind: str, bias: bool = False) -> DataFrame:
+        # alpha == 1 degenerates identically for every flag combination
+        # (only the current row has mass), so the fast shared-band path
+        # covers it.
+        if (self._adjust and not self._ignore_na) or self._alpha == 1.0:
+            return self._stat_fast(kind, bias)
+        return self._stat_general(kind, bias)
+
+    def _stat_fast(self, kind: str, bias: bool = False) -> DataFrame:
         wdf = self._wdf
         alpha = self._alpha
         rho = 1.0 - alpha
@@ -264,7 +276,275 @@ class WeightedEWM:
                         F.col(f"__p__tV_{c}__")
                         + carry2 * F.col(f"__c__tV_{c}__")
                     ) * down * down
-                    var = F.try_divide(D * D, D * D - V) * biased
+                    # D^2 - V is exactly 0 for a lone observation in
+                    # exact math, but the banded exp() rescale leaves
+                    # ~1e-16 relative garbage that the debias ratio
+                    # then amplifies; a relative threshold restores the
+                    # pandas denominator<=0 -> NaN behavior.
+                    denom = D * D - V
+                    var = F.when(
+                        denom > F.lit(1e-10) * (D * D),
+                        F.try_divide(D * D, denom) * biased,
+                    )
+                if kind == "var":
+                    expr = var
+                else:
+                    expr = F.when(var >= 0, F.sqrt(var))
+            expr = F.when(D > 0, expr)
+            if self._min_periods > 0:
+                n_valid = F.col(f"__p__tc_{c}__") + F.col(f"__c__tc_{c}__")
+                expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+            out_cols.append(expr.alias(c))
+        return j.select(*keys, *out_cols)
+
+    def _stat_general(self, kind: str, bias: bool = False) -> DataFrame:
+        """``ignore_na=True`` and/or ``adjust=False`` — same banded
+        assembly as the fast path, with the decay exponent generalized
+        from a shared integer position to a per-column real log-decay
+        ``L``:
+
+        * ``ignore_na=True``: the decay clock ticks only on valid rows
+          (pandas relative positions), so ``L_j = q_j·log10(1/ρ)`` with
+          ``q`` = running count of valid rows — per column, because
+          validity is per column.
+        * ``adjust=False``: the pandas renormalizing recursion
+          ``y_t = (o·W·y + α·w_t·x_t)/(o·W + α·w_t)``, ``W`` reset to
+          ``w_t`` after each observation (unit weights reproduce pandas
+          exactly), unrolls to the variable-decay kernel
+          ``y_t = Σ_j g_j·x_j·10^(L_j−L_t)`` with
+          ``g_j = α·w_j/(o_j·w_prev + α·w_j)`` (first valid row: 1) and
+          ``L`` the running sum of ``log10(1/f_j)``,
+          ``f_j = 1 − g_j``. The kernel weights telescope to 1, so the
+          same ``N/D`` assembly applies with ``D ≈ 1``, and the
+          ``bias=False`` debias factor ``D²/(D²−V)`` reduces to the
+          pandas ``1/(1−Σc²)``. Requires strictly positive weights
+          (rows with ``w ≤ 0`` are treated as invalid) — the recursion
+          renormalizes by running weight mass, which must not vanish.
+
+        Banding happens on ``floor(L/75)`` so every materialized power
+        of 10 stays within ±1e150 (±75 decades single decay, ±150 for
+        the squared-decay debias sum) — the fast path's guarantee,
+        band-local.
+
+        Scale shape: still ONE exchange on the bare partition keys —
+        the per-column in-band windows partition by (keys, band_c) and
+        the carry windows by (keys), and hash partitioning on (keys)
+        satisfies both clusterings, so Catalyst adds sorts, not
+        shuffles. Per-column window passes replace the fast path's
+        single shared pass: the variants cost O(#columns) sorts.
+        """
+        wdf = self._wdf
+        alpha = self._alpha
+        rho = 1.0 - alpha
+        keys = self._key_cols()
+        pcols = [F.col(c) if isinstance(c, str) else c for c in self._partition_by]
+        ocols = [F.col(c) if isinstance(c, str) else c for c in self._order_by]
+        w = wdf.weights
+        cols = [c for c in wdf.numeric_columns() if c not in keys]
+        if not cols:
+            raise ValueError("no numeric value columns outside the ewm keys")
+        need_var = kind in ("var", "std")
+
+        LN10 = math.log(10.0)
+        DEC = 75.0  # decades per band
+        d = -math.log10(rho)  # decades of decay per clock tick
+
+        pos_win = Window.partitionBy(*pcols).orderBy(*ocols)
+        pos_cum = pos_win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pos_prev = pos_win.rowsBetween(Window.unboundedPreceding, -1)
+
+        def _valid(x):
+            v = x.isNotNull() & w.isNotNull()
+            if not self._adjust:
+                v = v & (w > 0)
+            return v
+
+        # layer 1: position + per-column valid-row clock (one WindowExec)
+        lay1 = [(F.row_number().over(pos_win) - 1).alias(_P)]
+        for c in cols:
+            v = _valid(wdf._value(c))
+            if self._ignore_na:
+                lay1.append(
+                    F.sum(v.cast("double")).over(pos_cum).alias(f"__q_{c}__")
+                )
+        staged = wdf.df.select("*", *lay1)
+        q_of = {
+            c: (
+                F.col(f"__q_{c}__")
+                if self._ignore_na
+                else (F.col(_P) + F.lit(1.0))
+            )
+            for c in cols
+        }
+
+        # layer 2 (adjust=False): previous valid row's weight and clock
+        if not self._adjust:
+            lay2 = []
+            for c in cols:
+                v = _valid(wdf._value(c))
+                lay2.append(
+                    F.last(F.when(v, w), ignorenulls=True)
+                    .over(pos_prev)
+                    .alias(f"__pw_{c}__")
+                )
+                lay2.append(
+                    F.last(F.when(v, q_of[c]), ignorenulls=True)
+                    .over(pos_prev)
+                    .alias(f"__pq_{c}__")
+                )
+            staged = staged.select("*", *lay2)
+
+        # layer 3: per-row log-decay step + kernel mass g
+        g_of: dict[str, Column] = {}
+        if self._adjust:
+            L_of = {c: q_of[c] * F.lit(d) for c in cols}
+            for c in cols:
+                v = _valid(wdf._value(c))
+                g_of[c] = F.when(v, w).otherwise(F.lit(0.0))
+        else:
+            lay3 = []
+            for c in cols:
+                v = _valid(wdf._value(c))
+                pw = F.col(f"__pw_{c}__")
+                gap = q_of[c] - F.col(f"__pq_{c}__")
+                # z = log10(α·w / (ρ^gap · w_prev)); computed in log
+                # space so century-long gaps can't underflow ρ^gap
+                z = (
+                    F.log10(F.when(w > 0, F.lit(alpha) * w))
+                    - F.log10(F.when(pw > 0, pw))
+                    + gap * F.lit(d)
+                )
+                zc = F.least(F.greatest(z, F.lit(-300.0)), F.lit(300.0))
+                # log10(1/f) = log10(1 + 10^z), overflow-safe form
+                step = F.greatest(z, F.lit(0.0)) + F.log10(
+                    F.lit(1.0) + F.pow(F.lit(10.0), -F.abs(zc))
+                )
+                lay3.append(
+                    F.when(v & pw.isNotNull(), step)
+                    .otherwise(F.lit(0.0))
+                    .alias(f"__c_{c}__")
+                )
+                g_of[c] = (
+                    F.when(v & pw.isNull(), F.lit(1.0))
+                    .when(
+                        v,
+                        F.try_divide(
+                            F.lit(1.0),
+                            F.lit(1.0) + F.pow(F.lit(10.0), -zc),
+                        ),
+                    )
+                    .otherwise(F.lit(0.0))
+                )
+            staged = staged.select("*", *lay3)
+            # layer 4: L = running sum of the log-decay steps
+            staged = staged.select(
+                "*",
+                *[
+                    F.sum(f"__c_{c}__").over(pos_cum).alias(f"__L_{c}__")
+                    for c in cols
+                ],
+            )
+            L_of = {c: F.col(f"__L_{c}__") for c in cols}
+
+        # layer 5: band split + scaled terms (all pure row-local math)
+        lay5 = []
+        term_names: dict[str, list[str]] = {}
+        for c in cols:
+            x = wdf._value(c)
+            v = _valid(x)
+            band = F.floor(L_of[c] / F.lit(DEC)).cast("long")
+            rp = L_of[c] - F.lit(DEC) * band
+            up = F.exp(F.lit(LN10) * rp)
+            up2 = F.exp(F.lit(2.0 * LN10) * rp)
+            g = g_of[c]
+            xz = F.when(v, x).otherwise(F.lit(0.0))
+            lay5 += [
+                band.alias(f"__band_{c}__"),
+                rp.alias(f"__rp_{c}__"),
+                (g * up).alias(f"__tD_{c}__"),
+                (g * xz * up).alias(f"__tN_{c}__"),
+            ]
+            names = [f"__tD_{c}__", f"__tN_{c}__"]
+            if need_var:
+                lay5.append((g * xz * xz * up).alias(f"__tM_{c}__"))
+                names.append(f"__tM_{c}__")
+                if not bias:
+                    lay5.append((g * g * up2).alias(f"__tV_{c}__"))
+                    names.append(f"__tV_{c}__")
+            if self._min_periods > 0:
+                lay5.append(v.cast("long").alias(f"__tc_{c}__"))
+                names.append(f"__tc_{c}__")
+            term_names[c] = names
+        staged = staged.select("*", *lay5)
+
+        # layers 6+7 per column: in-band prefix + previous-band carry.
+        # hashpartitioning(keys) satisfies both (keys, band_c) and
+        # (keys) clustering, so these add sorts but no exchange.
+        carry1 = F.lit(10.0 ** -DEC)
+        carry2 = F.lit(10.0 ** (-2 * DEC))
+        exprs = []
+        for c in cols:
+            in_win = (
+                Window.partitionBy(*pcols, F.col(f"__band_{c}__"))
+                .orderBy(F.col(_P))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            prev_win = (
+                Window.partitionBy(*pcols)
+                .orderBy(F.col(f"__band_{c}__"))
+                .rangeBetween(-1, -1)
+            )
+            all_prev_win = (
+                Window.partitionBy(*pcols)
+                .orderBy(F.col(f"__band_{c}__"))
+                .rangeBetween(Window.unboundedPreceding, -1)
+            )
+            for n in term_names[c]:
+                exprs.append(F.sum(n).over(in_win).alias(f"__p{n}"))
+                if n.startswith("__tc_"):
+                    exprs.append(
+                        F.coalesce(
+                            F.sum(n).over(all_prev_win), F.lit(0)
+                        ).alias(f"__c{n}")
+                    )
+                else:
+                    exprs.append(
+                        F.coalesce(F.sum(n).over(prev_win), F.lit(0.0)).alias(
+                            f"__c{n}"
+                        )
+                    )
+        j = staged.select("*", *exprs)
+
+        out_cols: list[Column] = []
+        for c in cols:
+            down = F.exp(F.lit(-LN10) * F.col(f"__rp_{c}__"))
+            D = (F.col(f"__p__tD_{c}__") + carry1 * F.col(f"__c__tD_{c}__")) * down
+            N = (F.col(f"__p__tN_{c}__") + carry1 * F.col(f"__c__tN_{c}__")) * down
+            mean = F.try_divide(N, D)
+            if kind == "mean":
+                expr = mean
+            else:
+                M = (
+                    F.col(f"__p__tM_{c}__") + carry1 * F.col(f"__c__tM_{c}__")
+                ) * down
+                biased = F.try_divide(M, D) - mean * mean
+                if bias:
+                    var = biased
+                else:
+                    V = (
+                        F.col(f"__p__tV_{c}__")
+                        + carry2 * F.col(f"__c__tV_{c}__")
+                    ) * down * down
+                    # D^2 - V is exactly 0 for a lone observation in
+                    # exact math, but the banded exp() rescale leaves
+                    # ~1e-16 relative garbage that the debias ratio
+                    # then amplifies; a relative threshold restores the
+                    # pandas denominator<=0 -> NaN behavior.
+                    denom = D * D - V
+                    var = F.when(
+                        denom > F.lit(1e-10) * (D * D),
+                        F.try_divide(D * D, denom) * biased,
+                    )
                 if kind == "var":
                     expr = var
                 else:

@@ -409,12 +409,14 @@ class WeightedDataFrame:
         span: Optional[float] = None,
         halflife: Optional[float] = None,
         min_periods: int = 0,
+        adjust: bool = True,
+        ignore_na: bool = False,
     ):
         """Weighted exponentially-weighted statistics (pandas
-        ``DataFrame.ewm(adjust=True, ignore_na=False)`` generalized to
-        per-row weights — no reference analog; see ewm.py for the
-        banded-rescale scale design: no unbounded ordered window, a
-        single giant partition key still parallelizes across bands)."""
+        ``DataFrame.ewm`` generalized to per-row weights, all four
+        ``adjust`` × ``ignore_na`` combinations — no reference analog;
+        see ewm.py for the banded-rescale scale design: no unbounded
+        ordered window, ONE exchange on the partition keys)."""
         from pandas_weights_spark.ewm import WeightedEWM
 
         return WeightedEWM(
@@ -426,6 +428,8 @@ class WeightedDataFrame:
             span=span,
             halflife=halflife,
             min_periods=min_periods,
+            adjust=adjust,
+            ignore_na=ignore_na,
         )
 
     # -- the weighted view ----------------------------------------------------
@@ -877,6 +881,8 @@ class WeightedSeries:
         span: Optional[float] = None,
         halflife: Optional[float] = None,
         min_periods: int = 0,
+        adjust: bool = True,
+        ignore_na: bool = False,
     ):
         return self._wdf.ewm(
             order_by,
@@ -886,6 +892,8 @@ class WeightedSeries:
             span=span,
             halflife=halflife,
             min_periods=min_periods,
+            adjust=adjust,
+            ignore_na=ignore_na,
         )
 
     def cdf(self, bands: int = 256) -> DataFrame:

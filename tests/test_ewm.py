@@ -33,10 +33,10 @@ def _spark_ewm(spark, pdf, stat, weights="w", **ewm_kw):
     return out.sort_values(["g", "i"]).reset_index(drop=True)["x"].to_numpy()
 
 
-def _pandas_ewm(pdf, stat, alpha):
+def _pandas_ewm(pdf, stat, alpha, adjust=True, ignore_na=False):
     parts = []
     for g, grp in pdf.sort_values("i").groupby("g"):
-        e = grp["x"].ewm(alpha=alpha, adjust=True, ignore_na=False)
+        e = grp["x"].ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
         s = getattr(e, stat[0])(**{k: v for k, v in stat[1].items()})
         parts.append(pd.DataFrame({"g": g, "i": grp["i"], "x": s}))
     got = pd.concat(parts).sort_values(["g", "i"]).reset_index(drop=True)
@@ -59,6 +59,86 @@ def test_differential_vs_pandas(spark, alpha, stat):
     got = _spark_ewm(spark, pdf, stat, alpha=alpha)
     exp = _pandas_ewm(pdf, stat, alpha)
     np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("adjust", [True, False], ids=["adj", "noadj"])
+@pytest.mark.parametrize("ignore_na", [False, True], ids=["clock", "ignna"])
+@pytest.mark.parametrize("alpha", [0.3, 0.9])
+@pytest.mark.parametrize(
+    "stat",
+    [("mean", {}), ("var", {"bias": False}), ("std", {"bias": False})],
+    ids=["mean", "var", "std"],
+)
+def test_flag_matrix_vs_pandas(spark, adjust, ignore_na, alpha, stat):
+    # all four adjust × ignore_na combinations, with NaNs so the decay
+    # clock / renormalization semantics actually differ between them
+    pdf = _pdf(seed=21, n=200, n_keys=2, nan_frac=0.2)
+    got = _spark_ewm(
+        spark, pdf, stat, alpha=alpha, adjust=adjust, ignore_na=ignore_na
+    )
+    exp = _pandas_ewm(pdf, stat, alpha, adjust=adjust, ignore_na=ignore_na)
+    np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-11, equal_nan=True)
+
+
+@pytest.mark.parametrize("adjust", [True, False], ids=["adj", "noadj"])
+@pytest.mark.parametrize("ignore_na", [False, True], ids=["clock", "ignna"])
+def test_flag_matrix_multi_band(spark, adjust, ignore_na):
+    # alpha=0.99 -> band of ~37 decades-worth of rows; 300 rows span
+    # many bands, so the variants' L-banding carry path is exercised
+    pdf = _pdf(seed=22, n=300, n_keys=2, nan_frac=0.15)
+    got = _spark_ewm(
+        spark, pdf, ("mean", {}), alpha=0.99, adjust=adjust,
+        ignore_na=ignore_na,
+    )
+    exp = _pandas_ewm(pdf, ("mean", {}), 0.99, adjust=adjust,
+                      ignore_na=ignore_na)
+    np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-11, equal_nan=True)
+
+
+def test_noadjust_weighted_recursion(spark):
+    # per-row weights under adjust=False vs the defining recursion
+    # y_t = (rho^gap * w_prev * y_prev + alpha * w_t * x_t)
+    #       / (rho^gap * w_prev + alpha * w_t), W reset to w_t
+    rng = np.random.default_rng(31)
+    n, alpha = 80, 0.3
+    rho = 1 - alpha
+    x = rng.normal(size=n)
+    x[rng.random(n) < 0.2] = np.nan
+    w = rng.uniform(0.5, 3.0, size=n)
+    pdf = pd.DataFrame({"g": 0, "i": np.arange(n), "x": x, "w": w})
+    got = _spark_ewm(spark, pdf, ("mean", {}), alpha=alpha, adjust=False)
+    exp = np.full(n, np.nan)
+    y = None
+    pw = None
+    gap = 0
+    for t in range(n):
+        gap += 1
+        if not np.isnan(x[t]):
+            if y is None:
+                y = x[t]
+            else:
+                o = rho**gap * pw
+                a = alpha * w[t]
+                y = (o * y + a * x[t]) / (o + a)
+            pw = w[t]
+            gap = 0
+        if y is not None:
+            exp[t] = y
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_alpha_one_all_flags(spark):
+    # alpha=1: current row only; every flag combination degenerates to
+    # the same passthrough-with-carry
+    pdf = _pdf(seed=23, n=60, n_keys=1, nan_frac=0.2)
+    ref = _spark_ewm(spark, pdf, ("mean", {}), alpha=1.0)
+    for adjust in (True, False):
+        for ignore_na in (False, True):
+            got = _spark_ewm(
+                spark, pdf, ("mean", {}), alpha=1.0, adjust=adjust,
+                ignore_na=ignore_na,
+            )
+            np.testing.assert_allclose(got, ref, rtol=0, equal_nan=True)
 
 
 def test_band_boundaries_exact(spark):
