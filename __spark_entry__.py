@@ -106,39 +106,46 @@ def _q_group_mean(spark, sf_dir):
     )
 
 
-def _q_group_var_salted(spark, sf_dir):
-    # skew-salted two-stage aggregation (groupby.agg_all_salted): same
-    # semantics as agg_all, hot keys spread over 16 reducers in stage 1.
-    # Rounded to 6 — the moment-merge summation order differs from the
-    # single-stage plan, so bit-exactness is not expected (only here).
-    out = (
-        wt(_li(spark, sf_dir), _W)
-        .groupby("l_returnflag")[["l_extendedprice"]]
-        .agg_all_salted(["count", "mean", "std"], salt_buckets=16)
-    )
-    # scale-free outputs only (mean/std ~1e4): a 4-decimal cell is ~1e9x
-    # the worst-case order-of-summation noise, raw sums (~1e10) are not
-    return out.select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice_count"), 4).alias("w_count"),
-        F.round(F.col("l_extendedprice_mean"), 4).alias("w_mean"),
-        F.round(F.col("l_extendedprice_std"), 4).alias("w_std"),
-    )
-
-
 def _q_group_var(spark, sf_dir):
-    return (
+    # TWO aggregation paths in one tagged union (folded from r2's
+    # group_var + group_var_salted to free a driver row — coverage
+    # unchanged): `exact` is the single-stage agg_all pass with raw
+    # bit-exact sums; `salted` is the skew-salted two-stage path
+    # (groupby.agg_all_salted, hot keys spread over 16 reducers).
+    # Salted cells are rounded to 4 — the moment-merge summation order
+    # differs from the single-stage plan, so bit-exactness is not
+    # expected there; mean/std (~1e4) at 4 decimals is ~1e9x the
+    # worst-case order-of-summation noise. Raw sums (~1e10) stay on the
+    # exact path only.
+    exact = (
         wt(_li(spark, sf_dir), _W)
         .groupby("l_returnflag")[["l_extendedprice"]]
-        .agg_all(["count", "sum", "var", "std"])
+        .agg_all(["count", "sum", "mean", "var", "std"])
         .select(
+            F.lit("exact").alias("path"),
             "l_returnflag",
             F.col("l_extendedprice_count").alias("w_count"),
             F.col("l_extendedprice_sum").alias("w_sum"),
+            F.col("l_extendedprice_mean").alias("w_mean"),
             F.col("l_extendedprice_var").alias("w_var"),
             F.col("l_extendedprice_std").alias("w_std"),
         )
     )
+    salted = (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .agg_all_salted(["count", "mean", "std"], salt_buckets=16)
+        .select(
+            F.lit("salted").alias("path"),
+            "l_returnflag",
+            F.round(F.col("l_extendedprice_count"), 4).alias("w_count"),
+            F.lit(None).cast("double").alias("w_sum"),
+            F.round(F.col("l_extendedprice_mean"), 4).alias("w_mean"),
+            F.lit(None).cast("double").alias("w_var"),
+            F.round(F.col("l_extendedprice_std"), 4).alias("w_std"),
+        )
+    )
+    return exact.unionByName(salted)
 
 
 def _q_group_mean_customer(spark, sf_dir):
@@ -199,41 +206,44 @@ def _q_resample_2d(spark, sf_dir):
     )
 
 
-def _q_resample_6h_events(spark, sf_dir):
+def _q_resample_rules(spark, sf_dir):
+    # both resample rule KINDS in one tagged union (folded from r2's
+    # resample_6h_events + resample_3m to free a driver row — coverage
+    # unchanged): a fixed-frequency 6-hour rule over events, and the
+    # multi-period calendar rule "3ME" (month-index arithmetic, end
+    # anchored on the first timestamp's month, pandas semantics,
+    # resample.py bucket()) over lineitem (~7 years -> ~28 quarterly
+    # buckets). The oracle mirrors the ceil arithmetic.
     ev = load_table(spark, sf_dir, "events")
     wexpr = (F.col("user_id") % 7 + 1).cast("double")
-    return (
+    fixed = (
         wt(ev, wexpr)[["value"]]
         .resample("6H", on="ts")
         .agg_all(["count", "sum", "mean"])
         .select(
+            F.lit("6H").alias("rule"),
             F.col("ts").alias("bucket"),
             F.col("value_count").alias("w_count"),
             F.col("value_sum").alias("w_sum"),
             F.col("value_mean").alias("w_mean"),
         )
     )
-
-
-def _q_resample_3m(spark, sf_dir):
-    # multi-period calendar rule ("3ME"): month-index arithmetic, end
-    # anchored on the first timestamp's month (pandas semantics,
-    # resample.py bucket()); the oracle mirrors the ceil arithmetic.
-    # lineitem spans ~7 years -> ~28 quarterly buckets.
-    return (
+    cal = (
         wt(_li(spark, sf_dir), _W)[["l_extendedprice"]]
         .resample("3ME", on="l_shipdate")
         .agg_all(["count", "sum", "mean"])
         .select(
+            F.lit("3ME").alias("rule"),
             F.col("l_shipdate").alias("bucket"),
             F.col("l_extendedprice_count").alias("w_count"),
             F.col("l_extendedprice_sum").alias("w_sum"),
             F.col("l_extendedprice_mean").alias("w_mean"),
         )
     )
+    return fixed.unionByName(cal)
 
 
-def _q_corr_pair(spark, sf_dir):
+def _corr_pair_df(spark, sf_dir):
     # pairwise-complete mask really exercised: discount NULLed where tax<0.02
     df = _li(spark, sf_dir).withColumn(
         "disc_n", F.when(F.col("l_tax") >= 0.02, F.col("l_discount"))
@@ -339,7 +349,7 @@ def _q_aligned_corr_cov(spark, sf_dir):
         "c_custkey", "o_custkey"
     )
     left = wt(orders, (F.col("o_orderkey") % 10 + 1).cast("double")).df
-    return aligned_corr_cov(
+    aligned = aligned_corr_cov(
         left, "o_totalprice", cust, "c_acctbal",
         on="o_custkey", by=["o_orderstatus"],
     ).select(
@@ -347,6 +357,15 @@ def _q_aligned_corr_cov(spark, sf_dir):
         F.round(F.col("corr"), 6).alias("corr"),
         F.round(F.col("cov"), 4).alias("cov"),
     )
+    # r2's standalone corr_pair row folded in (frees a driver row,
+    # coverage unchanged): the global pairwise-complete lineitem corr
+    # rides along as a tagged row with NULL cov.
+    pair = _corr_pair_df(spark, sf_dir).select(
+        F.lit("pairwise_global").alias("o_orderstatus"),
+        F.col("corr"),
+        F.lit(None).cast("double").alias("cov"),
+    )
+    return aligned.unionByName(pair)
 
 
 def _q_grouping_sets(spark, sf_dir):
@@ -942,6 +961,124 @@ def _q_window_stats(spark, sf_dir):
     ).select("stat", "l_orderkey", "l_linenumber", "val")
 
 
+def _q_group_cdf(spark, sf_dir):
+    # per-row weighted CDF (percentile-rank) transform per group
+    # (quantile.weighted_cdf): banded prefix sums over distinct values +
+    # map join back — no ordered window over the raw rows. All masses
+    # are integer-valued (l_quantity), so every cumulative sum is exact
+    # in double and the cw/tw division is bit-identical across engines:
+    # no rounding needed even at 60k rows.
+    li = _li(spark, sf_dir)
+    return (
+        wt(li, _W)
+        .groupby("l_returnflag")[["l_extendedprice"]]
+        .cdf()
+        .select("l_returnflag", "l_extendedprice", "l_extendedprice_cdf")
+    )
+
+
+def _q_resample_quantile(spark, sf_dir):
+    # weighted median per calendar-month bucket (resample(...).median()
+    # -> the inverted-CDF quantile machinery keyed by the bucket label).
+    # The output is a data value selected by exact integer cumulative-
+    # weight comparisons — bit-exact, no rounding.
+    return (
+        wt(_li(spark, sf_dir), _W)[["l_extendedprice"]]
+        .resample("1M", on="l_shipdate")
+        .median()
+        .select(
+            F.col("l_shipdate").alias("bucket"),
+            F.col("l_extendedprice_p50").alias("w_median"),
+        )
+    )
+
+
+def _q_ewm_mean(spark, sf_dir):
+    # banded-rescale exponentially-weighted mean (ewm.py), alpha=0.05
+    # per returnflag over the shipdate order: ~20k rows per key at
+    # sf0.01 spans ~6 bands of B=3366, so the in-band prefix AND the
+    # previous-band carry are both exercised. The oracle replicates the
+    # banded algebra in SQL with the SAME inlined float constants
+    # (ln(1/rho), rho^B); remaining cross-engine noise is exp()/window-
+    # sum associativity at ~1e-12 relative, so both sides round to 2.
+    li = _li(spark, sf_dir)
+    out = (
+        wt(li, _W)[["l_extendedprice"]]
+        .ewm(
+            # l_partkey tie-breaks the 3 duplicate (flag, date, order,
+            # line) keys in the synthetic data — without a total order
+            # the two engines' tie choice differs and the tied rows'
+            # outputs flip run-to-run
+            order_by=["l_shipdate", "l_orderkey", "l_linenumber",
+                      "l_partkey"],
+            partition_by=["l_returnflag"],
+            alpha=0.05,
+        )
+        .mean()
+    )
+    return out.select(
+        "l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_partkey",
+        F.round(F.col("l_extendedprice"), 2).alias("ewm_price"),
+    )
+
+
+def _ewm_sql(alpha: float = 0.05) -> str:
+    """DuckDB oracle for _q_ewm_mean: the banded-rescale prefix algebra
+    (ewm.py _stat_fast) expressed in SQL, with the engine's exact float
+    constants inlined so the only cross-engine divergence is libm exp()
+    and window-sum associativity (absorbed by ROUND 2)."""
+    import math as _m
+
+    rho = 1.0 - alpha
+    B = max(1, int(75.0 / -_m.log10(rho)))
+    ln_inv = _m.log(1.0 / rho)
+    carry1 = rho**B
+    return f"""
+    WITH pos AS (
+      SELECT l_returnflag AS k, l_shipdate, l_orderkey, l_linenumber,
+             l_partkey, l_extendedprice AS x, l_quantity AS w,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_shipdate NULLS FIRST,
+                                         l_orderkey NULLS FIRST,
+                                         l_linenumber NULLS FIRST,
+                                         l_partkey NULLS FIRST) - 1 AS p
+      FROM lineitem
+    ), t AS (
+      SELECT *, p // {B} AS band,
+             CASE WHEN x IS NOT NULL AND w IS NOT NULL
+                  THEN w ELSE 0.0 END
+               * exp({ln_inv!r} * CAST(p % {B} AS DOUBLE)) AS tD,
+             (CASE WHEN x IS NOT NULL AND w IS NOT NULL
+                   THEN w ELSE 0.0 END
+              * CASE WHEN x IS NOT NULL AND w IS NOT NULL
+                     THEN x ELSE 0.0 END)
+               * exp({ln_inv!r} * CAST(p % {B} AS DOUBLE)) AS tN
+      FROM pos
+    ), pref AS (
+      SELECT k, l_shipdate, l_orderkey, l_linenumber, l_partkey, p,
+             SUM(tD) OVER iw AS pD, SUM(tN) OVER iw AS pN,
+             COALESCE(SUM(tD) OVER pw, 0.0) AS cD,
+             COALESCE(SUM(tN) OVER pw, 0.0) AS cN
+      FROM t
+      WINDOW iw AS (PARTITION BY k, band ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             pw AS (PARTITION BY k ORDER BY band
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT k AS l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+           l_partkey,
+           ROUND(CASE WHEN (pD + {carry1!r} * cD)
+                           * exp({-ln_inv!r} * CAST(p % {B} AS DOUBLE)) > 0
+                      THEN ((pN + {carry1!r} * cN)
+                            * exp({-ln_inv!r} * CAST(p % {B} AS DOUBLE)))
+                           / ((pD + {carry1!r} * cD)
+                              * exp({-ln_inv!r} * CAST(p % {B} AS DOUBLE)))
+                 END, 2) AS ewm_price
+    FROM pref
+"""
+
+
 # weighted Pearson moments as SQL, mirroring _stats.corr_from_moments
 # (products left-associated exactly like the kernel: (w*x)*y etc.)
 _CORR_SQL = """
@@ -1169,25 +1306,6 @@ _ORACLE: dict[str, str] = {
         )
         SELECT l_returnflag, l_linenumber, m AS mass FROM r WHERE rk = 1
     """,
-    "group_var_salted": """
-        WITH m AS (
-          SELECT l_returnflag,
-                 COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
-                                   THEN l_quantity END), 0.0) AS c,
-                 CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
-                      THEN COALESCE(SUM(l_quantity * l_extendedprice), 0.0) END AS s,
-                 CASE WHEN COUNT(l_quantity * l_extendedprice) >= 1
-                      THEN COALESCE(SUM(l_extendedprice * l_extendedprice
-                                        * l_quantity), 0.0) END AS ss
-          FROM lineitem GROUP BY l_returnflag
-        )
-        SELECT l_returnflag,
-               ROUND(c, 4) AS w_count,
-               ROUND(s / c, 4) AS w_mean,
-               ROUND(CASE WHEN (ss - s*s/c) / (c - 1) >= 0
-                          THEN sqrt((ss - s*s/c) / (c - 1)) END, 4) AS w_std
-        FROM m
-    """,
     "group_var": """
         WITH m AS (
           SELECT l_returnflag,
@@ -1200,12 +1318,22 @@ _ORACLE: dict[str, str] = {
                                         * l_quantity), 0.0) END AS ss
           FROM lineitem GROUP BY l_returnflag
         )
-        SELECT l_returnflag,
+        SELECT 'exact' AS path, l_returnflag,
                c AS w_count,
                COALESCE(s, 0.0) AS w_sum,
+               s / c AS w_mean,
                (ss - s*s/c) / (c - 1) AS w_var,
                CASE WHEN (ss - s*s/c) / (c - 1) >= 0
                     THEN sqrt((ss - s*s/c) / (c - 1)) END AS w_std
+        FROM m
+        UNION ALL
+        SELECT 'salted' AS path, l_returnflag,
+               ROUND(c, 4) AS w_count,
+               CAST(NULL AS DOUBLE) AS w_sum,
+               ROUND(s / c, 4) AS w_mean,
+               CAST(NULL AS DOUBLE) AS w_var,
+               ROUND(CASE WHEN (ss - s*s/c) / (c - 1) >= 0
+                          THEN sqrt((ss - s*s/c) / (c - 1)) END, 4) AS w_std
         FROM m
     """,
     "group_mean_customer": """
@@ -1242,46 +1370,93 @@ _ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY bucket
     """,
-    "resample_6h_events": """
+    "resample_rules": """
         WITH t AS (
           SELECT CAST(ts AS TIMESTAMP) AS ts, value,
                  CAST(user_id % 7 + 1 AS DOUBLE) AS w
           FROM events
         ), o AS (SELECT date_trunc('day', MIN(ts)) AS org FROM t)
-        SELECT time_bucket(INTERVAL 6 HOUR, ts, (SELECT org FROM o)) AS bucket,
+        SELECT '6H' AS rule,
+               time_bucket(INTERVAL 6 HOUR, ts, (SELECT org FROM o)) AS bucket,
                COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
                  AS w_count,
                COALESCE(SUM(value * w), 0.0) AS w_sum,
                SUM(value * w)
                  / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
         FROM t
-        GROUP BY bucket
+        GROUP BY 2
+        UNION ALL
+        SELECT '3ME' AS rule, bucket, w_count, w_sum, w_mean FROM (
+          WITH t2 AS (
+            SELECT CAST(l_shipdate AS TIMESTAMP) AS ts,
+                   l_extendedprice AS value, l_quantity AS w
+            FROM lineitem
+          ), a AS (
+            SELECT year(MIN(ts)) * 12 + month(MIN(ts)) - 1 AS mf FROM t2
+          ), b AS (
+            SELECT value, w,
+                   (SELECT mf FROM a)
+                     + CAST(ceil(((year(ts) * 12 + month(ts) - 1)
+                                  - (SELECT mf FROM a)) / 3.0) AS BIGINT) * 3
+                     AS lm
+            FROM t2
+          )
+          SELECT CAST(last_day(make_date(CAST(floor(lm / 12.0) AS INT),
+                                         CAST(lm % 12 + 1 AS INT), 1))
+                      AS TIMESTAMP) AS bucket,
+                 COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+                   AS w_count,
+                 COALESCE(SUM(value * w), 0.0) AS w_sum,
+                 SUM(value * w)
+                   / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
+          FROM b
+          GROUP BY bucket
+        )
     """,
-    "resample_3m": """
+    "group_cdf": """
+        SELECT l_returnflag, l_extendedprice,
+               CASE WHEN l_extendedprice IS NOT NULL AND tw > 0
+                    THEN cw / tw END AS l_extendedprice_cdf
+        FROM (
+          SELECT l_returnflag, l_extendedprice,
+                 SUM(m) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cw,
+                 SUM(m) OVER (PARTITION BY l_returnflag) AS tw
+          FROM (SELECT l_returnflag, l_extendedprice,
+                       CASE WHEN l_extendedprice IS NOT NULL
+                             AND l_quantity > 0
+                            THEN l_quantity ELSE 0 END AS m
+                FROM lineitem)
+        )
+    """,
+    "resample_quantile": """
         WITH t AS (
           SELECT CAST(l_shipdate AS TIMESTAMP) AS ts,
-                 l_extendedprice AS value, l_quantity AS w
+                 l_extendedprice AS v, l_quantity AS w
           FROM lineitem
-        ), a AS (
-          SELECT year(MIN(ts)) * 12 + month(MIN(ts)) - 1 AS mf FROM t
+          WHERE l_shipdate IS NOT NULL
         ), b AS (
-          SELECT value, w,
-                 (SELECT mf FROM a)
-                   + CAST(ceil(((year(ts) * 12 + month(ts) - 1)
-                                - (SELECT mf FROM a)) / 3.0) AS BIGINT) * 3
-                   AS lm
+          -- "1M" end-anchor: with unit width 1 every month is its own
+          -- bucket, so the label month is just the row's month index
+          SELECT year(ts) * 12 + month(ts) - 1 AS lm, v,
+                 CASE WHEN v IS NOT NULL AND w > 0 THEN w ELSE 0 END AS m
           FROM t
+        ), c AS (
+          SELECT lm, v, m,
+                 SUM(m) OVER (PARTITION BY lm ORDER BY v
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cw,
+                 SUM(m) OVER (PARTITION BY lm) AS tw
+          FROM b
         )
         SELECT CAST(last_day(make_date(CAST(floor(lm / 12.0) AS INT),
                                        CAST(lm % 12 + 1 AS INT), 1))
                     AS TIMESTAMP) AS bucket,
-               COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
-                 AS w_count,
-               COALESCE(SUM(value * w), 0.0) AS w_sum,
-               SUM(value * w)
-                 / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
-        FROM b
-        GROUP BY bucket
+               MIN(CASE WHEN m > 0 AND v IS NOT NULL AND cw >= 0.5 * tw
+                        THEN v END) AS w_median
+        FROM c GROUP BY lm
     """,
     "grouping_sets": """
         SELECT 'cube' AS mode, l_returnflag, l_linestatus,
@@ -1545,12 +1720,14 @@ _ORACLE["tfidf_top_terms"] = r"""
     FROM ranked WHERE rk <= 3
 """
 
-_ORACLE["corr_pair"] = _corr_sql(
+_CORR_PAIR_SQL = _corr_sql(
     "l_extendedprice", "disc_n", "l_quantity",
     """(SELECT l_extendedprice, l_quantity,
                CASE WHEN l_tax >= 0.02 THEN l_discount END AS disc_n
         FROM lineitem)""",
 )
+
+_ORACLE["ewm_mean"] = _ewm_sql(alpha=0.05)
 
 _ORACLE["group_corr"] = (
     "SELECT l_returnflag, 'l_discount' AS col_x, 'l_extendedprice' AS col_y, "
@@ -1634,6 +1811,11 @@ _ORACLE["aligned_corr_cov"] = (
     + ")) AS a JOIN ("
     + _ALIGNED_COV_SQL
     + ") AS b USING (o_orderstatus)"
+    # r2's corr_pair row, folded in as a tagged global row (NULL cov)
+    + " UNION ALL SELECT 'pairwise_global' AS o_orderstatus, corr,"
+    + " CAST(NULL AS DOUBLE) AS cov FROM ("
+    + _CORR_PAIR_SQL
+    + ")"
 )
 
 _ORACLE["window_stats"] = """
@@ -2180,7 +2362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics": _q_null_semantics,
         "group_mean": _q_group_mean,
         "group_var": _q_group_var,
-        "group_var_salted": _q_group_var_salted,
         "group_quantile": _q_group_quantile,
         "group_quantile_binned": _q_group_quantile_binned,
         "group_mad": _q_group_mad,
@@ -2188,9 +2369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_zscore": _q_group_zscore,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
-        "resample_6h_events": _q_resample_6h_events,
-        "resample_3m": _q_resample_3m,
-        "corr_pair": _q_corr_pair,
+        "resample_rules": _q_resample_rules,
+        "resample_quantile": _q_resample_quantile,
+        "group_cdf": _q_group_cdf,
+        "ewm_mean": _q_ewm_mean,
         "corr_cov_matrix": _q_corr_cov_matrix,
         "group_skew_kurt": _q_group_skew_kurt,
         "value_counts": _q_value_counts,

@@ -22,11 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: headline subset of __spark_entry__.queries() — one per operator family
 HEADLINE = [
     "group_mean",          # weighted grouped mean (flagship)
-    "group_var",           # fused count/sum/var/std single pass
+    "group_var",           # fused exact pass + skew-salted two-stage path
     "global_stats",        # whole-table sum/mean/var/std moments
     "resample_2d",         # time-bucketed weighted aggs, both closures
-    "resample_6h_events",  # time-bucketed, expression weights (events)
-    "resample_3m",         # multi-period calendar buckets (quarterly)
+    "resample_rules",      # fixed 6H (events) + calendar 3ME (lineitem)
     "corr_cov_matrix",     # pairwise weighted Pearson + cov (one agg pass each)
     "group_corr",          # per-group corr
     "aligned_corr_cov",    # join-aligned corr + cov (orders x customer)
@@ -51,13 +50,11 @@ HEADLINE = [
     "group_zscore",        # agg + broadcast join-back standardization
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
-    "group_var_salted",    # skew-salted two-stage moment merge
     "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
     "spearman_corr",       # rank transform + pearson kernel
     "stream_resample",     # availableNow streaming resample (events)
     "asof_join",           # union + ordered-carry nearest-key join
-    # bench-local (not in the 50-query driver gate; defined in main())
     "group_cdf",           # per-row weighted percentile-rank transform
     "resample_quantile",   # bucket-keyed weighted median
     "ewm_mean",            # banded-rescale exponentially-weighted mean
@@ -145,43 +142,6 @@ def main() -> int:
         )
 
     qs["ann_topk_ivf"] = _ivf_probe_only
-
-    # bench-local queries for operators that don't fit the 50-row driver
-    # gate: the banded per-row CDF transform and the resampled median.
-    from pandas_weights_spark import wt
-
-    def _group_cdf(spark_, sf_dir_):
-        li = load_table(spark_, sf_dir_, "lineitem")
-        return (
-            wt(li, "l_quantity")
-            .groupby("l_returnflag")[["l_extendedprice"]]
-            .cdf()
-            .select("l_returnflag", "l_extendedprice", "l_extendedprice_cdf")
-        )
-
-    def _resample_quantile(spark_, sf_dir_):
-        li = load_table(spark_, sf_dir_, "lineitem")
-        return (
-            wt(li, "l_quantity")[["l_extendedprice"]]
-            .resample("1M", on="l_shipdate")
-            .median()
-        )
-
-    def _ewm_mean(spark_, sf_dir_):
-        li = load_table(spark_, sf_dir_, "lineitem")
-        return (
-            wt(li, "l_quantity")[["l_extendedprice"]]
-            .ewm(
-                order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
-                partition_by=["l_returnflag"],
-                alpha=0.05,
-            )
-            .mean()
-        )
-
-    qs["group_cdf"] = _group_cdf
-    qs["resample_quantile"] = _resample_quantile
-    qs["ewm_mean"] = _ewm_mean
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
