@@ -1,0 +1,335 @@
+"""Pure-stdlib media codecs for the multimodal column pipeline.
+
+This container ships no media libraries (PIL/opencv/ffmpeg), so the
+image/audio paths are implemented directly against the public file
+formats — real decoders, not stubs:
+
+* PNG (RFC 2083): chunk walk, IHDR parse, zlib-inflated IDAT, full
+  scanline filter reconstruction (None/Sub/Up/Average/Paeth) for 8-bit
+  greyscale / RGB / greyscale+alpha / RGBA. Interlaced or non-8-bit
+  images raise with a clear message.
+* BMP (BITMAPINFOHEADER): uncompressed 24/32-bit bottom-up or top-down.
+* WAV (RIFF PCM): header via the stdlib ``wave`` module, 8/16/32-bit
+  integer PCM samples unpacked with ``struct``.
+* JPEG: marker scan to the SOF frame header for dimensions/components
+  (entropy-coded pixel decode is out of scope for a pure-Python path —
+  callers get real metadata and byte-level features; plugging PIL into
+  ``DECODERS`` upgrades it transparently).
+
+Everything is deterministic and dependency-free, so the decode path is
+testable in any environment and portable to executors without native
+codecs. The pixel loops are plain Python over ``bytes`` — fine for the
+thumbnail-scale fixtures in tests and for metadata extraction; a real
+deployment swaps in a vectorized decoder behind the same interface.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+__all__ = [
+    "ImageData",
+    "AudioData",
+    "decode_png",
+    "encode_png",
+    "decode_bmp",
+    "decode_wav",
+    "jpeg_dimensions",
+    "resize_nearest",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> channels (8-bit only; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class ImageData:
+    """Decoded raster: ``pixels`` is row-major interleaved 8-bit bytes,
+    ``len(pixels) == width * height * channels``."""
+
+    __slots__ = ("width", "height", "channels", "pixels")
+
+    def __init__(self, width: int, height: int, channels: int, pixels: bytes):
+        self.width = width
+        self.height = height
+        self.channels = channels
+        self.pixels = pixels
+
+    def channel_stats(self) -> list[tuple[float, float]]:
+        """(mean, std) per channel over [0, 255] values (population std)."""
+        n = self.width * self.height
+        out = []
+        for c in range(self.channels):
+            sl = self.pixels[c :: self.channels]
+            s = sum(sl)
+            ss = sum(b * b for b in sl)
+            mean = s / n if n else 0.0
+            var = max(0.0, ss / n - mean * mean) if n else 0.0
+            out.append((mean, var**0.5))
+        return out
+
+    def luminance_histogram(self, bins: int = 8) -> list[float]:
+        """Normalized histogram of per-pixel luminance (first 3 channels
+        averaged; greyscale uses the single channel)."""
+        n = self.width * self.height
+        counts = [0] * bins
+        ch = min(self.channels, 3)
+        px = self.pixels
+        c_ = self.channels
+        for i in range(n):
+            base = i * c_
+            lum = sum(px[base : base + ch]) / ch
+            b = min(bins - 1, int(lum * bins / 256.0))
+            counts[b] += 1
+        return [c / n if n else 0.0 for c in counts]
+
+
+class AudioData:
+    """Decoded PCM audio: ``samples`` are floats in [-1, 1] with channels
+    interleaved-averaged (mono mix-down)."""
+
+    __slots__ = ("rate", "channels", "samples")
+
+    def __init__(self, rate: int, channels: int, samples: list[float]):
+        self.rate = rate
+        self.channels = channels
+        self.samples = samples
+
+    @property
+    def duration_ms(self) -> int:
+        return int(len(self.samples) * 1000 / self.rate) if self.rate else 0
+
+    def rms(self) -> float:
+        n = len(self.samples)
+        return (sum(s * s for s in self.samples) / n) ** 0.5 if n else 0.0
+
+    def peak(self) -> float:
+        return max((abs(s) for s in self.samples), default=0.0)
+
+    def zero_crossing_rate(self) -> float:
+        s = self.samples
+        if len(s) < 2:
+            return 0.0
+        crossings = sum(
+            1 for a, b in zip(s, s[1:]) if (a < 0 <= b) or (b < 0 <= a)
+        )
+        return crossings / (len(s) - 1)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> ImageData:
+    """Full PNG decode for 8-bit non-interlaced images (color types
+    0/2/4/6): chunk walk -> IHDR -> concatenated IDAT zlib stream ->
+    per-scanline filter reconstruction."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = io.BytesIO()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.write(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG color type {color_type} (palette unsupported)"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(idat.getvalue())
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: decompressed size mismatch")
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        start = y * stride
+        if f == 0:  # None
+            out[start : start + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[start + x - channels] if x >= channels else 0
+                out[start + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y > 0 else 0
+                out[start + x] = (line[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[start + x - channels] if x >= channels else 0
+                up = out[prev_start + x] if y > 0 else 0
+                out[start + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[start + x - channels] if x >= channels else 0
+                up = out[prev_start + x] if y > 0 else 0
+                ul = out[prev_start + x - channels] if (y > 0 and x >= channels) else 0
+                out[start + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev_start = start
+    return ImageData(width, height, channels, bytes(out))
+
+
+def encode_png(img: ImageData) -> bytes:
+    """Minimal PNG writer (filter 0 scanlines, one IDAT) — the inverse
+    of :func:`decode_png`, used by resize and tests."""
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[img.channels]
+    stride = img.width * img.channels
+    raw = bytearray()
+    for y in range(img.height):
+        raw.append(0)
+        raw += img.pixels[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> ImageData:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER); emits RGB bytes
+    (BMP stores BGR, bottom-up unless height is negative)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    # BITMAPINFOHEADER: biSize@14, biWidth@18, biHeight@22, biPlanes@26,
+    # biBitCount@28, biCompression@30
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp} (24/32 only)")
+    top_down = height < 0
+    h = abs(height)
+    src_ch = bpp // 8
+    row_bytes = ((width * src_ch + 3) // 4) * 4  # rows pad to 4 bytes
+    out = bytearray(width * h * 3)
+    for y in range(h):
+        src_y = y if top_down else (h - 1 - y)
+        row = payload[data_off + src_y * row_bytes :][: width * src_ch]
+        for x in range(width):
+            b, g, r = row[x * src_ch : x * src_ch + 3]
+            base = (y * width + x) * 3
+            out[base] = r
+            out[base + 1] = g
+            out[base + 2] = b
+    return ImageData(width, h, 3, bytes(out))
+
+
+def decode_wav(payload: bytes) -> AudioData:
+    """RIFF PCM WAV via the stdlib ``wave`` reader; 8-bit unsigned and
+    16/32-bit signed samples normalized to [-1, 1], channels mixed to
+    mono by averaging."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        rate = wf.getframerate()
+        sampwidth = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sampwidth == 1:  # unsigned 8-bit
+        vals = [(b - 128) / 128.0 for b in frames]
+    elif sampwidth == 2:
+        vals = [
+            v / 32768.0
+            for v in struct.unpack(f"<{len(frames) // 2}h", frames)
+        ]
+    elif sampwidth == 4:
+        vals = [
+            v / 2147483648.0
+            for v in struct.unpack(f"<{len(frames) // 4}i", frames)
+        ]
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if n_ch > 1:
+        vals = [
+            sum(vals[i : i + n_ch]) / n_ch for i in range(0, len(vals), n_ch)
+        ]
+    return AudioData(rate, n_ch, vals)
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from the first SOF0-SOF15 marker.
+
+    Real metadata from the real bitstream; pixel decode needs an
+    entropy decoder + IDCT and is delegated to PIL when present (see
+    multimodal.DECODERS).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _, h, w, comps = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return w, h, comps
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker found in JPEG")
+
+
+def resize_nearest(img: ImageData, width: int, height: int) -> ImageData:
+    """Nearest-neighbor resample — the Spark-side resize path's real
+    pixel kernel (deterministic, codec-free)."""
+    out = bytearray(width * height * img.channels)
+    ch = img.channels
+    for y in range(height):
+        sy = min(img.height - 1, y * img.height // height)
+        for x in range(width):
+            sx = min(img.width - 1, x * img.width // width)
+            src = (sy * img.width + sx) * ch
+            dst = (y * width + x) * ch
+            out[dst : dst + ch] = img.pixels[src : src + ch]
+    return ImageData(width, height, ch, bytes(out))

@@ -1,0 +1,265 @@
+"""Pure-stdlib media codecs (functions/_codecs.py) and their Spark-side
+integration (real PNG/BMP/WAV decode through decode_features /
+probe_media / resize_media). Fixtures are REAL format bytes built
+independently of the decoder under test: PNG scanlines are forward-
+filtered by the test itself for every filter type, BMPs are struct-
+packed by hand, WAVs come from the stdlib wave writer."""
+
+import io
+import math
+import struct
+import wave
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions import _codecs as C
+from pandas_weights_spark.functions import multimodal as MM
+from tests.conftest import approx
+
+
+def _png_bytes(width, height, channels, pixels, filters):
+    """Build a PNG with the given per-row filter types, applying the
+    FORWARD filter transform here (independent of decode_png)."""
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = filters[y % len(filters)]
+        row = pixels[y * stride : (y + 1) * stride]
+        raw.append(f)
+        for x in range(stride):
+            left = row[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - left) & 0xFF
+            elif f == 2:
+                v = (row[x] - up) & 0xFF
+            elif f == 3:
+                v = (row[x] - (left + up) // 2) & 0xFF
+            else:  # Paeth
+                v = (row[x] - C._paeth(left, up, ul)) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _test_pixels(width, height, channels, seed=7):
+    vals = bytearray()
+    v = seed
+    for _ in range(width * height * channels):
+        v = (v * 1103515245 + 12345) % 256
+        vals.append(v)
+    return bytes(vals)
+
+
+def _bmp_bytes(width, height, rgb_rows):
+    """24-bit bottom-up BMP from rows of (r, g, b) tuples (row 0 = top)."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # stored bottom-up
+        row = bytearray()
+        for r, g, b in rgb_rows[y]:
+            row += bytes([b, g, r])
+        row += bytes(row_bytes - len(row))
+        body += row
+    data_off = 14 + 40
+    size = data_off + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, data_off)
+        + struct.pack("<III", 40, width & 0xFFFFFFFF, height & 0xFFFFFFFF)
+        + struct.pack("<HH", 1, 24)
+        + struct.pack("<IIiiII", 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def _wav_bytes(samples16, rate=8000, channels=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples16)}h", *samples16))
+    return buf.getvalue()
+
+
+def _jpeg_header_bytes(width, height, comps=3):
+    """Minimal JPEG prefix: SOI + APP0 + SOF0 (enough for dimension
+    parsing; no entropy data)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof_payload = struct.pack(">BHHB", 8, height, width, comps) + bytes(
+        3 * comps
+    )
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + sof
+
+
+class TestPNG:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize(
+        "filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]],
+        ids=["none", "sub", "up", "avg", "paeth", "mixed"],
+    )
+    def test_decode_all_filters(self, channels, filters):
+        w, h = 7, 9
+        px = _test_pixels(w, h, channels)
+        img = C.decode_png(_png_bytes(w, h, channels, px, filters))
+        assert (img.width, img.height, img.channels) == (w, h, channels)
+        assert img.pixels == px
+
+    def test_roundtrip_encode_decode(self):
+        w, h, ch = 12, 5, 3
+        px = _test_pixels(w, h, ch, seed=3)
+        img = C.decode_png(C.encode_png(C.ImageData(w, h, ch, px)))
+        assert img.pixels == px
+
+    def test_channel_stats_known(self):
+        # 2x1 RGB: (0,0,0) and (255,255,255) -> mean 127.5, std 127.5
+        img = C.ImageData(2, 1, 3, bytes([0, 0, 0, 255, 255, 255]))
+        for mean, std in img.channel_stats():
+            assert mean == approx(127.5) and std == approx(127.5)
+        hist = img.luminance_histogram(bins=4)
+        assert hist == [approx(0.5), 0.0, 0.0, approx(0.5)]
+
+    def test_rejects_garbage_and_unsupported(self):
+        with pytest.raises(ValueError, match="not a PNG"):
+            C.decode_png(b"nope")
+        # 16-bit depth
+        bad = bytearray(_png_bytes(2, 2, 3, _test_pixels(2, 2, 3), [0]))
+        bad[24] = 16  # bit depth byte inside IHDR
+        with pytest.raises(ValueError, match="bit depth"):
+            C.decode_png(bytes(bad))
+
+
+class TestBMPWavJpeg:
+    def test_bmp_known_pixels(self):
+        rows = [
+            [(255, 0, 0), (0, 255, 0)],
+            [(0, 0, 255), (10, 20, 30)],
+        ]
+        img = C.decode_bmp(_bmp_bytes(2, 2, rows))
+        assert (img.width, img.height, img.channels) == (2, 2, 3)
+        got = [
+            tuple(img.pixels[i * 3 : i * 3 + 3]) for i in range(4)
+        ]
+        assert got == [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+
+    def test_wav_sine(self):
+        rate, n = 8000, 800
+        amp = 16384
+        samples = [
+            int(amp * math.sin(2 * math.pi * 440 * i / rate))
+            for i in range(n)
+        ]
+        a = C.decode_wav(_wav_bytes(samples, rate=rate))
+        assert a.rate == rate and a.channels == 1
+        assert a.duration_ms == 100
+        assert a.rms() == approx(amp / 32768.0 / math.sqrt(2), rel=0.01)
+        assert a.peak() <= amp / 32768.0 + 1e-9
+        # 440 Hz over 0.1 s -> ~88 zero crossings of 799 transitions
+        assert a.zero_crossing_rate() == approx(88 / 799, rel=0.05)
+
+    def test_jpeg_dimensions(self):
+        w, h, c = C.jpeg_dimensions(_jpeg_header_bytes(640, 480))
+        assert (w, h, c) == (640, 480, 3)
+        with pytest.raises(ValueError):
+            C.jpeg_dimensions(b"\x00\x01")
+
+    def test_resize_nearest(self):
+        # 2x2 -> 4x4 nearest: each source pixel becomes a 2x2 block
+        px = bytes([1, 2, 3, 4])
+        img = C.resize_nearest(C.ImageData(2, 2, 1, px), 4, 4)
+        assert img.pixels == bytes(
+            [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]
+        )
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    png = _png_bytes(6, 4, 3, _test_pixels(6, 4, 3), [0, 1, 2, 3, 4])
+    bmp = _bmp_bytes(2, 2, [[(255, 0, 0), (0, 255, 0)],
+                            [(0, 0, 255), (10, 20, 30)]])
+    wav = _wav_bytes([0, 10000, -10000, 5000] * 100, rate=8000)
+    jpg = _jpeg_header_bytes(320, 200)
+    rows = [
+        (0, bytearray(png), "image/png"),
+        (1, bytearray(bmp), "image/bmp"),
+        (2, bytearray(wav), "audio/wav"),
+        (3, bytearray(jpg), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary, mime string")
+    return df.select(
+        "id",
+        MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+    )
+
+
+class TestSparkIntegration:
+    def test_decode_features_real_media(self, real_media):
+        out = MM.decode_features(real_media, "media", dim=10)
+        rows = {r["id"]: list(r["features"]) for r in out.collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        # image features: [log1p(w), log1p(h), channels, aspect, ...]
+        assert rows[0][0] == approx(math.log1p(6), rel=1e-6)
+        assert rows[0][2] == approx(3.0)
+        assert rows[1][3] == approx(1.0)  # square BMP aspect
+        # audio features: [log1p(duration_ms), log1p(rate), channels, rms, ...]
+        assert rows[2][1] == approx(math.log1p(8000), rel=1e-6)
+        assert 0.0 < rows[2][3] < 1.0  # rms of a real signal
+        # jpeg header path: real dimensions
+        assert rows[3][0] == approx(math.log1p(320), rel=1e-6)
+        assert rows[3][3] == approx(320 / 200, rel=1e-6)
+        # histograms normalize to ~1 over their bins
+        assert sum(rows[0][4 + 6 :]) <= 1.0 + 1e-6
+
+    def test_probe_media(self, real_media):
+        out = MM.probe_media(real_media, "media")
+        rows = {r["id"]: r["probe"] for r in out.collect()}
+        assert rows[0]["format"] == "png"
+        assert (rows[0]["width"], rows[0]["height"]) == (6, 4)
+        assert rows[1]["format"] == "bmp" and rows[1]["channels"] == 3
+        assert rows[2]["format"] == "wav"
+        assert rows[2]["sample_rate"] == 8000
+        assert rows[2]["duration_ms"] == 50  # 400 samples @ 8 kHz
+        assert rows[3]["format"] == "jpeg"
+        assert (rows[3]["width"], rows[3]["height"]) == (320, 200)
+
+    def test_resize_media_real_png(self, spark, real_media):
+        out = {
+            r["id"]: r["resized"]
+            for r in MM.resize_media(
+                real_media.where("id IN (0, 1)"), "media", 3, 2
+            ).collect()
+        }
+        for i in (0, 1):
+            r = out[i]
+            assert (r["width"], r["height"]) == (3, 2)
+            assert r["mime"] == "image/png"
+            img = C.decode_png(bytes(r["payload"]))
+            assert (img.width, img.height) == (3, 2)
+        # BMP 2x2 -> 3x2 nearest: cols sample [0, 0, 1]
+        img = C.decode_png(bytes(out[1]["payload"]))
+        assert tuple(img.pixels[0:3]) == (255, 0, 0)
+        assert tuple(img.pixels[6:9]) == (0, 255, 0)

@@ -49,16 +49,26 @@ class TestDecode:
             for r in MM.decode_features(media, "media", dim=4, on_error="null").collect()
         }
         assert rows[2] is None  # null payload
-        assert rows[3] is None  # unavailable decoder, on_error=null
+        assert rows[3] is None  # image/png payload isn't a PNG, on_error=null
         assert rows[4] is None  # unknown mime prefix
 
-    def test_real_decoder_raises_cleanly(self, media):
-        from py4j.protocol import Py4JJavaError
-
+    def test_corrupt_payload_raises_cleanly(self, media):
+        # mime says PNG, bytes are not: the real decoder rejects it
         with pytest.raises(Exception) as exc_info:
             MM.decode_features(media.where("id = 3"), "media", dim=4).collect()
-        assert "NotImplementedError" in str(exc_info.value) or isinstance(
-            exc_info.value, Py4JJavaError
+        assert "not a PNG" in str(exc_info.value)
+
+    def test_video_decoder_unavailable(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"xx"))], "id long, payload binary"
+        ).select(
+            "id",
+            MM.media_struct(F.col("payload"), F.lit("video/mp4")).alias("media"),
+        )
+        with pytest.raises(Exception) as exc_info:
+            MM.decode_features(df, "media", dim=4).collect()
+        assert "NotImplementedError" in str(exc_info.value) or "ffmpeg" in str(
+            exc_info.value
         )
 
     def test_features_flow_into_similarity(self, media, spark):
