@@ -50,13 +50,64 @@ def _normalize_result(res, columns=None) -> "pd.DataFrame":
     return pd.DataFrame([[res]], columns=columns or ["value"])
 
 
+def _first_field_name(schema) -> str:
+    if hasattr(schema, "fieldNames"):
+        return schema.fieldNames()[0]
+    return str(schema).split(",")[0].split()[0].strip("`")
+
+
 def frame_apply(
-    wdf: "WeightedDataFrame", func: Callable, schema, axis: int = 0
+    wdf: "WeightedDataFrame",
+    func: Callable,
+    schema,
+    axis: int = 0,
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
-    """``func`` over the whole pre-weighted frame, pandas-``apply`` style
-    (frame.py:339-367). Runs in a single Arrow-batched task."""
+    """``func`` over the pre-weighted frame, pandas-``apply`` style
+    (frame.py:339-367).
+
+    ``axis=1`` (row-wise ``func``) routes through ``mapInPandas`` —
+    rows are independent, so it scales linearly with NO shuffle and one
+    output row per input row (matching pandas' Series-per-row result).
+
+    ``axis=0`` (column-wise reduction) inherently needs each whole
+    column in one place, so it runs as a single Arrow-batched task.
+    That task refuses frames larger than ``max_rows`` with a loud
+    error instead of silently OOMing a 100 TB pipeline — raise the
+    limit explicitly if a huge single-task reduction is really
+    intended, or use the built-in moment statistics / grouped_apply.
+    """
+    import warnings
+
+    if axis == 1:
+        first = _first_field_name(schema)
+
+        def _run_rows(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                res = pdf.apply(func, axis=1)
+                if isinstance(res, pd.Series):
+                    res = res.to_frame(first)
+                yield res
+
+        return wdf.weighted().mapInPandas(_run_rows, schema)
+
+    warnings.warn(
+        "frame_apply(axis=0) funnels the whole frame through ONE task "
+        f"(arbitrary column-wise Python); it will refuse > {max_rows:,} "
+        "rows. Prefer the built-in statistics or grouped_apply at scale.",
+        stacklevel=2,
+    )
 
     def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_rows:
+            raise RuntimeError(
+                f"frame_apply(axis=0) received {len(pdf):,} rows in its "
+                f"single task (max_rows={max_rows:,}); this path cannot "
+                "distribute — use grouped_apply / built-in statistics, or "
+                "pass a higher max_rows to accept the single-task cost"
+            )
         return _normalize_result(pdf.apply(func, axis=axis))
 
     weighted = wdf.weighted()

@@ -123,6 +123,15 @@ class WeightedEWM:
         self._min_periods = int(min_periods)
         self._adjust = bool(adjust)
         self._ignore_na = bool(ignore_na)
+        if not self._partition_by:
+            import warnings
+
+            warnings.warn(
+                "ewm without partition_by assigns positions in a single "
+                "global window partition (one task for the row_number "
+                "pass). Pass partition keys at scale.",
+                stacklevel=2,
+            )
 
     # -- banded prefix machinery -------------------------------------------
 

@@ -602,12 +602,14 @@ class WeightedDataFrame:
             closed=closed, label=label,
         )
 
-    def apply(self, func, schema, axis: int = 0):
+    def apply(self, func, schema, axis: int = 0, max_rows: int = 10_000_000):
         """Apply an arbitrary Python function over the *pre-weighted* data
-        (frame.py:287-367) — see :mod:`pandas_weights_spark.apply`."""
+        (frame.py:287-367) — see :mod:`pandas_weights_spark.apply`.
+        ``axis=1`` distributes via ``mapInPandas``; ``axis=0`` is a
+        guarded single-task reduction (refuses > ``max_rows``)."""
         from pandas_weights_spark.apply import frame_apply
 
-        return frame_apply(self, func, schema, axis=axis)
+        return frame_apply(self, func, schema, axis=axis, max_rows=max_rows)
 
 
 class WeightedSeries:

@@ -122,6 +122,14 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     by = list(by or [])
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join without `by` sorts BOTH inputs in a single global "
+            "window partition (one task). Pass equality keys at scale.",
+            stacklevel=2,
+        )
     for c in [on, *by]:
         if c not in left.columns:
             raise KeyError(f"column {c!r} not in left frame")

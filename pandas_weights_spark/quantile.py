@@ -68,6 +68,15 @@ def weighted_quantiles(
     cols = [c for c in cols if c not in keys]
     if not cols:
         raise ValueError("no numeric columns for quantile")
+    if not keys:
+        import warnings
+
+        warnings.warn(
+            "global exact weighted quantile orders the whole table in a "
+            "SINGLE window partition (one task). At scale, group it or "
+            "use the binned path (exact=False / weighted_quantiles_binned).",
+            stacklevel=2,
+        )
 
     w = wdf.weights
     df = wdf.df

@@ -74,6 +74,15 @@ class WeightedRolling:
         if min_periods is None:
             min_periods = window if window is not None else 1
         self._min_periods = int(min_periods)
+        if not self._partition_by:
+            import warnings
+
+            warnings.warn(
+                "rolling/expanding without partition_by runs the ordered "
+                "window in a single partition (one task). Pass partition "
+                "keys at scale.",
+                stacklevel=2,
+            )
 
     # -- plumbing -----------------------------------------------------------
 
