@@ -166,19 +166,27 @@ def weighted_cdf(
         ).otherwise(F.lit(0))
         j = j.withColumn("__band__", band).drop("__lo__", "__hi__")
         btot = j.groupBy(*kc, "__band__").agg(F.sum("__m__").alias("__bm__"))
+        # exclusive band offset AND the group total in ONE WindowExec:
+        # both frames share the partitionBy(keys) spec, so the group
+        # total rides the same sort instead of costing a separate
+        # groupBy(keys) aggregate plus a join back (one fewer Exchange,
+        # pinned by test_plans).
         off_win = (
             Window.partitionBy(*[F.col(k) for k in kc])
             .orderBy("__band__")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        tot_win = Window.partitionBy(*[F.col(k) for k in kc]).orderBy(
+            "__band__"
+        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         off = btot.select(
             *kc,
             "__band__",
             F.coalesce(F.sum("__bm__").over(off_win), F.lit(0.0)).alias(
                 "__off__"
             ),
+            F.sum("__bm__").over(tot_win).alias("__tw__"),
         )
-        tot = btot.groupBy(*kc).agg(F.sum("__bm__").alias("__tw__"))
         cum_win = (
             Window.partitionBy(*[F.col(k) for k in kc], F.col("__band__"))
             .orderBy("__v__")
@@ -188,12 +196,8 @@ def weighted_cdf(
         cdf_map = j.select(
             *kc,
             "__v__",
+            "__tw__",
             (F.sum("__m__").over(cum_win) + F.col("__off__")).alias("__cw__"),
-        )
-        cdf_map = (
-            cdf_map.join(tot, on=kc)
-            if kc
-            else cdf_map.crossJoin(F.broadcast(tot))
         )
         cdf_map = cdf_map.select(
             *[F.col(k).alias(f"__pw_ck_{k}__") for k in kc],

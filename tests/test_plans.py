@@ -291,3 +291,58 @@ class TestNewOperatorPlans:
         assert plan.count("Scan parquet") == 1, plan
         assert "__pw_ewm_band__" in plan, plan
         assert not P.has_python_eval(df)
+
+
+class TestCdfAndVariantPlans:
+    def test_cdf_tot_fused_into_band_window(self, lineitem):
+        # the group total rides the same WindowExec as the exclusive
+        # band offset — no separate groupBy(keys) aggregate + join for
+        # the denominator. Shape: distinct-value agg, range agg+join,
+        # band agg, ONE window pass over band totals, map-side join
+        # back. The denominator fusion removed one Exchange + one join.
+        df = (
+            wt(lineitem, "l_quantity")
+            .groupby("l_returnflag")[["l_extendedprice"]]
+            .cdf()
+        )
+        plan = P.physical_plan(df)
+        # the denominator __tw__ must be produced INSIDE a Window node
+        # (second frame of the band-offset WindowExec), not by its own
+        # aggregate + join
+        assert any(
+            "Window [" in line and "__tw__" in line
+            for line in plan.splitlines()
+        ), plan
+        # joins: final join-back + range join (x2 lineage branches,
+        # AQE-reused at runtime) + band-offset join = 4; a 5th would
+        # mean the tot join-back came back
+        n_joins = sum(plan.count(j) for j in
+                      ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+        assert n_joins <= 4, plan
+
+    def test_ewm_variant_one_exchange(self, lineitem):
+        # adjust=False / ignore_na=True run per-column L-banded windows;
+        # hashpartitioning(keys) satisfies every window clustering, so
+        # the whole plan still has ONE exchange.
+        for kw in ({"ignore_na": True}, {"adjust": False},
+                   {"adjust": False, "ignore_na": True}):
+            df = (
+                wt(
+                    lineitem.select(
+                        "l_orderkey", "l_linenumber", "l_extendedprice",
+                        "l_quantity", "l_returnflag",
+                    ),
+                    "l_quantity",
+                )[["l_extendedprice"]]
+                .ewm(
+                    order_by=["l_orderkey", "l_linenumber"],
+                    partition_by=["l_returnflag"],
+                    alpha=0.1,
+                    **kw,
+                )
+                .mean()
+            )
+            plan = P.physical_plan(df)
+            assert P.count_exchanges(df) == 1, (kw, plan)
+            assert plan.count("Scan parquet") == 1, (kw, plan)
+            assert not P.has_python_eval(df)
