@@ -42,6 +42,7 @@ __all__ = [
     "weighted_session_stream",
     "streaming_exact_dedup",
     "weighted_running_stats_stream",
+    "streaming_asof_join",
 ]
 
 
@@ -197,6 +198,130 @@ def streaming_exact_dedup(
         keyed = keyed.withWatermark(on, watermark)
         return keyed.dropDuplicatesWithinWatermark(["__ck__"]).drop("__ck__")
     return keyed.dropDuplicates(["__ck__"]).drop("__ck__")
+
+
+def streaming_asof_join(
+    stream_left: DataFrame,
+    static_right: DataFrame,
+    on: str,
+    by: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Streaming as-of join: each left (stream) row picks up the
+    nearest static_right row along ``on`` per ``by`` key — the
+    streaming twin of :func:`pandas_weights_spark.functions.asof.
+    asof_join` (same output schema, NULL-``on`` handling, tolerance,
+    and exact-match semantics, pinned by a differential test).
+
+    Shape: the right side is a DIMENSION table (feature store /
+    slowly-changing lookup) — it is collected once, sorted, and
+    broadcast to every executor; each micro-batch then runs an
+    Arrow-batched ``pandas.merge_asof`` against it. Stateless: no
+    watermark, no state store, output mode ``append``, and each left
+    row is emitted exactly once. Spark's window functions are
+    unsupported on streams, so the batch union+carry shape cannot run
+    here — the broadcast-merge is the streaming-native equivalent for
+    a static right side. (A stream-stream as-of needs
+    ``transformWithState``-style buffering and is out of scope; union
+    the right stream into a table and re-broadcast per restart, or
+    use the batch operator on availableNow snapshots.)
+
+    Works on a batch ``stream_left`` too (same per-batch path), which
+    is what the differential test exploits.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be backward/forward, got {direction!r}"
+        )
+    by = list(by or [])
+    for c in [on, *by]:
+        if c not in stream_left.columns:
+            raise KeyError(f"column {c!r} not in left frame")
+        if c not in static_right.columns:
+            raise KeyError(f"column {c!r} not in right frame")
+    if static_right.isStreaming:
+        raise ValueError(
+            "streaming_asof_join needs a STATIC right side (dimension "
+            "table); for stream-stream use the batch operator over "
+            "availableNow snapshots"
+        )
+    payload_cols = [c for c in static_right.columns if c not in by]
+    out_names = {
+        c: (c + suffix if (c == on or c in stream_left.columns) else c)
+        for c in payload_cols
+    }
+    collisions = sorted(set(out_names.values()) & set(stream_left.columns))
+    if collisions:
+        raise ValueError(
+            f"as-of output column(s) {collisions} already exist in the "
+            f"left frame; rename them or pass a different suffix="
+        )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # one collect of the dimension table, NULL-`on` rows dropped (no
+    # position on the axis — batch operator does the same), pre-sorted
+    # for merge_asof; the matched ordering value rides as a payload
+    # column so the output mirrors the batch f"{on}{suffix}" column
+    right_pdf = (
+        static_right.where(F.col(on).isNotNull()).toPandas()
+        .rename(columns={c: out_names[c] for c in payload_cols if c != on})
+    )
+    right_pdf[out_names[on]] = right_pdf[on]
+    # merge_asof requires a GLOBAL sort on `on` (by-groups internal)
+    right_pdf = right_pdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+    # ties at (by, on): batch keeps the LAST right row in sort order;
+    # merge_asof also picks the last of equal keys — aligned.
+
+    if tolerance is None:
+        tol = None
+    elif isinstance(tolerance, (int, float)) and not isinstance(
+        tolerance, bool
+    ):
+        tol = tolerance
+    else:
+        tol = pd.Timedelta(tolerance)
+
+    right_schema = {f.name: f.dataType for f in static_right.schema.fields}
+    out_schema = T.StructType(
+        list(stream_left.schema.fields)
+        + [
+            T.StructField(out_names[c], right_schema[c])
+            for c in payload_cols
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    sc = stream_left.sparkSession.sparkContext
+    bc = sc.broadcast(right_pdf)
+
+    def run(batches):
+        rp = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = pdf[on].notna()
+            for k in by:
+                ok &= pdf[k].notna()
+            good = pdf[ok].sort_values(on, kind="mergesort")
+            merged = pd.merge_asof(
+                good,
+                rp,
+                on=on,
+                by=by or None,
+                direction=direction,
+                tolerance=tol,
+                allow_exact_matches=allow_exact_matches,
+            )
+            bad = pdf[~ok]
+            if len(bad):
+                merged = pd.concat([merged, bad], ignore_index=True)
+            yield merged.reindex(columns=out_cols)
+
+    return stream_left.mapInPandas(run, out_schema)
 
 
 def weighted_running_stats_stream(

@@ -295,3 +295,107 @@ class TestLoadTableStream:
         got = spark.sql("SELECT * FROM load_table_stream_test")
         batch = load_table(spark, sf, "events").select("event_id", "ts", "value")
         assert sorted(got.collect()) == sorted(batch.collect())
+
+
+class TestStreamingAsof:
+    def _frames(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        base = dt.datetime(2024, 1, 1)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 120),
+                "ts": [
+                    base + dt.timedelta(minutes=int(m))
+                    for m in rng.integers(0, 600, 120)
+                ],
+                "a": rng.normal(size=120),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 60),
+                "ts": [
+                    base + dt.timedelta(minutes=int(m))
+                    for m in rng.integers(0, 600, 60)
+                ],
+                "sig": rng.normal(size=60),
+            }
+        )
+        # dedupe right on (k, ts) so ties don't depend on sort order
+        right = right.drop_duplicates(["k", "ts"])
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_stream_matches_batch_asof(self, spark, tmp_path, direction):
+        from pandas_weights_spark.functions.asof import asof_join
+        from pandas_weights_spark.streaming import streaming_asof_join
+
+        left, right = self._frames(spark)
+        ldf = spark.createDataFrame(left)
+        rdf = spark.createDataFrame(right)
+        expected = {
+            (r["k"], r["ts"], r["a"]): (r["ts_right"], r["sig"])
+            for r in asof_join(
+                ldf, rdf, on="ts", by=["k"], direction=direction
+            ).collect()
+        }
+
+        d = tmp_path / f"asof_src_{direction}"
+        ldf.coalesce(2).write.parquet(str(d), mode="overwrite")
+        stream = spark.readStream.schema(
+            "k long, ts timestamp, a double"
+        ).parquet(str(d))
+        out = streaming_asof_join(
+            stream, rdf, on="ts", by=["k"], direction=direction
+        )
+        name = f"asof_mem_{direction}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["ts"], r["a"]): (r["ts_right"], r["sig"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == expected
+
+    def test_tolerance_and_nulls(self, spark):
+        # batch-mode path: tolerance bound + NULL-ts left rows unmatched
+        import pandas as pd
+
+        from pandas_weights_spark.streaming import streaming_asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100.0, 1.0), (1, 200.0, 2.0), (1, None, 3.0)],
+            "k long, ts double, a double",
+        )
+        right = spark.createDataFrame(
+            [(1, 95.0, 7.0)], "k long, ts double, sig double"
+        )
+        rows = {
+            r["a"]: r
+            for r in streaming_asof_join(
+                left, right, on="ts", by=["k"], tolerance=10
+            ).collect()
+        }
+        assert rows[1.0]["sig"] == 7.0
+        assert rows[2.0]["sig"] is None  # 105 past tolerance
+        assert rows[3.0]["sig"] is None  # NULL ts never matches
+
+    def test_static_right_required(self, spark, tmp_path):
+        from pandas_weights_spark.streaming import streaming_asof_join
+
+        d = tmp_path / "asof_stream_right"
+        spark.createDataFrame(
+            [(1, 1.0)], "k long, ts double"
+        ).write.parquet(str(d), mode="overwrite")
+        s = spark.readStream.schema("k long, ts double").parquet(str(d))
+        with pytest.raises(ValueError, match="STATIC right"):
+            streaming_asof_join(s, s, on="ts", by=["k"])
