@@ -565,6 +565,165 @@ class WeightedEWM:
             out_cols.append(expr.alias(c))
         return j.select(*keys, *out_cols)
 
+    # -- pairwise statistics ------------------------------------------------
+
+    def _pair_stat(self, kind: str, x: str, y: str, bias: bool) -> DataFrame:
+        """EWM weighted pairwise cov/corr of two columns (pandas
+        ``ewm().cov(other)`` / ``corr(other)`` generalized to per-row
+        weights; default flags ``adjust=True, ignore_na=False``).
+
+        Pairwise-complete mask (x, y AND w non-null — pandas aligns the
+        pair before the recursion); masked rows still advance the decay
+        clock. Same banded-rescale machinery as :meth:`_stat_fast` with
+        cross-moment terms (Σρ^Δ·w·x·y etc.); ``bias=False`` applies
+        the pandas debias factor ``D²/(D²−V)`` to cov and both
+        variances (it cancels in corr). ONE exchange on the partition
+        keys, like every EWM statistic.
+        """
+        if self._adjust is False or self._ignore_na:
+            raise NotImplementedError(
+                "ewm pairwise cov/corr supports the default "
+                "adjust=True, ignore_na=False flags"
+            )
+        wdf = self._wdf
+        alpha = self._alpha
+        rho = 1.0 - alpha
+        B = self._band_size(rho)
+        keys = self._key_cols()
+        pcols = [F.col(c) if isinstance(c, str) else c for c in self._partition_by]
+        ocols = [F.col(c) if isinstance(c, str) else c for c in self._order_by]
+        w = wdf.weights
+
+        pos_win = Window.partitionBy(*pcols).orderBy(*ocols)
+        base = wdf.df.select(
+            "*",
+            (F.row_number().over(pos_win) - 1).alias(_P),
+        ).select(
+            "*",
+            F.expr(f"`{_P}` div {B}").alias(_BAND),
+            (F.col(_P) % F.lit(B)).cast("double").alias(_R),
+        )
+        if rho > 0.0:
+            ln_inv = math.log(1.0 / rho)
+            up = F.exp(F.lit(ln_inv) * F.col(_R))
+            down = F.exp(F.lit(-ln_inv) * F.col(_R))
+            up2 = F.exp(F.lit(2.0 * ln_inv) * F.col(_R))
+            carry1 = F.lit(rho**B)
+            carry2 = F.lit(rho ** (2 * B))
+        else:
+            up = down = up2 = F.lit(1.0)
+            carry1 = carry2 = F.lit(0.0)
+
+        xv = wdf._value(x)
+        yv = wdf._value(y)
+        valid = xv.isNotNull() & yv.isNotNull() & w.isNotNull()
+        m = F.when(valid, w).otherwise(F.lit(0.0))
+        xz = F.when(valid, xv).otherwise(F.lit(0.0))
+        yz = F.when(valid, yv).otherwise(F.lit(0.0))
+        need_corr = kind == "corr"
+        terms = [
+            (m * up).alias("__tD__"),
+            (m * xz * up).alias("__tX__"),
+            (m * yz * up).alias("__tY__"),
+            (m * xz * yz * up).alias("__tXY__"),
+        ]
+        names = ["__tD__", "__tX__", "__tY__", "__tXY__"]
+        if need_corr or not bias:
+            # corr needs both variances; unbiased cov needs V
+            terms.append((m * m * up2).alias("__tV__"))
+            names.append("__tV__")
+        if need_corr:
+            terms += [
+                (m * xz * xz * up).alias("__tXX__"),
+                (m * yz * yz * up).alias("__tYY__"),
+            ]
+            names += ["__tXX__", "__tYY__"]
+        if self._min_periods > 0:
+            terms.append(valid.cast("long").alias("__tc__"))
+            names.append("__tc__")
+
+        staged = base.select("*", *terms)
+        in_win = (
+            Window.partitionBy(*pcols, F.col(_BAND))
+            .orderBy(F.col(_P))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prefixed = staged.select(
+            "*", *[F.sum(n).over(in_win).alias(f"__p{n}") for n in names]
+        )
+        prev_win = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col(_BAND))
+            .rangeBetween(-1, -1)
+        )
+        all_prev_win = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col(_BAND))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        carry_exprs = []
+        for n in names:
+            if n == "__tc__":
+                carry_exprs.append(
+                    F.coalesce(F.sum(n).over(all_prev_win), F.lit(0)).alias(
+                        f"__c{n}"
+                    )
+                )
+            else:
+                carry_exprs.append(
+                    F.coalesce(F.sum(n).over(prev_win), F.lit(0.0)).alias(
+                        f"__c{n}"
+                    )
+                )
+        j = prefixed.select("*", *carry_exprs)
+
+        def tot(n: str, second_order: bool = False) -> Column:
+            c = carry2 if second_order else carry1
+            v = (F.col(f"__p{n}") + c * F.col(f"__c{n}")) * down
+            return v * down if second_order else v
+
+        D = tot("__tD__")
+        X = tot("__tX__")
+        Y = tot("__tY__")
+        XY = tot("__tXY__")
+        mx = F.try_divide(X, D)
+        my = F.try_divide(Y, D)
+        cov_b = F.try_divide(XY, D) - mx * my
+        if need_corr or not bias:
+            V = tot("__tV__", second_order=True)
+            denom = D * D - V
+            factor = F.when(
+                denom > F.lit(1e-10) * (D * D), F.try_divide(D * D, denom)
+            )
+        if kind == "cov":
+            expr = cov_b if bias else factor * cov_b
+        else:
+            XX = tot("__tXX__")
+            YY = tot("__tYY__")
+            var_x = F.try_divide(XX, D) - mx * mx
+            var_y = F.try_divide(YY, D) - my * my
+            # the debias factor cancels in the ratio; the guard (a lone
+            # effective observation) must still null the result
+            expr = F.when(
+                factor.isNotNull() & (var_x > 0) & (var_y > 0),
+                F.try_divide(cov_b, F.sqrt(var_x * var_y)),
+            )
+        expr = F.when(D > 0, expr)
+        if self._min_periods > 0:
+            n_valid = F.col("__p__tc__") + F.col("__c__tc__")
+            expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+        return j.select(*keys, expr.alias(f"{x}_{y}_{kind}"))
+
+    def cov(self, x: str, y: str, bias: bool = False) -> DataFrame:
+        """EWM weighted covariance of ``x`` vs ``y``; output column
+        ``{x}_{y}_cov`` alongside the partition/order keys."""
+        return self._pair_stat("cov", x, y, bias)
+
+    def corr(self, x: str, y: str) -> DataFrame:
+        """EWM weighted Pearson correlation of ``x`` vs ``y``; output
+        column ``{x}_{y}_corr`` (the pandas debias factor cancels)."""
+        return self._pair_stat("corr", x, y, bias=False)
+
     # -- statistics ---------------------------------------------------------
 
     def mean(self) -> DataFrame:

@@ -246,3 +246,77 @@ def test_series_level_delegation(spark):
     assert e.count() == 100
     c = s.cdf()
     assert "x_cdf" in c.columns
+
+
+class TestEwmPairwise:
+    def _pdf(self, seed=41, n=150, n_keys=2, nan_frac=0.15):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=n)
+        y = 0.5 * x + rng.normal(scale=0.8, size=n)
+        x[rng.random(n) < nan_frac] = np.nan
+        y[rng.random(n) < nan_frac] = np.nan
+        return pd.DataFrame(
+            {
+                "g": rng.integers(0, n_keys, n),
+                "i": np.arange(n),
+                "x": x,
+                "y": y,
+                "w": np.ones(n),
+            }
+        )
+
+    def _pandas_pair(self, pdf, stat, alpha, bias=False):
+        parts = []
+        for g, grp in pdf.sort_values("i").groupby("g"):
+            mask = grp["x"].notna() & grp["y"].notna()
+            x = grp["x"].where(mask)
+            y = grp["y"].where(mask)
+            e = x.ewm(alpha=alpha, adjust=True, ignore_na=False)
+            s = e.cov(y, bias=bias) if stat == "cov" else e.corr(y)
+            parts.append(pd.DataFrame({"g": g, "i": grp["i"], "v": s}))
+        out = pd.concat(parts).sort_values(["g", "i"]).reset_index(drop=True)
+        return out["v"].to_numpy()
+
+    @pytest.mark.parametrize("alpha", [0.3, 0.9])
+    @pytest.mark.parametrize(
+        "stat,kw", [("cov", {"bias": False}), ("cov", {"bias": True}),
+                    ("corr", {})],
+        ids=["cov", "cov_biased", "corr"],
+    )
+    def test_differential_vs_pandas(self, spark, alpha, stat, kw):
+        pdf = self._pdf()
+        sdf = spark.createDataFrame(pdf)
+        e = wt(sdf, "w").ewm(order_by=["i"], partition_by=["g"], alpha=alpha)
+        out = getattr(e, stat)("x", "y", **kw).toPandas()
+        got = (
+            out.sort_values(["g", "i"]).reset_index(drop=True)[
+                f"x_y_{stat}"
+            ].to_numpy()
+        )
+        exp = self._pandas_pair(pdf, stat, alpha,
+                                bias=kw.get("bias", False))
+        # pandas corr returns NaN where we emit NULL and 1-obs cases
+        np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-10,
+                                   equal_nan=True)
+
+    def test_multiband_pair(self, spark):
+        # alpha=0.99 -> B=37: the carry path runs for the cross-moments
+        pdf = self._pdf(seed=43, n=250, n_keys=1, nan_frac=0.1)
+        sdf = spark.createDataFrame(pdf)
+        e = wt(sdf, "w").ewm(order_by=["i"], partition_by=["g"], alpha=0.99)
+        got = (
+            e.cov("x", "y").toPandas().sort_values(["g", "i"])
+            .reset_index(drop=True)["x_y_cov"].to_numpy()
+        )
+        exp = self._pandas_pair(pdf, "cov", 0.99)
+        np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-10,
+                                   equal_nan=True)
+
+    def test_variant_flags_rejected(self, spark):
+        pdf = self._pdf(n=10)
+        sdf = spark.createDataFrame(pdf)
+        e = wt(sdf, "w").ewm(
+            order_by=["i"], partition_by=["g"], alpha=0.5, adjust=False
+        )
+        with pytest.raises(NotImplementedError):
+            e.cov("x", "y")
