@@ -161,6 +161,37 @@ class WeightedRolling:
                 return F.when(v >= 0, F.sqrt(v))
 
             return b
+        if stat in ("skew", "kurt"):
+            # windowed analog of _stats.w_skew / w_kurt: same raw power
+            # sums (left-associated product order) and the same
+            # population/biased central-moment algebra, evaluated over
+            # the frame instead of a full-table aggregate
+            def b(x, w, spec, _stat=stat):
+                W = cnt_of(x, w, spec)
+                mu = F.try_divide(F.sum(x * w).over(spec), W)
+                s2w = F.try_divide(F.sum((x * x) * w).over(spec), W)
+                m2 = s2w - mu * mu
+                s3w = F.try_divide(F.sum((x * x * x) * w).over(spec), W)
+                m3 = s3w - F.lit(3.0) * mu * s2w + F.lit(2.0) * mu * mu * mu
+                ok = (W > 0) & (m2 > 0)
+                if _stat == "skew":
+                    return F.when(
+                        ok, F.try_divide(m3, m2 * F.sqrt(m2))
+                    )
+                s4w = F.try_divide(
+                    F.sum((x * x * x * x) * w).over(spec), W
+                )
+                m4 = (
+                    s4w
+                    - F.lit(4.0) * mu * s3w
+                    + F.lit(6.0) * mu * mu * s2w
+                    - F.lit(3.0) * mu * mu * mu * mu
+                )
+                return F.when(
+                    ok, F.try_divide(m4, m2 * m2) - F.lit(3.0)
+                )
+
+            return b
         raise ValueError(f"unknown rolling statistic {stat!r}")
 
     def col(
@@ -307,3 +338,12 @@ class WeightedRolling:
 
     def std(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         return self._stat(self._builder("std", ddof, skipna))
+
+    def skew(self, skipna: bool = True) -> DataFrame:
+        """Windowed weighted skewness (population/biased m3/m2^1.5 —
+        the frame-local analog of _stats.w_skew)."""
+        return self._stat(self._builder("skew", 1, skipna))
+
+    def kurt(self, skipna: bool = True) -> DataFrame:
+        """Windowed weighted excess kurtosis (population m4/m2^2 - 3)."""
+        return self._stat(self._builder("kurt", 1, skipna))

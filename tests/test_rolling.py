@@ -261,3 +261,55 @@ class TestPairwise:
     def test_pair_col_rejects_unknown(self, ts):
         with pytest.raises(ValueError):
             wt(ts, "w").rolling(2, order_by=["t"]).pair_col("kurt", "x", "x")
+
+
+class TestRollingHigherMoments:
+    def test_skew_kurt_vs_handrolled(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(12)
+        n, W = 60, 7
+        x = rng.normal(size=n) ** 3  # skewed data
+        wv = rng.uniform(0.5, 2.5, size=n)
+        pdf = pd.DataFrame({"i": np.arange(n), "x": x, "w": wv})
+        wdf = wt(spark.createDataFrame(pdf), "w")
+        got_s = (
+            wdf.rolling(W, order_by=["i"], min_periods=W).skew()
+            .toPandas().sort_values("i")["x"].to_numpy()
+        )
+        got_k = (
+            wdf.rolling(W, order_by=["i"], min_periods=W).kurt()
+            .toPandas().sort_values("i")["x"].to_numpy()
+        )
+        exp_s = np.full(n, np.nan)
+        exp_k = np.full(n, np.nan)
+        for i in range(W - 1, n):
+            s = slice(i - W + 1, i + 1)
+            ww, xx = wv[s], x[s]
+            Wt = ww.sum()
+            mu = (ww * xx).sum() / Wt
+            m2 = (ww * xx * xx).sum() / Wt - mu * mu
+            m3 = (ww * xx**3).sum() / Wt - 3 * mu * ((ww * xx * xx).sum() / Wt) + 2 * mu**3
+            m4 = (
+                (ww * xx**4).sum() / Wt
+                - 4 * mu * ((ww * xx**3).sum() / Wt)
+                + 6 * mu * mu * ((ww * xx * xx).sum() / Wt)
+                - 3 * mu**4
+            )
+            if m2 > 0:
+                exp_s[i] = m3 / m2**1.5
+                exp_k[i] = m4 / (m2 * m2) - 3.0
+        np.testing.assert_allclose(got_s, exp_s, rtol=1e-9, equal_nan=True)
+        np.testing.assert_allclose(got_k, exp_k, rtol=1e-9, equal_nan=True)
+
+    def test_agg_all_includes_higher_moments(self, spark, ts):
+        out = (
+            wt(ts, "w")
+            .rolling(2, order_by=["t"], min_periods=1)
+            .agg_all(["mean", "skew", "kurt"])
+        )
+        assert {"x_mean", "x_skew", "x_kurt"} <= set(out.columns)
+        # constant window (single valid value) -> m2 = 0 -> NULL
+        rows = out.orderBy("t").collect()
+        assert rows[0]["x_skew"] is None
