@@ -119,8 +119,10 @@ def asof_join(
     instead — a divergence chosen deliberately: dropping a 100 TB job
     over one NULL row is the wrong default for a distributed engine.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     by = list(by or [])
     if not by:
         import warnings
@@ -174,22 +176,61 @@ def asof_join(
         payload,
         F.lit(right_tag).alias(_TAG),
     )
-    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
-    win = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(order, F.col(_TAG).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def _win(asc: bool):
+        order = F.col(on).asc() if asc else F.col(on).desc()
+        return (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(order, F.col(_TAG).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    unioned = left_side.unionByName(right_side)
+    # A NULL-`on` left row has no position: forward's desc sort puts it
+    # last, where a carried payload would reach it — gate it out.
+    def _ok(m, d):
+        return (
+            F.col(on).isNotNull()
+            & m.isNotNull()
+            & _tolerance_cond(F.col(on), m.getField(on), tolerance, d)
+        )
+
+    if direction == "nearest":
+        # both carries in one plan: the asc and desc windows share the
+        # `by`-key exchange (the second pass re-sorts, no extra
+        # shuffle). The closer valid side wins; ties go backward,
+        # matching pandas.merge_asof(direction="nearest").
+        matched = unioned.select(
+            "*",
+            F.last(_PAYLOAD, ignorenulls=True)
+            .over(_win(asc=True))
+            .alias("__pw_asof_b__"),
+            F.last(_PAYLOAD, ignorenulls=True)
+            .over(_win(asc=False))
+            .alias("__pw_asof_f__"),
+        )
+        mb = F.col("__pw_asof_b__")
+        mf = F.col("__pw_asof_f__")
+        ok_b = _ok(mb, "backward")
+        ok_f = _ok(mf, "forward")
+        gap_b = F.col(on) - mb.getField(on)
+        gap_f = mf.getField(on) - F.col(on)
+        use_b = ok_b & (~ok_f | (gap_b <= gap_f))
+        return matched.where(F.col(_TAG) == 1).select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(use_b, mb.getField(c))
+                .when(ok_f, mf.getField(c))
+                .alias(out_names[c])
+                for c in payload_cols
+            ],
+        )
+
+    carried = F.last(_PAYLOAD, ignorenulls=True).over(
+        _win(asc=direction == "backward")
     )
-    carried = F.last(_PAYLOAD, ignorenulls=True).over(win)
-    matched = left_side.unionByName(right_side).select(
-        "*", carried.alias("__pw_asof_match__")
-    )
-    # A NULL-`on` left row has no position either: forward's desc sort
-    # puts it last, where a carried payload would reach it — gate it out.
+    matched = unioned.select("*", carried.alias("__pw_asof_match__"))
     m = F.col("__pw_asof_match__")
-    ok = F.col(on).isNotNull() & m.isNotNull() & _tolerance_cond(
-        F.col(on), m.getField(on), tolerance, direction
-    )
+    ok = _ok(m, direction)
     return matched.where(F.col(_TAG) == 1).select(
         *[F.col(c) for c in left.columns],
         *[

@@ -232,9 +232,9 @@ def streaming_asof_join(
     Works on a batch ``stream_left`` too (same per-batch path), which
     is what the differential test exploits.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be backward/forward, got {direction!r}"
+            f"direction must be backward/forward/nearest, got {direction!r}"
         )
     by = list(by or [])
     for c in [on, *by]:

@@ -63,7 +63,7 @@ def _run_both(spark, left, right, **kw):
     return got, exp
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("allow_exact", [True, False])
 def test_differential_vs_pandas(spark, direction, allow_exact):
     left, right = _frames(seed=1)
@@ -76,7 +76,7 @@ def test_differential_vs_pandas(spark, direction, allow_exact):
     )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_tolerance(spark, direction):
     left, right = _frames(seed=2)
     got, exp = _run_both(
@@ -85,14 +85,17 @@ def test_tolerance(spark, direction):
     pd.testing.assert_series_equal(
         got["rval"], exp["rval"], check_exact=True, check_names=False
     )
-    # matched ts is within tolerance, oriented
+    # matched ts is within tolerance; oriented except nearest (both sides)
     m = got.dropna(subset=["ts_right"])
-    gap = (
-        (m["ts"] - m["ts_right"])
-        if direction == "backward"
-        else (m["ts_right"] - m["ts"])
-    )
-    assert (gap >= pd.Timedelta(0)).all()
+    if direction == "nearest":
+        gap = (m["ts"] - m["ts_right"]).abs()
+    else:
+        gap = (
+            (m["ts"] - m["ts_right"])
+            if direction == "backward"
+            else (m["ts_right"] - m["ts"])
+        )
+        assert (gap >= pd.Timedelta(0)).all()
     assert (gap <= pd.Timedelta(seconds=600)).all()
 
 

@@ -328,7 +328,7 @@ class TestStreamingAsof:
         right = right.drop_duplicates(["k", "ts"])
         return left, right
 
-    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
     def test_stream_matches_batch_asof(self, spark, tmp_path, direction):
         from pandas_weights_spark.functions.asof import asof_join
         from pandas_weights_spark.streaming import streaming_asof_join
