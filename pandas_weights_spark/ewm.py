@@ -102,24 +102,56 @@ class WeightedEWM:
     def __init__(
         self,
         wdf,
-        order_by: Sequence[_ColRef],
+        order_by: Sequence[_ColRef] = (),
         partition_by: Sequence[_ColRef] = (),
         alpha: Optional[float] = None,
         com: Optional[float] = None,
         span: Optional[float] = None,
-        halflife: Optional[float] = None,
+        halflife=None,
         min_periods: int = 0,
         adjust: bool = True,
         ignore_na: bool = False,
+        times: Optional[str] = None,
     ) -> None:
-        if not order_by:
-            raise ValueError("ewm requires order_by columns")
         if any(not isinstance(r, str) for r in partition_by):
             raise ValueError("ewm partition_by entries must be column names")
         self._wdf = wdf
-        self._order_by = list(order_by)
         self._partition_by = list(partition_by)
-        self._alpha = resolve_alpha(alpha, com, span, halflife)
+        self._times = times
+        if times is not None:
+            # pandas times= semantics: decay by elapsed time; requires a
+            # DURATION halflife, defaults, and (like pandas) mean() only
+            if not (adjust and not ignore_na):
+                raise NotImplementedError(
+                    "times= supports adjust=True, ignore_na=False"
+                )
+            if halflife is None or any(
+                v is not None for v in (alpha, com, span)
+            ):
+                raise ValueError(
+                    "times= requires halflife= (a duration) and no other "
+                    "decay parametrization"
+                )
+            import datetime as _dt
+
+            if isinstance(halflife, _dt.timedelta):
+                secs = halflife.total_seconds()
+            elif isinstance(halflife, str):
+                import pandas as _pd
+
+                secs = _pd.Timedelta(halflife).total_seconds()
+            else:
+                secs = float(halflife)  # numeric: same units as `times`
+            if secs <= 0:
+                raise ValueError("halflife must be a positive duration")
+            self._halflife_secs = secs
+            self._alpha = None
+            self._order_by = list(order_by) if order_by else [times]
+        else:
+            if not order_by:
+                raise ValueError("ewm requires order_by columns")
+            self._order_by = list(order_by)
+            self._alpha = resolve_alpha(alpha, com, span, halflife)
         self._min_periods = int(min_periods)
         self._adjust = bool(adjust)
         self._ignore_na = bool(ignore_na)
@@ -149,12 +181,151 @@ class WeightedEWM:
         ]
 
     def _stat(self, kind: str, bias: bool = False) -> DataFrame:
+        if self._times is not None:
+            if kind != "mean":
+                raise NotImplementedError(
+                    "times= supports mean() only (pandas restriction)"
+                )
+            return self._stat_times()
         # alpha == 1 degenerates identically for every flag combination
         # (only the current row has mass), so the fast shared-band path
         # covers it.
         if (self._adjust and not self._ignore_na) or self._alpha == 1.0:
             return self._stat_fast(kind, bias)
         return self._stat_general(kind, bias)
+
+    def _stat_times(self) -> DataFrame:
+        """Time-decayed EWM mean (pandas ``ewm(halflife=..., times=...)``
+        generalized to per-row weights): weight of row j at row i is
+        ``w_j · 0.5^((t_i − t_j)/halflife)`` — decay by ELAPSED TIME,
+        so irregular sampling is handled exactly.
+
+        The decay exponent in decades is the real-valued
+        ``L_j = (t_j/halflife)·log10(2)``; banding on ``floor(L/75)``
+        is exactly the machinery of the flag variants (constant offsets
+        cancel in N/D, so no anchor subtraction is needed). Bands here
+        bound the EXPONENT RANGE per band — a band holds whatever rows
+        fall inside 75·halflife/log10(2) of time, so window-state is
+        bounded by data density, not row count. ONE exchange on the
+        partition keys. Rows with NULL ``times`` carry no mass and
+        output NULL (pandas raises on NaT instead). Shared band
+        columns: all value columns ride one in-band WindowExec.
+
+        Divergence at extreme gaps: after ~250 halflives with no
+        observations the carried mass is < 1e-75 of a unit weight and
+        the banded sum underflows to NULL, where pandas would still
+        echo the ancient mean — the weights there are far beneath
+        double precision relative to any new observation.
+        """
+        wdf = self._wdf
+        keys = self._key_cols()
+        pcols = [F.col(c) if isinstance(c, str) else c for c in self._partition_by]
+        ocols = [F.col(c) if isinstance(c, str) else c for c in self._order_by]
+        w = wdf.weights
+        tcol = self._times
+        cols = [
+            c
+            for c in wdf.numeric_columns()
+            if c not in keys and c != tcol
+        ]
+        if not cols:
+            raise ValueError("no numeric value columns outside the ewm keys")
+        LN10 = math.log(10.0)
+        DEC = 75.0
+        # timestamp -> epoch seconds; numeric times pass through.
+        # Anchored to the partition minimum: constant offsets cancel in
+        # N/D mathematically, but epoch-scale L (~1e7 decades) loses
+        # ~7 digits in the in-band remainder L - 75*band — anchoring
+        # keeps L at data-range scale so the remainder stays full
+        # precision. The min rides the same exchange (unordered window).
+        tsec = F.col(tcol).cast("double")
+        anchor_win = Window.partitionBy(*pcols)
+        tmin = F.min(tsec).over(anchor_win)
+        L = (tsec - tmin) / F.lit(self._halflife_secs) * F.lit(
+            math.log10(2.0)
+        )
+
+        pos_win = Window.partitionBy(*pcols).orderBy(*ocols)
+        base = wdf.df.select(
+            "*",
+            (F.row_number().over(pos_win) - 1).alias(_P),
+        ).select(
+            "*",
+            F.floor(L / F.lit(DEC)).cast("long").alias(_BAND),
+            (L - F.lit(DEC) * F.floor(L / F.lit(DEC))).alias(_R),
+        )
+        up = F.exp(F.lit(LN10) * F.col(_R))
+        down = F.exp(F.lit(-LN10) * F.col(_R))
+        carry1 = F.lit(10.0 ** -DEC)
+
+        terms = []
+        names = []
+        for c in cols:
+            x = wdf._value(c)
+            valid = (
+                x.isNotNull() & w.isNotNull() & F.col(tcol).isNotNull()
+            )
+            m = F.when(valid, w).otherwise(F.lit(0.0))
+            xz = F.when(valid, x).otherwise(F.lit(0.0))
+            terms += [
+                (m * up).alias(f"__tD_{c}__"),
+                (m * xz * up).alias(f"__tN_{c}__"),
+            ]
+            names += [f"__tD_{c}__", f"__tN_{c}__"]
+            if self._min_periods > 0:
+                terms.append(valid.cast("long").alias(f"__tc_{c}__"))
+                names.append(f"__tc_{c}__")
+        staged = base.select("*", *terms)
+        in_win = (
+            Window.partitionBy(*pcols, F.col(_BAND))
+            .orderBy(F.col(_P))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prefixed = staged.select(
+            "*", *[F.sum(n).over(in_win).alias(f"__p{n}") for n in names]
+        )
+        prev_win = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col(_BAND))
+            .rangeBetween(-1, -1)
+        )
+        all_prev_win = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col(_BAND))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        carry_exprs = []
+        for n in names:
+            if n.startswith("__tc_"):
+                carry_exprs.append(
+                    F.coalesce(F.sum(n).over(all_prev_win), F.lit(0)).alias(
+                        f"__c{n}"
+                    )
+                )
+            else:
+                carry_exprs.append(
+                    F.coalesce(F.sum(n).over(prev_win), F.lit(0.0)).alias(
+                        f"__c{n}"
+                    )
+                )
+        j = prefixed.select("*", *carry_exprs)
+        out_cols = []
+        for c in cols:
+            D = (
+                F.col(f"__p__tD_{c}__") + carry1 * F.col(f"__c__tD_{c}__")
+            ) * down
+            N = (
+                F.col(f"__p__tN_{c}__") + carry1 * F.col(f"__c__tN_{c}__")
+            ) * down
+            expr = F.when(D > 0, F.try_divide(N, D))
+            if self._min_periods > 0:
+                n_valid = F.col(f"__p__tc_{c}__") + F.col(f"__c__tc_{c}__")
+                expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+            out_cols.append(expr.alias(c))
+        sel_keys = [k for k in keys]
+        if tcol not in sel_keys:
+            sel_keys.append(tcol)
+        return j.select(*sel_keys, *out_cols)
 
     def _stat_fast(self, kind: str, bias: bool = False) -> DataFrame:
         wdf = self._wdf
@@ -580,10 +751,10 @@ class WeightedEWM:
         variances (it cancels in corr). ONE exchange on the partition
         keys, like every EWM statistic.
         """
-        if self._adjust is False or self._ignore_na:
+        if self._adjust is False or self._ignore_na or self._times is not None:
             raise NotImplementedError(
                 "ewm pairwise cov/corr supports the default "
-                "adjust=True, ignore_na=False flags"
+                "adjust=True, ignore_na=False flags (no times=)"
             )
         wdf = self._wdf
         alpha = self._alpha

@@ -402,7 +402,7 @@ class WeightedDataFrame:
 
     def ewm(
         self,
-        order_by: Sequence[Union[str, Column]],
+        order_by: Sequence[Union[str, Column]] = (),
         partition_by: Sequence[str] = (),
         alpha: Optional[float] = None,
         com: Optional[float] = None,
@@ -411,6 +411,7 @@ class WeightedDataFrame:
         min_periods: int = 0,
         adjust: bool = True,
         ignore_na: bool = False,
+        times=None,
     ):
         """Weighted exponentially-weighted statistics (pandas
         ``DataFrame.ewm`` generalized to per-row weights, all four
@@ -430,6 +431,7 @@ class WeightedDataFrame:
             min_periods=min_periods,
             adjust=adjust,
             ignore_na=ignore_na,
+            times=times,
         )
 
     # -- the weighted view ----------------------------------------------------
@@ -876,7 +878,7 @@ class WeightedSeries:
 
     def ewm(
         self,
-        order_by: Sequence[Union[str, Column]],
+        order_by: Sequence[Union[str, Column]] = (),
         partition_by: Sequence[str] = (),
         alpha: Optional[float] = None,
         com: Optional[float] = None,
@@ -885,6 +887,7 @@ class WeightedSeries:
         min_periods: int = 0,
         adjust: bool = True,
         ignore_na: bool = False,
+        times=None,
     ):
         return self._wdf.ewm(
             order_by,
@@ -896,6 +899,7 @@ class WeightedSeries:
             min_periods=min_periods,
             adjust=adjust,
             ignore_na=ignore_na,
+            times=times,
         )
 
     def cdf(self, bands: int = 256) -> DataFrame:

@@ -320,3 +320,108 @@ class TestEwmPairwise:
         )
         with pytest.raises(NotImplementedError):
             e.cov("x", "y")
+
+
+class TestEwmTimes:
+    def _pdf(self, seed=51, n=200, n_keys=2, nan_frac=0.15):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=n)
+        x[rng.random(n) < nan_frac] = np.nan
+        # irregular, sorted-per-group timestamps
+        secs = np.sort(rng.integers(0, 5000, n))
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, unit="s")
+        return pd.DataFrame(
+            {
+                "g": rng.integers(0, n_keys, n),
+                "i": np.arange(n),
+                "ts": ts,
+                "x": x,
+                "w": np.ones(n),
+            }
+        )
+
+    def test_differential_vs_pandas_times(self, spark):
+        pdf = self._pdf()
+        sdf = spark.createDataFrame(pdf)
+        out = (
+            wt(sdf, "w")
+            .ewm(
+                order_by=["ts", "i"],
+                partition_by=["g"],
+                halflife="30 seconds",
+                times="ts",
+            )
+            .mean()
+            .toPandas()
+        )
+        got = (
+            out.sort_values(["g", "i"]).reset_index(drop=True)["x"]
+            .to_numpy()
+        )
+        parts = []
+        for g, grp in pdf.sort_values(["ts", "i"]).groupby("g"):
+            e = grp["x"].ewm(
+                halflife=pd.Timedelta("30 seconds"), times=grp["ts"]
+            )
+            parts.append(
+                pd.DataFrame({"g": g, "i": grp["i"], "x": e.mean()})
+            )
+        exp = (
+            pd.concat(parts).sort_values(["g", "i"]).reset_index(drop=True)[
+                "x"
+            ].to_numpy()
+        )
+        np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-11,
+                                   equal_nan=True)
+
+    def test_weighted_times_handrolled(self, spark):
+        # per-row weights: direct O(n^2) time-decay computation
+        rng = np.random.default_rng(53)
+        n = 50
+        secs = np.sort(rng.uniform(0, 500, n))
+        x = rng.normal(size=n)
+        w = rng.uniform(0.5, 3.0, size=n)
+        hl = 20.0
+        pdf = pd.DataFrame(
+            {"g": 0, "i": np.arange(n), "t": secs, "x": x, "w": w}
+        )
+        out = (
+            wt(spark.createDataFrame(pdf), "w")
+            .ewm(
+                order_by=["t"],
+                partition_by=["g"],
+                halflife=hl,  # numeric halflife: same units as times
+                times="t",
+            )
+            .mean()
+            .toPandas()
+            .sort_values("t")["x"]
+            .to_numpy()
+        )
+        exp = np.array(
+            [
+                np.sum(
+                    0.5 ** ((secs[i] - secs[: i + 1]) / hl)
+                    * w[: i + 1]
+                    * x[: i + 1]
+                )
+                / np.sum(0.5 ** ((secs[i] - secs[: i + 1]) / hl) * w[: i + 1])
+                for i in range(n)
+            ]
+        )
+        np.testing.assert_allclose(out, exp, rtol=1e-9)
+
+    def test_times_restrictions(self, spark):
+        pdf = self._pdf(n=10)
+        sdf = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError, match="halflife"):
+            wt(sdf, "w").ewm(times="ts", alpha=0.5, partition_by=["g"])
+        e = wt(sdf, "w").ewm(
+            times="ts", halflife="10s", partition_by=["g"]
+        )
+        with pytest.raises(NotImplementedError, match="mean"):
+            e.var()
+        with pytest.raises(NotImplementedError):
+            wt(sdf, "w").ewm(
+                times="ts", halflife="10s", adjust=False, partition_by=["g"]
+            )
