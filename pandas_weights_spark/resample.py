@@ -388,3 +388,175 @@ class WeightedResampler:
             .agg(*exprs)
             .orderBy(self._on)
         )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    weights,
+    on: str,
+    rules: Sequence[str],
+    stats: Sequence[str] = ("count", "sum", "mean"),
+    value_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Multi-resolution time rollup (continuous-aggregate style): the
+    RAW data is scanned and aggregated ONCE at the finest grain; every
+    coarser grain re-aggregates the previous level's weighted moment
+    sums (Σw-valid, Σwx, Σwx², Σwx³, Σwx⁴ as needed) — which are
+    associative, so each level is EXACT, not approximate, and its
+    input is only ``#fine_buckets`` rows. At 100 TB this is the
+    difference between one scan and ``len(rules)`` scans.
+
+    ``rules`` must be ordered fine → coarse and NEST: fixed rules must
+    divide the next fixed rule; a fixed rule feeding a calendar rule
+    must divide one day (epoch-aligned sub-day buckets always align
+    with calendar boundaries); calendar rules must be start-anchored
+    (``MS``/``QS``/``YS``) with unit months dividing the next level's.
+    Buckets are EPOCH/CALENDAR-anchored (a rollup has no single "first
+    row" to anchor on — documented divergence from the batch
+    resampler's pandas-style first-timestamp origin).
+
+    Output: one unioned DataFrame ``(grain, bucket, {col}_{stat}…)``
+    with a row per (rule, bucket). Supported stats: count, sum, mean,
+    var, std, skew, kurt (all derivable from moment sums).
+    """
+    from pandas_weights_spark.frame import wt as _wt
+
+    _NEED = {
+        "count": 1, "sum": 1, "mean": 1, "var": 2, "std": 2,
+        "skew": 3, "kurt": 4,
+    }
+    bad = [s for s in stats if s not in _NEED]
+    if bad:
+        raise ValueError(f"unsupported rollup statistics: {bad}")
+    order = max(_NEED[s] for s in stats)
+    parsed = [parse_rule(r) for r in rules]
+    if not parsed:
+        raise ValueError("need at least one rule")
+
+    def _nests(fine, coarse):
+        (fk, fi), (ck, ci) = fine, coarse
+        if fk == "fixed" and ck == "fixed":
+            return ci % fi == 0
+        if fk == "fixed" and ck == "cal":
+            return 86400 % fi == 0
+        if fk == "cal" and ck == "cal":
+            return (
+                fi[0] == "start" and ci[0] == "start"
+                and ci[2] % fi[2] == 0
+            )
+        return False  # calendar under fixed never nests
+
+    for a, b in zip(parsed, parsed[1:]):
+        if not _nests(a, b):
+            raise ValueError(
+                f"rule {rules[parsed.index(b)]!r} does not nest "
+                f"{rules[parsed.index(a)]!r}; order rules fine -> coarse"
+            )
+    for k, info in parsed:
+        if k == "cal" and info[0] != "start":
+            raise ValueError(
+                "rollup calendar rules must be start-anchored (MS/QS/YS)"
+            )
+
+    def _bucket(col: Column, kind, info) -> Column:
+        if kind == "fixed":
+            secs = int(info)
+            return F.timestamp_seconds(
+                (F.unix_timestamp(col) / secs).cast("long") * secs
+            )
+        months = info[2]
+        m = F.year(col) * 12 + F.month(col) - 1
+        lm = (m / months).cast("long") * months
+        return F.make_date(
+            (lm / 12).cast("int"), (lm % 12 + 1).cast("int"), F.lit(1)
+        ).cast("timestamp")
+
+    wdf = _wt(df, weights)
+    cols = value_cols or [c for c in wdf.numeric_columns() if c != on]
+    if not cols:
+        raise ValueError("no numeric columns to aggregate")
+    w = wdf.weights
+
+    # level 0: raw rows -> finest buckets, raw weighted power sums
+    kind0, info0 = parsed[0]
+    sums = []
+    for c in cols:
+        x = wdf._value(c)
+        m = F.when(x.isNotNull() & w.isNotNull(), w).otherwise(F.lit(0.0))
+        xz = F.when(x.isNotNull() & w.isNotNull(), x).otherwise(F.lit(0.0))
+        sums.append(F.sum(m).alias(f"__c_{c}__"))
+        pw = xz
+        for k in range(1, order + 1):
+            sums.append(F.sum(m * pw).alias(f"__s{k}_{c}__"))
+            pw = pw * xz
+    level = (
+        wdf.df.where(F.col(on).isNotNull())
+        .groupBy(_bucket(F.col(on), kind0, info0).alias("bucket"))
+        .agg(*sums)
+    )
+
+    def _finalize(lv: DataFrame, grain: str) -> DataFrame:
+        out = [F.lit(grain).alias("grain"), F.col("bucket")]
+        for c in cols:
+            C = F.col(f"__c_{c}__")
+            s1 = F.col(f"__s1_{c}__")
+            mu = F.try_divide(s1, C)
+            for st in stats:
+                if st == "count":
+                    e = C
+                elif st == "sum":
+                    e = s1
+                elif st == "mean":
+                    e = mu
+                elif st in ("var", "std"):
+                    s2 = F.col(f"__s2_{c}__")
+                    v = F.try_divide(s2 - F.try_divide(s1 * s1, C), C - 1)
+                    e = v if st == "var" else F.when(v >= 0, F.sqrt(v))
+                elif st == "skew":
+                    s2 = F.col(f"__s2_{c}__")
+                    s3 = F.col(f"__s3_{c}__")
+                    m2 = F.try_divide(s2, C) - mu * mu
+                    m3 = (
+                        F.try_divide(s3, C)
+                        - F.lit(3.0) * mu * F.try_divide(s2, C)
+                        + F.lit(2.0) * mu * mu * mu
+                    )
+                    e = F.when(
+                        (C > 0) & (m2 > 0),
+                        F.try_divide(m3, m2 * F.sqrt(m2)),
+                    )
+                else:  # kurt
+                    s2 = F.col(f"__s2_{c}__")
+                    s3 = F.col(f"__s3_{c}__")
+                    s4 = F.col(f"__s4_{c}__")
+                    m2 = F.try_divide(s2, C) - mu * mu
+                    m4 = (
+                        F.try_divide(s4, C)
+                        - F.lit(4.0) * mu * F.try_divide(s3, C)
+                        + F.lit(6.0) * mu * mu * F.try_divide(s2, C)
+                        - F.lit(3.0) * mu * mu * mu * mu
+                    )
+                    e = F.when(
+                        (C > 0) & (m2 > 0),
+                        F.try_divide(m4, m2 * m2) - F.lit(3.0),
+                    )
+                out.append(e.alias(f"{c}_{st}"))
+        return lv.select(*out)
+
+    results = [_finalize(level, rules[0])]
+    for rule, (kind, info) in zip(rules[1:], parsed[1:]):
+        # roll the previous level's SUMS up to the coarser grain
+        level = level.groupBy(
+            _bucket(F.col("bucket"), kind, info).alias("bucket")
+        ).agg(
+            *[
+                F.sum(f.name).alias(f.name)
+                for f in level.schema.fields
+                if f.name != "bucket"
+            ]
+        )
+        results.append(_finalize(level, rule))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
