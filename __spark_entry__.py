@@ -240,7 +240,27 @@ def _q_resample_rules(spark, sf_dir):
             F.col("l_extendedprice_mean").alias("w_mean"),
         )
     )
-    return fixed.unionByName(cal)
+    # hypertable rollup rows (new in r3): epoch-aligned 6H level scanned
+    # once, the 1D level DERIVED from the 6H moment sums (associative
+    # rollup, resample.hypertable_rollup). Counts are integer-mass
+    # exact; means round to 2 — the rollup's partial-then-total
+    # summation order differs from the oracle's direct pass, so
+    # bit-exactness is not expected for the float means. w_sum rides as
+    # NULL (raw sums at ~1e6 would need coarser rounding than the
+    # column's exact rows deserve).
+    from pandas_weights_spark.resample import hypertable_rollup
+
+    roll = hypertable_rollup(
+        ev, wexpr, on="ts", rules=["6H", "1D"],
+        stats=("count", "mean"), value_cols=["value"],
+    ).select(
+        F.concat(F.lit("roll:"), F.col("grain")).alias("rule"),
+        F.col("bucket"),
+        F.col("value_count").alias("w_count"),
+        F.lit(None).cast("double").alias("w_sum"),
+        F.round(F.col("value_mean"), 2).alias("w_mean"),
+    )
+    return fixed.unionByName(cal).unionByName(roll)
 
 
 def _corr_pair_df(spark, sf_dir):
@@ -1411,6 +1431,32 @@ _ORACLE: dict[str, str] = {
                    / SUM(CASE WHEN value IS NOT NULL THEN w END) AS w_mean
           FROM b
           GROUP BY bucket
+        )
+        UNION ALL
+        SELECT 'roll:' || g AS rule, bucket, w_count,
+               CAST(NULL AS DOUBLE) AS w_sum,
+               CASE WHEN w_count > 0 THEN ROUND(s / w_count, 2) END AS w_mean
+        FROM (
+          WITH t3 AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(user_id % 7 + 1 AS DOUBLE) AS w
+            FROM events
+          )
+          SELECT '6H' AS g,
+                 CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+                              * 21600) AS TIMESTAMP) AS bucket,
+                 COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+                   AS w_count,
+                 SUM(value * w) AS s
+          FROM t3 WHERE ts IS NOT NULL GROUP BY 2
+          UNION ALL
+          SELECT '1D' AS g,
+                 CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                              * 86400) AS TIMESTAMP) AS bucket,
+                 COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0)
+                   AS w_count,
+                 SUM(value * w) AS s
+          FROM t3 WHERE ts IS NOT NULL GROUP BY 2
         )
     """,
     "group_cdf": """
