@@ -170,6 +170,19 @@ def _central_moments(x: Column, w: Column, *, skipna: bool, upto: int):
     return out
 
 
+def w_sem(
+    x: Column, w: Column, *, ddof: int = 1, skipna: bool = True
+) -> Column:
+    """Weighted standard error of the mean: ``std / sqrt(W)`` with the
+    weighted count ``W`` in the role pandas' ``n`` plays
+    (``DataFrame.sem`` analog under the frequency-weights convention;
+    unit weights reproduce pandas exactly). NULL when the std is (W ≤
+    ddof, non-positive variance)."""
+    sd = w_std(x, w, ddof=ddof, skipna=skipna)
+    W = w_count(x, w, skipna=skipna)
+    return F.when(W > 0, F.try_divide(sd, F.sqrt(W)))
+
+
 def w_skew(x: Column, w: Column, *, skipna: bool = True) -> Column:
     """Weighted skewness ``m3 / m2^1.5`` (population / biased definition,
     the frequency-weights analog of ``scipy.stats.skew(bias=True)``).

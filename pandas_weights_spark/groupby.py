@@ -41,6 +41,9 @@ _KERNELS: dict[str, Callable[..., Column]] = {
     "std": lambda x, w, **k: _stats.w_std(
         x, w, ddof=k.get("ddof", 1), skipna=k.get("skipna", True)
     ),
+    "sem": lambda x, w, **k: _stats.w_sem(
+        x, w, ddof=k.get("ddof", 1), skipna=k.get("skipna", True)
+    ),
     "skew": lambda x, w, **k: _stats.w_skew(x, w, skipna=k.get("skipna", True)),
     "kurt": lambda x, w, **k: _stats.w_kurt(x, w, skipna=k.get("skipna", True)),
     "min": lambda x, w, **k: _stats.w_min(x, w),

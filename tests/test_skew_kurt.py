@@ -106,3 +106,59 @@ class TestGrouped:
         r = out.collect()[0]
         assert r["x_skew"] == pytest.approx(_skew(XS, WS), rel=1e-12)
         assert r["x_kurt"] == pytest.approx(_kurt(XS, WS), rel=1e-12)
+
+
+class TestSem:
+    def test_sem_vs_pandas_unit_weights(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 3, 200),
+                "x": rng.normal(size=200),
+                "w": np.ones(200),
+            }
+        )
+        pdf.loc[rng.random(200) < 0.1, "x"] = np.nan
+        out = {
+            r["g"]: r["x_sem"]
+            for r in wt(spark.createDataFrame(pdf), "w")
+            .groupby("g")[["x"]]
+            .agg_all(["sem"])
+            .collect()
+        }
+        exp = pdf.groupby("g")["x"].sem()
+        for g, v in exp.items():
+            assert out[g] == pytest.approx(v, rel=1e-9)
+
+    def test_sem_weighted_identity(self, spark):
+        # sem == std / sqrt(count) by definition, same one-pass agg
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+
+        pdf = pd.DataFrame(
+            {"x": [1.0, 2.0, 5.0, 9.0], "w": [1.0, 2.0, 1.0, 3.0]}
+        )
+        import math
+
+        from pyspark.sql import functions as F
+
+        from pandas_weights_spark import _stats
+        from pandas_weights_spark.frame import wt as _wt
+
+        wdf = _wt(spark.createDataFrame(pdf), "w")
+        x = wdf._value("x")
+        w = wdf.weights
+        row = wdf.df.agg(
+            _stats.w_count(x, w).alias("x_count"),
+            _stats.w_std(x, w).alias("x_std"),
+            _stats.w_sem(x, w).alias("x_sem"),
+        ).collect()[0]
+        assert row["x_sem"] == pytest.approx(
+            row["x_std"] / math.sqrt(row["x_count"]), rel=1e-12
+        )
