@@ -135,32 +135,34 @@ def range_join(
     )
     l_keyed = left.withColumn(
         _BUCKET, F.floor(F.col(point).cast("double") / w).cast("long")
-    )
+    ).alias("__pw_rj_l__")
+    r_exp = r_exp.alias("__pw_rj_r__")
 
-    p = F.col(point).cast("double")
-    rlo = F.col(f"__r_{lower}__").cast("double")
-    rhi = F.col(f"__r_{upper}__").cast("double")
+    # ONE join for both how= modes: the (by, bucket) equalities are
+    # extracted by Catalyst as equi-join keys (shuffled hash / sort-merge,
+    # never a nested loop) and the exact containment rides along as the
+    # join condition, so under how="left" an unmatched left row — NULL
+    # point, no covering interval, NULL by key — surfaces exactly once
+    # with NULL payload straight from the outer join. (The previous
+    # two-pass anti-join recovery compared on ALL left columns with
+    # null-unsafe equality, so a MATCHED left row carrying a NULL in any
+    # payload column never equaled its own image and was re-emitted as a
+    # spurious all-NULL duplicate; it also cost an extra wide-row
+    # shuffle.)
+    p = F.col(f"__pw_rj_l__.{point}").cast("double")
+    rlo = F.col(f"__pw_rj_r__.__r_{lower}__").cast("double")
+    rhi = F.col(f"__pw_rj_r__.__r_{upper}__").cast("double")
     lo_ok = (p >= rlo) if closed in ("both", "left") else (p > rlo)
     hi_ok = (p <= rhi) if closed in ("both", "right") else (p < rhi)
-    contained = lo_ok & hi_ok
+    cond = lo_ok & hi_ok
+    for c in [*by, _BUCKET]:
+        cond = (F.col(f"__pw_rj_l__.{c}") == F.col(f"__pw_rj_r__.{c}")) & cond
 
-    joined = l_keyed.join(r_exp, on=by + [_BUCKET]).where(contained)
-    out = joined.select(
-        *[F.col(c) for c in left.columns],
-        *[F.col(f"__r_{c}__").alias(out_names[c]) for c in payload_cols],
+    joined = l_keyed.join(r_exp, on=cond, how=how)
+    return joined.select(
+        *[F.col(f"__pw_rj_l__.{c}") for c in left.columns],
+        *[
+            F.col(f"__pw_rj_r__.__r_{c}__").alias(out_names[c])
+            for c in payload_cols
+        ],
     )
-
-    if how == "left":
-        matched_keys = out.select(*left.columns)
-        unmatched = left.join(matched_keys, on=left.columns, how="left_anti")
-        null_payload = unmatched.select(
-            *[F.col(c) for c in left.columns],
-            *[
-                F.lit(None)
-                .cast(right.schema[c].dataType)
-                .alias(out_names[c])
-                for c in payload_cols
-            ],
-        )
-        out = out.unionByName(null_payload)
-    return out

@@ -91,6 +91,43 @@ def test_left_outer_and_nulls(spark):
     assert len(out) == 3
 
 
+def test_left_outer_matched_row_with_null_payload_not_duplicated(spark):
+    # regression (round-3 verdict): a MATCHED left row carrying a NULL in
+    # a non-join column must appear exactly once — the old anti-join
+    # recovery compared all left columns null-unsafely and re-emitted it
+    # as a spurious all-NULL-payload duplicate
+    left = spark.createDataFrame(
+        [(1, 5.0, None), (1, 500.0, "b")],
+        "k long, x double, note string",
+    )
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0, 7)], "k long, lo double, hi double, rid long"
+    )
+    out = range_join(
+        left, right, point="x", lower="lo", upper="hi", by=["k"],
+        how="left", bucket_width=10.0,
+    ).collect()
+    assert len(out) == 2
+    by_x = {r["x"]: r for r in out}
+    assert by_x[5.0]["rid"] == 7 and by_x[5.0]["note"] is None
+    assert by_x[500.0]["rid"] is None and by_x[500.0]["note"] == "b"
+
+
+def test_left_outer_single_join_no_extra_shuffle(spark):
+    # the left-outer path is ONE equi-join: no anti-join recovery pass,
+    # no union of two branches
+    left, right = _frames(seed=7)
+    out = range_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        point="x", lower="lo", upper="hi", by=["k"], how="left",
+        bucket_width=25.0,
+    )
+    plan = P.physical_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Union" not in plan, plan
+    assert plan.count("Join") <= 1 or "LeftOuter" in plan
+
+
 def test_no_nested_loop_in_plan(spark):
     left, right = _frames(seed=4)
     out = range_join(
