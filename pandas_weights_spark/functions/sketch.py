@@ -22,8 +22,12 @@ Design (classic Cormode-Muthukrishnan, weights instead of counts):
   the candidates come from a cheap per-partition pre-aggregation, so
   the full key cardinality never shuffles.
 
-Hashes are seeded ``xxhash64`` — engine-portable and deterministic, so
-tests (and any SQL oracle) can reproduce bucket assignment exactly.
+Hashes: seeded ``xxhash64`` by default (fastest JVM-side hash), or —
+with ``portable_hash=True`` — an md5-derived bucket that any SQL engine
+reproduces digit-for-digit (the same trick as ``dedup.simhash``), so
+the DuckDB oracle can rebuild the identical sketch. Both are
+deterministic; the md5 path costs one md5 per (row, depth) pair and is
+meant for cross-engine verification, not the 100 TB hot path.
 """
 
 from __future__ import annotations
@@ -37,8 +41,16 @@ from pyspark.sql import functions as F
 __all__ = ["weighted_cms", "cms_lookup", "weighted_heavy_hitters"]
 
 
-def _bucket(col: Column, row: int, width: int, seed: int) -> Column:
-    return F.pmod(F.xxhash64(col, F.lit(seed + row)), F.lit(width))
+def _bucket(
+    col: Column, row: int, width: int, seed: int, portable: bool = False
+) -> Column:
+    if not portable:
+        return F.pmod(F.xxhash64(col, F.lit(seed + row)), F.lit(width))
+    # engine-portable: first 15 hex digits of md5("<key>:<seed+row>")
+    # as a base-16 integer (60 bits, exact in a long), mod width. Any
+    # SQL engine with md5() reproduces this bucket exactly.
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":{seed + row}")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width))
 
 
 def weighted_cms(
@@ -48,6 +60,7 @@ def weighted_cms(
     depth: int = 5,
     width: int = 2048,
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Build the sketch: ``(row, bucket, mass)`` with ``depth·width``
     rows. NULL keys and NULL weights carry no mass. One explode (factor
@@ -62,7 +75,7 @@ def weighted_cms(
         *[
             F.struct(
                 F.lit(r).alias("row"),
-                _bucket(k, r, width, seed).alias("bucket"),
+                _bucket(k, r, width, seed, portable_hash).alias("bucket"),
             )
             for r in range(depth)
         ]
@@ -82,29 +95,51 @@ def cms_lookup(
     width: int = 2048,
     seed: int = 42,
     out_col: str = "est_mass",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Estimate each value's total weight mass: min over the depth
     rows' counters. The sketch is tiny (``depth·width`` rows) and
     broadcast; the values frame streams map-side."""
-    v = values
+    est = _estimate(
+        sketch, values, key, depth, width, seed, out_col, portable_hash
+    )
+    return values.join(F.broadcast(est), on=key, how="left")
+
+
+def _estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    key: str,
+    depth: int,
+    width: int,
+    seed: int,
+    out_col: str,
+    portable_hash: bool,
+) -> DataFrame:
+    """``(key, est_mass)`` per distinct key in ``values`` — the CMS
+    min-over-depth estimate without re-attaching the values frame (the
+    re-attach in ``cms_lookup`` recomputes the values lineage; callers
+    that only need the estimate, like ``weighted_heavy_hitters``, use
+    this to keep the input single-scan)."""
     pairs = F.array(
         *[
             F.struct(
                 F.lit(r).alias("row"),
-                _bucket(F.col(key), r, width, seed).alias("bucket"),
+                _bucket(F.col(key), r, width, seed, portable_hash).alias(
+                    "bucket"
+                ),
             )
             for r in range(depth)
         ]
     )
-    exploded = v.select(
+    exploded = values.select(
         F.col(key), F.explode(pairs).alias("p")
     ).select(key, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
-    est = (
+    return (
         exploded.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("mass"), F.lit(0.0))).alias(out_col))
     )
-    return v.join(F.broadcast(est), on=key, how="left")
 
 
 def weighted_heavy_hitters(
@@ -116,6 +151,7 @@ def weighted_heavy_hitters(
     width: int = 2048,
     seed: int = 42,
     candidates_per_partition: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Keys whose estimated weight mass exceeds ``threshold_frac`` of
     the total — WITHOUT shuffling the full key cardinality.
@@ -147,8 +183,17 @@ def weighted_heavy_hitters(
     k = F.col(key)
     mass = F.when(k.isNotNull() & w.isNotNull(), w).otherwise(F.lit(0.0))
 
-    sketch = weighted_cms(df, key, weights, depth, width, seed)
-    total_row = df.agg(F.sum(mass).alias("t")).first()
+    # TWO scans of df total: the sketch aggregate and the candidate
+    # mapInPandas pass. The grand total is NOT a third scan — every hash
+    # row's buckets partition the full mass, so Σ mass over row 0 IS the
+    # total; persist the (depth·width)-row sketch so the action that
+    # reads the total also materializes the table cms_lookup broadcasts.
+    sketch = weighted_cms(
+        df, key, weights, depth, width, seed, portable_hash
+    ).persist()
+    total_row = (
+        sketch.where(F.col("row") == 0).agg(F.sum("mass").alias("t")).first()
+    )
     total = float(total_row["t"] or 0.0)
     if total <= 0:
         return (
@@ -181,8 +226,8 @@ def weighted_heavy_hitters(
         .mapInPandas(_local_top, f"`{key}` {key_type}")
         .distinct()
     )
-    est = cms_lookup(
-        sketch, cands, key, depth=depth, width=width, seed=seed
+    est = _estimate(
+        sketch, cands, key, depth, width, seed, "est_mass", portable_hash
     )
     return (
         est.withColumn("est_frac", F.col("est_mass") / F.lit(total))

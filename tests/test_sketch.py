@@ -84,6 +84,47 @@ class TestCms:
         assert est["est_mass"] <= np.e / 2048 * pdf["w"].sum() * 3
 
 
+class TestPortableHash:
+    def test_bucket_matches_python_md5(self, spark):
+        # portable_hash=True buckets must be reproducible by ANY engine
+        # with md5(): first 15 hex digits as base-16 int, mod width —
+        # verified here against Python's hashlib
+        import hashlib
+
+        pdf = _pdf(n=200, n_keys=50)
+        sdf = spark.createDataFrame(pdf)
+        depth, width, seed = 3, 128, 42
+        sk = weighted_cms(
+            sdf, "k", "w", depth=depth, width=width, seed=seed,
+            portable_hash=True,
+        )
+        got = {(r["row"], r["bucket"]): r["mass"] for r in sk.collect()}
+        exp: dict = {}
+        for kk, ww in zip(pdf["k"], pdf["w"]):
+            for r in range(depth):
+                h = hashlib.md5(f"{kk}:{seed + r}".encode()).hexdigest()
+                b = int(h[:15], 16) % width
+                exp[(r, b)] = exp.get((r, b), 0.0) + float(ww)
+        assert set(got) == set(exp)
+        for cell in exp:
+            assert abs(got[cell] - exp[cell]) < 1e-9
+
+    def test_portable_estimates_one_sided(self, spark):
+        pdf = _pdf(seed=11)
+        sdf = spark.createDataFrame(pdf)
+        truth = pdf.groupby("k")["w"].sum()
+        sk = weighted_cms(sdf, "k", "w", 5, 1024, portable_hash=True)
+        values = spark.createDataFrame(pd.DataFrame({"k": truth.index}))
+        est = {
+            r["k"]: r["est_mass"]
+            for r in cms_lookup(
+                sk, values, "k", 5, 1024, portable_hash=True
+            ).collect()
+        }
+        for kk, true_mass in truth.items():
+            assert est[kk] >= true_mass - 1e-9
+
+
 class TestHeavyHitters:
     def test_finds_true_heavy_hitters(self, spark):
         pdf = _pdf(seed=7)
@@ -101,6 +142,28 @@ class TestHeavyHitters:
         # and the estimate can't be below truth
         for r in got.collect():
             assert r["est_mass"] >= truth.get(r["k"], 0.0) - 1e-9
+
+    def test_two_scans_total_read_from_sketch(self, spark):
+        # the grand total comes from the persisted sketch's hash-row 0
+        # (every hash row partitions the full mass), NOT a third pass
+        # over the input: the final plan reads the input exactly once
+        # (the candidate mapInPandas pass) plus the cached sketch
+        from pandas_weights_spark import plans as P
+
+        sdf = spark.createDataFrame(_pdf(n=1000)).repartition(4)
+        got = weighted_heavy_hitters(
+            sdf, "k", "w", threshold_frac=0.02, candidates_per_partition=64
+        )
+        plan = P.physical_plan(got)
+        # the InMemoryRelation subtree is the already-materialized sketch
+        # build (its scan already ran, when the total was read) — live
+        # scans are only those above the cache boundary
+        live = plan.split("InMemoryRelation")[0]
+        input_scans = live.count("Scan ExistingRDD") + live.count(
+            "LocalTableScan"
+        )
+        assert input_scans == 1, plan
+        assert "InMemoryTableScan" in live, plan
 
     def test_candidate_budget_validated(self, spark):
         sdf = spark.createDataFrame(_pdf(n=100))
