@@ -461,12 +461,14 @@ def hypertable_rollup(
     def _bucket(col: Column, kind, info) -> Column:
         if kind == "fixed":
             secs = int(info)
+            # floor, not cast: cast truncates toward zero, which would
+            # bucket pre-1970 (negative epoch) timestamps one slot high
             return F.timestamp_seconds(
-                (F.unix_timestamp(col) / secs).cast("long") * secs
+                F.floor(F.unix_timestamp(col) / secs).cast("long") * secs
             )
         months = info[2]
         m = F.year(col) * 12 + F.month(col) - 1
-        lm = (m / months).cast("long") * months
+        lm = F.floor(m / months).cast("long") * months
         return F.make_date(
             (lm / 12).cast("int"), (lm % 12 + 1).cast("int"), F.lit(1)
         ).cast("timestamp")
@@ -489,10 +491,16 @@ def hypertable_rollup(
         for k in range(1, order + 1):
             sums.append(F.sum(m * pw).alias(f"__s{k}_{c}__"))
             pw = pw * xz
+    # persist the finest-level aggregate: every union branch (each
+    # grain's _finalize, and each coarser level's re-aggregation)
+    # re-derives its lineage, so without a cache boundary the RAW scan
+    # would run once per grain — exactly the multiplication the one-scan
+    # claim forbids. The cached table is only #fine_buckets rows.
     level = (
         wdf.df.where(F.col(on).isNotNull())
         .groupBy(_bucket(F.col(on), kind0, info0).alias("bucket"))
         .agg(*sums)
+        .persist()
     )
 
     def _finalize(lv: DataFrame, grain: str) -> DataFrame:

@@ -385,6 +385,33 @@ class TestHypertableRollup:
                     rtol=1e-12, equal_nan=True, err_msg=f"{rule}:{col}",
                 )
 
+    def test_pre_epoch_timestamps_bucket_by_floor(self, spark):
+        # regression (round-3 advice): cast('long') truncates toward
+        # zero, so negative-epoch timestamps bucketed one slot too high
+        # — 1969-12-31 18:00 must land in the 12:00 6H bucket, not 18:00+
+        import pandas as pd
+
+        from pandas_weights_spark.resample import hypertable_rollup
+
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["1969-12-31 17:59:00", "1969-12-31 13:00:00",
+                     "1970-01-01 01:00:00"]
+                ),
+                "x": [1.0, 2.0, 4.0],
+                "w": [1.0, 1.0, 1.0],
+            }
+        )
+        out = hypertable_rollup(
+            spark.createDataFrame(pdf), "w", on="ts", rules=["6H"],
+            stats=("sum",),
+        ).toPandas().set_index("bucket").sort_index()
+        assert [str(b) for b in out.index] == [
+            "1969-12-31 12:00:00", "1970-01-01 00:00:00",
+        ]
+        assert out["x_sum"].tolist() == [3.0, 4.0]
+
     def test_single_scan_plan(self, spark):
         from pandas_weights_spark import plans as P
         from pandas_weights_spark.resample import hypertable_rollup
@@ -399,11 +426,18 @@ class TestHypertableRollup:
             stats=("count", "mean"),
         )
         plan = P.physical_plan(out)
-        # three grains, ONE scan of the raw parquet: coarser levels
-        # re-aggregate the finest level's sums... per union branch the
-        # lineage re-derives, so allow scan-per-branch but assert no
-        # more than one scan per grain (no per-stat rescans)
-        assert plan.count("Scan parquet") <= 3, plan
+        # three grains, ONE scan of the raw parquet: the finest-level
+        # aggregate is persisted, so every union branch reads the cached
+        # sums (InMemoryTableScan) and the raw scan appears only inside
+        # the cache's build plan — the one-scan claim is pinned, not an
+        # exchange-reuse accident
+        assert plan.count("InMemoryTableScan") == 3, plan
+        # no live raw scan: every FileScan in the printout sits inside a
+        # cached-relation build subtree (the printer repeats the same
+        # relation under each InMemoryTableScan), and none precede the
+        # first cache read
+        assert plan.split("InMemoryRelation")[0].count("Scan parquet") == 0, plan
+        assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation"), plan
 
     def test_bad_nesting_rejected(self, spark):
         from pandas_weights_spark.resample import hypertable_rollup
