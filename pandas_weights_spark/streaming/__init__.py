@@ -209,6 +209,7 @@ def streaming_asof_join(
     tolerance=None,
     allow_exact_matches: bool = True,
     suffix: str = "_right",
+    max_static_rows: int = 10_000_000,
 ) -> DataFrame:
     """Streaming as-of join: each left (stream) row picks up the
     nearest static_right row along ``on`` per ``by`` key — the
@@ -228,6 +229,11 @@ def streaming_asof_join(
     ``transformWithState``-style buffering and is out of scope; union
     the right stream into a table and re-broadcast per restart, or
     use the batch operator on availableNow snapshots.)
+
+    The right side is collected to the driver; ``max_static_rows``
+    bounds that collect (counted FIRST, so an oversized dimension fails
+    loudly before it can exhaust driver memory — same convention as
+    ``frame_apply.max_rows``).
 
     Works on a batch ``stream_left`` too (same per-batch path), which
     is what the differential test exploits.
@@ -267,9 +273,18 @@ def streaming_asof_join(
     # position on the axis — batch operator does the same), pre-sorted
     # for merge_asof; the matched ordering value rides as a payload
     # column so the output mirrors the batch f"{on}{suffix}" column
-    right_pdf = (
-        static_right.where(F.col(on).isNotNull()).toPandas()
-        .rename(columns={c: out_names[c] for c in payload_cols if c != on})
+    usable = static_right.where(F.col(on).isNotNull())
+    n_static = usable.count()
+    if n_static > max_static_rows:
+        raise ValueError(
+            f"streaming_asof_join: static right side has {n_static:,} "
+            f"usable rows, above max_static_rows={max_static_rows:,}; "
+            "this path collects and broadcasts the dimension table — "
+            "shrink/pre-aggregate it, or raise max_static_rows to "
+            "accept the driver-memory cost"
+        )
+    right_pdf = usable.toPandas().rename(
+        columns={c: out_names[c] for c in payload_cols if c != on}
     )
     right_pdf[out_names[on]] = right_pdf[on]
     # merge_asof requires a GLOBAL sort on `on` (by-groups internal)
@@ -295,30 +310,99 @@ def streaming_asof_join(
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
+
+    def _null_norm_tuples(frame):
+        # composite by-key with NULL==NULL semantics: the batch operator
+        # window-partitions on the by tuple, where NULLs form a group
+        # like any other value — normalize every missing value to None
+        # so equal tuples hash equal in merge_asof's by matching
+        return [
+            tuple(None if pd.isna(v) else v for v in t)
+            for t in frame[by].itertuples(index=False, name=None)
+        ]
+
+    if by:
+        nn_mask = right_pdf[by].notna().all(axis=1)
+        rp_nn = right_pdf[nn_mask].reset_index(drop=True)
+        rp_nu = right_pdf[~nn_mask].reset_index(drop=True)
+        rp_nu["__pw_by__"] = _null_norm_tuples(rp_nu)
+        rp_nu = rp_nu.drop(columns=by)
+    else:
+        rp_nn, rp_nu = right_pdf, None
     sc = stream_left.sparkSession.sparkContext
-    bc = sc.broadcast(right_pdf)
+    bc = sc.broadcast((rp_nn, rp_nu))
+
+    def _asof(left_part, right_part, by_arg):
+        if len(right_part) == 0:
+            return left_part  # reindex below fills NULL payload
+        return pd.merge_asof(
+            left_part,
+            right_part,
+            on=on,
+            by=by_arg,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
 
     def run(batches):
-        rp = bc.value
+        import numpy as np
+
+        rp_nn, rp_nu = bc.value
+        widen: dict = {}
+        aligned = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if by and not aligned:
+                # Arrow hands a column containing NULLs to pandas as
+                # float64, so the two sides of the same Spark type can
+                # disagree (int64 vs float64) — widen BOTH sides to the
+                # common numeric dtype (right once per task, left per
+                # batch; by-key values in the merge path are non-null,
+                # so the cast is lossless)
+                for c in by:
+                    lt, rt = pdf[c].dtype, rp_nn[c].dtype
+                    if lt != rt and lt.kind in "iuf" and rt.kind in "iuf":
+                        widen[c] = np.result_type(lt, rt)
+                if widen:
+                    rp_nn = rp_nn.astype(widen)
+                aligned = True
             ok = pdf[on].notna()
-            for k in by:
-                ok &= pdf[k].notna()
             good = pdf[ok].sort_values(on, kind="mergesort")
-            merged = pd.merge_asof(
-                good,
-                rp,
-                on=on,
-                by=by or None,
-                direction=direction,
-                tolerance=tol,
-                allow_exact_matches=allow_exact_matches,
-            )
+            parts = []
+            if by:
+                # rows with a NULL in any by key still match — against
+                # right rows with the SAME NULL pattern (batch parity);
+                # tuple-keyed path, off the vectorized hot path
+                nn = good[by].notna().all(axis=1)
+                good_nn, good_nu = good[nn], good[~nn]
+                if len(good_nn):
+                    lc = {
+                        c: t
+                        for c, t in widen.items()
+                        if good_nn[c].dtype != t
+                    }
+                    if lc:
+                        good_nn = good_nn.astype(lc)
+                    parts.append(_asof(good_nn, rp_nn, by))
+                if len(good_nu):
+                    gn = good_nu.copy()
+                    gn["__pw_by__"] = _null_norm_tuples(gn)
+                    m = _asof(gn, rp_nu, "__pw_by__")
+                    parts.append(m.drop(columns="__pw_by__"))
+            elif len(good):
+                parts.append(_asof(good, rp_nn, None))
             bad = pdf[~ok]
             if len(bad):
-                merged = pd.concat([merged, bad], ignore_index=True)
+                parts.append(bad)
+            if not parts:
+                parts = [pdf.iloc[0:0]]
+            merged = (
+                parts[0]
+                if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)
+            )
             yield merged.reindex(columns=out_cols)
 
     return stream_left.mapInPandas(run, out_schema)

@@ -389,6 +389,48 @@ class TestStreamingAsof:
         assert rows[2.0]["sig"] is None  # 105 past tolerance
         assert rows[3.0]["sig"] is None  # NULL ts never matches
 
+    def test_null_by_keys_match_null_group(self, spark):
+        # batch parity (round-3 advice): the batch operator's window
+        # partitions NULL by-keys into their own group, so a NULL-k left
+        # row matches NULL-k right rows — the streaming path must agree
+        from pandas_weights_spark.functions.asof import asof_join
+        from pandas_weights_spark.streaming import streaming_asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100.0, 1.0), (None, 100.0, 2.0), (None, 50.0, 3.0),
+             (2, 100.0, 4.0)],
+            "k long, ts double, a double",
+        )
+        right = spark.createDataFrame(
+            [(1, 90.0, 10.0), (None, 80.0, 20.0), (None, 99.0, 30.0)],
+            "k long, ts double, sig double",
+        )
+        kw = dict(on="ts", by=["k"], direction="backward")
+        expected = {
+            r["a"]: (r["ts_right"], r["sig"])
+            for r in asof_join(left, right, **kw).collect()
+        }
+        got = {
+            r["a"]: (r["ts_right"], r["sig"])
+            for r in streaming_asof_join(left, right, **kw).collect()
+        }
+        assert got == expected
+        assert got[2.0] == (99.0, 30.0)  # NULL k matched NULL-k group
+        assert got[3.0] == (None, None)  # no NULL-group row at ts <= 50
+        assert got[4.0] == (None, None)  # k=2 has no right group at all
+
+    def test_max_static_rows_guard(self, spark):
+        from pandas_weights_spark.streaming import streaming_asof_join
+
+        left = spark.createDataFrame([(1, 1.0)], "k long, ts double")
+        right = spark.createDataFrame(
+            [(1, float(i)) for i in range(20)], "k long, ts double"
+        )
+        with pytest.raises(ValueError, match="max_static_rows"):
+            streaming_asof_join(
+                left, right, on="ts", by=["k"], max_static_rows=10
+            )
+
     def test_static_right_required(self, spark, tmp_path):
         from pandas_weights_spark.streaming import streaming_asof_join
 
