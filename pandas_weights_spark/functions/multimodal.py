@@ -134,13 +134,17 @@ def audio_feature_vector(audio: "_codecs.AudioData", dim: int) -> list[float]:
         audio.zero_crossing_rate(),
     ]
     if len(out) < dim:
+        import numpy as np
+
         bins = dim - len(out)
-        counts = [0] * bins
-        for s in audio.samples:
-            b = min(bins - 1, int(min(abs(s), 1.0) * bins))
-            counts[b] += 1
         n = len(audio.samples)
-        out += [c / n if n else 0.0 for c in counts]
+        if n:
+            a = np.minimum(np.abs(audio.samples), 1.0)
+            b = np.minimum(bins - 1, (a * bins).astype(np.int64))
+            counts = np.bincount(b, minlength=bins)
+            out += [float(c) / n for c in counts]
+        else:
+            out += [0.0] * bins
     return out[:dim]
 
 
@@ -151,12 +155,16 @@ def _byte_histogram_features(
     fallback when only metadata is decodable, e.g. JPEG without PIL)."""
     out = list(head)
     if len(out) < dim:
+        import numpy as np
+
         bins = dim - len(out)
-        counts = [0] * bins
-        for b in payload:
-            counts[b * bins // 256] += 1
         n = len(payload)
-        out += [c / n if n else 0.0 for c in counts]
+        if n:
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            counts = np.bincount(b * bins // 256, minlength=bins)
+            out += [float(c) / n for c in counts]
+        else:
+            out += [0.0] * bins
     return out[:dim]
 
 
@@ -183,7 +191,11 @@ def _jpeg_features(payload: bytes, dim: int) -> list[float]:
                 im.width, im.height, 3, im.tobytes()
             )
         return image_feature_vector(img, dim)
-    except ImportError:
+    except Exception:
+        # not just ImportError: a valid SOF header with truncated or
+        # corrupt entropy data raises from PIL's decode — fall through
+        # to the metadata + byte-histogram features either way, so the
+        # output is environment-independent for broken payloads
         pass
     w, h, comps = _codecs.jpeg_dimensions(payload)
     head = [

@@ -196,6 +196,117 @@ class TestBMPWavJpeg:
         )
 
 
+class TestJpegPilPath:
+    def test_broken_entropy_falls_back_to_metadata_features(self):
+        # valid SOF header + garbage entropy data: with OR without PIL
+        # installed the features must come from the metadata +
+        # byte-histogram path (PIL decode raises mid-stream; the round-3
+        # advice fix catches Exception, not just ImportError)
+        payload = (
+            _jpeg_header_bytes(320, 200)
+            + b"\xff\xda\x00\x08\x01\x01\x00\x00?\x00"  # SOS
+            + b"\x13\x37" * 40  # truncated garbage entropy bytes
+        )
+        feats = MM._jpeg_features(payload, 12)
+        assert feats[2] == 3.0  # component count from real SOF
+        assert len(feats) == 12
+        head = [
+            math.log1p(320), math.log1p(200), 3.0, 320 / 200,
+        ]
+        expected = MM._byte_histogram_features(payload, head, 12)
+        assert feats == [approx(v) for v in expected]
+
+    def test_pil_pixel_decode_when_available(self):
+        # full pixel path (DECODERS upgrade): only runs where PIL exists
+        PIL = pytest.importorskip("PIL.Image")
+        import io as _io
+
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        buf = _io.BytesIO()
+        PIL.fromarray(arr, "RGB").save(buf, format="JPEG")
+        feats = MM._jpeg_features(buf.getvalue(), 12)
+        # head comes from decoded pixels: width/height/channels/aspect
+        assert feats[0] == approx(math.log1p(32))
+        assert feats[1] == approx(math.log1p(24))
+        assert feats[2] == 3.0
+        # channel means of a real decode sit near the uniform mean
+        assert 0.3 < feats[4] < 0.7
+
+
+class TestVectorizedKernels:
+    """The feature kernels run on numpy — assert both value parity with
+    a straight-Python reference and a >=10x speedup on a 1-megapixel
+    fixture (the round-3 verdict's bar for real payload sizes)."""
+
+    def _ref_stats(self, img):
+        n = img.width * img.height
+        out = []
+        for c in range(img.channels):
+            sl = img.pixels[c :: img.channels]
+            s = sum(sl)
+            ss = sum(b * b for b in sl)
+            mean = s / n
+            var = max(0.0, ss / n - mean * mean)
+            out.append((mean, var**0.5))
+        return out
+
+    def _ref_hist(self, img, bins):
+        n = img.width * img.height
+        counts = [0] * bins
+        ch = min(img.channels, 3)
+        for i in range(n):
+            base = i * img.channels
+            lum = sum(img.pixels[base : base + ch]) / ch
+            counts[min(bins - 1, int(lum * bins / 256.0))] += 1
+        return [c / n for c in counts]
+
+    def test_parity_and_speedup_megapixel(self):
+        import time
+
+        import numpy as np
+
+        rng = np.random.default_rng(12)
+        w = h = 1024  # 1 MP RGB
+        px = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        img = C.ImageData(w, h, 3, px)
+
+        img.channel_stats(), img.luminance_histogram(bins=8)  # warm numpy
+        t0 = time.perf_counter()
+        stats = img.channel_stats()
+        hist = img.luminance_histogram(bins=8)
+        fast = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        ref_stats = self._ref_stats(img)
+        ref_hist = self._ref_hist(img, 8)
+        slow = time.perf_counter() - t0
+
+        for (m, s), (rm, rs) in zip(stats, ref_stats):
+            assert m == approx(rm, rel=1e-9) and s == approx(rs, rel=1e-9)
+        assert hist == [approx(v) for v in ref_hist]
+        assert slow / fast >= 10, (slow, fast)
+
+    def test_resize_parity_with_loop(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        w, h, ch = 37, 23, 3
+        px = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+        img = C.resize_nearest(C.ImageData(w, h, ch, px), 16, 9)
+        # straight-Python reference gather
+        ref = bytearray()
+        for y in range(9):
+            sy = min(h - 1, y * h // 9)
+            for x in range(16):
+                sx = min(w - 1, x * w // 16)
+                src = (sy * w + sx) * ch
+                ref += px[src : src + ch]
+        assert img.pixels == bytes(ref)
+
+
 @pytest.fixture(scope="module")
 def real_media(spark):
     png = _png_bytes(6, 4, 3, _test_pixels(6, 4, 3), [0, 1, 2, 3, 4])
