@@ -65,7 +65,10 @@ def _q_global_stats(spark, sf_dir):
     d = wdf.std(subset=["l_extendedprice"]).select(
         F.col("l_extendedprice").alias("std_price")
     )
-    return s.crossJoin(m).crossJoin(v).crossJoin(d)
+    e = wdf.sem(subset=["l_extendedprice"]).select(
+        F.col("l_extendedprice").alias("sem_price")
+    )
+    return s.crossJoin(m).crossJoin(v).crossJoin(d).crossJoin(e)
 
 
 def _q_null_semantics(spark, sf_dir):
@@ -305,23 +308,36 @@ def _q_group_skew_kurt(spark, sf_dir):
 
 
 def _q_value_counts(spark, sf_dir):
-    # weight-mass per distinct value (weighted value_counts)
+    # TWO mass-per-bucket kernels in one tagged union (folded from r3's
+    # value_counts + histogram to free a driver row — coverage
+    # unchanged): `vc` is weight-mass per distinct value (weighted
+    # value_counts); `hist` is the fixed-width weighted histogram
+    # (explicit bounds, single agg pass), its integer bin rendered as
+    # the shared label column and its bin lower bound kept numeric.
     from pandas_weights_spark.frame import WeightedSeries
 
     li = _li(spark, sf_dir)
-    s = WeightedSeries(li, "l_returnflag", F.col("l_quantity"))
-    return s.value_counts(sort=False).select(
-        F.col("l_returnflag"), F.col("count").alias("w_count")
+    vc = (
+        WeightedSeries(li, "l_returnflag", F.col("l_quantity"))
+        .value_counts(sort=False)
+        .select(
+            F.lit("vc").alias("kind"),
+            F.col("l_returnflag").alias("label"),
+            F.lit(None).cast("double").alias("bin_lo"),
+            F.col("count").alias("mass"),
+        )
     )
-
-
-def _q_histogram(spark, sf_dir):
-    # fixed-width weighted histogram, explicit bounds, single agg pass
-    from pandas_weights_spark.frame import WeightedSeries
-
-    li = _li(spark, sf_dir)
-    s = WeightedSeries(li, "l_extendedprice", F.col("l_quantity"))
-    return s.histogram(0.0, 60000.0, 12)
+    hist = (
+        WeightedSeries(li, "l_extendedprice", F.col("l_quantity"))
+        .histogram(0.0, 60000.0, 12)
+        .select(
+            F.lit("hist").alias("kind"),
+            F.col("bin").cast("string").alias("label"),
+            F.col("bin_lo"),
+            F.col("count").alias("mass"),
+        )
+    )
+    return vc.unionByName(hist)
 
 
 def _q_group_corr(spark, sf_dir):
@@ -499,27 +515,26 @@ def _q_group_quantile(spark, sf_dir):
 
 
 def _q_weighted_sample(spark, sf_dir):
-    # sequential Poisson sampling (sample.py): deterministic md5 uniform /
-    # weight, TakeOrdered top-n — the oracle mirrors the hash arithmetic
-    # term-for-term so the selected set is bit-identical
-    from pandas_weights_spark.sample import weighted_sample
+    # TWO πps designs in one tagged union (folded from r3's
+    # weighted_sample + poisson_sample to free a driver row — coverage
+    # unchanged): `pips` is sequential Poisson sampling (deterministic
+    # md5 uniform / weight, TakeOrdered top-n); `poisson` is Poisson
+    # πps (include with prob min(1, n*w/Σw) — pure map after a 1-row
+    # total; Σ l_quantity is an exact integral double). Both oracles
+    # mirror the hash arithmetic term-for-term, so the selected sets
+    # are bit-identical.
+    from pandas_weights_spark.sample import poisson_sample, weighted_sample
 
-    return weighted_sample(
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    pips = weighted_sample(
         _li(spark, sf_dir), F.col("l_quantity"), 1000,
         ["l_orderkey", "l_linenumber"], seed=42,
-    ).select("l_orderkey", "l_linenumber", "l_quantity")
-
-
-def _q_poisson_sample(spark, sf_dir):
-    # Poisson pps: include with prob min(1, n*w/Sum_w) — pure map after a
-    # 1-row total; Sum l_quantity is an exact integral double, so the
-    # inclusion predicate is bit-identical in the oracle
-    from pandas_weights_spark.sample import poisson_sample
-
-    return poisson_sample(
+    ).select(F.lit("pips").alias("method"), *cols)
+    pois = poisson_sample(
         _li(spark, sf_dir), F.col("l_quantity"), 500,
         ["l_orderkey", "l_linenumber"], seed=42,
-    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    ).select(F.lit("poisson").alias("method"), *cols)
+    return pips.unionByName(pois)
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -691,39 +706,143 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _q_ann_topk(spark, sf_dir):
-    from pandas_weights_spark.functions.similarity import topk_bruteforce
+    # THREE ANN strategies in one tagged union (folded from r3's
+    # ann_topk + ann_topk_ivf + ann_topk_lsh to free two driver rows —
+    # coverage unchanged): `bf` is exact brute-force (broadcast
+    # queries); `ivf` probes every cell (nprobe == n_cells), which must
+    # reproduce brute-force exactly; `lsh` is the hyperplane-bucketed
+    # path, approximate but fully deterministic (the hyperplane literals
+    # derive from the seed, so the DuckDB oracle reproduces buckets,
+    # candidates, and ranks digit-for-digit).
+    from pandas_weights_spark.functions.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+        topk_lsh,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return topk_bruteforce(queries, emb, k=5)
-
-
-def _q_ann_topk_ivf(spark, sf_dir):
-    # IVF path exactness invariant: probing every cell (nprobe == n_cells)
-    # must reproduce brute-force exactly — same oracle as ann_topk.
-    from pandas_weights_spark.functions.similarity import topk_ivf
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    bf = topk_bruteforce(queries, emb, k=5)
+    ivf = topk_ivf(queries, emb, k=5, n_cells=8, nprobe=8, iters=1,
+                   corpus_id="vec_id")
+    lsh = topk_lsh(queries, emb, k=5, planes=4)
+    return (
+        bf.select(F.lit("bf").alias("method"), *cols)
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), *cols))
+        .unionByName(lsh.select(F.lit("lsh").alias("method"), *cols))
     )
-    return topk_ivf(queries, emb, k=5, n_cells=8, nprobe=8, iters=1,
-                    corpus_id="vec_id")
 
 
-def _q_ann_topk_lsh(spark, sf_dir):
-    # approximate path, but fully deterministic: the hyperplane literals
-    # are derived from the seed, so the DuckDB oracle (_ann_lsh_sql)
-    # reproduces buckets, candidates, and ranks exactly
-    from pandas_weights_spark.functions.similarity import topk_lsh
+def _q_range_join(spark, sf_dir):
+    # bucketized interval join (functions/range_join.py): price-band
+    # assignment per order status, how="left". The bands overlap by
+    # 10k so ~40% of orders match two intervals; ~1/11 of the points
+    # are NULL (kept, NULL payload); ~1/3 of the left rows carry a NULL
+    # `note` payload — the r3 NULL-duplicate regression surface (a
+    # matched NULL-bearing left row must appear exactly once per
+    # matching interval).
+    from pandas_weights_spark.functions.range_join import range_join
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 != 0, F.col("o_totalprice")).alias(
+            "price"
+        ),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")).alias(
+            "note"
+        ),
     )
-    return topk_lsh(queries, emb, k=5, planes=4)
+    bands = (
+        orders.select("o_orderstatus")
+        .distinct()
+        .crossJoin(spark.range(20).select(F.col("id").alias("band_id")))
+        .select(
+            "o_orderstatus",
+            "band_id",
+            (F.col("band_id") * 25000.0).alias("lo"),
+            (F.col("band_id") * 25000.0 + 35000.0).alias("hi"),
+        )
+    )
+    return range_join(
+        left, bands, point="price", lower="lo", upper="hi",
+        by=["o_orderstatus"], how="left", bucket_width=25000.0,
+    ).select(
+        "o_orderkey", "o_orderstatus", "price", "note", "band_id", "lo",
+        "hi",
+    )
+
+
+def _q_weighted_cms(spark, sf_dir):
+    # weighted count-min sketch (functions/sketch.py) with the
+    # engine-portable md5 bucket, probed for every part key < 64: the
+    # estimate is min over depth of the bucket Σ l_quantity masses.
+    # width=128 << 2000 distinct keys forces real collisions, so the
+    # one-sided overestimate path is exercised; quantities are integral
+    # doubles, so the bucket sums are order-independent and bit-exact.
+    from pandas_weights_spark.functions.sketch import cms_lookup, weighted_cms
+
+    li = _li(spark, sf_dir)
+    sk = weighted_cms(
+        li, "l_partkey", "l_quantity", depth=3, width=128, seed=7,
+        portable_hash=True,
+    )
+    probe = li.select("l_partkey").where(F.col("l_partkey") < 64).distinct()
+    return cms_lookup(
+        sk, probe, "l_partkey", depth=3, width=128, seed=7,
+        portable_hash=True,
+    ).select("l_partkey", "est_mass")
+
+
+def _q_ewm_pair(spark, sf_dir):
+    # THREE EWM variants beyond the plain mean, one tagged union on the
+    # events table (ewm.py): `cov`/`corr` are the banded pairwise
+    # cross-moment path (pairwise-complete mask: masked rows still
+    # advance the decay clock; pandas debias D²/(D²−V) on cov, cancels
+    # in corr); `tmean` is the time-decayed mean (halflife=1 hour over
+    # the event timestamp — irregular sampling, real-valued L banding,
+    # ~3 bands over the 30-day span). The oracle (_ewm_pair_sql)
+    # replicates the banded algebra with the engine's exact float
+    # constants; residual cross-engine noise is exp()/summation at
+    # ~1e-13 relative, absorbed by the per-stat rounding.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_id") % 13 != 0, F.col("value")).alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+        (F.col("event_id") % 7 + 1).cast("double").alias("w"),
+    )
+    wdf = wt(ev, "w")
+    e = wdf.ewm(
+        order_by=["ts", "event_id"], partition_by=["event_type"], alpha=0.2
+    )
+    keys = ["event_type", "ts", "event_id"]
+    cov = e.cov("x", "y").select(
+        F.lit("cov").alias("stat"), *keys,
+        F.round(F.col("x_y_cov"), 2).alias("val"),
+    )
+    corr = e.corr("x", "y").select(
+        F.lit("corr").alias("stat"), *keys,
+        F.round(F.col("x_y_corr"), 5).alias("val"),
+    )
+    tm = (
+        wdf[["x"]]
+        .ewm(
+            order_by=["ts", "event_id"], partition_by=["event_type"],
+            halflife="1 hour", times="ts",
+        )
+        .mean()
+        .select(
+            F.lit("tmean").alias("stat"), *keys,
+            F.round(F.col("x"), 3).alias("val"),
+        )
+    )
+    return cov.unionByName(corr).unionByName(tm)
 
 
 def _q_weighted_centroids(spark, sf_dir):
@@ -1168,7 +1287,13 @@ _ORACLE: dict[str, str] = {
                m.mean_price, m.mean_disc,
                (ss - vs*vs/c) / (c - 1) AS var_price,
                CASE WHEN (ss - vs*vs/c) / (c - 1) >= 0
-                    THEN sqrt((ss - vs*vs/c) / (c - 1)) END AS std_price
+                    THEN sqrt((ss - vs*vs/c) / (c - 1)) END AS std_price,
+               -- sem = std / sqrt(W): same IEEE shape as _stats.w_sem
+               -- (sqrt of the variance, then divide by sqrt of the
+               -- weighted count), so the column is bit-exact like std
+               CASE WHEN c > 0 AND (ss - vs*vs/c) / (c - 1) >= 0
+                    THEN sqrt((ss - vs*vs/c) / (c - 1)) / sqrt(c)
+               END AS sem_price
         FROM s, m, v
     """,
     "null_semantics": """
@@ -1665,7 +1790,7 @@ def _sample_sqls() -> dict[str, str]:
     u_doc = uniform_hash_sql(["doc_id"], 42)
     return {
         "weighted_sample": f"""
-    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+    SELECT 'pips' AS method, l_orderkey, l_linenumber, l_quantity FROM (
       SELECT l_orderkey, l_linenumber, l_quantity,
              {u_li} / l_quantity AS skey
       FROM lineitem
@@ -1673,12 +1798,11 @@ def _sample_sqls() -> dict[str, str]:
       ORDER BY skey, l_orderkey, l_linenumber
       LIMIT 1000
     )
-""",
-        "poisson_sample": f"""
-    WITH t AS (SELECT SUM(l_quantity) AS tw FROM lineitem
-               WHERE l_quantity IS NOT NULL AND l_quantity > 0)
-    SELECT l_orderkey, l_linenumber, l_quantity
-    FROM lineitem, t
+    UNION ALL
+    SELECT 'poisson' AS method, l_orderkey, l_linenumber, l_quantity
+    FROM lineitem,
+         (SELECT SUM(l_quantity) AS tw FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_quantity > 0) t
     WHERE l_quantity IS NOT NULL AND l_quantity > 0
       AND {u_li} < LEAST(CAST(1.0 AS DOUBLE),
                          CAST(500.0 AS DOUBLE) * l_quantity / tw)
@@ -2217,7 +2341,7 @@ def _embedding_neardup_sql(dim: int = 64, planes: int = 4, seed: int = 42,
 
 _ORACLE["embedding_neardup"] = _embedding_neardup_sql()
 
-_ORACLE["ann_topk"] = """
+_ANN_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                WHERE vec_id < 5),
     scored AS (
@@ -2272,25 +2396,218 @@ def _ann_lsh_sql(dim: int = 64, planes: int = 4, seed: int = 42,
 """
 
 
-_ORACLE["ann_topk_lsh"] = _ann_lsh_sql()
-
-_ORACLE["ann_topk_ivf"] = """
-    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-               WHERE vec_id < 5),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                    CAST(q.embedding AS DOUBLE[])) AS sim
-      FROM embeddings c CROSS JOIN q
-    ), ranked AS (
-      SELECT query_id, neighbor_id, sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, round(sim, 6) AS cosine, CAST(rank AS INT) AS rank
-    FROM ranked WHERE rank <= 5
+# bf and ivf(nprobe=all) share the exact-top-k oracle; lsh mirrors the
+# deterministic hyperplane buckets (see _ann_lsh_sql)
+_ORACLE["ann_topk"] = f"""
+    SELECT 'bf' AS method, * FROM ({_ANN_EXACT_SQL})
+    UNION ALL
+    SELECT 'ivf' AS method, * FROM ({_ANN_EXACT_SQL})
+    UNION ALL
+    SELECT 'lsh' AS method, * FROM ({_ann_lsh_sql()})
 """
+
+# plain relational mirror of the bucketized range join: a LEFT JOIN
+# with the by-key equality plus BETWEEN containment in the ON clause
+_ORACLE["range_join"] = """
+    WITH l AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 <> 0 THEN o_totalprice END AS price,
+             CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS note
+      FROM orders
+    ), r AS (
+      SELECT s.o_orderstatus, g.band_id,
+             g.band_id * CAST(25000.0 AS DOUBLE) AS lo,
+             g.band_id * CAST(25000.0 AS DOUBLE)
+               + CAST(35000.0 AS DOUBLE) AS hi
+      FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+           (SELECT CAST(unnest(generate_series(0, 19)) AS BIGINT)
+              AS band_id) g
+    )
+    SELECT l.o_orderkey, l.o_orderstatus, l.price, l.note,
+           r.band_id, r.lo, r.hi
+    FROM l LEFT JOIN r
+      ON l.o_orderstatus = r.o_orderstatus
+     AND l.price >= r.lo AND l.price <= r.hi
+"""
+
+
+def _cms_sql(depth: int = 3, width: int = 128, seed: int = 7) -> str:
+    # digit-for-digit mirror of sketch._bucket(portable=True): first 15
+    # hex digits of md5("<key>:<seed+row>") as a 60-bit integer, mod
+    # width (nonnegative, so % == pmod). Quantity masses are integral
+    # doubles — bucket sums are order-independent, no rounding needed.
+    def bucket(key: str) -> str:
+        return (
+            f"CAST(concat('0x', substring(md5(CAST({key} AS VARCHAR) "
+            f"|| ':' || CAST({seed} + g.r AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {width}"
+        )
+
+    return f"""
+    WITH src AS (
+      SELECT l_partkey AS k,
+             CASE WHEN l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+                  THEN CAST(l_quantity AS DOUBLE) ELSE 0.0 END AS m
+      FROM lineitem
+    ), buck AS (
+      SELECT k, m, g.r, {bucket('k')} AS bucket
+      FROM src, generate_series(0, {depth - 1}) g(r)
+    ), sk AS (
+      SELECT r, bucket, SUM(m) AS mass FROM buck GROUP BY 1, 2
+    ), probe AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey < 64
+    ), pb AS (
+      SELECT p.k, g.r, {bucket('p.k')} AS bucket
+      FROM probe p, generate_series(0, {depth - 1}) g(r)
+    )
+    SELECT pb.k AS l_partkey, MIN(COALESCE(sk.mass, 0.0)) AS est_mass
+    FROM pb LEFT JOIN sk ON pb.r = sk.r AND pb.bucket = sk.bucket
+    GROUP BY 1
+"""
+
+
+_ORACLE["weighted_cms"] = _cms_sql()
+
+
+def _ewm_pair_sql(alpha: float = 0.2, halflife_secs: float = 3600.0) -> str:
+    """DuckDB oracle for _q_ewm_pair: the banded pairwise cross-moment
+    algebra (ewm.py _pair_stat) and the real-valued-L times= banding
+    (_stat_times) in SQL, with the engine's exact float constants
+    inlined. Residual cross-engine noise is libm exp() and window-sum
+    associativity (all mass terms are positive, so the sums are
+    well-conditioned: ~1e-13 relative), absorbed by ROUND 2/5/3."""
+    import math as _m
+
+    rho = 1.0 - alpha
+    B = max(1, int(75.0 / -_m.log10(rho)))
+    ln_inv = _m.log(1.0 / rho)
+    c1 = rho**B
+    c2 = rho ** (2 * B)
+    lg2 = _m.log10(2.0)
+    ln10 = _m.log(10.0)
+    rr = f"CAST(p % {B} AS DOUBLE)"
+    up = f"exp({ln_inv!r} * {rr})"
+    up2 = f"exp({2.0 * ln_inv!r} * {rr})"
+    dn = f"exp({-ln_inv!r} * {rr})"
+    tdn = f"exp({-ln10!r} * r)"
+    pair_terms = ", ".join(
+        f"(p{n} + {c1!r} * c{n}) * {dn} AS {n[1:]}" for n in
+        ("tD", "tX", "tY", "tXY", "tXX", "tYY")
+    )
+    prefix_cols = ", ".join(
+        f"SUM({n}) OVER iw AS p{n}, "
+        f"COALESCE(SUM({n}) OVER pw, 0.0) AS c{n}"
+        for n in ("tD", "tX", "tY", "tXY", "tV", "tXX", "tYY")
+    )
+    factor = ("CASE WHEN (D * D - V) > 1e-10 * (D * D) "
+              "THEN (D * D) / (D * D - V) END")
+    cov_b = "(XY / D - (X / D) * (Y / D))"
+    var_x = "(XX / D - (X / D) * (X / D))"
+    var_y = "(YY / D - (Y / D) * (Y / D))"
+    return f"""
+    WITH src AS (
+      SELECT event_type AS k, ts, event_id,
+             CASE WHEN event_id % 13 <> 0 THEN value END AS x,
+             CAST(event_id % 97 AS DOUBLE) AS y,
+             CAST(event_id % 7 + 1 AS DOUBLE) AS w
+      FROM events
+    ), pos AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                   ORDER BY ts NULLS FIRST,
+                                            event_id NULLS FIRST) - 1 AS p
+      FROM src
+    ), z AS (
+      SELECT *, p // {B} AS band,
+             CASE WHEN x IS NOT NULL AND y IS NOT NULL AND w IS NOT NULL
+                  THEN w ELSE 0.0 END AS m,
+             CASE WHEN x IS NOT NULL AND y IS NOT NULL AND w IS NOT NULL
+                  THEN x ELSE 0.0 END AS xz,
+             CASE WHEN x IS NOT NULL AND y IS NOT NULL AND w IS NOT NULL
+                  THEN y ELSE 0.0 END AS yz
+      FROM pos
+    ), t AS (
+      SELECT k, ts, event_id, p, band,
+             m * {up} AS tD,
+             m * xz * {up} AS tX,
+             m * yz * {up} AS tY,
+             m * xz * yz * {up} AS tXY,
+             m * m * {up2} AS tV,
+             m * xz * xz * {up} AS tXX,
+             m * yz * yz * {up} AS tYY
+      FROM z
+    ), pref AS (
+      SELECT k, ts, event_id, p, {prefix_cols}
+      FROM t
+      WINDOW iw AS (PARTITION BY k, band ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             pw AS (PARTITION BY k ORDER BY band
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+    ), tots AS (
+      SELECT k, ts, event_id, {pair_terms},
+             ((ptV + {c2!r} * ctV) * {dn}) * {dn} AS V
+      FROM pref
+    ), tsrc AS (
+      SELECT event_type AS k, ts, event_id,
+             CASE WHEN event_id % 13 <> 0 THEN value END AS x,
+             CAST(event_id % 7 + 1 AS DOUBLE) AS w,
+             CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS tsec
+      FROM events
+    ), tl AS (
+      SELECT *,
+             (tsec - MIN(tsec) OVER (PARTITION BY k))
+               / {halflife_secs!r} * {lg2!r} AS L,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) - 1 AS p
+      FROM tsrc
+    ), tb AS (
+      SELECT *, CAST(FLOOR(L / 75.0) AS BIGINT) AS band,
+             L - 75.0 * FLOOR(L / 75.0) AS r
+      FROM tl
+    ), tt AS (
+      SELECT k, ts, event_id, p, band, r,
+             CASE WHEN x IS NOT NULL AND w IS NOT NULL
+                   AND ts IS NOT NULL THEN w ELSE 0.0 END
+               * exp({ln10!r} * r) AS tD,
+             (CASE WHEN x IS NOT NULL AND w IS NOT NULL
+                    AND ts IS NOT NULL THEN w ELSE 0.0 END
+              * CASE WHEN x IS NOT NULL AND w IS NOT NULL
+                      AND ts IS NOT NULL THEN x ELSE 0.0 END)
+               * exp({ln10!r} * r) AS tN
+      FROM tb
+    ), tpref AS (
+      SELECT k, ts, event_id, r,
+             SUM(tD) OVER iw AS pD, SUM(tN) OVER iw AS pN,
+             COALESCE(SUM(tD) OVER pw, 0.0) AS cD,
+             COALESCE(SUM(tN) OVER pw, 0.0) AS cN
+      FROM tt
+      WINDOW iw AS (PARTITION BY k, band ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             pw AS (PARTITION BY k ORDER BY band
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT 'cov' AS stat, k AS event_type, ts, event_id,
+           ROUND(CASE WHEN D > 0
+                 THEN {factor} * {cov_b} END, 2) AS val
+    FROM tots
+    UNION ALL
+    SELECT 'corr' AS stat, k AS event_type, ts, event_id,
+           ROUND(CASE WHEN D > 0 THEN
+                   CASE WHEN {factor} IS NOT NULL
+                         AND {var_x} > 0 AND {var_y} > 0
+                   THEN {cov_b} / sqrt({var_x} * {var_y}) END
+                 END, 5) AS val
+    FROM tots
+    UNION ALL
+    SELECT 'tmean' AS stat, k AS event_type, ts, event_id,
+           ROUND(CASE WHEN (pD + {10.0 ** -75!r} * cD) * {tdn} > 0
+                 THEN ((pN + {10.0 ** -75!r} * cN) * {tdn})
+                      / ((pD + {10.0 ** -75!r} * cD) * {tdn}) END, 3) AS val
+    FROM tpref
+"""
+
+
+_ORACLE["ewm_pair"] = _ewm_pair_sql()
 
 _ORACLE["weighted_centroids"] = """
     WITH e AS (
@@ -2366,18 +2683,18 @@ _ORACLE["group_skew_kurt"] = """
 """
 
 _ORACLE["value_counts"] = """
-    SELECT l_returnflag, COALESCE(SUM(l_quantity), 0.0) AS w_count
-    FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
-"""
-
-_ORACLE["histogram"] = """
-    SELECT bin,
+    SELECT 'vc' AS kind, l_returnflag AS label,
+           CAST(NULL AS DOUBLE) AS bin_lo,
+           COALESCE(SUM(l_quantity), 0.0) AS mass
+    FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'hist' AS kind, CAST(bin AS VARCHAR) AS label,
            CAST(0.0 AS DOUBLE) + bin * CAST(5000.0 AS DOUBLE) AS bin_lo,
-           count
+           mass
     FROM (
       SELECT LEAST(11, CAST(FLOOR((l_extendedprice - 0.0) / 5000.0)
                             AS INTEGER)) AS bin,
-             COALESCE(SUM(l_quantity), 0.0) AS count
+             COALESCE(SUM(l_quantity), 0.0) AS mass
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL
         AND l_extendedprice >= 0.0 AND l_extendedprice <= 60000.0
@@ -2422,13 +2739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_cov_matrix": _q_corr_cov_matrix,
         "group_skew_kurt": _q_group_skew_kurt,
         "value_counts": _q_value_counts,
-        "histogram": _q_histogram,
         "group_corr": _q_group_corr,
         "spearman_corr": _q_spearman_corr,
         "aligned_corr_cov": _q_aligned_corr_cov,
         "grouping_sets": _q_grouping_sets,
         "weighted_sample": _q_weighted_sample,
-        "poisson_sample": _q_poisson_sample,
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
@@ -2442,8 +2757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
-        "ann_topk_ivf": _q_ann_topk_ivf,
-        "ann_topk_lsh": _q_ann_topk_lsh,
+        "range_join": _q_range_join,
+        "weighted_cms": _q_weighted_cms,
+        "ewm_pair": _q_ewm_pair,
         "weighted_centroids": _q_weighted_centroids,
         "window_stats": _q_window_stats,
         "row_stats": _q_row_stats,

@@ -233,12 +233,22 @@ class WeightedEWM:
         LN10 = math.log(10.0)
         DEC = 75.0
         # timestamp -> epoch seconds; numeric times pass through.
+        # TIMESTAMP_NTZ / DATE cannot cast straight to double — route
+        # through the session-zoned type (value-preserving under the
+        # engine's pinned spark.sql.session.timeZone=UTC, same rule as
+        # sources.load_stream).
         # Anchored to the partition minimum: constant offsets cancel in
         # N/D mathematically, but epoch-scale L (~1e7 decades) loses
         # ~7 digits in the in-band remainder L - 75*band — anchoring
         # keeps L at data-range scale so the remainder stays full
         # precision. The min rides the same exchange (unordered window).
-        tsec = F.col(tcol).cast("double")
+        from pyspark.sql.types import DateType, TimestampNTZType
+
+        ttype = wdf.df.schema[tcol].dataType
+        tsec = F.col(tcol)
+        if isinstance(ttype, (TimestampNTZType, DateType)):
+            tsec = tsec.cast("timestamp")
+        tsec = tsec.cast("double")
         anchor_win = Window.partitionBy(*pcols)
         tmin = F.min(tsec).over(anchor_win)
         L = (tsec - tmin) / F.lit(self._halflife_secs) * F.lit(

@@ -490,6 +490,20 @@ class WeightedDataFrame:
             lambda x, w: _stats.w_std(x, w, ddof=ddof, skipna=skipna), subset
         )
 
+    def sem(
+        self,
+        ddof: int = 1,
+        skipna: bool = True,
+        subset: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Weighted standard error of the mean: ``std / sqrt(W)`` with
+        the weighted count in the role pandas ``DataFrame.sem`` gives
+        ``n`` (frequency-weights convention; unit weights reproduce
+        pandas exactly)."""
+        return self._agg_1row(
+            lambda x, w: _stats.w_sem(x, w, ddof=ddof, skipna=skipna), subset
+        )
+
     def skew(
         self, skipna: bool = True, subset: Optional[Sequence[str]] = None
     ) -> DataFrame:

@@ -181,6 +181,13 @@ class WeightedGroupBy:
         quantile)."""
         return self._agg(lambda x, w: _stats.w_max(x, w))
 
+    def sem(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
+        """Per-group weighted standard error of the mean (``std/sqrt(W)``,
+        frequency-weights convention)."""
+        return self._agg(
+            lambda x, w: _stats.w_sem(x, w, ddof=ddof, skipna=skipna)
+        )
+
     def skew(self, skipna: bool = True) -> DataFrame:
         """Per-group weighted skewness (extension beyond the reference)."""
         return self._agg(lambda x, w: _stats.w_skew(x, w, skipna=skipna))

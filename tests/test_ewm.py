@@ -374,6 +374,42 @@ class TestEwmTimes:
         np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-11,
                                    equal_nan=True)
 
+    def test_times_timestamp_ntz(self, spark):
+        # parquet naive timestamps infer TIMESTAMP_NTZ, which cannot
+        # cast straight to double — _stat_times must route through the
+        # session-zoned type (UTC session => value-preserving)
+        pdf = self._pdf(seed=57)
+        sdf = spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        got = (
+            wt(sdf, "w")
+            .ewm(
+                order_by=["ts", "i"],
+                partition_by=["g"],
+                halflife="30 seconds",
+                times="ts",
+            )
+            .mean()
+            .toPandas()
+        )
+        base = (
+            wt(spark.createDataFrame(pdf), "w")
+            .ewm(
+                order_by=["ts", "i"],
+                partition_by=["g"],
+                halflife="30 seconds",
+                times="ts",
+            )
+            .mean()
+            .toPandas()
+        )
+        np.testing.assert_allclose(
+            got.sort_values(["g", "i"])["x"].to_numpy(),
+            base.sort_values(["g", "i"])["x"].to_numpy(),
+            rtol=1e-12, equal_nan=True,
+        )
+
     def test_weighted_times_handrolled(self, spark):
         # per-row weights: direct O(n^2) time-decay computation
         rng = np.random.default_rng(53)

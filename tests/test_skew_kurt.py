@@ -162,3 +162,28 @@ class TestSem:
         assert row["x_sem"] == pytest.approx(
             row["x_std"] / math.sqrt(row["x_count"]), rel=1e-12
         )
+
+    def test_sem_frame_and_groupby_methods(self, spark):
+        # the public .sem() surface (frame 1-row agg + per-group)
+        # matches pandas under unit weights
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 3, 120),
+                "x": rng.normal(size=120),
+                "w": np.ones(120),
+            }
+        )
+        wdf = wt(spark.createDataFrame(pdf), "w")
+        whole = wdf.sem(subset=["x"]).collect()[0]["x"]
+        assert whole == pytest.approx(pdf["x"].sem(), rel=1e-9)
+        per_g = {
+            r["g"]: r["x"] for r in wdf.groupby("g")[["x"]].sem().collect()
+        }
+        for g, v in pdf.groupby("g")["x"].sem().items():
+            assert per_g[g] == pytest.approx(v, rel=1e-9)
