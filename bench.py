@@ -58,6 +58,9 @@ HEADLINE = [
     "group_cdf",           # per-row weighted percentile-rank transform
     "resample_quantile",   # bucket-keyed weighted median
     "ewm_mean",            # banded-rescale exponentially-weighted mean
+    "range_join",          # bucketized interval join (price bands, left)
+    "weighted_cms",        # count-min sketch build + probe (md5 path)
+    "ewm_pair",            # banded pairwise cov/corr + time-decayed mean
 ]
 
 
@@ -142,6 +145,42 @@ def main() -> int:
         )
 
     qs["ann_topk_ivf"] = _ivf_probe_only
+
+    # histogram folded into the tagged value_counts driver row; bench it
+    # standalone so the per-operator number stays comparable across rounds
+    def _histogram(spark_, sf_dir_):
+        from pandas_weights_spark.frame import WeightedSeries
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return WeightedSeries(
+            li, "l_extendedprice", F.col("l_quantity")
+        ).histogram(0.0, 60000.0, 12)
+
+    qs["histogram"] = _histogram
+
+    # the driver rows for weighted_sample / ann_topk are now tagged
+    # unions (pips+poisson, bf+ivf+lsh) to fit the 50-query gate; the
+    # bench keeps the original single-method bodies so each operator's
+    # number stays comparable with earlier rounds (poisson and ivf are
+    # already benched separately above)
+    from pandas_weights_spark.functions.similarity import topk_bruteforce
+    from pandas_weights_spark.sample import weighted_sample
+
+    def _pips_only(spark_, sf_dir_):
+        return weighted_sample(
+            load_table(spark_, sf_dir_, "lineitem"), F.col("l_quantity"),
+            1000, ["l_orderkey", "l_linenumber"], seed=42,
+        ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+    def _ann_bf_only(spark_, sf_dir_):
+        emb = load_table(spark_, sf_dir_, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return topk_bruteforce(queries, emb, k=5)
+
+    qs["weighted_sample"] = _pips_only
+    qs["ann_topk"] = _ann_bf_only
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))

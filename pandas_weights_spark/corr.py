@@ -419,68 +419,50 @@ def aligned_corr_cov(
     return joined.agg(*moments.values()).select(corr, cov)
 
 
-def _avg_ranks_melted(
-    melted: DataFrame, keys: Sequence[str], bands: int = 256
+def _band_expr(col: str, lo: str, hi: str, bands: int) -> Column:
+    """Fixed-width band id of ``col`` over the per-group ``[lo, hi]``
+    range (clamped to ``bands - 1``; degenerate ranges collapse to 0).
+    Equal values always share a band, so average-tie ranking within a
+    band sees every tie. Range-adaptive on purpose: a range-free
+    scheme (e.g. order-preserving log bands) collapses to one band for
+    narrow-range data like epoch timestamps, losing all ranking
+    parallelism — worth the one min/max pre-scan."""
+    c = F.col(col).cast("double")
+    l = F.col(lo).cast("double")
+    h = F.col(hi).cast("double")
+    return F.when(
+        h > l,
+        F.least(
+            F.lit(bands - 1),
+            F.floor((c - l) / (h - l) * F.lit(float(bands))).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+
+
+def _band_offsets(
+    joint: DataFrame, keys: Sequence[str], band_col: str
 ) -> DataFrame:
-    """Average-tie ranks over an already-melted ``(keys, __ci__, __v__)``
-    frame — the shared pipeline behind :func:`spearman_corr`: every
-    stage (distinct-count aggregate, range aggregate, band totals,
-    band-offset window) runs ONCE over the union of all columns, and
-    the single downstream consumer means Spark's exchange reuse
-    materializes each stage once (a per-column-filtered consumer would
-    push differing predicates into the branches and defeat reuse).
-    Output: ``keys + [__ci__, __v__, __rank__]``; counts are integers,
-    so the banded form is bit-identical to a single ordered window.
-    """
+    """``keys + [band_col, __off<band_col>]`` — rows in strictly lower
+    bands, derived from the shared joint ``(keys, bandx, bandy)`` count
+    frame (one marginal sum + a tiny ordered window; ≤ bands rows per
+    group, so the downstream join broadcasts)."""
     from pyspark.sql import Window
 
     kc = [F.col(k) for k in keys]
-    cnt = melted.groupBy(*keys, "__ci__", "__v__").agg(
-        F.count(F.lit(1)).alias("__n__")
-    )
-    rng = cnt.groupBy(*keys, "__ci__").agg(
-        F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__")
-    )
-    j = cnt.join(rng, on=list(keys) + ["__ci__"])
-    x = F.col("__v__").cast("double")
-    lo = F.col("__lo__").cast("double")
-    hi = F.col("__hi__").cast("double")
-    band = F.when(
-        hi > lo,
-        F.least(
-            F.lit(bands - 1),
-            F.floor((x - lo) / (hi - lo) * F.lit(float(bands))).cast("int"),
-        ),
-    ).otherwise(F.lit(0))
-    j = j.withColumn("__band__", band).drop("__lo__", "__hi__")
-    btot = j.groupBy(*keys, "__ci__", "__band__").agg(
-        F.sum("__n__").alias("__bn__")
+    btot = joint.groupBy(*keys, band_col).agg(
+        F.sum("__bn__").alias("__bt__")
     )
     off_win = (
-        Window.partitionBy(*kc, F.col("__ci__"))
-        .orderBy("__band__")
+        Window.partitionBy(*kc)
+        .orderBy(band_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = btot.select(
+    return btot.select(
         *keys,
-        "__ci__",
-        "__band__",
-        F.coalesce(F.sum("__bn__").over(off_win), F.lit(0)).alias("__off__"),
-    )
-    j = j.join(off, on=list(keys) + ["__ci__", "__band__"])
-    cum_win = (
-        Window.partitionBy(*kc, F.col("__ci__"), F.col("__band__"))
-        .orderBy("__v__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
-        *keys,
-        "__ci__",
-        "__v__",
-        (
-            (F.sum("__n__").over(cum_win) + F.col("__off__")).cast("double")
-            - (F.col("__n__") - F.lit(1)).cast("double") / F.lit(2.0)
-        ).alias("__rank__"),
+        band_col,
+        F.coalesce(F.sum("__bt__").over(off_win), F.lit(0)).alias(
+            f"__off{band_col}"
+        ),
     )
 
 
@@ -501,16 +483,26 @@ def spearman_corr(
     kernel (:func:`~pandas_weights_spark._stats.corr_from_moments`) on
     the ranks. At unit weights this reproduces pandas spearman.
 
-    Plan: ranks come from per-distinct-value row counts joined back to
-    the masked rows — the ordering window runs over distinct values,
-    not rows. Like exact quantiles (quantile.py), a global ordering is
-    inherently sort-bound for near-unique continuous columns; the join
-    itself shuffles on (keys, value) which is high-cardinality and
-    therefore parallel.
+    Plan: per-row average-tie ranks come straight from TWO banded
+    cumulative-count windows over the masked frame — one per column,
+    each partitioned by ``(keys, band)`` so ranking stays parallel when
+    the key has 3 distinct values and the column is near-unique. A
+    RANGE frame makes the cumulative count tie-inclusive, so
+    ``rank = band_offset + count(v' <= v) - (ties - 1)/2`` needs no
+    distinct-value aggregate, no rank join-back, and no row-id regroup
+    (the r3 melt-join-regroup shape paid THREE extra fat shuffles:
+    distinct-count, rank join, rid regroup). Band totals/offsets are
+    map-side-combining aggregates of ≤ bands rows per group that AQE
+    broadcast-joins back.
     """
-    from pandas_weights_spark.frame import WEIGHT_COL
+    from pyspark.sql import Window
 
+    from pandas_weights_spark.frame import WEIGHT_COL
+    from pandas_weights_spark.groupby import _join_group_stats
+
+    bands = 256
     keys = list(by) if by else []
+    kc = [F.col(k) for k in keys]
     # _value wraps in nanvl so pandas NaN means missing, like every kernel
     x = wdf._value(x_col)
     y = wdf._value(y_col)
@@ -518,44 +510,57 @@ def spearman_corr(
     v = wdf.df.where(x.isNotNull() & y.isNotNull() & w.isNotNull()).select(
         *keys, x.alias("__x__"), y.alias("__y__"), w.alias(WEIGHT_COL)
     )
-    # MELT-JOIN-REGROUP: both columns' ranks from one shared banded
-    # pipeline, consumed by a SINGLE join (per-column join-backs would
-    # push ci-filters into the build branches and recompute the whole
-    # pipeline per column — measured 2x slower). Rows are melted to
-    # (row_id, ci, value), joined once on (keys, ci, value), and the
-    # rank pair is re-assembled per row_id by a conditional aggregate.
-    v = v.withColumn("__rid__", F.monotonically_increasing_id())
-    melted = v.select(
-        *keys,
-        "__rid__",
-        WEIGHT_COL,
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("ci"), F.col("__x__").alias("v")
-                ),
-                F.struct(
-                    F.lit(1).alias("ci"), F.col("__y__").alias("v")
-                ),
-            )
-        ).alias("p"),
-    ).select(
-        *keys,
-        "__rid__",
-        WEIGHT_COL,
-        F.col("p.ci").alias("__ci__"),
-        F.col("p.v").alias("__v__"),
+    # both columns' value ranges in ONE aggregate, broadcast back
+    rng = v.groupBy(*kc).agg(
+        F.min("__x__").alias("__lox__"), F.max("__x__").alias("__hix__"),
+        F.min("__y__").alias("__loy__"), F.max("__y__").alias("__hiy__"),
     )
-    ranks = _avg_ranks_melted(melted, keys)
-    jm = melted.join(ranks, on=keys + ["__ci__", "__v__"])
-    j = jm.groupBy(*keys, "__rid__").agg(
-        F.max(F.when(F.col("__ci__") == 0, F.col("__rank__"))).alias(
-            "__rx__"
-        ),
-        F.max(F.when(F.col("__ci__") == 1, F.col("__rank__"))).alias(
-            "__ry__"
-        ),
-        F.first(WEIGHT_COL).alias(WEIGHT_COL),
+    if keys:
+        j = _join_group_stats(v, rng, keys)
+    else:
+        j = v.crossJoin(rng)
+    j = j.select(
+        *keys, "__x__", "__y__", WEIGHT_COL,
+        _band_expr("__x__", "__lox__", "__hix__", bands).alias("__bandx__"),
+        _band_expr("__y__", "__loy__", "__hiy__", bands).alias("__bandy__"),
+    )
+    # ONE joint band-count aggregate feeds BOTH columns' offset tables —
+    # a per-column count would re-execute the scan + range join per
+    # branch (observed: 8 scans / 22 exchanges vs 3 / ~10 here); the
+    # two offset joins are ≤ bands rows per group on the build side, so
+    # AQE broadcasts both (measured: fusing them into one lookup join
+    # or hinting broadcast both LOSE locally — extra sequential stage
+    # barriers outweigh the saved probe).
+    joint = j.groupBy(*keys, "__bandx__", "__bandy__").agg(
+        F.count(F.lit(1)).alias("__bn__")
+    )
+    for band_col in ("__bandx__", "__bandy__"):
+        off = _band_offsets(joint, keys, band_col)
+        j = _join_group_stats(j, off, keys + [band_col])
+
+    def _rank(val_col: str, band_col: str) -> Column:
+        cum_win = (
+            Window.partitionBy(*kc, F.col(band_col))
+            .orderBy(F.col(val_col))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tie_win = (
+            Window.partitionBy(*kc, F.col(band_col))
+            .orderBy(F.col(val_col))
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        cum = F.count(F.lit(1)).over(cum_win)
+        tie = F.count(F.lit(1)).over(tie_win)
+        return (
+            (cum + F.col(f"__off{band_col}")).cast("double")
+            - (tie - F.lit(1)).cast("double") / F.lit(2.0)
+        )
+
+    j = j.select(
+        *keys,
+        WEIGHT_COL,
+        _rank("__x__", "__bandx__").alias("__rx__"),
+        _rank("__y__", "__bandy__").alias("__ry__"),
     )
 
     moments = {

@@ -162,9 +162,15 @@ class TestNewOperatorPlans:
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs, plan
         for spec in specs:
-            # every ordered-window spec is either banded or runs over the
-            # <= bands-rows-per-group offset frame (which orders by band)
-            assert "__band__" in spec, spec
+            # every ordered-window spec is either banded (partitioned by
+            # (keys, __bandx__/__bandy__)) or runs over the <=
+            # bands-rows-per-group offset frame (which orders by band)
+            assert "__band" in spec, spec
+        # rank pipeline shape: no melt/explode, no rank join-back on the
+        # value, no row-id regroup — ranks ride the two banded window
+        # sorts directly (generate = explode would mean the r3 melt came
+        # back)
+        assert "Generate" not in plan, plan
         # The transform must be agg -> join-back -> map, NOT a
         # Window.partitionBy(keys) over the whole table: with a
         # low-cardinality key the window would funnel the entire
