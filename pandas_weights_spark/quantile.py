@@ -126,35 +126,49 @@ def weighted_cdf(
     and ``w > 0``, else 0. Rows whose value is NULL keep a NULL cdf.
 
     Scale shape — the banded prefix sum (same as spearman's ranks, NOT
-    an ordered window over ``Window.partitionBy(keys)``): mass per
-    distinct value (map-side combine), range-band via the group's
-    min/max, per-band exclusive offsets (the only ordered window runs
-    over ≤ ``bands`` rows per group), cumulative within (group, band),
-    then one join back onto the rows keyed by (group, value).
+    an ordered window over ``Window.partitionBy(keys)``): range-band
+    via the group's min/max (one fused aggregate for every column),
+    per-band mass totals (map-side combine), per-band exclusive
+    offsets + the group total in one tiny ordered window, then a
+    tie-inclusive RANGE-frame cumulative sum per (group, band) DIRECTLY
+    over the rows — no distinct-value aggregate and no join back on
+    (group, value) (the r3 shape paid both; removing them halved the
+    fat shuffles).
     """
+    from pandas_weights_spark.groupby import _join_group_stats
+
     cols = list(subset) if subset is not None else wdf.numeric_columns()
     cols = [c for c in cols if c not in keys]
     if not cols:
         raise ValueError("no numeric columns for cdf")
     w = wdf.weights
-    out = wdf.df
     kc = list(keys)
+    kcF = [F.col(k) for k in kc]
+    orig_cols = list(wdf.df.columns)
+
+    # per-group min/max for EVERY column in one aggregate, joined back
+    # null-safe (NULL-key groups keep their transform, dropna=False)
+    rng_aggs = []
     for c in cols:
         x = wdf._value(c)
-        mass = F.when(x.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
-        mv = (
-            out.select(*kc, x.alias("__v__"), mass.alias("__m__"))
-            .where(F.col("__v__").isNotNull())
-            .groupBy(*kc, "__v__")
-            .agg(F.sum("__m__").alias("__m__"))
-        )
-        rng = mv.groupBy(*kc).agg(
-            F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__")
-        )
-        j = mv.join(rng, on=kc) if kc else mv.crossJoin(F.broadcast(rng))
-        v = F.col("__v__").cast("double")
-        lo = F.col("__lo__").cast("double")
-        hi = F.col("__hi__").cast("double")
+        rng_aggs += [
+            F.min(x).alias(f"__lo_{c}__"), F.max(x).alias(f"__hi_{c}__")
+        ]
+    rng = wdf.df.groupBy(*kcF).agg(*rng_aggs)
+    if kc:
+        base = _join_group_stats(wdf.df, rng, kc)
+    else:
+        base = wdf.df.crossJoin(F.broadcast(rng))
+
+    def _mass(c: str):
+        x = wdf._value(c)
+        return F.when(x.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+
+    band_sel = []
+    for c in cols:
+        v = wdf._value(c).cast("double")
+        lo = F.col(f"__lo_{c}__").cast("double")
+        hi = F.col(f"__hi_{c}__").cast("double")
         band = F.when(
             hi > lo,
             F.least(
@@ -164,61 +178,57 @@ def weighted_cdf(
                 ),
             ),
         ).otherwise(F.lit(0))
-        j = j.withColumn("__band__", band).drop("__lo__", "__hi__")
-        btot = j.groupBy(*kc, "__band__").agg(F.sum("__m__").alias("__bm__"))
+        band_sel.append(band.alias(f"__band__{c}__"))
+    base = base.select("*", *band_sel)
+
+    for c in cols:
+        bcol = f"__band__{c}__"
+        btot = base.groupBy(*kcF, F.col(bcol)).agg(
+            F.sum(_mass(c)).alias("__bm__")
+        )
         # exclusive band offset AND the group total in ONE WindowExec:
         # both frames share the partitionBy(keys) spec, so the group
         # total rides the same sort instead of costing a separate
         # groupBy(keys) aggregate plus a join back (one fewer Exchange,
         # pinned by test_plans).
         off_win = (
-            Window.partitionBy(*[F.col(k) for k in kc])
-            .orderBy("__band__")
+            Window.partitionBy(*kcF)
+            .orderBy(bcol)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        tot_win = Window.partitionBy(*[F.col(k) for k in kc]).orderBy(
-            "__band__"
-        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tot_win = Window.partitionBy(*kcF).orderBy(bcol).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         off = btot.select(
             *kc,
-            "__band__",
+            bcol,
             F.coalesce(F.sum("__bm__").over(off_win), F.lit(0.0)).alias(
-                "__off__"
+                f"__off_{c}__"
             ),
-            F.sum("__bm__").over(tot_win).alias("__tw__"),
+            F.sum("__bm__").over(tot_win).alias(f"__tw_{c}__"),
         )
+        base = _join_group_stats(base, off, kc + [bcol])
+
+    cdf_cols = []
+    for c in cols:
+        bcol = f"__band__{c}__"
+        x = wdf._value(c)
+        # RANGE frame: every row with value <= current (ties included)
+        # is in frame, so the cumulative mass IS F(x) — per-row, no
+        # distinct-value detour
         cum_win = (
-            Window.partitionBy(*[F.col(k) for k in kc], F.col("__band__"))
-            .orderBy("__v__")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            Window.partitionBy(*kcF, F.col(bcol))
+            .orderBy(x)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        j = j.join(off, on=kc + ["__band__"])
-        cdf_map = j.select(
-            *kc,
-            "__v__",
-            "__tw__",
-            (F.sum("__m__").over(cum_win) + F.col("__off__")).alias("__cw__"),
-        )
-        cdf_map = cdf_map.select(
-            *[F.col(k).alias(f"__pw_ck_{k}__") for k in kc],
-            F.col("__v__").alias(f"__pw_cv_{c}__"),
+        cw = F.sum(_mass(c)).over(cum_win) + F.col(f"__off_{c}__")
+        tw = F.col(f"__tw_{c}__")
+        cdf_cols.append(
             F.when(
-                F.col("__tw__") > 0,
-                F.try_divide(F.col("__cw__"), F.col("__tw__")),
-            ).alias(f"{c}_cdf"),
+                x.isNotNull() & (tw > 0), F.try_divide(cw, tw)
+            ).alias(f"{c}_cdf")
         )
-        # key columns renamed (self-join lineage) + null-safe equality so
-        # NULL-key groups (dropna=False) keep their transform
-        cond = None
-        for k in kc:
-            e = out[k].eqNullSafe(cdf_map[f"__pw_ck_{k}__"])
-            cond = e if cond is None else (cond & e)
-        ve = wdf._value(c).eqNullSafe(cdf_map[f"__pw_cv_{c}__"])
-        cond = ve if cond is None else (cond & ve)
-        out = out.join(cdf_map, on=cond, how="left").drop(
-            *[f"__pw_ck_{k}__" for k in kc], f"__pw_cv_{c}__"
-        )
-    return out
+    return base.select(*orig_cols, *cdf_cols)
 
 
 def weighted_quantiles_binned(

@@ -303,28 +303,32 @@ class TestCdfAndVariantPlans:
     def test_cdf_tot_fused_into_band_window(self, lineitem):
         # the group total rides the same WindowExec as the exclusive
         # band offset — no separate groupBy(keys) aggregate + join for
-        # the denominator. Shape: distinct-value agg, range agg+join,
-        # band agg, ONE window pass over band totals, map-side join
-        # back. The denominator fusion removed one Exchange + one join.
+        # the denominator. Shape: range agg+join, band-mass agg, ONE
+        # window pass over band totals joined back, then the
+        # tie-inclusive RANGE-frame cumulative sum DIRECTLY over the
+        # rows (no distinct-value agg, no join back on (keys, value)).
         df = (
             wt(lineitem, "l_quantity")
             .groupby("l_returnflag")[["l_extendedprice"]]
             .cdf()
         )
         plan = P.physical_plan(df)
-        # the denominator __tw__ must be produced INSIDE a Window node
-        # (second frame of the band-offset WindowExec), not by its own
-        # aggregate + join
+        # the denominator __tw_<col>__ must be produced INSIDE a Window
+        # node (second frame of the band-offset WindowExec), not by its
+        # own aggregate + join
         assert any(
-            "Window [" in line and "__tw__" in line
+            "Window [" in line and "__tw_" in line
             for line in plan.splitlines()
         ), plan
-        # joins: final join-back + range join (x2 lineage branches,
-        # AQE-reused at runtime) + band-offset join = 4; a 5th would
-        # mean the tot join-back came back
+        # joins: range join (x2 lineage branches, AQE-reused at
+        # runtime) + band-offset join = 3; more would mean the
+        # per-value join-back came back
         n_joins = sum(plan.count(j) for j in
                       ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
         assert n_joins <= 4, plan
+        # the per-row cumulative sum must be a RANGE frame (ties
+        # included), not a distinct-value detour
+        assert "RangeFrame" in plan, plan
 
     def test_ewm_variant_one_exchange(self, lineitem):
         # adjust=False / ignore_na=True run per-column L-banded windows;
