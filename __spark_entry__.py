@@ -822,14 +822,24 @@ def _q_ewm_pair(spark, sf_dir):
         order_by=["ts", "event_id"], partition_by=["event_type"], alpha=0.2
     )
     keys = ["event_type", "ts", "event_id"]
-    cov = e.cov("x", "y").select(
-        F.lit("cov").alias("stat"), *keys,
-        F.round(F.col("x_y_cov"), 2).alias("val"),
-    )
-    corr = e.corr("x", "y").select(
-        F.lit("corr").alias("stat"), *keys,
-        F.round(F.col("x_y_corr"), 5).alias("val"),
-    )
+    # cov+corr fused into ONE banded window pass (pair_stats shares the
+    # cross-moment prefix sums); the tagged rows come from an explode of
+    # the fused row, not a second pipeline
+    pair = e.pair_stats("x", "y").select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cov").alias("stat"),
+                    F.round(F.col("x_y_cov"), 2).alias("val"),
+                ),
+                F.struct(
+                    F.lit("corr").alias("stat"),
+                    F.round(F.col("x_y_corr"), 5).alias("val"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.stat", *keys, F.col("p.val").alias("val"))
     tm = (
         wdf[["x"]]
         .ewm(
@@ -842,7 +852,7 @@ def _q_ewm_pair(spark, sf_dir):
             F.round(F.col("x"), 3).alias("val"),
         )
     )
-    return cov.unionByName(corr).unionByName(tm)
+    return pair.unionByName(tm)
 
 
 def _q_weighted_centroids(spark, sf_dir):

@@ -182,6 +182,23 @@ def main() -> int:
     qs["weighted_sample"] = _pips_only
     qs["ann_topk"] = _ann_bf_only
 
+    # the driver row uses the engine-portable md5 bucket so DuckDB can
+    # rebuild the sketch; the 100 TB hot path is seeded xxhash64
+    # (JVM-side, no string concat/md5 per (row, depth)) — bench that
+    def _cms_xxhash(spark_, sf_dir_):
+        from pandas_weights_spark.functions.sketch import (
+            cms_lookup,
+            weighted_cms,
+        )
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        sk = weighted_cms(li, "l_partkey", "l_quantity", depth=3, width=128,
+                          seed=7)
+        probe = li.select("l_partkey").where(F.col("l_partkey") < 64).distinct()
+        return cms_lookup(sk, probe, "l_partkey", depth=3, width=128, seed=7)
+
+    qs["weighted_cms"] = _cms_xxhash
+
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
 

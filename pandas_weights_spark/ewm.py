@@ -749,9 +749,22 @@ class WeightedEWM:
     # -- pairwise statistics ------------------------------------------------
 
     def _pair_stat(self, kind: str, x: str, y: str, bias: bool) -> DataFrame:
+        """Single-stat wrapper over :meth:`pair_stats`."""
+        return self.pair_stats(x, y, stats=(kind,), bias=bias)
+
+    def pair_stats(
+        self,
+        x: str,
+        y: str,
+        stats: Sequence[str] = ("cov", "corr"),
+        bias: bool = False,
+    ) -> DataFrame:
         """EWM weighted pairwise cov/corr of two columns (pandas
         ``ewm().cov(other)`` / ``corr(other)`` generalized to per-row
         weights; default flags ``adjust=True, ignore_na=False``).
+        Requesting several ``stats`` fuses them into ONE banded window
+        pass — the cross-moment prefix sums are shared, only the final
+        row-local algebra differs per statistic.
 
         Pairwise-complete mask (x, y AND w non-null — pandas aligns the
         pair before the recursion); masked rows still advance the decay
@@ -761,6 +774,13 @@ class WeightedEWM:
         variances (it cancels in corr). ONE exchange on the partition
         keys, like every EWM statistic.
         """
+        stats = tuple(stats)
+        bad = [s for s in stats if s not in ("cov", "corr")]
+        if bad or not stats:
+            raise ValueError(
+                f"pair stats must be a non-empty subset of cov/corr, "
+                f"got {stats!r}"
+            )
         if self._adjust is False or self._ignore_na or self._times is not None:
             raise NotImplementedError(
                 "ewm pairwise cov/corr supports the default "
@@ -801,7 +821,7 @@ class WeightedEWM:
         m = F.when(valid, w).otherwise(F.lit(0.0))
         xz = F.when(valid, xv).otherwise(F.lit(0.0))
         yz = F.when(valid, yv).otherwise(F.lit(0.0))
-        need_corr = kind == "corr"
+        need_corr = "corr" in stats
         terms = [
             (m * up).alias("__tD__"),
             (m * xz * up).alias("__tX__"),
@@ -876,24 +896,27 @@ class WeightedEWM:
             factor = F.when(
                 denom > F.lit(1e-10) * (D * D), F.try_divide(D * D, denom)
             )
-        if kind == "cov":
-            expr = cov_b if bias else factor * cov_b
-        else:
-            XX = tot("__tXX__")
-            YY = tot("__tYY__")
-            var_x = F.try_divide(XX, D) - mx * mx
-            var_y = F.try_divide(YY, D) - my * my
-            # the debias factor cancels in the ratio; the guard (a lone
-            # effective observation) must still null the result
-            expr = F.when(
-                factor.isNotNull() & (var_x > 0) & (var_y > 0),
-                F.try_divide(cov_b, F.sqrt(var_x * var_y)),
-            )
-        expr = F.when(D > 0, expr)
-        if self._min_periods > 0:
-            n_valid = F.col("__p__tc__") + F.col("__c__tc__")
-            expr = F.when(n_valid >= F.lit(self._min_periods), expr)
-        return j.select(*keys, expr.alias(f"{x}_{y}_{kind}"))
+        out_cols = []
+        for kind in stats:
+            if kind == "cov":
+                expr = cov_b if bias else factor * cov_b
+            else:
+                XX = tot("__tXX__")
+                YY = tot("__tYY__")
+                var_x = F.try_divide(XX, D) - mx * mx
+                var_y = F.try_divide(YY, D) - my * my
+                # the debias factor cancels in the ratio; the guard (a
+                # lone effective observation) must still null the result
+                expr = F.when(
+                    factor.isNotNull() & (var_x > 0) & (var_y > 0),
+                    F.try_divide(cov_b, F.sqrt(var_x * var_y)),
+                )
+            expr = F.when(D > 0, expr)
+            if self._min_periods > 0:
+                n_valid = F.col("__p__tc__") + F.col("__c__tc__")
+                expr = F.when(n_valid >= F.lit(self._min_periods), expr)
+            out_cols.append(expr.alias(f"{x}_{y}_{kind}"))
+        return j.select(*keys, *out_cols)
 
     def cov(self, x: str, y: str, bias: bool = False) -> DataFrame:
         """EWM weighted covariance of ``x`` vs ``y``; output column
