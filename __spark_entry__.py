@@ -855,6 +855,37 @@ def _q_ewm_pair(spark, sf_dir):
     return pair.unionByName(tm)
 
 
+def _q_group_transforms(spark, sf_dir):
+    # grouped ordered transforms (transforms.py): lag/delta/relative
+    # change on the price, gap fill both directions on a NULL-bearing
+    # derived column, and the running weighted mass total — SIX
+    # transforms sharing ONE WindowExec (pinned by test_transforms).
+    # lag/ffill pick values (exact) and pct_change is one IEEE division
+    # on identical operands — bit-exact. The running sum is NOT
+    # order-stable across engines (DuckDB's segment-tree vs Spark's
+    # sequential accumulation), so the mass rides an integral cents
+    # column: integer sums are exact in any order.
+    li = (
+        _li(spark, sf_dir)
+        .withColumn(
+            "price_n", F.when(F.col("l_tax") > 0, F.col("l_extendedprice"))
+        )
+        .withColumn("price_c", F.round(F.col("l_extendedprice") * 100))
+    )
+    t = wt(li, _W).ordered(
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"],
+        partition_by=["l_returnflag"],
+    )
+    return t.assemble(
+        lag_price=t.col("l_extendedprice", "shift"),
+        diff_price=t.col("l_extendedprice", "diff"),
+        pct_price=t.col("l_extendedprice", "pct_change"),
+        ffill_price=t.col("price_n", "ffill"),
+        bfill_price=t.col("price_n", "bfill"),
+        cum_mass=t.col("price_c", "cumsum"),
+    )
+
+
 def _q_weighted_centroids(spark, sf_dir):
     from pandas_weights_spark.functions.similarity import weighted_centroids
 
@@ -2478,6 +2509,41 @@ def _cms_sql(depth: int = 3, width: int = 128, seed: int = 7) -> str:
 
 _ORACLE["weighted_cms"] = _cms_sql()
 
+_ORACLE["group_transforms"] = """
+    WITH t AS (
+      SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+             l_partkey, l_extendedprice AS x, l_quantity AS w,
+             ROUND(l_extendedprice * 100, 0) AS xc,
+             CASE WHEN l_tax > 0 THEN l_extendedprice END AS xn
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_partkey,
+           LAG(x, 1) OVER ow AS lag_price,
+           x - LAG(x, 1) OVER ow AS diff_price,
+           CASE WHEN LAG(x, 1) OVER ow IS NOT NULL
+                 AND LAG(x, 1) OVER ow <> 0
+                THEN (x - LAG(x, 1) OVER ow) / LAG(x, 1) OVER ow
+           END AS pct_price,
+           last_value(xn IGNORE NULLS) OVER owr AS ffill_price,
+           first_value(xn IGNORE NULLS) OVER owf AS bfill_price,
+           CASE WHEN xc IS NOT NULL AND w IS NOT NULL THEN
+             SUM(CASE WHEN xc IS NOT NULL AND w IS NOT NULL
+                      THEN w * xc END) OVER owr
+           END AS cum_mass
+    FROM t
+    WINDOW ow AS (PARTITION BY l_returnflag
+                  ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                           l_linenumber NULLS FIRST, l_partkey NULLS FIRST),
+           owr AS (PARTITION BY l_returnflag
+                   ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                            l_linenumber NULLS FIRST, l_partkey NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           owf AS (PARTITION BY l_returnflag
+                   ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                            l_linenumber NULLS FIRST, l_partkey NULLS FIRST
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
 
 def _ewm_pair_sql(alpha: float = 0.2, halflife_secs: float = 3600.0) -> str:
     """DuckDB oracle for _q_ewm_pair: the banded pairwise cross-moment
@@ -2770,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "weighted_cms": _q_weighted_cms,
         "ewm_pair": _q_ewm_pair,
+        "group_transforms": _q_group_transforms,
         "weighted_centroids": _q_weighted_centroids,
         "window_stats": _q_window_stats,
         "row_stats": _q_row_stats,

@@ -59,8 +59,9 @@ HEADLINE = [
     "resample_quantile",   # bucket-keyed weighted median
     "ewm_mean",            # banded-rescale exponentially-weighted mean
     "range_join",          # bucketized interval join (price bands, left)
-    "weighted_cms",        # count-min sketch build + probe (md5 path)
+    "weighted_cms",        # count-min sketch build + probe (xxhash path)
     "ewm_pair",            # banded pairwise cov/corr + time-decayed mean
+    "group_transforms",    # shift/diff/pct/ffill/bfill/cumsum, one window
 ]
 
 

@@ -434,6 +434,19 @@ class WeightedDataFrame:
             times=times,
         )
 
+    def ordered(
+        self,
+        order_by: Sequence[Union[str, Column]],
+        partition_by: Sequence[Union[str, Column]] = (),
+    ):
+        """Grouped ordered per-row transforms (pandas
+        ``groupby().shift/diff/pct_change/ffill/bfill`` + weighted
+        cumulative stats) — see transforms.py: every transform shares
+        one ``partitionBy(keys) orderBy(order)`` WindowExec."""
+        from pandas_weights_spark.transforms import OrderedTransform
+
+        return OrderedTransform(self, order_by, partition_by)
+
     # -- the weighted view ----------------------------------------------------
 
     def weighted(self) -> DataFrame:
