@@ -855,6 +855,48 @@ def _q_ewm_pair(spark, sf_dir):
     return pair.unionByName(tm)
 
 
+def _q_neardup_pairs(spark, sf_dir):
+    # THREE near-dup pair pipelines in one tagged union (folded from
+    # r3's minhash_neardup + ngram_jaccard + embedding_neardup to free
+    # two driver rows — coverage unchanged; the bench still times each
+    # method standalone): `minhash` is the banded-LSH + exact-verify
+    # path, `ngram` the exact shingle inverted index, `embed` the
+    # hyperplane-bucketed cosine path.
+    mh = _q_minhash_neardup(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("sim"),
+    )
+    ng = _q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("sim"),
+    )
+    em = _q_embedding_neardup(spark, sf_dir).select(
+        F.lit("embed").alias("method"), "id_a", "id_b",
+        F.col("cosine").alias("sim"),
+    )
+    return mh.unionByName(ng).unionByName(em)
+
+
+def _q_linfit(spark, sf_dir):
+    # weighted least-squares line fit per return flag (regression.py):
+    # price ~ discount under quantity weights, one moment aggregate.
+    # Closed-form algebra over the Pearson moment sums; ROUND 6 absorbs
+    # the division/sqrt ulps (sums are single-partition-deterministic
+    # at sf0.01).
+    out = wt(_li(spark, sf_dir), _W).linfit(
+        "l_discount", "l_extendedprice", by=["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sum_w"), 6).alias("sum_w"),
+        F.round(F.col("slope"), 6).alias("slope"),
+        F.round(F.col("intercept"), 6).alias("intercept"),
+        F.round(F.col("r2"), 6).alias("r2"),
+        F.round(F.col("rmse"), 6).alias("rmse"),
+    )
+
+
 def _q_group_transforms(spark, sf_dir):
     # grouped ordered transforms (transforms.py): lag/delta/relative
     # change on the price, gap fill both directions on a NULL-bearing
@@ -2283,7 +2325,7 @@ def _minhash_sql() -> str:
     """
 
 
-_ORACLE["ngram_jaccard"] = """
+_NGRAM_SQL = """
     WITH base AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 150
       UNION ALL
@@ -2312,7 +2354,6 @@ _ORACLE["ngram_jaccard"] = """
     WHERE jac >= 0.5
 """
 
-_ORACLE["minhash_neardup"] = _minhash_sql()
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -2380,7 +2421,71 @@ def _embedding_neardup_sql(dim: int = 64, planes: int = 4, seed: int = 42,
 """
 
 
-_ORACLE["embedding_neardup"] = _embedding_neardup_sql()
+# tagged union of the three pair oracles (see _q_neardup_pairs)
+_ORACLE["neardup_pairs"] = f"""
+    SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
+    FROM ({_minhash_sql()})
+    UNION ALL
+    SELECT 'ngram' AS method, id_a, id_b, jaccard AS sim
+    FROM ({_NGRAM_SQL})
+    UNION ALL
+    SELECT 'embed' AS method, id_a, id_b, cosine AS sim
+    FROM ({_embedding_neardup_sql()})
+"""
+
+_ORACLE["linfit"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(CASE WHEN l_discount IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL THEN 1 END) AS n,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_extendedprice IS NOT NULL THEN l_quantity END)
+               AS w,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_extendedprice IS NOT NULL THEN l_quantity END
+                 * l_discount) AS wx,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_extendedprice IS NOT NULL THEN l_quantity END
+                 * l_extendedprice) AS wy,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_extendedprice IS NOT NULL THEN l_quantity END
+                 * l_discount * l_extendedprice) AS wxy,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_extendedprice IS NOT NULL THEN l_quantity END
+                 * l_discount * l_discount) AS wxx,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_extendedprice IS NOT NULL THEN l_quantity END
+                 * l_extendedprice * l_extendedprice) AS wyy
+      FROM lineitem GROUP BY 1
+    ), s AS (
+      SELECT l_returnflag, n, w,
+             wxx - (wx * wx) / w AS sxx,
+             wxy - (wx * wy) / w AS sxy,
+             wyy - (wy * wy) / w AS syy,
+             wx, wy
+      FROM m
+    ), c AS (
+      SELECT l_returnflag, n, w, sxx, sxy, syy,
+             CASE WHEN n >= 2 AND w IS NOT NULL AND NOT isnan(w)
+                   AND w > 0 AND sxx > 0
+                  THEN sxy / sxx END AS slope,
+             CASE WHEN n >= 2 AND w IS NOT NULL AND NOT isnan(w)
+                   AND w > 0 AND sxx > 0
+                  THEN wy / w - (sxy / sxx) * (wx / w) END AS intercept
+      FROM s
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(w, 6) AS sum_w,
+           ROUND(slope, 6) AS slope,
+           ROUND(intercept, 6) AS intercept,
+           ROUND(CASE WHEN slope IS NOT NULL AND syy > 0
+                 THEN (sxy * sxy) / (sxx * syy) END, 6) AS r2,
+           ROUND(CASE WHEN slope IS NOT NULL AND w > 2.0
+                 THEN sqrt(GREATEST(syy - slope * slope * sxx, 0.0)
+                           / (w - 2.0)) END, 6) AS rmse
+    FROM c
+"""
 
 _ANN_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
@@ -2828,10 +2933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _q_text_metrics,
         "asof_join": _q_asof_join,
         "doc_weighted_stats": _q_doc_weighted_stats,
-        "minhash_neardup": _q_minhash_neardup,
-        "ngram_jaccard": _q_ngram_jaccard,
+        "neardup_pairs": _q_neardup_pairs,
         "simhash_neardup": _q_simhash_neardup,
-        "embedding_neardup": _q_embedding_neardup,
+        "linfit": _q_linfit,
         "ann_topk": _q_ann_topk,
         "range_join": _q_range_join,
         "weighted_cms": _q_weighted_cms,

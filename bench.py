@@ -62,6 +62,7 @@ HEADLINE = [
     "weighted_cms",        # count-min sketch build + probe (xxhash path)
     "ewm_pair",            # banded pairwise cov/corr + time-decayed mean
     "group_transforms",    # shift/diff/pct/ffill/bfill/cumsum, one window
+    "linfit",              # weighted least-squares fit, one moment agg
 ]
 
 
@@ -199,6 +200,12 @@ def main() -> int:
         return cms_lookup(sk, probe, "l_partkey", depth=3, width=128, seed=7)
 
     qs["weighted_cms"] = _cms_xxhash
+
+    # near-dup trio folded into the tagged neardup_pairs driver row;
+    # bench each method standalone for round-over-round comparability
+    qs["minhash_neardup"] = E._q_minhash_neardup
+    qs["ngram_jaccard"] = E._q_ngram_jaccard
+    qs["embedding_neardup"] = E._q_embedding_neardup
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))

@@ -447,6 +447,38 @@ class WeightedDataFrame:
 
         return OrderedTransform(self, order_by, partition_by)
 
+    def linfit(
+        self,
+        x_col: str,
+        y_col: str,
+        by: Optional[Sequence[str]] = None,
+        ddof: float = 2.0,
+        min_periods: int = 2,
+    ) -> DataFrame:
+        """Weighted least-squares line fit ``y ≈ a + b·x`` per group /
+        globally — see regression.py (one moment aggregate, no collect)."""
+        from pandas_weights_spark.regression import weighted_linfit
+
+        return weighted_linfit(
+            self, x_col, y_col, by=by, ddof=ddof, min_periods=min_periods
+        )
+
+    def linfit_transform(
+        self,
+        x_col: str,
+        y_col: str,
+        by: Optional[Sequence[str]] = None,
+        ddof: float = 2.0,
+        min_periods: int = 2,
+    ) -> DataFrame:
+        """Per-row fitted/residual columns from the group's weighted
+        line fit (regression.py; AQE-broadcast join-back)."""
+        from pandas_weights_spark.regression import weighted_linfit_transform
+
+        return weighted_linfit_transform(
+            self, x_col, y_col, by=by, ddof=ddof, min_periods=min_periods
+        )
+
     # -- the weighted view ----------------------------------------------------
 
     def weighted(self) -> DataFrame:
