@@ -897,6 +897,23 @@ def _q_linfit(spark, sf_dir):
     )
 
 
+def _q_qcut(spark, sf_dir):
+    # weighted discretization (quantile.py): fixed-edge cut (row-local
+    # CASE) + per-group equal-mass qcut (rides the CDF transform's
+    # banded machinery). Integer masses -> the cdf division and the
+    # ceil bin arithmetic are bit-exact, no rounding.
+    li = _li(spark, sf_dir)
+    cutdf = wt(li, _W).cut(
+        "l_extendedprice", [0.0, 10000.0, 30000.0, 60000.0]
+    )
+    out = wt(cutdf, _W).groupby("l_returnflag").qcut("l_extendedprice", 4)
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("l_extendedprice_bin").alias("cut_bin"),
+        F.col("l_extendedprice_qbin").alias("qbin"),
+    )
+
+
 def _q_group_transforms(spark, sf_dir):
     # grouped ordered transforms (transforms.py): lag/delta/relative
     # change on the price, gap fill both directions on a NULL-bearing
@@ -2614,6 +2631,35 @@ def _cms_sql(depth: int = 3, width: int = 128, seed: int = 7) -> str:
 
 _ORACLE["weighted_cms"] = _cms_sql()
 
+_ORACLE["qcut"] = """
+    WITH c AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             CASE WHEN l_extendedprice > 0.0
+                   AND l_extendedprice <= 10000.0 THEN 0
+                  WHEN l_extendedprice > 10000.0
+                   AND l_extendedprice <= 30000.0 THEN 1
+                  WHEN l_extendedprice > 30000.0
+                   AND l_extendedprice <= 60000.0 THEN 2
+             END AS cut_bin,
+             CASE WHEN l_extendedprice IS NOT NULL AND l_quantity > 0
+                  THEN l_quantity ELSE 0 END AS m
+      FROM lineitem
+    ), f AS (
+      SELECT *, SUM(m) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cw,
+             SUM(m) OVER (PARTITION BY l_returnflag) AS tw
+      FROM c
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           cut_bin,
+           CASE WHEN l_extendedprice IS NOT NULL AND tw > 0
+                THEN GREATEST(0, CAST(CEIL((cw / tw) * 4.0) AS INTEGER) - 1)
+           END AS qbin
+    FROM f
+"""
+
 _ORACLE["group_transforms"] = """
     WITH t AS (
       SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
@@ -2941,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_cms": _q_weighted_cms,
         "ewm_pair": _q_ewm_pair,
         "group_transforms": _q_group_transforms,
+        "qcut": _q_qcut,
         "weighted_centroids": _q_weighted_centroids,
         "window_stats": _q_window_stats,
         "row_stats": _q_row_stats,

@@ -63,6 +63,7 @@ HEADLINE = [
     "ewm_pair",            # banded pairwise cov/corr + time-decayed mean
     "group_transforms",    # shift/diff/pct/ffill/bfill/cumsum, one window
     "linfit",              # weighted least-squares fit, one moment agg
+    "qcut",                # cut + equal-mass qcut discretization
 ]
 
 

@@ -332,6 +332,24 @@ class WeightedDataFrame:
 
         return weighted_cdf(self, subset=subset, bands=bands)
 
+    def qcut(self, col: str, q: int, bands: int = 256) -> DataFrame:
+        """Equal-weight-mass discretization (pandas ``qcut`` under
+        frequency weights): adds ``{col}_qbin`` ∈ 0..q−1 — see
+        :func:`pandas_weights_spark.quantile.weighted_qcut`."""
+        from pandas_weights_spark.quantile import weighted_qcut
+
+        return weighted_qcut(self, col, q, bands=bands)
+
+    def cut(
+        self, col: str, edges: Sequence[float], right: bool = True
+    ) -> DataFrame:
+        """Fixed-edge discretization (pandas ``cut`` with explicit
+        bins): adds ``{col}_bin``, NULL outside the edges — row-local,
+        no shuffle."""
+        from pandas_weights_spark.quantile import weighted_cut
+
+        return weighted_cut(self, col, edges, right=right)
+
     # -- windowed statistics --------------------------------------------------
 
     def mad(

@@ -423,6 +423,26 @@ class WeightedGroupBy:
             wdf, subset=self._value_cols(), keys=self._keys, bands=bands
         )
 
+    def qcut(self, col: str, q: int, bands: int = 256) -> DataFrame:
+        """Per-group equal-weight-mass discretization: adds
+        ``{col}_qbin`` ∈ 0..q−1 against the row's group — see
+        :func:`pandas_weights_spark.quantile.weighted_qcut`."""
+        from pandas_weights_spark.quantile import weighted_qcut
+
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "qcut is not defined for cube/rollup grouping sets"
+            )
+        wdf = self._wdf
+        if self._dropna:
+            df = wdf.df
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+            sub = wdf._subset(wdf.columns)
+            sub._df = df
+            wdf = sub
+        return weighted_qcut(wdf, col, q, keys=self._keys, bands=bands)
+
     def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         """Per-row standardization against the row's GROUP weighted
         moments: adds ``{col}_z = (x − μ_g) / σ_g`` for every numeric

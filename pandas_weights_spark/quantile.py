@@ -35,6 +35,8 @@ __all__ = [
     "weighted_quantiles",
     "weighted_quantiles_binned",
     "weighted_cdf",
+    "weighted_qcut",
+    "weighted_cut",
     "quantile_col_name",
 ]
 
@@ -229,6 +231,65 @@ def weighted_cdf(
             ).alias(f"{c}_cdf")
         )
     return base.select(*orig_cols, *cdf_cols)
+
+
+def weighted_qcut(
+    wdf,
+    col: str,
+    q: int,
+    keys: Sequence[str] = (),
+    bands: int = 256,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Equal-weight-mass discretization (pandas ``qcut`` under
+    frequency weights): per-row bin ``0..q-1`` such that each bin
+    carries ~``1/q`` of the group's weight mass. Built on the CDF
+    transform — ``bin = max(0, ⌈F(x)·q⌉ − 1)`` puts cdf ∈
+    ``((i)/q, (i+1)/q]`` in bin ``i``, with ties sharing a bin (the
+    ``duplicates="drop"`` behavior falls out: a value spanning a
+    boundary lands wholly in its cdf's bin). NULL value → NULL bin.
+
+    Scale shape = the CDF transform's (banded prefix sums, no ordered
+    window over the raw rows); the bin arithmetic is a free map."""
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    c = weighted_cdf(wdf, subset=[col], keys=keys, bands=bands)
+    cdfc = F.col(f"{col}_cdf")
+    b = F.when(
+        cdfc.isNotNull(),
+        F.greatest(
+            F.lit(0), (F.ceil(cdfc * F.lit(float(q))) - F.lit(1)).cast("int")
+        ),
+    )
+    return c.withColumn(out_col or f"{col}_qbin", b).drop(f"{col}_cdf")
+
+
+def weighted_cut(
+    wdf,
+    col: str,
+    edges: Sequence[float],
+    right: bool = True,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Fixed-edge discretization (pandas ``cut`` with explicit bins):
+    bin ``i`` ⟺ ``edges[i] < x <= edges[i+1]`` (``right=True``; flipped
+    closure otherwise), NULL outside the edges — a pure row-local CASE
+    expression (no shuffle, weights don't enter)."""
+    edges = [float(e) for e in edges]
+    if len(edges) < 2 or any(
+        not a < b for a, b in zip(edges, edges[1:])
+    ):
+        raise ValueError("edges must be >= 2 strictly increasing values")
+    x = wdf._value(col).cast("double")
+    expr = F.lit(None).cast("int")
+    for i in range(len(edges) - 2, -1, -1):
+        lo, hi = edges[i], edges[i + 1]
+        if right:
+            inside = (x > F.lit(lo)) & (x <= F.lit(hi))
+        else:
+            inside = (x >= F.lit(lo)) & (x < F.lit(hi))
+        expr = F.when(inside, F.lit(i)).otherwise(expr)
+    return wdf.df.withColumn(out_col or f"{col}_bin", expr)
 
 
 def weighted_quantiles_binned(

@@ -336,6 +336,93 @@ class TestWeightedCdf:
         out = {r["v"]: r["v_cdf"] for r in wt(df, "w").cdf().collect()}
         assert out[1.0] == 0.25 and out[2.0] == 0.5 and out[3.0] == 1.0
 
+    def test_qcut_equal_mass(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(13)
+        rows = [
+            (int(i % 2), float(rng.normal(0, 1)), float(rng.integers(1, 4)))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g int, v double, w double")
+        out = wt(df, "w").groupby("g").qcut("v", 4).collect()
+        # each bin holds ~1/4 of the group's mass (ties can shift a
+        # little; continuous data here, so exact splits at the sample)
+        from collections import defaultdict
+
+        mass = defaultdict(float)
+        tot = defaultdict(float)
+        for r in out:
+            assert 0 <= r["v_qbin"] <= 3
+            mass[(r["g"], r["v_qbin"])] += r["w"]
+            tot[r["g"]] += r["w"]
+        for (g, _b), m in mass.items():
+            assert 0.15 <= m / tot[g] <= 0.35
+
+    def test_qcut_matches_quantile_edges(self, spark):
+        # bin boundary consistency: rows at/below the q-quantile value
+        # land in bins < i+1 and the quantile value itself closes bin i
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", float(v), 1.0) for v in range(1, 11)],
+            "g string, v double, w double",
+        )
+        out = {
+            r["v"]: r["v_qbin"]
+            for r in wt(df, "w").groupby("g").qcut("v", 2).collect()
+        }
+        # mass 10, F(5)=0.5 -> bin 0; F(6)=0.6 -> bin 1
+        assert out[5.0] == 0 and out[6.0] == 1
+
+    def test_qcut_null_and_zero_weight(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0), ("a", None, 1.0), ("a", 0.5, 0.0)],
+            "g string, v double, w double",
+        )
+        rows = {
+            r["v"]: r["v_qbin"]
+            for r in wt(df, "w").groupby("g").qcut("v", 2).collect()
+        }
+        assert rows[None] is None
+        # zero-weight row below all mass: cdf 0 -> clamped to bin 0
+        assert rows[0.5] == 0
+
+    def test_cut_explicit_edges(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(0.5, 1.0), (1.0, 1.0), (1.5, 1.0), (2.0, 1.0), (3.5, 1.0),
+             (None, 1.0)],
+            "v double, w double",
+        )
+        wdf = wt(df, "w")
+        right = {
+            r["v"]: r["v_bin"]
+            for r in wdf.cut("v", [1.0, 2.0, 3.0]).collect()
+        }
+        # right-closed: (1,2] -> 0, (2,3] -> 1; 1.0 and 3.5 outside
+        assert right[1.0] is None and right[1.5] == 0 and right[2.0] == 0
+        assert right[3.5] is None and right[None] is None
+        left = {
+            r["v"]: r["v_bin"]
+            for r in wdf.cut("v", [1.0, 2.0, 3.0], right=False).collect()
+        }
+        assert left[1.0] == 0 and left[2.0] == 1 and left[1.5] == 0
+
+    def test_cut_bad_edges(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame([(1.0, 1.0)], "v double, w double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="strictly increasing"):
+            wt(df, "w").cut("v", [2.0, 1.0])
+
     def test_banded_plan(self, spark):
         import pandas_weights_spark.plans as P
         from pandas_weights_spark import wt
