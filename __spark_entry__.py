@@ -470,26 +470,39 @@ def _q_group_mad(spark, sf_dir):
         ]
 
     exact = g().mad().select(
-        F.lit("exact").alias("mode"),
+        F.lit("mad:exact").alias("kind"),
         "l_returnflag",
-        F.col("l_extendedprice").alias("mad"),
+        F.col("l_extendedprice").alias("val"),
     )
     binned = g().mad(exact=False, lo=0.0, hi=60000.0, bins=1024).select(
-        F.lit("binned").alias("mode"),
+        F.lit("mad:binned").alias("kind"),
         "l_returnflag",
-        F.col("l_extendedprice").alias("mad"),
+        F.col("l_extendedprice").alias("val"),
     )
-    return exact.unionByName(binned)
-
-
-def _q_group_mode(spark, sf_dir):
-    # per-group weighted mode: argmax of weight mass over distinct values
-    return (
+    # weighted mode folded in (freed a driver row for pivot_table —
+    # coverage unchanged): the argmax value and its mass as two tagged
+    # rows in the shared (kind, key, val) schema
+    mode = (
         wt(_li(spark, sf_dir), _W)
         .groupby("l_returnflag")[["l_linenumber"]]
         .mode()
-        .select("l_returnflag", "l_linenumber", F.col("count").alias("mass"))
     )
+    mode_rows = mode.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mode:value").alias("kind"),
+                    F.col("l_linenumber").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit("mode:mass").alias("kind"),
+                    F.col("count").alias("val"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.kind", "l_returnflag", F.col("p.val").alias("val"))
+    return exact.unionByName(binned).unionByName(mode_rows)
 
 
 def _q_group_quantile(spark, sf_dir):
@@ -894,6 +907,25 @@ def _q_linfit(spark, sf_dir):
         F.round(F.col("intercept"), 6).alias("intercept"),
         F.round(F.col("r2"), 6).alias("r2"),
         F.round(F.col("rmse"), 6).alias("rmse"),
+    )
+
+
+def _q_pivot_table(spark, sf_dir):
+    # weighted pivot table (pivot.py): return flag as index, line
+    # status spread wide, weighted mean+sum cells for two value
+    # columns — all 8 cells in ONE hash aggregate (conditionally
+    # masked kernels; no Spark pivot() fallback, no second pass).
+    # Sums/means are single-partition-deterministic at sf0.01 ->
+    # bit-exact, no rounding.
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")
+        .pivot(
+            "l_linestatus",
+            values=["l_extendedprice", "l_discount"],
+            stats=("mean", "sum"),
+            column_values=["F", "O"],
+        )
     )
 
 
@@ -1511,17 +1543,31 @@ _ORACLE: dict[str, str] = {
                  SUM(bm) OVER (PARTITION BY g) AS tw
           FROM bb2
         )
-        SELECT 'exact' AS mode, g AS l_returnflag,
+        SELECT 'mad:exact' AS kind, g AS l_returnflag,
                MIN(CASE WHEN cw >= 0.5 * tw THEN x END)
-                 * CAST(1.0 AS DOUBLE) AS mad
+                 * CAST(1.0 AS DOUBLE) AS val
         FROM c2 GROUP BY g
         UNION ALL
-        SELECT 'binned' AS mode, g AS l_returnflag,
+        SELECT 'mad:binned' AS kind, g AS l_returnflag,
                MIN(CASE WHEN cw >= 0.5 * tw
                    THEN CAST(0.0 AS DOUBLE) + bin * CAST(58.59375 AS DOUBLE)
                    END)
-                 * CAST(1.0 AS DOUBLE) AS mad
+                 * CAST(1.0 AS DOUBLE) AS val
         FROM bc2 GROUP BY g
+        UNION ALL
+        SELECT u.kind, r.l_returnflag,
+               CASE WHEN u.kind = 'mode:value'
+                    THEN CAST(r.l_linenumber AS DOUBLE) ELSE r.m END AS val
+        FROM (
+          SELECT l_returnflag, l_linenumber, m,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY m DESC, l_linenumber) AS rk
+          FROM (SELECT l_returnflag, l_linenumber,
+                       COALESCE(SUM(l_quantity), 0.0) AS m
+                FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2)
+        ) r, (SELECT 'mode:value' AS kind UNION ALL
+              SELECT 'mode:mass' AS kind) u
+        WHERE r.rk = 1
     """,
     "group_zscore": """
         WITH m AS (
@@ -1537,19 +1583,6 @@ _ORACLE: dict[str, str] = {
                      THEN (l.l_extendedprice - s/c)
                           / sqrt((ss - s*s/c) / (c - 1)) END, 6) AS z
         FROM lineitem l JOIN m USING (l_returnflag)
-    """,
-    "group_mode": """
-        WITH mass AS (
-          SELECT l_returnflag, l_linenumber,
-                 COALESCE(SUM(l_quantity), 0.0) AS m
-          FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2
-        ), r AS (
-          SELECT l_returnflag, l_linenumber, m,
-                 row_number() OVER (PARTITION BY l_returnflag
-                                    ORDER BY m DESC, l_linenumber) AS rk
-          FROM mass
-        )
-        SELECT l_returnflag, l_linenumber, m AS mass FROM r WHERE rk = 1
     """,
     "group_var": """
         WITH m AS (
@@ -2631,6 +2664,28 @@ def _cms_sql(depth: int = 3, width: int = 128, seed: int = 7) -> str:
 
 _ORACLE["weighted_cms"] = _cms_sql()
 
+def _pivot_cell_sql(status: str, col: str, stat: str) -> str:
+    wv = f"CASE WHEN l_linestatus = '{status}' THEN l_quantity END"
+    if stat == "mean":
+        return (
+            f"SUM({wv} * {col}) / SUM(CASE WHEN l_linestatus = '{status}'"
+            f" AND {col} IS NOT NULL THEN l_quantity END)"
+            f" AS {col}_{status}_mean"
+        )
+    return f"COALESCE(SUM({wv} * {col}), 0.0) AS {col}_{status}_sum"
+
+
+_ORACLE["pivot_table"] = (
+    "SELECT l_returnflag, "
+    + ", ".join(
+        _pivot_cell_sql(v, c, s)
+        for v in ("F", "O")
+        for c in ("l_extendedprice", "l_discount")
+        for s in ("mean", "sum")
+    )
+    + " FROM lineitem GROUP BY 1"
+)
+
 _ORACLE["qcut"] = """
     WITH c AS (
       SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
@@ -2955,7 +3010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantile": _q_group_quantile,
         "group_quantile_binned": _q_group_quantile_binned,
         "group_mad": _q_group_mad,
-        "group_mode": _q_group_mode,
         "group_zscore": _q_group_zscore,
         "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
@@ -2988,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_pair": _q_ewm_pair,
         "group_transforms": _q_group_transforms,
         "qcut": _q_qcut,
+        "pivot_table": _q_pivot_table,
         "weighted_centroids": _q_weighted_centroids,
         "window_stats": _q_window_stats,
         "row_stats": _q_row_stats,

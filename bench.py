@@ -64,6 +64,7 @@ HEADLINE = [
     "group_transforms",    # shift/diff/pct/ffill/bfill/cumsum, one window
     "linfit",              # weighted least-squares fit, one moment agg
     "qcut",                # cut + equal-mass qcut discretization
+    "pivot_table",         # wide weighted cells, one hash aggregate
 ]
 
 
@@ -205,6 +206,7 @@ def main() -> int:
     # near-dup trio folded into the tagged neardup_pairs driver row;
     # bench each method standalone for round-over-round comparability
     qs["minhash_neardup"] = E._q_minhash_neardup
+    qs["group_mode"] = E._q_group_mode  # folded into group_mad driver row
     qs["ngram_jaccard"] = E._q_ngram_jaccard
     qs["embedding_neardup"] = E._q_embedding_neardup
 

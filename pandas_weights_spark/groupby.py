@@ -423,6 +423,31 @@ class WeightedGroupBy:
             wdf, subset=self._value_cols(), keys=self._keys, bands=bands
         )
 
+    def pivot(
+        self,
+        columns: str,
+        values: Optional[Sequence[str]] = None,
+        stats: Sequence[str] = ("mean",),
+        column_values: Optional[Sequence] = None,
+    ) -> DataFrame:
+        """Weighted pivot table: the group keys as index, ``columns``
+        spread wide, cells = weighted stats — see
+        :func:`pandas_weights_spark.pivot.weighted_pivot` (one hash
+        aggregate; pass ``column_values`` at scale)."""
+        from pandas_weights_spark.pivot import weighted_pivot
+
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "pivot is not defined for cube/rollup grouping sets"
+            )
+        vals = list(values) if values is not None else [
+            c for c in self._value_cols() if c != columns
+        ]
+        return weighted_pivot(
+            self._wdf, self._keys, columns, vals, stats=stats,
+            column_values=column_values,
+        )
+
     def qcut(self, col: str, q: int, bands: int = 256) -> DataFrame:
         """Per-group equal-weight-mass discretization: adds
         ``{col}_qbin`` ∈ 0..q−1 against the row's group — see
