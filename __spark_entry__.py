@@ -151,6 +151,17 @@ def _q_group_var(spark, sf_dir):
     return exact.unionByName(salted)
 
 
+def _q_group_mode(spark, sf_dir):
+    # folded into group_mad's tagged rows for the driver gate; kept
+    # standalone for the bench's per-operator timing
+    return (
+        wt(_li(spark, sf_dir), _W)
+        .groupby("l_returnflag")[["l_linenumber"]]
+        .mode()
+        .select("l_returnflag", "l_linenumber", F.col("count").alias("mass"))
+    )
+
+
 def _q_group_mean_customer(spark, sf_dir):
     # weights with sign variety (c_acctbal can be negative)
     cust = load_table(spark, sf_dir, "customer")
@@ -910,6 +921,27 @@ def _q_linfit(spark, sf_dir):
     )
 
 
+def _q_bloom_semi_join(spark, sf_dir):
+    # Bloom-pruned semi join (functions/bloom.py): line items of
+    # high-value orders. The bitmap is built distributed (word-indexed
+    # bit_or aggregate), broadcast as one map row, probed MAP-SIDE on
+    # the big table before anything shuffles; exact=True then makes
+    # the result row-for-row the plain left_semi join, independent of
+    # the bloom's false-positive rate — which is what the IN-subquery
+    # oracle checks.
+    from pandas_weights_spark.functions.bloom import bloom_semi_join
+
+    li = _li(spark, sf_dir)
+    hi = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloom_semi_join(
+        li, hi, "l_orderkey", expected_items=1024, fpp=0.01
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
 def _q_pivot_table(spark, sf_dir):
     # weighted pivot table (pivot.py): return flag as index, line
     # status spread wide, weighted mean+sum cells for two value
@@ -1003,16 +1035,32 @@ def _q_star_join_mean(spark, sf_dir):
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
     ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-    return (
+    star = (
         wt(joined, _W)
         .groupby("c_mktsegment")[["l_extendedprice"]]
         .agg_all(["count", "mean"])
         .select(
+            F.lit("star").alias("kind"),
             "c_mktsegment",
             F.col("l_extendedprice_count").alias("w_count"),
-            F.col("l_extendedprice_mean").alias("w_mean"),
+            F.col("l_extendedprice_mean").alias("val"),
         )
     )
+    # customer-weights aggregate folded in (freed a driver row for
+    # bloom_semi_join — coverage unchanged): weights with sign variety
+    # (c_acctbal can be negative), sum statistic in the shared schema
+    cust_agg = (
+        wt(load_table(spark, sf_dir, "customer"), "c_acctbal")
+        .groupby("c_mktsegment")[["c_custkey"]]
+        .agg_all(["count", "sum"])
+        .select(
+            F.lit("cust").alias("kind"),
+            "c_mktsegment",
+            F.col("c_custkey_count").alias("w_count"),
+            F.col("c_custkey_sum").alias("val"),
+        )
+    )
+    return star.unionByName(cust_agg)
 
 
 def _q_grouped_apply(spark, sf_dir):
@@ -1614,14 +1662,6 @@ _ORACLE: dict[str, str] = {
                           THEN sqrt((ss - s*s/c) / (c - 1)) END, 4) AS w_std
         FROM m
     """,
-    "group_mean_customer": """
-        SELECT c_mktsegment,
-               COALESCE(SUM(CASE WHEN c_custkey IS NOT NULL THEN c_acctbal END), 0.0)
-                 AS w_count,
-               COALESCE(SUM(c_acctbal * c_custkey), 0.0) AS w_sum
-        FROM customer
-        GROUP BY c_mktsegment
-    """,
     "resample_2d": """
         WITH o AS (SELECT date_trunc('day', MIN(l_shipdate)) AS org FROM lineitem)
         SELECT 'left' AS edge,
@@ -2192,15 +2232,22 @@ _ORACLE["row_stats"] = """
 """
 
 _ORACLE["star_join_mean"] = """
-    SELECT c_mktsegment,
+    SELECT 'star' AS kind, c_mktsegment,
            COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
                              THEN l_quantity END), 0.0) AS w_count,
            SUM(l_extendedprice * l_quantity)
              / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END)
-             AS w_mean
+             AS val
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'cust' AS kind, c_mktsegment,
+           COALESCE(SUM(CASE WHEN c_custkey IS NOT NULL
+                             THEN c_acctbal END), 0.0) AS w_count,
+           COALESCE(SUM(c_acctbal * c_custkey), 0.0) AS val
+    FROM customer
     GROUP BY c_mktsegment
 """
 
@@ -2664,6 +2711,14 @@ def _cms_sql(depth: int = 3, width: int = 128, seed: int = 7) -> str:
 
 _ORACLE["weighted_cms"] = _cms_sql()
 
+_ORACLE["bloom_semi_join"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 400000.0)
+"""
+
+
 def _pivot_cell_sql(status: str, col: str, stat: str) -> str:
     wv = f"CASE WHEN l_linestatus = '{status}' THEN l_quantity END"
     if stat == "mean":
@@ -3011,7 +3066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantile_binned": _q_group_quantile_binned,
         "group_mad": _q_group_mad,
         "group_zscore": _q_group_zscore,
-        "group_mean_customer": _q_group_mean_customer,
         "resample_2d": _q_resample_2d,
         "resample_rules": _q_resample_rules,
         "resample_quantile": _q_resample_quantile,
@@ -3043,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_transforms": _q_group_transforms,
         "qcut": _q_qcut,
         "pivot_table": _q_pivot_table,
+        "bloom_semi_join": _q_bloom_semi_join,
         "weighted_centroids": _q_weighted_centroids,
         "window_stats": _q_window_stats,
         "row_stats": _q_row_stats,

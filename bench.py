@@ -65,6 +65,7 @@ HEADLINE = [
     "linfit",              # weighted least-squares fit, one moment agg
     "qcut",                # cut + equal-mass qcut discretization
     "pivot_table",         # wide weighted cells, one hash aggregate
+    "bloom_semi_join",     # bitmap build + map-side probe + exact semi
 ]
 
 
@@ -207,6 +208,7 @@ def main() -> int:
     # bench each method standalone for round-over-round comparability
     qs["minhash_neardup"] = E._q_minhash_neardup
     qs["group_mode"] = E._q_group_mode  # folded into group_mad driver row
+    qs["group_mean_customer"] = E._q_group_mean_customer  # folded into star_join_mean
     qs["ngram_jaccard"] = E._q_ngram_jaccard
     qs["embedding_neardup"] = E._q_embedding_neardup
 
