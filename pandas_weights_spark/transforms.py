@@ -6,12 +6,15 @@ are engine extensions in the spirit of the per-row zscore/cdf
 transforms, built for the shapes a training-data pipeline needs:
 lag features, session deltas, gap fill, running mass totals.
 
-Scale shape: every transform is a window function over ONE shared
-``partitionBy(keys) orderBy(order)`` spec — selecting any number of
-them in one ``assemble()`` call costs a single exchange + sort
-(forward- and backward-looking frames share the same sort; Spark emits
-one WindowExec chain without re-exchanging). Like rolling/ewm, a
-keyless transform warns: the ordered window then runs in one task.
+Scale shape: every forward-looking transform is a window function over
+ONE shared ``partitionBy(keys) orderBy(order)`` spec — selecting any
+number of them in one ``assemble()`` call costs a single exchange +
+sort. ``bfill`` scans the REVERSED order (incremental prefix frame, not
+Spark's O(rows²)-per-partition unbounded-following frame), which adds
+one extra SortExec over the SAME partitioning — still exactly one
+exchange for any mix of forward and backward transforms (pinned by
+test_transforms). Like rolling/ewm, a keyless transform warns: the
+ordered window then runs in one task.
 
 Weight semantics: ``shift``/``diff``/``pct_change``/``ffill``/``bfill``
 are index-aligned pandas operations and ignore weights; the cumulative
@@ -125,10 +128,18 @@ class OrderedTransform:
         if kind == "ffill":
             return F.last(x, ignorenulls=True).over(run)
         if kind == "bfill":
-            back = spec.rowsBetween(
-                Window.currentRow, Window.unboundedFollowing
-            )
-            return F.first(x, ignorenulls=True).over(back)
+            # next non-NULL = last non-NULL scanning the REVERSED order.
+            # The naive frame (currentRow, unboundedFollowing) makes
+            # Spark recompute the aggregate from scratch per row
+            # (UnboundedFollowingWindowFunctionFrame) — O(rows²) per
+            # partition, minutes at 200k rows/group. The reversed spec
+            # runs the incremental O(rows) prefix frame instead; same
+            # hash partitioning, so it adds one SortExec but NO second
+            # exchange (pinned by test_assemble_single_exchange).
+            rev = Window.partitionBy(*_cols(self._partition_by)).orderBy(
+                *[c.desc() for c in _cols(self._order_by)]
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return F.last(x, ignorenulls=True).over(rev)
         if kind == "cumsum":
             valid = x.isNotNull() & w.isNotNull()
             term = F.when(valid, w * x)

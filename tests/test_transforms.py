@@ -126,10 +126,15 @@ class TestPlanAndGuards:
             bf=t.col("x", "bfill"),
             cs=t.col("x", "cumsum"),
         )
-        # forward + backward + running frames all share one sort: ONE
-        # exchange for six transforms
+        # forward + backward + running frames all share one hash
+        # partitioning: ONE exchange for six transforms (bfill adds a
+        # reverse SortExec, never a second shuffle)
         assert P.count_exchanges(out) == 1, P.physical_plan(out)
         assert not P.has_python_eval(out)
+        # and no O(rows²) unbounded-following frame anywhere: bfill must
+        # ride the reversed incremental prefix frame
+        plan = P.physical_plan(out)
+        assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan
 
     def test_keyless_warns(self, spark):
         df = spark.createDataFrame([(0, 1.0, 1.0)], "i int, x double, w double")
