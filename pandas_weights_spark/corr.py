@@ -440,18 +440,15 @@ def _band_expr(col: str, lo: str, hi: str, bands: int) -> Column:
 
 
 def _band_offsets(
-    joint: DataFrame, keys: Sequence[str], band_col: str
+    btot: DataFrame, keys: Sequence[str], band_col: str
 ) -> DataFrame:
     """``keys + [band_col, __off<band_col>]`` — rows in strictly lower
-    bands, derived from the shared joint ``(keys, bandx, bandy)`` count
-    frame (one marginal sum + a tiny ordered window; ≤ bands rows per
-    group, so the downstream join broadcasts)."""
+    bands, from a per-``(keys, band)`` count frame carrying ``__bt__``
+    (a tiny ordered window; ≤ bands rows per group, so the downstream
+    join broadcasts)."""
     from pyspark.sql import Window
 
     kc = [F.col(k) for k in keys]
-    btot = joint.groupBy(*keys, band_col).agg(
-        F.sum("__bn__").alias("__bt__")
-    )
     off_win = (
         Window.partitionBy(*kc)
         .orderBy(band_col)
@@ -524,18 +521,27 @@ def spearman_corr(
         _band_expr("__x__", "__lox__", "__hix__", bands).alias("__bandx__"),
         _band_expr("__y__", "__loy__", "__hiy__", bands).alias("__bandy__"),
     )
-    # ONE joint band-count aggregate feeds BOTH columns' offset tables —
+    # ONE grouping-sets aggregate feeds BOTH columns' offset tables —
     # a per-column count would re-execute the scan + range join per
-    # branch (observed: 8 scans / 22 exchanges vs 3 / ~10 here); the
-    # two offset joins are ≤ bands rows per group on the build side, so
-    # AQE broadcasts both (measured: fusing them into one lookup join
-    # or hinting broadcast both LOSE locally — extra sequential stage
-    # barriers outweigh the saved probe).
-    joint = j.groupBy(*keys, "__bandx__", "__bandy__").agg(
-        F.count(F.lit(1)).alias("__bn__")
+    # branch (observed: 8 scans / 22 exchanges vs 3 / ~10 here), and
+    # the earlier joint (keys, bandx, bandy) count materialized up to
+    # keys·bands² groups (~196k rows at sf0.1 — a shuffle as fat as
+    # the data itself) only to be re-marginalized twice. GROUPING SETS
+    # ((keys, bandx), (keys, bandy)) emits the two ≤ keys·bands
+    # marginals directly from one map-side-combining pass; the offset
+    # joins stay broadcast-small.
+    gsets = j.groupingSets(
+        [[*keys, "__bandx__"], [*keys, "__bandy__"]],
+        *keys, "__bandx__", "__bandy__",
+    ).agg(
+        F.count(F.lit(1)).alias("__bt__"),
+        F.grouping("__bandy__").alias("__gy__"),
     )
-    for band_col in ("__bandx__", "__bandy__"):
-        off = _band_offsets(joint, keys, band_col)
+    for band_col, other_gone in (("__bandx__", 1), ("__bandy__", 0)):
+        btot = gsets.where(F.col("__gy__") == other_gone).select(
+            *keys, band_col, "__bt__"
+        )
+        off = _band_offsets(btot, keys, band_col)
         j = _join_group_stats(j, off, keys + [band_col])
 
     def _rank(val_col: str, band_col: str) -> Column:
