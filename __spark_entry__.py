@@ -901,6 +901,29 @@ def _q_neardup_pairs(spark, sf_dir):
     return mh.unionByName(ng).unionByName(em)
 
 
+def _q_neardup_clusters(spark, sf_dir):
+    # near-dup CLUSTERING — the stage after pair detection: minhash+LSH
+    # pairs → alternating large-star/small-star connected components
+    # (functions/graph.py, O(log) shuffle rounds, no driver-side edges)
+    # → (doc_id, cluster, is_survivor). cluster = MIN doc id of the
+    # component (deterministic), so DuckDB replays the transitive
+    # closure as a recursive reachability CTE over the same pair SQL.
+    from pandas_weights_spark.functions.graph import neardup_clusters
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    base = docs.unionByName(mutated)
+    return neardup_clusters(
+        base, "text", "doc_id", threshold=0.4, num_hashes=16, bands=4,
+        shingle_size=3,
+    )
+
+
 def _q_linfit(spark, sf_dir):
     # weighted least-squares line fit per return flag (regression.py):
     # price ~ discount under quantity weights, one moment aggregate.
@@ -970,11 +993,19 @@ def _q_qcut(spark, sf_dir):
     cutdf = wt(li, _W).cut(
         "l_extendedprice", [0.0, 10000.0, 30000.0, 60000.0]
     )
-    out = wt(cutdf, _W).groupby("l_returnflag").qcut("l_extendedprice", 4)
+    # keep_cdf: the qbin rides the CDF transform, so the F(x) column is
+    # free — this row also carries the per-row weighted CDF coverage
+    # (folded from r3's standalone group_cdf row to free a driver slot;
+    # the bench still times group_cdf standalone). cw/tw is a division
+    # of exact integer-mass sums — bit-exact, no rounding.
+    out = wt(cutdf, _W).groupby("l_returnflag").qcut(
+        "l_extendedprice", 4, keep_cdf=True
+    )
     return out.select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
         F.col("l_extendedprice_bin").alias("cut_bin"),
         F.col("l_extendedprice_qbin").alias("qbin"),
+        F.col("l_extendedprice_cdf").alias("cdf"),
     )
 
 
@@ -1757,24 +1788,6 @@ _ORACLE: dict[str, str] = {
           FROM t3 WHERE ts IS NOT NULL GROUP BY 2
         )
     """,
-    "group_cdf": """
-        SELECT l_returnflag, l_extendedprice,
-               CASE WHEN l_extendedprice IS NOT NULL AND tw > 0
-                    THEN cw / tw END AS l_extendedprice_cdf
-        FROM (
-          SELECT l_returnflag, l_extendedprice,
-                 SUM(m) OVER (PARTITION BY l_returnflag
-                              ORDER BY l_extendedprice
-                              RANGE BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW) AS cw,
-                 SUM(m) OVER (PARTITION BY l_returnflag) AS tw
-          FROM (SELECT l_returnflag, l_extendedprice,
-                       CASE WHEN l_extendedprice IS NOT NULL
-                             AND l_quantity > 0
-                            THEN l_quantity ELSE 0 END AS m
-                FROM lineitem)
-        )
-    """,
     "resample_quantile": """
         WITH t AS (
           SELECT CAST(l_shipdate AS TIMESTAMP) AS ts,
@@ -2530,6 +2543,27 @@ _ORACLE["neardup_pairs"] = f"""
     FROM ({_embedding_neardup_sql()})
 """
 
+_ORACLE["neardup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    nodes AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 10000 FROM documents WHERE doc_id < 200
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON reach.n = e.u
+    )
+    SELECT n AS doc_id, MIN(r) AS cluster, MIN(r) = n AS is_survivor
+    FROM reach GROUP BY n
+"""
+
 _ORACLE["linfit"] = """
     WITH m AS (
       SELECT l_returnflag,
@@ -2766,7 +2800,9 @@ _ORACLE["qcut"] = """
            cut_bin,
            CASE WHEN l_extendedprice IS NOT NULL AND tw > 0
                 THEN GREATEST(0, CAST(CEIL((cw / tw) * 4.0) AS INTEGER) - 1)
-           END AS qbin
+           END AS qbin,
+           CASE WHEN l_extendedprice IS NOT NULL AND tw > 0
+                THEN cw / tw END AS cdf
     FROM f
 """
 
@@ -3069,7 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_2d": _q_resample_2d,
         "resample_rules": _q_resample_rules,
         "resample_quantile": _q_resample_quantile,
-        "group_cdf": _q_group_cdf,
+        "neardup_clusters": _q_neardup_clusters,
         "ewm_mean": _q_ewm_mean,
         "corr_cov_matrix": _q_corr_cov_matrix,
         "group_skew_kurt": _q_group_skew_kurt,

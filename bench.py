@@ -66,6 +66,7 @@ HEADLINE = [
     "qcut",                # cut + equal-mass qcut discretization
     "pivot_table",         # wide weighted cells, one hash aggregate
     "bloom_semi_join",     # bitmap build + map-side probe + exact semi
+    "neardup_clusters",    # minhash pairs -> large/small-star components
 ]
 
 
@@ -210,6 +211,7 @@ def main() -> int:
     qs["group_mode"] = E._q_group_mode  # folded into group_mad driver row
     qs["group_mean_customer"] = E._q_group_mean_customer  # folded into star_join_mean
     qs["ngram_jaccard"] = E._q_ngram_jaccard
+    qs["group_cdf"] = E._q_group_cdf  # folded into qcut driver row
     qs["embedding_neardup"] = E._q_embedding_neardup
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches

@@ -332,13 +332,15 @@ class WeightedDataFrame:
 
         return weighted_cdf(self, subset=subset, bands=bands)
 
-    def qcut(self, col: str, q: int, bands: int = 256) -> DataFrame:
+    def qcut(
+        self, col: str, q: int, bands: int = 256, keep_cdf: bool = False
+    ) -> DataFrame:
         """Equal-weight-mass discretization (pandas ``qcut`` under
         frequency weights): adds ``{col}_qbin`` ∈ 0..q−1 — see
         :func:`pandas_weights_spark.quantile.weighted_qcut`."""
         from pandas_weights_spark.quantile import weighted_qcut
 
-        return weighted_qcut(self, col, q, bands=bands)
+        return weighted_qcut(self, col, q, bands=bands, keep_cdf=keep_cdf)
 
     def cut(
         self, col: str, edges: Sequence[float], right: bool = True

@@ -1,0 +1,188 @@
+"""Connected components over a pair graph — the last stage of every
+near-dup pipeline (the reference has no graph surface, SURVEY.md §2.6;
+pair emitters live in functions/dedup.py).
+
+``minhash_near_duplicates`` & co. emit PAIRS; deduplication needs
+CLUSTERS: the transitive closure of the pair relation, with one
+survivor per cluster. At 100 TB the naive approaches fail —
+driver-side union-find needs all edges on the driver, and plain
+min-label propagation needs O(graph diameter) rounds (a 10M-node chain
+is 10M rounds). This module implements the alternating
+**large-star / small-star** algorithm (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+Beyond", SoCC 2014 — public paper): each round is two shuffles keyed
+on node id, edge count never grows beyond 2|E|, and convergence is
+O(log²) rounds in the worst case (2-3 rounds for the shallow clusters
+near-dup graphs produce). Every step is a plain DataFrame
+groupBy/join — no driver-side edge materialization; the driver loop
+runs O(log) iterations with an eager ``localCheckpoint`` per round to
+truncate lineage (without it the plan doubles every iteration and
+Catalyst analysis time explodes).
+
+Semantics: nodes are any orderable id type; a component is labelled by
+its MINIMUM node id (deterministic, so SQL-oracle-checkable — DuckDB
+replays it as a recursive reachability CTE).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "neardup_clusters"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (hi, lo) with lo < hi."""
+    u, v = F.col("__u__"), F.col("__v__")
+    return (
+        edges.where(u != v)
+        .select(
+            F.greatest(u, v).alias("__u__"), F.least(u, v).alias("__v__")
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: Optional[DataFrame] = None,
+    node_col: Optional[str] = None,
+    max_iterations: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``(node, component)`` for every node in ``pairs`` (plus isolated
+    nodes of ``nodes[node_col]`` if given, labelled by themselves).
+    ``component`` is the minimum node id of the connected component.
+
+    Driver loop = O(log) alternating large-star/small-star rounds, each
+    two node-keyed shuffles; stops when the edge set is stable (every
+    edge then points directly at its component root). Raises after
+    ``max_iterations`` instead of returning a partial labelling.
+    """
+    e = _canon(
+        pairs.select(F.col(src).alias("__u__"), F.col(dst).alias("__v__"))
+    )
+    sc = pairs.sparkSession.sparkContext
+
+    prev = None
+    n_edges = -1
+    for _ in range(max_iterations):
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        prev, prev_n = e, n_edges
+
+        # large-star: for every node u, attach each LARGER neighbor to
+        # the minimum of N(u) ∪ {u}. Emitted per directed adjacency
+        # (u, v): group on u, m = least(min(v), u), edge (v, m) for
+        # v > u. Keeps big-neighborhood nodes from funneling everything
+        # through one reducer key forever: larger nodes re-point in
+        # parallel.
+        adj = e.select("__u__", "__v__").union(
+            e.select(F.col("__v__").alias("__u__"), F.col("__u__").alias("__v__"))
+        )
+        m = adj.groupBy("__u__").agg(F.min("__v__").alias("__mv__")).select(
+            "__u__", F.least(F.col("__mv__"), F.col("__u__")).alias("__m__")
+        )
+        large = (
+            adj.join(m, "__u__")
+            .where(F.col("__v__") > F.col("__u__"))
+            .select(F.col("__v__").alias("__u__"), F.col("__m__").alias("__v__"))
+        )
+        e = _canon(large)
+
+        # small-star: for every node u, attach each SMALLER-or-equal
+        # neighbor (and u itself) to the minimum of N≤(u) ∪ {u}. On the
+        # (hi=u, lo=v) canonical edges: group on u, m = min(v), emit
+        # (v, m) for the other small neighbors plus (u, m).
+        ms = e.groupBy("__u__").agg(F.min("__v__").alias("__m__"))
+        small = (
+            e.join(ms, "__u__")
+            .select(F.col("__v__").alias("__u__"), F.col("__m__").alias("__v__"))
+            .union(ms.select("__u__", F.col("__m__").alias("__v__")))
+        )
+        e = _canon(small)
+
+        n = e.count()
+        # fixed point = edge SET unchanged (star graphs: every edge is
+        # (node, root)). Count equality alone is NOT enough — on a path
+        # graph the count stays |V|-1 every round while edges re-point;
+        # stopping on count converges to a WRONG labelling. The set
+        # check costs one extra distinct-shaped shuffle, only run when
+        # counts already match.
+        if n == prev_n and e.exceptAll(prev).isEmpty():
+            break
+        n_edges = n
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
+
+    labels = e.select(
+        F.col("__u__").alias("node"), F.col("__v__").alias("component")
+    ).union(
+        # roots label themselves
+        e.select(F.col("__v__").alias("node"), F.col("__v__").alias("component"))
+    ).groupBy("node").agg(F.min("component").alias("component"))
+
+    if nodes is not None:
+        if node_col is None:
+            raise ValueError("nodes= requires node_col=")
+        allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        labels = (
+            allnodes.join(labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias(
+                    "component"
+                ),
+            )
+        )
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Full near-dup clustering: MinHash+LSH pairs → connected
+    components → ``(id, cluster, is_survivor)``. Every document appears
+    exactly once; ``cluster`` is the minimum id of its near-dup
+    cluster (itself when unique); ``is_survivor`` marks the one row per
+    cluster a dedup keeps (``cluster == id``).
+    """
+    from pandas_weights_spark.functions.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        df,
+        text_col,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_size=shingle_size,
+    )
+    labels = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        nodes=df,
+        node_col=id_col,
+        max_iterations=max_iterations,
+    )
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )

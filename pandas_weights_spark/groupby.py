@@ -448,7 +448,9 @@ class WeightedGroupBy:
             column_values=column_values,
         )
 
-    def qcut(self, col: str, q: int, bands: int = 256) -> DataFrame:
+    def qcut(
+        self, col: str, q: int, bands: int = 256, keep_cdf: bool = False
+    ) -> DataFrame:
         """Per-group equal-weight-mass discretization: adds
         ``{col}_qbin`` ∈ 0..q−1 against the row's group — see
         :func:`pandas_weights_spark.quantile.weighted_qcut`."""
@@ -466,7 +468,9 @@ class WeightedGroupBy:
             sub = wdf._subset(wdf.columns)
             sub._df = df
             wdf = sub
-        return weighted_qcut(wdf, col, q, keys=self._keys, bands=bands)
+        return weighted_qcut(
+            wdf, col, q, keys=self._keys, bands=bands, keep_cdf=keep_cdf
+        )
 
     def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         """Per-row standardization against the row's GROUP weighted

@@ -240,6 +240,7 @@ def weighted_qcut(
     keys: Sequence[str] = (),
     bands: int = 256,
     out_col: Optional[str] = None,
+    keep_cdf: bool = False,
 ) -> DataFrame:
     """Equal-weight-mass discretization (pandas ``qcut`` under
     frequency weights): per-row bin ``0..q-1`` such that each bin
@@ -261,7 +262,10 @@ def weighted_qcut(
             F.lit(0), (F.ceil(cdfc * F.lit(float(q))) - F.lit(1)).cast("int")
         ),
     )
-    return c.withColumn(out_col or f"{col}_qbin", b).drop(f"{col}_cdf")
+    out = c.withColumn(out_col or f"{col}_qbin", b)
+    # keep_cdf exposes the F(x) column the bin rides on — bin + cdf in
+    # one banded pass instead of running the machinery twice
+    return out if keep_cdf else out.drop(f"{col}_cdf")
 
 
 def weighted_cut(
