@@ -457,16 +457,27 @@ def _q_group_quantile_binned(spark, sf_dir):
 
 
 def _q_group_zscore(spark, sf_dir):
-    # per-row standardization against group weighted moments (transform
-    # counterpart of the aggregates) — one window shuffle
-    out = (
-        wt(_li(spark, sf_dir), _W)
-        .groupby("l_returnflag")[["l_extendedprice"]]
-        .zscore()
+    # THREE per-row transforms in one driver row (r4 fold: the old
+    # standalone row_stats row retired to free a slot; winsorize is
+    # new): group z-score (moment agg + AQE-broadcast join-back),
+    # winsorize at the group's weighted [5%, 95%] quantile bounds
+    # (bounds are data values selected by exact integer-mass
+    # comparisons, clip is least/greatest -> bit-exact, no rounding),
+    # and axis=1 weighted row std (pure row-local). Only z rounds
+    # (division + sqrt).
+    li = _li(spark, sf_dir)
+    z = wt(li, _W).groupby("l_returnflag")[["l_extendedprice"]].zscore()
+    wz = wt(z, _W).groupby("l_returnflag").winsorize(
+        ["l_extendedprice"], lower=0.05, upper=0.95
     )
-    return out.select(
+    rs = wt(wz, _W).row_std(
+        subset=["l_extendedprice", "l_discount", "l_tax"]
+    )
+    return rs.select(
         "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice_z"), 6).alias("z"),
+        F.col("l_extendedprice_wins").alias("wins"),
+        "l_extendedprice", "l_discount", "l_tax", "row_std",
     )
 
 
@@ -899,6 +910,27 @@ def _q_neardup_pairs(spark, sf_dir):
         F.col("cosine").alias("sim"),
     )
     return mh.unionByName(ng).unionByName(em)
+
+
+def _q_crosstab(spark, sf_dir):
+    # weighted contingency table (pivot.weighted_crosstab): raw masses
+    # + margins AND row-normalized shares in one tagged union. Masses
+    # are integral (l_quantity) so every cell, margin, and row-share
+    # division is bit-exact — no rounding. Margins/normalization are
+    # derived from the aggregated table (one raw-scan hash aggregate
+    # per variant), never a second raw scan.
+    g = wt(_li(spark, sf_dir), _W).groupby("l_returnflag")
+    vals = ["F", "O"]
+    raw = g.crosstab(
+        "l_linestatus", column_values=vals, margins=True
+    ).select(F.lit("mass").alias("kind"), "l_returnflag", "F", "O", "All")
+    shares = g.crosstab(
+        "l_linestatus", column_values=vals, margins=True, normalize="index"
+    ).select(
+        F.lit("share").alias("kind"), "l_returnflag", "F", "O",
+        F.lit(None).cast("double").alias("All"),
+    )
+    return raw.unionByName(shares)
 
 
 def _q_neardup_clusters(spark, sf_dir):
@@ -1656,12 +1688,48 @@ _ORACLE: dict[str, str] = {
                  SUM(l_extendedprice * l_quantity) AS s,
                  SUM(l_extendedprice * l_extendedprice * l_quantity) AS ss
           FROM lineitem GROUP BY 1
+        ), cum AS (
+          SELECT l_returnflag, l_extendedprice AS x,
+                 CASE WHEN mass > 0 THEN
+                   SUM(mass) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) END AS cw,
+                 SUM(mass) OVER (PARTITION BY l_returnflag) AS tw
+          FROM (SELECT l_returnflag, l_extendedprice,
+                       CASE WHEN l_extendedprice IS NOT NULL
+                             AND l_quantity > 0
+                            THEN l_quantity ELSE 0 END AS mass
+                FROM lineitem)
+        ), q AS (
+          SELECT l_returnflag,
+                 MIN(CASE WHEN cw >= 0.05 * tw THEN x END) AS qlo,
+                 MIN(CASE WHEN cw >= 0.95 * tw THEN x END) AS qhi
+          FROM cum GROUP BY l_returnflag
+        ), rowstd AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 l_extendedprice, l_discount, l_tax,
+                 l_quantity * (l_extendedprice + l_discount + l_tax) AS ws,
+                 l_quantity * (l_extendedprice * l_extendedprice
+                               + l_discount * l_discount
+                               + l_tax * l_tax) AS wss,
+                 l_quantity * 3.0 AS cnt
+          FROM lineitem
         )
         SELECT l.l_orderkey, l.l_linenumber,
                ROUND(CASE WHEN (ss - s*s/c) / (c - 1) > 0
                      THEN (l.l_extendedprice - s/c)
-                          / sqrt((ss - s*s/c) / (c - 1)) END, 6) AS z
-        FROM lineitem l JOIN m USING (l_returnflag)
+                          / sqrt((ss - s*s/c) / (c - 1)) END, 6) AS z,
+               CASE WHEN l.l_extendedprice IS NOT NULL
+                    THEN GREATEST(LEAST(l.l_extendedprice, q.qhi), q.qlo)
+               END AS wins,
+               l.l_extendedprice, l.l_discount, l.l_tax,
+               CASE WHEN (wss - (ws * ws) / cnt) / (cnt - 1.0) >= 0
+                    THEN sqrt((wss - (ws * ws) / cnt) / (cnt - 1.0))
+               END AS row_std
+        FROM rowstd l
+        JOIN m USING (l_returnflag)
+        JOIN q USING (l_returnflag)
     """,
     "group_var": """
         WITH m AS (
@@ -2228,21 +2296,6 @@ _ORACLE["window_stats"] = """
     )
 """
 
-_ORACLE["row_stats"] = """
-    WITH t AS (
-      SELECT l_extendedprice AS a, l_discount AS b, l_tax AS c,
-             l_quantity AS w,
-             l_quantity * (l_extendedprice + l_discount + l_tax) AS ws,
-             l_quantity * (l_extendedprice * l_extendedprice
-                           + l_discount * l_discount + l_tax * l_tax) AS wss,
-             l_quantity * 3.0 AS cnt
-      FROM lineitem
-    )
-    SELECT a AS l_extendedprice, b AS l_discount, c AS l_tax,
-           CASE WHEN (wss - (ws * ws) / cnt) / (cnt - 1.0) >= 0
-                THEN sqrt((wss - (ws * ws) / cnt) / (cnt - 1.0)) END AS row_std
-    FROM t
-"""
 
 _ORACLE["star_join_mean"] = """
     SELECT 'star' AS kind, c_mktsegment,
@@ -2541,6 +2594,32 @@ _ORACLE["neardup_pairs"] = f"""
     UNION ALL
     SELECT 'embed' AS method, id_a, id_b, cosine AS sim
     FROM ({_embedding_neardup_sql()})
+"""
+
+_ORACLE["crosstab"] = """
+    WITH cells AS (
+      SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+             COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                               THEN l_quantity END), 0.0) AS f,
+             COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                               THEN l_quantity END), 0.0) AS o
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT SUM(f) AS tf, SUM(o) AS tt, SUM(f) + SUM(o) AS grand
+      FROM cells
+    )
+    SELECT 'mass' AS kind, l_returnflag,
+           f AS "F", o AS "O", f + o AS "All"
+    FROM cells
+    UNION ALL
+    SELECT 'mass', 'All', tf, tt, grand FROM tot
+    UNION ALL
+    SELECT 'share', l_returnflag, f / (f + o), o / (f + o),
+           CAST(NULL AS DOUBLE)
+    FROM cells
+    UNION ALL
+    SELECT 'share', 'All', tf / grand, tt / grand, CAST(NULL AS DOUBLE)
+    FROM tot
 """
 
 _ORACLE["neardup_clusters"] = f"""
@@ -3102,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantile_binned": _q_group_quantile_binned,
         "group_mad": _q_group_mad,
         "group_zscore": _q_group_zscore,
+        "crosstab": _q_crosstab,
         "resample_2d": _q_resample_2d,
         "resample_rules": _q_resample_rules,
         "resample_quantile": _q_resample_quantile,
@@ -3136,7 +3216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "weighted_centroids": _q_weighted_centroids,
         "window_stats": _q_window_stats,
-        "row_stats": _q_row_stats,
         "star_join_mean": _q_star_join_mean,
         "grouped_apply": _q_grouped_apply,
         "series_apply": _q_series_apply,

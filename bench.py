@@ -67,6 +67,9 @@ HEADLINE = [
     "pivot_table",         # wide weighted cells, one hash aggregate
     "bloom_semi_join",     # bitmap build + map-side probe + exact semi
     "neardup_clusters",    # minhash pairs -> large/small-star components
+    "crosstab",            # weighted contingency + margins + shares
+    "winsorize",           # quantile-bound clipping, 2 cols one pass
+    "row_stats",           # axis=1 weighted std (row-local, no shuffle)
 ]
 
 
@@ -212,6 +215,17 @@ def main() -> int:
     qs["group_mean_customer"] = E._q_group_mean_customer  # folded into star_join_mean
     qs["ngram_jaccard"] = E._q_ngram_jaccard
     qs["group_cdf"] = E._q_group_cdf  # folded into qcut driver row
+    qs["row_stats"] = E._q_row_stats  # folded into group_zscore driver row
+
+    def _winsorize(spark_, sf_dir_):
+        from pandas_weights_spark import wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return wt(li, "l_quantity").groupby("l_returnflag").winsorize(
+            ["l_extendedprice", "l_discount"], lower=0.05, upper=0.95
+        )
+
+    qs["winsorize"] = _winsorize
     qs["embedding_neardup"] = E._q_embedding_neardup
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches

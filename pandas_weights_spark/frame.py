@@ -342,6 +342,25 @@ class WeightedDataFrame:
 
         return weighted_qcut(self, col, q, bands=bands, keep_cdf=keep_cdf)
 
+    def winsorize(
+        self,
+        subset: Optional[Sequence[str]] = None,
+        lower: float = 0.05,
+        upper: float = 0.95,
+        exact: bool = True,
+        bands: int = 1000,
+        range_bounds=None,
+    ) -> DataFrame:
+        """Clip numeric columns at the global weighted ``[lower,
+        upper]`` quantiles: adds ``{col}_wins`` — see
+        :func:`pandas_weights_spark.quantile.weighted_winsorize`."""
+        from pandas_weights_spark.quantile import weighted_winsorize
+
+        return weighted_winsorize(
+            self, subset=subset, lower=lower, upper=upper, exact=exact,
+            bands=bands, range_bounds=range_bounds,
+        )
+
     def cut(
         self, col: str, edges: Sequence[float], right: bool = True
     ) -> DataFrame:

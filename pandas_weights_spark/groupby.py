@@ -448,6 +448,28 @@ class WeightedGroupBy:
             column_values=column_values,
         )
 
+    def crosstab(
+        self,
+        columns: str,
+        column_values=None,
+        margins: bool = False,
+        margins_name: str = "All",
+        normalize=False,
+    ) -> DataFrame:
+        """Weighted contingency table: group keys as index, ``columns``
+        spread wide, cells = weight mass — see
+        :func:`pandas_weights_spark.pivot.weighted_crosstab`."""
+        from pandas_weights_spark.pivot import weighted_crosstab
+
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "crosstab is not defined for cube/rollup grouping sets"
+            )
+        return weighted_crosstab(
+            self._wdf, self._keys, columns, column_values=column_values,
+            margins=margins, margins_name=margins_name, normalize=normalize,
+        )
+
     def qcut(
         self, col: str, q: int, bands: int = 256, keep_cdf: bool = False
     ) -> DataFrame:
@@ -470,6 +492,37 @@ class WeightedGroupBy:
             wdf = sub
         return weighted_qcut(
             wdf, col, q, keys=self._keys, bands=bands, keep_cdf=keep_cdf
+        )
+
+    def winsorize(
+        self,
+        subset=None,
+        lower: float = 0.05,
+        upper: float = 0.95,
+        exact: bool = True,
+        bands: int = 1000,
+        range_bounds=None,
+    ) -> DataFrame:
+        """Clip every numeric column at its GROUP's weighted
+        ``[lower, upper]`` quantiles: adds ``{col}_wins`` — see
+        :func:`pandas_weights_spark.quantile.weighted_winsorize`."""
+        from pandas_weights_spark.quantile import weighted_winsorize
+
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "winsorize is not defined for cube/rollup grouping sets"
+            )
+        wdf = self._wdf
+        if self._dropna:
+            df = wdf.df
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+            sub = wdf._subset(wdf.columns)
+            sub._df = df
+            wdf = sub
+        return weighted_winsorize(
+            wdf, subset=subset, keys=self._keys, lower=lower, upper=upper,
+            exact=exact, bands=bands, range_bounds=range_bounds,
         )
 
     def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:

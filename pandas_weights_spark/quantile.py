@@ -35,6 +35,7 @@ __all__ = [
     "weighted_quantiles",
     "weighted_quantiles_binned",
     "weighted_cdf",
+    "weighted_winsorize",
     "weighted_qcut",
     "weighted_cut",
     "quantile_col_name",
@@ -294,6 +295,77 @@ def weighted_cut(
             inside = (x >= F.lit(lo)) & (x < F.lit(hi))
         expr = F.when(inside, F.lit(i)).otherwise(expr)
     return wdf.df.withColumn(out_col or f"{col}_bin", expr)
+
+
+def weighted_winsorize(
+    wdf,
+    subset: Optional[Sequence[str]] = None,
+    keys: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = True,
+    bands: int = 1000,
+    range_bounds: Optional[tuple] = None,
+    suffix: str = "_wins",
+) -> DataFrame:
+    """Winsorize: clip each selected column at its group's weighted
+    ``[lower, upper]`` quantiles (pandas ``clip(lower=q_lo, upper=q_hi)``
+    with the bounds from the weighted inverted-CDF quantile family —
+    the standard outlier-taming transform before training-statistics).
+
+    Adds ``{col}{suffix}``; NULL values stay NULL, a group with no
+    probability mass passes values through unclipped. ``exact=False``
+    takes the binned quantile path (shuffle = groups × bands — the
+    100 TB default, error ≤ range/bands).
+
+    Plan: ONE quantile pass computes both bounds for every column
+    (grouped: one shuffle), then an AQE-broadcast join-back and a
+    row-local ``least``/``greatest`` — the same shape as the z-score
+    transform.
+    """
+    from pandas_weights_spark.groupby import _join_group_stats
+
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got {lower}, {upper}"
+        )
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    cols = [c for c in cols if c not in keys]
+    if not cols:
+        raise ValueError("no numeric columns to winsorize")
+    # quantile of 0 is outside the inverted-CDF domain (min mass > 0);
+    # the weighted minimum is the value where cum mass first reaches
+    # any positive mass, which lower=0 should mean — nudge to the
+    # smallest representable q so cw >= q*tw still selects the min.
+    qlo = lower if lower > 0.0 else 1e-12
+    qs = [qlo, upper]
+    if exact:
+        bounds = weighted_quantiles(wdf, qs, subset=cols, keys=keys)
+    else:
+        if range_bounds is None:
+            raise ValueError(
+                "exact=False (binned) winsorize needs range_bounds=(lo, hi)"
+            )
+        bounds = weighted_quantiles_binned(
+            wdf, qs, range_bounds[0], range_bounds[1],
+            bins=bands, subset=cols, keys=keys,
+        )
+    if keys:
+        out = _join_group_stats(wdf.df, bounds, list(keys))
+    else:
+        out = wdf.df.crossJoin(F.broadcast(bounds))
+    lo_of = {c: quantile_col_name(c, qlo) for c in cols}
+    hi_of = {c: quantile_col_name(c, upper) for c in cols}
+    for c in cols:
+        x = wdf._value(c)
+        lo, hi = F.col(lo_of[c]), F.col(hi_of[c])
+        # least/greatest SKIP nulls, so a missing bound (empty group)
+        # degrades to a pass-through rather than nulling the value
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(x.isNotNull(), F.greatest(F.least(x, hi), lo)),
+        )
+    return out.drop(*lo_of.values(), *hi_of.values())
 
 
 def weighted_quantiles_binned(
