@@ -558,18 +558,52 @@ def _q_weighted_sample(spark, sf_dir):
     # total; Σ l_quantity is an exact integral double). Both oracles
     # mirror the hash arithmetic term-for-term, so the selected sets
     # are bit-identical.
-    from pandas_weights_spark.sample import poisson_sample, weighted_sample
+    from pandas_weights_spark.sample import (
+        poisson_sample,
+        stratified_sample,
+        weighted_sample,
+    )
 
-    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
-    pips = weighted_sample(
-        _li(spark, sf_dir), F.col("l_quantity"), 1000,
-        ["l_orderkey", "l_linenumber"], seed=42,
-    ).select(F.lit("pips").alias("method"), *cols)
-    pois = poisson_sample(
-        _li(spark, sf_dir), F.col("l_quantity"), 500,
-        ["l_orderkey", "l_linenumber"], seed=42,
-    ).select(F.lit("poisson").alias("method"), *cols)
-    return pips.unionByName(pois)
+    def _norm(df, method):
+        # unified tagged schema across designs/tables:
+        # (method, key long, sub string, w double)
+        k, s, wcol = {
+            "pips": ("l_orderkey", "l_linenumber", "l_quantity"),
+            "poisson": ("l_orderkey", "l_linenumber", "l_quantity"),
+            "strat": ("o_orderkey", "o_orderstatus", "o_totalprice"),
+        }[method]
+        return df.select(
+            F.lit(method).alias("method"),
+            F.col(k).cast("long").alias("key"),
+            F.col(s).cast("string").alias("sub"),
+            F.col(wcol).cast("double").alias("w"),
+        )
+
+    pips = _norm(
+        weighted_sample(
+            _li(spark, sf_dir), F.col("l_quantity"), 1000,
+            ["l_orderkey", "l_linenumber"], seed=42,
+        ),
+        "pips",
+    )
+    pois = _norm(
+        poisson_sample(
+            _li(spark, sf_dir), F.col("l_quantity"), 500,
+            ["l_orderkey", "l_linenumber"], seed=42,
+        ),
+        "poisson",
+    )
+    # r4 fold: the standalone stratified_sample row retired to free a
+    # driver slot (bench still times it standalone) — same selected
+    # set, tagged `strat`
+    strat = _norm(
+        stratified_sample(
+            load_table(spark, sf_dir, "orders"), F.col("o_totalprice"), 200,
+            by=["o_orderstatus"], key_cols=["o_orderkey"], seed=42,
+        ),
+        "strat",
+    )
+    return pips.unionByName(pois).unionByName(strat)
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -910,6 +944,37 @@ def _q_neardup_pairs(spark, sf_dir):
         F.col("cosine").alias("sim"),
     )
     return mh.unionByName(ng).unionByName(em)
+
+
+def _q_weighted_tests(spark, sf_dir):
+    # weighted inferential stats (inference.py), long format: Welch's
+    # two-sample t (price: returnflag A vs R, one masked moment
+    # aggregate) + chi-square independence of returnflag x linestatus
+    # (one grouping-sets pass, full-grid expected masses). Masses are
+    # integral so the moment sums are exact; the statistic algebra is
+    # mirrored term-for-term in the oracle and ROUND 6 absorbs the
+    # engines' summation-order ulps in the 6-term chi2 sum.
+    li = _li(spark, sf_dir)
+    t = wt(li, _W).ttest("l_extendedprice", "l_returnflag", "A", "R")
+    c = wt(li, _W).chi2("l_returnflag", "l_linestatus")
+    tl = t.select(
+        F.lit("ttest").alias("test"),
+        F.expr(
+            "stack(8, 'n_a', n_a, 'mean_a', mean_a, 'var_a', var_a, "
+            "'n_b', n_b, 'mean_b', mean_b, 'var_b', var_b, "
+            "'t_stat', t_stat, 'df', df) AS (metric, value)"
+        ),
+    )
+    cl = c.select(
+        F.lit("chi2").alias("test"),
+        F.expr(
+            "stack(4, 'chi2', chi2, 'dof', CAST(dof AS DOUBLE), "
+            "'n', n, 'cramers_v', cramers_v) AS (metric, value)"
+        ),
+    )
+    return tl.unionByName(cl).select(
+        "test", "metric", F.round(F.col("value"), 6).alias("value")
+    )
 
 
 def _q_crosstab(spark, sf_dir):
@@ -2044,7 +2109,10 @@ def _sample_sqls() -> dict[str, str]:
     u_doc = uniform_hash_sql(["doc_id"], 42)
     return {
         "weighted_sample": f"""
-    SELECT 'pips' AS method, l_orderkey, l_linenumber, l_quantity FROM (
+    SELECT 'pips' AS method, CAST(l_orderkey AS BIGINT) AS key,
+           CAST(l_linenumber AS VARCHAR) AS sub,
+           CAST(l_quantity AS DOUBLE) AS w
+    FROM (
       SELECT l_orderkey, l_linenumber, l_quantity,
              {u_li} / l_quantity AS skey
       FROM lineitem
@@ -2053,16 +2121,18 @@ def _sample_sqls() -> dict[str, str]:
       LIMIT 1000
     )
     UNION ALL
-    SELECT 'poisson' AS method, l_orderkey, l_linenumber, l_quantity
+    SELECT 'poisson' AS method, CAST(l_orderkey AS BIGINT),
+           CAST(l_linenumber AS VARCHAR), CAST(l_quantity AS DOUBLE)
     FROM lineitem,
          (SELECT SUM(l_quantity) AS tw FROM lineitem
           WHERE l_quantity IS NOT NULL AND l_quantity > 0) t
     WHERE l_quantity IS NOT NULL AND l_quantity > 0
       AND {u_li} < LEAST(CAST(1.0 AS DOUBLE),
                          CAST(500.0 AS DOUBLE) * l_quantity / tw)
-""",
-        "stratified_sample": f"""
-    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+    UNION ALL
+    SELECT 'strat' AS method, CAST(o_orderkey AS BIGINT),
+           CAST(o_orderstatus AS VARCHAR), CAST(o_totalprice AS DOUBLE)
+    FROM (
       SELECT o_orderkey, o_orderstatus, o_totalprice,
              row_number() OVER (
                PARTITION BY o_orderstatus
@@ -2594,6 +2664,74 @@ _ORACLE["neardup_pairs"] = f"""
     UNION ALL
     SELECT 'embed' AS method, id_a, id_b, cosine AS sim
     FROM ({_embedding_neardup_sql()})
+"""
+
+_ORACLE["weighted_tests"] = """
+    WITH s AS (
+      SELECT
+        COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+                           AND l_extendedprice IS NOT NULL
+                          THEN l_quantity END), 0.0) AS na,
+        SUM(CASE WHEN l_returnflag = 'A'
+                 THEN l_extendedprice * l_quantity END) AS sa,
+        SUM(CASE WHEN l_returnflag = 'A'
+                 THEN l_extendedprice * l_extendedprice * l_quantity
+            END) AS ssa,
+        COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                           AND l_extendedprice IS NOT NULL
+                          THEN l_quantity END), 0.0) AS nb,
+        SUM(CASE WHEN l_returnflag = 'R'
+                 THEN l_extendedprice * l_quantity END) AS sb,
+        SUM(CASE WHEN l_returnflag = 'R'
+                 THEN l_extendedprice * l_extendedprice * l_quantity
+            END) AS ssb
+      FROM lineitem
+    ), m AS (
+      SELECT na, sa / na AS ma, (ssa - sa*sa/na) / (na - 1) AS va,
+             nb, sb / nb AS mb, (ssb - sb*sb/nb) / (nb - 1) AS vb
+      FROM s
+    ), w AS (
+      SELECT na, ma, va, nb, mb, vb,
+             va / na AS se2a, vb / nb AS se2b,
+             va / na + vb / nb AS se2
+      FROM m
+    ), cells AS (
+      SELECT l_returnflag AS r, l_linestatus AS c,
+             SUM(l_quantity) AS m FROM lineitem GROUP BY 1, 2
+    ), rt AS (SELECT r, SUM(m) AS rtm FROM cells GROUP BY r),
+    ct AS (SELECT c, SUM(m) AS ctm FROM cells GROUP BY c),
+    gt AS (SELECT SUM(m) AS g FROM cells),
+    grid AS (
+      SELECT rt.r, ct.c, rt.rtm, ct.ctm, gt.g,
+             COALESCE(cells.m, 0.0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN gt
+      LEFT JOIN cells ON rt.r = cells.r AND ct.c = cells.c
+    ), x2 AS (
+      SELECT SUM((o - rtm*ctm/g) * (o - rtm*ctm/g) / (rtm*ctm/g))
+               AS chi2,
+             MIN(g) AS n,
+             COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
+      FROM grid
+    )
+    SELECT 'ttest' AS test, metric, ROUND(value, 6) AS value FROM (
+      SELECT 'n_a' AS metric, na AS value FROM w
+      UNION ALL SELECT 'mean_a', ma FROM w
+      UNION ALL SELECT 'var_a', va FROM w
+      UNION ALL SELECT 'n_b', nb FROM w
+      UNION ALL SELECT 'mean_b', mb FROM w
+      UNION ALL SELECT 'var_b', vb FROM w
+      UNION ALL SELECT 't_stat', (ma - mb) / sqrt(se2) FROM w
+      UNION ALL SELECT 'df',
+        se2*se2 / (se2a*se2a/(na - 1.0) + se2b*se2b/(nb - 1.0)) FROM w
+    )
+    UNION ALL
+    SELECT 'chi2' AS test, metric, ROUND(value, 6) AS value FROM (
+      SELECT 'chi2' AS metric, chi2 AS value FROM x2
+      UNION ALL SELECT 'dof', CAST((nr-1)*(nc-1) AS DOUBLE) FROM x2
+      UNION ALL SELECT 'n', n FROM x2
+      UNION ALL SELECT 'cramers_v',
+        sqrt(chi2 / (n * LEAST(nr-1, nc-1))) FROM x2
+    )
 """
 
 _ORACLE["crosstab"] = """
@@ -3182,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_mad": _q_group_mad,
         "group_zscore": _q_group_zscore,
         "crosstab": _q_crosstab,
+        "weighted_tests": _q_weighted_tests,
         "resample_2d": _q_resample_2d,
         "resample_rules": _q_resample_rules,
         "resample_quantile": _q_resample_quantile,
@@ -3195,7 +3334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_corr_cov": _q_aligned_corr_cov,
         "grouping_sets": _q_grouping_sets,
         "weighted_sample": _q_weighted_sample,
-        "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
         "tfidf_top_terms": _q_tfidf_top_terms,

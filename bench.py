@@ -70,6 +70,8 @@ HEADLINE = [
     "crosstab",            # weighted contingency + margins + shares
     "winsorize",           # quantile-bound clipping, 2 cols one pass
     "row_stats",           # axis=1 weighted std (row-local, no shuffle)
+    "stratified_sample",   # per-stratum weighted quota (one window)
+    "weighted_tests",      # Welch t (masked moments) + chi2 (grouping sets)
 ]
 
 
@@ -216,6 +218,7 @@ def main() -> int:
     qs["ngram_jaccard"] = E._q_ngram_jaccard
     qs["group_cdf"] = E._q_group_cdf  # folded into qcut driver row
     qs["row_stats"] = E._q_row_stats  # folded into group_zscore driver row
+    qs["stratified_sample"] = E._q_stratified_sample  # folded into weighted_sample
 
     def _winsorize(spark_, sf_dir_):
         from pandas_weights_spark import wt

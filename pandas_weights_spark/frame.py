@@ -486,6 +486,31 @@ class WeightedDataFrame:
 
         return OrderedTransform(self, order_by, partition_by)
 
+    def ttest(
+        self,
+        value: str,
+        group_col: str,
+        group_a,
+        group_b,
+        by: Optional[Sequence[str]] = None,
+        ddof: int = 1,
+    ) -> DataFrame:
+        """Welch's weighted two-sample t statistic between two values
+        of ``group_col`` — see inference.py (one masked moment
+        aggregate; no p-value by design)."""
+        from pandas_weights_spark.inference import weighted_ttest
+
+        return weighted_ttest(
+            self, value, group_col, group_a, group_b, by=by, ddof=ddof
+        )
+
+    def chi2(self, row_col: str, col_col: str) -> DataFrame:
+        """χ² independence of two categoricals over the weighted
+        contingency table — see inference.py (one grouping-sets pass)."""
+        from pandas_weights_spark.inference import weighted_chi2
+
+        return weighted_chi2(self, row_col, col_col)
+
     def linfit(
         self,
         x_col: str,
