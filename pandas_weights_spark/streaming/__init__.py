@@ -43,6 +43,7 @@ __all__ = [
     "streaming_exact_dedup",
     "weighted_running_stats_stream",
     "streaming_asof_join",
+    "streaming_heavy_hitters",
 ]
 
 
@@ -490,4 +491,122 @@ def weighted_running_stats_stream(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str,
+    weight_col: str,
+    capacity: int = 64,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Streaming weighted heavy hitters: a sharded batched
+    **Misra–Gries** summary as a custom stateful operator — the
+    streaming twin of :func:`~pandas_weights_spark.functions.sketch.
+    weighted_heavy_hitters` (which needs the whole table per pass).
+
+    Sharding: items route to ``xxhash64(item) % num_shards`` groups, so
+    state updates parallelize across ``num_shards`` tasks and EVERY
+    occurrence of an item lands in one shard (its summary sees the
+    item's full mass). Per shard the state is ≤ ``capacity`` (item,
+    mass) pairs plus an error budget: each micro-batch's exact
+    per-item masses (one Arrow-vectorized pandas groupby) merge into
+    the summary; on overflow every counter drops by the
+    ``(capacity+1)``-th largest mass and non-positive counters leave
+    (the batched Misra–Gries decrement: the drop is paid by ≥
+    capacity+1 counters at once, so the accumulated error ``err`` obeys
+    ``err ≤ shard_mass / (capacity+1)``).
+
+    Emits per shard per micro-batch: ``(shard, item, est_mass, err,
+    shard_mass)`` for every retained item. Guarantees, for item mass
+    ``M`` within its shard: ``est_mass ≤ M ≤ est_mass + err``, and any
+    item with ``M > shard_mass / (capacity + 1)`` is retained — so
+    filtering downstream on ``est_mass + err ≥ φ·total`` yields a
+    SUPERSET of the true φ-heavy hitters (exactify by re-aggregating
+    only those candidates).
+
+    State is O(capacity) per shard forever — no full-cardinality state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("masses", ArrayType(DoubleType())),
+            StructField("err", DoubleType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("shard", IntegerType()),
+            StructField("item", StringType()),
+            StructField("est_mass", DoubleType()),
+            StructField("err", DoubleType()),
+            StructField("shard_mass", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        counts: dict = {}
+        err = 0.0
+        total = 0.0
+        if state.exists:
+            items, masses, err, total = state.get
+            counts = dict(zip(items, masses))
+        for pdf in pdfs:
+            valid = pdf[["__pw_item__", "__pw_w__"]].dropna()
+            total += float(valid["__pw_w__"].sum())
+            for item, m in (
+                valid.groupby("__pw_item__")["__pw_w__"].sum().items()
+            ):
+                counts[item] = counts.get(item, 0.0) + float(m)
+        if len(counts) > capacity:
+            delta = sorted(counts.values(), reverse=True)[capacity]
+            counts = {
+                i: v - delta for i, v in counts.items() if v - delta > 0
+            }
+            err += delta
+        state.update(
+            (list(counts), [counts[i] for i in counts], err, total)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counts),
+                "item": list(counts),
+                "est_mass": [counts[i] for i in counts],
+                "err": [err] * len(counts),
+                "shard_mass": [total] * len(counts),
+            }
+        )
+
+    keyed = stream.select(
+        (
+            F.pmod(F.xxhash64(F.col(item_col).cast("string")),
+                   F.lit(num_shards))
+        ).cast("int").alias("__pw_shard__"),
+        F.col(item_col).cast("string").alias("__pw_item__"),
+        F.col(weight_col).cast("double").alias("__pw_w__"),
+    )
+    return keyed.groupBy("__pw_shard__").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

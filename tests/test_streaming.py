@@ -441,3 +441,117 @@ class TestStreamingAsof:
         s = spark.readStream.schema("k long, ts double").parquet(str(d))
         with pytest.raises(ValueError, match="STATIC right"):
             streaming_asof_join(s, s, on="ts", by=["k"])
+
+
+class TestStreamingHeavyHitters:
+    def test_superset_and_bounds(self, spark, source_dir):
+        from pandas_weights_spark.streaming import streaming_heavy_hitters
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")  # force 2 micro-batches
+            .parquet(str(source_dir))
+        )
+        out = streaming_heavy_hitters(
+            stream, item_col="grp", weight_col="w", capacity=8,
+            num_shards=4,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hh_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM hh_state").collect()
+        # last emission per (shard, item) is the final summary
+        final = {}
+        for r in rows:
+            final[(r["shard"], r["item"])] = r
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        import pandas as pd
+
+        pdf = batch.select("grp", "w").toPandas().dropna()
+        exact = pdf.groupby("grp")["w"].sum()
+        total = float(exact.sum())
+        # capacity >> distinct items here: every item retained with
+        # EXACT mass and zero error
+        got = {k[1]: r for k, r in final.items()}
+        assert set(got) == set(exact.index)
+        for item, r in got.items():
+            assert r["err"] == 0.0
+            assert r["est_mass"] == pytest.approx(float(exact[item]))
+        # shard masses partition the total
+        shard_tot = {}
+        for (s, _), r in final.items():
+            shard_tot[s] = r["shard_mass"]
+        assert sum(shard_tot.values()) == pytest.approx(total)
+
+    def test_capacity_eviction_keeps_heavy_item(self, spark, tmp_path):
+        from pandas_weights_spark.streaming import streaming_heavy_hitters
+
+        # 1 shard, capacity 2, 10 distinct items; item "big" carries
+        # half the mass -> must survive every eviction round, with
+        # est <= true <= est + err and err <= total/(capacity+1)
+        rows = []
+        for b in range(3):
+            for i in range(10):
+                rows.append((f"it{i}", 1.0, b))
+            rows.append(("big", 11.0, b))
+        import pandas as pd
+
+        schema = "item string, w double, b int"
+        d = tmp_path / "hh_src"
+        for b in range(3):
+            spark.createDataFrame(
+                [r for r in rows if r[2] == b], schema
+            ).coalesce(1).write.parquet(str(d / f"p{b}"), mode="overwrite")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+        out = streaming_heavy_hitters(
+            stream, item_col="item", weight_col="w", capacity=2,
+            num_shards=1,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hh_evict")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows_out = spark.sql("SELECT * FROM hh_evict").collect()
+        final = {}
+        last_batch = {}
+        for r in rows_out:
+            final[r["item"]] = r
+        # state never exceeds capacity
+        per_batch = {}
+        for r in rows_out:
+            per_batch.setdefault(r["shard_mass"], set()).add(r["item"])
+        for mass, items in per_batch.items():
+            assert len(items) <= 2
+        big = final["big"]
+        true_big = 33.0
+        total = 3 * (10 + 11.0)
+        assert big["est_mass"] <= true_big + 1e-9
+        assert true_big <= big["est_mass"] + big["err"] + 1e-9
+        assert big["err"] <= total / 3 + 1e-9
+
+    def test_bad_params_raise(self, spark, source_dir):
+        from pandas_weights_spark.streaming import streaming_heavy_hitters
+
+        stream = spark.readStream.schema(SCHEMA).parquet(str(source_dir))
+        with pytest.raises(ValueError, match="capacity"):
+            streaming_heavy_hitters(stream, "grp", "w", capacity=0)
+        with pytest.raises(ValueError, match="num_shards"):
+            streaming_heavy_hitters(stream, "grp", "w", num_shards=0)
