@@ -218,6 +218,23 @@ def main() -> int:
     qs["ngram_jaccard"] = E._q_ngram_jaccard
     qs["group_cdf"] = E._q_group_cdf  # folded into qcut driver row
     qs["row_stats"] = E._q_row_stats  # folded into group_zscore driver row
+
+    # the driver's group_zscore row now fuses zscore + winsorize +
+    # row_std; keep the bench's group_zscore = zscore-only for
+    # round-over-round comparability (winsorize and row_stats are
+    # benched standalone above/below)
+    def _zscore_only(spark_, sf_dir_):
+        from pandas_weights_spark import wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return (
+            wt(li, "l_quantity")
+            .groupby("l_returnflag")[["l_extendedprice"]]
+            .zscore()
+            .select("l_orderkey", "l_linenumber", "l_extendedprice_z")
+        )
+
+    qs["group_zscore"] = _zscore_only
     qs["stratified_sample"] = E._q_stratified_sample  # folded into weighted_sample
 
     def _winsorize(spark_, sf_dir_):
