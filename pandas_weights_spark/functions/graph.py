@@ -70,11 +70,11 @@ def connected_components(
     sc = pairs.sparkSession.sparkContext
 
     prev = None
-    n_edges = -1
+    n_edges, n_hash = -1, None
     for _ in range(max_iterations):
         if checkpoint:
             e = e.localCheckpoint(eager=True)
-        prev, prev_n = e, n_edges
+        prev, prev_n, prev_h = e, n_edges, n_hash
 
         # large-star: for every node u, attach each LARGER neighbor to
         # the minimum of N(u) ∪ {u}. Emitted per directed adjacency
@@ -107,16 +107,25 @@ def connected_components(
         )
         e = _canon(small)
 
-        n = e.count()
         # fixed point = edge SET unchanged (star graphs: every edge is
         # (node, root)). Count equality alone is NOT enough — on a path
         # graph the count stays |V|-1 every round while edges re-point;
-        # stopping on count converges to a WRONG labelling. The set
-        # check costs one extra distinct-shaped shuffle, only run when
-        # counts already match.
-        if n == prev_n and e.exceptAll(prev).isEmpty():
+        # stopping on count converges to a WRONG labelling. Cheap
+        # pre-filter first: (count, order-free hash sum) in ONE job; the
+        # authoritative exceptAll set-compare runs only when both match
+        # (a hash collision could slip past the pre-filter, so it never
+        # decides convergence on its own).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-free and overflow-free (ANSI sum of int64
+            # hashes overflows); edges are distinct so xor is a sound
+            # set fingerprint
+            F.bit_xor(F.xxhash64("__u__", "__v__")).alias("h"),
+        ).first()
+        n, h = row["n"], row["h"]
+        if n == prev_n and h == prev_h and e.exceptAll(prev).isEmpty():
             break
-        n_edges = n
+        n_edges, n_hash = n, h
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
