@@ -524,7 +524,23 @@ def _q_group_mad(spark, sf_dir):
             )
         ).alias("p"),
     ).select("p.kind", "l_returnflag", F.col("p.val").alias("val"))
-    return exact.unionByName(binned).unionByName(mode_rows)
+    # r4: ordered picks folded in (ONE min_by/max_by aggregate each, no
+    # window) — first/last non-NULL price along the total shipdate
+    # order; picks are data values, exact
+    ordering = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"]
+    fl = wt(_li(spark, sf_dir), _W).groupby("l_returnflag")
+    first_rows = fl.first(order_by=ordering).select(
+        F.lit("first:price").alias("kind"), "l_returnflag",
+        F.col("l_extendedprice").alias("val"),
+    )
+    last_rows = fl.last(order_by=ordering).select(
+        F.lit("last:price").alias("kind"), "l_returnflag",
+        F.col("l_extendedprice").alias("val"),
+    )
+    return (
+        exact.unionByName(binned).unionByName(mode_rows)
+        .unionByName(first_rows).unionByName(last_rows)
+    )
 
 
 def _q_group_quantile(spark, sf_dir):
@@ -1744,6 +1760,24 @@ _ORACLE: dict[str, str] = {
         ) r, (SELECT 'mode:value' AS kind UNION ALL
               SELECT 'mode:mass' AS kind) u
         WHERE r.rk = 1
+        UNION ALL
+        SELECT p.kind, p.l_returnflag, p.l_extendedprice AS val FROM (
+          SELECT 'first:price' AS kind, l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_shipdate NULLS FIRST,
+                            l_orderkey NULLS FIRST,
+                            l_linenumber NULLS FIRST,
+                            l_partkey NULLS FIRST) AS rk
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+          UNION ALL
+          SELECT 'last:price' AS kind, l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_shipdate DESC NULLS LAST,
+                            l_orderkey DESC NULLS LAST,
+                            l_linenumber DESC NULLS LAST,
+                            l_partkey DESC NULLS LAST) AS rk
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ) p WHERE p.rk = 1
     """,
     "group_zscore": """
         WITH m AS (

@@ -181,6 +181,76 @@ class WeightedGroupBy:
         quantile)."""
         return self._agg(lambda x, w: _stats.w_max(x, w))
 
+    def first(self, order_by: Sequence[str]) -> DataFrame:
+        """Per-group FIRST non-NULL value of each column along
+        ``order_by`` (pandas ``groupby.first`` made deterministic: the
+        reference semantics need an explicit order on a distributed
+        table). ONE aggregate — ``min_by(x, ord WHERE x valid)`` — no
+        window, no sort of the raw rows; weights don't enter (an
+        index-aligned pick, like shift/ffill)."""
+        return self._ordered_pick(order_by, last=False)
+
+    def last(self, order_by: Sequence[str]) -> DataFrame:
+        """Per-group LAST non-NULL value along ``order_by`` — see
+        :meth:`first`."""
+        return self._ordered_pick(order_by, last=True)
+
+    def _ordered_pick(
+        self, order_by: Sequence[str], last: bool
+    ) -> DataFrame:
+        order_by = list(order_by)
+        if not order_by:
+            raise ValueError("first/last require order_by columns")
+        wdf = self._wdf
+        for c in order_by:
+            if c not in wdf.df.columns:
+                raise KeyError(f"column {c!r} not in frame")
+        ord_expr = F.struct(*[F.col(c) for c in order_by])
+        pick = F.max_by if last else F.min_by
+        cols = [
+            c for c in self._value_cols() if c not in order_by
+        ]
+        aggs = []
+        for c in cols:
+            x = wdf._value(c)
+            # NULL ordering rows are skipped by min_by/max_by, so
+            # masking the order with the value's validity yields the
+            # first/last NON-NULL value — pandas first/last semantics
+            aggs.append(
+                pick(x, F.when(x.isNotNull(), ord_expr)).alias(c)
+            )
+        return self._grouped().agg(*aggs)
+
+    def nth(self, n: int, order_by: Sequence[str]) -> DataFrame:
+        """Per-group n-th ROW (0-based; negative counts from the end)
+        along ``order_by`` — pandas ``groupby.nth``: the whole row at
+        that position, NULLs and all. One window shuffle on the group
+        keys (row_number), then a row-local filter."""
+        from pyspark.sql import Window
+
+        order_by = list(order_by)
+        if not order_by:
+            raise ValueError("nth requires order_by columns")
+        n = int(n)
+        wdf = self._wdf
+        cols = [F.col(c) for c in order_by]
+        if n >= 0:
+            spec = Window.partitionBy(*self._keys).orderBy(*cols)
+            target = n + 1
+        else:
+            spec = Window.partitionBy(*self._keys).orderBy(
+                *[c.desc() for c in cols]
+            )
+            target = -n
+        from pandas_weights_spark.frame import WEIGHT_COL
+
+        rn = F.row_number().over(spec)
+        return (
+            wdf.df.withColumn("__pw_rn__", rn)
+            .where(F.col("__pw_rn__") == target)
+            .drop("__pw_rn__", WEIGHT_COL)
+        )
+
     def sem(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         """Per-group weighted standard error of the mean (``std/sqrt(W)``,
         frequency-weights convention)."""
