@@ -274,7 +274,23 @@ def _q_resample_rules(spark, sf_dir):
         F.lit(None).cast("double").alias("w_sum"),
         F.round(F.col("value_mean"), 2).alias("w_mean"),
     )
-    return fixed.unionByName(cal).unionByName(roll)
+    # r4: complete=True spine rows — day-of-month filter guarantees gap
+    # days, which must surface as buckets with NULL statistics (the
+    # generated-spine left join, resample._complete)
+    ev_gap = ev.where(F.dayofmonth(F.col("ts")) % 3 == 0)
+    cmp = (
+        wt(ev_gap, wexpr)[["value"]]
+        .resample("1D", on="ts")
+        .agg_all(["count", "sum", "mean"], complete=True)
+        .select(
+            F.lit("cmp:1D").alias("rule"),
+            F.col("ts").alias("bucket"),
+            F.col("value_count").alias("w_count"),
+            F.col("value_sum").alias("w_sum"),
+            F.col("value_mean").alias("w_mean"),
+        )
+    )
+    return fixed.unionByName(cal).unionByName(roll).unionByName(cmp)
 
 
 def _corr_pair_df(spark, sf_dir):
@@ -1953,6 +1969,32 @@ _ORACLE: dict[str, str] = {
                    AS w_count,
                  SUM(value * w) AS s
           FROM t3 WHERE ts IS NOT NULL GROUP BY 2
+        )
+        UNION ALL
+        SELECT 'cmp:1D' AS rule, bucket, w_count, w_sum, w_mean FROM (
+          WITH tg AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(user_id % 7 + 1 AS DOUBLE) AS w
+            FROM events
+            WHERE ts IS NOT NULL AND day(CAST(ts AS TIMESTAMP)) % 3 = 0
+          ), og AS (SELECT date_trunc('day', MIN(ts)) AS org FROM tg),
+          agg AS (
+            SELECT time_bucket(INTERVAL 1 DAY, ts, (SELECT org FROM og))
+                     AS bucket,
+                   COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END),
+                            0.0) AS w_count,
+                   COALESCE(SUM(value * w), 0.0) AS w_sum,
+                   SUM(value * w)
+                     / SUM(CASE WHEN value IS NOT NULL THEN w END)
+                     AS w_mean
+            FROM tg GROUP BY 1
+          ), spine AS (
+            SELECT UNNEST(generate_series(MIN(bucket), MAX(bucket),
+                                          INTERVAL 1 DAY)) AS bucket
+            FROM agg
+          )
+          SELECT spine.bucket, agg.w_count, agg.w_sum, agg.w_mean
+          FROM spine LEFT JOIN agg USING (bucket)
         )
     """,
     "resample_quantile": """

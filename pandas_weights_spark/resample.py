@@ -368,8 +368,12 @@ class WeightedResampler:
     def median(self, **kwargs) -> DataFrame:
         return self.quantile(0.5, **kwargs)
 
-    def agg_all(self, stats: Sequence[str], **kwargs) -> DataFrame:
-        """Several statistics in one bucket-keyed aggregate pass."""
+    def agg_all(
+        self, stats: Sequence[str], complete: bool = False, **kwargs
+    ) -> DataFrame:
+        """Several statistics in one bucket-keyed aggregate pass.
+        ``complete=True`` joins the generated bucket spine so empty
+        buckets appear (NULL statistics), like the single-stat paths."""
         from pandas_weights_spark.groupby import _KERNELS
 
         cols = [c for c in self._wdf.numeric_columns() if c != self._on]
@@ -382,12 +386,14 @@ class WeightedResampler:
             for c in cols
             for s in stats
         ]
-        return (
+        out = (
             self._wdf.df.where(F.col(self._on).isNotNull())
             .groupBy(self.bucket().alias(self._on))
             .agg(*exprs)
-            .orderBy(self._on)
         )
+        if complete:
+            out = self._complete(out)
+        return out.orderBy(self._on)
 
 
 def hypertable_rollup(
