@@ -426,6 +426,35 @@ class WeightedGroupBy:
         ]
         return self._finish(self._grouped().agg(*exprs))
 
+    def agg(self, spec) -> DataFrame:
+        """pandas dict-style aggregation in ONE pass: ``agg({"price":
+        ["mean", "std"], "qty": "sum"})`` → columns ``price_mean,
+        price_std, qty_sum`` from a single fused aggregate (same
+        kernel fusion as :meth:`agg_all`, per-column stat lists).
+        A plain list/str spec applies to every numeric column
+        (``agg_all`` semantics)."""
+        if isinstance(spec, (str, list, tuple)):
+            stats = [spec] if isinstance(spec, str) else list(spec)
+            return self.agg_all(stats)
+        if not isinstance(spec, dict) or not spec:
+            raise ValueError(
+                "agg spec must be a non-empty dict / list / str"
+            )
+        w = self._wdf.weights
+        exprs = []
+        for c, stats in spec.items():
+            if c not in self._wdf.df.columns:
+                raise KeyError(f"column {c!r} not in frame")
+            stats = [stats] if isinstance(stats, str) else list(stats)
+            bad = [st for st in stats if st not in _KERNELS]
+            if bad:
+                raise ValueError(f"unknown statistics: {bad}")
+            for st in stats:
+                exprs.append(
+                    _KERNELS[st](self._wdf._value(c), w).alias(f"{c}_{st}")
+                )
+        return self._finish(self._grouped().agg(*exprs))
+
     def describe(
         self,
         qs: Sequence[float] = (0.25, 0.5, 0.75),

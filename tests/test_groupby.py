@@ -300,3 +300,48 @@ class TestDescribe:
         mx = by_group(g.max())
         assert mn["A"]["Value"] == 10.0 and mx["A"]["Value"] == 20.0
         assert mn["B"]["Value"] == 30.0 and mx["B"]["Value"] == 40.0
+
+
+class TestDictAgg:
+    def test_dict_spec_one_pass(self, spark):
+        import pandas_weights_spark.plans as P
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 10.0, 2.0), ("a", 3.0, 30.0, 1.0),
+             ("b", 5.0, 50.0, 4.0)],
+            "g string, x double, y double, w double",
+        )
+        out = wt(df, "w").groupby("g").agg({"x": ["mean", "sum"], "y": "max"})
+        assert set(out.columns) == {"g", "x_mean", "x_sum", "y_max"}
+        # plan check BEFORE collect: the AQE-finalized plan string
+        # repeats the exchange under "Initial Plan"
+        assert P.count_exchanges(out) == 1
+        rows = {r["g"]: r for r in out.collect()}
+        assert rows["a"]["x_mean"] == pytest.approx((2.0 + 3.0) / 3.0)
+        assert rows["a"]["x_sum"] == pytest.approx(5.0)
+        assert rows["a"]["y_max"] == 30.0
+
+    def test_list_spec_is_agg_all(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0)], "g string, x double, w double"
+        )
+        a = wt(df, "w").groupby("g").agg(["count", "mean"]).collect()
+        b = wt(df, "w").groupby("g").agg_all(["count", "mean"]).collect()
+        assert a == b
+
+    def test_bad_specs_raise(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0)], "g string, x double, w double"
+        )
+        g = wt(df, "w").groupby("g")
+        with pytest.raises(ValueError, match="non-empty"):
+            g.agg({})
+        with pytest.raises(KeyError):
+            g.agg({"nope": "mean"})
+        with pytest.raises(ValueError, match="unknown"):
+            g.agg({"x": "frobnicate"})
