@@ -1429,11 +1429,15 @@ def _q_window_stats(spark, sf_dir):
         F.round(
             roll.pair_col("corr", "l_partkey", "l_extendedprice"), 6
         ).alias("__rc__"),
+        # r4: windowed weighted MEDIAN rides the same WindowExec —
+        # collect_list + sort_array + higher-order folds, inverted-CDF
+        # semantics; the selected value is a data value, exact
+        roll.col("median", "l_extendedprice").alias("__rm__"),
     )
     return both.select(
         F.expr(
-            "stack(3, 'roll_mean', __roll__, 'exp_var', __exp__,"
-            " 'roll_corr', __rc__) AS (stat, val)"
+            "stack(4, 'roll_mean', __roll__, 'exp_var', __exp__,"
+            " 'roll_corr', __rc__, 'roll_med', __rm__) AS (stat, val)"
         ),
         "l_orderkey",
         "l_linenumber",
@@ -2439,6 +2443,45 @@ _ORACLE["window_stats"] = """
                    ORDER BY l_linenumber, l_partkey, l_suppkey,
                             l_extendedprice
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    UNION ALL
+    SELECT 'roll_med' AS stat, l_orderkey, l_linenumber, val FROM (
+      WITH tt AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+               row_number() OVER wo AS rn,
+               COUNT(CASE WHEN l_extendedprice IS NOT NULL
+                           AND l_quantity IS NOT NULL THEN 1 END)
+                 OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                l_extendedprice
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS nv
+        FROM lineitem
+        WINDOW wo AS (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey,
+                               l_extendedprice)
+      ), j AS (
+        SELECT a.l_orderkey, a.rn, b.l_extendedprice AS x,
+               b.l_quantity AS w
+        FROM tt a JOIN tt b
+          ON a.l_orderkey = b.l_orderkey
+         AND b.rn BETWEEN a.rn - 2 AND a.rn
+        WHERE b.l_extendedprice IS NOT NULL AND b.l_quantity > 0
+      ), c AS (
+        SELECT l_orderkey, rn, x,
+               SUM(w) OVER (PARTITION BY l_orderkey, rn ORDER BY x
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cw,
+               SUM(w) OVER (PARTITION BY l_orderkey, rn) AS tw
+        FROM j
+      ), med AS (
+        SELECT l_orderkey, rn,
+               MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS m
+        FROM c GROUP BY 1, 2
+      )
+      SELECT tt.l_orderkey, tt.l_linenumber,
+             CASE WHEN tt.nv >= 3 THEN med.m END AS val
+      FROM tt LEFT JOIN med
+        ON tt.l_orderkey = med.l_orderkey AND tt.rn = med.rn
     )
 """
 

@@ -207,7 +207,10 @@ class WeightedRolling:
         wdf = self._wdf
         spec = self._spec()
         x = wdf._value(column)
-        expr = self._builder(stat, ddof, skipna)(x, wdf.weights, spec)
+        if stat == "median":
+            expr = self._quantile_expr(x, wdf.weights, spec, 0.5)
+        else:
+            expr = self._builder(stat, ddof, skipna)(x, wdf.weights, spec)
         if self._min_periods > 0:
             n_valid = F.count(x * wdf.weights).over(spec)
             expr = F.when(n_valid >= F.lit(self._min_periods), expr)
@@ -323,6 +326,60 @@ class WeightedRolling:
         """Windowed weighted covariance of ``x`` vs ``y``; output column
         ``{x}_{y}_cov`` alongside the window keys."""
         return self._pair_frame("cov", x, y, ddof, min_periods)
+
+    @staticmethod
+    def _quantile_expr(x: Column, w: Column, spec: WindowSpec, q: float) -> Column:
+        """Inverted-CDF weighted quantile of the frame, as pure JVM
+        array expressions: collect the frame's mass-carrying (x, w)
+        pairs, sort by value, scan for the smallest value whose
+        cumulative weight reaches ``q·W``. No Python — collect_list +
+        sort_array + two higher-order ``aggregate`` folds, all inside
+        the same WindowExec as the moment stats. Cost is O(frame²
+        log frame) per partition in the worst case — bounded-window
+        frames (rolling N) are the intended use; expanding over a huge
+        partition belongs to the quantile/banded-CDF machinery instead.
+
+        Follows the engine's quantile-family definition (ties merged,
+        ``w ≤ 0``/NULL excluded), NOT pandas' linear interpolation —
+        consistent with ``wt().quantile()``; documented divergence."""
+        pair = F.when(
+            x.isNotNull() & w.isNotNull() & (w > 0),
+            F.struct(x.alias("x"), w.alias("w")),
+        )
+        # collect_list drops NULLs, so excluded rows never enter the
+        # frame; struct sort orders by x first
+        arr = F.sort_array(F.collect_list(pair).over(spec))
+        tot = F.aggregate(
+            arr, F.lit(0.0), lambda acc, s: acc + s["w"]
+        )
+        target = F.lit(float(q)) * tot
+        scan = F.aggregate(
+            arr,
+            F.struct(
+                F.lit(0.0).alias("cum"),
+                F.lit(None).cast("double").alias("ans"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["cum"] + s["w"]).alias("cum"),
+                F.when(acc["ans"].isNotNull(), acc["ans"])
+                .when(acc["cum"] + s["w"] >= target, s["x"].cast("double"))
+                .alias("ans"),
+            ),
+        )
+        return F.when(F.size(arr) > 0, scan["ans"])
+
+    def quantile(self, q: float, skipna: bool = True) -> DataFrame:
+        """Windowed weighted quantile (inverted CDF over the frame's
+        mass) for every numeric column — see :meth:`_quantile_expr`."""
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile must be in (0, 1], got {q}")
+        return self._stat(
+            lambda x, w, spec: self._quantile_expr(x, w, spec, q)
+        )
+
+    def median(self, skipna: bool = True) -> DataFrame:
+        """Windowed weighted median (q=0.5)."""
+        return self.quantile(0.5, skipna=skipna)
 
     def count(self, skipna: bool = True) -> DataFrame:
         return self._stat(self._builder("count", 1, skipna))

@@ -313,3 +313,91 @@ class TestRollingHigherMoments:
         # constant window (single valid value) -> m2 = 0 -> NULL
         rows = out.orderBy("t").collect()
         assert rows[0]["x_skew"] is None
+
+
+class TestRollingQuantile:
+    def test_matches_manual_weighted_median(self, spark):
+        from pandas_weights_spark import wt
+
+        rows = [
+            (1, 1.0, 1.0), (2, 9.0, 3.0), (3, 5.0, 1.0),
+            (4, 2.0, 2.0), (5, 7.0, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "i int, x double, w double")
+        out = {
+            r["i"]: r["x"]
+            for r in wt(df, "w")
+            .rolling(3, order_by=["i"], min_periods=1)
+            .median()
+            .collect()
+        }
+
+        def med(sub):
+            pairs = sorted((x, w) for _, x, w in sub)
+            tot = sum(w for _, w in pairs)
+            cum = 0.0
+            for x, w in pairs:
+                cum += w
+                if cum >= 0.5 * tot:
+                    return x
+
+        assert out[1] == med(rows[:1])
+        assert out[2] == med(rows[:2])      # mass-weighted: 9 wins
+        assert out[3] == med(rows[:3])
+        assert out[4] == med(rows[1:4])
+        assert out[5] == med(rows[2:5])
+
+    def test_quantile_excludes_nonpositive_and_null(self, spark):
+        from pandas_weights_spark import wt
+
+        rows = [
+            (1, 100.0, 0.0), (2, None, 5.0), (3, 1.0, 1.0), (4, 3.0, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "i int, x double, w double")
+        out = {
+            r["i"]: r["x"]
+            for r in wt(df, "w")
+            .rolling(4, order_by=["i"], min_periods=1)
+            .quantile(1.0)
+            .collect()
+        }
+        # zero-weight 100.0 and NULL x carry no mass
+        assert out[4] == 3.0
+
+    def test_min_periods_gates(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, 2.0, 1.0), (3, 3.0, 1.0)],
+            "i int, x double, w double",
+        )
+        out = {
+            r["i"]: r["x"]
+            for r in wt(df, "w")
+            .rolling(3, order_by=["i"], min_periods=3)
+            .median()
+            .collect()
+        }
+        assert out[1] is None and out[2] is None
+        assert out[3] == 2.0
+
+    def test_pure_jvm(self, spark):
+        import pandas_weights_spark.plans as P
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(1, 1, 1.0, 1.0)], "g int, i int, x double, w double"
+        )
+        out = (
+            wt(df, "w")
+            .rolling(3, order_by=["i"], partition_by=["g"], min_periods=1)
+            .median()
+        )
+        assert not P.has_python_eval(out)
+
+    def test_bad_q_raises(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame([(1, 1.0, 1.0)], "i int, x double, w double")
+        with pytest.raises(ValueError, match="quantile"):
+            wt(df, "w").rolling(2, order_by=["i"]).quantile(0.0)
