@@ -397,7 +397,24 @@ def _q_spearman_corr(spark, sf_dir):
         "l_discount",
         by=["l_returnflag"],
     )
-    return out.select("l_returnflag", F.round(F.col("corr"), 6).alias("corr"))
+    sp = out.select(
+        F.lit("spearman").alias("kind"), "l_returnflag",
+        F.round(F.col("corr"), 6).alias("corr"),
+    )
+    # r4: weighted autocorrelation folded in (corr.weighted_autocorr):
+    # lag-1 and lag-3 self-correlation of the price along the total
+    # shipdate order, pair weighted by the current row's quantity. ONE
+    # WindowExec for both lags + one fused moment aggregate.
+    acf = wt(_li(spark, sf_dir), _W).autocorr(
+        "l_extendedprice", lags=[1, 3],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"],
+        by=["l_returnflag"],
+    ).select(
+        F.concat(F.lit("acf:"), F.col("lag").cast("string")).alias("kind"),
+        "l_returnflag",
+        F.round(F.col("corr"), 6).alias("corr"),
+    )
+    return sp.unionByName(acf)
 
 
 def _q_aligned_corr_cov(spark, sf_dir):
@@ -2367,9 +2384,26 @@ _SPEARMAN_RANKED = """(
     JOIN ry ON v.g = ry.g AND v.y = ry.y
 )"""
 
+_ACF_SRC = """(
+  SELECT l_returnflag AS g, l_extendedprice AS x,
+         LAG(l_extendedprice, {k}) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                    l_linenumber NULLS FIRST, l_partkey NULLS FIRST
+         ) AS y,
+         l_quantity AS w
+  FROM lineitem
+)"""
+
 _ORACLE["spearman_corr"] = (
-    "SELECT g AS l_returnflag, corr FROM ("
+    "SELECT 'spearman' AS kind, g AS l_returnflag, corr FROM ("
     + _corr_sql("x", "y", "w", _SPEARMAN_RANKED, group=["g"])
+    + ")"
+    + " UNION ALL SELECT 'acf:1' AS kind, g AS l_returnflag, corr FROM ("
+    + _corr_sql("x", "y", "w", _ACF_SRC.format(k=1), group=["g"])
+    + ")"
+    + " UNION ALL SELECT 'acf:3' AS kind, g AS l_returnflag, corr FROM ("
+    + _corr_sql("x", "y", "w", _ACF_SRC.format(k=3), group=["g"])
     + ")"
 )
 

@@ -48,6 +48,7 @@ __all__ = [
     "grouped_cov",
     "frame_corr_cov",
     "spearman_corr",
+    "weighted_autocorr",
     "to_matrix",
 ]
 
@@ -598,3 +599,91 @@ def to_matrix(long_form: DataFrame) -> "pd.DataFrame":
         .reindex(index=order, columns=order)
         .rename_axis(index=None, columns=None)
     )
+
+
+def weighted_autocorr(
+    wdf: "WeightedDataFrame",
+    col: str,
+    lags: Sequence[int] = (1,),
+    order_by: Sequence[str] = (),
+    by: Optional[Sequence[str]] = None,
+    ddof: int = 1,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Weighted autocorrelation function: the weighted Pearson
+    correlation of ``x_t`` with ``x_{t−k}`` along ``order_by``
+    (optionally per ``by`` group), one output row per (group, lag) —
+    ``keys…, lag, corr`` (engine extension: lag features' sanity check
+    in time-series / session pipelines).
+
+    Convention: the pair ``(x_t, x_{t−k})`` carries the CURRENT row's
+    weight ``w_t``, and is pairwise-complete masked like every corr
+    kernel (x_t, x_{t−k}, w_t all non-NULL — leading rows of each group
+    drop out of lag k naturally).
+
+    Plan: ONE WindowExec produces every lagged column (all lags share
+    the ``partitionBy(by) orderBy(order_by)`` sort), then ONE aggregate
+    computes all lags' seven moments fused (map-side partials), and the
+    long (lag, corr) shape unpivots from that single row — two
+    exchanges total, independent of the number of lags.
+    """
+    from pyspark.sql import Window
+
+    from pandas_weights_spark.frame import WEIGHT_COL
+
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    if not order_by:
+        raise ValueError("autocorr requires order_by columns")
+    keys = list(by or [])
+    for c in [col, *order_by, *keys]:
+        if c not in wdf.df.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    if not keys:
+        import warnings
+
+        warnings.warn(
+            "keyless autocorr orders the whole table in a single window "
+            "partition (one task). Pass by= at scale.",
+            stacklevel=2,
+        )
+    x = wdf._value(col)
+    w = F.col(WEIGHT_COL)
+    spec = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in order_by]
+    )
+    lagged = wdf.df.select(
+        *keys,
+        x.alias("__x__"),
+        w.alias(WEIGHT_COL),
+        *[F.lag(x, k).over(spec).alias(f"__xl_{k}__") for k in lags],
+    )
+    moments = []
+    for k in lags:
+        for name, expr in corr_moment_exprs(
+            F.col("__x__"), F.col(f"__xl_{k}__"), F.col(WEIGHT_COL)
+        ).items():
+            moments.append(expr.alias(f"__m_{k}_{name}"))
+    agg = (
+        lagged.groupBy(*[F.col(k) for k in keys]).agg(*moments)
+        if keys
+        else lagged.agg(*moments)
+    )
+    rows = []
+    for k in lags:
+        m = lambda name, k=k: F.col(f"__m_{k}_{name}")  # noqa: E731
+        rows.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                corr_from_moments(
+                    m("n"), m("w"), m("wx"), m("wy"), m("wxy"),
+                    m("wxx"), m("wyy"),
+                    ddof=ddof, min_periods=min_periods,
+                ).alias("corr"),
+            )
+        )
+    return agg.select(
+        *keys, F.explode(F.array(*rows)).alias("__p__")
+    ).select(*keys, F.col("__p__.lag").alias("lag"),
+             F.col("__p__.corr").alias("corr"))

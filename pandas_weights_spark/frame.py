@@ -486,6 +486,25 @@ class WeightedDataFrame:
 
         return OrderedTransform(self, order_by, partition_by)
 
+    def autocorr(
+        self,
+        col: str,
+        lags: Sequence[int] = (1,),
+        order_by: Sequence[str] = (),
+        by: Optional[Sequence[str]] = None,
+        ddof: int = 1,
+        min_periods: int = 1,
+    ) -> DataFrame:
+        """Weighted autocorrelation of ``col`` at the given lags along
+        ``order_by`` (per ``by`` group) — see corr.weighted_autocorr
+        (one WindowExec for all lags + one fused moment aggregate)."""
+        from pandas_weights_spark.corr import weighted_autocorr
+
+        return weighted_autocorr(
+            self, col, lags=lags, order_by=order_by, by=by, ddof=ddof,
+            min_periods=min_periods,
+        )
+
     def ttest(
         self,
         value: str,

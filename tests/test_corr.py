@@ -333,3 +333,96 @@ class TestSpearman:
     def test_matrix_method_still_raises(self, corr_frame):
         with pytest.raises(NotImplementedError):
             wt(corr_frame, "weights").corr(method="spearman")
+
+
+class TestAutocorr:
+    def test_unit_weight_matches_pandas_shifted_corr(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(12)
+        n = 300
+        # AR(1)-ish series so lag-1 corr is strongly positive
+        x = np.zeros(n)
+        for i in range(1, n):
+            x[i] = 0.8 * x[i - 1] + rng.normal()
+        df = spark.createDataFrame(
+            [(i, float(v), 1.0) for i, v in enumerate(x)],
+            "i int, x double, w double",
+        )
+        with pytest.warns(UserWarning, match="single"):
+            out = {
+                r["lag"]: r["corr"]
+                for r in wt(df, "w")
+                .autocorr("x", lags=[1, 3], order_by=["i"])
+                .collect()
+            }
+        s = pd.Series(x)
+        for k in (1, 3):
+            want = s.corr(s.shift(k))
+            assert out[k] == pytest.approx(want, rel=1e-9), k
+
+    def test_grouped_weighted_matches_replication(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(5)
+        rows = [
+            (int(i % 2), i, float(rng.normal()), int(rng.integers(1, 4)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g int, i int, x double, w int")
+        out = {
+            (r["g"], r["lag"]): r["corr"]
+            for r in wt(df, "w")
+            .autocorr("x", lags=[1], order_by=["i"], by=["g"])
+            .collect()
+        }
+        # convention: pair (x_t, x_{t-1}) weighted by w_t -> replicate
+        # the PAIR w_t times and take plain pearson
+        for g in (0, 1):
+            sub = [(i, x, w) for gg, i, x, w in rows if gg == g]
+            sub.sort()
+            xs, ys = [], []
+            for (i0, x0, w0), (i1, x1, w1) in zip(sub[1:], sub[:-1]):
+                xs += [x0] * w0
+                ys += [x1] * w0
+            want = pd.Series(xs).corr(pd.Series(ys))
+            assert out[(g, 1)] == pytest.approx(want, rel=1e-9), g
+
+    def test_short_group_null(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1, 5.0, 1.0)], "g string, i int, x double, w double"
+        )
+        out = wt(df, "w").autocorr(
+            "x", lags=[1], order_by=["i"], by=["g"]
+        ).collect()
+        assert out[0]["corr"] is None
+
+    def test_bad_lags_raise(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame([(1, 1.0, 1.0)], "i int, x double, w double")
+        with pytest.raises(ValueError, match="lags"):
+            wt(df, "w").autocorr("x", lags=[0], order_by=["i"])
+        with pytest.raises(ValueError, match="order_by"):
+            wt(df, "w").autocorr("x", lags=[1])
+
+    def test_one_window_one_agg(self, spark):
+        import pandas_weights_spark.plans as P
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0, 1.0)], "g string, i int, x double, w double"
+        )
+        out = wt(df, "w").autocorr(
+            "x", lags=[1, 2, 5], order_by=["i"], by=["g"]
+        )
+        plan = P.physical_plan(out)
+        assert plan.count("Window") <= 1
+        assert not P.has_python_eval(out)
+        assert P.count_exchanges(out) <= 2, plan
