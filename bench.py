@@ -53,6 +53,8 @@ HEADLINE = [
     "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
     "spearman_corr",       # rank transform + pearson kernel
+    "autocorr",            # lagged self-corr (one WindowExec, all lags)
+    "window_order_stats",  # windowed median + pairwise corr (same WindowExec)
     "stream_resample",     # availableNow streaming resample (events)
     "asof_join",           # union + ordered-carry nearest-key join
     "group_cdf",           # per-row weighted percentile-rank transform
@@ -247,6 +249,71 @@ def main() -> int:
 
     qs["winsorize"] = _winsorize
     qs["embedding_neardup"] = E._q_embedding_neardup
+
+    # the driver's spearman_corr row now fuses spearman + autocorr and
+    # window_stats gained windowed median/pairwise-corr rows; bench the
+    # r3 bodies unchanged and the new work standalone so every number
+    # stays comparable across rounds
+    from pandas_weights_spark.corr import spearman_corr as _sp
+
+    def _spearman_only(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        out = _sp(
+            _wt(li, "l_quantity"), "l_extendedprice", "l_discount",
+            by=["l_returnflag"],
+        )
+        return out.select("l_returnflag", F.round(F.col("corr"), 6).alias("corr"))
+
+    def _autocorr_only(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return _wt(li, "l_quantity").autocorr(
+            "l_extendedprice", lags=[1, 3],
+            order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"],
+            by=["l_returnflag"],
+        )
+
+    def _window_frames(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+
+        li = load_table(spark_, sf_dir_, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_quantity",
+        )
+        order = [
+            "l_linenumber", F.col("l_partkey"), F.col("l_suppkey"),
+            F.col("l_extendedprice"),
+        ]
+        wdf = _wt(li, "l_quantity")
+        roll = wdf.rolling(3, order_by=order, partition_by=["l_orderkey"])
+        exp = wdf.expanding(order_by=order, partition_by=["l_orderkey"])
+        return wdf, roll, exp
+
+    def _window_moments_only(spark_, sf_dir_):
+        wdf, roll, exp = _window_frames(spark_, sf_dir_)
+        return wdf.df.select(
+            "l_orderkey", "l_linenumber",
+            roll.col("mean", "l_partkey").alias("roll_mean"),
+            exp.col("var", "l_partkey").alias("exp_var"),
+        )
+
+    def _window_order_stats(spark_, sf_dir_):
+        wdf, roll, exp = _window_frames(spark_, sf_dir_)
+        return wdf.df.select(
+            "l_orderkey", "l_linenumber",
+            F.round(
+                roll.pair_col("corr", "l_partkey", "l_extendedprice"), 6
+            ).alias("roll_corr"),
+            roll.col("median", "l_extendedprice").alias("roll_med"),
+        )
+
+    qs["spearman_corr"] = _spearman_only
+    qs["autocorr"] = _autocorr_only
+    qs["window_stats"] = _window_moments_only
+    qs["window_order_stats"] = _window_order_stats
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))

@@ -420,50 +420,6 @@ def aligned_corr_cov(
     return joined.agg(*moments.values()).select(corr, cov)
 
 
-def _band_expr(col: str, lo: str, hi: str, bands: int) -> Column:
-    """Fixed-width band id of ``col`` over the per-group ``[lo, hi]``
-    range (clamped to ``bands - 1``; degenerate ranges collapse to 0).
-    Equal values always share a band, so average-tie ranking within a
-    band sees every tie. Range-adaptive on purpose: a range-free
-    scheme (e.g. order-preserving log bands) collapses to one band for
-    narrow-range data like epoch timestamps, losing all ranking
-    parallelism — worth the one min/max pre-scan."""
-    c = F.col(col).cast("double")
-    l = F.col(lo).cast("double")
-    h = F.col(hi).cast("double")
-    return F.when(
-        h > l,
-        F.least(
-            F.lit(bands - 1),
-            F.floor((c - l) / (h - l) * F.lit(float(bands))).cast("int"),
-        ),
-    ).otherwise(F.lit(0))
-
-
-def _band_offsets(
-    btot: DataFrame, keys: Sequence[str], band_col: str
-) -> DataFrame:
-    """``keys + [band_col, __off<band_col>]`` — rows in strictly lower
-    bands, from a per-``(keys, band)`` count frame carrying ``__bt__``
-    (a tiny ordered window; ≤ bands rows per group, so the downstream
-    join broadcasts)."""
-    from pyspark.sql import Window
-
-    kc = [F.col(k) for k in keys]
-    off_win = (
-        Window.partitionBy(*kc)
-        .orderBy(band_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return btot.select(
-        *keys,
-        band_col,
-        F.coalesce(F.sum("__bt__").over(off_win), F.lit(0)).alias(
-            f"__off{band_col}"
-        ),
-    )
-
-
 def spearman_corr(
     wdf: "WeightedDataFrame",
     x_col: str,
@@ -489,9 +445,31 @@ def spearman_corr(
     ``rank = band_offset + count(v' <= v) - (ties - 1)/2`` needs no
     distinct-value aggregate, no rank join-back, and no row-id regroup
     (the r3 melt-join-regroup shape paid THREE extra fat shuffles:
-    distinct-count, rank join, rid regroup). Band totals/offsets are
-    map-side-combining aggregates of ≤ bands rows per group that AQE
-    broadcast-joins back.
+    distinct-count, rank join, rid regroup).
+
+    r4 barrier diet (2.7 s → sf0.1 target <1.5 s; the windows were
+    already cheap — sequential full passes were the cost):
+
+    - band bounds come from a robust [p1, p99] of a bounded
+      ``limit(10240)`` sample (ONE cheap job that reads about a row
+      group, vs r3's full per-group min/max scan — at 100 TB the
+      difference between scanning the table and scanning one file).
+      Banding stays linear arithmetic (2 flops/row in codegen; an
+      equal-frequency edge-array variant was tried and the per-row
+      higher-order-function fold was 3× slower than the whole r3
+      query). Rows outside the sampled support clamp into the edge
+      bands; ranks are band-assignment-invariant (equal values always
+      share a band), so bound quality affects only load balance,
+      never the result.
+    - the two per-(keys, band) offset joins are fused into ONE
+      broadcast join on ``keys`` carrying two ``map<band, offset>``
+      columns (≤ bands entries ≈ 2 KB per key — broadcast-small at any
+      key cardinality that can hold a corr).
+
+    Band totals still come from ONE GROUPING SETS
+    ((keys, bandx), (keys, bandy)) map-side-combining pass — a joint
+    (keys, bandx, bandy) count would materialize up to keys·bands²
+    groups (a shuffle as fat as the data) only to be re-marginalized.
     """
     from pyspark.sql import Window
 
@@ -508,29 +486,36 @@ def spearman_corr(
     v = wdf.df.where(x.isNotNull() & y.isNotNull() & w.isNotNull()).select(
         *keys, x.alias("__x__"), y.alias("__y__"), w.alias(WEIGHT_COL)
     )
-    # both columns' value ranges in ONE aggregate, broadcast back
-    rng = v.groupBy(*kc).agg(
-        F.min("__x__").alias("__lox__"), F.max("__x__").alias("__hix__"),
-        F.min("__y__").alias("__loy__"), F.max("__y__").alias("__hiy__"),
-    )
-    if keys:
-        j = _join_group_stats(v, rng, keys)
-    else:
-        j = v.crossJoin(rng)
-    j = j.select(
+    # p1/p99 rather than min/max: one sampled outlier would stretch the
+    # linear band range until the real mass collapses into a few bands
+    bounds = v.limit(10_240).agg(
+        F.percentile_approx("__x__", [0.01, 0.99], 1000).alias("bx"),
+        F.percentile_approx("__y__", [0.01, 0.99], 1000).alias("by"),
+    ).first()
+    if bounds["bx"] is None:  # no pairwise-complete rows at all
+        null_corr = F.lit(None).cast("double").alias("corr")
+        if keys:  # no groups either — empty result, matching r3
+            return v.groupBy(*keys).agg(null_corr).select(*keys, "corr")
+        return v.sparkSession.range(1).select(null_corr)
+
+    def _lit_band(col: str, lo: float, hi: float) -> Column:
+        c = F.col(col).cast("double")
+        if not (hi > lo):
+            return F.lit(0)
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bands - 1),
+                F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo))
+                        * F.lit(float(bands))).cast("int"),
+            ),
+        )
+
+    j = v.select(
         *keys, "__x__", "__y__", WEIGHT_COL,
-        _band_expr("__x__", "__lox__", "__hix__", bands).alias("__bandx__"),
-        _band_expr("__y__", "__loy__", "__hiy__", bands).alias("__bandy__"),
+        _lit_band("__x__", *bounds["bx"]).alias("__bandx__"),
+        _lit_band("__y__", *bounds["by"]).alias("__bandy__"),
     )
-    # ONE grouping-sets aggregate feeds BOTH columns' offset tables —
-    # a per-column count would re-execute the scan + range join per
-    # branch (observed: 8 scans / 22 exchanges vs 3 / ~10 here), and
-    # the earlier joint (keys, bandx, bandy) count materialized up to
-    # keys·bands² groups (~196k rows at sf0.1 — a shuffle as fat as
-    # the data itself) only to be re-marginalized twice. GROUPING SETS
-    # ((keys, bandx), (keys, bandy)) emits the two ≤ keys·bands
-    # marginals directly from one map-side-combining pass; the offset
-    # joins stay broadcast-small.
     gsets = j.groupingSets(
         [[*keys, "__bandx__"], [*keys, "__bandy__"]],
         *keys, "__bandx__", "__bandy__",
@@ -538,12 +523,57 @@ def spearman_corr(
         F.count(F.lit(1)).alias("__bt__"),
         F.grouping("__bandy__").alias("__gy__"),
     )
-    for band_col, other_gone in (("__bandx__", 1), ("__bandy__", 0)):
-        btot = gsets.where(F.col("__gy__") == other_gone).select(
-            *keys, band_col, "__bt__"
+    # BOTH columns' band→offset maps from ONE aggregate over the
+    # grouping-set marginals: collect each key's (band, count) list and
+    # fold it (sorted) into an exclusive-running-sum map — ≤ bands
+    # elements per key, all expression-side. Splitting into per-column
+    # branches (r4 first cut) let Catalyst push the grouping-flag
+    # filter into each branch's Expand, defeating exchange reuse and
+    # re-scanning the table per column.
+    def _offmap(entries: Column) -> Column:
+        zero = F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.map_from_arrays(
+                F.array().cast("array<int>"), F.array().cast("array<long>")
+            ).alias("m"),
         )
-        off = _band_offsets(btot, keys, band_col)
-        j = _join_group_stats(j, off, keys + [band_col])
+        return F.aggregate(
+            F.sort_array(entries),
+            zero,
+            lambda acc, e: F.struct(
+                (acc["s"] + e["n"]).alias("s"),
+                F.map_concat(
+                    acc["m"], F.create_map(e["band"], acc["s"])
+                ).alias("m"),
+            ),
+            lambda acc: acc["m"],
+        )
+
+    def _entries(band_col: str, other_gone: int) -> Column:
+        # when() without otherwise -> NULL for the other marginal's
+        # rows, and collect_list drops NULLs
+        return F.collect_list(
+            F.when(
+                F.col("__gy__") == other_gone,
+                F.struct(
+                    F.col(band_col).alias("band"), F.col("__bt__").alias("n")
+                ),
+            )
+        )
+
+    maps = gsets.groupBy(*kc).agg(
+        _offmap(_entries("__bandx__", 1)).alias("__mx__"),
+        _offmap(_entries("__bandy__", 0)).alias("__my__"),
+    )
+    if keys:
+        j = _join_group_stats(j, maps, keys)
+    else:
+        j = j.crossJoin(F.broadcast(maps))
+    j = j.select(
+        *keys, "__x__", "__y__", WEIGHT_COL, "__bandx__", "__bandy__",
+        F.element_at("__mx__", F.col("__bandx__")).alias("__off__bandx__"),
+        F.element_at("__my__", F.col("__bandy__")).alias("__off__bandy__"),
+    )
 
     def _rank(val_col: str, band_col: str) -> Column:
         cum_win = (

@@ -171,6 +171,12 @@ class TestNewOperatorPlans:
         # sorts directly (generate = explode would mean the r3 melt came
         # back)
         assert "Generate" not in plan, plan
+        # r4: exactly TWO full scans — one grouping-sets band-count
+        # pass feeding BOTH columns' offset maps (a per-column branch
+        # lets Catalyst split the Expand and rescan per column), one
+        # final rank pass. The band-bound sample runs eagerly before
+        # this plan and is not part of it.
+        assert plan.count("Scan parquet") == 2, plan
         # The transform must be agg -> join-back -> map, NOT a
         # Window.partitionBy(keys) over the whole table: with a
         # low-cardinality key the window would funnel the entire
