@@ -724,10 +724,22 @@ def _q_dedup_exact(spark, sf_dir):
 def _q_text_metrics(spark, sf_dir):
     # full text-analysis surface in one row-local pass: whitespace +
     # BPE-ish regex token counts, n-gram language id, quality score,
-    # content fingerprint — all JVM Column expressions, no UDF
+    # content fingerprint — all JVM Column expressions, no UDF.
+    # r4 fold: the Gopher repetition panel + rule-filter keep flag
+    # (functions/quality.py) ride the same scan — duplicate-line
+    # fractions, heaviest/duplicated n-gram character mass, and the
+    # 7-rule conjunction. All integer masses over single divisions, so
+    # the oracle matches bit-for-bit un-rounded.
     from pandas_weights_spark.functions import text as TX
+    from pandas_weights_spark.functions.quality import (
+        dup_ngram_char_frac,
+        duplicate_item_stats,
+        quality_flags,
+        top_ngram_char_frac,
+    )
 
     t = F.col("text")
+    lines = duplicate_item_stats(F.split(t, "\n"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         TX.token_count(t).cast("long").alias("n_tokens"),
@@ -735,6 +747,12 @@ def _q_text_metrics(spark, sf_dir):
         TX.lang_id(t).alias("lang_pred"),
         TX.quality_score(t).alias("quality"),
         TX.fingerprint(t).alias("fp"),
+        lines["dup_frac"].alias("dup_line_frac"),
+        lines["dup_char_frac"].alias("dup_line_char_frac"),
+        top_ngram_char_frac(t, 2).alias("top2_char_frac"),
+        top_ngram_char_frac(t, 3).alias("top3_char_frac"),
+        dup_ngram_char_frac(t, 5).alias("dup5_char_frac"),
+        quality_flags(t)["keep"].alias("keep"),
     )
 
 
@@ -2644,7 +2662,109 @@ def _text_metrics_sql() -> str:
     """
 
 
-_ORACLE["text_metrics"] = _text_metrics_sql()
+def _ngram_list_sql(n: int, words: str = "w") -> str:
+    """DuckDB list comprehension mirroring text.word_ngrams: space-joined
+    word n-grams; a doc shorter than n words yields its whole text."""
+    if n == 1:
+        return words
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"[array_to_string({words}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({words})-{n - 2})] "
+        f"ELSE [array_to_string({words}, ' ')] END"
+    )
+
+
+def _repetition_sql() -> str:
+    """Per-doc repetition panel + Gopher keep flag, replaying the
+    quality.py folds with unnest + group-by (the SQL-natural shape)."""
+    stop = " + ".join(
+        f"CASE WHEN position(' {s} ' IN p) > 0 THEN 1 ELSE 0 END"
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\\s+') AS w,
+             ' ' || lower(text) || ' ' AS p
+      FROM documents
+    ), lc AS (  -- per-(doc, line) occurrence counts
+      SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS ln
+      FROM (SELECT doc_id, unnest(lines) AS line FROM src)
+      GROUP BY doc_id, line
+    ), lstats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) - COUNT(*) AS DOUBLE)
+               / CAST(SUM(cnt) AS DOUBLE) AS dup_line_frac,
+             CAST(SUM((cnt - 1) * ln) AS DOUBLE)
+               / CAST(NULLIF(SUM(cnt * ln), 0) AS DOUBLE)
+               AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    ), g2 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt, length(g) AS ln
+      FROM (SELECT doc_id, unnest({_ngram_list_sql(2)}) AS g FROM src)
+      GROUP BY doc_id, g
+    ), g3 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt, length(g) AS ln
+      FROM (SELECT doc_id, unnest({_ngram_list_sql(3)}) AS g FROM src)
+      GROUP BY doc_id, g
+    ), g5 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt, length(g) AS ln
+      FROM (SELECT doc_id, unnest({_ngram_list_sql(5)}) AS g FROM src)
+      GROUP BY doc_id, g
+    ), tops AS (
+      SELECT s.doc_id,
+             least(1.0, CAST((SELECT MAX(cnt * ln) FROM g2
+                              WHERE g2.doc_id = s.doc_id) AS DOUBLE)
+                   / CAST(NULLIF(length(s.text), 0) AS DOUBLE))
+               AS top2_char_frac,
+             least(1.0, CAST((SELECT MAX(cnt * ln) FROM g3
+                              WHERE g3.doc_id = s.doc_id) AS DOUBLE)
+                   / CAST(NULLIF(length(s.text), 0) AS DOUBLE))
+               AS top3_char_frac,
+             least(1.0, CAST((SELECT COALESCE(SUM(
+                                CASE WHEN cnt > 1 THEN cnt * ln END), 0)
+                              FROM g5 WHERE g5.doc_id = s.doc_id) AS DOUBLE)
+                   / CAST(NULLIF(length(s.text), 0) AS DOUBLE))
+               AS dup5_char_frac
+      FROM src s
+    ), fl AS (
+      SELECT doc_id,
+        (len(w) BETWEEN 50 AND 100000)
+        AND (CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                  AS DOUBLE) / len(w) BETWEEN 3.0 AND 10.0)
+        AND (( (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+             + (length(text) - length(replace(text, '…', ''))) )
+             / CAST(len(w) AS DOUBLE) <= 0.1)
+        AND (CAST(len(list_filter(lines, l ->
+                ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+                OR ltrim(l) LIKE '• %')) AS DOUBLE)
+             / len(lines) <= 0.9)
+        AND (CAST(len(list_filter(lines, l ->
+                rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE)
+             / len(lines) <= 0.3)
+        AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(w) >= 0.8)
+        AND (({stop}) >= 2) AS keep
+      FROM src
+    )
+    SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+           t.top2_char_frac, t.top3_char_frac, t.dup5_char_frac, f.keep
+    FROM lstats l JOIN tops t ON l.doc_id = t.doc_id
+    JOIN fl f ON l.doc_id = f.doc_id
+    """
+
+
+_ORACLE["text_metrics"] = f"""
+    WITH base AS ({_text_metrics_sql()}),
+         rep AS ({_repetition_sql()})
+    SELECT base.*, rep.dup_line_frac, rep.dup_line_char_frac,
+           rep.top2_char_frac, rep.top3_char_frac, rep.dup5_char_frac,
+           rep.keep
+    FROM base JOIN rep ON base.doc_id = rep.doc_id
+"""
 
 _ORACLE["doc_weighted_stats"] = """
     WITH t AS (

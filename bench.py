@@ -36,6 +36,7 @@ HEADLINE = [
     "session_agg",         # gap-based session windows (events)
     "dedup_exact",         # hash-groupBy dedup (documents x2)
     "text_metrics",        # tokenize/lang-id/quality/fingerprint
+    "doc_quality",         # Gopher repetition panel + rule-filter flags
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
     "ngram_jaccard",       # exact jaccard via shingle inverted index
     "embedding_neardup",   # hyperplane-LSH buckets + exact cosine verify
@@ -314,6 +315,39 @@ def main() -> int:
     qs["autocorr"] = _autocorr_only
     qs["window_stats"] = _window_moments_only
     qs["window_order_stats"] = _window_order_stats
+
+    # the driver's text_metrics row gained the repetition panel; bench
+    # the r3 body unchanged and the panel standalone
+    def _text_metrics_r3(spark_, sf_dir_):
+        from pandas_weights_spark.functions import text as TX
+
+        t = F.col("text")
+        return load_table(spark_, sf_dir_, "documents").select(
+            "doc_id",
+            TX.token_count(t).cast("long").alias("n_tokens"),
+            TX.bpe_token_count(t).cast("long").alias("bpe_tokens"),
+            TX.lang_id(t).alias("lang_pred"),
+            TX.quality_score(t).alias("quality"),
+            TX.fingerprint(t).alias("fp"),
+        )
+
+    def _doc_quality(spark_, sf_dir_):
+        from pandas_weights_spark.functions.quality import (
+            quality_flags,
+            repetition_metrics,
+        )
+
+        t = F.col("text")
+        m = repetition_metrics(t)
+        fl = quality_flags(t)
+        return load_table(spark_, sf_dir_, "documents").select(
+            "doc_id",
+            *[c.alias(k) for k, c in m.items()],
+            *[c.alias(k) for k, c in fl.items()],
+        )
+
+    qs["text_metrics"] = _text_metrics_r3
+    qs["doc_quality"] = _doc_quality
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))

@@ -1,0 +1,260 @@
+"""Repetition & quality filters for LLM training-data pipelines.
+
+Implements the document-level repetition statistics and quality rules
+popularized by Gopher (Rae et al., "Scaling Language Models: Methods,
+Analysis & Insights from Training Gopher", 2021, §A1.1 — public paper)
+and used by every modern pretraining-data cleaner (C4/RefinedWeb-style
+rule filters): duplicate line/paragraph fractions, top-n-gram character
+mass, duplicate-n-gram character mass, plus the word-level quality
+flags (word count bounds, mean word length, symbol ratio, bullet /
+ellipsis line fractions, alphabetic-word fraction, stop-word presence).
+
+Scale design: every metric is ROW-LOCAL — computed with array folds
+(``aggregate`` / ``zip_with`` over ``sort_array``) on the document's
+own line/n-gram arrays, never by exploding to an (doc, item) table and
+re-grouping. A 100 TB corpus pays zero shuffle for these: the metrics
+pipeline into the parquet scan stage. The per-row fold is O(items ·
+log items) for the sort — items is words-per-document, driver-bounded
+by whatever upstream length filter runs first.
+
+Definition choices (documented because implementations differ):
+
+- ``dup_line_frac`` / ``dup_line_char_frac`` count occurrences BEYOND
+  the first (a line appearing 3× contributes 2 to the numerator) —
+  matching the common open implementations.
+- ``dup_ngram_char_frac`` counts ALL occurrences of any duplicated
+  n-gram (the paper's "characters contained within all duplicate
+  n-grams"), clamped at 1.0 since overlapping n-grams can cover more
+  characters than the document has.
+- ``top_ngram_char_frac`` maximizes count × length jointly (the
+  "heaviest" n-gram) rather than argmax-by-count with a tie-break —
+  deterministic and expressible as a plain SQL ``max``.
+
+Every metric has an exact DuckDB-SQL oracle formulation (unnest +
+group-by replays the folds); the driver row rides ``text_metrics``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.text import tokens, word_ngrams
+
+__all__ = [
+    "duplicate_item_stats",
+    "top_ngram_char_frac",
+    "dup_ngram_char_frac",
+    "repetition_metrics",
+    "quality_flags",
+    "STOP_WORDS",
+]
+
+_L = F.lit
+
+
+def _rep_char_mass(sorted_arr: Column) -> Column:
+    """Character mass of occurrences BEYOND the first in a sorted array:
+    Σ length(a[i]) over i where a[i] == a[i-1]. Zip the array against
+    itself shifted by one — duplicates are adjacent after sort_array."""
+    n = F.size(sorted_arr)
+    pairs = F.zip_with(
+        F.slice(sorted_arr, 1, n - 1),
+        F.slice(sorted_arr, 2, n - 1),
+        lambda a, b: F.when(a == b, F.length(b)).otherwise(_L(0)),
+    )
+    return F.aggregate(pairs, _L(0).cast("long"), lambda acc, x: acc + x)
+
+
+def duplicate_item_stats(items: Column) -> Dict[str, Column]:
+    """Duplicate fraction + duplicate-character fraction of an array of
+    strings (lines, paragraphs, …), occurrences beyond the first.
+
+    Returns ``{"dup_frac", "dup_char_frac", "n_items"}``.
+    """
+    n = F.size(items)
+    dup = (n - F.size(F.array_distinct(items))).cast("long")
+    total_chars = F.aggregate(
+        items, _L(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    rep_chars = _rep_char_mass(F.sort_array(items))
+    return {
+        "dup_frac": F.try_divide(dup.cast("double"), n.cast("double")),
+        "dup_char_frac": F.try_divide(
+            rep_chars.cast("double"), total_chars.cast("double")
+        ),
+        "n_items": n.cast("long"),
+    }
+
+
+def _clamped_frac(mass: Column, text: Column) -> Column:
+    """``min(1, mass / length(text))``, NULL for empty text. NB:
+    ``least`` skips NULLs, so the clamp must not see the NULL that
+    ``try_divide`` yields at length 0 (it would turn into 1.0)."""
+    frac = F.try_divide(mass.cast("double"), F.length(text).cast("double"))
+    return F.when(frac.isNotNull(), F.least(_L(1.0), frac))
+
+
+def top_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of document characters covered by the heaviest word
+    n-gram (count × n-gram length, maximized jointly), Gopher §A1.1.
+
+    One run-length fold over the sorted n-gram array: the state carries
+    (previous gram, current run length, best mass)."""
+    grams = F.sort_array(word_ngrams(text, n))
+    zero = F.struct(
+        _L(None).cast("string").alias("p"),
+        _L(0).cast("long").alias("r"),
+        _L(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        r2 = F.when(g == acc["p"], acc["r"] + 1).otherwise(_L(1).cast("long"))
+        return F.struct(
+            g.alias("p"),
+            r2.alias("r"),
+            F.greatest(acc["best"], r2 * F.length(g)).alias("best"),
+        )
+
+    best = F.aggregate(grams, zero, step, lambda acc: acc["best"])
+    return _clamped_frac(best, text)
+
+
+def dup_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of document characters covered by ALL occurrences of
+    duplicated word n-grams (count × length summed over grams with
+    count > 1), clamped at 1.0 — Gopher §A1.1's duplicate-n-gram rule.
+
+    Run-length fold over the sorted n-gram array; a run of length r > 1
+    contributes r · length(gram)."""
+    grams = F.sort_array(word_ngrams(text, n))
+    zero = F.struct(
+        _L(None).cast("string").alias("p"),
+        _L(0).cast("long").alias("r"),
+        _L(0).cast("long").alias("acc"),
+    )
+
+    def flush(acc: Column) -> Column:
+        return acc["acc"] + F.when(
+            acc["r"] > 1, acc["r"] * F.length(acc["p"])
+        ).otherwise(_L(0).cast("long"))
+
+    def step(acc: Column, g: Column) -> Column:
+        same = g == acc["p"]  # NULL-safe: p is NULL only at the start
+        return F.struct(
+            g.alias("p"),
+            F.when(same, acc["r"] + 1).otherwise(_L(1).cast("long")).alias("r"),
+            F.when(same, acc["acc"]).otherwise(flush(acc)).alias("acc"),
+        )
+
+    mass = F.aggregate(grams, zero, step, flush)
+    return _clamped_frac(mass, text)
+
+
+def repetition_metrics(
+    text: Column,
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+) -> Dict[str, Column]:
+    """The full Gopher repetition panel as named Columns:
+    ``dup_line_frac``, ``dup_line_char_frac``, ``top{n}_char_frac`` for
+    each of ``top_ns``, ``dup{n}_char_frac`` for each of ``dup_ns``."""
+    lines = F.split(text, "\n")
+    ls = duplicate_item_stats(lines)
+    out: Dict[str, Column] = {
+        "dup_line_frac": ls["dup_frac"],
+        "dup_line_char_frac": ls["dup_char_frac"],
+    }
+    for n in top_ns:
+        out[f"top{n}_char_frac"] = top_ngram_char_frac(text, n)
+    for n in dup_ns:
+        out[f"dup{n}_char_frac"] = dup_ngram_char_frac(text, n)
+    return out
+
+
+#: Gopher's stop-word presence list (§A1.1): a document must contain at
+#: least two of these to pass the rule filter.
+STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> Dict[str, Column]:
+    """Gopher §A1.1 rule filters as boolean Columns + ``keep`` (their
+    conjunction). All row-local; thresholds are the paper's defaults.
+
+    Flags: ``ok_word_count``, ``ok_mean_word_len``, ``ok_symbol_ratio``
+    (hash/ellipsis per word), ``ok_bullet_lines`` (lines starting with
+    a bullet), ``ok_ellipsis_lines`` (lines ending with an ellipsis),
+    ``ok_alpha_words`` (words containing a letter), ``ok_stop_words``.
+    """
+    ws = tokens(text)
+    nw = F.size(ws).cast("double")
+    total_word_chars = F.aggregate(
+        ws, _L(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.try_divide(total_word_chars.cast("double"), nw)
+
+    n_hash = F.length(text) - F.length(F.replace(text, _L("#")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, _L("...")))
+    ) / _L(3) + (F.length(text) - F.length(F.replace(text, _L("…"))))
+    symbol_ratio = F.try_divide((n_hash + n_ell).cast("double"), nw)
+
+    lines = F.split(text, "\n")
+    nl = F.size(lines).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith(_L("- "))
+            | F.ltrim(l).startswith(_L("* "))
+            | F.ltrim(l).startswith(_L("• ")),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith(_L("..."))
+            | F.rtrim(l).endswith(_L("…")),
+        )
+    )
+
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.try_divide(n_alpha.cast("double"), nw)
+
+    padded = F.concat(_L(" "), F.lower(text), _L(" "))
+    n_stop = None
+    for s in STOP_WORDS:
+        hit = F.when(padded.contains(f" {s} "), _L(1)).otherwise(_L(0))
+        n_stop = hit if n_stop is None else n_stop + hit
+
+    flags = {
+        "ok_word_count": (nw >= min_words) & (nw <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_bullet_lines": F.try_divide(n_bullet.cast("double"), nl)
+        <= max_bullet_frac,
+        "ok_ellipsis_lines": F.try_divide(n_ell_end.cast("double"), nl)
+        <= max_ellipsis_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_frac,
+        "ok_stop_words": n_stop >= min_stop_words,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    flags["keep"] = keep
+    return flags

@@ -47,16 +47,23 @@ def token_count(text: Column) -> Column:
 def word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams (space-joined) — the shingle unit for MinHash/Jaccard.
 
-    Row-local: ``transform`` over a ``sequence`` of start offsets; no
-    explode, no shuffle. A document shorter than ``n`` words yields its
-    whole text as the single shingle (so every doc has ≥1 shingle).
+    Row-local: a ``zip_with`` chain over n-1 shifted slices of the
+    token array — n fixed-offset slices (one copy each) plus string
+    concats, instead of a per-element ``slice`` inside ``transform``
+    (that shape allocates a fresh sub-array per gram in the
+    interpreted HOF path and measured 6× slower on sf0.1 documents).
+    No explode, no shuffle. A document shorter than ``n`` words yields
+    its whole text as the single shingle (so every doc has ≥1 shingle).
     """
     toks = tokens(text)
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    m = k - F.lit(n - 1)  # gram count; >= 1 inside the when() guard
+    grams = F.slice(toks, 1, m)
+    for i in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(toks, i, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
