@@ -1267,11 +1267,29 @@ def _q_grouped_apply(spark, sf_dir):
         return pd.Series({"spread": pdf["l_extendedprice"].max()
                           - pdf["l_extendedprice"].min()})
 
-    return (
+    ap = (
         wt(_li(spark, sf_dir), _W)[["l_returnflag", "l_extendedprice"]]
         .groupby("l_returnflag")
         .apply(spread, "l_returnflag string, spread double")
+        .select(
+            F.lit("apply").alias("kind"),
+            F.col("l_returnflag").alias("key"),
+            F.lit("spread").alias("stat"),
+            F.col("spread").alias("val"),
+        )
     )
+    # r4 fold: the events-table grouped agg_all row melts into the same
+    # tagged shape (freed a driver row for decontam — coverage
+    # unchanged: same kernels, same events source)
+    ev = _q_events_group(spark, sf_dir).select(
+        F.lit("events").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.expr(
+            "stack(5, 'count', w_count, 'sum', w_sum, 'mean', w_mean,"
+            " 'var', w_var, 'std', w_std) AS (stat, val)"
+        ),
+    ).select("kind", "key", "stat", "val")
+    return ap.unionByName(ev)
 
 
 def _q_series_apply(spark, sf_dir):
@@ -1296,6 +1314,28 @@ def _q_events_group(spark, sf_dir):
             F.col("value_var").alias("w_var"),
             F.col("value_std").alias("w_std"),
         )
+    )
+
+
+def _q_decontam(spark, sf_dir):
+    # benchmark decontamination (functions/decontam.py): 13-gram
+    # containment of every document against a synthetic "benchmark"
+    # built from every 20th doc (exact copies -> frac 1.0) plus the
+    # first-word-dropped mutation of the doc_id%20==1 docs (partial
+    # overlap: all shingles but the word-1-anchored ones hit). String
+    # shingles so DuckDB replays the join exactly; overlap_frac is one
+    # int/int division — bit-exact.
+    from pandas_weights_spark.functions.decontam import ngram_overlap
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("text").unionByName(
+        docs.where(F.col("doc_id") % 20 == 1).select(
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text")
+        )
+    )
+    return ngram_overlap(
+        docs, "text", "doc_id", bench,
+        n=13, threshold=0.5, hash_shingles=False,
     )
 
 
@@ -2559,36 +2599,82 @@ _ORACLE["star_join_mean"] = """
 """
 
 _ORACLE["grouped_apply"] = """
-    SELECT l_returnflag,
+    SELECT 'apply' AS kind, l_returnflag AS key, 'spread' AS stat,
            MAX(l_extendedprice * l_quantity) - MIN(l_extendedprice * l_quantity)
-             AS spread
+             AS val
     FROM lineitem
     GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'events' AS kind, event_type AS key, stat, val
+    FROM (
+      WITH t AS (
+        SELECT event_type, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w
+        FROM events
+      ), m AS (
+        SELECT event_type,
+               COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0) AS c,
+               CASE WHEN COUNT(value * w) >= 1
+                    THEN COALESCE(SUM(value * w), 0.0) END AS s,
+               CASE WHEN COUNT(value * w) >= 1
+                    THEN COALESCE(SUM(value * value * w), 0.0) END AS ss
+        FROM t GROUP BY event_type
+      )
+      SELECT event_type, u.stat, u.val
+      FROM m, LATERAL (VALUES
+        ('count', c), ('sum', COALESCE(s, 0.0)), ('mean', s / c),
+        ('var', (ss - s*s/c) / (c - 1)),
+        ('std', CASE WHEN (ss - s*s/c) / (c - 1) >= 0
+                     THEN sqrt((ss - s*s/c) / (c - 1)) END)
+      ) AS u(stat, val)
+    )
 """
 
 _ORACLE["series_apply"] = """
     SELECT l_extendedprice * l_quantity + 2.0 AS wprice_plus2 FROM lineitem
 """
 
-_ORACLE["events_group"] = """
-    WITH t AS (
-      SELECT event_type, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w
-      FROM events
-    ), m AS (
-      SELECT event_type,
-             COALESCE(SUM(CASE WHEN value IS NOT NULL THEN w END), 0.0) AS c,
-             CASE WHEN COUNT(value * w) >= 1
-                  THEN COALESCE(SUM(value * w), 0.0) END AS s,
-             CASE WHEN COUNT(value * w) >= 1
-                  THEN COALESCE(SUM(value * value * w), 0.0) END AS ss
-      FROM t GROUP BY event_type
+def _ngram_list_sql(n: int, words: str = "w") -> str:
+    """DuckDB list comprehension mirroring text.word_ngrams: space-joined
+    word n-grams; a doc shorter than n words yields its whole text."""
+    if n == 1:
+        return words
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"[array_to_string({words}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({words})-{n - 2})] "
+        f"ELSE [array_to_string({words}, ' ')] END"
     )
-    SELECT event_type, c AS w_count, COALESCE(s, 0.0) AS w_sum,
-           s / c AS w_mean,
-           (ss - s*s/c) / (c - 1) AS w_var,
-           CASE WHEN (ss - s*s/c) / (c - 1) >= 0
-                THEN sqrt((ss - s*s/c) / (c - 1)) END AS w_std
-    FROM m
+
+
+_ORACLE["decontam"] = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), bench AS (
+      SELECT text FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT regexp_replace(text, '^\\S+\\s+', '') AS text
+      FROM documents WHERE doc_id % 20 = 1
+    ), bw AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w FROM bench
+    ), bsh AS (
+      SELECT DISTINCT unnest({_ngram_list_sql(13)}) AS sh FROM bw
+    ), dsh AS (
+      SELECT doc_id, unnest(list_distinct({_ngram_list_sql(13)})) AS sh
+      FROM d
+    )
+    SELECT dsh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overlap_frac,
+           (CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.5
+             AS contaminated
+    FROM dsh LEFT JOIN (SELECT sh FROM bsh) b ON dsh.sh = b.sh
+    GROUP BY dsh.doc_id
 """
 
 _ORACLE["dedup_exact"] = """
@@ -2660,19 +2746,6 @@ def _text_metrics_sql() -> str:
            quality, fp
     FROM sc
     """
-
-
-def _ngram_list_sql(n: int, words: str = "w") -> str:
-    """DuckDB list comprehension mirroring text.word_ngrams: space-joined
-    word n-grams; a doc shorter than n words yields its whole text."""
-    if n == 1:
-        return words
-    return (
-        f"CASE WHEN len({words}) >= {n} THEN "
-        f"[array_to_string({words}[i:i+{n - 1}], ' ') "
-        f"for i in range(1, len({words})-{n - 2})] "
-        f"ELSE [array_to_string({words}, ' ')] END"
-    )
 
 
 def _repetition_sql() -> str:
@@ -3630,7 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_mean": _q_star_join_mean,
         "grouped_apply": _q_grouped_apply,
         "series_apply": _q_series_apply,
-        "events_group": _q_events_group,
+        "decontam": _q_decontam,
         "session_agg": _q_session_agg,
         "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",         # hash-groupBy dedup (documents x2)
     "text_metrics",        # tokenize/lang-id/quality/fingerprint
     "doc_quality",         # Gopher repetition panel + rule-filter flags
+    "decontam",            # 13-gram benchmark containment (broadcast set)
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
     "ngram_jaccard",       # exact jaccard via shingle inverted index
     "embedding_neardup",   # hyperplane-LSH buckets + exact cosine verify

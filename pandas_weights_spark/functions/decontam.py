@@ -1,0 +1,120 @@
+"""Benchmark decontamination: n-gram overlap against a reference set.
+
+The standard pretraining hygiene step (GPT-3 appendix C / Llama
+style): a training document is contaminated when a large fraction of
+its word n-grams (n=13 is the common choice) also occur in an
+evaluation benchmark. This is ASYMMETRIC containment — the doc's
+shingles against the benchmark's shingle SET — not the symmetric
+Jaccard the near-dup pipelines use (functions/dedup.py).
+
+Scale design: shingle sets stay distributed end to end —
+
+1. per-doc DISTINCT shingles (row-local ``array_distinct`` before the
+   explode, so a shingle repeated inside one doc costs one row);
+2. the benchmark's distinct shingle set, built the same way;
+3. ONE left join doc-shingle → benchmark-shingle. The benchmark side
+   is a benchmark (thousands of eval rows vs billions of training
+   docs), so it is broadcast by default — the join is map-side, and
+   the only shuffle in the whole pipeline is the per-doc hit-count
+   aggregation, which combines map-side first.
+4. ``hash_shingles=True`` joins on ``xxhash64(shingle)`` instead of
+   the string — ~8 bytes vs ~80 through both the broadcast and the
+   shuffle. Results are identical absent 64-bit collisions; the
+   driver oracle row runs with strings so DuckDB replays it exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.text import word_ngrams
+
+__all__ = ["ngram_overlap", "decontaminate"]
+
+
+def _shingle_rows(
+    df: DataFrame, text_col: str, n: int, hash_shingles: bool, keep
+) -> DataFrame:
+    sh = F.explode(
+        F.array_distinct(word_ngrams(F.col(text_col), n))
+    ).alias("__sh__")
+    out = df.select(*keep, sh)
+    if hash_shingles:
+        out = out.select(*keep, F.xxhash64("__sh__").alias("__sh__"))
+    return out
+
+
+def ngram_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: DataFrame,
+    bench_text_col: Optional[str] = None,
+    n: int = 13,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document benchmark overlap: ``(id_col, n_shingles, n_hits,
+    overlap_frac, contaminated)``.
+
+    ``overlap_frac`` = fraction of the doc's distinct word ``n``-grams
+    present in ``benchmark``'s distinct shingle set;  ``contaminated``
+    = ``overlap_frac >= threshold``. Docs shorter than ``n`` words
+    contribute their whole text as one shingle (word_ngrams semantics),
+    so short exact copies of benchmark rows are still caught.
+
+    ``broadcast_benchmark=False`` switches to a shuffled join for a
+    benchmark too large to broadcast; same semantics.
+    """
+    bt = bench_text_col or text_col
+    doc_sh = _shingle_rows(df, text_col, n, hash_shingles, [id_col])
+    bench_sh = (
+        _shingle_rows(benchmark, bt, n, hash_shingles, [])
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    joined = doc_sh.join(bench_sh, "__sh__", "left")
+    frac = F.try_divide(
+        F.sum("__hit__").cast("double"),
+        F.count(F.lit(1)).cast("double"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+        (F.coalesce(frac, F.lit(0.0)) >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: DataFrame,
+    bench_text_col: Optional[str] = None,
+    n: int = 13,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """``df`` minus contaminated documents (same columns as ``df``).
+
+    One extra broadcast-able join of the contaminated id list back to
+    the corpus — the id list is ≤ the contamination rate × corpus,
+    typically tiny; for a pathological benchmark that flags most of
+    the corpus, pre-filter with :func:`ngram_overlap` instead.
+    """
+    flagged = ngram_overlap(
+        df, text_col, id_col, benchmark, bench_text_col,
+        n=n, threshold=threshold, hash_shingles=hash_shingles,
+        broadcast_benchmark=broadcast_benchmark,
+    ).where(F.col("contaminated")).select(id_col)
+    return df.join(F.broadcast(flagged), id_col, "left_anti")
