@@ -1039,7 +1039,58 @@ def _q_weighted_tests(spark, sf_dir):
             "'n', n, 'cramers_v', cramers_v) AS (metric, value)"
         ),
     )
-    return tl.unionByName(cl).select(
+    # r4: the rest of the inferential/information panel folds into the
+    # same tagged shape — one-way ANOVA F, weight-mass entropy, mutual
+    # information (grouping-sets single scan), Gini (banded pairwise-
+    # difference collapse), two-sample KS (banded dual-CDF sup).
+    from pandas_weights_spark.inference import (
+        weighted_anova,
+        weighted_entropy,
+        weighted_mutual_information,
+    )
+    from pandas_weights_spark.quantile import weighted_gini, weighted_ks
+
+    al = weighted_anova(wt(li, _W), "l_extendedprice", "l_returnflag").select(
+        F.lit("anova").alias("test"),
+        F.expr(
+            "stack(5, 'f_stat', f_stat, 'df_between', df_between, "
+            "'df_within', df_within, 'n', n, 'k', CAST(k AS DOUBLE)) "
+            "AS (metric, value)"
+        ),
+    )
+    el = weighted_entropy(wt(li, _W), "l_returnflag").select(
+        F.lit("entropy").alias("test"),
+        F.expr(
+            "stack(3, 'entropy', entropy, 'n_categories', "
+            "CAST(n_categories AS DOUBLE), 'n', n) AS (metric, value)"
+        ),
+    )
+    ml = weighted_mutual_information(
+        wt(li, _W), "l_returnflag", "l_linestatus"
+    ).select(
+        F.lit("mi").alias("test"),
+        F.expr(
+            "stack(6, 'mi', mi, 'nmi', nmi, 'h_x', h_x, 'h_y', h_y, "
+            "'h_xy', h_xy, 'n', n) AS (metric, value)"
+        ),
+    )
+    gl = weighted_gini(wt(li, _W), "l_extendedprice").select(
+        F.lit("gini").alias("test"),
+        F.expr("stack(2, 'gini', gini, 'n', n) AS (metric, value)"),
+    )
+    kl = weighted_ks(
+        wt(li, _W), "l_extendedprice", "l_returnflag", "A", "R"
+    ).select(
+        F.lit("ks").alias("test"),
+        F.expr(
+            "stack(3, 'ks_stat', ks_stat, 'n_a', n_a, 'n_b', n_b) "
+            "AS (metric, value)"
+        ),
+    )
+    out = tl.unionByName(cl)
+    for part in (al, el, ml, gl, kl):
+        out = out.unionByName(part)
+    return out.select(
         "test", "metric", F.round(F.col("value"), 6).alias("value")
     )
 
@@ -3077,6 +3128,120 @@ _ORACLE["weighted_tests"] = """
       UNION ALL SELECT 'n', n FROM x2
       UNION ALL SELECT 'cramers_v',
         sqrt(chi2 / (n * LEAST(nr-1, nc-1))) FROM x2
+    )
+    UNION ALL
+    SELECT 'anova' AS test, metric, ROUND(value, 6) AS value FROM (
+      WITH per AS (
+        SELECT l_returnflag,
+               COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                                 THEN l_quantity END), 0.0) AS wg,
+               SUM(l_extendedprice * l_quantity) AS sg,
+               SUM(l_extendedprice * l_extendedprice * l_quantity) AS ssg
+        FROM lineitem GROUP BY 1
+      ), an AS (
+        SELECT SUM(wg) AS W, SUM(sg) AS S, SUM(ssg) AS SS,
+               SUM(ssg - sg*sg/wg) AS ssw, COUNT(*) AS k
+        FROM per WHERE wg > 0
+      )
+      SELECT 'f_stat' AS metric,
+             (((SS - S*S/W) - ssw) / (k - 1.0))
+               / (ssw / (W - k)) AS value FROM an
+      UNION ALL SELECT 'df_between', CAST(k - 1 AS DOUBLE) FROM an
+      UNION ALL SELECT 'df_within', W - k FROM an
+      UNION ALL SELECT 'n', W FROM an
+      UNION ALL SELECT 'k', CAST(k AS DOUBLE) FROM an
+    )
+    UNION ALL
+    SELECT 'entropy' AS test, metric, ROUND(value, 6) AS value FROM (
+      WITH em AS (
+        SELECT l_returnflag,
+               SUM(CASE WHEN l_quantity > 0 THEN l_quantity
+                        ELSE 0 END) AS m
+        FROM lineitem GROUP BY 1
+      ), ent AS (
+        SELECT SUM(m) AS W, SUM(m * ln(m)) AS mlm, COUNT(*) AS k
+        FROM em WHERE m > 0
+      )
+      SELECT 'entropy' AS metric, ln(W) - mlm / W AS value FROM ent
+      UNION ALL SELECT 'n_categories', CAST(k AS DOUBLE) FROM ent
+      UNION ALL SELECT 'n', W FROM ent
+    )
+    UNION ALL
+    SELECT 'mi' AS test, metric, ROUND(value, 6) AS value FROM (
+      WITH cj AS (
+        SELECT l_returnflag AS r, l_linestatus AS c,
+               SUM(CASE WHEN l_quantity > 0 THEN l_quantity ELSE 0 END)
+                 AS m
+        FROM lineitem GROUP BY 1, 2
+      ), mr AS (SELECT r, SUM(m) AS m FROM cj GROUP BY r),
+         mc AS (SELECT c, SUM(m) AS m FROM cj GROUP BY c),
+      hh AS (
+        SELECT (SELECT SUM(m) FROM cj WHERE m > 0) AS g,
+               (SELECT SUM(m * ln(m)) FROM mr WHERE m > 0) AS xml,
+               (SELECT SUM(m * ln(m)) FROM mc WHERE m > 0) AS yml,
+               (SELECT SUM(m * ln(m)) FROM cj WHERE m > 0) AS jml
+      ), h AS (
+        SELECT g, ln(g) - xml/g AS hx, ln(g) - yml/g AS hy,
+               ln(g) - jml/g AS hxy
+        FROM hh
+      )
+      SELECT 'mi' AS metric, hx + hy - hxy AS value FROM h
+      UNION ALL SELECT 'nmi', (hx + hy - hxy) / sqrt(hx * hy) FROM h
+      UNION ALL SELECT 'h_x', hx FROM h
+      UNION ALL SELECT 'h_y', hy FROM h
+      UNION ALL SELECT 'h_xy', hxy FROM h
+      UNION ALL SELECT 'n', g FROM h
+    )
+    UNION ALL
+    SELECT 'gini' AS test, metric, ROUND(value, 6) AS value FROM (
+      WITH gsrc AS (
+        SELECT l_extendedprice AS x,
+               CASE WHEN l_quantity > 0 AND l_extendedprice IS NOT NULL
+                    THEN l_quantity ELSE 0 END AS m
+        FROM lineitem
+      ), gc AS (
+        SELECT x, m,
+               SUM(m) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               SUM(m * x) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cs
+        FROM gsrc
+      ), gi AS (
+        SELECT SUM(m * (x * cw - cs)) AS num,
+               SUM(m) AS W, SUM(m * x) AS S
+        FROM gc
+      )
+      SELECT 'gini' AS metric, num / (W * S) AS value FROM gi
+      UNION ALL SELECT 'n', W FROM gi
+    )
+    UNION ALL
+    SELECT 'ks' AS test, metric, ROUND(value, 6) AS value FROM (
+      WITH ksrc AS (
+        SELECT l_extendedprice AS x,
+               CASE WHEN l_returnflag = 'A' AND l_quantity > 0
+                     AND l_extendedprice IS NOT NULL
+                    THEN l_quantity ELSE 0 END AS ma,
+               CASE WHEN l_returnflag = 'R' AND l_quantity > 0
+                     AND l_extendedprice IS NOT NULL
+                    THEN l_quantity ELSE 0 END AS mb
+        FROM lineitem
+      ), kc AS (
+        SELECT x,
+               SUM(ma) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cwa,
+               SUM(mb) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cwb,
+               SUM(ma) OVER () AS Wa, SUM(mb) OVER () AS Wb
+        FROM ksrc
+      ), ks AS (
+        SELECT MAX(CASE WHEN x IS NOT NULL
+                        THEN ABS(cwa/Wa - cwb/Wb) END) AS d,
+               MIN(Wa) AS na, MIN(Wb) AS nb
+        FROM kc
+      )
+      SELECT 'ks_stat' AS metric, d AS value FROM ks
+      UNION ALL SELECT 'n_a', na FROM ks
+      UNION ALL SELECT 'n_b', nb FROM ks
     )
 """
 

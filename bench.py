@@ -76,6 +76,7 @@ HEADLINE = [
     "row_stats",           # axis=1 weighted std (row-local, no shuffle)
     "stratified_sample",   # per-stratum weighted quota (one window)
     "weighted_tests",      # Welch t (masked moments) + chi2 (grouping sets)
+    "info_stats",          # ANOVA F + entropy + MI + Gini + KS panel
 ]
 
 
@@ -349,6 +350,77 @@ def main() -> int:
 
     qs["text_metrics"] = _text_metrics_r3
     qs["doc_quality"] = _doc_quality
+
+    # the driver row joins on shingle STRINGS so DuckDB can replay it;
+    # the 100 TB hot path hashes shingles to 8-byte keys — bench that
+    def _decontam_hashed(spark_, sf_dir_):
+        from pandas_weights_spark.functions.decontam import ngram_overlap
+
+        docs = load_table(spark_, sf_dir_, "documents").select(
+            "doc_id", "text"
+        )
+        bench_set = docs.where(F.col("doc_id") % 20 == 0).select("text")
+        return ngram_overlap(
+            docs, "text", "doc_id", bench_set, n=13, threshold=0.5,
+            hash_shingles=True,
+        )
+
+    qs["decontam"] = _decontam_hashed
+
+    # the driver's weighted_tests row grew the information/ANOVA/Gini/KS
+    # panel; bench the r3 ttest+chi2 body unchanged and the new panel
+    # standalone
+    def _tests_r3(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        w = _wt(li, "l_quantity")
+        t = w.ttest("l_extendedprice", "l_returnflag", "A", "R")
+        c = w.chi2("l_returnflag", "l_linestatus")
+        tl = t.select(
+            F.lit("ttest").alias("test"),
+            F.expr(
+                "stack(8, 'n_a', n_a, 'mean_a', mean_a, 'var_a', var_a, "
+                "'n_b', n_b, 'mean_b', mean_b, 'var_b', var_b, "
+                "'t_stat', t_stat, 'df', df) AS (metric, value)"
+            ),
+        )
+        cl = c.select(
+            F.lit("chi2").alias("test"),
+            F.expr(
+                "stack(4, 'chi2', chi2, 'dof', CAST(dof AS DOUBLE), "
+                "'n', n, 'cramers_v', cramers_v) AS (metric, value)"
+            ),
+        )
+        return tl.unionByName(cl)
+
+    def _info_stats(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        w = _wt(li, "l_quantity")
+        a = w.anova("l_extendedprice", "l_returnflag").select(
+            F.lit("anova").alias("t"), F.col("f_stat").alias("v")
+        )
+        e = w.entropy("l_returnflag").select(
+            F.lit("entropy").alias("t"), F.col("entropy").alias("v")
+        )
+        m = w.mutual_information("l_returnflag", "l_linestatus").select(
+            F.lit("mi").alias("t"), F.col("mi").alias("v")
+        )
+        g = w.gini("l_extendedprice").select(
+            F.lit("gini").alias("t"), F.col("gini").alias("v")
+        )
+        k = w.ks("l_extendedprice", "l_returnflag", "A", "R").select(
+            F.lit("ks").alias("t"), F.col("ks_stat").alias("v")
+        )
+        out = a
+        for part in (e, m, g, k):
+            out = out.unionByName(part)
+        return out
+
+    qs["weighted_tests"] = _tests_r3
+    qs["info_stats"] = _info_stats
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))

@@ -530,6 +530,64 @@ class WeightedDataFrame:
 
         return weighted_chi2(self, row_col, col_col)
 
+    def anova(
+        self,
+        value: str,
+        group_col: str,
+        by: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """One-way weighted ANOVA F across the levels of ``group_col``
+        — see inference.py (one moment pass, F algebra on k rows)."""
+        from pandas_weights_spark.inference import weighted_anova
+
+        return weighted_anova(self, value, group_col, by=by)
+
+    def entropy(
+        self,
+        cat_col: str,
+        by: Optional[Sequence[str]] = None,
+        base: Optional[float] = None,
+    ) -> DataFrame:
+        """Shannon entropy of ``cat_col``'s weight-mass distribution —
+        see inference.py (one mass pass + tiny re-aggregation)."""
+        from pandas_weights_spark.inference import weighted_entropy
+
+        return weighted_entropy(self, cat_col, by=by, base=base)
+
+    def mutual_information(self, x_col: str, y_col: str) -> DataFrame:
+        """Mutual information + entropies of two categoricals — see
+        inference.py (same single grouping-sets scan as chi2)."""
+        from pandas_weights_spark.inference import weighted_mutual_information
+
+        return weighted_mutual_information(self, x_col, y_col)
+
+    def gini(
+        self, col: str, by: Optional[Sequence[str]] = None, bands: int = 256
+    ) -> DataFrame:
+        """Weighted Gini coefficient (mean-absolute-difference form) —
+        see quantile.py (banded prefix collapse of the pairwise sum)."""
+        from pandas_weights_spark.quantile import weighted_gini
+
+        return weighted_gini(self, col, keys=list(by or []), bands=bands)
+
+    def ks(
+        self,
+        col: str,
+        group_col: str,
+        group_a,
+        group_b,
+        by: Optional[Sequence[str]] = None,
+        bands: int = 256,
+    ) -> DataFrame:
+        """Two-sample weighted Kolmogorov–Smirnov statistic — see
+        quantile.py (banded dual-CDF, sup at data points, exact)."""
+        from pandas_weights_spark.quantile import weighted_ks
+
+        return weighted_ks(
+            self, col, group_col, group_a, group_b,
+            keys=list(by or []), bands=bands,
+        )
+
     def linfit(
         self,
         x_col: str,

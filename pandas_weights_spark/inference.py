@@ -27,6 +27,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -34,7 +36,13 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark import _stats
 
-__all__ = ["weighted_ttest", "weighted_chi2"]
+__all__ = [
+    "weighted_ttest",
+    "weighted_chi2",
+    "weighted_anova",
+    "weighted_entropy",
+    "weighted_mutual_information",
+]
 
 
 def weighted_ttest(
@@ -169,4 +177,164 @@ def weighted_chi2(
                 F.col("n") * F.least(rr, cc).cast("double"),
             )
         ).alias("cramers_v"),
+    )
+
+
+def weighted_anova(
+    wdf,
+    value: str,
+    group_col: str,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One-way ANOVA F statistic across the levels of ``group_col``
+    (optionally per ``by`` key): ``f_stat``, ``df_between`` = k−1,
+    ``df_within`` = W−k, ``n`` = grand mass W, ``k`` = level count.
+
+    Frequency-weight convention throughout (Σw plays n, like every
+    kernel): SSB = Σ_g W_g (m_g − m)², SSW = Σ_g Σ w(x − m_g)².
+
+    Scale shape: ONE groupBy(by…, group) moment pass over the raw rows
+    (map-side combining), then the F algebra re-aggregates the tiny
+    k-rows-per-key table — the raw data is scanned exactly once. NULL
+    group levels are ordinary buckets; rows with NULL value or weight
+    contribute nothing (the kernels' mask).
+    """
+    keys = list(by or [])
+    for c in [value, group_col, *keys]:
+        if c not in wdf.df.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    x = wdf._value(value)
+    w = wdf.weights
+    m = F.when(x.isNotNull() & w.isNotNull(), w).otherwise(F.lit(0.0))
+    per = wdf.df.groupBy(*[F.col(k) for k in keys], F.col(group_col)).agg(
+        F.sum(m).alias("__wg__"),
+        F.sum(m * x).alias("__sg__"),
+        F.sum(m * x * x).alias("__ssg__"),
+    ).where(F.col("__wg__") > 0)
+    wg, sg, ssg = F.col("__wg__"), F.col("__sg__"), F.col("__ssg__")
+    # per-level within-group sum of squares: Σwx² − (Σwx)²/W_g
+    within = ssg - F.try_divide(sg * sg, wg)
+    agg = per.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum(wg).alias("__W__"),
+        F.sum(sg).alias("__S__"),
+        F.sum(ssg).alias("__SS__"),
+        F.sum(within).alias("__ssw__"),
+        F.count(F.lit(1)).alias("__k__"),
+    )
+    W, S, SS = F.col("__W__"), F.col("__S__"), F.col("__SS__")
+    ssw = F.col("__ssw__")
+    k = F.col("__k__")
+    sst = SS - F.try_divide(S * S, W)
+    ssb = sst - ssw
+    df_b = (k - F.lit(1)).cast("double")
+    df_w = W - k.cast("double")
+    f = F.try_divide(
+        F.try_divide(ssb, df_b), F.try_divide(ssw, df_w)
+    )
+    return agg.select(
+        *keys,
+        F.when((df_b > 0) & (df_w > 0) & (ssw > 0), f).alias("f_stat"),
+        df_b.alias("df_between"),
+        df_w.alias("df_within"),
+        W.alias("n"),
+        k.cast("long").alias("k"),
+    )
+
+
+def weighted_entropy(
+    wdf,
+    cat_col: str,
+    by: Optional[Sequence[str]] = None,
+    base: Optional[float] = None,
+) -> DataFrame:
+    """Shannon entropy of ``cat_col``'s weight-mass distribution
+    (optionally per ``by`` key): ``entropy`` = −Σ p·ln p (natural log
+    by default; pass ``base=2`` for bits), ``n_categories``, ``n`` =
+    total mass. NULL categories are ordinary buckets; non-positive
+    weights contribute nothing.
+
+    ONE groupBy(by…, cat) mass pass, then the entropy sum re-aggregates
+    the tiny category table. −Σ p ln p is computed as
+    ``ln W − (Σ m ln m)/W`` so each category needs only its own mass —
+    no join of the total back onto categories.
+    """
+    keys = list(by or [])
+    for c in [cat_col, *keys]:
+        if c not in wdf.df.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    w = wdf.weights
+    m = F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+    per = wdf.df.groupBy(*[F.col(k) for k in keys], F.col(cat_col)).agg(
+        F.sum(m).alias("__m__")
+    ).where(F.col("__m__") > 0)
+    mm = F.col("__m__")
+    agg = per.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum(mm).alias("__W__"),
+        F.sum(mm * F.log(mm)).alias("__mlm__"),
+        F.count(F.lit(1)).alias("__k__"),
+    )
+    W = F.col("__W__")
+    h_nats = F.log(W) - F.try_divide(F.col("__mlm__"), W)
+    h = h_nats if base is None else h_nats / F.lit(math.log(base))
+    return agg.select(
+        *keys,
+        F.when(W > 0, h).alias("entropy"),
+        F.col("__k__").cast("long").alias("n_categories"),
+        W.alias("n"),
+    )
+
+
+def weighted_mutual_information(
+    wdf,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categoricals over the weighted
+    contingency table: one row with ``mi`` = Σ p_xy ln(p_xy/(p_x p_y))
+    (nats), marginal entropies ``h_x``/``h_y``, joint ``h_xy``,
+    normalized ``nmi`` = mi/√(h_x·h_y), and ``n`` (grand mass).
+
+    Same single grouping-sets scan as :func:`weighted_chi2` — cells,
+    both marginals and the grand total in one map-side-combining pass;
+    the information sums then re-aggregate the R×C cell table using
+    only entropies (MI = H(x) + H(y) − H(x,y), so no cell↔marginal
+    join at all). Zero cells contribute nothing (lim p→0 p·ln p = 0).
+    """
+    for c in (x_col, y_col):
+        if c not in wdf.df.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    w = wdf.weights
+    m = F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+    gs = wdf.df.groupingSets(
+        [[x_col, y_col], [x_col], [y_col], []], x_col, y_col
+    ).agg(
+        F.sum(m).alias("__m__"),
+        F.grouping(x_col).alias("__gx__"),
+        F.grouping(y_col).alias("__gy__"),
+    ).where(F.col("__m__") > 0)
+    mm = F.col("__m__")
+    # Σ m·ln m per grouping level + the grand total, all in one pass
+    # over the tiny grouping-sets output
+    lvl = (
+        F.when((F.col("__gx__") == 0) & (F.col("__gy__") == 0), "xy")
+        .when((F.col("__gx__") == 0) & (F.col("__gy__") == 1), "x")
+        .when((F.col("__gx__") == 1) & (F.col("__gy__") == 0), "y")
+        .otherwise("g")
+    )
+    t = gs.select(lvl.alias("__lvl__"), mm.alias("__m__"))
+    agg = t.groupBy().pivot("__lvl__", ["xy", "x", "y", "g"]).agg(
+        F.sum(F.col("__m__") * F.log("__m__")).alias("mlm"),
+        F.sum("__m__").alias("w"),
+    )
+    W = F.col("g_w")
+    h = lambda tag: F.log(W) - F.try_divide(F.col(f"{tag}_mlm"), W)  # noqa: E731
+    hx, hy, hxy = h("x"), h("y"), h("xy")
+    mi = hx + hy - hxy
+    return agg.select(
+        F.when(W > 0, mi).alias("mi"),
+        F.when(W > 0, F.try_divide(mi, F.sqrt(hx * hy))).alias("nmi"),
+        F.when(W > 0, hx).alias("h_x"),
+        F.when(W > 0, hy).alias("h_y"),
+        F.when(W > 0, hxy).alias("h_xy"),
+        W.alias("n"),
     )

@@ -39,6 +39,8 @@ __all__ = [
     "weighted_qcut",
     "weighted_cut",
     "quantile_col_name",
+    "weighted_gini",
+    "weighted_ks",
 ]
 
 
@@ -487,3 +489,176 @@ def weighted_quantiles_binned(
             )
             aggs.append(F.min(hit).alias(quantile_col_name(c, q)))
     return cdf.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def _banded_cums(
+    wdf,
+    col: str,
+    keys: Sequence[str],
+    masses: dict,
+    bands: int = 256,
+):
+    """Shared banded-prefix engine: per-row INCLUSIVE cumulative sums
+    (ties included, value order) of several named mass expressions over
+    ``col`` within each ``keys`` group, plus each mass's group total.
+
+    Returns ``(frame, cums, tots)`` where ``cums[name]``/``tots[name]``
+    are column names on ``frame``. Same scale shape as
+    :func:`weighted_cdf` (range-banded windows; never an ordered window
+    over the whole group) generalized to N accumulators: band totals
+    for ALL masses ride one aggregate, offsets + totals one tiny
+    WindowExec, per-row cumulative sums one (keys, band) WindowExec.
+    """
+    from pandas_weights_spark.groupby import _join_group_stats
+
+    kcF = [F.col(k) for k in keys]
+    x = wdf._value(col)
+    rng = wdf.df.groupBy(*kcF).agg(
+        F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
+    )
+    if keys:
+        base = _join_group_stats(wdf.df, rng, list(keys))
+    else:
+        base = wdf.df.crossJoin(F.broadcast(rng))
+    v = x.cast("double")
+    lo, hi = F.col("__lo__").cast("double"), F.col("__hi__").cast("double")
+    band = F.when(
+        hi > lo,
+        F.least(
+            F.lit(bands - 1),
+            F.floor((v - lo) / (hi - lo) * F.lit(float(bands))).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    base = base.select("*", band.alias("__band__"))
+
+    btot = base.groupBy(*kcF, F.col("__band__")).agg(
+        *[F.sum(m).alias(f"__bm_{n}__") for n, m in masses.items()]
+    )
+    off_win = (
+        Window.partitionBy(*kcF)
+        .orderBy("__band__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_win = Window.partitionBy(*kcF).orderBy("__band__").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = btot.select(
+        *keys,
+        "__band__",
+        *[
+            F.coalesce(
+                F.sum(f"__bm_{n}__").over(off_win), F.lit(0.0)
+            ).alias(f"__off_{n}__")
+            for n in masses
+        ],
+        *[
+            F.sum(f"__bm_{n}__").over(tot_win).alias(f"__tot_{n}__")
+            for n in masses
+        ],
+    )
+    base = _join_group_stats(base, off, list(keys) + ["__band__"])
+    cum_win = (
+        Window.partitionBy(*kcF, F.col("__band__"))
+        .orderBy(x)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = ["*"] + [
+        (F.sum(m).over(cum_win) + F.col(f"__off_{n}__")).alias(f"__cum_{n}__")
+        for n, m in masses.items()
+    ]
+    out = base.select(*sel)
+    cums = {n: f"__cum_{n}__" for n in masses}
+    tots = {n: f"__tot_{n}__" for n in masses}
+    return out, cums, tots
+
+
+def weighted_gini(
+    wdf,
+    col: str,
+    keys: Sequence[str] = (),
+    bands: int = 256,
+) -> DataFrame:
+    """Weighted Gini coefficient of ``col`` (optionally per ``keys``):
+    ``(keys…, gini, n)`` with G = Σᵢ Σⱼ wᵢwⱼ|xᵢ−xⱼ| / (2·W·Σwx) —
+    the mean-absolute-difference form, exact under frequency weights.
+
+    Scale shape: the pairwise double sum collapses to per-row prefix
+    sums — Σᵢ Σⱼ wᵢwⱼ|xᵢ−xⱼ| = 2·Σᵢ wᵢ(xᵢ·W⁼ᵢ − S⁼ᵢ) where W⁼/S⁼ are
+    the tie-inclusive cumulative mass and cumulative Σwx at xᵢ (the
+    tie terms cancel algebraically, so inclusive cums — exactly what
+    the banded machinery produces — are correct). One banded-prefix
+    pass + one aggregate; negative values are allowed (G is then not
+    bounded by [0,1], as usual for the MAD form).
+    """
+    w = wdf.weights
+    x = wdf._value(col)
+    m = F.when(x.isNotNull() & w.isNotNull() & (w > 0), w).otherwise(
+        F.lit(0.0)
+    )
+    frame, cums, tots = _banded_cums(
+        wdf, col, list(keys),
+        {"m": m, "s": m * x.cast("double")}, bands=bands,
+    )
+    cw, cs = F.col(cums["m"]), F.col(cums["s"])
+    W, S = F.col(tots["m"]), F.col(tots["s"])
+    num = F.sum(m * (x.cast("double") * cw - cs))
+    agg = frame.groupBy(*[F.col(k) for k in keys]).agg(
+        num.alias("__num__"), F.min(W).alias("__W__"), F.min(S).alias("__S__")
+    )
+    return agg.select(
+        *keys,
+        F.try_divide(
+            F.col("__num__"), F.col("__W__") * F.col("__S__")
+        ).alias("gini"),
+        F.col("__W__").alias("n"),
+    )
+
+
+def weighted_ks(
+    wdf,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    keys: Sequence[str] = (),
+    bands: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the weighted
+    empirical CDFs of rows where ``group_col == group_a`` vs
+    ``== group_b`` (optionally per ``keys``): ``(keys…, ks_stat,
+    n_a, n_b)`` with D = max over observed x of |F_a(x) − F_b(x)|.
+
+    Exact: the supremum of two step functions is attained at a data
+    point, and the banded machinery yields both sides' tie-inclusive
+    cumulative masses at EVERY pooled data point in one pass — so this
+    is one banded-prefix pass + one max aggregate, no sort of the
+    whole group on one task.
+    """
+    w = wdf.weights
+    x = wdf._value(col)
+    ok = x.isNotNull() & w.isNotNull() & (w > 0)
+    ma = F.when(ok & F.col(group_col).eqNullSafe(F.lit(group_a)), w).otherwise(
+        F.lit(0.0)
+    )
+    mb = F.when(ok & F.col(group_col).eqNullSafe(F.lit(group_b)), w).otherwise(
+        F.lit(0.0)
+    )
+    frame, cums, tots = _banded_cums(
+        wdf, col, list(keys), {"a": ma, "b": mb}, bands=bands
+    )
+    fa = F.try_divide(F.col(cums["a"]), F.col(tots["a"]))
+    fb = F.try_divide(F.col(cums["b"]), F.col(tots["b"]))
+    d = F.when(x.isNotNull(), F.abs(fa - fb))
+    agg = frame.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(d).alias("ks_stat"),
+        F.min(F.col(tots["a"])).alias("n_a"),
+        F.min(F.col(tots["b"])).alias("n_b"),
+    )
+    return agg.select(
+        *keys,
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("ks_stat")).alias(
+            "ks_stat"
+        ),
+        "n_a",
+        "n_b",
+    )
