@@ -718,7 +718,22 @@ def _q_dedup_exact(spark, sf_dir):
     with_dups = docs.unionByName(
         docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     )
-    return exact_dedup(with_dups, "text", "doc_id").select("doc_id")
+    survivors = exact_dedup(with_dups, "text", "doc_id").select(
+        F.lit("survivor").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("fp"),
+    )
+    # r4 fold: the md5-derived SimHash fingerprint rows ride the same
+    # query (freed a driver slot for calibration — coverage unchanged;
+    # _simhash_sql still mirrors the bits digit-for-digit)
+    from pandas_weights_spark.functions.dedup import simhash
+
+    fps = docs.where(F.col("doc_id") < 100).select(
+        F.lit("simhash").alias("kind"),
+        "doc_id",
+        simhash(F.col("text"), 32).alias("fp"),
+    )
+    return survivors.unionByName(fps)
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -1365,6 +1380,47 @@ def _q_events_group(spark, sf_dir):
             F.col("value_var").alias("w_var"),
             F.col("value_std").alias("w_std"),
         )
+    )
+
+
+def _q_calibration(spark, sf_dir):
+    # survey-weight raking (calibration.py): calibrate l_quantity to
+    # fixed returnflag x linestatus margins (Σ targets agree across
+    # dims: 4000), 3 sequential IPF sweeps, tol=0 so the iteration
+    # count is deterministic for the unrolled oracle. Output: per-cell
+    # calibrated masses + Kish diagnostics of the calibrated weights,
+    # tagged long format; ROUND 6 absorbs driver-side dict-sum vs SQL
+    # SUM ordering ulps.
+    from pandas_weights_spark.calibration import (
+        rake_weights,
+        weight_diagnostics,
+    )
+
+    li = _li(spark, sf_dir)
+    margins = {
+        "l_returnflag": {"A": 1000.0, "N": 2000.0, "R": 1000.0},
+        "l_linestatus": {"F": 1500.0, "O": 2500.0},
+    }
+    out, _info = rake_weights(
+        li, "l_quantity", margins, max_iter=3, tol=0.0
+    )
+    cells = out.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("weight_cal").alias("val")
+    ).select(
+        F.lit("cell").alias("kind"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "val",
+    )
+    diag = weight_diagnostics(out, "weight_cal").select(
+        F.lit("diag").alias("kind"),
+        F.expr(
+            "stack(5, 'n', CAST(n AS DOUBLE), 'sum_w', sum_w, "
+            "'n_eff', n_eff, 'deff', deff, 'cv_w', cv_w) AS (k1, val)"
+        ),
+    ).select("kind", "k1", F.lit(None).cast("string").alias("k2"), "val")
+    return cells.unionByName(diag).select(
+        "kind", "k1", "k2", F.round(F.col("val"), 6).alias("val")
     )
 
 
@@ -2684,6 +2740,64 @@ _ORACLE["series_apply"] = """
     SELECT l_extendedprice * l_quantity + 2.0 AS wprice_plus2 FROM lineitem
 """
 
+def _calibration_sql(iters: int = 3) -> str:
+    """Unrolled sequential IPF on the joint (returnflag, linestatus)
+    cell table — the joint masses are a sufficient statistic for the
+    marginal updates, so the oracle replays calibration.rake_weights'
+    math on a 6-row table. Carries per-cell row count and Σw² so the
+    Kish diagnostics fall out of the same pipeline."""
+    sql = """
+    WITH tr(r, t) AS (VALUES ('A', 1000.0), ('N', 2000.0), ('R', 1000.0)),
+    tc(c, t) AS (VALUES ('F', 1500.0), ('O', 2500.0)),
+    c0 AS (
+      SELECT l_returnflag AS r, l_linestatus AS c,
+             COUNT(CASE WHEN l_quantity > 0 THEN 1 END) AS cnt,
+             SUM(CASE WHEN l_quantity > 0 THEN l_quantity ELSE 0 END) AS m,
+             SUM(CASE WHEN l_quantity > 0
+                      THEN l_quantity * l_quantity ELSE 0 END) AS s2
+      FROM lineitem GROUP BY 1, 2
+    )"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    mr{i} AS (SELECT r, SUM(m) AS mm FROM {prev} GROUP BY r),
+    a{i} AS (
+      SELECT p.r, p.c, p.cnt,
+             p.m * (tr.t / mr{i}.mm) AS m,
+             p.s2 * (tr.t / mr{i}.mm) * (tr.t / mr{i}.mm) AS s2
+      FROM {prev} p JOIN mr{i} ON p.r = mr{i}.r
+      JOIN tr ON tr.r = p.r
+    ),
+    mc{i} AS (SELECT c, SUM(m) AS mm FROM a{i} GROUP BY c),
+    b{i} AS (
+      SELECT p.r, p.c, p.cnt,
+             p.m * (tc.t / mc{i}.mm) AS m,
+             p.s2 * (tc.t / mc{i}.mm) * (tc.t / mc{i}.mm) AS s2
+      FROM a{i} p JOIN mc{i} ON p.c = mc{i}.c
+      JOIN tc ON tc.c = p.c
+    )"""
+        prev = f"b{i}"
+    return sql + f""",
+    fin AS (SELECT * FROM {prev}),
+    tot AS (
+      SELECT SUM(cnt) AS n, SUM(m) AS sw, SUM(s2) AS sww FROM fin
+    )
+    SELECT 'cell' AS kind, r AS k1, c AS k2, ROUND(m, 6) AS val FROM fin
+    UNION ALL
+    SELECT 'diag', v.k1, NULL, ROUND(v.val, 6)
+    FROM tot, LATERAL (VALUES
+      ('n', CAST(n AS DOUBLE)),
+      ('sum_w', sw),
+      ('n_eff', sw * sw / sww),
+      ('deff', CAST(n AS DOUBLE) / (sw * sw / sww)),
+      ('cv_w', sqrt(sww / n - (sw / n) * (sw / n)) / (sw / n))
+    ) AS v(k1, val)
+"""
+
+
+_ORACLE["calibration"] = _calibration_sql()
+
+
 def _ngram_list_sql(n: int, words: str = "w") -> str:
     """DuckDB list comprehension mirroring text.word_ngrams: space-joined
     word n-grams; a doc shorter than n words yields its whole text."""
@@ -2734,7 +2848,8 @@ _ORACLE["dedup_exact"] = """
       UNION ALL
       SELECT doc_id + 10000, text FROM documents
     )
-    SELECT doc_id FROM base
+    SELECT 'survivor' AS kind, doc_id, CAST(NULL AS VARCHAR) AS fp
+    FROM base
     WHERE doc_id IN (
       SELECT MIN(doc_id) FROM base GROUP BY md5(lower(trim(text)))
     )
@@ -3019,7 +3134,16 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-_ORACLE["simhash_neardup"] = _simhash_sql()
+# r4: simhash rows fold into the dedup_exact driver query (same docs
+# source; slot freed for calibration)
+_ORACLE["dedup_exact"] = (
+    _ORACLE["dedup_exact"]
+    + """
+    UNION ALL
+    SELECT 'simhash' AS kind, doc_id, simhash AS fp FROM ("""
+    + _simhash_sql()
+    + ")"
+)
 
 
 def _embedding_neardup_sql(dim: int = 64, planes: int = 4, seed: int = 42,
@@ -3853,7 +3977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "doc_weighted_stats": _q_doc_weighted_stats,
         "neardup_pairs": _q_neardup_pairs,
-        "simhash_neardup": _q_simhash_neardup,
         "linfit": _q_linfit,
         "ann_topk": _q_ann_topk,
         "range_join": _q_range_join,
@@ -3869,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_apply": _q_grouped_apply,
         "series_apply": _q_series_apply,
         "decontam": _q_decontam,
+        "calibration": _q_calibration,
         "session_agg": _q_session_agg,
         "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,

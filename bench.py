@@ -77,6 +77,7 @@ HEADLINE = [
     "stratified_sample",   # per-stratum weighted quota (one window)
     "weighted_tests",      # Welch t (masked moments) + chi2 (grouping sets)
     "info_stats",          # ANOVA F + entropy + MI + Gini + KS panel
+    "calibration",         # raking: 1 joint scan + driver IPF + row-local apply
 ]
 
 

@@ -1,0 +1,295 @@
+"""Survey-weight calibration: raking (iterative proportional fitting)
+and post-stratification, plus weighting diagnostics.
+
+The reference library computes statistics UNDER given weights; real
+survey workflows also have to PRODUCE those weights — calibrate a
+base-weight column so the weighted marginal masses match known
+population margins (region totals, demographic shares, …). This module
+is that missing production step (engine extension, SURVEY.md §2.6),
+classic Deming–Stephan IPF / raking as used by every survey package.
+
+Scale design — the iteration loop never touches the data:
+
+* The calibrated weight is ``w0 · Π_d f_d(x_d)`` — a product of ONE
+  per-dimension factor lookup per row. Factors live driver-side as
+  literal maps (a dimension has survey-cell cardinality: tens, not
+  millions) and enter the plan as broadcast literals; the application
+  is a row-local projection (no join, no shuffle — pinned by tests).
+* IPF only ever needs the JOINT cross-classification masses, so the
+  default strategy aggregates them in ONE scan
+  (``groupBy(all dims).agg(sum w0)``, map-side combining), collects
+  the tiny cell table (guarded by ``max_cells``), and runs the
+  classic sequential Deming–Stephan updates driver-side. A 50-round
+  rake costs one scan, not fifty.
+* ``strategy="sequential"`` is the fallback when the joint grid
+  explodes (many/high-cardinality dimensions): the textbook one
+  marginal-mass scan per dimension per iteration, still no data
+  rewrite between iterations.
+
+Both strategies compute identical factors (the joint table is just a
+sufficient statistic for the marginal updates). ``max_iter`` fixed +
+``tol`` early-stop on the max relative margin error; raking with one
+dimension IS post-stratification (exact in one step, exposed as
+:func:`poststratify_weights`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rake_weights",
+    "poststratify_weights",
+    "weight_diagnostics",
+]
+
+MarginSpec = Mapping[object, float]
+
+
+def _factor_expr(col: str, factors: Dict[object, float]) -> Column:
+    """Literal map lookup: the dimension's factor for this row's value.
+    NULL category keys can't live in a map literal, so NULL gets its
+    own branch."""
+    null_f = factors.get(None)
+    items = [(k, v) for k, v in factors.items() if k is not None]
+    if items:
+        m = F.create_map(
+            *[x for k, v in items for x in (F.lit(k), F.lit(float(v)))]
+        )
+        lookup = F.element_at(m, F.col(col))
+    else:
+        lookup = F.lit(None).cast("double")
+    if null_f is not None:
+        lookup = F.when(
+            F.col(col).isNull(), F.lit(float(null_f))
+        ).otherwise(lookup)
+    return F.coalesce(lookup, F.lit(1.0))
+
+
+def _check_margins(
+    dims, margins, masses: Dict[str, Dict[object, float]]
+) -> None:
+    """IPF feasibility: every positive-mass data category must have a
+    target, every positive target must have data mass."""
+    for d in dims:
+        tgt, got = margins[d], masses[d]
+        extra = {v for v, m in got.items() if m > 0 and v not in tgt}
+        if extra:
+            raise ValueError(
+                f"dimension {d!r} has data mass in categories missing "
+                f"from the margin: {sorted(map(repr, extra))}"
+            )
+        for v, t in tgt.items():
+            if t > 0 and got.get(v, 0.0) <= 0:
+                raise ValueError(
+                    f"margin target for {d!r}={v!r} is {t} but the data "
+                    "carries no mass there"
+                )
+
+
+def _ipf_step(
+    d: str,
+    margins: Mapping[str, MarginSpec],
+    masses: Dict[object, float],
+    factors: Dict[str, Dict[object, float]],
+) -> Tuple[Dict[object, float], float]:
+    """One sequential IPF update of dimension ``d`` from its CURRENT
+    marginal masses: returns (per-value multiplier, max rel error)."""
+    mult: Dict[object, float] = {}
+    max_err = 0.0
+    for v, t in margins[d].items():
+        m = masses.get(v, 0.0)
+        if m <= 0:
+            continue
+        mult[v] = t / m
+        max_err = max(max_err, abs(m - t) / (t if t > 0 else 1.0))
+    for v, f in mult.items():
+        factors[d][v] = factors[d].get(v, 1.0) * f
+    return mult, max_err
+
+
+def rake_weights(
+    df: DataFrame,
+    weight: Union[str, Column],
+    margins: Mapping[str, MarginSpec],
+    max_iter: int = 50,
+    tol: float = 1e-9,
+    out_col: str = "weight_cal",
+    strategy: str = "joint",
+    max_cells: int = 100_000,
+) -> Tuple[DataFrame, Dict]:
+    """Rake ``weight`` to the given per-dimension target masses
+    (classic sequential Deming–Stephan IPF).
+
+    ``margins`` maps each dimension column to ``{value: target_mass}``
+    (absolute masses — normalize shares yourself against Σw if needed;
+    NULL as a key calibrates the NULL bucket). Returns ``(frame,
+    info)``: the frame is ``df`` plus ``out_col`` (the calibrated
+    weight, a row-local factor product), ``info`` reports
+    ``iterations``, ``max_rel_err`` per iteration, ``converged``, and
+    the final per-dimension ``factors``.
+
+    ``strategy="joint"`` (default) aggregates the joint cell table in
+    one scan and iterates driver-side (raises past ``max_cells`` —
+    switch to ``"sequential"``, one marginal scan per dim per
+    iteration, for high-dimensional rakes).
+
+    Raises if the data contains a category with positive mass that the
+    margin omits (IPF has no consistent answer for it), or if a target
+    cell has no supporting data mass (its target is unreachable).
+    """
+    dims = list(margins)
+    if not dims:
+        raise ValueError("margins must name at least one dimension")
+    if strategy not in ("joint", "sequential"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    for d in dims:
+        if d not in df.columns:
+            raise KeyError(f"margin column {d!r} not in frame")
+        if not margins[d]:
+            raise ValueError(f"empty margin for {d!r}")
+        for v, t in margins[d].items():
+            if t < 0:
+                raise ValueError(f"negative target for {d!r}={v!r}")
+    w0 = F.col(weight) if isinstance(weight, str) else weight
+    w0 = F.when(w0.isNotNull() & (w0 > 0), w0.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+    factors: Dict[str, Dict[object, float]] = {d: {} for d in dims}
+    errs: list = []
+    converged = False
+    it = 0
+
+    if strategy == "joint":
+        cells = (
+            df.groupBy(*[F.col(d) for d in dims])
+            .agg(F.sum(w0).alias("__m__"))
+            .limit(max_cells + 1)
+            .collect()
+        )
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"joint cell table exceeds max_cells={max_cells}; use "
+                "strategy='sequential'"
+            )
+        joint = {
+            tuple(r[d] for d in dims): float(r["__m__"] or 0.0)
+            for r in cells
+        }
+
+        def marginal(di: int) -> Dict[object, float]:
+            out: Dict[object, float] = {}
+            for key, m in joint.items():
+                out[key[di]] = out.get(key[di], 0.0) + m
+            return out
+
+        _check_margins(
+            dims, margins, {d: marginal(i) for i, d in enumerate(dims)}
+        )
+        for it in range(1, max_iter + 1):
+            max_err = 0.0
+            for di, d in enumerate(dims):
+                mult, err = _ipf_step(d, margins, marginal(di), factors)
+                max_err = max(max_err, err)
+                if mult:
+                    joint = {
+                        k: m * mult.get(k[di], 1.0)
+                        for k, m in joint.items()
+                    }
+            errs.append(max_err)
+            if max_err <= tol:
+                converged = True
+                break
+    else:
+        for it in range(1, max_iter + 1):
+            max_err = 0.0
+            for d in dims:
+                cur = w0
+                for d2 in dims:
+                    if factors[d2]:
+                        cur = cur * _factor_expr(d2, factors[d2])
+                got = {
+                    r[d]: float(r["__m__"] or 0.0)
+                    for r in df.groupBy(F.col(d))
+                    .agg(F.sum(cur).alias("__m__"))
+                    .collect()
+                }
+                if it == 1:
+                    _check_margins([d], margins, {d: got})
+                _, err = _ipf_step(d, margins, got, factors)
+                max_err = max(max_err, err)
+            errs.append(max_err)
+            if max_err <= tol:
+                converged = True
+                break
+
+    cal = w0
+    for d in dims:
+        if factors[d]:
+            cal = cal * _factor_expr(d, factors[d])
+    out = df.withColumn(out_col, cal)
+    info = {
+        "iterations": it,
+        "max_rel_err": errs,
+        "converged": converged,
+        "factors": factors,
+    }
+    return out, info
+
+
+def poststratify_weights(
+    df: DataFrame,
+    weight: Union[str, Column],
+    strata_col: str,
+    targets: MarginSpec,
+    out_col: str = "weight_cal",
+) -> Tuple[DataFrame, Dict]:
+    """Single-dimension exact calibration (post-stratification): one
+    mass scan, one factor map, exact in one iteration."""
+    return rake_weights(
+        df, weight, {strata_col: targets}, max_iter=1, tol=0.0,
+        out_col=out_col,
+    )
+
+
+def weight_diagnostics(
+    df: DataFrame,
+    weight: Union[str, Column],
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Standard weighting diagnostics in one aggregate: ``n`` (rows
+    with positive weight), ``sum_w``, Kish effective sample size
+    ``n_eff = (Σw)²/Σw²``, design effect ``deff = n/n_eff`` (≥ 1;
+    the variance inflation the weights cost), weight coefficient of
+    variation ``cv_w``, and ``min_w``/``max_w``."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    m = F.when(w.isNotNull() & (w > 0), w.cast("double"))
+    keys = list(by or [])
+    aggs = [
+        F.count(m).alias("n"),
+        F.sum(m).alias("sum_w"),
+        F.sum(m * m).alias("__sww__"),
+        F.min(m).alias("min_w"),
+        F.max(m).alias("max_w"),
+    ]
+    g = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
+    n = F.col("n").cast("double")
+    S = F.col("sum_w")
+    SS = F.col("__sww__")
+    n_eff = F.try_divide(S * S, SS)
+    mean_w = F.try_divide(S, n)
+    var_w = F.try_divide(SS, n) - mean_w * mean_w
+    return g.select(
+        *keys,
+        "n", "sum_w",
+        n_eff.alias("n_eff"),
+        F.try_divide(n, n_eff).alias("deff"),
+        F.try_divide(F.sqrt(F.greatest(var_w, F.lit(0.0))), mean_w).alias(
+            "cv_w"
+        ),
+        "min_w", "max_w",
+    )
