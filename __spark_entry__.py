@@ -290,7 +290,31 @@ def _q_resample_rules(spark, sf_dir):
             F.col("value_mean").alias("w_mean"),
         )
     )
-    return fixed.unionByName(cal).unionByName(roll).unionByName(cmp)
+    # r4: upsampling fills over the same gap-filtered 1D spine —
+    # ffill carries the last bucket mean forward, interpolate fills
+    # linearly by bucket time (resample.fill_gaps; pandas
+    # resample().ffill()/.interpolate() semantics, differential-tested)
+    from pandas_weights_spark.resample import fill_gaps
+
+    base = (
+        wt(ev_gap, wexpr)[["value"]]
+        .resample("1D", on="ts")
+        .agg_all(["mean"], complete=True)
+    )
+
+    def _fill_rows(method, tag):
+        return fill_gaps(base, "ts", method).select(
+            F.lit(tag).alias("rule"),
+            F.col("ts").alias("bucket"),
+            F.lit(None).cast("double").alias("w_count"),
+            F.lit(None).cast("double").alias("w_sum"),
+            F.col("value_mean").alias("w_mean"),
+        )
+
+    out = fixed.unionByName(cal).unionByName(roll).unionByName(cmp)
+    return out.unionByName(_fill_rows("ffill", "fill:ff")).unionByName(
+        _fill_rows("interpolate", "fill:li")
+    )
 
 
 def _corr_pair_df(spark, sf_dir):
@@ -2181,6 +2205,56 @@ _ORACLE: dict[str, str] = {
           )
           SELECT spine.bucket, agg.w_count, agg.w_sum, agg.w_mean
           FROM spine LEFT JOIN agg USING (bucket)
+        )
+        UNION ALL
+        SELECT kind AS rule, bucket, CAST(NULL AS DOUBLE) AS w_count,
+               CAST(NULL AS DOUBLE) AS w_sum, val AS w_mean
+        FROM (
+          WITH tg2 AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(user_id % 7 + 1 AS DOUBLE) AS w
+            FROM events
+            WHERE ts IS NOT NULL AND day(CAST(ts AS TIMESTAMP)) % 3 = 0
+          ), og2 AS (SELECT date_trunc('day', MIN(ts)) AS org FROM tg2),
+          agg2 AS (
+            SELECT time_bucket(INTERVAL 1 DAY, ts, (SELECT org FROM og2))
+                     AS bucket,
+                   SUM(value * w)
+                     / SUM(CASE WHEN value IS NOT NULL THEN w END)
+                     AS v
+            FROM tg2 GROUP BY 1
+          ), spine2 AS (
+            SELECT UNNEST(generate_series(MIN(bucket), MAX(bucket),
+                                          INTERVAL 1 DAY)) AS bucket
+            FROM agg2
+          ), j2 AS (
+            SELECT spine2.bucket, agg2.v,
+                   CAST(epoch(spine2.bucket) AS DOUBLE) AS t
+            FROM spine2 LEFT JOIN agg2 USING (bucket)
+          ), f2 AS (
+            SELECT bucket, v, t,
+              last_value(v IGNORE NULLS) OVER
+                (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS pv,
+              last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pt,
+              first_value(v IGNORE NULLS) OVER
+                (ORDER BY bucket ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS nv,
+              first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS nt
+            FROM j2
+          )
+          SELECT 'fill:ff' AS kind, bucket, pv AS val FROM f2
+          UNION ALL
+          SELECT 'fill:li' AS kind, bucket,
+            CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NULL THEN NULL
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS val
+          FROM f2
         )
     """,
     "resample_quantile": """

@@ -25,7 +25,7 @@ import datetime as dt
 import re
 from typing import TYPE_CHECKING, Callable, Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_weights_spark import _stats
@@ -33,7 +33,7 @@ from pandas_weights_spark import _stats
 if TYPE_CHECKING:
     from pandas_weights_spark.frame import WeightedDataFrame
 
-__all__ = ["WeightedResampler", "parse_rule"]
+__all__ = ["WeightedResampler", "parse_rule", "fill_gaps"]
 
 _FIXED_UNITS = {
     "w": 7 * 86400,
@@ -574,3 +574,69 @@ def hypertable_rollup(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def fill_gaps(
+    out: DataFrame,
+    on: str,
+    method: str = "ffill",
+    subset: Optional[Sequence[str]] = None,
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """Fill the NULL stats of empty buckets in a completed resample
+    output (``complete=True``) — the upsampling step of pandas
+    ``resample().ffill()`` / ``.interpolate()``.
+
+    ``method="ffill"`` carries the last non-NULL bucket value forward
+    (``limit`` bounds how many buckets); ``method="interpolate"``
+    fills linearly between the neighboring non-NULL buckets by bucket
+    TIME (irregular calendar buckets interpolate correctly), keeps
+    leading NULLs and carries the last value into trailing NULLs —
+    pandas ``interpolate('linear')`` semantics.
+
+    Scale note: this runs one ordered window over the BUCKET table
+    (one row per bucket, not per raw row), whose size is bounded by
+    the resample range/rule — a century of hourly buckets is >1M rows;
+    beyond that, window over a coarser key first. Original row values
+    are never touched — only NULL (gap) buckets are filled.
+    """
+    if method not in ("ffill", "interpolate"):
+        raise ValueError(f"method must be ffill/interpolate, got {method!r}")
+    cols = [c for c in (subset or out.columns) if c != on]
+    for c in cols:
+        if c not in out.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    if limit is not None and method == "interpolate":
+        raise ValueError("limit= only applies to ffill")
+    t = F.unix_timestamp(F.col(on)).cast("double")
+    if method == "ffill":
+        lo = Window.unboundedPreceding if limit is None else -int(limit)
+        back = Window.orderBy(on).rowsBetween(lo, 0)
+        sel = [
+            F.last(F.col(c), ignorenulls=True).over(back).alias(c)
+            if c in cols
+            else F.col(c)
+            for c in out.columns
+        ]
+        return out.select(*sel)
+    back = Window.orderBy(on).rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy(on).rowsBetween(0, Window.unboundedFollowing)
+    sel = []
+    for c in out.columns:
+        if c not in cols:
+            sel.append(F.col(c))
+            continue
+        x = F.col(c)
+        pv = F.last(x, ignorenulls=True).over(back)
+        pt = F.last(F.when(x.isNotNull(), t), ignorenulls=True).over(back)
+        nv = F.first(x, ignorenulls=True).over(fwd)
+        nt = F.first(F.when(x.isNotNull(), t), ignorenulls=True).over(fwd)
+        lin = pv + (nv - pv) * F.try_divide(t - pt, nt - pt)
+        filled = (
+            F.when(x.isNotNull(), x)
+            .when(pv.isNull(), F.lit(None))          # leading gap: stay NULL
+            .when(nv.isNull(), pv)                   # trailing gap: carry last
+            .otherwise(lin)
+        )
+        sel.append(filled.alias(c))
+    return out.select(*sel)

@@ -472,3 +472,105 @@ class TestHypertableRollup:
                 direct[col].to_numpy(dtype=float),
                 rtol=1e-9, equal_nan=True,
             )
+
+
+class TestFillGaps:
+    """Upsampling fills (resample.fill_gaps) vs pandas semantics."""
+
+    @staticmethod
+    def _gappy(spark):
+        import datetime as dt
+
+        rows = [
+            (dt.datetime(2024, 1, 1, 0), 10.0, 1.0),
+            (dt.datetime(2024, 1, 1, 1), 20.0, 1.0),
+            # gap: hours 2,3
+            (dt.datetime(2024, 1, 1, 4), 50.0, 1.0),
+            # gap: hour 5
+            (dt.datetime(2024, 1, 1, 6), 80.0, 1.0),
+        ]
+        return spark.createDataFrame(rows, "ts timestamp, v double, w double")
+
+    def test_ffill(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import fill_gaps
+
+        out = wt(self._gappy(spark), "w").resample("1h", on="ts").mean(
+            complete=True
+        )
+        filled = fill_gaps(out, "ts", "ffill")
+        vals = [r["v"] for r in filled.orderBy("ts").collect()]
+        assert vals == [10.0, 20.0, 20.0, 20.0, 50.0, 50.0, 80.0]
+
+    def test_ffill_limit(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import fill_gaps
+
+        out = wt(self._gappy(spark), "w").resample("1h", on="ts").mean(
+            complete=True
+        )
+        filled = fill_gaps(out, "ts", "ffill", limit=1)
+        vals = [r["v"] for r in filled.orderBy("ts").collect()]
+        # only ONE bucket past each valid value gets filled
+        assert vals == [10.0, 20.0, 20.0, None, 50.0, 50.0, 80.0]
+
+    def test_interpolate_linear(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import fill_gaps
+
+        out = wt(self._gappy(spark), "w").resample("1h", on="ts").mean(
+            complete=True
+        )
+        filled = fill_gaps(out, "ts", "interpolate")
+        vals = [r["v"] for r in filled.orderBy("ts").collect()]
+        assert vals == [10.0, 20.0, 30.0, 40.0, 50.0, 65.0, 80.0]
+
+    def test_interpolate_edges(self, spark):
+        import datetime as dt
+
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import fill_gaps
+
+        df = spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 1, 0), None, 1.0),
+                (dt.datetime(2024, 1, 1, 1), 5.0, 1.0),
+                (dt.datetime(2024, 1, 1, 3), 9.0, 1.0),
+            ],
+            "ts timestamp, v double, w double",
+        )
+        out = wt(df, "w").resample("1h", on="ts").mean(complete=True)
+        # append a trailing empty bucket by filtering nothing — bucket 2
+        # is the interior gap; leading bucket 0 has a row whose v is
+        # NULL -> mean NULL -> stays NULL (no earlier value)
+        filled = fill_gaps(out, "ts", "interpolate")
+        vals = [r["v"] for r in filled.orderBy("ts").collect()]
+        assert vals[0] is None            # leading NULL stays
+        assert vals[1] == 5.0
+        assert vals[2] == pytest.approx(7.0)   # linear between 5 and 9
+        assert vals[3] == 9.0
+
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import fill_gaps
+
+        sdf = self._gappy(spark)
+        out = wt(sdf, "w").resample("1h", on="ts").mean(complete=True)
+        for method, pd_op in (
+            ("ffill", lambda s: s.ffill()),
+            ("interpolate", lambda s: s.interpolate("linear")),
+        ):
+            got = {
+                r["ts"]: r["v"]
+                for r in fill_gaps(out, "ts", method).collect()
+            }
+            pdf = sdf.toPandas().set_index("ts")["v"].resample("1h").mean()
+            exp = pd_op(pdf)
+            for ts, v in exp.items():
+                g = got[ts.to_pydatetime()]
+                if pd.isna(v):
+                    assert g is None, ts
+                else:
+                    assert g == pytest.approx(v), ts
