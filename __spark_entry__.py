@@ -893,6 +893,7 @@ def _q_ann_topk(spark, sf_dir):
         topk_bruteforce,
         topk_ivf,
         topk_lsh,
+        topk_quantized,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -904,10 +905,15 @@ def _q_ann_topk(spark, sf_dir):
     ivf = topk_ivf(queries, emb, k=5, n_cells=8, nprobe=8, iters=1,
                    corpus_id="vec_id")
     lsh = topk_lsh(queries, emb, k=5, planes=4)
+    # r4: `q8` = int8 scalar-quantized corpus (quantize→dequantize→
+    # exact rerank; deterministic double arithmetic, so the oracle
+    # reproduces codes and ranks)
+    q8 = topk_quantized(queries, emb, k=5)
     return (
         bf.select(F.lit("bf").alias("method"), *cols)
         .unionByName(ivf.select(F.lit("ivf").alias("method"), *cols))
         .unionByName(lsh.select(F.lit("lsh").alias("method"), *cols))
+        .unionByName(q8.select(F.lit("q8").alias("method"), *cols))
     )
 
 
@@ -3601,12 +3607,46 @@ def _ann_lsh_sql(dim: int = 64, planes: int = 4, seed: int = 42,
 
 # bf and ivf(nprobe=all) share the exact-top-k oracle; lsh mirrors the
 # deterministic hyperplane buckets (see _ann_lsh_sql)
+_ANN_Q8_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    cq AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_min(CAST(embedding AS DOUBLE[])) AS lo,
+             list_max(CAST(embedding AS DOUBLE[])) AS hi
+      FROM embeddings
+    ), dq AS (
+      SELECT vec_id,
+             CASE WHEN hi > lo THEN
+               list_transform(e, x -> lo
+                 + CAST(round((x - lo) / (hi - lo) * 255.0, 0) AS INT)
+                   * (hi - lo) / 255.0)
+             ELSE list_transform(e, x -> lo) END AS d
+      FROM cq
+    ), scored AS (
+      SELECT q.query_id, dq.vec_id AS neighbor_id,
+             list_cosine_similarity(dq.d,
+                                    CAST(q.embedding AS DOUBLE[])) AS sim
+      FROM dq CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
 _ORACLE["ann_topk"] = f"""
     SELECT 'bf' AS method, * FROM ({_ANN_EXACT_SQL})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({_ANN_EXACT_SQL})
     UNION ALL
     SELECT 'lsh' AS method, * FROM ({_ann_lsh_sql()})
+    UNION ALL
+    SELECT 'q8' AS method, * FROM ({_ANN_Q8_SQL})
 """
 
 # plain relational mirror of the bucketized range join: a LEFT JOIN

@@ -154,3 +154,78 @@ class TestIVF:
         a = topk_ivf(queries, corpus, k=3, centroids=cents, nprobe=4).collect()
         b = topk_ivf(queries, corpus, k=3, centroids=cents, nprobe=4).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestQuantized:
+    """int8 scalar quantization + quantized top-k (similarity.py)."""
+
+    def test_roundtrip_error_bounded(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = quantize_embedding(F.col("embedding"))
+        err = emb.select(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    dequantize_embedding(q),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("e"),
+            (F.array_max(F.transform(F.col("embedding"),
+                                     lambda x: x.cast("double")))
+             - F.array_min(F.transform(F.col("embedding"),
+                                       lambda x: x.cast("double")))
+             ).alias("rng"),
+        ).collect()
+        for r in err:
+            # max abs error <= half a quantization step
+            assert r["e"] <= r["rng"] / 255.0 / 2.0 + 1e-12, r
+
+    def test_constant_vector(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+
+        df = spark.createDataFrame([([3.0, 3.0, 3.0],)], "embedding array<double>")
+        out = df.select(
+            dequantize_embedding(
+                quantize_embedding(F.col("embedding"))
+            ).alias("d")
+        ).first()["d"]
+        assert out == [3.0, 3.0, 3.0]
+
+    def test_recall_vs_exact(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            topk_bruteforce,
+            topk_quantized,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = topk_bruteforce(queries, emb, k=5)
+        quant = topk_quantized(queries, emb, k=5)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        g = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+        recall = len(e & g) / len(e)
+        assert recall >= 0.9, (recall, e - g)
+
+    def test_plan_broadcast_no_python(self, spark):
+        from pandas_weights_spark.functions.similarity import topk_quantized
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = topk_quantized(queries, emb, k=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
