@@ -779,6 +779,16 @@ def _q_text_metrics(spark, sf_dir):
 
     t = F.col("text")
     lines = duplicate_item_stats(F.split(t, "\n"))
+    # r4: PII/URL surface rides the same row — the raw docs carry no
+    # PII, so a deterministic synthetic contact line is appended and
+    # counted/redacted (redaction pinned via md5 of the scrubbed text)
+    aug = F.concat(
+        t,
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p x"),
+    )
     return _docs(spark, sf_dir).select(
         "doc_id",
         TX.token_count(t).cast("long").alias("n_tokens"),
@@ -792,6 +802,9 @@ def _q_text_metrics(spark, sf_dir):
         top_ngram_char_frac(t, 3).alias("top3_char_frac"),
         dup_ngram_char_frac(t, 5).alias("dup5_char_frac"),
         quality_flags(t)["keep"].alias("keep"),
+        TX.pii_counts(aug)["n_email"].cast("long").alias("n_email"),
+        F.size(TX.extract_urls(aug)).cast("long").alias("n_urls"),
+        F.md5(TX.redact_pii(aug)).alias("red_fp"),
     )
 
 
@@ -803,17 +816,41 @@ def _q_doc_weighted_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir).withColumn(
         "tok_n", token_count(F.col("text"))
     )
-    return (
+    langs = (
         wt(docs, "n_chars")
         .groupby("lang")[["tok_n"]]
         .agg_all(["count", "mean", "var"])
         .select(
-            "lang",
-            F.col("tok_n_count").alias("w_count"),
-            F.col("tok_n_mean").alias("w_mean"),
-            F.col("tok_n_var").alias("w_var"),
+            F.lit("lang").alias("kind"),
+            F.col("lang").alias("key"),
+            F.col("tok_n_count").alias("a"),
+            F.col("tok_n_mean").alias("b"),
+            F.col("tok_n_var").alias("c"),
         )
     )
+    # r4 fold: per-domain corpus stats (text.domain_stats — explode of
+    # extracted URL domains + one aggregate) over the same synthetic
+    # contact line text_metrics appends; weight = n_chars
+    from pandas_weights_spark.functions.text import domain_stats
+
+    aug_docs = _docs(spark, sf_dir).select(
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://s"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p x"),
+        ).alias("text"),
+    )
+    domains = domain_stats(aug_docs, "text", F.col("n_chars")).select(
+        F.lit("domain").alias("kind"),
+        F.col("domain").alias("key"),
+        F.col("n_docs").cast("double").alias("a"),
+        F.col("n_urls").cast("double").alias("b"),
+        F.col("weight_mass").alias("c"),
+    )
+    return langs.unionByName(domains)
 
 
 def _q_minhash_neardup(spark, sf_dir):
@@ -3076,13 +3113,45 @@ def _repetition_sql() -> str:
     """
 
 
+def _pii_sql() -> str:
+    """PII/URL columns on the synthetic-contact-augmented text; the
+    redaction chain mirrors text.redact_pii (sorted kinds, 'g' flag —
+    DuckDB regexp_replace is first-match-only without it)."""
+    from pandas_weights_spark.functions.text import PII_PATTERNS, URL_PATTERN
+
+    red = "aug"
+    for kind in sorted(PII_PATTERNS):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        red = f"regexp_replace({red}, '{pat}', '[PII]', 'g')"
+    email = PII_PATTERNS["email"].replace("'", "''")
+    url = URL_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(aug, '{url}')) AS BIGINT)
+             AS n_urls,
+           md5({red}) AS red_fp
+    FROM (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via https://s'
+                  || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.org/p x' AS aug
+      FROM documents
+    )
+    """
+
+
 _ORACLE["text_metrics"] = f"""
     WITH base AS ({_text_metrics_sql()}),
-         rep AS ({_repetition_sql()})
+         rep AS ({_repetition_sql()}),
+         pii AS ({_pii_sql()})
     SELECT base.*, rep.dup_line_frac, rep.dup_line_char_frac,
            rep.top2_char_frac, rep.top3_char_frac, rep.dup5_char_frac,
-           rep.keep
+           rep.keep, pii.n_email, pii.n_urls, pii.red_fp
     FROM base JOIN rep ON base.doc_id = rep.doc_id
+    JOIN pii ON base.doc_id = pii.doc_id
 """
 
 _ORACLE["doc_weighted_stats"] = """
@@ -3101,9 +3170,17 @@ _ORACLE["doc_weighted_stats"] = """
                   THEN COALESCE(SUM(x * x * w), 0.0) END AS ss
       FROM t GROUP BY lang
     )
-    SELECT lang, c AS w_count, s / c AS w_mean,
-           (ss - s*s/c) / (c - 1) AS w_var
+    SELECT 'lang' AS kind, lang AS key, c AS a, s / c AS b,
+           (ss - s*s/c) / (c - 1) AS c
     FROM m
+    UNION ALL
+    SELECT 'domain' AS kind, 's' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.org' AS key,
+           CAST(COUNT(*) AS DOUBLE) AS a,
+           CAST(COUNT(*) AS DOUBLE) AS b,
+           SUM(CAST(n_chars AS DOUBLE)) AS c
+    FROM documents
+    GROUP BY doc_id % 7
 """
 
 

@@ -12,7 +12,9 @@ into the scan stage at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -29,6 +31,13 @@ __all__ = [
     "BPE_TOKEN_PATTERN",
     "bpe_token_count",
     "tfidf_top_terms",
+    "PII_PATTERNS",
+    "URL_PATTERN",
+    "pii_counts",
+    "redact_pii",
+    "extract_urls",
+    "url_domain",
+    "domain_stats",
 ]
 
 
@@ -241,4 +250,78 @@ def tfidf_top_terms(
             F.round(F.col("__score__"), 6).alias("tfidf"),
             "rank",
         )
+    )
+
+
+#: Conservative PII patterns, expressible identically in Java regex
+#: (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+URL_PATTERN = r"https?://[^\s<>\"']+"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (``n_email``, ``n_phone``, ``n_ipv4``,
+    ``n_ssn``) — row-local ``regexp_count``, no shuffle."""
+    return {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(
+    text: Column, kinds: Optional[Sequence[str]] = None, token: str = "[PII]"
+) -> Column:
+    """Replace every PII match with ``token`` — the scrubbing step of a
+    training-data pipeline. ``kinds`` defaults to all of
+    :data:`PII_PATTERNS` (applied in name order, deterministically).
+    Row-local ``regexp_replace`` chain; no UDF."""
+    out = text
+    for kind in sorted(kinds if kinds is not None else PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text as ``array<string>`` (row-local)."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable host of a URL (lowercased authority, port stripped) —
+    the key for per-domain corpus statistics."""
+    host = F.regexp_extract(url, r"^https?://([^/:?#]+)", 1)
+    return F.lower(host)
+
+
+def domain_stats(
+    df: DataFrame,
+    text_col: str,
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Per-domain corpus statistics: explode every URL's domain and
+    aggregate ``(domain, n_docs, n_urls, weight_mass)`` — the standard
+    per-source quality/quota table of a web-corpus pipeline. One
+    explode + one map-side-combining aggregate; domains are the
+    natural shuffle key (heavy-tailed: AQE handles the skew)."""
+    w = weight if weight is not None else F.lit(1.0)
+    t = F.col(text_col)
+    rows = df.select(
+        w.alias("__w__"),
+        F.explode(
+            F.array_distinct(
+                F.transform(extract_urls(t), lambda u: url_domain(u))
+            )
+        ).alias("domain"),
+        F.size(extract_urls(t)).alias("__nu__"),
+    )
+    return rows.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nu__").cast("long").alias("n_urls"),
+        F.sum("__w__").alias("weight_mass"),
     )

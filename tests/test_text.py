@@ -96,3 +96,94 @@ class TestBpeTokens:
         ]
         # Hello , world ! It 's 2024 → 7 ; "" → 0 ; one - two → 3
         assert got == [7, 0, 3]
+
+
+class TestPIIAndURLs:
+    """PII counts/redaction + URL/domain extraction (text.py)."""
+
+    SAMPLE = (
+        "Contact alice.smith+x@corp.example.com or call 555-123-4567. "
+        "Server at 10.0.42.7, SSN 123-45-6789. "
+        "See https://docs.example.org/guide?x=1 and http://mirror.net/a b"
+    )
+
+    def test_pii_counts(self, spark):
+        from pandas_weights_spark.functions.text import pii_counts
+
+        df = spark.createDataFrame([(self.SAMPLE,)], "text string")
+        c = pii_counts(F.col("text"))
+        r = df.select(*[v.alias(k) for k, v in c.items()]).first()
+        assert r["n_email"] == 1
+        assert r["n_phone"] == 1
+        assert r["n_ipv4"] == 1
+        assert r["n_ssn"] == 1
+
+    def test_redaction_removes_all(self, spark):
+        from pandas_weights_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame([(self.SAMPLE,)], "text string")
+        red = df.select(redact_pii(F.col("text")).alias("t"))
+        r = red.select(
+            *[v.alias(k) for k, v in pii_counts(F.col("t")).items()], "t"
+        ).first()
+        assert r["n_email"] == 0 and r["n_ssn"] == 0 and r["n_ipv4"] == 0
+        assert "[PII]" in r["t"]
+        assert "alice" not in r["t"] and "4567" not in r["t"]
+
+    def test_redact_kind_subset(self, spark):
+        from pandas_weights_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame([(self.SAMPLE,)], "text string")
+        r = df.select(redact_pii(F.col("text"), kinds=["email"]).alias("t")).first()
+        assert "@" not in r["t"]
+        assert "123-45-6789" in r["t"]  # ssn untouched
+
+    def test_urls_and_domains(self, spark):
+        from pandas_weights_spark.functions.text import extract_urls, url_domain
+
+        df = spark.createDataFrame([(self.SAMPLE,)], "text string")
+        r = df.select(
+            extract_urls(F.col("text")).alias("u"),
+            F.transform(
+                extract_urls(F.col("text")), lambda u: url_domain(u)
+            ).alias("d"),
+        ).first()
+        assert r["u"] == [
+            "https://docs.example.org/guide?x=1",
+            "http://mirror.net/a",
+        ]
+        assert r["d"] == ["docs.example.org", "mirror.net"]
+
+    def test_domain_stats(self, spark):
+        from pandas_weights_spark.functions.text import domain_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "see https://a.com/x and https://a.com/y", 2.0),
+                (2, "https://a.com/z plus https://b.org/1", 3.0),
+                (3, "no urls here", 1.0),
+            ],
+            "id long, text string, w double",
+        )
+        out = {
+            r["domain"]: r
+            for r in domain_stats(df, "text", F.col("w")).collect()
+        }
+        assert out["a.com"]["n_docs"] == 2
+        assert out["a.com"]["weight_mass"] == 5.0
+        # n_urls counts ALL urls of docs mentioning the domain
+        assert out["b.org"]["n_docs"] == 1
+        assert "no" not in out
+
+    def test_row_local_no_python(self, spark):
+        from pandas_weights_spark.functions.text import pii_counts, redact_pii
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        c = pii_counts(F.col("text"))
+        df = docs.select(
+            redact_pii(F.col("text")).alias("t"),
+            *[v.alias(k) for k, v in c.items()],
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
