@@ -1327,6 +1327,13 @@ def _q_group_transforms(spark, sf_dir):
         order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"],
         partition_by=["l_returnflag"],
     )
+    # r4: rank family rides along — rank/dense/percent over the TIED
+    # shipdate order (tie semantics deterministic in any engine),
+    # row_number/cumcount/cummass over the total order (cummass on the
+    # integral quantity: exact running sums in any order)
+    tied = wt(li, _W).ordered(
+        order_by=["l_shipdate"], partition_by=["l_returnflag"]
+    )
     return t.assemble(
         lag_price=t.col("l_extendedprice", "shift"),
         diff_price=t.col("l_extendedprice", "diff"),
@@ -1334,6 +1341,11 @@ def _q_group_transforms(spark, sf_dir):
         ffill_price=t.col("price_n", "ffill"),
         bfill_price=t.col("price_n", "bfill"),
         cum_mass=t.col("price_c", "cumsum"),
+        rk=tied.rank_col("rank").cast("long"),
+        drk=tied.rank_col("dense_rank").cast("long"),
+        prk=tied.rank_col("percent_rank"),
+        rn=t.rank_col("row_number").cast("long"),
+        cmass=t.rank_col("cummass"),
     )
 
 
@@ -3869,11 +3881,19 @@ _ORACLE["group_transforms"] = """
            CASE WHEN xc IS NOT NULL AND w IS NOT NULL THEN
              SUM(CASE WHEN xc IS NOT NULL AND w IS NOT NULL
                       THEN w * xc END) OVER owr
-           END AS cum_mass
+           END AS cum_mass,
+           CAST(RANK() OVER tw AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER tw AS BIGINT) AS drk,
+           PERCENT_RANK() OVER tw AS prk,
+           CAST(ROW_NUMBER() OVER ow AS BIGINT) AS rn,
+           SUM(CASE WHEN w > 0 THEN CAST(w AS DOUBLE) ELSE 0.0 END)
+             OVER owr AS cmass
     FROM t
     WINDOW ow AS (PARTITION BY l_returnflag
                   ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
                            l_linenumber NULLS FIRST, l_partkey NULLS FIRST),
+           tw AS (PARTITION BY l_returnflag
+                  ORDER BY l_shipdate NULLS FIRST),
            owr AS (PARTITION BY l_returnflag
                    ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
                             l_linenumber NULLS FIRST, l_partkey NULLS FIRST

@@ -149,6 +149,45 @@ class OrderedTransform:
         agg = F.max(carrier) if kind == "cummax" else F.min(carrier)
         return F.when(x.isNotNull(), agg.over(run))
 
+    def rank_col(self, kind: str = "rank") -> Column:
+        """Positional statistics along the ordered spec as a composable
+        Column (pandas ``groupby().rank(method=...)`` /
+        ``cumcount()`` analogs): ``rank`` (ties share the min rank),
+        ``dense_rank``, ``percent_rank`` ((rank−1)/(n−1)),
+        ``row_number`` (requires a TOTAL order to be deterministic),
+        ``cumcount`` (row_number − 1), and ``cummass`` (running Σw —
+        the weighted cumcount). All ride the same WindowExec as the
+        value transforms of this spec."""
+        spec = self._spec()
+        if kind == "rank":
+            return F.rank().over(spec)
+        if kind == "dense_rank":
+            return F.dense_rank().over(spec)
+        if kind == "percent_rank":
+            return F.percent_rank().over(spec)
+        if kind == "row_number":
+            return F.row_number().over(spec)
+        if kind == "cumcount":
+            return F.row_number().over(spec) - F.lit(1)
+        if kind == "cummass":
+            w = self._wdf.weights
+            run = spec.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            return F.sum(F.when(w > 0, w).otherwise(F.lit(0.0))).over(run)
+        raise ValueError(
+            f"unknown rank kind {kind!r}; one of rank/dense_rank/"
+            "percent_rank/row_number/cumcount/cummass"
+        )
+
+    def rank(self, kind: str = "rank") -> DataFrame:
+        """Statement form of :meth:`rank_col`: keys + one ``rank``
+        column."""
+        keys = self._keys()
+        return self._wdf.df.select(
+            *keys, self.rank_col(kind).alias("rank")
+        )
+
     # -- statement-style surface -------------------------------------------
 
     def _apply_all(self, kind: str, **kw) -> DataFrame:

@@ -148,3 +148,73 @@ class TestPlanAndGuards:
         t = wt(df, "w").ordered(order_by=["i"], partition_by=["g"])
         with pytest.raises(ValueError, match="unknown transform"):
             t.col("x", "nope")
+
+
+class TestRankTransforms:
+    """rank_col family (transforms.py) vs pandas groupby rank/cumcount."""
+
+    @staticmethod
+    def _df(spark):
+        rows = [
+            ("a", 1, 10.0, 2.0), ("a", 2, 10.0, 1.0), ("a", 3, 30.0, 3.0),
+            ("b", 4, 5.0, 1.0), ("b", 5, 7.0, 0.0), ("b", 6, 7.0, 4.0),
+        ]
+        return spark.createDataFrame(rows, "g string, id long, v double, w double")
+
+    def test_rank_family_with_ties(self, spark):
+        from pandas_weights_spark import wt
+
+        df = self._df(spark)
+        t = wt(df, "w").ordered(order_by=["v"], partition_by=["g"])
+        tot = wt(df, "w").ordered(order_by=["v", "id"], partition_by=["g"])
+        out = {
+            r["id"]: r
+            for r in tot.assemble(
+                id=F.col("id"),
+                rk=t.rank_col("rank"),
+                dr=t.rank_col("dense_rank"),
+                pr=t.rank_col("percent_rank"),
+                rn=tot.rank_col("row_number"),
+                cc=tot.rank_col("cumcount"),
+                cm=tot.rank_col("cummass"),
+            ).collect()
+        }
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [(g, i, v, w) for g, i, v, w in self._df(spark).collect()],
+            columns=["g", "id", "v", "w"],
+        )
+        rk = pdf.groupby("g")["v"].rank("min")
+        dr = pdf.groupby("g")["v"].rank("dense")
+        for row, exp_rk, exp_dr in zip(pdf.itertuples(), rk, dr):
+            assert out[row.id]["rk"] == exp_rk, row
+            assert out[row.id]["dr"] == exp_dr, row
+        # percent_rank: (rank-1)/(n-1) with min-ties — spot check group b
+        assert out[5]["pr"] == pytest.approx(0.5)
+        assert out[6]["pr"] == pytest.approx(0.5)
+        # row_number / cumcount along the total order
+        assert [out[i]["rn"] for i in (1, 2, 3)] == [1, 2, 3]
+        assert [out[i]["cc"] for i in (4, 5, 6)] == [0, 1, 2]
+        # cummass: running positive weight mass (w=0 contributes 0)
+        assert [out[i]["cm"] for i in (4, 5, 6)] == [1.0, 1.0, 5.0]
+
+    def test_shared_windowexec_with_value_transforms(self, spark):
+        from pandas_weights_spark import wt
+
+        df = self._df(spark)
+        t = wt(df, "w").ordered(order_by=["v", "id"], partition_by=["g"])
+        out = t.assemble(
+            lag=t.col("v", "shift"),
+            rk=t.rank_col("rank"),
+            cm=t.rank_col("cummass"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+    def test_bad_kind(self, spark):
+        from pandas_weights_spark import wt
+
+        t = wt(self._df(spark), "w").ordered(order_by=["v"], partition_by=["g"])
+        with pytest.raises(ValueError, match="unknown rank kind"):
+            t.rank_col("median")
