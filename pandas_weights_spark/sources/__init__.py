@@ -113,3 +113,53 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".txt": "text",
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    format: str | None = None,
+    schema: str | None = None,
+    **options,
+):
+    """Format-dispatching reader: parquet / orc / csv / tsv / json(l) /
+    text by extension (or explicit ``format=``).
+
+    Scale guidance encoded as defaults: CSV/JSON get
+    ``schema`` PASSED THROUGH when given — at 100 TB ``inferSchema``
+    costs a full extra scan of the data, so an explicit DDL schema is
+    strongly preferred; without one, CSV falls back to header +
+    inference (correct, logged by Spark as a separate job). TSV sets
+    the tab separator. All other reader options pass through.
+    """
+    fmt = format
+    if fmt is None:
+        _, ext = os.path.splitext(path.rstrip("/"))
+        fmt = _EXT_FORMATS.get(ext.lower())
+        if fmt is None:
+            raise ValueError(
+                f"cannot infer format from {path!r}; pass format="
+            )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+        if path.rstrip("/").lower().endswith(".tsv"):
+            options.setdefault("sep", "\t")
+    return reader.options(**options).format(fmt).load(path)
