@@ -1434,7 +1434,16 @@ def _q_grouped_apply(spark, sf_dir):
             " 'var', w_var, 'std', w_std) AS (stat, val)"
         ),
     ).select("kind", "key", "stat", "val")
-    return ap.unionByName(ev)
+    # r4 fold: the elementwise mapInPandas series apply rides along as
+    # keyless tagged rows (multiset value compare needs no row id;
+    # freed a driver slot for chunk_docs — coverage unchanged)
+    se = _q_series_apply(spark, sf_dir).select(
+        F.lit("series").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit("plus2").alias("stat"),
+        F.col("wprice_plus2").alias("val"),
+    )
+    return ap.unionByName(ev).unionByName(se)
 
 
 def _q_series_apply(spark, sf_dir):
@@ -1500,6 +1509,21 @@ def _q_calibration(spark, sf_dir):
     ).select("kind", "k1", F.lit(None).cast("string").alias("k2"), "val")
     return cells.unionByName(diag).select(
         "kind", "k1", "k2", F.round(F.col("val"), 6).alias("val")
+    )
+
+
+def _q_chunk_docs(spark, sf_dir):
+    # sliding-window document chunking (packing.chunk_documents):
+    # 16-token chunks, 4-token overlap — complete coverage, chunk_id
+    # derived from the start offset. The chunk text is pinned via md5
+    # so the oracle checks content, not just counts.
+    from pandas_weights_spark.functions.packing import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=16, overlap=4
+    ).select(
+        "doc_id", "chunk_id", "n_tokens", F.md5(F.col("chunk_text")).alias("fp")
     )
 
 
@@ -2865,8 +2889,11 @@ _ORACLE["grouped_apply"] = """
     )
 """
 
-_ORACLE["series_apply"] = """
-    SELECT l_extendedprice * l_quantity + 2.0 AS wprice_plus2 FROM lineitem
+_ORACLE["grouped_apply"] += """
+    UNION ALL
+    SELECT 'series' AS kind, CAST(NULL AS VARCHAR) AS key,
+           'plus2' AS stat, l_extendedprice * l_quantity + 2.0 AS val
+    FROM lineitem
 """
 
 def _calibration_sql(iters: int = 3) -> str:
@@ -2925,6 +2952,22 @@ def _calibration_sql(iters: int = 3) -> str:
 
 
 _ORACLE["calibration"] = _calibration_sql()
+
+_ORACLE["chunk_docs"] = """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(1, len(w) - 4) + 1, 12)) AS st
+      FROM d
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 12 AS BIGINT) AS chunk_id,
+           CAST(least(16, len(w) - st + 1) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[st:st+15], ' ')) AS fp
+    FROM s
+"""
 
 
 def _ngram_list_sql(n: int, words: str = "w") -> str:
@@ -4201,7 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_stats": _q_window_stats,
         "star_join_mean": _q_star_join_mean,
         "grouped_apply": _q_grouped_apply,
-        "series_apply": _q_series_apply,
+        "chunk_docs": _q_chunk_docs,
         "decontam": _q_decontam,
         "calibration": _q_calibration,
         "session_agg": _q_session_agg,

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark.sample import uniform_hash
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(
@@ -70,4 +70,58 @@ def pack_sequences(
         (F.col("bucket").cast("long") * F.lit(1_000_000_000)
          + F.floor(start / F.lit(budget))).alias("pack_id"),
         (start % F.lit(budget)).alias("pack_offset"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-token sliding chunks with overlap —
+    the context-window preprocessing step every LLM pipeline runs
+    before packing: ``(id, chunk_id, n_tokens, chunk_text)``.
+
+    Chunks start every ``chunk_tokens − overlap`` tokens while the
+    start is ≤ n − overlap, which guarantees complete coverage (the
+    last chunk reaches the final token) with no chunk fully contained
+    in its predecessor; a document of ≤ ``chunk_tokens`` tokens yields
+    itself as one chunk. Whitespace tokenization (text.tokens).
+
+    Row-local construction (sequence of starts + per-start slice) then
+    ONE posexplode — the shuffle-free fan-out shape; chunk_id derives
+    from the start offset, not array position, so the output is
+    deterministic without ordering.
+    """
+    from pandas_weights_spark.functions.text import tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / F.lit(step)).cast("long").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), n - s + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c__")
+    ).select(
+        id_col,
+        F.col("__c__.chunk_id").alias("chunk_id"),
+        F.col("__c__.n_tokens").alias("n_tokens"),
+        F.col("__c__.chunk_text").alias("chunk_text"),
     )

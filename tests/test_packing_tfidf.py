@@ -97,3 +97,64 @@ class TestTfidf:
         out = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
         top0 = [r for r in out if r["doc_id"] == 0][0]
         assert top0["term"] == "apple"
+
+
+class TestChunkDocuments:
+    """Sliding-window chunking (packing.chunk_documents)."""
+
+    def test_coverage_and_overlap(self, spark):
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=4)
+        rows = sorted(out.collect(), key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == [0, 1]
+        assert rows[0]["chunk_text"].split() == [f"w{i}" for i in range(1, 9)]
+        assert rows[1]["chunk_text"].split() == [f"w{i}" for i in range(5, 11)]
+        assert rows[0]["n_tokens"] == 8 and rows[1]["n_tokens"] == 6
+        # complete coverage: union of chunk tokens == all tokens
+        seen = set()
+        for r in rows:
+            seen.update(r["chunk_text"].split())
+        assert seen == {f"w{i}" for i in range(1, 11)}
+
+    def test_short_doc_single_chunk(self, spark):
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=4)
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk_text"] == "a b c" and rows[0]["n_tokens"] == 3
+
+    def test_exact_boundary_no_degenerate_tail(self, spark):
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(8))  # exactly chunk_tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=4)
+        assert out.count() == 1
+
+    def test_every_token_within_chunk_budget(self, spark):
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = chunk_documents(docs, "text", "doc_id", chunk_tokens=16,
+                              overlap=4)
+        bad = out.where(
+            (F.col("n_tokens") > 16) | (F.col("n_tokens") < 1)
+        ).count()
+        assert bad == 0
+        # chunk token counts match the text
+        mism = out.where(
+            F.size(F.split(F.col("chunk_text"), r"\s+")) != F.col("n_tokens")
+        ).count()
+        assert mism == 0
+
+    def test_overlap_validation(self, spark):
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
