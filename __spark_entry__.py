@@ -1169,8 +1169,23 @@ def _q_weighted_tests(spark, sf_dir):
             "AS (metric, value)"
         ),
     )
+    # Mann–Whitney U reported as the AUC effect size u/(n_a·n_b):
+    # the raw U is ~1e11 at sf0.01, where summation-order ulps exceed
+    # ROUND 6's absolute tolerance; the normalized form (and z, whose
+    # denominator absorbs the fuzz) compare cleanly
+    from pandas_weights_spark.quantile import weighted_mannwhitney
+
+    mw = weighted_mannwhitney(
+        wt(li, _W), "l_extendedprice", "l_returnflag", "A", "R"
+    ).select(
+        F.lit("mwu").alias("test"),
+        F.expr(
+            "stack(4, 'auc', u_stat / (n_a * n_b), 'z_stat', z_stat, "
+            "'n_a', n_a, 'n_b', n_b) AS (metric, value)"
+        ),
+    )
     out = tl.unionByName(cl)
-    for part in (al, el, ml, gl, kl):
+    for part in (al, el, ml, gl, kl, mw):
         out = out.unionByName(part)
     return out.select(
         "test", "metric", F.round(F.col("value"), 6).alias("value")
@@ -3578,6 +3593,37 @@ _ORACLE["weighted_tests"] = """
       SELECT 'ks_stat' AS metric, d AS value FROM ks
       UNION ALL SELECT 'n_a', na FROM ks
       UNION ALL SELECT 'n_b', nb FROM ks
+    )
+    UNION ALL
+    SELECT 'mwu' AS test, metric, ROUND(value, 6) AS value FROM (
+      WITH msrc AS (
+        SELECT l_extendedprice AS x,
+               CASE WHEN l_returnflag = 'A' AND l_quantity > 0
+                     AND l_extendedprice IS NOT NULL
+                    THEN l_quantity ELSE 0 END AS ma,
+               CASE WHEN l_returnflag = 'R' AND l_quantity > 0
+                     AND l_extendedprice IS NOT NULL
+                    THEN l_quantity ELSE 0 END AS mb
+        FROM lineitem
+      ), mc AS (
+        SELECT x, ma,
+               SUM(mb) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cwb,
+               SUM(mb) OVER (ORDER BY x RANGE BETWEEN CURRENT ROW
+                             AND CURRENT ROW) AS atb,
+               SUM(ma) OVER () AS Wa, SUM(mb) OVER () AS Wb
+        FROM msrc
+      ), mw AS (
+        SELECT SUM(ma * ((cwb - atb) + atb / 2.0)) AS u,
+               MIN(Wa) AS na, MIN(Wb) AS nb
+        FROM mc
+      )
+      SELECT 'auc' AS metric, u / (na * nb) AS value FROM mw
+      UNION ALL SELECT 'z_stat',
+        (u - na * nb / 2.0)
+          / sqrt(na * nb * (na + nb + 1.0) / 12.0) FROM mw
+      UNION ALL SELECT 'n_a', na FROM mw
+      UNION ALL SELECT 'n_b', nb FROM mw
     )
 """
 

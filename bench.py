@@ -38,6 +38,7 @@ HEADLINE = [
     "text_metrics",        # tokenize/lang-id/quality/fingerprint
     "doc_quality",         # Gopher repetition panel + rule-filter flags
     "decontam",            # 13-gram benchmark containment (broadcast set)
+    "chunk_docs",          # sliding-window token chunking (posexplode)
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
     "ngram_jaccard",       # exact jaccard via shingle inverted index
     "embedding_neardup",   # hyperplane-LSH buckets + exact cosine verify

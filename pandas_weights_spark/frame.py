@@ -588,6 +588,24 @@ class WeightedDataFrame:
             keys=list(by or []), bands=bands,
         )
 
+    def mannwhitney(
+        self,
+        col: str,
+        group_col: str,
+        group_a,
+        group_b,
+        by: Optional[Sequence[str]] = None,
+        bands: int = 256,
+    ) -> DataFrame:
+        """Weighted Mann–Whitney U / rank-sum statistic — see
+        quantile.py (banded prefix collapse of the pairwise sum)."""
+        from pandas_weights_spark.quantile import weighted_mannwhitney
+
+        return weighted_mannwhitney(
+            self, col, group_col, group_a, group_b,
+            keys=list(by or []), bands=bands,
+        )
+
     def linfit(
         self,
         x_col: str,

@@ -41,6 +41,7 @@ __all__ = [
     "quantile_col_name",
     "weighted_gini",
     "weighted_ks",
+    "weighted_mannwhitney",
 ]
 
 
@@ -659,6 +660,79 @@ def weighted_ks(
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("ks_stat")).alias(
             "ks_stat"
         ),
+        "n_a",
+        "n_b",
+    )
+
+
+def weighted_mannwhitney(
+    wdf,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    keys: Sequence[str] = (),
+    bands: int = 256,
+) -> DataFrame:
+    """Weighted Mann–Whitney U (rank-sum) statistic between the rows
+    where ``group_col == group_a`` vs ``== group_b``: ``(keys…,
+    u_stat, z_stat, n_a, n_b)``.
+
+    Frequency-weight generalization of the pairwise definition:
+    U = Σ_{i∈A} Σ_{j∈B} wᵢwⱼ·([xᵢ > xⱼ] + ½[xᵢ = xⱼ]), which
+    collapses to per-A-row prefix masses of the B sample —
+    Σ_A wᵢ·(B-mass strictly below xᵢ + ½·B-mass at xᵢ). Strictly-below
+    and at-value masses both come from the same banded WindowExec the
+    CDF/KS family uses (inclusive cum + a RANGE(0,0) tie frame), so
+    this is one banded pass + one aggregate — no whole-group sort on
+    one task. ``z_stat`` is the large-sample normal approximation
+    (no tie correction): (U − n_a·n_b/2)/√(n_a·n_b·(n_a+n_b+1)/12).
+    """
+    from pandas_weights_spark.frame import WEIGHT_COL  # noqa: F401
+    from pandas_weights_spark.groupby import _join_group_stats  # noqa: F401
+
+    w = wdf.weights
+    x = wdf._value(col)
+    ok = x.isNotNull() & w.isNotNull() & (w > 0)
+    ma = F.when(ok & F.col(group_col).eqNullSafe(F.lit(group_a)), w).otherwise(
+        F.lit(0.0)
+    )
+    mb = F.when(ok & F.col(group_col).eqNullSafe(F.lit(group_b)), w).otherwise(
+        F.lit(0.0)
+    )
+    frame, cums, tots = _banded_cums(
+        wdf, col, list(keys), {"a": ma, "b": mb}, bands=bands
+    )
+    kcF = [F.col(k) for k in keys]
+    at_win = (
+        Window.partitionBy(*kcF, F.col("__band__"))
+        .orderBy(x)
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    b_at = F.sum(mb).over(at_win)
+    b_below = F.col(cums["b"]) - b_at  # inclusive cum minus ties at x
+    # window exprs must materialize before the aggregate sees them
+    staged = frame.select(
+        *kcF,
+        (ma * (b_below + b_at / F.lit(2.0))).alias("__contrib__"),
+        F.col(tots["a"]).alias("__ta__"),
+        F.col(tots["b"]).alias("__tb__"),
+    )
+    agg = staged.groupBy(*kcF).agg(
+        F.sum("__contrib__").alias("u_stat"),
+        F.min("__ta__").alias("n_a"),
+        F.min("__tb__").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt(na * nb * (na + nb + F.lit(1.0)) / F.lit(12.0))
+    return agg.select(
+        *keys,
+        F.when((na > 0) & (nb > 0), F.col("u_stat")).alias("u_stat"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.try_divide(F.col("u_stat") - mu, sigma),
+        ).alias("z_stat"),
         "n_a",
         "n_b",
     )

@@ -236,3 +236,75 @@ class TestKS:
         df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w int")
         out = weighted_ks(wt(df, "w"), "v", "g", "a", "b").collect()[0]
         assert out["ks_stat"] is None
+
+
+def _mwu_ref(a, aw, b, bw):
+    u = 0.0
+    for xa, wa in zip(a, aw):
+        for xb, wb in zip(b, bw):
+            if xa > xb:
+                u += wa * wb
+            elif xa == xb:
+                u += wa * wb / 2.0
+    return u
+
+
+class TestMannWhitney:
+    def test_matches_pairwise_reference(self, df, rows):
+        from pandas_weights_spark.quantile import weighted_mannwhitney
+
+        out = weighted_mannwhitney(
+            wt(df, "w"), "v", "grp", "a", "b"
+        ).collect()[0]
+        a = [(v, w) for g, c, v, w in rows if g == "a"]
+        b = [(v, w) for g, c, v, w in rows if g == "b"]
+        exp = _mwu_ref([v for v, w in a], [w for v, w in a],
+                       [v for v, w in b], [w for v, w in b])
+        assert out["u_stat"] == pytest.approx(exp, rel=1e-9)
+        na, nb = sum(w for _, w in a), sum(w for _, w in b)
+        mu = na * nb / 2
+        sg = math.sqrt(na * nb * (na + nb + 1) / 12)
+        assert out["z_stat"] == pytest.approx((exp - mu) / sg, rel=1e-9)
+
+    def test_matches_scipy_convention_on_replication(self, spark):
+        # frequency weights == replication: compare against the
+        # pairwise count on expanded data
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = [("ab"[i % 2], float(rng.normal(i % 2, 1)), int(rng.integers(1, 4)))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "g string, v double, w int")
+        from pandas_weights_spark.quantile import weighted_mannwhitney
+
+        out = weighted_mannwhitney(wt(df, "w"), "v", "g", "a", "b").collect()[0]
+        a = [v for g, v, w in rows if g == "a" for _ in range(w)]
+        b = [v for g, v, w in rows if g == "b" for _ in range(w)]
+        exp = _mwu_ref(a, [1] * len(a), b, [1] * len(b))
+        assert out["u_stat"] == pytest.approx(exp, rel=1e-9)
+
+    def test_ties_half_credit(self, spark):
+        from pandas_weights_spark.quantile import weighted_mannwhitney
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("b", 1.0, 3.0)], "g string, v double, w double"
+        )
+        out = weighted_mannwhitney(wt(df, "w"), "v", "g", "a", "b").collect()[0]
+        assert out["u_stat"] == pytest.approx(3.0)  # 2*3/2
+
+    def test_empty_side_null(self, spark):
+        from pandas_weights_spark.quantile import weighted_mannwhitney
+
+        df = spark.createDataFrame([("a", 1.0, 1.0)], "g string, v double, w double")
+        out = weighted_mannwhitney(wt(df, "w"), "v", "g", "a", "b").collect()[0]
+        assert out["u_stat"] is None and out["z_stat"] is None
+
+    def test_banded_plan(self, df):
+        from pandas_weights_spark.quantile import weighted_mannwhitney
+
+        out = weighted_mannwhitney(wt(df, "w"), "v", "grp", "a", "b",
+                                   keys=["cat"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "__band__" in s, s
