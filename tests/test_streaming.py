@@ -555,3 +555,70 @@ class TestStreamingHeavyHitters:
             streaming_heavy_hitters(stream, "grp", "w", capacity=0)
         with pytest.raises(ValueError, match="num_shards"):
             streaming_heavy_hitters(stream, "grp", "w", num_shards=0)
+
+
+class TestStreamingTextPipeline:
+    """The row-local text surface (quality flags, repetition metrics,
+    PII redaction, chunking) is stateless, so it must run unchanged on
+    a stream — the filter/scrub stage of a streaming ingestion
+    pipeline."""
+
+    def test_quality_and_redaction_match_batch(self, spark, tmp_path):
+        from pandas_weights_spark.functions.quality import quality_flags
+        from pandas_weights_spark.functions.text import pii_counts, redact_pii
+
+        rows = [
+            (1, "the quick brown fox jumps to be of and that have with "
+                + " ".join(f"w{i}" for i in range(60))),
+            (2, "short doc with alice@example.com inside"),
+            (3, "- bullet\n- bullet\n- bullet"),
+        ]
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(d)
+
+        def pipeline(df):
+            fl = quality_flags(F.col("text"))
+            return df.select(
+                "doc_id",
+                fl["keep"].alias("keep"),
+                pii_counts(F.col("text"))["n_email"].alias("n_email"),
+                F.md5(redact_pii(F.col("text"))).alias("red_fp"),
+            )
+
+        batch = {r["doc_id"]: r for r in pipeline(spark.read.parquet(d)).collect()}
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        q = (
+            pipeline(stream)
+            .writeStream.format("memory")
+            .queryName("txtpipe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM txtpipe").collect()}
+        assert got.keys() == batch.keys()
+        for k in batch:
+            assert got[k] == batch[k]
+
+    def test_chunking_streams(self, spark, tmp_path):
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        d = str(tmp_path / "docs2")
+        spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(40)))],
+            "doc_id long, text string",
+        ).write.parquet(d)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        out = chunk_documents(stream, "text", "doc_id", chunk_tokens=16,
+                              overlap=4)
+        q = (
+            out.writeStream.format("memory").queryName("chunkpipe")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM chunkpipe").collect()
+        batch = chunk_documents(
+            spark.read.parquet(d), "text", "doc_id", chunk_tokens=16, overlap=4
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
