@@ -1522,7 +1522,22 @@ def _q_calibration(spark, sf_dir):
             "'n_eff', n_eff, 'deff', deff, 'cv_w', cv_w) AS (k1, val)"
         ),
     ).select("kind", "k1", F.lit(None).cast("string").alias("k2"), "val")
-    return cells.unionByName(diag).select(
+    # r4: Poisson-bootstrap SE of the quantity-weighted mean price
+    # (calibration.bootstrap_se — replicate-exploded md5 draws, B+1
+    # hash-agg groups); deterministic, so the oracle replays the draws
+    from pandas_weights_spark.calibration import bootstrap_se
+
+    boot = bootstrap_se(
+        li, "l_quantity", "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], n_replicates=20, seed=42,
+    ).select(
+        F.lit("boot").alias("kind"),
+        F.expr(
+            "stack(2, 'estimate', estimate, 'se_boot', se_boot) "
+            "AS (k1, val)"
+        ),
+    ).select("kind", "k1", F.lit(None).cast("string").alias("k2"), "val")
+    return cells.unionByName(diag).unionByName(boot).select(
         "kind", "k1", "k2", F.round(F.col("val"), 6).alias("val")
     )
 
@@ -2966,7 +2981,49 @@ def _calibration_sql(iters: int = 3) -> str:
 """
 
 
-_ORACLE["calibration"] = _calibration_sql()
+def _bootstrap_sql(B: int = 20, seed: int = 42) -> str:
+    """Replays calibration.bootstrap_se: md5 uniforms (sample.py's
+    uniform_hash mirror) → Poisson(1) inverse-CDF multipliers →
+    per-replicate sums → stddev of replicate means."""
+    from pandas_weights_spark.calibration import _POISSON1_CDF
+    from pandas_weights_spark.sample import uniform_hash_sql
+
+    u = uniform_hash_sql(
+        ["l_orderkey", "l_linenumber", f"{seed} + r"], seed=seed
+    )
+    case = "CASE " + " ".join(
+        f"WHEN {u} < {_POISSON1_CDF[k]!r} THEN {k}.0" for k in range(9)
+    ) + " ELSE 8.0 END"
+    return f"""
+    SELECT 'boot' AS kind, v.k1, CAST(NULL AS VARCHAR) AS k2,
+           ROUND(v.val, 6) AS val
+    FROM (
+      WITH bsrc AS (
+        SELECT CASE WHEN l_extendedprice IS NOT NULL
+                     AND l_quantity IS NOT NULL AND l_quantity > 0
+                    THEN CAST(l_quantity AS DOUBLE) ELSE 0.0 END AS m,
+               l_extendedprice AS x, l_orderkey, l_linenumber, g.r
+        FROM lineitem, (SELECT unnest(range(-1, {B})) AS r) g
+      ), bmul AS (
+        SELECT m, x, r,
+               CASE WHEN r < 0 THEN 1.0 ELSE {case} END AS mu
+        FROM bsrc
+      ), bper AS (
+        SELECT r, SUM(m * mu) AS w, SUM(m * mu * x) AS s
+        FROM bmul GROUP BY r
+      ), bt AS (
+        SELECT MAX(CASE WHEN r < 0 THEN s / w END) AS est,
+               stddev_samp(CASE WHEN r >= 0 THEN s / w END) AS se
+        FROM bper
+      )
+      SELECT est, se FROM bt
+    ) t, LATERAL (VALUES ('estimate', t.est), ('se_boot', t.se)) AS v(k1, val)
+"""
+
+
+_ORACLE["calibration"] = (
+    _calibration_sql() + " UNION ALL " + _bootstrap_sql()
+)
 
 _ORACLE["chunk_docs"] = """
     WITH d AS (

@@ -35,6 +35,7 @@ dimension IS post-stratification (exact in one step, exposed as
 
 from __future__ import annotations
 
+from math import factorial as _fact
 from typing import Dict, Mapping, Optional, Tuple, Union
 
 from pyspark.sql import Column, DataFrame
@@ -44,6 +45,8 @@ __all__ = [
     "rake_weights",
     "poststratify_weights",
     "weight_diagnostics",
+    "bootstrap_se",
+    "poisson1_multiplier",
 ]
 
 MarginSpec = Mapping[object, float]
@@ -292,4 +295,82 @@ def weight_diagnostics(
             "cv_w"
         ),
         "min_w", "max_w",
+    )
+
+
+#: P(Poisson(1) <= k) thresholds for the inverse-CDF draw; k caps at 8
+#: (P(X > 8) ~ 1e-6 — one lost count per ~1M rows per replicate).
+_POISSON1_CDF: tuple = tuple(
+    sum(2.718281828459045 ** -1 / _fact(k) for k in range(j + 1))
+    for j in range(9)
+)
+
+
+def poisson1_multiplier(u: Column) -> Column:
+    """Poisson(1) draw from a uniform in (0,1) via the inverse CDF —
+    the per-row replicate multiplier of the Poisson bootstrap."""
+    expr = F.lit(8)
+    for k in range(8, -1, -1):
+        expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_se(
+    df: DataFrame,
+    weight: Union[str, Column],
+    value: str,
+    key_cols: list,
+    n_replicates: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Poisson-bootstrap standard error of the weighted mean: one row
+    with ``estimate`` (the full-sample weighted mean), ``se_boot``
+    (stddev of the replicate means, ddof=1), and ``n_replicates``.
+
+    The classic resampling bootstrap reshuffles the data B times; the
+    Poisson bootstrap multiplies each row's weight by an independent
+    Poisson(1) draw per replicate instead, so no data ever moves:
+    explode a replicate-index array (replicate −1 = the unmultiplied
+    base estimate), draw the multiplier from a deterministic md5
+    uniform of ``key_cols`` + replicate (sample.py's engine-portable
+    uniform_hash), and hash-aggregate on the replicate id — B+1
+    groups, map-side combining, so the shuffle is partitions × (B+1)
+    tiny rows regardless of data size. A final (B+1)-row aggregate
+    yields the SE. (A first cut packed all 2B sums into one aggregate
+    expression list; the serialized plan OOM'd executors at B=100 —
+    the explode shape keeps the plan O(1) in B.)
+    """
+    from pandas_weights_spark.sample import uniform_hash
+
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    x = F.col(value)
+    ok = x.isNotNull() & w.isNotNull() & (w > 0)
+    m = F.when(ok, w.cast("double")).otherwise(F.lit(0.0))
+    rows = df.select(
+        m.alias("__m__"),
+        x.alias("__x__"),
+        *[F.col(c) for c in key_cols],
+        F.explode(
+            F.sequence(F.lit(-1), F.lit(n_replicates - 1))
+        ).alias("__r__"),
+    )
+    u = uniform_hash(
+        [F.col(c) for c in key_cols]
+        + [F.lit(seed).cast("long") + F.col("__r__")],
+        seed=seed,
+    )
+    mult = F.when(
+        F.col("__r__") < 0, F.lit(1.0)
+    ).otherwise(poisson1_multiplier(u).cast("double"))
+    per = rows.groupBy("__r__").agg(
+        F.sum(F.col("__m__") * mult).alias("__w__"),
+        F.sum(F.col("__m__") * mult * F.col("__x__")).alias("__s__"),
+    )
+    mean_r = F.try_divide(F.col("__s__"), F.col("__w__"))
+    return per.agg(
+        F.max(F.when(F.col("__r__") < 0, mean_r)).alias("estimate"),
+        F.stddev_samp(F.when(F.col("__r__") >= 0, mean_r)).alias("se_boot"),
+        F.lit(n_replicates).alias("n_replicates"),
     )

@@ -173,3 +173,55 @@ class TestDiagnostics:
         assert len(rows) == 4
         for r in rows:
             assert r["deff"] >= 1.0 - 1e-12
+
+
+class TestBootstrap:
+    def test_deterministic_and_close_to_analytic(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.calibration import bootstrap_se
+
+        rng = np.random.default_rng(5)
+        rows = [(i, float(rng.normal(50, 10)), float(rng.uniform(0.5, 2)))
+                for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, x double, w double")
+        a = bootstrap_se(df, "w", "x", ["id"], n_replicates=100).collect()[0]
+        b = bootstrap_se(df, "w", "x", ["id"], n_replicates=100).collect()[0]
+        assert a == b  # deterministic draws
+        xs = np.array([x for _, x, _ in rows])
+        ws = np.array([w for _, _, w in rows])
+        mu = (ws * xs).sum() / ws.sum()
+        assert a["estimate"] == pytest.approx(mu, rel=1e-12)
+        # Poisson bootstrap SE ~ sqrt(sum w^2 (x-mu)^2)/W (multiplier
+        # variance 1); B=100 gives ~15% Monte-Carlo noise
+        analytic = float(np.sqrt((ws ** 2 * (xs - mu) ** 2).sum()) / ws.sum())
+        assert 0.6 * analytic < a["se_boot"] < 1.5 * analytic, (
+            a["se_boot"], analytic,
+        )
+
+    def test_one_pass_plan(self, spark):
+        from pandas_weights_spark.calibration import bootstrap_se
+
+        df = spark.createDataFrame([(1, 2.0, 1.0)], "id long, x double, w double")
+        out = bootstrap_se(df, "w", "x", ["id"], n_replicates=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ") <= 1, plan
+
+    def test_seed_changes_draws(self, spark):
+        from pandas_weights_spark.calibration import bootstrap_se
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7), 1.0) for i in range(500)],
+            "id long, x double, w double",
+        )
+        a = bootstrap_se(df, "w", "x", ["id"], n_replicates=20, seed=1).collect()[0]
+        b = bootstrap_se(df, "w", "x", ["id"], n_replicates=20, seed=2).collect()[0]
+        assert a["estimate"] == b["estimate"]
+        assert a["se_boot"] != b["se_boot"]
+
+    def test_min_replicates(self, spark):
+        from pandas_weights_spark.calibration import bootstrap_se
+
+        df = spark.createDataFrame([(1, 2.0, 1.0)], "id long, x double, w double")
+        with pytest.raises(ValueError, match="n_replicates"):
+            bootstrap_se(df, "w", "x", ["id"], n_replicates=1)
