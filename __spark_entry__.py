@@ -1245,14 +1245,39 @@ def _q_linfit(spark, sf_dir):
     out = wt(_li(spark, sf_dir), _W).linfit(
         "l_discount", "l_extendedprice", by=["l_returnflag"]
     )
-    return out.select(
-        "l_returnflag",
-        "n",
-        F.round(F.col("sum_w"), 6).alias("sum_w"),
-        F.round(F.col("slope"), 6).alias("slope"),
-        F.round(F.col("intercept"), 6).alias("intercept"),
-        F.round(F.col("r2"), 6).alias("r2"),
-        F.round(F.col("rmse"), 6).alias("rmse"),
+    one = out.select(
+        F.lit("fit1").alias("kind"),
+        F.col("l_returnflag").alias("key"),
+        F.expr(
+            "stack(6, 'n', CAST(n AS DOUBLE), 'sum_w', sum_w, "
+            "'slope', slope, 'intercept', intercept, 'r2', r2, "
+            "'rmse', rmse) AS (metric, value)"
+        ),
+    )
+    # r4: multiple WLS folded in (regression.weighted_linreg): price ~
+    # discount + tax, normal equations from one aggregate, numpy solve
+    # on the per-group moment rows; the oracle solves the same 3x3
+    # system by Cramer's rule (ROUND 5 absorbs LU-vs-Cramer ulps)
+    from pandas_weights_spark.regression import weighted_linreg
+
+    multi = weighted_linreg(
+        wt(_li(spark, sf_dir), _W), ["l_discount", "l_tax"],
+        "l_extendedprice", by=["l_returnflag"],
+    ).select(
+        F.lit("fit2").alias("kind"),
+        F.col("l_returnflag").alias("key"),
+        F.expr(
+            "stack(5, 'intercept', intercept, 'b_discount', coef[0], "
+            "'b_tax', coef[1], 'r2', r2, 'n', n) AS (metric, value)"
+        ),
+    )
+    # fit2 rounds coarser: LU (numpy) vs Cramer (oracle) agree to
+    # ~1e-4 absolute on the ~1e4-magnitude coefficients
+    return one.unionByName(multi).select(
+        "kind", "key", "metric",
+        F.when(F.col("kind") == "fit2", F.round(F.col("value"), 3))
+        .otherwise(F.round(F.col("value"), 5))
+        .alias("value"),
     )
 
 
@@ -3773,16 +3798,73 @@ _ORACLE["linfit"] = """
                   THEN wy / w - (sxy / sxx) * (wx / w) END AS intercept
       FROM s
     )
-    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           ROUND(w, 6) AS sum_w,
-           ROUND(slope, 6) AS slope,
-           ROUND(intercept, 6) AS intercept,
-           ROUND(CASE WHEN slope IS NOT NULL AND syy > 0
-                 THEN (sxy * sxy) / (sxx * syy) END, 6) AS r2,
-           ROUND(CASE WHEN slope IS NOT NULL AND w > 2.0
-                 THEN sqrt(GREATEST(syy - slope * slope * sxx, 0.0)
-                           / (w - 2.0)) END, 6) AS rmse
-    FROM c
+    SELECT 'fit1' AS kind, l_returnflag AS key, v.metric,
+           ROUND(v.value, 5) AS value
+    FROM c, LATERAL (VALUES
+      ('n', CAST(n AS DOUBLE)),
+      ('sum_w', w),
+      ('slope', slope),
+      ('intercept', intercept),
+      ('r2', CASE WHEN slope IS NOT NULL AND syy > 0
+              THEN (sxy * sxy) / (sxx * syy) END),
+      ('rmse', CASE WHEN slope IS NOT NULL AND w > 2.0
+               THEN sqrt(GREATEST(syy - slope * slope * sxx, 0.0)
+                         / (w - 2.0)) END)
+    ) AS v(metric, value)
+    UNION ALL
+    SELECT 'fit2' AS kind, key, metric, ROUND(value, 3) AS value FROM (
+      WITH m2 AS (
+        SELECT l_returnflag AS key,
+               COUNT(CASE WHEN ok THEN 1 END) AS nrows,
+               SUM(mm) AS w,
+               SUM(mm * x1) AS s1, SUM(mm * x2) AS s2,
+               SUM(mm * x1 * x1) AS s11, SUM(mm * x1 * x2) AS s12,
+               SUM(mm * x2 * x2) AS s22,
+               SUM(mm * y) AS sy, SUM(mm * x1 * y) AS s1y,
+               SUM(mm * x2 * y) AS s2y,
+               SUM(mm * y * y) AS syy
+        FROM (
+          SELECT l_returnflag, l_discount AS x1, l_tax AS x2,
+                 l_extendedprice AS y,
+                 l_discount IS NOT NULL AND l_tax IS NOT NULL
+                   AND l_extendedprice IS NOT NULL
+                   AND l_quantity IS NOT NULL AS ok,
+                 CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL
+                       AND l_extendedprice IS NOT NULL
+                       AND l_quantity IS NOT NULL
+                      THEN CAST(l_quantity AS DOUBLE) ELSE 0.0 END AS mm
+          FROM lineitem
+        ) GROUP BY 1
+      ), cr AS (
+        -- Cramer's rule on the 3x3 normal equations G beta = c
+        SELECT key, nrows, w, sy, s1y, s2y, syy,
+          (w  * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS det,
+          (sy  * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+          (w  * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2)) AS det1,
+          (w  * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2)) AS det2
+        FROM m2
+      ), beta AS (
+        SELECT key, nrows, w, sy, s1y, s2y, syy,
+               det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        FROM cr
+      )
+      SELECT key, v.metric,
+             CASE WHEN nrows >= 4 AND w > 0 THEN v.value END AS value
+      FROM beta, LATERAL (VALUES
+        ('intercept', b0), ('b_discount', b1), ('b_tax', b2),
+        ('r2', 1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                 / (syy - sy * sy / w)),
+        ('n', w)
+      ) AS v(metric, value)
+    )
 """
 
 _ANN_EXACT_SQL = """

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark._stats import corr_moment_exprs
 
-__all__ = ["weighted_linfit", "weighted_linfit_transform"]
+__all__ = ["weighted_linfit", "weighted_linfit_transform", "weighted_linreg"]
 
 
 def _coeff_frame(
@@ -142,3 +142,103 @@ def weighted_linfit_transform(
         fitted.alias(f"{y_col}_fitted"),
         F.when(y.isNotNull(), y - fitted).alias(f"{y_col}_resid"),
     )
+
+
+def weighted_linreg(
+    wdf,
+    x_cols: Sequence[str],
+    y_col: str,
+    by: Optional[Sequence[str]] = None,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Multiple weighted least squares ``y ≈ β₀ + Σ βᵢ·xᵢ`` minimizing
+    ``Σ w·(y − ŷ)²``: ``(by…, intercept, coef (array, x_cols order),
+    r2, n)`` — the k-predictor generalization of
+    :func:`weighted_linfit` (same moment algebra:
+    β = (X'WX)⁻¹X'Wy on the intercept-augmented design).
+
+    Scale shape: the normal-equation moments — (k+1)(k+2)/2 upper-
+    triangle Gram sums + k+1 cross sums — come from ONE hash aggregate
+    with map-side partials over the raw rows; the solve runs in an
+    Arrow-batched applyInPandas over the AGGREGATED frame (one row per
+    group — the tiny table, not the data; numpy lstsq, honoring the
+    engine's "no Python on the hot path" rule). ``ridge`` adds λ to
+    the non-intercept diagonal for ill-conditioned designs. Rows with
+    any NULL among x, y, w carry no mass (pairwise-complete-row mask);
+    a group with fewer mass-carrying rows than k+2 yields NULLs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    xs = list(x_cols)
+    k = len(xs)
+    if k == 0:
+        raise ValueError("x_cols must name at least one predictor")
+    keys = list(by or [])
+    for c in [*xs, y_col, *keys]:
+        if c not in wdf.df.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    w = wdf.weights
+    vals = [wdf._value(c) for c in xs]
+    yv = wdf._value(y_col)
+    ok = yv.isNotNull() & w.isNotNull()
+    for v in vals:
+        ok = ok & v.isNotNull()
+    m = F.when(ok, w.cast("double")).otherwise(F.lit(0.0))
+    design = [F.lit(1.0), *[v.cast("double") for v in vals]]
+    aggs = [F.sum(m).alias("g_0_0")]  # Σw = gram[0][0]
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            if i == 0 and j == 0:
+                continue
+            aggs.append(
+                F.sum(m * design[i] * design[j]).alias(f"g_{i}_{j}")
+            )
+    for i in range(k + 1):
+        aggs.append(F.sum(m * design[i] * yv).alias(f"c_{i}"))
+    aggs.append(F.sum(m * yv * yv).alias("syy"))
+    aggs.append(F.count(F.when(ok, F.lit(1))).alias("nrows"))
+    g = (
+        wdf.df.groupBy(*[F.col(c) for c in keys]).agg(*aggs)
+        if keys
+        else wdf.df.agg(*aggs)
+    )
+
+    out_schema = ", ".join(
+        [*(f"`{c}` {g.schema[c].dataType.simpleString()}" for c in keys),
+         "intercept double", "coef array<double>", "r2 double", "n double"]
+    )
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for _, r in pdf.iterrows():
+            G = np.zeros((k + 1, k + 1))
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    G[i, j] = G[j, i] = r[f"g_{i}_{j}"]
+            c = np.array([r[f"c_{i}"] for i in range(k + 1)])
+            W = G[0, 0]
+            base = {kk: r[kk] for kk in keys}
+            if W <= 0 or r["nrows"] < k + 2:
+                rows.append({**base, "intercept": None, "coef": None,
+                             "r2": None, "n": W})
+                continue
+            A = G.copy()
+            if ridge:
+                A[1:, 1:] += np.eye(k) * ridge
+            try:
+                beta = np.linalg.solve(A, c)
+            except np.linalg.LinAlgError:
+                beta, *_ = np.linalg.lstsq(A, c, rcond=None)
+            sst = r["syy"] - c[0] * c[0] / W
+            sse = r["syy"] - float(beta @ c)
+            r2 = 1.0 - sse / sst if sst > 0 else None
+            rows.append({**base, "intercept": float(beta[0]),
+                         "coef": [float(b) for b in beta[1:]],
+                         "r2": r2, "n": float(W)})
+        return pd.DataFrame(rows)
+
+    grouped = (
+        g.groupBy(*[F.col(c) for c in keys]) if keys else g.groupBy()
+    )
+    return grouped.applyInPandas(solve, out_schema)

@@ -119,3 +119,120 @@ class TestGuardsAndTransform:
         tr = wt(df, "w").linfit_transform("x", "y", by=["g"])
         assert "Window" not in P.physical_plan(tr)
         assert not P.has_python_eval(tr)
+
+
+class TestLinreg:
+    """Multiple WLS (regression.weighted_linreg) vs numpy lstsq on
+    weight-expanded data."""
+
+    @staticmethod
+    def _data(n=300, seed=4):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x1 = rng.uniform(-2, 2, n)
+        x2 = rng.uniform(0, 5, n)
+        y = 1.5 + 2.0 * x1 - 0.7 * x2 + rng.normal(0, 0.3, n)
+        w = rng.integers(1, 4, n)
+        g = np.where(np.arange(n) % 2 == 0, "a", "b")
+        return x1, x2, y, w, g
+
+    @staticmethod
+    def _ref(x1, x2, y, w):
+        import numpy as np
+
+        X = np.column_stack([np.ones_like(x1), x1, x2])
+        WX = X * w[:, None]
+        beta = np.linalg.solve(X.T @ WX, WX.T @ y)
+        resid = y - X @ beta
+        sse = (w * resid ** 2).sum()
+        mu = (w * y).sum() / w.sum()
+        sst = (w * (y - mu) ** 2).sum()
+        return beta, 1 - sse / sst
+
+    def test_matches_numpy_global(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.regression import weighted_linreg
+
+        x1, x2, y, w, g = self._data()
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c), int(d))
+             for a, b, c, d in zip(x1, x2, y, w)],
+            "x1 double, x2 double, y double, w int",
+        )
+        out = weighted_linreg(wt(df, "w"), ["x1", "x2"], "y").collect()[0]
+        beta, r2 = self._ref(x1, x2, y, w)
+        assert out["intercept"] == pytest.approx(beta[0], rel=1e-9)
+        assert out["coef"][0] == pytest.approx(beta[1], rel=1e-9)
+        assert out["coef"][1] == pytest.approx(beta[2], rel=1e-9)
+        assert out["r2"] == pytest.approx(r2, rel=1e-9)
+        assert out["n"] == float(w.sum())
+
+    def test_grouped(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.regression import weighted_linreg
+
+        x1, x2, y, w, g = self._data()
+        df = spark.createDataFrame(
+            [(str(gg), float(a), float(b), float(c), int(d))
+             for gg, a, b, c, d in zip(g, x1, x2, y, w)],
+            "g string, x1 double, x2 double, y double, w int",
+        )
+        outs = {
+            r["g"]: r
+            for r in weighted_linreg(
+                wt(df, "w"), ["x1", "x2"], "y", by=["g"]
+            ).collect()
+        }
+        for gg in ("a", "b"):
+            mask = g == gg
+            beta, r2 = self._ref(x1[mask], x2[mask], y[mask], w[mask])
+            assert outs[gg]["intercept"] == pytest.approx(beta[0], rel=1e-8)
+            assert outs[gg]["coef"] == pytest.approx(list(beta[1:]), rel=1e-8)
+
+    def test_reduces_to_linfit(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.regression import (
+            weighted_linfit,
+            weighted_linreg,
+        )
+
+        x1, x2, y, w, g = self._data()
+        df = spark.createDataFrame(
+            [(float(a), float(c), int(d)) for a, c, d in zip(x1, y, w)],
+            "x double, y double, w int",
+        )
+        multi = weighted_linreg(wt(df, "w"), ["x"], "y").collect()[0]
+        single = weighted_linfit(wt(df, "w"), "x", "y").collect()[0]
+        assert multi["intercept"] == pytest.approx(single["intercept"], rel=1e-9)
+        assert multi["coef"][0] == pytest.approx(single["slope"], rel=1e-9)
+
+    def test_underdetermined_nulls(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.regression import weighted_linreg
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 3.0, 1)], "x1 double, x2 double, y double, w int"
+        )
+        out = weighted_linreg(wt(df, "w"), ["x1", "x2"], "y").collect()[0]
+        assert out["intercept"] is None and out["coef"] is None
+
+    def test_python_only_on_aggregated_rows(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.regression import weighted_linreg
+
+        x1, x2, y, w, g = self._data()
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c), int(d))
+             for a, b, c, d in zip(x1, x2, y, w)],
+            "x1 double, x2 double, y double, w int",
+        )
+        out = weighted_linreg(wt(df, "w"), ["x1", "x2"], "y")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # python stage must sit ABOVE the aggregate (solve on tiny rows),
+        # and the raw scan below must feed a codegen'd hash aggregate
+        assert "FlatMapGroupsInPandas" in plan
+        assert plan.index("HashAggregate") > plan.index("FlatMapGroupsInPandas"), \
+            "aggregate must run below the python solve"
