@@ -312,9 +312,33 @@ def _q_resample_rules(spark, sf_dir):
         )
 
     out = fixed.unionByName(cal).unionByName(roll).unionByName(cmp)
-    return out.unionByName(_fill_rows("ffill", "fill:ff")).unionByName(
+    out = out.unionByName(_fill_rows("ffill", "fill:ff")).unionByName(
         _fill_rows("interpolate", "fill:li")
     )
+    # r4: additive seasonal decomposition of the 6H weighted-mean
+    # series, period 4 (= the diurnal cycle in 6-hour buckets) —
+    # resample.seasonal_decompose (2xMA trend, centered phase means)
+    from pandas_weights_spark.resample import seasonal_decompose
+
+    series = (
+        wt(ev, wexpr)[["value"]]
+        .resample("6H", on="ts")
+        .mean(complete=True)
+    )
+    dec = seasonal_decompose(series, "ts", "value", 4)
+    dec_rows = dec.select(
+        F.col("ts").alias("bucket"),
+        F.expr(
+            "stack(3, 'dec:trend', trend, 'dec:seas', seasonal, "
+            "'dec:resid', resid) AS (rule, w_mean)"
+        ),
+    ).select(
+        "rule", "bucket",
+        F.lit(None).cast("double").alias("w_count"),
+        F.lit(None).cast("double").alias("w_sum"),
+        F.round(F.col("w_mean"), 6).alias("w_mean"),
+    )
+    return out.unionByName(dec_rows)
 
 
 def _corr_pair_df(spark, sf_dir):
@@ -2389,6 +2413,55 @@ _ORACLE: dict[str, str] = {
                  WHEN nv IS NULL THEN pv
                  ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS val
           FROM f2
+        )
+        UNION ALL
+        SELECT kind AS rule, bucket, CAST(NULL AS DOUBLE) AS w_count,
+               CAST(NULL AS DOUBLE) AS w_sum, ROUND(val, 6) AS w_mean
+        FROM (
+          WITH t6 AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(user_id % 7 + 1 AS DOUBLE) AS w
+            FROM events WHERE ts IS NOT NULL
+          ), o6 AS (SELECT date_trunc('day', MIN(ts)) AS org FROM t6),
+          agg6 AS (
+            SELECT time_bucket(INTERVAL 6 HOUR, ts, (SELECT org FROM o6))
+                     AS bucket,
+                   SUM(value * w)
+                     / SUM(CASE WHEN value IS NOT NULL THEN w END) AS v
+            FROM t6 GROUP BY 1
+          ), spine6 AS (
+            SELECT UNNEST(generate_series(MIN(bucket), MAX(bucket),
+                                          INTERVAL 6 HOUR)) AS bucket
+            FROM agg6
+          ), idx AS (
+            SELECT spine6.bucket, agg6.v,
+                   row_number() OVER (ORDER BY spine6.bucket) - 1 AS i
+            FROM spine6 LEFT JOIN agg6 USING (bucket)
+          ), tr AS (
+            SELECT bucket, v, i,
+              CASE WHEN count(*) OVER f1 = 4 AND count(*) OVER f2 = 4
+                    AND count(v) OVER f1 = 4 AND count(v) OVER f2 = 4
+                   THEN (avg(v) OVER f1 + avg(v) OVER f2) / 2.0
+              END AS trend
+            FROM idx
+            WINDOW f1 AS (ORDER BY i ROWS BETWEEN 2 PRECEDING
+                          AND 1 FOLLOWING),
+                   f2 AS (ORDER BY i ROWS BETWEEN 1 PRECEDING
+                          AND 2 FOLLOWING)
+          ), ph AS (
+            SELECT i % 4 AS p, AVG(v - trend) AS pm FROM tr GROUP BY 1
+          ), gmn AS (SELECT AVG(pm) AS g FROM ph),
+          fin6 AS (
+            SELECT tr.bucket, tr.v, tr.trend,
+                   ph.pm - (SELECT g FROM gmn) AS seasonal
+            FROM tr JOIN ph ON tr.i % 4 = ph.p
+          )
+          SELECT u.kind, bucket, u.val FROM fin6,
+            LATERAL (VALUES
+              ('dec:trend', trend),
+              ('dec:seas', seasonal),
+              ('dec:resid', v - trend - seasonal)
+            ) AS u(kind, val)
         )
     """,
     "resample_quantile": """

@@ -33,7 +33,7 @@ from pandas_weights_spark import _stats
 if TYPE_CHECKING:
     from pandas_weights_spark.frame import WeightedDataFrame
 
-__all__ = ["WeightedResampler", "parse_rule", "fill_gaps"]
+__all__ = ["WeightedResampler", "parse_rule", "fill_gaps", "seasonal_decompose"]
 
 _FIXED_UNITS = {
     "w": 7 * 86400,
@@ -640,3 +640,80 @@ def fill_gaps(
         )
         sel.append(filled.alias(c))
     return out.select(*sel)
+
+
+def seasonal_decompose(
+    out: DataFrame,
+    on: str,
+    value: str,
+    period: int,
+) -> DataFrame:
+    """Additive seasonal decomposition of a completed resample output:
+    ``(on, observed, trend, seasonal, resid)`` — statsmodels
+    ``seasonal_decompose(model='additive')`` semantics on the bucket
+    series.
+
+    * ``trend``: centered moving average over ``period`` buckets (the
+      even-period case uses the standard 2×MA — half weight on the two
+      outermost buckets); NULL within half a period of the edges.
+    * ``seasonal``: phase means of the detrended series (bucket index
+      mod ``period``), centered so the seasonal component sums to ~0
+      over one cycle.
+    * ``resid`` = observed − trend − seasonal.
+
+    Runs on the BUCKET table (one row per bucket — bounded by the
+    resample range), so the ordered windows and the tiny phase
+    aggregate cost nothing at data scale; feed it
+    ``resample(...).mean(complete=True)`` (gaps stay NULL and
+    propagate NULL trend/resid, like statsmodels on NaN).
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    half = period // 2
+    x = F.col(value)
+    rn_w = Window.orderBy(on)
+    base = out.select(
+        F.col(on), x.alias("observed"),
+        (F.row_number().over(rn_w) - 1).alias("__i__"),
+    )
+    if period % 2 == 1:
+        frame = Window.orderBy("__i__").rowsBetween(-half, half)
+        trend = F.avg("observed").over(frame)
+        # NULL gaps poison the window mean only where pandas would NaN
+        cnt = F.count("observed").over(frame)
+        n_in = F.count(F.lit(1)).over(frame)
+        trend = F.when((n_in == period) & (cnt == period), trend)
+    else:
+        # 2xMA: mean of the two period-length windows offset by one ==
+        # half-weighted endpoints
+        f1 = Window.orderBy("__i__").rowsBetween(-half, half - 1)
+        f2 = Window.orderBy("__i__").rowsBetween(-half + 1, half)
+        c1 = F.count("observed").over(f1)
+        c2 = F.count("observed").over(f2)
+        n1 = F.count(F.lit(1)).over(f1)
+        n2 = F.count(F.lit(1)).over(f2)
+        trend = F.when(
+            (n1 == period) & (n2 == period)
+            & (c1 == period) & (c2 == period),
+            (F.avg("observed").over(f1) + F.avg("observed").over(f2))
+            / F.lit(2.0),
+        )
+    t = base.select(
+        on, "observed", "__i__", trend.alias("trend"),
+        (F.col("__i__") % period).alias("__phase__"),
+    )
+    phase = t.groupBy("__phase__").agg(
+        F.avg(F.col("observed") - F.col("trend")).alias("__pm__")
+    )
+    grand = phase.agg(F.avg("__pm__").alias("__gm__"))
+    j = t.join(F.broadcast(phase), "__phase__", "left").crossJoin(
+        F.broadcast(grand)
+    )
+    seasonal = F.col("__pm__") - F.col("__gm__")
+    return j.select(
+        F.col(on),
+        F.col("observed"),
+        F.col("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("observed") - F.col("trend") - seasonal).alias("resid"),
+    )

@@ -574,3 +574,89 @@ class TestFillGaps:
                     assert g is None, ts
                 else:
                     assert g == pytest.approx(v), ts
+
+
+class TestSeasonalDecompose:
+    """Additive decomposition vs statsmodels-convention reference
+    computed in numpy (statsmodels itself is not in the container)."""
+
+    @staticmethod
+    def _series(spark, n=48, period=6):
+        import datetime as dt
+        import math
+
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        for i in range(n):
+            v = 10 + 0.1 * i + 3 * math.sin(2 * math.pi * i / period)
+            rows.append((base + dt.timedelta(hours=i), v, 1.0))
+        return spark.createDataFrame(rows, "ts timestamp, v double, w double")
+
+    @staticmethod
+    def _ref(vals, period):
+        import numpy as np
+
+        v = np.asarray(vals, float)
+        n = len(v)
+        half = period // 2
+        trend = np.full(n, np.nan)
+        for i in range(n):
+            if period % 2 == 1:
+                lo, hi = i - half, i + half
+                if lo >= 0 and hi < n:
+                    trend[i] = v[lo:hi + 1].mean()
+            else:
+                lo1, hi1 = i - half, i + half - 1
+                lo2, hi2 = i - half + 1, i + half
+                if lo1 >= 0 and hi2 < n:
+                    trend[i] = (v[lo1:hi1 + 1].mean()
+                                + v[lo2:hi2 + 1].mean()) / 2
+        det = v - trend
+        pm = np.array([np.nanmean(det[p::period]) for p in range(period)])
+        pm = pm - pm.mean()
+        seasonal = np.array([pm[i % period] for i in range(n)])
+        resid = v - trend - seasonal
+        return trend, seasonal, resid
+
+    @pytest.mark.parametrize("period", [5, 6])
+    def test_matches_reference(self, spark, period):
+        import numpy as np
+
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import seasonal_decompose
+
+        df = self._series(spark, period=6)
+        out = wt(df, "w").resample("1h", on="ts").mean(complete=True)
+        dec = seasonal_decompose(out, "ts", "v", period).orderBy("ts").collect()
+        vals = [r["v"] for r in out.orderBy("ts").collect()]
+        trend, seasonal, resid = self._ref(vals, period)
+        for i, r in enumerate(dec):
+            for name, exp in (("trend", trend[i]), ("seasonal", seasonal[i]),
+                              ("resid", resid[i])):
+                if np.isnan(exp):
+                    assert r[name] is None, (i, name, r[name])
+                else:
+                    assert r[name] == pytest.approx(exp, rel=1e-9), (i, name)
+
+    def test_seasonal_recovers_sine(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.resample import seasonal_decompose
+
+        df = self._series(spark, period=6)
+        out = wt(df, "w").resample("1h", on="ts").mean(complete=True)
+        dec = seasonal_decompose(out, "ts", "v", 6)
+        import math
+
+        rows = dec.orderBy("ts").collect()
+        # interior points: seasonal ~ the sine component, resid ~ 0
+        for i, r in enumerate(rows[6:-6], start=6):
+            expect = 3 * math.sin(2 * math.pi * i / 6)
+            assert r["seasonal"] == pytest.approx(expect, abs=0.15), i
+            assert abs(r["resid"]) < 0.05
+
+    def test_period_validation(self, spark):
+        from pandas_weights_spark.resample import seasonal_decompose
+
+        df = self._series(spark)
+        with pytest.raises(ValueError, match="period"):
+            seasonal_decompose(df, "ts", "v", 1)
