@@ -32,6 +32,19 @@ ALLOW = {
     "series_apply": {"arrow"},
     "multimodal_features": {"arrow"},
     "session_agg": {"arrow"},
+    # weighted_linreg solves the normal equations in applyInPandas over
+    # the per-group MOMENT rows (one row per group) — python above the
+    # aggregate, never on the data (pinned by test_regression)
+    "linfit": {"arrow"},
+    # the banded Gini/KS/MWU machinery's keyless offset window runs
+    # over the <= bands-row band-count table, and chi2/MI/bootstrap
+    # attach 1-row grand-total frames via broadcast cross joins — both
+    # bounded by construction (quantile.py/_banded_cums, inference.py)
+    "weighted_tests": {"global-window", "bnl-cross"},
+    # seasonal_decompose windows the BUCKET table (one row per bucket,
+    # bounded by range/rule — resample.py docstring) and crosses the
+    # 1-row grand phase mean
+    "resample_rules": {"global-window", "bnl-cross"},
 }
 
 _GLOBAL_WINDOW = re.compile(
