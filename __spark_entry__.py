@@ -1579,6 +1579,7 @@ def _q_calibration(spark, sf_dir):
     boot = bootstrap_se(
         li, "l_quantity", "l_extendedprice",
         ["l_orderkey", "l_linenumber"], n_replicates=20, seed=42,
+        portable=True,
     ).select(
         F.lit("boot").alias("kind"),
         F.expr(

@@ -424,6 +424,36 @@ def main() -> int:
     qs["weighted_tests"] = _tests_r3
     qs["info_stats"] = _info_stats
 
+    # the driver's calibration row draws bootstrap replicates through
+    # the md5 string path so DuckDB can replay them; the 100 TB hot
+    # path is seeded xxhash64 — bench that (the CMS precedent)
+    def _calibration_xxhash(spark_, sf_dir_):
+        from pandas_weights_spark.calibration import (
+            bootstrap_se,
+            rake_weights,
+            weight_diagnostics,
+        )
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        margins = {
+            "l_returnflag": {"A": 1000.0, "N": 2000.0, "R": 1000.0},
+            "l_linestatus": {"F": 1500.0, "O": 2500.0},
+        }
+        out, _ = rake_weights(li, "l_quantity", margins, max_iter=3, tol=0.0)
+        cells = out.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("weight_cal").alias("val")
+        )
+        diag = weight_diagnostics(out, "weight_cal").select(
+            F.col("n_eff").alias("val")
+        )
+        boot = bootstrap_se(
+            li, "l_quantity", "l_extendedprice",
+            ["l_orderkey", "l_linenumber"], n_replicates=20, seed=42,
+        ).select(F.col("se_boot").alias("val"))
+        return cells.select("val").unionByName(diag).unionByName(boot)
+
+    qs["calibration"] = _calibration_xxhash
+
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
 

@@ -322,6 +322,7 @@ def bootstrap_se(
     key_cols: list,
     n_replicates: int = 50,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Poisson-bootstrap standard error of the weighted mean: one row
     with ``estimate`` (the full-sample weighted mean), ``se_boot``
@@ -356,14 +357,34 @@ def bootstrap_se(
             F.sequence(F.lit(-1), F.lit(n_replicates - 1))
         ).alias("__r__"),
     )
-    u = uniform_hash(
-        [F.col(c) for c in key_cols]
-        + [F.lit(seed).cast("long") + F.col("__r__")],
-        seed=seed,
-    )
+    if portable:
+        # md5 string-path uniform (sample.uniform_hash) — 100× the
+        # hash cost of xxhash64 (measured 9.7 s vs 0.1 s for the
+        # 600k×21 explode at sf0.1), kept ONLY so a SQL engine can
+        # replay the draws (the driver oracle row)
+        u = uniform_hash(
+            [F.col(c) for c in key_cols]
+            + [F.lit(seed).cast("long") + F.col("__r__")],
+            seed=seed,
+        )
+    else:
+        # native 64-bit path: top 53 bits of xxhash64 over the keys +
+        # replicate index as a [0,1) uniform
+        h = F.xxhash64(
+            *[F.col(c) for c in key_cols],
+            F.lit(seed).cast("long") + F.col("__r__"),
+        )
+        u = (
+            F.shiftrightunsigned(h, 11).cast("double") * F.lit(2.0 ** -53)
+            + F.lit(2.0 ** -54)
+        )
+    # materialize the uniform BEFORE the inverse-CDF CASE chain: the 9
+    # WHEN branches each reference u, and re-deriving the hash per
+    # branch measured ~2x the work (17.7 s vs 9.5 s at sf0.1 on md5)
+    rows = rows.select("__m__", "__x__", "__r__", u.alias("__u__"))
     mult = F.when(
         F.col("__r__") < 0, F.lit(1.0)
-    ).otherwise(poisson1_multiplier(u).cast("double"))
+    ).otherwise(poisson1_multiplier(F.col("__u__")).cast("double"))
     per = rows.groupBy("__r__").agg(
         F.sum(F.col("__m__") * mult).alias("__w__"),
         F.sum(F.col("__m__") * mult * F.col("__x__")).alias("__s__"),
