@@ -26,6 +26,7 @@ HEADLINE = [
     "global_stats",        # whole-table sum/mean/var/std moments
     "resample_2d",         # time-bucketed weighted aggs, both closures
     "resample_rules",      # fixed 6H (events) + calendar 3ME (lineitem)
+    "resample_fills",      # spine gap-fill + ffill/interpolate + decompose
     "corr_cov_matrix",     # pairwise weighted Pearson + cov (one agg pass each)
     "group_corr",          # per-group corr
     "aligned_corr_cov",    # join-aligned corr + cov (orders x customer)
@@ -453,6 +454,77 @@ def main() -> int:
         return cells.select("val").unionByName(diag).unionByName(boot)
 
     qs["calibration"] = _calibration_xxhash
+
+    # the driver's resample_rules row grew the gap-fill + upsampling +
+    # seasonal-decomposition folds; bench the r3 body (6H + 3ME +
+    # rollup) unchanged and the new spine work standalone
+    def _resample_rules_r3(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+        from pandas_weights_spark.resample import hypertable_rollup
+
+        ev = load_table(spark_, sf_dir_, "events")
+        wexpr = (F.col("user_id") % 7 + 1).cast("double")
+        li = load_table(spark_, sf_dir_, "lineitem")
+        fixed = (
+            _wt(ev, wexpr)[["value"]]
+            .resample("6H", on="ts")
+            .agg_all(["count", "sum", "mean"])
+        )
+        cal = (
+            _wt(li, "l_quantity")[["l_extendedprice"]]
+            .resample("3ME", on="l_shipdate")
+            .agg_all(["count", "sum", "mean"])
+        )
+        roll = hypertable_rollup(
+            ev, wexpr, on="ts", rules=["6H", "1D"],
+            stats=("count", "mean"), value_cols=["value"],
+        ).select(F.col("bucket").alias("ts"), F.col("value_count"),
+                 F.lit(None).cast("double").alias("x"),
+                 F.col("value_mean"))
+        f = fixed.select("ts", "value_count", "value_sum", "value_mean")
+        c = cal.select(
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_extendedprice_count").alias("value_count"),
+            F.col("l_extendedprice_sum").alias("value_sum"),
+            F.col("l_extendedprice_mean").alias("value_mean"),
+        )
+        r = roll.select("ts", F.col("value_count"),
+                        F.col("x").alias("value_sum"), "value_mean")
+        return f.unionByName(c).unionByName(r)
+
+    def _resample_fills(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+        from pandas_weights_spark.resample import (
+            fill_gaps,
+            seasonal_decompose,
+        )
+
+        ev = load_table(spark_, sf_dir_, "events")
+        wexpr = (F.col("user_id") % 7 + 1).cast("double")
+        gap = ev.where(F.dayofmonth(F.col("ts")) % 3 == 0)
+        base = (
+            _wt(gap, wexpr)[["value"]]
+            .resample("1D", on="ts")
+            .agg_all(["mean"], complete=True)
+        )
+        ff = fill_gaps(base, "ts", "ffill").select(
+            "ts", F.col("value_mean").alias("v")
+        )
+        li_ = fill_gaps(base, "ts", "interpolate").select(
+            "ts", F.col("value_mean").alias("v")
+        )
+        series = (
+            _wt(ev, wexpr)[["value"]]
+            .resample("6H", on="ts")
+            .mean(complete=True)
+        )
+        dec = seasonal_decompose(series, "ts", "value", 4).select(
+            "ts", F.col("resid").alias("v")
+        )
+        return ff.unionByName(li_).unionByName(dec)
+
+    qs["resample_rules"] = _resample_rules_r3
+    qs["resample_fills"] = _resample_fills
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
