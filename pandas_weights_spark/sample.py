@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -42,6 +42,7 @@ __all__ = [
     "poisson_sample",
     "stratified_sample",
     "hash_split",
+    "cap_per_group",
 ]
 
 _HEX = "0123456789abcdef"
@@ -216,3 +217,38 @@ def hash_split(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    n: int,
+    order_by: Optional[Sequence[Column]] = None,
+    seed: int = 42,
+    key_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``keys`` group — the per-domain /
+    per-source quota cap of a corpus pipeline.
+
+    ``order_by`` picks WHICH rows survive (e.g. quality score
+    descending); without it, a deterministic md5-uniform order over
+    ``key_cols`` (required in that case) yields a uniform random cap,
+    reproducible across runs. One row_number window partitioned by the
+    group keys — parallel across groups; a single giant group bounds at
+    its own size like any per-group top-n.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if order_by is None:
+        if not key_cols:
+            raise ValueError(
+                "cap_per_group without order_by needs key_cols= for the "
+                "deterministic random order"
+            )
+        order_by = [uniform_hash([F.col(c) for c in key_cols], seed)]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        df.withColumn("__pw_rn__", F.row_number().over(w))
+        .where(F.col("__pw_rn__") <= n)
+        .drop("__pw_rn__")
+    )

@@ -194,3 +194,47 @@ class TestPoissonSample:
         )
         assert P.count_exchanges(df) == 0
         assert not P.has_python_eval(df)
+
+
+class TestCapPerGroup:
+    def test_cap_and_order(self, spark):
+        from pandas_weights_spark.sample import cap_per_group
+
+        rows = [(g, i, float(i)) for g in "ab" for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, id long, q double")
+        out = cap_per_group(
+            df, ["g"], 3, order_by=[F.col("q").desc()]
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["g"], []).append(r["id"])
+        for g in "ab":
+            assert sorted(got[g]) == [7, 8, 9]  # top-3 by q
+
+    def test_random_cap_deterministic(self, spark):
+        from pandas_weights_spark.sample import cap_per_group
+
+        rows = [(g, i) for g in "ab" for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, id long")
+        a = sorted(map(tuple, cap_per_group(
+            df, ["g"], 5, key_cols=["g", "id"]).collect()))
+        b = sorted(map(tuple, cap_per_group(
+            df, ["g"], 5, key_cols=["g", "id"]).collect()))
+        assert a == b and len(a) == 10
+        c = sorted(map(tuple, cap_per_group(
+            df, ["g"], 5, key_cols=["g", "id"], seed=7).collect()))
+        assert c != a  # seed changes the survivors
+
+    def test_small_groups_untouched(self, spark):
+        from pandas_weights_spark.sample import cap_per_group
+
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, id long")
+        out = cap_per_group(df, ["g"], 10, key_cols=["id"])
+        assert out.count() == 2
+
+    def test_needs_order_or_keys(self, spark):
+        from pandas_weights_spark.sample import cap_per_group
+
+        df = spark.createDataFrame([("a", 1)], "g string, id long")
+        with pytest.raises(ValueError, match="key_cols"):
+            cap_per_group(df, ["g"], 1)
