@@ -69,6 +69,8 @@ HEADLINE = [
     "ewm_pair",            # banded pairwise cov/corr + time-decayed mean
     "group_transforms",    # shift/diff/pct/ffill/bfill/cumsum, one window
     "linfit",              # weighted least-squares fit, one moment agg
+    "linreg",              # multiple WLS: normal equations + arrow solve
+    "simhash",             # md5-derived fingerprint bits (portable path)
     "qcut",                # cut + equal-mass qcut discretization
     "pivot_table",         # wide weighted cells, one hash aggregate
     "bloom_semi_join",     # bitmap build + map-side probe + exact semi
@@ -525,6 +527,50 @@ def main() -> int:
 
     qs["resample_rules"] = _resample_rules_r3
     qs["resample_fills"] = _resample_fills
+
+    # dedup_exact and linfit driver bodies grew tagged folds (simhash
+    # rows, fit2 rows); bench the r3 bodies and the folds standalone
+    def _dedup_exact_r3(spark_, sf_dir_):
+        from pandas_weights_spark.functions.dedup import exact_dedup
+
+        docs = load_table(spark_, sf_dir_, "documents").select(
+            "doc_id", "text"
+        )
+        with_dups = docs.unionByName(
+            docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+        return exact_dedup(with_dups, "text", "doc_id").select("doc_id")
+
+    def _simhash_only(spark_, sf_dir_):
+        from pandas_weights_spark.functions.dedup import simhash
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        return docs.select(
+            "doc_id", simhash(F.col("text"), 32).alias("simhash")
+        )
+
+    def _linfit_r3(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return _wt(li, "l_quantity").linfit(
+            "l_discount", "l_extendedprice", by=["l_returnflag"]
+        )
+
+    def _linreg_only(spark_, sf_dir_):
+        from pandas_weights_spark import wt as _wt
+        from pandas_weights_spark.regression import weighted_linreg
+
+        li = load_table(spark_, sf_dir_, "lineitem")
+        return weighted_linreg(
+            _wt(li, "l_quantity"), ["l_discount", "l_tax"],
+            "l_extendedprice", by=["l_returnflag"],
+        )
+
+    qs["dedup_exact"] = _dedup_exact_r3
+    qs["simhash"] = _simhash_only
+    qs["linfit"] = _linfit_r3
+    qs["linreg"] = _linreg_only
 
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
