@@ -38,6 +38,7 @@ __all__ = [
     "extract_urls",
     "url_domain",
     "domain_stats",
+    "normalize_text",
 ]
 
 
@@ -325,3 +326,24 @@ def domain_stats(
         F.sum("__nu__").cast("long").alias("n_urls"),
         F.sum("__w__").alias("weight_mass"),
     )
+
+
+def normalize_text(
+    text: Column,
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Canonical text form for exact/near-dup keys: lowercase, strip
+    punctuation (keep letters/digits/whitespace), collapse whitespace
+    runs to single spaces, trim. Row-local; the standard normalization
+    in front of ``exact_dedup``/MinHash so trivial formatting variants
+    collapse to one digest."""
+    t = text
+    if lowercase:
+        t = F.lower(t)
+    if strip_punct:
+        t = F.regexp_replace(t, r"[^\p{L}\p{N}\s]+", " ")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t

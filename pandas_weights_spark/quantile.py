@@ -42,6 +42,7 @@ __all__ = [
     "weighted_gini",
     "weighted_ks",
     "weighted_mannwhitney",
+    "weighted_robust_zscore",
 ]
 
 
@@ -736,3 +737,59 @@ def weighted_mannwhitney(
         "n_a",
         "n_b",
     )
+
+
+def weighted_robust_zscore(
+    wdf,
+    subset: Optional[Sequence[str]] = None,
+    keys: Sequence[str] = (),
+    exact: bool = True,
+    bands: int = 1000,
+    range_bounds: Optional[tuple] = None,
+    suffix: str = "_rz",
+) -> DataFrame:
+    """Robust standardization: ``(x − median) / IQR`` per group, with
+    the weighted median and quartiles from the inverted-CDF quantile
+    family — the outlier-insensitive counterpart of ``zscore`` (mean/
+    std standardization is dragged by the tails it should flag).
+
+    Adds ``{col}{suffix}``; NULL values stay NULL; a zero-IQR group
+    (more than half the mass on one value) yields NULL rather than
+    ±inf. ``exact=False`` takes the binned quantile path (shuffle =
+    groups × bands, the 100 TB default). Plan: ONE quantile pass for
+    all three quartiles of every column, AQE-broadcast join-back,
+    row-local arithmetic — the winsorize/zscore shape.
+    """
+    from pandas_weights_spark.groupby import _join_group_stats
+
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    cols = [c for c in cols if c not in keys]
+    if not cols:
+        raise ValueError("no numeric columns to standardize")
+    qs = [0.25, 0.5, 0.75]
+    if exact:
+        stats = weighted_quantiles(wdf, qs, subset=cols, keys=keys)
+    else:
+        if range_bounds is None:
+            raise ValueError(
+                "exact=False (binned) robust zscore needs range_bounds="
+            )
+        stats = weighted_quantiles_binned(
+            wdf, qs, range_bounds[0], range_bounds[1],
+            bins=bands, subset=cols, keys=keys,
+        )
+    if keys:
+        out = _join_group_stats(wdf.df, stats, list(keys))
+    else:
+        out = wdf.df.crossJoin(F.broadcast(stats))
+    names = {
+        c: [quantile_col_name(c, q) for q in qs] for c in cols
+    }
+    for c in cols:
+        x = wdf._value(c)
+        q1, q2, q3 = [F.col(n) for n in names[c]]
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(x.isNotNull(), F.try_divide(x - q2, q3 - q1)),
+        )
+    return out.drop(*[n for ns in names.values() for n in ns])

@@ -43,6 +43,7 @@ __all__ = [
     "stratified_sample",
     "hash_split",
     "cap_per_group",
+    "kfold_split",
 ]
 
 _HEX = "0123456789abcdef"
@@ -251,4 +252,25 @@ def cap_per_group(
         df.withColumn("__pw_rn__", F.row_number().over(w))
         .where(F.col("__pw_rn__") <= n)
         .drop("__pw_rn__")
+    )
+
+
+def kfold_split(
+    df: DataFrame,
+    k: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Assign each row a deterministic fold id in ``[0, k)`` for k-fold
+    cross-validation — the same shuffle-free md5-uniform map as
+    :func:`hash_split`, so membership is stable under re-partitioning,
+    re-runs, and incremental re-processing; ``fold(row)`` is
+    recomputable from the row's keys alone. Filter ``fold != i`` /
+    ``fold == i`` for the train/test pair of fold i."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    return df.withColumn(
+        fold_col, F.floor(u * F.lit(float(k))).cast("int")
     )

@@ -437,3 +437,50 @@ class TestWeightedCdf:
         assert specs
         for spec in specs:
             assert "__band__" in spec, spec
+
+
+class TestRobustZscore:
+    def test_matches_manual(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.quantile import weighted_robust_zscore
+
+        rows = [("a", float(v), 1.0) for v in range(1, 101)] + [
+            ("a", 1e9, 1.0)  # outlier barely moves median/IQR
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, w double")
+        out = weighted_robust_zscore(
+            wt(df, "w"), subset=["x"], keys=["g"]
+        )
+        got = {r["x"]: r["x_rz"] for r in out.collect()}
+        # weighted inverted-CDF quartiles of 1..100 (+outlier): q1=26,
+        # q2=51, q3=76 (cum mass first reaches q*101)
+        q1, q2, q3 = 26.0, 51.0, 76.0
+        for v in (1.0, 51.0, 100.0):
+            assert got[v] == pytest.approx((v - q2) / (q3 - q1)), v
+        assert got[1e9] > 1e7  # outlier flagged, not absorbed
+
+    def test_zero_iqr_null(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.quantile import weighted_robust_zscore
+
+        df = spark.createDataFrame(
+            [(5.0, 10.0), (5.0, 10.0), (7.0, 0.5)], "x double, w double"
+        )
+        out = weighted_robust_zscore(wt(df, "w"), subset=["x"]).collect()
+        assert all(r["x_rz"] is None for r in out)
+
+    def test_null_passthrough_and_plan(self, spark):
+        from pandas_weights_spark import wt
+        from pandas_weights_spark.quantile import weighted_robust_zscore
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = weighted_robust_zscore(
+            wt(li, "l_quantity"), subset=["l_extendedprice"],
+            keys=["l_returnflag"],
+        )
+        assert out.where(
+            F.col("l_extendedprice").isNull()
+            & F.col("l_extendedprice_rz").isNotNull()
+        ).count() == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan

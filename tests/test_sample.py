@@ -238,3 +238,37 @@ class TestCapPerGroup:
         df = spark.createDataFrame([("a", 1)], "g string, id long")
         with pytest.raises(ValueError, match="key_cols"):
             cap_per_group(df, ["g"], 1)
+
+
+class TestKFold:
+    def test_folds_cover_and_balance(self, spark):
+        from pandas_weights_spark.sample import kfold_split
+
+        df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+        out = kfold_split(df, 5, ["id"])
+        counts = {r["fold"]: r["n"] for r in
+                  out.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {0, 1, 2, 3, 4}
+        for n in counts.values():
+            assert 800 < n < 1200  # ~uniform
+
+    def test_deterministic_and_disjoint(self, spark):
+        from pandas_weights_spark.sample import kfold_split
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = dict((r["id"], r["fold"]) for r in kfold_split(df, 4, ["id"]).collect())
+        b = dict((r["id"], r["fold"]) for r in kfold_split(df, 4, ["id"]).collect())
+        assert a == b
+        # train/test of fold i partition the data
+        out = kfold_split(df, 4, ["id"])
+        test0 = out.where(F.col("fold") == 0).count()
+        train0 = out.where(F.col("fold") != 0).count()
+        assert test0 + train0 == 500
+
+    def test_no_shuffle(self, spark):
+        from pandas_weights_spark.sample import kfold_split
+
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = kfold_split(df, 5, ["l_orderkey", "l_linenumber"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan

@@ -187,3 +187,35 @@ class TestPIIAndURLs:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNormalizeText:
+    def test_canonicalizes_variants(self, spark):
+        from pandas_weights_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "Hello,   World!"), (2, "hello world"),
+             (3, "HELLO ... world?!")],
+            "id long, text string",
+        )
+        out = {r["id"]: r["t"] for r in
+               df.select("id", normalize_text(F.col("text")).alias("t")).collect()}
+        assert out[1] == out[2] == out[3] == "hello world"
+
+    def test_unicode_letters_kept(self, spark):
+        from pandas_weights_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([("Café Nr.5 — gut!",)], "text string")
+        r = df.select(normalize_text(F.col("text")).alias("t")).first()
+        assert r["t"] == "café nr 5 gut"
+
+    def test_dedup_integration(self, spark):
+        from pandas_weights_spark.functions.dedup import exact_dedup
+        from pandas_weights_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "The cat."), (2, "the  CAT"), (3, "a dog")],
+            "id long, text string",
+        ).withColumn("norm", normalize_text(F.col("text")))
+        out = exact_dedup(df, "norm", "id")
+        assert sorted(r["id"] for r in out.collect()) == [1, 3]
