@@ -342,6 +342,23 @@ class WeightedDataFrame:
 
         return weighted_qcut(self, col, q, bands=bands, keep_cdf=keep_cdf)
 
+    def robust_zscore(
+        self,
+        subset: Optional[Sequence[str]] = None,
+        exact: bool = True,
+        bands: int = 1000,
+        range_bounds=None,
+    ) -> DataFrame:
+        """Robust (median/IQR) standardization of numeric columns: adds
+        ``{col}_rz`` — see
+        :func:`pandas_weights_spark.quantile.weighted_robust_zscore`."""
+        from pandas_weights_spark.quantile import weighted_robust_zscore
+
+        return weighted_robust_zscore(
+            self, subset=subset, exact=exact, bands=bands,
+            range_bounds=range_bounds,
+        )
+
     def winsorize(
         self,
         subset: Optional[Sequence[str]] = None,

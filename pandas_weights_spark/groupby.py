@@ -624,6 +624,35 @@ class WeightedGroupBy:
             exact=exact, bands=bands, range_bounds=range_bounds,
         )
 
+    def robust_zscore(
+        self,
+        subset=None,
+        exact: bool = True,
+        bands: int = 1000,
+        range_bounds=None,
+    ) -> DataFrame:
+        """Per-row robust standardization against the row's GROUP
+        weighted median/IQR: adds ``{col}_rz`` — see
+        :func:`pandas_weights_spark.quantile.weighted_robust_zscore`."""
+        from pandas_weights_spark.quantile import weighted_robust_zscore
+
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "robust_zscore is not defined for cube/rollup grouping sets"
+            )
+        wdf = self._wdf
+        if self._dropna:
+            df = wdf.df
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+            sub = wdf._subset(wdf.columns)
+            sub._df = df
+            wdf = sub
+        return weighted_robust_zscore(
+            wdf, subset=subset, keys=self._keys, exact=exact, bands=bands,
+            range_bounds=range_bounds,
+        )
+
     def zscore(self, ddof: int = 1, skipna: bool = True) -> DataFrame:
         """Per-row standardization against the row's GROUP weighted
         moments: adds ``{col}_z = (x − μ_g) / σ_g`` for every numeric
