@@ -99,3 +99,91 @@ class TestQuantileInvariants:
         q10, q50, q90 = row["x_p10"], row["x_p50"], row["x_p90"]
         assert q10 <= q50 <= q90
         assert min(vals) <= q10 and q90 <= max(vals)
+
+
+# ---- r4 text-operator properties -------------------------------------
+
+words_st = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=30
+)
+
+
+class TestTextProperties:
+    @given(ws=words_st)
+    @settings(**SETTINGS)
+    def test_repetition_fracs_match_python(self, spark, ws):
+        """For ANY word sequence, the Spark folds equal the transparent
+        Python reference (mirrors test_quality's fixed cases)."""
+        from collections import Counter
+
+        from pandas_weights_spark.functions.quality import (
+            dup_ngram_char_frac,
+            top_ngram_char_frac,
+        )
+
+        text = " ".join(ws)
+        df = spark.createDataFrame([(text,)], "text string")
+        r = df.select(
+            top_ngram_char_frac(F.col("text"), 2).alias("t"),
+            dup_ngram_char_frac(F.col("text"), 2).alias("d"),
+        ).first()
+        if len(ws) >= 2:
+            grams = [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        else:
+            grams = [" ".join(ws)]
+        c = Counter(grams)
+        top = min(1.0, max(n * len(g) for g, n in c.items()) / len(text))
+        dup = min(1.0, sum(n * len(g) for g, n in c.items() if n > 1)
+                  / len(text))
+        assert r["t"] == pytest.approx(top)
+        assert r["d"] == pytest.approx(dup)
+
+    @given(ws=words_st, chunk=st.integers(4, 12), ov=st.integers(0, 3))
+    @settings(**SETTINGS)
+    def test_chunk_coverage_property(self, spark, ws, chunk, ov):
+        """Every token index is covered by >=1 chunk; no chunk exceeds
+        the budget; consecutive chunks overlap by exactly `ov` except
+        possibly the last pair."""
+        from pandas_weights_spark.functions.packing import chunk_documents
+
+        text = " ".join(ws)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, "text", "doc_id", chunk_tokens=chunk,
+                            overlap=ov).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        step = chunk - ov
+        n = len(ws)
+        covered = set()
+        for r in rows:
+            assert 1 <= r["n_tokens"] <= chunk
+            start = r["chunk_id"] * step
+            covered.update(range(start, start + r["n_tokens"]))
+        assert covered == set(range(n))
+
+    @given(ws=words_st)
+    @settings(**SETTINGS)
+    def test_decontam_self_is_total(self, spark, ws):
+        """A corpus decontaminated against ITSELF flags every doc."""
+        from pandas_weights_spark.functions.decontam import ngram_overlap
+
+        text = " ".join(ws)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = ngram_overlap(
+            df, "text", "doc_id", df.select("text"), n=3, threshold=0.99
+        ).collect()[0]
+        assert out["overlap_frac"] == 1.0 and out["contaminated"]
+
+    @given(ws=words_st)
+    @settings(**SETTINGS)
+    def test_normalize_idempotent(self, spark, ws):
+        from pandas_weights_spark.functions.text import normalize_text
+
+        text = "  " + " , ".join(ws).upper() + "!!"
+        df = spark.createDataFrame([(text,)], "text string")
+        r = df.select(
+            normalize_text(F.col("text")).alias("a"),
+            normalize_text(normalize_text(F.col("text"))).alias("b"),
+        ).first()
+        assert r["a"] == r["b"]
