@@ -750,7 +750,26 @@ def _q_tfidf_top_terms(spark, sf_dir):
     from pandas_weights_spark.functions.text import tfidf_top_terms
 
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+    tf = tfidf_top_terms(docs, "text", "doc_id", k=3).select(
+        F.lit("tfidf").alias("kind"), "doc_id", "term",
+        F.col("tfidf").alias("v1"),
+        F.col("rank").cast("double").alias("v2"),
+    )
+    # r4 fold: top-50 corpus vocabulary with deterministic ids
+    # (functions/vocab.py — n_chars-weighted masses exercise the
+    # weight= path; ids rank by mass desc then term)
+    from pandas_weights_spark.functions.vocab import build_vocabulary
+
+    vocab = build_vocabulary(
+        docs, "text", max_size=50, weight=F.col("n_chars").cast("double")
+    ).select(
+        F.lit("vocab").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("mass").alias("v1"),
+        F.col("term_id").cast("double").alias("v2"),
+    )
+    return tf.unionByName(vocab)
 
 
 def _docs(spark, sf_dir):
@@ -2754,8 +2773,26 @@ _ORACLE["tfidf_top_terms"] = r"""
                                 ORDER BY score DESC, term) AS rk
       FROM scored
     )
-    SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rk AS INT) AS rank
+    SELECT 'tfidf' AS kind, doc_id, term, round(score, 6) AS v1,
+           CAST(rk AS DOUBLE) AS v2
     FROM ranked WHERE rk <= 3
+    UNION ALL
+    SELECT 'vocab' AS kind, CAST(NULL AS BIGINT) AS doc_id, term,
+           mass AS v1, CAST(tid AS DOUBLE) AS v2
+    FROM (
+      WITH vt AS (
+        SELECT CAST(n_chars AS DOUBLE) AS w,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      ), vm AS (
+        SELECT term, SUM(w) AS mass FROM vt WHERE term <> ''
+        GROUP BY term HAVING SUM(w) >= 1.0
+        ORDER BY mass DESC, term LIMIT 50
+      )
+      SELECT term, mass,
+             row_number() OVER (ORDER BY mass DESC, term) - 1 AS tid
+      FROM vm
+    )
 """
 
 _CORR_PAIR_SQL = _corr_sql(

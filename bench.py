@@ -54,6 +54,7 @@ HEADLINE = [
     "group_zscore",        # agg + broadcast join-back standardization
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
+    "vocab_encode",        # top-V vocabulary + order-preserving encode
     "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
     "spearman_corr",       # rank transform + pearson kernel
@@ -566,6 +567,27 @@ def main() -> int:
             _wt(li, "l_quantity"), ["l_discount", "l_tax"],
             "l_extendedprice", by=["l_returnflag"],
         )
+
+    # tfidf driver row gained the vocab fold; keep the r3 body and
+    # bench vocabulary+encode standalone
+    def _tfidf_r3(spark_, sf_dir_):
+        from pandas_weights_spark.functions.text import tfidf_top_terms
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+    def _vocab_encode(spark_, sf_dir_):
+        from pandas_weights_spark.functions.vocab import (
+            build_vocabulary,
+            encode_documents,
+        )
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        vocab = build_vocabulary(docs, "text", max_size=5000)
+        return encode_documents(docs, "text", "doc_id", vocab)
+
+    qs["tfidf_top_terms"] = _tfidf_r3
+    qs["vocab_encode"] = _vocab_encode
 
     qs["dedup_exact"] = _dedup_exact_r3
     qs["simhash"] = _simhash_only
