@@ -23,8 +23,14 @@ from pandas_weights_spark.frame import (
 )
 from pandas_weights_spark.groupby import WeightedGroupBy
 from pandas_weights_spark.resample import WeightedResampler
+from pandas_weights_spark.calibration import (
+    rake_weights,
+    weight_diagnostics,
+)
 from pandas_weights_spark.sample import (
+    cap_per_group,
     hash_split,
+    kfold_split,
     stratified_sample,
     weighted_sample,
 )
@@ -41,5 +47,9 @@ __all__ = [
     "weighted_sample",
     "stratified_sample",
     "hash_split",
+    "kfold_split",
+    "cap_per_group",
+    "rake_weights",
+    "weight_diagnostics",
     "__version__",
 ]
