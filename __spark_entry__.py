@@ -1526,7 +1526,25 @@ def _q_grouped_apply(spark, sf_dir):
         F.lit("plus2").alias("stat"),
         F.col("wprice_plus2").alias("val"),
     )
-    return ap.unionByName(ev).unionByName(se)
+    # r4: cohort retention triangle over events (cohort.py — unordered
+    # first-seen window + one (cohort, period) aggregate); integral
+    # masses and counts, bit-exact
+    from pandas_weights_spark.cohort import cohort_retention
+
+    evt = load_table(spark, sf_dir, "events")
+    ret = cohort_retention(
+        evt, "user_id", "ts", "1d",
+        weight=(F.col("user_id") % 7 + 1).cast("double"),
+    ).select(
+        F.lit("ret").alias("kind"),
+        F.unix_timestamp("cohort").cast("string").alias("key"),
+        F.expr(
+            "stack(2, concat('u:', CAST(period AS STRING)), "
+            "CAST(n_users AS DOUBLE), "
+            "concat('m:', CAST(period AS STRING)), mass) AS (stat, val)"
+        ),
+    )
+    return ap.unionByName(ev).unionByName(se).unionByName(ret)
 
 
 def _q_series_apply(spark, sf_dir):
@@ -3060,6 +3078,27 @@ _ORACLE["grouped_apply"] += """
     SELECT 'series' AS kind, CAST(NULL AS VARCHAR) AS key,
            'plus2' AS stat, l_extendedprice * l_quantity + 2.0 AS val
     FROM lineitem
+    UNION ALL
+    SELECT 'ret' AS kind, key, stat, val FROM (
+      WITH e AS (
+        SELECT user_id AS u,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                    AS BIGINT) AS b,
+               CAST(user_id % 7 + 1 AS DOUBLE) AS w
+        FROM events WHERE ts IS NOT NULL
+      ), f AS (
+        SELECT u, b, w, MIN(b) OVER (PARTITION BY u) AS c FROM e
+      ), tri AS (
+        SELECT c, b - c AS period,
+               COUNT(DISTINCT u) AS n_users, SUM(w) AS mass
+        FROM f GROUP BY 1, 2
+      )
+      SELECT CAST(c * 86400 AS VARCHAR) AS key, v.stat, v.val
+      FROM tri, LATERAL (VALUES
+        ('u:' || CAST(period AS VARCHAR), CAST(n_users AS DOUBLE)),
+        ('m:' || CAST(period AS VARCHAR), mass)
+      ) AS v(stat, val)
+    )
 """
 
 def _calibration_sql(iters: int = 3) -> str:

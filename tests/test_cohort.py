@@ -1,0 +1,73 @@
+"""Cohort retention triangle (cohort.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.cohort import cohort_retention
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: first day 0, returns day 1 and day 3 (twice)
+        (1, base, 1.0),
+        (1, base + dt.timedelta(days=1), 2.0),
+        (1, base + dt.timedelta(days=3), 1.0),
+        (1, base + dt.timedelta(days=3, hours=5), 1.0),
+        # user 2: first day 0 only
+        (2, base + dt.timedelta(hours=3), 5.0),
+        # user 3: first day 1, returns day 2
+        (3, base + dt.timedelta(days=1), 1.0),
+        (3, base + dt.timedelta(days=2), 1.0),
+    ]
+    return spark.createDataFrame(rows, "user long, ts timestamp, w double")
+
+
+class TestCohortRetention:
+    def test_triangle(self, events):
+        out = {
+            (r["cohort"], r["period"]): r
+            for r in cohort_retention(
+                events, "user", "ts", "1d", weight=F.col("w")
+            ).collect()
+        }
+        d0 = dt.datetime(2024, 1, 1)
+        d1 = dt.datetime(2024, 1, 2)
+        # cohort day0 = users 1,2; period 0 mass = 1 + 5
+        assert out[(d0, 0)]["n_users"] == 2
+        assert out[(d0, 0)]["mass"] == 6.0
+        # day0 cohort, period 1: only user 1
+        assert out[(d0, 1)]["n_users"] == 1 and out[(d0, 1)]["mass"] == 2.0
+        # day0 cohort, period 3: user 1's two events aggregate
+        assert out[(d0, 3)]["n_users"] == 1 and out[(d0, 3)]["mass"] == 2.0
+        # day1 cohort = user 3
+        assert out[(d1, 0)]["n_users"] == 1
+        assert out[(d1, 1)]["n_users"] == 1
+        assert (d0, 2) not in out  # nobody from day0 active on day2
+
+    def test_retention_never_exceeds_cohort_size(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = cohort_retention(ev, "user_id", "ts", "1d")
+        base = {r["cohort"]: r["n_users"]
+                for r in out.where(F.col("period") == 0).collect()}
+        for r in out.where(F.col("period") > 0).collect():
+            assert r["n_users"] <= base[r["cohort"]], r
+
+    def test_max_periods(self, events):
+        out = cohort_retention(events, "user", "ts", "1d", max_periods=1)
+        assert out.agg(F.max("period")).first()[0] <= 1
+
+    def test_no_sort_in_first_seen(self, events):
+        out = cohort_retention(events, "user", "ts", "1d")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        # the first-seen window is unordered (min over user partition)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert " ASC" not in spec and " DESC" not in spec, spec
+
+    def test_calendar_rule_rejected(self, events):
+        with pytest.raises((ValueError, KeyError)):
+            cohort_retention(events, "user", "ts", "3ME")
