@@ -1531,10 +1531,18 @@ def _q_grouped_apply(spark, sf_dir):
     # masses and counts, bit-exact
     from pandas_weights_spark.cohort import cohort_retention
 
-    evt = load_table(spark, sf_dir, "events")
+    # r5: fold user_id % 13 == 0 into one NULL pseudo-user so the
+    # NULL-user n_users contract (VERDICT r4 item 1) is oracle-pinned;
+    # weight derives from the ORIGINAL id so mass stays deterministic
+    evt = load_table(spark, sf_dir, "events").withColumn(
+        "w_ret", (F.col("user_id") % 7 + 1).cast("double")
+    ).withColumn(
+        "u_ret",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id")),
+    )
     ret = cohort_retention(
-        evt, "user_id", "ts", "1d",
-        weight=(F.col("user_id") % 7 + 1).cast("double"),
+        evt, "u_ret", "ts", "1d", weight=F.col("w_ret"),
     ).select(
         F.lit("ret").alias("kind"),
         F.unix_timestamp("cohort").cast("string").alias("key"),
@@ -3081,7 +3089,7 @@ _ORACLE["grouped_apply"] += """
     UNION ALL
     SELECT 'ret' AS kind, key, stat, val FROM (
       WITH e AS (
-        SELECT user_id AS u,
+        SELECT CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id END AS u,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
                     AS BIGINT) AS b,
                CAST(user_id % 7 + 1 AS DOUBLE) AS w
@@ -3090,7 +3098,9 @@ _ORACLE["grouped_apply"] += """
         SELECT u, b, w, MIN(b) OVER (PARTITION BY u) AS c FROM e
       ), tri AS (
         SELECT c, b - c AS period,
-               COUNT(DISTINCT u) AS n_users, SUM(w) AS mass
+               COUNT(DISTINCT u)
+                 + MAX(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS n_users,
+               SUM(w) AS mass
         FROM f GROUP BY 1, 2
       )
       SELECT CAST(c * 86400 AS VARCHAR) AS key, v.stat, v.val

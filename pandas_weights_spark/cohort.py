@@ -69,6 +69,11 @@ def cohort_retention(
         (F.col("__c__") * F.lit(secs)).cast("timestamp").alias("cohort"),
         "period",
     ).agg(
-        F.countDistinct("__u__").alias("n_users"),
+        # count_distinct skips NULLs, but the documented contract treats
+        # NULL users as one ordinary pseudo-user — add it back explicitly.
+        (
+            F.countDistinct("__u__")
+            + F.max(F.when(F.col("__u__").isNull(), 1).otherwise(0))
+        ).alias("n_users"),
         F.sum("__w__").alias("mass"),
     )

@@ -68,6 +68,31 @@ class TestCohortRetention:
         for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             assert " ASC" not in spec and " DESC" not in spec, spec
 
+    def test_null_user_counts_as_one_pseudo_user(self, spark):
+        # VERDICT r4 repro: NULL user (day 0, day 1) + user 7 (day 0).
+        base = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (None, base, 1.0),
+                (None, base + dt.timedelta(days=1), 1.0),
+                (7, base, 1.0),
+            ],
+            "user long, ts timestamp, w double",
+        )
+        out = {
+            (r["cohort"], r["period"]): r
+            for r in cohort_retention(
+                ev, "user", "ts", "1d", weight=F.col("w")
+            ).collect()
+        }
+        d0 = dt.datetime(2024, 1, 1)
+        # period 0: user 7 + the NULL pseudo-user = 2 users, mass 2.0
+        assert out[(d0, 0)]["n_users"] == 2
+        assert out[(d0, 0)]["mass"] == 2.0
+        # period 1: only the NULL pseudo-user is active
+        assert out[(d0, 1)]["n_users"] == 1
+        assert out[(d0, 1)]["mass"] == 1.0
+
     def test_calendar_rule_rejected(self, events):
         with pytest.raises((ValueError, KeyError)):
             cohort_retention(events, "user", "ts", "3ME")
