@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_weights_spark import wt
-from pandas_weights_spark.sources import load_table
+from pandas_weights_spark.sources import fan_out, load_table
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -821,7 +821,11 @@ def _q_text_metrics(spark, sf_dir):
     )
 
     t = F.col("text")
-    lines = duplicate_item_stats(F.split(t, "\n"))
+    # r5 fuse: token + line arrays materialize ONCE (producer
+    # projection survives CollapseProject — non-cheap, multi-ref) and
+    # feed every panel kernel; values unchanged, oracle still bit-exact
+    toks, lns = F.col("__toks__"), F.col("__lines__")
+    lines = duplicate_item_stats(lns)
     # r4: PII/URL surface rides the same row — the raw docs carry no
     # PII, so a deterministic synthetic contact line is appended and
     # counted/redacted (redaction pinned via md5 of the scrubbed text)
@@ -832,19 +836,22 @@ def _q_text_metrics(spark, sf_dir):
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".example.org/p x"),
     )
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).withColumns(
+        {"__toks__": TX.tokens(t), "__lines__": F.split(t, "\n")}
+    ).select(
         "doc_id",
-        TX.token_count(t).cast("long").alias("n_tokens"),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(toks)).cast("long").alias("n_tokens"),
         TX.bpe_token_count(t).cast("long").alias("bpe_tokens"),
         TX.lang_id(t).alias("lang_pred"),
         TX.quality_score(t).alias("quality"),
         TX.fingerprint(t).alias("fp"),
         lines["dup_frac"].alias("dup_line_frac"),
         lines["dup_char_frac"].alias("dup_line_char_frac"),
-        top_ngram_char_frac(t, 2).alias("top2_char_frac"),
-        top_ngram_char_frac(t, 3).alias("top3_char_frac"),
-        dup_ngram_char_frac(t, 5).alias("dup5_char_frac"),
-        quality_flags(t)["keep"].alias("keep"),
+        top_ngram_char_frac(t, 2, toks=toks).alias("top2_char_frac"),
+        top_ngram_char_frac(t, 3, toks=toks).alias("top3_char_frac"),
+        dup_ngram_char_frac(t, 5, toks=toks).alias("dup5_char_frac"),
+        quality_flags(t, toks=toks, lines=lns)["keep"].alias("keep"),
         TX.pii_counts(aug)["n_email"].cast("long").alias("n_email"),
         F.size(TX.extract_urls(aug)).cast("long").alias("n_urls"),
         F.md5(TX.redact_pii(aug)).alias("red_fp"),
@@ -954,7 +961,9 @@ def _q_embedding_neardup(spark, sf_dir):
     # bucketing and the check is exact, not rows-only.
     from pandas_weights_spark.functions.dedup import embedding_near_duplicates
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: one-file scan → parallelize the row-local bucket hashing;
+    # pair cosines are per-row array folds, partitioning-invariant
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=0.3, bucket_planes=4, seed=42
     )
@@ -1662,7 +1671,10 @@ def _q_decontam(spark, sf_dir):
     # int/int division — bit-exact.
     from pandas_weights_spark.functions.decontam import ngram_overlap
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # fan_out: one-file scan → spread rows so shingle construction
+    # (the compute-heavy map side) parallelizes; results are integer
+    # counts, partitioning-invariant
+    docs = fan_out(_docs(spark, sf_dir)).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 20 == 0).select("text").unionByName(
         docs.where(F.col("doc_id") % 20 == 1).select(
             F.regexp_replace("text", r"^\S+\s+", "").alias("text")

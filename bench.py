@@ -122,7 +122,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from pandas_weights_spark.sample import poisson_sample
-    from pandas_weights_spark.sources import load_table
+    from pandas_weights_spark.sources import fan_out, load_table
 
     _w = F.col("l_quantity").cast("double")
     _tot = (
@@ -330,7 +330,7 @@ def main() -> int:
         from pandas_weights_spark.functions import text as TX
 
         t = F.col("text")
-        return load_table(spark_, sf_dir_, "documents").select(
+        return fan_out(load_table(spark_, sf_dir_, "documents")).select(
             "doc_id",
             TX.token_count(t).cast("long").alias("n_tokens"),
             TX.bpe_token_count(t).cast("long").alias("bpe_tokens"),
@@ -340,19 +340,17 @@ def main() -> int:
         )
 
     def _doc_quality(spark_, sf_dir_):
-        from pandas_weights_spark.functions.quality import (
-            quality_flags,
-            repetition_metrics,
-        )
+        # fused pass (quality_panel): tokenize + line-split once per
+        # row, every Gopher panel + flag derives from the shared arrays
+        from pandas_weights_spark.functions.quality import quality_panel
 
-        t = F.col("text")
-        m = repetition_metrics(t)
-        fl = quality_flags(t)
-        return load_table(spark_, sf_dir_, "documents").select(
-            "doc_id",
-            *[c.alias(k) for k, c in m.items()],
-            *[c.alias(k) for k, c in fl.items()],
-        )
+        # fan_out: the sf0.1 table is ONE parquet file (= one scan
+        # task); spread the raw rows so the row-local panel uses every
+        # core — at 100 TB the guard makes this a no-op (file splits
+        # already saturate the cluster)
+        return quality_panel(
+            fan_out(load_table(spark_, sf_dir_, "documents"))
+        ).drop("text", "lang", "source", "n_chars")
 
     qs["text_metrics"] = _text_metrics_r3
     qs["doc_quality"] = _doc_quality
@@ -545,7 +543,7 @@ def main() -> int:
     def _simhash_only(spark_, sf_dir_):
         from pandas_weights_spark.functions.dedup import simhash
 
-        docs = load_table(spark_, sf_dir_, "documents")
+        docs = fan_out(load_table(spark_, sf_dir_, "documents"))
         return docs.select(
             "doc_id", simhash(F.col("text"), 32).alias("simhash")
         )

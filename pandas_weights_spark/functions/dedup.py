@@ -277,26 +277,42 @@ def simhash(text: Column, bits: int = 64) -> Column:
     if bits > 128:
         raise ValueError("simhash supports at most 128 bits (md5 width)")
     toks = F.array_distinct(tokens(F.lower(text)))
-
-    def bit_merge(b: int):
-        # factory keeps the merge lambda binary (acc, elem) — see
-        # minhash_signature for why the position can't be a default param
-        pos, shift = b // 4 + 1, b % 4
-
-        def merge(acc, t):
-            digit = F.instr(F.lit(_HEX), F.substring(F.md5(t), pos, 1)) - F.lit(1)
-            bit = F.shiftright(digit, shift).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-        return merge
-
-    bit_chars = [
-        F.when(F.aggregate(toks, F.lit(0), bit_merge(b)) > 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for b in range(bits)
-    ]
-    return F.concat(*bit_chars)
+    # hash each token ONCE: md5 → 32 hex-digit values (split's child
+    # evaluates a single time per token — unlike referencing the md5
+    # expression per bit, which re-hashed 32-128× in the r4 version)
+    digitized = F.transform(
+        toks,
+        lambda t: F.transform(
+            F.split(F.md5(t), ""),
+            lambda c: F.instr(F.lit(_HEX), c) - F.lit(1),
+        ),
+    )
+    # per-token ±1 contribution vector over all bits (integer ops on
+    # the precomputed digits), then ONE fold summing the vectors
+    contribs = F.transform(
+        digitized,
+        lambda d: F.array(
+            *[
+                F.when(
+                    F.shiftright(F.get(d, b // 4), b % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        ),
+    )
+    sums = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    return F.concat_ws(
+        "",
+        F.transform(
+            sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 64) -> Column:

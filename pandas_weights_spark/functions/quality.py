@@ -36,9 +36,9 @@ group-by replays the folds); the driver row rides ``text_metrics``.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pandas_weights_spark.functions.text import tokens, word_ngrams
@@ -49,6 +49,7 @@ __all__ = [
     "dup_ngram_char_frac",
     "repetition_metrics",
     "quality_flags",
+    "quality_panel",
     "STOP_WORDS",
 ]
 
@@ -97,13 +98,16 @@ def _clamped_frac(mass: Column, text: Column) -> Column:
     return F.when(frac.isNotNull(), F.least(_L(1.0), frac))
 
 
-def top_ngram_char_frac(text: Column, n: int) -> Column:
+def top_ngram_char_frac(
+    text: Column, n: int, toks: Optional[Column] = None
+) -> Column:
     """Fraction of document characters covered by the heaviest word
     n-gram (count × n-gram length, maximized jointly), Gopher §A1.1.
 
     One run-length fold over the sorted n-gram array: the state carries
-    (previous gram, current run length, best mass)."""
-    grams = F.sort_array(word_ngrams(text, n))
+    (previous gram, current run length, best mass). ``toks`` optionally
+    supplies a pre-materialized token array (see ``quality_panel``)."""
+    grams = F.sort_array(word_ngrams(text, n, toks=toks))
     zero = F.struct(
         _L(None).cast("string").alias("p"),
         _L(0).cast("long").alias("r"),
@@ -122,14 +126,17 @@ def top_ngram_char_frac(text: Column, n: int) -> Column:
     return _clamped_frac(best, text)
 
 
-def dup_ngram_char_frac(text: Column, n: int) -> Column:
+def dup_ngram_char_frac(
+    text: Column, n: int, toks: Optional[Column] = None
+) -> Column:
     """Fraction of document characters covered by ALL occurrences of
     duplicated word n-grams (count × length summed over grams with
     count > 1), clamped at 1.0 — Gopher §A1.1's duplicate-n-gram rule.
 
     Run-length fold over the sorted n-gram array; a run of length r > 1
-    contributes r · length(gram)."""
-    grams = F.sort_array(word_ngrams(text, n))
+    contributes r · length(gram). ``toks`` optionally supplies a
+    pre-materialized token array (see ``quality_panel``)."""
+    grams = F.sort_array(word_ngrams(text, n, toks=toks))
     zero = F.struct(
         _L(None).cast("string").alias("p"),
         _L(0).cast("long").alias("r"),
@@ -157,20 +164,26 @@ def repetition_metrics(
     text: Column,
     top_ns: Sequence[int] = (2, 3, 4),
     dup_ns: Sequence[int] = (5, 10),
+    toks: Optional[Column] = None,
+    lines: Optional[Column] = None,
 ) -> Dict[str, Column]:
     """The full Gopher repetition panel as named Columns:
     ``dup_line_frac``, ``dup_line_char_frac``, ``top{n}_char_frac`` for
-    each of ``top_ns``, ``dup{n}_char_frac`` for each of ``dup_ns``."""
-    lines = F.split(text, "\n")
+    each of ``top_ns``, ``dup{n}_char_frac`` for each of ``dup_ns``.
+    ``toks``/``lines`` optionally supply pre-materialized token / line
+    arrays so the split runs once for the whole panel
+    (see ``quality_panel``)."""
+    if lines is None:
+        lines = F.split(text, "\n")
     ls = duplicate_item_stats(lines)
     out: Dict[str, Column] = {
         "dup_line_frac": ls["dup_frac"],
         "dup_line_char_frac": ls["dup_char_frac"],
     }
     for n in top_ns:
-        out[f"top{n}_char_frac"] = top_ngram_char_frac(text, n)
+        out[f"top{n}_char_frac"] = top_ngram_char_frac(text, n, toks=toks)
     for n in dup_ns:
-        out[f"dup{n}_char_frac"] = dup_ngram_char_frac(text, n)
+        out[f"dup{n}_char_frac"] = dup_ngram_char_frac(text, n, toks=toks)
     return out
 
 
@@ -192,6 +205,8 @@ def quality_flags(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_words: int = 2,
+    toks: Optional[Column] = None,
+    lines: Optional[Column] = None,
 ) -> Dict[str, Column]:
     """Gopher §A1.1 rule filters as boolean Columns + ``keep`` (their
     conjunction). All row-local; thresholds are the paper's defaults.
@@ -200,8 +215,10 @@ def quality_flags(
     (hash/ellipsis per word), ``ok_bullet_lines`` (lines starting with
     a bullet), ``ok_ellipsis_lines`` (lines ending with an ellipsis),
     ``ok_alpha_words`` (words containing a letter), ``ok_stop_words``.
+    ``toks``/``lines`` optionally supply pre-materialized arrays
+    (see ``quality_panel``).
     """
-    ws = tokens(text)
+    ws = tokens(text) if toks is None else toks
     nw = F.size(ws).cast("double")
     total_word_chars = F.aggregate(
         ws, _L(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -214,7 +231,8 @@ def quality_flags(
     ) / _L(3) + (F.length(text) - F.length(F.replace(text, _L("…"))))
     symbol_ratio = F.try_divide((n_hash + n_ell).cast("double"), nw)
 
-    lines = F.split(text, "\n")
+    if lines is None:
+        lines = F.split(text, "\n")
     nl = F.size(lines).cast("double")
     n_bullet = F.size(
         F.filter(
@@ -258,3 +276,45 @@ def quality_flags(
         keep = c if keep is None else keep & c
     flags["keep"] = keep
     return flags
+
+
+def quality_panel(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    flags: bool = True,
+    **flag_kwargs,
+) -> DataFrame:
+    """The whole repetition panel + rule flags in ONE fused row-local
+    pass: tokenize and line-split exactly once per row, derive every
+    n-gram panel and flag from the shared arrays.
+
+    Why a DataFrame-level helper: the Column kernels above each call
+    ``tokens(text)`` internally, and the higher-order-function
+    expressions they build evaluate INTERPRETED (no whole-stage
+    codegen, no common-subexpression elimination) — so a naive
+    ``select`` of the full panel re-splits the document once per
+    metric. Materializing the token/line arrays in a producer
+    projection makes them per-row computed-once columns: Catalyst's
+    ``CollapseProject`` declines to inline a non-cheap producer
+    expression referenced more than once, so the two splits survive as
+    real columns feeding all panels. Still zero shuffle, still
+    pipelined into the scan.
+
+    Adds the metric columns to ``df`` (temp arrays dropped).
+    """
+    t = F.col(text_col)
+    toks_c, lines_c = "__qp_toks__", "__qp_lines__"
+    staged = df.withColumns(
+        {toks_c: tokens(t), lines_c: F.split(t, "\n")}
+    )
+    toks, lines = F.col(toks_c), F.col(lines_c)
+    out: Dict[str, Column] = dict(
+        repetition_metrics(t, top_ns, dup_ns, toks=toks, lines=lines)
+    )
+    if flags:
+        out.update(
+            quality_flags(t, toks=toks, lines=lines, **flag_kwargs)
+        )
+    return staged.withColumns(out).drop(toks_c, lines_c)

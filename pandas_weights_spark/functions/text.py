@@ -54,7 +54,9 @@ def token_count(text: Column) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
+def word_ngrams(
+    text: Column, n: int, toks: "Column | None" = None
+) -> Column:
     """Word n-grams (space-joined) — the shingle unit for MinHash/Jaccard.
 
     Row-local: a ``zip_with`` chain over n-1 shifted slices of the
@@ -64,8 +66,14 @@ def word_ngrams(text: Column, n: int) -> Column:
     interpreted HOF path and measured 6× slower on sf0.1 documents).
     No explode, no shuffle. A document shorter than ``n`` words yields
     its whole text as the single shingle (so every doc has ≥1 shingle).
+
+    ``toks`` lets a fused panel pass a PRE-MATERIALIZED token array
+    (one split per row instead of one per metric — the HOF expressions
+    here evaluate interpreted, so common-subexpression elimination does
+    not rescue repeated ``tokens(text)`` calls).
     """
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
     k = F.size(toks)
     m = k - F.lit(n - 1)  # gram count; >= 1 inside the when() guard
     grams = F.slice(toks, 1, m)

@@ -104,6 +104,30 @@ def load_table_stream(
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW scan before a compute-bound
+    row-local pass (text metrics, hashing, decode).
+
+    Why this exists: parallelism of a parquet scan comes from file
+    splits, and a single small file (or one un-splittable row group) is
+    ONE task — so a CPU-heavy per-row pass over it runs on one core no
+    matter how many sit idle. At 100 TB the file count saturates any
+    cluster and this helper is a no-op by its own guard; on few-files
+    inputs the cheap round-robin exchange of the raw rows buys
+    slots× wall-clock. Only use ahead of per-row deterministic
+    transforms — a round-robin exchange reorders float aggregation
+    otherwise.
+
+    ``partitions`` defaults to ``sparkContext.defaultParallelism``.
+    No-op when the plan already has at least that many partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    n = int(partitions or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All test tables as a dict (lazy — nothing is scanned until used)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
