@@ -3739,9 +3739,13 @@ _ORACLE["weighted_tests"] = """
       WITH per AS (
         SELECT l_returnflag,
                COALESCE(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                                  AND l_quantity > 0
                                  THEN l_quantity END), 0.0) AS wg,
-               SUM(l_extendedprice * l_quantity) AS sg,
-               SUM(l_extendedprice * l_extendedprice * l_quantity) AS ssg
+               SUM(CASE WHEN l_quantity > 0
+                        THEN l_extendedprice * l_quantity END) AS sg,
+               SUM(CASE WHEN l_quantity > 0
+                        THEN l_extendedprice * l_extendedprice
+                             * l_quantity END) AS ssg
         FROM lineitem GROUP BY 1
       ), an AS (
         SELECT SUM(wg) AS W, SUM(sg) AS S, SUM(ssg) AS SS,

@@ -399,29 +399,17 @@ def main() -> int:
         return tl.unionByName(cl)
 
     def _info_stats(spark_, sf_dir_):
+        # fused panel (weighted_info_panel): one grouping-sets pass
+        # (anova + entropy + MI) + one banded-prefix pass (gini + KS)
+        # — two raw scans instead of five
         from pandas_weights_spark import wt as _wt
+        from pandas_weights_spark.inference import weighted_info_panel
 
         li = load_table(spark_, sf_dir_, "lineitem")
-        w = _wt(li, "l_quantity")
-        a = w.anova("l_extendedprice", "l_returnflag").select(
-            F.lit("anova").alias("t"), F.col("f_stat").alias("v")
+        return weighted_info_panel(
+            _wt(li, "l_quantity"),
+            "l_extendedprice", "l_returnflag", "l_linestatus", "A", "R",
         )
-        e = w.entropy("l_returnflag").select(
-            F.lit("entropy").alias("t"), F.col("entropy").alias("v")
-        )
-        m = w.mutual_information("l_returnflag", "l_linestatus").select(
-            F.lit("mi").alias("t"), F.col("mi").alias("v")
-        )
-        g = w.gini("l_extendedprice").select(
-            F.lit("gini").alias("t"), F.col("gini").alias("v")
-        )
-        k = w.ks("l_extendedprice", "l_returnflag", "A", "R").select(
-            F.lit("ks").alias("t"), F.col("ks_stat").alias("v")
-        )
-        out = a
-        for part in (e, m, g, k):
-            out = out.unionByName(part)
-        return out
 
     qs["weighted_tests"] = _tests_r3
     qs["info_stats"] = _info_stats

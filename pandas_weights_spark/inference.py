@@ -42,6 +42,7 @@ __all__ = [
     "weighted_anova",
     "weighted_entropy",
     "weighted_mutual_information",
+    "weighted_info_panel",
 ]
 
 
@@ -205,7 +206,11 @@ def weighted_anova(
             raise KeyError(f"column {c!r} not in frame")
     x = wdf._value(value)
     w = wdf.weights
-    m = F.when(x.isNotNull() & w.isNotNull(), w).otherwise(F.lit(0.0))
+    # mask matches every sibling kernel (entropy/gini/ks/mwu): NULL
+    # value/weight AND non-positive weights contribute nothing
+    m = F.when(x.isNotNull() & w.isNotNull() & (w > 0), w).otherwise(
+        F.lit(0.0)
+    )
     per = wdf.df.groupBy(*[F.col(k) for k in keys], F.col(group_col)).agg(
         F.sum(m).alias("__wg__"),
         F.sum(m * x).alias("__sg__"),
@@ -282,6 +287,148 @@ def weighted_entropy(
         F.col("__k__").cast("long").alias("n_categories"),
         W.alias("n"),
     )
+
+
+def weighted_info_panel(
+    wdf,
+    value: str,
+    cat_a: str,
+    cat_b: str,
+    ks_group_a,
+    ks_group_b,
+    bands: int = 256,
+) -> DataFrame:
+    """The whole information/dispersion panel — one-way ANOVA F of
+    ``value`` across ``cat_a``, weight-mass entropy of ``cat_a``,
+    mutual information between ``cat_a`` and ``cat_b``, Gini of
+    ``value``, and the two-sample KS statistic of ``value`` between
+    ``cat_a`` levels ``ks_group_a``/``ks_group_b`` — computed with TWO
+    raw-data passes instead of five, reproducing the standalone
+    kernels' values exactly.
+
+    Shared-scan shape:
+
+    * ONE ``GROUPING SETS ((a,b),(a),(b),())`` pass carries both the
+      entropy/MI mass (``w > 0``) and the ANOVA per-level value
+      moments (value-and-weight mask); entropy + MI + the F statistic
+      then re-aggregate the tiny cell table in one aggregate.
+    * ONE banded-prefix pass (:func:`~pandas_weights_spark.quantile.
+      _banded_cums`) carries all four cumulative masses — Gini's
+      (w, wx) and KS's per-side (a, b) — through the same band
+      windows; both statistics fall out of one final aggregate.
+
+    Output: tagged long rows ``(t, v)`` with t ∈ {anova, entropy, mi,
+    gini, ks}.
+    """
+    from pandas_weights_spark.quantile import _banded_cums
+
+    for c in (value, cat_a, cat_b):
+        if c not in wdf.df.columns:
+            raise KeyError(f"column {c!r} not in frame")
+    x = wdf._value(value)
+    w = wdf.weights
+    xd = x.cast("double")
+    m_ent = F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+    m_an = F.when(x.isNotNull() & w.isNotNull() & (w > 0), w).otherwise(
+        F.lit(0.0)
+    )
+    gs = wdf.df.groupingSets(
+        [[cat_a, cat_b], [cat_a], [cat_b], []], cat_a, cat_b
+    ).agg(
+        F.sum(m_ent).alias("__m__"),
+        F.sum(m_an).alias("__wg__"),
+        F.sum(m_an * xd).alias("__sg__"),
+        F.sum(m_an * xd * xd).alias("__ssg__"),
+        F.grouping(cat_a).alias("__ga__"),
+        F.grouping(cat_b).alias("__gb__"),
+    )
+    ga, gb = F.col("__ga__"), F.col("__gb__")
+    lvl_x = (ga == 0) & (gb == 1)
+    lvl_y = (ga == 1) & (gb == 0)
+    lvl_xy = (ga == 0) & (gb == 0)
+    lvl_g = (ga == 1) & (gb == 1)
+    mm = F.col("__m__")
+    wg, sg, ssg = F.col("__wg__"), F.col("__sg__"), F.col("__ssg__")
+    pos = mm > 0
+    apos = wg > 0
+    info = gs.agg(
+        # entropy / MI: Σm·ln m per grouping level + the grand mass
+        F.sum(F.when(lvl_x & pos, mm * F.log(mm))).alias("__xml__"),
+        F.sum(F.when(lvl_y & pos, mm * F.log(mm))).alias("__yml__"),
+        F.sum(F.when(lvl_xy & pos, mm * F.log(mm))).alias("__jml__"),
+        F.sum(F.when(lvl_g, mm)).alias("__G__"),
+        # ANOVA: per-level moments ride the x-marginal rows
+        F.sum(F.when(lvl_x & apos, wg)).alias("__W__"),
+        F.sum(F.when(lvl_x & apos, ssg)).alias("__SS__"),
+        F.sum(F.when(lvl_x & apos, sg)).alias("__S__"),
+        F.sum(
+            F.when(lvl_x & apos, ssg - F.try_divide(sg * sg, wg))
+        ).alias("__ssw__"),
+        F.sum(F.when(lvl_x & apos, F.lit(1))).alias("__k__"),
+    )
+    G = F.col("__G__")
+    h = lambda c: F.log(G) - F.try_divide(F.col(c), G)  # noqa: E731
+    mi = h("__xml__") + h("__yml__") - h("__jml__")
+    W, S, SS = F.col("__W__"), F.col("__S__"), F.col("__SS__")
+    ssw, k = F.col("__ssw__"), F.col("__k__").cast("double")
+    sst = SS - F.try_divide(S * S, W)
+    df_b, df_w = k - F.lit(1.0), W - k
+    f_stat = F.try_divide(
+        F.try_divide(sst - ssw, df_b), F.try_divide(ssw, df_w)
+    )
+    part1 = info.select(
+        F.expr("stack(3, 'anova', 0d, 'entropy', 0d, 'mi', 0d) AS (t, z)"),
+        F.when((df_b > 0) & (df_w > 0) & (ssw > 0), f_stat).alias("__f__"),
+        F.when(G > 0, h("__xml__")).alias("__h__"),
+        F.when(G > 0, mi).alias("__mi__"),
+    ).select(
+        "t",
+        F.when(F.col("t") == "anova", F.col("__f__"))
+        .when(F.col("t") == "entropy", F.col("__h__"))
+        .otherwise(F.col("__mi__"))
+        .alias("v"),
+    )
+
+    ok = x.isNotNull() & w.isNotNull() & (w > 0)
+    ma = F.when(
+        ok & F.col(cat_a).eqNullSafe(F.lit(ks_group_a)), w
+    ).otherwise(F.lit(0.0))
+    mb = F.when(
+        ok & F.col(cat_a).eqNullSafe(F.lit(ks_group_b)), w
+    ).otherwise(F.lit(0.0))
+    m_g = F.when(ok, w).otherwise(F.lit(0.0))
+    frame, cums, tots = _banded_cums(
+        wdf, value, [],
+        {"m": m_g, "s": m_g * xd, "a": ma, "b": mb}, bands=bands,
+    )
+    fa = F.try_divide(F.col(cums["a"]), F.col(tots["a"]))
+    fb = F.try_divide(F.col(cums["b"]), F.col(tots["b"]))
+    d = F.when(x.isNotNull(), F.abs(fa - fb))
+    both = frame.agg(
+        F.sum(m_g * (xd * F.col(cums["m"]) - F.col(cums["s"]))).alias(
+            "__num__"
+        ),
+        F.min(F.col(tots["m"])).alias("__Wg__"),
+        F.min(F.col(tots["s"])).alias("__Sg__"),
+        F.max(d).alias("__ks__"),
+        F.min(F.col(tots["a"])).alias("__na__"),
+        F.min(F.col(tots["b"])).alias("__nb__"),
+    )
+    part2 = both.select(
+        F.expr("stack(2, 'gini', 0d, 'ks', 0d) AS (t, z)"),
+        F.try_divide(
+            F.col("__num__"), F.col("__Wg__") * F.col("__Sg__")
+        ).alias("__gini__"),
+        F.when(
+            (F.col("__na__") > 0) & (F.col("__nb__") > 0), F.col("__ks__")
+        ).alias("__k__"),
+    ).select(
+        "t",
+        F.when(F.col("t") == "gini", F.col("__gini__"))
+        .otherwise(F.col("__k__"))
+        .alias("v"),
+    )
+    return part1.unionByName(part2)
 
 
 def weighted_mutual_information(

@@ -149,6 +149,47 @@ class TestMutualInformation:
         assert plan.count("Scan ") <= 1, plan
 
 
+class TestInfoPanel:
+    def test_matches_standalone_kernels(self, df):
+        from pandas_weights_spark.inference import weighted_info_panel
+
+        got = {
+            r["t"]: r["v"]
+            for r in weighted_info_panel(
+                wt(df, "w"), "v", "grp", "cat", "a", "b"
+            ).collect()
+        }
+        assert set(got) == {"anova", "entropy", "mi", "gini", "ks"}
+        w = wt(df, "w")
+        exp = {
+            "anova": weighted_anova(w, "v", "grp").collect()[0]["f_stat"],
+            "entropy": weighted_entropy(w, "grp").collect()[0]["entropy"],
+            "mi": weighted_mutual_information(w, "grp", "cat").collect()[0][
+                "mi"
+            ],
+            "gini": weighted_gini(w, "v").collect()[0]["gini"],
+            "ks": weighted_ks(w, "v", "grp", "a", "b").collect()[0][
+                "ks_stat"
+            ],
+        }
+        for t, v in exp.items():
+            assert got[t] == pytest.approx(v, rel=1e-9), t
+
+    def test_scan_count_below_naive_union(self, df):
+        # two pass FAMILIES: one grouping-sets scan (anova+entropy+mi)
+        # + one banded-cums spine (gini+ks) whose machinery embeds the
+        # raw relation 4x (min/max probe, band totals, main frame) —
+        # 5 raw-relation reads total. The naive five-statistic union
+        # embeds it 11x (1+1+1+4+4); pin the fused bound so a
+        # regression back to per-statistic spines fails here.
+        from pandas_weights_spark.inference import weighted_info_panel
+
+        out = weighted_info_panel(wt(df, "w"), "v", "grp", "cat", "a", "b")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
+        assert n_scans <= 5, plan
+
+
 def _gini_ref(xs, ws):
     xs, ws = np.asarray(xs, float), np.asarray(ws, float)
     num = sum(wi * wj * abs(xi - xj)
