@@ -427,6 +427,7 @@ def spearman_corr(
     by: Optional[Sequence[str]] = None,
     min_periods: int = 1,
     ddof: int = 1,
+    band_bounds: Optional[dict] = None,
 ) -> DataFrame:
     """Weighted Spearman rank correlation of two columns (extension: the
     reference raises for non-pearson, frame.py:263-266).
@@ -451,13 +452,18 @@ def spearman_corr(
     already cheap — sequential full passes were the cost):
 
     - band bounds come from a robust [p1, p99] of a bounded
-      ``limit(10240)`` sample (ONE cheap job that reads about a row
-      group, vs r3's full per-group min/max scan — at 100 TB the
-      difference between scanning the table and scanning one file).
-      Banding stays linear arithmetic (2 flops/row in codegen; an
-      equal-frequency edge-array variant was tried and the per-row
-      higher-order-function fold was 3× slower than the whole r3
-      query). Rows outside the sampled support clamp into the edge
+      ``limit(10240)`` probe (ONE cheap job that reads about a row
+      group, vs r3's full per-group min/max scan), or — for callers
+      needing run-to-run reproducible plans (ADVICE r4: the probe's
+      subset is partition-order dependent) — from an explicit
+      ``band_bounds={"x": (lo, hi), "y": (lo, hi)}`` with no probe job
+      at all. Deterministic probe variants were measured and rejected:
+      content-hash sampling and split-pinned filters still scan every
+      partition (+0.6 s), per-key exact percentiles via broadcast join
+      +1.4 s on this 1.9 s query. Banding stays linear arithmetic
+      (2 flops/row in codegen; an equal-frequency edge-array variant's
+      per-row higher-order-function fold was 3× slower than the whole
+      r3 query). Rows outside the probed support clamp into the edge
       bands; ranks are band-assignment-invariant (equal values always
       share a band), so bound quality affects only load balance,
       never the result.
@@ -487,11 +493,23 @@ def spearman_corr(
         *keys, x.alias("__x__"), y.alias("__y__"), w.alias(WEIGHT_COL)
     )
     # p1/p99 rather than min/max: one sampled outlier would stretch the
-    # linear band range until the real mass collapses into a few bands
-    bounds = v.limit(10_240).agg(
-        F.percentile_approx("__x__", [0.01, 0.99], 1000).alias("bx"),
-        F.percentile_approx("__y__", [0.01, 0.99], 1000).alias("by"),
-    ).first()
+    # linear band range until the real mass collapses into a few bands.
+    # The probe's row subset is partition-order dependent (limit races
+    # the collect, ADVICE r4); ranks are band-assignment-invariant so
+    # only load balance varies, never values. Callers needing
+    # reproducible plans pass band_bounds={"x": (lo, hi), "y": ...} —
+    # zero probe job, fully literal. Deterministic probe alternatives
+    # were measured and rejected on this 1.9 s query: content-hash
+    # sampling / split-pinned filters still scan every partition's
+    # rows (+0.6 s), and per-key exact percentile bounds via broadcast
+    # join cost +1.4 s (extra scan + losing the literal-codegen band).
+    if band_bounds is not None:
+        bounds = {"bx": tuple(band_bounds["x"]), "by": tuple(band_bounds["y"])}
+    else:
+        bounds = v.limit(10_240).agg(
+            F.percentile_approx("__x__", [0.01, 0.99], 1000).alias("bx"),
+            F.percentile_approx("__y__", [0.01, 0.99], 1000).alias("by"),
+        ).first()
     if bounds["bx"] is None:  # no pairwise-complete rows at all
         null_corr = F.lit(None).cast("double").alias("corr")
         if keys:  # no groups either — empty result, matching r3

@@ -312,24 +312,45 @@ def domain_stats(
     df: DataFrame,
     text_col: str,
     weight: Optional[Column] = None,
+    id_col: Optional[str] = None,
 ) -> DataFrame:
-    """Per-domain corpus statistics: explode every URL's domain and
-    aggregate ``(domain, n_docs, n_urls, weight_mass)`` — the standard
-    per-source quality/quota table of a web-corpus pipeline. One
-    explode + one map-side-combining aggregate; domains are the
-    natural shuffle key (heavy-tailed: AQE handles the skew)."""
+    """Per-domain corpus statistics ``(domain, n_docs, n_urls,
+    weight_mass)`` — the standard per-source quality/quota table of a
+    web-corpus pipeline. ``n_urls`` counts the URLs OF THAT DOMAIN
+    (not, as in r4, every URL of any document mentioning it — that
+    double-counted multi-domain documents); ``n_docs`` / ``weight_mass``
+    count each document once per domain it mentions.
+
+    Shape: explode ALL url domains, pre-aggregate on (doc, domain)
+    (map-side combine; ``id_col`` names the document identity, else a
+    per-row surrogate id is used), then one tiny per-domain aggregate.
+    Domains are the natural shuffle key (heavy-tailed: AQE handles the
+    skew)."""
     w = weight if weight is not None else F.lit(1.0)
     t = F.col(text_col)
-    rows = df.select(
-        w.alias("__w__"),
+    doc_id = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
+    # surrogate id must bind BEFORE the explode (a non-deterministic
+    # expression in the same projection as the generator evaluates per
+    # exploded row, splitting one document into several "docs")
+    staged = df.select(
+        doc_id.alias("__doc__"), w.alias("__w__"), t.alias("__t__")
+    )
+    rows = staged.select(
+        "__doc__",
+        "__w__",
         F.explode(
-            F.array_distinct(
-                F.transform(extract_urls(t), lambda u: url_domain(u))
+            F.transform(
+                extract_urls(F.col("__t__")), lambda u: url_domain(u)
             )
         ).alias("domain"),
-        F.size(extract_urls(t)).alias("__nu__"),
     )
-    return rows.groupBy("domain").agg(
+    per_doc = rows.groupBy("domain", "__doc__").agg(
+        F.count(F.lit(1)).alias("__nu__"),
+        F.first("__w__").alias("__w__"),
+    )
+    return per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nu__").cast("long").alias("n_urls"),
         F.sum("__w__").alias("weight_mass"),

@@ -128,6 +128,13 @@ def zorder_value(
         raise ValueError("zorder needs at least one column")
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
+    if bits * len(cols) > 63:
+        # interleaving past bit 63 of the long would wrap into the sign
+        # bit and silently scramble the Morton order (ADVICE r4)
+        raise ValueError(
+            f"bits * len(cols) = {bits * len(cols)} exceeds 63 — lower "
+            f"bits to at most {63 // len(cols)} for {len(cols)} columns"
+        )
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")

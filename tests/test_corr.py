@@ -274,6 +274,37 @@ class TestSpearman:
         exp = m["x"].rank(method="average").corr(m["y"].rank(method="average"))
         assert got == approx(exp)
 
+    def test_explicit_band_bounds_same_result(self, spark):
+        # band_bounds pins the banding literally (reproducible plans,
+        # no probe job); values must be identical to the probed path —
+        # even with deliberately terrible bounds (everything clamps
+        # into the edge bands), because ranks are band-assignment-
+        # invariant.
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame(
+            {
+                "x": rng.normal(size=60),
+                "y": rng.normal(size=60),
+                "w": rng.integers(1, 4, size=60).astype(float),
+            }
+        )
+        from pandas_weights_spark.corr import spearman_corr
+
+        wdf = wt(spark.createDataFrame(pdf), "w")
+        probed = spearman_corr(wdf, "x", "y").collect()[0]["corr"]
+        pinned = spearman_corr(
+            wdf, "x", "y", band_bounds={"x": (-1.0, 1.0), "y": (-1.0, 1.0)}
+        ).collect()[0]["corr"]
+        terrible = spearman_corr(
+            wdf, "x", "y",
+            band_bounds={"x": (100.0, 200.0), "y": (-5.0, -4.0)},
+        ).collect()[0]["corr"]
+        assert pinned == approx(probed, rel=1e-12)
+        assert terrible == approx(probed, rel=1e-12)
+
     def test_integer_weights_equal_row_repetition(self, spark):
         import numpy as np
         import pandas as pd

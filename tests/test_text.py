@@ -171,9 +171,16 @@ class TestPIIAndURLs:
         }
         assert out["a.com"]["n_docs"] == 2
         assert out["a.com"]["weight_mass"] == 5.0
-        # n_urls counts ALL urls of docs mentioning the domain
+        # n_urls counts the urls OF THAT DOMAIN: doc 1 has two a.com
+        # urls, doc 2 one — the multi-domain doc 2 contributes its
+        # b.org url only to b.org (ADVICE r4 fix)
+        assert out["a.com"]["n_urls"] == 3
         assert out["b.org"]["n_docs"] == 1
+        assert out["b.org"]["n_urls"] == 1
+        assert out["b.org"]["weight_mass"] == 3.0
         assert "no" not in out
+        # corpus URL total == sum of per-domain counts (no overcount)
+        assert sum(r["n_urls"] for r in out.values()) == 4
 
     def test_row_local_no_python(self, spark):
         from pandas_weights_spark.functions.text import pii_counts, redact_pii
