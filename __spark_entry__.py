@@ -1144,7 +1144,50 @@ def _q_neardup_pairs(spark, sf_dir):
         F.lit("embed").alias("method"), "id_a", "id_b",
         F.col("cosine").alias("sim"),
     )
-    return mh.unionByName(ng).unionByName(em)
+    # r5: chunk-level repeated-span detection (dedup.chunk_near_
+    # duplicates — chunk_documents ∘ MinHash banding): docs < 60 plus
+    # synthetic span-copy docs (deterministic pad + the doc's first 120
+    # tokens), so a copied paragraph inside otherwise-different
+    # documents must surface as a chunk pair. Composite chunk identity
+    # re-encodes to doc*100000+chunk for the long id columns.
+    ck = _q_chunk_neardup(spark, sf_dir).select(
+        F.lit("chunk").alias("method"),
+        (F.col("doc_a").cast("long") * 100000 + F.col("chunk_a")).alias(
+            "id_a"
+        ),
+        (F.col("doc_b").cast("long") * 100000 + F.col("chunk_b")).alias(
+            "id_b"
+        ),
+        F.col("jaccard").alias("sim"),
+    )
+    return mh.unionByName(ng).unionByName(em).unionByName(ck)
+
+
+def _q_chunk_neardup(spark, sf_dir):
+    # base: documents < 60 + span-copy partners (id + 20000): 50 tokens
+    # of deterministic pad, then the source doc's first 120 tokens —
+    # every engine-side string op (repeat/slice/concat_ws) has an exact
+    # DuckDB twin, so the chunk texts match byte-for-byte
+    from pandas_weights_spark.functions.dedup import chunk_near_duplicates
+    from pandas_weights_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+    pad = F.repeat(
+        F.concat(F.lit("pad"), F.col("doc_id").cast("string"), F.lit(" ")),
+        50,
+    )
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 120))
+    copies = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(pad, prefix).alias("text"),
+    )
+    return chunk_near_duplicates(
+        docs.unionByName(copies), "text", "doc_id",
+        chunk_tokens=64, overlap=16, threshold=0.5,
+        num_hashes=16, bands=4, shingle_size=3,
+    )
 
 
 def _q_weighted_tests(spark, sf_dir):
@@ -3656,7 +3699,85 @@ def _embedding_neardup_sql(dim: int = 64, planes: int = 4, seed: int = 42,
 """
 
 
-# tagged union of the three pair oracles (see _q_neardup_pairs)
+def _chunk_neardup_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    # exact mirror of dedup.chunk_near_duplicates over the _q_chunk_
+    # neardup fixture: chunk starts every (chunk_tokens-overlap) tokens
+    # while start <= n-overlap; composite key doc||'#'||chunk ordered
+    # as STRING (the operator's pair order); same-doc pairs dropped in
+    # the join; 16-seed md5 minhash + 4-band LSH + exact jaccard.
+    step = chunk_tokens - overlap
+    r = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i} ' || x)))"
+        for i in range(num_hashes)
+    )
+    bexprs = ", ".join(
+        f"md5(array_to_string(sig[{b * r + 1}:{b * r + r}], '|')) AS b{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 20000,
+             repeat('pad' || CAST(doc_id AS VARCHAR) || ' ', 50)
+               || array_to_string(
+                    (string_split_regex(trim(text), '\\s+'))[1:120], ' ')
+      FROM documents WHERE doc_id < 60
+    ), tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM src
+    ), st AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+                 1, greatest(1, len(w) - {overlap}), {step})) AS s
+      FROM tok
+    ), ch AS (
+      SELECT CAST(doc_id AS VARCHAR) || '#'
+               || CAST((s - 1) // {step} AS VARCHAR) AS ck,
+             doc_id, (s - 1) // {step} AS cid,
+             array_to_string(w[s:s + {chunk_tokens - 1}], ' ') AS ct
+      FROM st
+    ), ctok AS (
+      SELECT ck, doc_id, cid,
+             string_split_regex(trim(ct), '\\s+') AS cw
+      FROM ch
+    ), sh AS (
+      SELECT ck, doc_id, cid,
+             CASE WHEN len(cw) >= 3
+                  THEN [array_to_string(cw[i:i+2], ' ')
+                        for i in range(1, len(cw)-1)]
+                  ELSE [array_to_string(cw, ' ')] END AS s
+      FROM ctok
+    ), sig AS (
+      SELECT ck, doc_id, cid, list_distinct(s) AS sd, [{sig}] AS sig
+      FROM sh
+    ), band AS (
+      SELECT ck, doc_id, cid, sd, {bexprs} FROM sig
+    ), pairs AS (
+      SELECT a.doc_id AS da, a.cid AS ca, b.doc_id AS db, b.cid AS cb,
+             a.sd AS sa, b.sd AS sb
+      FROM band a JOIN band b
+        ON a.ck < b.ck AND a.doc_id <> b.doc_id AND ({band_or})
+    )
+    SELECT da * 100000 + ca AS id_a, db * 100000 + cb AS id_b,
+           round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE),
+                 6) AS jaccard
+    FROM pairs
+    WHERE round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE),
+                6) >= {threshold}
+    """
+
+
+# tagged union of the four pair oracles (see _q_neardup_pairs)
 _ORACLE["neardup_pairs"] = f"""
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_sql()})
@@ -3666,6 +3787,9 @@ _ORACLE["neardup_pairs"] = f"""
     UNION ALL
     SELECT 'embed' AS method, id_a, id_b, cosine AS sim
     FROM ({_embedding_neardup_sql()})
+    UNION ALL
+    SELECT 'chunk' AS method, id_a, id_b, jaccard AS sim
+    FROM ({_chunk_neardup_sql()})
 """
 
 _ORACLE["weighted_tests"] = """

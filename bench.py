@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_quality",         # Gopher repetition panel + rule-filter flags
     "decontam",            # 13-gram benchmark containment (broadcast set)
     "chunk_docs",          # sliding-window token chunking (posexplode)
+    "chunk_neardup",       # repeated spans: chunking o minhash banding
     "minhash_neardup",     # shingle->minhash->LSH->jaccard pipeline
     "ngram_jaccard",       # exact jaccard via shingle inverted index
     "embedding_neardup",   # hyperplane-LSH buckets + exact cosine verify
@@ -574,6 +575,22 @@ def main() -> int:
 
     qs["tfidf_top_terms"] = _tfidf_r3
     qs["vocab_encode"] = _vocab_encode
+
+    def _chunk_neardup(spark_, sf_dir_):
+        # repeated-span sweep over the WHOLE documents table: the
+        # chunk-level analogue of minhash_neardup (chunking fan-out +
+        # banded LSH; same no-all-pairs shape)
+        from pandas_weights_spark.functions.dedup import (
+            chunk_near_duplicates,
+        )
+
+        docs = fan_out(load_table(spark_, sf_dir_, "documents"))
+        return chunk_near_duplicates(
+            docs, "text", "doc_id", chunk_tokens=64, overlap=16,
+            threshold=0.8,
+        )
+
+    qs["chunk_neardup"] = _chunk_neardup
 
     qs["dedup_exact"] = _dedup_exact_r3
     qs["simhash"] = _simhash_only

@@ -140,3 +140,68 @@ class TestNgramJaccard:
             df, "text", "doc_id", n=3, threshold=0.01, max_shingle_docs=2
         )
         assert out.count() == 0
+
+
+class TestChunkNearDup:
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        # two long documents sharing one copied paragraph; a third with
+        # unrelated content
+        shared = " ".join(f"shared{i} common token{i % 7}" for i in range(40))
+        a_only = " ".join(f"alpha{i} words here{i}" for i in range(40))
+        b_only = " ".join(f"beta{i} other text{i}" for i in range(40))
+        c_only = " ".join(f"gamma{i} unrelated{i}" for i in range(80))
+        rows = [
+            (1, a_only + " " + shared),
+            (2, shared + " " + b_only),
+            (3, c_only),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_finds_cross_document_span(self, span_docs):
+        out = DD.chunk_near_duplicates(
+            span_docs, "text", "doc_id",
+            chunk_tokens=40, overlap=8, threshold=0.5,
+        ).collect()
+        assert out, "copied paragraph must surface as a chunk pair"
+        docs = {(r["doc_a"], r["doc_b"]) for r in out}
+        assert docs == {("1", "2")}
+        for r in out:
+            assert r["jaccard"] >= 0.5
+
+    def test_doc_level_pipeline_misses_the_span(self, span_docs):
+        # motivation pin: the shared paragraph is <50% of either doc,
+        # so document-level near-dup at the same threshold finds nothing
+        pairs = DD.minhash_near_duplicates(
+            span_docs, "text", "doc_id", threshold=0.5,
+        ).collect()
+        assert pairs == []
+
+    def test_same_document_pairs_excluded(self, span_docs):
+        out = DD.chunk_near_duplicates(
+            span_docs, "text", "doc_id",
+            chunk_tokens=40, overlap=30, threshold=0.1,
+        ).collect()
+        for r in out:
+            assert r["doc_a"] != r["doc_b"], r
+
+    def test_same_document_pairs_kept_when_asked(self, spark):
+        rep = " ".join(["dup token stream alpha beta"] * 30)
+        df = spark.createDataFrame([(9, rep)], "doc_id long, text string")
+        out = DD.chunk_near_duplicates(
+            df, "text", "doc_id",
+            chunk_tokens=30, overlap=10, threshold=0.8,
+            cross_document_only=False,
+        ).collect()
+        assert out, "repetitive doc must pair with itself across chunks"
+        assert all(r["doc_a"] == r["doc_b"] == "9" for r in out)
+
+    def test_deterministic(self, span_docs):
+        k = lambda r: (r["doc_a"], r["chunk_a"], r["doc_b"], r["chunk_b"])
+        f = lambda: sorted(
+            map(k, DD.chunk_near_duplicates(
+                span_docs, "text", "doc_id",
+                chunk_tokens=40, overlap=8, threshold=0.5,
+            ).collect())
+        )
+        assert f() == f()

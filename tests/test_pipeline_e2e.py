@@ -66,6 +66,17 @@ def test_full_pipeline(spark, docs):
     assert chunks.where(F.col("n_tokens") > 32).count() == 0
     assert chunks.select("doc_id").distinct().count() == n3
 
+    # 4b. chunk-level repeated-span sweep (r5): after document-level
+    # dedup + decontam, no copied span should remain ACROSS surviving
+    # documents at a high threshold — the substring-dedup 80% check
+    from pandas_weights_spark.functions.dedup import chunk_near_duplicates
+
+    spans = chunk_near_duplicates(
+        clean, "text", "doc_id", chunk_tokens=32, overlap=4,
+        threshold=0.9,
+    )
+    assert spans.count() == 0, spans.limit(5).collect()
+
     # 5. pack chunks into 256-token training rows
     with_counts = chunks.withColumn(
         "bpe", bpe_token_count(F.col("chunk_text")).cast("double")
