@@ -769,7 +769,32 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.col("mass").alias("v1"),
         F.col("term_id").cast("double").alias("v2"),
     )
-    return tf.unionByName(vocab)
+    # r5 fold: the BPE per-round KERNEL (vocab.bpe_pair_counts over the
+    # char-split word table, docs < 40) — top-40 adjacent-pair masses
+    # with deterministic ranks. The iterative merge LOOP (train_bpe)
+    # is data-dependent and not static-SQL-expressible; it is pinned by
+    # the pure-Python differential in tests/test_bpe.py, while these
+    # rows oracle-check the aggregate the loop runs every round.
+    from pandas_weights_spark.functions.vocab import (
+        bpe_pair_counts,
+        bpe_word_table,
+    )
+    from pyspark.sql import Window as _W40
+
+    wtab = bpe_word_table(docs.where(F.col("doc_id") < 40), "text")
+    rk = F.row_number().over(
+        _W40.orderBy(F.col("freq").desc(), "left", "right")
+    )
+    bpe = bpe_pair_counts(wtab).select(
+        "left", "right", "freq", rk.alias("rk")
+    ).where(F.col("rk") <= 40).select(
+        F.lit("bpe").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.concat_ws(" ", "left", "right").alias("term"),
+        F.col("freq").alias("v1"),
+        F.col("rk").cast("double").alias("v2"),
+    )
+    return tf.unionByName(vocab).unionByName(bpe)
 
 
 def _docs(spark, sf_dir):
@@ -2874,6 +2899,32 @@ _ORACLE["tfidf_top_terms"] = r"""
              row_number() OVER (ORDER BY mass DESC, term) - 1 AS tid
       FROM vm
     )
+    UNION ALL
+    SELECT 'bpe' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           l || ' ' || r AS term, freq AS v1, CAST(rk AS DOUBLE) AS v2
+    FROM (
+      WITH bw AS (
+        SELECT word, CAST(COUNT(*) AS DOUBLE) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS word
+          FROM documents WHERE doc_id < 40
+        ) WHERE word <> '' GROUP BY word
+      ), sy AS (
+        SELECT freq,
+               list_concat(string_split(word, ''), ['</w>']) AS s
+        FROM bw
+      ), pr AS (
+        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]}
+                             for i in range(1, len(s))]) AS p
+        FROM sy
+      ), pc AS (
+        SELECT p.l AS l, p.r AS r, SUM(freq) AS freq
+        FROM pr GROUP BY 1, 2
+      )
+      SELECT l, r, freq,
+             row_number() OVER (ORDER BY freq DESC, l, r) AS rk
+      FROM pc
+    ) WHERE rk <= 40
 """
 
 _CORR_PAIR_SQL = _corr_sql(

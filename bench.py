@@ -56,6 +56,7 @@ HEADLINE = [
     "pack_sequences",      # token-budget packing (bucketed cumsum)
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
     "vocab_encode",        # top-V vocabulary + order-preserving encode
+    "bpe_train",           # iterative merge learning on the word table
     "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
     "spearman_corr",       # rank transform + pearson kernel
@@ -573,8 +574,21 @@ def main() -> int:
         vocab = build_vocabulary(docs, "text", max_size=5000)
         return encode_documents(docs, "text", "doc_id", vocab)
 
+    def _bpe_train(spark_, sf_dir_):
+        # 6 merge rounds over the corpus word table (train_bpe): each
+        # round is one pair-count aggregate + a 1-row argmax collect —
+        # the iterative-driver-loop pattern under bench timing. The
+        # returned segments table (merges already applied) is the
+        # benched output.
+        from pandas_weights_spark.functions.vocab import train_bpe
+
+        docs = fan_out(load_table(spark_, sf_dir_, "documents"))
+        _merges, segs = train_bpe(docs, "text", num_merges=6)
+        return segs
+
     qs["tfidf_top_terms"] = _tfidf_r3
     qs["vocab_encode"] = _vocab_encode
+    qs["bpe_train"] = _bpe_train
 
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the

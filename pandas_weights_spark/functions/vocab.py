@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark.functions.text import tokens
 
-__all__ = ["build_vocabulary", "encode_documents"]
+__all__ = [
+    "build_vocabulary",
+    "encode_documents",
+    "bpe_word_table",
+    "bpe_pair_counts",
+    "train_bpe",
+    "encode_bpe",
+]
 
 
 def build_vocabulary(
@@ -116,3 +123,201 @@ def encode_documents(
             "n_oov",
         )
     return enc
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (Sennrich, Haddow & Birch, "Neural Machine
+# Translation of Rare Words with Subword Units", 2016 — public paper).
+#
+# Scale design: the corpus collapses to its WORD-FREQUENCY table first
+# (one explode + map-side-combining aggregate — the sufficient
+# statistic; distinct words, not tokens). Every merge round then runs
+# on that small table: one pair-count aggregate + a driver-side
+# argmax (a 1-row TakeOrdered collect — the same bounded-collect
+# pattern as graph.py's convergence probe), then a row-local fold
+# applying the merge. Per-round localCheckpoint truncates the growing
+# fold lineage exactly like the connected-components loop
+# (graph.py:74-112). Nothing data-sized ever reaches the driver.
+# ---------------------------------------------------------------------------
+
+
+def _char_symbols(word: Column, end_of_word: str) -> Column:
+    """Initial BPE symbol sequence: characters + the end-of-word marker
+    as its own trailing symbol (Sennrich §3.2)."""
+    return F.concat(F.split(word, ""), F.array(F.lit(end_of_word)))
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE merge (left, right) →
+    left||right over a symbol array — a single row-local fold."""
+    merged = left + right
+    zero = F.array().cast("array<string>")
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        hit = (F.size(acc) > 0) & (last == F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, zero, step)
+
+
+def bpe_word_table(
+    df: DataFrame,
+    text_col: str,
+    weight: Optional[Column] = None,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """The BPE training state: ``(word, freq, syms)`` — distinct words
+    with (weighted) corpus frequency and their current symbol split
+    (initially characters + the end-of-word marker).
+
+    ``max_words`` caps the state at the top words by frequency
+    (TakeOrdered — per-partition heaps, no global sort); the dropped
+    long tail is the standard practical bound on distributed BPE.
+    """
+    w = weight if weight is not None else F.lit(1.0)
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    rows = df.select(w.alias("__w__"), F.explode(toks).alias("word")).where(
+        F.length("word") > 0
+    )
+    counted = (
+        rows.groupBy("word")
+        .agg(F.sum("__w__").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+    )
+    return counted.select(
+        "word", "freq", _char_symbols(F.col("word"), end_of_word).alias("syms")
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over a word table:
+    ``(left, right, freq)`` with every adjacent position counted,
+    weighted by word frequency — the per-round BPE kernel."""
+    syms = F.col("syms")
+    n = F.size(syms)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (
+        words.select(F.col("freq").alias("__f__"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("__f__").alias("freq"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 100,
+    min_frequency: float = 2.0,
+    weight: Optional[Column] = None,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+    end_of_word: str = "</w>",
+    checkpoint_every: int = 4,
+) -> "tuple[DataFrame, DataFrame]":
+    """Learn BPE merge rules: returns ``(merges, segments)``.
+
+    ``merges`` — ``(rank, left, right, merged, freq)``, one row per
+    learned rule in application order; fully deterministic (pair-count
+    ties break by (left, right) text). ``segments`` — the final word
+    table ``(word, freq, syms)``; training has already applied every
+    merge to every word, so ENCODING is a broadcast join against this
+    table (:func:`encode_bpe`) — no per-document merge replay.
+
+    Stops early when no pair reaches ``min_frequency``.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    words = bpe_word_table(
+        df, text_col, weight=weight, lowercase=lowercase,
+        max_words=max_words, end_of_word=end_of_word,
+    )
+    spark = df.sparkSession
+    merges: list = []
+    for rank in range(num_merges):
+        # truncate the growing fold lineage every few rounds (graph.py
+        # loop pattern; a handful of nested folds evaluates fine, and
+        # skipping the per-round materialization job halves wall time)
+        if rank % max(1, checkpoint_every) == 0:
+            words = words.localCheckpoint(eager=True)
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(F.col("freq").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < min_frequency:
+            break
+        left, right, freq = top[0]["left"], top[0]["right"], top[0]["freq"]
+        merges.append((rank, left, right, left + right, float(freq)))
+        words = words.withColumn(
+            "syms", _merge_fold(F.col("syms"), left, right)
+        )
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, freq double"
+    )
+    return merges_df, words.localCheckpoint(eager=True)
+
+
+def encode_bpe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    segments: DataFrame,
+    lowercase: bool = True,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Encode documents against trained BPE ``segments``:
+    ``(id_col, symbols array<string>, n_words, n_symbols, n_oov_words)``.
+
+    Per-word segmentation is a BROADCAST join against the (small) word
+    table — the segmentation was computed once at training; a word
+    outside it falls back to its character split + marker (the
+    training-table cap's documented behavior, NOT an error). Order is
+    preserved by the same (position, payload) sort-regroup shape as
+    :func:`encode_documents` — one data-sized shuffle.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos__", "word")
+    ).where(F.length("word") > 0)
+    joined = pos.join(
+        F.broadcast(segments.select("word", "syms")), "word", "left"
+    )
+    syms = F.coalesce(
+        F.col("syms"), _char_symbols(F.col("word"), end_of_word)
+    )
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("__pos__").alias("p"), syms.alias("s"))
+                    )
+                ),
+                lambda e: e["s"],
+            )
+        ).alias("symbols"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size(syms)).cast("long").alias("n_symbols"),
+        F.sum(F.when(F.col("syms").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov_words"),
+    )

@@ -1,0 +1,167 @@
+"""BPE merge-rule training (functions/vocab.py) vs a transparent
+pure-Python implementation of the classic algorithm (Sennrich et al.
+2016): iteratively count adjacent symbol pairs over the word-frequency
+table, merge the argmax, repeat."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.vocab import (
+    bpe_pair_counts,
+    bpe_word_table,
+    encode_bpe,
+    train_bpe,
+)
+
+EOW = "</w>"
+
+
+def _ref_word_freqs(texts):
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def _ref_pair_counts(state):
+    pc = {}
+    for syms, f in state:
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + f
+    return pc
+
+
+def _ref_merge(syms, a, b):
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_train(texts, num_merges, min_frequency=2):
+    segs = {
+        w: list(w) + [EOW] for w in sorted(_ref_word_freqs(texts))
+    }
+    freqs = _ref_word_freqs(texts)
+    merges = []
+    for _ in range(num_merges):
+        state = [(segs[w], freqs[w]) for w in segs]
+        pc = _ref_pair_counts(state)
+        if not pc:
+            break
+        # deterministic argmax: max freq, ties by (left, right) text
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f < min_frequency:
+            break
+        merges.append((a, b, float(f)))
+        segs = {w: _ref_merge(s, a, b) for w, s in segs.items()}
+    return merges, segs
+
+
+@pytest.fixture(scope="module")
+def sennrich_corpus(spark):
+    # the classic fixture: low x5, lower x2, newest x6, widest x3
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string"), texts
+
+
+class TestTrainBPE:
+    def test_matches_reference_on_sennrich_fixture(self, sennrich_corpus):
+        df, texts = sennrich_corpus
+        merges, segs = train_bpe(df, "text", num_merges=10)
+        got = [
+            (r["left"], r["right"], r["freq"])
+            for r in merges.orderBy("rank").collect()
+        ]
+        exp, exp_segs = _ref_train(texts, 10)
+        assert got == exp
+        # the famous first merges: ('e','s') then ('es','t') at freq 9
+        assert got[0] == ("e", "s", 9.0)
+        assert got[1] == ("es", "t", 9.0)
+        # final segmentation matches the reference state word-for-word
+        for r in segs.collect():
+            assert r["syms"] == exp_segs[r["word"]], r["word"]
+
+    def test_matches_reference_on_real_docs(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").where(F.col("doc_id") < 40)
+        texts = [r["text"] for r in docs.collect()]
+        merges, _segs = train_bpe(docs, "text", num_merges=12)
+        got = [
+            (r["left"], r["right"], r["freq"])
+            for r in merges.orderBy("rank").collect()
+        ]
+        exp, _ = _ref_train(texts, 12)
+        assert got == exp
+
+    def test_early_stop_below_min_frequency(self, spark):
+        df = spark.createDataFrame(
+            [(0, "ab cd ef")], "doc_id long, text string"
+        )
+        merges, _ = train_bpe(df, "text", num_merges=50, min_frequency=2.0)
+        assert merges.count() == 0  # every pair occurs once
+
+    def test_deterministic(self, sennrich_corpus):
+        df, _ = sennrich_corpus
+        runs = []
+        for _ in range(2):
+            m, _s = train_bpe(df, "text", num_merges=6)
+            runs.append([tuple(r) for r in m.orderBy("rank").collect()])
+        assert runs[0] == runs[1]
+
+    def test_pair_counts_kernel(self, sennrich_corpus):
+        df, texts = sennrich_corpus
+        words = bpe_word_table(df, "text")
+        got = {
+            (r["left"], r["right"]): r["freq"]
+            for r in bpe_pair_counts(words).collect()
+        }
+        state = [
+            (list(w) + [EOW], f)
+            for w, f in _ref_word_freqs(texts).items()
+        ]
+        assert got == {
+            k: float(v) for k, v in _ref_pair_counts(state).items()
+        }
+
+
+class TestEncodeBPE:
+    def test_round_trip(self, sennrich_corpus):
+        df, _ = sennrich_corpus
+        _merges, segs = train_bpe(df, "text", num_merges=8)
+        enc = encode_bpe(df, "text", "doc_id", segs)
+        rows = {r["doc_id"]: r for r in enc.collect()}
+        src = {r["doc_id"]: r["text"] for r in df.collect()}
+        for did, r in rows.items():
+            # symbols concatenate back to the original words: drop the
+            # markers, join, compare
+            rebuilt = "".join(r["symbols"]).replace(EOW, " ").strip()
+            assert rebuilt == src[did].lower()
+            assert r["n_oov_words"] == 0
+
+    def test_oov_word_falls_back_to_chars(self, sennrich_corpus):
+        df, _ = sennrich_corpus
+        _m, segs = train_bpe(df, "text", num_merges=8)
+        other = df.sparkSession.createDataFrame(
+            [(99, "low zzq")], "doc_id long, text string"
+        )
+        r = encode_bpe(other, "text", "doc_id", segs).collect()[0]
+        assert r["n_oov_words"] == 1
+        # the unknown word contributes its characters + marker
+        assert r["symbols"][-4:] == ["z", "z", "q", EOW]
+
+    def test_merged_words_compress(self, sennrich_corpus):
+        df, _ = sennrich_corpus
+        _m, segs = train_bpe(df, "text", num_merges=10)
+        enc = encode_bpe(df, "text", "doc_id", segs)
+        r = enc.where(F.col("doc_id") == 7).collect()[0]  # a "newest" doc
+        # after 10 merges "newest" is a handful of symbols, not 7 chars
+        assert r["n_symbols"] < 7
