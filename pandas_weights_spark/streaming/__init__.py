@@ -44,6 +44,7 @@ __all__ = [
     "weighted_running_stats_stream",
     "streaming_asof_join",
     "streaming_heavy_hitters",
+    "streaming_tdigest",
 ]
 
 
@@ -604,6 +605,118 @@ def streaming_heavy_hitters(
         F.col(weight_col).cast("double").alias("__pw_w__"),
     )
     return keyed.groupBy("__pw_shard__").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_tdigest(
+    stream: DataFrame,
+    value_col: str,
+    weight_col: str,
+    keys: Sequence[str],
+    delta: int = 100,
+) -> DataFrame:
+    """Streaming t-digest quantile sketch per key — the streaming twin
+    of :func:`~pandas_weights_spark.functions.tdigest.tdigest_aggregate`,
+    via ``applyInPandasWithState`` (the pattern proven by
+    :func:`streaming_heavy_hitters`).
+
+    The digest IS the state: per key, centroid (means, weights) arrays
+    plus (min, max, total) — O(delta) scalars forever, no matter how
+    much data streams through. Each micro-batch compresses its own
+    points into a partial digest (Arrow-vectorized numpy) and merges it
+    into the state with the same k1-scale compress the batch operator
+    uses, so the mergeability guarantee (merge(digest(A), digest(B)) ≈
+    digest(A ∪ B), rank error O(√(q(1−q))/delta)) carries over
+    micro-batch by micro-batch.
+
+    Emits one digest row per key per micro-batch (``update`` output
+    semantics): ``keys…, td_means, td_weights, td_min, td_max,
+    td_total`` — feed the latest row per key to
+    :func:`~pandas_weights_spark.functions.tdigest.tdigest_quantiles`
+    (row-local, batch or foreachBatch) for quantile estimates.
+
+    NULL/NaN values or weights and ``w ≤ 0`` carry no mass (the
+    quantile family's rule). Works on a batch DataFrame too (the
+    stateful operator degenerates to one "batch").
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from pandas_weights_spark.functions.tdigest import (
+        _compress,
+        _digest_of,
+    )
+
+    if delta < 10:
+        raise ValueError("delta must be >= 10")
+    keys = list(keys)
+    if not keys:
+        raise ValueError(
+            "streaming_tdigest needs >= 1 key column (stateful operators "
+            "are keyed); add a constant column for a global digest"
+        )
+
+    digest_fields = [
+        StructField("td_means", ArrayType(DoubleType())),
+        StructField("td_weights", ArrayType(DoubleType())),
+        StructField("td_min", DoubleType()),
+        StructField("td_max", DoubleType()),
+        StructField("td_total", DoubleType()),
+    ]
+    state_schema = StructType(digest_fields)
+    out_schema = StructType(
+        [stream.schema[k] for k in keys] + digest_fields
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            means, weights, lo, hi, total = state.get
+            means = np.asarray(means, float)
+            weights = np.asarray(weights, float)
+        else:
+            means = np.empty(0)
+            weights = np.empty(0)
+            lo, hi, total = None, None, 0.0
+        for pdf in pdfs:
+            d = _digest_of(
+                pdf[value_col].to_numpy(dtype=float),
+                pdf[weight_col].to_numpy(dtype=float),
+                delta,
+            )
+            if d is None:
+                continue
+            m, w, blo, bhi, btot = d
+            means = np.concatenate([means, m])
+            weights = np.concatenate([weights, w])
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+            total += btot
+        if total > 0:
+            means, weights = _compress(means, weights, delta)
+        # plain-Python scalars only: numpy types break state pickling
+        m_out = [float(x) for x in means]
+        w_out = [float(x) for x in weights]
+        lo_out = None if lo is None else float(lo)
+        hi_out = None if hi is None else float(hi)
+        state.update((m_out, w_out, lo_out, hi_out, float(total)))
+        yield pd.DataFrame(
+            [[*key, m_out, w_out, lo_out, hi_out, float(total)]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

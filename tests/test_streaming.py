@@ -622,3 +622,82 @@ class TestStreamingTextPipeline:
             spark.read.parquet(d), "text", "doc_id", chunk_tokens=16, overlap=4
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+class TestStreamingTDigest:
+    def test_state_merges_match_batch_digest_guarantee(self, spark, source_dir):
+        """Two micro-batches; the final per-key digest must satisfy the
+        t-digest rank-error bound against the EXACT weighted CDF of the
+        full data — the same guarantee the batch operator pins."""
+        from pandas_weights_spark.functions.tdigest import (
+            tdigest_quantiles,
+        )
+        from pandas_weights_spark.streaming import streaming_tdigest
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")  # force 2 micro-batches
+            .parquet(str(source_dir))
+        )
+        out = streaming_tdigest(
+            stream, "Value", "w", keys=["grp"], delta=50
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("td_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM td_stream").collect()
+        assert len(rows) == 4  # one row per key per batch
+        latest = {}
+        for r in rows:  # memory sink appends in batch order
+            latest[r["grp"]] = r
+
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        data = {}
+        for r in batch.collect():
+            data.setdefault(r["grp"], []).append((r["Value"], r["w"]))
+
+        # totals are exact (sums, not sketched)
+        for g, rows_g in data.items():
+            assert latest[g]["td_total"] == approx(
+                sum(w for _, w in rows_g)
+            )
+            assert latest[g]["td_min"] == min(v for v, _ in rows_g)
+            assert latest[g]["td_max"] == max(v for v, _ in rows_g)
+
+        # rank-error bound: estimated quantile's true rank within
+        # O(1/delta) of q (loose factor 4/delta, as the batch tests use)
+        dig = spark.createDataFrame([latest[g] for g in data], out.schema)
+        qs = [0.1, 0.5, 0.9]
+        est = {
+            (r["grp"], r["q"]): r["value"]
+            for r in tdigest_quantiles(dig, qs, by=["grp"]).collect()
+        }
+        for g, rows_g in data.items():
+            W = sum(w for _, w in rows_g)
+            for qq in qs:
+                v = est[(g, qq)]
+                below = sum(w for x, w in rows_g if x < v) / W
+                at_or_below = sum(w for x, w in rows_g if x <= v) / W
+                assert below - 4.0 / 50 <= qq <= at_or_below + 4.0 / 50, (
+                    g, qq, v, below, at_or_below,
+                )
+
+    def test_requires_keys(self, spark, source_dir):
+        from pandas_weights_spark.streaming import streaming_tdigest
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        with pytest.raises(ValueError, match="key"):
+            streaming_tdigest(stream, "Value", "w", keys=[])
