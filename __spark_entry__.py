@@ -1870,9 +1870,62 @@ def _q_multimodal_features(spark, sf_dir):
         ).alias("media"),
     )
     feats = decode_features(media, "media", dim=8, on_error="null")
-    return weighted_centroids(
+    cents = weighted_centroids(
         feats, "features", F.col("n_chars").cast("double"), ["lang"]
     ).select("lang", "dim", F.round(F.col("centroid"), 6).alias("centroid"))
+    # r5 fold: perceptual-hash image near-dup rides the same query.
+    # Procedural 16x16 PNGs (pixel = integer fn of (x, y, doc_id)) are
+    # REAL payloads — encode_png on the driver, decoded + resampled +
+    # dHashed by the engine's actual pixel path — while the oracle
+    # replays the whole hash in closed-form integer SQL (the nearest-
+    # neighbor sample indices and luminance sums are literal
+    # arithmetic). Each doc < 40 gets a near-copy partner (+500) with
+    # one blemished pixel at a SAMPLED coordinate, so every (d, d+500)
+    # pair must surface with hamming <= 1; tagged as
+    # (lang='ph:<id_a>', dim=id_b, centroid=hamming).
+    ph = _q_image_neardup(spark).select(
+        F.concat(F.lit("ph:"), F.col("id_a").cast("string")).alias("lang"),
+        F.col("id_b").cast("int").alias("dim"),
+        F.col("hamming").cast("double").alias("centroid"),
+    )
+    return cents.unionByName(ph)
+
+
+def _image_pixel(px, py, d, blem):
+    # the x-coefficient varies with d so hashes DIFFER across docs
+    # (dHash is invariant to uniform brightness shifts — a d-only term
+    # would make every doc hash identical); same-class docs (d % 11)
+    # still legitimately collide, which the oracle replays too
+    if blem and px == 0 and py == 0:
+        return (255, 0, 0)
+    v = (px * (19 + 2 * (d % 11)) + py * 11 + d * 53) % 256
+    return (v, v, v)
+
+
+def _q_image_neardup(spark):
+    from pandas_weights_spark.functions import _codecs as C
+    from pandas_weights_spark.functions.multimodal import (
+        image_near_duplicates,
+        media_struct,
+    )
+
+    rows = []
+    for d in range(40):
+        for blem, off in ((False, 0), (True, 500)):
+            px = bytearray()
+            for py in range(16):
+                for pxx in range(16):
+                    px.extend(_image_pixel(pxx, py, d, blem))
+            rows.append(
+                (d + off, bytearray(C.encode_png(C.ImageData(16, 16, 3, bytes(px)))))
+            )
+    df = spark.createDataFrame(rows, "img long, payload binary").select(
+        "img",
+        media_struct(F.col("payload"), F.lit("image/png")).alias("media"),
+    )
+    return image_near_duplicates(
+        df, "media", "img", max_distance=7, bands=8
+    )
 
 
 def _q_row_stats(spark, sf_dir):
@@ -2826,7 +2879,70 @@ def _sample_sqls() -> dict[str, str]:
 
 
 _ORACLE.update(_sample_sqls())
-_ORACLE["multimodal_features"] = _multimodal_sql()
+def _image_neardup_sql(max_distance: int = 7, bands: int = 8) -> str:
+    # closed-form replay of _q_image_neardup: the procedural image's
+    # dHash is pure integer arithmetic — nearest-neighbor sample
+    # indices sx = x*16//9 (x in 0..8), sy = 2y, luminance = channel
+    # sum of _image_pixel — so all 64 bits unroll as literal CASEs.
+    sx = [min(15, x * 16 // 9) for x in range(9)]
+
+    def lum(px, py):
+        return (
+            f"(CASE WHEN blem = 1 AND {px} = 0 AND {py} = 0 THEN 255 "
+            f"ELSE 3 * (({px} * (19 + 2 * (d % 11)) + {py * 11} "
+            "+ d * 53) % 256) END)"
+        )
+
+    bits = []
+    for y in range(8):
+        for x in range(8):
+            bits.append(
+                f"CASE WHEN {lum(sx[x + 1], 2 * y)} > {lum(sx[x], 2 * y)} "
+                "THEN '1' ELSE '0' END"
+            )
+    phash = "concat(" + ", ".join(bits) + ")"
+    width = 64 // bands
+    bexprs = ", ".join(
+        f"substring(ph, {b * width + 1}, {width}) AS b{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    ham = " + ".join(
+        f"CASE WHEN substring(pa, {i}, 1) <> substring(pb, {i}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(1, 65)
+    )
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id AS img, doc_id AS d, 0 AS blem
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 500, doc_id, 1
+      FROM documents WHERE doc_id < 40
+    ), ph AS (
+      SELECT img, {phash} AS ph FROM imgs
+    ), band AS (
+      SELECT img, ph, {bexprs} FROM ph
+    ), pairs AS (
+      SELECT DISTINCT a.img AS id_a, b.img AS id_b,
+             a.ph AS pa, b.ph AS pb
+      FROM band a JOIN band b ON a.img < b.img AND ({band_or})
+    )
+    SELECT id_a, id_b, ({ham}) AS hamming
+    FROM pairs WHERE ({ham}) <= {max_distance}
+    """
+
+
+_ORACLE["multimodal_features"] = (
+    _multimodal_sql()
+    + f"""
+    UNION ALL
+    SELECT 'ph:' || CAST(id_a AS VARCHAR) AS lang,
+           CAST(id_b AS INTEGER) AS dim,
+           CAST(hamming AS DOUBLE) AS centroid
+    FROM ({_image_neardup_sql()})
+"""
+)
 
 
 def _pack_sql() -> str:

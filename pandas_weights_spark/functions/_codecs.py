@@ -43,6 +43,7 @@ __all__ = [
     "decode_wav",
     "jpeg_dimensions",
     "resize_nearest",
+    "dhash_bits",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -353,3 +354,26 @@ def resize_nearest(img: ImageData, width: int, height: int) -> ImageData:
     sx = np.minimum(img.width - 1, np.arange(width) * img.width // width)
     out = src[sy][:, sx]
     return ImageData(width, height, ch, np.ascontiguousarray(out).tobytes())
+
+
+def dhash_bits(img: ImageData, hash_size: int = 8) -> str:
+    """Difference hash (dHash) of a decoded raster as a bit-string of
+    ``hash_size²`` '0'/'1' chars — the classic perceptual fingerprint
+    (public algorithm; widely described, e.g. Krawetz's "Kind of Like
+    That"): downscale luminance to ``(hash_size+1) × hash_size`` and
+    emit 1 where each pixel is brighter than its left neighbor.
+    Robust to re-encoding, scaling, and mild brightness shifts; near
+    images differ in a few bits (Hamming distance).
+
+    Deterministic: nearest-neighbor resample (resize_nearest) + exact
+    integer luminance sums — no antialias filter variation across
+    library versions.
+    """
+    g = resize_nearest(img, hash_size + 1, hash_size)
+    ch = g.channels
+    a = np.frombuffer(g.pixels, dtype=np.uint8).reshape(
+        g.height, g.width, ch
+    )
+    lum = a[:, :, : min(ch, 3)].sum(axis=2, dtype=np.int64)
+    bits = lum[:, 1:] > lum[:, :-1]
+    return "".join("1" if b else "0" for b in bits.flatten())

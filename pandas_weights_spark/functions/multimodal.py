@@ -46,6 +46,8 @@ __all__ = [
     "probe_media",
     "frame_sample_plan",
     "resize_media",
+    "perceptual_hash",
+    "image_near_duplicates",
 ]
 
 #: Canonical schema for a multimodal column: payload + typed metadata.
@@ -475,3 +477,155 @@ def resize_media(
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def _decode_image(payload: bytes, mime: str) -> "_codecs.ImageData":
+    """Payload → decoded raster, stdlib codecs first, PIL for JPEG."""
+    if mime.startswith("image/png") or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _codecs.decode_png(payload)
+    if (
+        mime.startswith("image/bmp")
+        or mime.startswith("image/x-ms-bmp")
+        or payload[:2] == b"BM"
+    ):
+        return _codecs.decode_bmp(payload)
+    from PIL import Image  # type: ignore
+    import io as _io
+
+    with Image.open(_io.BytesIO(payload)) as im:
+        im = im.convert("RGB")
+        return _codecs.ImageData(im.width, im.height, 3, im.tobytes())
+
+
+def perceptual_hash(
+    df: DataFrame,
+    media_col: str,
+    out_col: str = "phash",
+    hash_size: int = 8,
+    batch_size: int = 64,
+    on_error: str = "null",
+) -> DataFrame:
+    """dHash perceptual fingerprint column over a media struct column:
+    input schema + ``out_col`` (a ``hash_size²``-char '0'/'1' string —
+    the same bit-string form :func:`~pandas_weights_spark.functions.
+    dedup.hamming_distance` and simhash use, so the whole Hamming
+    toolchain applies).
+
+    Arrow-batched ``mapInPandas`` — linear scan, no shuffle. PNG/BMP
+    decode via the stdlib codecs; JPEG needs PIL on executors (absent →
+    per-row NULL under ``on_error="null"``, the default, since a
+    fingerprint from undecodable pixels would be meaningless).
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null', got {on_error!r}"
+        )
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.StringType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for m in pdf[media_col]:
+                if m is None or m.get("payload") is None:
+                    hashes.append(None)
+                    continue
+                mime = m.get("mime") or ""
+                if not mime.startswith("image/"):
+                    hashes.append(None)
+                    continue
+                try:
+                    img = _decode_image(bytes(m["payload"]), mime)
+                    hashes.append(_codecs.dhash_bits(img, hash_size))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in pdf.columns}, out_col: hashes}
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    media_col: str,
+    id_col: str,
+    max_distance: int = 7,
+    bands: int = 8,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Image-level near-dup pairs WITHOUT embeddings: dHash each image,
+    band the bit-string, bucket-join band collisions, verify by exact
+    Hamming distance — ``(id_a, id_b, hamming)`` with
+    ``hamming ≤ max_distance``.
+
+    The banded join is the same no-all-pairs LSH shape as MinHash/
+    SimHash dedup: two hashes within Hamming ``d`` share an identical
+    band whenever ``d < bands`` (pigeonhole), so recall is EXACT for
+    ``max_distance < bands`` (the defaults: 7 < 8) and the quadratic
+    term is bounded by per-band bucket sizes. Undecodable images (NULL
+    phash) drop out.
+    """
+    nbits = hash_size * hash_size
+    if nbits % bands != 0:
+        raise ValueError(f"bands={bands} must divide {nbits} bits")
+    if max_distance >= bands:
+        import warnings
+
+        warnings.warn(
+            f"max_distance={max_distance} >= bands={bands}: banded recall "
+            "is no longer exhaustive (pairs may be missed)",
+            stacklevel=2,
+        )
+    width = nbits // bands
+    from pandas_weights_spark.functions.dedup import hamming_distance
+
+    hashed = perceptual_hash(
+        df.select(id_col, media_col), media_col, out_col="__ph__",
+        hash_size=hash_size,
+    ).where(F.col("__ph__").isNotNull()).select(id_col, "__ph__")
+    band_arr = F.array(
+        *[
+            F.substring(F.col("__ph__"), b * width + 1, width)
+            for b in range(bands)
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_col),
+        F.col("__ph__"),
+        F.posexplode(band_arr).alias("band_idx", "band_bits"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_bits") == F.col("r.band_bits"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__ph__").alias("__pa__"),
+            F.col("r.__ph__").alias("__pb__"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming_distance(
+            F.col("__pa__"), F.col("__pb__"), bits=nbits
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_distance)

@@ -142,3 +142,95 @@ class TestResize:
         )
         with _pytest.raises(Exception):
             resize_media(df, "media", 2, 2).collect()
+
+
+def _png_of(w, h, fn):
+    """Synthetic RGB PNG with pixel (x, y) = fn(x, y) -> (r, g, b)."""
+    from pandas_weights_spark.functions import _codecs as C
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.extend(fn(x, y))
+    return C.encode_png(C.ImageData(w, h, 3, bytes(px)))
+
+
+class TestPerceptualHash:
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        # a horizontal gradient, the same gradient with a tiny blemish,
+        # a vertical gradient (structurally different), and a corrupt
+        # payload
+        grad = _png_of(32, 32, lambda x, y: (x * 8 % 256,) * 3)
+
+        def blemish(x, y):
+            if x == 5 and y == 5:
+                return (255, 0, 0)
+            return (x * 8 % 256,) * 3
+
+        near = _png_of(32, 32, blemish)
+        vert = _png_of(32, 32, lambda x, y: (y * 8 % 256,) * 3)
+        rows = [
+            (1, bytearray(grad), "image/png"),
+            (2, bytearray(near), "image/png"),
+            (3, bytearray(vert), "image/png"),
+            (4, bytearray(b"not a png"), "image/png"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary, mime string")
+        return df.select(
+            "id",
+            MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+        )
+
+    def test_hash_shape_and_determinism(self, images):
+        out = {
+            r["id"]: r["phash"]
+            for r in MM.perceptual_hash(images, "media").collect()
+        }
+        assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+        assert out[4] is None  # corrupt payload -> NULL under on_error=null
+        again = {
+            r["id"]: r["phash"]
+            for r in MM.perceptual_hash(images, "media").collect()
+        }
+        assert out == again
+
+    def test_near_images_close_different_far(self, images):
+        out = {
+            r["id"]: r["phash"]
+            for r in MM.perceptual_hash(images, "media").collect()
+        }
+        ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+        assert ham(out[1], out[2]) <= 4       # blemish: few bits flip
+        assert ham(out[1], out[3]) > 16       # different structure
+
+    def test_image_near_duplicates(self, images):
+        pairs = MM.image_near_duplicates(
+            images, "media", "id", max_distance=7, bands=8
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(1, 2)}
+        (only,) = pairs
+        assert only["hamming"] <= 7
+
+    def test_scaled_copy_is_near(self, spark):
+        # the same scene at 2x resolution hashes near-identically —
+        # the invariance dHash exists for
+        a = _png_of(32, 32, lambda x, y: ((x // 4) * 32 % 256,) * 3)
+        b = _png_of(64, 64, lambda x, y: ((x // 8) * 32 % 256,) * 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(a), "image/png"), (2, bytearray(b), "image/png")],
+            "id long, payload binary, mime string",
+        ).select(
+            "id", MM.media_struct(F.col("payload"), F.col("mime")).alias("media")
+        )
+        pairs = MM.image_near_duplicates(df, "media", "id").collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    def test_band_guard(self, images):
+        with pytest.raises(ValueError, match="divide"):
+            MM.image_near_duplicates(images, "media", "id", bands=7)
+        with pytest.warns(UserWarning, match="recall"):
+            MM.image_near_duplicates(
+                images, "media", "id", max_distance=8, bands=8
+            )
