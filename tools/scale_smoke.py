@@ -101,6 +101,78 @@ def main() -> int:
                       (F.col("x") * 0.5 + F.col("id") % 13).alias("y"), "w"),
            "w"), "x", "y", by=["g3"]))
 
+    # round-5 additions: the text/document operator families at 100x
+    # the sf0.1 documents table (5k docs there -> 500k 100-token docs
+    # at rows_m=20, scaling linearly with rows_m). Synthesized
+    # distributed (spark.range + md5 words, vocab 5k); every 10th doc
+    # gets a first-word-dropped near-copy so the near-dup pipelines
+    # have real edges.
+    from pandas_weights_spark.ewm import WeightedEWM  # noqa: F401
+    from pandas_weights_spark.functions.decontam import ngram_overlap
+    from pandas_weights_spark.functions.dedup import (
+        chunk_near_duplicates,
+        minhash_near_duplicates,
+        simhash,
+    )
+    from pandas_weights_spark.functions.graph import neardup_clusters
+    from pandas_weights_spark.functions.quality import quality_panel
+
+    docs_n = int(n / 40)  # rows_m=20 -> 500k docs
+    word = lambda c: F.substring(F.md5(c.cast("string")), 1, 6)  # noqa: E731
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(100)),
+            lambda i: word(
+                F.pmod(F.xxhash64(F.col("id") * F.lit(101) + i), F.lit(5000))
+            ),
+        ),
+    )
+    docs = spark.range(docs_n).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+
+    def dbench(name, thunk, rows):
+        t0 = time.perf_counter()
+        thunk().write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        print(f"{name:28s} {dt:7.2f}s  ({rows / dt / 1e3:6.1f} K docs/s)")
+
+    dbench("doc_quality panel", lambda: quality_panel(docs).drop("text"),
+           docs_n)
+    dbench("simhash 64-bit", lambda: docs.select(
+        "doc_id", simhash(F.col("text"), 64).alias("sh")), docs_n)
+    dbench("decontam 13-gram", lambda: ngram_overlap(
+        docs, "text", "doc_id",
+        docs.where(F.col("doc_id") % 100 == 0).select("text"),
+        n=13, threshold=0.5, hash_shingles=True), docs_n)
+    dbench("minhash_neardup", lambda: minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.4), int(docs_n * 1.1))
+    # clustering is the iterative CC loop — run on a tenth of the corpus
+    # (its per-round overhead is what the smoke is measuring)
+    tenth = corpus.where(F.pmod(F.col("doc_id"), 10).isin(0, 3))
+    dbench("neardup_clusters (1/5)", lambda: neardup_clusters(
+        tenth, "text", "doc_id", threshold=0.4), int(docs_n / 5))
+    dbench("chunk_neardup (1/5)", lambda: chunk_near_duplicates(
+        corpus.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        chunk_tokens=64, overlap=16, threshold=0.8), int(docs_n / 5))
+
+    # banded pairwise EWM on the big numeric table (the other r4
+    # wall-clock hotspot): cov+corr share one banded pass
+    ewm_src = wt(
+        df.select("g", "id", "x",
+                  (F.col("x") * 0.5 + F.col("id") % 13).alias("y"), "w"),
+        "w",
+    )
+    e = ewm_src.ewm(order_by=["id"], partition_by=["g"], alpha=0.2)
+    bench("ewm pair cov+corr", lambda: e.pair_stats(
+        "x", "y", stats=("cov", "corr")))
+
     spark.stop()
     return 0
 
