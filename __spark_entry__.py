@@ -794,7 +794,24 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.col("freq").alias("v1"),
         F.col("rk").cast("double").alias("v2"),
     )
-    return tf.unionByName(vocab).unionByName(bpe)
+    # r5 fold: CCNet-style unigram LM perplexity scores (text.unigram_
+    # lm_score): top-5000 unweighted vocab over the whole corpus, docs
+    # < 50 scored; the α-smoothed log-prob algebra is mirrored
+    # term-for-term in SQL, ROUND 6 absorbs avg/exp ulps.
+    from pandas_weights_spark.functions.text import unigram_lm_score
+
+    lmvocab = build_vocabulary(docs, "text", max_size=5000)
+    lm = unigram_lm_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id", lmvocab,
+        alpha=0.5,
+    ).select(
+        F.lit("lm").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.round(F.col("logprob_mean"), 6).alias("v1"),
+        F.round(F.col("ppl"), 6).alias("v2"),
+    )
+    return tf.unionByName(vocab).unionByName(bpe).unionByName(lm)
 
 
 def _docs(spark, sf_dir):
@@ -880,6 +897,19 @@ def _q_text_metrics(spark, sf_dir):
         TX.pii_counts(aug)["n_email"].cast("long").alias("n_email"),
         F.size(TX.extract_urls(aug)).cast("long").alias("n_urls"),
         F.md5(TX.redact_pii(aug)).alias("red_fp"),
+        # r5: intra-document duplicate-line removal, md5-pinned over
+        # text with an injected duplicated line (first stays, blanks
+        # exempt)
+        F.md5(
+            TX.remove_duplicate_lines(
+                F.concat(
+                    t,
+                    F.lit("\n<<dup>> line\nmid "),
+                    F.col("doc_id").cast("string"),
+                    F.lit("\n<<dup>> line"),
+                )
+            )
+        ).alias("ddl_fp"),
     )
 
 
@@ -3041,6 +3071,30 @@ _ORACLE["tfidf_top_terms"] = r"""
              row_number() OVER (ORDER BY freq DESC, l, r) AS rk
       FROM pc
     ) WHERE rk <= 40
+    UNION ALL
+    SELECT 'lm' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+           round(lpm, 6) AS v1, round(exp(-lpm), 6) AS v2
+    FROM (
+      WITH lt AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      ), lt2 AS (SELECT doc_id, term FROM lt WHERE term <> ''),
+      vm AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS mass FROM lt2
+        GROUP BY term HAVING COUNT(*) >= 1.0
+        ORDER BY mass DESC, term LIMIT 5000
+      ),
+      tot AS (SELECT SUM(mass) AS W, COUNT(*) AS V FROM vm),
+      sc AS (
+        SELECT l.doc_id,
+               COALESCE(ln(vm.mass + 0.5), ln(0.5))
+                 - ln(tot.W + 0.5 * (tot.V + 1)) AS lp
+        FROM lt2 l LEFT JOIN vm USING (term) CROSS JOIN tot
+        WHERE l.doc_id < 50
+      )
+      SELECT doc_id, AVG(lp) AS lpm FROM sc GROUP BY doc_id
+    )
 """
 
 _CORR_PAIR_SQL = _corr_sql(
@@ -3680,12 +3734,30 @@ def _pii_sql() -> str:
 _ORACLE["text_metrics"] = f"""
     WITH base AS ({_text_metrics_sql()}),
          rep AS ({_repetition_sql()}),
-         pii AS ({_pii_sql()})
+         pii AS ({_pii_sql()}),
+         ddl AS (
+           -- r5: remove_duplicate_lines replay (first occurrence
+           -- survives, blanks exempt) over text with an injected
+           -- duplicated line; list_filter's (x, i) index is 1-based
+           -- like list_position, exactly the engine's positional test
+           SELECT doc_id, md5(array_to_string(
+             list_filter(ls, (x, i) -> list_position(ls, x) = i
+                                        OR len(x) = 0), chr(10))) AS ddl_fp
+           FROM (
+             SELECT doc_id,
+                    string_split(text || chr(10) || '<<dup>> line'
+                                 || chr(10) || 'mid '
+                                 || CAST(doc_id AS VARCHAR) || chr(10)
+                                 || '<<dup>> line', chr(10)) AS ls
+             FROM documents
+           )
+         )
     SELECT base.*, rep.dup_line_frac, rep.dup_line_char_frac,
            rep.top2_char_frac, rep.top3_char_frac, rep.dup5_char_frac,
-           rep.keep, pii.n_email, pii.n_urls, pii.red_fp
+           rep.keep, pii.n_email, pii.n_urls, pii.red_fp, ddl.ddl_fp
     FROM base JOIN rep ON base.doc_id = rep.doc_id
     JOIN pii ON base.doc_id = pii.doc_id
+    JOIN ddl ON base.doc_id = ddl.doc_id
 """
 
 _ORACLE["doc_weighted_stats"] = """

@@ -38,6 +38,9 @@ __all__ = [
     "extract_urls",
     "url_domain",
     "domain_stats",
+    "remove_duplicate_lines",
+    "unigram_logprobs",
+    "unigram_lm_score",
     "normalize_text",
 ]
 
@@ -376,3 +379,101 @@ def normalize_text(
     if collapse_whitespace:
         t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return t
+
+
+def remove_duplicate_lines(text: Column, keep_blank: bool = True) -> Column:
+    """Drop repeated lines WITHIN a document, keeping each line's first
+    occurrence — the intra-document twin of corpus-level dedup (boiler-
+    plate headers/footers repeat inside pages long before they repeat
+    across them; cf. the dup_line_frac metric, which only MEASURES).
+
+    Row-local: a line survives iff its first occurrence index is its own
+    (``array_position`` over the line array inside a positional filter)
+    — O(L²) string compares per doc on the JVM, zero shuffle, streams
+    unchanged. ``keep_blank`` exempts empty lines (paragraph structure)
+    from deduplication.
+    """
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    idx = F.sequence(F.lit(1), n)
+    keep = F.zip_with(
+        lines,
+        idx,
+        lambda l, i: F.when(
+            (F.array_position(lines, l) == i)
+            | (F.lit(bool(keep_blank)) & (F.length(l) == 0)),
+            l,
+        ),
+    )
+    return F.concat_ws("\n", F.filter(keep, lambda x: x.isNotNull()))
+
+
+def unigram_logprobs(
+    vocab: DataFrame, alpha: float = 0.5
+) -> "tuple[DataFrame, float]":
+    """Additively-smoothed unigram log-probabilities from a
+    :func:`~pandas_weights_spark.functions.vocab.build_vocabulary`
+    table: returns ``(lp_table(term, logp), oov_logp)`` with
+    ``p(term) = (mass + α) / (W + α·(V+1))`` — the +1 pools all
+    out-of-vocabulary terms into one smoothed bucket.
+
+    The totals are two scalars off the V-row table (driver math on the
+    AGGREGATED table only, like calibration).
+    """
+    import math
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    row = vocab.agg(
+        F.sum("mass").alias("W"), F.count(F.lit(1)).alias("V")
+    ).first()
+    W = float(row["W"] or 0.0)
+    V = int(row["V"])
+    denom = math.log(W + alpha * (V + 1))
+    lp = vocab.select(
+        "term",
+        (F.log(F.col("mass") + F.lit(float(alpha))) - F.lit(denom)).alias(
+            "logp"
+        ),
+    )
+    return lp, float(math.log(alpha) - denom)
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    alpha: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Language-model quality score per document — the CCNet-style
+    perplexity filter (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", 2019 — public paper),
+    with a corpus-trained smoothed UNIGRAM model standing in for the
+    KenLM 5-gram (the filtering mechanics are identical; the model is
+    pluggable): ``(id_col, n_tokens, logprob_mean, ppl)`` where
+    ``ppl = exp(−logprob_mean)``. Lower perplexity ⇒ more in-domain.
+
+    Scale shape: posexplode tokens → BROADCAST join against the V-row
+    log-prob table (OOV → one smoothed constant) → one hash aggregate
+    per doc. One data-sized shuffle, no UDF.
+    """
+    lp, oov = unigram_logprobs(vocab, alpha)
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    pos = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).where(F.length("term") > 0)
+    joined = pos.join(F.broadcast(lp), "term", "left")
+    val = F.coalesce(F.col("logp"), F.lit(float(oov)))
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg(val).alias("logprob_mean"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "logprob_mean",
+        F.exp(-F.col("logprob_mean")).alias("ppl"),
+    )

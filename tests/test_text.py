@@ -226,3 +226,111 @@ class TestNormalizeText:
         ).withColumn("norm", normalize_text(F.col("text")))
         out = exact_dedup(df, "norm", "id")
         assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+class TestRemoveDuplicateLines:
+    def test_keeps_first_occurrence(self, spark):
+        from pandas_weights_spark.functions.text import remove_duplicate_lines
+
+        doc = "header\nbody one\nheader\nbody two\nheader"
+        df = spark.createDataFrame([(doc,)], "text string")
+        out = df.select(
+            remove_duplicate_lines(F.col("text")).alias("t")
+        ).first()["t"]
+        assert out == "header\nbody one\nbody two"
+
+    def test_blank_lines_exempt(self, spark):
+        from pandas_weights_spark.functions.text import remove_duplicate_lines
+
+        doc = "a\n\nb\n\na"
+        df = spark.createDataFrame([(doc,)], "text string")
+        kept = df.select(
+            remove_duplicate_lines(F.col("text")).alias("t")
+        ).first()["t"]
+        assert kept == "a\n\nb\n"  # both blanks survive, dup 'a' drops
+        strict = df.select(
+            remove_duplicate_lines(F.col("text"), keep_blank=False).alias("t")
+        ).first()["t"]
+        assert strict == "a\n\nb"
+
+    def test_no_dups_identity(self, spark):
+        from pandas_weights_spark.functions.text import remove_duplicate_lines
+
+        doc = "x\ny\nz"
+        df = spark.createDataFrame([(doc,)], "text string")
+        assert df.select(
+            remove_duplicate_lines(F.col("text")).alias("t")
+        ).first()["t"] == doc
+
+
+class TestUnigramLMScore:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "the cat and the dog"),
+            (3, "zq zzx qqy"),  # out-of-domain gibberish
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_python_reference(self, corpus):
+        import math
+
+        from pandas_weights_spark.functions.text import unigram_lm_score
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        vocab = build_vocabulary(corpus, "text", max_size=100)
+        got = {
+            r["doc_id"]: r
+            for r in unigram_lm_score(
+                corpus, "text", "doc_id", vocab, alpha=0.5
+            ).collect()
+        }
+        # transparent reference
+        texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+        mass = {}
+        for t in texts.values():
+            for w in t.lower().split():
+                mass[w] = mass.get(w, 0) + 1
+        W, V = sum(mass.values()), len(mass)
+        denom = math.log(W + 0.5 * (V + 1))
+
+        def lp(w):
+            return math.log(mass.get(w, 0) + 0.5) - denom
+
+        for d, t in texts.items():
+            ws = t.lower().split()
+            exp_mean = sum(lp(w) for w in ws) / len(ws)
+            assert got[d]["n_tokens"] == len(ws)
+            assert got[d]["logprob_mean"] == pytest.approx(exp_mean, rel=1e-12)
+            assert got[d]["ppl"] == pytest.approx(
+                math.exp(-exp_mean), rel=1e-12
+            )
+
+    def test_gibberish_scores_worse(self, corpus):
+        from pandas_weights_spark.functions.text import unigram_lm_score
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        # train on the in-domain docs only, score everything
+        vocab = build_vocabulary(
+            corpus.where(F.col("doc_id") < 3), "text", max_size=100
+        )
+        ppl = {
+            r["doc_id"]: r["ppl"]
+            for r in unigram_lm_score(
+                corpus, "text", "doc_id", vocab
+            ).collect()
+        }
+        assert ppl[3] > max(ppl[0], ppl[1], ppl[2]) * 2
+
+    def test_oov_uses_smoothed_bucket(self, spark, corpus):
+        from pandas_weights_spark.functions.text import (
+            unigram_logprobs,
+        )
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        vocab = build_vocabulary(corpus, "text", max_size=100)
+        lp, oov = unigram_logprobs(vocab, alpha=0.5)
+        table_min = min(r["logp"] for r in lp.collect())
+        assert oov < table_min  # OOV strictly less likely than any seen
