@@ -955,7 +955,26 @@ def _q_doc_weighted_stats(spark, sf_dir):
         F.col("n_urls").cast("double").alias("b"),
         F.col("weight_mass").alias("c"),
     )
-    return langs.unionByName(domains)
+    # r5 fold: term-distribution divergence between the even- and
+    # odd-doc_id halves of the corpus (vocab.term_divergence —
+    # union-vocab additive smoothing, plain-division densities so the
+    # SQL replays the algebra exactly; ROUND 6 absorbs sum-order ulps)
+    from pandas_weights_spark.functions.vocab import (
+        build_vocabulary,
+        term_divergence,
+    )
+
+    dsrc = _docs(spark, sf_dir)
+    va = build_vocabulary(dsrc.where(F.col("doc_id") % 2 == 0), "text")
+    vb = build_vocabulary(dsrc.where(F.col("doc_id") % 2 == 1), "text")
+    div = term_divergence(va, vb, alpha=0.5).select(
+        F.lit("div").alias("kind"),
+        F.lit("parity").alias("key"),
+        F.round(F.col("kl_ab"), 6).alias("a"),
+        F.round(F.col("kl_ba"), 6).alias("b"),
+        F.round(F.col("js"), 6).alias("c"),
+    )
+    return langs.unionByName(domains).unionByName(div)
 
 
 def _q_minhash_neardup(spark, sf_dir):
@@ -3787,6 +3806,37 @@ _ORACLE["doc_weighted_stats"] = """
            SUM(CAST(n_chars AS DOUBLE)) AS c
     FROM documents
     GROUP BY doc_id % 7
+    UNION ALL
+    SELECT 'div' AS kind, 'parity' AS key,
+           round(kl_ab, 6) AS a, round(kl_ba, 6) AS b, round(js, 6) AS c
+    FROM (
+      WITH dt AS (
+        SELECT doc_id % 2 AS half,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS term
+        FROM documents
+      ), dm AS (
+        SELECT half, term, CAST(COUNT(*) AS DOUBLE) AS mass FROM dt
+        WHERE term <> '' GROUP BY half, term
+      ), uj AS (
+        SELECT COALESCE(a.term, b.term) AS term,
+               COALESCE(a.mass, 0.0) AS ma, COALESCE(b.mass, 0.0) AS mb
+        FROM (SELECT term, mass FROM dm WHERE half = 0) a
+        FULL OUTER JOIN (SELECT term, mass FROM dm WHERE half = 1) b
+          ON a.term = b.term
+      ), tot AS (
+        SELECT SUM(ma) AS wa, SUM(mb) AS wb, COUNT(*) AS u FROM uj
+      ), pq AS (
+        SELECT (ma + 0.5) / (tot.wa + 0.5 * tot.u) AS p,
+               (mb + 0.5) / (tot.wb + 0.5 * tot.u) AS q
+        FROM uj CROSS JOIN tot
+      )
+      SELECT SUM(p * (ln(p) - ln(q))) AS kl_ab,
+             SUM(q * (ln(q) - ln(p))) AS kl_ba,
+             SUM(p * (ln(p) - ln((p + q) / 2.0)) / 2.0
+                 + q * (ln(q) - ln((p + q) / 2.0)) / 2.0) AS js
+      FROM pq
+    )
 """
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "bpe_pair_counts",
     "train_bpe",
     "encode_bpe",
+    "term_divergence",
 ]
 
 
@@ -320,4 +321,64 @@ def encode_bpe(
         F.sum(F.when(F.col("syms").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_oov_words"),
+    )
+
+
+def term_divergence(
+    vocab_a: DataFrame,
+    vocab_b: DataFrame,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution divergence between two corpora's term-mass tables
+    (both from :func:`build_vocabulary`): one row with ``kl_ab``,
+    ``kl_ba`` (nats), ``js`` (Jensen–Shannon, symmetric, bounded by
+    ln 2), ``n_terms_a``, ``n_terms_b``, ``n_union`` — the standard
+    domain-shift diagnostic between two slices of a training corpus
+    (old vs new crawl, source A vs source B, train vs eval).
+
+    Smoothing: both distributions live on the UNION vocabulary with
+    additive ``alpha`` — ``p(t) = (m_a(t) + α) / (W_a + α·U)`` — so
+    every term has positive mass under both and the KLs are finite.
+
+    Scale shape: one full-outer join of the two V-row tables (the only
+    shuffle, vocabulary-sized), one totals aggregate (3 scalars to the
+    driver — the calibration pattern: driver math on AGGREGATED data
+    only), one final sum. Never touches the raw corpus.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    a = vocab_a.select("term", F.col("mass").alias("__ma__"))
+    b = vocab_b.select("term", F.col("mass").alias("__mb__"))
+    j = a.join(b, "term", "full_outer").select(
+        F.coalesce("__ma__", F.lit(0.0)).alias("ma"),
+        F.coalesce("__mb__", F.lit(0.0)).alias("mb"),
+    )
+    tot = j.agg(
+        F.sum("ma").alias("wa"),
+        F.sum("mb").alias("wb"),
+        F.count(F.lit(1)).alias("u"),
+    ).first()
+    wa, wb, u = float(tot["wa"]), float(tot["wb"]), int(tot["u"])
+    p = (F.col("ma") + F.lit(float(alpha))) / F.lit(wa + alpha * u)
+    q = (F.col("mb") + F.lit(float(alpha))) / F.lit(wb + alpha * u)
+    m = (p + q) / F.lit(2.0)
+    terms = j.select(
+        (p * (F.log(p) - F.log(q))).alias("__ab__"),
+        (q * (F.log(q) - F.log(p))).alias("__ba__"),
+        (
+            p * (F.log(p) - F.log(m)) / F.lit(2.0)
+            + q * (F.log(q) - F.log(m)) / F.lit(2.0)
+        ).alias("__js__"),
+    )
+    na = vocab_a.count()
+    nb = vocab_b.count()
+    return terms.agg(
+        F.sum("__ab__").alias("kl_ab"),
+        F.sum("__ba__").alias("kl_ba"),
+        F.sum("__js__").alias("js"),
+    ).select(
+        "kl_ab", "kl_ba", "js",
+        F.lit(na).cast("long").alias("n_terms_a"),
+        F.lit(nb).cast("long").alias("n_terms_b"),
+        F.lit(u).cast("long").alias("n_union"),
     )

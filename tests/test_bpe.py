@@ -165,3 +165,73 @@ class TestEncodeBPE:
         r = enc.where(F.col("doc_id") == 7).collect()[0]  # a "newest" doc
         # after 10 merges "newest" is a handful of symbols, not 7 chars
         assert r["n_symbols"] < 7
+
+
+class TestTermDivergence:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from pandas_weights_spark.functions.vocab import (
+            build_vocabulary,
+            term_divergence,
+        )
+
+        a = spark.createDataFrame(
+            [(0, "apple banana apple cherry"), (1, "apple banana")],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [(0, "cherry durian durian"), (1, "durian elderberry")],
+            "doc_id long, text string",
+        )
+        va, vb = (build_vocabulary(d, "text") for d in (a, b))
+        got = term_divergence(va, vb, alpha=0.5).collect()[0]
+
+        ma = {"apple": 3, "banana": 2, "cherry": 1}
+        mb = {"cherry": 1, "durian": 3, "elderberry": 1}
+        union = sorted(set(ma) | set(mb))
+        wa, wb, u = sum(ma.values()), sum(mb.values()), len(union)
+        p = {t: (ma.get(t, 0) + 0.5) / (wa + 0.5 * u) for t in union}
+        q = {t: (mb.get(t, 0) + 0.5) / (wb + 0.5 * u) for t in union}
+        kl_ab = sum(p[t] * math.log(p[t] / q[t]) for t in union)
+        kl_ba = sum(q[t] * math.log(q[t] / p[t]) for t in union)
+        js = sum(
+            p[t] * math.log(p[t] / ((p[t] + q[t]) / 2)) / 2
+            + q[t] * math.log(q[t] / ((p[t] + q[t]) / 2)) / 2
+            for t in union
+        )
+        assert got["kl_ab"] == pytest.approx(kl_ab, rel=1e-9)
+        assert got["kl_ba"] == pytest.approx(kl_ba, rel=1e-9)
+        assert got["js"] == pytest.approx(js, rel=1e-9)
+        assert got["n_terms_a"] == 3 and got["n_terms_b"] == 3
+        assert got["n_union"] == 5
+
+    def test_identical_corpora_zero(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            build_vocabulary,
+            term_divergence,
+        )
+
+        d = spark.createDataFrame(
+            [(0, "x y z x")], "doc_id long, text string"
+        )
+        v = build_vocabulary(d, "text")
+        got = term_divergence(v, v).collect()[0]
+        assert got["kl_ab"] == pytest.approx(0.0, abs=1e-12)
+        assert got["js"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_js_symmetric_and_bounded(self, spark):
+        import math
+
+        from pandas_weights_spark.functions.vocab import (
+            build_vocabulary,
+            term_divergence,
+        )
+
+        a = spark.createDataFrame([(0, "p q r")], "doc_id long, text string")
+        b = spark.createDataFrame([(0, "s t u")], "doc_id long, text string")
+        va, vb = build_vocabulary(a, "text"), build_vocabulary(b, "text")
+        ab = term_divergence(va, vb).collect()[0]
+        ba = term_divergence(vb, va).collect()[0]
+        assert ab["js"] == pytest.approx(ba["js"], rel=1e-12)
+        assert 0.0 < ab["js"] <= math.log(2) + 1e-12
