@@ -576,6 +576,10 @@ class TestStreamingTextPipeline:
         d = str(tmp_path / "docs")
         spark.createDataFrame(rows, "doc_id long, text string").write.parquet(d)
 
+        from pandas_weights_spark.functions.text import (
+            remove_duplicate_lines,
+        )
+
         def pipeline(df):
             fl = quality_flags(F.col("text"))
             return df.select(
@@ -583,6 +587,10 @@ class TestStreamingTextPipeline:
                 fl["keep"].alias("keep"),
                 pii_counts(F.col("text"))["n_email"].alias("n_email"),
                 F.md5(redact_pii(F.col("text"))).alias("red_fp"),
+                # r5: intra-doc line dedup is stateless row-local too
+                F.md5(remove_duplicate_lines(F.col("text"))).alias(
+                    "ddl_fp"
+                ),
             )
 
         batch = {r["doc_id"]: r for r in pipeline(spark.read.parquet(d)).collect()}
