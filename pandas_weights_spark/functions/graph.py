@@ -46,12 +46,42 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(edges: list) -> dict:
+    """Min-label union-find over a SMALL collected edge list — the
+    hybrid fast path below ``small_graph_threshold``. Path-compressed;
+    component label = minimum node id (same contract as the
+    distributed loop)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen: set = set()
+    for u, v in edges:
+        seen.add(u)
+        seen.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN so the root is always the component minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    # every edge node gets a label (roots label themselves), matching
+    # the distributed loop's output contract
+    return {x: find(x) for x in seen}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     nodes: Optional[DataFrame] = None,
     node_col: Optional[str] = None,
+    small_graph_threshold: int = 100_000,
     max_iterations: int = 25,
     checkpoint: bool = True,
 ) -> DataFrame:
@@ -63,11 +93,51 @@ def connected_components(
     two node-keyed shuffles; stops when the edge set is stable (every
     edge then points directly at its component root). Raises after
     ``max_iterations`` instead of returning a partial labelling.
+
+    Hybrid fast path: when the canonical edge set is at most
+    ``small_graph_threshold`` rows (one guarded ``limit(k+1)`` probe —
+    the calibration-style bounded collect, never data-sized), the
+    transitive closure runs as driver union-find instead of ~10
+    distributed rounds. Identical labels by construction (union by
+    minimum); at 100 TB the pair graph blows past the threshold and the
+    distributed loop runs — the probe is the only added cost (one job
+    over the deduped edges, which round 1 would compute anyway). Pass
+    ``small_graph_threshold=0`` to force the distributed loop.
     """
     e = _canon(
         pairs.select(F.col(src).alias("__u__"), F.col(dst).alias("__v__"))
     )
     sc = pairs.sparkSession.sparkContext
+
+    if small_graph_threshold and small_graph_threshold > 0:
+        probe = e.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            comp = _driver_union_find(
+                [(r["__u__"], r["__v__"]) for r in probe]
+            )
+            spark = pairs.sparkSession
+            schema = e.select(
+                F.col("__u__").alias("node"),
+                F.col("__v__").alias("component"),
+            ).schema
+            labels = spark.createDataFrame(
+                sorted(comp.items()), schema
+            )
+            if nodes is not None:
+                if node_col is None:
+                    raise ValueError("nodes= requires node_col=")
+                allnodes = nodes.select(
+                    F.col(node_col).alias("node")
+                ).distinct()
+                labels = allnodes.join(
+                    F.broadcast(labels), "node", "left"
+                ).select(
+                    "node",
+                    F.coalesce(F.col("component"), F.col("node")).alias(
+                        "component"
+                    ),
+                )
+            return labels
 
     prev = None
     n_edges, n_hash = -1, None
@@ -163,6 +233,7 @@ def neardup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    small_graph_threshold: int = 100_000,
     max_iterations: int = 25,
 ) -> DataFrame:
     """Full near-dup clustering: MinHash+LSH pairs → connected
@@ -188,6 +259,7 @@ def neardup_clusters(
         "id_b",
         nodes=df,
         node_col=id_col,
+        small_graph_threshold=small_graph_threshold,
         max_iterations=max_iterations,
     )
     return labels.select(

@@ -33,12 +33,18 @@ def _uf(edges, nodes):
     return {n: min(v) for r, v in comp.items() for n in v}
 
 
-def _run(spark, edges, nodes=None):
+def _run(spark, edges, nodes=None, sgt=0):
+    # sgt=0 forces the DISTRIBUTED large/small-star loop (the original
+    # coverage); the hybrid driver-union-find fast path is exercised by
+    # TestHybridFastPath
     e = spark.createDataFrame(edges, "id_a long, id_b long")
     nd = None
     if nodes is not None:
         nd = spark.createDataFrame([(n,) for n in nodes], "id long")
-    out = connected_components(e, nodes=nd, node_col="id" if nd is not None else None)
+    out = connected_components(
+        e, nodes=nd, node_col="id" if nd is not None else None,
+        small_graph_threshold=sgt,
+    )
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -80,16 +86,46 @@ class TestConnectedComponents:
         e = spark.createDataFrame(
             [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string"
         )
-        out = {
-            r["node"]: r["component"]
-            for r in connected_components(e).collect()
-        }
-        assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+        for sgt in (0, 100_000):  # both paths must agree on string ids
+            out = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    e, small_graph_threshold=sgt
+                ).collect()
+            }
+            assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+class TestHybridFastPath:
+    def test_parity_with_distributed_loop(self, spark):
+        rng = random.Random(13)
+        nodes = list(range(150))
+        edges = [
+            (rng.randrange(150), rng.randrange(150)) for _ in range(110)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        fast = _run(spark, edges, nodes=nodes, sgt=100_000)
+        dist = _run(spark, edges, nodes=nodes, sgt=0)
+        assert fast == dist == _uf(edges, nodes)
+
+    def test_chain_fast_path(self, spark):
+        edges = [(i, i + 1) for i in range(200)]
+        got = _run(spark, edges, sgt=100_000)
+        assert set(got.values()) == {0} and len(got) == 201
+
+    def test_probe_overflow_falls_back(self, spark):
+        # threshold below the edge count -> the distributed loop runs
+        # and still produces the right labels
+        edges = [(i, i + 1) for i in range(50)]
+        got = _run(spark, edges, sgt=10)
+        assert set(got.values()) == {0} and len(got) == 51
 
     def test_nonconvergence_raises(self, spark):
         e = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="converge"):
-            connected_components(e, max_iterations=0)
+            connected_components(
+                e, max_iterations=0, small_graph_threshold=0
+            )
 
     def test_nodes_requires_node_col(self, spark):
         e = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
