@@ -974,7 +974,21 @@ def _q_doc_weighted_stats(spark, sf_dir):
         F.round(F.col("kl_ba"), 6).alias("b"),
         F.round(F.col("js"), 6).alias("c"),
     )
-    return langs.unionByName(domains).unionByName(div)
+    # r5 fold: the distinct-counts EXACT path (functions/distinct.py —
+    # the approximate HLL paths stay tests-only by nature) gets an
+    # oracle row per lang
+    from pandas_weights_spark.functions.distinct import distinct_counts
+
+    dct = distinct_counts(
+        dsrc, ["source", "doc_id", "n_chars"], by=["lang"], exact=True
+    ).select(
+        F.lit("dct").alias("kind"),
+        F.col("lang").alias("key"),
+        F.col("source_distinct").cast("double").alias("a"),
+        F.col("doc_id_distinct").cast("double").alias("b"),
+        F.col("n_chars_distinct").cast("double").alias("c"),
+    )
+    return langs.unionByName(domains).unionByName(div).unionByName(dct)
 
 
 def _q_minhash_neardup(spark, sf_dir):
@@ -3837,6 +3851,12 @@ _ORACLE["doc_weighted_stats"] = """
                  + q * (ln(q) - ln((p + q) / 2.0)) / 2.0) AS js
       FROM pq
     )
+    UNION ALL
+    SELECT 'dct' AS kind, lang AS key,
+           CAST(COUNT(DISTINCT source) AS DOUBLE) AS a,
+           CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS b,
+           CAST(COUNT(DISTINCT n_chars) AS DOUBLE) AS c
+    FROM documents GROUP BY lang
 """
 
 
