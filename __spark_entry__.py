@@ -1367,8 +1367,26 @@ def _q_weighted_tests(spark, sf_dir):
             "'n_a', n_a, 'n_b', n_b) AS (metric, value)"
         ),
     )
+    # r5: the t-digest's EXACT components (total mass, min, max — sums
+    # and extremes, not sketched) get oracle rows per returnflag; the
+    # centroid layout stays approximate-by-design (tests pin the rank
+    # bound). This upgrades functions/tdigest.py from tests-only to
+    # partially oracle-checked.
+    from pandas_weights_spark.functions.tdigest import tdigest_aggregate
+
+    td = tdigest_aggregate(
+        li, "l_extendedprice", F.col("l_quantity").cast("double"),
+        by=["l_returnflag"], delta=100,
+    ).select(
+        F.lit("td").alias("test"),
+        F.expr(
+            "stack(3, concat('n:', l_returnflag), td_total, "
+            "concat('lo:', l_returnflag), td_min, "
+            "concat('hi:', l_returnflag), td_max) AS (metric, value)"
+        ),
+    )
     out = tl.unionByName(cl)
-    for part in (al, el, ml, gl, kl, mw):
+    for part in (al, el, ml, gl, kl, mw, td):
         out = out.unionByName(part)
     return out.select(
         "test", "metric", F.round(F.col("value"), 6).alias("value")
@@ -4315,6 +4333,21 @@ _ORACLE["weighted_tests"] = """
           / sqrt(na * nb * (na + nb + 1.0) / 12.0) FROM mw
       UNION ALL SELECT 'n_a', na FROM mw
       UNION ALL SELECT 'n_b', nb FROM mw
+    )
+    UNION ALL
+    SELECT 'td' AS test, metric, ROUND(value, 6) AS value FROM (
+      SELECT 'n:' || l_returnflag AS metric,
+             SUM(CASE WHEN l_extendedprice IS NOT NULL
+                       AND l_quantity > 0 THEN l_quantity END) AS value
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'lo:' || l_returnflag,
+             MIN(CASE WHEN l_quantity > 0 THEN l_extendedprice END)
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'hi:' || l_returnflag,
+             MAX(CASE WHEN l_quantity > 0 THEN l_extendedprice END)
+      FROM lineitem GROUP BY l_returnflag
     )
 """
 
