@@ -1248,7 +1248,30 @@ def _q_neardup_pairs(spark, sf_dir):
         ),
         F.col("jaccard").alias("sim"),
     )
-    return mh.unionByName(ng).unionByName(em).unionByName(ck)
+    # r5: cross-TABLE fuzzy join (dedup.minhash_join — corpus docs<100
+    # vs a probes table of first-word-dropped docs<40, ids +30000):
+    # every probe must fuzzy-match its source document
+    from pandas_weights_spark.functions.dedup import minhash_join
+
+    corpus = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    probes = _docs(spark, sf_dir).where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 30000).alias("probe_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    xj = minhash_join(
+        corpus, probes, "text", "text", "doc_id", "probe_id",
+        threshold=0.4,
+    ).select(
+        F.lit("xjoin").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.col("probe_id").alias("id_b"),
+        F.col("jaccard").alias("sim"),
+    )
+    return (
+        mh.unionByName(ng).unionByName(em).unionByName(ck).unionByName(xj)
+    )
 
 
 def _q_chunk_neardup(spark, sf_dir):
@@ -4104,7 +4127,60 @@ def _chunk_neardup_sql(
     """
 
 
-# tagged union of the four pair oracles (see _q_neardup_pairs)
+def _minhash_join_sql(threshold: float = 0.4) -> str:
+    # mirror of dedup.minhash_join over _q_neardup_pairs' xjoin fixture:
+    # corpus docs<100 vs probes (docs<40 first-word-dropped, id+30000)
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i} ' || x)))"
+        for i in range(16)
+    )
+    bands = ", ".join(
+        f"md5(array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|')) AS b{b}"
+        for b in range(4)
+    )
+    band_or = " OR ".join(f"c.b{b} = p.b{b}" for b in range(4))
+
+    def side(src: str) -> str:
+        return f"""(
+      WITH tok AS (
+        SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM {src}
+      ), sh AS (
+        SELECT id,
+               CASE WHEN len(w) >= 3
+                    THEN [array_to_string(w[i:i+2], ' ')
+                          for i in range(1, len(w)-1)]
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM tok
+      ), sg AS (
+        SELECT id, list_distinct(s) AS sd, [{sig}] AS sig FROM sh
+      )
+      SELECT id, sd, {bands} FROM sg
+    )"""
+
+    corpus = (
+        "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 100)"
+    )
+    probes = (
+        "(SELECT doc_id + 30000 AS id, "
+        "regexp_replace(text, '^\\S+\\s+', '') AS text "
+        "FROM documents WHERE doc_id < 40)"
+    )
+    return f"""
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE),
+                 6) AS jaccard
+    FROM (
+      SELECT DISTINCT c.id AS id_a, p.id AS id_b, c.sd AS sa, p.sd AS sb
+      FROM {side(corpus)} c JOIN {side(probes)} p ON ({band_or})
+    )
+    WHERE round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE),
+                6) >= {threshold}
+    """
+
+
+# tagged union of the five pair oracles (see _q_neardup_pairs)
 _ORACLE["neardup_pairs"] = f"""
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_sql()})
@@ -4117,6 +4193,9 @@ _ORACLE["neardup_pairs"] = f"""
     UNION ALL
     SELECT 'chunk' AS method, id_a, id_b, jaccard AS sim
     FROM ({_chunk_neardup_sql()})
+    UNION ALL
+    SELECT 'xjoin' AS method, id_a, id_b, jaccard AS sim
+    FROM ({_minhash_join_sql()})
 """
 
 _ORACLE["weighted_tests"] = """

@@ -40,6 +40,7 @@ __all__ = [
     "jaccard",
     "minhash_near_duplicates",
     "minhash_signatures_agg",
+    "minhash_join",
     "chunk_near_duplicates",
     "simhash",
     "hamming_distance",
@@ -258,6 +259,97 @@ def minhash_near_duplicates(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Fuzzy TEXT join between two different tables: candidate pairs
+    from banded-LSH signature collisions across the tables, verified by
+    exact Jaccard — ``(left_id, right_id, jaccard)`` with jaccard ≥
+    ``threshold``. The cross-table generalization of
+    :func:`minhash_near_duplicates` (which self-joins one table): use
+    it to fuzzy-match benchmark prompts against a corpus (decontam
+    beyond exact n-gram containment), align two crawls, or link records
+    by near-identical descriptions.
+
+    Scale shape: each side gets aggregation-formulation signatures
+    (map-side MIN partials); the banded join compares only bucket
+    collisions — never |L|×|R|; the exact verify runs only on
+    candidates. Output column names are the caller's id columns (they
+    must differ).
+    """
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if left_id == right_id:
+        raise ValueError("left_id and right_id must have distinct names")
+
+    def banded(df, text_col, id_col):
+        sigs = minhash_signatures_agg(
+            df, text_col, id_col, num_hashes, shingle_size
+        )
+        band_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+
+    lb = banded(left, left_text, left_id).alias("l")
+    rb = banded(right, right_text, right_id).alias("r")
+    pairs = (
+        lb.join(
+            rb,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+            ],
+        )
+        .select(F.col(f"l.{left_id}"), F.col(f"r.{right_id}"))
+        .distinct()
+    )
+    ls = left.select(
+        F.col(left_id),
+        F.array_distinct(word_ngrams(F.col(left_text), shingle_size)).alias(
+            "__lsh__"
+        ),
+    )
+    rs = right.select(
+        F.col(right_id),
+        F.array_distinct(word_ngrams(F.col(right_text), shingle_size)).alias(
+            "__rsh__"
+        ),
+    )
+    return (
+        pairs.join(ls, left_id)
+        .join(rs, right_id)
+        .select(
+            left_id,
+            right_id,
+            F.round(jaccard(F.col("__lsh__"), F.col("__rsh__")), 6).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -205,3 +205,69 @@ class TestChunkNearDup:
             ).collect())
         )
         assert f() == f()
+
+
+class TestMinhashJoin:
+    @pytest.fixture(scope="class")
+    def two_tables(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely unrelated text about spark engines here"),
+                (3, "pack my box with five dozen liquor jugs right now"),
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [
+                # near-copy of corpus doc 1 (first word dropped)
+                (100, "quick brown fox jumps over the lazy dog tonight"),
+                # exact copy of corpus doc 3
+                (101, "pack my box with five dozen liquor jugs right now"),
+                # matches nothing
+                (102, "zebra quantum lattice perturbation overture"),
+            ],
+            "probe_id long, text string",
+        )
+        return corpus, probes
+
+    def test_cross_table_matches(self, two_tables):
+        corpus, probes = two_tables
+        out = DD.minhash_join(
+            corpus, probes, "text", "text", "doc_id", "probe_id",
+            threshold=0.4,
+        ).collect()
+        got = {(r["doc_id"], r["probe_id"]): r["jaccard"] for r in out}
+        assert (3, 101) in got and got[(3, 101)] == 1.0
+        assert (1, 100) in got and 0.4 <= got[(1, 100)] < 1.0
+        assert all(p != 102 for _, p in got)
+
+    def test_same_id_name_rejected(self, two_tables):
+        corpus, probes = two_tables
+        with pytest.raises(ValueError, match="distinct names"):
+            DD.minhash_join(
+                corpus, corpus, "text", "text", "doc_id", "doc_id"
+            )
+
+    def test_agrees_with_self_join_on_union(self, two_tables):
+        # cross-table pairs == the (corpus x probes) slice of the
+        # self-join over the union (id spaces disjoint)
+        corpus, probes = two_tables
+        u = corpus.unionByName(
+            probes.select(F.col("probe_id").alias("doc_id"), "text")
+        )
+        self_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.minhash_near_duplicates(
+                u, "text", "doc_id", threshold=0.4
+            ).collect()
+            if r["id_a"] < 100 <= r["id_b"]
+        }
+        cross = {
+            (r["doc_id"], r["probe_id"]): r["jaccard"]
+            for r in DD.minhash_join(
+                corpus, probes, "text", "text", "doc_id", "probe_id",
+                threshold=0.4,
+            ).collect()
+        }
+        assert cross == self_pairs
