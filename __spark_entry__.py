@@ -1620,11 +1620,31 @@ def _q_weighted_centroids(spark, sf_dir):
     out = weighted_centroids(
         emb, "embedding", (F.col("vec_id") % 7 + 1).cast("double"), ["label"]
     )
-    return out.select(
-        "label",
+    cents = out.select(
+        # string label so the pca:* tagged rows union cleanly
+        F.col("label").cast("string").alias("label"),
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("centroid"), 6).alias("centroid"),
     )
+    # r5 fold: the PCA fit's moment path (functions/pca.py
+    # _embedding_moments — mapInPandas partition partials + driver sum)
+    # is EXACT sums, so it gets oracle rows: mean (16 dims) +
+    # n-normalized Gram upper triangle (12x12 → 78 rows; /n keeps
+    # values O(1) so ROUND 6 sits far above the cross-engine
+    # summation-order ulps). The eigh/projection stage is pinned by
+    # numpy differentials (tests/test_pca.py) — eigenvectors have no
+    # SQL analog.
+    from pandas_weights_spark.functions.pca import _embedding_moments
+
+    n, s, g = _embedding_moments(emb, "embedding")
+    rows = [("pca:mean", i, round(float(s[i] / n), 6)) for i in range(16)]
+    rows += [
+        ("pca:gram", i * 100 + j, round(float(g[i][j] / n), 6))
+        for i in range(12)
+        for j in range(i, 12)
+    ]
+    pca = spark.createDataFrame(rows, "label string, dim long, centroid double")
+    return cents.unionByName(pca)
 
 
 def _q_star_join_mean(spark, sf_dir):
@@ -5001,10 +5021,26 @@ _ORACLE["weighted_centroids"] = """
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
     )
-    SELECT label, dim,
+    SELECT CAST(label AS VARCHAR) AS label, dim,
            round(SUM(v * w) / SUM(CASE WHEN v IS NOT NULL THEN w END), 6)
              AS centroid
     FROM e GROUP BY label, dim
+    UNION ALL
+    SELECT 'pca:mean' AS label, CAST(i - 1 AS BIGINT) AS dim,
+           round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6)
+             AS centroid
+    FROM embeddings, generate_series(1, 16) AS t(i)
+    GROUP BY i
+    UNION ALL
+    SELECT 'pca:gram' AS label,
+           CAST((i - 1) * 100 + (j - 1) AS BIGINT) AS dim,
+           round(SUM(CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[j] AS DOUBLE)) / COUNT(*), 6)
+             AS centroid
+    FROM embeddings, generate_series(1, 12) AS t(i),
+         generate_series(1, 12) AS t2(j)
+    WHERE j >= i
+    GROUP BY i, j
 """
 
 # weighted covariance moments mirroring _stats.cov_from_moments

@@ -1,0 +1,184 @@
+"""PCA over embedding columns — the dimensionality-reduction /
+whitening step in front of ANN indexes and embedding dedup (reduce
+``array<float>`` columns before IVF/LSH; the reference has no vector
+surface at all, SURVEY.md §2.6).
+
+Scale shape (the regression.py pattern — numpy ABOVE the aggregate):
+
+1. ``_embedding_moments`` — ``mapInPandas`` partials: each input
+   partition reduces to ONE row carrying (n, Σx vector, XᵀX Gram
+   matrix, flattened) — d² doubles per partition regardless of row
+   count; the driver sums the ≤ #partitions rows (bounded collect,
+   like calibration's joint-cell table).
+2. ``pca_fit`` — covariance from the moments, ``numpy.linalg.eigh`` on
+   the d×d matrix DRIVER-side (d is embedding width: 64–4096 — driver
+   math on aggregated data only), top-k eigenvectors with a
+   deterministic sign convention (largest-|coefficient| entry made
+   positive, ties to the earliest index).
+3. ``pca_transform`` — Arrow-batched matmul per batch
+   (``(X − μ) @ Wᵀ``): the one place numpy beats JVM expressions
+   honestly (k×d multiply-adds per row vectorize across the batch).
+
+Determinism: moments are exact sums; eigenvalues are LAPACK-stable;
+the sign convention removes the eigenvector ambiguity. Eigenvector
+DEGENERACY (repeated eigenvalues) remains inherently unstable —
+documented, as in every PCA implementation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["PCAModel", "pca_fit", "pca_transform"]
+
+
+class PCAModel(NamedTuple):
+    """Driver-side PCA state: plain Python lists (broadcastable,
+    picklable, JSON-serializable for checkpointing)."""
+
+    mean: list  # length d
+    components: list  # k rows of length d (rows = principal axes)
+    explained_variance: list  # length k, descending
+    n: int
+
+    @property
+    def d(self) -> int:
+        return len(self.mean)
+
+    @property
+    def k(self) -> int:
+        return len(self.components)
+
+
+def _embedding_moments(df: DataFrame, vec_col: str):
+    """(n, sum vector, Gram matrix) of an ``array`` column: per-
+    partition numpy partials → driver sum. Rows with NULL vectors drop;
+    a ragged width raises (embeddings must be fixed-width)."""
+    src = df.select(F.col(vec_col).alias("__v__")).where(
+        F.col("__v__").isNotNull()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, float) for v in pdf["__v__"]])
+            if x.ndim != 2:
+                raise ValueError(
+                    f"{vec_col!r} must be fixed-width arrays (got ragged "
+                    "or empty vectors)"
+                )
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            gg = x.T @ x
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [list(s)], "g": [list(g.ravel())]}
+            )
+
+    rows = src.mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("no non-NULL vectors to fit")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"], float) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"], float) for r in rows], axis=0)
+    d = len(s)
+    return n, s, g.reshape(d, d)
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: Optional[int] = None,
+    center: bool = True,
+) -> PCAModel:
+    """Fit PCA on an embedding column: top-``k`` principal axes of the
+    (centered) covariance, deterministic signs, descending explained
+    variance. ``center=False`` fits on raw second moments (the common
+    choice for already-normalized embeddings)."""
+    n, s, g = _embedding_moments(df, vec_col)
+    d = len(s)
+    k = d if k is None else int(k)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mu = s / n if center else np.zeros(d)
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k × d
+    # deterministic sign: the largest-|coeff| entry (earliest on ties)
+    # of each axis is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(
+        mean=[float(x) for x in mu],
+        components=[[float(x) for x in row] for row in comps],
+        explained_variance=[float(vals[o]) for o in order],
+        n=int(n),
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    vec_col: str,
+    model: PCAModel,
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project the embedding column onto the model's axes: input schema
+    + ``out_col array<double>`` of length k (NULL vectors stay NULL).
+    ``whiten=True`` scales each coordinate by 1/√variance (unit-
+    variance output — the preprocessing IVF k-means likes).
+
+    Arrow-batched ``mapInPandas`` matmul; the model travels in the
+    task closure (k·d floats)."""
+    mu = np.asarray(model.mean, float)
+    w = np.asarray(model.components, float)
+    if whiten:
+        scale = 1.0 / np.sqrt(
+            np.maximum(np.asarray(model.explained_variance, float), 1e-30)
+        )
+        w = w * scale[:, None]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    cols = df.columns
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            res = []
+            for v in pdf[vec_col]:
+                if v is None:
+                    res.append(None)
+                else:
+                    res.append(
+                        list((np.asarray(v, float) - mu) @ w.T)
+                    )
+            yield pd.DataFrame({**{c: pdf[c] for c in cols}, out_col: res})
+
+    return df.mapInPandas(run, out_schema)
