@@ -782,12 +782,20 @@ def _q_tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window as _W40
 
     wtab = bpe_word_table(docs.where(F.col("doc_id") < 40), "text")
+    # TakeOrdered cut FIRST (per-partition heaps), then the rank window
+    # runs over the 40-row result — never a global window on the full
+    # pair table (plan-audit pinned)
+    top40 = (
+        bpe_pair_counts(wtab)
+        .orderBy(F.col("freq").desc(), "left", "right")
+        .limit(40)
+    )
     rk = F.row_number().over(
         _W40.orderBy(F.col("freq").desc(), "left", "right")
     )
-    bpe = bpe_pair_counts(wtab).select(
+    bpe = top40.select(
         "left", "right", "freq", rk.alias("rk")
-    ).where(F.col("rk") <= 40).select(
+    ).select(
         F.lit("bpe").alias("kind"),
         F.lit(None).cast("long").alias("doc_id"),
         F.concat_ws(" ", "left", "right").alias("term"),

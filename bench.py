@@ -393,7 +393,7 @@ def main() -> int:
     def _decontam_hashed(spark_, sf_dir_):
         from pandas_weights_spark.functions.decontam import ngram_overlap
 
-        docs = load_table(spark_, sf_dir_, "documents").select(
+        docs = fan_out(load_table(spark_, sf_dir_, "documents")).select(
             "doc_id", "text"
         )
         bench_set = docs.where(F.col("doc_id") % 20 == 0).select("text")

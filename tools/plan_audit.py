@@ -39,8 +39,16 @@ ALLOW = {
     # the banded Gini/KS/MWU machinery's keyless offset window runs
     # over the <= bands-row band-count table, and chi2/MI/bootstrap
     # attach 1-row grand-total frames via broadcast cross joins — both
-    # bounded by construction (quantile.py/_banded_cums, inference.py)
-    "weighted_tests": {"global-window", "bnl-cross"},
+    # bounded by construction (quantile.py/_banded_cums, inference.py);
+    # r5: the t-digest rows ride mapInPandas/applyInPandas partials —
+    # the sketch's sanctioned Arrow surface (functions/tdigest.py)
+    "weighted_tests": {"global-window", "bnl-cross", "arrow"},
+    # r5: vocab/bpe id-rank windows run over TakeOrderedAndProject-
+    # limited tables (50-row vocabulary / 40-row pair cut — the limit
+    # executes BEFORE the window, visible in the plan), and tf-idf
+    # crosses the 1-row document-count frame — all bounded by
+    # construction (functions/vocab.py, functions/text.py)
+    "tfidf_top_terms": {"global-window", "bnl-cross"},
     # seasonal_decompose windows the BUCKET table (one row per bucket,
     # bounded by range/rule — resample.py docstring) and crosses the
     # 1-row grand phase mean
