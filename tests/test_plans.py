@@ -362,3 +362,60 @@ class TestCdfAndVariantPlans:
             assert P.count_exchanges(df) == 1, (kw, plan)
             assert plan.count("Scan parquet") == 1, (kw, plan)
             assert not P.has_python_eval(df)
+
+
+class TestRound5Plans:
+    def test_chunk_neardup_no_python_no_cartesian(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            chunk_near_duplicates,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        df = chunk_near_duplicates(docs, "text", "doc_id", chunk_tokens=32)
+        assert not P.has_python_eval(df)
+        plan = P.physical_plan(df)
+        assert "CartesianProduct" not in plan
+
+    def test_minhash_join_no_python_no_cartesian(self, spark):
+        from pandas_weights_spark.functions.dedup import minhash_join
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        probes = docs.select(
+            (F.col("doc_id") + 1000).alias("pid"), "text"
+        ).limit(20)
+        df = minhash_join(docs, probes, "text", "text", "doc_id", "pid")
+        assert not P.has_python_eval(df)
+        assert "CartesianProduct" not in P.physical_plan(df)
+
+    def test_quality_panel_single_tokenize(self, spark):
+        # the fused panel's producer projection must SURVIVE: exactly
+        # one split-on-whitespace (tokenize) and one split-on-newline
+        # in the plan — a collapse back to per-metric re-splits fails
+        from pandas_weights_spark.functions.quality import quality_panel
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        plan = P.physical_plan(quality_panel(docs))
+        assert plan.count("split(trim(text") <= 1, plan
+        assert not P.has_python_eval(quality_panel(docs))
+
+    def test_lm_score_broadcasts_vocab(self, spark):
+        from pandas_weights_spark.functions.text import unigram_lm_score
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        vocab = build_vocabulary(docs, "text", max_size=100)
+        df = unigram_lm_score(docs, "text", "doc_id", vocab)
+        plan = P.physical_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert not P.has_python_eval(df)
+
+    def test_bpe_pair_counts_partial_agg(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            bpe_pair_counts,
+            bpe_word_table,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        pc = bpe_pair_counts(bpe_word_table(docs, "text"))
+        assert P.has_partial_aggregation(pc)
+        assert not P.has_python_eval(pc)
