@@ -1277,8 +1277,31 @@ def _q_neardup_pairs(spark, sf_dir):
         F.col("probe_id").alias("id_b"),
         F.col("jaccard").alias("sim"),
     )
+    # r5: cross-table EMBEDDING join (dedup.embedding_join — the vector
+    # analog of xjoin): probes = vec_id<30 with the first coordinate
+    # nudged +0.1 (ids +40000), so each probe cosine-matches its source
+    from pandas_weights_spark.functions.dedup import embedding_join
+
+    embt = load_table(spark, sf_dir, "embeddings")
+    eprobes = embt.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 40000).alias("probe_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.1)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 63),
+        ).alias("embedding"),
+    )
+    xe = embedding_join(
+        embt, eprobes, "vec_id", "probe_id",
+        threshold=0.8, bucket_planes=4, seed=42,
+    ).select(
+        F.lit("xembed").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.col("probe_id").alias("id_b"),
+        F.col("cosine").alias("sim"),
+    )
     return (
-        mh.unionByName(ng).unionByName(em).unionByName(ck).unionByName(xj)
+        mh.unionByName(ng).unionByName(em).unionByName(ck)
+        .unionByName(xj).unionByName(xe)
     )
 
 
@@ -4155,6 +4178,43 @@ def _chunk_neardup_sql(
     """
 
 
+def _embedding_join_sql(dim: int = 64, planes: int = 4, seed: int = 42,
+                        threshold: float = 0.8) -> str:
+    # mirror of dedup.embedding_join over _q_neardup_pairs' xembed
+    # fixture: same hyperplane literals on both sides, probes = first
+    # coordinate +0.1, ids +40000
+    from pandas_weights_spark.functions.similarity import _hyperplanes
+
+    hps = _hyperplanes(dim, planes, seed)
+
+    def bits(vec: str) -> str:
+        return ",\n             ".join(
+            f"CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(x) for x in hp)}]) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for hp in hps
+        )
+
+    return f"""
+    WITH ce AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+      SELECT vec_id, v, concat({bits("v")}) AS bucket FROM ce
+    ), pe AS (
+      SELECT vec_id + 40000 AS probe_id,
+             list_concat([CAST(embedding[1] AS DOUBLE) + 0.1],
+                         (CAST(embedding AS DOUBLE[]))[2:64]) AS v
+      FROM embeddings WHERE vec_id < 30
+    ), pb AS (
+      SELECT probe_id, v, concat({bits("v")}) AS bucket FROM pe
+    )
+    SELECT cb.vec_id AS id_a, pb.probe_id AS id_b,
+           round(list_cosine_similarity(cb.v, pb.v), 6) AS cosine
+    FROM cb JOIN pb ON cb.bucket = pb.bucket
+    WHERE round(list_cosine_similarity(cb.v, pb.v), 6) >= {threshold}
+    """
+
+
 def _minhash_join_sql(threshold: float = 0.4) -> str:
     # mirror of dedup.minhash_join over _q_neardup_pairs' xjoin fixture:
     # corpus docs<100 vs probes (docs<40 first-word-dropped, id+30000)
@@ -4224,6 +4284,9 @@ _ORACLE["neardup_pairs"] = f"""
     UNION ALL
     SELECT 'xjoin' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_join_sql()})
+    UNION ALL
+    SELECT 'xembed' AS method, id_a, id_b, cosine AS sim
+    FROM ({_embedding_join_sql()})
 """
 
 _ORACLE["weighted_tests"] = """

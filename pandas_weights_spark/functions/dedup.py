@@ -45,6 +45,7 @@ __all__ = [
     "simhash",
     "hamming_distance",
     "embedding_near_duplicates",
+    "embedding_join",
     "ngram_jaccard_near_duplicates",
 ]
 
@@ -575,6 +576,71 @@ def embedding_near_duplicates(
             F.round(
                 F.try_divide(
                     dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                    F.col("a.__n__") * F.col("b.__n__"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    threshold: float = 0.95,
+    bucket_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy EMBEDDING join between two different tables: hyperplane-
+    bucket collisions across the tables + exact cosine verify —
+    ``(left_id, right_id, cosine)`` with cosine ≥ ``threshold``. The
+    cross-table twin of :func:`embedding_near_duplicates` and the
+    vector analog of :func:`minhash_join`: eval-set contamination
+    checks against a corpus by EMBEDDING similarity (catches
+    paraphrases n-gram containment misses), cross-crawl record linkage.
+
+    Both sides bucket with the SAME seeded hyperplanes (bucket equality
+    is only meaningful under one projection); vectors must share the
+    width. Never |L|×|R| — the join key is the sign-pattern bucket.
+    """
+    from pandas_weights_spark.functions.similarity import (
+        dot,
+        hyperplane_bucket,
+        l2_norm,
+    )
+
+    if left_id == right_id:
+        raise ValueError("left_id and right_id must have distinct names")
+    dim = left.select(F.size(F.col(left_vec)).alias("d")).first()["d"]
+    rdim = right.select(F.size(F.col(right_vec)).alias("d")).first()["d"]
+    if dim != rdim:
+        raise ValueError(f"vector widths differ: {dim} vs {rdim}")
+
+    def bucketed(df, id_col, vec_col):
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v__"),
+            l2_norm(F.col(vec_col)).alias("__n__"),
+            hyperplane_bucket(
+                F.col(vec_col), dim, bucket_planes, seed
+            ).alias("__b__"),
+        )
+
+    a = bucketed(left, left_id, left_vec).alias("a")
+    b = bucketed(right, right_id, right_vec).alias("b")
+    return (
+        a.join(b, on=[F.col("a.__b__") == F.col("b.__b__")])
+        .select(
+            F.col(f"a.{left_id}"),
+            F.col(f"b.{right_id}"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("a.__v__"), F.col("b.__v__")),
                     F.col("a.__n__") * F.col("b.__n__"),
                 ),
                 6,

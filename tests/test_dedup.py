@@ -271,3 +271,60 @@ class TestMinhashJoin:
             ).collect()
         }
         assert cross == self_pairs
+
+
+class TestEmbeddingJoin:
+    @pytest.fixture(scope="class")
+    def two_vec_tables(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(6, 16))
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(6)],
+            "vid long, embedding array<double>",
+        )
+        # probe 0 = tiny perturbation of corpus 2; probe 1 = far
+        probes = spark.createDataFrame(
+            [
+                (100, [float(x) for x in base[2] + 0.001]),
+                (101, [float(x) for x in -base[3]]),
+            ],
+            "pid long, embedding array<double>",
+        )
+        return corpus, probes
+
+    def test_cross_match(self, two_vec_tables):
+        corpus, probes = two_vec_tables
+        out = DD.embedding_join(
+            corpus, probes, "vid", "pid", threshold=0.95,
+        ).collect()
+        got = {(r["vid"], r["pid"]): r["cosine"] for r in out}
+        assert (2, 100) in got and got[(2, 100)] > 0.99
+        assert all(p != 101 for _, p in got)  # anti-parallel never matches
+
+    def test_agrees_with_exact_cosine(self, two_vec_tables):
+        import numpy as np
+
+        corpus, probes = two_vec_tables
+        # threshold 0: every bucket-colliding pair surfaces; each
+        # cosine must equal numpy's
+        out = DD.embedding_join(
+            corpus, probes, "vid", "pid", threshold=-1.0,
+        ).collect()
+        cv = {r["vid"]: np.array(r["embedding"])
+              for r in corpus.collect()}
+        pv = {r["pid"]: np.array(r["embedding"])
+              for r in probes.collect()}
+        for r in out:
+            a, b = cv[r["vid"]], pv[r["pid"]]
+            exp = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+            assert r["cosine"] == pytest.approx(round(exp, 6), abs=2e-6)
+
+    def test_width_mismatch_raises(self, two_vec_tables, spark):
+        corpus, _ = two_vec_tables
+        bad = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "pid long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="widths differ"):
+            DD.embedding_join(corpus, bad, "vid", "pid")
