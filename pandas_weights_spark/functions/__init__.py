@@ -6,4 +6,12 @@ Everything here is expression-first: built-in ``pyspark.sql.functions``
 Pandas UDFs only where they genuinely don't (multimodal decode).
 """
 
-from pandas_weights_spark.functions import dedup, similarity, text  # noqa: F401
+from pandas_weights_spark.functions import (  # noqa: F401
+    dedup,
+    multimodal,
+    pca,
+    quality,
+    similarity,
+    text,
+    vocab,
+)
