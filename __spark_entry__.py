@@ -1636,6 +1636,10 @@ def _q_group_transforms(spark, sf_dir):
         ffill_price=t.col("price_n", "ffill"),
         bfill_price=t.col("price_n", "bfill"),
         cum_mass=t.col("price_c", "cumsum"),
+        # r5: linear row-position interpolation of the NULL runs —
+        # prev + (next−prev)·frac is one IEEE expression on picked
+        # values, replayed operand-for-operand in the oracle
+        itp=t.col("price_n", "interpolate"),
         rk=tied.rank_col("rank").cast("long"),
         drk=tied.rank_col("dense_rank").cast("long"),
         prk=tied.rank_col("percent_rank"),
@@ -4902,12 +4906,26 @@ _ORACLE["qcut"] = """
 """
 
 _ORACLE["group_transforms"] = """
-    WITH t AS (
+    WITH t0 AS (
       SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
              l_partkey, l_extendedprice AS x, l_quantity AS w,
              ROUND(l_extendedprice * 100, 0) AS xc,
              CASE WHEN l_tax > 0 THEN l_extendedprice END AS xn
       FROM lineitem
+    ), t AS (
+      -- row position + non-NULL marker precomputed (DuckDB forbids
+      -- nesting window calls inside window arguments)
+      SELECT t0.*,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                        l_linenumber NULLS FIRST, l_partkey NULLS FIRST)
+               AS rpos,
+             CASE WHEN xn IS NOT NULL THEN
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                          l_linenumber NULLS FIRST, l_partkey NULLS FIRST)
+             END AS mark
+      FROM t0
     )
     SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_partkey,
            LAG(x, 1) OVER ow AS lag_price,
@@ -4922,6 +4940,20 @@ _ORACLE["group_transforms"] = """
              SUM(CASE WHEN xc IS NOT NULL AND w IS NOT NULL
                       THEN w * xc END) OVER owr
            END AS cum_mass,
+           CASE WHEN xn IS NOT NULL THEN xn
+                WHEN last_value(mark IGNORE NULLS) OVER owr IS NOT NULL
+                 AND first_value(mark IGNORE NULLS) OVER owf IS NOT NULL
+                THEN last_value(xn IGNORE NULLS) OVER owr
+                     + (first_value(xn IGNORE NULLS) OVER owf
+                        - last_value(xn IGNORE NULLS) OVER owr)
+                       * (CAST(rpos - last_value(mark IGNORE NULLS)
+                               OVER owr AS DOUBLE)
+                          / CAST(first_value(mark IGNORE NULLS) OVER owf
+                                 - last_value(mark IGNORE NULLS) OVER owr
+                                 AS DOUBLE))
+                WHEN last_value(xn IGNORE NULLS) OVER owr IS NOT NULL
+                THEN last_value(xn IGNORE NULLS) OVER owr
+           END AS itp,
            CAST(RANK() OVER tw AS BIGINT) AS rk,
            CAST(DENSE_RANK() OVER tw AS BIGINT) AS drk,
            PERCENT_RANK() OVER tw AS prk,

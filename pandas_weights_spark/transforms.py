@@ -43,7 +43,7 @@ def _cols(refs: Sequence[_ColRef]) -> list[Column]:
 #: transform kind → needs a frame ("cum" running, "back" following) or
 #: a bare ordered spec (lag/lead family)
 _KINDS = (
-    "shift", "diff", "pct_change", "ffill", "bfill",
+    "shift", "diff", "pct_change", "ffill", "bfill", "interpolate",
     "cumsum", "cummax", "cummin",
 )
 
@@ -140,6 +140,34 @@ class OrderedTransform:
                 *[c.desc() for c in _cols(self._order_by)]
             ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
             return F.last(x, ignorenulls=True).over(rev)
+        if kind == "interpolate":
+            # pandas groupby().interpolate('linear'): NULL runs fill
+            # linearly in ROW POSITION between the surrounding non-NULL
+            # values; trailing NULLs carry the last value forward
+            # (pandas' limit_direction='forward' default), leading
+            # NULLs stay NULL. Same spec + the bfill reversed sort —
+            # still one exchange for any transform mix.
+            rev = Window.partitionBy(*_cols(self._partition_by)).orderBy(
+                *[c.desc() for c in _cols(self._order_by)]
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            rn = F.row_number().over(spec)
+            marked = F.when(x.isNotNull(), rn)
+            prev_v = F.last(x, ignorenulls=True).over(run)
+            next_v = F.last(x, ignorenulls=True).over(rev)
+            prev_rn = F.last(marked, ignorenulls=True).over(run)
+            next_rn = F.last(marked, ignorenulls=True).over(rev)
+            frac = (rn - prev_rn).cast("double") / (
+                next_rn - prev_rn
+            ).cast("double")
+            return (
+                F.when(x.isNotNull(), x.cast("double"))
+                .when(
+                    prev_rn.isNotNull() & next_rn.isNotNull(),
+                    prev_v.cast("double")
+                    + (next_v.cast("double") - prev_v.cast("double")) * frac,
+                )
+                .when(prev_rn.isNotNull(), prev_v.cast("double"))
+            )
         if kind == "cumsum":
             valid = x.isNotNull() & w.isNotNull()
             term = F.when(valid, w * x)
@@ -222,6 +250,12 @@ class OrderedTransform:
     def bfill(self) -> DataFrame:
         """Carry the next non-NULL value backward within each group."""
         return self._apply_all("bfill")
+
+    def interpolate(self) -> DataFrame:
+        """Linear interpolation of NULL runs in row position (pandas
+        ``groupby().interpolate('linear')``): trailing NULLs carry
+        forward, leading NULLs stay NULL."""
+        return self._apply_all("interpolate")
 
     def cumsum(self) -> DataFrame:
         """Running weighted mass total Σ w·x (prefix of ``sum()``);

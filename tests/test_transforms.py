@@ -53,6 +53,7 @@ class TestVsPandas:
             ("diff", {"periods": 1}, lambda s: s.diff(1)),
             ("ffill", {}, lambda s: s.ffill()),
             ("bfill", {}, lambda s: s.bfill()),
+            ("interpolate", {}, lambda s: s.interpolate("linear")),
         ],
     )
     def test_unit_parity(self, spark, method, kw, fn):
