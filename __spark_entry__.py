@@ -546,18 +546,25 @@ def _q_group_zscore(spark, sf_dir):
     # comparisons, clip is least/greatest -> bit-exact, no rounding),
     # and axis=1 weighted row std (pure row-local). Only z rounds
     # (division + sqrt).
-    li = _li(spark, sf_dir)
+    li = _li(spark, sf_dir).withColumn(
+        "price_n", F.when(F.col("l_tax") > 0, F.col("l_extendedprice"))
+    )
     z = wt(li, _W).groupby("l_returnflag")[["l_extendedprice"]].zscore()
     wz = wt(z, _W).groupby("l_returnflag").winsorize(
         ["l_extendedprice"], lower=0.05, upper=0.95
     )
-    rs = wt(wz, _W).row_std(
+    # r5: weighted-mean imputation of the NULL-bearing derived column
+    # rides the same chain (groupby.impute — zscore's agg+join-back
+    # shape with a coalesce instead of a standardization)
+    im = wt(wz, _W)[["price_n"]].groupby("l_returnflag").impute()
+    rs = wt(im, _W).row_std(
         subset=["l_extendedprice", "l_discount", "l_tax"]
     )
     return rs.select(
         "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice_z"), 6).alias("z"),
         F.col("l_extendedprice_wins").alias("wins"),
+        F.round(F.col("price_n_imp"), 6).alias("imp"),
         "l_extendedprice", "l_discount", "l_tax", "row_std",
     )
 
@@ -2530,12 +2537,20 @@ _ORACLE: dict[str, str] = {
         ), rowstd AS (
           SELECT l_orderkey, l_linenumber, l_returnflag,
                  l_extendedprice, l_discount, l_tax,
+                 CASE WHEN l_tax > 0 THEN l_extendedprice END AS price_n,
                  l_quantity * (l_extendedprice + l_discount + l_tax) AS ws,
                  l_quantity * (l_extendedprice * l_extendedprice
                                + l_discount * l_discount
                                + l_tax * l_tax) AS wss,
                  l_quantity * 3.0 AS cnt
           FROM lineitem
+        ), imp AS (
+          SELECT l_returnflag,
+                 SUM(CASE WHEN l_tax > 0 THEN l_extendedprice END
+                     * l_quantity) AS i1,
+                 COALESCE(SUM(CASE WHEN l_tax > 0 THEN l_quantity END),
+                          0.0) AS iW
+          FROM lineitem GROUP BY 1
         )
         SELECT l.l_orderkey, l.l_linenumber,
                ROUND(CASE WHEN (ss - s*s/c) / (c - 1) > 0
@@ -2544,6 +2559,9 @@ _ORACLE: dict[str, str] = {
                CASE WHEN l.l_extendedprice IS NOT NULL
                     THEN GREATEST(LEAST(l.l_extendedprice, q.qhi), q.qlo)
                END AS wins,
+               ROUND(COALESCE(l.price_n,
+                              CASE WHEN iW <> 0 THEN i1 / iW END), 6)
+                 AS imp,
                l.l_extendedprice, l.l_discount, l.l_tax,
                CASE WHEN (wss - (ws * ws) / cnt) / (cnt - 1.0) >= 0
                     THEN sqrt((wss - (ws * ws) / cnt) / (cnt - 1.0))
@@ -2551,6 +2569,7 @@ _ORACLE: dict[str, str] = {
         FROM rowstd l
         JOIN m USING (l_returnflag)
         JOIN q USING (l_returnflag)
+        JOIN imp USING (l_returnflag)
     """,
     "group_var": """
         WITH m AS (

@@ -705,6 +705,72 @@ class WeightedGroupBy:
             out_cols.append(z.alias(f"{c}_z"))
         return joined.select(*out_cols)
 
+    def impute(
+        self,
+        strategy: str = "mean",
+        skipna: bool = True,
+    ) -> DataFrame:
+        """Fill each numeric column's NULLs with its GROUP's weighted
+        statistic: adds ``{col}_imp = coalesce(x, stat_g)`` for every
+        selected numeric column — the missing-value counterpart of
+        :meth:`zscore` (pandas ``groupby.transform`` + ``fillna``).
+
+        ``strategy``: ``"mean"`` (weighted mean) or ``"zero"``. Same
+        scale shape as zscore: one tiny moment row per group,
+        AQE-broadcast joined back, row-local coalesce — never a
+        ``Window.partitionBy(keys)`` funnel. Median imputation lives on
+        the quantile path (join :meth:`quantile`'s output back) since
+        it needs the banded CDF machinery, not a moment aggregate.
+        An all-NULL group leaves its rows NULL (no global fallback —
+        surface, don't invent data).
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "impute is not defined for cube/rollup grouping sets"
+            )
+        if strategy not in ("mean", "zero"):
+            raise ValueError(
+                f"strategy must be 'mean' or 'zero', got {strategy!r}"
+            )
+        cols = self._value_cols()
+        if not cols:
+            raise ValueError("no numeric columns to impute")
+        df = self._wdf.df
+        if self._dropna:
+            for k in self._keys:
+                df = df.where(F.col(k).isNotNull())
+        if strategy == "zero":
+            return df.select(
+                *[F.col(c) for c in df.columns],
+                *[
+                    F.coalesce(
+                        self._wdf._value(c).cast("double"), F.lit(0.0)
+                    ).alias(f"{c}_imp")
+                    for c in cols
+                ],
+            )
+        w = self._wdf.weights
+        aggs = []
+        for c in cols:
+            x = self._wdf._value(c)
+            mask = F.when(x.isNotNull(), w) if skipna else w
+            aggs.append(
+                F.coalesce(F.sum(mask), F.lit(0.0)).alias(f"__pw_iW_{c}__")
+            )
+            aggs.append(F.sum(x * w).alias(f"__pw_i1_{c}__"))
+        moments = df.groupBy(*[F.col(k) for k in self._keys]).agg(*aggs)
+        joined = _join_group_stats(df, moments, self._keys)
+        out_cols = [F.col(c) for c in df.columns]
+        for c in cols:
+            x = self._wdf._value(c)
+            mu = F.try_divide(
+                F.col(f"__pw_i1_{c}__"), F.col(f"__pw_iW_{c}__")
+            )
+            out_cols.append(
+                F.coalesce(x.cast("double"), mu).alias(f"{c}_imp")
+            )
+        return joined.select(*out_cols)
+
     def mode(self, dropna_values: bool = True) -> DataFrame:
         """Per-group weighted mode of the single selected value column:
         ``(keys…, <col>, count)`` where ``count`` is the winning value's

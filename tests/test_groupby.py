@@ -345,3 +345,92 @@ class TestDictAgg:
             g.agg({"nope": "mean"})
         with pytest.raises(ValueError, match="unknown"):
             g.agg({"x": "frobnicate"})
+
+
+class TestImpute:
+    def test_weighted_mean_fill(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [
+                ("a", 1.0, 1.0), ("a", None, 5.0), ("a", 3.0, 3.0),
+                ("b", 10.0, 2.0), ("b", None, 1.0),
+            ],
+            "g string, x double, w double",
+        )
+        out = {
+            (r["g"], r["x"]): r["x_imp"]
+            for r in wt(df, "w")[["x"]].groupby("g").impute().collect()
+        }
+        # group a: weighted mean of non-null = (1*1 + 3*3) / 4 = 2.5
+        assert out[("a", None)] == 2.5
+        assert out[("a", 1.0)] == 1.0  # non-null untouched
+        assert out[("b", None)] == 10.0
+
+    def test_all_null_group_stays_null(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", None, 1.0), ("a", None, 2.0), ("b", 5.0, 1.0)],
+            "g string, x double, w double",
+        )
+        rows = wt(df, "w")[["x"]].groupby("g").impute().collect()
+        a_rows = [r for r in rows if r["g"] == "a"]
+        assert all(r["x_imp"] is None for r in a_rows)
+
+    def test_zero_strategy_no_shuffle(self, spark):
+        from pandas_weights_spark import plans as P
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", None, 1.0), ("b", 5.0, 1.0)],
+            "g string, x double, w double",
+        )
+        out = wt(df, "w")[["x"]].groupby("g").impute(strategy="zero")
+        assert P.count_exchanges(out) == 0
+        got = {r["g"]: r["x_imp"] for r in out.collect()}
+        assert got == {"a": 0.0, "b": 5.0}
+
+    def test_matches_pandas_transform(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(31)
+        x = rng.normal(size=120)
+        x[::7] = np.nan
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 3, 120),
+                "x": x,
+                "w": np.ones(120),
+            }
+        )
+        got = (
+            wt(spark.createDataFrame(pdf), "w")[["x"]]
+            .groupby("g")
+            .impute()
+            .toPandas()
+            .sort_values(["g", "x"], na_position="first")["x_imp"]
+            .to_numpy()
+        )
+        exp = (
+            pdf.assign(
+                x_imp=pdf.groupby("g")["x"].transform(
+                    lambda s: s.fillna(s.mean())
+                )
+            )
+            .sort_values(["g", "x"], na_position="first")["x_imp"]
+            .to_numpy()
+        )
+        np.testing.assert_allclose(np.sort(got), np.sort(exp), rtol=1e-9)
+
+    def test_rejected_for_cube(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0)], "g string, x double, w double"
+        )
+        with pytest.raises(NotImplementedError):
+            wt(df, "w")[["x"]].cube("g").impute()
