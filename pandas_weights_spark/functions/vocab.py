@@ -155,6 +155,9 @@ def _merge_fold(syms: Column, left: str, right: str) -> Column:
     zero = F.array().cast("array<string>")
 
     def step(acc: Column, s: Column) -> Column:
+        # NB: size(acc) > 0 MUST stay the first conjunct — Spark's And
+        # short-circuits left-to-right, guarding the ANSI out-of-bounds
+        # element_at(-1) on the empty initial accumulator
         last = F.element_at(acc, -1)
         hit = (F.size(acc) > 0) & (last == F.lit(left)) & (s == F.lit(right))
         return F.when(
