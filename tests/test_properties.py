@@ -187,3 +187,105 @@ class TestTextProperties:
             normalize_text(normalize_text(F.col("text"))).alias("b"),
         ).first()
         assert r["a"] == r["b"]
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    min_size=1,
+    max_size=30,
+)
+
+
+class TestRound5Properties:
+    @given(ws=words_strategy)
+    @settings(**SETTINGS)
+    def test_simhash_order_invariant(self, spark, ws):
+        # simhash is a TOKEN-SET fingerprint: any permutation of the
+        # words hashes identically; always exactly `bits` 0/1 chars
+        from pandas_weights_spark.functions.dedup import simhash
+
+        fwd = " ".join(ws)
+        rev = " ".join(reversed(ws))
+        df = spark.createDataFrame([(fwd, rev)], "a string, b string")
+        r = df.select(
+            simhash(F.col("a"), 32).alias("ha"),
+            simhash(F.col("b"), 32).alias("hb"),
+        ).first()
+        assert r["ha"] == r["hb"]
+        assert len(r["ha"]) == 32 and set(r["ha"]) <= {"0", "1"}
+
+    @given(
+        lines=st.lists(
+            st.text(alphabet="abc ", min_size=0, max_size=6),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_remove_duplicate_lines_reference(self, spark, lines):
+        # matches the transparent Python first-occurrence filter (blank
+        # lines exempt) and is idempotent
+        from pandas_weights_spark.functions.text import (
+            remove_duplicate_lines,
+        )
+
+        doc = "\n".join(lines)
+        df = spark.createDataFrame([(doc,)], "text string")
+        once = df.select(
+            remove_duplicate_lines(F.col("text")).alias("t")
+        ).first()["t"]
+        seen = set()
+        exp = []
+        for l in lines:
+            if l == "" or l not in seen:
+                exp.append(l)
+                seen.add(l)
+        assert once == "\n".join(exp)
+        again = (
+            spark.createDataFrame([(once,)], "text string")
+            .select(remove_duplicate_lines(F.col("text")).alias("t"))
+            .first()["t"]
+        )
+        assert again == once
+
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-50, max_value=50, allow_nan=False, width=32
+                ),
+            ),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_interpolate_matches_pandas(self, spark, vals):
+        import numpy as np
+        import pandas as pd
+
+        rows = [
+            (i, None if v is None else float(v), 1.0)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "i long, x double, w double")
+        got = (
+            wt(df, "w")
+            .ordered(order_by=["i"], partition_by=[F.lit(1)])
+            .assemble(itp=wt(df, "w")
+                      .ordered(order_by=["i"], partition_by=[F.lit(1)])
+                      .col("x", "interpolate"))
+            .toPandas()
+            .sort_values("i")["itp"]
+            .to_numpy()
+        )
+        exp = pd.Series(
+            [np.nan if v is None else v for v in vals]
+        ).interpolate("linear").to_numpy()
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            if np.isnan(e):
+                assert g is None or np.isnan(g)
+            else:
+                assert g == pytest.approx(e, rel=1e-9)
