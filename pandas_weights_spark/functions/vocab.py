@@ -361,7 +361,13 @@ def term_divergence(
         F.sum("mb").alias("wb"),
         F.count(F.lit(1)).alias("u"),
     ).first()
-    wa, wb, u = float(tot["wa"]), float(tot["wb"]), int(tot["u"])
+    # an empty side sums to NULL; alpha smoothing still defines the
+    # (uniform) distribution, so 0.0 is the right mass
+    wa = float(tot["wa"] or 0.0)
+    wb = float(tot["wb"] or 0.0)
+    u = int(tot["u"])
+    if u == 0:
+        raise ValueError("both vocabularies are empty")
     p = (F.col("ma") + F.lit(float(alpha))) / F.lit(wa + alpha * u)
     q = (F.col("mb") + F.lit(float(alpha))) / F.lit(wb + alpha * u)
     m = (p + q) / F.lit(2.0)
