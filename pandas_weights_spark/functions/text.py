@@ -458,6 +458,9 @@ def unigram_lm_score(
     Scale shape: posexplode tokens → BROADCAST join against the V-row
     log-prob table (OOV → one smoothed constant) → one hash aggregate
     per doc. One data-sized shuffle, no UDF.
+
+    A document with zero tokens has no defined mean log-prob and emits
+    NO row (left-join the output back if every id must surface).
     """
     lp, oov = unigram_logprobs(vocab, alpha)
     t = F.col(text_col)
