@@ -173,6 +173,40 @@ def main() -> int:
     bench("ewm pair cov+corr", lambda: e.pair_stats(
         "x", "y", stats=("cov", "corr")))
 
+    # round-5 op families: BPE merge rounds over the corpus word table
+    # (the driver-loop shape under load) and PCA fit+project over a
+    # synthesized 64-dim embedding table (n/20 vectors)
+    from pandas_weights_spark.functions.pca import pca_fit, pca_transform
+    from pandas_weights_spark.functions.vocab import train_bpe
+
+    t0 = time.perf_counter()
+    _merges, segs = train_bpe(docs, "text", num_merges=6)
+    segs.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'bpe_train 6 rounds':28s} {dt:7.2f}s  "
+          f"({docs_n / dt / 1e3:6.1f} K docs/s)")
+
+    vec_n = int(n / 20)
+    vecs = spark.range(vec_n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id").cast("double") * i),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)  # measure PCA, not the sin() fixture
+    t0 = time.perf_counter()
+    model = pca_fit(vecs, "embedding", k=16)
+    fit_dt = time.perf_counter() - t0
+    print(f"{'pca_fit 64d -> 16':28s} {fit_dt:7.2f}s  "
+          f"({vec_n / fit_dt / 1e6:6.1f} M vecs/s)")
+    t0 = time.perf_counter()
+    pca_transform(vecs, "embedding", model).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'pca_project 64d -> 16':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M vecs/s)")
+
     spark.stop()
     return 0
 
