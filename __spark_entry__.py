@@ -449,6 +449,20 @@ def _q_spearman_corr(spark, sf_dir):
         F.lit("spearman").alias("kind"), "l_returnflag",
         F.round(F.col("corr"), 6).alias("corr"),
     )
+    # r5: the k-column Spearman MATRIX (corr.spearman_matrix —
+    # listwise-complete ranks, one grouping-sets band pass, one fused
+    # moment aggregate) rides the same query: 9 tagged rows with the
+    # pair names in the key slot
+    from pandas_weights_spark.corr import spearman_matrix
+
+    mat = spearman_matrix(
+        wt(_li(spark, sf_dir), _W),
+        subset=["l_extendedprice", "l_discount", "l_tax"],
+    ).select(
+        F.lit("mat").alias("kind"),
+        F.concat_ws("|", "col_x", "col_y").alias("l_returnflag"),
+        F.round(F.col("corr"), 6).alias("corr"),
+    )
     # r4: weighted autocorrelation folded in (corr.weighted_autocorr):
     # lag-1 and lag-3 self-correlation of the price along the total
     # shipdate order, pair weighted by the current row's quantity. ONE
@@ -462,7 +476,7 @@ def _q_spearman_corr(spark, sf_dir):
         "l_returnflag",
         F.round(F.col("corr"), 6).alias("corr"),
     )
-    return sp.unionByName(acf)
+    return sp.unionByName(acf).unionByName(mat)
 
 
 def _q_aligned_corr_cov(spark, sf_dir):
@@ -3329,6 +3343,49 @@ _ACF_SRC = """(
   FROM lineitem
 )"""
 
+def _spearman_matrix_sql() -> str:
+    # listwise-complete 3-column rank table (same average-tie rank
+    # formulation as _SPEARMAN_RANKED, global), then one _corr_sql per
+    # unordered pair; the mirror emits the SAME value (the engine
+    # reuses the i<=j moments, and corr is symmetric)
+    cols = ["l_extendedprice", "l_discount", "l_tax"]
+    k = len(cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    rank_ctes = ", ".join(
+        f"""cnt{i} AS (SELECT c{i}, COUNT(*) AS n FROM v GROUP BY c{i}),
+    rk{i} AS (
+      SELECT c{i},
+             CAST(SUM(n) OVER (ORDER BY c{i} ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE)
+               - CAST(n - 1 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS rnk
+      FROM cnt{i}
+    )"""
+        for i in range(k)
+    )
+    joins = " ".join(f"JOIN rk{i} USING (c{i})" for i in range(k))
+    ranked = f"""(
+    WITH v AS (
+      SELECT {', '.join(f'{c} AS c{i}' for i, c in enumerate(cols))},
+             l_quantity AS w
+      FROM lineitem
+      WHERE {notnull} AND l_quantity IS NOT NULL
+    ), {rank_ctes}
+    SELECT {', '.join(f'rk{i}.rnk AS r{i}' for i in range(k))}, v.w
+    FROM v {joins}
+    )"""
+    parts = []
+    for i in range(k):
+        for j in range(k):
+            lo, hi = min(i, j), max(i, j)
+            parts.append(
+                f"SELECT 'mat' AS kind, '{cols[i]}|{cols[j]}' AS "
+                "l_returnflag, corr FROM ("
+                + _corr_sql(f"r{lo}", f"r{hi}", "w", ranked)
+                + ")"
+            )
+    return " UNION ALL ".join(parts)
+
+
 _ORACLE["spearman_corr"] = (
     "SELECT 'spearman' AS kind, g AS l_returnflag, corr FROM ("
     + _corr_sql("x", "y", "w", _SPEARMAN_RANKED, group=["g"])
@@ -3339,6 +3396,8 @@ _ORACLE["spearman_corr"] = (
     + " UNION ALL SELECT 'acf:3' AS kind, g AS l_returnflag, corr FROM ("
     + _corr_sql("x", "y", "w", _ACF_SRC.format(k=3), group=["g"])
     + ")"
+    + " UNION ALL "
+    + _spearman_matrix_sql()
 )
 
 _ORACLE["aligned_corr_cov"] = (

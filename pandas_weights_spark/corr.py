@@ -48,6 +48,7 @@ __all__ = [
     "grouped_cov",
     "frame_corr_cov",
     "spearman_corr",
+    "spearman_matrix",
     "weighted_autocorr",
     "to_matrix",
 ]
@@ -632,6 +633,166 @@ def spearman_corr(
     if keys:
         return j.groupBy(*keys).agg(*moments.values()).select(*keys, corr)
     return j.agg(*moments.values()).select(corr)
+
+
+def spearman_matrix(
+    wdf: "WeightedDataFrame",
+    subset: Optional[Sequence[str]] = None,
+    min_periods: int = 1,
+    ddof: int = 1,
+    bands: int = 256,
+) -> DataFrame:
+    """Weighted Spearman rank-correlation MATRIX, long form ``(col_x,
+    col_y, corr)`` — the k-column companion to :func:`spearman_corr`
+    (the reference raises for ``corr(method="spearman")``; this closes
+    the matrix surface the pair operator left open).
+
+    Semantics: LISTWISE-complete — rows with a NULL in ANY selected
+    column (or the weight) drop before ranking, so every pair shares
+    one rank basis and the matrix is positive semi-definite. This is
+    the standard large-scale simplification and a documented divergence
+    from pandas' per-pair masks (pandas re-ranks every pair over its
+    own pairwise-complete rows — k² rank passes; at equal masks the two
+    definitions coincide, and the pairwise behavior stays available via
+    :func:`spearman_corr` per pair).
+
+    Plan: one listwise filter → one bounded probe for ALL columns'
+    [p1, p99] band bounds → ONE GROUPING SETS pass emitting every
+    column's band counts → one k-map offset aggregate broadcast back →
+    k banded rank windows (each partitioned by its own (band) — ranking
+    parallelism k × bands, never a whole-table sort) → ONE moment
+    aggregate for all k(k+1)/2 pairs (the same fused shape as
+    :func:`frame_corr`).
+    """
+    from pandas_weights_spark.frame import WEIGHT_COL
+
+    cols = list(subset) if subset is not None else wdf.numeric_columns()
+    if not cols:
+        raise ValueError("no numeric columns to correlate")
+    k = len(cols)
+    w = F.col(WEIGHT_COL)
+    mask = w.isNotNull()
+    for c in cols:
+        mask = mask & wdf._value(c).isNotNull()
+    v = wdf.df.where(mask).select(
+        *[wdf._value(c).alias(f"__c{i}__") for i, c in enumerate(cols)],
+        w.alias(WEIGHT_COL),
+    )
+    probe = v.limit(10_240).agg(
+        *[
+            F.percentile_approx(f"__c{i}__", [0.01, 0.99], 1000).alias(
+                f"b{i}"
+            )
+            for i in range(k)
+        ]
+    ).first()
+
+    def _lit_band(i: int) -> Column:
+        b = probe[f"b{i}"]
+        c = F.col(f"__c{i}__").cast("double")
+        if b is None or not (b[1] > b[0]):
+            return F.lit(0)
+        lo, hi = float(b[0]), float(b[1])
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bands - 1),
+                F.floor(
+                    (c - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(bands))
+                ).cast("int"),
+            ),
+        )
+
+    j = v.select(
+        "*", *[_lit_band(i).alias(f"__band{i}__") for i in range(k)]
+    )
+    band_cols = [f"__band{i}__" for i in range(k)]
+    gsets = j.groupingSets(
+        [[b] for b in band_cols], *band_cols
+    ).agg(
+        F.count(F.lit(1)).alias("__bt__"),
+        *[F.grouping(b).alias(f"__g{i}__") for i, b in enumerate(band_cols)],
+    )
+
+    def _offmap(entries: Column) -> Column:
+        zero = F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.map_from_arrays(
+                F.array().cast("array<int>"), F.array().cast("array<long>")
+            ).alias("m"),
+        )
+        return F.aggregate(
+            F.sort_array(entries),
+            zero,
+            lambda acc, e: F.struct(
+                (acc["s"] + e["n"]).alias("s"),
+                F.map_concat(
+                    acc["m"], F.create_map(e["band"], acc["s"])
+                ).alias("m"),
+            ),
+            lambda acc: acc["m"],
+        )
+
+    maps = gsets.agg(
+        *[
+            _offmap(
+                F.collect_list(
+                    F.when(
+                        F.col(f"__g{i}__") == 0,
+                        F.struct(
+                            F.col(band_cols[i]).alias("band"),
+                            F.col("__bt__").alias("n"),
+                        ),
+                    )
+                )
+            ).alias(f"__map{i}__")
+            for i in range(k)
+        ]
+    )
+    j = j.crossJoin(F.broadcast(maps)).select(
+        "*",
+        *[
+            F.element_at(F.col(f"__map{i}__"), F.col(band_cols[i])).alias(
+                f"__off{i}__"
+            )
+            for i in range(k)
+        ],
+    )
+
+    from pyspark.sql import Window
+
+    def _rank(i: int) -> Column:
+        cum_win = (
+            Window.partitionBy(F.col(band_cols[i]))
+            .orderBy(F.col(f"__c{i}__"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tie_win = (
+            Window.partitionBy(F.col(band_cols[i]))
+            .orderBy(F.col(f"__c{i}__"))
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        cum = F.count(F.lit(1)).over(cum_win)
+        tie = F.count(F.lit(1)).over(tie_win)
+        return (
+            (cum + F.col(f"__off{i}__")).cast("double")
+            - (tie - F.lit(1)).cast("double") / F.lit(2.0)
+        )
+
+    ranked = j.select(
+        WEIGHT_COL, *[_rank(i).alias(f"__r{i}__") for i in range(k)]
+    )
+    exprs = []
+    for i in range(k):
+        for l in range(i, k):
+            for name, expr in corr_moment_exprs(
+                F.col(f"__r{i}__"), F.col(f"__r{l}__"), F.col(WEIGHT_COL)
+            ).items():
+                exprs.append(expr.alias(f"__m_{i}_{l}_{name}"))
+    moments = ranked.agg(*exprs)
+    return moments.select(
+        F.inline(F.array(*_pair_structs(cols, ddof, min_periods)))
+    )
 
 
 def to_matrix(long_form: DataFrame) -> "pd.DataFrame":

@@ -457,3 +457,113 @@ class TestAutocorr:
         assert plan.count("Window") <= 1
         assert not P.has_python_eval(out)
         assert P.count_exchanges(out) <= 2, plan
+
+
+class TestSpearmanMatrix:
+    def test_matches_pandas_on_complete_data(self, spark):
+        # no NULLs -> listwise == pairwise; unit weights -> pandas
+        # .corr(method='spearman') is the exact oracle
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark.corr import spearman_matrix
+
+        rng = np.random.default_rng(41)
+        pdf = pd.DataFrame(
+            {
+                "a": rng.normal(size=90),
+                "b": rng.normal(size=90),
+                "c": rng.integers(0, 5, 90).astype(float),  # heavy ties
+                "w": np.ones(90),
+            }
+        )
+        got = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in spearman_matrix(
+                wt(spark.createDataFrame(pdf), "w"), subset=["a", "b", "c"]
+            ).collect()
+        }
+        exp = pdf[["a", "b", "c"]].corr(method="spearman")
+        for cx in "abc":
+            for cy in "abc":
+                assert got[(cx, cy)] == approx(exp.loc[cx, cy], rel=1e-9), (
+                    cx, cy,
+                )
+
+    def test_matrix_diag_and_symmetry(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark.corr import spearman_matrix
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(
+            {
+                "a": rng.normal(size=50),
+                "b": rng.normal(size=50),
+                "w": rng.integers(1, 4, 50).astype(float),
+            }
+        )
+        got = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in spearman_matrix(
+                wt(spark.createDataFrame(pdf), "w"), subset=["a", "b"]
+            ).collect()
+        }
+        assert got[("a", "a")] == approx(1.0)
+        assert got[("b", "b")] == approx(1.0)
+        assert got[("a", "b")] == got[("b", "a")]
+
+    def test_listwise_mask_matches_pair_operator(self, spark):
+        # with NULLs, the matrix's listwise entry equals spearman_corr
+        # run on the listwise-filtered frame
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark.corr import spearman_corr, spearman_matrix
+
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(9)
+        a = rng.normal(size=80)
+        b = rng.normal(size=80)
+        a[::9] = np.nan
+        b[::7] = np.nan
+        pdf = pd.DataFrame({"a": a, "b": b, "w": np.ones(80)})
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in spearman_matrix(
+                wt(df, "w"), subset=["a", "b"]
+            ).collect()
+        }
+        complete = df.where(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        )
+        exp = spearman_corr(wt(complete, "w"), "a", "b").collect()[0][
+            "corr"
+        ]
+        assert got[("a", "b")] == approx(exp, rel=1e-9)
+
+    def test_banded_plan_no_global_window(self, spark):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark.corr import spearman_matrix
+
+        rng = np.random.default_rng(2)
+        pdf = pd.DataFrame(
+            {
+                "a": rng.normal(size=60),
+                "b": rng.normal(size=60),
+                "w": np.ones(60),
+            }
+        )
+        out = spearman_matrix(
+            wt(spark.createDataFrame(pdf), "w"), subset=["a", "b"]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "__band" in spec.split(",")[0], spec
