@@ -721,7 +721,24 @@ def _q_weighted_sample(spark, sf_dir):
         ),
         "strat",
     )
-    return pips.unionByName(pois).unionByName(strat)
+    # r5: temperature-rebalanced sampling over the documents table
+    # (sample.temperature_sample, α=0.5 over lang) — deterministic md5
+    # uniform + closed-form per-group rates, so the selected set is
+    # bit-identical in the oracle
+    from pandas_weights_spark.sample import temperature_sample
+
+    temp = temperature_sample(
+        _docs(spark, sf_dir), "lang", 150, ["doc_id"],
+        alpha=0.5, seed=42,
+    ).select(
+        F.lit("temp").alias("method"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("lang").cast("string").alias("sub"),
+        F.col("n_chars").cast("double").alias("w"),
+    )
+    return (
+        pips.unionByName(pois).unionByName(strat).unionByName(temp)
+    )
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -3055,6 +3072,23 @@ def _sample_sqls() -> dict[str, str]:
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
     ) WHERE rk <= 200
+    UNION ALL
+    SELECT 'temp' AS method, CAST(doc_id AS BIGINT),
+           CAST(d.lang AS VARCHAR), CAST(n_chars AS DOUBLE)
+    FROM documents d
+    JOIN (
+      SELECT lang, COUNT(*) AS n_g, CAST(COUNT(*) AS DOUBLE) AS mass
+      FROM documents GROUP BY lang
+    ) g ON d.lang IS NOT DISTINCT FROM g.lang
+    CROSS JOIN (
+      SELECT SUM(POWER(mass, 0.5)) AS tt FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS mass
+        FROM documents GROUP BY lang
+      )
+    ) t
+    WHERE {u_doc} < LEAST(CAST(1.0 AS DOUBLE),
+                          CAST(150.0 AS DOUBLE)
+                            * (POWER(g.mass, 0.5) / t.tt) / g.n_g)
 """,
         "hash_split": f"""
     SELECT CASE WHEN {u_doc} < 0.8 THEN 'train'

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "uniform_hash",
+    "temperature_rates",
+    "temperature_sample",
     "weighted_sample",
     "poisson_sample",
     "stratified_sample",
@@ -274,3 +276,86 @@ def kfold_split(
     return df.withColumn(
         fold_col, F.floor(u * F.lit(float(k))).cast("int")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    weight: Optional[Column] = None,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-smoothed sampling DISTRIBUTION over groups
+    (languages/sources): ``(group, mass, p_raw, p_temp)`` with
+    ``p_temp(g) ∝ mass(g)^α`` — the standard multilingual-corpus
+    rebalancing rule (exponent-smoothed sampling, as popularized by the
+    multilingual-BERT / XLM-R line of work, public): ``α = 1``
+    reproduces the natural distribution, ``α → 0`` the uniform one;
+    in between, low-resource groups are upsampled relative to their
+    share.
+
+    One map-side-combining mass aggregate (the output is
+    group-cardinality-sized); NULL groups are ordinary buckets;
+    non-positive weights carry no mass.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    w = weight if weight is not None else F.lit(1.0)
+    w = w.cast("double")
+    m = F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+    masses = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(m).alias("mass")
+    ).where(F.col("mass") > 0)
+    tot = F.sum("mass").over(Window.partitionBy())
+    tot_t = F.sum(F.pow("mass", F.lit(float(alpha)))).over(
+        Window.partitionBy()
+    )
+    return masses.select(
+        "group",
+        "mass",
+        (F.col("mass") / tot).alias("p_raw"),
+        (F.pow("mass", F.lit(float(alpha))) / tot_t).alias("p_temp"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    key_cols: Sequence[str],
+    weight: Optional[Column] = None,
+    alpha: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-rebalanced corpus sample: draw ≈ ``target_rows``
+    rows whose GROUP distribution follows the α-smoothed rates of
+    :func:`temperature_rates` instead of the natural skew.
+
+    Per-group inclusion probability ``min(1, target·p_temp(g) /
+    n_g)`` (``n_g`` = the group's row count) applied as a PURE MAP
+    over the deterministic md5 uniform — after one tiny per-group
+    aggregate, no shuffle of the data, reproducible under
+    re-partitioning (the :func:`poisson_sample` contract). A group too
+    small for its boosted quota caps at taking ALL its rows (the
+    standard low-resource saturation).
+    """
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    w = weight if weight is not None else F.lit(1.0)
+    rates = temperature_rates(df, group_col, weight=w, alpha=alpha)
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    per_group = rates.join(counts, "group").select(
+        "group",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows)) * F.col("p_temp") / F.col("n_g"),
+        ).alias("__p__"),
+    )
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    joined = df.join(
+        F.broadcast(per_group),
+        df[group_col].eqNullSafe(per_group["group"]),
+        "inner",
+    )
+    return joined.where(u < F.col("__p__")).drop("group", "__p__")

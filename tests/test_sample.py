@@ -272,3 +272,83 @@ class TestKFold:
         out = kfold_split(df, 5, ["l_orderkey", "l_linenumber"])
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestTemperatureSampling:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # heavy skew: en 1000 rows, fr 100, sw 10
+        rows = []
+        rid = 0
+        for lang, n in (("en", 1000), ("fr", 100), ("sw", 10)):
+            for _ in range(n):
+                rows.append((rid, lang))
+                rid += 1
+        return spark.createDataFrame(rows, "id long, lang string")
+
+    def test_rates_interpolate_natural_and_uniform(self, skewed):
+        from pandas_weights_spark.sample import temperature_rates
+
+        nat = {
+            r["group"]: r["p_temp"]
+            for r in temperature_rates(skewed, "lang", alpha=1.0).collect()
+        }
+        uni = {
+            r["group"]: r["p_temp"]
+            for r in temperature_rates(skewed, "lang", alpha=0.0).collect()
+        }
+        mid = {
+            r["group"]: r["p_temp"]
+            for r in temperature_rates(skewed, "lang", alpha=0.5).collect()
+        }
+        assert nat["en"] == pytest.approx(1000 / 1110)
+        assert uni["en"] == pytest.approx(1 / 3)
+        # smoothing strictly boosts the low-resource group
+        assert nat["sw"] < mid["sw"] < uni["sw"]
+        assert sum(mid.values()) == pytest.approx(1.0)
+
+    def test_sample_rebalances_distribution(self, skewed):
+        from pandas_weights_spark.sample import temperature_sample
+
+        out = temperature_sample(
+            skewed, "lang", target_rows=300, key_cols=["id"], alpha=0.5,
+        ).collect()
+        got = {}
+        for r in out:
+            got[r["lang"]] = got.get(r["lang"], 0) + 1
+        # sw saturates (takes all 10); fr boosted well above its
+        # natural 300*100/1110 ≈ 27
+        assert got["sw"] == 10
+        assert got["fr"] > 40
+        # overall size near target (binomial noise)
+        assert 0.6 * 300 < sum(got.values()) < 1.4 * 300
+
+    def test_deterministic_and_repartition_invariant(self, skewed):
+        from pandas_weights_spark.sample import temperature_sample
+
+        a = sorted(
+            r["id"]
+            for r in temperature_sample(
+                skewed, "lang", 200, ["id"]
+            ).collect()
+        )
+        b = sorted(
+            r["id"]
+            for r in temperature_sample(
+                skewed.repartition(7), "lang", 200, ["id"]
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_alpha_one_matches_uniform_subsample_rate(self, skewed):
+        from pandas_weights_spark.sample import temperature_sample
+
+        # alpha=1: every group sampled at the same target/N rate
+        out = temperature_sample(
+            skewed, "lang", 111, ["id"], alpha=1.0
+        ).collect()
+        # expected ~10% of every group
+        got = {}
+        for r in out:
+            got[r["lang"]] = got.get(r["lang"], 0) + 1
+        assert 60 < got.get("en", 0) < 140
