@@ -45,6 +45,7 @@ __all__ = [
     "streaming_asof_join",
     "streaming_heavy_hitters",
     "streaming_tdigest",
+    "streaming_distinct_counts",
 ]
 
 
@@ -723,3 +724,49 @@ def streaming_tdigest(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_distinct_counts(
+    stream: DataFrame,
+    cols: Sequence[str],
+    keys: Sequence[str],
+    on: str,
+    watermark: str = "1 hour",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Running per-key distinct-count estimates over a stream — the
+    streaming twin of :func:`pandas_weights_spark.functions.distinct.
+    hll_sketches`: DataSketches-HLL sketch aggregates are associative
+    and commutative, so they run as ordinary streaming aggregation
+    state (a few KB per (key, column), never the raw distinct set).
+
+    Emits ``keys…, {col}_hll (binary sketch), {col}_distinct
+    (estimate)`` per key, refreshed each trigger (``update`` output
+    mode). The sketches merge downstream with ``hll_union_agg`` —
+    store a day's sketches and union across days without rescanning.
+    Works on a batch DataFrame too.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(on, watermark)
+    # hll_sketch_agg accepts int/bigint/string/binary only — hash other
+    # types through their canonical string form (distinct-preserving)
+    dtypes = dict(df.dtypes)
+    def _key(c):
+        t = dtypes.get(c, "")
+        if t in ("int", "bigint", "string", "binary"):
+            return F.col(c)
+        return F.col(c).cast("string")
+    aggs = [
+        F.hll_sketch_agg(_key(c), F.lit(lg_config_k)).alias(f"{c}_hll")
+        for c in cols
+    ]
+    out = df.groupBy(*keys).agg(*aggs)
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_distinct", F.hll_sketch_estimate(F.col(f"{c}_hll"))
+        )
+    return out

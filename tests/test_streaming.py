@@ -709,3 +709,64 @@ class TestStreamingTDigest:
         )
         with pytest.raises(ValueError, match="key"):
             streaming_tdigest(stream, "Value", "w", keys=[])
+
+
+class TestStreamingDistinctCounts:
+    def test_stream_matches_batch_estimates(self, spark, source_dir):
+        from pandas_weights_spark.functions.distinct import hll_sketches
+        from pandas_weights_spark.streaming import (
+            streaming_distinct_counts,
+        )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")  # 2 micro-batches
+            .parquet(str(source_dir))
+        )
+        out = streaming_distinct_counts(
+            stream, ["Value"], keys=["grp"], on="ts"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdc")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM sdc").collect()
+        latest = {}
+        for r in rows:  # batch order: last write per key wins
+            latest[r["grp"]] = r["Value_distinct"]
+
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        from pyspark.sql import functions as FF
+
+        exact = {
+            r["grp"]: r["n"]
+            for r in batch.groupBy("grp")
+            .agg(FF.countDistinct("Value").alias("n"))
+            .collect()
+        }
+        # sketches merged across micro-batches == the batch sketch; at
+        # these cardinalities HLL is exact
+        for g, n in exact.items():
+            assert latest[g] == pytest.approx(n, rel=0.05)
+
+    def test_batch_dataframe_accepted(self, spark, source_dir):
+        from pandas_weights_spark.streaming import (
+            streaming_distinct_counts,
+        )
+
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        out = streaming_distinct_counts(
+            batch, ["Value"], keys=["grp"], on="ts"
+        ).collect()
+        assert len(out) == 2 and all(r["Value_distinct"] > 0 for r in out)
