@@ -1906,7 +1906,29 @@ def _q_calibration(spark, sf_dir):
             "AS (k1, val)"
         ),
     ).select("kind", "k1", F.lit(None).cast("string").alias("k2"), "val")
-    return cells.unionByName(diag).unionByName(boot).select(
+    # r5: weight TRIMMING rows (calibration.trim_weights — cap at the
+    # weights' own p90 under unit mass, redistribute to the original
+    # total). l_quantity is integral, so bound / sums / rescale ratio
+    # are exact and the replay is bit-for-bit.
+    from pandas_weights_spark.calibration import trim_weights
+
+    trimmed = trim_weights(li, "l_quantity", upper_q=0.9, rescale=True)
+    tw = F.col("weight_trimmed")
+    trim = trimmed.agg(
+        F.sum(tw).alias("__m__"),
+        F.max(tw).alias("__mx__"),
+        F.min(tw).alias("__mn__"),
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+    ).select(
+        F.lit("trim").alias("kind"),
+        F.expr(
+            "stack(4, 'mass', __m__, 'max', __mx__, 'min', __mn__, "
+            "'n', __n__) AS (k1, val)"
+        ),
+    ).select("kind", "k1", F.lit(None).cast("string").alias("k2"), "val")
+    return cells.unionByName(diag).unionByName(boot).unionByName(
+        trim
+    ).select(
         "kind", "k1", "k2", F.round(F.col("val"), 6).alias("val")
     )
 
@@ -3723,8 +3745,40 @@ def _bootstrap_sql(B: int = 20, seed: int = 42) -> str:
 """
 
 
+_TRIM_SQL = """
+    SELECT 'trim' AS kind, k1, CAST(NULL AS VARCHAR) AS k2,
+           ROUND(val, 6) AS val
+    FROM (
+      WITH wsrc AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_quantity > 0
+      ), c AS (
+        SELECT w,
+               SUM(1.0) OVER (ORDER BY w RANGE BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cw,
+               CAST(COUNT(*) OVER () AS DOUBLE) AS tw
+        FROM wsrc
+      ), b AS (SELECT MIN(w) AS up FROM c WHERE cw >= 0.9 * tw),
+      t AS (
+        SELECT SUM(w) AS orig, SUM(LEAST(w, b.up)) AS trimsum
+        FROM wsrc CROSS JOIN b
+      ), o AS (
+        SELECT LEAST(w, b.up) * (t.orig / t.trimsum) AS tw2
+        FROM wsrc CROSS JOIN b CROSS JOIN t
+      )
+      SELECT 'mass' AS k1, SUM(tw2) AS val FROM o
+      UNION ALL SELECT 'max', MAX(tw2) FROM o
+      UNION ALL SELECT 'min', MIN(tw2) FROM o
+      UNION ALL SELECT 'n', CAST(COUNT(*) AS DOUBLE) FROM o
+    )
+"""
+
 _ORACLE["calibration"] = (
-    _calibration_sql() + " UNION ALL " + _bootstrap_sql()
+    _calibration_sql()
+    + " UNION ALL "
+    + _bootstrap_sql()
+    + " UNION ALL "
+    + _TRIM_SQL
 )
 
 _ORACLE["chunk_docs"] = """

@@ -47,6 +47,7 @@ __all__ = [
     "weight_diagnostics",
     "bootstrap_se",
     "poisson1_multiplier",
+    "trim_weights",
 ]
 
 MarginSpec = Mapping[object, float]
@@ -394,4 +395,89 @@ def bootstrap_se(
         F.max(F.when(F.col("__r__") < 0, mean_r)).alias("estimate"),
         F.stddev_samp(F.when(F.col("__r__") >= 0, mean_r)).alias("se_boot"),
         F.lit(n_replicates).alias("n_replicates"),
+    )
+
+
+def trim_weights(
+    df: DataFrame,
+    weight: Union[str, Column],
+    upper_q: float = 0.99,
+    lower_q: Optional[float] = None,
+    rescale: bool = True,
+    exact: bool = True,
+    bins: int = 4096,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    out_col: str = "weight_trimmed",
+) -> DataFrame:
+    """Survey-weight TRIMMING — the standard post-calibration step the
+    raking/post-stratification family feeds into: cap weights at their
+    own ``upper_q`` (optionally floor at ``lower_q``) quantile, then
+    (default) RESCALE so the trimmed weights reproduce the original
+    total mass ("trim and redistribute"; see e.g. Potter's survey
+    weight-trimming reviews — public literature). Extreme calibration
+    factors inflate variance (Kish n_eff collapses); trimming trades a
+    small bias for that variance, and ``weight_diagnostics`` before vs
+    after quantifies the trade.
+
+    Bounds come from the engine's own weighted-quantile machinery over
+    the WEIGHT column (unit mass — each row one case): ``exact=True``
+    uses the inverted-CDF path (documented single-window exception at
+    global scope), ``exact=False`` the binned CDF (the 100 TB path;
+    pass ``lo``/``hi``). The caps are TWO scalars — the row-local
+    clip + one rescale ratio never shuffle the data.
+
+    Adds ``out_col``; NULL/non-positive weights pass through unchanged
+    (they carry no mass anywhere in the engine).
+    """
+    from pandas_weights_spark.frame import wt as _wt
+
+    if not 0.0 < upper_q <= 1.0:
+        raise ValueError("upper_q must be in (0, 1]")
+    if lower_q is not None and not 0.0 <= lower_q < upper_q:
+        raise ValueError("lower_q must be in [0, upper_q)")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    w = w.cast("double")
+    src = df.select(w.alias("__tw__")).where(
+        F.col("__tw__").isNotNull() & (F.col("__tw__") > 0)
+    )
+    qs = [upper_q] if lower_q is None else [lower_q, upper_q]
+    wdf = _wt(src, F.lit(1.0))
+    if exact:
+        row = wdf.quantile(qs, subset=["__tw__"]).collect()[0]
+    else:
+        if lo is None or hi is None:
+            raise ValueError("binned trimming needs lo= and hi= bounds")
+        from pandas_weights_spark.quantile import weighted_quantiles_binned
+
+        row = weighted_quantiles_binned(
+            wdf, qs, lo=lo, hi=hi, bins=bins, subset=["__tw__"]
+        ).collect()[0]
+    from pandas_weights_spark.quantile import quantile_col_name
+
+    up = row[quantile_col_name("__tw__", upper_q)]
+    lo_b = (
+        row[quantile_col_name("__tw__", lower_q)]
+        if lower_q is not None
+        else None
+    )
+    if up is None:
+        return df.withColumn(out_col, w)
+    clipped = F.least(w, F.lit(float(up)))
+    if lo_b is not None:
+        clipped = F.greatest(clipped, F.lit(float(lo_b)))
+    clipped = F.when(w.isNotNull() & (w > 0), clipped).otherwise(w)
+    if not rescale:
+        return df.withColumn(out_col, clipped)
+    totals = df.select(
+        F.sum(F.when(w > 0, w)).alias("orig"),
+        F.sum(F.when(w > 0, clipped)).alias("trim"),
+    ).collect()[0]
+    ratio = (
+        float(totals["orig"]) / float(totals["trim"])
+        if totals["trim"] else 1.0
+    )
+    return df.withColumn(
+        out_col,
+        F.when(w.isNotNull() & (w > 0), clipped * F.lit(ratio)).otherwise(w),
     )

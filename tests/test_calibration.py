@@ -225,3 +225,83 @@ class TestBootstrap:
         df = spark.createDataFrame([(1, 2.0, 1.0)], "id long, x double, w double")
         with pytest.raises(ValueError, match="n_replicates"):
             bootstrap_se(df, "w", "x", ["id"], n_replicates=1)
+
+
+class TestTrimWeights:
+    @pytest.fixture(scope="class")
+    def skew_w(self, spark):
+        # 99 unit weights + one extreme weight of 100
+        rows = [(i, 1.0) for i in range(99)] + [(99, 100.0)]
+        return spark.createDataFrame(rows, "id long, w double")
+
+    def test_caps_and_redistributes(self, skew_w):
+        from pandas_weights_spark.calibration import trim_weights
+
+        out = trim_weights(skew_w, "w", upper_q=0.99, rescale=True)
+        rows = {r["id"]: r["weight_trimmed"] for r in out.collect()}
+        # the p99 bound of the weight distribution (unit mass,
+        # inverted CDF) is 1.0: the extreme weight caps to 1 and the
+        # total mass (199) redistributes over 100 unit-ish weights
+        assert rows[99] == pytest.approx(rows[0])
+        total = sum(rows.values())
+        assert total == pytest.approx(199.0, rel=1e-9)
+
+    def test_no_rescale_keeps_cap(self, skew_w):
+        from pandas_weights_spark.calibration import trim_weights
+
+        out = trim_weights(skew_w, "w", upper_q=0.99, rescale=False)
+        rows = {r["id"]: r["weight_trimmed"] for r in out.collect()}
+        assert rows[99] == pytest.approx(1.0)
+        assert rows[0] == pytest.approx(1.0)
+
+    def test_diagnostics_improve(self, skew_w):
+        from pandas_weights_spark.calibration import (
+            trim_weights,
+            weight_diagnostics,
+        )
+
+        before = weight_diagnostics(
+            skew_w.withColumnRenamed("w", "weight_cal"), "weight_cal"
+        ).collect()[0]
+        trimmed = trim_weights(skew_w, "w", upper_q=0.99)
+        after = weight_diagnostics(trimmed, "weight_trimmed").collect()[0]
+        # trimming must recover effective sample size
+        assert after["n_eff"] > before["n_eff"] * 2
+        assert after["sum_w"] == pytest.approx(before["sum_w"], rel=1e-9)
+
+    def test_nonpositive_weights_pass_through(self, spark):
+        from pandas_weights_spark.calibration import trim_weights
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 5.0), (2, -2.0), (3, None)],
+            "id long, w double",
+        )
+        rows = {
+            r["id"]: r["weight_trimmed"]
+            for r in trim_weights(df, "w", upper_q=0.5).collect()
+        }
+        assert rows[2] == -2.0 and rows[3] is None
+
+    def test_binned_close_to_exact(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.calibration import trim_weights
+
+        rng = np.random.default_rng(8)
+        ws = np.abs(rng.lognormal(0, 1, 300)) + 0.1
+        df = spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(ws)], "id long, w double"
+        )
+        ex = {
+            r["id"]: r["weight_trimmed"]
+            for r in trim_weights(df, "w", upper_q=0.9).collect()
+        }
+        bn = {
+            r["id"]: r["weight_trimmed"]
+            for r in trim_weights(
+                df, "w", upper_q=0.9, exact=False,
+                lo=0.0, hi=float(ws.max()) + 1.0, bins=8192,
+            ).collect()
+        }
+        diffs = [abs(ex[i] - bn[i]) for i in ex]
+        assert max(diffs) < 0.05
