@@ -1815,6 +1815,27 @@ def _q_grouped_apply(spark, sf_dir):
         F.when(F.col("user_id") % 13 == 0, F.lit(None).cast("long"))
         .otherwise(F.col("user_id")),
     )
+    # r5: the ordered-event FUNNEL rides along (cohort.funnel — one
+    # groupBy(user) with per-step sorted time arrays + a row-local
+    # qualifying chain): view → click → purchase over the events table
+    from pandas_weights_spark.cohort import funnel
+
+    fun = funnel(
+        evt, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], weight=F.col("w_ret"),
+    ).select(
+        F.lit("fun").alias("kind"),
+        F.col("step").alias("key"),
+        F.expr(
+            "stack(3, 'n', CAST(n_users AS DOUBLE), 'm', mass, "
+            "'c', conversion) AS (stat, val)"
+        ),
+    ).select(
+        "kind", "key",
+        F.concat(F.col("stat"), F.lit(":"),
+                 F.col("key")).alias("stat"),
+        F.round(F.col("val"), 6).alias("val"),
+    ).select("kind", "key", "stat", "val")
     ret = cohort_retention(
         evt, "u_ret", "ts", "1d", weight=F.col("w_ret"),
     ).select(
@@ -1826,7 +1847,10 @@ def _q_grouped_apply(spark, sf_dir):
             "concat('m:', CAST(period AS STRING)), mass) AS (stat, val)"
         ),
     )
-    return ap.unionByName(ev).unionByName(se).unionByName(ret)
+    return (
+        ap.unionByName(ev).unionByName(se).unionByName(ret)
+        .unionByName(fun)
+    )
 
 
 def _q_series_apply(spark, sf_dir):
@@ -3647,6 +3671,52 @@ _ORACLE["grouped_apply"] += """
         ('u:' || CAST(period AS VARCHAR), CAST(n_users AS DOUBLE)),
         ('m:' || CAST(period AS VARCHAR), mass)
       ) AS v(stat, val)
+    )
+    UNION ALL
+    SELECT 'fun' AS kind, key, stat, ROUND(val, 6) AS val FROM (
+      WITH e AS (
+        SELECT user_id AS u, event_type AS s,
+               CAST(ts AS TIMESTAMP) AS t,
+               CAST(user_id % 7 + 1 AS DOUBLE) AS w
+        FROM events WHERE ts IS NOT NULL
+      ), u0 AS (
+        SELECT u, MIN(CASE WHEN s = 'view' THEN t END) AS t0,
+               MAX(w) AS mass
+        FROM e GROUP BY u
+      ), u1 AS (
+        SELECT u0.u, u0.t0, u0.mass,
+               MIN(CASE WHEN e.s = 'click' AND e.t >= u0.t0
+                        THEN e.t END) AS t1
+        FROM u0 JOIN e ON e.u = u0.u
+        GROUP BY u0.u, u0.t0, u0.mass
+      ), u2 AS (
+        SELECT u1.u, u1.t0, u1.t1, u1.mass,
+               MIN(CASE WHEN e.s = 'purchase' AND e.t >= u1.t1
+                        THEN e.t END) AS t2
+        FROM u1 JOIN e ON e.u = u1.u
+        GROUP BY u1.u, u1.t0, u1.t1, u1.mass
+      ), a AS (
+        SELECT
+          CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) AS n0,
+          CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) AS n1,
+          CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) AS n2,
+          SUM(CASE WHEN t0 IS NOT NULL THEN mass ELSE 0 END) AS m0,
+          SUM(CASE WHEN t1 IS NOT NULL THEN mass ELSE 0 END) AS m1,
+          SUM(CASE WHEN t2 IS NOT NULL THEN mass ELSE 0 END) AS m2
+        FROM u2
+      )
+      SELECT v.key, v.stat, v.val
+      FROM a, LATERAL (VALUES
+        ('view', 'n:view', n0), ('view', 'm:view', m0),
+        ('view', 'c:view', n0 / n0),
+        ('click', 'n:click', n1), ('click', 'm:click', m1),
+        ('click', 'c:click', n1 / n0),
+        ('purchase', 'n:purchase', n2), ('purchase', 'm:purchase', m2),
+        ('purchase', 'c:purchase', n2 / n0)
+      ) AS v(key, stat, val)
     )
 """
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark.resample import _as_seconds
 
-__all__ = ["cohort_retention"]
+__all__ = ["cohort_retention", "funnel"]
 
 
 def cohort_retention(
@@ -76,4 +76,96 @@ def cohort_retention(
             + F.max(F.when(F.col("__u__").isNull(), 1).otherwise(0))
         ).alias("n_users"),
         F.sum("__w__").alias("mass"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: "list[str]",
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Ordered-event FUNNEL: how many users progress through ``steps``
+    in order — ``(step, step_idx, n_users, mass, conversion)`` where a
+    user reaches step *i* iff some step-*i* event occurs at or after
+    their earliest qualifying step-*i−1* time (ties allowed: equal
+    timestamps progress). ``conversion`` is n_users relative to step 1.
+    The classic product-analytics companion to
+    :func:`cohort_retention`.
+
+    Scale shape: ONE ``groupBy(user)`` collecting each step's sorted
+    event-time array (state per user bounded by that user's OWN
+    events, the same bound every sessionizer accepts), then the
+    qualifying chain is a row-local expression fold — no joins, no
+    window over the full table, and the final step counts aggregate a
+    user-cardinality table. NULL users form one pseudo-user (the
+    cohort convention); NULL timestamps drop.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w = weight if weight is not None else F.lit(1.0)
+    rows = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u__"),
+        F.col(step_col).alias("__s__"),
+        F.col(ts_col).alias("__t__"),
+        w.cast("double").alias("__w__"),
+    )
+    per_user = rows.groupBy("__u__").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("__s__") == s, F.col("__t__")))
+            ).alias(f"__a{i}__")
+            for i, s in enumerate(steps)
+        ],
+        F.max("__w__").alias("__mass__"),
+    )
+    # qualifying chain: t_i = first step-i time >= t_{i-1}; F.get is
+    # NULL-safe on the empty filtered array (no ANSI element_at trap)
+    times = []
+    prev = None
+    for i in range(len(steps)):
+        arr = F.col(f"__a{i}__")
+        if prev is None:
+            t = F.get(arr, 0)
+        else:
+            p = prev
+            t = F.get(F.filter(arr, lambda x: x >= p), 0)
+        times.append(t)
+        prev = t
+    flagged = per_user.select(
+        "__mass__",
+        *[t.isNotNull().alias(f"__r{i}__") for i, t in enumerate(times)],
+    )
+    agg = flagged.agg(
+        *[
+            F.sum(F.when(F.col(f"__r{i}__"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n{i}__")
+            for i in range(len(steps))
+        ],
+        *[
+            F.sum(F.when(F.col(f"__r{i}__"), F.col("__mass__")).otherwise(0.0))
+            .alias(f"__m{i}__")
+            for i in range(len(steps))
+        ],
+    )
+    stack = ", ".join(
+        f"'{s}', {i}, __n{i}__, __m{i}__" for i, s in enumerate(steps)
+    )
+    long = agg.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step, step_idx, n_users, mass)"
+        ),
+        F.col("__n0__").alias("__base__"),
+    )
+    return long.select(
+        "step",
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "n_users",
+        "mass",
+        F.try_divide(
+            F.col("n_users").cast("double"), F.col("__base__").cast("double")
+        ).alias("conversion"),
     )

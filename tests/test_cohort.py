@@ -96,3 +96,67 @@ class TestCohortRetention:
     def test_calendar_rule_rejected(self, events):
         with pytest.raises((ValueError, KeyError)):
             cohort_retention(events, "user", "ts", "3ME")
+
+
+class TestFunnel:
+    @pytest.fixture(scope="class")
+    def events_f(self, spark):
+        from pandas_weights_spark.cohort import funnel  # noqa: F401
+
+        base = dt.datetime(2024, 1, 1)
+        m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+        rows = [
+            # u1 completes view -> cart -> buy in order
+            (1, "view", m(0), 1.0), (1, "cart", m(5), 1.0),
+            (1, "buy", m(9), 1.0),
+            # u2 views and carts, never buys
+            (2, "view", m(0), 2.0), (2, "cart", m(3), 2.0),
+            # u3 BUYS BEFORE viewing: buy must not count (order matters)
+            (3, "buy", m(0), 1.0), (3, "view", m(1), 1.0),
+            # u4 only views
+            (4, "view", m(2), 5.0),
+            # u5 same-timestamp progression (ties allowed)
+            (5, "view", m(0), 1.0), (5, "cart", m(0), 1.0),
+            (5, "buy", m(0), 1.0),
+        ]
+        return spark.createDataFrame(
+            rows, "user long, step string, ts timestamp, w double"
+        )
+
+    def test_ordered_conversion(self, events_f):
+        from pandas_weights_spark.cohort import funnel
+
+        out = {
+            r["step"]: r
+            for r in funnel(
+                events_f, "user", "ts", "step",
+                ["view", "cart", "buy"], weight=F.col("w"),
+            ).collect()
+        }
+        assert out["view"]["n_users"] == 5
+        assert out["cart"]["n_users"] == 3  # u1, u2, u5
+        assert out["buy"]["n_users"] == 2   # u1, u5 (u3 bought too early)
+        assert out["view"]["conversion"] == 1.0
+        assert out["buy"]["conversion"] == pytest.approx(2 / 5)
+        assert out["cart"]["mass"] == pytest.approx(1.0 + 2.0 + 1.0)
+        assert out["buy"]["step_idx"] == 2
+
+    def test_out_of_order_never_counts(self, spark):
+        from pandas_weights_spark.cohort import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, "b", base, 1.0), (1, "a", base + dt.timedelta(1), 1.0)],
+            "user long, step string, ts timestamp, w double",
+        )
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel(df, "user", "ts", "step", ["a", "b"]).collect()
+        }
+        assert out == {"a": 1, "b": 0}
+
+    def test_min_steps_guard(self, events_f):
+        from pandas_weights_spark.cohort import funnel
+
+        with pytest.raises(ValueError, match="2 steps"):
+            funnel(events_f, "user", "ts", "step", ["view"])
