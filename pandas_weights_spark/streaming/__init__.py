@@ -46,6 +46,7 @@ __all__ = [
     "streaming_heavy_hitters",
     "streaming_tdigest",
     "streaming_distinct_counts",
+    "streaming_neardup_candidates",
 ]
 
 
@@ -770,3 +771,128 @@ def streaming_distinct_counts(
             f"{c}_distinct", F.hll_sketch_estimate(F.col(f"{c}_hll"))
         )
     return out
+
+
+def streaming_neardup_candidates(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    per_bucket_capacity: int = 64,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Streaming near-duplicate CANDIDATE pairs — banded MinHash LSH as
+    a custom stateful operator: each arriving document's row-local
+    signature (:func:`~pandas_weights_spark.functions.dedup.
+    minhash_signature` — no aggregation, so it streams as a pure map)
+    explodes into band keys; per band bucket the state keeps the most
+    recent ``per_bucket_capacity`` (id, signature) entries, and a new
+    arrival emits one candidate row per stored collision:
+    ``(id_new, id_old, band_idx, est_jaccard)`` with ``est_jaccard`` =
+    the matching-minhash fraction (the unbiased Jaccard estimator).
+
+    Bounded state is the deliberate trade: a true streaming near-dup
+    needs every past signature; capping each bucket at K recent
+    entries bounds memory FOREVER at ``buckets × K × num_hashes``
+    hashes and detects duplicates against the recent past — the
+    standard streaming-LSH compromise (evicting oldest first). Pairs
+    colliding in several bands emit once per band — ``dropDuplicates``
+    downstream, or treat multiplicity as collision strength. Exact
+    verification (full Jaccard on texts) is a downstream batch join —
+    candidates are the streaming-hard part.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pandas_weights_spark.functions.dedup import minhash_signature
+
+    if per_bucket_capacity < 1:
+        raise ValueError("per_bucket_capacity must be >= 1")
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+
+    sig = minhash_signature(
+        F.col(text_col), num_hashes=num_hashes, shingle_size=shingle_size
+    )
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(F.col("__sig__"), b * r + 1, r)))
+            for b in range(bands)
+        ]
+    )
+    keyed = (
+        stream.select(
+            F.col(id_col).cast("string").alias("__id__"),
+            sig.alias("__sig__"),
+        )
+        .select(
+            "__id__", "__sig__",
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(StringType())),
+            StructField("sigs", ArrayType(ArrayType(StringType()))),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("id_new", StringType()),
+            StructField("id_old", StringType()),
+            StructField("band_idx", IntegerType()),
+            StructField("est_jaccard", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        band_idx = int(key[0])
+        ids: list = []
+        sigs: list = []
+        if state.exists:
+            s_ids, s_sigs = state.get
+            ids = list(s_ids)
+            sigs = [list(s) for s in s_sigs]
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                new_id = row["__id__"]
+                new_sig = list(row["__sig__"])
+                for old_id, old_sig in zip(ids, sigs):
+                    if old_id == new_id:
+                        continue
+                    est = sum(
+                        1 for a, b in zip(new_sig, old_sig) if a == b
+                    ) / float(len(new_sig))
+                    if est >= min_est_jaccard:
+                        out.append([new_id, old_id, band_idx, est])
+                ids.append(new_id)
+                sigs.append(new_sig)
+                if len(ids) > per_bucket_capacity:
+                    ids = ids[-per_bucket_capacity:]
+                    sigs = sigs[-per_bucket_capacity:]
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return keyed.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

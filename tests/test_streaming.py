@@ -770,3 +770,100 @@ class TestStreamingDistinctCounts:
             batch, ["Value"], keys=["grp"], on="ts"
         ).collect()
         assert len(out) == 2 and all(r["Value_distinct"] > 0 for r in out)
+
+
+class TestStreamingNeardup:
+    def test_cross_batch_candidate_surfaces(self, spark, tmp_path):
+        from pandas_weights_spark.streaming import (
+            streaming_neardup_candidates,
+        )
+
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy dog tonight again"
+        rows1 = [
+            (1, base),
+            (2, "completely different content about spark engines here"),
+        ]
+        rows2 = [
+            (3, base.replace("quick", "quick")),  # exact dup of 1
+            (4, " ".join(base.split()[1:])),      # near dup of 1
+            (5, "unrelated zebra quantum lattice overture text"),
+        ]
+        d = tmp_path / "nd_src"
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            str(d / "p1")
+        )
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            str(d / "p2")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+        out = streaming_neardup_candidates(
+            stream, "text", "doc_id", min_est_jaccard=0.3,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("nd_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        pairs = {
+            (r["id_new"], r["id_old"])
+            for r in spark.sql("SELECT * FROM nd_stream").collect()
+        }
+        # batch-2 docs must pair against the batch-1 original
+        assert ("3", "1") in pairs
+        assert ("4", "1") in pairs or ("4", "3") in pairs
+        assert all("5" != a for a, _ in pairs)
+        ests = {
+            (r["id_new"], r["id_old"]): r["est_jaccard"]
+            for r in spark.sql("SELECT * FROM nd_stream").collect()
+        }
+        assert ests[("3", "1")] == 1.0  # exact dup: all minhashes match
+
+    def test_capacity_evicts_oldest(self, spark, tmp_path):
+        from pandas_weights_spark.streaming import (
+            streaming_neardup_candidates,
+        )
+
+        # identical text -> same buckets; capacity 2 keeps only the 2
+        # most recent, so doc 9 pairs with {7, 8} but never 6
+        schema = "doc_id long, text string"
+        txt = "alpha beta gamma delta epsilon zeta eta theta iota"
+        d = tmp_path / "cap_src"
+        spark.createDataFrame(
+            [(6, txt), (7, txt), (8, txt)], schema
+        ).coalesce(1).write.parquet(str(d / "p1"))
+        spark.createDataFrame([(9, txt)], schema).coalesce(1).write.parquet(
+            str(d / "p2")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+        out = streaming_neardup_candidates(
+            stream, "text", "doc_id", per_bucket_capacity=2,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("nd_cap")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        partners = {
+            r["id_old"]
+            for r in spark.sql(
+                "SELECT * FROM nd_cap WHERE id_new = '9'"
+            ).collect()
+        }
+        assert partners == {"7", "8"}
