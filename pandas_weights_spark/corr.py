@@ -55,12 +55,16 @@ __all__ = [
 
 
 def _check_method(method: str) -> None:
-    # reference raises for non-pearson too (frame.py:263-266); the
-    # engine additionally ships pair-level spearman via spearman_corr.
+    # reference raises for non-pearson (frame.py:263-266); the engine
+    # routes method="spearman" to spearman_matrix at the frame surface
+    # (r5) — this guard covers the remaining methods (kendall, ...)
+    # and the grouped matrix, where spearman stays pair-level
+    # (spearman_corr(by=...)).
     if method != "pearson":
         raise NotImplementedError(
-            "Only 'pearson' weighted correlation is supported here; "
-            "for a column pair use spearman_corr()."
+            f"weighted correlation method {method!r} is not supported "
+            "here; use wt().corr(method='spearman') for the global "
+            "rank matrix or spearman_corr() per pair/group."
         )
 
 

@@ -761,10 +761,17 @@ class WeightedDataFrame:
         ddof: int = 1,
         subset: Optional[Sequence[str]] = None,
     ) -> DataFrame:
-        """Pairwise weighted Pearson matrix in long form
-        ``(col_x, col_y, corr)`` — see :mod:`pandas_weights_spark.corr`."""
-        from pandas_weights_spark.corr import frame_corr
+        """Pairwise weighted correlation matrix in long form
+        ``(col_x, col_y, corr)`` — see :mod:`pandas_weights_spark.corr`.
+        ``method="pearson"`` (default) or ``"spearman"`` (r5 extension
+        beyond the reference, which raises: listwise-complete rank
+        basis — :func:`~pandas_weights_spark.corr.spearman_matrix`)."""
+        from pandas_weights_spark.corr import frame_corr, spearman_matrix
 
+        if method == "spearman":
+            return spearman_matrix(
+                self, subset=subset, min_periods=min_periods, ddof=ddof
+            )
         return frame_corr(
             self, method=method, min_periods=min_periods, ddof=ddof, subset=subset
         )

@@ -59,8 +59,11 @@ class TestFrameCorr:
         assert m[("A", "A")] == approx(1.0)
 
     def test_unsupported_method(self, corr_frame):
+        # r5: spearman routes to the rank matrix; kendall still raises
         with pytest.raises(NotImplementedError):
-            wt(corr_frame, "weights").corr(method="spearman")
+            wt(corr_frame, "weights").corr(method="kendall")
+        m = corr_map(wt(corr_frame, "weights").corr(method="spearman"))
+        assert m[("A", "B")] == approx(1.0)  # monotone pair
 
     def test_zero_variance_is_null(self, spark):
         df = spark.createDataFrame(
@@ -361,9 +364,16 @@ class TestSpearman:
             )
             assert got[g] == approx(exp), g
 
-    def test_matrix_method_still_raises(self, corr_frame):
+    def test_matrix_method_now_routes(self, corr_frame):
+        # r5: the frame surface routes method='spearman' to
+        # spearman_matrix (listwise ranks); grouped matrices still
+        # raise (use spearman_corr(by=...) per pair)
+        m = corr_map(wt(corr_frame, "weights").corr(method="spearman"))
+        assert m[("A", "C")] == approx(-1.0)
         with pytest.raises(NotImplementedError):
-            wt(corr_frame, "weights").corr(method="spearman")
+            wt(corr_frame, "weights").groupby("Label").corr(
+                method="spearman"
+            )
 
 
 class TestAutocorr:
