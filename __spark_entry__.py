@@ -888,7 +888,22 @@ def _q_dedup_exact(spark, sf_dir):
         "doc_id",
         simhash(F.col("text"), 32).alias("fp"),
     )
-    return survivors.unionByName(fps)
+    # r5: per-doc 8-gram NOVELTY rides along (dedup.ngram_novelty —
+    # corpus document-frequency aggregate, no quadratic term); counts
+    # are integral, packed into the fp slot as 'n_shingles:n_novel'
+    from pandas_weights_spark.functions.dedup import ngram_novelty
+
+    nov = ngram_novelty(
+        docs.where(F.col("doc_id") < 80), "text", "doc_id", n=8
+    ).select(
+        F.lit("novel").alias("kind"),
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("n_shingles").cast("string"),
+            F.col("n_novel").cast("string"),
+        ).alias("fp"),
+    )
+    return survivors.unionByName(fps).unionByName(nov)
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -4307,7 +4322,28 @@ _ORACLE["dedup_exact"] = (
     UNION ALL
     SELECT 'simhash' AS kind, doc_id, simhash AS fp FROM ("""
     + _simhash_sql()
-    + ")"
+    + """)
+    UNION ALL
+    SELECT 'novel' AS kind, doc_id,
+           CAST(ns AS VARCHAR) || ':' || CAST(nn AS VARCHAR) AS fp
+    FROM (
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 80
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) >= 8
+               THEN [array_to_string(w[i:i+7], ' ')
+                     for i in range(1, len(w)-6)]
+               ELSE [array_to_string(w, ' ')] END)) AS s
+        FROM tok
+      ), dfq AS (
+        SELECT s, COUNT(*) AS dfc FROM sh GROUP BY s
+      )
+      SELECT sh.doc_id, COUNT(*) AS ns,
+             SUM(CASE WHEN dfq.dfc = 1 THEN 1 ELSE 0 END) AS nn
+      FROM sh JOIN dfq USING (s) GROUP BY sh.doc_id
+    )"""
 )
 
 

@@ -47,6 +47,7 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_join",
     "ngram_jaccard_near_duplicates",
+    "ngram_novelty",
 ]
 
 
@@ -729,3 +730,48 @@ def ngram_jaccard_near_duplicates(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: ``(id, n_shingles, n_novel,
+    novelty)`` where ``novelty`` is the fraction of the document's
+    distinct ``n``-grams appearing in NO other document — the standard
+    corpus-analysis metric for duplication pressure / memorization risk
+    (a document whose shingles all recur elsewhere contributes nothing
+    new; cf. the duplication analyses in "Deduplicating Training Data
+    Makes Language Models Better" — public paper). Use it to rank
+    documents for dedup aggressiveness or to monitor a crawl's marginal
+    value over time.
+
+    Plan shape: explode distinct shingles → corpus document-frequency
+    aggregate (map-side combine; the only data-sized shuffles are the
+    DF aggregate keyed on the shingle and the per-doc regroup) → per-doc
+    novel fraction. No joins against raw text, no quadratic term.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("__sh__"),
+    )
+    dfq = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
+    joined = sh.join(dfq, "__sh__")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("__df__") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    ).select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        F.try_divide(
+            F.col("n_novel").cast("double"),
+            F.col("n_shingles").cast("double"),
+        ).alias("novelty"),
+    )

@@ -328,3 +328,51 @@ class TestEmbeddingJoin:
         )
         with pytest.raises(ValueError, match="widths differ"):
             DD.embedding_join(corpus, bad, "vid", "pid")
+
+
+class TestNgramNovelty:
+    def test_novelty_fractions(self, spark):
+        shared = "one two three four five six seven eight nine ten"
+        rows = [
+            (1, shared),                               # fully duplicated
+            (2, shared),                               # by doc 1
+            (3, "totally unique words only here now " +
+                "alpha beta gamma delta"),             # fully novel
+            (4, shared + " plus a fresh unique tail here"),  # mixed
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in DD.ngram_novelty(df, "text", "doc_id", n=3).collect()
+        }
+        assert out[1]["novelty"] == 0.0  # every shingle also in 2 (+4)
+        assert out[3]["novelty"] == 1.0
+        assert 0.0 < out[4]["novelty"] < 1.0
+        assert out[4]["n_novel"] + (
+            out[4]["n_shingles"] - out[4]["n_novel"]
+        ) == out[4]["n_shingles"]
+
+    def test_matches_python_reference(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").where(F.col("doc_id") < 30)
+        out = {
+            r["doc_id"]: (r["n_shingles"], r["n_novel"])
+            for r in DD.ngram_novelty(docs, "text", "doc_id", n=5).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+        def shingles(t):
+            w = t.strip().split()
+            if len(w) < 5:
+                return {" ".join(w)}
+            return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+        all_sh = {}
+        for d, t in texts.items():
+            for s in shingles(t):
+                all_sh[s] = all_sh.get(s, 0) + 1
+        for d, t in texts.items():
+            sset = shingles(t)
+            novel = sum(1 for s in sset if all_sh[s] == 1)
+            assert out[d] == (len(sset), novel), d
