@@ -709,28 +709,30 @@ class WeightedGroupBy:
         self,
         strategy: str = "mean",
         skipna: bool = True,
+        **quantile_kwargs,
     ) -> DataFrame:
         """Fill each numeric column's NULLs with its GROUP's weighted
         statistic: adds ``{col}_imp = coalesce(x, stat_g)`` for every
         selected numeric column — the missing-value counterpart of
         :meth:`zscore` (pandas ``groupby.transform`` + ``fillna``).
 
-        ``strategy``: ``"mean"`` (weighted mean) or ``"zero"``. Same
-        scale shape as zscore: one tiny moment row per group,
-        AQE-broadcast joined back, row-local coalesce — never a
-        ``Window.partitionBy(keys)`` funnel. Median imputation lives on
-        the quantile path (join :meth:`quantile`'s output back) since
-        it needs the banded CDF machinery, not a moment aggregate.
-        An all-NULL group leaves its rows NULL (no global fallback —
-        surface, don't invent data).
+        ``strategy``: ``"mean"`` (weighted mean), ``"median"``
+        (weighted median via the grouped inverted-CDF quantile pass —
+        ``**quantile_kwargs`` forwards ``exact``/``lo``/``hi``/``bins``
+        for the binned 100 TB path) or ``"zero"``. Same scale shape as
+        zscore: one small stat row per group, AQE-broadcast joined
+        back, row-local coalesce — never a ``Window.partitionBy(keys)``
+        funnel. An all-NULL group leaves its rows NULL (no global
+        fallback — surface, don't invent data).
         """
         if self._mode != "groupby":
             raise NotImplementedError(
                 "impute is not defined for cube/rollup grouping sets"
             )
-        if strategy not in ("mean", "zero"):
+        if strategy not in ("mean", "median", "zero"):
             raise ValueError(
-                f"strategy must be 'mean' or 'zero', got {strategy!r}"
+                f"strategy must be 'mean', 'median' or 'zero', got "
+                f"{strategy!r}"
             )
         cols = self._value_cols()
         if not cols:
@@ -749,6 +751,29 @@ class WeightedGroupBy:
                     for c in cols
                 ],
             )
+        if strategy == "median":
+            from pandas_weights_spark.quantile import quantile_col_name
+
+            med = self.quantile(0.5, **quantile_kwargs)
+            stats = med.select(
+                *self._keys,
+                *[
+                    F.col(quantile_col_name(c, 0.5)).alias(
+                        f"__pw_imed_{c}__"
+                    )
+                    for c in cols
+                ],
+            )
+            joined = _join_group_stats(df, stats, self._keys)
+            out_cols = [F.col(c) for c in df.columns]
+            for c in cols:
+                x = self._wdf._value(c)
+                out_cols.append(
+                    F.coalesce(
+                        x.cast("double"), F.col(f"__pw_imed_{c}__")
+                    ).alias(f"{c}_imp")
+                )
+            return joined.select(*out_cols)
         w = self._wdf.weights
         aggs = []
         for c in cols:

@@ -434,3 +434,47 @@ class TestImpute:
         )
         with pytest.raises(NotImplementedError):
             wt(df, "w")[["x"]].cube("g").impute()
+
+
+class TestImputeMedian:
+    def test_median_fill(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [
+                ("a", 1.0, 1.0), ("a", 100.0, 1.0), ("a", 3.0, 1.0),
+                ("a", None, 1.0),
+                ("b", 7.0, 1.0), ("b", None, 1.0),
+            ],
+            "g string, x double, w double",
+        )
+        out = {
+            (r["g"], r["x"]): r["x_imp"]
+            for r in wt(df, "w")[["x"]]
+            .groupby("g")
+            .impute(strategy="median")
+            .collect()
+        }
+        # weighted median of {1, 3, 100} at unit mass = 3 (robust: the
+        # mean would be 34.7)
+        assert out[("a", None)] == 3.0
+        assert out[("b", None)] == 7.0
+        assert out[("a", 100.0)] == 100.0  # non-null untouched
+
+    def test_median_binned_path(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", float(v), 1.0) for v in range(1, 102)]
+            + [("a", None, 1.0)],
+            "g string, x double, w double",
+        )
+        out = {
+            r["x"]: r["x_imp"]
+            for r in wt(df, "w")[["x"]]
+            .groupby("g")
+            .impute(strategy="median", exact=False, lo=0.0, hi=102.0,
+                    bins=2048)
+            .collect()
+        }
+        assert out[None] == pytest.approx(51.0, abs=0.1)
