@@ -289,3 +289,76 @@ class TestRound5Properties:
                 assert g is None or np.isnan(g)
             else:
                 assert g == pytest.approx(e, rel=1e-9)
+
+
+class TestRound5PropertiesB:
+    @given(
+        masses=st.lists(
+            st.integers(min_value=1, max_value=1000),
+            min_size=2,
+            max_size=6,
+        ),
+        alpha=st.floats(min_value=0.0, max_value=1.0),
+    )
+    @settings(**SETTINGS)
+    def test_temperature_rates_simplex_and_order(self, spark, masses, alpha):
+        # p_temp is a probability distribution and preserves the mass
+        # ORDER (smoothing rescales, never reorders)
+        from pandas_weights_spark.sample import temperature_rates
+
+        rows = [
+            (i, g) for g, m in enumerate(masses) for i in range(m)
+        ]
+        df = spark.createDataFrame(rows, "id long, g long")
+        rates = {
+            r["group"]: r["p_temp"]
+            for r in temperature_rates(df, "g", alpha=alpha).collect()
+        }
+        assert sum(rates.values()) == pytest.approx(1.0, rel=1e-9)
+        for a in range(len(masses)):
+            for b in range(len(masses)):
+                if masses[a] < masses[b]:
+                    assert rates[a] <= rates[b] + 1e-12
+
+    @given(
+        seq=st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=2, max_size=12
+        )
+    )
+    @settings(**SETTINGS)
+    def test_funnel_monotone_and_reference(self, spark, seq):
+        # single user emitting `seq` in time order: step counts must be
+        # monotone non-increasing and match a transparent scan
+        import datetime as dt
+
+        from pandas_weights_spark.cohort import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, s, base + dt.timedelta(minutes=i), 1.0)
+            for i, s in enumerate(seq)
+        ]
+        df = spark.createDataFrame(
+            rows, "u long, s string, ts timestamp, w double"
+        )
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel(df, "u", "ts", "s", ["a", "b", "c"]).collect()
+        }
+        # transparent reference: earliest qualifying chain
+        def first_at_or_after(step, t0):
+            for i, s in enumerate(seq):
+                if s == step and i >= t0:
+                    return i
+            return None
+
+        t_a = first_at_or_after("a", 0)
+        t_b = None if t_a is None else first_at_or_after("b", t_a)
+        t_c = None if t_b is None else first_at_or_after("c", t_b)
+        exp = {
+            "a": int(t_a is not None),
+            "b": int(t_b is not None),
+            "c": int(t_c is not None),
+        }
+        assert got == exp
+        assert got["a"] >= got["b"] >= got["c"]
