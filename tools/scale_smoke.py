@@ -186,6 +186,35 @@ def main() -> int:
     print(f"{'bpe_train 6 rounds':28s} {dt:7.2f}s  "
           f"({docs_n / dt / 1e3:6.1f} K docs/s)")
 
+    # events family at rows_m events (n/20 users, ~20 events each):
+    # cohort triangle, ordered funnel, session windows
+    import datetime as _dt
+
+    from pandas_weights_spark.cohort import cohort_retention, funnel
+    from pandas_weights_spark.streaming import weighted_session_stream
+
+    ev = spark.range(n).select(
+        (F.col("id") % (n // 20)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.pmod(F.xxhash64(F.col("id")), F.lit(86400 * 30))
+        ).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      ("view", "click", "purchase", "error", "signup")]),
+            (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("id"), 7) + 1).cast("double").alias("w"),
+    )
+    bench("cohort retention 1d", lambda: cohort_retention(
+        ev, "user_id", "ts", "1d", weight=F.col("w")))
+    bench("funnel 3 steps", lambda: funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], weight=F.col("w")))
+    bench("session windows 1h", lambda: weighted_session_stream(
+        ev, weights="w", keys=["user_id"], on="ts", gap="1 hour",
+        stats=("count", "sum"), value_cols=["w"]))
+
     vec_n = int(n / 20)
     vecs = spark.range(vec_n).select(
         F.col("id").alias("vec_id"),
