@@ -168,6 +168,7 @@ def minhash_signatures_agg(
     id_col: str,
     num_hashes: int = 16,
     shingle_size: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """MinHash signatures via the aggregation formulation: explode
     shingles → ``groupBy(id).agg(MIN(md5(seed || shingle)) …)``.
@@ -185,15 +186,32 @@ def minhash_signatures_agg(
       signatures computes them once (ReuseExchange), not twice.
 
     Output: (id_col, h0 … h{k-1}).
+
+    ``portable=False`` switches the permutation hashes from md5 hex
+    strings (32 chars — engine-portable, DuckDB-replayable, the oracle
+    path) to seeded ``xxhash64`` LONGs: 4× narrower shuffle rows and a
+    far cheaper hash — the 100 TB hot path (the same portable/fast
+    dual :mod:`~pandas_weights_spark.functions.decontam` offers). Both
+    are valid MinHash families; candidate sets differ only by each
+    family's own collision randomness, and the exact-Jaccard verify
+    downstream is identical.
     """
     exploded = df.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), shingle_size)).alias("__s__"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i} "), F.col("__s__")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{i} "), F.col("__s__")))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("__s__"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -205,6 +223,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → minhash → LSH bucket join →
     exact-Jaccard verify. Returns (id_a, id_b, jaccard) above threshold.
@@ -218,17 +237,29 @@ def minhash_near_duplicates(
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    sigs = minhash_signatures_agg(df, text_col, id_col, num_hashes, shingle_size)
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * r + j}") for j in range(r)]
-                )
-            )
-            for b in range(bands)
-        ]
+    sigs = minhash_signatures_agg(
+        df, text_col, id_col, num_hashes, shingle_size, portable=portable
     )
+    if portable:
+        band_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        # int band keys: xxhash64 of the r signature longs — no string
+        # materialization anywhere on the fast path
+        band_arr = F.array(
+            *[
+                F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
+                for b in range(bands)
+            ]
+        )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
     )

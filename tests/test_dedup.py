@@ -376,3 +376,51 @@ class TestNgramNovelty:
             sset = shingles(t)
             novel = sum(1 for s in sset if all_sh[s] == 1)
             assert out[d] == (len(sset), novel), d
+
+
+class TestMinhashFastPath:
+    def test_hashed_path_agrees_on_clear_pairs(self, spark):
+        # both hash families must find the same clear near-dups and
+        # produce IDENTICAL jaccard values (the verify step is exact
+        # and shared); only borderline LSH candidacy may differ
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "quick brown fox jumps over the lazy dog today"),
+                (3, "entirely different content about engines and planes"),
+            ],
+            "doc_id long, text string",
+        )
+        md5p = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.minhash_near_duplicates(
+                docs, "text", "doc_id", threshold=0.5
+            ).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.minhash_near_duplicates(
+                docs, "text", "doc_id", threshold=0.5, portable=False
+            ).collect()
+        }
+        assert (1, 2) in md5p and (1, 2) in fast
+        assert fast[(1, 2)] == md5p[(1, 2)]  # exact verify is shared
+        assert all(3 not in k for k in fast)
+
+    def test_long_signatures(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        sig = DD.minhash_signatures_agg(
+            docs, "text", "doc_id", num_hashes=4, portable=False
+        )
+        row = sig.collect()[0]
+        assert all(isinstance(row[f"h{i}"], int) for i in range(4))
+        # deterministic
+        again = DD.minhash_signatures_agg(
+            docs, "text", "doc_id", num_hashes=4, portable=False
+        ).collect()[0]
+        assert [row[f"h{i}"] for i in range(4)] == [
+            again[f"h{i}"] for i in range(4)
+        ]

@@ -151,8 +151,9 @@ def main() -> int:
         docs, "text", "doc_id",
         docs.where(F.col("doc_id") % 100 == 0).select("text"),
         n=13, threshold=0.5, hash_shingles=True), docs_n)
-    dbench("minhash_neardup", lambda: minhash_near_duplicates(
-        corpus, "text", "doc_id", threshold=0.4), int(docs_n * 1.1))
+    dbench("minhash_neardup (xxh)", lambda: minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.4, portable=False),
+        int(docs_n * 1.1))
     # clustering is the iterative CC loop — run on a tenth of the corpus
     # (its per-round overhead is what the smoke is measuring)
     tenth = corpus.where(F.pmod(F.col("doc_id"), 10).isin(0, 3))
