@@ -235,6 +235,7 @@ def neardup_clusters(
     shingle_size: int = 3,
     small_graph_threshold: int = 100_000,
     max_iterations: int = 25,
+    portable: bool = True,
 ) -> DataFrame:
     """Full near-dup clustering: MinHash+LSH pairs → connected
     components → ``(id, cluster, is_survivor)``. Every document appears
@@ -252,6 +253,7 @@ def neardup_clusters(
         num_hashes=num_hashes,
         bands=bands,
         shingle_size=shingle_size,
+        portable=portable,
     )
     labels = connected_components(
         pairs,
