@@ -412,7 +412,25 @@ def _q_value_counts(spark, sf_dir):
             F.col("count").alias("mass"),
         )
     )
-    return vc.unionByName(hist)
+    # r5: GROUPED value_counts top-k rides along (groupby.value_counts
+    # — one (keys, value) hash aggregate + partitioned top-k on the
+    # aggregated table): top-3 heaviest quantities per returnflag with
+    # group-mass shares; integral masses, one division
+    gvc = (
+        wt(li, _W)[["l_linenumber"]]
+        .groupby("l_returnflag")
+        .value_counts(k=3, normalize=True)
+        .select(
+            F.lit("gvc").alias("kind"),
+            F.concat_ws(
+                "|", "l_returnflag",
+                F.col("l_linenumber").cast("long").cast("string"),
+            ).alias("label"),
+            F.col("share").alias("bin_lo"),
+            F.col("count").alias("mass"),
+        )
+    )
+    return vc.unionByName(hist).unionByName(gvc)
 
 
 def _q_group_corr(spark, sf_dir):
@@ -5496,6 +5514,24 @@ _ORACLE["value_counts"] = """
         AND l_extendedprice >= 0.0 AND l_extendedprice <= 60000.0
       GROUP BY 1
     )
+    UNION ALL
+    SELECT 'gvc' AS kind,
+           l_returnflag || '|' || CAST(v AS VARCHAR) AS label,
+           share AS bin_lo, mass
+    FROM (
+      SELECT l_returnflag, v, mass,
+             mass / SUM(mass) OVER (PARTITION BY l_returnflag) AS share,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY mass DESC, v ASC) AS rk
+      FROM (
+        SELECT l_returnflag, l_linenumber AS v,
+               SUM(CASE WHEN l_quantity > 0 THEN l_quantity
+                        ELSE 0 END) AS mass
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linenumber IS NOT NULL
+        GROUP BY 1, 2
+      )
+    ) WHERE rk <= 3
 """
 
 _MATRIX_COLS = ("l_extendedprice", "l_discount", "l_tax")

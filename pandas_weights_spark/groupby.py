@@ -796,6 +796,66 @@ class WeightedGroupBy:
             )
         return joined.select(*out_cols)
 
+    def value_counts(
+        self,
+        k: Optional[int] = None,
+        dropna_values: bool = True,
+        normalize: bool = False,
+    ) -> DataFrame:
+        """Per-group weight mass per distinct value of the single
+        selected column — the grouped analog of the frame-level
+        ``value_counts`` (pandas ``groupby.value_counts``):
+        ``(keys…, <col>, count[, share])``. ``k`` keeps only each
+        group's top-k heaviest values (ties break to the smaller
+        value) via :func:`~pandas_weights_spark.topk.partitioned_topk`
+        — group-limit pushdown below the threshold, salted two-stage
+        above it, never a full per-group sort of the value table.
+        ``normalize=True`` adds each value's share of its group's mass.
+
+        Narrow first (``grouped[["col"]].value_counts()``). One
+        (keys, value) hash aggregate; the optional top-k and the share
+        window run on the AGGREGATED table (groups × distinct values).
+        """
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                "value_counts is not defined for cube/rollup"
+            )
+        cols = self._value_cols()
+        if len(cols) != 1:
+            raise ValueError(
+                "value_counts needs exactly one value column; select "
+                "with grouped[['col']]"
+            )
+        c = cols[0]
+        df = self._wdf.df
+        if self._dropna:
+            for kk in self._keys:
+                df = df.where(F.col(kk).isNotNull())
+        x = self._wdf._value(c)
+        if dropna_values:
+            df = df.where(x.isNotNull())
+        w = self._wdf.weights
+        m = F.when(w > 0, w).otherwise(F.lit(0.0))
+        agg = df.groupBy(*[F.col(kk) for kk in self._keys], x.alias(c)).agg(
+            F.sum(m).alias("count")
+        )
+        if normalize:
+            tot = Window.partitionBy(*[F.col(kk) for kk in self._keys])
+            agg = agg.withColumn(
+                "share", F.try_divide(F.col("count"), F.sum("count").over(tot))
+            )
+        if k is not None:
+            from pandas_weights_spark.topk import partitioned_topk
+
+            agg = partitioned_topk(
+                agg,
+                part_by=self._keys,
+                order_by=[F.col("count").desc(), F.col(c).asc()],
+                k=int(k),
+                salt_by=[F.col(c)],
+            ).drop("__pw_rank__")
+        return self._finish(agg)
+
     def mode(self, dropna_values: bool = True) -> DataFrame:
         """Per-group weighted mode of the single selected value column:
         ``(keys…, <col>, count)`` where ``count`` is the winning value's

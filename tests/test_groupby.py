@@ -478,3 +478,73 @@ class TestImputeMedian:
             .collect()
         }
         assert out[None] == pytest.approx(51.0, abs=0.1)
+
+
+class TestGroupedValueCounts:
+    @pytest.fixture(scope="class")
+    def vc_df(self, spark):
+        rows = [
+            ("a", 1.0, 3.0), ("a", 1.0, 2.0), ("a", 2.0, 1.0),
+            ("a", 3.0, 4.0),
+            ("b", 9.0, 1.0), ("b", 9.0, 1.0), ("b", 8.0, 5.0),
+        ]
+        return spark.createDataFrame(rows, "g string, v double, w double")
+
+    def test_masses_and_normalize(self, vc_df):
+        from pandas_weights_spark import wt
+
+        out = {
+            (r["g"], r["v"]): (r["count"], r["share"])
+            for r in wt(vc_df, "w")[["v"]]
+            .groupby("g")
+            .value_counts(normalize=True)
+            .collect()
+        }
+        assert out[("a", 1.0)][0] == 5.0
+        assert out[("a", 3.0)][0] == 4.0
+        assert out[("b", 8.0)][0] == 5.0
+        assert out[("a", 1.0)][1] == pytest.approx(5.0 / 10.0)
+        assert sum(s for (g, _), (_, s) in out.items() if g == "a") == (
+            pytest.approx(1.0)
+        )
+
+    def test_topk_per_group(self, vc_df):
+        from pandas_weights_spark import wt
+
+        out = wt(vc_df, "w")[["v"]].groupby("g").value_counts(k=1).collect()
+        got = {r["g"]: r["v"] for r in out}
+        assert got == {"a": 1.0, "b": 8.0}
+        assert len(out) == 2
+
+    def test_matches_pandas_on_unit_weights(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(12)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 3, 200),
+                "v": rng.integers(0, 6, 200).astype(float),
+                "w": np.ones(200),
+            }
+        )
+        got = {
+            (r["g"], r["v"]): r["count"]
+            for r in wt(spark.createDataFrame(pdf), "w")[["v"]]
+            .groupby("g")
+            .value_counts()
+            .collect()
+        }
+        exp = pdf.groupby("g")["v"].value_counts()
+        for (g, v), n in exp.items():
+            assert got[(g, v)] == float(n)
+
+    def test_needs_single_column(self, vc_df):
+        from pandas_weights_spark import wt
+        from pyspark.sql import functions as FF
+
+        two = vc_df.withColumn("v2", FF.col("v") * 2)
+        with pytest.raises(ValueError, match="exactly one"):
+            wt(two, "w").groupby("g").value_counts()
