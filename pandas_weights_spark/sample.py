@@ -346,7 +346,8 @@ def temperature_sample(
         F.count(F.lit(1)).alias("n_g")
     )
     per_group = rates.join(counts, "group").select(
-        "group",
+        # private name so a user column called "group" survives the join
+        F.col("group").alias("__pw_tsg__"),
         F.least(
             F.lit(1.0),
             F.lit(float(target_rows)) * F.col("p_temp") / F.col("n_g"),
@@ -355,7 +356,7 @@ def temperature_sample(
     u = uniform_hash([F.col(c) for c in key_cols], seed)
     joined = df.join(
         F.broadcast(per_group),
-        df[group_col].eqNullSafe(per_group["group"]),
+        df[group_col].eqNullSafe(per_group["__pw_tsg__"]),
         "inner",
     )
-    return joined.where(u < F.col("__p__")).drop("group", "__p__")
+    return joined.where(u < F.col("__p__")).drop("__pw_tsg__", "__p__")

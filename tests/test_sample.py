@@ -352,3 +352,16 @@ class TestTemperatureSampling:
         for r in out:
             got[r["lang"]] = got.get(r["lang"], 0) + 1
         assert 60 < got.get("en", 0) < 140
+
+
+def test_temperature_sample_preserves_user_group_column(spark):
+    # regression: a data column literally named "group" must survive
+    from pandas_weights_spark.sample import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"g{i % 3}") for i in range(60)],
+        "id long, lang string, group string",
+    )
+    out = temperature_sample(df, "lang", 30, ["id"])
+    assert set(out.columns) == {"id", "lang", "group"}
+    assert out.count() > 0
