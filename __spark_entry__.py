@@ -68,7 +68,18 @@ def _q_global_stats(spark, sf_dir):
     e = wdf.sem(subset=["l_extendedprice"]).select(
         F.col("l_extendedprice").alias("sem_price")
     )
-    return s.crossJoin(m).crossJoin(v).crossJoin(d).crossJoin(e)
+    # r5: geometric/harmonic means ride the same row (positive-domain
+    # masks; ROUND 6 absorbs the ln/exp libm ulps)
+    gm = wdf.gmean(subset=["l_extendedprice"]).select(
+        F.round(F.col("l_extendedprice"), 6).alias("gmean_price")
+    )
+    hm = wdf.hmean(subset=["l_extendedprice"]).select(
+        F.round(F.col("l_extendedprice"), 6).alias("hmean_price")
+    )
+    return (
+        s.crossJoin(m).crossJoin(v).crossJoin(d).crossJoin(e)
+        .crossJoin(gm).crossJoin(hm)
+    )
 
 
 def _q_null_semantics(spark, sf_dir):
@@ -2456,8 +2467,26 @@ _ORACLE: dict[str, str] = {
                -- weighted count), so the column is bit-exact like std
                CASE WHEN c > 0 AND (ss - vs*vs/c) / (c - 1) >= 0
                     THEN sqrt((ss - vs*vs/c) / (c - 1)) / sqrt(c)
-               END AS sem_price
-        FROM s, m, v
+               END AS sem_price,
+               gh.gmean_price, gh.hmean_price
+        FROM s, m, v, (
+          SELECT ROUND(exp(SUM(CASE WHEN l_extendedprice > 0
+                                     AND l_quantity > 0
+                                    THEN l_quantity * ln(l_extendedprice)
+                               END)
+                           / SUM(CASE WHEN l_extendedprice > 0
+                                       AND l_quantity > 0
+                                      THEN l_quantity END)), 6)
+                   AS gmean_price,
+                 ROUND(SUM(CASE WHEN l_extendedprice > 0
+                                 AND l_quantity > 0
+                                THEN l_quantity END)
+                       / SUM(CASE WHEN l_extendedprice > 0
+                                   AND l_quantity > 0
+                                  THEN l_quantity / l_extendedprice END),
+                       6) AS hmean_price
+          FROM lineitem
+        ) gh
     """,
     "null_semantics": """
         WITH t AS (

@@ -291,3 +291,27 @@ def cov_from_moments(
         & (w > F.lit(float(ddof)))
     )
     return F.when(ok, cov)
+
+
+def w_gmean(x: Column, w: Column) -> Column:
+    """Weighted geometric mean ``exp(Σ w·ln x / Σ w)`` over rows with
+    positive value AND positive weight (the only domain where the
+    geometric mean is defined; scipy ``gmean`` analog under frequency
+    weights — unit weights reproduce it exactly). NULL when no mass
+    qualifies."""
+    ok = x.isNotNull() & w.isNotNull() & (x > 0) & (w > 0)
+    m = F.when(ok, w)
+    W = F.coalesce(F.sum(m), F.lit(0.0))
+    s = F.sum(m * F.log(x))
+    return F.when(W > 0, F.exp(F.try_divide(s, W)))
+
+
+def w_hmean(x: Column, w: Column) -> Column:
+    """Weighted harmonic mean ``Σw / Σ(w/x)`` over rows with positive
+    value and weight (rates/speeds aggregation; scipy ``hmean`` analog
+    under frequency weights). NULL when no mass qualifies."""
+    ok = x.isNotNull() & w.isNotNull() & (x > 0) & (w > 0)
+    m = F.when(ok, w)
+    W = F.coalesce(F.sum(m), F.lit(0.0))
+    s = F.sum(m / x)
+    return F.when(W > 0, F.try_divide(W, s))

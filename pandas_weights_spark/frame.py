@@ -725,6 +725,16 @@ class WeightedDataFrame:
             lambda x, w: _stats.w_sem(x, w, ddof=ddof, skipna=skipna), subset
         )
 
+    def gmean(self, subset: Optional[Sequence[str]] = None) -> DataFrame:
+        """Weighted geometric mean over positive values/weights
+        (extension; scipy gmean analog under frequency weights)."""
+        return self._agg_1row(lambda x, w: _stats.w_gmean(x, w), subset)
+
+    def hmean(self, subset: Optional[Sequence[str]] = None) -> DataFrame:
+        """Weighted harmonic mean over positive values/weights
+        (extension; scipy hmean analog under frequency weights)."""
+        return self._agg_1row(lambda x, w: _stats.w_hmean(x, w), subset)
+
     def skew(
         self, skipna: bool = True, subset: Optional[Sequence[str]] = None
     ) -> DataFrame:

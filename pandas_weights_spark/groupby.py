@@ -48,6 +48,8 @@ _KERNELS: dict[str, Callable[..., Column]] = {
     "kurt": lambda x, w, **k: _stats.w_kurt(x, w, skipna=k.get("skipna", True)),
     "min": lambda x, w, **k: _stats.w_min(x, w),
     "max": lambda x, w, **k: _stats.w_max(x, w),
+    "gmean": lambda x, w, **k: _stats.w_gmean(x, w),
+    "hmean": lambda x, w, **k: _stats.w_hmean(x, w),
 }
 
 
@@ -257,6 +259,14 @@ class WeightedGroupBy:
         return self._agg(
             lambda x, w: _stats.w_sem(x, w, ddof=ddof, skipna=skipna)
         )
+
+    def gmean(self) -> DataFrame:
+        """Per-group weighted geometric mean (positive values/weights)."""
+        return self._agg(lambda x, w: _stats.w_gmean(x, w))
+
+    def hmean(self) -> DataFrame:
+        """Per-group weighted harmonic mean (positive values/weights)."""
+        return self._agg(lambda x, w: _stats.w_hmean(x, w))
 
     def skew(self, skipna: bool = True) -> DataFrame:
         """Per-group weighted skewness (extension beyond the reference)."""

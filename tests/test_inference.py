@@ -142,3 +142,57 @@ class TestChi2:
         )
         out = wt(df, "w").chi2("r", "c")
         assert not P.has_python_eval(out)
+
+
+class TestGHMeans:
+    def test_matches_scipy_definitions(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark import wt
+
+        rng = np.random.default_rng(6)
+        x = np.abs(rng.lognormal(0, 0.5, 100)) + 0.1
+        w = rng.integers(1, 5, 100).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, w)],
+            "x double, w double",
+        )
+        g = wt(df, "w").gmean().collect()[0]["x"]
+        h = wt(df, "w").hmean().collect()[0]["x"]
+        exp_g = float(np.exp((w * np.log(x)).sum() / w.sum()))
+        exp_h = float(w.sum() / (w / x).sum())
+        assert g == pytest.approx(exp_g, rel=1e-12)
+        assert h == pytest.approx(exp_h, rel=1e-12)
+        # AM >= GM >= HM
+        am = wt(df, "w").mean().collect()[0]["x"]
+        assert am >= g >= h
+
+    def test_nonpositive_values_excluded(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [(2.0, 1.0), (8.0, 1.0), (-5.0, 1.0), (0.0, 3.0), (None, 2.0)],
+            "x double, w double",
+        )
+        g = wt(df, "w").gmean().collect()[0]["x"]
+        assert g == pytest.approx(4.0, rel=1e-12)  # sqrt(2*8)
+
+    def test_grouped_and_agg_all(self, spark):
+        from pandas_weights_spark import wt
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0), ("a", 4.0, 1.0), ("b", 9.0, 2.0)],
+            "g string, x double, w double",
+        )
+        out = {
+            r["g"]: r["x"]
+            for r in wt(df, "w")[["x"]].groupby("g").gmean().collect()
+        }
+        assert out["a"] == pytest.approx(2.0, rel=1e-12)
+        assert out["b"] == pytest.approx(9.0, rel=1e-12)
+        fused = wt(df, "w")[["x"]].groupby("g").agg_all(
+            ["mean", "gmean", "hmean"]
+        ).collect()
+        row = {r["g"]: r for r in fused}
+        assert row["a"]["x_gmean"] == pytest.approx(2.0)
+        assert row["a"]["x_hmean"] == pytest.approx(1.6)  # 2/(1+1/4)
