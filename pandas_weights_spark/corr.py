@@ -645,6 +645,7 @@ def spearman_matrix(
     min_periods: int = 1,
     ddof: int = 1,
     bands: int = 256,
+    band_bounds: Optional[dict] = None,
 ) -> DataFrame:
     """Weighted Spearman rank-correlation MATRIX, long form ``(col_x,
     col_y, corr)`` — the k-column companion to :func:`spearman_corr`
@@ -667,6 +668,13 @@ def spearman_matrix(
     parallelism k × bands, never a whole-table sort) → ONE moment
     aggregate for all k(k+1)/2 pairs (the same fused shape as
     :func:`frame_corr`).
+
+    ``band_bounds`` (r6, ADVICE r5 — the same escape hatch
+    :func:`spearman_corr` grew in r5): a ``{col: (lo, hi)}`` mapping
+    that skips the partition-order-dependent ``limit(10240)`` probe
+    job entirely for run-to-run reproducible PLANS (values are
+    band-assignment-invariant either way; only load balance varies).
+    Columns absent from the mapping still probe.
     """
     from pandas_weights_spark.frame import WEIGHT_COL
 
@@ -682,21 +690,36 @@ def spearman_matrix(
         *[wdf._value(c).alias(f"__c{i}__") for i, c in enumerate(cols)],
         w.alias(WEIGHT_COL),
     )
-    probe = v.limit(10_240).agg(
-        *[
-            F.percentile_approx(f"__c{i}__", [0.01, 0.99], 1000).alias(
-                f"b{i}"
-            )
-            for i in range(k)
-        ]
-    ).first()
+    bb = {c: tuple(bnds) for c, bnds in (band_bounds or {}).items()}
+    unknown = set(bb) - set(cols)
+    if unknown:
+        raise ValueError(f"band_bounds for unselected column(s): {unknown}")
+    need_probe = [i for i, c in enumerate(cols) if c not in bb]
+    probe = None
+    if need_probe:
+        probe = v.limit(10_240).agg(
+            *[
+                F.percentile_approx(f"__c{i}__", [0.01, 0.99], 1000).alias(
+                    f"b{i}"
+                )
+                for i in need_probe
+            ]
+        ).first()
+    bounds: "list" = []
+    for i, c in enumerate(cols):
+        if c in bb:
+            lo, hi = bb[c]
+            bounds.append((float(lo), float(hi)))
+        else:
+            b = probe[f"b{i}"]
+            bounds.append(None if b is None else (float(b[0]), float(b[1])))
 
     def _lit_band(i: int) -> Column:
-        b = probe[f"b{i}"]
+        b = bounds[i]
         c = F.col(f"__c{i}__").cast("double")
         if b is None or not (b[1] > b[0]):
             return F.lit(0)
-        lo, hi = float(b[0]), float(b[1])
+        lo, hi = b
         return F.greatest(
             F.lit(0),
             F.least(

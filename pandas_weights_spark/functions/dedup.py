@@ -648,8 +648,24 @@ def embedding_join(
 
     if left_id == right_id:
         raise ValueError("left_id and right_id must have distinct names")
-    dim = left.select(F.size(F.col(left_vec)).alias("d")).first()["d"]
-    rdim = right.select(F.size(F.col(right_vec)).alias("d")).first()["d"]
+
+    # width probe skips NULL vectors and raises a clear error on an
+    # empty/all-NULL side (ADVICE r5: .first() on a NULL first row
+    # produced dim None and a confusing downstream failure)
+    def _dim(df, vec_col, side):
+        row = df.where(F.col(vec_col).isNotNull()).agg(
+            F.max(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        d = row["d"] if row is not None else None
+        if d is None:
+            raise ValueError(
+                f"embedding_join: {side} table has no non-NULL "
+                f"'{vec_col}' vectors — cannot infer vector width"
+            )
+        return int(d)
+
+    dim = _dim(left, left_vec, "left")
+    rdim = _dim(right, right_vec, "right")
     if dim != rdim:
         raise ValueError(f"vector widths differ: {dim} vs {rdim}")
 

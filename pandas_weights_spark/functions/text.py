@@ -391,7 +391,9 @@ def remove_duplicate_lines(text: Column, keep_blank: bool = True) -> Column:
     (``array_position`` over the line array inside a positional filter)
     — O(L²) string compares per doc on the JVM, zero shuffle, streams
     unchanged. ``keep_blank`` exempts empty lines (paragraph structure)
-    from deduplication.
+    from deduplication. NULL text stays NULL (the module's
+    null-preserving convention; r6, ADVICE r5 — ``concat_ws`` alone
+    would silently yield ``''``).
     """
     lines = F.split(text, "\n")
     n = F.size(lines)
@@ -405,7 +407,8 @@ def remove_duplicate_lines(text: Column, keep_blank: bool = True) -> Column:
             l,
         ),
     )
-    return F.concat_ws("\n", F.filter(keep, lambda x: x.isNotNull()))
+    out = F.concat_ws("\n", F.filter(keep, lambda x: x.isNotNull()))
+    return F.when(text.isNotNull(), out)
 
 
 def unigram_logprobs(

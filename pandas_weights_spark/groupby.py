@@ -837,6 +837,17 @@ class WeightedGroupBy:
                 "with grouped[['col']]"
             )
         c = cols[0]
+        # the output adds 'count' (and optionally 'share') columns —
+        # a value/key column with one of those literal names would
+        # produce duplicate columns and ambiguous references
+        # downstream (ADVICE r5), so refuse up front
+        reserved = {"count"} | ({"share"} if normalize else set())
+        clash = reserved & ({c} | set(self._keys))
+        if clash:
+            raise ValueError(
+                f"value_counts output reserves column name(s) "
+                f"{sorted(clash)}; rename the input column(s) first"
+            )
         df = self._wdf.df
         if self._dropna:
             for kk in self._keys:

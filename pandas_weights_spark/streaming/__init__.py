@@ -27,7 +27,7 @@ watermark passes it (the streaming analog of a closed resample bucket);
 from __future__ import annotations
 
 import datetime as dt
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -731,8 +731,9 @@ def streaming_distinct_counts(
     stream: DataFrame,
     cols: Sequence[str],
     keys: Sequence[str],
-    on: str,
+    on: Optional[str] = None,
     watermark: str = "1 hour",
+    window: Optional[str] = None,
     lg_config_k: int = 12,
 ) -> DataFrame:
     """Running per-key distinct-count estimates over a stream — the
@@ -746,13 +747,30 @@ def streaming_distinct_counts(
     mode). The sketches merge downstream with ``hll_union_agg`` —
     store a day's sketches and union across days without rescanning.
     Works on a batch DataFrame too.
+
+    State contract (r6, ADVICE r5): with ``window=None`` (default) the
+    aggregation keys are exactly ``keys`` — state is ONE sketch per
+    (key, column), a few KB each, which never finalizes, so no
+    watermark is applied (a watermark on a non-windowed key set bounds
+    nothing; r5 set one anyway, inert). Unbounded only in KEY
+    CARDINALITY — the sketch per key stays O(2^lg_config_k). Pass
+    ``window`` (e.g. ``"1 hour"``, with ``on`` naming the event-time
+    column) to aggregate per tumbling event-time window instead; then
+    the ``watermark`` genuinely evicts finalized windows and total
+    state is bounded by (keys x live windows).
     """
     cols = list(cols)
     if not cols:
         raise ValueError("cols must name at least one column")
     df = stream
-    if df.isStreaming:
-        df = df.withWatermark(on, watermark)
+    group_keys = list(keys)
+    if window is not None:
+        if on is None:
+            raise ValueError("window= requires on= (the event-time column)")
+        if df.isStreaming:
+            df = df.withWatermark(on, watermark)
+        df = df.withColumn("__win__", F.window(F.col(on), window))
+        group_keys = ["__win__"] + group_keys
     # hll_sketch_agg accepts int/bigint/string/binary only — hash other
     # types through their canonical string form (distinct-preserving)
     dtypes = dict(df.dtypes)
@@ -765,11 +783,13 @@ def streaming_distinct_counts(
         F.hll_sketch_agg(_key(c), F.lit(lg_config_k)).alias(f"{c}_hll")
         for c in cols
     ]
-    out = df.groupBy(*keys).agg(*aggs)
+    out = df.groupBy(*group_keys).agg(*aggs)
     for c in cols:
         out = out.withColumn(
             f"{c}_distinct", F.hll_sketch_estimate(F.col(f"{c}_hll"))
         )
+    if window is not None:
+        out = out.withColumnRenamed("__win__", "window")
     return out
 
 

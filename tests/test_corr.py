@@ -524,6 +524,41 @@ class TestSpearmanMatrix:
         assert got[("b", "b")] == approx(1.0)
         assert got[("a", "b")] == got[("b", "a")]
 
+    def test_matrix_band_bounds_literal(self, spark):
+        # ADVICE r5: band_bounds skips the partition-order-dependent
+        # probe job; values must be identical (band-invariant ranks)
+        import numpy as np
+        import pandas as pd
+
+        from pandas_weights_spark.corr import spearman_matrix
+
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame(
+            {
+                "a": rng.normal(size=80),
+                "b": rng.normal(size=80),
+                "w": np.ones(80),
+            }
+        )
+        wdf = wt(spark.createDataFrame(pdf), "w")
+        probed = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in spearman_matrix(wdf, subset=["a", "b"]).collect()
+        }
+        literal = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in spearman_matrix(
+                wdf, subset=["a", "b"],
+                band_bounds={"a": (-2.0, 2.0), "b": (-2.0, 2.0)},
+            ).collect()
+        }
+        for k, v in probed.items():
+            assert literal[k] == approx(v, rel=1e-12), k
+        with pytest.raises(ValueError, match="unselected"):
+            spearman_matrix(
+                wdf, subset=["a"], band_bounds={"zzz": (0.0, 1.0)}
+            )
+
     def test_listwise_mask_matches_pair_operator(self, spark):
         # with NULLs, the matrix's listwise entry equals spearman_corr
         # run on the listwise-filtered frame

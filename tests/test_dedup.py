@@ -329,6 +329,37 @@ class TestEmbeddingJoin:
         with pytest.raises(ValueError, match="widths differ"):
             DD.embedding_join(corpus, bad, "vid", "pid")
 
+    def test_empty_or_all_null_side_raises_clearly(
+        self, two_vec_tables, spark
+    ):
+        # ADVICE r5: .first() on an empty/NULL-first side gave dim
+        # None and a confusing downstream failure
+        corpus, _ = two_vec_tables
+        empty = spark.createDataFrame(
+            [], "pid long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="no non-NULL"):
+            DD.embedding_join(corpus, empty, "vid", "pid")
+        allnull = spark.createDataFrame(
+            [(1, None)], "pid long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="no non-NULL"):
+            DD.embedding_join(corpus, allnull, "vid", "pid")
+
+    def test_null_first_vector_still_probes_width(self, spark):
+        # a NULL FIRST embedding must not poison the width probe
+        left = spark.createDataFrame(
+            [(1, None), (2, [1.0, 0.0, 0.0])],
+            "vid long, embedding array<double>",
+        )
+        right = spark.createDataFrame(
+            [(9, [1.0, 0.0, 0.0])], "pid long, embedding array<double>"
+        )
+        out = DD.embedding_join(
+            left, right, "vid", "pid", threshold=0.9
+        ).collect()
+        assert [(r["vid"], r["pid"]) for r in out] == [(2, 9)]
+
 
 class TestNgramNovelty:
     def test_novelty_fractions(self, spark):

@@ -516,6 +516,28 @@ class TestGroupedValueCounts:
         assert got == {"a": 1.0, "b": 8.0}
         assert len(out) == 2
 
+    def test_reserved_output_names_raise(self, vc_df, spark):
+        # ADVICE r5: a value/key column literally named 'count' (or
+        # 'share' under normalize) would collide with the output
+        from pandas_weights_spark import wt
+        from pyspark.sql import functions as F
+
+        clash = vc_df.select(
+            "g", F.col("v").alias("count"), "w"
+        )
+        with pytest.raises(ValueError, match="reserves"):
+            wt(clash, "w")[["count"]].groupby("g").value_counts()
+        share = vc_df.select(
+            F.col("g").alias("share"), "v", "w"
+        )
+        with pytest.raises(ValueError, match="reserves"):
+            wt(share, "w")[["v"]].groupby("share").value_counts(
+                normalize=True
+            )
+        # without normalize, 'share' is NOT reserved
+        assert wt(share, "w")[["v"]].groupby("share").value_counts(
+        ).count() > 0
+
     def test_matches_pandas_on_unit_weights(self, spark):
         import numpy as np
         import pandas as pd

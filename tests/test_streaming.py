@@ -771,6 +771,84 @@ class TestStreamingDistinctCounts:
         ).collect()
         assert len(out) == 2 and all(r["Value_distinct"] > 0 for r in out)
 
+    def test_no_inert_watermark_without_window(self, spark, source_dir):
+        # ADVICE r5: without window= the keys never finalize, so no
+        # watermark node must appear in the plan (it would be inert)
+        from pandas_weights_spark.streaming import (
+            streaming_distinct_counts,
+        )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        out = streaming_distinct_counts(
+            stream, ["Value"], keys=["grp"], on="ts"
+        )
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" not in plan
+
+    def test_windowed_counts_bound_state(self, spark, source_dir):
+        # window= keys the aggregate by event-time window so the
+        # watermark genuinely evicts finalized windows; estimates per
+        # (window, grp) must match the batch distinct counts
+        from pandas_weights_spark.streaming import (
+            streaming_distinct_counts,
+        )
+        from pyspark.sql import functions as FF
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(source_dir))
+        )
+        out = streaming_distinct_counts(
+            stream, ["Value"], keys=["grp"], on="ts",
+            window="1 hour", watermark="10 minutes",
+        )
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" in plan
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdcw")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.sql("SELECT * FROM sdcw").collect():
+            latest[(r["window"]["start"], r["grp"])] = r["Value_distinct"]
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        exact = {
+            (r["win"]["start"], r["grp"]): r["n"]
+            for r in batch.groupBy(
+                FF.window("ts", "1 hour").alias("win"), "grp"
+            ).agg(FF.countDistinct("Value").alias("n")).collect()
+        }
+        assert set(latest) == set(exact)
+        for k, n in exact.items():
+            assert latest[k] == pytest.approx(n, rel=0.05)
+
+    def test_window_requires_on(self, spark, source_dir):
+        from pandas_weights_spark.streaming import (
+            streaming_distinct_counts,
+        )
+
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        with pytest.raises(ValueError, match="on="):
+            streaming_distinct_counts(
+                batch, ["Value"], keys=["grp"], window="1 hour"
+            )
+
 
 class TestStreamingNeardup:
     def test_cross_batch_candidate_surfaces(self, spark, tmp_path):

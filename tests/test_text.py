@@ -262,6 +262,17 @@ class TestRemoveDuplicateLines:
             remove_duplicate_lines(F.col("text")).alias("t")
         ).first()["t"] == doc
 
+    def test_null_stays_null(self, spark):
+        # ADVICE r5: concat_ws alone turned NULL docs into '' —
+        # module convention is null-preserving
+        from pandas_weights_spark.functions.text import remove_duplicate_lines
+
+        df = spark.createDataFrame([(None,), ("a\na",)], "text string")
+        out = [r["t"] for r in df.select(
+            remove_duplicate_lines(F.col("text")).alias("t")
+        ).collect()]
+        assert sorted(out, key=lambda x: (x is not None, x)) == [None, "a"]
+
 
 class TestUnigramLMScore:
     @pytest.fixture(scope="class")
