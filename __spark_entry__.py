@@ -932,7 +932,37 @@ def _q_dedup_exact(spark, sf_dir):
             F.col("n_novel").cast("string"),
         ).alias("fp"),
     )
-    return survivors.unionByName(fps).unionByName(nov)
+    # r6: repeated-span REMOVAL (dedup.remove_duplicate_spans) over the
+    # same padded-copy fixture _q_chunk_neardup pins: per-doc rebuilt
+    # text md5 + chunk/drop counts — the full pipeline (chunk pairs →
+    # numeric-min-id losers → owned-span rebuild) replayed in SQL
+    from pandas_weights_spark.functions.dedup import remove_duplicate_spans
+    from pandas_weights_spark.functions.text import tokens as _tk
+
+    sdocs = docs.where(F.col("doc_id") < 60)
+    pad = F.repeat(
+        F.concat(F.lit("pad"), F.col("doc_id").cast("string"), F.lit(" ")),
+        50,
+    )
+    prefix = F.concat_ws(" ", F.slice(_tk(F.col("text")), 1, 120))
+    scopies = sdocs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(pad, prefix).alias("text"),
+    )
+    span = remove_duplicate_spans(
+        sdocs.unionByName(scopies), "text", "doc_id",
+        chunk_tokens=64, overlap=16, threshold=0.5,
+    ).select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.concat_ws(
+            ":", F.md5("text"), F.col("n_chunks").cast("string"),
+            F.col("n_dropped").cast("string"),
+        ).alias("fp"),
+    )
+    return (
+        survivors.unionByName(fps).unionByName(nov).unionByName(span)
+    )
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -4384,6 +4414,112 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
+def _span_removal_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    # r6: full replay of dedup.remove_duplicate_spans over the same
+    # padded-copy fixture as _chunk_neardup_sql (ids +20000): the
+    # verified chunk pairs feed a numeric-min-(doc, chunk) loser set;
+    # each doc rebuilds as the ordered join of its SURVIVING chunks'
+    # OWNED token spans (chunk i owns [i*step+1, (i+1)*step]; last
+    # chunk through the end) — string_agg skips the NULLed dropped
+    # chunks exactly like the engine's collect_list(when(keep, ...)).
+    step = chunk_tokens - overlap
+    r = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i} ' || x)))"
+        for i in range(num_hashes)
+    )
+    bexprs = ", ".join(
+        f"md5(array_to_string(sig[{b * r + 1}:{b * r + r}], '|')) AS b{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 20000,
+             repeat('pad' || CAST(doc_id AS VARCHAR) || ' ', 50)
+               || array_to_string(
+                    (string_split_regex(trim(text), '\\s+'))[1:120], ' ')
+      FROM documents WHERE doc_id < 60
+    ), tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM src
+    ), st AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+                 1, greatest(1, len(w) - {overlap}), {step})) AS s
+      FROM tok
+    ), ch AS (
+      SELECT CAST(doc_id AS VARCHAR) || '#'
+               || CAST((s - 1) // {step} AS VARCHAR) AS ck,
+             doc_id, (s - 1) // {step} AS cid,
+             array_to_string(w[s:s + {chunk_tokens - 1}], ' ') AS ct
+      FROM st
+    ), ctok AS (
+      SELECT ck, doc_id, cid,
+             string_split_regex(trim(ct), '\\s+') AS cw
+      FROM ch
+    ), sh AS (
+      SELECT ck, doc_id, cid,
+             CASE WHEN len(cw) >= 3
+                  THEN [array_to_string(cw[i:i+2], ' ')
+                        for i in range(1, len(cw)-1)]
+                  ELSE [array_to_string(cw, ' ')] END AS s
+      FROM ctok
+    ), sig AS (
+      SELECT ck, doc_id, cid, list_distinct(s) AS sd, [{sig}] AS sig
+      FROM sh
+    ), band AS (
+      SELECT ck, doc_id, cid, sd, {bexprs} FROM sig
+    ), vp AS (
+      SELECT a.doc_id AS da, a.cid AS ca, b.doc_id AS db, b.cid AS cb
+      FROM band a JOIN band b
+        ON a.ck < b.ck AND a.doc_id <> b.doc_id AND ({band_or})
+      WHERE round(CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.sd, b.sd)))
+                         AS DOUBLE), 6) >= {threshold}
+    ), losers AS (
+      SELECT DISTINCT
+        CASE WHEN da < db OR (da = db AND ca < cb) THEN db ELSE da END
+          AS doc,
+        CASE WHEN da < db OR (da = db AND ca < cb) THEN cb ELSE ca END
+          AS cid
+      FROM vp
+    ), ostart AS (
+      SELECT doc_id, w, len(w) AS n,
+             unnest(generate_series(
+                 1, greatest(1, len(w) - {overlap}), {step})) AS s
+      FROM tok
+    ), ospan AS (
+      SELECT doc_id, (s - 1) // {step} AS cid,
+             CASE WHEN s + {step} > greatest(1, n - {overlap})
+                  THEN array_to_string(w[s:n], ' ')
+                  ELSE array_to_string(w[s:s + {step - 1}], ' ')
+             END AS owned
+      FROM ostart
+    ), flagged AS (
+      SELECT o.doc_id, o.cid, o.owned,
+             (l.doc IS NOT NULL) AS dropped
+      FROM ospan o LEFT JOIN losers l
+        ON l.doc = o.doc_id AND l.cid = o.cid
+    )
+    SELECT doc_id,
+           md5(COALESCE(string_agg(
+                 CASE WHEN NOT dropped THEN owned END, ' '
+                 ORDER BY cid), ''))
+             || ':' || CAST(COUNT(*) AS VARCHAR)
+             || ':' || CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END)
+                            AS VARCHAR) AS fp
+    FROM flagged GROUP BY doc_id
+    """
+
+
 # r4: simhash rows fold into the dedup_exact driver query (same docs
 # source; slot freed for calibration)
 _ORACLE["dedup_exact"] = (
@@ -4413,7 +4549,11 @@ _ORACLE["dedup_exact"] = (
       SELECT sh.doc_id, COUNT(*) AS ns,
              SUM(CASE WHEN dfq.dfc = 1 THEN 1 ELSE 0 END) AS nn
       FROM sh JOIN dfq USING (s) GROUP BY sh.doc_id
-    )"""
+    )
+    UNION ALL
+    SELECT 'span' AS kind, doc_id, fp FROM ("""
+    + _span_removal_sql()
+    + """)"""
 )
 
 
@@ -4522,6 +4662,7 @@ def _chunk_neardup_sql(
                 / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE),
                 6) >= {threshold}
     """
+
 
 
 def _embedding_join_sql(dim: int = 64, planes: int = 4, seed: int = 42,

@@ -42,6 +42,7 @@ __all__ = [
     "minhash_signatures_agg",
     "minhash_join",
     "chunk_near_duplicates",
+    "remove_duplicate_spans",
     "simhash",
     "hamming_distance",
     "embedding_near_duplicates",
@@ -492,6 +493,137 @@ def chunk_near_duplicates(
         F.substring_index("ck_b", sep, 1).alias("doc_b"),
         F.substring_index("ck_b", sep, -1).cast("long").alias("chunk_b"),
         "jaccard",
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    pairs: Optional[DataFrame] = None,
+    sep: str = "#",
+) -> DataFrame:
+    """Repeated-span REMOVAL — the second half of substring-level dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): :func:`chunk_near_duplicates` FLAGS duplicated
+    spans; this drops them from all-but-one document and re-stitches
+    the survivors' text. Returns
+    ``(id_col, text, n_chunks, n_dropped)``.
+
+    Survivor convention (the dedup family's): a chunk DROPS iff it
+    pairs above ``threshold`` with any strictly-earlier chunk in the
+    global ``(doc id asc, chunk id asc)`` order — each duplicate
+    family's first occurrence keeps its text (min-id survivor, exactly
+    :func:`exact_dedup`'s policy lifted to spans). "Earlier doc" is
+    the NUMERICALLY smaller id when both ids parse as numbers
+    (``try_cast`` double), else the lexicographically smaller string —
+    :func:`chunk_near_duplicates` stringifies doc ids into its
+    composite chunk key, and raw string order would make id 20005
+    "earlier" than id 5.
+
+    Re-stitch semantics: chunks overlap, so each token is assigned to
+    exactly ONE owning chunk — chunk *i* owns tokens
+    ``[i*step+1, (i+1)*step]`` (``step = chunk_tokens − overlap``; the
+    last chunk owns through the end). A document rebuilds as the
+    space-join of its SURVIVING chunks' owned tokens in chunk order,
+    so dropping a chunk removes precisely its owned span and never a
+    surviving neighbor's tokens. Output text is therefore
+    whitespace-NORMALIZED (single spaces) for every document —
+    tokenize-and-rejoin is lossy w.r.t. original whitespace, the
+    documented trade for a token-exact removal.
+
+    ``pairs``: pass a precomputed :func:`chunk_near_duplicates` result
+    (it MUST use the same ``chunk_tokens``/``overlap`` geometry);
+    ``None`` recomputes internally with this call's parameters.
+
+    Scale shape: the loser set is one ``distinct`` over the
+    (candidate-bounded) pair table; the flagging join keys on
+    ``(doc, chunk)`` against the exploded owned-span table (AQE
+    broadcasts the loser side when small); the rebuild is the same
+    sort-regroup shape as ``encode_documents`` — one data-sized
+    shuffle, no driver involvement, no quadratic term.
+    """
+    step = chunk_tokens - overlap
+    if pairs is None:
+        pairs = chunk_near_duplicates(
+            df, text_col, id_col, chunk_tokens=chunk_tokens,
+            overlap=overlap, threshold=threshold, num_hashes=num_hashes,
+            bands=bands, shingle_size=shingle_size, sep=sep,
+        )
+    dan = F.expr("try_cast(doc_a AS double)")
+    dbn = F.expr("try_cast(doc_b AS double)")
+    doc_lt = F.when(
+        dan.isNotNull() & dbn.isNotNull() & (dan != dbn), dan < dbn
+    ).otherwise(F.col("doc_a") < F.col("doc_b"))
+    a_first = doc_lt | (
+        (F.col("doc_a") == F.col("doc_b"))
+        & (F.col("chunk_a") < F.col("chunk_b"))
+    )
+    losers = pairs.select(
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "__doc__"
+        ),
+        F.when(a_first, F.col("chunk_b")).otherwise(F.col("chunk_a")).alias(
+            "__chunk__"
+        ),
+    ).distinct().withColumn("__drop__", F.lit(True))
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(step)
+    )
+    last_start = F.element_at(starts, -1)
+    owned = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / F.lit(step)).cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks, s,
+                    F.when(s == last_start, F.greatest(n - s + 1, F.lit(0)))
+                    .otherwise(F.lit(step)),
+                ),
+            ).alias("owned"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(owned).alias("__c__")
+    ).select(
+        F.col(id_col),
+        F.col(id_col).cast("string").alias("__doc__"),
+        F.col("__c__.chunk_id").alias("__chunk__"),
+        F.col("__c__.owned").alias("__owned__"),
+    )
+    flagged = exploded.join(losers, ["__doc__", "__chunk__"], "left")
+    keep = F.col("__drop__").isNull()
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            keep,
+                            F.struct(
+                                F.col("__chunk__").alias("c"),
+                                F.col("__owned__").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda e: e["t"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
     )
 
 

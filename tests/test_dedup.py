@@ -207,6 +207,127 @@ class TestChunkNearDup:
         assert f() == f()
 
 
+class TestRemoveDuplicateSpans:
+    @pytest.fixture(scope="class")
+    def copy_docs(self, spark):
+        # doc 2 starts with an ALIGNED copy of doc 1, then novel text;
+        # doc 3 is unrelated
+        d1 = " ".join(f"a{i}" for i in range(40))
+        d2 = d1 + " " + " ".join(f"c{i}" for i in range(24))
+        d3 = " ".join(f"z{i}" for i in range(30))
+        return spark.createDataFrame(
+            [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+        )
+
+    def test_first_occurrence_survives_span_removed(self, copy_docs):
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_spans(
+                copy_docs, "text", "doc_id",
+                chunk_tokens=12, overlap=4, threshold=0.5,
+            ).collect()
+        }
+        d1 = " ".join(f"a{i}" for i in range(40))
+        d3 = " ".join(f"z{i}" for i in range(30))
+        # doc 1 (earliest) keeps everything
+        assert out[1]["text"] == d1 and out[1]["n_dropped"] == 0
+        # doc 2 loses the copied prefix, keeps its novel suffix
+        assert out[2]["n_dropped"] > 0
+        assert "a0" not in out[2]["text"].split()
+        assert out[2]["text"].split()[:1] == ["c0"] or out[2][
+            "text"
+        ].split()[0].startswith("c")
+        assert "c23" in out[2]["text"].split()
+        # untouched doc round-trips (whitespace-normalized)
+        assert out[3]["text"] == d3 and out[3]["n_dropped"] == 0
+
+    def test_no_cross_doc_span_survives_the_pass(self, copy_docs):
+        # the e2e invariant: re-running detection on the rebuilt text
+        # finds nothing at the same geometry/threshold
+        cleaned = DD.remove_duplicate_spans(
+            copy_docs, "text", "doc_id",
+            chunk_tokens=12, overlap=4, threshold=0.5,
+        ).select("doc_id", "text")
+        again = DD.chunk_near_duplicates(
+            cleaned, "text", "doc_id",
+            chunk_tokens=12, overlap=4, threshold=0.5,
+        ).collect()
+        assert again == [], again
+
+    def test_precomputed_pairs_accepted(self, copy_docs):
+        pairs = DD.chunk_near_duplicates(
+            copy_docs, "text", "doc_id",
+            chunk_tokens=12, overlap=4, threshold=0.5,
+        )
+        a = DD.remove_duplicate_spans(
+            copy_docs, "text", "doc_id",
+            chunk_tokens=12, overlap=4, threshold=0.5,
+        )
+        b = DD.remove_duplicate_spans(
+            copy_docs, "text", "doc_id",
+            chunk_tokens=12, overlap=4, pairs=pairs,
+        )
+        ka = sorted((r["doc_id"], r["text"]) for r in a.collect())
+        kb = sorted((r["doc_id"], r["text"]) for r in b.collect())
+        assert ka == kb
+
+    def test_owned_spans_partition_the_document(self, spark):
+        # with no duplicates at all, the owned-span rebuild must be the
+        # identity on token sequences for any geometry
+        import random
+
+        rng = random.Random(5)
+        texts = [
+            (i, " ".join(
+                f"w{i}_{j}" for j in range(rng.randint(0, 90))
+            ))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        for ct, ov in [(12, 4), (10, 0), (7, 6)]:
+            out = {
+                r["doc_id"]: r["text"]
+                for r in DD.remove_duplicate_spans(
+                    df, "text", "doc_id",
+                    chunk_tokens=ct, overlap=ov, threshold=0.99,
+                ).collect()
+            }
+            for i, t in texts:
+                assert out[i] == t, (ct, ov, i)
+
+    def test_numeric_id_order_beats_string_order(self, spark):
+        # doc 20005 copies doc 5: "5" > "20005" lexicographically, but
+        # the survivor rule must use NUMERIC order — 5 keeps its text
+        base = " ".join(f"q{i}" for i in range(36))
+        df = spark.createDataFrame(
+            [(20005, base), (5, base)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_spans(
+                df, "text", "doc_id",
+                chunk_tokens=12, overlap=4, threshold=0.8,
+            ).collect()
+        }
+        assert out[5]["text"] == base and out[5]["n_dropped"] == 0
+        assert out[20005]["text"] == "" and out[20005]["n_dropped"] > 0
+
+    def test_triple_copy_family_keeps_one(self, spark):
+        base = " ".join(f"s{i}" for i in range(36))
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, base)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_spans(
+                df, "text", "doc_id",
+                chunk_tokens=12, overlap=4, threshold=0.8,
+            ).collect()
+        }
+        assert out[1]["text"] == base
+        assert out[2]["text"] == "" and out[3]["text"] == ""
+
+
 class TestMinhashJoin:
     @pytest.fixture(scope="class")
     def two_tables(self, spark):
