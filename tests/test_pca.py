@@ -33,6 +33,39 @@ class TestPCAFit:
         np.testing.assert_allclose(s, x.sum(axis=0), rtol=1e-12)
         np.testing.assert_allclose(g, x.T @ x, rtol=1e-12)
 
+    def test_two_level_merge_bounds_driver_ingest(self, spark):
+        # VERDICT r5 item 4: at d=512 across 64 partitions the driver
+        # must collect <= _MERGE_PARTITIONS tree-merged rows, not one
+        # per partition — and the moments stay exact
+        from pandas_weights_spark.functions.pca import (
+            _MERGE_PARTITIONS,
+            _embedding_moments,
+            _moment_rows,
+        )
+
+        rng = np.random.default_rng(41)
+        d, rows_n = 512, 256
+        x = rng.normal(size=(rows_n, d))
+        rows = [(i, [float(v) for v in x[i]]) for i in range(rows_n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(64)
+        collected = _moment_rows(df, "embedding")
+        assert len(collected) <= _MERGE_PARTITIONS
+        n, s, g = _embedding_moments(df, "embedding")
+        assert n == rows_n
+        np.testing.assert_allclose(s, x.sum(axis=0), rtol=1e-9)
+        np.testing.assert_allclose(g, x.T @ x, rtol=1e-9)
+
+    def test_single_level_below_threshold(self, vecs):
+        # few partitions: no merge round — one partial row per
+        # non-empty partition reaches the driver unchanged
+        from pandas_weights_spark.functions.pca import _moment_rows
+
+        df, _ = vecs
+        collected = _moment_rows(df, "embedding")
+        assert 1 <= len(collected) <= df.rdd.getNumPartitions()
+
     def test_matches_numpy_eigh(self, vecs):
         df, x = vecs
         m = pca_fit(df, "embedding", k=4)
