@@ -869,6 +869,29 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.col("freq").alias("v1"),
         F.col("rk").cast("double").alias("v2"),
     )
+    # r6: the unigram-LM TOKENIZER seed kernel (vocab.unigram_seed_
+    # table — capped word table → row-local substring fan-out → one
+    # piece-mass aggregate): top-40 substring masses with
+    # deterministic ranks. The EM/prune loop (train_unigram_lm) is
+    # driver-side over capped tables and pinned by the enumeration
+    # differential in tests/test_vocab.py; these rows oracle-check the
+    # distributed aggregate that feeds it.
+    from pandas_weights_spark.functions.vocab import unigram_seed_table
+
+    usd40 = unigram_seed_table(
+        docs.where(F.col("doc_id") < 40), "text",
+        max_piece_len=4, seed_size=40,
+    )
+    urk = F.row_number().over(
+        _W40.orderBy(F.col("mass").desc(), "piece")
+    )
+    usd = usd40.select("piece", "mass", urk.alias("rk")).select(
+        F.lit("usd").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("piece").alias("term"),
+        F.col("mass").alias("v1"),
+        F.col("rk").cast("double").alias("v2"),
+    )
     # r5 fold: CCNet-style unigram LM perplexity scores (text.unigram_
     # lm_score): top-5000 unweighted vocab over the whole corpus, docs
     # < 50 scored; the α-smoothed log-prob algebra is mirrored
@@ -886,7 +909,10 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.round(F.col("logprob_mean"), 6).alias("v1"),
         F.round(F.col("ppl"), 6).alias("v2"),
     )
-    return tf.unionByName(vocab).unionByName(bpe).unionByName(lm)
+    return (
+        tf.unionByName(vocab).unionByName(bpe).unionByName(usd)
+        .unionByName(lm)
+    )
 
 
 def _docs(spark, sf_dir):
@@ -3413,6 +3439,36 @@ _ORACLE["tfidf_top_terms"] = r"""
       SELECT l, r, freq,
              row_number() OVER (ORDER BY freq DESC, l, r) AS rk
       FROM pc
+    ) WHERE rk <= 40
+    UNION ALL
+    -- r6: unigram-LM tokenizer SEED kernel replay (vocab.unigram_
+    -- seed_table): substrings of length 1..4 of every capped word,
+    -- mass = word freq per occurrence, top-40 by (mass desc, piece)
+    SELECT 'usd' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           piece AS term, mass AS v1, CAST(rk AS DOUBLE) AS v2
+    FROM (
+      WITH uw AS (
+        SELECT word, CAST(COUNT(*) AS DOUBLE) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS word
+          FROM documents WHERE doc_id < 40
+        ) WHERE word <> '' GROUP BY word
+      ), up AS (
+        SELECT word, freq,
+               unnest(generate_series(1, len(word))) AS i
+        FROM uw
+      ), ul AS (
+        SELECT word, freq, i,
+               unnest(generate_series(
+                   1, least(4, len(word) - i + 1))) AS l
+        FROM up
+      ), um AS (
+        SELECT substring(word, i, l) AS piece, SUM(freq) AS mass
+        FROM ul GROUP BY 1
+      )
+      SELECT piece, mass,
+             row_number() OVER (ORDER BY mass DESC, piece) AS rk
+      FROM um
     ) WHERE rk <= 40
     UNION ALL
     SELECT 'lm' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,

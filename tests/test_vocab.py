@@ -90,3 +90,166 @@ class TestEncodeDocuments:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan, plan
         assert "BatchEvalPython" not in plan
+
+
+class TestUnigramLM:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        texts = (
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        ), texts
+
+    def test_seed_table_matches_reference(self, corpus):
+        from pandas_weights_spark.functions.vocab import unigram_seed_table
+
+        df, texts = corpus
+        wf = {}
+        for t in texts:
+            w = t.lower()
+            wf[w] = wf.get(w, 0) + 1
+        exp = {}
+        for w, f in wf.items():
+            for i in range(len(w)):
+                for ln in range(1, min(4, len(w) - i) + 1):
+                    exp[w[i:i + ln]] = exp.get(w[i:i + ln], 0) + f
+        got = {
+            r["piece"]: r["mass"]
+            for r in unigram_seed_table(
+                df, "text", max_piece_len=4, seed_size=10_000
+            ).collect()
+        }
+        assert got == {k: float(v) for k, v in exp.items()}
+
+    def test_seed_top_cut_deterministic(self, corpus):
+        from pandas_weights_spark.functions.vocab import unigram_seed_table
+
+        df, _ = corpus
+        a = [tuple(r) for r in unigram_seed_table(
+            df, "text", max_piece_len=4, seed_size=15
+        ).collect()]
+        b = [tuple(r) for r in unigram_seed_table(
+            df, "text", max_piece_len=4, seed_size=15
+        ).collect()]
+        assert a == b and len(a) == 15
+        masses = [m for _, m in a]
+        assert masses == sorted(masses, reverse=True)
+
+    def test_expected_counts_match_enumeration(self):
+        # brute-force: enumerate every segmentation of each word,
+        # weight by product of piece probs, sum piece counts
+        import itertools
+        import math
+
+        from pandas_weights_spark.functions.vocab import (
+            _em_expected_counts,
+        )
+
+        logp = {
+            "a": math.log(0.3), "b": math.log(0.2),
+            "ab": math.log(0.25), "ba": math.log(0.15),
+            "aba": math.log(0.1),
+        }
+        wf = [("aba", 2.0), ("ab", 1.0), ("bab", 3.0)]
+
+        def segmentations(word):
+            n = len(word)
+            if n == 0:
+                return [[]]
+            out = []
+            for ln in range(1, min(3, n) + 1):
+                p = word[:ln]
+                if p in logp:
+                    for rest in segmentations(word[ln:]):
+                        out.append([p] + rest)
+            return out
+
+        exp = {}
+        for word, f in wf:
+            segs = segmentations(word)
+            probs = [
+                math.exp(sum(logp[p] for p in s)) for s in segs
+            ]
+            z = sum(probs)
+            for s, pr in zip(segs, probs):
+                for p in s:
+                    exp[p] = exp.get(p, 0.0) + f * pr / z
+        got = _em_expected_counts(wf, logp, 3)
+        assert set(got) == set(exp)
+        for p in exp:
+            assert got[p] == pytest.approx(exp[p], rel=1e-12), p
+
+    def test_train_deterministic_and_normalized(self, corpus):
+        import math
+
+        from pandas_weights_spark.functions.vocab import train_unigram_lm
+
+        df, _ = corpus
+        a = [tuple(r) for r in train_unigram_lm(
+            df, "text", vocab_size=12, max_piece_len=4, seed_size=50,
+        ).orderBy("piece").collect()]
+        b = [tuple(r) for r in train_unigram_lm(
+            df, "text", vocab_size=12, max_piece_len=4, seed_size=50,
+        ).orderBy("piece").collect()]
+        assert a == b
+        total = sum(math.exp(lp) for _, lp in a)
+        assert total == pytest.approx(1.0, rel=1e-9)
+        # coverage: every corpus character is a piece
+        chars = set("lowernstwid")
+        assert chars <= {p for p, _ in a}
+        assert len(a) <= max(12, len(chars))
+
+    def test_round_trip_encode(self, corpus):
+        from pandas_weights_spark.functions.vocab import (
+            encode_unigram,
+            train_unigram_lm,
+        )
+
+        df, texts = corpus
+        pieces = train_unigram_lm(
+            df, "text", vocab_size=16, max_piece_len=4, seed_size=50
+        )
+        enc = encode_unigram(df, "text", "doc_id", pieces, max_piece_len=4)
+        got = {r["doc_id"]: r for r in enc.collect()}
+        for i, t in enumerate(texts):
+            assert "".join(got[i]["pieces"]) == t.lower()
+            assert got[i]["n_oov_chars"] == 0
+            assert got[i]["n_pieces"] == len(got[i]["pieces"])
+
+    def test_oov_chars_fall_back_and_count(self, corpus, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_unigram,
+            train_unigram_lm,
+        )
+
+        df, _ = corpus
+        pieces = train_unigram_lm(
+            df, "text", vocab_size=16, max_piece_len=4, seed_size=50
+        )
+        other = spark.createDataFrame(
+            [(99, "low zzq")], "doc_id long, text string"
+        )
+        r = encode_unigram(
+            other, "text", "doc_id", pieces, max_piece_len=4
+        ).collect()[0]
+        assert "".join(r["pieces"]) == "lowzzq"
+        assert r["n_oov_chars"] == 3  # z, z, q unseen in training
+        assert r["pieces"][-3:] == ["z", "z", "q"]
+
+    def test_viterbi_prefers_high_probability_pieces(self):
+        import math
+
+        from pandas_weights_spark.functions.vocab import _viterbi_segment
+
+        logp = {
+            "ab": math.log(0.6), "a": math.log(0.2),
+            "b": math.log(0.2),
+        }
+        ps, oov = _viterbi_segment("abab", logp, 2, -100.0)
+        assert ps == ["ab", "ab"] and oov == 0
+        # single high-prob piece beats char spellout
+        ps, _ = _viterbi_segment("ab", logp, 2, -100.0)
+        assert ps == ["ab"]
