@@ -645,18 +645,19 @@ def main() -> int:
     # warm-up: run the flagship once to JIT codegen + fill file index caches
     materialize(qs["group_mean"](spark, sf_dir))
 
-    # best-of-2 per query: a single pass is hostage to transient host
-    # contention (observed 4-10x inflation across the board on a noisy
-    # run); the min of two measurements estimates the plan's cost, which
-    # is what this bench exists to track.
+    # median-of-3 per query (r6, VERDICT r5 item 7): a single pass is
+    # hostage to transient host contention (observed 4-10x inflation on
+    # a noisy run) and best-of-N under-reports steady-state cost; the
+    # median of three measurements is robust to one outlier in either
+    # direction, so round-over-round comparisons stop chasing noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 4)
 
     total = round(sum(times.values()), 4)
     print(

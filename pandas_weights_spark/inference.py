@@ -339,8 +339,16 @@ def weighted_info_panel(
         F.sum(m_an).alias("__wg__"),
         F.sum(m_an * xd).alias("__sg__"),
         F.sum(m_an * xd * xd).alias("__ssg__"),
+        # value range rides the SAME pass (r6): donated to the banded
+        # spine below as band bounds, shaving the separate min/max
+        # probe — the fifth raw read — from the plan
+        F.min(xd).alias("__xlo__"),
+        F.max(xd).alias("__xhi__"),
         F.grouping(cat_a).alias("__ga__"),
         F.grouping(cat_b).alias("__gb__"),
+    )
+    bounds = gs.agg(
+        F.min("__xlo__").alias("__lo__"), F.max("__xhi__").alias("__hi__")
     )
     ga, gb = F.col("__ga__"), F.col("__gb__")
     lvl_x = (ga == 0) & (gb == 1)
@@ -400,6 +408,7 @@ def weighted_info_panel(
     frame, cums, tots = _banded_cums(
         wdf, value, [],
         {"m": m_g, "s": m_g * xd, "a": ma, "b": mb}, bands=bands,
+        bounds=bounds,
     )
     fa = F.try_divide(F.col(cums["a"]), F.col(tots["a"]))
     fb = F.try_divide(F.col(cums["b"]), F.col(tots["b"]))

@@ -499,6 +499,7 @@ def _banded_cums(
     keys: Sequence[str],
     masses: dict,
     bands: int = 256,
+    bounds=None,
 ):
     """Shared banded-prefix engine: per-row INCLUSIVE cumulative sums
     (ties included, value order) of several named mass expressions over
@@ -510,14 +511,27 @@ def _banded_cums(
     over the whole group) generalized to N accumulators: band totals
     for ALL masses ride one aggregate, offsets + totals one tiny
     WindowExec, per-row cumulative sums one (keys, band) WindowExec.
+
+    ``bounds`` (r6, keyless only): a 1-row DataFrame carrying
+    ``__lo__``/``__hi__`` — lets a caller whose OWN aggregate already
+    scanned the data (e.g. :func:`~pandas_weights_spark.inference.
+    weighted_info_panel`'s grouping-sets pass) donate the min/max so
+    the band-range probe rides a ReusedExchange instead of a fifth
+    raw-relation read. Values are identical either way; only the plan
+    shrinks.
     """
     from pandas_weights_spark.groupby import _join_group_stats
 
     kcF = [F.col(k) for k in keys]
     x = wdf._value(col)
-    rng = wdf.df.groupBy(*kcF).agg(
-        F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
-    )
+    if bounds is not None:
+        if keys:
+            raise ValueError("bounds= is only supported without keys")
+        rng = bounds.select("__lo__", "__hi__")
+    else:
+        rng = wdf.df.groupBy(*kcF).agg(
+            F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
+        )
     if keys:
         base = _join_group_stats(wdf.df, rng, list(keys))
     else:

@@ -945,3 +945,121 @@ class TestStreamingNeardup:
             ).collect()
         }
         assert partners == {"7", "8"}
+
+
+class TestStreamingWeightQA:
+    def test_diagnostics_exact_batch_parity(self, spark, source_dir):
+        # r6 (VERDICT r5 item 8): the last emission per key must EQUAL
+        # calibration.weight_diagnostics on the full data — the state
+        # merge is associative moments, not an approximation
+        from pandas_weights_spark.calibration import weight_diagnostics
+        from pandas_weights_spark.streaming import (
+            streaming_weight_diagnostics,
+        )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(source_dir))
+        )
+        out = streaming_weight_diagnostics(stream, "Value", keys=["grp"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("swd")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.sql("SELECT * FROM swd").collect():
+            latest[r["grp"]] = r
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        exp = {
+            r["grp"]: r
+            for r in weight_diagnostics(
+                batch, "Value", by=["grp"]
+            ).collect()
+        }
+        assert set(latest) == set(exp)
+        for g in exp:
+            for c in ("n", "sum_w", "n_eff", "deff", "cv_w",
+                      "min_w", "max_w"):
+                assert latest[g][c] == pytest.approx(
+                    exp[g][c], rel=1e-12
+                ), (g, c)
+
+    def test_trim_params_match_batch_quantiles(self, spark, source_dir):
+        # digest-estimated bounds/ratio vs the batch exact trimmer —
+        # at these sizes the t-digest is near-exact
+        import numpy as np
+
+        from pandas_weights_spark.streaming import streaming_trim_params
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(source_dir))
+        )
+        out = streaming_trim_params(
+            stream, "Value", keys=["grp"], upper_q=0.9, lower_q=0.1,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stp")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.sql("SELECT * FROM stp").collect():
+            latest[r["grp"]] = r
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        ).collect()
+        by_g = {}
+        for r in batch:
+            v = r["Value"]
+            if v is not None and v > 0:
+                by_g.setdefault(r["grp"], []).append(float(v))
+        assert set(latest) == set(by_g)
+        for g, vals in by_g.items():
+            w = np.array(sorted(vals))
+            up_exact = float(np.quantile(w, 0.9))
+            lo_exact = float(np.quantile(w, 0.1))
+            row = latest[g]
+            span = float(w.max() - w.min()) or 1.0
+            assert abs(row["upper_bound"] - up_exact) / span < 0.1, g
+            assert abs(row["lower_bound"] - lo_exact) / span < 0.1, g
+            clip = np.clip(w, row["lower_bound"], row["upper_bound"])
+            assert row["sum_w"] == pytest.approx(w.sum(), rel=1e-12)
+            assert row["ratio"] == pytest.approx(
+                w.sum() / clip.sum(), rel=0.05
+            ), g
+            # trim-and-redistribute: ratio restores total mass
+            assert (clip * row["ratio"]).sum() == pytest.approx(
+                w.sum(), rel=0.05
+            )
+
+    def test_requires_keys(self, spark, source_dir):
+        from pandas_weights_spark.streaming import (
+            streaming_trim_params,
+            streaming_weight_diagnostics,
+        )
+
+        stream = spark.readStream.schema(SCHEMA).parquet(str(source_dir))
+        with pytest.raises(ValueError, match="key"):
+            streaming_weight_diagnostics(stream, "Value", keys=[])
+        with pytest.raises(ValueError, match="key"):
+            streaming_trim_params(stream, "Value", keys=[])
+        with pytest.raises(ValueError, match="upper_q"):
+            streaming_trim_params(
+                stream, "Value", keys=["grp"], upper_q=1.5
+            )
