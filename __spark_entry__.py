@@ -919,6 +919,48 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _q_quality_classifier(spark, sf_dir):
+    # r6: hashed-feature logistic-regression quality classifier
+    # (functions/classifier.py — the fastText/CCNet-style filter
+    # trainer). The iteration-0 gradient kernel is exact algebra over
+    # md5-hashed bucket counts — grad0[f] = Σ_docs (σ(0) − y)·count
+    # with y = doc_id % 2 — so it gets oracle rows: top-40 features by
+    # (|grad| desc, feature asc), the bucket ids replayed digit-for-
+    # digit via the uniform_hash BIGINT digit sum. The GD loop and
+    # scoring reuse these exact margins and are pinned by the numpy
+    # differential in tests/test_classifier.py.
+    from pyspark.sql import Window as _Wg
+
+    from pandas_weights_spark.functions.classifier import (
+        hashed_token_features,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    nf = 4096
+    feats = docs.select(
+        (F.col("doc_id") % 2).cast("double").alias("y"),
+        F.explode(
+            hashed_token_features(F.col("text"), n_features=nf)
+        ).alias("feature"),
+    )
+    grad = feats.groupBy("feature").agg(
+        F.sum(F.lit(0.5) - F.col("y")).alias("g")
+    )
+    # TakeOrdered cut FIRST, then the rank window over the 40-row
+    # result (the bpe/usd plan shape — never a global window)
+    top = grad.orderBy(
+        F.abs(F.col("g")).desc(), F.col("feature")
+    ).limit(40)
+    rk = F.row_number().over(
+        _Wg.orderBy(F.abs(F.col("g")).desc(), F.col("feature"))
+    )
+    return top.select(
+        "feature",
+        F.round(F.col("g"), 6).alias("grad"),
+        rk.cast("long").alias("rk"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     # exact dedup with synthetic duplicates: shifted exact copies must all
     # fold back onto the originals (min-id survivor policy)
@@ -5800,6 +5842,56 @@ _ORACLE["corr_cov_matrix"] = "\nUNION ALL\n".join(
 )
 
 
+def _md5_bucket_sql(expr: str, seed: int, n: int) -> str:
+    """BIGINT mirror of classifier.hashed_token_features' bucket id:
+    first 8 hex digits of md5(gram || '|' || seed) as an exact integer
+    digit sum, mod n — the int twin of sample.uniform_hash_sql."""
+    h = f"md5({expr} || '|' || '{seed}')"
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {n})"
+
+
+_ORACLE["quality_classifier"] = f"""
+    -- r6: iteration-0 gradient of the hashed-feature logistic
+    -- quality classifier — grad0[f] = Σ (0.5 − y)·count(doc, f) over
+    -- unigram+bigram md5 buckets, y = doc_id % 2
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t,
+             CAST(doc_id % 2 AS DOUBLE) AS y
+      FROM documents WHERE doc_id < 200
+    ), tok AS (
+      SELECT doc_id, y, string_split_regex(trim(t), '\\s+') AS w FROM d
+    ), uni AS (
+      SELECT y, unnest(w) AS g FROM tok
+    ), bi AS (
+      SELECT y,
+             unnest(CASE WHEN len(w) >= 2
+                         THEN [w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]
+                         ELSE [array_to_string(w, ' ')] END) AS g
+      FROM tok
+    ), grams AS (
+      SELECT y, g FROM uni WHERE g <> ''
+      UNION ALL
+      SELECT y, g FROM bi WHERE g <> ''
+    ), bkt AS (
+      SELECT y, {_md5_bucket_sql('g', 42, 4096)} AS feature FROM grams
+    ), gr AS (
+      SELECT feature, SUM(0.5 - y) AS g FROM bkt GROUP BY feature
+    )
+    SELECT feature, round(g, 6) AS grad, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT feature, g,
+             row_number() OVER (ORDER BY abs(g) DESC, feature) AS rk
+      FROM gr
+    ) WHERE rk <= 40
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_stats": _q_global_stats,
@@ -5852,6 +5944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": _q_session_agg,
         "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,
+        "quality_classifier": _q_quality_classifier,
     }
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "weighted_tests",      # Welch t (masked moments) + chi2 (grouping sets)
     "info_stats",          # ANOVA F + entropy + MI + Gini + KS panel
     "calibration",         # raking: 1 joint scan + driver IPF + row-local apply
+    "quality_classifier",  # hashed-feature logreg gradient kernel (r6)
 ]
 
 

@@ -1,0 +1,182 @@
+"""Hashed-feature logistic-regression quality classifier
+(functions/classifier.py) vs a transparent numpy implementation of the
+same full-batch GD on the same hashed features."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.classifier import (
+    hashed_token_features,
+    score_text_classifier,
+    train_text_classifier,
+)
+
+
+def _ref_bucket(gram: str, seed: int, n: int) -> int:
+    h = hashlib.md5(f"{gram}|{seed}".encode()).hexdigest()
+    return int(h[:8], 16) % n
+
+
+def _ref_features(text: str, n: int, seed: int = 42):
+    toks = text.lower().split()
+    grams = list(toks)
+    if len(toks) >= 2:
+        grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    elif toks:
+        grams += [" ".join(toks)]
+    return [_ref_bucket(g, seed, n) for g in grams if g != ""]
+
+
+def _ref_train(rows, n, iters, lr, l2):
+    w = np.zeros(n)
+    b = 0.0
+    feats = [(_ref_features(t, n), float(y)) for t, y in rows]
+    mass = float(len(feats))
+    for _ in range(iters):
+        g = np.zeros(n)
+        gb = 0.0
+        for ii, y in feats:
+            m = b + sum(w[i] for i in ii)
+            p = 1.0 / (1.0 + np.exp(-m))
+            r = p - y
+            for i in ii:
+                g[i] += r
+            gb += r
+        w = w - lr * (g / mass + l2 * w)
+        b = b - lr * (gb / mass)
+    return w, b
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(3)
+    good = "the quick analysis shows careful measured results".split()
+    bad = "click here buy now free casino winner jackpot".split()
+    rows = []
+    for i in range(120):
+        words = good if i % 2 else bad
+        rows.append((i, " ".join(rng.choices(words, k=10)), i % 2))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ), rows
+
+
+class TestHashedFeatures:
+    def test_buckets_match_reference(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Alpha beta gamma"), (1, "x"), (2, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id",
+                hashed_token_features(
+                    F.col("text"), n_features=1024
+                ).alias("f"),
+            ).collect()
+        }
+        assert got[0] == _ref_features("Alpha beta gamma", 1024)
+        assert got[1] == _ref_features("x", 1024)
+        assert got[2] == []  # empty text: all grams filtered
+
+    def test_null_text_stays_null(self, spark):
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        r = df.select(
+            hashed_token_features(F.col("text")).alias("f")
+        ).first()
+        assert r["f"] is None
+
+    def test_bucket_range(self, corpus):
+        df, _ = corpus
+        mx = df.select(
+            F.explode(
+                hashed_token_features(F.col("text"), n_features=256)
+            ).alias("f")
+        ).agg(F.max("f"), F.min("f")).first()
+        assert 0 <= mx[1] and mx[0] < 256
+
+
+class TestTraining:
+    def test_matches_numpy_reference(self, corpus):
+        df, rows = corpus
+        n = 1 << 10
+        m = train_text_classifier(
+            df, "text", "label", n_features=n, iters=5, lr=0.5,
+            l2=1e-4,
+        )
+        w_ref, b_ref = _ref_train(
+            [(t, y) for _, t, y in rows], n, 5, 0.5, 1e-4
+        )
+        np.testing.assert_allclose(m.weights, w_ref, atol=1e-9)
+        assert m.bias == pytest.approx(b_ref, abs=1e-9)
+
+    def test_loss_decreases_and_separates(self, corpus):
+        df, _ = corpus
+        m = train_text_classifier(
+            df, "text", "label", n_features=1 << 12, iters=10, lr=2.0
+        )
+        assert m.losses[0] == pytest.approx(np.log(2), rel=1e-6)
+        assert m.losses[-1] < m.losses[0] / 10
+        scored = score_text_classifier(df, "text", m).collect()
+        good = [r["quality_score"] for r in scored if r["label"] == 1]
+        bad = [r["quality_score"] for r in scored if r["label"] == 0]
+        assert min(good) > max(bad)
+        assert all(0.0 < s < 1.0 for s in good + bad)
+
+    def test_sample_weights_shift_the_boundary(self, spark):
+        # same text on both labels; upweighting label-1 rows must pull
+        # the bias (and so the score) above 1/2
+        df = spark.createDataFrame(
+            [(i, "same text here", i % 2, 9.0 if i % 2 else 1.0)
+             for i in range(40)],
+            "doc_id long, text string, label int, sw double",
+        )
+        m = train_text_classifier(
+            df, "text", "label", n_features=64, iters=30, lr=1.0,
+            weight=F.col("sw"),
+        )
+        s = score_text_classifier(
+            df.limit(1), "text", m
+        ).first()["quality_score"]
+        assert s > 0.8  # mass ratio 9:1 → p -> 0.9
+
+    def test_null_rows_carry_no_mass(self, spark):
+        df = spark.createDataFrame(
+            [(0, "good text", 1), (1, None, 0), (2, "bad text", None),
+             (3, "more good text", 1), (4, "awful words", 0)],
+            "doc_id long, text string, label int",
+        )
+        m = train_text_classifier(
+            df, "text", "label", n_features=256, iters=3, lr=1.0
+        )
+        assert len(m.losses) == 3  # trains on the 3 valid rows
+
+    def test_score_null_text_is_null(self, corpus, spark):
+        df, _ = corpus
+        m = train_text_classifier(
+            df, "text", "label", n_features=256, iters=2
+        )
+        nd = spark.createDataFrame(
+            [(0, None), (1, "quick analysis")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["quality_score"]
+            for r in score_text_classifier(nd, "text", m).collect()
+        }
+        assert got[0] is None and got[1] is not None
+
+    def test_deterministic(self, corpus):
+        df, _ = corpus
+        a = train_text_classifier(
+            df, "text", "label", n_features=512, iters=3
+        )
+        b = train_text_classifier(
+            df, "text", "label", n_features=512, iters=3
+        )
+        assert a.weights == b.weights and a.bias == b.bias
