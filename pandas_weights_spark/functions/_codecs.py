@@ -42,6 +42,8 @@ __all__ = [
     "decode_bmp",
     "decode_wav",
     "jpeg_dimensions",
+    "decode_jpeg",
+    "encode_jpeg",
     "resize_nearest",
     "dhash_bits",
 ]
@@ -339,6 +341,582 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
             return w, h, comps
         pos += 2 + seg_len
     raise ValueError("no SOF marker found in JPEG")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — pure stdlib + numpy, r6. Closes the last
+# documented codec boundary (r5 "What's missing" item 4: JPEG was
+# metadata-only without PIL). Sequential baseline DCT only: 8-bit
+# precision, Huffman entropy coding, grayscale or YCbCr with 4:4:4 /
+# 4:2:2 / 4:2:0 sampling, restart intervals. Progressive (SOF2) and
+# arithmetic coding raise with a clear message — PIL (when importable)
+# still upgrades those transparently via multimodal.DECODERS.
+# All constant tables below are from the public spec (Annex K).
+# ---------------------------------------------------------------------------
+
+#: zig-zag scan order (T.81 Figure 5): index i of the scan -> (row*8+col)
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K.1/K.2 example quantization tables (natural order)
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+#: Annex K.3 example Huffman tables as (bits[1..16], huffval)
+_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUMA_VALS = tuple(range(12))
+_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHROMA_VALS = tuple(range(12))
+_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: forward DCT = M @ X @ M.T,
+    inverse = M.T @ C @ M (T.81 A.3.3 with the orthonormal scaling)."""
+    k = np.arange(8)
+    M = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    M[0, :] *= 1.0 / np.sqrt(2.0)
+    return M
+
+
+_DCT_M = _dct_matrix()
+
+
+def _build_huffman_decode(bits, vals) -> dict:
+    """(code_length, code) -> symbol map per T.81 C.2 canonical order."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_encode(bits, vals) -> dict:
+    """symbol -> (code, length) — the encoder-side twin."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers
+    (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # EOI or another marker: pad with 1-bits (spec behavior)
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self):
+        """Consume the RSTn marker at the current byte position."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> ImageData:
+    """Baseline sequential JPEG decode to 8-bit pixels (grayscale → 1
+    channel, YCbCr → RGB 3 channels). Pure stdlib + numpy: marker
+    walk, canonical Huffman, dequantize + dezigzag, orthonormal 8×8
+    IDCT (two 8×8 matmuls per block), nearest-neighbor chroma
+    upsample, JFIF YCbCr→RGB. Progressive/arithmetic/12-bit raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    quant: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                for j in range(64):
+                    tbl[_ZIGZAG[j]] = seg[i + 1 + j]
+                quant[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = tuple(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = tuple(seg[i + 17 : i + 17 + nv])
+                tbl = _build_huffman_decode(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                "only baseline (SOF0/SOF1) JPEG supported — progressive/"
+                "arithmetic needs PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c : 3 + 2 * c]
+                sel[cs] = (tables >> 4, tables & 0xF)
+            return _decode_scan(
+                payload, pos + 2 + seg_len, frame, sel, quant,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("no SOS marker found in JPEG")
+
+
+def _decode_scan(
+    payload, start, frame, sel, quant, huff_dc, huff_ac, restart_interval
+) -> ImageData:
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    reader = _BitReader(payload, start)
+    pred = [0] * len(comps)
+    M, Mt = _DCT_M, _DCT_M.T
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                reader.align_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = sel[c["id"]]
+                q = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            blk = _decode_block(
+                                reader, huff_dc[dc_t], huff_ac[ac_t]
+                            )
+                        except _RestartMarker:
+                            raise ValueError(
+                                "unexpected restart marker (bad DRI?)"
+                            )
+                        pred[ci] += blk[0]
+                        blk[0] = pred[ci]
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[list(_ZIGZAG)] = blk
+                        pix = Mt @ (coef.reshape(8, 8) * q) @ M
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        # nearest-neighbor upsample to full resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return ImageData(w, h, 1, g.tobytes())
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(x), 0, 255) for x in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return ImageData(w, h, 3, rgb.tobytes())
+
+
+def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
+    blk = np.zeros(64, dtype=np.int64)
+    t = _huff_decode(reader, dc_table)
+    blk[0] = _extend(reader.receive(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        blk[k] = _extend(reader.receive(s), s)
+        k += 1
+    return blk
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _scale_quant(tbl: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg convention)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (tbl * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _encode_block(wr, blk, pred, dc_enc, ac_enc) -> int:
+    """Huffman-encode one quantized zig-zag block; returns its DC."""
+    diff = int(blk[0]) - pred
+    mag = abs(diff)
+    t = int(mag).bit_length()
+    code, ln = dc_enc[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    last = 63
+    while last > 0 and blk[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            wr.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_enc[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_enc[0x00]
+        wr.write(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(
+    img: ImageData,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (Annex K tables, IJG quality scaling) —
+    exists so the decoder is testable WITHOUT PIL and so the
+    multimodal pipeline can materialize thumbnails; 1-channel input
+    writes grayscale, 3-channel writes YCbCr at ``subsample`` 444 or
+    420. ``restart_interval`` > 0 emits DRI/RSTn every N MCUs."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    ch = img.channels
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg needs 1- or 3-channel input")
+    w, h = img.width, img.height
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            # average 2x2 chroma (pad odd edges by edge replication)
+            def down(p):
+                ph = p[: h + (h % 2), :]
+                if h % 2:
+                    ph = np.vstack([p, p[-1:, :]])
+                pw = ph
+                if w % 2:
+                    pw = np.hstack([ph, ph[:, -1:]])
+                return (
+                    pw[0::2, 0::2] + pw[1::2, 0::2]
+                    + pw[0::2, 1::2] + pw[1::2, 1::2]
+                ) / 4.0
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    ql = _scale_quant(_QUANT_LUMA, quality)
+    qc = _scale_quant(_QUANT_CHROMA, quality)
+    qtabs = [ql, qc] if ch == 3 else [ql]
+    qmats = [q.reshape(8, 8) for q in qtabs]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each plane to its MCU grid (edge replication)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcus_y * 8 * sv, mcus_x * 8 * sh
+        pp = np.empty((ph, pw))
+        src_h, src_w = p.shape
+        pp[:src_h, :src_w] = p
+        if src_h < ph:
+            pp[src_h:, :src_w] = p[-1:, :]
+        if src_w < pw:
+            pp[:, src_w:] = pp[:, src_w - 1 : src_w]
+        padded.append(pp - 128.0)
+    M, Mt = _DCT_M, _DCT_M.T
+    dc_l = _build_huffman_encode(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_huffman_encode(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_huffman_encode(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_huffman_encode(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    enc_tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for ti, q in enumerate(qtabs):
+        zz = bytes(int(q[_ZIGZAG[j]]) for j in range(64))
+        seg(0xDB, bytes([ti]) + zz)
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    seg(0xC0, sof)
+    for tc, th, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )[: 2 * (2 if nc == 3 else 1)]:
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        td = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (td << 4) | td])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    wr = _BitWriter()
+    pred = [0] * nc
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                wr.flush()
+                out.extend(wr.out)
+                wr = _BitWriter()
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                pred = [0] * nc
+            mcu_count += 1
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                qm = qmats[qids[ci]]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blkpix = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = M @ blkpix @ Mt
+                        qz = np.round(coef / qm).astype(np.int64)
+                        zz = qz.reshape(64)[list(_ZIGZAG)]
+                        dc_e, ac_e = enc_tabs[ci]
+                        pred[ci] = _encode_block(
+                            wr, zz, pred[ci], dc_e, ac_e
+                        )
+    wr.flush()
+    out.extend(wr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
 
 
 def resize_nearest(img: ImageData, width: int, height: int) -> ImageData:

@@ -183,7 +183,14 @@ def _wav_features(payload: bytes, dim: int) -> list[float]:
 
 
 def _jpeg_features(payload: bytes, dim: int) -> list[float]:
-    try:  # full pixel decode when PIL exists on the executor
+    try:
+        # r6: baseline JPEGs decode with the pure-numpy codec
+        # (_codecs.decode_jpeg) — environment-INDEPENDENT pixel
+        # features, no PIL needed
+        return image_feature_vector(_codecs.decode_jpeg(payload), dim)
+    except Exception:
+        pass
+    try:  # progressive/arithmetic: PIL when present on the executor
         from PIL import Image  # type: ignore
         import io as _io
 
@@ -195,7 +202,7 @@ def _jpeg_features(payload: bytes, dim: int) -> list[float]:
         return image_feature_vector(img, dim)
     except Exception:
         # not just ImportError: a valid SOF header with truncated or
-        # corrupt entropy data raises from PIL's decode — fall through
+        # corrupt entropy data raises from the decode — fall through
         # to the metadata + byte-histogram features either way, so the
         # output is environment-independent for broken payloads
         pass
@@ -417,11 +424,12 @@ def resize_media(
     """Arrow-batched media resize: adds ``out_col`` as a media struct with
     the target dimensions.
 
-    PNG and BMP payloads take the REAL pixel path: stdlib decode →
-    nearest-neighbor resample → PNG re-encode (output mime becomes
-    ``image/png``). The ``fake/`` mime family keeps its deterministic
-    truncate/cycle payload for oracle-friendly tests; other mimes
-    (JPEG without PIL, video) raise NotImplementedError.
+    PNG, BMP, and (r6) baseline-JPEG payloads take the REAL pixel
+    path: pure stdlib+numpy decode → nearest-neighbor resample → PNG
+    re-encode (output mime becomes ``image/png``). The ``fake/`` mime
+    family keeps its deterministic truncate/cycle payload for
+    oracle-friendly tests; other mimes (progressive JPEG without PIL,
+    video) raise NotImplementedError.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
@@ -454,12 +462,17 @@ def resize_media(
                     r["width"] = width
                     r["height"] = height
                     out.append(r)
-                elif payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"BM":
-                    img = (
-                        _codecs.decode_png(payload)
-                        if payload[:2] != b"BM"
-                        else _codecs.decode_bmp(payload)
-                    )
+                elif (
+                    payload[:8] == b"\x89PNG\r\n\x1a\n"
+                    or payload[:2] == b"BM"
+                    or payload[:2] == b"\xff\xd8"  # baseline JPEG (r6)
+                ):
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        img = _codecs.decode_png(payload)
+                    elif payload[:2] == b"BM":
+                        img = _codecs.decode_bmp(payload)
+                    else:
+                        img = _codecs.decode_jpeg(payload)
                     resized = _codecs.resize_nearest(img, width, height)
                     r = dict(m)
                     r["payload"] = _codecs.encode_png(resized)
@@ -469,8 +482,9 @@ def resize_media(
                     out.append(r)
                 else:
                     raise NotImplementedError(
-                        "resize of non-PNG/BMP media requires PIL/ffmpeg — "
-                        "plug a codec into resize_media"
+                        "resize of non-PNG/BMP/baseline-JPEG media "
+                        "requires PIL/ffmpeg — plug a codec into "
+                        "resize_media"
                     )
             yield pd.DataFrame(
                 {**{c: pdf[c] for c in pdf.columns}, out_col: out}
@@ -480,7 +494,9 @@ def resize_media(
 
 
 def _decode_image(payload: bytes, mime: str) -> "_codecs.ImageData":
-    """Payload → decoded raster, stdlib codecs first, PIL for JPEG."""
+    """Payload → decoded raster: stdlib/numpy codecs (PNG, BMP, and —
+    r6 — baseline JPEG), PIL only for what they can't express
+    (progressive/arithmetic JPEG, exotic formats)."""
     if mime.startswith("image/png") or payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _codecs.decode_png(payload)
     if (
@@ -489,6 +505,11 @@ def _decode_image(payload: bytes, mime: str) -> "_codecs.ImageData":
         or payload[:2] == b"BM"
     ):
         return _codecs.decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return _codecs.decode_jpeg(payload)
+        except ValueError:
+            pass  # progressive/arithmetic → PIL below
     from PIL import Image  # type: ignore
     import io as _io
 
@@ -511,10 +532,11 @@ def perceptual_hash(
     dedup.hamming_distance` and simhash use, so the whole Hamming
     toolchain applies).
 
-    Arrow-batched ``mapInPandas`` — linear scan, no shuffle. PNG/BMP
-    decode via the stdlib codecs; JPEG needs PIL on executors (absent →
-    per-row NULL under ``on_error="null"``, the default, since a
-    fingerprint from undecodable pixels would be meaningless).
+    Arrow-batched ``mapInPandas`` — linear scan, no shuffle. PNG/BMP/
+    baseline-JPEG decode via the pure stdlib+numpy codecs (r6 — no PIL
+    needed); progressive JPEG needs PIL on executors (absent → per-row
+    NULL under ``on_error="null"``, the default, since a fingerprint
+    from undecodable pixels would be meaningless).
     """
     if on_error not in ("raise", "null"):
         raise ValueError(

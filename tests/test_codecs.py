@@ -374,3 +374,165 @@ class TestSparkIntegration:
         img = C.decode_png(bytes(out[1]["payload"]))
         assert tuple(img.pixels[0:3]) == (255, 0, 0)
         assert tuple(img.pixels[6:9]) == (0, 255, 0)
+
+
+class TestJpegCodec:
+    """Baseline JPEG decode/encode (r6) — component math pinned against
+    independent numpy references; roundtrips bound the lossy error."""
+
+    @staticmethod
+    def _img(w, h, fn):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px.extend(fn(x, y))
+        return C.ImageData(w, h, 3, bytes(px))
+
+    @staticmethod
+    def _arr(img):
+        import numpy as np
+
+        return np.frombuffer(img.pixels, np.uint8).astype(int).reshape(
+            img.height, img.width, img.channels
+        )
+
+    def test_dct_matrix_matches_direct_formula(self):
+        # orthonormal DCT-II: C[u,v] = a(u)a(v)/4 ... pin the matrix
+        # form against the direct O(N^4) double sum on a random block
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(8, 8))
+        M = C._dct_matrix()
+        got = M @ X @ M.T
+        exp = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                au = 1 / np.sqrt(2) if u == 0 else 1.0
+                av = 1 / np.sqrt(2) if v == 0 else 1.0
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (
+                            X[x, y]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                exp[u, v] = au * av * s / 4.0
+        np.testing.assert_allclose(got, exp, atol=1e-12)
+        # and the inverse really inverts
+        np.testing.assert_allclose(M.T @ got @ M, X, atol=1e-12)
+
+    @pytest.mark.parametrize("subsample,q,tol_max,tol_mean", [
+        ("444", 95, 4, 1.0),
+        ("444", 75, 10, 2.5),
+        ("420", 95, 16, 3.0),
+        ("420", 75, 24, 4.0),
+    ])
+    def test_roundtrip_error_bounds(self, subsample, q, tol_max, tol_mean):
+        import numpy as np
+
+        img = self._img(
+            32, 24,
+            lambda x, y: (x * 8 % 256, y * 10 % 256, (x + y) * 4 % 256),
+        )
+        dec = C.decode_jpeg(
+            C.encode_jpeg(img, quality=q, subsample=subsample)
+        )
+        assert (dec.width, dec.height, dec.channels) == (32, 24, 3)
+        err = np.abs(self._arr(img) - self._arr(dec))
+        assert err.max() <= tol_max, err.max()
+        assert err.mean() <= tol_mean, err.mean()
+
+    def test_grayscale_roundtrip(self):
+        import numpy as np
+
+        g = C.ImageData(
+            16, 16, 1,
+            bytes(bytearray((x * 16 + y) % 256
+                            for y in range(16) for x in range(16))),
+        )
+        d = C.decode_jpeg(C.encode_jpeg(g, quality=95))
+        assert d.channels == 1 and (d.width, d.height) == (16, 16)
+        err = np.abs(
+            np.frombuffer(g.pixels, np.uint8).astype(int)
+            - np.frombuffer(d.pixels, np.uint8).astype(int)
+        )
+        assert err.max() <= 3
+
+    def test_restart_markers_roundtrip(self):
+        import numpy as np
+
+        img = self._img(40, 16, lambda x, y: (x * 6 % 256,) * 3)
+        data = C.encode_jpeg(img, quality=92, restart_interval=2)
+        assert b"\xff\xdd" in data  # DRI present
+        assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+        dec = C.decode_jpeg(data)
+        err = np.abs(self._arr(img) - self._arr(dec))
+        assert err.max() <= 6
+
+    def test_odd_dimensions_and_420_padding(self):
+        img = self._img(17, 13, lambda x, y: (x * 15 % 256, 200, y * 19 % 256))
+        d = C.decode_jpeg(C.encode_jpeg(img, quality=90, subsample="420"))
+        assert (d.width, d.height) == (17, 13)
+
+    def test_encode_deterministic(self):
+        img = self._img(16, 16, lambda x, y: ((x ^ y) * 16 % 256,) * 3)
+        assert C.encode_jpeg(img, 85) == C.encode_jpeg(img, 85)
+
+    def test_dimensions_helper_agrees(self):
+        img = self._img(24, 10, lambda x, y: (x, y, 0))
+        data = C.encode_jpeg(img, 80)
+        assert C.jpeg_dimensions(data) == (24, 10, 3)
+
+    def test_progressive_rejected(self):
+        img = self._img(8, 8, lambda x, y: (0, 0, 0))
+        data = bytearray(C.encode_jpeg(img, 80))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            C.decode_jpeg(bytes(data))
+
+    def test_jpeg_features_use_real_pixels_without_pil(self):
+        # a constant-color JPEG: channel means in the feature vector
+        # must reflect the actual pixel values, not byte histograms
+        img = self._img(16, 16, lambda x, y: (200, 50, 100))
+        feats = MM._jpeg_features(C.encode_jpeg(img, 95), 12)
+        assert feats[0] == approx(math.log1p(16))
+        assert feats[2] == 3.0
+        # layout: [log w, log h, ch, aspect, (mean, std)/255 per ch]
+        assert feats[4] == pytest.approx(200 / 255, abs=0.02)
+        assert feats[6] == pytest.approx(50 / 255, abs=0.02)
+
+    def test_perceptual_hash_jpeg_vs_png_consistent(self, spark):
+        # same scene through PNG (lossless) and JPEG (q95): dHash bits
+        # must agree within a couple of borderline cells — the phash
+        # pipeline now fingerprints JPEG corpora without PIL
+        img = self._img(32, 32, lambda x, y: ((x // 4) * 32 % 256,) * 3)
+        png, jpg = C.encode_png(img), C.encode_jpeg(img, quality=95)
+        df = spark.createDataFrame(
+            [(1, bytearray(png), "image/png"),
+             (2, bytearray(jpg), "image/jpeg")],
+            "id long, payload binary, mime string",
+        ).select(
+            "id",
+            MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+        )
+        out = {r["id"]: r["phash"]
+               for r in MM.perceptual_hash(df, "media").collect()}
+        assert out[1] is not None and out[2] is not None
+        ham = sum(a != b for a, b in zip(out[1], out[2]))
+        assert ham <= 2, (ham, out)
+
+    def test_resize_media_handles_jpeg(self, spark):
+        img = self._img(32, 16, lambda x, y: (x * 8 % 256, 0, y * 16 % 256))
+        df = spark.createDataFrame(
+            [(1, bytearray(C.encode_jpeg(img, 90)), "image/jpeg")],
+            "id long, payload binary, mime string",
+        ).select(
+            "id",
+            MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+        )
+        out = MM.resize_media(df, "media", 8, 8).collect()[0]["resized"]
+        assert out["width"] == 8 and out["height"] == 8
+        assert bytes(out["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
