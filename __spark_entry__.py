@@ -919,6 +919,32 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _q_mixture_sample(spark, sf_dir):
+    # r6: DoReMi-style static domain re-mixing (sample.mixture_
+    # materialize): absolute mass targets per l_returnflag domain over
+    # the l_quantity token proxy — A upsamples across epochs, N/R
+    # thin. Fully deterministic (md5 uniform keyed on (orderkey,
+    # linenumber, epoch)), so the oracle replays the whole
+    # materialization row-for-row: per-domain mass agg → repeat factor
+    # → epoch fan-out → hash filter. Quantities are integral doubles,
+    # so the mass sums are summation-order-exact across engines.
+    from pandas_weights_spark.sample import mixture_materialize
+
+    li = _li(spark, sf_dir)
+    out = mixture_materialize(
+        li, "l_returnflag",
+        {"A": 1_000_000.0, "N": 150_000.0, "R": 75_000.0},
+        ["l_orderkey", "l_linenumber"],
+        weight=F.col("l_quantity"),
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("dom"),
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     # r6: hashed-feature logistic-regression quality classifier
     # (functions/classifier.py — the fastText/CCNet-style filter
@@ -5855,6 +5881,42 @@ def _md5_bucket_sql(expr: str, seed: int, n: int) -> str:
     return f"(({terms}) % {n})"
 
 
+from pandas_weights_spark.sample import uniform_hash_sql as _uh_sql
+
+_ORACLE["mixture_sample"] = f"""
+    -- r6: full replay of sample.mixture_materialize — per-domain mass
+    -- -> repeat factor k = target/mass -> epoch fan-out 0..floor(k)
+    -- -> keep full epochs + the partial one under the md5 uniform
+    WITH m AS (
+      SELECT l_returnflag AS d,
+             SUM(CASE WHEN l_quantity > 0 THEN l_quantity
+                      ELSE 0 END) AS mass
+      FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+      GROUP BY 1
+    ), k AS (
+      SELECT d,
+             (CASE d WHEN 'A' THEN 1000000.0
+                     WHEN 'N' THEN 150000.0
+                     ELSE 75000.0 END) / mass AS k
+      FROM m
+    ), f AS (
+      -- LATERAL-unnest form: the SELECT-list unnest alias trips a
+      -- DuckDB internal binder error when the downstream WHERE
+      -- references it together with k; the lateral form binds fine
+      SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag AS dom, k.k,
+             u.epoch
+      FROM lineitem l JOIN k ON l.l_returnflag = k.d,
+           LATERAL unnest(generate_series(
+               0, CAST(floor(k.k) AS INT))) AS u(epoch)
+    )
+    SELECT l_orderkey, l_linenumber, dom, CAST(epoch AS BIGINT) AS epoch
+    FROM f
+    WHERE epoch < CAST(floor(k) AS INT)
+       OR {_uh_sql(['l_orderkey', 'l_linenumber', 'epoch'], 42)}
+          < k - floor(k)
+"""
+
+
 _ORACLE["quality_classifier"] = f"""
     -- r6: iteration-0 gradient of the hashed-feature logistic
     -- quality classifier — grad0[f] = Σ (0.5 − y)·count(doc, f) over
@@ -5945,6 +6007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,
         "quality_classifier": _q_quality_classifier,
+        "mixture_sample": _q_mixture_sample,
     }
 
 

@@ -87,6 +87,7 @@ HEADLINE = [
     "info_stats",          # ANOVA F + entropy + MI + Gini + KS panel
     "calibration",         # raking: 1 joint scan + driver IPF + row-local apply
     "quality_classifier",  # hashed-feature logreg gradient kernel (r6)
+    "mixture_sample",      # domain re-mixing epoch materialization (r6)
 ]
 
 

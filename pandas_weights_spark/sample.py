@@ -40,6 +40,7 @@ __all__ = [
     "uniform_hash",
     "temperature_rates",
     "temperature_sample",
+    "mixture_materialize",
     "weighted_sample",
     "poisson_sample",
     "stratified_sample",
@@ -360,3 +361,108 @@ def temperature_sample(
         "inner",
     )
     return joined.where(u < F.col("__p__")).drop("__pw_tsg__", "__p__")
+
+
+def mixture_materialize(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict,
+    key_cols: Sequence[str],
+    weight: Optional[Column] = None,
+    seed: int = 42,
+    max_repeat: float = 64.0,
+) -> DataFrame:
+    """STATIC domain re-mixing to absolute mass targets — the
+    materialization step of a DoReMi/GPT-style data-mixture recipe
+    (public literature: domain weights are decided elsewhere; this
+    turns "give me X tokens of domain d" into an actual corpus).
+    For each domain ``d`` with available mass ``A_d`` (Σ ``weight``,
+    default 1/row — pass token counts to budget in tokens) and target
+    ``T_d``, the repeat factor ``k_d = T_d / A_d`` materializes every
+    row ``⌊k_d⌋`` times plus one more with probability ``frac(k_d)``
+    — exact in expectation for UPSAMPLING (epochs over the domain,
+    the standard practice) and plain Bernoulli thinning for
+    ``k_d ≤ 1``. Output = input schema + ``epoch`` (0-based copy
+    index). Domains absent from ``targets`` drop entirely.
+
+    Deterministic: the partial copy keeps iff
+    ``uniform_hash(key_cols…, epoch, seed) < frac(k_d)`` — the
+    md5-uniform contract shared with :func:`poisson_sample`, so the
+    materialized corpus is identical under any partitioning and
+    SQL-oracle-replayable.
+
+    Scale shape: ONE tiny per-domain mass aggregate (collected —
+    bounded by ``len(targets)``, validated against ``max_repeat``
+    there), then a pure map: broadcast-joined rates, a row-local
+    ``sequence``/``explode`` fan-out of ``⌈k_d⌉`` epochs, and the
+    hash filter. No data-sized shuffle anywhere.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one domain")
+    for d, t in targets.items():
+        if t is None or float(t) < 0:
+            raise ValueError(f"target for domain {d!r} must be >= 0")
+    w = weight if weight is not None else F.lit(1.0)
+    w = w.cast("double")
+    m = F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+    dom = F.col(domain_col)
+    masses = {
+        r["d"]: float(r["mass"])
+        for r in df.where(
+            dom.isin(list(targets)) if None not in targets
+            else (dom.isin([d for d in targets if d is not None])
+                  | dom.isNull())
+        )
+        .groupBy(dom.alias("d"))
+        .agg(F.sum(m).alias("mass"))
+        .collect()
+    }
+    rates = {}
+    for d, t in targets.items():
+        a = masses.get(d, 0.0)
+        if a <= 0:
+            if float(t) > 0:
+                raise ValueError(
+                    f"domain {d!r} has no available mass but a positive "
+                    f"target {t}"
+                )
+            continue
+        k = float(t) / a
+        if k > max_repeat:
+            raise ValueError(
+                f"domain {d!r} needs repeat factor {k:.1f} > "
+                f"max_repeat={max_repeat} — raise max_repeat explicitly "
+                "if you really want that many epochs"
+            )
+        rates[d] = k
+    if not rates:
+        return df.where(F.lit(False)).withColumn(
+            "epoch", F.lit(0).cast("int")
+        )
+    k_expr = None
+    for d, k in sorted(rates.items(), key=lambda kv: str(kv[0])):
+        cond = dom.isNull() if d is None else (dom == F.lit(d))
+        k_expr = (
+            F.when(cond, F.lit(k)) if k_expr is None
+            else k_expr.when(cond, F.lit(k))
+        )
+    k_col = k_expr.otherwise(F.lit(None).cast("double"))
+    reps = F.floor(k_col).cast("int")
+    frac = k_col - F.floor(k_col)
+    fanned = (
+        df.withColumn("__pw_k__", k_col)
+        .where(F.col("__pw_k__").isNotNull())
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor(F.col("__pw_k__")).cast("int")
+                )
+            ),
+        )
+    )
+    u = uniform_hash(
+        [F.col(c) for c in key_cols] + [F.col("epoch")], seed
+    )
+    keep = (F.col("epoch") < reps) | (u < frac)
+    return fanned.where(keep).drop("__pw_k__")

@@ -365,3 +365,99 @@ def test_temperature_sample_preserves_user_group_column(spark):
     out = temperature_sample(df, "lang", 30, ["id"])
     assert set(out.columns) == {"id", "lang", "group"}
     assert out.count() > 0
+
+
+class TestMixtureMaterialize:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(i, "abc"[i % 3], float(i % 5 + 1)) for i in range(900)],
+            "id long, dom string, tok double",
+        )
+
+    def test_targets_hit_in_expectation(self, corpus):
+        from pandas_weights_spark.sample import mixture_materialize
+
+        out = mixture_materialize(
+            corpus, "dom", {"a": 2400.0, "b": 300.0}, ["id"],
+            weight=F.col("tok"),
+        )
+        got = {
+            r["dom"]: (r["m"], r["maxep"])
+            for r in out.groupBy("dom").agg(
+                F.sum("tok").alias("m"), F.max("epoch").alias("maxep")
+            ).collect()
+        }
+        # each domain has 300 rows, mass 900: a upsamples ~2.67x with
+        # epochs 0..2, b thins to ~1/3, c (untargeted) drops
+        assert set(got) == {"a", "b"}
+        assert got["a"][0] == pytest.approx(2400.0, rel=0.1)
+        assert got["a"][1] == 2
+        assert got["b"][0] == pytest.approx(300.0, rel=0.25)
+        assert got["b"][1] == 0
+
+    def test_full_epochs_always_materialize(self, corpus):
+        from pandas_weights_spark.sample import mixture_materialize
+
+        out = mixture_materialize(
+            corpus, "dom", {"a": 1800.0}, ["id"], weight=F.col("tok"),
+        )
+        # k = 2.0 exactly: every 'a' row appears at epochs 0 and 1;
+        # epoch 2 (frac = 0) never
+        per = out.groupBy("id").count().collect()
+        assert all(r["count"] == 2 for r in per)
+        assert out.agg(F.max("epoch")).first()[0] == 1
+
+    def test_deterministic_under_repartition(self, corpus):
+        from pandas_weights_spark.sample import mixture_materialize
+
+        t = {"a": 2000.0, "c": 450.0}
+        a = sorted(
+            (r["id"], r["epoch"])
+            for r in mixture_materialize(
+                corpus, "dom", t, ["id"], weight=F.col("tok")
+            ).collect()
+        )
+        b = sorted(
+            (r["id"], r["epoch"])
+            for r in mixture_materialize(
+                corpus.repartition(13), "dom", t, ["id"],
+                weight=F.col("tok"),
+            ).collect()
+        )
+        assert a == b
+
+    def test_guards(self, corpus, spark):
+        from pandas_weights_spark.sample import mixture_materialize
+
+        with pytest.raises(ValueError, match="at least one"):
+            mixture_materialize(corpus, "dom", {}, ["id"])
+        with pytest.raises(ValueError, match=">= 0"):
+            mixture_materialize(corpus, "dom", {"a": -1.0}, ["id"])
+        with pytest.raises(ValueError, match="max_repeat"):
+            mixture_materialize(
+                corpus, "dom", {"a": 1e9}, ["id"], weight=F.col("tok"),
+            )
+        with pytest.raises(ValueError, match="no available mass"):
+            mixture_materialize(corpus, "dom", {"zzz": 10.0}, ["id"])
+        # zero target for a missing domain is fine (vacuous)
+        out = mixture_materialize(
+            corpus, "dom", {"zzz": 0.0, "a": 100.0}, ["id"],
+            weight=F.col("tok"),
+        )
+        assert out.where(F.col("dom") != "a").count() == 0
+
+    def test_null_domain_targetable(self, spark):
+        from pandas_weights_spark.sample import mixture_materialize
+
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, "x", 1.0), (3, None, 1.0)],
+            "id long, dom string, tok double",
+        )
+        out = mixture_materialize(
+            df, "dom", {None: 4.0}, ["id"], weight=F.col("tok")
+        ).collect()
+        # k = 2.0 for the NULL domain: both NULL rows twice, 'x' drops
+        assert sorted((r["id"], r["epoch"]) for r in out) == [
+            (1, 0), (1, 1), (3, 0), (3, 1)
+        ]

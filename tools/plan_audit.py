@@ -53,6 +53,10 @@ ALLOW = {
     # bounded by range/rule — resample.py docstring) and crosses the
     # 1-row grand phase mean
     "resample_rules": {"global-window", "bnl-cross"},
+    # r6: the gradient-kernel rank window runs over the 40-row
+    # TakeOrderedAndProject-limited cut (the tfidf/bpe/usd plan shape
+    # — the limit executes BEFORE the window, visible in the plan)
+    "quality_classifier": {"global-window"},
 }
 
 _GLOBAL_WINDOW = re.compile(

@@ -237,6 +237,39 @@ def main() -> int:
     print(f"{'pca_project 64d -> 16':28s} {dt:7.2f}s  "
           f"({vec_n / dt / 1e6:6.1f} M vecs/s)")
 
+    # round-6 op families: repeated-span removal over 1/5 corpus,
+    # driver-local BPE at a real merge count, the unigram-LM seed
+    # aggregate, and 3 GD iterations of the hashed-feature classifier
+    from pandas_weights_spark.functions.classifier import (
+        train_text_classifier,
+    )
+    from pandas_weights_spark.functions.dedup import remove_duplicate_spans
+    from pandas_weights_spark.functions.vocab import unigram_seed_table
+
+    dbench("span_removal (1/5)", lambda: remove_duplicate_spans(
+        corpus.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        chunk_tokens=64, overlap=16, threshold=0.8), int(docs_n / 5))
+    t0 = time.perf_counter()
+    _m2, segs2 = train_bpe(
+        docs, "text", num_merges=1000, min_frequency=1.0, mode="local"
+    )
+    segs2.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'bpe_train local 1000':28s} {dt:7.2f}s  "
+          f"({docs_n / dt / 1e3:6.1f} K docs/s)")
+    dbench("unigram_seed_table", lambda: unigram_seed_table(
+        docs, "text", max_piece_len=6, seed_size=100_000), docs_n)
+    labeled = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2).alias("label")
+    )
+    t0 = time.perf_counter()
+    train_text_classifier(
+        labeled, "text", "label", n_features=1 << 16, iters=3, lr=1.0
+    )
+    dt = time.perf_counter() - t0
+    print(f"{'classifier 3 GD iters':28s} {dt:7.2f}s  "
+          f"({3 * docs_n / dt / 1e3:6.1f} K doc-passes/s)")
+
     spark.stop()
     return 0
 
