@@ -44,6 +44,8 @@ __all__ = [
     "jpeg_dimensions",
     "decode_jpeg",
     "encode_jpeg",
+    "mp4_metadata",
+    "spectral_features",
     "resize_nearest",
     "dhash_bits",
 ]
@@ -955,3 +957,175 @@ def dhash_bits(img: ImageData, hash_size: int = 8) -> str:
     lum = a[:, :, : min(ch, 3)].sum(axis=2, dtype=np.int64)
     bits = lum[:, 1:] > lum[:, :-1]
     return "".join("1" if b else "0" for b in bits.flatten())
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container metadata (r6) — pure struct box walk, no
+# ffmpeg: the "video as opaque binary with typed metadata" contract
+# gets REAL duration / track / dimension metadata out of the container
+# (frame pixel decode still needs a real video stack — that boundary
+# stays documented). Box grammar per ISO/IEC 14496-12 (public spec):
+# [size u32][type 4cc][payload], size 1 → 64-bit largesize follows.
+# ---------------------------------------------------------------------------
+
+#: container boxes whose payload is a sequence of child boxes
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return  # corrupt size: stop walking, keep what we have
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Parse MP4/ISO-BMFF container metadata: ``{brand, duration_ms,
+    n_tracks, width, height, has_video, has_audio}``. Width/height come
+    from the first video track's ``tkhd`` (16.16 fixed point); duration
+    from ``mvhd`` (version 0 and 1). Raises ``ValueError`` when the
+    payload has no ``ftyp``/``moov`` structure."""
+    n = len(payload)
+    brand = None
+    duration_ms = None
+    n_tracks = 0
+    width = height = None
+    has_video = has_audio = False
+    saw_moov = False
+
+    def walk(start: int, end: int, in_trak: bool, ctx: dict):
+        nonlocal brand, duration_ms, n_tracks, width, height
+        nonlocal has_video, has_audio, saw_moov
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            body = payload[b0:b1]
+            if btype == b"ftyp" and len(body) >= 4:
+                brand = body[:4].decode("ascii", "replace")
+            elif btype == b"moov":
+                saw_moov = True
+                walk(b0, b1, False, ctx)
+            elif btype == b"mvhd" and len(body) >= 20:
+                ver = body[0]
+                if ver == 1 and len(body) >= 28:
+                    ts, dur = struct.unpack(">IQ", body[20:32])
+                else:
+                    ts, dur = struct.unpack(">II", body[12:20])
+                if ts:
+                    duration_ms = int(dur * 1000 // ts)
+            elif btype == b"trak":
+                n_tracks += 1
+                tctx = {"w": None, "h": None}
+                walk(b0, b1, True, tctx)
+            elif btype == b"tkhd" and in_trak and len(body) >= 84:
+                ver = body[0]
+                # width/height are the LAST 8 bytes of the box: v0
+                # body is 84 bytes, v1 is 96 (T.14496-12 8.3.2)
+                off = 96 if ver == 1 else 84
+                if len(body) >= off:
+                    w16, h16 = struct.unpack(
+                        ">II", body[off - 8 : off]
+                    )
+                    ctx["w"] = w16 >> 16
+                    ctx["h"] = h16 >> 16
+            elif btype == b"mdia":
+                walk(b0, b1, in_trak, ctx)
+            elif btype == b"hdlr" and in_trak and len(body) >= 12:
+                handler = body[8:12]
+                if handler == b"vide":
+                    has_video = True
+                    if ctx.get("w"):
+                        width = width or ctx["w"]
+                        height = height or ctx["h"]
+                elif handler == b"soun":
+                    has_audio = True
+            elif btype in _MP4_CONTAINERS:
+                walk(b0, b1, in_trak, ctx)
+
+    walk(0, n, False, {})
+    if brand is None and not saw_moov:
+        raise ValueError("not an MP4/ISO-BMFF payload (no ftyp/moov)")
+    return {
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "has_video": has_video,
+        "has_audio": has_audio,
+    }
+
+
+def spectral_features(
+    audio: "AudioData", n_fft: int = 256, hop: int = 128
+) -> dict:
+    """Frame-averaged spectral descriptors of decoded PCM — the real
+    DSP layer over :func:`decode_wav` (numpy rfft; deterministic):
+    ``centroid_hz`` (amplitude-weighted mean frequency), ``bandwidth_hz``
+    (weighted std around the centroid), ``rolloff_hz`` (85 % energy
+    point), ``flux`` (mean L2 frame-to-frame magnitude change,
+    normalized), ``flatness`` (geometric/arithmetic mean ratio — 1 for
+    white noise, →0 for pure tones). Multi-channel input averages to
+    mono first. Short signals (< n_fft samples) zero-pad one frame.
+    """
+    if n_fft < 8 or hop < 1:
+        raise ValueError("n_fft must be >= 8 and hop >= 1")
+    # AudioData.samples is already a mono mix-down (class contract)
+    x = np.asarray(audio.samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / audio.rate)
+    tot = mag.sum(axis=1)
+    ok = tot > 0
+    centroid = np.zeros(n_frames)
+    bw = np.zeros(n_frames)
+    roll = np.zeros(n_frames)
+    if ok.any():
+        centroid[ok] = (mag[ok] * freqs[None, :]).sum(axis=1) / tot[ok]
+        bw[ok] = np.sqrt(
+            (mag[ok] * (freqs[None, :] - centroid[ok, None]) ** 2).sum(
+                axis=1
+            )
+            / tot[ok]
+        )
+        energy = mag[ok] ** 2
+        cume = np.cumsum(energy, axis=1)
+        target = 0.85 * cume[:, -1:]
+        roll_idx = (cume >= target).argmax(axis=1)
+        roll[ok] = freqs[roll_idx]
+    if n_frames > 1:
+        d = np.diff(mag, axis=0)
+        denom = np.linalg.norm(mag[:-1], axis=1)
+        denom = np.where(denom > 0, denom, 1.0)
+        flux = float((np.linalg.norm(d, axis=1) / denom).mean())
+    else:
+        flux = 0.0
+    eps = 1e-12
+    p = mag**2 + eps
+    flat = float(
+        np.exp(np.log(p).mean(axis=1)).mean() / (p.mean(axis=1)).mean()
+    )
+    return {
+        "centroid_hz": float(centroid[ok].mean()) if ok.any() else 0.0,
+        "bandwidth_hz": float(bw[ok].mean()) if ok.any() else 0.0,
+        "rolloff_hz": float(roll[ok].mean()) if ok.any() else 0.0,
+        "flux": flux,
+        "flatness": flat,
+        "n_frames": int(n_frames),
+    }

@@ -3,16 +3,17 @@ with typed metadata (SURVEY.md §2.6 north-star extension).
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partition-size
 control — is real and tested, and so is the decode path: PNG / BMP /
-WAV payloads are decoded by the pure-stdlib codecs in
-:mod:`pandas_weights_spark.functions._codecs` (zlib inflate + full PNG
-filter reconstruction, BMP pixel walk, RIFF PCM), producing feature
-vectors from actual pixel/sample statistics. JPEG gets real
-width/height/components from its SOF marker plus byte-level features
-(full pixel decode needs an entropy decoder; if PIL is importable on
-the executor it is used transparently). Video decode genuinely needs
-ffmpeg and raises ``NotImplementedError`` until one is plugged into
-:data:`DECODERS`; ``deterministic_fake`` remains as the seeded,
-oracle-mirrorable test path.
+WAV / baseline-JPEG payloads are decoded by the pure-stdlib+numpy
+codecs in :mod:`pandas_weights_spark.functions._codecs` (zlib inflate
++ full PNG filter reconstruction, BMP pixel walk, RIFF PCM, and — r6 —
+a real baseline JPEG entropy decoder with Huffman + IDCT), producing
+feature vectors from actual pixel/sample statistics; progressive JPEG
+upgrades transparently through PIL when importable. MP4/MOV containers
+(r6) parse real duration/track/dimension metadata via the ISO-BMFF box
+walk; frame PIXEL decode genuinely needs ffmpeg and raises
+``NotImplementedError`` until one is plugged into :data:`DECODERS`;
+``deterministic_fake`` remains as the seeded, oracle-mirrorable test
+path.
 
 Scale notes:
 * Decode runs in ``mapInPandas`` (Arrow-batched, no shuffle). Batches of
@@ -48,6 +49,7 @@ __all__ = [
     "resize_media",
     "perceptual_hash",
     "image_near_duplicates",
+    "spectral_audio_features",
 ]
 
 #: Canonical schema for a multimodal column: payload + typed metadata.
@@ -216,6 +218,23 @@ def _jpeg_features(payload: bytes, dim: int) -> list[float]:
     return _byte_histogram_features(payload, head, dim)
 
 
+def _mp4_features(payload: bytes, dim: int) -> list[float]:
+    """Container-metadata features for MP4/MOV (r6): real duration/
+    track/dimension metadata from the ISO-BMFF box walk + the honest
+    byte-histogram tail — frame PIXEL decode still needs a video
+    stack (the documented boundary; plug one into DECODERS)."""
+    m = _codecs.mp4_metadata(payload)
+    head = [
+        math.log1p(m["duration_ms"] or 0),
+        float(m["n_tracks"]),
+        float(m["width"] or 0),
+        float(m["height"] or 0),
+        1.0 if m["has_video"] else 0.0,
+        1.0 if m["has_audio"] else 0.0,
+    ]
+    return _byte_histogram_features(payload, head, dim)
+
+
 def _generic_image_features(payload: bytes, dim: int) -> list[float]:
     """Dispatch on magic bytes for untyped 'image/*' mimes; PIL when
     importable, else the stdlib codecs, else a clear error."""
@@ -266,6 +285,8 @@ DECODERS: dict[str, Callable] = {
     "audio/x-wav": _wav_features,
     "audio/wave": _wav_features,
     "audio/": _unavailable("ffmpeg/torchaudio (non-WAV audio)"),
+    "video/mp4": lambda payload, dim: _mp4_features(payload, dim),
+    "video/quicktime": lambda payload, dim: _mp4_features(payload, dim),
     "video/": _unavailable("ffmpeg"),
 }
 
@@ -370,6 +391,10 @@ def probe_media(
             if payload[:2] == b"\xff\xd8":
                 w, h, comps = _codecs.jpeg_dimensions(payload)
                 return ("jpeg", w, h, comps, None, None)
+            if payload[4:8] == b"ftyp" or payload[4:8] == b"moov":
+                m = _codecs.mp4_metadata(payload)
+                return ("mp4", m["width"], m["height"], m["n_tracks"],
+                        None, m["duration_ms"])
         except Exception:
             return None
         return None
@@ -651,3 +676,81 @@ def image_near_duplicates(
             F.col("__pa__"), F.col("__pb__"), bits=nbits
         ).alias("hamming"),
     ).where(F.col("hamming") <= max_distance)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("bandwidth_hz", T.DoubleType()),
+        T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("flux", T.DoubleType()),
+        T.StructField("flatness", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def spectral_audio_features(
+    df: DataFrame,
+    media_col: str,
+    out_col: str = "spectral",
+    n_fft: int = 256,
+    hop: int = 128,
+    batch_size: int = 64,
+    on_error: str = "null",
+) -> DataFrame:
+    """Spectral descriptors for WAV payloads (r6): adds ``out_col`` as
+    a struct of frame-averaged ``centroid_hz / bandwidth_hz /
+    rolloff_hz / flux / flatness / n_frames``
+    (:func:`~pandas_weights_spark.functions._codecs.spectral_features`
+    — numpy rfft over Hann-windowed frames, deterministic). Non-WAV or
+    undecodable payloads yield NULL under ``on_error="null"``.
+
+    Arrow-batched ``mapInPandas`` — linear scan, no shuffle; FFT is a
+    genuine no-SQL-analog kernel (the sanctioned Python surface),
+    pinned by direct-numpy differentials in tests/test_codecs.py.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null', got {on_error!r}"
+        )
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, SPECTRAL_SCHEMA)]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                if m is None or m.get("payload") is None:
+                    rows.append(None)
+                    continue
+                payload = bytes(m["payload"])
+                try:
+                    if not (
+                        payload[:4] == b"RIFF"
+                        and payload[8:12] == b"WAVE"
+                    ):
+                        raise ValueError("not a WAV payload")
+                    a = _codecs.decode_wav(payload)
+                    s = _codecs.spectral_features(a, n_fft, hop)
+                    rows.append((
+                        s["centroid_hz"], s["bandwidth_hz"],
+                        s["rolloff_hz"], s["flux"], s["flatness"],
+                        s["n_frames"],
+                    ))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append(None)
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in pdf.columns}, out_col: rows}
+            )
+
+    return df.mapInPandas(run, out_schema)

@@ -536,3 +536,169 @@ class TestJpegCodec:
         out = MM.resize_media(df, "media", 8, 8).collect()[0]["resized"]
         assert out["width"] == 8 and out["height"] == 8
         assert bytes(out["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _mp4_bytes(
+    dur_ts=90000, timescale=30000, w=640, h=360, audio=True, version=0
+):
+    """Minimal ISO-BMFF fixture built BY HAND (independent of the
+    parser under test): ftyp + moov(mvhd, video trak, audio trak)."""
+    if version:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, dur_ts
+        ) + b"\x00" * 80
+    else:
+        mvhd = bytes(12) + struct.pack(">II", timescale, dur_ts) + b"\x00" * 80
+    tkhd = bytes(84 - 8) + struct.pack(">II", w << 16, h << 16)
+    hdlr_v = bytes(8) + b"vide" + bytes(12)
+    vtrak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd) + _box(b"mdia", _box(b"hdlr", hdlr_v)),
+    )
+    parts = _box(b"mvhd", mvhd) + vtrak
+    if audio:
+        hdlr_a = bytes(8) + b"soun" + bytes(12)
+        parts += _box(b"trak", _box(b"mdia", _box(b"hdlr", hdlr_a)))
+    return _box(b"ftyp", b"isom" + bytes(8)) + _box(b"moov", parts)
+
+
+class TestMp4Metadata:
+    def test_parses_duration_tracks_dimensions(self):
+        m = C.mp4_metadata(_mp4_bytes())
+        assert m["brand"] == "isom"
+        assert m["duration_ms"] == 3000  # 90000 / 30000 ts = 3 s
+        assert m["n_tracks"] == 2
+        assert (m["width"], m["height"]) == (640, 360)
+        assert m["has_video"] and m["has_audio"]
+
+    def test_version1_mvhd(self):
+        m = C.mp4_metadata(_mp4_bytes(version=1))
+        assert m["duration_ms"] == 3000
+
+    def test_video_only(self):
+        m = C.mp4_metadata(_mp4_bytes(audio=False))
+        assert m["n_tracks"] == 1
+        assert m["has_video"] and not m["has_audio"]
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError, match="ftyp"):
+            C.mp4_metadata(b"\x00" * 64)
+
+    def test_truncated_box_stops_cleanly(self):
+        data = _mp4_bytes()
+        # chop mid-moov: the walker must stop, keeping the ftyp brand
+        m = C.mp4_metadata(data[: len(data) // 4])
+        assert m["brand"] == "isom"
+
+    def test_probe_media_mp4(self, spark):
+        payload = _mp4_bytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload), "video/mp4")],
+            "id long, payload binary, mime string",
+        ).select(
+            "id",
+            MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+        )
+        p = MM.probe_media(df, "media").collect()[0]["probe"]
+        assert p["format"] == "mp4"
+        assert p["width"] == 640 and p["height"] == 360
+        assert p["channels"] == 2  # n_tracks rides the channels slot
+        assert p["duration_ms"] == 3000
+
+    def test_decode_features_mp4(self, spark):
+        payload = _mp4_bytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload), "video/mp4")],
+            "id long, payload binary, mime string",
+        ).select(
+            "id",
+            MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+        )
+        feats = MM.decode_features(df, "media", dim=10).collect()[0][
+            "features"
+        ]
+        # features ship as array<float> — float32 precision
+        assert feats[0] == pytest.approx(math.log1p(3000), rel=1e-6)
+        assert feats[1] == 2.0 and feats[2] == 640.0 and feats[3] == 360.0
+        assert feats[4] == 1.0 and feats[5] == 1.0
+
+
+class TestSpectralFeatures:
+    @staticmethod
+    def _tone(freq, rate=8000, secs=0.5):
+        import numpy as np
+
+        t = np.arange(int(rate * secs)) / rate
+        return C.AudioData(rate, 1, np.sin(2 * np.pi * freq * t) * 0.8)
+
+    def test_pure_tone_centroid(self):
+        s = C.spectral_features(self._tone(1000.0), n_fft=512, hop=256)
+        assert s["centroid_hz"] == pytest.approx(1000.0, abs=40.0)
+        assert s["bandwidth_hz"] < 300.0
+        assert s["flatness"] < 0.05  # tonal, far from white
+        assert s["rolloff_hz"] == pytest.approx(1000.0, abs=60.0)
+        assert s["flux"] == pytest.approx(0.0, abs=1e-6)  # stationary
+
+    def test_white_noise_flat(self):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        a = C.AudioData(8000, 1, rng.uniform(-0.9, 0.9, 8000))
+        s = C.spectral_features(a, n_fft=256, hop=128)
+        assert s["flatness"] > 0.4
+        assert s["centroid_hz"] > 1200.0  # mass spread across band
+        assert s["flux"] > 0.1  # frames decorrelated
+
+    def test_matches_direct_numpy(self):
+        # independent recomputation of the centroid on one frame
+        import numpy as np
+
+        a = self._tone(500.0, rate=4000, secs=0.064)  # exactly 256
+        s = C.spectral_features(a, n_fft=256, hop=256)
+        assert s["n_frames"] == 1
+        frame = np.asarray(a.samples) * np.hanning(256)
+        mag = np.abs(np.fft.rfft(frame))
+        freqs = np.fft.rfftfreq(256, d=1 / 4000)
+        exp = (mag * freqs).sum() / mag.sum()
+        assert s["centroid_hz"] == pytest.approx(exp, rel=1e-12)
+
+    def test_silence(self):
+        import numpy as np
+
+        a = C.AudioData(8000, 1, np.zeros(4000))
+        s = C.spectral_features(a)
+        assert s["centroid_hz"] == 0.0 and s["flux"] == 0.0
+
+    def test_operator_wav_and_null(self, spark):
+        import numpy as np
+
+        rate = 8000
+        t = np.arange(4000) / rate
+        pcm = (np.sin(2 * np.pi * 750 * t) * 0.7 * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(pcm.tobytes())
+        wav = buf.getvalue()
+        df = spark.createDataFrame(
+            [(1, bytearray(wav), "audio/wav"),
+             (2, bytearray(b"not audio"), "audio/wav"),
+             (3, None, "audio/wav")],
+            "id long, payload binary, mime string",
+        ).select(
+            "id",
+            MM.media_struct(F.col("payload"), F.col("mime")).alias("media"),
+        )
+        out = {
+            r["id"]: r["spectral"]
+            for r in MM.spectral_audio_features(df, "media").collect()
+        }
+        assert out[1]["centroid_hz"] == pytest.approx(750.0, abs=40.0)
+        assert out[1]["n_frames"] > 1
+        assert out[2] is None and out[3] is None

@@ -58,12 +58,29 @@ class TestDecode:
             MM.decode_features(media.where("id = 3"), "media", dim=4).collect()
         assert "not a PNG" in str(exc_info.value)
 
-    def test_video_decoder_unavailable(self, spark):
+    def test_mp4_mime_with_garbage_payload_raises_cleanly(self, spark):
+        # r6: video/mp4 now parses REAL container metadata (ISO-BMFF
+        # box walk); non-MP4 bytes under that mime get the clear
+        # parse error, not a generic decoder-unavailable message
         df = spark.createDataFrame(
             [(1, bytearray(b"xx"))], "id long, payload binary"
         ).select(
             "id",
             MM.media_struct(F.col("payload"), F.lit("video/mp4")).alias("media"),
+        )
+        with pytest.raises(Exception) as exc_info:
+            MM.decode_features(df, "media", dim=4).collect()
+        assert "not an MP4" in str(exc_info.value)
+
+    def test_generic_video_decoder_unavailable(self, spark):
+        # non-MP4 video families still need ffmpeg
+        df = spark.createDataFrame(
+            [(1, bytearray(b"xx"))], "id long, payload binary"
+        ).select(
+            "id",
+            MM.media_struct(
+                F.col("payload"), F.lit("video/webm")
+            ).alias("media"),
         )
         with pytest.raises(Exception) as exc_info:
             MM.decode_features(df, "media", dim=4).collect()
