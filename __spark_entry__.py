@@ -909,9 +909,28 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.round(F.col("logprob_mean"), 6).alias("v1"),
         F.round(F.col("ppl"), 6).alias("v2"),
     )
+    # r6: interpolated BIGRAM LM rides along (text.bigram_lm_score —
+    # capped corpus bigram table + marginals, broadcast joins, same
+    # log/exp algebra one order up; ROUND 6 absorbs the ulps)
+    from pandas_weights_spark.functions.text import (
+        bigram_counts,
+        bigram_lm_score,
+    )
+
+    bgt = bigram_counts(docs, "text", max_bigrams=5000)
+    lm2 = bigram_lm_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id", lmvocab,
+        bgt, alpha=0.5, interp=0.7,
+    ).select(
+        F.lit("lm2").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.round(F.col("logprob_mean"), 6).alias("v1"),
+        F.round(F.col("ppl"), 6).alias("v2"),
+    )
     return (
         tf.unionByName(vocab).unionByName(bpe).unionByName(usd)
-        .unionByName(lm)
+        .unionByName(lm).unionByName(lm2)
     )
 
 
@@ -3561,6 +3580,65 @@ _ORACLE["tfidf_top_terms"] = r"""
         WHERE l.doc_id < 50
       )
       SELECT doc_id, AVG(lp) AS lpm FROM sc GROUP BY doc_id
+    )
+    UNION ALL
+    -- r6: interpolated bigram LM replay (text.bigram_lm_score):
+    -- p(w2|w1) = 0.7*c(w1,w2)/c(w1.) + 0.3*p_uni(w2), capped bigram
+    -- table, same smoothed-unigram floor; docs < 50 scored
+    SELECT 'lm2' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+           round(lpm, 6) AS v1, round(exp(-lpm), 6) AS v2
+    FROM (
+      WITH dt AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+      ), lt2 AS (
+        SELECT doc_id, unnest(w) AS term FROM dt
+      ), lt3 AS (SELECT doc_id, term FROM lt2 WHERE term <> ''),
+      vm AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS mass FROM lt3
+        GROUP BY term HAVING COUNT(*) >= 1.0
+        ORDER BY mass DESC, term LIMIT 5000
+      ),
+      tot AS (SELECT SUM(mass) AS W, COUNT(*) AS V FROM vm),
+      bp AS (
+        SELECT p.a AS w1, p.b AS w2 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 2
+                        THEN [{'a': w[i], 'b': w[i+1]}
+                              for i in range(1, len(w))]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      bgr AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+        GROUP BY w1, w2
+        ORDER BY mass DESC, w1, w2 LIMIT 5000
+      ),
+      mg AS (SELECT w1, SUM(mass) AS m1 FROM bgr GROUP BY w1),
+      dpair AS (
+        SELECT doc_id, p.a AS w1, p.b AS w2 FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= 2
+                        THEN [{'a': w[i], 'b': w[i+1]}
+                              for i in range(1, len(w))]
+                        ELSE [] END) AS p
+          FROM dt WHERE doc_id < 50
+        )
+      ),
+      sc2 AS (
+        SELECT d.doc_id,
+               ln(0.7 * COALESCE(bgr.mass / mg.m1, 0.0)
+                  + 0.3 * exp(
+                      COALESCE(ln(vm.mass + 0.5), ln(0.5))
+                      - ln(tot.W + 0.5 * (tot.V + 1)))) AS lp
+        FROM dpair d
+        LEFT JOIN bgr ON d.w1 = bgr.w1 AND d.w2 = bgr.w2
+        LEFT JOIN mg ON d.w1 = mg.w1
+        LEFT JOIN vm ON d.w2 = vm.term
+        CROSS JOIN tot
+      )
+      SELECT doc_id, AVG(lp) AS lpm FROM sc2 GROUP BY doc_id
     )
 """
 

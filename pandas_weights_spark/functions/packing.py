@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark.sample import uniform_hash
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "pack_sequences_bestfit", "chunk_documents"]
 
 
 def pack_sequences(
@@ -124,4 +124,128 @@ def chunk_documents(
         F.col("__c__.chunk_id").alias("chunk_id"),
         F.col("__c__.n_tokens").alias("n_tokens"),
         F.col("__c__.chunk_text").alias("chunk_text"),
+    )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    token_col: Column,
+    budget: int,
+    key_cols: Sequence[str],
+    n_buckets: int = 64,
+    seed: int = 42,
+    oversize: str = "error",
+) -> DataFrame:
+    """NO-STRADDLE packing: best-fit-decreasing bin packing per bucket
+    — the padding-efficient alternative to :func:`pack_sequences`'
+    concat-and-chunk (documents never cross a pack boundary, so no
+    training example starts mid-document; the trade is pad tokens in
+    the unfilled tail of each pack — BFD keeps that waste near the
+    theoretical floor, cf. the classical 11/9·OPT+1 guarantee for
+    first-fit-decreasing, public algorithmics).
+
+    Output = input + ``bucket``, ``pack_id`` (globally unique:
+    ``bucket·10⁹ + local``), ``pack_tokens`` (the pack's total AFTER
+    packing — identical on every row of the pack, so downstream pad
+    accounting is one distinct), ``tokens``. ``oversize`` controls
+    documents longer than ``budget``: ``"error"`` raises inside the
+    task, ``"drop"`` removes them, ``"own_pack"`` gives each its own
+    singleton pack (the caller chunks them first in a real pipeline —
+    :func:`chunk_documents` composes).
+
+    Scale shape: documents hash into ``n_buckets`` md5-deterministic
+    buckets (same fan-out knob as :func:`pack_sequences`); each bucket
+    packs INDEPENDENTLY in one ``applyInPandas`` group — the sanctioned
+    Python surface for a genuinely sequential heuristic (best-fit's
+    bin state has no window/SQL analog). Bucket size bounds task
+    memory: size ``n_buckets`` so a bucket's (key, token) rows fit an
+    executor — the packing runs on 3 small columns, not the payloads.
+    Deterministic: BFD iterates docs sorted by (tokens desc, keys) and
+    bins by (remaining asc, bin id asc), so the same bucket contents
+    always pack identically.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if oversize not in ("error", "drop", "own_pack"):
+        raise ValueError("oversize must be error|drop|own_pack")
+    import pandas as pd  # noqa: F401
+
+    t = token_col.cast("long")
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    bucket = F.floor(u * F.lit(float(n_buckets))).cast("int")
+    base = (
+        df.where(t.isNotNull() & (t > 0))
+        .withColumn("tokens", t)
+        .withColumn("bucket", bucket)
+    )
+    from pyspark.sql import types as _T
+
+    # fresh StructType — .add() mutates in place and would corrupt the
+    # input DataFrame's schema object
+    out_schema = _T.StructType(
+        list(base.schema.fields)
+        + [
+            _T.StructField("pack_id", _T.LongType()),
+            _T.StructField("pack_tokens", _T.LongType()),
+        ]
+    )
+    keys = list(key_cols)
+    budget_l = int(budget)
+    mode = oversize
+
+    def pack(pdf):
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["tokens"] + keys, ascending=[False] + [True] * len(keys),
+            kind="mergesort",
+        ).reset_index(drop=True)
+        bucket_id = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        base_id = bucket_id * 1_000_000_000
+        # bins kept sorted by (remaining, bin_idx) for best-fit lookup
+        bins: "list[tuple[int, int]]" = []  # (remaining, bin_idx)
+        totals: "list[int]" = []  # bin_idx -> packed tokens
+        assign = [0] * len(pdf)
+        drop_mask = [False] * len(pdf)
+        for i, tok in enumerate(pdf["tokens"]):
+            tok = int(tok)
+            if tok > budget_l:
+                if mode == "error":
+                    raise ValueError(
+                        f"document of {tok} tokens exceeds budget "
+                        f"{budget_l}; chunk first or pass "
+                        "oversize='drop'/'own_pack'"
+                    )
+                if mode == "drop":
+                    drop_mask[i] = True
+                    continue
+                assign[i] = len(totals)  # own_pack: singleton bin
+                totals.append(tok)
+                continue
+            # best fit: the bin with the SMALLEST remaining >= tok
+            j = bisect.bisect_left(bins, (tok, -1))
+            if j < len(bins):
+                rem, bidx = bins.pop(j)
+                assign[i] = bidx
+                totals[bidx] += tok
+                nrem = rem - tok
+                if nrem > 0:
+                    bisect.insort(bins, (nrem, bidx))
+            else:
+                bidx = len(totals)
+                assign[i] = bidx
+                totals.append(tok)
+                nrem = budget_l - tok
+                if nrem > 0:
+                    bisect.insort(bins, (nrem, bidx))
+        if any(drop_mask):
+            keep = [not d for d in drop_mask]
+            pdf = pdf[keep].reset_index(drop=True)
+            assign = [a for a, k in zip(assign, keep) if k]
+        pdf["pack_id"] = [base_id + a for a in assign]
+        pdf["pack_tokens"] = [totals[a] for a in assign]
+        return pdf
+
+    return base.groupBy("bucket").applyInPandas(
+        pack, schema=out_schema
     )

@@ -41,6 +41,8 @@ __all__ = [
     "remove_duplicate_lines",
     "unigram_logprobs",
     "unigram_lm_score",
+    "bigram_counts",
+    "bigram_lm_score",
     "normalize_text",
 ]
 
@@ -480,6 +482,113 @@ def unigram_lm_score(
     return agg.select(
         id_col,
         "n_tokens",
+        "logprob_mean",
+        F.exp(-F.col("logprob_mean")).alias("ppl"),
+    )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str,
+    max_bigrams: int = 500_000,
+    lowercase: bool = True,
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, mass)`` — the training aggregate
+    of :func:`bigram_lm_score`: one row-local ``word_ngrams(…, 2)``
+    fan-out + one map-side-combining aggregate, capped at the top
+    ``max_bigrams`` by (mass desc, w1, w2) via TakeOrdered (bounded
+    state — the dropped tail backs off to the unigram model anyway).
+    """
+    w = weight if weight is not None else F.lit(1.0)
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+    toks = tokens(lowered)
+    grams = F.when(F.size(toks) >= 2, word_ngrams(lowered, 2, toks=toks)) \
+        .otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        w.cast("double").alias("__w__"), F.explode(grams).alias("g")
+    ).where(F.length("g") > 0)
+    split = F.split(F.col("g"), " ", 2)
+    return (
+        rows.select(
+            F.get(split, 0).alias("w1"),
+            F.get(split, 1).alias("w2"),
+            "__w__",
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("__w__").alias("mass"))
+        .orderBy(F.col("mass").desc(), "w1", "w2")
+        .limit(max_bigrams)
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    alpha: float = 0.5,
+    interp: float = 0.7,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Interpolated BIGRAM language-model perplexity per document —
+    one order up from :func:`unigram_lm_score` (closer to the KenLM
+    models CCNet actually runs, still fully SQL-replayable):
+    ``p(w2|w1) = interp · c(w1,w2)/c(w1·) + (1−interp) · p_uni(w2)``
+    where ``c(w1·)`` is the bigram table's row-marginal mass for
+    ``w1`` (so the conditional is a true distribution over the stored
+    continuations) and ``p_uni`` is the α-smoothed unigram model
+    (:func:`unigram_logprobs`, pooled-OOV). Unseen bigrams and unseen
+    left contexts back off to the ``(1−interp)`` unigram floor.
+    Output: ``(id_col, n_bigrams, logprob_mean, ppl)`` over the doc's
+    token TRANSITIONS; single-token/empty docs emit no row.
+
+    Scale shape: row-local bigram fan-out → one BROADCAST join against
+    the capped bigram table (with its w1 marginals pre-joined — still
+    vocabulary-sized) + the V-row unigram log-prob table → one hash
+    aggregate per doc. One data-sized shuffle, no UDF.
+    """
+    if not 0.0 <= interp < 1.0:
+        raise ValueError("interp must be in [0, 1)")
+    lp, oov = unigram_logprobs(vocab, alpha)
+    marg = bigrams.groupBy("w1").agg(F.sum("mass").alias("__m1__"))
+    btab = bigrams.join(marg, "w1").select(
+        "w1", "w2", (F.col("mass") / F.col("__m1__")).alias("__pb__")
+    )
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+    toks = tokens(lowered)
+    grams = F.when(F.size(toks) >= 2, word_ngrams(lowered, 2, toks=toks)) \
+        .otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).where(F.length("g") > 0)
+    split = F.split(F.col("g"), " ", 2)
+    pairs = pos.select(
+        id_col,
+        F.get(split, 0).alias("w1"),
+        F.get(split, 1).alias("w2"),
+    )
+    joined = (
+        pairs.join(F.broadcast(btab), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(lp.withColumnRenamed("term", "w2")), "w2", "left"
+        )
+    )
+    p_uni = F.exp(F.coalesce(F.col("logp"), F.lit(float(oov))))
+    p = (
+        F.lit(float(interp)) * F.coalesce(F.col("__pb__"), F.lit(0.0))
+        + F.lit(1.0 - float(interp)) * p_uni
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg(F.log(p)).alias("logprob_mean"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
         "logprob_mean",
         F.exp(-F.col("logprob_mean")).alias("ppl"),
     )

@@ -158,3 +158,108 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+class TestBestFitPacking:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        import random
+
+        rng = random.Random(5)
+        return spark.createDataFrame(
+            [(i, rng.randint(10, 200)) for i in range(2000)],
+            "doc_id long, ntok int",
+        )
+
+    def test_no_straddle_and_budget(self, docs):
+        from pandas_weights_spark.functions.packing import (
+            pack_sequences_bestfit,
+        )
+
+        out = pack_sequences_bestfit(
+            docs, F.col("ntok"), budget=256, key_cols=["doc_id"],
+            n_buckets=8,
+        )
+        agg = out.groupBy("pack_id").agg(
+            F.sum("ntok").alias("s"), F.max("pack_tokens").alias("pt"),
+            F.count("*").alias("n"),
+        ).collect()
+        # every pack within budget; pack_tokens equals the exact sum
+        assert all(r["s"] <= 256 for r in agg)
+        assert all(r["s"] == r["pt"] for r in agg)
+        # every document appears exactly once (no straddle, no loss)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+
+    def test_waste_beats_naive_sequential(self, docs):
+        # BFD pad waste must be well under first-come-first-served
+        from pandas_weights_spark.functions.packing import (
+            pack_sequences_bestfit,
+        )
+
+        out = pack_sequences_bestfit(
+            docs, F.col("ntok"), budget=256, key_cols=["doc_id"],
+            n_buckets=8,
+        )
+        n_packs = out.select("pack_id").distinct().count()
+        total = docs.agg(F.sum("ntok")).first()[0]
+        waste = n_packs * 256 - total
+        assert waste / (n_packs * 256) < 0.03  # <3% padding
+
+    def test_deterministic_under_repartition(self, docs):
+        from pandas_weights_spark.functions.packing import (
+            pack_sequences_bestfit,
+        )
+
+        f = lambda d: sorted(  # noqa: E731
+            (r["doc_id"], r["pack_id"])
+            for r in pack_sequences_bestfit(
+                d, F.col("ntok"), 256, ["doc_id"], n_buckets=8
+            ).collect()
+        )
+        assert f(docs) == f(docs.repartition(13))
+
+    def test_oversize_modes(self, spark):
+        from pandas_weights_spark.functions.packing import (
+            pack_sequences_bestfit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 999), (3, 50)], "doc_id long, ntok int"
+        )
+        with pytest.raises(Exception, match="exceeds budget"):
+            pack_sequences_bestfit(
+                df, F.col("ntok"), 256, ["doc_id"], n_buckets=1
+            ).collect()
+        dropped = pack_sequences_bestfit(
+            df, F.col("ntok"), 256, ["doc_id"], n_buckets=1,
+            oversize="drop",
+        )
+        assert sorted(
+            r["doc_id"] for r in dropped.collect()
+        ) == [1, 3]
+        own = pack_sequences_bestfit(
+            df, F.col("ntok"), 256, ["doc_id"], n_buckets=1,
+            oversize="own_pack",
+        ).collect()
+        by_id = {r["doc_id"]: r for r in own}
+        assert by_id[2]["pack_tokens"] == 999
+        # the oversize doc sits alone in its pack
+        packs = {}
+        for r in own:
+            packs.setdefault(r["pack_id"], []).append(r["doc_id"])
+        assert [2] in packs.values()
+
+    def test_null_and_nonpositive_tokens_drop(self, spark):
+        from pandas_weights_spark.functions.packing import (
+            pack_sequences_bestfit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, None), (3, 0), (4, -5), (5, 30)],
+            "doc_id long, ntok int",
+        )
+        out = pack_sequences_bestfit(
+            df, F.col("ntok"), 256, ["doc_id"], n_buckets=1
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]

@@ -345,3 +345,116 @@ class TestUnigramLMScore:
         lp, oov = unigram_logprobs(vocab, alpha=0.5)
         table_min = min(r["logp"] for r in lp.collect())
         assert oov < table_min  # OOV strictly less likely than any seen
+
+
+class TestBigramLM:
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        from pandas_weights_spark.functions.text import bigram_counts
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        corpus = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog")
+             for i in range(20)]
+            + [(100 + i, "the dog sleeps near the quick fox")
+               for i in range(10)],
+            "doc_id long, text string",
+        )
+        return (
+            build_vocabulary(corpus, "text"),
+            bigram_counts(corpus, "text"),
+            corpus,
+        )
+
+    def test_matches_python_reference(self, model, spark):
+        import math
+
+        from pandas_weights_spark.functions.text import bigram_lm_score
+
+        vocab, bg, corpus = model
+        test = spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "dog sleeps near the fox")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in bigram_lm_score(
+                test, "text", "doc_id", vocab, bg,
+                alpha=0.5, interp=0.7,
+            ).collect()
+        }
+        # transparent reference: rebuild both models in Python
+        uni = {r["term"]: r["mass"] for r in vocab.collect()}
+        W, V = sum(uni.values()), len(uni)
+        denom = W + 0.5 * (V + 1)
+        p_uni = lambda w: (uni.get(w, 0) + 0.5) / denom  # noqa: E731
+        bgm = {(r["w1"], r["w2"]): r["mass"] for r in bg.collect()}
+        marg = {}
+        for (w1, _), m in bgm.items():
+            marg[w1] = marg.get(w1, 0) + m
+        def p(w1, w2):
+            pb = bgm.get((w1, w2), 0.0) / marg[w1] if w1 in marg else 0.0
+            return 0.7 * pb + 0.3 * p_uni(w2)
+        for did, text in [(0, "the quick brown fox"),
+                          (1, "dog sleeps near the fox")]:
+            ws = text.split()
+            lps = [math.log(p(a, b)) for a, b in zip(ws, ws[1:])]
+            exp = sum(lps) / len(lps)
+            assert got[did]["logprob_mean"] == pytest.approx(exp, rel=1e-9)
+            assert got[did]["ppl"] == pytest.approx(
+                math.exp(-exp), rel=1e-9
+            )
+            assert got[did]["n_bigrams"] == len(lps)
+
+    def test_word_order_discriminated(self, model, spark):
+        # the whole point over the unigram model: scrambling tokens
+        # keeps unigram ppl identical but must raise bigram ppl
+        from pandas_weights_spark.functions.text import (
+            bigram_lm_score,
+            unigram_lm_score,
+        )
+
+        vocab, bg, _ = model
+        test = spark.createDataFrame(
+            [(0, "the quick brown fox jumps"),
+             (1, "jumps brown the fox quick")],
+            "doc_id long, text string",
+        )
+        b = {r["doc_id"]: r["ppl"] for r in bigram_lm_score(
+            test, "text", "doc_id", vocab, bg).collect()}
+        u = {r["doc_id"]: r["ppl"] for r in unigram_lm_score(
+            test, "text", "doc_id", vocab).collect()}
+        assert u[0] == pytest.approx(u[1], rel=1e-12)  # unigram blind
+        assert b[0] < b[1] / 2  # bigram sees the scramble
+
+    def test_single_token_doc_emits_no_row(self, model, spark):
+        from pandas_weights_spark.functions.text import bigram_lm_score
+
+        vocab, bg, _ = model
+        test = spark.createDataFrame(
+            [(0, "fox"), (1, ""), (2, "the fox")],
+            "doc_id long, text string",
+        )
+        out = bigram_lm_score(test, "text", "doc_id", vocab, bg).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+    def test_interp_bounds(self, model, spark):
+        from pandas_weights_spark.functions.text import bigram_lm_score
+
+        vocab, bg, corpus = model
+        with pytest.raises(ValueError, match="interp"):
+            bigram_lm_score(
+                corpus, "text", "doc_id", vocab, bg, interp=1.0
+            )
+        # interp=0 degenerates to the unigram model on transitions
+        from pandas_weights_spark.functions.text import unigram_logprobs
+        import math
+
+        out = bigram_lm_score(
+            corpus.limit(1), "text", "doc_id", vocab, bg, interp=0.0
+        ).collect()[0]
+        lp, oov = unigram_logprobs(vocab, 0.5)
+        lpd = {r["term"]: r["logp"] for r in lp.collect()}
+        ws = "the quick brown fox jumps over the lazy dog".split()
+        exp = sum(lpd[w] for w in ws[1:]) / (len(ws) - 1)
+        assert out["logprob_mean"] == pytest.approx(exp, rel=1e-9)
