@@ -47,6 +47,7 @@ __all__ = [
     "streaming_tdigest",
     "streaming_weight_diagnostics",
     "streaming_trim_params",
+    "streaming_bottom_k_sample",
     "streaming_distinct_counts",
     "streaming_neardup_candidates",
 ]
@@ -1155,5 +1156,107 @@ def streaming_neardup_candidates(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_bottom_k_sample(
+    stream: DataFrame,
+    keys: Sequence[str],
+    key_cols: Sequence[str],
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key streaming UNIFORM sample of exactly ≤ k rows — the
+    deterministic reservoir (r6): instead of random replacement, keep
+    the k rows with the SMALLEST md5 uniforms (bottom-k sampling,
+    order-statistics equivalent of a uniform k-sample; cf. the
+    KMV/bottom-k sketch literature, public). Because the uniform is
+    :func:`~pandas_weights_spark.sample.uniform_hash` of ``key_cols``,
+    the sample is a pure FUNCTION of the ids seen so far — identical
+    on any partitioning, any batch arrival order, and identical to
+    the batch twin ``partitioned_topk(df, keys, [u.asc()], k)`` over
+    the same data (exact parity, not just distributional).
+
+    Emits each key's CURRENT sample every micro-batch (``update``
+    semantics): ``keys…, sample array<struct<u double, id string>>``
+    — ids stringified from ``key_cols`` (join back on them for
+    payloads; keeping full rows in state would unbound it). State is
+    exactly ≤ k (u, id) pairs per key, forever.
+    """
+    import numpy as np  # noqa: F401
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pandas_weights_spark.sample import uniform_hash
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(keys)
+    if not keys:
+        raise ValueError(
+            "streaming_bottom_k_sample needs >= 1 key column"
+        )
+    u = uniform_hash([F.col(c) for c in key_cols], seed)
+    ident = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols]
+    )
+    src = stream.select(
+        *keys, u.alias("__u__"), ident.alias("__id__")
+    )
+    pair = StructType(
+        [StructField("u", DoubleType()), StructField("id", StringType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("us", ArrayType(DoubleType())),
+            StructField("ids", ArrayType(StringType())),
+        ]
+    )
+    out_schema = StructType(
+        [stream.schema[kk] for kk in keys]
+        + [StructField("sample", ArrayType(pair))]
+    )
+
+    def update(key, pdfs, state):
+        us: "list[float]" = []
+        ids: "list[str]" = []
+        if state.exists:
+            us, ids = list(state.get[0]), list(state.get[1])
+        pool = list(zip(us, ids))
+        for pdf in pdfs:
+            pool.extend(
+                zip(pdf["__u__"].tolist(), pdf["__id__"].tolist())
+            )
+        # dedup by id (re-deliveries keep one entry), then bottom-k
+        # by (u, id) — the deterministic total order
+        best: "dict[str, float]" = {}
+        for uu, ii in pool:
+            if ii not in best or uu < best[ii]:
+                best[ii] = uu
+        top = sorted(
+            ((uu, ii) for ii, uu in best.items())
+        )[: int(k)]
+        state.update((
+            [float(uu) for uu, _ in top],
+            [ii for _, ii in top],
+        ))
+        yield pd.DataFrame(
+            [[*key, [(float(uu), ii) for uu, ii in top]]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return src.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -180,3 +180,38 @@ class TestTraining:
             df, "text", "label", n_features=512, iters=3
         )
         assert a.weights == b.weights and a.bias == b.bias
+
+
+class TestStreamingScore:
+    def test_stream_scores_match_batch(self, corpus, spark, tmp_path):
+        # scoring is a pure Arrow map — it must run unchanged on a
+        # Structured Streaming frame and emit the same scores
+        df, _ = corpus
+        m = train_text_classifier(
+            df, "text", "label", n_features=1 << 10, iters=5, lr=1.0
+        )
+        src = tmp_path / "clf_stream"
+        df.select("doc_id", "text").coalesce(2).write.parquet(str(src))
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(str(src))
+        out = score_text_classifier(stream, "text", m)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("clf_scores")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["quality_score"]
+            for r in spark.sql("SELECT * FROM clf_scores").collect()
+        }
+        exp = {
+            r["doc_id"]: r["quality_score"]
+            for r in score_text_classifier(
+                df.select("doc_id", "text"), "text", m
+            ).collect()
+        }
+        assert got == exp

@@ -1063,3 +1063,97 @@ class TestStreamingWeightQA:
             streaming_trim_params(
                 stream, "Value", keys=["grp"], upper_q=1.5
             )
+
+
+class TestStreamingBottomK:
+    def test_exact_parity_with_batch_topk(self, spark, source_dir):
+        # the deterministic reservoir: final per-key sample == the
+        # batch bottom-k of the SAME md5 uniforms — exact, not
+        # distributional
+        from pandas_weights_spark.sample import uniform_hash
+        from pandas_weights_spark.streaming import (
+            streaming_bottom_k_sample,
+        )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(source_dir))
+        )
+        out = streaming_bottom_k_sample(
+            stream, keys=["grp"], key_cols=["ts", "Value"], k=3
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sbk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.sql("SELECT * FROM sbk").collect():
+            latest[r["grp"]] = [
+                (e["u"], e["id"]) for e in r["sample"]
+            ]
+        batch = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        u = uniform_hash([F.col("ts"), F.col("Value")], 42)
+        ident = F.concat_ws(
+            "|", F.col("ts").cast("string"), F.col("Value").cast("string")
+        )
+        rows = batch.select(
+            "grp", u.alias("u"), ident.alias("id")
+        ).collect()
+        exp = {}
+        for r in rows:
+            exp.setdefault(r["grp"], []).append((r["u"], r["id"]))
+        for g in exp:
+            exp[g] = sorted(exp[g])[:3]
+        assert set(latest) == set(exp)
+        for g in exp:
+            assert latest[g] == exp[g], g
+
+    def test_state_bounded_at_k(self, spark, source_dir):
+        from pandas_weights_spark.streaming import (
+            streaming_bottom_k_sample,
+        )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(source_dir))
+        )
+        out = streaming_bottom_k_sample(
+            stream, keys=["grp"], key_cols=["ts", "Value"], k=2
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sbk2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM sbk2").collect()
+        assert rows and all(len(r["sample"]) <= 2 for r in rows)
+
+    def test_guards(self, spark, source_dir):
+        from pandas_weights_spark.streaming import (
+            streaming_bottom_k_sample,
+        )
+
+        batch = spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(source_dir))
+        with pytest.raises(ValueError, match="k must"):
+            streaming_bottom_k_sample(
+                batch, keys=["grp"], key_cols=["ts"], k=0
+            )
+        with pytest.raises(ValueError, match="key"):
+            streaming_bottom_k_sample(
+                batch, keys=[], key_cols=["ts"], k=2
+            )
