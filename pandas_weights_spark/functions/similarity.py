@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "semantic_dedup",
     "dot",
     "l2_norm",
     "cosine_similarity",
@@ -431,4 +432,73 @@ def topk_quantized(
         queries, c, k,
         query_id=query_id, corpus_id="neighbor_id",
         query_vec=query_vec, corpus_vec=corpus_vec,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 256,
+    threshold: float = 0.95,
+    iters: int = 2,
+    centroids: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): k-means-cluster the embeddings,
+    then drop every document whose cosine similarity to a LOWER-id
+    document in the SAME cluster is ≥ ``threshold`` (min-id survivor,
+    the dedup family's rule). Catches paraphrase/translation
+    duplicates that n-gram dedup misses, at a cost bounded by the
+    per-cluster quadratic — ``n_cells`` is the knob: expected cluster
+    size ``n/n_cells``, so size it to keep clusters executor-small
+    (SemDeDup's own design argument).
+
+    Returns ``(id_col, cell, is_survivor)``. ``centroids`` accepts a
+    pre-trained quantizer (:func:`train_ivf_centroids` — the
+    train-once/apply-many pattern); ``None`` trains here with
+    ``iters`` Lloyd rounds. Assignment is a JVM-side argmax over the
+    centroid literal; the only data-sized shuffle is the cell
+    self-join, which never leaves a cell.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col, n_cells, id_col, iters=iters
+        )
+    v = F.col(vec_col)
+    assigned = df.where(v.isNotNull()).select(
+        F.col(id_col),
+        v.alias("__v__"),
+        l2_norm(v).alias("__n__"),
+        nearest_cell(v, centroids).alias("cell"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    losers = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(
+            F.try_divide(
+                dot(F.col("a.__v__"), F.col("b.__v__")),
+                F.col("a.__n__") * F.col("b.__n__"),
+            )
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__loser__", F.lit(True))
+    )
+    return (
+        assigned.join(losers, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("__loser__").isNull().alias("is_survivor"),
+        )
     )

@@ -362,3 +362,99 @@ class TestRound5PropertiesB:
         }
         assert got == exp
         assert got["a"] >= got["b"] >= got["c"]
+
+
+class TestRound6Properties:
+    def test_span_removal_idempotent(self, spark):
+        # running the pass twice == once: after removal no cross-doc
+        # span above threshold remains, so the second pass must be the
+        # identity on every document
+        from pandas_weights_spark.functions.dedup import (
+            remove_duplicate_spans,
+        )
+
+        base = " ".join(f"s{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " " + " ".join(f"x{i}" for i in range(20))),
+                (3, " ".join(f"z{i}" for i in range(25))),
+            ],
+            "doc_id long, text string",
+        )
+        once = remove_duplicate_spans(
+            docs, "text", "doc_id", chunk_tokens=12, overlap=4,
+            threshold=0.5,
+        ).select("doc_id", "text")
+        twice = remove_duplicate_spans(
+            once, "text", "doc_id", chunk_tokens=12, overlap=4,
+            threshold=0.5,
+        ).select("doc_id", "text")
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in twice.collect()}
+        assert a == b
+
+    def test_mixture_mass_conservation_and_monotonicity(self, spark):
+        # materialized mass per domain is within one max-row-weight of
+        # the target in expectation terms, and raising a target never
+        # shrinks the output set (hash-filter monotonicity in frac)
+        from pandas_weights_spark.sample import mixture_materialize
+
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i % 7 + 1)) for i in range(800)],
+            "id long, dom string, tok double",
+        )
+        small = mixture_materialize(
+            df, "dom", {"a": 600.0}, ["id"], weight=F.col("tok")
+        )
+        big = mixture_materialize(
+            df, "dom", {"a": 900.0}, ["id"], weight=F.col("tok")
+        )
+        s = {(r["id"], r["epoch"]) for r in small.collect()}
+        g = {(r["id"], r["epoch"]) for r in big.collect()}
+        assert s <= g  # monotone in the target
+        m_small = small.agg(F.sum("tok")).first()[0]
+        assert abs(m_small - 600.0) < 120.0  # within noise of target
+
+    def test_bestfit_never_worse_than_one_doc_per_pack(self, spark):
+        from pandas_weights_spark.functions.packing import (
+            pack_sequences_bestfit,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        df = spark.createDataFrame(
+            [(i, rng.randint(1, 128)) for i in range(600)],
+            "doc_id long, ntok int",
+        )
+        out = pack_sequences_bestfit(
+            df, F.col("ntok"), 128, ["doc_id"], n_buckets=4
+        )
+        n_packs = out.select("pack_id").distinct().count()
+        assert n_packs <= 600  # trivial upper bound: 1 doc per pack
+        total = df.agg(F.sum("ntok")).first()[0]
+        assert n_packs >= -(-total // 128)  # lower bound: ceil(T/B)
+
+    def test_jpeg_roundtrip_quality_monotone(self):
+        # higher quality never increases reconstruction error on a
+        # fixed smooth image
+        import numpy as np
+
+        from pandas_weights_spark.functions import _codecs as C
+
+        px = bytearray()
+        for y in range(16):
+            for x in range(16):
+                px.extend((x * 16 % 256, y * 16 % 256, 128))
+        img = C.ImageData(16, 16, 3, bytes(px))
+        a = np.frombuffer(img.pixels, np.uint8).astype(int)
+
+        def err(q):
+            d = C.decode_jpeg(C.encode_jpeg(img, quality=q))
+            return np.abs(
+                a - np.frombuffer(d.pixels, np.uint8).astype(int)
+            ).mean()
+
+        e50, e75, e95 = err(50), err(75), err(95)
+        assert e95 <= e75 + 0.2 and e75 <= e50 + 0.2

@@ -229,3 +229,87 @@ class TestQuantized:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestSemanticDedup:
+    def test_single_cell_matches_exact_greedy(self, spark):
+        # n_cells=1 collapses to the exact all-pairs greedy — pin it
+        # against a transparent numpy implementation
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import semantic_dedup
+
+        rng = np.random.default_rng(8)
+        base = rng.normal(size=(6, 16))
+        vecs = list(base)
+        vecs.append(base[0] + rng.normal(scale=0.01, size=16))  # ~dup of 0
+        vecs.append(base[2] * 1.7)                              # exact dir dup of 2
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vid long, embedding array<double>")
+        out = {
+            r["vid"]: r["is_survivor"]
+            for r in semantic_dedup(
+                df, "embedding", "vid", n_cells=1, threshold=0.95
+            ).collect()
+        }
+        # numpy greedy: drop i iff cos(i, j) >= t for some j < i
+        V = np.array([np.array(v) for v in vecs])
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = U @ U.T
+        exp = {}
+        for i in range(len(vecs)):
+            exp[i] = not any(sims[i, j] >= 0.95 for j in range(i))
+        assert out == exp
+        assert not out[6] and not out[7]  # the planted dups drop
+
+    def test_clustered_dedup_and_pretrained_centroids(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.default_rng(4)
+        # two tight clusters of paraphrases + singletons
+        c1 = rng.normal(size=16)
+        c2 = rng.normal(size=16) + 4.0
+        rows = []
+        for i in range(5):
+            rows.append((i, [float(x) for x in c1 + rng.normal(scale=0.005, size=16)]))
+        for i in range(5, 10):
+            rows.append((i, [float(x) for x in c2 + rng.normal(scale=0.005, size=16)]))
+        rows.append((10, [float(x) for x in rng.normal(size=16) * 9]))
+        df = spark.createDataFrame(rows, "vid long, embedding array<double>")
+        cents = train_ivf_centroids(df, "embedding", 3, "vid", iters=3)
+        out = {
+            r["vid"]: r
+            for r in semantic_dedup(
+                df, "embedding", "vid", threshold=0.999, centroids=cents
+            ).collect()
+        }
+        survivors = {v for v, r in out.items() if r["is_survivor"]}
+        # survivor contract is CELL-local min-id: each family keeps
+        # exactly one member PER CELL it spans (k-means init can split
+        # a family), and that member is the cell's min id
+        for fam in (range(0, 5), range(5, 10)):
+            cells = {}
+            for v in fam:
+                cells.setdefault(out[v]["cell"], []).append(v)
+            for cell, members in cells.items():
+                surv = [v for v in members if v in survivors]
+                assert surv == [min(members)], (cell, members, surv)
+        assert 10 in survivors  # the far singleton always survives
+
+    def test_null_vectors_drop(self, spark):
+        from pandas_weights_spark.functions.similarity import semantic_dedup
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+            "vid long, embedding array<double>",
+        )
+        out = semantic_dedup(
+            df, "embedding", "vid", n_cells=1, threshold=0.9
+        ).collect()
+        assert sorted(r["vid"] for r in out) == [1, 3]
+        assert all(r["is_survivor"] for r in out)
