@@ -1006,6 +1006,41 @@ def _q_quality_classifier(spark, sf_dir):
     )
 
 
+def _q_dsir_select(spark, sf_dir):
+    # r6: DSIR data selection (functions/dsir.py — Xie et al. 2023
+    # importance resampling). Target = the src0/src1 slice of the
+    # corpus; raw = everything. The whole chain is oracle-replayed:
+    # md5 bucket counts (the classifier's digit-sum BIGINT mirror),
+    # Laplace-smoothed log p_t/p_r per bucket (exact integer counts →
+    # bit-exact IEEE algebra), per-doc log-importance (rounded 6 dp to
+    # absorb sum-order ulps), then Gumbel top-60 WITHOUT replacement
+    # on the md5 uniform — the selected SET, its rounded scores, and
+    # the rounded Gumbel keys must all match DuckDB exactly.
+    from pandas_weights_spark.functions.dsir import (
+        dsir_bucket_counts,
+        dsir_gumbel_topk,
+        dsir_log_ratio,
+        dsir_score,
+    )
+
+    nb = 1024
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    tgt = docs.where(F.col("source").isin("src0", "src1"))
+    ct = dsir_bucket_counts(tgt, "text", n_buckets=nb)
+    cr = dsir_bucket_counts(docs, "text", n_buckets=nb)
+    lr = dsir_log_ratio(ct, cr, nb)
+    scored = dsir_score(docs, "text", lr, ["doc_id"], n_buckets=nb)
+    rounded = scored.select(
+        "doc_id", F.round("log_importance", 6).alias("lw_r")
+    )
+    picked = dsir_gumbel_topk(
+        rounded, F.col("lw_r"), 60, ["doc_id"], seed=123
+    )
+    return picked.select(
+        "doc_id", "lw_r", F.round("gumbel_key", 6).alias("gkey_r")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     # exact dedup with synthetic duplicates: shifted exact copies must all
     # fold back onto the originals (min-id survivor policy)
@@ -6032,6 +6067,65 @@ _ORACLE["quality_classifier"] = f"""
 """
 
 
+_ORACLE["dsir_select"] = f"""
+    -- r6: full replay of the DSIR chain (functions/dsir.py) — md5
+    -- bucket counts for target (src0/src1) and raw (all docs),
+    -- Laplace-1 log probability ratio per bucket, per-doc summed log
+    -- importance (rounded 6 dp), Gumbel top-60 on the md5 uniform
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t, source FROM documents
+    ), tok AS (
+      SELECT doc_id, source, string_split_regex(trim(t), '\\s+') AS w
+      FROM d WHERE t IS NOT NULL
+    ), uni AS (
+      SELECT doc_id, source, unnest(w) AS g FROM tok
+    ), bi AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(w) >= 2
+                         THEN [w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]
+                         ELSE [array_to_string(w, ' ')] END) AS g
+      FROM tok
+    ), grams AS (
+      SELECT doc_id, source, g FROM uni WHERE g <> ''
+      UNION ALL
+      SELECT doc_id, source, g FROM bi WHERE g <> ''
+    ), bkt AS (
+      SELECT doc_id, source, {_md5_bucket_sql('g', 42, 1024)} AS bucket
+      FROM grams
+    ), ct AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM bkt
+      WHERE source IN ('src0', 'src1') GROUP BY 1
+    ), cr AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM bkt GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM ct) AS tt,
+             (SELECT COALESCE(SUM(c), 0) FROM cr) AS tr
+    ), lr AS (
+      -- raw counts cover every target bucket (target ⊆ raw), so the
+      -- engine's full-outer reduces to this left join
+      SELECT cr.bucket,
+             ln((COALESCE(ct.c, 0.0) + 1.0) / (tot.tt + 1024.0))
+           - ln((cr.c + 1.0) / (tot.tr + 1024.0)) AS r
+      FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket, tot
+    ), sc AS (
+      SELECT b.doc_id, SUM(lr.r) AS lw
+      FROM bkt b JOIN lr ON lr.bucket = b.bucket GROUP BY 1
+    ), sc2 AS (
+      SELECT d.doc_id,
+             CASE WHEN d.t IS NULL THEN NULL
+                  ELSE round(COALESCE(sc.lw, 0.0), 6) END AS lw_r
+      FROM d LEFT JOIN sc USING (doc_id)
+    ), keyed AS (
+      SELECT doc_id, lw_r,
+             lw_r - ln(-ln({_uh_sql(['doc_id'], 123)})) AS k
+      FROM sc2 WHERE lw_r IS NOT NULL
+    )
+    SELECT doc_id, lw_r, round(k, 6) AS gkey_r
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 60
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_stats": _q_global_stats,
@@ -6085,6 +6179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,
         "quality_classifier": _q_quality_classifier,
+        "dsir_select": _q_dsir_select,
         "mixture_sample": _q_mixture_sample,
     }
 

@@ -88,6 +88,7 @@ HEADLINE = [
     "calibration",         # raking: 1 joint scan + driver IPF + row-local apply
     "quality_classifier",  # hashed-feature logreg gradient kernel (r6)
     "mixture_sample",      # domain re-mixing epoch materialization (r6)
+    "dsir_select",         # DSIR importance resampling chain (r6)
 ]
 
 

@@ -1,0 +1,228 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS — public paper). Given a small TARGET corpus (the
+distribution you want more of: Wikipedia, books, a domain) and the
+RAW corpus, estimate per-document importance weights under a
+bag-of-hashed-n-grams generative model and resample the raw corpus
+toward the target — the standard pretraining-data selection method
+that needs no trained classifier (the reference has no ML/data-
+selection surface at all, SURVEY.md §2.6; this extends the engine's
+selection family: quality classifier, mixture materialization,
+temperature sampling).
+
+Model (the paper's): a document is a bag of hashed n-gram features
+``f``; under distribution ``p`` its likelihood is ``Π p[f]^count(f)``,
+so the log importance weight is the linear form
+
+    log w(doc) = Σ_f count(doc, f) · (log p_target[f] − log p_raw[f])
+
+with Laplace-smoothed bucket probabilities
+``p[f] = (cnt[f] + α) / (total + α·n_buckets)``. Selection is
+Gumbel top-k — sampling WITHOUT replacement proportional to ``w``
+(Vieira 2014, public): add an independent Gumbel to each log weight
+and take the global top-k.
+
+Scale design:
+
+* **Bucket counts** (:func:`dsir_bucket_counts`) — one explode +
+  groupBy per corpus; output is ≤ ``n_buckets`` rows no matter the
+  corpus size (the hashing trick bounds state exactly like the
+  quality classifier's gradient). Features reuse
+  :func:`~pandas_weights_spark.functions.classifier.
+  hashed_token_features` — md5 bucket ids, portable to a SQL oracle.
+* **Log-ratio table** (:func:`dsir_log_ratio`) — a full-outer join
+  of two ≤``n_buckets``-row tables plus two scalar totals; tiny.
+* **Scoring** (:func:`dsir_score`) — explode features, BROADCAST-join
+  the ratio table (≤ n_buckets rows, always broadcastable), sum per
+  document: one shuffle keyed by the document id. No Python in the
+  hot path; everything is Column algebra.
+* **Resampling** (:func:`dsir_gumbel_topk`) — map-only key
+  construction (the engine's md5 ``uniform_hash`` → Gumbel) +
+  ``orderBy().limit(k)``, which Spark executes as
+  TakeOrderedAndProject: per-partition top-k partials, never a full
+  sort. Deterministic under reshuffling/seed.
+
+Determinism: bucket ids and uniforms are md5 arithmetic (bit-exact in
+the DuckDB oracle); log/ratio algebra is IEEE-deterministic given the
+exact integer counts; per-doc sums vary across partitionings only at
+ulp level like every distributed sum (oracle rows round to 6 dp).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.classifier import hashed_token_features
+from pandas_weights_spark.sample import uniform_hash
+
+__all__ = [
+    "dsir_bucket_counts",
+    "dsir_log_ratio",
+    "dsir_score",
+    "dsir_gumbel_topk",
+]
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int = 1 << 13,
+    ngrams: Sequence[int] = (1, 2),
+    lowercase: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Hashed n-gram bucket OCCURRENCE counts for a corpus:
+    ``(bucket, cnt)``, ≤ ``n_buckets`` rows. Repeated grams count by
+    multiplicity (the bag-of-words model needs term frequencies, not
+    presence). NULL documents contribute nothing.
+    """
+    feats = hashed_token_features(
+        F.col(text_col),
+        n_features=n_buckets,
+        ngrams=ngrams,
+        lowercase=lowercase,
+        seed=seed,
+    )
+    return (
+        df.select(F.explode(feats).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket ``log p_target[f] − log p_raw[f]`` with Laplace-α
+    smoothing: ``(bucket, log_ratio)``, one row per bucket seen in
+    EITHER corpus (unseen-in-both buckets contribute a constant that
+    cancels nowhere — but a doc can only reference buckets its own
+    grams hash to, and those appear in the raw table by construction
+    when scoring the raw corpus; scoring a THIRD corpus left-joins
+    and falls back to the smoothed-zero ratio via ``fallback_ratio``
+    in :func:`dsir_score`).
+
+    Totals are computed here (two scalar aggs, crossJoined — both
+    sides ≤ n_buckets rows so this is driver-trivial); ``alpha`` > 0
+    keeps every log finite.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (keeps smoothed probs finite)")
+    a = float(alpha)
+    tt = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0.0)).alias("__tt__")
+    )
+    tr = raw_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0.0)).alias("__tr__")
+    )
+    t = target_counts.withColumnRenamed("cnt", "__ct__")
+    r = raw_counts.withColumnRenamed("cnt", "__cr__")
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+    )
+    denom_t = F.col("__tt__") + F.lit(a * n_buckets)
+    denom_r = F.col("__tr__") + F.lit(a * n_buckets)
+    lr = (
+        F.log((F.coalesce(F.col("__ct__"), F.lit(0.0)) + F.lit(a)) / denom_t)
+        - F.log((F.coalesce(F.col("__cr__"), F.lit(0.0)) + F.lit(a)) / denom_r)
+    )
+    return joined.select("bucket", lr.alias("log_ratio"))
+
+
+def dsir_score(
+    df: DataFrame,
+    text_col: str,
+    log_ratio: DataFrame,
+    id_cols: Sequence[str],
+    n_buckets: int = 1 << 13,
+    ngrams: Sequence[int] = (1, 2),
+    lowercase: bool = True,
+    seed: int = 42,
+    fallback_ratio: Optional[Column] = None,
+    out_col: str = "log_importance",
+) -> DataFrame:
+    """Append per-document ``log w`` to ``df``: explode the same
+    hashed features, broadcast-join ``log_ratio``, sum per document,
+    join back on ``id_cols``. A bucket absent from the ratio table
+    (possible only when scoring a corpus that fed NEITHER count
+    table) falls back to ``fallback_ratio`` (default 0.0 — i.e.
+    "uninformative"). Documents with NULL text stay NULL (the text
+    family's null-preserving rule); documents with no grams score 0.
+
+    Feature params MUST match the ones used for the count tables —
+    same ``n_buckets``/``ngrams``/``lowercase``/``seed`` — or the
+    buckets are meaningless; they are arguments rather than captured
+    state so the count tables can be persisted/reloaded as plain
+    parquet between runs (train-once / score-many).
+    """
+    ids = list(id_cols)
+    fb = fallback_ratio if fallback_ratio is not None else F.lit(0.0)
+    feats = hashed_token_features(
+        F.col(text_col),
+        n_features=n_buckets,
+        ngrams=ngrams,
+        lowercase=lowercase,
+        seed=seed,
+    )
+    exploded = df.select(
+        *[F.col(c) for c in ids], F.explode(feats).alias("bucket")
+    )
+    sums = (
+        exploded.join(F.broadcast(log_ratio), "bucket", "left")
+        .groupBy(*ids)
+        .agg(
+            F.sum(F.coalesce(F.col("log_ratio"), fb)).alias("__lw__")
+        )
+    )
+    return df.join(sums, ids, "left").select(
+        *df.columns,
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.coalesce(F.col("__lw__"), F.lit(0.0)),
+        ).alias(out_col),
+    )
+
+
+def dsir_gumbel_topk(
+    df: DataFrame,
+    log_weight: Column,
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 42,
+    key_col: str = "gumbel_key",
+) -> DataFrame:
+    """Gumbel top-k resampling: sample ``k`` rows WITHOUT replacement
+    with probability proportional to ``exp(log_weight)`` by ranking
+    ``log_weight + Gumbel(id)`` and keeping the global top ``k``
+    (Vieira 2014 — the Gumbel-max trick applied k times at once;
+    Xie et al. select this way). The Gumbel is
+    ``−ln(−ln(u))`` with ``u`` the engine's deterministic md5 uniform
+    over ``id_cols`` — the draw is reproducible across runs, seeds
+    select different samples, and rows with NULL ``log_weight`` never
+    qualify. Ties (measure-zero with continuous noise, but possible
+    on rounded inputs) break by ``id_cols`` ascending for a stable
+    result set.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; no global
+    sort, no full shuffle. Returns ``df``'s columns plus ``key_col``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ids = list(id_cols)
+    u = uniform_hash([F.col(c) for c in ids], seed=seed)
+    g = -F.log(-F.log(u))
+    keyed = df.select(
+        *df.columns, (log_weight + g).alias(key_col)
+    ).where(F.col(key_col).isNotNull())
+    return keyed.orderBy(
+        F.col(key_col).desc(), *[F.col(c).asc() for c in ids]
+    ).limit(int(k))
