@@ -1006,7 +1006,7 @@ def _q_quality_classifier(spark, sf_dir):
     )
 
 
-def _q_dsir_select(spark, sf_dir):
+def _q_dsir_select(spark, sf_dir, portable=True):
     # r6: DSIR data selection (functions/dsir.py — Xie et al. 2023
     # importance resampling). Target = the src0/src1 slice of the
     # corpus; raw = everything. The whole chain is oracle-replayed:
@@ -1017,19 +1017,32 @@ def _q_dsir_select(spark, sf_dir):
     # on the md5 uniform — the selected SET, its rounded scores, and
     # the rounded Gumbel keys must all match DuckDB exactly.
     from pandas_weights_spark.functions.dsir import (
-        dsir_bucket_counts,
+        dsir_doc_bucket_counts,
         dsir_gumbel_topk,
-        dsir_log_ratio,
+        dsir_log_ratio_sliced,
         dsir_score,
     )
 
+    # tokenize-once: target is a SLICE of raw, so per-doc bucket
+    # counts (persisted) feed the twin-agg ratio table AND the
+    # scoring join — one explode+md5 pass instead of three
     nb = 1024
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
-    tgt = docs.where(F.col("source").isin("src0", "src1"))
-    ct = dsir_bucket_counts(tgt, "text", n_buckets=nb)
-    cr = dsir_bucket_counts(docs, "text", n_buckets=nb)
-    lr = dsir_log_ratio(ct, cr, nb)
-    scored = dsir_score(docs, "text", lr, ["doc_id"], n_buckets=nb)
+    # fan_out: the md5 featurization is the compute-bound row-local
+    # pass; a one-file scan would run it on one core
+    docs = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id", "text", "source"
+    )
+    db = dsir_doc_bucket_counts(
+        docs, "text", ["doc_id", "source"], n_buckets=nb,
+        portable=portable,
+    ).persist()
+    lr = dsir_log_ratio_sliced(
+        db, F.col("source").isin("src0", "src1"), nb
+    )
+    scored = dsir_score(
+        docs, "text", lr, ["doc_id"], n_buckets=nb,
+        doc_counts=db.drop("source"),
+    )
     rounded = scored.select(
         "doc_id", F.round("log_importance", 6).alias("lw_r")
     )
@@ -1038,6 +1051,48 @@ def _q_dsir_select(spark, sf_dir):
     )
     return picked.select(
         "doc_id", "lw_r", F.round("gumbel_key", 6).alias("gkey_r")
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    # r6: SemDeDup semantic dedup (functions/similarity.py
+    # `semantic_dedup`) oracle-pinned via the ivf trick — a single
+    # explicit centroid makes clustering irrelevant (every vector in
+    # cell 0), so the cell-local kernel degenerates to the exact
+    # brute cosine + min-id-survivor rule DuckDB can replay; the
+    # k-means path is pinned separately by the n_cells=1 numpy parity
+    # and cell-local contract tests. Synthetic variants (the
+    # dedup_exact pattern): scaled copies (cosine exactly 1 → loser),
+    # negated copies (cosine −1 → survivor), constant-shifted copies
+    # (mid-range cosine — exercises the 6-dp round-then-threshold
+    # boundary rule).
+    from pandas_weights_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    variants = base.where(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform("v", lambda x: x * F.lit(1.5)),
+        )
+        .when(
+            F.col("vec_id") % 3 == 1,
+            F.transform("v", lambda x: -x),
+        )
+        .otherwise(F.transform("v", lambda x: x + F.lit(2.0)))
+        .alias("v"),
+    )
+    allv = base.unionByName(variants)
+    out = semantic_dedup(
+        allv, "v", "vec_id", threshold=0.9, centroids=[[1.0] * 64]
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "is_survivor"
     )
 
 
@@ -6067,6 +6122,34 @@ _ORACLE["quality_classifier"] = f"""
 """
 
 
+_ORACLE["semdedup"] = """
+    -- r6: semantic_dedup with one explicit centroid == brute cosine
+    -- + min-id survivor over the variant-augmented embedding set;
+    -- round-then-threshold at 6 dp mirrors the engine's boundary rule
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), vr AS (
+      SELECT vec_id + 10000 AS vec_id,
+             CASE WHEN vec_id % 3 = 0
+                    THEN list_transform(v, x -> x * 1.5)
+                  WHEN vec_id % 3 = 1
+                    THEN list_transform(v, x -> -x)
+                  ELSE list_transform(v, x -> x + 2.0) END AS v
+      FROM e0 WHERE vec_id < 60
+    ), e AS (
+      SELECT * FROM e0 UNION ALL SELECT * FROM vr
+    ), losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    )
+    SELECT e.vec_id, CAST(0 AS BIGINT) AS cell,
+           (l.vec_id IS NULL) AS is_survivor
+    FROM e LEFT JOIN losers l ON l.vec_id = e.vec_id
+"""
+
+
 _ORACLE["dsir_select"] = f"""
     -- r6: full replay of the DSIR chain (functions/dsir.py) — md5
     -- bucket counts for target (src0/src1) and raw (all docs),
@@ -6180,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,
+        "semdedup": _q_semdedup,
         "mixture_sample": _q_mixture_sample,
     }
 

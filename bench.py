@@ -89,6 +89,7 @@ HEADLINE = [
     "quality_classifier",  # hashed-feature logreg gradient kernel (r6)
     "mixture_sample",      # domain re-mixing epoch materialization (r6)
     "dsir_select",         # DSIR importance resampling chain (r6)
+    "semdedup",            # SemDeDup cell-local cosine dedup (r6)
 ]
 
 
@@ -256,6 +257,36 @@ def main() -> int:
         return cms_lookup(sk, probe, "l_partkey", depth=3, width=128, seed=7)
 
     qs["weighted_cms"] = _cms_xxhash
+
+    # the driver's semdedup row deliberately degenerates to ONE cell so
+    # DuckDB can replay the exact brute kernel; that is quadratic by
+    # construction and NOT the production shape. Bench the clustered
+    # path instead: train 64 Lloyd cells and pay only the cell-local
+    # quadratic — the measurement that actually scales.
+    def _semdedup_clustered(spark_, sf_dir_):
+        from pandas_weights_spark.functions.similarity import (
+            semantic_dedup,
+        )
+
+        # fan_out: the 64-cell argmax assignment is a HOF-interpreted
+        # row-local pass — parallelize the one-file scan
+        emb = fan_out(load_table(spark_, sf_dir_, "embeddings")).where(
+            F.col("embedding").isNotNull()
+        )
+        return semantic_dedup(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            "v", "vec_id", n_cells=32, threshold=0.9, iters=1,
+        )
+
+    qs["semdedup"] = _semdedup_clustered
+
+    # same portable/fast duality as minhash: the driver's dsir_select
+    # row pins the md5 (DuckDB-replayable) hash family; bench the
+    # seeded-xxhash64 production family (hash-family agreement is
+    # test-pinned in tests/test_dsir.py)
+    qs["dsir_select"] = lambda s, d: E._q_dsir_select(s, d, portable=False)
 
     # near-dup trio folded into the tagged neardup_pairs driver row;
     # bench each method standalone for round-over-round comparability

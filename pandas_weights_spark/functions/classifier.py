@@ -61,6 +61,7 @@ class TextClassifierModel(NamedTuple):
     seed: int
     lowercase: bool
     losses: list  # per-iteration mean regularized log-loss
+    portable: bool = True  # hash family (md5 vs xxhash64) — bind scoring to it
 
 
 def hashed_token_features(
@@ -69,6 +70,7 @@ def hashed_token_features(
     ngrams: Sequence[int] = (1, 2),
     lowercase: bool = True,
     seed: int = 42,
+    portable: bool = True,
 ) -> Column:
     """Feature-index array for a document: every token / word n-gram
     hashes to ``[0, n_features)`` via the engine's portable md5
@@ -76,6 +78,15 @@ def hashed_token_features(
     :func:`~pandas_weights_spark.sample.uniform_hash`'s int form, so
     a SQL oracle replays the buckets exactly). Repeated grams repeat
     in the output — indices carry term COUNTS by multiplicity.
+
+    ``portable=False`` switches the bucket hash from md5 to seeded
+    ``xxhash64`` (JVM-native, no hex round-trip) — the 100 TB hot
+    path, the same portable/fast duality the MinHash family has
+    (dedup.py): either hash family is a valid hashing-trick instance;
+    only the portable one is DuckDB-replayable, so oracles pin the
+    md5 path and the fast path is covered by behavioral agreement
+    tests. Downstream models are hash-family-bound: score with the
+    same ``portable`` you trained with.
 
     Entirely row-local; a doc shorter than ``n`` words contributes its
     whole text as that n-gram (``word_ngrams``' ≥1-shingle rule).
@@ -89,16 +100,21 @@ def hashed_token_features(
     for s in streams[1:]:
         grams = F.concat(grams, s)
     grams = F.filter(grams, lambda g: g != F.lit(""))
-    idx = lambda g: (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.concat(g, F.lit("|"), F.lit(str(seed)))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(int(n_features))
-    )
+    if portable:
+        idx = lambda g: (  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(g, F.lit("|"), F.lit(str(seed)))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(n_features))
+        )
+    else:
+        idx = lambda g: F.pmod(  # noqa: E731
+            F.xxhash64(g, F.lit(int(seed))), F.lit(int(n_features))
+        )
     return F.when(
         text.isNotNull(), F.transform(grams, idx)
     )
@@ -206,6 +222,7 @@ def train_text_classifier(
     weight: Optional[Column] = None,
     lowercase: bool = True,
     seed: int = 42,
+    portable: bool = True,
 ) -> TextClassifierModel:
     """Train the quality classifier: full-batch gradient descent on
     L2-regularized weighted logistic loss over hashed features.
@@ -226,7 +243,7 @@ def train_text_classifier(
     feats = df.select(
         hashed_token_features(
             F.col(text_col), n_features=n_features, ngrams=ngrams,
-            lowercase=lowercase, seed=seed,
+            lowercase=lowercase, seed=seed, portable=portable,
         ).alias("__f__"),
         F.col(label_col).cast("double").alias("__y__"),
         sw.cast("double").alias("__sw__"),
@@ -259,6 +276,7 @@ def train_text_classifier(
         seed=int(seed),
         lowercase=bool(lowercase),
         losses=losses,
+        portable=bool(portable),
     )
 
 
@@ -277,6 +295,7 @@ def score_text_classifier(
     feat_col = hashed_token_features(
         F.col(text_col), n_features=model.n_features,
         ngrams=model.ngrams, lowercase=model.lowercase, seed=model.seed,
+        portable=getattr(model, "portable", True),
     )
     src = df.withColumn("__f__", feat_col)
     out_schema = T.StructType(

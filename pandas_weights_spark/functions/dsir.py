@@ -30,8 +30,11 @@ Scale design:
   quality classifier's gradient). Features reuse
   :func:`~pandas_weights_spark.functions.classifier.
   hashed_token_features` — md5 bucket ids, portable to a SQL oracle.
-* **Log-ratio table** (:func:`dsir_log_ratio`) — a full-outer join
-  of two ≤``n_buckets``-row tables plus two scalar totals; tiny.
+* **Log-ratio table** (:func:`dsir_log_ratio`, or
+  :func:`dsir_log_ratio_sliced` when the target is a labeled slice
+  of the raw corpus) — bounded at ≤ 2·``n_buckets`` rows; totals ride
+  a global window inside the same pass, so the whole table
+  materializes in one stage.
 * **Scoring** (:func:`dsir_score`) — explode features, BROADCAST-join
   the ratio table (≤ n_buckets rows, always broadcastable), sum per
   document: one shuffle keyed by the document id. No Python in the
@@ -59,11 +62,53 @@ from pandas_weights_spark.functions.classifier import hashed_token_features
 from pandas_weights_spark.sample import uniform_hash
 
 __all__ = [
+    "dsir_doc_bucket_counts",
     "dsir_bucket_counts",
     "dsir_log_ratio",
+    "dsir_log_ratio_sliced",
     "dsir_score",
     "dsir_gumbel_topk",
 ]
+
+
+def dsir_doc_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    id_cols: Sequence[str],
+    n_buckets: int = 1 << 13,
+    ngrams: Sequence[int] = (1, 2),
+    lowercase: bool = True,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """PER-DOCUMENT hashed-bucket counts ``(*id_cols, bucket, cnt)`` —
+    the tokenize-once producer for the whole DSIR chain: corpus-level
+    counts are ``groupBy("bucket").agg(sum("cnt"))`` over this (or a
+    filtered slice of it — a target that is a SLICE of the raw corpus
+    needs no second featurization pass), and :func:`dsir_score`
+    accepts it via ``doc_counts=`` to skip re-featurizing. Persist it
+    when both derive from one frame: one explode+md5 pass instead of
+    three.
+
+    The (ids, bucket) groupBy is map-side combinable and shrinks the
+    downstream ratio join's fan-in from per-occurrence to
+    per-distinct-bucket — strictly less shuffle than the direct path
+    at any scale.
+    """
+    ids = list(id_cols)
+    feats = hashed_token_features(
+        F.col(text_col),
+        n_features=n_buckets,
+        ngrams=ngrams,
+        lowercase=lowercase,
+        seed=seed,
+        portable=portable,
+    )
+    return (
+        df.select(*[F.col(c) for c in ids], F.explode(feats).alias("bucket"))
+        .groupBy(*ids, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
 
 
 def dsir_bucket_counts(
@@ -73,6 +118,7 @@ def dsir_bucket_counts(
     ngrams: Sequence[int] = (1, 2),
     lowercase: bool = True,
     seed: int = 42,
+    portable: bool = True,
 ) -> DataFrame:
     """Hashed n-gram bucket OCCURRENCE counts for a corpus:
     ``(bucket, cnt)``, ≤ ``n_buckets`` rows. Repeated grams count by
@@ -85,6 +131,7 @@ def dsir_bucket_counts(
         ngrams=ngrams,
         lowercase=lowercase,
         seed=seed,
+        portable=portable,
     )
     return (
         df.select(F.explode(feats).alias("bucket"))
@@ -108,33 +155,68 @@ def dsir_log_ratio(
     and falls back to the smoothed-zero ratio via ``fallback_ratio``
     in :func:`dsir_score`).
 
-    Totals are computed here (two scalar aggs, crossJoined — both
-    sides ≤ n_buckets rows so this is driver-trivial); ``alpha`` > 0
-    keeps every log finite.
+    Totals are computed inside the same pass (global window over the
+    ≤ 2·n_buckets joined rows — see :func:`_ratio_from_joined`);
+    ``alpha`` > 0 keeps every log finite. When the target is a slice
+    of the raw corpus, prefer :func:`dsir_log_ratio_sliced` — it
+    needs no second count table and no full-outer join.
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (keeps smoothed probs finite)")
-    a = float(alpha)
-    tt = target_counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0.0)).alias("__tt__")
-    )
-    tr = raw_counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0.0)).alias("__tr__")
-    )
     t = target_counts.withColumnRenamed("cnt", "__ct__")
     r = raw_counts.withColumnRenamed("cnt", "__cr__")
-    joined = (
-        t.join(r, "bucket", "full_outer")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-    )
-    denom_t = F.col("__tt__") + F.lit(a * n_buckets)
-    denom_r = F.col("__tr__") + F.lit(a * n_buckets)
+    joined = t.join(r, "bucket", "full_outer")
+    return _ratio_from_joined(joined, n_buckets, alpha)
+
+
+def _ratio_from_joined(
+    joined: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, __ct__, __cr__) → (bucket, log_ratio). Totals via a
+    GLOBAL window — bounded by ≤ 2·n_buckets input rows (the k-bounded
+    global-window pattern), and one stage instead of two scalar-agg
+    jobs + crossJoins: the ratio table materializes in a single pass,
+    which matters because downstream broadcasts re-trigger this plan.
+    """
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    w = Window.partitionBy()
+    tt = F.coalesce(F.sum("__ct__").over(w), F.lit(0.0))
+    tr = F.coalesce(F.sum("__cr__").over(w), F.lit(0.0))
     lr = (
-        F.log((F.coalesce(F.col("__ct__"), F.lit(0.0)) + F.lit(a)) / denom_t)
-        - F.log((F.coalesce(F.col("__cr__"), F.lit(0.0)) + F.lit(a)) / denom_r)
+        F.log(
+            (F.coalesce(F.col("__ct__"), F.lit(0.0)) + F.lit(a))
+            / (tt + F.lit(a * n_buckets))
+        )
+        - F.log(
+            (F.coalesce(F.col("__cr__"), F.lit(0.0)) + F.lit(a))
+            / (tr + F.lit(a * n_buckets))
+        )
     )
     return joined.select("bucket", lr.alias("log_ratio"))
+
+
+def dsir_log_ratio_sliced(
+    doc_counts: DataFrame,
+    is_target: Column,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Log-ratio table for the common "target is a LABELED SLICE of
+    the raw corpus" case (DSIR's own setup — e.g. source == 'wiki'):
+    one twin aggregation over :func:`dsir_doc_bucket_counts` output
+    produces both corpora's counts — no second featurization pass, no
+    full-outer join, no separate totals jobs. ``is_target`` is any
+    boolean Column over ``doc_counts``'s id columns.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (keeps smoothed probs finite)")
+    per_bucket = doc_counts.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("cnt"))).alias("__ct__"),
+        F.sum("cnt").alias("__cr__"),
+    )
+    return _ratio_from_joined(per_bucket, n_buckets, alpha)
 
 
 def dsir_score(
@@ -148,14 +230,18 @@ def dsir_score(
     seed: int = 42,
     fallback_ratio: Optional[Column] = None,
     out_col: str = "log_importance",
+    doc_counts: Optional[DataFrame] = None,
+    portable: bool = True,
 ) -> DataFrame:
-    """Append per-document ``log w`` to ``df``: explode the same
-    hashed features, broadcast-join ``log_ratio``, sum per document,
-    join back on ``id_cols``. A bucket absent from the ratio table
-    (possible only when scoring a corpus that fed NEITHER count
-    table) falls back to ``fallback_ratio`` (default 0.0 — i.e.
-    "uninformative"). Documents with NULL text stay NULL (the text
-    family's null-preserving rule); documents with no grams score 0.
+    """Append per-document ``log w`` to ``df``: per-doc bucket counts
+    (``doc_counts`` if given — the :func:`dsir_doc_bucket_counts`
+    tokenize-once path — else featurized here), broadcast-join
+    ``log_ratio``, sum ``cnt · ratio`` per document, join back on
+    ``id_cols``. A bucket absent from the ratio table (possible only
+    when scoring a corpus that fed NEITHER count table) falls back to
+    ``fallback_ratio`` (default 0.0 — i.e. "uninformative").
+    Documents with NULL text stay NULL (the text family's
+    null-preserving rule); documents with no grams score 0.
 
     Feature params MUST match the ones used for the count tables —
     same ``n_buckets``/``ngrams``/``lowercase``/``seed`` — or the
@@ -165,21 +251,24 @@ def dsir_score(
     """
     ids = list(id_cols)
     fb = fallback_ratio if fallback_ratio is not None else F.lit(0.0)
-    feats = hashed_token_features(
-        F.col(text_col),
-        n_features=n_buckets,
-        ngrams=ngrams,
-        lowercase=lowercase,
-        seed=seed,
-    )
-    exploded = df.select(
-        *[F.col(c) for c in ids], F.explode(feats).alias("bucket")
-    )
+    if doc_counts is None:
+        doc_counts = dsir_doc_bucket_counts(
+            df,
+            text_col,
+            ids,
+            n_buckets=n_buckets,
+            ngrams=ngrams,
+            lowercase=lowercase,
+            seed=seed,
+            portable=portable,
+        )
     sums = (
-        exploded.join(F.broadcast(log_ratio), "bucket", "left")
+        doc_counts.join(F.broadcast(log_ratio), "bucket", "left")
         .groupBy(*ids)
         .agg(
-            F.sum(F.coalesce(F.col("log_ratio"), fb)).alias("__lw__")
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("log_ratio"), fb)
+            ).alias("__lw__")
         )
     )
     return df.join(sums, ids, "left").select(

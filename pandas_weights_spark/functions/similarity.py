@@ -484,9 +484,18 @@ def semantic_dedup(
             ],
         )
         .where(
-            F.try_divide(
-                dot(F.col("a.__v__"), F.col("b.__v__")),
-                F.col("a.__n__") * F.col("b.__n__"),
+            # round-then-threshold (the dedup family's rule, same as
+            # embedding_near_duplicates): boundary decisions are made
+            # on the 6-dp cosine, so they are engine-portable — a SQL
+            # oracle computing the cosine with a different (but
+            # ulp-equivalent) reduction order reaches the identical
+            # keep/drop set
+            F.round(
+                F.try_divide(
+                    dot(F.col("a.__v__"), F.col("b.__v__")),
+                    F.col("a.__n__") * F.col("b.__n__"),
+                ),
+                6,
             )
             >= threshold
         )

@@ -171,6 +171,47 @@ class TestScore:
         assert out.count() == len(RAW)
 
 
+class TestHashFamilyAgreement:
+    """portable=False (xxhash64) is a different but equally valid
+    hashing-trick instance: same state bound, same model shape, and
+    the scores it produces must discriminate the same way."""
+
+    def test_fast_path_counts_and_discrimination(self, spark, frames):
+        tgt, raw = frames
+        ct = dsir_bucket_counts(
+            tgt, "text", n_buckets=N, seed=SEED, portable=False
+        )
+        cr = dsir_bucket_counts(
+            raw, "text", n_buckets=N, seed=SEED, portable=False
+        )
+        # identical TOTAL gram mass — the family changes bucket ids,
+        # never how many grams exist
+        tot = sum(r["cnt"] for r in ct.collect())
+        assert tot == sum(_counts(TARGET).values())
+        lr = dsir_log_ratio(ct, cr, N)
+        got = {
+            r["doc_id"]: r["log_importance"]
+            for r in dsir_score(
+                raw, "text", lr, ["doc_id"], n_buckets=N, seed=SEED,
+                portable=False,
+            ).collect()
+        }
+        # same qualitative ordering as the md5 family: target-like
+        # raw docs outscore pure spam
+        assert got[3] > got[0] and got[3] > got[4]
+
+    def test_fast_path_deterministic(self, spark, frames):
+        _, raw = frames
+        a = dsir_bucket_counts(
+            raw, "text", n_buckets=N, seed=SEED, portable=False
+        ).collect()
+        b = dsir_bucket_counts(
+            raw.repartition(5), "text", n_buckets=N, seed=SEED,
+            portable=False,
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 class TestGumbelTopK:
     def test_matches_reference_selection(self, spark, frames):
         _, raw = frames
