@@ -277,7 +277,8 @@ def main() -> int:
             emb.select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
             ),
-            "v", "vec_id", n_cells=32, threshold=0.9, iters=1,
+            "v", "vec_id", n_cells=64, threshold=0.9, iters=2,
+            arrow=True,
         )
 
     qs["semdedup"] = _semdedup_clustered

@@ -23,8 +23,10 @@ import math
 import random
 from typing import Sequence
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "semantic_dedup",
@@ -37,6 +39,7 @@ __all__ = [
     "topk_lsh",
     "train_ivf_centroids",
     "nearest_cell",
+    "assign_cells_arrow",
     "probe_cells",
     "topk_ivf",
     "quantize_embedding",
@@ -229,16 +232,20 @@ def train_ivf_centroids(
     n_cells: int,
     id_col: str,
     iters: int = 2,
+    arrow: bool = False,
 ) -> list[list[float]]:
     """Coarse IVF quantizer: k-means on cosine similarity.
 
     Deterministic init (the ``n_cells`` lowest-id vectors), then
     ``iters`` distributed Lloyd rounds: assignment is a JVM-side
-    codegen argmax over centroid literals; re-estimation is one
-    groupBy(cell) with a per-dimension ``avg`` column — map-side
-    partials mean only n_cells × dim numbers cross the wire, never the
-    vectors themselves. Only the k×d centroid table (a few KB) ever
-    reaches the driver, so the same code trains on a 10^11-row corpus.
+    codegen argmax over centroid literals (``arrow=True`` switches to
+    the batched-matmul :func:`assign_cells_arrow` — the hot path at
+    large ``n_cells``, same argmax up to reduction-order ulps);
+    re-estimation is one groupBy(cell) with a per-dimension ``avg``
+    column — map-side partials mean only n_cells × dim numbers cross
+    the wire, never the vectors themselves. Only the k×d centroid
+    table (a few KB) ever reaches the driver, so the same code trains
+    on a 10^11-row corpus.
     """
     rows = (
         corpus.orderBy(id_col).limit(n_cells).select(corpus_vec).collect()
@@ -249,10 +256,18 @@ def train_ivf_centroids(
         # the struct-field argmax trips Spark's analyzer (field names
         # degrade to col1/col2 and the `.i` access fails to resolve)
         dim = len(cents[0])
-        assigned = corpus.select(
-            nearest_cell(F.col(corpus_vec), cents).alias("__cell__"),
-            F.col(corpus_vec).alias("__v__"),
-        )
+        if arrow:
+            assigned = assign_cells_arrow(
+                corpus.select(F.col(corpus_vec).alias("__v__")),
+                "__v__",
+                cents,
+                out_col="__cell__",
+            )
+        else:
+            assigned = corpus.select(
+                nearest_cell(F.col(corpus_vec), cents).alias("__cell__"),
+                F.col(corpus_vec).alias("__v__"),
+            )
         # per-dimension avg columns: map-side partials shuffle only
         # n_cells × dim numbers, never the vectors (vs a posexplode
         # shuffle of rows × dim)
@@ -297,6 +312,72 @@ def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmax-cosine cell id as a pure Column expression (centroids are
     plan literals). Ties resolve to the larger cell index (struct max)."""
     return F.array_max(_cell_scores(vec, centroids))["i"]
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cell",
+    norm_col: "str | None" = None,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`nearest_cell`: input schema +
+    ``out_col`` (argmax-cosine cell id; same larger-index tie rule),
+    plus the vector's L2 norm as ``norm_col`` when asked (the
+    callers that need cosine later get it from the same pass).
+
+    Why it exists: higher-order-function expressions (``zip_with`` /
+    ``aggregate``) are interpreted per ELEMENT, so the n·k·d argmax
+    is the wall-clock bottleneck of every IVF-shaped pipeline at
+    large k — measured ~7 s/Lloyd-iteration at n=5k, k=64, d=64 on
+    32 cores. One numpy matmul per Arrow batch is two orders faster
+    and keeps the identical data flow. Scores differ from the HOF
+    path only at matmul-reduction-order ulp level (same unit-centroid
+    preparation), so assignments agree except on exact-tie
+    boundaries; the HOF path stays the oracle-portable reference
+    (the minhash portable/fast duality). NULL vectors get NULL cell.
+    """
+    units = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        units.append([x / n for x in c])
+    u = np.asarray(units, float)  # k × d
+    k = u.shape[0]
+    fields = list(df.schema.fields) + [
+        T.StructField(out_col, T.IntegerType())
+    ]
+    if norm_col is not None:
+        fields.append(T.StructField(norm_col, T.DoubleType()))
+    out_schema = T.StructType(fields)
+    cols = df.columns
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[vec_col]
+            mask = vals.notna().to_numpy()
+            cell = np.empty(len(pdf), dtype=object)
+            cell[~mask] = None
+            nrm = np.empty(len(pdf), dtype=object)
+            nrm[~mask] = None
+            if mask.any():
+                x = np.vstack([np.asarray(v, float) for v in vals[mask]])
+                s = x @ u.T  # n × k
+                # np.argmax takes the FIRST max; the engine rule is
+                # larger index wins — argmax over the reversed axis
+                idx = (k - 1) - np.argmax(s[:, ::-1], axis=1)
+                cell[mask] = [int(i) for i in idx]
+                if norm_col is not None:
+                    nn = np.sqrt((x * x).sum(axis=1))
+                    nrm[mask] = [float(v) for v in nn]
+            out = {c: pdf[c] for c in cols}
+            out[out_col] = cell
+            if norm_col is not None:
+                out[norm_col] = nrm
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, out_schema)
 
 
 def probe_cells(
@@ -443,6 +524,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     iters: int = 2,
     centroids: "list[list[float]] | None" = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -459,20 +541,37 @@ def semantic_dedup(
     pre-trained quantizer (:func:`train_ivf_centroids` — the
     train-once/apply-many pattern); ``None`` trains here with
     ``iters`` Lloyd rounds. Assignment is a JVM-side argmax over the
-    centroid literal; the only data-sized shuffle is the cell
-    self-join, which never leaves a cell.
+    centroid literal (``arrow=True``: the batched-matmul
+    :func:`assign_cells_arrow` fast path — same argmax up to
+    reduction-order ulps at exact-tie boundaries); the only
+    data-sized shuffle is the cell self-join, which never leaves a
+    cell.
     """
     if centroids is None:
         centroids = train_ivf_centroids(
-            df, vec_col, n_cells, id_col, iters=iters
+            df, vec_col, n_cells, id_col, iters=iters, arrow=arrow
         )
     v = F.col(vec_col)
-    assigned = df.where(v.isNotNull()).select(
-        F.col(id_col),
-        v.alias("__v__"),
-        l2_norm(v).alias("__n__"),
-        nearest_cell(v, centroids).alias("cell"),
-    )
+    if arrow:
+        # batched-matmul assignment + norm from ONE Arrow pass; the
+        # pair-verify cosine below is unchanged, and its 6-dp
+        # round-then-threshold absorbs the norm's reduction-order ulps
+        assigned = assign_cells_arrow(
+            df.where(v.isNotNull()).select(
+                F.col(id_col), v.alias("__v__")
+            ),
+            "__v__",
+            centroids,
+            out_col="cell",
+            norm_col="__n__",
+        ).select(id_col, "__v__", "__n__", "cell")
+    else:
+        assigned = df.where(v.isNotNull()).select(
+            F.col(id_col),
+            v.alias("__v__"),
+            l2_norm(v).alias("__n__"),
+            nearest_cell(v, centroids).alias("cell"),
+        )
     a = assigned.alias("a")
     b = assigned.alias("b")
     losers = (

@@ -301,6 +301,86 @@ class TestSemanticDedup:
                 assert surv == [min(members)], (cell, members, surv)
         assert 10 in survivors  # the far singleton always survives
 
+    def test_arrow_assignment_agrees_with_hof(self, spark):
+        # assign_cells_arrow must reproduce nearest_cell's argmax
+        # (including NULL handling) on well-separated data; the
+        # matmul/fold reduction orders differ only at ulp level
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            assign_cells_arrow,
+            nearest_cell,
+        )
+
+        rng = np.random.default_rng(11)
+        cents = [[float(x) for x in rng.normal(size=8)] for _ in range(5)]
+        rows = [
+            (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+        ]
+        rows.append((40, None))
+        df = spark.createDataFrame(rows, "vid long, v array<double>")
+        hof = {
+            r["vid"]: r["c"]
+            for r in df.select(
+                "vid", nearest_cell(F.col("v"), cents).alias("c")
+            ).collect()
+        }
+        arw = {
+            r["vid"]: (r["cell"], r["n"])
+            for r in assign_cells_arrow(
+                df, "v", cents, out_col="cell", norm_col="n"
+            ).collect()
+        }
+        # non-null rows agree; the NULL vector differs BY DESIGN —
+        # nearest_cell's null-score structs degrade to the last cell
+        # id (callers pre-filter NULLs), the arrow path yields NULL
+        assert {k: v[0] for k, v in arw.items() if k != 40} == {
+            k: v for k, v in hof.items() if k != 40
+        }
+        assert arw[40] == (None, None)
+        for vid, vec in rows[:40]:
+            assert arw[vid][1] == pytest.approx(
+                float(np.linalg.norm(vec)), rel=1e-12
+            )
+
+    def test_arrow_dedup_matches_hof_path(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import semantic_dedup
+
+        rng = np.random.default_rng(4)
+        c1 = rng.normal(size=16)
+        c2 = rng.normal(size=16) + 4.0
+        rows = []
+        for i in range(5):
+            rows.append(
+                (i, [float(x) for x in c1 + rng.normal(scale=0.005, size=16)])
+            )
+        for i in range(5, 10):
+            rows.append(
+                (i, [float(x) for x in c2 + rng.normal(scale=0.005, size=16)])
+            )
+        df = spark.createDataFrame(rows, "vid long, embedding array<double>")
+        a = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    df, "embedding", "vid", n_cells=2, threshold=0.999,
+                    iters=2,
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    df, "embedding", "vid", n_cells=2, threshold=0.999,
+                    iters=2, arrow=True,
+                ).collect(),
+            )
+        )
+        assert a == b
+
     def test_null_vectors_drop(self, spark):
         from pandas_weights_spark.functions.similarity import semantic_dedup
 
