@@ -1096,6 +1096,59 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_web_hygiene(spark, sf_dir):
+    # r6: URL canonicalization + blocked-domain filtering
+    # (functions/text.py canonicalize_url / domain_suffixes /
+    # filter_blocked_domains — the CCNet/RefinedWeb URL-hygiene pass).
+    # URLs are synthesized deterministically per doc to exercise the
+    # interesting paths: uppercase scheme/host (lowercased), default
+    # :443 and :80 ports (dropped), tracking params utm_*/fbclid
+    # (dropped) interleaved with kept params (order preserved),
+    # fragments (dropped). The oracle derives the canonical form and
+    # the suffix-match blocklist decision in closed form — an
+    # INDEPENDENT spec of the same rules (the multimodal ph:* style);
+    # the algorithmic edge cases (non-default ports, foreign schemes,
+    # single-label hosts, max_labels bound) are pytest-pinned.
+    from pandas_weights_spark.functions.text import (
+        canonicalize_url,
+        filter_blocked_domains,
+        url_domain,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"),
+            F.lit(".Example.COM:443/d/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=bench&id="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("&fbclid=zz"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        F.concat(
+            F.lit("HTTP://"), F.upper("source"), F.lit(".ORG:80/p/"),
+            F.col("doc_id").cast("string"), F.lit("?b=2&a=1"),
+        ).alias("url2"),
+    )
+    canon = raw.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("curl"),
+        canonicalize_url(F.col("url2")).alias("curl2"),
+    )
+    hosted = canon.withColumn("host", url_domain(F.col("curl")))
+    bl = spark.createDataFrame(
+        [("src1.example.com",), ("www.src4.example.com",),
+         ("src7.example.com",)],
+        "domain string",
+    )
+    return filter_blocked_domains(
+        hosted, F.col("host"), bl, how="flag"
+    ).select("doc_id", "curl", "curl2", "host", "is_blocked")
+
+
 def _q_dedup_exact(spark, sf_dir):
     # exact dedup with synthetic duplicates: shifted exact copies must all
     # fold back onto the originals (min-id survivor policy)
@@ -6150,6 +6203,30 @@ _ORACLE["semdedup"] = """
 """
 
 
+_ORACLE["web_hygiene"] = """
+    -- r6: closed-form spec of canonicalize_url over the synthesized
+    -- URLs (lowercase scheme/host, default port dropped, utm_/fbclid
+    -- params dropped with order of kept params preserved, fragment
+    -- dropped, empty query loses '?') + the parent-suffix blocklist
+    -- match of filter_blocked_domains
+    WITH c AS (
+      SELECT doc_id,
+             'https://www.' || lower(source) || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS curl,
+             'http://' || lower(source) || '.org/p/'
+               || CAST(doc_id AS VARCHAR) || '?b=2&a=1' AS curl2,
+             'www.' || lower(source) || '.example.com' AS host,
+             lower(source) || '.example.com' AS parent
+      FROM documents
+    )
+    SELECT doc_id, curl, curl2, host,
+           (parent IN ('src1.example.com', 'src7.example.com')
+            OR host = 'www.src4.example.com') AS is_blocked
+    FROM c
+"""
+
+
 _ORACLE["dsir_select"] = f"""
     -- r6: full replay of the DSIR chain (functions/dsir.py) — md5
     -- bucket counts for target (src0/src1) and raw (all docs),
@@ -6264,6 +6341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,
         "semdedup": _q_semdedup,
+        "web_hygiene": _q_web_hygiene,
         "mixture_sample": _q_mixture_sample,
     }
 

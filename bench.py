@@ -90,6 +90,7 @@ HEADLINE = [
     "mixture_sample",      # domain re-mixing epoch materialization (r6)
     "dsir_select",         # DSIR importance resampling chain (r6)
     "semdedup",            # SemDeDup cell-local cosine dedup (r6)
+    "web_hygiene",         # URL canonicalize + blocklist suffix join (r6)
 ]
 
 

@@ -12,6 +12,7 @@ into the scan stage at 100 TB.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -37,6 +38,10 @@ __all__ = [
     "redact_pii",
     "extract_urls",
     "url_domain",
+    "TRACKING_PARAM_PREFIXES",
+    "canonicalize_url",
+    "domain_suffixes",
+    "filter_blocked_domains",
     "domain_stats",
     "remove_duplicate_lines",
     "unigram_logprobs",
@@ -311,6 +316,144 @@ def url_domain(url: Column) -> Column:
     the key for per-domain corpus statistics."""
     host = F.regexp_extract(url, r"^https?://([^/:?#]+)", 1)
     return F.lower(host)
+
+
+#: query parameters dropped by :func:`canonicalize_url` — pure
+#: click-tracking state that makes otherwise-identical URLs distinct
+#: (the CCNet/RefinedWeb-style URL-dedup prerequisite). Matched as a
+#: prefix on the parameter NAME.
+TRACKING_PARAM_PREFIXES: "tuple[str, ...]" = (
+    "utm_", "fbclid", "gclid", "msclkid", "mc_eid", "ref_", "igshid",
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for URL-level deduplication —
+    entirely row-local Column algebra (deterministic, SQL-replayable):
+
+    * scheme and host lowercase; explicit default ports dropped
+      (``:80`` for http, ``:443`` for https)
+    * fragment (``#…``) dropped — never sent to the server
+    * tracking query parameters dropped
+      (:data:`TRACKING_PARAM_PREFIXES` name-prefix match); remaining
+      parameters keep their ORDER (reordering can change server
+      behavior — canonicalization must never merge two URLs a server
+      could distinguish, so this stays conservative)
+    * a now-empty query string loses its ``?``; an empty path becomes
+      ``/``
+
+    NULL and non-http(s) inputs pass through unchanged (conservative:
+    an unrecognized scheme is not ours to rewrite).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != F.lit(""))
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    authority = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(
+        host
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~functools.reduce(
+            lambda a, b: a | b,
+            [
+                p.startswith(F.lit(pref))
+                for pref in TRACKING_PARAM_PREFIXES
+            ],
+        ),
+    )
+    kept = F.array_join(params, "&")
+    tail = F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), authority, path, tail)
+    return F.when(
+        url.isNotNull() & scheme.isin("http", "https"), canon
+    ).otherwise(url)
+
+
+def domain_suffixes(host: Column, max_labels: int = 8) -> Column:
+    """All dot-suffixes of a host with ≥ 2 labels, most-specific
+    first: ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com]`` — the match key set for parent-domain blocklists.
+    Bounded at ``max_labels`` labels (hosts beyond that contribute
+    their ``max_labels`` most-general suffixes; real blocklists name
+    registrable domains, which sit at the general end). Row-local.
+    """
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    # suffix starting at label i (1-based slice) for i = start..n-1,
+    # plus the full host itself (i=1) so single-label hosts still
+    # match; start > 1 only when the host exceeds max_labels labels
+    start = F.greatest(F.lit(1), n - F.lit(int(max_labels)) + 1)
+    return F.filter(
+        F.transform(
+            F.sequence(start, F.greatest(n - 1, start)),
+            lambda i: F.when(
+                (i == 1) | (n - i >= 1),
+                F.array_join(F.slice(labels, i, n), "."),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    host: Column,
+    blocklist: DataFrame,
+    how: str = "filter",
+    flag_col: str = "is_blocked",
+    match_subdomains: bool = True,
+) -> DataFrame:
+    """Drop (or flag) rows whose host — or ANY parent domain of it,
+    when ``match_subdomains`` — appears in ``blocklist`` (a one-column
+    ``domain`` DataFrame; persist/reload it as parquet between runs).
+    The URL-corpus hygiene step that runs before any text work.
+
+    Shape: explode the ≤ ``max_labels`` host suffixes, broadcast
+    semi-join the blocklist, collapse back to row grain —
+    blocklist-sized state only (a blocklist is thousands-to-millions
+    of rows: always broadcastable or at worst a shuffle bounded by
+    the SUFFIX table, ~3× row count). ``how='filter'`` keeps clean
+    rows; ``how='flag'`` appends ``flag_col`` instead. NULL hosts are
+    never blocked.
+    """
+    if how not in ("filter", "flag"):
+        raise ValueError("how must be 'filter' or 'flag'")
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col("domain")).alias("__bd__")).distinct()
+    )
+    keys = (
+        domain_suffixes(host)
+        if match_subdomains
+        else F.array(F.lower(host))
+    )
+    with_keys = df.withColumn("__sfx__", keys).withColumn(
+        "__rid__", F.monotonically_increasing_id()
+    )
+    hits = (
+        with_keys.select("__rid__", F.explode("__sfx__").alias("__bd__"))
+        .join(bl, "__bd__")
+        .select("__rid__")
+        .distinct()
+        .withColumn("__hit__", F.lit(True))
+    )
+    joined = with_keys.join(hits, "__rid__", "left")
+    if how == "filter":
+        return joined.where(F.col("__hit__").isNull()).drop(
+            "__sfx__", "__rid__", "__hit__"
+        )
+    return joined.select(
+        *df.columns, F.col("__hit__").isNotNull().alias(flag_col)
+    )
 
 
 def domain_stats(
