@@ -1096,6 +1096,32 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    # r6: weighted PageRank (functions/graph.py) over a synthesized
+    # domain link graph — source domain links to 'src{(doc_id*7+3)%25}'
+    # per doc (multi-edges fold to weights; domains 20-24 have no
+    # out-edges, exercising the dangling-mass redistribution). The
+    # oracle unrolls 3 power iterations as chained CTEs — the
+    # recurrence itself is pinned; convergence/guard behavior is
+    # pytest-pinned against numpy power iteration.
+    from pandas_weights_spark.functions.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    edges = (
+        docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * 7 + 3) % 25).cast("string"),
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, weight=F.col("w"), damping=0.85, iters=3)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _q_web_hygiene(spark, sf_dir):
     # r6: URL canonicalization + blocked-domain filtering
     # (functions/text.py canonicalize_url / domain_suffixes /
@@ -6203,6 +6229,63 @@ _ORACLE["semdedup"] = """
 """
 
 
+_ORACLE["pagerank"] = """
+    -- r6: 3 unrolled power iterations of weighted PageRank with
+    -- dangling-mass redistribution (graph.pagerank's exact algebra)
+    WITH e AS (
+      SELECT source AS s,
+             'src' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) AS t,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM documents GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT s AS n FROM e
+      UNION SELECT DISTINCT t FROM e
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM nodes
+    ), outm AS (
+      SELECT s, SUM(w) AS o FROM e GROUP BY 1
+    ), f AS (
+      SELECT s, t, w / o AS f FROM e JOIN outm USING (s)
+    ), r0 AS (
+      SELECT n, 1.0 / tot AS r FROM nodes, nn
+    ), c1 AS (
+      SELECT f.t AS n, SUM(f.f * r0.r) AS c
+      FROM f JOIN r0 ON r0.n = f.s GROUP BY 1
+    ), d1 AS (
+      SELECT COALESCE(SUM(r), 0.0) AS dm FROM r0
+      WHERE n NOT IN (SELECT s FROM outm)
+    ), r1 AS (
+      SELECT nodes.n,
+             (1.0 - 0.85) / tot + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / tot)
+               AS r
+      FROM nodes LEFT JOIN c1 ON c1.n = nodes.n, nn, d1
+    ), c2 AS (
+      SELECT f.t AS n, SUM(f.f * r1.r) AS c
+      FROM f JOIN r1 ON r1.n = f.s GROUP BY 1
+    ), d2 AS (
+      SELECT COALESCE(SUM(r), 0.0) AS dm FROM r1
+      WHERE n NOT IN (SELECT s FROM outm)
+    ), r2 AS (
+      SELECT nodes.n,
+             (1.0 - 0.85) / tot + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / tot)
+               AS r
+      FROM nodes LEFT JOIN c2 ON c2.n = nodes.n, nn, d2
+    ), c3 AS (
+      SELECT f.t AS n, SUM(f.f * r2.r) AS c
+      FROM f JOIN r2 ON r2.n = f.s GROUP BY 1
+    ), d3 AS (
+      SELECT COALESCE(SUM(r), 0.0) AS dm FROM r2
+      WHERE n NOT IN (SELECT s FROM outm)
+    ), r3 AS (
+      SELECT nodes.n,
+             (1.0 - 0.85) / tot + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / tot)
+               AS r
+      FROM nodes LEFT JOIN c3 ON c3.n = nodes.n, nn, d3
+    )
+    SELECT n AS node, round(r, 6) AS rank FROM r3
+"""
+
+
 _ORACLE["web_hygiene"] = """
     -- r6: closed-form spec of canonicalize_url over the synthesized
     -- URLs (lowercase scheme/host, default port dropped, utm_/fbclid
@@ -6342,6 +6425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "semdedup": _q_semdedup,
         "web_hygiene": _q_web_hygiene,
+        "pagerank": _q_pagerank,
         "mixture_sample": _q_mixture_sample,
     }
 

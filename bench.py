@@ -91,6 +91,7 @@ HEADLINE = [
     "dsir_select",         # DSIR importance resampling chain (r6)
     "semdedup",            # SemDeDup cell-local cosine dedup (r6)
     "web_hygiene",         # URL canonicalize + blocklist suffix join (r6)
+    "pagerank",            # 3-iteration weighted domain PageRank (r6)
 ]
 
 
