@@ -1096,6 +1096,55 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _pq_codebooks(m=4, k=4, dsub=16, seed=13):
+    # deterministic literal codebooks (the semdedup explicit-centroid
+    # trick): the oracle replays ENCODING + ADC exactly; the k-means
+    # trainer is pinned by the numpy differential in tests/test_pq.py
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _q_pq_topk(spark, sf_dir):
+    # r6: product quantization (functions/pq.py — Jégou et al. 2011).
+    # Tagged union: `enc` rows pin the per-subspace argmin code of
+    # every corpus vector (portable Column path — the same sequential
+    # (x−c)² fold the SQL replays); `adc` rows pin the asymmetric-
+    # distance top-5 of 4 float queries against the coded corpus
+    # (distance = Σ_s table[s][code_s], 6-dp rounded, neighbor ties).
+    from pandas_weights_spark.functions.pq import pq_encode, topk_pq_adc
+
+    cbs = _pq_codebooks()
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    codes = pq_encode(emb, "embedding", cbs, arrow=False)
+    enc = codes.select(
+        F.lit("enc").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.posexplode("pq_code").alias("b", "i"),
+    ).select(
+        "part", "a", F.col("b").cast("long").alias("b"),
+        F.col("i").cast("long").alias("i"),
+        F.lit(None).cast("double").alias("d"),
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = topk_pq_adc(queries, codes, cbs, k=5).select(
+        F.lit("adc").alias("part"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").cast("long").alias("i"),
+        F.col("dist").alias("d"),
+    )
+    return enc.unionByName(adc)
+
+
 def _q_pagerank(spark, sf_dir):
     # r6: weighted PageRank (functions/graph.py) over a synthesized
     # domain link graph — source domain links to 'src{(doc_id*7+3)%25}'
@@ -6229,6 +6278,77 @@ _ORACLE["semdedup"] = """
 """
 
 
+def _pq_sql() -> str:
+    # mirror of pq.pq_encode(arrow=False) + pq.topk_pq_adc over the
+    # _pq_codebooks literals: per-subspace (x−c)² sums in the SAME
+    # left-to-right term order as the engine's sequential fold,
+    # argmin via list_position(list_min) (ties → lowest index, the
+    # np.argmin/struct-min rule), ADC total as the same + chain
+    m, k, dsub = 4, 4, 16
+    cbs = _pq_codebooks()
+
+    def dist(s: int, j: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * dsub + t + 1}] AS DOUBLE) - "
+            f"({cbs[s][j][t]!r})) * "
+            f"(CAST(embedding[{s * dsub + t + 1}] AS DOUBLE) - "
+            f"({cbs[s][j][t]!r}))"
+            for t in range(dsub)
+        )
+
+    dist_cols = ",\n             ".join(
+        f"({dist(s, j)}) AS d{s}{j}" for s in range(m) for j in range(k)
+    )
+    code_cols = ", ".join(
+        f"list_position([d{s}0, d{s}1, d{s}2, d{s}3], "
+        f"list_min([d{s}0, d{s}1, d{s}2, d{s}3])) - 1 AS c{s}"
+        for s in range(m)
+    )
+    enc_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT 'enc' AS part, vec_id AS a, CAST({s} AS BIGINT) AS b, "
+        f"CAST(c{s} AS BIGINT) AS i, CAST(NULL AS DOUBLE) AS d FROM codes"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(
+        f"(CASE c.c{s} WHEN 0 THEN q.d{s}0 WHEN 1 THEN q.d{s}1 "
+        f"WHEN 2 THEN q.d{s}2 ELSE q.d{s}3 END)"
+        for s in range(m)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), dists AS (
+      SELECT vec_id,
+             {dist_cols}
+      FROM e
+    ), codes AS (
+      SELECT vec_id, {code_cols} FROM dists
+    ), enc AS (
+      {enc_rows}
+    ), qd AS (
+      SELECT * FROM dists WHERE vec_id < 4
+    ), pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round({adc_sum}, 6) AS dist
+      FROM qd q, codes c
+    ), ranked AS (
+      SELECT qid, nid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+               AS rk
+      FROM pairs
+    )
+    SELECT part, a, b, i, d FROM enc
+    UNION ALL
+    SELECT 'adc' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
+           dist AS d
+    FROM ranked WHERE rk <= 5
+"""
+
+
+_ORACLE["pq_topk"] = _pq_sql()
+
+
 _ORACLE["pagerank"] = """
     -- r6: 3 unrolled power iterations of weighted PageRank with
     -- dangling-mass redistribution (graph.pagerank's exact algebra)
@@ -6426,6 +6546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "web_hygiene": _q_web_hygiene,
         "pagerank": _q_pagerank,
+        "pq_topk": _q_pq_topk,
         "mixture_sample": _q_mixture_sample,
     }
 

@@ -92,6 +92,7 @@ HEADLINE = [
     "semdedup",            # SemDeDup cell-local cosine dedup (r6)
     "web_hygiene",         # URL canonicalize + blocklist suffix join (r6)
     "pagerank",            # 3-iteration weighted domain PageRank (r6)
+    "pq_topk",             # product-quantization encode + ADC top-k (r6)
 ]
 
 

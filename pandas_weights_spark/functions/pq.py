@@ -1,0 +1,356 @@
+"""Product quantization for ANN at corpus scale (Jégou, Douze,
+Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+TPAMI 2011 — public paper). Completes the engine's quantization
+family: IVF cells prune WHERE to look, int8 SQ shrinks bytes 4×, PQ
+shrinks them ~32× (d floats → m byte codes) while still supporting
+distance computation AGAINST THE CODES — the standard billion-vector
+memory layout (FAISS's IVFPQ storage side).
+
+Pieces:
+
+* :func:`train_pq_codebooks` — per-subspace k-means. ONE
+  ``mapInPandas`` pass per Lloyd iteration covers ALL ``m``
+  subspaces: each partition emits (sub, cell, count, sum-vector)
+  partials — at most ``m·k`` rows of ``d/m`` doubles per partition,
+  bounded by the codebook size, never the data — tree-merged past 32
+  partitions (the classifier/PCA discipline) and finalized on the
+  driver. Only codebooks (m·k·d/m doubles) ever reach the driver.
+* :func:`pq_encode` — code assignment. ``arrow=True`` (default) is
+  one batched ``(n, k)`` distance matmul per subspace per Arrow
+  batch; ``arrow=False`` is the Column-expression twin (nested
+  codebook literal + struct-min argmin — interpreted, slower, but
+  DuckDB-replayable: the oracle path). Both use squared-L2 with ties
+  to the LOWEST cell index.
+* :func:`topk_pq_adc` — asymmetric distance computation: each FLOAT
+  query builds its m×k distance table (Column algebra over the
+  codebook literal), queries broadcast against the streamed code
+  corpus, per-pair distance is m table lookups + a sum — no float
+  vectors move, the corpus side is m small ints per row. Ranking is
+  squared-L2 ASCENDING (PQ is a distance method; the cosine family
+  ranks descending), ties by neighbor id.
+
+Determinism: codebooks are driver-side lists (plan literals); the
+portable encode path and the ADC algebra are fixed-order IEEE
+arithmetic, so a SQL oracle replays codes and distances exactly
+(distance sums rounded at 6 dp for rank stability).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "train_pq_codebooks",
+    "pq_encode",
+    "topk_pq_adc",
+]
+
+
+def _check_codebooks(codebooks) -> "tuple[int, int, int]":
+    m = len(codebooks)
+    if m < 1:
+        raise ValueError("codebooks must have >= 1 subspace")
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    for cb in codebooks:
+        if len(cb) != k or any(len(c) != dsub for c in cb):
+            raise ValueError("ragged codebooks (need m × k × d/m)")
+    return m, k, dsub
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 2,
+) -> "list[list[list[float]]]":
+    """Train per-subspace codebooks: ``m`` independent k-means over
+    the ``d/m``-wide subvectors, deterministic init from the ``k``
+    lowest-id vectors (the IVF rule). Returns ``m × k × d/m`` plain
+    floats (picklable — persist between runs, train-once/encode-many).
+    ``d`` must divide evenly by ``m``. Empty cells keep their previous
+    centroid (the Lloyd convention the IVF trainer uses).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    if len(first) < k:
+        raise ValueError(
+            f"need >= k={k} non-null vectors to seed codebooks, "
+            f"got {len(first)}"
+        )
+    d = len(first[0][vec_col])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    cbs = [
+        np.array(
+            [[float(x) for x in r[vec_col][s * dsub:(s + 1) * dsub]]
+             for r in first],
+            float,
+        )
+        for s in range(m)
+    ]
+
+    schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cnt", T.DoubleType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = df.where(F.col(vec_col).isNotNull()).select(vec_col)
+
+    for _ in range(iters):
+        cb_local = [c.copy() for c in cbs]
+
+        def partials(batches, _cb=cb_local):
+            import pandas as pd
+
+            cnt = [np.zeros(k) for _ in range(m)]
+            sums = [np.zeros((k, dsub)) for _ in range(m)]
+            seen = False
+            for pdf in batches:
+                vals = pdf[vec_col]
+                vals = vals[vals.notna()]
+                if not len(vals):
+                    continue
+                seen = True
+                x = np.vstack([np.asarray(v, float) for v in vals])
+                for s in range(m):
+                    xs = x[:, s * dsub:(s + 1) * dsub]
+                    # ||x-c||² = ||x||² - 2x·c + ||c||²; row-constant
+                    # ||x||² cancels in the argmin
+                    dists = (
+                        -2.0 * (xs @ _cb[s].T)
+                        + (_cb[s] * _cb[s]).sum(axis=1)[None, :]
+                    )
+                    idx = np.argmin(dists, axis=1)  # first (lowest) min
+                    np.add.at(cnt[s], idx, 1.0)
+                    np.add.at(sums[s], idx, xs)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "sub": [s for s in range(m) for _ in range(k)],
+                        "cell": [c for _ in range(m) for c in range(k)],
+                        "cnt": [
+                            float(cnt[s][c])
+                            for s in range(m)
+                            for c in range(k)
+                        ],
+                        "sums": [
+                            list(sums[s][c])
+                            for s in range(m)
+                            for c in range(k)
+                        ],
+                    }
+                )
+
+        def merge(batches):
+            import pandas as pd
+
+            cnt = np.zeros((m, k))
+            sums = np.zeros((m, k, dsub))
+            seen = False
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    seen = True
+                    s = int(pdf["sub"].iloc[i])
+                    c = int(pdf["cell"].iloc[i])
+                    cnt[s, c] += float(pdf["cnt"].iloc[i])
+                    sums[s, c] += np.asarray(pdf["sums"].iloc[i], float)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "sub": [s for s in range(m) for _ in range(k)],
+                        "cell": [c for _ in range(m) for c in range(k)],
+                        "cnt": [cnt[s, c] for s in range(m) for c in range(k)],
+                        "sums": [
+                            list(sums[s, c])
+                            for s in range(m)
+                            for c in range(k)
+                        ],
+                    }
+                )
+
+        part = src.mapInPandas(partials, schema)
+        if src.rdd.getNumPartitions() > 32:
+            part = part.repartition(8).mapInPandas(merge, schema)
+        rows = part.collect()
+        cnt = np.zeros((m, k))
+        sums = np.zeros((m, k, dsub))
+        for r in rows:
+            cnt[r["sub"], r["cell"]] += r["cnt"]
+            sums[r["sub"], r["cell"]] += np.asarray(r["sums"], float)
+        for s in range(m):
+            nz = cnt[s] > 0
+            cbs[s][nz] = sums[s][nz] / cnt[s][nz, None]
+    return [[list(map(float, c)) for c in cb] for cb in cbs]
+
+
+def _sub_slice(vec: Column, s: int, dsub: int) -> Column:
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def _sub_dist(sub_vec: Column, entry: "list[float]") -> Column:
+    """Squared L2 distance of a subvector against one codebook entry —
+    sequential fold (deterministic, SQL-replayable as a + chain)."""
+    return F.aggregate(
+        F.zip_with(
+            sub_vec,
+            F.array(*[F.lit(float(x)) for x in entry]),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub_code(vec: Column, s: int, dsub: int, codebook) -> Column:
+    """Argmin-distance code for subspace ``s`` — struct-min over
+    (dist, idx): ties pick the LOWEST index, matching np.argmin."""
+    sv = _sub_slice(vec, s, dsub)
+    scored = F.array(
+        *[
+            F.struct(
+                _sub_dist(sv, entry).alias("d"), F.lit(j).alias("i")
+            )
+            for j, entry in enumerate(codebook)
+        ]
+    )
+    return F.array_min(scored)["i"]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: "list[list[list[float]]]",
+    out_col: str = "pq_code",
+    arrow: bool = True,
+) -> DataFrame:
+    """Append the ``m``-int code array: per subspace, the index of the
+    nearest codebook entry (squared L2, ties → lowest index). NULL
+    vectors get NULL codes. ``arrow=False`` is the Column-expression
+    oracle path (identical argmin up to fold-vs-matmul ulps at exact
+    ties — on real data the two agree exactly; tests pin it)."""
+    m, k, dsub = _check_codebooks(codebooks)
+    if not arrow:
+        v = F.col(vec_col)
+        codes = F.array(
+            *[_sub_code(v, s, dsub, codebooks[s]) for s in range(m)]
+        )
+        return df.select(
+            *df.columns, F.when(v.isNotNull(), codes).alias(out_col)
+        )
+    cbs = [np.asarray(cb, float) for cb in codebooks]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+    cols = df.columns
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[vec_col]
+            mask = vals.notna().to_numpy()
+            res = np.empty(len(pdf), dtype=object)
+            res[~mask] = None
+            if mask.any():
+                x = np.vstack([np.asarray(v, float) for v in vals[mask]])
+                codes = np.empty((x.shape[0], m), dtype=np.int64)
+                for s in range(m):
+                    xs = x[:, s * dsub:(s + 1) * dsub]
+                    dists = (
+                        -2.0 * (xs @ cbs[s].T)
+                        + (cbs[s] * cbs[s]).sum(axis=1)[None, :]
+                    )
+                    codes[:, s] = np.argmin(dists, axis=1)
+                lists = np.empty(codes.shape[0], dtype=object)
+                for i in range(codes.shape[0]):
+                    lists[i] = [int(c) for c in codes[i]]
+                res[mask] = lists
+            yield pd.DataFrame({**{c: pdf[c] for c in cols}, out_col: res})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def topk_pq_adc(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k: float queries against the CODED
+    corpus. Each query precomputes its m×k squared-L2 distance table
+    (Column algebra over the codebook literal — |Q|·m·k work total,
+    not per pair); queries broadcast; per (query, code) distance is
+    ``Σ_s T[s][code_s]`` — m array lookups, no float vectors on the
+    corpus side. Output ``(query_id, neighbor_id, dist, rank)``,
+    ``dist`` ascending (squared L2, 6-dp rounded), ties by neighbor.
+    """
+    from pandas_weights_spark.topk import partitioned_topk
+
+    m, kk, dsub = _check_codebooks(codebooks)
+    qv = F.col(query_vec)
+    table = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_dist(_sub_slice(qv, s, dsub), entry)
+                    for entry in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.where(qv.isNotNull()).select(
+            F.col(query_id).alias("query_id"), table.alias("__t__")
+        )
+    )
+    c = codes.where(F.col(code_col).isNotNull()).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(code_col).alias("__c__"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__t__"),
+            F.col("__c__"),
+            lambda t, cc: F.get(t, cc),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dist, 6).alias("dist"),
+    )
+    return partitioned_topk(
+        scored,
+        part_by=["query_id"],
+        order_by=[F.col("dist").asc(), F.col("neighbor_id")],
+        k=k,
+        salt_by=["neighbor_id"],
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "dist", "rank")

@@ -1,0 +1,164 @@
+"""Product quantization (functions/pq.py) vs transparent numpy."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.pq import (
+    pq_encode,
+    topk_pq_adc,
+    train_pq_codebooks,
+)
+
+M, K, D = 4, 3, 16  # 4 subspaces x 3 cells over 16 dims
+
+
+def _ref_train(X, m, k, iters):
+    dsub = X.shape[1] // m
+    cbs = [X[:k, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+    for _ in range(iters):
+        for s in range(m):
+            xs = X[:, s * dsub:(s + 1) * dsub]
+            d = ((xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(-1)
+            idx = np.argmin(d, axis=1)
+            for c in range(k):
+                if (idx == c).any():
+                    cbs[s][c] = xs[idx == c].mean(axis=0)
+    return cbs
+
+
+def _ref_encode(X, cbs):
+    m = len(cbs)
+    dsub = X.shape[1] // m
+    out = np.empty((X.shape[0], m), dtype=int)
+    for s in range(m):
+        xs = X[:, s * dsub:(s + 1) * dsub]
+        d = ((xs[:, None, :] - np.asarray(cbs[s])[None, :, :]) ** 2).sum(-1)
+        out[:, s] = np.argmin(d, axis=1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(60, D))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return X, df
+
+
+class TestTrain:
+    def test_matches_numpy(self, spark, data):
+        X, df = data
+        got = train_pq_codebooks(df, "embedding", "vec_id", m=M, k=K,
+                                 iters=2)
+        ref = _ref_train(X, M, K, 2)
+        assert len(got) == M and all(len(cb) == K for cb in got)
+        for s in range(M):
+            np.testing.assert_allclose(
+                np.asarray(got[s]), ref[s], rtol=1e-9
+            )
+
+    def test_guards(self, spark, data):
+        X, df = data
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(df, "embedding", "vec_id", m=5, k=K)
+        with pytest.raises(ValueError, match="iters"):
+            train_pq_codebooks(df, "embedding", "vec_id", m=M, k=K,
+                               iters=0)
+        with pytest.raises(ValueError, match="seed"):
+            train_pq_codebooks(df, "embedding", "vec_id", m=M, k=100)
+
+
+class TestEncode:
+    def test_arrow_matches_numpy_and_portable(self, spark, data):
+        X, df = data
+        cbs = _ref_train(X, M, K, 2)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        ref = _ref_encode(X, cbs)
+        got_a = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(df, "embedding", cbs).collect()
+        }
+        got_p = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(
+                df, "embedding", cbs, arrow=False
+            ).collect()
+        }
+        for i in range(60):
+            assert got_a[i] == list(ref[i])
+        assert got_a == got_p
+
+    def test_null_vector(self, spark):
+        cbs = [[[0.0] * 8, [1.0] * 8]]
+        df = spark.createDataFrame(
+            [(0, [0.1] * 8), (1, None)], "vec_id long, embedding array<double>"
+        )
+        for arrow in (True, False):
+            got = {
+                r["vec_id"]: r["pq_code"]
+                for r in pq_encode(
+                    df, "embedding", cbs, arrow=arrow
+                ).collect()
+            }
+            assert got[0] == [0] and got[1] is None
+
+    def test_ragged_guard(self, spark, data):
+        _, df = data
+        with pytest.raises(ValueError, match="ragged"):
+            pq_encode(df, "embedding", [[[0.0], [1.0, 2.0]]])
+
+
+class TestADC:
+    def test_dist_is_reconstruction_distance(self, spark, data):
+        X, df = data
+        cbs = _ref_train(X, M, K, 2)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        codes_df = pq_encode(df, "embedding", cbs)
+        queries = df.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = topk_pq_adc(queries, codes_df, cbs, k=60).collect()
+        ref_codes = _ref_encode(X, cbs)
+        dsub = D // M
+        # reconstructed corpus vectors from codes
+        recon = np.stack(
+            [
+                np.concatenate(
+                    [np.asarray(cbs[s][ref_codes[i, s]]) for s in range(M)]
+                )
+                for i in range(60)
+            ]
+        )
+        for r in out:
+            want = float(
+                ((X[r["query_id"]] - recon[r["neighbor_id"]]) ** 2).sum()
+            )
+            assert r["dist"] == pytest.approx(want, abs=2e-6)
+        # rank 1 for query i is a vector sharing all its codes (usually
+        # itself): dist must equal min over corpus
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_q.items():
+            top = min(rows, key=lambda r: (r["dist"], r["neighbor_id"]))
+            assert top["rank"] == 1
+
+    def test_rank_deterministic_and_k_bound(self, spark, data):
+        X, df = data
+        cbs = _ref_train(X, M, K, 1)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        codes_df = pq_encode(df, "embedding", cbs)
+        queries = df.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = topk_pq_adc(queries, codes_df, cbs, k=5).collect()
+        b = topk_pq_adc(
+            queries, codes_df.repartition(7), cbs, k=5
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == 5
+        assert [r["rank"] for r in sorted(a, key=lambda r: r["rank"])] == [
+            1, 2, 3, 4, 5,
+        ]
