@@ -1135,7 +1135,7 @@ def _q_pq_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    adc = topk_pq_adc(queries, codes, cbs, k=5).select(
+    adc = topk_pq_adc(queries, codes, cbs, k=5, arrow=False).select(
         F.lit("adc").alias("part"),
         F.col("query_id").alias("a"),
         F.col("neighbor_id").alias("b"),

@@ -286,6 +286,27 @@ def main() -> int:
 
     qs["semdedup"] = _semdedup_clustered
 
+    # driver pq_topk row pins the portable Column encode+ADC for the
+    # oracle; bench the Arrow batched-matmul encode + table-lookup ADC
+    # (the production path — agreement is test-pinned in tests/test_pq.py)
+    def _pq_arrow(spark_, sf_dir_):
+        from pandas_weights_spark.functions.pq import (
+            pq_encode,
+            topk_pq_adc,
+        )
+
+        cbs = E._pq_codebooks()
+        emb = fan_out(load_table(spark_, sf_dir_, "embeddings")).where(
+            F.col("embedding").isNotNull()
+        )
+        codes = pq_encode(emb, "embedding", cbs)
+        queries = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return topk_pq_adc(queries, codes, cbs, k=5)
+
+    qs["pq_topk"] = _pq_arrow
+
     # same portable/fast duality as minhash: the driver's dsir_select
     # row pins the md5 (DuckDB-replayable) hash family; bench the
     # seeded-xxhash64 production family (hash-family agreement is

@@ -145,6 +145,27 @@ class TestADC:
             top = min(rows, key=lambda r: (r["dist"], r["neighbor_id"]))
             assert top["rank"] == 1
 
+    def test_arrow_matches_column_path(self, spark, data):
+        X, df = data
+        cbs = _ref_train(X, M, K, 2)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        codes_df = pq_encode(df, "embedding", cbs)
+        queries = df.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = sorted(
+            map(tuple, topk_pq_adc(queries, codes_df, cbs, k=7).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                topk_pq_adc(
+                    queries, codes_df, cbs, k=7, arrow=False
+                ).collect(),
+            )
+        )
+        assert a == b
+
     def test_rank_deterministic_and_k_bound(self, spark, data):
         X, df = data
         cbs = _ref_train(X, M, K, 1)

@@ -270,6 +270,130 @@ def main() -> int:
     print(f"{'classifier 3 GD iters':28s} {dt:7.2f}s  "
           f"({3 * docs_n / dt / 1e3:6.1f} K doc-passes/s)")
 
+    # round-6 second wave: DSIR selection chain (xxhash fast family),
+    # URL hygiene, PageRank over a hashed domain graph, PQ train/
+    # encode/ADC over the vectors, arrow-assigned semantic dedup on a
+    # CLUSTERED vector table (SemDeDup's own precondition — uniform
+    # vectors make every cell quadratic)
+    from pandas_weights_spark.functions.dsir import (
+        dsir_doc_bucket_counts,
+        dsir_gumbel_topk,
+        dsir_log_ratio_sliced,
+        dsir_score,
+    )
+    from pandas_weights_spark.functions.graph import pagerank
+    from pandas_weights_spark.functions.pq import (
+        pq_encode,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+    from pandas_weights_spark.functions.similarity import semantic_dedup
+    from pandas_weights_spark.functions.text import (
+        canonicalize_url,
+        filter_blocked_domains,
+        url_domain,
+    )
+
+    def dsir_thunk():
+        tagged = docs.withColumn("dom", F.pmod(F.col("doc_id"), 20))
+        db = dsir_doc_bucket_counts(
+            tagged, "text", ["doc_id", "dom"], n_buckets=1 << 13,
+            portable=False,
+        )
+        lr = dsir_log_ratio_sliced(db, F.col("dom") < 2, 1 << 13)
+        scored = dsir_score(
+            tagged, "text", lr, ["doc_id"], n_buckets=1 << 13,
+            doc_counts=db.drop("dom"), portable=False,
+        )
+        return dsir_gumbel_topk(
+            scored.select("doc_id", "log_importance"),
+            F.col("log_importance"), 10_000, ["doc_id"],
+        )
+
+    dbench("dsir select chain", dsir_thunk, docs_n)
+
+    urls = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("HTTPS://Sub"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).cast("string"),
+            F.lit(".dom"),
+            F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100_000)).cast(
+                "string"
+            ),
+            F.lit(".com:443/p/"),
+            F.col("id").cast("string"),
+            F.lit("?utm_source=smoke&id=1&fbclid=x#f"),
+        ).alias("url"),
+    )
+    blocked = spark.range(5000).select(
+        F.concat(
+            F.lit("dom"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("domain")
+    )
+
+    def hygiene_thunk():
+        canon = urls.select(
+            "id", canonicalize_url(F.col("url")).alias("curl")
+        ).withColumn("host", url_domain(F.col("curl")))
+        return filter_blocked_domains(canon, F.col("host"), blocked)
+
+    bench("url canonical + blocklist", hygiene_thunk)
+
+    pr_nodes = n // 200
+    pr_edges = spark.range(n // 20).select(
+        F.pmod(F.xxhash64("id"), F.lit(pr_nodes)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(pr_nodes)).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    pagerank(pr_edges, iters=3).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    dt = time.perf_counter() - t0
+    print(f"{'pagerank 3 iters':28s} {dt:7.2f}s  "
+          f"({(n / 20) / dt / 1e6:6.1f} M edges/s)")
+
+    t0 = time.perf_counter()
+    cbs = train_pq_codebooks(vecs, "embedding", "vec_id", m=8, k=64,
+                             iters=1)
+    dt = time.perf_counter() - t0
+    print(f"{'pq_train m8 k64':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M vecs/s)")
+    codes = pq_encode(vecs, "embedding", cbs).localCheckpoint(eager=False)
+    t0 = time.perf_counter()
+    codes.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'pq_encode m8 k64':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M vecs/s)")
+    pq_queries = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    topk_pq_adc(pq_queries, codes, cbs, k=10).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'pq_adc 8 queries':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M codes/s)")
+
+    clus_n = n // 200
+    clustered = spark.range(clus_n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.pmod(F.col("id"), 5000).cast("double") * i)
+            + F.sin(F.col("id").cast("double") * i) * 0.01,
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    semantic_dedup(
+        clustered, "v", "vec_id", n_cells=1024, threshold=0.99,
+        iters=1, arrow=True,
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'semantic_dedup arrow (1/200)':28s} {dt:7.2f}s  "
+          f"({clus_n / dt / 1e3:6.1f} K vecs/s)")
+
     spark.stop()
     return 0
 
