@@ -177,3 +177,79 @@ def test_image_neardup_composes_with_text_dedup(spark, docs):
     image_losers = {r["id_b"] for r in pairs}
     final = text_survivors - image_losers
     assert final == {10, 30}
+
+
+def test_web_hygiene_dsir_pagerank_compose(spark, docs):
+    """r6 selection stages compose: URL hygiene (canonicalize +
+    blocklist) → domain PageRank → DSIR importance selection — each
+    stage consumes the previous stage's frame, and the final sample
+    draws only from the hygiene-filtered pool."""
+    from pandas_weights_spark.functions.dsir import (
+        dsir_doc_bucket_counts,
+        dsir_gumbel_topk,
+        dsir_log_ratio_sliced,
+        dsir_score,
+    )
+    from pandas_weights_spark.functions.graph import pagerank
+    from pandas_weights_spark.functions.text import (
+        canonicalize_url,
+        filter_blocked_domains,
+        url_domain,
+    )
+
+    n0 = docs.count()
+    aug = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("HTTPS://WWW.Dom"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/x?utm_source=a&p="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    canon = aug.withColumn(
+        "curl", canonicalize_url(F.col("url"))
+    ).withColumn("host", url_domain(F.col("curl")))
+    # canonical form: lowercase host, port/tracking gone, kept param
+    sample = canon.first()
+    assert sample["curl"].startswith("https://www.dom")
+    assert ":443" not in sample["curl"] and "utm_" not in sample["curl"]
+    assert "p=" in sample["curl"]
+
+    # 1. blocklist: drop the dom0.com family (matched via suffix)
+    bl = spark.createDataFrame([("dom0.com",)], "domain string")
+    kept = filter_blocked_domains(canon, F.col("host"), bl)
+    n1 = kept.count()
+    assert 0 < n1 < n0
+    assert kept.where(F.col("host").endswith("dom0.com")).count() == 0
+
+    # 2. PageRank over the host link graph of the kept pool
+    edges = kept.select(
+        F.col("host").alias("src"),
+        F.concat(
+            F.lit("www.dom"),
+            ((F.col("doc_id") * 3 + 1) % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("dst"),
+    )
+    pr = pagerank(edges, iters=3)
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
+    assert all(v > 0 for v in ranks.values())
+
+    # 3. DSIR selection toward the doc_id % 5 == 0 slice
+    db = dsir_doc_bucket_counts(
+        kept, "text", ["doc_id"], n_buckets=256
+    ).persist()
+    lr = dsir_log_ratio_sliced(db, F.col("doc_id") % 5 == 0, 256)
+    scored = dsir_score(
+        kept, "text", lr, ["doc_id"], n_buckets=256, doc_counts=db
+    )
+    picked = dsir_gumbel_topk(
+        scored, F.col("log_importance"), 20, ["doc_id"], seed=3
+    )
+    rows = picked.collect()
+    assert len(rows) == 20
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert {r["doc_id"] for r in rows} <= kept_ids
