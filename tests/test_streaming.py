@@ -1157,3 +1157,122 @@ class TestStreamingBottomK:
             streaming_bottom_k_sample(
                 batch, keys=[], key_cols=["ts"], k=2
             )
+
+
+class TestStreamingSelectionPipeline:
+    """r6 selection surface on streams: URL hygiene is stateless
+    (runs unchanged); DSIR scoring against a PRE-TRAINED ratio table
+    is a stream-static broadcast join + per-doc agg over the stream's
+    own rows — the score-as-you-ingest shape (train on yesterday's
+    corpus, score today's stream)."""
+
+    def test_url_hygiene_matches_batch(self, spark, tmp_path):
+        from pandas_weights_spark.functions.text import (
+            canonicalize_url,
+            domain_suffixes,
+            url_domain,
+        )
+
+        rows = [
+            (1, "HTTP://A.Example.COM:80/x?utm_source=s&q=1#f"),
+            (2, "https://b.example.com:9443/y"),
+            (3, None),
+        ]
+        d = str(tmp_path / "urls")
+        spark.createDataFrame(rows, "doc_id long, url string").write.parquet(d)
+
+        def pipeline(df):
+            c = canonicalize_url(F.col("url"))
+            return df.select(
+                "doc_id",
+                c.alias("curl"),
+                url_domain(c).alias("host"),
+                domain_suffixes(url_domain(c)).alias("sfx"),
+            )
+
+        batch = {
+            r["doc_id"]: r
+            for r in pipeline(spark.read.parquet(d)).collect()
+        }
+        stream = spark.readStream.schema("doc_id long, url string").parquet(d)
+        q = (
+            pipeline(stream)
+            .writeStream.format("memory").queryName("urlpipe")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql("SELECT * FROM urlpipe").collect()
+        }
+        assert got.keys() == batch.keys()
+        for k in batch:
+            assert got[k] == batch[k]
+
+    def test_dsir_scoring_matches_batch(self, spark, tmp_path):
+        from pandas_weights_spark.functions.classifier import (
+            hashed_token_features,
+        )
+        from pandas_weights_spark.functions.dsir import (
+            dsir_bucket_counts,
+            dsir_log_ratio,
+        )
+
+        tgt = spark.createDataFrame(
+            [(0, "good clean prose about hills"),
+             (1, "clean prose about rivers")],
+            "doc_id long, text string",
+        )
+        rows = [
+            (10, "clean prose about hills"),
+            (11, "spam spam click here now"),
+            (12, None),
+        ]
+        d = str(tmp_path / "sdocs")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(d)
+        raw = spark.read.parquet(d)
+        nb = 128
+        lr = dsir_log_ratio(
+            dsir_bucket_counts(tgt, "text", n_buckets=nb),
+            dsir_bucket_counts(raw, "text", n_buckets=nb),
+            nb,
+        ).localCheckpoint(eager=True)  # the pre-trained model table
+
+        def score(df):
+            # stream-side: explode features -> broadcast ratio join ->
+            # ONE per-doc agg (streams reject chained stateful aggs,
+            # so the per-(doc,bucket) pre-agg stays a batch-only
+            # optimization); availableNow + complete emits each doc
+            ex = df.select(
+                "doc_id",
+                F.explode(
+                    hashed_token_features(F.col("text"), n_features=nb)
+                ).alias("bucket"),
+            )
+            return (
+                ex.join(F.broadcast(lr), "bucket", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.round(
+                        F.sum(
+                            F.coalesce(F.col("log_ratio"), F.lit(0.0))
+                        ),
+                        9,
+                    ).alias("lw")
+                )
+            )
+
+        batch = {r["doc_id"]: r["lw"] for r in score(raw).collect()}
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        q = (
+            score(stream)
+            .writeStream.format("memory").queryName("dsirpipe")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["lw"]
+            for r in spark.sql("SELECT * FROM dsirpipe").collect()
+        }
+        assert got == batch
+        assert got[10] > got[11]  # target-like beats spam on the stream
