@@ -56,14 +56,14 @@ class TestCanonicalizeUrl:
 
     def test_null_and_foreign_schemes_pass_through(self, spark):
         got = _canon(
-            spark, [None, "ftp://X.com/A", "mailto:a@b.c", "not a url"]
+            spark, [None, "ftp://Files.Example.COM/A", "mailto:a@b.c", "not a url"]
         )
-        assert got == [None, "ftp://X.com/A", "mailto:a@b.c", "not a url"]
+        assert got == [None, "ftp://Files.Example.COM/A", "mailto:a@b.c", "not a url"]
 
     def test_idempotent(self, spark):
         urls = [
             "HTTP://Example.COM:80/Path/X?utm_a=1&q=2#f",
-            "https://sub.e.org:9999/x?a=1",
+            "https://sub.example.org:9999/x?a=1",
         ]
         once = _canon(spark, urls)
         twice = _canon(spark, once)
