@@ -1142,7 +1142,34 @@ def _q_pq_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("i"),
         F.col("dist").alias("d"),
     )
-    return enc.unionByName(adc)
+    # `ivq` rows: the composed IVFPQ read path probed at nprobe ==
+    # n_cells, which must reproduce the full ADC ranking EXACTLY (the
+    # IVF family's correctness anchor — cell assignment cannot change
+    # the answer when every cell is probed); the oracle therefore
+    # re-emits the adc rows under the ivq tag and any pruning bug
+    # (lost candidate, duplicated pair, changed distance) hash-fails
+    from pandas_weights_spark.functions.pq import topk_ivfpq
+    from pandas_weights_spark.functions.similarity import (
+        assign_cells_arrow,
+    )
+
+    import random as _random
+
+    rng = _random.Random(14)
+    cents = [
+        [rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(4)
+    ]
+    indexed = assign_cells_arrow(codes, "embedding", cents)
+    ivq = topk_ivfpq(
+        queries, indexed, cbs, cents, k=5, nprobe=4
+    ).select(
+        F.lit("ivq").alias("part"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").cast("long").alias("i"),
+        F.col("dist").alias("d"),
+    )
+    return enc.unionByName(adc).unionByName(ivq)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -6341,6 +6368,12 @@ def _pq_sql() -> str:
     SELECT part, a, b, i, d FROM enc
     UNION ALL
     SELECT 'adc' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
+           dist AS d
+    FROM ranked WHERE rk <= 5
+    UNION ALL
+    -- ivq == adc by construction: probing every IVF cell must not
+    -- change the ADC answer
+    SELECT 'ivq' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
            dist AS d
     FROM ranked WHERE rk <= 5
 """

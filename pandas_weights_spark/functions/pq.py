@@ -28,6 +28,11 @@ Pieces:
   vectors move, the corpus side is m small ints per row. Ranking is
   squared-L2 ASCENDING (PQ is a distance method; the cosine family
   ranks descending), ties by neighbor id.
+* :func:`topk_ivfpq` — the composed FAISS IVFPQ read path: coarse
+  IVF cells prune the candidate set BEFORE ADC (cell equi-join
+  against the broadcast probe table), so per-query work is
+  ``|corpus|·nprobe/n_cells`` code lookups; ``nprobe == n_cells``
+  reproduces :func:`topk_pq_adc` exactly (the correctness anchor).
 
 Determinism: codebooks are driver-side lists (plan literals); the
 portable encode path and the ADC algebra are fixed-order IEEE
@@ -48,6 +53,7 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "topk_pq_adc",
+    "topk_ivfpq",
 ]
 
 
@@ -419,6 +425,97 @@ def topk_pq_adc(
         lambda acc, v: acc + v,
     )
     scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dist, 6).alias("dist"),
+    )
+    return partitioned_topk(
+        scored,
+        part_by=["query_id"],
+        order_by=[F.col("dist").asc(), F.col("neighbor_id")],
+        k=k,
+        salt_by=["neighbor_id"],
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+def topk_ivfpq(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    centroids: "list[list[float]]",
+    k: int,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    code_col: str = "pq_code",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ read path: each query
+    probes its ``nprobe`` nearest coarse cells (cosine argmax over the
+    ``centroids`` literal), and asymmetric PQ distance is evaluated
+    ONLY inside probed cells — candidate work is ``|corpus| ·
+    nprobe / n_cells`` per query instead of the full corpus, and the
+    corpus side still moves only ``m`` small ints per row.
+
+    ``codes`` must carry the coarse ``cell_col`` — build the index
+    table once with :func:`pq_encode` +
+    :func:`~pandas_weights_spark.functions.similarity.
+    assign_cells_arrow` while the float vectors are still present,
+    then drop the vectors (the whole point of the layout).
+
+    The probe table (|Q|·nprobe rows with each query's m×k distance
+    table) broadcasts; the cell equi-join IS the pruning — no shuffle
+    of the corpus. ``nprobe == len(centroids)`` probes everything and
+    must reproduce :func:`topk_pq_adc` exactly (the IVF family's
+    correctness anchor; pinned by tests and the driver oracle).
+    Output ``(query_id, neighbor_id, dist, rank)``, squared-L2
+    ascending, ties by neighbor; missed true neighbors in unprobed
+    cells are the approximation, recall is tunable via ``nprobe``.
+    """
+    from pandas_weights_spark.functions.similarity import probe_cells
+    from pandas_weights_spark.topk import partitioned_topk
+
+    m, kk, dsub = _check_codebooks(codebooks)
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError("nprobe must be in [1, n_cells]")
+    qv = F.col(query_vec)
+    table = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_dist(_sub_slice(qv, s, dsub), entry)
+                    for entry in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    probes = F.broadcast(
+        queries.where(qv.isNotNull())
+        .select(
+            F.col(query_id).alias("query_id"),
+            table.alias("__t__"),
+            F.explode(probe_cells(qv, centroids, nprobe)).alias(
+                cell_col
+            ),
+        )
+    )
+    c = codes.where(F.col(code_col).isNotNull()).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(code_col).alias("__c__"),
+        F.col(cell_col),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__t__"),
+            F.col("__c__"),
+            lambda t, cc: F.get(t, cc),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = c.join(probes, cell_col).select(
         "query_id",
         "neighbor_id",
         F.round(dist, 6).alias("dist"),

@@ -183,3 +183,90 @@ class TestADC:
         assert [r["rank"] for r in sorted(a, key=lambda r: r["rank"])] == [
             1, 2, 3, 4, 5,
         ]
+
+
+class TestIVFPQ:
+    def _index(self, spark, X, df, cbs):
+        from pandas_weights_spark.functions.similarity import (
+            assign_cells_arrow,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(df, "embedding", 4, "vec_id",
+                                    iters=2, arrow=True)
+        codes = pq_encode(df, "embedding", cbs)
+        indexed = assign_cells_arrow(
+            codes, "embedding", cents, out_col="cell"
+        ).drop("embedding")
+        return cents, indexed
+
+    def test_probe_all_equals_full_adc(self, spark, data):
+        from pandas_weights_spark.functions.pq import topk_ivfpq
+
+        X, df = data
+        cbs = _ref_train(X, M, K, 2)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        cents, indexed = self._index(spark, X, df, cbs)
+        queries = df.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        full = sorted(
+            map(
+                tuple,
+                topk_pq_adc(
+                    queries, indexed, cbs, k=8, arrow=False
+                ).collect(),
+            )
+        )
+        ivq = sorted(
+            map(
+                tuple,
+                topk_ivfpq(
+                    queries, indexed, cbs, cents, k=8,
+                    nprobe=len(cents),
+                ).collect(),
+            )
+        )
+        assert ivq == full
+
+    def test_pruning_and_recall(self, spark, data):
+        from pandas_weights_spark.functions.pq import topk_ivfpq
+
+        X, df = data
+        cbs = _ref_train(X, M, K, 2)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        cents, indexed = self._index(spark, X, df, cbs)
+        queries = df.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        full = topk_pq_adc(queries, indexed, cbs, k=3).collect()
+        part = topk_ivfpq(
+            queries, indexed, cbs, cents, k=3, nprobe=2
+        ).collect()
+        # each query still gets answers, every (q, n, dist) that
+        # nprobe=2 returns appears in the full ranking's candidate
+        # universe with the identical distance
+        fd = {(r["query_id"], r["neighbor_id"]): r["dist"] for r in full}
+        got_q = {r["query_id"] for r in part}
+        assert got_q == {0, 1, 2, 3, 4}
+        for r in part:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in fd:
+                assert fd[key] == r["dist"]
+        # a query's own vector lives in its nearest cell -> top-1
+        # self-hit survives pruning
+        own = {r["query_id"]: r["neighbor_id"]
+               for r in part if r["rank"] == 1}
+        assert sum(own[q] == q for q in own) >= 4
+
+    def test_nprobe_guard(self, spark, data):
+        from pandas_weights_spark.functions.pq import topk_ivfpq
+
+        X, df = data
+        cbs = _ref_train(X, M, K, 1)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        cents, indexed = self._index(spark, X, df, cbs)
+        q = df.limit(1).select(F.col("vec_id").alias("query_id"),
+                               "embedding")
+        with pytest.raises(ValueError, match="nprobe"):
+            topk_ivfpq(q, indexed, cbs, cents, k=1, nprobe=0)

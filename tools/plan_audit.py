@@ -43,6 +43,11 @@ ALLOW = {
     # r5: the t-digest rows ride mapInPandas/applyInPandas partials —
     # the sketch's sanctioned Arrow surface (functions/tdigest.py)
     "weighted_tests": {"global-window", "bnl-cross", "arrow"},
+    # r6: pq_topk's ivq rows route the coarse cell assignment through
+    # assign_cells_arrow (batched matmul mapInPandas — the IVF
+    # family's sanctioned Arrow surface); the encode/ADC data path in
+    # the same query stays Column-only (the enc/adc rows pin it)
+    "pq_topk": {"arrow"},
     # r5: vocab/bpe id-rank windows run over TakeOrderedAndProject-
     # limited tables (50-row vocabulary / 40-row pair cut — the limit
     # executes BEFORE the window, visible in the plan), and tf-idf
