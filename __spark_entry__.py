@@ -1161,7 +1161,7 @@ def _q_pq_topk(spark, sf_dir):
     ]
     indexed = assign_cells_arrow(codes, "embedding", cents)
     ivq = topk_ivfpq(
-        queries, indexed, cbs, cents, k=5, nprobe=4
+        queries, indexed, cbs, cents, k=5, nprobe=4, arrow=False
     ).select(
         F.lit("ivq").alias("part"),
         F.col("query_id").alias("a"),

@@ -450,6 +450,7 @@ def topk_ivfpq(
     query_vec: str = "embedding",
     code_col: str = "pq_code",
     cell_col: str = "cell",
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF + PQ composed — the FAISS IVFPQ read path: each query
     probes its ``nprobe`` nearest coarse cells (cosine argmax over the
@@ -457,6 +458,14 @@ def topk_ivfpq(
     ONLY inside probed cells — candidate work is ``|corpus| ·
     nprobe / n_cells`` per query instead of the full corpus, and the
     corpus side still moves only ``m`` small ints per row.
+
+    ``arrow=True`` (default) mirrors :func:`topk_pq_adc`'s scale
+    path: queries, their probe sets, and their distance tables ship
+    in the task closure; the corpus pre-filters to the UNION of
+    probed cells (partition-prunable predicate), each Arrow batch is
+    per-query masked fancy-indexed sums, and each partition emits
+    only its local top-k with the final tie rule. ``arrow=False`` is
+    the Column twin the oracle replays.
 
     ``codes`` must carry the coarse ``cell_col`` — build the index
     table once with :func:`pq_encode` +
@@ -480,6 +489,102 @@ def topk_ivfpq(
     if not 1 <= nprobe <= len(centroids):
         raise ValueError("nprobe must be in [1, n_cells]")
     qv = F.col(query_vec)
+    if arrow:
+        import math as _math
+
+        from pandas_weights_spark.topk import partitioned_topk
+
+        cbs = [np.asarray(cb, float) for cb in codebooks]
+        units = []
+        for c in centroids:
+            nrm = _math.sqrt(sum(x * x for x in c)) or 1.0
+            units.append([x / nrm for x in c])
+        u = np.asarray(units, float)
+        qrows = (
+            queries.where(qv.isNotNull())
+            .select(F.col(query_id).alias("query_id"), qv.alias("__q__"))
+            .collect()
+        )
+        plans = []
+        union_cells: set = set()
+        for r in qrows:
+            x = np.asarray(r["__q__"], float)
+            t = np.empty((m, kk))
+            for s in range(m):
+                xs = x[s * dsub:(s + 1) * dsub]
+                t[s] = ((xs[None, :] - cbs[s]) ** 2).sum(axis=1)
+            scores = u @ x
+            # probe_cells order: similarity desc, ties -> larger index
+            order = sorted(
+                range(len(centroids)),
+                key=lambda j: (-scores[j], -j),
+            )[: int(nprobe)]
+            cells = frozenset(order)
+            union_cells |= cells
+            plans.append((r["query_id"], t, cells))
+        out_schema = T.StructType(
+            [
+                queries.schema[query_id],
+                T.StructField(
+                    "neighbor_id", codes.schema[corpus_id].dataType
+                ),
+                T.StructField("dist", T.DoubleType()),
+            ]
+        )
+        sub_idx = np.arange(m)
+
+        def run(batches):
+            import pandas as pd
+
+            ids: list = []
+            code_rows: list = []
+            cell_vals: list = []
+            for pdf in batches:
+                vals = pdf[code_col]
+                mask = (
+                    vals.notna() & pdf[cell_col].notna()
+                ).to_numpy()
+                if mask.any():
+                    ids.extend(pdf[corpus_id].to_numpy()[mask])
+                    cell_vals.extend(pdf[cell_col].to_numpy()[mask])
+                    code_rows.extend(
+                        np.asarray(v, dtype=np.int64) for v in vals[mask]
+                    )
+            if not ids:
+                return
+            C = np.vstack(code_rows)
+            idv = np.asarray(ids)
+            cellv = np.asarray(cell_vals, dtype=np.int64)
+            outs = {query_id: [], "neighbor_id": [], "dist": []}
+            for qid, t, cells in plans:
+                qmask = np.isin(cellv, list(cells))
+                if not qmask.any():
+                    continue
+                d = np.round(
+                    t[sub_idx[None, :], C[qmask]].sum(axis=1), 6
+                )
+                sub_ids = idv[qmask]
+                take = min(int(k), len(d))
+                order = np.lexsort((sub_ids, d))[:take]
+                outs[query_id].extend([qid] * take)
+                outs["neighbor_id"].extend(sub_ids[order])
+                outs["dist"].extend(d[order])
+            yield pd.DataFrame(outs)
+
+        filtered = codes.where(
+            F.col(cell_col).isin(sorted(union_cells))
+        )
+        cand = filtered.mapInPandas(run, out_schema).withColumnRenamed(
+            query_id, "query_id"
+        )
+        return partitioned_topk(
+            cand,
+            part_by=["query_id"],
+            order_by=[F.col("dist").asc(), F.col("neighbor_id")],
+            k=k,
+            salt_by=["neighbor_id"],
+            rank_col="rank",
+        ).select("query_id", "neighbor_id", "dist", "rank")
     table = F.array(
         *[
             F.array(

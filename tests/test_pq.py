@@ -218,16 +218,17 @@ class TestIVFPQ:
                 ).collect(),
             )
         )
-        ivq = sorted(
-            map(
-                tuple,
-                topk_ivfpq(
-                    queries, indexed, cbs, cents, k=8,
-                    nprobe=len(cents),
-                ).collect(),
+        for arrow in (True, False):
+            ivq = sorted(
+                map(
+                    tuple,
+                    topk_ivfpq(
+                        queries, indexed, cbs, cents, k=8,
+                        nprobe=len(cents), arrow=arrow,
+                    ).collect(),
+                )
             )
-        )
-        assert ivq == full
+            assert ivq == full, f"arrow={arrow}"
 
     def test_pruning_and_recall(self, spark, data):
         from pandas_weights_spark.functions.pq import topk_ivfpq
@@ -243,6 +244,11 @@ class TestIVFPQ:
         part = topk_ivfpq(
             queries, indexed, cbs, cents, k=3, nprobe=2
         ).collect()
+        # arrow and column pruning agree at partial nprobe too
+        part_col = topk_ivfpq(
+            queries, indexed, cbs, cents, k=3, nprobe=2, arrow=False
+        ).collect()
+        assert sorted(map(tuple, part)) == sorted(map(tuple, part_col))
         # each query still gets answers, every (q, n, dist) that
         # nprobe=2 returns appears in the full ranking's candidate
         # universe with the identical distance
