@@ -43,6 +43,7 @@ def pagerank(
     iters: int = 10,
     nodes: "Optional[DataFrame]" = None,
     node_col: Optional[str] = None,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """Weighted PageRank (Brin & Page 1998 — public) over an edge
     list: ``(node, rank)`` after ``iters`` power iterations with
@@ -57,7 +58,10 @@ def pagerank(
     endpoints and non-positive weights drop. ``nodes``/``node_col``
     fixes the node universe explicitly (isolated nodes then receive
     the teleport + dangling share); default is the set of edge
-    endpoints.
+    endpoints. ``tol`` adds early convergence: iteration stops once
+    the L1 rank delta ``Σ|r_t − r_{t−1}|`` falls below it (one extra
+    scalar aggregate per iteration — still nothing node-sized on the
+    driver), with ``iters`` as the cap.
 
     Scale shape: the degree-normalized edge table materializes ONCE
     (per-src groupBy + join, then an eager ``localCheckpoint`` — it
@@ -128,7 +132,7 @@ def pagerank(
                 outm, ranks["__n__"] == outm["__s__"], "left_anti"
             ).agg(F.coalesce(F.sum("__r__"), F.lit(0.0)).alias("__dm__"))
         )
-        ranks = (
+        new_ranks = (
             universe.join(
                 contrib, universe["__n__"] == contrib["__d__"], "left"
             )
@@ -146,6 +150,27 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            prev = ranks.select(
+                F.col("__n__").alias("__pn__"),
+                F.col("__r__").alias("__pr__"),
+            )
+            delta = (
+                new_ranks.join(
+                    prev, new_ranks["__n__"] == prev["__pn__"]
+                )
+                .agg(
+                    F.sum(F.abs(F.col("__r__") - F.col("__pr__"))).alias(
+                        "__delta__"
+                    )
+                )
+                .collect()[0]["__delta__"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < float(tol):
+                break
+        else:
+            ranks = new_ranks
     return ranks.select(
         F.col("__n__").alias("node"), F.col("__r__").alias("rank")
     )

@@ -116,3 +116,20 @@ class TestPageRank:
         ref = _ref_pagerank(3, [(0, 1)], iters=4)
         for i in range(3):
             assert got[i] == pytest.approx(ref[i], rel=1e-12)
+
+    def test_tol_early_stop_matches_converged(self, spark):
+        # symmetric 5-cycle converges to uniform after 1 iteration in
+        # exact arithmetic; tol must stop early with the same answer
+        # a full iters=12 run reaches
+        edges = [(i, (i + 1) % 5) for i in range(5)]
+        full = _run(spark, 5, edges, iters=12)
+        early = _run(spark, 5, edges, iters=12, tol=1e-12)
+        for i in range(5):
+            assert early[i] == pytest.approx(full[i], rel=1e-9)
+
+    def test_tol_reaches_same_fixed_point_on_asym_graph(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (3, 0)]
+        tight = _run(spark, 4, edges, iters=60)
+        tolled = _run(spark, 4, edges, iters=60, tol=1e-10)
+        for i in range(4):
+            assert tolled[i] == pytest.approx(tight[i], abs=1e-8)

@@ -375,6 +375,25 @@ def main() -> int:
     dt = time.perf_counter() - t0
     print(f"{'pq_adc 8 queries':28s} {dt:7.2f}s  "
           f"({vec_n / dt / 1e6:6.1f} M codes/s)")
+    from pandas_weights_spark.functions.pq import topk_ivfpq
+    from pandas_weights_spark.functions.similarity import (
+        assign_cells_arrow,
+        train_ivf_centroids,
+    )
+
+    ivf_cents = train_ivf_centroids(
+        vecs, "embedding", 64, "vec_id", iters=1, arrow=True
+    )
+    indexed = assign_cells_arrow(
+        codes, "embedding", ivf_cents, out_col="cell"
+    ).drop("embedding").localCheckpoint(eager=False)
+    t0 = time.perf_counter()
+    topk_ivfpq(
+        pq_queries, indexed, cbs, ivf_cents, k=10, nprobe=8
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'ivfpq 8/64 probe':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M codes/s)")
 
     clus_n = n // 200
     clustered = spark.range(clus_n).select(
