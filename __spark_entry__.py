@@ -1172,6 +1172,56 @@ def _q_pq_topk(spark, sf_dir):
     return enc.unionByName(adc).unionByName(ivq)
 
 
+def _q_rp_project(spark, sf_dir):
+    # r6: Johnson–Lindenstrauss random projection (functions/pca.py
+    # `random_project`, portable Column path) — every embedding's
+    # 64→6 projection against the seeded deterministic matrix,
+    # replayed in DuckDB as the same left-to-right dot chains; the
+    # arrow batched-matmul twin and the JL distance-preservation
+    # guarantee are pytest-pinned (tests/test_pca.py).
+    from pandas_weights_spark.functions.pca import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    out = random_project(
+        emb.select("vec_id", "embedding"), "embedding", 6, seed=7,
+        arrow=False,
+    )
+    return out.select(
+        "vec_id",
+        F.posexplode(F.transform("rp", lambda x: F.round(x, 6))).alias(
+            "dim", "val"
+        ),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
+def _rp_sql() -> str:
+    from pandas_weights_spark.functions.pca import jl_projection_matrix
+
+    mat = jl_projection_matrix(64, 6, seed=7)
+    parts = []
+    for j, row in enumerate(mat):
+        dot = " + ".join(
+            f"CAST(embedding[{t + 1}] AS DOUBLE) * ({c!r})"
+            for t, c in enumerate(row)
+        )
+        parts.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS dim, "
+            f"round({dot}, 6) AS val FROM e"
+        )
+    body = "\n      UNION ALL\n      ".join(parts)
+    return f"""
+    -- r6: JL random projection replay — same seeded matrix literals,
+    -- same left-to-right dot-chain order as the engine's fold
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    {body}
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     # r6: weighted PageRank (functions/graph.py) over a synthesized
     # domain link graph — source domain links to 'src{(doc_id*7+3)%25}'
@@ -6382,6 +6432,9 @@ def _pq_sql() -> str:
 _ORACLE["pq_topk"] = _pq_sql()
 
 
+_ORACLE["rp_project"] = _rp_sql()
+
+
 _ORACLE["pagerank"] = """
     -- r6: 3 unrolled power iterations of weighted PageRank with
     -- dangling-mass redistribution (graph.pagerank's exact algebra)
@@ -6580,6 +6633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hygiene": _q_web_hygiene,
         "pagerank": _q_pagerank,
         "pq_topk": _q_pq_topk,
+        "rp_project": _q_rp_project,
         "mixture_sample": _q_mixture_sample,
     }
 

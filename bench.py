@@ -93,6 +93,7 @@ HEADLINE = [
     "web_hygiene",         # URL canonicalize + blocklist suffix join (r6)
     "pagerank",            # 3-iteration weighted domain PageRank (r6)
     "pq_topk",             # product-quantization encode + ADC top-k (r6)
+    "rp_project",          # JL random projection, portable dot chains (r6)
 ]
 
 
@@ -306,6 +307,20 @@ def main() -> int:
         return topk_pq_adc(queries, codes, cbs, k=5)
 
     qs["pq_topk"] = _pq_arrow
+
+    # rp_project: driver row pins the portable dot chains; bench the
+    # Arrow batch-matmul production path (agreement test-pinned)
+    def _rp_arrow(spark_, sf_dir_):
+        from pandas_weights_spark.functions.pca import random_project
+
+        emb = fan_out(load_table(spark_, sf_dir_, "embeddings")).where(
+            F.col("embedding").isNotNull()
+        )
+        return random_project(
+            emb.select("vec_id", "embedding"), "embedding", 6, seed=7
+        )
+
+    qs["rp_project"] = _rp_arrow
 
     # same portable/fast duality as minhash: the driver's dsir_select
     # row pins the md5 (DuckDB-replayable) hash family; bench the

@@ -27,6 +27,7 @@ documented, as in every PCA implementation.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -34,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["PCAModel", "pca_fit", "pca_transform"]
+__all__ = ["PCAModel", "pca_fit", "pca_transform",
+           "jl_projection_matrix", "random_project"]
 
 
 class PCAModel(NamedTuple):
@@ -234,5 +236,107 @@ def pca_transform(
             yield pd.DataFrame(
                 {**{c: pdf[c] for c in cols}, out_col: res}
             )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def jl_projection_matrix(
+    d_in: int, d_out: int, seed: int = 42
+) -> "list[list[float]]":
+    """Deterministic Johnson–Lindenstrauss projection matrix
+    (``d_out`` rows of ``d_in`` Gaussians scaled by ``1/√d_out`` —
+    Johnson & Lindenstrauss 1984 / Indyk & Motwani 1998, public):
+    driver-side plain floats, a plan literal, identical on every
+    executor and every run. Pairwise distances are preserved within
+    ``ε`` for ``d_out = O(log n / ε²)`` — the data-INDEPENDENT
+    complement to :func:`pca_fit` (no training pass, streaming-safe,
+    fixed for the lifetime of a corpus so incremental batches embed
+    consistently)."""
+    import random as _random
+
+    if d_out < 1 or d_in < 1:
+        raise ValueError("d_in and d_out must be >= 1")
+    rng = _random.Random(seed)
+    scale = 1.0 / math.sqrt(float(d_out))
+    return [
+        [rng.gauss(0.0, 1.0) * scale for _ in range(d_in)]
+        for _ in range(d_out)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    d_out: int,
+    seed: int = 42,
+    out_col: str = "rp",
+    arrow: bool = True,
+) -> DataFrame:
+    """Append the JL random projection of the embedding column:
+    input schema + ``out_col array<double>`` of length ``d_out``
+    (NULL vectors stay NULL). ``arrow=True`` is one batch matmul per
+    Arrow batch (the :func:`pca_transform` shape); ``arrow=False``
+    is the Column-expression twin — per output dim a sequential
+    zip_with/aggregate dot against the matrix-row literal, fixed
+    IEEE order, so a SQL oracle replays it digit-for-digit.
+
+    The input width is probed from the data (max non-null size —
+    NOT ``.first()``, which a NULL first row would poison); ragged
+    vector columns are an error.
+    """
+    probe = df.where(F.col(vec_col).isNotNull()).agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).collect()[0]
+    if probe["hi"] is None:
+        raise ValueError("no non-null vectors to project")
+    if probe["lo"] != probe["hi"]:
+        raise ValueError(
+            f"ragged vector column: sizes {probe['lo']}..{probe['hi']}"
+        )
+    d_in = int(probe["hi"])
+    mat = jl_projection_matrix(d_in, int(d_out), seed)
+    if not arrow:
+        v = F.col(vec_col)
+        dots = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in row]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for row in mat
+            ]
+        )
+        return df.select(
+            *df.columns, F.when(v.isNotNull(), dots).alias(out_col)
+        )
+    w = np.asarray(mat, float)  # d_out x d_in
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    cols = df.columns
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[vec_col]
+            mask = vals.notna().to_numpy()
+            res = np.empty(len(pdf), dtype=object)
+            res[~mask] = None
+            if mask.any():
+                x = np.vstack([np.asarray(v, float) for v in vals[mask]])
+                proj = x @ w.T
+                lists = np.empty(proj.shape[0], dtype=object)
+                for i in range(proj.shape[0]):
+                    lists[i] = list(proj[i])
+                res[mask] = lists
+            yield pd.DataFrame({**{c: pdf[c] for c in cols}, out_col: res})
 
     return df.mapInPandas(run, out_schema)

@@ -170,3 +170,73 @@ class TestPCATransform:
         qp = q @ np.asarray(m.components).T
         dists = {i: float(((p - qp) ** 2).sum()) for i, p in proj.items()}
         assert min(dists, key=dists.get) == 7
+
+
+class TestRandomProjection:
+    def test_matches_numpy_and_portable(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.pca import (
+            jl_projection_matrix,
+            random_project,
+        )
+
+        rng = np.random.default_rng(23)
+        X = rng.normal(size=(30, 24))
+        rows = [(i, [float(x) for x in X[i]]) for i in range(30)]
+        rows.append((99, None))
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        mat = np.asarray(jl_projection_matrix(24, 6, seed=7), float)
+        ref = X @ mat.T
+        for arrow in (True, False):
+            got = {
+                r["vec_id"]: r["rp"]
+                for r in random_project(
+                    df, "v", 6, seed=7, arrow=arrow
+                ).collect()
+            }
+            assert got[99] is None
+            for i in range(30):
+                np.testing.assert_allclose(got[i], ref[i], rtol=1e-9)
+
+    def test_distance_preservation(self, spark):
+        # JL guarantee sanity: relative pairwise distances survive a
+        # 64 -> 16 projection within a loose epsilon on average
+        import itertools
+
+        import numpy as np
+
+        from pandas_weights_spark.functions.pca import random_project
+
+        rng = np.random.default_rng(4)
+        X = rng.normal(size=(40, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(40)],
+            "vec_id long, v array<double>",
+        )
+        got = {
+            r["vec_id"]: np.asarray(r["rp"])
+            for r in random_project(df, "v", 16, seed=1).collect()
+        }
+        ratios = []
+        for i, j in itertools.combinations(range(0, 40, 5), 2):
+            d0 = float(np.linalg.norm(X[i] - X[j]))
+            d1 = float(np.linalg.norm(got[i] - got[j]))
+            ratios.append(d1 / d0)
+        mean_ratio = sum(ratios) / len(ratios)
+        assert 0.75 < mean_ratio < 1.25
+        assert all(0.4 < r < 1.8 for r in ratios)
+
+    def test_guards(self, spark):
+        from pandas_weights_spark.functions.pca import random_project
+
+        ragged = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0])], "vec_id long, v array<double>"
+        )
+        with pytest.raises(ValueError, match="ragged"):
+            random_project(ragged, "v", 2)
+        empty = spark.createDataFrame(
+            [(0, None)], "vec_id long, v array<double>"
+        )
+        with pytest.raises(ValueError, match="non-null"):
+            random_project(empty, "v", 2)
