@@ -1284,11 +1284,27 @@ def _q_web_hygiene(spark, sf_dir):
             F.lit("HTTP://"), F.upper("source"), F.lit(".ORG:80/p/"),
             F.col("doc_id").cast("string"), F.lit("?b=2&a=1"),
         ).alias("url2"),
+        # r7: SPA-style fragment-embedded '?' (odd docs: fragment-only
+        # "query" that must vanish wholesale; even docs: a real query
+        # AND a '?' inside the fragment) — the r6 verdict bug fixture
+        F.concat(
+            F.lit("https://APP."), F.upper("source"),
+            F.lit(".Example.NET/view"),
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(F.lit("#/route?sessionid="),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(
+                F.concat(F.lit("?id="), (F.col("doc_id") % 5).cast("string"),
+                         F.lit("#tab?utm_x=1")),
+            ),
+        ).alias("url3"),
     )
     canon = raw.select(
         "doc_id",
         canonicalize_url(F.col("url")).alias("curl"),
         canonicalize_url(F.col("url2")).alias("curl2"),
+        canonicalize_url(F.col("url3")).alias("curl3"),
     )
     hosted = canon.withColumn("host", url_domain(F.col("curl")))
     bl = spark.createDataFrame(
@@ -1298,7 +1314,7 @@ def _q_web_hygiene(spark, sf_dir):
     )
     return filter_blocked_domains(
         hosted, F.col("host"), bl, how="flag"
-    ).select("doc_id", "curl", "curl2", "host", "is_blocked")
+    ).select("doc_id", "curl", "curl2", "curl3", "host", "is_blocked")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -6505,11 +6521,18 @@ _ORACLE["web_hygiene"] = """
                || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS curl,
              'http://' || lower(source) || '.org/p/'
                || CAST(doc_id AS VARCHAR) || '?b=2&a=1' AS curl2,
+             -- r7 fragment-'?' fixture: odd docs carry ONLY a
+             -- fragment-embedded '?sessionid=' (dropped wholesale);
+             -- even docs keep their real '?id=' and drop '#tab?utm_x=1'
+             'https://app.' || lower(source) || '.example.net/view'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                       ELSE '' END AS curl3,
              'www.' || lower(source) || '.example.com' AS host,
              lower(source) || '.example.com' AS parent
       FROM documents
     )
-    SELECT doc_id, curl, curl2, host,
+    SELECT doc_id, curl, curl2, curl3, host,
            (parent IN ('src1.example.com', 'src7.example.com')
             OR host = 'www.src4.example.com') AS is_blocked
     FROM c

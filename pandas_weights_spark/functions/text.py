@@ -345,8 +345,14 @@ def canonicalize_url(url: Column) -> Column:
     NULL and non-http(s) inputs pass through unchanged (conservative:
     an unrecognized scheme is not ours to rewrite).
     """
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # strip the fragment FIRST: every later component derives from the
+    # pre-fragment substring, so a '?' living inside the fragment (SPA
+    # hash routing: "https://h.com/p#/route?sid=1") can never be
+    # mistaken for a real query string (r6 verdict bug — the old code
+    # ran the query regex over the whole URL and fabricated "?sid=1")
+    base = F.regexp_extract(url, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     keep_port = (
@@ -357,9 +363,9 @@ def canonicalize_url(url: Column) -> Column:
     authority = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(
         host
     )
-    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = F.regexp_extract(base, r"\?(.*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != F.lit(""))
@@ -418,39 +424,45 @@ def filter_blocked_domains(
     ``domain`` DataFrame; persist/reload it as parquet between runs).
     The URL-corpus hygiene step that runs before any text work.
 
-    Shape: explode the ≤ ``max_labels`` host suffixes, broadcast
-    semi-join the blocklist, collapse back to row grain —
-    blocklist-sized state only (a blocklist is thousands-to-millions
-    of rows: always broadcastable or at worst a shuffle bounded by
-    the SUFFIX table, ~3× row count). ``how='filter'`` keeps clean
-    rows; ``how='flag'`` appends ``flag_col`` instead. NULL hosts are
-    never blocked.
+    Shape: DISTINCT hosts first (bounded by host cardinality, far
+    below row count on a web corpus), explode each distinct host's
+    ≤ ``max_labels`` suffixes, broadcast semi-join the blocklist to
+    get the blocked-host set, then one deterministic equi-join back
+    to ``df`` on ``lower(host)``. Blocklist-sized + distinct-host-
+    sized state only. The join key is a pure function of row data —
+    no synthetic row id anywhere, so the result is identical under
+    any partitioning, AQE re-plan, or task retry (r6 advice: the old
+    shape self-joined two branches on monotonically_increasing_id,
+    which can disagree across re-evaluations). ``how='filter'`` keeps
+    clean rows; ``how='flag'`` appends ``flag_col`` instead. NULL
+    hosts are never blocked.
     """
     if how not in ("filter", "flag"):
         raise ValueError("how must be 'filter' or 'flag'")
     bl = F.broadcast(
         blocklist.select(F.lower(F.col("domain")).alias("__bd__")).distinct()
     )
+    hkey = F.lower(host)
+    hosts = (
+        df.select(hkey.alias("__h__"))
+        .where(F.col("__h__").isNotNull())
+        .distinct()
+    )
     keys = (
-        domain_suffixes(host)
+        domain_suffixes(F.col("__h__"))
         if match_subdomains
-        else F.array(F.lower(host))
+        else F.array(F.col("__h__"))
     )
-    with_keys = df.withColumn("__sfx__", keys).withColumn(
-        "__rid__", F.monotonically_increasing_id()
-    )
-    hits = (
-        with_keys.select("__rid__", F.explode("__sfx__").alias("__bd__"))
+    blocked = (
+        hosts.select("__h__", F.explode(keys).alias("__bd__"))
         .join(bl, "__bd__")
-        .select("__rid__")
+        .select("__h__")
         .distinct()
         .withColumn("__hit__", F.lit(True))
     )
-    joined = with_keys.join(hits, "__rid__", "left")
+    joined = df.join(blocked, hkey == F.col("__h__"), "left")
     if how == "filter":
-        return joined.where(F.col("__hit__").isNull()).drop(
-            "__sfx__", "__rid__", "__hit__"
-        )
+        return joined.where(F.col("__hit__").isNull()).select(*df.columns)
     return joined.select(
         *df.columns, F.col("__hit__").isNotNull().alias(flag_col)
     )

@@ -1,0 +1,114 @@
+"""Registry coverage gate (r7, closes the r6 driver-correctness blind
+spot): round 6 shipped 8 new queries that the driver's correctness
+snapshot never saw, because nothing in-repo asserted that the
+``queries()`` / ``oracle_sql()`` enumerations and the SURVEY §2.7
+inventory stay in lock-step.  These tests make a silent enumeration
+mismatch a pytest failure.
+
+No SparkSession needed — pure registry introspection (fast).
+"""
+
+import importlib.util
+import re
+from pathlib import Path
+
+import pytest
+
+_REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "_spark_entry_for_registry", _REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: queries deliberately shipped WITHOUT a DuckDB oracle (non-SQL
+#: semantics — the driver records a weaker rows-only check for these).
+#: Empty today: every registered query has a full value-hash oracle.
+ROWS_ONLY_QUERIES: frozenset = frozenset()
+
+
+class TestRegistry:
+    def test_every_query_has_oracle(self, entry_mod):
+        q = set(entry_mod.queries())
+        o = set(entry_mod.oracle_sql())
+        missing = q - o - ROWS_ONLY_QUERIES
+        assert not missing, (
+            f"queries with neither oracle_sql nor ROWS_ONLY exemption: "
+            f"{sorted(missing)}"
+        )
+
+    def test_no_orphan_oracle(self, entry_mod):
+        q = set(entry_mod.queries())
+        o = set(entry_mod.oracle_sql())
+        orphans = o - q
+        assert not orphans, f"oracle_sql keys with no query: {sorted(orphans)}"
+
+    def test_rows_only_list_current(self, entry_mod):
+        # if an exemption becomes stale (the oracle was added), prune it
+        o = set(entry_mod.oracle_sql())
+        stale = ROWS_ONLY_QUERIES & o
+        assert not stale, f"ROWS_ONLY entries that now HAVE oracles: {stale}"
+
+    def test_queries_callable_and_named(self, entry_mod):
+        q = entry_mod.queries()
+        assert len(q) >= 58
+        for name, fn in q.items():
+            assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
+            assert callable(fn), name
+
+    def test_oracle_sql_nonempty_strings(self, entry_mod):
+        for name, sql in entry_mod.oracle_sql().items():
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+class TestSurveyInventory:
+    """Every oracle-query name cited in SURVEY §2.7 must resolve to a
+    key of ``queries()``; rows with no query citation must be explicit
+    tests-only rows (differential / pin / plan / parity / fixture …)."""
+
+    _TESTS_ONLY = re.compile(
+        r"test|differential|pin|round-trip|plan |plan-|plan/|property"
+        r"|parity|fixture|invariant|robustness|availableNow|bound"
+        r"|tie te|effect across",
+        re.IGNORECASE,
+    )
+
+    def _survey_rows(self):
+        lines = (_REPO / "SURVEY.md").read_text().splitlines()
+        start = next(
+            i for i, l in enumerate(lines) if l.startswith("### 2.7")
+        )
+        end = next(
+            i for i, l in enumerate(lines) if i > start and l.startswith("## 3")
+        )
+        for ln in lines[start:end]:
+            if (
+                ln.startswith("|")
+                and not ln.startswith("|---")
+                and not ln.startswith("| Extension")
+            ):
+                yield ln
+
+    def test_survey_query_names_resolve(self, entry_mod):
+        q = set(entry_mod.queries())
+        bad = []
+        for row in self._survey_rows():
+            tokens = set(re.findall(r"`([a-z][a-z0-9_]*)`", row))
+            if tokens & q:
+                continue  # row is oracle-checked by a live query
+            if not self._TESTS_ONLY.search(row):
+                bad.append(row[:100])
+        assert not bad, (
+            "SURVEY §2.7 rows citing no live query and not marked "
+            f"tests-only (stale oracle-query name?): {bad}"
+        )
+
+    def test_survey_row_count_at_least_inventory(self):
+        rows = list(self._survey_rows())
+        assert len(rows) >= 151, len(rows)

@@ -54,6 +54,32 @@ class TestCanonicalizeUrl:
             "https://e.com/p",
         ]
 
+    def test_fragment_embedded_query_not_fabricated(self, spark):
+        # r6 verdict bug: a '?' INSIDE the fragment (SPA hash routing)
+        # must not be mistaken for a query string — the fragment is
+        # dropped wholesale, and the output must NOT collide with the
+        # genuinely distinct URL that really has that query
+        got = _canon(
+            spark,
+            [
+                "https://h.com/p#/route?sessionid=abc",
+                "https://h.com/p?sessionid=abc",   # the real-query twin
+                "https://h.com/p#a?x=1",
+                "https://x.com/p#/route?b=1",
+                "https://e.com/p?id=3#frag?utm_source=z",  # real query AND fragment-?
+                "HTTPS://E.com:443#/r?gclid=9",   # empty path + frag-?
+            ],
+        )
+        assert got == [
+            "https://h.com/p",
+            "https://h.com/p?sessionid=abc",
+            "https://h.com/p",
+            "https://x.com/p",
+            "https://e.com/p?id=3",
+            "https://e.com/",
+        ]
+        assert got[0] != got[1]
+
     def test_null_and_foreign_schemes_pass_through(self, spark):
         got = _canon(
             spark, [None, "ftp://Files.Example.COM/A", "mailto:a@b.c", "not a url"]
@@ -155,3 +181,27 @@ class TestFilterBlockedDomains:
             df, F.col("host"), bl
         )._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan, plan
+
+    def test_no_synthetic_id_and_repartition_stable(self, spark, frames):
+        # r6 advice: the hit branch must not self-join on a
+        # nondeterministic monotonically_increasing_id — the join key
+        # is lower(host), a pure function of row data, so the result
+        # is identical under any input partitioning
+        df, bl = frames
+        out = filter_blocked_domains(
+            df.repartition(7, "doc_id"), F.col("host"), bl, how="flag"
+        )
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "monotonically_increasing_id" not in plan, plan
+        got = {r["doc_id"]: r["is_blocked"] for r in out.collect()}
+        assert got == {0: False, 1: True, 2: True, 3: False, 4: False,
+                       5: True}
+
+    def test_duplicate_hosts_preserved(self, spark):
+        # the distinct-hosts rewrite must not deduplicate df rows
+        rows = [(i, "bad.com") for i in range(4)] + [(9, "ok.org")]
+        df = spark.createDataFrame(rows, "doc_id long, host string")
+        bl = spark.createDataFrame([("bad.com",)], "domain string")
+        out = filter_blocked_domains(df, F.col("host"), bl, how="flag")
+        assert out.count() == 5
+        assert sum(r["is_blocked"] for r in out.collect()) == 4
