@@ -1109,6 +1109,17 @@ def _pq_codebooks(m=4, k=4, dsub=16, seed=13):
     ]
 
 
+def _pq_centroids(n=4, d=64, seed=14):
+    # deterministic coarse IVF centroids shared by the query AND the
+    # SQL generator (the residual rows replay cell assignment exactly)
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(d)] for _ in range(n)
+    ]
+
+
 def _q_pq_topk(spark, sf_dir):
     # r6: product quantization (functions/pq.py — Jégou et al. 2011).
     # Tagged union: `enc` rows pin the per-subspace argmin code of
@@ -1151,14 +1162,10 @@ def _q_pq_topk(spark, sf_dir):
     from pandas_weights_spark.functions.pq import topk_ivfpq
     from pandas_weights_spark.functions.similarity import (
         assign_cells_arrow,
+        nearest_cell,
     )
 
-    import random as _random
-
-    rng = _random.Random(14)
-    cents = [
-        [rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(4)
-    ]
+    cents = _pq_centroids()
     indexed = assign_cells_arrow(codes, "embedding", cents)
     ivq = topk_ivfpq(
         queries, indexed, cbs, cents, k=5, nprobe=4, arrow=False
@@ -1169,7 +1176,42 @@ def _q_pq_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("i"),
         F.col("dist").alias("d"),
     )
-    return enc.unionByName(adc).unionByName(ivq)
+    # `renc`/`rvq` rows (r7): the IVFADC residual path — coarse cells
+    # from the PORTABLE nearest_cell (SQL-exact dot chains + the
+    # larger-index tie rule), codes quantize x − centroid(cell), and
+    # probe-all residual IVFPQ scores every corpus row with its own
+    # cell's per-query distance table — the closed-form anchor the
+    # oracle replays row for row; recall(residual) ≥ recall(raw) is
+    # pytest-pinned (tests/test_pq.py TestResidual)
+    celled = emb.withColumn(
+        "cell", nearest_cell(F.col("embedding"), cents)
+    )
+    rcodes = pq_encode(
+        celled, "embedding", cbs, arrow=False, centroids=cents
+    )
+    renc = rcodes.select(
+        F.lit("renc").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.posexplode("pq_code").alias("b", "i"),
+    ).select(
+        "part", "a", F.col("b").cast("long").alias("b"),
+        F.col("i").cast("long").alias("i"),
+        F.lit(None).cast("double").alias("d"),
+    )
+    rvq = topk_ivfpq(
+        queries, rcodes.drop("embedding"), cbs, cents, k=5,
+        nprobe=4, arrow=False, residual=True,
+    ).select(
+        F.lit("rvq").alias("part"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").cast("long").alias("i"),
+        F.col("dist").alias("d"),
+    )
+    return (
+        enc.unionByName(adc).unionByName(ivq)
+        .unionByName(renc).unionByName(rvq)
+    )
 
 
 def _q_rp_project(spark, sf_dir):
@@ -6407,6 +6449,82 @@ def _pq_sql() -> str:
         f"WHEN 2 THEN q.d{s}2 ELSE q.d{s}3 END)"
         for s in range(m)
     )
+
+    # --- r7 residual (IVFADC) replay ---------------------------------
+    # coarse cells: same unit-centroid dot chains (left-to-right, the
+    # engine's sequential fold) + the larger-index tie rule of
+    # nearest_cell's struct-max; residuals r_i = emb_i − cent[cell]_i
+    # computed FIRST (one subtraction), then (r − cb)² per entry —
+    # the exact IEEE shape of _residual_expr + _sub_dist
+    import math as _math
+
+    cents = _pq_centroids()
+    n_cells, d = len(cents), len(cents[0])
+    units = []
+    for c in cents:
+        nn = _math.sqrt(sum(x * x for x in c)) or 1.0
+        units.append([x / nn for x in c])
+    score_cols = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"CAST(embedding[{t + 1}] AS DOUBLE) * ({units[j][t]!r})"
+            for t in range(d)
+        )
+        + f") AS s{j}"
+        for j in range(n_cells)
+    )
+    cell_case = (
+        "CASE WHEN s3 >= s2 AND s3 >= s1 AND s3 >= s0 THEN 3 "
+        "WHEN s2 >= s1 AND s2 >= s0 THEN 2 "
+        "WHEN s1 >= s0 THEN 1 ELSE 0 END"
+    )
+
+    def res_cols(c: int) -> str:
+        return ", ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) - ({cents[c][i]!r}) "
+            f"AS r{i}"
+            for i in range(d)
+        )
+
+    rres_branches = "\n      UNION ALL\n      ".join(
+        f"SELECT e.vec_id, CAST({c} AS INTEGER) AS cell, {res_cols(c)} "
+        f"FROM e JOIN cells USING (vec_id) WHERE cells.cell = {c}"
+        for c in range(n_cells)
+    )
+    qres_branches = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, CAST({c} AS INTEGER) AS qcell, {res_cols(c)} "
+        f"FROM e WHERE vec_id < 4"
+        for c in range(n_cells)
+    )
+
+    def rdist(s: int, j: int) -> str:
+        return " + ".join(
+            f"((r{s * dsub + t}) - ({cbs[s][j][t]!r})) * "
+            f"((r{s * dsub + t}) - ({cbs[s][j][t]!r}))"
+            for t in range(dsub)
+        )
+
+    rdist_cols = ",\n             ".join(
+        f"({rdist(s, j)}) AS rd{s}{j}"
+        for s in range(m)
+        for j in range(k)
+    )
+    rcode_cols = ", ".join(
+        f"list_position([rd{s}0, rd{s}1, rd{s}2, rd{s}3], "
+        f"list_min([rd{s}0, rd{s}1, rd{s}2, rd{s}3])) - 1 AS rc{s}"
+        for s in range(m)
+    )
+    renc_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT 'renc' AS part, vec_id AS a, CAST({s} AS BIGINT) AS b,"
+        f" CAST(rc{s} AS BIGINT) AS i, CAST(NULL AS DOUBLE) AS d "
+        f"FROM rcodes"
+        for s in range(m)
+    )
+    rvq_sum = " + ".join(
+        f"(CASE x.rc{s} WHEN 0 THEN q.rd{s}0 WHEN 1 THEN q.rd{s}1 "
+        f"WHEN 2 THEN q.rd{s}2 ELSE q.rd{s}3 END)"
+        for s in range(m)
+    )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding FROM embeddings
@@ -6430,6 +6548,37 @@ def _pq_sql() -> str:
              row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
                AS rk
       FROM pairs
+    ), scores AS (
+      SELECT vec_id,
+             {score_cols}
+      FROM e
+    ), cells AS (
+      SELECT vec_id, {cell_case} AS cell FROM scores
+    ), rres AS (
+      {rres_branches}
+    ), rdists AS (
+      SELECT vec_id, cell,
+             {rdist_cols}
+      FROM rres
+    ), rcodes AS (
+      SELECT vec_id, cell, {rcode_cols} FROM rdists
+    ), renc AS (
+      {renc_rows}
+    ), qres AS (
+      {qres_branches}
+    ), qrd AS (
+      SELECT vec_id, qcell,
+             {rdist_cols}
+      FROM qres
+    ), rpairs AS (
+      SELECT q.vec_id AS qid, x.vec_id AS nid,
+             round({rvq_sum}, 6) AS dist
+      FROM qrd q JOIN rcodes x ON x.cell = q.qcell
+    ), rranked AS (
+      SELECT qid, nid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+               AS rk
+      FROM rpairs
     )
     SELECT part, a, b, i, d FROM enc
     UNION ALL
@@ -6442,6 +6591,14 @@ def _pq_sql() -> str:
     SELECT 'ivq' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
            dist AS d
     FROM ranked WHERE rk <= 5
+    UNION ALL
+    SELECT part, a, b, i, d FROM renc
+    UNION ALL
+    -- rvq: probe-all residual IVFADC — every corpus row scored with
+    -- its own cell's per-query residual table
+    SELECT 'rvq' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
+           dist AS d
+    FROM rranked WHERE rk <= 5
 """
 
 

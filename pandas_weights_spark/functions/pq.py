@@ -28,11 +28,16 @@ Pieces:
   vectors move, the corpus side is m small ints per row. Ranking is
   squared-L2 ASCENDING (PQ is a distance method; the cosine family
   ranks descending), ties by neighbor id.
-* :func:`topk_ivfpq` — the composed FAISS IVFPQ read path: coarse
-  IVF cells prune the candidate set BEFORE ADC (cell equi-join
-  against the broadcast probe table), so per-query work is
-  ``|corpus|·nprobe/n_cells`` code lookups; ``nprobe == n_cells``
-  reproduces :func:`topk_pq_adc` exactly (the correctness anchor).
+* :func:`topk_ivfpq` — the composed IVF+PQ read path: coarse IVF
+  cells prune the candidate set BEFORE ADC (cell equi-join against
+  the broadcast probe table), so per-query work is
+  ``|corpus|·nprobe/n_cells`` code lookups. ``residual=True`` is the
+  FAISS IVFADC design (Jégou 2011 §IV-A: codes quantize
+  ``x − centroid(cell)``, one query table per probed cell — the
+  recall-efficient layout); ``residual=False`` runs against
+  raw-vector codes (documented divergence: simpler, lower recall at
+  fixed code size; ``nprobe == n_cells`` then reproduces
+  :func:`topk_pq_adc` exactly, the raw anchor).
 
 Determinism: codebooks are driver-side lists (plan literals); the
 portable encode path and the ADC algebra are fixed-order IEEE
@@ -76,6 +81,8 @@ def train_pq_codebooks(
     m: int = 8,
     k: int = 256,
     iters: int = 2,
+    centroids: "Optional[list[list[float]]]" = None,
+    cell_col: str = "cell",
 ) -> "list[list[list[float]]]":
     """Train per-subspace codebooks: ``m`` independent k-means over
     the ``d/m``-wide subvectors, deterministic init from the ``k``
@@ -83,14 +90,34 @@ def train_pq_codebooks(
     floats (picklable — persist between runs, train-once/encode-many).
     ``d`` must divide evenly by ``m``. Empty cells keep their previous
     centroid (the Lloyd convention the IVF trainer uses).
+
+    ``centroids`` switches on RESIDUAL training (Jégou et al. 2011
+    §IV-A, the IVFADC layout): codebooks are fit to ``x −
+    centroid(cell(x))`` instead of raw ``x`` — residuals concentrate
+    near zero, so a fixed (m, k) code budget buys materially better
+    distance resolution once an IVF coarse quantizer exists. ``df``
+    must already carry the coarse cell id in ``cell_col`` (assign with
+    :func:`~pandas_weights_spark.functions.similarity.
+    assign_cells_arrow` — the same assignment MUST be used at
+    :func:`pq_encode` time). Rows with a NULL cell are skipped.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if centroids is not None and cell_col not in df.columns:
+        raise ValueError(
+            f"residual training needs the coarse cell id: column "
+            f"{cell_col!r} not in df (run assign_cells_arrow first)"
+        )
+    cent_np = np.asarray(centroids, float) if centroids is not None else None
+    seed_cols = [vec_col] if cent_np is None else [vec_col, cell_col]
+    not_null = F.col(vec_col).isNotNull()
+    if cent_np is not None:
+        not_null = not_null & F.col(cell_col).isNotNull()
     first = (
-        df.where(F.col(vec_col).isNotNull())
+        df.where(not_null)
         .orderBy(id_col)
         .limit(k)
-        .select(vec_col)
+        .select(*seed_cols)
         .collect()
     )
     if len(first) < k:
@@ -102,13 +129,16 @@ def train_pq_codebooks(
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
+
+    def _seed_vec(r):
+        v = np.asarray([float(x) for x in r[vec_col]], float)
+        if cent_np is not None:
+            v = v - cent_np[int(r[cell_col])]
+        return v
+
+    seeds = np.vstack([_seed_vec(r) for r in first])
     cbs = [
-        np.array(
-            [[float(x) for x in r[vec_col][s * dsub:(s + 1) * dsub]]
-             for r in first],
-            float,
-        )
-        for s in range(m)
+        seeds[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)
     ]
 
     schema = T.StructType(
@@ -119,7 +149,7 @@ def train_pq_codebooks(
             T.StructField("sums", T.ArrayType(T.DoubleType())),
         ]
     )
-    src = df.where(F.col(vec_col).isNotNull()).select(vec_col)
+    src = df.where(not_null).select(*seed_cols)
 
     for _ in range(iters):
         cb_local = [c.copy() for c in cbs]
@@ -132,11 +162,17 @@ def train_pq_codebooks(
             seen = False
             for pdf in batches:
                 vals = pdf[vec_col]
-                vals = vals[vals.notna()]
+                keep = vals.notna()
+                if cent_np is not None:
+                    keep = keep & pdf[cell_col].notna()
+                vals = vals[keep]
                 if not len(vals):
                     continue
                 seen = True
                 x = np.vstack([np.asarray(v, float) for v in vals])
+                if cent_np is not None:
+                    cells = pdf[cell_col][keep].to_numpy(dtype=np.int64)
+                    x = x - cent_np[cells]
                 for s in range(m):
                     xs = x[:, s * dsub:(s + 1) * dsub]
                     # ||x-c||² = ||x||² - 2x·c + ||c||²; row-constant
@@ -241,28 +277,59 @@ def _sub_code(vec: Column, s: int, dsub: int, codebook) -> Column:
     return F.array_min(scored)["i"]
 
 
+def _residual_expr(vec: Column, cell: Column, centroids) -> Column:
+    """``vec − centroid(cell)`` as one zip_with over the centroid
+    matrix literal — the portable residual the SQL oracle replays as
+    the same ``(x − c)`` term-by-term subtraction."""
+    cent = F.lit([[float(x) for x in c] for c in centroids])
+    return F.zip_with(
+        vec, F.element_at(cent, cell + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
     codebooks: "list[list[list[float]]]",
     out_col: str = "pq_code",
     arrow: bool = True,
+    centroids: "Optional[list[list[float]]]" = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Append the ``m``-int code array: per subspace, the index of the
     nearest codebook entry (squared L2, ties → lowest index). NULL
     vectors get NULL codes. ``arrow=False`` is the Column-expression
     oracle path (identical argmin up to fold-vs-matmul ulps at exact
-    ties — on real data the two agree exactly; tests pin it)."""
+    ties — on real data the two agree exactly; tests pin it).
+
+    ``centroids`` switches on RESIDUAL encoding (IVFADC): the encoded
+    vector is ``x − centroid(cell)``, with the coarse cell read from
+    ``cell_col`` (must be the same assignment the index serves at
+    query time — build it once with ``assign_cells_arrow`` and train
+    the codebooks with the same ``centroids``). Rows with a NULL cell
+    get NULL codes."""
     m, k, dsub = _check_codebooks(codebooks)
+    if centroids is not None and cell_col not in df.columns:
+        raise ValueError(
+            f"residual encoding needs the coarse cell id: column "
+            f"{cell_col!r} not in df (run assign_cells_arrow first)"
+        )
     if not arrow:
         v = F.col(vec_col)
+        ok = v.isNotNull()
+        target = v
+        if centroids is not None:
+            ok = ok & F.col(cell_col).isNotNull()
+            target = _residual_expr(v, F.col(cell_col), centroids)
         codes = F.array(
-            *[_sub_code(v, s, dsub, codebooks[s]) for s in range(m)]
+            *[_sub_code(target, s, dsub, codebooks[s]) for s in range(m)]
         )
         return df.select(
-            *df.columns, F.when(v.isNotNull(), codes).alias(out_col)
+            *df.columns, F.when(ok, codes).alias(out_col)
         )
     cbs = [np.asarray(cb, float) for cb in codebooks]
+    cent_np = np.asarray(centroids, float) if centroids is not None else None
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
@@ -274,11 +341,17 @@ def pq_encode(
 
         for pdf in batches:
             vals = pdf[vec_col]
-            mask = vals.notna().to_numpy()
+            keep = vals.notna()
+            if cent_np is not None:
+                keep = keep & pdf[cell_col].notna()
+            mask = keep.to_numpy()
             res = np.empty(len(pdf), dtype=object)
             res[~mask] = None
             if mask.any():
                 x = np.vstack([np.asarray(v, float) for v in vals[mask]])
+                if cent_np is not None:
+                    cells = pdf[cell_col].to_numpy()[mask].astype(np.int64)
+                    x = x - cent_np[cells]
                 codes = np.empty((x.shape[0], m), dtype=np.int64)
                 for s in range(m):
                     xs = x[:, s * dsub:(s + 1) * dsub]
@@ -451,13 +524,28 @@ def topk_ivfpq(
     code_col: str = "pq_code",
     cell_col: str = "cell",
     arrow: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
-    """IVF + PQ composed — the FAISS IVFPQ read path: each query
-    probes its ``nprobe`` nearest coarse cells (cosine argmax over the
-    ``centroids`` literal), and asymmetric PQ distance is evaluated
-    ONLY inside probed cells — candidate work is ``|corpus| ·
-    nprobe / n_cells`` per query instead of the full corpus, and the
-    corpus side still moves only ``m`` small ints per row.
+    """IVF + PQ composed: each query probes its ``nprobe`` nearest
+    coarse cells (cosine argmax over the ``centroids`` literal), and
+    asymmetric PQ distance is evaluated ONLY inside probed cells —
+    candidate work is ``|corpus| · nprobe / n_cells`` per query
+    instead of the full corpus, and the corpus side still moves only
+    ``m`` small ints per row.
+
+    ``residual=True`` is the FAISS IVFADC read path (Jégou et al.
+    2011 §IV-A): codes must have been produced by :func:`pq_encode`
+    ``(centroids=...)`` — they quantize ``x − centroid(cell)`` — and
+    each query builds ONE m×k distance table PER PROBED CELL from
+    ``q − centroid(cell)`` (nprobe small tables instead of one; the
+    corpus side is unchanged). Residual coding is what buys recall at
+    a fixed (m, k) code budget once a coarse quantizer exists.
+
+    ``residual=False`` (default) runs ADC against RAW-vector PQ codes
+    — a documented divergence from the FAISS design: simpler (one
+    table per query, and the codes double as a cell-free
+    :func:`topk_pq_adc` corpus) but measurably lower recall at the
+    same code size (tests pin recall(residual) ≥ recall(raw)).
 
     ``arrow=True`` (default) mirrors :func:`topk_pq_adc`'s scale
     path: queries, their probe sets, and their distance tables ship
@@ -475,9 +563,11 @@ def topk_ivfpq(
 
     The probe table (|Q|·nprobe rows with each query's m×k distance
     table) broadcasts; the cell equi-join IS the pruning — no shuffle
-    of the corpus. ``nprobe == len(centroids)`` probes everything and
-    must reproduce :func:`topk_pq_adc` exactly (the IVF family's
-    correctness anchor; pinned by tests and the driver oracle).
+    of the corpus. In raw mode ``nprobe == len(centroids)`` probes
+    everything and must reproduce :func:`topk_pq_adc` exactly (the
+    IVF family's correctness anchor; pinned by tests and the driver
+    oracle); in residual mode probe-all equals the closed-form
+    per-cell ADC the SQL oracle replays.
     Output ``(query_id, neighbor_id, dist, rank)``, squared-L2
     ascending, ties by neighbor; missed true neighbors in unprobed
     cells are the approximation, recall is tunable via ``nprobe``.
@@ -505,14 +595,19 @@ def topk_ivfpq(
             .select(F.col(query_id).alias("query_id"), qv.alias("__q__"))
             .collect()
         )
+        cent_np = np.asarray(centroids, float)
+
+        def _table(vec):
+            t = np.empty((m, kk))
+            for s in range(m):
+                xs = vec[s * dsub:(s + 1) * dsub]
+                t[s] = ((xs[None, :] - cbs[s]) ** 2).sum(axis=1)
+            return t
+
         plans = []
         union_cells: set = set()
         for r in qrows:
             x = np.asarray(r["__q__"], float)
-            t = np.empty((m, kk))
-            for s in range(m):
-                xs = x[s * dsub:(s + 1) * dsub]
-                t[s] = ((xs[None, :] - cbs[s]) ** 2).sum(axis=1)
             scores = u @ x
             # probe_cells order: similarity desc, ties -> larger index
             order = sorted(
@@ -521,7 +616,12 @@ def topk_ivfpq(
             )[: int(nprobe)]
             cells = frozenset(order)
             union_cells |= cells
-            plans.append((r["query_id"], t, cells))
+            if residual:
+                # IVFADC: one table per probed cell from q − c_cell
+                tmap = {cell: _table(x - cent_np[cell]) for cell in cells}
+                plans.append((r["query_id"], tmap, cells))
+            else:
+                plans.append((r["query_id"], _table(x), cells))
         out_schema = T.StructType(
             [
                 queries.schema[query_id],
@@ -560,10 +660,22 @@ def topk_ivfpq(
                 qmask = np.isin(cellv, list(cells))
                 if not qmask.any():
                     continue
-                d = np.round(
-                    t[sub_idx[None, :], C[qmask]].sum(axis=1), 6
-                )
+                subC = C[qmask]
                 sub_ids = idv[qmask]
+                if residual:
+                    sub_cells = cellv[qmask]
+                    d = np.empty(len(sub_ids))
+                    for cell in cells:
+                        cm = sub_cells == cell
+                        if cm.any():
+                            d[cm] = t[cell][
+                                sub_idx[None, :], subC[cm]
+                            ].sum(axis=1)
+                    d = np.round(d, 6)
+                else:
+                    d = np.round(
+                        t[sub_idx[None, :], subC].sum(axis=1), 6
+                    )
                 take = min(int(k), len(d))
                 order = np.lexsort((sub_ids, d))[:take]
                 outs[query_id].extend([qid] * take)
@@ -585,27 +697,59 @@ def topk_ivfpq(
             salt_by=["neighbor_id"],
             rank_col="rank",
         ).select("query_id", "neighbor_id", "dist", "rank")
-    table = F.array(
-        *[
-            F.array(
-                *[
-                    _sub_dist(_sub_slice(qv, s, dsub), entry)
-                    for entry in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    probes = F.broadcast(
-        queries.where(qv.isNotNull())
-        .select(
+    if residual:
+        # per-(query, probed-cell) table over q − c_cell: the explode
+        # runs first, then the residual/table algebra on each probe
+        # row (the oracle path — expression size is m·k·d per probe
+        # row, fine at oracle scale; arrow=True is the scale path)
+        base = queries.where(qv.isNotNull()).select(
             F.col(query_id).alias("query_id"),
-            table.alias("__t__"),
+            qv.alias("__qv__"),
             F.explode(probe_cells(qv, centroids, nprobe)).alias(
                 cell_col
             ),
         )
-    )
+        rvec = _residual_expr(
+            F.col("__qv__"), F.col(cell_col), centroids
+        )
+        table = F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_dist(_sub_slice(rvec, s, dsub), entry)
+                        for entry in codebooks[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        probes = F.broadcast(
+            base.select(
+                "query_id", table.alias("__t__"), F.col(cell_col)
+            )
+        )
+    else:
+        table = F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_dist(_sub_slice(qv, s, dsub), entry)
+                        for entry in codebooks[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        probes = F.broadcast(
+            queries.where(qv.isNotNull())
+            .select(
+                F.col(query_id).alias("query_id"),
+                table.alias("__t__"),
+                F.explode(probe_cells(qv, centroids, nprobe)).alias(
+                    cell_col
+                ),
+            )
+        )
     c = codes.where(F.col(code_col).isNotNull()).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(code_col).alias("__c__"),
