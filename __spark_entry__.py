@@ -1426,8 +1426,50 @@ def _q_dedup_exact(spark, sf_dir):
             F.col("n_dropped").cast("string"),
         ).alias("fp"),
     )
+    # r7: TOKEN-EXACT span removal rows (remove_duplicate_ngram_spans,
+    # the Lee-et-al exact-substring posting-list pass): 17 pad tokens
+    # misalign the copied 40-token prefix against ANY chunk grid — the
+    # straddle case chunk-granular removal provably misses. Per-doc
+    # rebuilt-text md5 + token/removed counts; the full chain (window
+    # fingerprints → global first occurrence → coverage → rebuild) is
+    # replayed in SQL (_xspan_sql).
+    from pandas_weights_spark.functions.dedup import (
+        remove_duplicate_ngram_spans,
+    )
+
+    # two-step select: the output alias also being named doc_id makes
+    # a one-step select ambiguous (lateral-alias resolution grabbed
+    # the +30000 value for the pad) — rename the input id first
+    xpad = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(16)),
+            lambda i: F.concat(
+                F.lit("xp"), F.col("__orig__").cast("string"),
+                F.lit("n"), i.cast("string"),
+            ),
+        ),
+    )
+    xprefix = F.concat_ws(" ", F.slice(_tk(F.col("text")), 1, 40))
+    xcopies = sdocs.select(
+        F.col("doc_id").alias("__orig__"), "text"
+    ).select(
+        (F.col("__orig__") + 30000).alias("doc_id"),
+        F.concat_ws(" ", xpad, xprefix).alias("text"),
+    )
+    xspan = remove_duplicate_ngram_spans(
+        sdocs.unionByName(xcopies), "text", "doc_id", min_tokens=20
+    ).select(
+        F.lit("xspan").alias("kind"),
+        "doc_id",
+        F.concat_ws(
+            ":", F.md5("text"), F.col("n_tokens").cast("string"),
+            F.col("n_removed").cast("string"),
+        ).alias("fp"),
+    )
     return (
         survivors.unionByName(fps).unionByName(nov).unionByName(span)
+        .unionByName(xspan)
     )
 
 
@@ -5075,6 +5117,73 @@ def _span_removal_sql(
     """
 
 
+def _xspan_sql(L: int = 20) -> str:
+    """Full replay of remove_duplicate_ngram_spans over the shifted-
+    prefix fixture: window fingerprints (md5 of the space-joined
+    L-token slice), global first occurrence (numeric doc order, then
+    position — doc_id is numeric here, so ORDER BY doc_id, p), token
+    coverage by non-first windows, whitespace-normalized rebuild."""
+    return f"""
+    WITH xsrc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 30000,
+             array_to_string(
+               [('xp' || CAST(doc_id AS VARCHAR) || 'n'
+                 || CAST(i AS VARCHAR)) for i in range(0, 17)], ' ')
+             || ' ' || array_to_string(
+                  (string_split_regex(trim(text), '\\s+'))[1:40], ' ')
+      FROM documents WHERE doc_id < 60
+    ), xwn AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w
+      FROM xsrc
+    ), xn AS (
+      SELECT doc_id, w, len(w) AS n FROM xwn
+    ), xwin AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, n - {L - 1})) AS p
+      FROM xn WHERE n >= {L}
+    ), xgr AS (
+      SELECT doc_id, p,
+             md5(array_to_string(w[p:p + {L - 1}], ' ')) AS g
+      FROM xwin
+    ), xrk AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, p)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS cnt
+      FROM xgr
+    ), xdup AS (
+      SELECT doc_id, p FROM xrk WHERE cnt > 1 AND rn > 1
+    ), xtok AS (
+      SELECT doc_id, unnest(generate_series(1, n)) AS i, w
+      FROM xn WHERE n >= 1
+    ), xkeep AS (
+      SELECT t.doc_id, t.i, t.w[t.i] AS tk,
+             NOT EXISTS (
+               SELECT 1 FROM xdup d
+               WHERE d.doc_id = t.doc_id
+                 AND t.i >= d.p AND t.i < d.p + {L}
+             ) AS k
+      FROM xtok t
+    ), xagg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN k THEN tk END, ' '
+                                 ORDER BY i), '') AS txt,
+             SUM(CASE WHEN k THEN 0 ELSE 1 END) AS nrem
+      FROM xkeep GROUP BY doc_id
+    )
+    SELECT x.doc_id,
+           md5(COALESCE(a.txt, ''))
+           || ':' || CAST(x.n AS VARCHAR)
+           || ':' || CAST(COALESCE(a.nrem, 0) AS VARCHAR) AS fp
+    FROM xn x LEFT JOIN xagg a USING (doc_id)
+    """
+
+
 # r4: simhash rows fold into the dedup_exact driver query (same docs
 # source; slot freed for calibration)
 _ORACLE["dedup_exact"] = (
@@ -5108,6 +5217,10 @@ _ORACLE["dedup_exact"] = (
     UNION ALL
     SELECT 'span' AS kind, doc_id, fp FROM ("""
     + _span_removal_sql()
+    + """)
+    UNION ALL
+    SELECT 'xspan' AS kind, doc_id, fp FROM ("""
+    + _xspan_sql()
     + """)"""
 )
 

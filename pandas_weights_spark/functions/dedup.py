@@ -627,6 +627,139 @@ def remove_duplicate_spans(
     )
 
 
+def remove_duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 32,
+) -> DataFrame:
+    """TOKEN-EXACT duplicated-span removal — the posting-list member
+    of the suffix-array family ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021, exact-substring dedup):
+    every ``min_tokens``-token window is fingerprinted (md5 of the
+    space-joined window), a window that occurs more than once globally
+    keeps ONLY its first occurrence (numeric-aware doc order, then
+    position), and every token covered by a non-first occurrence is
+    removed. Any duplicated run of ≥ ``min_tokens`` tokens is removed
+    exactly — including spans that straddle
+    :func:`remove_duplicate_spans`'s chunk boundaries or hide inside
+    otherwise-unique chunks (that function's documented exactness gap;
+    this closes it for exact copies, at higher cost).
+
+    Returns ``(id_col, text, n_tokens, n_removed)``; text is
+    whitespace-normalized (tokenize-and-rejoin, the same documented
+    trade as :func:`remove_duplicate_spans`). NULL/blank text yields
+    ``("", 0, 0)``. md5 is 128-bit, so fingerprint collisions
+    (spurious removal) are negligible by construction.
+
+    Scale shape: the exploded window table is |tokens| rows and each
+    row carries an O(``min_tokens``)-byte fingerprint input — the
+    honest cost of exact substring dedup without a distributed suffix
+    array. One gram-keyed groupBy (map-side count/min partials), one
+    gram-keyed join back, one doc-keyed groupBy whose per-doc state is
+    the doc's own duplicate-position list (row-bounded), one doc-keyed
+    join; the coverage filter is row-local (O(n·|dups|) per doc via
+    EXISTS over the sorted position array). No driver-side data, no
+    all-pairs term.
+    """
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_expr = F.when(
+        t.isNull() | (F.length(F.trim(t)) == 0), F.lit(0)
+    ).otherwise(F.size(toks))
+    staged = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(id_col).cast("string").alias("__doc__"),
+        # numeric ids order numerically ("5" before "20005"), ties /
+        # non-numeric fall back to string order — the
+        # remove_duplicate_spans convention
+        F.coalesce(
+            F.col(id_col).cast("string").try_cast("double"),
+            F.lit(float("inf")),
+        ).alias("__dn__"),
+        toks.alias("__toks__"),
+        n_expr.alias("__n__"),
+    )
+    grams = (
+        staged.where(F.col("__n__") >= L)
+        .select(
+            "__doc__",
+            "__dn__",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n__") - L + 1),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice(F.col("__toks__"), p, L)
+                            )
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__w__"),
+        )
+        .select(
+            "__doc__",
+            "__dn__",
+            F.col("__w__.pos").alias("pos"),
+            F.col("__w__.g").alias("g"),
+        )
+    )
+    firsts = (
+        grams.groupBy("g")
+        .agg(
+            F.min(F.struct("__dn__", "__doc__", "pos")).alias("f"),
+            F.count(F.lit(1)).alias("__cnt__"),
+        )
+        .where(F.col("__cnt__") > 1)
+        .select(
+            "g",
+            F.col("f.__doc__").alias("__fdoc__"),
+            F.col("f.pos").alias("__fpos__"),
+        )
+    )
+    dup_pos = (
+        grams.join(firsts, "g")
+        .where(
+            ~(
+                (F.col("__doc__") == F.col("__fdoc__"))
+                & (F.col("pos") == F.col("__fpos__"))
+            )
+        )
+        .groupBy("__doc__")
+        .agg(F.array_sort(F.collect_list("pos")).alias("__dp__"))
+    )
+    joined = staged.join(dup_pos, "__doc__", "left")
+    dp = F.coalesce(F.col("__dp__"), F.array().cast("array<int>"))
+    kept = F.when(
+        F.col("__n__") >= 1,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n__")),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.element_at(F.col("__toks__"), i).alias("t"),
+                ),
+            ),
+            lambda s: ~F.exists(
+                dp, lambda p: (s["i"] >= p) & (s["i"] < p + F.lit(L))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,t:string>>"))
+    return joined.select(
+        F.col("__id__").alias(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])
+        ).alias("text"),
+        F.col("__n__").cast("long").alias("n_tokens"),
+        (F.col("__n__") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

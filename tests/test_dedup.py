@@ -328,6 +328,131 @@ class TestRemoveDuplicateSpans:
         assert out[2]["text"] == "" and out[3]["text"] == ""
 
 
+class TestExactNgramSpans:
+    """remove_duplicate_ngram_spans — token-exact posting-list pass
+    (Lee et al. 2021 exact-substring family)."""
+
+    def test_straddling_span_missed_by_chunks_removed_exactly(self, spark):
+        # a 16-token span duplicated between two otherwise-unique docs,
+        # positioned to STRADDLE the chunk grid in both (chunk_tokens=
+        # 32, overlap=8 -> step=24; the span covers <= half of every
+        # chunk, so no chunk pair reaches the 0.7 Jaccard threshold):
+        # chunk-granular removal provably misses it, the exact pass
+        # removes precisely those 16 tokens from the later doc
+        span = " ".join(f"s{i}" for i in range(16))
+        d1 = (
+            " ".join(f"a{i}" for i in range(40)) + " " + span + " "
+            + " ".join(f"A{i}" for i in range(40))
+        )
+        d2 = (
+            " ".join(f"b{i}" for i in range(17)) + " " + span + " "
+            + " ".join(f"B{i}" for i in range(40))
+        )
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        chunked = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_spans(
+                df, "text", "doc_id",
+                chunk_tokens=32, overlap=8, threshold=0.7,
+            ).collect()
+        }
+        assert chunked[1]["n_dropped"] == 0
+        assert chunked[2]["n_dropped"] == 0  # the documented gap
+        exact = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", min_tokens=16
+            ).collect()
+        }
+        assert exact[1]["text"] == d1 and exact[1]["n_removed"] == 0
+        assert exact[2]["n_removed"] == 16
+        kept = exact[2]["text"].split()
+        assert all(not t.startswith("s") for t in kept)
+        assert kept[:17] == d2.split()[:17]
+        assert kept[17:] == d2.split()[33:]
+
+    def test_identity_on_unique_corpus(self, spark):
+        import random
+
+        rng = random.Random(11)
+        texts = [
+            (i, " ".join(f"u{i}_{j}" for j in range(rng.randint(0, 70))))
+            for i in range(6)
+        ] + [(99, None)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", min_tokens=8
+            ).collect()
+        }
+        for i, t in texts:
+            assert out[i]["n_removed"] == 0
+            assert out[i]["text"] == (t or "")
+        assert out[99]["n_tokens"] == 0
+
+    def test_longer_span_removed_fully(self, spark):
+        # a duplicated run LONGER than min_tokens: every window inside
+        # it is duplicated, so coverage removes the whole run
+        span = " ".join(f"s{i}" for i in range(30))
+        d1 = span + " " + " ".join(f"a{i}" for i in range(20))
+        d2 = " ".join(f"b{i}" for i in range(9)) + " " + span
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", min_tokens=10
+            ).collect()
+        }
+        assert out[1]["n_removed"] == 0
+        assert out[2]["n_removed"] == 30
+        assert out[2]["text"] == " ".join(f"b{i}" for i in range(9))
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        span = " ".join(f"r{i}" for i in range(12))
+        d = span + " x0 x1 x2 " + span
+        df = spark.createDataFrame([(1, d)], "doc_id long, text string")
+        out = DD.remove_duplicate_ngram_spans(
+            df, "text", "doc_id", min_tokens=12
+        ).collect()[0]
+        assert out["n_removed"] == 12
+        assert out["text"] == span + " x0 x1 x2"
+
+    def test_numeric_id_order_beats_string_order(self, spark):
+        base = " ".join(f"q{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(20005, base), (5, base)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", min_tokens=20
+            ).collect()
+        }
+        assert out[5]["text"] == base and out[5]["n_removed"] == 0
+        assert out[20005]["text"] == "" and out[20005]["n_removed"] == 20
+
+    def test_guard_and_short_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="min_tokens"):
+            DD.remove_duplicate_ngram_spans(df, "text", "doc_id",
+                                            min_tokens=1)
+        # docs shorter than the window are untouched even if identical
+        out = {
+            r["doc_id"]: r
+            for r in DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", min_tokens=8
+            ).collect()
+        }
+        assert out[1]["text"] == "a b c" and out[2]["text"] == "a b c"
+
+
 class TestMinhashJoin:
     @pytest.fixture(scope="class")
     def two_tables(self, spark):
