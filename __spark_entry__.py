@@ -928,9 +928,30 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.round(F.col("logprob_mean"), 6).alias("v1"),
         F.round(F.col("ppl"), 6).alias("v2"),
     )
+    # r7: interpolated TRIGRAM LM (text.trigram_lm_score — one more
+    # order up the CCNet ladder: p(w3|w1w2) = 0.6·trigram +
+    # 0.3·bigram + 0.1·unigram over capped tables with context
+    # marginals; discriminates triples where the bigram order is
+    # provably blind — pytest-pinned)
+    from pandas_weights_spark.functions.text import (
+        trigram_counts,
+        trigram_lm_score,
+    )
+
+    tgt = trigram_counts(docs, "text", max_trigrams=5000)
+    lm3 = trigram_lm_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id", lmvocab,
+        bgt, tgt, alpha=0.5, lambda3=0.6, lambda2=0.3,
+    ).select(
+        F.lit("lm3").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.round(F.col("logprob_mean"), 6).alias("v1"),
+        F.round(F.col("ppl"), 6).alias("v2"),
+    )
     return (
         tf.unionByName(vocab).unionByName(bpe).unionByName(usd)
-        .unionByName(lm).unionByName(lm2)
+        .unionByName(lm).unionByName(lm2).unionByName(lm3)
     )
 
 
@@ -4034,6 +4055,87 @@ _ORACLE["tfidf_top_terms"] = r"""
         CROSS JOIN tot
       )
       SELECT doc_id, AVG(lp) AS lpm FROM sc2 GROUP BY doc_id
+    )
+    UNION ALL
+    -- r7: interpolated trigram LM replay (text.trigram_lm_score):
+    -- p(w3|w1w2) = 0.6*c(w1w2w3)/c(w1w2.) + 0.3*c(w2w3)/c(w2.)
+    -- + 0.1*p_uni(w3); capped trigram+bigram tables, same smoothed
+    -- unigram floor; docs < 50 scored over token TRIPLES
+    SELECT 'lm3' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+           round(lpm, 6) AS v1, round(exp(-lpm), 6) AS v2
+    FROM (
+      WITH dt AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+      ), lt2 AS (
+        SELECT doc_id, unnest(w) AS term FROM dt
+      ), lt3 AS (SELECT doc_id, term FROM lt2 WHERE term <> ''),
+      vm AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS mass FROM lt3
+        GROUP BY term HAVING COUNT(*) >= 1.0
+        ORDER BY mass DESC, term LIMIT 5000
+      ),
+      tot AS (SELECT SUM(mass) AS W, COUNT(*) AS V FROM vm),
+      bp AS (
+        SELECT p.a AS w1, p.b AS w2 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 2
+                        THEN [{'a': w[i], 'b': w[i+1]}
+                              for i in range(1, len(w))]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      bgr AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+        GROUP BY w1, w2
+        ORDER BY mass DESC, w1, w2 LIMIT 5000
+      ),
+      mg AS (SELECT w1, SUM(mass) AS m1 FROM bgr GROUP BY w1),
+      tp AS (
+        SELECT p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 3
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                              for i in range(1, len(w) - 1)]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      tgr AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS mass FROM tp
+        GROUP BY w1, w2, w3
+        ORDER BY mass DESC, w1, w2, w3 LIMIT 5000
+      ),
+      tmg AS (
+        SELECT w1, w2, SUM(mass) AS m12 FROM tgr GROUP BY w1, w2
+      ),
+      dtrip AS (
+        SELECT doc_id, p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= 3
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                              for i in range(1, len(w) - 1)]
+                        ELSE [] END) AS p
+          FROM dt WHERE doc_id < 50
+        )
+      ),
+      sc3 AS (
+        SELECT d.doc_id,
+               ln(0.6 * COALESCE(tgr.mass / tmg.m12, 0.0)
+                  + 0.3 * COALESCE(bgr.mass / mg.m1, 0.0)
+                  + 0.1 * exp(
+                      COALESCE(ln(vm.mass + 0.5), ln(0.5))
+                      - ln(tot.W + 0.5 * (tot.V + 1)))) AS lp
+        FROM dtrip d
+        LEFT JOIN tgr ON d.w1 = tgr.w1 AND d.w2 = tgr.w2
+                     AND d.w3 = tgr.w3
+        LEFT JOIN tmg ON d.w1 = tmg.w1 AND d.w2 = tmg.w2
+        LEFT JOIN bgr ON d.w2 = bgr.w1 AND d.w3 = bgr.w2
+        LEFT JOIN mg ON d.w2 = mg.w1
+        LEFT JOIN vm ON d.w3 = vm.term
+        CROSS JOIN tot
+      )
+      SELECT doc_id, AVG(lp) AS lpm FROM sc3 GROUP BY doc_id
     )
 """
 

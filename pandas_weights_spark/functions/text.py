@@ -747,3 +747,143 @@ def bigram_lm_score(
         "logprob_mean",
         F.exp(-F.col("logprob_mean")).alias("ppl"),
     )
+
+
+def trigram_counts(
+    df: DataFrame,
+    text_col: str,
+    max_trigrams: int = 500_000,
+    lowercase: bool = True,
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Corpus trigram table ``(w1, w2, w3, mass)`` — the training
+    aggregate of :func:`trigram_lm_score`: one row-local
+    ``word_ngrams(…, 3)`` fan-out + one map-side-combining aggregate,
+    capped at the top ``max_trigrams`` by (mass desc, w1, w2, w3) via
+    TakeOrdered (bounded state — the dropped tail backs off to the
+    bigram/unigram orders anyway, exactly the interpolation's job).
+    """
+    w = weight if weight is not None else F.lit(1.0)
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+    toks = tokens(lowered)
+    grams = F.when(
+        F.size(toks) >= 3, word_ngrams(lowered, 3, toks=toks)
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        w.cast("double").alias("__w__"), F.explode(grams).alias("g")
+    ).where(F.length("g") > 0)
+    split = F.split(F.col("g"), " ", 3)
+    return (
+        rows.select(
+            F.get(split, 0).alias("w1"),
+            F.get(split, 1).alias("w2"),
+            F.get(split, 2).alias("w3"),
+            "__w__",
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("__w__").alias("mass"))
+        .orderBy(F.col("mass").desc(), "w1", "w2", "w3")
+        .limit(max_trigrams)
+    )
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    alpha: float = 0.5,
+    lambda3: float = 0.6,
+    lambda2: float = 0.3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Interpolated TRIGRAM language-model perplexity per document —
+    KenLM-order minus two, the next rung of the CCNet perplexity
+    ladder after :func:`bigram_lm_score` (Wenzek et al. 2019 run a
+    5-gram; interpolation across orders is the standard Jelinek-
+    Mercer recipe):
+
+    ``p(w3|w1,w2) = λ3·c(w1,w2,w3)/c(w1,w2,·) + λ2·c(w2,w3)/c(w2,·)
+    + (1−λ3−λ2)·p_uni(w3)``
+
+    where each conditional's denominator is its own capped table's
+    context marginal (a true distribution over stored continuations)
+    and ``p_uni`` is the α-smoothed pooled-OOV unigram model. Unseen
+    trigrams/bigrams/contexts fall through to the lower orders.
+    Output ``(id_col, n_trigrams, logprob_mean, ppl)`` over the doc's
+    token TRIPLES; docs with fewer than 3 tokens emit no row.
+
+    Trigram context discriminates where bigram cannot: a document
+    whose every adjacent PAIR is corpus-attested but whose triples
+    are novel scores near the bigram floor (tests pin this).
+
+    Scale shape: row-local triple fan-out → BROADCAST joins against
+    the capped trigram table (context marginals pre-joined), the
+    capped bigram table, and the V-row unigram log-prob table → one
+    hash aggregate per doc. One data-sized shuffle, no UDF.
+    """
+    l3, l2 = float(lambda3), float(lambda2)
+    if l3 < 0 or l2 < 0 or l3 + l2 >= 1.0:
+        raise ValueError(
+            "need lambda3 >= 0, lambda2 >= 0 and lambda3 + lambda2 < 1 "
+            "(the unigram floor must stay positive)"
+        )
+    lp, oov = unigram_logprobs(vocab, alpha)
+    tmarg = trigrams.groupBy("w1", "w2").agg(
+        F.sum("mass").alias("__m12__")
+    )
+    ttab = trigrams.join(tmarg, ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        (F.col("mass") / F.col("__m12__")).alias("__pt__"),
+    )
+    bmarg = bigrams.groupBy("w1").agg(F.sum("mass").alias("__m1__"))
+    btab = (
+        bigrams.join(bmarg, "w1")
+        .select(
+            F.col("w1").alias("w2"),
+            F.col("w2").alias("w3"),
+            (F.col("mass") / F.col("__m1__")).alias("__pb__"),
+        )
+    )
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+    toks = tokens(lowered)
+    grams = F.when(
+        F.size(toks) >= 3, word_ngrams(lowered, 3, toks=toks)
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).where(F.length("g") > 0)
+    split = F.split(F.col("g"), " ", 3)
+    triples = pos.select(
+        id_col,
+        F.get(split, 0).alias("w1"),
+        F.get(split, 1).alias("w2"),
+        F.get(split, 2).alias("w3"),
+    )
+    joined = (
+        triples.join(F.broadcast(ttab), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(btab), ["w2", "w3"], "left")
+        .join(
+            F.broadcast(lp.withColumnRenamed("term", "w3")), "w3", "left"
+        )
+    )
+    p_uni = F.exp(F.coalesce(F.col("logp"), F.lit(float(oov))))
+    p = (
+        F.lit(l3) * F.coalesce(F.col("__pt__"), F.lit(0.0))
+        + F.lit(l2) * F.coalesce(F.col("__pb__"), F.lit(0.0))
+        + F.lit(1.0 - l3 - l2) * p_uni
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.avg(F.log(p)).alias("logprob_mean"),
+    )
+    return agg.select(
+        id_col,
+        "n_trigrams",
+        "logprob_mean",
+        F.exp(-F.col("logprob_mean")).alias("ppl"),
+    )

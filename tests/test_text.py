@@ -458,3 +458,141 @@ class TestBigramLM:
         ws = "the quick brown fox jumps over the lazy dog".split()
         exp = sum(lpd[w] for w in ws[1:]) / (len(ws) - 1)
         assert out["logprob_mean"] == pytest.approx(exp, rel=1e-9)
+
+
+class TestTrigramLM:
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            trigram_counts,
+        )
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        corpus = spark.createDataFrame(
+            [(i, "u v w") for i in range(20)]
+            + [(100 + i, "w v u") for i in range(20)]
+            + [(200 + i, "the quick brown fox jumps over the lazy dog")
+               for i in range(10)],
+            "doc_id long, text string",
+        )
+        return (
+            build_vocabulary(corpus, "text"),
+            bigram_counts(corpus, "text"),
+            trigram_counts(corpus, "text"),
+            corpus,
+        )
+
+    def test_matches_python_reference(self, model, spark):
+        import math
+
+        from pandas_weights_spark.functions.text import trigram_lm_score
+
+        vocab, bg, tg, _ = model
+        test = spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "u v w v u")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in trigram_lm_score(
+                test, "text", "doc_id", vocab, bg, tg,
+                alpha=0.5, lambda3=0.6, lambda2=0.3,
+            ).collect()
+        }
+        uni = {r["term"]: r["mass"] for r in vocab.collect()}
+        W, V = sum(uni.values()), len(uni)
+        denom = W + 0.5 * (V + 1)
+        p_uni = lambda w: (uni.get(w, 0) + 0.5) / denom  # noqa: E731
+        bgm = {(r["w1"], r["w2"]): r["mass"] for r in bg.collect()}
+        bmarg = {}
+        for (w1, _), m in bgm.items():
+            bmarg[w1] = bmarg.get(w1, 0) + m
+        tgm = {(r["w1"], r["w2"], r["w3"]): r["mass"] for r in tg.collect()}
+        tmarg = {}
+        for (w1, w2, _), m in tgm.items():
+            tmarg[(w1, w2)] = tmarg.get((w1, w2), 0) + m
+
+        def p(a, b, c):
+            pt = (
+                tgm.get((a, b, c), 0.0) / tmarg[(a, b)]
+                if (a, b) in tmarg else 0.0
+            )
+            pb = bgm.get((b, c), 0.0) / bmarg[b] if b in bmarg else 0.0
+            return 0.6 * pt + 0.3 * pb + 0.1 * p_uni(c)
+
+        for did, text in [(0, "the quick brown fox"), (1, "u v w v u")]:
+            ws = text.split()
+            lps = [
+                math.log(p(a, b, c))
+                for a, b, c in zip(ws, ws[1:], ws[2:])
+            ]
+            exp = sum(lps) / len(lps)
+            assert got[did]["logprob_mean"] == pytest.approx(exp, rel=1e-9)
+            assert got[did]["ppl"] == pytest.approx(math.exp(-exp),
+                                                    rel=1e-9)
+            assert got[did]["n_trigrams"] == len(lps)
+
+    def test_discriminates_where_bigram_is_blind(self, model, spark):
+        # STRONGER than the bigram order-discrimination test: both docs
+        # have identical bigram-transition profiles ((u,v) then a
+        # mass-20/mass-20 split out of v), so bigram ppl is EQUAL —
+        # only the trigram context separates the corpus-attested
+        # "u v w" from the never-seen triple "u v u"
+        from pandas_weights_spark.functions.text import (
+            bigram_lm_score,
+            trigram_lm_score,
+        )
+
+        vocab, bg, tg, _ = model
+        test = spark.createDataFrame(
+            [(0, "u v w"), (1, "u v u")], "doc_id long, text string"
+        )
+        b = {r["doc_id"]: r["ppl"] for r in bigram_lm_score(
+            test, "text", "doc_id", vocab, bg).collect()}
+        t = {r["doc_id"]: r["ppl"] for r in trigram_lm_score(
+            test, "text", "doc_id", vocab, bg, tg).collect()}
+        # bigram blind: p(w|v) == p(u|v) == 0.5, p(v|u) shared
+        assert b[0] == pytest.approx(b[1], rel=1e-9)
+        # trigram separates by more than 1.5x
+        assert t[0] < t[1] / 1.5
+
+    def test_short_docs_emit_no_row(self, model, spark):
+        from pandas_weights_spark.functions.text import trigram_lm_score
+
+        vocab, bg, tg, _ = model
+        test = spark.createDataFrame(
+            [(0, "u v"), (1, ""), (2, "u v w")],
+            "doc_id long, text string",
+        )
+        out = trigram_lm_score(
+            test, "text", "doc_id", vocab, bg, tg
+        ).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+    def test_lambda_guards_and_degenerate_unigram(self, model, spark):
+        import math
+
+        from pandas_weights_spark.functions.text import (
+            trigram_lm_score,
+            unigram_logprobs,
+        )
+
+        vocab, bg, tg, corpus = model
+        for bad in [(-0.1, 0.3), (0.6, -0.1), (0.7, 0.3), (1.0, 0.0)]:
+            with pytest.raises(ValueError, match="lambda"):
+                trigram_lm_score(
+                    corpus, "text", "doc_id", vocab, bg, tg,
+                    lambda3=bad[0], lambda2=bad[1],
+                )
+        # lambda3 = lambda2 = 0 degenerates to the unigram model over
+        # each triple's final token
+        out = trigram_lm_score(
+            corpus.where("doc_id = 200"), "text", "doc_id", vocab, bg,
+            tg, lambda3=0.0, lambda2=0.0,
+        ).collect()[0]
+        lp, oov = unigram_logprobs(vocab, 0.5)
+        lpd = {r["term"]: r["logp"] for r in lp.collect()}
+        ws = "the quick brown fox jumps over the lazy dog".split()
+        exp = sum(lpd[w] for w in ws[2:]) / (len(ws) - 2)
+        assert out["logprob_mean"] == pytest.approx(exp, rel=1e-9)
