@@ -612,6 +612,15 @@ def decode_jpeg(payload: bytes) -> ImageData:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a valid baseline file MAY carry several
+                # non-interleaved scans (ns < nc); this decoder reads
+                # exactly one interleaved scan — fail with the same
+                # clear contract as the progressive/12-bit paths
+                # instead of a KeyError mid-decode
+                raise ValueError(
+                    "multi-scan baseline JPEG unsupported — needs PIL"
+                )
             sel = {}
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
@@ -1017,7 +1026,10 @@ def mp4_metadata(payload: bytes) -> dict:
                 walk(b0, b1, False, ctx)
             elif btype == b"mvhd" and len(body) >= 20:
                 ver = body[0]
-                if ver == 1 and len(body) >= 28:
+                # v1 needs 32 bytes for timescale@20 + duration@24..31;
+                # a truncated v1 body falls through to the v0 read like
+                # every other corrupt-box path (no struct.error)
+                if ver == 1 and len(body) >= 32:
                     ts, dur = struct.unpack(">IQ", body[20:32])
                 else:
                     ts, dur = struct.unpack(">II", body[12:20])

@@ -58,7 +58,11 @@ def pagerank(
     endpoints and non-positive weights drop. ``nodes``/``node_col``
     fixes the node universe explicitly (isolated nodes then receive
     the teleport + dangling share); default is the set of edge
-    endpoints. ``tol`` adds early convergence: iteration stops once
+    endpoints. An explicit universe must be a SUPERSET of the edge
+    endpoints — validated up front with one anti-join count, because
+    an endpoint outside it would silently lose rank mass and break
+    the sums-to-1 contract (filter the edge list first if you want a
+    subgraph). ``tol`` adds early convergence: iteration stops once
     the L1 rank delta ``Σ|r_t − r_{t−1}|`` falls below it (one extra
     scalar aggregate per iteration — still nothing node-sized on the
     driver), with ``iters`` as the cap.
@@ -105,6 +109,25 @@ def pagerank(
             .distinct()
         )
     universe = universe.localCheckpoint(eager=True)
+    if nodes is not None:
+        # an explicit universe MUST cover every edge endpoint: a
+        # destination outside it would silently lose its contribution
+        # in the rank join (and an outside source still holds
+        # out-mass), breaking the ranks-sum-to-1 contract — one cheap
+        # anti-join count up front instead of a silent drift
+        endpoints = (
+            e.select(F.col("__s__").alias("__n__"))
+            .unionByName(e.select(F.col("__d__").alias("__n__")))
+            .distinct()
+        )
+        n_outside = endpoints.join(universe, "__n__", "left_anti").count()
+        if n_outside:
+            raise ValueError(
+                f"nodes= must be a superset of edge endpoints: "
+                f"{n_outside} endpoint(s) fall outside the supplied "
+                "universe (their rank mass would silently vanish — "
+                "filter the edge list to the universe first)"
+            )
     n = universe.count()
     if n == 0:
         raise ValueError("pagerank needs at least one node")

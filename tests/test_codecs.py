@@ -493,6 +493,19 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="baseline"):
             C.decode_jpeg(bytes(data))
 
+    def test_multiscan_baseline_rejected_clearly(self):
+        # a baseline file whose SOS covers fewer components than the
+        # frame (non-interleaved multi-scan, valid per T.81): must
+        # raise the same clear 'unsupported' contract as progressive,
+        # not a KeyError mid-decode
+        img = self._img(8, 8, lambda x, y: (10, 20, 30))
+        data = bytearray(C.encode_jpeg(img, 80))
+        i = data.find(b"\xff\xda")
+        assert data[i + 4] == 3  # ns for the 3-component scan
+        data[i + 4] = 1  # declare a single-component scan
+        with pytest.raises(ValueError, match="multi-scan"):
+            C.decode_jpeg(bytes(data))
+
     def test_jpeg_features_use_real_pixels_without_pil(self):
         # a constant-color JPEG: channel means in the feature vector
         # must reflect the actual pixel values, not byte histograms
@@ -587,6 +600,19 @@ class TestMp4Metadata:
     def test_garbage_rejected(self):
         with pytest.raises(ValueError, match="ftyp"):
             C.mp4_metadata(b"\x00" * 64)
+
+    def test_truncated_v1_mvhd_degrades_not_crashes(self):
+        # a v1 mvhd with 28..31-byte body: too short for the v1 read
+        # (needs 32) — must fall through to the v0 read like every
+        # other corrupt-box path, never raise struct.error
+        for body_len in (28, 29, 30, 31):
+            mvhd = bytes([1, 0, 0, 0]) + b"\x00" * (body_len - 4)
+            data = (
+                _box(b"ftyp", b"isom" + bytes(8))
+                + _box(b"moov", _box(b"mvhd", mvhd))
+            )
+            m = C.mp4_metadata(data)
+            assert m["brand"] == "isom"  # parsed, no crash
 
     def test_truncated_box_stops_cleanly(self):
         data = _mp4_bytes()

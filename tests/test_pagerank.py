@@ -99,6 +99,24 @@ class TestPageRank:
         with pytest.raises(ValueError, match="node_col"):
             pagerank(df, nodes=df)
 
+    def test_subset_universe_rejected(self, spark):
+        # an explicit universe that misses an edge endpoint would
+        # silently lose rank mass (sums-to-1 broken) — must raise
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        with pytest.raises(ValueError, match="superset"):
+            pagerank(df, nodes=nodes, node_col="id", iters=2)
+        # a proper superset (isolated node 9) stays fine and sums to 1
+        ok_nodes = spark.createDataFrame(
+            [(1,), (2,), (3,), (9,)], "id long"
+        )
+        got = pagerank(
+            df, nodes=ok_nodes, node_col="id", iters=3
+        ).collect()
+        assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-9
+
     def test_null_and_nonpositive_edges_drop(self, spark):
         df = spark.createDataFrame(
             [(0, 1, 1.0), (None, 1, 1.0), (0, None, 1.0), (2, 0, 0.0),
