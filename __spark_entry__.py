@@ -353,14 +353,20 @@ def _q_resample_rules(spark, sf_dir):
 
 
 def _corr_pair_df(spark, sf_dir):
-    # pairwise-complete mask really exercised: discount NULLed where tax<0.02
+    # pairwise-complete mask really exercised: discount NULLed where
+    # tax<0.02. r7: corr_pair computes ONLY this cell's 7 moments —
+    # bit-identical to the filtered 2-column matrix it replaced (same
+    # moment expressions + kernel; the matrix path stays covered by
+    # corr_cov_matrix / group_corr) but ~3x less aggregate work.
+    from pandas_weights_spark.corr import corr_pair
+
     df = _li(spark, sf_dir).withColumn(
         "disc_n", F.when(F.col("l_tax") >= 0.02, F.col("l_discount"))
     )
     wdf = wt(df, _W)
-    return wdf.corr(subset=["l_extendedprice", "disc_n"]).where(
-        (F.col("col_x") == "l_extendedprice") & (F.col("col_y") == "disc_n")
-    ).select(F.round(F.col("corr"), 6).alias("corr"))
+    return corr_pair(wdf, "l_extendedprice", "disc_n").select(
+        F.round(F.col("corr"), 6).alias("corr")
+    )
 
 
 def _q_corr_cov_matrix(spark, sf_dir):

@@ -154,6 +154,36 @@ def frame_corr(
     )
 
 
+def corr_pair(
+    wdf: "WeightedDataFrame",
+    x_col: str,
+    y_col: str,
+    method: str = "pearson",
+    min_periods: int = 1,
+    ddof: int = 1,
+) -> DataFrame:
+    """Weighted Pearson correlation of ONE column pair — the matrix
+    path's ``(x_col, y_col)`` cell without the matrix: 7 aggregate
+    expressions instead of ``7·k(k+1)/2`` (measured ~3× less per-row
+    aggregate work than a filtered 2-column matrix at sf0.1). The
+    value is BIT-identical to ``frame_corr``'s corresponding cell:
+    same pairwise-complete moment expressions
+    (:func:`corr_moment_exprs` over the frame's nanvl'd values), same
+    :func:`corr_from_moments` kernel. Output: one row ``(corr)``.
+    """
+    _check_method(method)
+    w = wdf.weights
+    x = wdf._value(x_col)
+    y = wdf._value(y_col)
+    moments = [
+        expr.alias(f"__m_0_1_{name}")
+        for name, expr in corr_moment_exprs(x, y, w).items()
+    ]
+    return wdf.df.agg(*moments).select(
+        _pair_corr(0, 1, ddof, min_periods).alias("corr")
+    )
+
+
 def grouped_corr(
     wdf: "WeightedDataFrame",
     keys: Sequence[str],

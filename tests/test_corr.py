@@ -77,6 +77,34 @@ class TestFrameCorr:
         assert mat.loc["A", "C"] == approx(-1.0)
         assert list(mat.columns) == ["A", "B", "C"]
 
+    def test_corr_pair_bit_identical_to_matrix_cell(self, spark):
+        # r7: the single-pair path (7 aggregates, no matrix) must
+        # return the EXACT float the matrix's (x, y) cell returns —
+        # same moment expressions, same kernel — including under the
+        # pairwise-complete NULL mask and NaN weights
+        from pandas_weights_spark.corr import corr_pair
+
+        df = spark.createDataFrame(
+            [
+                (1.0, 2.5, 1.0),
+                (2.0, None, 2.0),
+                (3.0, 8.5, 1.5),
+                (4.0, 3.0, float("nan")),
+                (5.0, 1.0, 3.0),
+                (None, 9.0, 1.0),
+            ],
+            "A double, B double, weights double",
+        )
+        wdf = wt(df, "weights")
+        cell = corr_map(wdf.corr(subset=["A", "B"]))[("A", "B")]
+        got = corr_pair(wdf, "A", "B").collect()[0]["corr"]
+        assert got == cell  # bit-identical, not approx
+        # min_periods flows through identically
+        gotn = corr_pair(wdf, "A", "B", min_periods=10).collect()[0][
+            "corr"
+        ]
+        assert gotn is None
+
     def test_fused_corr_cov_matches_separate(self, corr_frame):
         wdf = wt(corr_frame, "weights")
         fused = {
