@@ -50,6 +50,7 @@ __all__ = [
     "streaming_bottom_k_sample",
     "streaming_distinct_counts",
     "streaming_neardup_candidates",
+    "streaming_semdedup_candidates",
 ]
 
 
@@ -1152,6 +1153,131 @@ def streaming_neardup_candidates(
             )
 
     return keyed.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_semdedup_candidates(
+    stream: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: "list[list[float]]",
+    threshold: float = 0.95,
+    per_cell_capacity: int = 64,
+) -> DataFrame:
+    """Streaming SEMANTIC-duplicate candidate pairs — SemDeDup (Abbas
+    et al. 2023) lifted to a stateful streaming operator. The batch
+    :func:`~pandas_weights_spark.functions.similarity.semantic_dedup`
+    needs trained centroids anyway; with the centroid matrix as a
+    plan literal, cell assignment is row-local
+    (:func:`~pandas_weights_spark.functions.similarity.nearest_cell`
+    — a pure map, so it streams), and the stateful step keeps the
+    ``per_cell_capacity`` most recent UNIT-normalized vectors per
+    cell. A new arrival emits ``(id_new, id_old, cell, cos)`` for
+    every stored same-cell neighbor with cosine ≥ ``threshold``
+    (6-dp rounded).
+
+    Bounded state is the same deliberate trade as
+    :func:`streaming_neardup_candidates`: memory is capped FOREVER at
+    ``n_cells × per_cell_capacity × d`` doubles, detecting semantic
+    duplicates against the recent past with oldest-first eviction.
+    Pairs are per-cell by construction (SemDeDup's own locality
+    assumption — cross-cell near-duplicates are the algorithm's
+    documented miss in batch too). Zero-norm vectors have no cosine
+    and are skipped (not stored). Survivor selection / exact
+    re-verification stays a downstream batch step; candidates are the
+    streaming-hard part.
+    """
+    import math as _math
+
+    import numpy as _np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pandas_weights_spark.functions.similarity import nearest_cell
+
+    if per_cell_capacity < 1:
+        raise ValueError("per_cell_capacity must be >= 1")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+
+    keyed = stream.select(
+        F.col(id_col).cast("string").alias("__id__"),
+        F.col(vec_col).alias("__v__"),
+        nearest_cell(F.col(vec_col), centroids).alias("__cell__"),
+    ).where(F.col("__v__").isNotNull() & F.col("__cell__").isNotNull())
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(StringType())),
+            StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("id_new", StringType()),
+            StructField("id_old", StringType()),
+            StructField("cell", IntegerType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    cap = int(per_cell_capacity)
+
+    def update(key, pdfs, state):
+        cell = int(key[0])
+        ids: list = []
+        vecs: list = []
+        if state.exists:
+            s_ids, s_vecs = state.get
+            ids = list(s_ids)
+            vecs = [list(v) for v in s_vecs]
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                new_id = row["__id__"]
+                x = _np.asarray(row["__v__"], float)
+                nrm = _math.sqrt(float((x * x).sum()))
+                if nrm == 0.0 or not _math.isfinite(nrm):
+                    continue  # no cosine — skip AND don't store
+                u = (x / nrm).tolist()
+                for old_id, old_u in zip(ids, vecs):
+                    if old_id == new_id:
+                        continue
+                    c = round(
+                        float(
+                            _np.dot(
+                                _np.asarray(u), _np.asarray(old_u)
+                            )
+                        ),
+                        6,
+                    )
+                    if c >= thr:
+                        out.append([new_id, old_id, cell, c])
+                ids.append(new_id)
+                vecs.append(u)
+                if len(ids) > cap:
+                    ids = ids[-cap:]
+                    vecs = vecs[-cap:]
+        state.update((ids, vecs))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return keyed.groupBy("__cell__").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -947,6 +947,101 @@ class TestStreamingNeardup:
         assert partners == {"7", "8"}
 
 
+class TestStreamingSemdedup:
+    CENTS = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+
+    def _run(self, spark, tmp_path, batches, name, **kw):
+        from pandas_weights_spark.streaming import (
+            streaming_semdedup_candidates,
+        )
+
+        schema = "doc_id long, embedding array<double>"
+        d = tmp_path / f"{name}_src"
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(d / f"p{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+        out = streaming_semdedup_candidates(
+            stream, "embedding", "doc_id", self.CENTS, **kw
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    def test_cross_batch_dup_and_no_false_pairs(self, spark, tmp_path):
+        rows1 = [
+            (1, [1.0, 0.05, 0.0, 0.0]),    # cell 0
+            (2, [1.0, -0.4, 0.0, 0.0]),    # cell 0, far from 1
+            (5, [0.0, 1.0, 0.1, 0.0]),     # cell 1
+            (9, [0.0, 0.0, 0.0, 0.0]),     # zero norm: skipped
+        ]
+        rows2 = [
+            (3, [1.0, 0.06, 0.0, 0.0]),    # semantic dup of 1 (cell 0)
+            (6, [0.0, 1.0, 0.11, 0.0]),    # semantic dup of 5 (cell 1)
+        ]
+        got = self._run(spark, tmp_path, [rows1, rows2], "sdd1",
+                        threshold=0.95)
+        pairs = {(r["id_new"], r["id_old"]) for r in got}
+        assert ("3", "1") in pairs  # cross-batch, same cell
+        assert ("6", "5") in pairs  # a different cell's own pair
+        # doc 2 is in cell 0 but cos(1,2) ~ 0.72 < 0.95: no false pair
+        assert ("3", "2") not in pairs and ("2", "1") not in pairs
+        # cross-cell ids never pair; zero-norm id never appears
+        assert all({a, b} <= {"1", "3"} or {a, b} <= {"5", "6"}
+                   for a, b in pairs)
+        cos = {(r["id_new"], r["id_old"]): r["cos"] for r in got}
+        import numpy as np
+        u = lambda v: np.asarray(v) / np.linalg.norm(v)  # noqa: E731
+        exp = round(float(np.dot(u([1.0, 0.06, 0, 0]),
+                                 u([1.0, 0.05, 0, 0]))), 6)
+        assert cos[("3", "1")] == exp
+        cells = {r["cell"] for r in got}
+        assert cells == {0, 1}
+
+    def test_capacity_evicts_oldest(self, spark, tmp_path):
+        v = [1.0, 0.01, 0.0, 0.0]
+        rows1 = [(6, v), (7, v), (8, v)]
+        rows2 = [(9, v)]
+        got = self._run(spark, tmp_path, [rows1, rows2], "sdd2",
+                        threshold=0.99, per_cell_capacity=2)
+        partners = {r["id_old"] for r in got if r["id_new"] == "9"}
+        assert partners == {"7", "8"}  # 6 evicted, state bound holds
+
+    def test_guards(self, spark, tmp_path):
+        from pandas_weights_spark.streaming import (
+            streaming_semdedup_candidates,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="per_cell_capacity"):
+            streaming_semdedup_candidates(
+                df, "embedding", "doc_id", self.CENTS,
+                per_cell_capacity=0,
+            )
+        with pytest.raises(ValueError, match="threshold"):
+            streaming_semdedup_candidates(
+                df, "embedding", "doc_id", self.CENTS, threshold=1.5
+            )
+
+
 class TestStreamingWeightQA:
     def test_diagnostics_exact_batch_parity(self, spark, source_dir):
         # r6 (VERDICT r5 item 8): the last emission per key must EQUAL
