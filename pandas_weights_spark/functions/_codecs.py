@@ -469,6 +469,72 @@ def _build_huffman_encode(bits, vals) -> dict:
     return out
 
 
+def _gen_huffman(freq_in) -> "tuple[list[int], list[int]]":
+    """Optimal length-limited Huffman table from symbol frequencies —
+    T.81 Annex K.2 (the libjpeg-documented public algorithm): pairwise
+    least-frequency merging with a reserved code point (so no real
+    symbol gets the all-ones code), then the >16-bit length
+    adjustment. Returns (BITS[1..16], HUFFVAL) for a DHT segment.
+    Progressive scans NEED generated tables: the Annex K standard
+    tables lack the EOBn (r<<4) symbols EOB-run coding emits."""
+    freq = list(freq_in[:256]) + [0] * (256 - min(len(freq_in), 256))
+    freq.append(1)  # reserved code point 256
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c1 = i
+        c2 = -1
+        v = None
+        for i in range(257):
+            if i != c1 and freq[i] > 0 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # length-limit to 16 bits (K.2 Figure K.3)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved code point
+    huffval = [
+        j
+        for size in range(1, 33)
+        for j in range(256)
+        if codesize[j] == size
+    ]
+    return bits[1:17], huffval
+
+
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers
     (caller handles RSTn)."""
@@ -545,28 +611,42 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> ImageData:
-    """Baseline sequential JPEG decode to 8-bit pixels (grayscale → 1
-    channel, YCbCr → RGB 3 channels). Pure stdlib + numpy: marker
-    walk, canonical Huffman, dequantize + dezigzag, orthonormal 8×8
-    IDCT (two 8×8 matmuls per block), nearest-neighbor chroma
-    upsample, JFIF YCbCr→RGB. Progressive/arithmetic/12-bit raise."""
+    """JPEG decode to 8-bit pixels (grayscale → 1 channel, YCbCr → RGB
+    3 channels). Pure stdlib + numpy: marker walk, canonical Huffman,
+    dequantize + dezigzag, orthonormal 8×8 IDCT (two 8×8 matmuls per
+    block), nearest-neighbor chroma upsample, JFIF YCbCr→RGB.
+
+    Handles baseline sequential (SOF0/SOF1, one interleaved scan) AND
+    progressive (SOF2, ITU T.81 Annex G — r7): spectral-selection
+    bands, successive-approximation first + refinement scans for DC
+    and AC (EOB-run decoding included), coefficients accumulated
+    across scans and reconstructed once at EOI. Arithmetic-coded,
+    hierarchical, 12-bit, and multi-scan BASELINE files still raise
+    with a clear 'needs PIL' contract."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     quant: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    progressive = False
+    coefs: "list[np.ndarray]" = []
+    got_scan = False
     restart_interval = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > n:
+            break
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -590,7 +670,7 @@ def decode_jpeg(payload: bytes) -> ImageData:
                 tbl = _build_huffman_decode(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -601,10 +681,22 @@ def decode_jpeg(payload: bytes) -> ImageData:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mx = (w + 8 * hmax - 1) // (8 * hmax)
+                my = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs = [
+                    np.zeros(
+                        (my * c["v"], mx * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                ]
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(
-                "only baseline (SOF0/SOF1) JPEG supported — progressive/"
-                "arithmetic needs PIL"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG supported — arithmetic/hierarchical needs PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -612,24 +704,38 @@ def decode_jpeg(payload: bytes) -> ImageData:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # a valid baseline file MAY carry several
-                # non-interleaved scans (ns < nc); this decoder reads
-                # exactly one interleaved scan — fail with the same
-                # clear contract as the progressive/12-bit paths
-                # instead of a KeyError mid-decode
-                raise ValueError(
-                    "multi-scan baseline JPEG unsupported — needs PIL"
-                )
-            sel = {}
+            scomps = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
-                sel[cs] = (tables >> 4, tables & 0xF)
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, sel, quant,
+                scomps.append((cs, tables >> 4, tables & 0xF))
+            data_start = pos + 2 + seg_len
+            if not progressive:
+                if ns != len(frame["comps"]):
+                    # a valid baseline file MAY carry several
+                    # non-interleaved scans (ns < nc); the baseline
+                    # path reads exactly one interleaved scan — fail
+                    # with the same clear contract as the other
+                    # unsupported variants instead of a KeyError
+                    raise ValueError(
+                        "multi-scan baseline JPEG unsupported — "
+                        "needs PIL"
+                    )
+                sel = {cs: (td, ta) for cs, td, ta in scomps}
+                return _decode_scan(
+                    payload, data_start, frame, sel, quant,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                payload, data_start, frame, coefs, scomps,
+                ss, se, ahal >> 4, ahal & 0xF,
                 huff_dc, huff_ac, restart_interval,
             )
+            got_scan = True
+            continue
         pos += 2 + seg_len
+    if progressive and got_scan:
+        return _finish_progressive(frame, coefs, quant)
     raise ValueError("no SOS marker found in JPEG")
 
 
@@ -679,10 +785,15 @@ def _decode_scan(
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    return _planes_to_image(planes, comps, w, h, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, w, h, hmax, vmax) -> ImageData:
+    """Shared reconstruction tail: +128 level shift, nearest-neighbor
+    chroma upsample, crop to frame, JFIF YCbCr→RGB."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
-        # nearest-neighbor upsample to full resolution
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -700,6 +811,226 @@ def _decode_scan(
         [np.clip(np.round(x), 0, 255) for x in (r, g, b)], axis=-1
     ).astype(np.uint8)
     return ImageData(w, h, 3, rgb.tobytes())
+
+
+def _comp_block_grid(frame, c) -> "tuple[int, int]":
+    """Non-interleaved (single-component) scan grid: the component's
+    OWN sampled dimensions padded to whole blocks (T.81 A.2.2) — NOT
+    the MCU-padded grid interleaved scans cover."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8  # (block rows, block cols)
+
+
+def _progressive_scan(
+    payload, start, frame, coefs, scomps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval,
+) -> int:
+    """Decode ONE progressive scan (T.81 G.1.2) into the per-component
+    zigzag-order coefficient arrays; returns the byte position of the
+    next marker. DC scans (Ss=0) may interleave several components
+    over the frame MCU grid; AC scans are single-component over the
+    component's own block grid, with EOB-run decoding. ``Ah == 0`` is
+    a successive-approximation FIRST scan (values arrive shifted left
+    by Al), ``Ah > 0`` a refinement scan (one more magnitude bit)."""
+    comps = frame["comps"]
+    byid = {c["id"]: i for i, c in enumerate(comps)}
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(payload, start)
+
+    if ss == 0:  # --- DC scan ---
+        if se != 0:
+            raise ValueError("bad progressive DC scan (Se != 0)")
+        idxs = [byid[cs] for cs, _td, _ta in scomps]
+        tabs = []
+        if ah == 0:
+            for cs, td, _ta in scomps:
+                if td not in huff_dc:
+                    raise ValueError("missing DC Huffman table")
+                tabs.append(huff_dc[td])
+        pred = [0] * len(scomps)
+
+        def dc_unit(si, blk):
+            if ah == 0:
+                t = _huff_decode(reader, tabs[si])
+                diff = _extend(reader.receive(t), t) if t else 0
+                pred[si] += diff
+                blk[0] = pred[si] << al
+            else:
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+
+        if len(scomps) > 1:  # interleaved over the frame MCU grid
+            mcu_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_count and (
+                        mcu_count % restart_interval == 0
+                    ):
+                        reader.align_restart()
+                        pred = [0] * len(scomps)
+                    mcu_count += 1
+                    for si, ci in enumerate(idxs):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(
+                                    si,
+                                    coefs[ci][
+                                        my * c["v"] + by,
+                                        mx * c["h"] + bx,
+                                    ],
+                                )
+        else:
+            ci = idxs[0]
+            bh, bw = _comp_block_grid(frame, comps[ci])
+            cnt = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and cnt and (
+                        cnt % restart_interval == 0
+                    ):
+                        reader.align_restart()
+                        pred = [0] * len(scomps)
+                    cnt += 1
+                    dc_unit(0, coefs[ci][by, bx])
+    else:  # --- AC scan: single component, band [Ss, Se] ---
+        if len(scomps) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component"
+            )
+        cs, _td, ta = scomps[0]
+        if ta not in huff_ac:
+            raise ValueError("missing AC Huffman table")
+        ac_tab = huff_ac[ta]
+        ci = byid[cs]
+        bh, bw = _comp_block_grid(frame, comps[ci])
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+
+        def ac_first(blk):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past Se in progressive scan")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+
+        def refine_one(blk, k):
+            # correction bit for a history-nonzero coefficient
+            if reader.read_bit():
+                if (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+
+        def ac_refine(blk):
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad magnitude in AC refinement scan"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_one(blk, k)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_one(blk, k)
+                    k += 1
+                eobrun -= 1
+
+        unit = ac_first if ah == 0 else ac_refine
+        cnt = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and cnt and (
+                    cnt % restart_interval == 0
+                ):
+                    reader.align_restart()
+                    eobrun = 0
+                cnt += 1
+                unit(coefs[ci][by, bx])
+
+    # advance to the next real marker (skip stuffing + RSTn)
+    p = reader.pos
+    n = len(payload)
+    while p + 1 < n and not (
+        payload[p] == 0xFF
+        and payload[p + 1] != 0x00
+        and not (0xD0 <= payload[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _finish_progressive(frame, coefs, quant) -> ImageData:
+    """Reconstruct pixels from the accumulated progressive
+    coefficients: dezigzag, dequantize, IDCT every block (vectorized
+    einsum over all blocks of a component), then the shared tail."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    M, Mt = _DCT_M, _DCT_M.T
+    zig = list(_ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in quant:
+            raise ValueError("missing quantization table")
+        blocks = coefs[ci]
+        nb_y, nb_x = blocks.shape[0], blocks.shape[1]
+        nat = np.zeros((nb_y * nb_x, 64), dtype=np.float64)
+        nat[:, zig] = blocks.reshape(-1, 64)
+        mats = nat.reshape(-1, 8, 8) * quant[c["tq"]][None, :, :]
+        pix = np.einsum("ij,njk,kl->nil", Mt, mats, M)
+        planes.append(
+            pix.reshape(nb_y, nb_x, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb_y * 8, nb_x * 8)
+        )
+    return _planes_to_image(planes, comps, w, h, hmax, vmax)
 
 
 def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
@@ -791,14 +1122,29 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG encoder (Annex K tables, IJG quality scaling) —
+    """JPEG encoder (Annex K quant tables, IJG quality scaling) —
     exists so the decoder is testable WITHOUT PIL and so the
     multimodal pipeline can materialize thumbnails; 1-channel input
     writes grayscale, 3-channel writes YCbCr at ``subsample`` 444 or
-    420. ``restart_interval`` > 0 emits DRI/RSTn every N MCUs."""
+    420. ``restart_interval`` > 0 emits DRI/RSTn every N MCUs.
+
+    ``progressive=True`` (r7) writes an SOF2 file with the classic
+    10-scan (6-scan grayscale) script: successive-approximation DC
+    first + refinement, spectral-selection AC bands at two precision
+    levels, AC refinement scans — with per-scan OPTIMAL Huffman
+    tables (T.81 K.2; required, since the standard tables lack the
+    EOBn symbols progressive EOB-run coding emits) and EOB-run
+    aggregation. Round-trips through :func:`decode_jpeg`'s
+    progressive path. Restart markers are not emitted in progressive
+    mode."""
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart_interval is not supported with progressive=True"
+        )
     ch = img.channels
     if ch not in (1, 3):
         raise ValueError("encode_jpeg needs 1- or 3-channel input")
@@ -855,6 +1201,10 @@ def encode_jpeg(
         if src_w < pw:
             pp[:, src_w:] = pp[:, src_w - 1 : src_w]
         padded.append(pp - 128.0)
+    if progressive:
+        return _encode_progressive_bytes(
+            w, h, padded, samp, qids, qtabs, qmats, mcus_x, mcus_y
+        )
     M, Mt = _DCT_M, _DCT_M.T
     dc_l = _build_huffman_encode(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _build_huffman_encode(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -927,6 +1277,258 @@ def encode_jpeg(
     wr.flush()
     out.extend(wr.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+class _CountSink:
+    """Pass-1 scan sink: symbol frequencies only (bits ignored)."""
+
+    def __init__(self):
+        self.freq = [0] * 256
+
+    def sym(self, s):
+        self.freq[s] += 1
+
+    def bits(self, v, n):
+        pass
+
+
+class _WriteSink:
+    """Pass-2 scan sink: Huffman symbols + raw bits to a _BitWriter."""
+
+    def __init__(self, wr, enc):
+        self.wr = wr
+        self.enc = enc
+
+    def sym(self, s):
+        code, ln = self.enc[s]
+        self.wr.write(code, ln)
+
+    def bits(self, v, n):
+        self.wr.write(v, n)
+
+
+def _encode_progressive_bytes(
+    w, h, padded, samp, qids, qtabs, qmats, mcus_x, mcus_y
+) -> bytes:
+    """Progressive (SOF2) encoding over precomputed quantized blocks:
+    libjpeg's standard scan script, two passes per scan (count →
+    optimal DHT → encode). Algorithms per T.81 G.1.2 (public spec)."""
+    nc = len(padded)
+    M, Mt = _DCT_M, _DCT_M.T
+    zig = list(_ZIGZAG)
+    blocks = []
+    for ci in range(nc):
+        p = padded[ci]
+        nb_y, nb_x = p.shape[0] // 8, p.shape[1] // 8
+        bl = (
+            p.reshape(nb_y, 8, nb_x, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ij,njk,kl->nil", M, bl, Mt)
+        qz = np.round(coef / qmats[qids[ci]][None]).astype(np.int64)
+        blocks.append(qz.reshape(-1, 64)[:, zig].reshape(nb_y, nb_x, 64))
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def grid(ci):  # non-interleaved scan grid (component-padded)
+        cw = (w * samp[ci][0] + hmax - 1) // hmax
+        ch = (h * samp[ci][1] + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    if nc == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    def run_scan(cs_list, ss, se, ah, al, sink):
+        if ss == 0:  # DC scan
+            pred = [0] * len(cs_list)
+
+            def dc_unit(si, blk):
+                if ah == 0:
+                    sv = int(blk[0]) >> al  # arithmetic shift
+                    diff = sv - pred[si]
+                    pred[si] = sv
+                    t = abs(diff).bit_length()
+                    sink.sym(t)
+                    if t:
+                        sink.bits(
+                            diff if diff >= 0 else diff + (1 << t) - 1, t
+                        )
+                else:
+                    sink.bits((int(blk[0]) >> al) & 1, 1)
+
+            if len(cs_list) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for si, ci in enumerate(cs_list):
+                            sh, sv_ = samp[ci]
+                            for by in range(sv_):
+                                for bx in range(sh):
+                                    dc_unit(
+                                        si,
+                                        blocks[ci][
+                                            my * sv_ + by, mx * sh + bx
+                                        ],
+                                    )
+            else:
+                ci = cs_list[0]
+                bh, bw = grid(ci)
+                for by in range(bh):
+                    for bx in range(bw):
+                        dc_unit(0, blocks[ci][by, bx])
+            return
+
+        # AC scan: single component, band [ss, se]
+        ci = cs_list[0]
+        bh, bw = grid(ci)
+        state = {"eobrun": 0, "br": []}
+
+        def flush_eob():
+            if state["eobrun"] > 0:
+                nb = state["eobrun"].bit_length() - 1
+                sink.sym(nb << 4)
+                if nb:
+                    sink.bits(state["eobrun"] - (1 << nb), nb)
+                state["eobrun"] = 0
+                for b in state["br"]:
+                    sink.bits(b, 1)
+                state["br"] = []
+
+        if ah == 0:  # first scan: point transform + EOB runs
+
+            def unit(blk):
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    tv = abs(v) >> al
+                    if v < 0:
+                        tv = -tv
+                    if tv == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        sink.sym(0xF0)
+                        r -= 16
+                    s = abs(tv).bit_length()
+                    sink.sym((r << 4) | s)
+                    sink.bits(
+                        tv if tv >= 0 else tv + (1 << s) - 1, s
+                    )
+                    r = 0
+                if r > 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eob()
+
+        else:  # refinement scan (G.1.2.3 / libjpeg AC_refine shape)
+
+            def unit(blk):
+                absv = [
+                    abs(int(blk[k])) >> al for k in range(ss, se + 1)
+                ]
+                eob = -1  # band index of last newly-significant coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                r = 0
+                br: list = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob()
+                        sink.sym(0xF0)
+                        r -= 16
+                        for b in br:
+                            sink.bits(b, 1)
+                        br = []
+                    if t > 1:
+                        # history-nonzero: buffer its correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    sink.sym((r << 4) | 1)
+                    r = 0
+                    sink.bits(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in br:
+                        sink.bits(b, 1)
+                    br = []
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["br"].extend(br)
+                    if (
+                        state["eobrun"] == 0x7FFF
+                        or len(state["br"]) > 900
+                    ):
+                        flush_eob()
+
+        for by in range(bh):
+            for bx in range(bw):
+                unit(blocks[ci][by, bx])
+        flush_eob()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for ti, q in enumerate(qtabs):
+        zzq = bytes(int(q[_ZIGZAG[j]]) for j in range(64))
+        seg(0xDB, bytes([ti]) + zzq)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes(
+            [ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]]
+        )
+    seg(0xC2, sof)  # SOF2: progressive
+
+    for cs_list, ss, se, ah, al in script:
+        counter = _CountSink()
+        run_scan(cs_list, ss, se, ah, al, counter)
+        enc = {}
+        if any(counter.freq):
+            bits16, vals = _gen_huffman(counter.freq)
+            tc = 0 if ss == 0 else 1
+            seg(
+                0xC4,
+                bytes([(tc << 4) | 0]) + bytes(bits16) + bytes(vals),
+            )
+            enc = _build_huffman_encode(bits16, vals)
+        sos = bytes([len(cs_list)])
+        for ci in cs_list:
+            sos += bytes([ci + 1, 0])  # both table ids 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        wr = _BitWriter()
+        run_scan(cs_list, ss, se, ah, al, _WriteSink(wr, enc))
+        wr.flush()
+        out.extend(wr.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 

@@ -6,9 +6,11 @@ control — is real and tested, and so is the decode path: PNG / BMP /
 WAV / baseline-JPEG payloads are decoded by the pure-stdlib+numpy
 codecs in :mod:`pandas_weights_spark.functions._codecs` (zlib inflate
 + full PNG filter reconstruction, BMP pixel walk, RIFF PCM, and — r6 —
-a real baseline JPEG entropy decoder with Huffman + IDCT), producing
-feature vectors from actual pixel/sample statistics; progressive JPEG
-upgrades transparently through PIL when importable. MP4/MOV containers
+a real JPEG entropy decoder with Huffman + IDCT — baseline AND, r7,
+progressive with spectral selection + successive approximation),
+producing feature vectors from actual pixel/sample statistics with no
+PIL anywhere; PIL remains only as an optional fallback for
+arithmetic-coded / exotic files. MP4/MOV containers
 (r6) parse real duration/track/dimension metadata via the ISO-BMFF box
 walk; frame PIXEL decode genuinely needs ffmpeg and raises
 ``NotImplementedError`` until one is plugged into :data:`DECODERS`;
@@ -186,13 +188,13 @@ def _wav_features(payload: bytes, dim: int) -> list[float]:
 
 def _jpeg_features(payload: bytes, dim: int) -> list[float]:
     try:
-        # r6: baseline JPEGs decode with the pure-numpy codec
-        # (_codecs.decode_jpeg) — environment-INDEPENDENT pixel
-        # features, no PIL needed
+        # r6/r7: baseline AND progressive JPEGs decode with the
+        # pure-numpy codec (_codecs.decode_jpeg) — environment-
+        # INDEPENDENT pixel features, no PIL needed
         return image_feature_vector(_codecs.decode_jpeg(payload), dim)
     except Exception:
         pass
-    try:  # progressive/arithmetic: PIL when present on the executor
+    try:  # arithmetic-coded/exotic: PIL when present on the executor
         from PIL import Image  # type: ignore
         import io as _io
 
@@ -453,7 +455,7 @@ def resize_media(
     path: pure stdlib+numpy decode → nearest-neighbor resample → PNG
     re-encode (output mime becomes ``image/png``). The ``fake/`` mime
     family keeps its deterministic truncate/cycle payload for
-    oracle-friendly tests; other mimes (progressive JPEG without PIL,
+    oracle-friendly tests; other mimes (arithmetic JPEG without PIL,
     video) raise NotImplementedError.
     """
     spark = df.sparkSession
@@ -520,8 +522,8 @@ def resize_media(
 
 def _decode_image(payload: bytes, mime: str) -> "_codecs.ImageData":
     """Payload → decoded raster: stdlib/numpy codecs (PNG, BMP, and —
-    r6 — baseline JPEG), PIL only for what they can't express
-    (progressive/arithmetic JPEG, exotic formats)."""
+    r6/r7 — baseline AND progressive JPEG), PIL only for what they
+    can't express (arithmetic-coded JPEG, exotic formats)."""
     if mime.startswith("image/png") or payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _codecs.decode_png(payload)
     if (
@@ -534,7 +536,7 @@ def _decode_image(payload: bytes, mime: str) -> "_codecs.ImageData":
         try:
             return _codecs.decode_jpeg(payload)
         except ValueError:
-            pass  # progressive/arithmetic → PIL below
+            pass  # arithmetic-coded / corrupt → PIL below
     from PIL import Image  # type: ignore
     import io as _io
 
@@ -558,10 +560,11 @@ def perceptual_hash(
     toolchain applies).
 
     Arrow-batched ``mapInPandas`` — linear scan, no shuffle. PNG/BMP/
-    baseline-JPEG decode via the pure stdlib+numpy codecs (r6 — no PIL
-    needed); progressive JPEG needs PIL on executors (absent → per-row
-    NULL under ``on_error="null"``, the default, since a fingerprint
-    from undecodable pixels would be meaningless).
+    JPEG (baseline and, r7, progressive) decode via the pure
+    stdlib+numpy codecs — no PIL needed; only arithmetic-coded JPEG
+    still wants PIL on executors (absent → per-row NULL under
+    ``on_error="null"``, the default, since a fingerprint from
+    undecodable pixels would be meaningless).
     """
     if on_error not in ("raise", "null"):
         raise ValueError(

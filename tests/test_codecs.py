@@ -485,12 +485,23 @@ class TestJpegCodec:
         data = C.encode_jpeg(img, 80)
         assert C.jpeg_dimensions(data) == (24, 10, 3)
 
-    def test_progressive_rejected(self):
+    def test_fake_progressive_with_baseline_scan_rejected(self):
+        # r7: SOF2 is now DECODED; but a file claiming progressive
+        # whose single scan is baseline-shaped (Ss=0, Se=63) is
+        # malformed — the DC-scan validator must catch it
         img = self._img(8, 8, lambda x, y: (0, 0, 0))
         data = bytearray(C.encode_jpeg(img, 80))
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="DC scan"):
+            C.decode_jpeg(bytes(data))
+
+    def test_arithmetic_rejected(self):
+        img = self._img(8, 8, lambda x, y: (0, 0, 0))
+        data = bytearray(C.encode_jpeg(img, 80))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC9  # SOF9: arithmetic sequential
+        with pytest.raises(ValueError, match="arithmetic"):
             C.decode_jpeg(bytes(data))
 
     def test_multiscan_baseline_rejected_clearly(self):
@@ -577,6 +588,132 @@ def _mp4_bytes(
         hdlr_a = bytes(8) + b"soun" + bytes(12)
         parts += _box(b"trak", _box(b"mdia", _box(b"hdlr", hdlr_a)))
     return _box(b"ftyp", b"isom" + bytes(8)) + _box(b"moov", parts)
+
+
+class TestProgressiveJpeg:
+    """Progressive JPEG (r7, T.81 Annex G): spectral selection +
+    successive approximation, both directions pure numpy/stdlib.
+    Progressive re-codes the SAME quantized coefficients as baseline,
+    so decode(progressive) must be PIXEL-IDENTICAL to
+    decode(baseline) at equal quality/subsample — the strongest
+    possible oracle, no tolerance."""
+
+    _img = staticmethod(TestJpegCodec.__dict__["_img"].__func__)
+
+    def _identical(self, img, quality, subsample="444"):
+        base = C.decode_jpeg(
+            C.encode_jpeg(img, quality=quality, subsample=subsample)
+        )
+        prog = C.decode_jpeg(
+            C.encode_jpeg(
+                img, quality=quality, subsample=subsample,
+                progressive=True,
+            )
+        )
+        assert (prog.width, prog.height, prog.channels) == (
+            base.width, base.height, base.channels
+        )
+        assert prog.pixels == base.pixels
+
+    def test_identical_to_baseline_444(self):
+        img = self._img(
+            16, 16,
+            lambda x, y: (x * 16 % 256, y * 16 % 256, (x + y) * 8 % 256),
+        )
+        for q in (60, 80, 95):
+            self._identical(img, q)
+
+    def test_identical_to_baseline_420_odd_dims(self):
+        img = self._img(
+            23, 13, lambda x, y: (x * 11 % 256, 200, y * 19 % 256)
+        )
+        self._identical(img, 85, "420")
+        self._identical(img, 85, "444")
+
+    def test_identical_noise_and_grayscale(self):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        img = self._img(
+            24, 17,
+            lambda x, y: tuple(int(v) for v in rng.integers(0, 256, 3)),
+        )
+        self._identical(img, 80)
+        g = C.ImageData(
+            19, 11, 1,
+            bytes((x ^ y) * 16 % 256 for y in range(11) for x in range(19)),
+        )
+        self._identical(g, 90)
+
+    def test_long_eob_runs_exercised(self):
+        # a 64x64 flat image: every AC band of all 64 luma blocks is
+        # empty, so the encoder MUST aggregate long EOB runs (EOBn
+        # symbols with n > 0) — assert they exist in the bitstream by
+        # construction (file much smaller than per-block EOB0 coding
+        # would allow) AND the decode round-trips identically
+        img = self._img(64, 64, lambda x, y: (120, 130, 140))
+        prog = C.encode_jpeg(img, quality=80, progressive=True)
+        self._identical(img, 80)
+        # 64 luma blocks x 6 AC scans: per-block EOB0 would cost
+        # >= 64*3*2 bits of AC symbols alone; EOB-run coding collapses
+        # each scan to ~1 symbol. The whole file fits well under the
+        # baseline encoding of the same image.
+        base = C.encode_jpeg(img, quality=80)
+        assert len(prog) < len(base)
+
+    def test_successive_approximation_really_refines(self):
+        # decode a TRUNCATED progressive file (first scans only): the
+        # low-precision preview must differ from the full decode —
+        # proving the refinement scans carry real information
+        img = self._img(
+            16, 16,
+            lambda x, y: ((x * 37 + y * 11) % 256, x * 16 % 256, y * 16 % 256),
+        )
+        full_bytes = C.encode_jpeg(img, quality=90, progressive=True)
+        full = C.decode_jpeg(full_bytes)
+        # keep only up to the 3rd SOS (DC-first + 2 AC-first scans)
+        pos = 0
+        cuts = []
+        while True:
+            pos = full_bytes.find(b"\xff\xda", pos + 1)
+            if pos < 0:
+                break
+            cuts.append(pos)
+        assert len(cuts) == 10  # the 3-component scan script
+        truncated = full_bytes[: cuts[3]] + b"\xff\xd9"
+        preview = C.decode_jpeg(truncated)
+        assert (preview.width, preview.height) == (full.width, full.height)
+        assert preview.pixels != full.pixels
+        # ... but the preview is a coarse approximation, not garbage:
+        # mean abs error vs the full decode stays small
+        import numpy as np
+
+        a = np.frombuffer(preview.pixels, np.uint8).astype(int)
+        b = np.frombuffer(full.pixels, np.uint8).astype(int)
+        assert np.abs(a - b).mean() < 24.0
+
+    def test_jpeg_features_use_progressive_pixels_without_pil(self):
+        import math as _m
+
+        img = self._img(16, 16, lambda x, y: (200, 50, 100))
+        data = C.encode_jpeg(img, quality=95, progressive=True)
+        feats = MM._jpeg_features(data, 12)
+        assert feats[0] == approx(_m.log1p(16))
+        assert feats[2] == 3.0
+        # real pixel means, not byte histograms
+        assert feats[4] == pytest.approx(200 / 255, abs=0.02)
+        assert feats[6] == pytest.approx(50 / 255, abs=0.02)
+
+    def test_progressive_restart_interval_guard(self):
+        img = self._img(8, 8, lambda x, y: (0, 0, 0))
+        with pytest.raises(ValueError, match="restart_interval"):
+            C.encode_jpeg(img, 80, progressive=True, restart_interval=2)
+
+    def test_deterministic(self):
+        img = self._img(16, 16, lambda x, y: ((x ^ y) * 16 % 256,) * 3)
+        assert C.encode_jpeg(img, 85, progressive=True) == C.encode_jpeg(
+            img, 85, progressive=True
+        )
 
 
 class TestMp4Metadata:
