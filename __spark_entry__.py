@@ -1494,9 +1494,42 @@ def _q_dedup_exact(spark, sf_dir):
             F.col("n_removed").cast("string"),
         ).alias("fp"),
     )
+    # r7: CORPUS-level line dedup rows (text.remove_corpus_duplicate_
+    # lines — CCNet paragraph dedup + boilerplate removal): docs < 40
+    # wrapped with an injected nav line (every doc) and a footer
+    # shared by each doc_id%3 class; `clinef` = first-occurrence mode
+    # (repeats survive only at the numerically-first (doc, pos)),
+    # `clineb` = boilerplate mode (lines in >= 3 distinct docs drop
+    # everywhere). Full chain replayed in SQL (_cline_sql).
+    from pandas_weights_spark.functions.text import (
+        remove_corpus_duplicate_lines,
+    )
+
+    csrc = docs.where(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV | BAR\n"), F.col("text"),
+            F.lit("\nfooter "), (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+
+    def _cline_rows(kind, **kw):
+        return remove_corpus_duplicate_lines(
+            csrc, "text", "doc_id", **kw
+        ).select(
+            F.lit(kind).alias("kind"),
+            "doc_id",
+            F.concat_ws(
+                ":", F.md5("text"), F.col("n_lines").cast("string"),
+                F.col("n_removed").cast("string"),
+            ).alias("fp"),
+        )
+
+    clinef = _cline_rows("clinef", mode="first")
+    clineb = _cline_rows("clineb", mode="boilerplate", min_docs=3)
     return (
         survivors.unionByName(fps).unionByName(nov).unionByName(span)
-        .unionByName(xspan)
+        .unionByName(xspan).unionByName(clinef).unionByName(clineb)
     )
 
 
@@ -5292,6 +5325,65 @@ def _xspan_sql(L: int = 20) -> str:
     """
 
 
+def _cline_sql(mode: str) -> str:
+    """Replay of remove_corpus_duplicate_lines over the nav/footer
+    fixture: line explode with positions, per-line distinct-doc and
+    occurrence counts, first occurrence via row_number (numeric doc
+    order, then position), blanks exempt, ordered rebuild."""
+    dropped = (
+        "a.nocc > 1 AND r.rn > 1"
+        if mode == "first"
+        else "a.nd >= 3"
+    )
+    return f"""
+    WITH cls AS (
+      SELECT doc_id,
+             'NAV | BAR' || chr(10) || text || chr(10) || 'footer '
+               || CAST(doc_id % 3 AS VARCHAR) AS text
+      FROM documents WHERE doc_id < 40
+    ), clw AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(text, chr(10)) END AS ls
+      FROM cls
+    ), cln AS (
+      SELECT doc_id, ls, len(ls) AS n FROM clw
+    ), cll AS (
+      SELECT doc_id, p, ls[p] AS line FROM (
+        SELECT doc_id, ls, unnest(generate_series(1, n)) AS p
+        FROM cln WHERE n >= 1
+      )
+    ), clnb AS (
+      SELECT * FROM cll WHERE length(line) > 0
+    ), clag AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS nocc
+      FROM clnb GROUP BY line
+    ), clr AS (
+      SELECT doc_id, p, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, p)
+               AS rn
+      FROM clnb
+    ), clk AS (
+      SELECT doc_id, p, line, FALSE AS dropped
+      FROM cll WHERE length(line) = 0
+      UNION ALL
+      SELECT r.doc_id, r.p, r.line, ({dropped}) AS dropped
+      FROM clr r JOIN clag a USING (line)
+    ), clagg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                 chr(10) ORDER BY p), '') AS txt,
+             SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS nrem
+      FROM clk GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           md5(COALESCE(a.txt, ''))
+           || ':' || CAST(c.n AS VARCHAR)
+           || ':' || CAST(COALESCE(a.nrem, 0) AS VARCHAR) AS fp
+    FROM cln c LEFT JOIN clagg a USING (doc_id)
+    """
+
+
 # r4: simhash rows fold into the dedup_exact driver query (same docs
 # source; slot freed for calibration)
 _ORACLE["dedup_exact"] = (
@@ -5329,6 +5421,14 @@ _ORACLE["dedup_exact"] = (
     UNION ALL
     SELECT 'xspan' AS kind, doc_id, fp FROM ("""
     + _xspan_sql()
+    + """)
+    UNION ALL
+    SELECT 'clinef' AS kind, doc_id, fp FROM ("""
+    + _cline_sql("first")
+    + """)
+    UNION ALL
+    SELECT 'clineb' AS kind, doc_id, fp FROM ("""
+    + _cline_sql("boilerplate")
     + """)"""
 )
 

@@ -568,6 +568,156 @@ def remove_duplicate_lines(text: Column, keep_blank: bool = True) -> Column:
     return F.when(text.isNotNull(), out)
 
 
+def remove_corpus_duplicate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str = "first",
+    min_docs: int = 2,
+    scope: Optional[str] = None,
+    keep_blank: bool = True,
+) -> DataFrame:
+    """CORPUS-level line/paragraph deduplication — the first stage of
+    the CCNet pipeline (Wenzek et al. 2019 run exactly this over
+    paragraph hashes before any LM filtering) and the standard
+    boilerplate killer (nav bars / cookie banners repeat VERBATIM
+    across a site's pages; :func:`remove_duplicate_lines` only catches
+    repeats inside ONE document).
+
+    ``mode='first'`` (CCNet semantics): a line that occurs in several
+    documents survives only at its GLOBAL first occurrence (numeric-
+    aware doc order, then line position; repeats inside the first doc
+    also collapse to the first position). ``mode='boilerplate'``:
+    every occurrence of a line appearing in ≥ ``min_docs`` DISTINCT
+    documents drops — including the first (nav chrome should vanish
+    everywhere, not survive once).
+
+    ``scope`` names a grouping column (typically the domain): line
+    identity then lives per scope value, so two sites sharing a
+    footer don't dedup against each other. ``keep_blank`` exempts
+    empty lines (paragraph structure). NULL text yields ``('', 0,
+    0)``. Returns ``(id_col, text, n_lines, n_removed)`` with the
+    surviving lines re-joined by ``\\n`` in their original order.
+
+    Scale shape: one explode to line grain (posexplode — row-local),
+    one line-keyed aggregate (map-side partials; the key space is the
+    corpus's DISTINCT lines), one line-keyed join back, one doc-keyed
+    regroup whose per-doc state is its own line list. Same posting-
+    list discipline as
+    :func:`~pandas_weights_spark.functions.dedup.
+    remove_duplicate_ngram_spans`; no driver-side data.
+    """
+    if mode not in ("first", "boilerplate"):
+        raise ValueError("mode must be 'first' or 'boilerplate'")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    t = F.col(text_col)
+    scope_cols = [scope] if scope is not None else []
+    staged = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(id_col).cast("string").alias("__doc__"),
+        F.coalesce(
+            F.col(id_col).cast("string").try_cast("double"),
+            F.lit(float("inf")),
+        ).alias("__dn__"),
+        *[F.col(s).alias("__scope__") for s in scope_cols],
+        F.when(t.isNull(), F.array().cast("array<string>"))
+        .otherwise(F.split(t, "\n"))
+        .alias("__lines__"),
+    )
+    if scope is None:
+        staged = staged.withColumn("__scope__", F.lit(""))
+    exploded = staged.select(
+        "__doc__", "__dn__", "__scope__",
+        F.posexplode("__lines__").alias("pos", "line"),
+    )
+    blank = F.length("line") == 0
+    keyed = exploded.where(
+        ~blank if keep_blank else F.lit(True)
+    )
+    agg = keyed.groupBy("__scope__", "line").agg(
+        F.countDistinct("__doc__").alias("__nd__"),
+        F.count(F.lit(1)).alias("__nocc__"),
+        F.min(F.struct("__dn__", "__doc__", "pos")).alias("__f__"),
+    )
+    if mode == "boilerplate":
+        # any occurrence of a cross-doc-repeated line drops
+        drops = agg.where(F.col("__nd__") >= int(min_docs)).select(
+            "__scope__", "line",
+            F.lit(None).cast("string").alias("__fdoc__"),
+            F.lit(None).cast("int").alias("__fpos__"),
+            F.lit(True).alias("__hit__"),
+        )
+    else:
+        # repeated lines keep exactly their global first occurrence
+        drops = agg.where(F.col("__nocc__") > 1).select(
+            "__scope__", "line",
+            F.col("__f__.__doc__").alias("__fdoc__"),
+            F.col("__f__.pos").alias("__fpos__"),
+            F.lit(True).alias("__hit__"),
+        )
+    marked = keyed.join(drops, ["__scope__", "line"], "left")
+    if mode == "boilerplate":
+        dropped = F.col("__hit__").isNotNull()
+    else:
+        dropped = F.col("__hit__").isNotNull() & ~(
+            (F.col("__doc__") == F.col("__fdoc__"))
+            & (F.col("pos") == F.col("__fpos__"))
+        )
+    survivors = marked.groupBy("__doc__").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    ~dropped,
+                    F.struct(F.col("pos").alias("p"),
+                             F.col("line").alias("l")),
+                )
+            )
+        ).alias("__keep__"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("__nrem__"),
+    )
+    joined = staged.join(survivors, "__doc__", "left")
+    kept_arr = F.coalesce(
+        F.col("__keep__"),
+        F.array().cast("array<struct<p:int,l:string>>"),
+    )
+    if keep_blank:
+        # blanks never entered the line-keyed pipeline: merge them
+        # back at their original positions
+        blanks = F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("__lines__") - 1, F.lit(0)),
+                ),
+                lambda i: F.when(
+                    (F.size("__lines__") > 0)
+                    & (F.length(F.element_at(F.col("__lines__"), i + 1))
+                       == 0),
+                    F.struct(
+                        i.alias("p"),
+                        F.element_at(F.col("__lines__"), i + 1).alias(
+                            "l"
+                        ),
+                    ),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+        kept_arr = F.array_sort(F.concat(kept_arr, blanks))
+    n_lines = F.size("__lines__")
+    return joined.select(
+        F.col("__id__").alias(id_col),
+        F.concat_ws(
+            "\n", F.transform(kept_arr, lambda s: s["l"])
+        ).alias("text"),
+        n_lines.cast("long").alias("n_lines"),
+        F.coalesce(F.col("__nrem__"), F.lit(0)).cast("long").alias(
+            "n_removed"
+        ),
+    )
+
+
 def unigram_logprobs(
     vocab: DataFrame, alpha: float = 0.5
 ) -> "tuple[DataFrame, float]":

@@ -596,3 +596,148 @@ class TestTrigramLM:
         ws = "the quick brown fox jumps over the lazy dog".split()
         exp = sum(lpd[w] for w in ws[2:]) / (len(ws) - 2)
         assert out["logprob_mean"] == pytest.approx(exp, rel=1e-9)
+
+
+class TestCorpusLineDedup:
+    """remove_corpus_duplicate_lines — CCNet paragraph dedup +
+    boilerplate removal (r7)."""
+
+    @pytest.fixture(scope="class")
+    def corpus_df(self, spark):
+        nav = "Home | About | Contact"
+        rows = [
+            (1, f"{nav}\nunique one\n\nshared para\nfooter"),
+            (2, f"{nav}\nunique two\nshared para\nfooter"),
+            (3, f"{nav}\nunique three\nfooter"),
+            (4, None),
+            (5, "only here\nshared para"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_mode_keeps_global_first(self, spark, corpus_df):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_corpus_duplicate_lines(
+                corpus_df, "text", "doc_id", mode="first"
+            ).collect()
+        }
+        # doc 1 (global first for nav/shared/footer) keeps everything,
+        # INCLUDING its blank paragraph separator
+        assert out[1]["text"] == (
+            "Home | About | Contact\nunique one\n\nshared para\nfooter"
+        )
+        assert out[1]["n_removed"] == 0
+        assert out[2]["text"] == "unique two" and out[2]["n_removed"] == 3
+        assert out[3]["text"] == "unique three"
+        assert out[4]["text"] == "" and out[4]["n_lines"] == 0
+        assert out[5]["text"] == "only here"
+
+    def test_boilerplate_mode_drops_everywhere(self, spark, corpus_df):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_corpus_duplicate_lines(
+                corpus_df, "text", "doc_id", mode="boilerplate",
+                min_docs=3,
+            ).collect()
+        }
+        # nav (3 docs), footer (3 docs), shared para (3 docs): gone
+        # everywhere, including the first occurrence
+        assert out[1]["text"] == "unique one\n"  # blank survives
+        assert out[1]["n_removed"] == 3
+        assert out[5]["text"] == "only here"
+        # min_docs=4: only lines in >= 4 docs drop -> nothing does
+        out4 = {
+            r["doc_id"]: r
+            for r in remove_corpus_duplicate_lines(
+                corpus_df, "text", "doc_id", mode="boilerplate",
+                min_docs=4,
+            ).collect()
+        }
+        assert all(r["n_removed"] == 0 for r in out4.values())
+
+    def test_scope_isolates_domains(self, spark):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        rows = [
+            (1, "a.com", "footer\nx"),
+            (2, "a.com", "footer\ny"),
+            (3, "b.com", "footer\nz"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, dom string, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="boilerplate", min_docs=2,
+                scope="dom",
+            ).collect()
+        }
+        # footer repeats only within a.com; b.com's copy survives
+        assert out[1]["text"] == "x" and out[2]["text"] == "y"
+        assert out[3]["text"] == "footer\nz"
+
+    def test_within_doc_repeat_first_mode(self, spark):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "p\nq\np\np")], "doc_id long, text string"
+        )
+        out = remove_corpus_duplicate_lines(
+            df, "text", "doc_id", mode="first"
+        ).collect()[0]
+        assert out["text"] == "p\nq" and out["n_removed"] == 2
+
+    def test_numeric_doc_order(self, spark):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(20005, "dup"), (5, "dup")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="first"
+            ).collect()
+        }
+        assert out[5]["text"] == "dup" and out[20005]["text"] == ""
+
+    def test_guards_and_blank_handling(self, spark, corpus_df):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        with pytest.raises(ValueError, match="mode"):
+            remove_corpus_duplicate_lines(
+                corpus_df, "text", "doc_id", mode="nope"
+            )
+        with pytest.raises(ValueError, match="min_docs"):
+            remove_corpus_duplicate_lines(
+                corpus_df, "text", "doc_id", min_docs=1
+            )
+        # keep_blank=False: repeated blank lines dedup like any line
+        df = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="first", keep_blank=False
+            ).collect()
+        }
+        assert out[1] == "a\n\nb"      # first blank kept
+        assert out[2] == "c\nd"        # second blank deduped

@@ -413,6 +413,81 @@ def main() -> int:
     print(f"{'semantic_dedup arrow (1/200)':28s} {dt:7.2f}s  "
           f"({clus_n / dt / 1e3:6.1f} K vecs/s)")
 
+    # round-7 wave: residual IVFPQ (IVFADC), token-exact span removal,
+    # trigram LM scoring, progressive JPEG codec throughput
+    from pandas_weights_spark.functions.dedup import (
+        remove_duplicate_ngram_spans,
+    )
+    from pandas_weights_spark.functions.text import (
+        trigram_counts,
+        trigram_lm_score,
+    )
+    from pandas_weights_spark.functions.vocab import build_vocabulary
+
+    celled_vecs = assign_cells_arrow(
+        vecs, "embedding", ivf_cents, out_col="cell"
+    ).localCheckpoint(eager=False)
+    t0 = time.perf_counter()
+    rcbs = train_pq_codebooks(
+        celled_vecs, "embedding", "vec_id", m=8, k=64, iters=1,
+        centroids=ivf_cents,
+    )
+    dt = time.perf_counter() - t0
+    print(f"{'pq_train residual m8 k64':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M vecs/s)")
+    rcodes = pq_encode(
+        celled_vecs, "embedding", rcbs, centroids=ivf_cents
+    ).drop("embedding").localCheckpoint(eager=False)
+    t0 = time.perf_counter()
+    rcodes.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'pq_encode residual':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M vecs/s)")
+    t0 = time.perf_counter()
+    topk_ivfpq(
+        pq_queries, rcodes, rcbs, ivf_cents, k=10, nprobe=8,
+        residual=True,
+    ).write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'ivfadc residual 8/64':28s} {dt:7.2f}s  "
+          f"({vec_n / dt / 1e6:6.1f} M codes/s)")
+
+    dbench("xspan exact (1/20)", lambda: remove_duplicate_ngram_spans(
+        corpus.where(F.col("doc_id") % 20 == 0), "text", "doc_id",
+        min_tokens=32), int(docs_n / 20))
+
+    lm_vocab = build_vocabulary(docs, "text", max_size=20_000)
+    from pandas_weights_spark.functions.text import bigram_counts
+
+    bg = bigram_counts(docs, "text", max_bigrams=200_000)
+    tg = trigram_counts(docs, "text", max_trigrams=200_000)
+    dbench("trigram_lm score", lambda: trigram_lm_score(
+        docs, "text", "doc_id", lm_vocab, bg, tg), docs_n)
+
+    from pandas_weights_spark.functions import _codecs as _C
+
+    imgs = []
+    for i in range(24):
+        wpx, hpx = 64, 48
+        px = bytes(
+            ((x * (i + 3)) ^ (y * 7)) % 256
+            for y in range(hpx) for x in range(wpx) for _ in range(3)
+        )
+        imgs.append(_C.ImageData(wpx, hpx, 3, px))
+    t0 = time.perf_counter()
+    blobs = [
+        _C.encode_jpeg(im, quality=85, progressive=True) for im in imgs
+    ]
+    enc_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for b in blobs:
+        _C.decode_jpeg(b)
+    dec_dt = time.perf_counter() - t0
+    print(f"{'progressive jpeg enc 64x48':28s} {enc_dt:7.2f}s  "
+          f"({len(imgs) / enc_dt:6.1f} imgs/s)")
+    print(f"{'progressive jpeg dec 64x48':28s} {dec_dt:7.2f}s  "
+          f"({len(imgs) / dec_dt:6.1f} imgs/s)")
+
     spark.stop()
     return 0
 
