@@ -1527,9 +1527,22 @@ def _q_dedup_exact(spark, sf_dir):
 
     clinef = _cline_rows("clinef", mode="first")
     clineb = _cline_rows("clineb", mode="boilerplate", min_docs=3)
+    # r7: QUALITY-survivor rows — exact_dedup(keep=) picks the
+    # max-score member per duplicate family (ties → min id) instead
+    # of min-id; score doc_id % 7 makes the shifted copy win for most
+    # families, discriminating the policy from the default
+    qsurv = exact_dedup(
+        with_dups, "text", "doc_id",
+        keep=(F.col("doc_id") % 7).cast("double"),
+    ).select(
+        F.lit("qsurv").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("fp"),
+    )
     return (
         survivors.unionByName(fps).unionByName(nov).unionByName(span)
         .unionByName(xspan).unionByName(clinef).unionByName(clineb)
+        .unionByName(qsurv)
     )
 
 
@@ -5429,7 +5442,23 @@ _ORACLE["dedup_exact"] = (
     UNION ALL
     SELECT 'clineb' AS kind, doc_id, fp FROM ("""
     + _cline_sql("boilerplate")
-    + """)"""
+    + """)
+    UNION ALL
+    -- r7: quality-survivor policy (max score, ties -> min id)
+    SELECT 'qsurv' AS kind, doc_id, CAST(NULL AS VARCHAR) AS fp
+    FROM (
+      WITH qb AS (
+        SELECT doc_id, md5(lower(trim(text))) AS ck,
+               CAST(doc_id % 7 AS DOUBLE) AS s
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents)
+      ), qm AS (SELECT ck, MAX(s) AS smax FROM qb GROUP BY ck)
+      SELECT MIN(doc_id) AS doc_id
+      FROM qb JOIN qm USING (ck)
+      WHERE s = smax OR (s IS NULL AND smax IS NULL)
+      GROUP BY ck
+    )"""
 )
 
 

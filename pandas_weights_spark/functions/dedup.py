@@ -58,16 +58,50 @@ def content_key(text: Column, normalize: bool = True) -> Column:
     return F.md5(t)
 
 
-def exact_dedup(
-    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+def argmax_survivors(
+    df: DataFrame, keys: "Sequence[str]", id_col: str, score: Column
 ) -> DataFrame:
-    """Keep one row (minimum id) per distinct content digest.
+    """Per-key survivor ids under a QUALITY policy: the member with
+    the maximum ``score`` wins, ties break to the minimum id, NULL
+    scores rank lowest (an all-NULL group falls back to pure min-id —
+    exactly the default policy). Returns ``(keys…, id_col)``.
 
-    One shuffle on the digest; survivor selection is a plain min-agg +
+    Shape: one key-keyed max aggregate, one key-keyed join back
+    (same partitioning — AQE reuses the exchange), one min-id
+    aggregate over the argmax slice. No window over raw rows, no
+    row payload through the shuffle twice."""
+    keys = list(keys)
+    scored = df.select(*keys, F.col(id_col), score.alias("__s__"))
+    best = scored.groupBy(*keys).agg(F.max("__s__").alias("__smax__"))
+    return (
+        scored.join(best, keys)
+        .where(F.col("__s__").eqNullSafe(F.col("__smax__")))
+        .groupBy(*keys)
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = True,
+    keep: Optional[Column] = None,
+) -> DataFrame:
+    """Keep one row per distinct content digest — by minimum id
+    (default), or by MAXIMUM ``keep`` score (ties → minimum id,
+    NULLs lowest) when a quality column is supplied: real pipelines
+    keep the best-quality member of a duplicate family (longest
+    text, highest LM score, most recent crawl), not the smallest id.
+
+    One shuffle on the digest; survivor selection is a plain agg +
     semi-join back, so no row payload travels through the shuffle twice.
     """
     keyed = df.withColumn("__ck__", content_key(F.col(text_col), normalize))
-    survivors = keyed.groupBy("__ck__").agg(F.min(id_col).alias(id_col))
+    if keep is None:
+        survivors = keyed.groupBy("__ck__").agg(F.min(id_col).alias(id_col))
+    else:
+        survivors = argmax_survivors(keyed, ["__ck__"], id_col, keep)
     return (
         keyed.join(survivors, on=["__ck__", id_col], how="inner")
         .drop("__ck__")

@@ -434,3 +434,34 @@ def neardup_clusters(
         F.col("component").alias("cluster"),
         (F.col("node") == F.col("component")).alias("is_survivor"),
     )
+
+
+def cluster_survivors(
+    labels: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Re-pick each cluster's survivor by QUALITY (r7): real dedup
+    keeps the best member of a near-dup family — longest document,
+    highest LM/quality score, most recent crawl — not the minimum id
+    :func:`neardup_clusters` defaults to. Input: a cluster membership
+    table (``neardup_clusters`` output joined with whatever columns
+    ``score`` needs); output: the same rows with ``is_survivor``
+    recomputed as "member with the maximum score, ties → minimum id,
+    NULL scores lowest" (an all-NULL cluster falls back to min-id).
+
+    Shape: :func:`~pandas_weights_spark.functions.dedup.
+    argmax_survivors` on the cluster key — two cluster-keyed
+    aggregates + two cluster-keyed joins, partitioning reused; no
+    window over raw rows."""
+    from pandas_weights_spark.functions.dedup import argmax_survivors
+
+    surv = argmax_survivors(
+        labels, [cluster_col], id_col, score
+    ).withColumnRenamed(id_col, "__sid__")
+    return (
+        labels.join(surv, cluster_col)
+        .withColumn("is_survivor", F.col(id_col) == F.col("__sid__"))
+        .drop("__sid__")
+    )

@@ -35,6 +35,52 @@ class TestExactDedup:
         assert len(out) == 1
         assert out[0]["n_dupes"] == 3
 
+    def test_quality_survivor_policy(self, spark):
+        # r7: keep= picks the MAX-score member (ties -> min id, NULL
+        # lowest); families with all-NULL scores fall back to min id
+        rows = [
+            (0, "same text", 1.0),
+            (1, "same text", 9.0),    # best quality wins over min id
+            (2, "same text", 9.0),    # ...but 1 < 2 on the tie
+            (3, "other", None),
+            (4, "other", None),       # all-NULL family -> min id 3
+            (5, "unique", 0.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, q double"
+        )
+        out = DD.exact_dedup(df, "text", "doc_id", keep=F.col("q"))
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 5]
+        # NULL loses to any real score
+        df2 = spark.createDataFrame(
+            [(0, "t", None), (1, "t", -5.0)],
+            "doc_id long, text string, q double",
+        )
+        out2 = DD.exact_dedup(df2, "text", "doc_id", keep=F.col("q"))
+        assert [r["doc_id"] for r in out2.collect()] == [1]
+
+    def test_cluster_survivors_requality(self, spark):
+        from pandas_weights_spark.functions.graph import (
+            cluster_survivors,
+            neardup_clusters,
+        )
+
+        base = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "totally different "
+              + " ".join(f"z{i}" for i in range(25)))],
+            "doc_id long, text string",
+        )
+        labels = neardup_clusters(docs, "text", "doc_id", threshold=0.5)
+        # default survivor is min id (doc 1); re-pick by text length:
+        # doc 2 (longer) must take over, singleton stays its own
+        relab = cluster_survivors(
+            labels.join(docs, "doc_id"),
+            F.length("text").cast("double"),
+        )
+        got = {r["doc_id"]: r["is_survivor"] for r in relab.collect()}
+        assert got == {1: False, 2: True, 3: True}
+
 
 class TestMinHash:
     def test_signature_shape_and_determinism(self, dup_docs):
