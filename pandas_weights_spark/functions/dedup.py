@@ -28,6 +28,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_weights_spark.functions.text import tokens, word_ngrams
 
@@ -661,11 +662,80 @@ def remove_duplicate_spans(
     )
 
 
+def _ngram_span_grams_fast(staged: DataFrame, L: int) -> DataFrame:
+    """Arrow fast path for :func:`remove_duplicate_ngram_spans` window
+    fingerprints: per-token 64-bit blake2b hashes + an O(n) polynomial
+    ROLLING hash over each document (Rabin–Karp), instead of the
+    portable path's O(n·L) md5-of-concat — the honest cost reduction
+    that makes token-exact span dedup viable on long documents.
+    Deterministic (fixed base, fixed token hash); 64-bit fingerprint
+    collisions (spurious removals) are the documented trade vs the
+    md5 oracle path. Output: (__doc__, __dn__, pos, g:long)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("__doc__", T.StringType()),
+            T.StructField("__dn__", T.DoubleType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("g", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        B = 0x100000001B3  # FNV-1a prime as the polynomial base
+        mask = (1 << 64) - 1
+        BL = pow(B, L - 1, 1 << 64)
+
+        def tok_hash(t: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(
+                    t.encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+            )
+
+        for pdf in batches:
+            docs: list = []
+            dns: list = []
+            poss: list = []
+            gs: list = []
+            for doc, dn, toks in zip(
+                pdf["__doc__"], pdf["__dn__"], pdf["__toks__"]
+            ):
+                th = [tok_hash(t) for t in toks]
+                n = len(th)
+                if n < L:
+                    continue
+                h = 0
+                for j in range(L):
+                    h = (h * B + th[j]) & mask
+                out_h = [h]
+                for i in range(1, n - L + 1):
+                    h = ((h - th[i - 1] * BL) * B + th[i + L - 1]) & mask
+                    out_h.append(h)
+                for p, hv in enumerate(out_h, start=1):
+                    docs.append(doc)
+                    dns.append(dn)
+                    poss.append(p)
+                    gs.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            if docs:
+                yield pd.DataFrame(
+                    {"__doc__": docs, "__dn__": dns, "pos": poss,
+                     "g": gs}
+                )
+
+    return staged.mapInPandas(run, out_schema)
+
+
 def remove_duplicate_ngram_spans(
     df: DataFrame,
     text_col: str,
     id_col: str,
     min_tokens: int = 32,
+    portable: bool = True,
 ) -> DataFrame:
     """TOKEN-EXACT duplicated-span removal — the posting-list member
     of the suffix-array family ("Deduplicating Training Data Makes
@@ -686,15 +756,21 @@ def remove_duplicate_ngram_spans(
     ``("", 0, 0)``. md5 is 128-bit, so fingerprint collisions
     (spurious removal) are negligible by construction.
 
-    Scale shape: the exploded window table is |tokens| rows and each
-    row carries an O(``min_tokens``)-byte fingerprint input — the
-    honest cost of exact substring dedup without a distributed suffix
-    array. One gram-keyed groupBy (map-side count/min partials), one
-    gram-keyed join back, one doc-keyed groupBy whose per-doc state is
-    the doc's own duplicate-position list (row-bounded), one doc-keyed
-    join; the coverage filter is row-local (O(n·|dups|) per doc via
-    EXISTS over the sorted position array). No driver-side data, no
+    Scale shape: the exploded window table is |tokens| rows. One
+    gram-keyed groupBy (map-side count/min partials), one gram-keyed
+    join back, one doc-keyed groupBy whose per-doc state is the doc's
+    own duplicate-position list (row-bounded), one doc-keyed join;
+    the coverage filter is row-local (O(n·|dups|) per doc via EXISTS
+    over the sorted position array). No driver-side data, no
     all-pairs term.
+
+    ``portable=True`` (default, the oracle path) fingerprints each
+    window as md5 of its space-joined tokens — O(n·L) bytes hashed
+    per doc, SQL-replayable. ``portable=False`` is the Arrow fast
+    path: per-token 64-bit hashes + an O(n) Rabin–Karp ROLLING
+    polynomial hash (:func:`_ngram_span_grams_fast`) — the minhash
+    module's portable/fast duality; results agree up to 64-bit
+    fingerprint collisions (tests pin agreement on real fixtures).
     """
     L = int(min_tokens)
     if L < 2:
@@ -717,32 +793,40 @@ def remove_duplicate_ngram_spans(
         toks.alias("__toks__"),
         n_expr.alias("__n__"),
     )
-    grams = (
-        staged.where(F.col("__n__") >= L)
-        .select(
-            "__doc__",
-            "__dn__",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__n__") - L + 1),
-                    lambda p: F.struct(
-                        p.alias("pos"),
-                        F.md5(
-                            F.concat_ws(
-                                " ", F.slice(F.col("__toks__"), p, L)
-                            )
-                        ).alias("g"),
-                    ),
-                )
-            ).alias("__w__"),
+    if portable:
+        grams = (
+            staged.where(F.col("__n__") >= L)
+            .select(
+                "__doc__",
+                "__dn__",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n__") - L + 1),
+                        lambda p: F.struct(
+                            p.alias("pos"),
+                            F.md5(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("__toks__"), p, L)
+                                )
+                            ).alias("g"),
+                        ),
+                    )
+                ).alias("__w__"),
+            )
+            .select(
+                "__doc__",
+                "__dn__",
+                F.col("__w__.pos").alias("pos"),
+                F.col("__w__.g").alias("g"),
+            )
         )
-        .select(
-            "__doc__",
-            "__dn__",
-            F.col("__w__.pos").alias("pos"),
-            F.col("__w__.g").alias("g"),
+    else:
+        grams = _ngram_span_grams_fast(
+            staged.where(F.col("__n__") >= L).select(
+                "__doc__", "__dn__", "__toks__"
+            ),
+            L,
         )
-    )
     firsts = (
         grams.groupBy("g")
         .agg(

@@ -482,6 +482,33 @@ class TestExactNgramSpans:
         assert out[5]["text"] == base and out[5]["n_removed"] == 0
         assert out[20005]["text"] == "" and out[20005]["n_removed"] == 20
 
+    def test_fast_path_agrees_with_portable(self, spark):
+        # the rolling-hash Arrow path must produce the SAME removals
+        # as the md5 oracle path on a mixed fixture (cross-doc span,
+        # within-doc repeat, straddle, unique docs, numeric ids)
+        import random
+
+        rng = random.Random(7)
+        span = " ".join(f"s{i}" for i in range(14))
+        rows = [
+            (5, " ".join(f"a{i}" for i in range(21)) + " " + span),
+            (20005, span + " " + " ".join(f"b{i}" for i in range(9))),
+            (3, span + " x0 x1 " + span),
+            (9, " ".join(f"u{j}" for j in range(rng.randint(30, 60)))),
+            (11, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(min_tokens=12)
+        slow = sorted(
+            map(tuple, DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", portable=True, **kw).collect())
+        )
+        fast = sorted(
+            map(tuple, DD.remove_duplicate_ngram_spans(
+                df, "text", "doc_id", portable=False, **kw).collect())
+        )
+        assert fast == slow
+
     def test_guard_and_short_docs(self, spark):
         df = spark.createDataFrame(
             [(1, "a b c"), (2, "a b c")], "doc_id long, text string"

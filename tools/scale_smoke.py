@@ -455,6 +455,9 @@ def main() -> int:
     dbench("xspan exact (1/20)", lambda: remove_duplicate_ngram_spans(
         corpus.where(F.col("doc_id") % 20 == 0), "text", "doc_id",
         min_tokens=32), int(docs_n / 20))
+    dbench("xspan fast (1/5)", lambda: remove_duplicate_ngram_spans(
+        corpus.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        min_tokens=32, portable=False), int(docs_n / 5))
 
     lm_vocab = build_vocabulary(docs, "text", max_size=20_000)
     from pandas_weights_spark.functions.text import bigram_counts
