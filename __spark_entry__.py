@@ -1539,10 +1539,32 @@ def _q_dedup_exact(spark, sf_dir):
         "doc_id",
         F.lit(None).cast("string").alias("fp"),
     )
+    # r7: CCNet-normalized dedup keys — copies noised with case flips,
+    # appended punctuation, and a Latin-accented prefix must fold back
+    # onto their originals under normalize='ccnet' (lower+trim alone
+    # provably cannot: the `survivor` rows keep those copies apart)
+    ncopies = sdocs.select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(
+            F.lit("Thé: "), F.upper("text"), F.lit(" ... !!!")
+        ).alias("text"),
+    )
+    norigs = sdocs.select(
+        "doc_id",
+        F.concat(F.lit("the "), F.col("text")).alias("text"),
+    )
+    nsurv = exact_dedup(
+        norigs.unionByName(ncopies), "text", "doc_id",
+        normalize="ccnet",
+    ).select(
+        F.lit("nsurv").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("fp"),
+    )
     return (
         survivors.unionByName(fps).unionByName(nov).unionByName(span)
         .unionByName(xspan).unionByName(clinef).unionByName(clineb)
-        .unionByName(qsurv)
+        .unionByName(qsurv).unionByName(nsurv)
     )
 
 
@@ -5397,6 +5419,38 @@ def _cline_sql(mode: str) -> str:
     """
 
 
+def _nsurv_sql() -> str:
+    """Replay of exact_dedup(normalize='ccnet') over the noised-copy
+    fixture — the same lowercase → accent translate → digits→0 →
+    punct strip → whitespace collapse → trim chain, regex for regex
+    (the accent map is imported from the engine so it cannot drift)."""
+    from pandas_weights_spark.functions.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"translate(lower(text), '{_ACCENT_SRC}', '{_ACCENT_DST}'), "
+        "'[0-9]', '0', 'g'), "
+        r"'[^\p{L}\p{N}\s]', '', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH nb AS (
+      SELECT doc_id, 'the ' || text AS text
+      FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 40000,
+             'Thé: ' || upper(text) || ' ... !!!'
+      FROM documents WHERE doc_id < 60
+    ), nk AS (
+      SELECT doc_id, md5({norm}) AS ck FROM nb
+    )
+    SELECT MIN(doc_id) AS doc_id FROM nk GROUP BY ck
+    """
+
+
 # r4: simhash rows fold into the dedup_exact driver query (same docs
 # source; slot freed for calibration)
 _ORACLE["dedup_exact"] = (
@@ -5458,7 +5512,13 @@ _ORACLE["dedup_exact"] = (
       FROM qb JOIN qm USING (ck)
       WHERE s = smax OR (s IS NULL AND smax IS NULL)
       GROUP BY ck
-    )"""
+    )
+    UNION ALL
+    -- r7: CCNet-normalized dedup keys (noised copies fold back)
+    SELECT 'nsurv' AS kind, doc_id, CAST(NULL AS VARCHAR) AS fp
+    FROM ("""
+    + _nsurv_sql()
+    + """)"""
 )
 
 

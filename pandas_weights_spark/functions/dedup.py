@@ -53,9 +53,20 @@ __all__ = [
 ]
 
 
-def content_key(text: Column, normalize: bool = True) -> Column:
-    """Content digest used as the exact-dedup grouping key."""
-    t = F.lower(F.trim(text)) if normalize else text
+def content_key(text: Column, normalize=True) -> Column:
+    """Content digest used as the exact-dedup grouping key.
+    ``normalize``: ``True`` = lowercase + trim (the default),
+    ``"ccnet"`` = :func:`~pandas_weights_spark.functions.text.
+    ccnet_normalize` (case/accents/digits/punctuation folded — the
+    CCNet paragraph-hash recipe, r7), ``False`` = raw bytes."""
+    if normalize == "ccnet":
+        from pandas_weights_spark.functions.text import ccnet_normalize
+
+        t = ccnet_normalize(text)
+    elif normalize:
+        t = F.lower(F.trim(text))
+    else:
+        t = text
     return F.md5(t)
 
 

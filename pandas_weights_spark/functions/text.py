@@ -424,18 +424,22 @@ def filter_blocked_domains(
     ``domain`` DataFrame; persist/reload it as parquet between runs).
     The URL-corpus hygiene step that runs before any text work.
 
-    Shape: DISTINCT hosts first (bounded by host cardinality, far
-    below row count on a web corpus), explode each distinct host's
-    ≤ ``max_labels`` suffixes, broadcast semi-join the blocklist to
-    get the blocked-host set, then one deterministic equi-join back
-    to ``df`` on ``lower(host)``. Blocklist-sized + distinct-host-
-    sized state only. The join key is a pure function of row data —
-    no synthetic row id anywhere, so the result is identical under
-    any partitioning, AQE re-plan, or task retry (r6 advice: the old
-    shape self-joined two branches on monotonically_increasing_id,
-    which can disagree across re-evaluations). ``how='filter'`` keeps
-    clean rows; ``how='flag'`` appends ``flag_col`` instead. NULL
-    hosts are never blocked.
+    Shape: explode each row's ≤ ``max_labels`` host suffixes (pure
+    map), broadcast semi-join the blocklist (map-side), DISTINCT only
+    the HITS (a shuffle proportional to blocked rows — typically a
+    tiny fraction, never the corpus), then one deterministic
+    equi-join back to ``df`` on ``lower(host)`` (AQE broadcasts the
+    blocked-host set when small — the common case makes the whole
+    pass effectively shuffle-free on the corpus side). The join key
+    is a pure function of row data — no synthetic row id anywhere, so
+    the result is identical under any partitioning, AQE re-plan, or
+    task retry (r6 advice: the old shape self-joined two branches on
+    monotonically_increasing_id, which can disagree across
+    re-evaluations; an intermediate r7 design pre-distincted ALL
+    hosts, which is a corpus-sized string shuffle when hosts are
+    near-unique — measured 7× slower at 20M synthetic rows).
+    ``how='filter'`` keeps clean rows; ``how='flag'`` appends
+    ``flag_col`` instead. NULL hosts are never blocked.
     """
     if how not in ("filter", "flag"):
         raise ValueError("how must be 'filter' or 'flag'")
@@ -443,10 +447,8 @@ def filter_blocked_domains(
         blocklist.select(F.lower(F.col("domain")).alias("__bd__")).distinct()
     )
     hkey = F.lower(host)
-    hosts = (
-        df.select(hkey.alias("__h__"))
-        .where(F.col("__h__").isNotNull())
-        .distinct()
+    staged = df.select(hkey.alias("__h__")).where(
+        F.col("__h__").isNotNull()
     )
     keys = (
         domain_suffixes(F.col("__h__"))
@@ -454,7 +456,7 @@ def filter_blocked_domains(
         else F.array(F.col("__h__"))
     )
     blocked = (
-        hosts.select("__h__", F.explode(keys).alias("__bd__"))
+        staged.select("__h__", F.explode(keys).alias("__bd__"))
         .join(bl, "__bd__")
         .select("__h__")
         .distinct()
@@ -568,6 +570,31 @@ def remove_duplicate_lines(text: Column, keep_blank: bool = True) -> Column:
     return F.when(text.isNotNull(), out)
 
 
+#: Latin accent fold map for :func:`ccnet_normalize` (applied after
+#: lowercasing, so only lowercase forms are needed) — the pure-Column
+#: stand-in for CCNet's unicodedata NFD strip.
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+_ACCENT_DST = "aaaaaaceeeeiiiinoooooouuuuyy"
+
+
+def ccnet_normalize(text: Column) -> Column:
+    """CCNet-style text normalization for DEDUP KEYS (Wenzek et al.
+    2019 normalize paragraphs before hashing: case, accents, digits
+    and punctuation are presentation noise that splits otherwise-
+    identical content): lowercase → Latin accent fold → every digit
+    run's characters to ``0`` → strip everything that is not a
+    letter/number/whitespace → collapse whitespace runs to one space
+    → trim. Pure row-local Column algebra, SQL-replayable; NULL stays
+    NULL. Use as the key function — never as the output text.
+    """
+    t = F.lower(text)
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
 def remove_corpus_duplicate_lines(
     df: DataFrame,
     text_col: str,
@@ -576,6 +603,7 @@ def remove_corpus_duplicate_lines(
     min_docs: int = 2,
     scope: Optional[str] = None,
     keep_blank: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """CORPUS-level line/paragraph deduplication — the first stage of
     the CCNet pipeline (Wenzek et al. 2019 run exactly this over
@@ -595,9 +623,14 @@ def remove_corpus_duplicate_lines(
     ``scope`` names a grouping column (typically the domain): line
     identity then lives per scope value, so two sites sharing a
     footer don't dedup against each other. ``keep_blank`` exempts
-    empty lines (paragraph structure). NULL text yields ``('', 0,
-    0)``. Returns ``(id_col, text, n_lines, n_removed)`` with the
-    surviving lines re-joined by ``\\n`` in their original order.
+    empty lines (paragraph structure). ``normalize=True`` keys line
+    identity on :func:`ccnet_normalize` (case/accents/digits/punct
+    folded — CCNet hashes NORMALIZED paragraphs) while the OUTPUT
+    keeps each surviving line's original text; lines whose normalized
+    key is empty (pure punctuation) are exempt like blanks. NULL text
+    yields ``('', 0, 0)``. Returns ``(id_col, text, n_lines,
+    n_removed)`` with the surviving lines re-joined by ``\\n`` in
+    their original order.
 
     Scale shape: one explode to line grain (posexplode — row-local),
     one line-keyed aggregate (map-side partials; the key space is the
@@ -635,7 +668,19 @@ def remove_corpus_duplicate_lines(
     keyed = exploded.where(
         ~blank if keep_blank else F.lit(True)
     )
-    agg = keyed.groupBy("__scope__", "line").agg(
+    exempt = None
+    if normalize:
+        keyed = keyed.withColumn(
+            "__k__", ccnet_normalize(F.col("line"))
+        )
+        # a line whose normalized key is EMPTY (pure punctuation)
+        # carries no content identity — exempt from dedup but it must
+        # still reach the rebuild
+        exempt = keyed.where(F.length("__k__") == 0)
+        keyed = keyed.where(F.length("__k__") > 0)
+    else:
+        keyed = keyed.withColumn("__k__", F.col("line"))
+    agg = keyed.groupBy("__scope__", "__k__").agg(
         F.countDistinct("__doc__").alias("__nd__"),
         F.count(F.lit(1)).alias("__nocc__"),
         F.min(F.struct("__dn__", "__doc__", "pos")).alias("__f__"),
@@ -643,7 +688,7 @@ def remove_corpus_duplicate_lines(
     if mode == "boilerplate":
         # any occurrence of a cross-doc-repeated line drops
         drops = agg.where(F.col("__nd__") >= int(min_docs)).select(
-            "__scope__", "line",
+            "__scope__", "__k__",
             F.lit(None).cast("string").alias("__fdoc__"),
             F.lit(None).cast("int").alias("__fpos__"),
             F.lit(True).alias("__hit__"),
@@ -651,12 +696,14 @@ def remove_corpus_duplicate_lines(
     else:
         # repeated lines keep exactly their global first occurrence
         drops = agg.where(F.col("__nocc__") > 1).select(
-            "__scope__", "line",
+            "__scope__", "__k__",
             F.col("__f__.__doc__").alias("__fdoc__"),
             F.col("__f__.pos").alias("__fpos__"),
             F.lit(True).alias("__hit__"),
         )
-    marked = keyed.join(drops, ["__scope__", "line"], "left")
+    marked = keyed.join(drops, ["__scope__", "__k__"], "left")
+    if exempt is not None:
+        marked = marked.unionByName(exempt, allowMissingColumns=True)
     if mode == "boilerplate":
         dropped = F.col("__hit__").isNotNull()
     else:

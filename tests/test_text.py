@@ -741,3 +741,88 @@ class TestCorpusLineDedup:
         }
         assert out[1] == "a\n\nb"      # first blank kept
         assert out[2] == "c\nd"        # second blank deduped
+
+
+class TestCcnetNormalize:
+    def _n(self, spark, vals):
+        from pandas_weights_spark.functions.text import ccnet_normalize
+
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        return [
+            r["n"]
+            for r in df.select(ccnet_normalize(F.col("t")).alias("n"))
+            .collect()
+        ]
+
+    def test_folds_presentation_noise(self, spark):
+        got = self._n(
+            spark,
+            [
+                "Héllo,   Wörld! 42",
+                "hello world 00",
+                "  Crème brûlée — 2024!?  ",
+                "...",
+                "",
+                None,
+            ],
+        )
+        assert got[0] == "hello world 00"
+        assert got[0] == got[1]  # digit + case + accent + punct folded
+        assert got[2] == "creme brulee 0000"
+        assert got[3] == ""  # pure punctuation -> empty key
+        assert got[4] == ""
+        assert got[5] is None
+
+    def test_idempotent(self, spark):
+        vals = ["MiXeD 123 çase!", "plain text"]
+        once = self._n(spark, vals)
+        twice = self._n(spark, once)
+        assert once == twice
+
+    def test_normalized_line_dedup(self, spark):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        rows = [
+            (1, "Footer Text!\nunique a\n!!!"),
+            (2, "FOOTER   TEXT\nunique b"),
+            (3, "footer, text...\nunique c"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # exact keys: the three footer variants never match
+        exact = {
+            r["doc_id"]: r["n_removed"]
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="first"
+            ).collect()
+        }
+        assert exact == {1: 0, 2: 0, 3: 0}
+        # ccnet keys: variants fold; doc 1 keeps the ORIGINAL spelling
+        out = {
+            r["doc_id"]: r
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="first", normalize=True
+            ).collect()
+        }
+        assert out[1]["text"] == "Footer Text!\nunique a\n!!!"
+        assert out[1]["n_removed"] == 0  # punct-only line exempt
+        assert out[2]["text"] == "unique b"
+        assert out[3]["text"] == "unique c"
+
+    def test_exact_dedup_ccnet_key(self, spark):
+        from pandas_weights_spark.functions.dedup import exact_dedup
+
+        rows = [
+            (1, "The Quick: Brown Fox!"),
+            (2, "the quick brown fox"),
+            (3, "thé qüick brown fox ..."),
+            (4, "a different document"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        default = exact_dedup(df, "text", "doc_id")
+        assert sorted(r["doc_id"] for r in default.collect()) == [
+            1, 2, 3, 4,
+        ]  # lower+trim alone can't fold punctuation/accents
+        ccnet = exact_dedup(df, "text", "doc_id", normalize="ccnet")
+        assert sorted(r["doc_id"] for r in ccnet.collect()) == [1, 4]
