@@ -1235,9 +1235,25 @@ def _q_pq_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("i"),
         F.col("dist").alias("d"),
     )
+    # `rfn` rows (r7): the FAISS refine stage — probe-all + a refine
+    # factor covering the whole corpus makes the exact re-rank EQUAL
+    # brute-force squared-L2 top-5 (the oracle replays plain L2; any
+    # candidate lost in the ADC stage or any inexact distance fails)
+    from pandas_weights_spark.functions.pq import topk_ivfpq_refined
+
+    rfn = topk_ivfpq_refined(
+        queries, indexed, emb, cbs, cents, k=5,
+        refine_factor=1_000_000, nprobe=4, arrow=False,
+    ).select(
+        F.lit("rfn").alias("part"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").cast("long").alias("i"),
+        F.col("dist").alias("d"),
+    )
     return (
         enc.unionByName(adc).unionByName(ivq)
-        .unionByName(renc).unionByName(rvq)
+        .unionByName(renc).unionByName(rvq).unionByName(rfn)
     )
 
 
@@ -6935,6 +6951,16 @@ def _pq_sql() -> str:
         f"WHEN 2 THEN q.rd{s}2 ELSE q.rd{s}3 END)"
         for s in range(m)
     )
+    # r7 refine replay: exact squared-L2 brute force (probe-all +
+    # corpus-covering refine factor make the engine's refined result
+    # exactly this), same left-to-right fold order
+    rfn_sum = " + ".join(
+        f"(CAST(q.embedding[{i + 1}] AS DOUBLE) - "
+        f"CAST(x.embedding[{i + 1}] AS DOUBLE)) * "
+        f"(CAST(q.embedding[{i + 1}] AS DOUBLE) - "
+        f"CAST(x.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(d)
+    )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding FROM embeddings
@@ -7009,6 +7035,21 @@ def _pq_sql() -> str:
     SELECT 'rvq' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
            dist AS d
     FROM rranked WHERE rk <= 5
+    UNION ALL
+    -- rfn: refine stage at probe-all + corpus-covering factor ==
+    -- exact brute-force squared-L2 top-5
+    SELECT 'rfn' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
+           dist AS d
+    FROM (
+      SELECT qid, nid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+               AS rk
+      FROM (
+        SELECT q.vec_id AS qid, x.vec_id AS nid,
+               round({rfn_sum}, 6) AS dist
+        FROM e q, e x WHERE q.vec_id < 4
+      )
+    ) WHERE rk <= 5
 """
 
 

@@ -59,6 +59,7 @@ __all__ = [
     "pq_encode",
     "topk_pq_adc",
     "topk_ivfpq",
+    "topk_ivfpq_refined",
 ]
 
 
@@ -771,6 +772,86 @@ def topk_ivfpq(
     )
     return partitioned_topk(
         scored,
+        part_by=["query_id"],
+        order_by=[F.col("dist").asc(), F.col("neighbor_id")],
+        k=k,
+        salt_by=["neighbor_id"],
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+def topk_ivfpq_refined(
+    queries: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    centroids: "list[list[float]]",
+    k: int,
+    refine_factor: int = 4,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    code_col: str = "pq_code",
+    cell_col: str = "cell",
+    arrow: bool = True,
+    residual: bool = False,
+) -> DataFrame:
+    """IVFPQ + EXACT re-rank — the FAISS refine stage (IndexRefineFlat
+    over an IVFPQ base): :func:`topk_ivfpq` retrieves ``k ·
+    refine_factor`` candidates from the CODED corpus (cheap,
+    approximate distances), then the final ``k`` are re-ranked with
+    exact squared-L2 against the RAW float vectors — fetched by a
+    candidate-keyed join against ``vectors``, so float vectors move
+    only for the ``|Q|·k·refine_factor`` candidate rows, never the
+    corpus. Code-quantization error then affects only WHICH candidates
+    surface, not the reported distances or their order; recall is
+    tunable with ``refine_factor`` (and ``nprobe``) instead of code
+    size. Output ``(query_id, neighbor_id, dist, rank)``, exact
+    squared-L2 ascending (6-dp rounded), ties by neighbor.
+
+    With ``nprobe == n_cells`` and ``k · refine_factor ≥ |corpus|``
+    the result IS exact brute-force top-k (pinned by tests).
+    """
+    from pandas_weights_spark.topk import partitioned_topk
+
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    cand = topk_ivfpq(
+        queries, codes, codebooks, centroids, k=int(k) * int(refine_factor),
+        nprobe=nprobe, query_id=query_id, corpus_id=corpus_id,
+        query_vec=query_vec, code_col=code_col, cell_col=cell_col,
+        arrow=arrow, residual=residual,
+    ).select("query_id", "neighbor_id")
+    cvec = vectors.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+    )
+    qvec = F.broadcast(
+        queries.where(F.col(query_vec).isNotNull()).select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv__"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv__"),
+            F.col("__cv__"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        cand.join(cvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id", "neighbor_id", F.round(dist, 6).alias("dist")
+        )
+    )
+    return partitioned_topk(
+        exact,
         part_by=["query_id"],
         order_by=[F.col("dist").asc(), F.col("neighbor_id")],
         k=k,

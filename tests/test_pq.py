@@ -483,3 +483,105 @@ class TestResidual:
             }
             assert got[0] is not None
             assert got[1] is None and got[2] is None
+
+
+class TestRefine:
+    """topk_ivfpq_refined — FAISS IndexRefineFlat over the IVFPQ base:
+    exact re-rank of ADC candidates on raw vectors."""
+
+    def _setup(self, spark, X, df):
+        from pandas_weights_spark.functions.similarity import (
+            assign_cells_arrow,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(df, "embedding", 4, "vec_id",
+                                    iters=2, arrow=True)
+        cbs = _ref_train(X, M, K, 2)
+        cbs = [[list(map(float, c)) for c in cb] for cb in cbs]
+        codes = pq_encode(df, "embedding", cbs)
+        indexed = assign_cells_arrow(
+            codes, "embedding", cents, out_col="cell"
+        ).drop("embedding")
+        return cents, cbs, indexed
+
+    def test_full_refine_probe_all_is_exact_bruteforce(self, spark, data):
+        from pandas_weights_spark.functions.pq import topk_ivfpq_refined
+
+        X, df = data
+        cents, cbs, indexed = self._setup(spark, X, df)
+        queries = df.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        kq = 6
+        got = sorted(
+            map(tuple, topk_ivfpq_refined(
+                queries, indexed, df, cbs, cents, k=kq,
+                refine_factor=10,  # k*r = 60 = |corpus|: all candidates
+                nprobe=len(cents),
+            ).collect())
+        )
+        # transparent exact reference (squared L2, 6-dp, ties by id)
+        ref = []
+        for qi in range(3):
+            d = np.round(((X[qi][None, :] - X) ** 2).sum(-1), 6)
+            order = np.lexsort((np.arange(60), d))[:kq]
+            for rk, j in enumerate(order, 1):
+                ref.append((qi, int(j), float(d[j]), rk))
+        assert got == sorted(ref)
+
+    def test_refine_recall_geq_unrefined(self, spark, data):
+        from pandas_weights_spark.functions.pq import (
+            topk_ivfpq,
+            topk_ivfpq_refined,
+        )
+
+        X, df = data
+        cents, cbs, indexed = self._setup(spark, X, df)
+        queries = df.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        kq = 5
+        exact = {}
+        for qi in range(5):
+            d = np.round(((X[qi][None, :] - X) ** 2).sum(-1), 6)
+            exact[qi] = set(np.lexsort((np.arange(60), d))[:kq])
+
+        def recall(rows):
+            byq = {}
+            for r in rows:
+                byq.setdefault(r["query_id"], set()).add(
+                    r["neighbor_id"]
+                )
+            return np.mean(
+                [len(byq.get(q, set()) & exact[q]) / kq for q in range(5)]
+            )
+
+        raw = recall(topk_ivfpq(
+            queries, indexed, cbs, cents, k=kq, nprobe=len(cents)
+        ).collect())
+        ref = recall(topk_ivfpq_refined(
+            queries, indexed, df, cbs, cents, k=kq, refine_factor=4,
+            nprobe=len(cents),
+        ).collect())
+        assert ref >= raw
+        # refined distances are EXACT: each reported pair's dist
+        # equals the true squared L2
+        for r in topk_ivfpq_refined(
+            queries, indexed, df, cbs, cents, k=kq, refine_factor=4,
+            nprobe=len(cents),
+        ).collect():
+            true = round(float(((X[r["query_id"]] -
+                                 X[r["neighbor_id"]]) ** 2).sum()), 6)
+            assert r["dist"] == true
+
+    def test_refine_factor_guard(self, spark, data):
+        from pandas_weights_spark.functions.pq import topk_ivfpq_refined
+
+        X, df = data
+        cents, cbs, indexed = self._setup(spark, X, df)
+        q = df.limit(1).select(F.col("vec_id").alias("query_id"),
+                               "embedding")
+        with pytest.raises(ValueError, match="refine_factor"):
+            topk_ivfpq_refined(q, indexed, df, cbs, cents, k=1,
+                               refine_factor=0)
