@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
@@ -226,6 +226,113 @@ def topk_lsh(
     return _rank_topk(scored, k)
 
 
+def _kmeanspp_weighted(units, weights, k):
+    """Deterministic driver-side weighted k-means++ (greedy variant:
+    argmax weight·distance instead of a random draw — reproducible by
+    construction) over the SMALL k-means|| candidate set. ``units``
+    are unit-normalized rows; cosine distance d = 1 − max cos to the
+    chosen set. Returns the chosen INDICES."""
+    n = len(units)
+    chosen = [max(range(n), key=lambda i: (weights[i], -i))]
+    best = [float(units[c] @ units[chosen[0]]) for c in range(n)]
+    while len(chosen) < k:
+        nxt = max(
+            range(n),
+            key=lambda i: (
+                weights[i] * max(0.0, 1.0 - best[i]),
+                -i,
+            ),
+        )
+        chosen.append(nxt)
+        for i in range(n):
+            s = float(units[i] @ units[nxt])
+            if s > best[i]:
+                best[i] = s
+    return chosen
+
+
+def _kmeans_parallel_init(
+    corpus, corpus_vec, n_cells, id_col, rounds, oversample, seed
+) -> list[list[float]]:
+    """k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB
+    2012 — public paper): ``rounds`` distributed passes each sample
+    every point with probability ``min(1, l·d(x,C)/φ)`` (d = cosine
+    distance to the current candidate set, φ = Σd — the spherical
+    analog of the paper's squared-L2 cost), candidates are weighted
+    by their assignment counts, and a deterministic driver-side
+    weighted k-means++ reduces them to ``n_cells`` seeds. All
+    randomness is the engine's md5-uniform keyed by (id, round) — a
+    deterministic per-row expression, so the two passes per round
+    (φ aggregate, then the sampling filter) recompute identical
+    values; the only partitioning sensitivity is the φ SUM's ulp-level
+    reduction order, which can flip a sample decision only on a
+    measure-zero boundary. Driver traffic is candidates only
+    (≈ 1 + rounds·l vectors)."""
+    import numpy as _np
+
+    from pandas_weights_spark.sample import uniform_hash
+
+    v = F.col(corpus_vec)
+    nn = corpus.where(v.isNotNull())
+    first = nn.orderBy(id_col).limit(1).select(corpus_vec).collect()
+    if not first:
+        raise ValueError("k-means|| needs at least one non-null vector")
+    cand = [[float(x) for x in first[0][corpus_vec]]]
+    l = float(oversample)
+    for r in range(int(rounds)):
+        cos = F.try_divide(
+            F.array_max(
+                F.transform(_cell_scores(v, cand), lambda s: s["s"])
+            ),
+            l2_norm(v),
+        )
+        d = F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(1.0)))
+        phi = nn.agg(F.sum(d).alias("p")).collect()[0]["p"] or 0.0
+        if phi <= 0.0:
+            break  # every point already coincides with a candidate
+        u = uniform_hash([F.col(id_col)], seed=seed + r)
+        picked = (
+            nn.where(u < F.lit(l) * d / F.lit(float(phi)))
+            .select(corpus_vec)
+            .collect()
+        )
+        cand.extend(
+            [float(x) for x in row[corpus_vec]] for row in picked
+        )
+    # weight candidates by assignment counts (one pass)
+    counts = (
+        nn.select(nearest_cell(v, cand).alias("__c__"))
+        .groupBy("__c__")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    wmap = {r["__c__"]: float(r["n"]) for r in counts}
+    weights = [wmap.get(i, 0.0) for i in range(len(cand))]
+    if len(cand) < n_cells:
+        # tiny corpus / tiny oversample: pad with lowest-id vectors
+        pad = (
+            nn.orderBy(id_col).limit(n_cells).select(corpus_vec).collect()
+        )
+        for row in pad:
+            if len(cand) >= n_cells:
+                break
+            vec = [float(x) for x in row[corpus_vec]]
+            if vec not in cand:
+                cand.append(vec)
+                weights.append(1.0)
+    if len(cand) < n_cells:
+        raise ValueError(
+            f"corpus has fewer than n_cells={n_cells} distinct vectors"
+        )
+    units = []
+    for c in cand:
+        a = _np.asarray(c, float)
+        nrm = float(_np.sqrt((a * a).sum())) or 1.0
+        units.append(a / nrm)
+    chosen = _kmeanspp_weighted(units, weights, n_cells)
+    return [cand[i] for i in chosen]
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     corpus_vec: str,
@@ -233,11 +340,26 @@ def train_ivf_centroids(
     id_col: str,
     iters: int = 2,
     arrow: bool = False,
+    init: str = "first",
+    rounds: int = 5,
+    oversample: Optional[float] = None,
+    seed: int = 42,
 ) -> list[list[float]]:
     """Coarse IVF quantizer: k-means on cosine similarity.
 
-    Deterministic init (the ``n_cells`` lowest-id vectors), then
-    ``iters`` distributed Lloyd rounds: assignment is a JVM-side
+    ``init='first'`` (default) seeds with the ``n_cells`` lowest-id
+    vectors — deterministic and cheap, but degenerate when adjacent
+    ids are correlated (a single crawl shard's vectors all land in
+    one region). ``init='kmeans||'`` (r7) runs the Bahmani et al.
+    2012 scalable-k-means++ seeding — ``rounds`` distributed
+    cost-proportional sampling passes (md5-uniform randomness:
+    byte-reproducible) + a deterministic driver-side weighted
+    k-means++ reduction — which spreads seeds across the data's
+    actual clusters before Lloyd ever runs (tests pin the adversarial
+    ordering where 'first' collapses). ``oversample`` defaults to
+    ``2·n_cells`` per round.
+
+    Then ``iters`` distributed Lloyd rounds: assignment is a JVM-side
     codegen argmax over centroid literals (``arrow=True`` switches to
     the batched-matmul :func:`assign_cells_arrow` — the hot path at
     large ``n_cells``, same argmax up to reduction-order ulps);
@@ -247,10 +369,20 @@ def train_ivf_centroids(
     table (a few KB) ever reaches the driver, so the same code trains
     on a 10^11-row corpus.
     """
-    rows = (
-        corpus.orderBy(id_col).limit(n_cells).select(corpus_vec).collect()
-    )
-    cents = [list(map(float, r[corpus_vec])) for r in rows]
+    if init not in ("first", "kmeans||"):
+        raise ValueError("init must be 'first' or 'kmeans||'")
+    if init == "kmeans||":
+        cents = _kmeans_parallel_init(
+            corpus, corpus_vec, n_cells, id_col, rounds,
+            oversample if oversample is not None else 2.0 * n_cells,
+            seed,
+        )
+    else:
+        rows = (
+            corpus.orderBy(id_col).limit(n_cells).select(corpus_vec)
+            .collect()
+        )
+        cents = [list(map(float, r[corpus_vec])) for r in rows]
     for _ in range(iters):
         # assign first, explode second: a generator in the same select as
         # the struct-field argmax trips Spark's analyzer (field names

@@ -393,3 +393,99 @@ class TestSemanticDedup:
         ).collect()
         assert sorted(r["vid"] for r in out) == [1, 3]
         assert all(r["is_survivor"] for r in out)
+
+
+class TestKmeansParallelInit:
+    """init='kmeans||' (Bahmani 2012) — deterministic scalable-k-means++
+    seeding for the coarse IVF quantizer."""
+
+    @pytest.fixture(scope="class")
+    def adversarial(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        # 4 well-separated direction clusters; ADVERSARIAL id order:
+        # ids 0..99 all live in cluster 0, so 'first' seeding puts all
+        # 4 seeds in one cluster
+        means = np.eye(4, 16) * 10
+        X = np.vstack(
+            [means[c] + rng.normal(scale=0.5, size=(100, 16))
+             for c in range(4)]
+        )
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(400)],
+            "vec_id long, embedding array<double>",
+        )
+        return df
+
+    def _cost(self, df, cents):
+        from pandas_weights_spark.functions.similarity import (
+            _cell_scores,
+            l2_norm,
+        )
+
+        v = F.col("embedding")
+        cos = F.try_divide(
+            F.array_max(
+                F.transform(_cell_scores(v, cents), lambda s: s["s"])
+            ),
+            l2_norm(v),
+        )
+        d = F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(1.0))
+        )
+        return df.agg(F.sum(d)).collect()[0][0]
+
+    def test_beats_first_seeding_on_adversarial_order(
+        self, spark, adversarial
+    ):
+        from pandas_weights_spark.functions.similarity import (
+            train_ivf_centroids,
+        )
+
+        c_first = train_ivf_centroids(
+            adversarial, "embedding", 4, "vec_id", iters=1
+        )
+        c_km = train_ivf_centroids(
+            adversarial, "embedding", 4, "vec_id", iters=1,
+            init="kmeans||", rounds=3,
+        )
+        assert self._cost(adversarial, c_km) < self._cost(
+            adversarial, c_first
+        ) / 3
+
+    def test_deterministic_and_shape(self, spark, adversarial):
+        from pandas_weights_spark.functions.similarity import (
+            train_ivf_centroids,
+        )
+
+        a = train_ivf_centroids(
+            adversarial.repartition(7), "embedding", 4, "vec_id",
+            iters=0 if False else 1, init="kmeans||", rounds=2,
+        )
+        b = train_ivf_centroids(
+            adversarial.repartition(3), "embedding", 4, "vec_id",
+            iters=1, init="kmeans||", rounds=2,
+        )
+        assert len(a) == 4 and all(len(c) == 16 for c in a)
+        for ca, cb in zip(a, b):
+            assert ca == pytest.approx(cb, rel=1e-9)
+
+    def test_tiny_corpus_pads_and_guards(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            train_ivf_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i + 1), 0.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = train_ivf_centroids(
+            df, "embedding", 3, "vec_id", iters=1, init="kmeans||",
+            rounds=1, oversample=0.01,  # samples ~nothing: force pad
+        )
+        assert len(cents) == 3
+        with pytest.raises(ValueError, match="init"):
+            train_ivf_centroids(
+                df, "embedding", 2, "vec_id", init="nope"
+            )
