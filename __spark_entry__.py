@@ -1402,6 +1402,38 @@ def _q_web_hygiene(spark, sf_dir):
     ).select("doc_id", "curl", "curl2", "curl3", "host", "is_blocked")
 
 
+def _q_edit_join(spark, sf_dir):
+    # r7: exact edit-distance join (functions/fuzzy.py — Gravano 2001
+    # q-gram filters + Ed-Join prefix filter + levenshtein verify).
+    # Right side carries deterministic typos of part names (delete the
+    # 4th char / substitute it with '#' / identity by key%3); the
+    # oracle is a BRUTE-FORCE DuckDB cross join with levenshtein —
+    # any missed pair, false pair, or wrong distance hash-fails, so
+    # the whole filter chain's exactness is driver-checked.
+    from pandas_weights_spark.functions.fuzzy import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_partkey") <= 200
+    )
+    left = part.select(
+        F.col("p_partkey").alias("lid"), F.col("p_name").alias("name")
+    )
+    key = F.col("p_partkey")
+    tail = F.expr("substring(p_name, 5)")
+    head = F.expr("substring(p_name, 1, 3)")
+    typo = (
+        F.when(key % 3 == 0, F.concat(head, tail))
+        .when(key % 3 == 1, F.concat(head, F.lit("#"), tail))
+        .otherwise(F.col("p_name"))
+    )
+    right = part.select(
+        (key + 1000).alias("rid"), typo.alias("name")
+    )
+    return edit_distance_join(
+        left, right, "lid", "name", "rid", "name", max_dist=2
+    ).select("lid", "rid", F.col("dist").cast("long").alias("dist"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     # exact dedup with synthetic duplicates: shifted exact copies must all
     # fold back onto the originals (min-id survivor policy)
@@ -7055,6 +7087,30 @@ def _pq_sql() -> str:
 
 _ORACLE["pq_topk"] = _pq_sql()
 
+_ORACLE["edit_join"] = """
+    -- r7: brute-force Levenshtein cross join — the exactness oracle
+    -- for the q-gram prefix-filtered engine join (same lowercase
+    -- normalization, same typo synthesis)
+    WITH l AS (
+      SELECT p_partkey AS lid, lower(p_name) AS name
+      FROM part WHERE p_partkey <= 200
+    ), r AS (
+      SELECT p_partkey + 1000 AS rid,
+             lower(CASE
+               WHEN p_partkey % 3 = 0
+                 THEN substring(p_name, 1, 3) || substring(p_name, 5)
+               WHEN p_partkey % 3 = 1
+                 THEN substring(p_name, 1, 3) || '#'
+                      || substring(p_name, 5)
+               ELSE p_name END) AS name
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT l.lid, r.rid,
+           CAST(levenshtein(l.name, r.name) AS BIGINT) AS dist
+    FROM l, r
+    WHERE levenshtein(l.name, r.name) <= 2
+"""
+
 
 _ORACLE["rp_project"] = _rp_sql()
 
@@ -7262,6 +7318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "semdedup": _q_semdedup,
         "web_hygiene": _q_web_hygiene,
+        "edit_join": _q_edit_join,
         "pagerank": _q_pagerank,
         "pq_topk": _q_pq_topk,
         "rp_project": _q_rp_project,

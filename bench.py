@@ -94,6 +94,7 @@ HEADLINE = [
     "pagerank",            # 3-iteration weighted domain PageRank (r6)
     "pq_topk",             # product-quantization encode + ADC top-k (r6)
     "rp_project",          # JL random projection, portable dot chains (r6)
+    "edit_join",           # q-gram prefix-filtered Levenshtein join (r7)
 ]
 
 

@@ -120,6 +120,60 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen: Optional[DataFrame] = None,
+    normalize=True,
+    keep: Optional[Column] = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """SNAPSHOT-incremental exact dedup — the daily-ingest shape: a
+    new batch dedups first against the accumulated ``seen`` digest
+    table from all PREVIOUS runs (one column ``content_key``; persist
+    it as parquet between runs), then within itself (min-id or
+    ``keep``-argmax survivors, exactly :func:`exact_dedup`). Returns
+    ``(survivors, new_seen)`` where ``new_seen`` is the UPDATED digest
+    table to persist for the next run (old digests ∪ this batch's —
+    including digests of rows that lost to history, so re-crawled
+    duplicates stay suppressed forever).
+
+    Shape: one left-anti join against ``seen`` (broadcast when small,
+    else a digest-keyed shuffle — digests are fixed 32-byte keys, the
+    cheapest possible key), then the in-batch dedup's single digest
+    shuffle; ``new_seen`` is a digest-level union + distinct, never
+    row payloads.
+    """
+    keyed = df.withColumn(
+        "__ck__", content_key(F.col(text_col), normalize)
+    )
+    batch_keys = keyed.select(
+        F.col("__ck__").alias("content_key")
+    ).distinct()
+    if seen is not None:
+        fresh = keyed.join(
+            seen.select(F.col("content_key").alias("__ck__")),
+            "__ck__",
+            "left_anti",
+        )
+        new_seen = seen.select("content_key").unionByName(
+            batch_keys
+        ).distinct()
+    else:
+        fresh = keyed
+        new_seen = batch_keys
+    if keep is None:
+        survivors = fresh.groupBy("__ck__").agg(
+            F.min(id_col).alias(id_col)
+        )
+    else:
+        survivors = argmax_survivors(fresh, ["__ck__"], id_col, keep)
+    out = fresh.join(
+        survivors, on=["__ck__", id_col], how="inner"
+    ).drop("__ck__")
+    return out, new_seen
+
+
 def duplicate_groups(
     df: DataFrame, text_col: str, normalize: bool = True
 ) -> DataFrame:

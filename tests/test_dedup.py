@@ -59,6 +59,39 @@ class TestExactDedup:
         out2 = DD.exact_dedup(df2, "text", "doc_id", keep=F.col("q"))
         assert [r["doc_id"] for r in out2.collect()] == [1]
 
+    def test_incremental_across_snapshots(self, spark):
+        # r7: day-2 batch dedups against day-1's digest table; a
+        # re-crawled duplicate of a day-1 doc never survives, and the
+        # returned digest table accumulates
+        day1 = spark.createDataFrame(
+            [(1, "alpha doc"), (2, "beta doc")],
+            "doc_id long, text string",
+        )
+        s1, seen1 = DD.exact_dedup_incremental(day1, "text", "doc_id")
+        assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+        assert seen1.count() == 2
+        day2 = spark.createDataFrame(
+            [
+                (10, "ALPHA DOC"),     # re-crawl of day-1 doc 1
+                (11, "gamma doc"),     # genuinely new
+                (12, "gamma doc"),     # in-batch dup of 11
+            ],
+            "doc_id long, text string",
+        )
+        s2, seen2 = DD.exact_dedup_incremental(
+            day2, "text", "doc_id", seen=seen1
+        )
+        assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+        assert seen2.count() == 3  # alpha, beta, gamma
+        # day 3: another alpha re-crawl stays suppressed via seen2
+        day3 = spark.createDataFrame(
+            [(20, "alpha doc")], "doc_id long, text string"
+        )
+        s3, _ = DD.exact_dedup_incremental(
+            day3, "text", "doc_id", seen=seen2
+        )
+        assert s3.count() == 0
+
     def test_cluster_survivors_requality(self, spark):
         from pandas_weights_spark.functions.graph import (
             cluster_survivors,

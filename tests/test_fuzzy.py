@@ -1,0 +1,142 @@
+"""Edit-distance join (functions/fuzzy.py) vs a transparent
+brute-force Levenshtein reference — the filters must be EXACT (no
+missed pair, no false pair)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.fuzzy import edit_distance_join
+
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def _brute(lrows, rrows, k, lowercase=True):
+    out = set()
+    for li, ls in lrows:
+        for ri, rs in rrows:
+            if ls is None or rs is None:
+                continue
+            a = ls.lower() if lowercase else ls
+            b = rs.lower() if lowercase else rs
+            d = _lev(a, b)
+            if d <= k:
+                out.add((li, ri, d))
+    return out
+
+
+def _typo(rng, s):
+    if not s:
+        return s + rng.choice("xyz")
+    i = rng.randrange(len(s))
+    op = rng.choice(["del", "sub", "ins"])
+    if op == "del":
+        return s[:i] + s[i + 1:]
+    if op == "sub":
+        return s[:i] + rng.choice("abcxyz") + s[i + 1:]
+    return s[:i] + rng.choice("abcxyz") + s[i:]
+
+
+class TestEditDistanceJoin:
+    @pytest.fixture(scope="class")
+    def tables(self, spark):
+        rng = random.Random(13)
+        words = [
+            "spark", "sparks", "sprak", "quartz", "quarts", "engine",
+            "engines", "a", "ab", "", "data pipeline", "dta pipeline",
+            "weighted", "weigthed", "Levenshtein", "levenstein",
+        ]
+        base = [
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(0, 12)))
+            for _ in range(40)
+        ]
+        lrows = [(i, w) for i, w in enumerate(words + base)]
+        rrows = [(100 + i, _typo(rng, w)) for i, (_, w) in
+                 enumerate(lrows)] + [(500, None), (501, "unrelatedzz")]
+        L = spark.createDataFrame(lrows, "lid long, name string")
+        R = spark.createDataFrame(rrows, "rid long, name string")
+        return lrows, rrows, L, R
+
+    @pytest.mark.parametrize("k", [0, 1, 2])
+    def test_exact_vs_bruteforce(self, spark, tables, k):
+        lrows, rrows, L, R = tables
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in edit_distance_join(
+                L, R, "lid", "name", "rid", "name", max_dist=k
+            ).collect()
+        }
+        assert got == _brute(lrows, rrows, k)
+
+    def test_q3_also_exact(self, spark, tables):
+        lrows, rrows, L, R = tables
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in edit_distance_join(
+                L, R, "lid", "name", "rid", "name", max_dist=2, q=3
+            ).collect()
+        }
+        assert got == _brute(lrows, rrows, 2)
+
+    def test_case_sensitivity_switch(self, spark):
+        L = spark.createDataFrame([(1, "Spark")], "lid long, name string")
+        R = spark.createDataFrame([(2, "spark")], "rid long, name string")
+        ci = edit_distance_join(
+            L, R, "lid", "name", "rid", "name", max_dist=0
+        ).collect()
+        assert [(r["lid"], r["rid"], r["dist"]) for r in ci] == [(1, 2, 0)]
+        cs = edit_distance_join(
+            L, R, "lid", "name", "rid", "name", max_dist=0,
+            lowercase=False,
+        ).collect()
+        assert cs == []
+
+    def test_short_string_block(self, spark):
+        # both-short pairs evade the prefix filter by the lemma's
+        # vacuity — the length-band block must still find them
+        L = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "ab")], "lid long, s string"
+        )
+        R = spark.createDataFrame(
+            [(9, "b"), (10, "abc")], "rid long, s string"
+        )
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in edit_distance_join(
+                L, R, "lid", "s", "rid", "s", max_dist=2
+            ).collect()
+        }
+        exp = _brute([(1, ""), (2, "a"), (3, "ab")],
+                     [(9, "b"), (10, "abc")], 2)
+        assert got == exp
+        assert (1, 9, 1) in got  # "" vs "b"
+
+    def test_no_cartesian_in_plan(self, spark, tables):
+        _, _, L, R = tables
+        plan = edit_distance_join(
+            L, R, "lid", "name", "rid", "name", max_dist=1
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_guards(self, spark, tables):
+        _, _, L, R = tables
+        with pytest.raises(ValueError, match="max_dist"):
+            edit_distance_join(L, R, "lid", "name", "rid", "name",
+                               max_dist=-1)
+        with pytest.raises(ValueError, match="q must"):
+            edit_distance_join(L, R, "lid", "name", "rid", "name", q=1)
