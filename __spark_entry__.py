@@ -1236,14 +1236,20 @@ def _q_pq_topk(spark, sf_dir):
         F.col("dist").alias("d"),
     )
     # `rfn` rows (r7): the FAISS refine stage — probe-all + a refine
-    # factor covering the whole corpus makes the exact re-rank EQUAL
+    # factor covering the corpus makes the exact re-rank EQUAL
     # brute-force squared-L2 top-5 (the oracle replays plain L2; any
-    # candidate lost in the ADC stage or any inexact distance fails)
+    # candidate lost in the ADC stage or any inexact distance fails).
+    # The anchor runs on a 500-vector SUB-corpus: the identity is
+    # scale-free, and a corpus-covering exact refine over the full
+    # table would re-rank everything (k·r = |corpus|) — real callers
+    # use small refine factors, which this cost-bounds the bench to.
     from pandas_weights_spark.functions.pq import topk_ivfpq_refined
 
+    sub = indexed.where(F.col("vec_id") < 500)
+    subemb = emb.where(F.col("vec_id") < 500)
     rfn = topk_ivfpq_refined(
-        queries, indexed, emb, cbs, cents, k=5,
-        refine_factor=1_000_000, nprobe=4, arrow=False,
+        queries, sub, subemb, cbs, cents, k=5,
+        refine_factor=100, nprobe=4, arrow=False,
     ).select(
         F.lit("rfn").alias("part"),
         F.col("query_id").alias("a"),
@@ -7068,8 +7074,8 @@ def _pq_sql() -> str:
            dist AS d
     FROM rranked WHERE rk <= 5
     UNION ALL
-    -- rfn: refine stage at probe-all + corpus-covering factor ==
-    -- exact brute-force squared-L2 top-5
+    -- rfn: refine stage at probe-all + sub-corpus-covering factor ==
+    -- exact brute-force squared-L2 top-5 over the 500-vector subset
     SELECT 'rfn' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
            dist AS d
     FROM (
@@ -7079,7 +7085,7 @@ def _pq_sql() -> str:
       FROM (
         SELECT q.vec_id AS qid, x.vec_id AS nid,
                round({rfn_sum}, 6) AS dist
-        FROM e q, e x WHERE q.vec_id < 4
+        FROM e q, e x WHERE q.vec_id < 4 AND x.vec_id < 500
       )
     ) WHERE rk <= 5
 """
