@@ -8,6 +8,7 @@ Pandas UDFs only where they genuinely don't (multimodal decode).
 
 from pandas_weights_spark.functions import (  # noqa: F401
     dedup,
+    fuzzy,
     multimodal,
     pca,
     quality,
