@@ -1408,6 +1408,30 @@ def _q_web_hygiene(spark, sf_dir):
     ).select("doc_id", "curl", "curl2", "curl3", "host", "is_blocked")
 
 
+def _q_bm25(spark, sf_dir):
+    # r7: BM25 ranked retrieval (functions/search.py — Okapi BM25 with
+    # the Lucene idf, pure inverted-index join). Queries are the first
+    # 3 tokens of docs 0..7's own text (guaranteed hits + cross-doc
+    # competition); the oracle replays postings, document lengths,
+    # idf, the saturation formula, and the per-query rank closed-form.
+    from pandas_weights_spark.functions.search import bm25_topk
+    from pandas_weights_spark.functions.text import tokens as _tk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(_tk(F.col("text")), 1, 3)).alias(
+            "qtext"
+        ),
+    )
+    return bm25_topk(
+        docs, "text", "doc_id", queries, "qid", "qtext", k=10
+    ).select(
+        "query_id", "doc_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_edit_join(spark, sf_dir):
     # r7: exact edit-distance join (functions/fuzzy.py — Gravano 2001
     # q-gram filters + Ed-Join prefix filter + levenshtein verify).
@@ -7093,6 +7117,58 @@ def _pq_sql() -> str:
 
 _ORACLE["pq_topk"] = _pq_sql()
 
+def _bm25_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """Closed-form BM25 replay — every float literal is the repr of
+    the exact double the engine uses ((k1+1) is NOT the literal 2.2:
+    IEEE 1.2+1.0 differs from parsed 2.2 in the last ulp)."""
+    k1p1 = repr(float(k1) + 1.0)
+    one_minus_b = repr(1.0 - float(b))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), base AS (
+      SELECT doc_id, unnest(w) AS term FROM d
+    ), base2 AS (SELECT * FROM base WHERE term <> ''),
+    post AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM base2 GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+      FROM base2 GROUP BY doc_id
+    ), st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+    ), dfq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfc FROM post GROUP BY term
+    ), idx AS (
+      SELECT p.term, p.doc_id,
+             ln(1.0 + (st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
+             * (p.tf * {k1p1})
+             / (p.tf + {float(k1)!r}
+                * ({one_minus_b} + {float(b)!r} * dl.dl / st.avgdl))
+               AS s
+      FROM post p JOIN dl USING (doc_id) JOIN dfq USING (term), st
+    ), qt AS (
+      SELECT doc_id AS qid, unnest(list_distinct(w[1:3])) AS term
+      FROM d WHERE doc_id < 8
+    ), qt2 AS (SELECT * FROM qt WHERE term <> ''),
+    sc AS (
+      SELECT qid, doc_id, round(SUM(s), 6) AS score
+      FROM idx JOIN qt2 USING (term) GROUP BY qid, doc_id
+    )
+    SELECT qid AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id
+             ) AS rk
+      FROM sc
+    ) WHERE rk <= 10
+"""
+
+
+_ORACLE["bm25"] = _bm25_sql()
+
 _ORACLE["edit_join"] = """
     -- r7: brute-force Levenshtein cross join — the exactness oracle
     -- for the q-gram prefix-filtered engine join (same lowercase
@@ -7325,6 +7401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "web_hygiene": _q_web_hygiene,
         "edit_join": _q_edit_join,
+        "bm25": _q_bm25,
         "pagerank": _q_pagerank,
         "pq_topk": _q_pq_topk,
         "rp_project": _q_rp_project,

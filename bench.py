@@ -95,6 +95,7 @@ HEADLINE = [
     "pq_topk",             # product-quantization encode + ADC top-k (r6)
     "rp_project",          # JL random projection, portable dot chains (r6)
     "edit_join",           # q-gram prefix-filtered Levenshtein join (r7)
+    "bm25",                # Okapi BM25 inverted-index retrieval (r7)
 ]
 
 
