@@ -862,7 +862,9 @@ def bigram_counts(
         w.cast("double").alias("__w__"), F.explode(grams).alias("g")
     ).where(F.length("g") > 0)
     split = F.split(F.col("g"), " ", 2)
-    return (
+    from pandas_weights_spark.topk import global_top_by_mass
+
+    agg = (
         rows.select(
             F.get(split, 0).alias("w1"),
             F.get(split, 1).alias("w2"),
@@ -870,8 +872,12 @@ def bigram_counts(
         )
         .groupBy("w1", "w2")
         .agg(F.sum("__w__").alias("mass"))
-        .orderBy(F.col("mass").desc(), "w1", "w2")
-        .limit(max_bigrams)
+    )
+    # exact histogram pre-filter: the driver TakeOrdered merge holds
+    # ~2·cap rows instead of partitions·cap (r7, same result set)
+    return global_top_by_mass(
+        agg, "mass", [F.col("mass").desc(), F.col("w1"), F.col("w2")],
+        max_bigrams,
     )
 
 
@@ -971,7 +977,9 @@ def trigram_counts(
         w.cast("double").alias("__w__"), F.explode(grams).alias("g")
     ).where(F.length("g") > 0)
     split = F.split(F.col("g"), " ", 3)
-    return (
+    from pandas_weights_spark.topk import global_top_by_mass
+
+    agg = (
         rows.select(
             F.get(split, 0).alias("w1"),
             F.get(split, 1).alias("w2"),
@@ -980,8 +988,11 @@ def trigram_counts(
         )
         .groupBy("w1", "w2", "w3")
         .agg(F.sum("__w__").alias("mass"))
-        .orderBy(F.col("mass").desc(), "w1", "w2", "w3")
-        .limit(max_trigrams)
+    )
+    return global_top_by_mass(
+        agg, "mass",
+        [F.col("mass").desc(), F.col("w1"), F.col("w2"), F.col("w3")],
+        max_trigrams,
     )
 
 

@@ -37,7 +37,39 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["partitioned_topk"]
+__all__ = ["partitioned_topk", "global_top_by_mass"]
+
+
+def global_top_by_mass(
+    df: DataFrame,
+    mass_col: str,
+    order_cols: "Sequence[Column]",
+    cap: int,
+) -> DataFrame:
+    """EXACT global top-``cap`` row SET under ``order_cols`` (which
+    must be a total order — callers append tie-break columns) without
+    the driver merge a plain ``orderBy().limit(cap)`` implies: Spark
+    compiles that to TakeOrdered, whose driver reduce holds
+    ``partitions × cap`` rows — at cap = 500 k over a 1000-executor
+    scan that is a driver OOM, not a slowdown. Routes through
+    :func:`partitioned_topk` with a CONSTANT partition key instead:
+    the salted two-stage keeps everything executor-side (per-salt
+    rank, ≤ ``buckets × cap`` survivors re-ranked in one task whose
+    sort can spill). Same rows as ``orderBy(order_cols).limit(cap)``;
+    no global output ordering is promised — capped tables are
+    consumed as sets (broadcast model tables), never as streams.
+    ``mass_col`` is unused beyond documentation-by-signature (the
+    order columns already encode it); kept so call sites read as
+    "top cap by mass"."""
+    out = partitioned_topk(
+        df.withColumn("__g__", F.lit(1)),
+        part_by=["__g__"],
+        order_by=list(order_cols),
+        k=int(cap),
+        salt_by=list(df.columns),  # deterministic row identity
+        rank_col="__rk__",
+    )
+    return out.drop("__g__", "__rk__")
 
 _ColRef = Union[str, Column]
 

@@ -86,3 +86,49 @@ def test_validation(scored):
         partitioned_topk(scored, ["part"], ["score"], 0, ["id"])
     with pytest.raises(ValueError):
         partitioned_topk(scored, ["part"], ["score"], 5, ["id"], salt_buckets=0)
+
+
+class TestGlobalTopByMass:
+    def test_same_rows_as_take_ordered(self, spark):
+        from pandas_weights_spark.topk import global_top_by_mass
+
+        rows = [(f"t{i}", float((i * 7) % 40 + 1)) for i in range(500)]
+        df = spark.createDataFrame(rows, "term string, mass double")
+        order = [F.col("mass").desc(), F.col("term")]
+        ref = {
+            (r["term"], r["mass"])
+            for r in df.orderBy(*order).limit(120).collect()
+        }
+        got = {
+            (r["term"], r["mass"])
+            for r in global_top_by_mass(df, "mass", order, 120).collect()
+        }
+        assert got == ref and len(got) == 120
+
+    def test_no_take_ordered_in_plan_above_threshold(self, spark):
+        # the point: a huge-cap global cut must not compile to the
+        # TakeOrdered driver merge (partitions x cap rows on the
+        # driver); it routes through the salted executor-side windows
+        from pandas_weights_spark.topk import global_top_by_mass
+
+        df = spark.range(10_000).select(
+            F.col("id").cast("string").alias("term"),
+            (F.col("id") % 97).cast("double").alias("mass"),
+        )
+        out = global_top_by_mass(
+            df, "mass", [F.col("mass").desc(), F.col("term")], 5000
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" not in plan, plan
+        assert out.count() == 5000
+
+    def test_fewer_rows_than_cap(self, spark):
+        from pandas_weights_spark.topk import global_top_by_mass
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "term string, mass double"
+        )
+        got = global_top_by_mass(
+            df, "mass", [F.col("mass").desc(), F.col("term")], 99
+        ).count()
+        assert got == 2
