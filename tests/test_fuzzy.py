@@ -140,3 +140,46 @@ class TestEditDistanceJoin:
                                max_dist=-1)
         with pytest.raises(ValueError, match="q must"):
             edit_distance_join(L, R, "lid", "name", "rid", "name", q=1)
+
+
+class TestEditJoinProperties:
+    def test_symmetry_under_table_swap(self, spark):
+        # dist(a,b) == dist(b,a): swapping tables yields the mirrored
+        # pair set with identical distances
+        rows_a = [(1, "spark"), (2, "sprak"), (3, "walnut")]
+        rows_b = [(9, "spark"), (8, "prank"), (7, "walnuts")]
+        A = spark.createDataFrame(rows_a, "aid long, s string")
+        B = spark.createDataFrame(rows_b, "bid long, s string")
+        fwd = {
+            (r["aid"], r["bid"], r["dist"])
+            for r in edit_distance_join(
+                A, B, "aid", "s", "bid", "s", max_dist=2
+            ).collect()
+        }
+        rev = {
+            (r["aid"], r["bid"], r["dist"])  # read back in fwd order
+            for r in edit_distance_join(
+                B, A, "bid", "s", "aid", "s", max_dist=2
+            ).collect()
+        }
+        assert fwd == rev and len(fwd) >= 2
+
+    def test_monotone_in_max_dist(self, spark):
+        rng = random.Random(29)
+        rows = [(i, "".join(rng.choice("abcd") for _ in range(6)))
+                for i in range(25)]
+        L = spark.createDataFrame(rows, "lid long, s string")
+        R = spark.createDataFrame(
+            [(100 + i, t) for i, (_, t) in enumerate(rows)],
+            "rid long, s string",
+        )
+        prev: set = set()
+        for k in (0, 1, 2, 3):
+            cur = {
+                (r["lid"], r["rid"])
+                for r in edit_distance_join(
+                    L, R, "lid", "s", "rid", "s", max_dist=k
+                ).collect()
+            }
+            assert prev <= cur  # k grows -> pair set grows
+            prev = cur

@@ -826,3 +826,55 @@ class TestCcnetNormalize:
         ]  # lower+trim alone can't fold punctuation/accents
         ccnet = exact_dedup(df, "text", "doc_id", normalize="ccnet")
         assert sorted(r["doc_id"] for r in ccnet.collect()) == [1, 4]
+
+
+class TestCorpusLineDedupCombined:
+    def test_scope_plus_normalize(self, spark):
+        # scope and ccnet normalization compose: folded variants dedup
+        # WITHIN a domain, never across domains
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        rows = [
+            (1, "a.com", "Footer, Text!\nxx one"),
+            (2, "a.com", "FOOTER TEXT\nxx two"),
+            (3, "b.com", "footer text...\nxx three"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, dom string, text string"
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="first", scope="dom",
+                normalize=True,
+            ).collect()
+        }
+        assert out[1] == "Footer, Text!\nxx one"   # first keeps original
+        assert out[2] == "xx two"                  # folded dup dropped
+        assert out[3] == "footer text...\nxx three"  # other domain intact
+
+    def test_weighted_ngram_counts_with_cap(self, spark):
+        # bigram/trigram caps with weight= flow through the salted
+        # global cut identically to a plain orderBy().limit
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            trigram_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "u v w u v", float(i % 3 + 1)) for i in range(30)],
+            "doc_id long, text string, w double",
+        )
+        from pyspark.sql import functions as FF
+
+        bg = {(r["w1"], r["w2"]): r["mass"] for r in bigram_counts(
+            docs, "text", max_bigrams=2, weight=FF.col("w")
+        ).collect()}
+        # Sum of weights = 30 docs with weights 1,2,3 repeating = 60;
+        # 'u v' appears twice per doc, others once
+        assert bg == {("u", "v"): 120.0, ("v", "w"): 60.0}
+        tg = trigram_counts(docs, "text", max_trigrams=1,
+                            weight=FF.col("w")).collect()
+        assert len(tg) == 1 and tg[0]["mass"] == 60.0
