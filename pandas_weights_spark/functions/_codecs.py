@@ -156,7 +156,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(payload: bytes) -> ImageData:
     """Full PNG decode for 8-bit non-interlaced images (color types
     0/2/4/6): chunk walk -> IHDR -> concatenated IDAT zlib stream ->
-    per-scanline filter reconstruction."""
+    per-scanline filter reconstruction.
+
+    Corrupt/foreign streams always fail as ``ValueError`` (struct and
+    zlib errors re-raised — same one-exception-class contract as
+    :func:`decode_jpeg`; fuzz-pinned in tests/test_codecs.py)."""
+    try:
+        return _decode_png_impl(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
+        raise ValueError(
+            f"corrupt PNG stream ({type(e).__name__} while parsing)"
+        ) from e
+
+
+def _decode_png_impl(payload: bytes) -> ImageData:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -622,7 +637,30 @@ def decode_jpeg(payload: bytes) -> ImageData:
     and AC (EOB-run decoding included), coefficients accumulated
     across scans and reconstructed once at EOI. Arithmetic-coded,
     hierarchical, 12-bit, and multi-scan BASELINE files still raise
-    with a clear 'needs PIL' contract."""
+    with a clear 'needs PIL' contract.
+
+    EVERY failure on a corrupt/foreign stream is ``ValueError`` — a
+    fuzz pass (r8, tests/test_codecs.py) pins that no byte corruption
+    escapes as IndexError/KeyError/ZeroDivisionError/OverflowError, so
+    per-row try/except in the decode UDFs stays one exception class
+    wide and a bad image can never kill a 100 TB scan."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except ValueError:
+        raise
+    except (
+        IndexError,
+        KeyError,
+        ZeroDivisionError,
+        OverflowError,
+        struct.error,
+    ) as e:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(e).__name__} while parsing)"
+        ) from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> ImageData:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     quant: dict = {}
@@ -703,6 +741,11 @@ def decode_jpeg(payload: bytes) -> ImageData:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            # a scan header carries 1 + 2·Ns + 3 bytes (T.81 B.2.3) —
+            # validate before indexing so a corrupt/short segment is a
+            # clean ValueError, not an IndexError
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("truncated SOS header in JPEG")
             ns = seg[0]
             scomps = []
             for c in range(ns):
@@ -726,6 +769,10 @@ def decode_jpeg(payload: bytes) -> ImageData:
                     huff_dc, huff_ac, restart_interval,
                 )
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if not (0 <= ss <= se <= 63):
+                # T.81 B.2.3: 0 ≤ Ss ≤ Se ≤ 63 — a corrupt band would
+                # otherwise index coefficients outside the 64-slot block
+                raise ValueError("bad spectral band (Ss/Se) in JPEG scan")
             pos = _progressive_scan(
                 payload, data_start, frame, coefs, scomps,
                 ss, se, ahal >> 4, ahal & 0xF,
@@ -973,6 +1020,14 @@ def _progressive_scan(
                                 break
                         k += 1
                     if newval:
+                        if k > se:
+                            # mirror ac_first's guard: a zero-run that
+                            # overshoots the band is a corrupt stream —
+                            # fail cleanly instead of writing outside
+                            # the scan's spectral band.
+                            raise ValueError(
+                                "AC run past Se in progressive scan"
+                            )
                         blk[k] = newval
                     k += 1
             if eobrun > 0:

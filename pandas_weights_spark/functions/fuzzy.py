@@ -132,18 +132,20 @@ def edit_distance_join(
     )
     if k >= 1:
         # prefix-filter exactness boundary: the required overlap is
-        # max(|Ga|,|Gb|) − q·k, vacuous only when BOTH gram sets have
-        # ≤ q·k grams — i.e. both strings are shorter than
-        # q·(k−1)+2 characters. Those pairs route through a bounded
-        # length-band block instead: left short rows fan out to their
-        # 2k+1 admissible right lengths (an equi-join on length, no
-        # cartesian term); the block is small² by construction and
+        # max(|Ga|,|Gb|) − q·k, vacuous only when BOTH DISTINCT gram
+        # sets have ≤ q·k grams. Gate on the provable condition —
+        # |distinct grams| ≤ q·k — not on string length: array_distinct
+        # can shrink a long repetitive string ("aaaa…") below the bound
+        # while its length passes a length gate. Those rows route
+        # through a bounded length-band block instead: each fans out to
+        # its 2k+1 admissible partner lengths (an equi-join on length,
+        # no cartesian term); the block is small² by construction and
         # the levenshtein verify below keeps the result exact.
-        short_len = q * (k - 1) + 1
-        ls = L.where(F.col("__ln__") <= short_len).select(
+        small = q * k
+        ls = L.where(F.size("__g__") <= small).select(
             "__lid__", "__ln__"
         )
-        rs = R.where(F.col("__rn__") <= short_len).select(
+        rs = R.where(F.size("__g__") <= small).select(
             "__rid__", "__rn__"
         )
         fan = ls.select(

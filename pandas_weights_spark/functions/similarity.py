@@ -231,19 +231,28 @@ def _kmeanspp_weighted(units, weights, k):
     argmax weight·distance instead of a random draw — reproducible by
     construction) over the SMALL k-means|| candidate set. ``units``
     are unit-normalized rows; cosine distance d = 1 − max cos to the
-    chosen set. Returns the chosen INDICES."""
+    chosen set. Already-chosen indices are excluded from the argmax,
+    so even when every remaining score weight·(1−cos) is 0 (all
+    candidates coincide with the chosen set) the selection never
+    repeats an index. Returns the chosen INDICES."""
     n = len(units)
+    if k > n:
+        raise ValueError(
+            f"corpus has fewer than n_cells={k} distinct vectors"
+        )
     chosen = [max(range(n), key=lambda i: (weights[i], -i))]
+    taken = {chosen[0]}
     best = [float(units[c] @ units[chosen[0]]) for c in range(n)]
     while len(chosen) < k:
         nxt = max(
-            range(n),
+            (i for i in range(n) if i not in taken),
             key=lambda i: (
                 weights[i] * max(0.0, 1.0 - best[i]),
                 -i,
             ),
         )
         chosen.append(nxt)
+        taken.add(nxt)
         for i in range(n):
             s = float(units[i] @ units[nxt])
             if s > best[i]:
@@ -299,6 +308,15 @@ def _kmeans_parallel_init(
         cand.extend(
             [float(x) for x in row[corpus_vec]] for row in picked
         )
+    # dedupe candidates (distinct rows with identical vectors can both
+    # be sampled in one round) — duplicate candidates would split
+    # assignment counts and could surface as duplicate IVF centroids;
+    # the candidate set is small (≈ 1 + rounds·l), so O(n²·d) is fine
+    uniq: list[list[float]] = []
+    for c in cand:
+        if c not in uniq:
+            uniq.append(c)
+    cand = uniq
     # weight candidates by assignment counts (one pass)
     counts = (
         nn.select(nearest_cell(v, cand).alias("__c__"))

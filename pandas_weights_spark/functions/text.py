@@ -849,8 +849,12 @@ def bigram_counts(
     """Corpus bigram table ``(w1, w2, mass)`` — the training aggregate
     of :func:`bigram_lm_score`: one row-local ``word_ngrams(…, 2)``
     fan-out + one map-side-combining aggregate, capped at the top
-    ``max_bigrams`` by (mass desc, w1, w2) via TakeOrdered (bounded
-    state — the dropped tail backs off to the unigram model anyway).
+    ``max_bigrams`` by (mass desc, w1, w2) via
+    ``topk.global_top_by_mass`` (driver state bounded at ~2·cap rows —
+    the dropped tail backs off to the unigram model anyway). The
+    SELECTED SET is exactly the top-``max_bigrams`` under that order,
+    but the output rows arrive in NO promised order — sort downstream
+    if ordering matters.
     """
     w = weight if weight is not None else F.lit(1.0)
     t = F.col(text_col)
@@ -963,8 +967,11 @@ def trigram_counts(
     aggregate of :func:`trigram_lm_score`: one row-local
     ``word_ngrams(…, 3)`` fan-out + one map-side-combining aggregate,
     capped at the top ``max_trigrams`` by (mass desc, w1, w2, w3) via
-    TakeOrdered (bounded state — the dropped tail backs off to the
-    bigram/unigram orders anyway, exactly the interpolation's job).
+    ``topk.global_top_by_mass`` (driver state bounded at ~2·cap rows —
+    the dropped tail backs off to the bigram/unigram orders anyway,
+    exactly the interpolation's job). The SELECTED SET is exactly the
+    top-``max_trigrams`` under that order, but the output rows arrive
+    in NO promised order — sort downstream if ordering matters.
     """
     w = weight if weight is not None else F.lit(1.0)
     t = F.col(text_col)

@@ -865,3 +865,77 @@ class TestSpectralFeatures:
         assert out[1]["centroid_hz"] == pytest.approx(750.0, abs=40.0)
         assert out[1]["n_frames"] > 1
         assert out[2] is None and out[3] is None
+
+
+class TestCorruptStreamRobustness:
+    """r8 (ADVICE): no byte corruption may escape the decoders as
+    anything but ValueError — the one-exception-class contract the
+    per-row decode UDFs rely on. Includes the targeted AC-refinement
+    band guard (a zero-run overshooting Se must fail cleanly, never
+    write outside the 64-slot block / IndexError at se == 63)."""
+
+    def _img(self, w, h):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return C.ImageData(
+            w, h, 3, rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        )
+
+    def _fuzz(self, data, decode, stride=2):
+        guard_hit = False
+        for pos in range(2, len(data) - 2, stride):
+            for val in (0x00, 0x0F, 0xFE):
+                if data[pos] == val:
+                    continue
+                d2 = bytes(data[:pos]) + bytes([val]) + bytes(data[pos + 1 :])
+                try:
+                    decode(d2)
+                except ValueError as e:
+                    if "AC run past Se" in str(e):
+                        guard_hit = True
+                # any other exception type propagates = test failure
+        return guard_hit
+
+    def test_progressive_jpeg_fuzz_valueerror_only(self):
+        data = C.encode_jpeg(self._img(16, 16), quality=85, progressive=True)
+        # the band guard must be reachable: at least one corruption
+        # lands on the ac_first/ac_refine overshoot path
+        assert self._fuzz(data, C.decode_jpeg, stride=1)
+
+    def test_baseline_jpeg_fuzz_valueerror_only(self):
+        data = C.encode_jpeg(self._img(16, 16), quality=85)
+        self._fuzz(data, C.decode_jpeg, stride=1)
+
+    def test_png_fuzz_valueerror_only(self):
+        data = C.encode_png(self._img(16, 16))
+        self._fuzz(data, C.decode_png, stride=1)
+
+    @staticmethod
+    def _sos_positions(data):
+        return [
+            i
+            for i in range(len(data) - 1)
+            if data[i] == 0xFF and data[i + 1] == 0xDA
+        ]
+
+    def test_bad_spectral_band_rejected(self):
+        # header surgery: rewrite Se of the LAST (single-component AC)
+        # scan to 127 — T.81 B.2.3 requires Ss <= Se <= 63
+        data = bytearray(C.encode_jpeg(self._img(16, 16), 85, progressive=True))
+        pos = self._sos_positions(data)[-1]
+        ns = data[pos + 4]
+        assert ns == 1  # AC scans are single-component
+        se_at = pos + 4 + 2 + 2 * ns
+        assert data[se_at] <= 63
+        data[se_at] = 127
+        with pytest.raises(ValueError, match="spectral band"):
+            C.decode_jpeg(bytes(data))
+
+    def test_truncated_sos_header_rejected(self):
+        # shrink the declared SOS segment length below 1 + 2*Ns + 3
+        data = bytearray(C.encode_jpeg(self._img(16, 16), 85, progressive=True))
+        pos = self._sos_positions(data)[-1]
+        data[pos + 2 : pos + 4] = struct.pack(">H", 4)  # len covers 2 bytes
+        with pytest.raises(ValueError, match="truncated SOS"):
+            C.decode_jpeg(bytes(data))

@@ -183,3 +183,56 @@ class TestEditJoinProperties:
             }
             assert prev <= cur  # k grows -> pair set grows
             prev = cur
+
+
+class TestRepetitiveStringGate:
+    """r8 (ADVICE): the short-pair fallback gates on the PROVABLE
+    condition — distinct gram-set size <= q*k — not string length.
+    array_distinct shrinks a long repetitive string ("aaaa…") below
+    the prefix-filter bound while its LENGTH passes a length gate;
+    these rows must route through the length-band block."""
+
+    def test_long_repetitive_strings_exact(self, spark):
+        lrows = [
+            (1, "a" * 50),
+            (2, "a" * 49 + "b"),
+            (3, "ab" * 25),
+            (4, "b" * 50),
+            (5, "a" * 3),
+            (6, "xyxyxyxyxyxyxyxyxyxy"),
+        ]
+        rrows = [
+            (10, "a" * 50),
+            (11, "a" * 48),
+            (12, "ab" * 25 + "a"),
+            (13, "b" * 49 + "a"),
+            (14, "aa"),
+            (15, "yxyxyxyxyxyxyxyxyxyx"),
+        ]
+        L = spark.createDataFrame(lrows, ["lid", "ls"])
+        R = spark.createDataFrame(rrows, ["rid", "rs"])
+        for k in (1, 2):
+            got = {
+                (r["lid"], r["rid"], r["dist"])
+                for r in edit_distance_join(
+                    L, R, "lid", "ls", "rid", "rs", max_dist=k
+                ).collect()
+            }
+            assert got == _brute(lrows, rrows, k)
+
+    def test_fallback_covers_small_gramsets_regardless_of_length(
+        self, spark
+    ):
+        # both sides' distinct 2-gram sets are <= q*k = 4 while the
+        # strings are 40 chars long — the old length gate (<= 3)
+        # excluded them from the band block
+        lrows = [(1, "a" * 40)]
+        rrows = [(2, "a" * 39 + "b")]
+        L = spark.createDataFrame(lrows, ["lid", "ls"])
+        R = spark.createDataFrame(rrows, ["rid", "rs"])
+        got = edit_distance_join(
+            L, R, "lid", "ls", "rid", "rs", max_dist=2
+        ).collect()
+        assert {(r["lid"], r["rid"], r["dist"]) for r in got} == {
+            (1, 2, 1)
+        }

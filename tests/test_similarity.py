@@ -489,3 +489,47 @@ class TestKmeansParallelInit:
             train_ivf_centroids(
                 df, "embedding", 2, "vec_id", init="nope"
             )
+
+
+class TestKmeansppDuplicateGuards:
+    """r8 (ADVICE): _kmeanspp_weighted never re-picks a chosen index
+    even when every remaining score is 0 (duplicate candidates), and
+    k-means|| dedupes its candidate pool up front."""
+
+    def test_duplicate_candidates_yield_distinct_indices(self):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            _kmeanspp_weighted,
+        )
+
+        u = np.array([1.0, 0.0])
+        units = [u, u, u, u]  # all identical: every score is 0
+        chosen = _kmeanspp_weighted(units, [4.0, 3.0, 2.0, 1.0], 3)
+        assert len(chosen) == len(set(chosen)) == 3
+
+    def test_k_above_candidate_count_raises(self):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            _kmeanspp_weighted,
+        )
+
+        units = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+        with pytest.raises(ValueError, match="distinct vectors"):
+            _kmeanspp_weighted(units, [1.0, 1.0], 3)
+
+    def test_ivf_centroids_distinct_on_duplicate_corpus(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            train_ivf_centroids,
+        )
+
+        # 3 distinct vectors, each duplicated many times: k-means||
+        # sampling will pick duplicate rows; centroids must be the 3
+        # distinct vectors, no repeats
+        base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        rows = [(i, base[i % 3]) for i in range(60)]
+        df = spark.createDataFrame(rows, ["id", "vec"])
+        cents = train_ivf_centroids(df, "vec", 3, id_col="id")
+        tup = {tuple(round(x, 6) for x in c) for c in cents}
+        assert len(cents) == 3 and len(tup) == 3
