@@ -7344,6 +7344,93 @@ _ORACLE["dsir_select"] = f"""
 """
 
 
+# HTML synthesized per doc — identical template in both engines; the
+# doc's own text sits inside <p>, boilerplate around it exercises nav
+# drop, script/head stripping, entities, and the link-density filter.
+_HTML_FIXTURE_SQL = """'<html><head><title>' || source || ' &amp; doc '
+ || cast(doc_id as varchar)
+ || '</title><style>p{color:red}</style></head><body>'
+ || '<nav><a href="/' || source
+ || '">Home</a> <a href="/about">About</a></nav>'
+ || '<h1>' || upper(source) || ' ' || cast(doc_id as varchar) || '</h1>'
+ || '<p>' || text || '</p>'
+ || case when doc_id % 3 = 0
+      then '<script>var x="<p>hidden</p>";</script>' else '' end
+ || case when doc_id % 2 = 0 then '<div>Short note.</div>'
+      else '<div>A sufficiently long plain division block with several words kept here.</div>' end
+ || '<footer><a href="/terms">Terms</a> &copy; 2026</footer></body></html>'"""
+
+
+def _q_html_extract(spark, sf_dir):
+    # r8: HTML -> text extraction (functions/html.py — the
+    # trafilatura/jusText niche, Pomikalek 2011 block/link-density
+    # model). Pure Column regexp + HOF chain, zero shuffle: title,
+    # full visible text, boilerplate-filtered main content, link
+    # count. The oracle replays the SAME pattern constants through
+    # DuckDB's RE2 (html.py emits the SQL from the constants
+    # themselves, so engine and oracle cannot drift apart silently).
+    import pandas_weights_spark.functions.html as H
+
+    docs = _docs(spark, sf_dir)
+    h = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit(" &amp; doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style></head><body>"),
+        F.lit('<nav><a href="/'), F.col("source"),
+        F.lit('">Home</a> <a href="/about">About</a></nav>'),
+        F.lit("<h1>"), F.upper("source"), F.lit(" "),
+        F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<script>var x="<p>hidden</p>";</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("<div>Short note.</div>")
+        ).otherwise(
+            F.lit(
+                "<div>A sufficiently long plain division block "
+                "with several words kept here.</div>"
+            )
+        ),
+        F.lit(
+            '<footer><a href="/terms">Terms</a> &copy; 2026'
+            "</footer></body></html>"
+        ),
+    )
+    return (
+        docs.select(F.col("doc_id"), h.alias("h"))
+        .select(
+            "doc_id",
+            H.extract_title(F.col("h")).alias("title"),
+            H.html_to_text(F.col("h")).alias("visible"),
+            H.main_content(F.col("h"), 5, 0.5).alias("content"),
+            F.size(H.extract_links(F.col("h")))
+            .cast("long")
+            .alias("n_links"),
+        )
+    )
+
+
+def _html_extract_sql() -> str:
+    import pandas_weights_spark.functions.html as H
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, ({_HTML_FIXTURE_SQL}) AS h FROM documents
+    )
+    SELECT doc_id,
+      {H.extract_title_sql('h')} AS title,
+      {H.html_to_text_sql('h')} AS visible,
+      {H.main_content_sql('h', 5, 0.5)} AS content,
+      CAST(len({H.extract_links_sql('h')}) AS BIGINT) AS n_links
+    FROM d
+"""
+
+
+_ORACLE["html_extract"] = _html_extract_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_stats": _q_global_stats,
@@ -7406,6 +7493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "rp_project": _q_rp_project,
         "mixture_sample": _q_mixture_sample,
+        "html_extract": _q_html_extract,
     }
 
 

@@ -1,0 +1,184 @@
+"""HTML → text extraction (functions/html.py): visible-text chain,
+title/link extraction, and the jusText-lite block/link-density
+boilerplate filter. All expected values are hand-derived."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.functions.html import (
+    extract_links,
+    extract_title,
+    html_extract,
+    html_to_text,
+    main_content,
+)
+
+PAGE = """<!DOCTYPE html><html><head><title>My &amp; Page</title>
+<meta charset="utf-8"><style>body { color: red; }</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body><nav><a href="/a">Home</a> <a href="/b">About</a></nav>
+<h1>Heading &quot;One&quot;</h1>
+<p>First real paragraph with enough words to survive the filter
+easily.</p>
+<div>Short.</div>
+<p>Second paragraph with <b>bold</b> text and <a href="http://x.com/d">a
+link</a> inside a longer run of plain prose.</p>
+<!-- comment <p>ghost</p> -->
+<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>
+</body></html>"""
+
+
+def _one(spark, col, html=PAGE):
+    df = spark.createDataFrame([(html,)], ["h"])
+    return df.select(col.alias("v")).first()["v"]
+
+
+class TestHtmlToText:
+    def test_page(self, spark):
+        txt = _one(spark, html_to_text(F.col("h")))
+        assert txt.startswith("Home About\n\nHeading \"One\"")
+        assert "not text" not in txt  # script body gone
+        assert "color: red" not in txt  # style body gone
+        assert "ghost" not in txt  # comment gone
+        assert "My & Page" not in txt  # head/title not body text
+        assert "First real paragraph" in txt
+        assert "bold" in txt and "<b>" not in txt
+
+    def test_block_tags_become_newlines(self, spark):
+        # adjacent boundaries (</p><p>) collapse to a paragraph break;
+        # a lone <br> is a single newline
+        txt = _one(
+            spark, html_to_text(F.col("h")),
+            "<p>one</p><p>two</p><br>three",
+        )
+        assert txt == "one\n\ntwo\n\nthree"
+        assert _one(
+            spark, html_to_text(F.col("h")), "a<br>b"
+        ) == "a\nb"
+
+    def test_entities_amp_decoded_last(self, spark):
+        # double-encoded &amp;lt; must become "&lt;", not "<"
+        txt = _one(spark, html_to_text(F.col("h")), "a &amp;lt; b")
+        assert txt == "a &lt; b"
+
+    def test_unknown_entity_passthrough(self, spark):
+        assert _one(
+            spark, html_to_text(F.col("h")), "x &bogus; y"
+        ) == "x &bogus; y"
+
+    def test_unclosed_script_degrades_to_tag_strip(self, spark):
+        txt = _one(
+            spark, html_to_text(F.col("h")),
+            "<p>keep</p><script>var a = 1;",
+        )
+        assert txt.startswith("keep")  # no over-deletion
+
+    def test_null_and_plain(self, spark):
+        df = spark.createDataFrame([(None,), ("no tags here",)], ["h"])
+        vals = [
+            r["v"]
+            for r in df.select(
+                html_to_text(F.col("h")).alias("v")
+            ).collect()
+        ]
+        assert vals == [None, "no tags here"]
+
+    def test_header_tag_not_eaten_by_head(self, spark):
+        # <head...> container removal must not match <header>
+        txt = _one(
+            spark, html_to_text(F.col("h")),
+            "<header>site chrome</header><p>body text</p>",
+        )
+        assert "site chrome" in txt and "body text" in txt
+
+    def test_whitespace_collapse(self, spark):
+        txt = _one(
+            spark, html_to_text(F.col("h")),
+            "<p>a   b\t c</p>\n\n\n\n<p>d</p>",
+        )
+        assert txt == "a b c\n\nd"
+
+
+class TestTitleAndLinks:
+    def test_title(self, spark):
+        assert _one(spark, extract_title(F.col("h"))) == "My & Page"
+
+    def test_title_missing(self, spark):
+        assert _one(spark, extract_title(F.col("h")), "<p>x</p>") == ""
+
+    def test_title_with_attrs(self, spark):
+        assert (
+            _one(
+                spark, extract_title(F.col("h")),
+                '<title data-x="1"> Spaced  Title </title>',
+            )
+            == "Spaced Title"
+        )
+
+    def test_links_in_order_with_duplicates(self, spark):
+        links = _one(spark, extract_links(F.col("h")))
+        assert links == ["/a", "/b", "http://x.com/d", "/t", "/p"]
+
+    def test_links_quote_styles(self, spark):
+        links = _one(
+            spark, extract_links(F.col("h")),
+            "<a href='/sq'>s</a><a HREF=\"/dq\">d</a><a href='/sq'>s</a>",
+        )
+        assert links == ["/sq", "/dq", "/sq"]
+
+    def test_no_links(self, spark):
+        assert _one(spark, extract_links(F.col("h")), "<p>x</p>") == []
+
+
+class TestMainContent:
+    def test_boilerplate_dropped(self, spark):
+        c = _one(spark, main_content(F.col("h")))
+        assert "First real paragraph" in c
+        assert "Second paragraph" in c
+        assert "Home About" not in c  # nav: link density 1.0
+        assert "Terms" not in c  # footer link farm
+        assert "Short." not in c  # < min_words
+        assert "My & Page" not in c  # head stripped
+
+    def test_min_words_parameter(self, spark):
+        c = _one(spark, main_content(F.col("h"), min_words=1))
+        assert "Short." in c
+
+    def test_link_density_parameter(self, spark):
+        html = (
+            "<p>five words with <a href='/x'>a link here now</a></p>"
+        )
+        # 4/8 words are anchor text → density ~0.47 by characters
+        keep = _one(
+            spark, main_content(F.col("h"), 3, 0.9), html
+        )
+        drop = _one(
+            spark, main_content(F.col("h"), 3, 0.2), html
+        )
+        assert "five words" in keep and drop == ""
+
+    def test_all_boilerplate_is_empty(self, spark):
+        assert (
+            _one(
+                spark, main_content(F.col("h")),
+                "<nav><a href='/'>x</a></nav>",
+            )
+            == ""
+        )
+
+
+class TestHtmlExtractFrame:
+    def test_columns_and_null_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, PAGE), (2, None)], ["id", "html"]
+        )
+        out = html_extract(df, "html").orderBy("id").collect()
+        assert out[0]["title"] == "My & Page"
+        assert out[0]["n_links"] == 5
+        assert "First real paragraph" in out[0]["content"]
+        assert out[1]["text"] is None and out[1]["n_links"] is None
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame([(1, PAGE)], ["id", "html"])
+        plan = html_extract(df, "html")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
