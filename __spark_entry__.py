@@ -7431,6 +7431,69 @@ def _html_extract_sql() -> str:
 _ORACLE["html_extract"] = _html_extract_sql()
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    # r8: WARC source/sink (sources/warc.py, ISO 28500 — the Common
+    # Crawl container). Response records are built per doc with pure
+    # Column algebra (deterministic urn:uuid record ids from
+    # md5(uri|date)), packed into 8 member-gzip WARC files
+    # (applyInPandas, byte-deterministic), then parsed BACK through
+    # the mapInPandas reader. The oracle states the roundtrip
+    # identity: parsed uri/id/text/byte-length must equal what the
+    # documents table implies — any framing, Content-Length, gzip
+    # member, or header bug breaks the match.
+    from pandas_weights_spark.sources.warc import (
+        from_warc_shards,
+        to_warc_shards,
+        warc_record,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uri = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+    )
+    rec = warc_record(
+        uri,
+        F.lit("2026-01-01T00:00:00Z"),
+        F.encode(F.col("text"), "UTF-8"),
+        "response",
+    )
+    shards = to_warc_shards(
+        docs.select(rec.alias("rec")), "rec", n_shards=8,
+        gzip_records=True,
+    )
+    back = from_warc_shards(shards)
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "record_id",
+        F.decode("http_body", "UTF-8").alias("text"),
+        F.length("http_body").cast("long").alias("n_bytes"),
+    )
+
+
+_ORACLE["warc_roundtrip"] = """
+    WITH d AS (
+      SELECT doc_id, text,
+        'https://' || source || '.example.org/doc/'
+          || CAST(doc_id AS VARCHAR) AS target_uri
+      FROM documents
+    ), h AS (
+      SELECT *, md5(target_uri || '|' || '2026-01-01T00:00:00Z') AS hh
+      FROM d
+    )
+    SELECT doc_id, target_uri,
+      '<urn:uuid:' || substr(hh, 1, 8) || '-' || substr(hh, 9, 4)
+        || '-' || substr(hh, 13, 4) || '-' || substr(hh, 17, 4)
+        || '-' || substr(hh, 21, 12) || '>' AS record_id,
+      text,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_stats": _q_global_stats,
@@ -7494,6 +7557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": _q_rp_project,
         "mixture_sample": _q_mixture_sample,
         "html_extract": _q_html_extract,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 

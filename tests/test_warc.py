@@ -1,0 +1,202 @@
+"""WARC source/sink (sources/warc.py): record construction is checked
+against an INDEPENDENT minimal parser written here, shard assembly is
+byte-deterministic under repartitioning, and the gzip framing is
+one-member-per-record (verified with stdlib zlib, not the module's own
+reader)."""
+
+import gzip
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_weights_spark.sources.warc import (
+    from_warc_shards,
+    parse_warc_bytes,
+    read_warc,
+    to_warc_shards,
+    warc_record,
+)
+
+DATE = "2026-01-01T00:00:00Z"
+
+
+def _build(spark, rows, warc_type="response", **kw):
+    df = spark.createDataFrame(rows, ["uri", "text"])
+    rec = warc_record(
+        F.col("uri"), F.lit(DATE),
+        F.encode(F.col("text"), "UTF-8"), warc_type, **kw
+    )
+    return df.select(F.col("uri"), rec.alias("rec"))
+
+
+def _independent_parse_one(data: bytes):
+    """Minimal spec-reader: version line, header map, Content-Length
+    block, CRLF CRLF trailer — written without looking at the module."""
+    assert data.startswith(b"WARC/1.0\r\n")
+    head, _, rest = data.partition(b"\r\n\r\n")
+    headers = {}
+    for ln in head.split(b"\r\n")[1:]:
+        k, _, v = ln.partition(b": ")
+        headers[k.decode()] = v.decode()
+    clen = int(headers["Content-Length"])
+    block = rest[:clen]
+    assert rest[clen : clen + 4] == b"\r\n\r\n"  # record trailer
+    return headers, block
+
+
+class TestRecordConstruction:
+    def test_response_record_spec_shape(self, spark):
+        built = _build(spark, [("https://e.org/1", "hello wörld")])
+        data = bytes(built.first()["rec"])
+        headers, block = _independent_parse_one(data)
+        assert headers["WARC-Type"] == "response"
+        assert headers["WARC-Target-URI"] == "https://e.org/1"
+        assert headers["WARC-Date"] == DATE
+        assert headers["Content-Type"].startswith("application/http")
+        assert headers["WARC-Record-ID"].startswith("<urn:uuid:")
+        http_head, _, body = block.partition(b"\r\n\r\n")
+        assert http_head.startswith(b"HTTP/1.1 200 OK")
+        assert body.decode("utf-8") == "hello wörld"
+        # HTTP Content-Length is the BODY's byte length
+        assert f"Content-Length: {len(body)}".encode() in http_head
+
+    def test_resource_record_payload_verbatim(self, spark):
+        built = _build(
+            spark, [("https://e.org/2", "plain text")],
+            warc_type="resource", content_type="text/plain",
+        )
+        headers, block = _independent_parse_one(
+            bytes(built.first()["rec"])
+        )
+        assert headers["WARC-Type"] == "resource"
+        assert headers["Content-Type"] == "text/plain"
+        assert block == b"plain text"
+
+    def test_record_id_deterministic_and_distinct(self, spark):
+        rows = [("https://e.org/a", "x"), ("https://e.org/b", "x")]
+        ids = [
+            _independent_parse_one(bytes(r["rec"]))[0]["WARC-Record-ID"]
+            for r in _build(spark, rows).orderBy("uri").collect()
+        ]
+        ids2 = [
+            _independent_parse_one(bytes(r["rec"]))[0]["WARC-Record-ID"]
+            for r in _build(spark, rows).orderBy("uri").collect()
+        ]
+        assert ids == ids2 and ids[0] != ids[1]
+
+    def test_bad_warc_type_raises(self, spark):
+        with pytest.raises(ValueError, match="warc_type"):
+            warc_record(
+                F.lit("u"), F.lit(DATE), F.lit(b"x"), "request"
+            )
+
+
+class TestShardsRoundTrip:
+    @pytest.fixture(scope="class")
+    def built(self, spark):
+        rows = [
+            (f"https://e.org/d/{i}", f"document body {i} " + "y" * i)
+            for i in range(40)
+        ]
+        return _build(spark, rows), dict(rows)
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, spark, built, gz):
+        df, orig = built
+        shards = to_warc_shards(df, "rec", n_shards=4, gzip_records=gz)
+        back = from_warc_shards(shards).select(
+            "target_uri", F.decode("http_body", "UTF-8").alias("t")
+        )
+        got = {r["target_uri"]: r["t"] for r in back.collect()}
+        assert got == orig
+
+    def test_byte_identical_under_repartition(self, spark, built):
+        df, _ = built
+        a = {
+            r["shard"]: bytes(r["warc"])
+            for r in to_warc_shards(df, "rec", n_shards=4).collect()
+        }
+        b = {
+            r["shard"]: bytes(r["warc"])
+            for r in to_warc_shards(
+                df.repartition(7), "rec", n_shards=4
+            ).collect()
+        }
+        assert a == b and len(a) >= 2
+
+    def test_gzip_one_member_per_record(self, spark, built):
+        df, _ = built
+        row = to_warc_shards(
+            df, "rec", n_shards=1, gzip_records=True
+        ).first()
+        data, n = bytes(row["warc"]), row["n_records"]
+        # walk the members with stdlib zlib only
+        members, pos = 0, 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            out = d.decompress(data[pos:])
+            assert out.startswith(b"WARC/1.0\r\n")
+            members += 1
+            pos = len(data) - len(d.unused_data)
+        assert members == n == 40
+
+    def test_rec_idx_orders_within_shard(self, spark, built):
+        df, _ = built
+        back = from_warc_shards(
+            to_warc_shards(df, "rec", n_shards=2)
+        )
+        for (shard,), grp in (
+            back.select("shard", "rec_idx").toPandas().groupby(["shard"])
+        ):
+            assert sorted(grp["rec_idx"]) == list(range(len(grp)))
+
+
+class TestParseTolerance:
+    def test_trailing_garbage_ignored(self, spark):
+        data = bytes(
+            _build(spark, [("u", "body")]).first()["rec"]
+        ) + b"\x00garbage tail"
+        recs = parse_warc_bytes(data)
+        assert len(recs) == 1 and recs[0]["http_body"] == b"body"
+
+    def test_no_record_raises(self):
+        with pytest.raises(ValueError, match="no WARC"):
+            parse_warc_bytes(b"not a warc file at all")
+
+    def test_empty_is_empty(self):
+        assert parse_warc_bytes(b"") == []
+
+    def test_bad_content_length_skips_record(self, spark):
+        good = bytes(_build(spark, [("u2", "kept")]).first()["rec"])
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"Content-Length: notanumber\r\n\r\nxx\r\n\r\n"
+        )
+        recs = parse_warc_bytes(bad + good)
+        assert [r["target_uri"] for r in recs] == ["u2"]
+
+    def test_resource_http_body_is_null(self, spark):
+        built = _build(spark, [("u3", "raw")], warc_type="resource")
+        rec = parse_warc_bytes(bytes(built.first()["rec"]))[0]
+        assert rec["http_body"] is None and rec["block"] == b"raw"
+
+
+class TestReadWarc:
+    def test_read_plain_and_gz_files(self, spark, tmp_path):
+        df = _build(
+            spark,
+            [(f"https://e.org/f/{i}", f"text {i}") for i in range(10)],
+        )
+        shards = to_warc_shards(df, "rec", n_shards=2).collect()
+        (tmp_path / "a.warc").write_bytes(bytes(shards[0]["warc"]))
+        (tmp_path / "b.warc.gz").write_bytes(
+            gzip.compress(bytes(shards[1]["warc"]), mtime=0)
+        )
+        back = read_warc(spark, str(tmp_path))
+        got = {
+            r["target_uri"]: r["http_body"].decode()
+            for r in back.collect()
+        }
+        assert len(got) == 10
+        assert got["https://e.org/f/3"] == "text 3"
