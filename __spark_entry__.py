@@ -7494,6 +7494,56 @@ _ORACLE["warc_roundtrip"] = """
 """
 
 
+def _q_sentences(spark, sf_dir):
+    # r8: rule-based sentence splitting (functions/text.py
+    # split_sentences — abbreviation/initial protection via sentinel
+    # replace, split at [.!?]+ + whitespace, RE2-portable so the
+    # oracle replays the identical chain). Per doc: sentence count,
+    # first/last sentence, mean sentence length.
+    from pandas_weights_spark.functions.text import split_sentences
+
+    docs = _docs(spark, sf_dir)
+    s = split_sentences(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(s).cast("long").alias("n_sent"),
+        F.element_at(s, 1).alias("first_sent"),
+        F.element_at(s, -1).alias("last_sent"),
+        F.round(
+            F.try_divide(
+                F.aggregate(
+                    s, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double"),
+                F.size(s).cast("double"),
+            ),
+            6,
+        ).alias("mean_len"),
+    )
+
+
+def _sentences_sql() -> str:
+    from pandas_weights_spark.functions.text import split_sentences_sql
+
+    s = split_sentences_sql("text")
+    return f"""
+    WITH d AS (SELECT doc_id, {s} AS s FROM documents)
+    SELECT doc_id,
+      CAST(len(s) AS BIGINT) AS n_sent,
+      s[1] AS first_sent,
+      s[-1] AS last_sent,
+      round(
+        CAST(coalesce(list_sum(list_transform(s, x -> length(x))), 0)
+             AS DOUBLE)
+        / nullif(CAST(len(s) AS DOUBLE), 0.0),
+        6
+      ) AS mean_len
+    FROM d
+"""
+
+
+_ORACLE["sentences"] = _sentences_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_stats": _q_global_stats,
@@ -7558,6 +7608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "html_extract": _q_html_extract,
         "warc_roundtrip": _q_warc_roundtrip,
+        "sentences": _q_sentences,
     }
 
 

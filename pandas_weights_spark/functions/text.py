@@ -49,6 +49,8 @@ __all__ = [
     "bigram_counts",
     "bigram_lm_score",
     "normalize_text",
+    "SENTENCE_ABBREVIATIONS",
+    "split_sentences",
 ]
 
 
@@ -1101,4 +1103,73 @@ def trigram_lm_score(
         "n_trigrams",
         "logprob_mean",
         F.exp(-F.col("logprob_mean")).alias("ppl"),
+    )
+
+
+#: Abbreviations whose trailing period never ends a sentence (fixed,
+#: documented set — English-centric like every rule-based splitter).
+SENTENCE_ABBREVIATIONS = (
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "Jr.", "Sr.",
+    "vs.", "etc.", "e.g.", "i.e.", "cf.", "Fig.", "No.", "Inc.",
+    "Ltd.", "Co.", "approx.",
+)
+
+# sentinels: \x01 protects an abbreviation period, \x02 marks a split
+_SENT_PROT = "\x01"
+_SENT_MARK = "\x02"
+
+
+def split_sentences(text: Column) -> Column:
+    """Rule-based sentence splitting → ``array<string>`` (the unit the
+    packing/dedup/LM-scoring stages want; rule-based like NLTK's
+    pre-punkt splitters — public heuristic, no model):
+
+    1. protect the periods of :data:`SENTENCE_ABBREVIATIONS` and of
+       single-capital initials (``"U. S."``-style) with a sentinel;
+    2. a run of ``.!?`` followed by whitespace ends a sentence (the
+       whitespace requirement keeps decimals like ``3.14`` and bare
+       URLs intact);
+    3. restore the protected periods, trim, drop empties.
+
+    Deliberately deterministic + dialect-portable (no lookaround —
+    RE2-safe), so the DuckDB oracle replays it verbatim. The final
+    fragment without trailing punctuation is kept as a sentence.
+    """
+    col = text
+    for ab in SENTENCE_ABBREVIATIONS:
+        col = F.replace(
+            col, F.lit(ab), F.lit(ab[:-1] + _SENT_PROT)
+        )
+    # single-capital initial: "A." -> "A<prot>" (word boundary keeps
+    # "DNA." splitting normally)
+    col = F.regexp_replace(
+        col, r"\b([A-Z])\.", "$1" + _SENT_PROT
+    )
+    col = F.regexp_replace(
+        col, r"([.!?]+)[ \t\n\r\f]+", "$1" + _SENT_MARK
+    )
+    parts = F.split(col, _SENT_MARK)
+    parts = F.transform(
+        parts,
+        lambda s: F.trim(F.replace(s, F.lit(_SENT_PROT), F.lit("."))),
+    )
+    return F.filter(parts, lambda s: F.length(s) > 0)
+
+
+def split_sentences_sql(expr: str) -> str:
+    """DuckDB replay of :func:`split_sentences` — same constant
+    tables, RE2 dialect (``\\1`` replacement, ``chr()`` sentinels)."""
+    e = expr
+    for ab in SENTENCE_ABBREVIATIONS:
+        e = f"replace({e}, '{ab}', '{ab[:-1]}' || chr(1))"
+    e = (
+        f"regexp_replace({e}, '\\b([A-Z])\\.', '\\1' || chr(1), 'g')"
+    )
+    e = (
+        f"regexp_replace({e}, '([.!?]+)[ \\t\\n\\r\\f]+', "
+        f"'\\1' || chr(2), 'g')"
+    )
+    return (
+        f"list_filter(list_transform(string_split({e}, chr(2)), "
+        f"s -> trim(replace(s, chr(1), '.'))), s -> length(s) > 0)"
     )

@@ -878,3 +878,113 @@ class TestCorpusLineDedupCombined:
         tg = trigram_counts(docs, "text", max_trigrams=1,
                             weight=FF.col("w")).collect()
         assert len(tg) == 1 and tg[0]["mass"] == 60.0
+
+
+class TestSplitSentences:
+    """r8: rule-based sentence splitting (text.py split_sentences) —
+    abbreviation/initial protection, decimal safety, sentinel restore,
+    and the documented heuristic limits."""
+
+    def _s(self, spark, t):
+        from pandas_weights_spark.functions.text import split_sentences
+
+        df = spark.createDataFrame([(t,)], ["t"])
+        return df.select(split_sentences(F.col("t")).alias("s")).first()["s"]
+
+    def test_basic_punctuation(self, spark):
+        assert self._s(
+            spark, "Hello world. This is fine! Is it? Yes."
+        ) == ["Hello world.", "This is fine!", "Is it?", "Yes."]
+
+    def test_abbreviations_protected(self, spark):
+        assert self._s(
+            spark, "Dr. Smith met Mr. Jones. They left."
+        ) == ["Dr. Smith met Mr. Jones.", "They left."]
+
+    def test_decimals_and_prices_intact(self, spark):
+        assert self._s(
+            spark, "Pi is 3.14 roughly. It costs $5.50 today."
+        ) == ["Pi is 3.14 roughly.", "It costs $5.50 today."]
+
+    def test_initials_protected(self, spark):
+        assert self._s(
+            spark, "U.S. economy grew. Second sentence."
+        ) == ["U.S. economy grew.", "Second sentence."]
+
+    def test_initial_protection_cost_documented(self, spark):
+        # the single-capital rule cannot tell "met X." (sentence end)
+        # from "X. Ray" (initial) — the classic rule-based trade-off:
+        # a capital-initial period never splits
+        assert self._s(
+            spark, "He met Mr. X. Then he left."
+        ) == ["He met Mr. X. Then he left."]
+
+    def test_ellipsis_is_one_boundary(self, spark):
+        assert self._s(spark, "Wait... Really? Yes.") == [
+            "Wait...", "Really?", "Yes.",
+        ]
+
+    def test_trailing_fragment_kept(self, spark):
+        assert self._s(spark, "Done. trailing fragment") == [
+            "Done.", "trailing fragment",
+        ]
+
+    def test_newlines_split_and_empties_dropped(self, spark):
+        assert self._s(spark, "One.\n\nTwo!  \n  ") == ["One.", "Two!"]
+
+    def test_empty_and_null(self, spark):
+        assert self._s(spark, "") == []
+        from pandas_weights_spark.functions.text import split_sentences
+
+        df = spark.createDataFrame([(None,)], "t string")
+        assert (
+            df.select(split_sentences(F.col("t")).alias("s")).first()["s"]
+            is None
+        )
+
+    def test_sentinels_never_leak(self, spark):
+        out = self._s(spark, "e.g. A. Mr. ok. Done? \x01literal\x02 x.")
+        joined = "".join(out)
+        # input control chars pass through only where the INPUT had
+        # them; none are fabricated by the splitter on clean text
+        clean = self._s(spark, "e.g. A. Mr. ok. Done?")
+        assert all("\x02" not in s for s in clean)
+        assert any(s for s in out)  # parses without error
+
+    def test_duckdb_replay_identical(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.text import (
+            split_sentences,
+            split_sentences_sql,
+        )
+
+        texts = [
+            "Hello world. This is fine! Is it? Yes.",
+            "Dr. Smith met Mr. Jones at 3.14 pm. They left.",
+            "e.g. keep. No. 5 is next. U.S. grew.",
+            "no punctuation",
+            "Line one.\nLine two? done...",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["i", "t"]
+        )
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i", split_sentences(F.col("t")).alias("s")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "c",
+            __import__("pandas").DataFrame(
+                {"i": range(len(texts)), "t": texts}
+            ),
+        )
+        want = dict(
+            con.execute(
+                f"select i, {split_sentences_sql('t')} from c"
+            ).fetchall()
+        )
+        assert got == want
