@@ -32,6 +32,10 @@ ALLOW = {
     "series_apply": {"arrow"},
     "multimodal_features": {"arrow"},
     "session_agg": {"arrow"},
+    # WARC shard assembly (applyInPandas per shard) and record parse
+    # (mapInPandas) are the operator's contract — a binary container
+    # build/walk, per-record memory, like the webdataset tar surface
+    "warc_roundtrip": {"arrow"},
     # weighted_linreg solves the normal equations in applyInPandas over
     # the per-group MOMENT rows (one row per group) — python above the
     # aggregate, never on the data (pinned by test_regression)
