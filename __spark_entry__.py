@@ -7544,6 +7544,35 @@ def _sentences_sql() -> str:
 _ORACLE["sentences"] = _sentences_sql()
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    # r8: JSONL shard interchange (sources/jsonl.py — the Dolma/
+    # RedPajama *.jsonl.gz corpus format, completing the container
+    # trio with webdataset tar and WARC). Docs serialize to gzipped
+    # JSONL shards (applyInPandas assembly, byte-deterministic) and
+    # parse back through the Column-level newline-split + from_json
+    # reader; the oracle states the roundtrip identity against the
+    # documents table.
+    from pandas_weights_spark.sources.jsonl import (
+        from_jsonl_shards,
+        to_jsonl_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    shards = to_jsonl_shards(
+        docs, ["doc_id", "text", "lang", "n_chars"], n_shards=8,
+        gzip_shard=True,
+    )
+    back = from_jsonl_shards(
+        shards, "doc_id long, text string, lang string, n_chars long"
+    )
+    return back.select("doc_id", "text", "lang", "n_chars")
+
+
+_ORACLE["jsonl_roundtrip"] = """
+    SELECT doc_id, text, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_stats": _q_global_stats,
@@ -7609,6 +7638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "warc_roundtrip": _q_warc_roundtrip,
         "sentences": _q_sentences,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 

@@ -36,6 +36,10 @@ ALLOW = {
     # (mapInPandas) are the operator's contract — a binary container
     # build/walk, per-record memory, like the webdataset tar surface
     "warc_roundtrip": {"arrow"},
+    # JSONL shard assembly + the per-shard gunzip pass are the
+    # container's contract (one Arrow row per SHARD, not per record;
+    # the record parse itself is Column-level from_json)
+    "jsonl_roundtrip": {"arrow"},
     # weighted_linreg solves the normal equations in applyInPandas over
     # the per-group MOMENT rows (one row per group) — python above the
     # aggregate, never on the data (pinned by test_regression)
