@@ -1134,6 +1134,11 @@ def split_sentences(text: Column) -> Column:
     Deliberately deterministic + dialect-portable (no lookaround —
     RE2-safe), so the DuckDB oracle replays it verbatim. The final
     fragment without trailing punctuation is kept as a sentence.
+
+    Caveat: the ``\x01``/``\x02`` control bytes are the internal
+    sentinels — input text containing them (never legitimate prose)
+    may gain a period or an extra split at those bytes. Every other
+    non-whitespace character is preserved in order (property-tested).
     """
     col = text
     for ab in SENTENCE_ABBREVIATIONS:

@@ -458,3 +458,43 @@ class TestRound6Properties:
 
         e50, e75, e95 = err(50), err(75), err(95)
         assert e95 <= e75 + 0.2 and e75 <= e50 + 0.2
+
+
+class TestSentenceSplitProperties:
+    """r8: split_sentences preserves every non-whitespace character in
+    order (it only drops whitespace and restores its own sentinels) —
+    for inputs free of the \\x01/\\x02 sentinel bytes, the documented
+    exclusion."""
+
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Cc"),
+                ),
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_nonwhitespace_chars_preserved(self, spark, texts):
+        from pandas_weights_spark.functions.text import split_sentences
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i", split_sentences(F.col("t")).alias("s")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            # compare whitespace-free forms on BOTH sides (the split
+            # only consumes whitespace; str.split strips any unicode
+            # whitespace, so engine-vs-Python ws dialects cancel out)
+            want = "".join(t.split())
+            have = "".join("".join(got[i]).split())
+            assert have == want, (t, got[i])
