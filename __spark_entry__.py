@@ -7544,6 +7544,88 @@ def _sentences_sql() -> str:
 _ORACLE["sentences"] = _sentences_sql()
 
 
+def _q_robots_filter(spark, sf_dir):
+    # r8: robots.txt crawl-permission gate (functions/robots.py, RFC
+    # 9309). One robots.txt per source-host — all carry a '*' group
+    # (Disallow /private/ + Allow /private/ok/ + Disallow /*.pdf$);
+    # hosts whose source ends in an even digit ALSO carry a 'databot'
+    # group (Disallow /beta/). Crawling as 'databot', RFC group
+    # selection means: on databot-group hosts ONLY that group applies
+    # (exact overrides '*': /private/ and .pdf become allowed, /beta/
+    # blocked); elsewhere the '*' group rules decide, with the
+    # longest-match Allow rescuing /private/ok/. The oracle states
+    # that decision in CLOSED FORM (an independent spec of the same
+    # RFC rules, the web_hygiene style); the parse mechanics (group
+    # windows, LIKE translation, tie rules) are pytest-pinned.
+    from pandas_weights_spark.functions.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    docs = _docs(spark, sf_dir)
+    star = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+        "Disallow: /*.pdf$\n"
+    )
+    databot = "\nUser-agent: databot\nDisallow: /beta/\n"
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    even = (
+        F.ascii(F.substring(F.col("source"), -1, 1)) % 2 == 0
+    )
+    robots = (
+        docs.select("source").distinct().select(
+            host.alias("host"),
+            F.concat(
+                F.lit(star),
+                F.when(even, F.lit(databot)).otherwise(F.lit("")),
+            ).alias("txt"),
+        )
+    )
+    rules = robots_rules(robots, "host", "txt", agent="databot")
+    variant = F.col("doc_id") % 5
+    path = (
+        F.when(variant == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+        .when(variant == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(
+            variant == 2,
+            F.concat(F.lit("/private/ok/"), F.col("doc_id")),
+        )
+        .when(
+            variant == 3,
+            F.concat(F.lit("/files/"), F.col("doc_id"), F.lit(".pdf")),
+        )
+        .otherwise(F.concat(F.lit("/beta/"), F.col("doc_id")))
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return robots_allowed(urls, rules, "url", "host").select(
+        "doc_id", "host", "url", "allowed"
+    )
+
+
+_ORACLE["robots_filter"] = """
+    SELECT doc_id,
+      source || '.example.com' AS host,
+      'https://' || source || '.example.com' ||
+        CASE doc_id % 5
+          WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.pdf'
+          ELSE '/beta/' || CAST(doc_id AS VARCHAR)
+        END AS url,
+      CASE
+        WHEN ascii(substr(source, -1, 1)) % 2 = 0
+          THEN doc_id % 5 != 4          -- databot group: only /beta/
+        ELSE doc_id % 5 NOT IN (1, 3)   -- '*' group: /private/, *.pdf$
+      END AS allowed
+    FROM documents
+"""
+
+
 def _q_jsonl_roundtrip(spark, sf_dir):
     # r8: JSONL shard interchange (sources/jsonl.py — the Dolma/
     # RedPajama *.jsonl.gz corpus format, completing the container
@@ -7639,6 +7721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "sentences": _q_sentences,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "robots_filter": _q_robots_filter,
     }
 
 
