@@ -1371,3 +1371,83 @@ class TestStreamingSelectionPipeline:
         }
         assert got == batch
         assert got[10] > got[11]  # target-like beats spam on the stream
+
+
+class TestStreamingContainerReaders:
+    """r8: the container record readers (WARC, JSONL) are mapInPandas /
+    Column chains, so they compose with readStream unchanged —
+    availableNow over shard files must equal the batch parse."""
+
+    def _shard_dir(self, spark, tmp_path_factory, kind):
+        from pandas_weights_spark.sources.jsonl import to_jsonl_shards
+        from pandas_weights_spark.sources.warc import (
+            to_warc_shards,
+            warc_record,
+        )
+
+        rows = [
+            (i, f"https://s.io/{i}", f"stream body {i}")
+            for i in range(24)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, uri string, text string")
+        if kind == "warc":
+            rec = warc_record(
+                F.col("uri"), F.lit("2026-01-01T00:00:00Z"),
+                F.encode(F.col("text"), "UTF-8"), "response",
+            )
+            shards = to_warc_shards(
+                df.select(rec.alias("r")), "r", n_shards=3,
+                gzip_records=True,
+            )
+        else:
+            shards = to_jsonl_shards(
+                df, ["doc_id", "uri", "text"], n_shards=3,
+                gzip_shard=True,
+            )
+        d = tmp_path_factory.mktemp(f"{kind}_shards")
+        shards.write.parquet(str(d), mode="overwrite")
+        return d, {r[1]: r[2] for r in rows}, shards.schema
+
+    def test_warc_stream_equals_batch(self, spark, tmp_path_factory):
+        from pandas_weights_spark.sources.warc import from_warc_shards
+
+        d, orig, schema = self._shard_dir(spark, tmp_path_factory, "warc")
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = from_warc_shards(stream).select(
+            "target_uri", F.decode("http_body", "UTF-8").alias("t")
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("warc_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["target_uri"]: r["t"]
+            for r in spark.sql("SELECT * FROM warc_stream").collect()
+        }
+        assert got == orig
+
+    def test_jsonl_stream_equals_batch(self, spark, tmp_path_factory):
+        from pandas_weights_spark.sources.jsonl import from_jsonl_shards
+
+        d, orig, schema = self._shard_dir(spark, tmp_path_factory, "jsonl")
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = from_jsonl_shards(
+            stream, "doc_id long, uri string, text string"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("jsonl_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["uri"]: r["text"]
+            for r in spark.sql("SELECT * FROM jsonl_stream").collect()
+        }
+        assert got == orig
