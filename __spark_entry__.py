@@ -7544,6 +7544,43 @@ def _sentences_sql() -> str:
 _ORACLE["sentences"] = _sentences_sql()
 
 
+def _q_link_graph(spark, sf_dir):
+    # r8: host-level link graph from crawled HTML (functions/html.py
+    # link_graph — the edge table pagerank consumes for domain
+    # authority). Each doc's page links to one absolute host
+    # (src{(doc_id+7) % 20}.example.com — the source value space)
+    # plus one relative link (a SELF edge by contract); the +7
+    # offset breaks the source/doc_id%20 correlation in the testdata
+    # so the graph has real cross-host edges. The oracle
+    # derives the same edge weights in closed form.
+    from pandas_weights_spark.functions.html import link_graph
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<p>intro</p><a href="https://SRC'),
+        ((F.col("doc_id") + 7) % 20).cast("string"),
+        F.lit('.Example.com/p">out</a> <a href="/rel">self</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        html.alias("html"),
+    )
+    return link_graph(pages, "html", "host")
+
+
+_ORACLE["link_graph"] = """
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+      SELECT source || '.example.com' AS src,
+             'src' || CAST((doc_id + 7) % 20 AS VARCHAR)
+               || '.example.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT source || '.example.com', source || '.example.com'
+      FROM documents
+    ) GROUP BY src, dst
+"""
+
+
 def _q_robots_filter(spark, sf_dir):
     # r8: robots.txt crawl-permission gate (functions/robots.py, RFC
     # 9309). One robots.txt per source-host — all carry a '*' group
@@ -7722,6 +7759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": _q_sentences,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "robots_filter": _q_robots_filter,
+        "link_graph": _q_link_graph,
     }
 
 

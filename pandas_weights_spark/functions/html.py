@@ -34,6 +34,7 @@ __all__ = [
     "extract_links",
     "main_content",
     "html_extract",
+    "link_graph",
 ]
 
 #: Tags whose CONTENT is invisible — stripped with their bodies.
@@ -280,4 +281,40 @@ def main_content_sql(
     return (
         f"array_to_string(list_transform({kept}, s -> s.t), "
         f"chr(10)||chr(10))"
+    )
+
+
+def link_graph(
+    df: DataFrame,
+    html_col: str,
+    src_host_col: str,
+) -> DataFrame:
+    """Host-level link graph from crawled HTML — the edge table
+    :func:`pandas_weights_spark.functions.graph.pagerank` consumes for
+    domain-authority scoring: one row per ``(src, dst)`` host pair
+    with ``weight`` = number of links. Absolute ``http(s)`` hrefs
+    resolve to their own host (lowercased, port stripped — the
+    ``url_domain`` convention); every other href (relative, fragment,
+    mailto, protocol-relative) counts as a SELF edge to the source
+    host, so total outdegree mass equals the page's link count.
+
+    Row-local explode + one (src, dst) aggregate — the same scan/agg
+    shape as every corpus statistic."""
+    from pandas_weights_spark.functions.text import url_domain
+
+    src = F.lower(F.col(src_host_col))
+    links = df.select(
+        src.alias("src"),
+        F.explode(extract_links(F.col(html_col))).alias("__l__"),
+    )
+    dst_host = url_domain(F.col("__l__"))
+    return (
+        links.select(
+            "src",
+            F.when(F.length(dst_host) > 0, dst_host)
+            .otherwise(F.col("src"))
+            .alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
     )

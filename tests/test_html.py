@@ -182,3 +182,49 @@ class TestHtmlExtractFrame:
         df = spark.createDataFrame([(1, PAGE)], ["id", "html"])
         plan = html_extract(df, "html")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestLinkGraph:
+    def test_edges_and_weights(self, spark):
+        from pandas_weights_spark.functions.html import link_graph
+
+        rows = [
+            (
+                "A.com",
+                '<a href="https://B.com/x">1</a>'
+                '<a href="https://b.com:8080/y">2</a>'
+                '<a href="/rel">3</a>'
+                '<a href="#frag">4</a>'
+                '<a href="mailto:z@q.org">5</a>',
+            ),
+            ("a.com", '<a href="https://c.org/">6</a>'),
+            ("d.net", "<p>no links at all</p>"),
+        ]
+        df = spark.createDataFrame(rows, ["host", "html"])
+        got = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in link_graph(df, "html", "host").collect()
+        }
+        assert got == {
+            ("a.com", "b.com"): 2,  # host lowercased, port stripped
+            ("a.com", "a.com"): 3,  # rel + fragment + mailto → self
+            ("a.com", "c.org"): 1,
+        }  # d.net: zero links → zero rows
+
+    def test_composes_with_pagerank(self, spark):
+        from pandas_weights_spark.functions.graph import pagerank
+        from pandas_weights_spark.functions.html import link_graph
+
+        rows = [
+            ("hub.io", '<a href="https://a.io/">x</a><a href="https://b.io/">y</a>'),
+            ("a.io", '<a href="https://b.io/">z</a>'),
+            ("b.io", '<a href="/self">w</a>'),
+        ]
+        df = spark.createDataFrame(rows, ["host", "html"])
+        edges = link_graph(df, "html", "host")
+        pr = pagerank(
+            edges, "src", "dst", weight=F.col("weight"), iters=5
+        )
+        ranks = {r[0]: r[1] for r in pr.collect()}
+        assert ranks["b.io"] == max(ranks.values())
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
