@@ -491,6 +491,90 @@ def main() -> int:
     print(f"{'progressive jpeg dec 64x48':28s} {dec_dt:7.2f}s  "
           f"({len(imgs) / dec_dt:6.1f} imgs/s)")
 
+    # round-8 wave: HTML extraction, sentence split, WARC/JSONL
+    # containers, robots.txt decisions, link graph
+    from pandas_weights_spark.functions.html import (
+        html_extract,
+        link_graph,
+    )
+    from pandas_weights_spark.functions.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+    from pandas_weights_spark.functions.text import split_sentences
+    from pandas_weights_spark.sources.jsonl import (
+        from_jsonl_shards,
+        to_jsonl_shards,
+    )
+    from pandas_weights_spark.sources.warc import (
+        from_warc_shards,
+        to_warc_shards,
+        warc_record,
+    )
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body>"
+                  '<nav><a href="/a">H</a> <a href="/b">A</a></nav><p>'),
+            F.col("text"),
+            F.lit('</p><div>Short.</div><a href="https://h'),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit('.example.com/x">out</a></body></html>'),
+        ).alias("html"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    ).localCheckpoint(eager=True)
+    dbench("html_extract full", lambda: html_extract(
+        pages, "html").drop("html"), docs_n)
+    dbench("split_sentences", lambda: docs.select(
+        "doc_id", F.size(split_sentences(F.col("text"))).alias("n")),
+        docs_n)
+    dbench("link_graph", lambda: link_graph(pages, "html", "host"),
+           docs_n)
+
+    n_shards = 256
+    rec = warc_record(
+        F.concat(F.lit("https://e.org/"), F.col("doc_id").cast("string")),
+        F.lit("2026-01-01T00:00:00Z"),
+        F.encode(F.col("text"), "UTF-8"), "response",
+    )
+    warc_shards = to_warc_shards(
+        docs.select(rec.alias("r")), "r", n_shards=n_shards,
+        gzip_records=True,
+    ).localCheckpoint(eager=False)
+    dbench("warc build gz 256 shards", lambda: warc_shards, docs_n)
+    warc_built = warc_shards.localCheckpoint(eager=True)
+    dbench("warc parse gz", lambda: from_warc_shards(warc_built)
+           .select("target_uri", F.length("http_body").alias("nb")),
+           docs_n)
+    jshards = to_jsonl_shards(
+        docs, ["doc_id", "text"], n_shards=n_shards, gzip_shard=True
+    ).localCheckpoint(eager=True)
+    dbench("jsonl parse gz", lambda: from_jsonl_shards(
+        jshards, "doc_id long, text string"), docs_n)
+
+    robots = spark.range(1000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+              "Disallow: /*.pdf$\n").alias("txt"),
+    )
+    rrules = robots_rules(robots, "host", "txt", agent="databot")
+    urls = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 1000).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com/private/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    dbench("robots_allowed", lambda: robots_allowed(
+        urls, rrules, "url", "host"), docs_n)
+
     spark.stop()
     return 0
 
