@@ -7544,6 +7544,110 @@ def _sentences_sql() -> str:
 _ORACLE["sentences"] = _sentences_sql()
 
 
+def _q_code_detect(spark, sf_dir):
+    # r8: code-vs-prose detection (functions/quality.py code_metrics /
+    # code_score — replace/regexp arithmetic, the Gopher-panel
+    # discipline). Fixture: every doc gets a deterministic code
+    # appendix by doc_id % 3 (none / appended / code-only), so the
+    # panel sees prose, mixed, and pure-code rows. The oracle replays
+    # the identical arithmetic chain in DuckDB.
+    from pandas_weights_spark.functions.quality import (
+        code_metrics,
+        code_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("def f"), did, F.lit("(x):\n    return x + "),
+        did, F.lit(";\nimport os\nconst z = {1};\n"),
+        F.lit("if (x == y) {\n    printf(\"q\");\n}"),
+    )
+    variant = F.col("doc_id") % 3
+    t = (
+        F.when(variant == 0, F.col("text"))
+        .when(variant == 1, F.concat(F.col("text"), F.lit("\n"), code))
+        .otherwise(code)
+    )
+    staged = docs.select("doc_id", t.alias("t"))
+    m = code_metrics(F.col("t"))
+    return staged.select(
+        "doc_id",
+        *[v.alias(k) for k, v in m.items()],
+        code_score(F.col("t")).alias("code_score"),
+    )
+
+
+def _code_detect_sql() -> str:
+    from pandas_weights_spark.functions.quality import CODE_KEYWORDS
+
+    kws = ", ".join("'" + k.replace("'", "''") + "'" for k in CODE_KEYWORDS)
+    frac = {
+        "brace": (
+            "CAST(len(list_filter(str_split(t, chr(10)), "
+            "l -> regexp_matches(rtrim(l), '[{};]$'))) AS DOUBLE)"
+            " / nullif(CAST(len(str_split(t, chr(10))) AS DOUBLE), 0.0)"
+        ),
+        "indent": (
+            "CAST(len(list_filter(str_split(t, chr(10)), "
+            "l -> regexp_matches(l, '^(\\t|  )'))) AS DOUBLE)"
+            " / nullif(CAST(len(str_split(t, chr(10))) AS DOUBLE), 0.0)"
+        ),
+        "kw": (
+            f"CAST(len(list_filter(str_split_regex(trim(t), '\\s+'), "
+            f"w -> w IN ({kws}))) AS DOUBLE)"
+            " / nullif(CASE WHEN length(trim(t)) = 0 THEN 0.0 ELSE "
+            "CAST(len(str_split_regex(trim(t), '\\s+')) AS DOUBLE) END,"
+            " 0.0)"
+        ),
+        "sym": (
+            "CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f]+', '', 'g'))"
+            " - length(regexp_replace(regexp_replace(t, "
+            "'[ \\t\\n\\r\\f]+', '', 'g'), '[{}();=<>]', '', 'g'))"
+            " AS DOUBLE) / nullif(CAST(length(regexp_replace(t, "
+            "'[ \\t\\n\\r\\f]+', '', 'g')) AS DOUBLE), 0.0)"
+        ),
+    }
+    sat = {
+        k: f"least(1.0, coalesce(round({v}, 6), 0.0) * 4.0)"
+        for k, v in frac.items()
+    }
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN text
+          WHEN 1 THEN text || chr(10) || 'def f' ||
+            CAST(doc_id AS VARCHAR) || '(x):' || chr(10) ||
+            '    return x + ' || CAST(doc_id AS VARCHAR) || ';' ||
+            chr(10) || 'import os' || chr(10) || 'const z = {{1}};' ||
+            chr(10) || 'if (x == y) {{' || chr(10) ||
+            '    printf("q");' || chr(10) || '}}'
+          ELSE 'def f' ||
+            CAST(doc_id AS VARCHAR) || '(x):' || chr(10) ||
+            '    return x + ' || CAST(doc_id AS VARCHAR) || ';' ||
+            chr(10) || 'import os' || chr(10) || 'const z = {{1}};' ||
+            chr(10) || 'if (x == y) {{' || chr(10) ||
+            '    printf("q");' || chr(10) || '}}'
+        END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      round({frac['brace']}, 6) AS brace_line_frac,
+      round({frac['indent']}, 6) AS indent_line_frac,
+      round({frac['kw']}, 6) AS keyword_frac,
+      round({frac['sym']}, 6) AS symbol_frac,
+      CASE WHEN t IS NULL THEN NULL ELSE
+        round(({sat['brace']} + {sat['indent']} + {sat['kw']}
+               + {sat['sym']}) / 4.0, 6)
+      END AS code_score
+    FROM d
+"""
+
+
+_ORACLE["code_detect"] = _code_detect_sql()
+
+
 def _q_link_graph(spark, sf_dir):
     # r8: host-level link graph from crawled HTML (functions/html.py
     # link_graph — the edge table pagerank consumes for domain
@@ -7760,6 +7864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "robots_filter": _q_robots_filter,
         "link_graph": _q_link_graph,
+        "code_detect": _q_code_detect,
     }
 
 

@@ -51,6 +51,9 @@ __all__ = [
     "quality_flags",
     "quality_panel",
     "STOP_WORDS",
+    "CODE_KEYWORDS",
+    "code_metrics",
+    "code_score",
 ]
 
 _L = F.lit
@@ -318,3 +321,92 @@ def quality_panel(
             quality_flags(t, toks=toks, lines=lines, **flag_kwargs)
         )
     return staged.withColumns(out).drop(toks_c, lines_c)
+
+
+#: Tokens that mark source code across mainstream languages (fixed,
+#: documented set — matched as whole whitespace-delimited tokens).
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "let", "void", "int", "public", "static", "#include", "struct",
+    "elif", "lambda", "println", "printf", "fn", "impl", "=>", "==",
+    "!=", "&&", "||",
+)
+
+
+def code_metrics(text: Column) -> "Dict[str, Column]":
+    """Code-vs-prose signals, all replace/regexp arithmetic (the
+    portable-SQL discipline of the Gopher panel):
+
+    * ``brace_line_frac`` — lines whose last non-blank char is one of
+      ``{ } ;``
+    * ``indent_line_frac`` — lines starting with a tab or ≥ 2 spaces
+    * ``keyword_frac`` — whitespace tokens in :data:`CODE_KEYWORDS`
+      over total tokens
+    * ``symbol_frac`` — ``{ } ( ) ; = < >`` characters over non-space
+      characters
+
+    Empty/NULL-safe: fractions are NULL on NULL text, 0 on empty.
+    """
+    t = text
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    brace = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).rlike("[{};]$"),
+        )
+    ).cast("double")
+    indent = F.size(
+        F.filter(lines, lambda l: l.rlike("^(\t|  )"))
+    ).cast("double")
+    toks = tokens(t)
+    n_tok = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(toks)).cast("double")
+    kw = F.size(
+        F.filter(toks, lambda w: w.isin(*CODE_KEYWORDS))
+    ).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"[ \t\n\r\f]+", ""))
+    sym = nonspace - F.length(
+        F.regexp_replace(
+            F.regexp_replace(t, r"[ \t\n\r\f]+", ""), r"[{}();=<>]", ""
+        )
+    )
+    return {
+        "brace_line_frac": F.round(F.try_divide(brace, n_lines), 6),
+        "indent_line_frac": F.round(F.try_divide(indent, n_lines), 6),
+        "keyword_frac": F.round(F.try_divide(kw, n_tok), 6),
+        "symbol_frac": F.round(
+            F.try_divide(sym.cast("double"), nonspace.cast("double")), 6
+        ),
+    }
+
+
+def code_score(text: Column) -> Column:
+    """Blended code-likeness in [0, 1]: mean of the four
+    :func:`code_metrics` signals with the line/symbol fractions
+    saturating at 0.25 (a file where every 4th line ends in ``;``/
+    brace is already fully code-like on that axis). Prose scores near
+    0, mainstream source code well above 0.5 — the threshold is the
+    caller's policy knob (tests pin a 0.3 separation margin on
+    real-shaped fixtures)."""
+    m = code_metrics(text)
+    # coalesce BEFORE least(): Spark's least() skips NULL arguments,
+    # so least(1.0, NULL·4) would silently saturate an empty doc's
+    # NULL fraction to 1.0 instead of 0
+    sat = lambda c: F.least(  # noqa: E731
+        F.lit(1.0), F.coalesce(c, F.lit(0.0)) * 4.0
+    )
+    score = F.round(
+        (
+            sat(m["brace_line_frac"])
+            + sat(m["indent_line_frac"])
+            + sat(m["keyword_frac"])
+            + sat(m["symbol_frac"])
+        )
+        / 4.0,
+        6,
+    )
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        score
+    )

@@ -184,3 +184,67 @@ class TestQualityFlags:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCodeDetection:
+    """r8: code-vs-prose signals (quality.py code_metrics/code_score) —
+    replace/regexp arithmetic only, fixtures shaped like real source."""
+
+    PROSE = (
+        "The quick brown fox jumps over the lazy dog. It was a "
+        "bright morning and the meadow hummed with bees and birds."
+    )
+    CODE = (
+        "def add(x, y):\n    return x + y;\n\nimport os\n"
+        'const z = {1: 2};\nif (x == y && y != 0) {\n'
+        '    printf("eq");\n}'
+    )
+
+    def _score(self, spark, t):
+        from pandas_weights_spark.functions.quality import code_score
+
+        df = spark.createDataFrame([(t,)], "t string")
+        return df.select(code_score(F.col("t")).alias("s")).first()["s"]
+
+    def test_separation_margin(self, spark):
+        p, c = self._score(spark, self.PROSE), self._score(spark, self.CODE)
+        assert p < 0.1 and c > 0.5 and c - p > 0.3
+
+    def test_mixed_in_between(self, spark):
+        m = self._score(spark, self.PROSE + "\n" + self.CODE)
+        assert self._score(spark, self.PROSE) < m < self._score(
+            spark, self.CODE
+        )
+
+    def test_empty_zero_null_null(self, spark):
+        from pandas_weights_spark.functions.quality import code_score
+
+        df = spark.createDataFrame([("",), (None,)], "t string")
+        got = [
+            r["s"]
+            for r in df.select(code_score(F.col("t")).alias("s")).collect()
+        ]
+        assert got == [0.0, None]
+
+    def test_metrics_hand_computed(self, spark):
+        from pandas_weights_spark.functions.quality import code_metrics
+
+        t = "a = 1;\n  indented\nplain def line"
+        df = spark.createDataFrame([(t,)], "t string")
+        m = df.select(
+            *[
+                v.alias(k)
+                for k, v in code_metrics(F.col("t")).items()
+            ]
+        ).first()
+        assert m["brace_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert m["indent_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        # tokens: a = 1; indented plain def line -> 8? whitespace split:
+        # ['a','=','1;','indented','plain','def','line'] = 7, keywords:
+        # '=' not in list ('==' is), 'def' is -> 1/7
+        assert m["keyword_frac"] == pytest.approx(1 / 7, abs=1e-6)
+
+    def test_keyword_token_boundaries(self, spark):
+        # 'definition' must not count as the keyword 'def'
+        s_word = self._score(spark, "definition of terms")
+        assert s_word == 0.0
