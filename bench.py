@@ -96,6 +96,13 @@ HEADLINE = [
     "rp_project",          # JL random projection, portable dot chains (r6)
     "edit_join",           # q-gram prefix-filtered Levenshtein join (r7)
     "bm25",                # Okapi BM25 inverted-index retrieval (r7)
+    "html_extract",        # HTML -> text/title/content/links (r8)
+    "warc_roundtrip",      # WARC build + member-gzip shard + parse (r8)
+    "sentences",           # rule-based sentence splitting (r8)
+    "jsonl_roundtrip",     # JSONL gzipped shards build + parse (r8)
+    "robots_filter",       # RFC 9309 robots.txt decisions (r8)
+    "link_graph",          # host-level link edges from HTML (r8)
+    "code_detect",         # code-vs-prose signal panel (r8)
 ]
 
 
