@@ -7578,7 +7578,9 @@ def _q_code_detect(spark, sf_dir):
     )
 
 
-def _code_detect_sql() -> str:
+def _code_sql_parts(t: str = "t") -> "tuple[dict, dict]":
+    """The code_metrics/code_score DuckDB replay expressions over
+    column ``t`` — shared by the code_detect and datasheet oracles."""
     from pandas_weights_spark.functions.quality import CODE_KEYWORDS
 
     kws = ", ".join("'" + k.replace("'", "''") + "'" for k in CODE_KEYWORDS)
@@ -7608,10 +7610,20 @@ def _code_detect_sql() -> str:
             "'[ \\t\\n\\r\\f]+', '', 'g')) AS DOUBLE), 0.0)"
         ),
     }
+    if t != "t":
+        frac = {
+            k: v.replace("(t,", f"({t},").replace("(t)", f"({t})")
+            for k, v in frac.items()
+        }
     sat = {
         k: f"least(1.0, coalesce(round({v}, 6), 0.0) * 4.0)"
         for k, v in frac.items()
     }
+    return frac, sat
+
+
+def _code_detect_sql() -> str:
+    frac, sat = _code_sql_parts("t")
     return f"""
     WITH d AS (
       SELECT doc_id,
@@ -7683,6 +7695,94 @@ _ORACLE["link_graph"] = """
       FROM documents
     ) GROUP BY src, dst
 """
+
+
+def _q_datasheet(spark, sf_dir):
+    # r8: corpus datasheet (functions/datasheet.py — the Datasheets-
+    # for-Datasets / Dolma release-table rollup): per source, doc and
+    # token volumes, exact unit-weight length quantiles, quality/code
+    # score means, and the exact-duplicate fraction. Pure composition
+    # of already-oracled kernels; the oracle replays each from its
+    # established SQL shape (quality/fingerprint from text_metrics,
+    # code score from code_detect, inverted-CDF quantiles from
+    # group_quantile).
+    from pandas_weights_spark.functions.datasheet import corpus_datasheet
+
+    docs = _docs(spark, sf_dir)
+    return corpus_datasheet(docs, "text", ["source"])
+
+
+def _datasheet_sql() -> str:
+    frac, sat = _code_sql_parts("t")
+    stop = _occ_sum("p", ("the", "a", "and", "of", "to"))
+    quality = f"""CASE WHEN nt = 0 THEN 0.0 ELSE
+        round(0.5 * greatest(0.0,
+                1.0 - abs((n_chars - n_spaces) / CAST(nt AS DOUBLE)
+                          - 6.5) / 6.5)
+              + 0.5 * least(1.0, ({stop}) * 10.0
+                                 / CAST(nt AS DOUBLE)), 6) END"""
+    code = (
+        f"CASE WHEN t IS NULL THEN NULL ELSE round(({sat['brace']} + "
+        f"{sat['indent']} + {sat['kw']} + {sat['sym']}) / 4.0, 6) END"
+    )
+    return f"""
+    WITH t0 AS (
+      SELECT source, text AS t,
+        ' ' || lower(text) || ' ' AS p,
+        lower(text) AS lt,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+        coalesce(length(text), 0) AS nc,
+        (text IS NULL OR length(trim(text)) = 0) AS emp,
+        md5(array_to_string(list_sort(list_distinct(
+            string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp
+      FROM documents
+    ), t1 AS (
+      SELECT *, length(lt) AS n_chars,
+             length(lt) - length(replace(lt, ' ', '')) AS n_spaces
+      FROM t0
+    ), per AS (
+      SELECT source, nt, nc, emp, fp,
+             {quality} AS q,
+             {code} AS c
+      FROM t1
+    ), stats AS (
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN emp THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        CAST(SUM(nc) AS BIGINT) AS total_chars,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        round(AVG(CAST(nt AS DOUBLE)), 6) AS mean_tokens,
+        round(AVG(q), 6) AS mean_quality,
+        round(AVG(c), 6) AS mean_code
+      FROM per GROUP BY source
+    ), fpc AS (
+      SELECT source, fp, COUNT(*) AS n FROM per GROUP BY source, fp
+    ), dup AS (
+      SELECT source,
+        round(SUM(CASE WHEN n > 1 THEN CAST(n AS DOUBLE)
+                       ELSE 0.0 END)
+              / nullif(SUM(CAST(n AS DOUBLE)), 0.0), 6) AS dup_frac
+      FROM fpc GROUP BY source
+    ), cq AS (
+      SELECT source, CAST(nt AS DOUBLE) AS x,
+        SUM(1.0) OVER (PARTITION BY source ORDER BY CAST(nt AS DOUBLE)
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cw,
+        SUM(1.0) OVER (PARTITION BY source) AS tw
+      FROM per
+    ), qq AS (
+      SELECT source,
+        MIN(CASE WHEN cw >= 0.5 * tw THEN x END) AS p50_tokens,
+        MIN(CASE WHEN cw >= 0.9 * tw THEN x END) AS p90_tokens
+      FROM cq GROUP BY source
+    )
+    SELECT stats.*, dup.dup_frac, qq.p50_tokens, qq.p90_tokens
+    FROM stats JOIN dup USING (source) JOIN qq USING (source)
+"""
+
+
+_ORACLE["datasheet"] = _datasheet_sql()
 
 
 def _q_robots_filter(spark, sf_dir):
@@ -7865,6 +7965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "link_graph": _q_link_graph,
         "code_detect": _q_code_detect,
+        "datasheet": _q_datasheet,
     }
 
 

@@ -103,6 +103,7 @@ HEADLINE = [
     "robots_filter",       # RFC 9309 robots.txt decisions (r8)
     "link_graph",          # host-level link edges from HTML (r8)
     "code_detect",         # code-vs-prose signal panel (r8)
+    "datasheet",           # corpus data-card rollup (r8)
 ]
 
 

@@ -1,0 +1,110 @@
+"""Corpus datasheet — the one-call "data card" rollup every corpus
+release ships (the reporting niche of Datasheets for Datasets,
+Gebru et al. 2021, and the Dolma/RedPajama release tables): per group
+(source, language, …) the document/token volumes, length quantiles,
+quality/code score means, and the exact-duplicate fraction.
+
+Composition of existing row-local kernels + three group-sized
+aggregates (moments, fingerprint-dup counts, inverted-CDF length
+quantiles) joined on the group keys — every stage is an operator this
+engine already tests; the datasheet only fuses them. Scale shape:
+three shuffles on the group keys (group cardinality is tiny), no
+driver-side data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corpus_datasheet"]
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str,
+    group_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """One row per group: ``n_docs, n_empty, total_chars,
+    total_tokens, mean_tokens, p50_tokens, p90_tokens, mean_quality,
+    mean_code, dup_frac``. ``n_empty`` counts NULL/blank docs (their
+    token count participates as 0); ``dup_frac`` is the fraction of
+    docs whose exact content fingerprint (order-insensitive token-set
+    md5) appears more than once WITHIN the group; means/fractions
+    round to 6 dp (the oracle-replay convention)."""
+    from pandas_weights_spark.functions.quality import code_score
+    from pandas_weights_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    g = [F.col(c) for c in group_cols]
+    t = F.col(text_col)
+    base = df.select(
+        *g,
+        token_count(t).alias("__nt__"),
+        F.coalesce(F.length(t), F.lit(0)).alias("__nc__"),
+        quality_score(t).alias("__q__"),
+        code_score(t).alias("__c__"),
+        fingerprint(t).alias("__fp__"),
+        (t.isNull() | (F.length(F.trim(t)) == 0)).alias("__empty__"),
+    )
+    stats = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("__empty__").cast("long"))
+        .cast("long")
+        .alias("n_empty"),
+        F.sum("__nc__").cast("long").alias("total_chars"),
+        F.sum(F.coalesce(F.col("__nt__"), F.lit(0)))
+        .cast("long")
+        .alias("total_tokens"),
+        F.round(
+            F.avg(F.coalesce(F.col("__nt__"), F.lit(0)).cast("double")),
+            6,
+        ).alias("mean_tokens"),
+        F.round(F.avg("__q__"), 6).alias("mean_quality"),
+        F.round(F.avg("__c__"), 6).alias("mean_code"),
+    )
+    fp = (
+        base.groupBy(*group_cols, "__fp__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .groupBy(*group_cols)
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.when(F.col("__n__") > 1, F.col("__n__"))
+                        .otherwise(F.lit(0))
+                        .cast("double")
+                    ),
+                    F.sum(F.col("__n__").cast("double")),
+                ),
+                6,
+            ).alias("dup_frac")
+        )
+    )
+    from pandas_weights_spark import wt
+
+    wq = wt(
+        base.select(
+            *group_cols,
+            F.coalesce(F.col("__nt__"), F.lit(0))
+            .cast("double")
+            .alias("ntok"),
+            F.lit(1.0).alias("__w__"),
+        ),
+        "__w__",
+    )
+    from pandas_weights_spark.quantile import weighted_quantiles
+
+    q = weighted_quantiles(
+        wq, [0.5, 0.9], subset=["ntok"], keys=list(group_cols)
+    ).select(
+        *group_cols,
+        F.col("ntok_p50").alias("p50_tokens"),
+        F.col("ntok_p90").alias("p90_tokens"),
+    )
+    return stats.join(fp, list(group_cols)).join(q, list(group_cols))
