@@ -1798,3 +1798,93 @@ def spectral_features(
         "flatness": flat,
         "n_frames": int(n_frames),
     }
+
+
+def resize_bilinear(img: ImageData, width: int, height: int) -> ImageData:
+    """Bilinear resample with half-pixel sample centers (the
+    OpenCV/PIL "align_corners=False" convention): source coordinate
+    ``(i + 0.5) * src/dst − 0.5``, edge-clamped, float64 accumulate,
+    round-half-away rounding — deterministic across platforms. The
+    anti-aliased sibling of :func:`resize_nearest` for model-input
+    preprocessing."""
+    if width < 1 or height < 1:
+        raise ValueError("target size must be >= 1")
+    ch = img.channels
+    src = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, ch
+    ).astype(np.float64)
+
+    def axis_coords(dst: int, n: int):
+        c = (np.arange(dst) + 0.5) * (n / dst) - 0.5
+        c = np.clip(c, 0.0, n - 1.0)
+        lo = np.floor(c).astype(np.int64)
+        hi = np.minimum(lo + 1, n - 1)
+        return lo, hi, c - lo
+
+    ylo, yhi, fy = axis_coords(height, img.height)
+    xlo, xhi, fx = axis_coords(width, img.width)
+    top = src[ylo][:, xlo] * (1 - fx)[None, :, None] + \
+        src[ylo][:, xhi] * fx[None, :, None]
+    bot = src[yhi][:, xlo] * (1 - fx)[None, :, None] + \
+        src[yhi][:, xhi] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return ImageData(width, height, ch, np.ascontiguousarray(out).tobytes())
+
+
+def center_crop(img: ImageData, width: int, height: int) -> ImageData:
+    """Centered crop (the classifier-preprocessing standard). The
+    target must fit inside the source — compose with a resize first
+    for the usual shorter-side-resize + crop recipe."""
+    if width > img.width or height > img.height:
+        raise ValueError(
+            f"crop {width}x{height} exceeds source "
+            f"{img.width}x{img.height}"
+        )
+    ch = img.channels
+    src = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, ch
+    )
+    y0 = (img.height - height) // 2
+    x0 = (img.width - width) // 2
+    out = src[y0 : y0 + height, x0 : x0 + width]
+    return ImageData(width, height, ch, np.ascontiguousarray(out).tobytes())
+
+
+def resample_linear(audio: "AudioData", new_rate: int) -> "AudioData":
+    """Linear-interpolation resample to ``new_rate`` Hz (the cheap
+    deterministic path; no windowed-sinc dependency). Output length is
+    ``round(n * new_rate / rate)``; sample positions map with the same
+    half-open convention both directions, so
+    ``resample(resample(a, 2r), r)`` returns a same-length signal."""
+    if new_rate < 1:
+        raise ValueError("new_rate must be >= 1")
+    s = audio.samples
+    n = len(s)
+    if n == 0 or new_rate == audio.rate:
+        return AudioData(new_rate, audio.channels, s.copy())
+    m = max(1, int(round(n * new_rate / audio.rate)))
+    pos = np.arange(m) * (n / m)
+    lo = np.minimum(np.floor(pos).astype(np.int64), n - 1)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = pos - lo
+    out = s[lo] * (1 - frac) + s[hi] * frac
+    return AudioData(new_rate, audio.channels, out)
+
+
+def trim_silence(
+    audio: "AudioData", threshold: float = 0.01, pad_ms: int = 0
+) -> "AudioData":
+    """Strip leading/trailing samples whose |amplitude| is below
+    ``threshold`` (absolute, samples are in [-1, 1]), keeping
+    ``pad_ms`` of context on each side. All-silent input yields an
+    empty signal (duration 0) rather than raising — the batch-safe
+    contract for a corpus full of dead air."""
+    s = audio.samples
+    loud = np.flatnonzero(np.abs(s) >= threshold)
+    if len(loud) == 0:
+        return AudioData(audio.rate, audio.channels, s[:0])
+    pad = int(audio.rate * pad_ms / 1000)
+    a = max(0, int(loud[0]) - pad)
+    b = min(len(s), int(loud[-1]) + 1 + pad)
+    return AudioData(audio.rate, audio.channels, s[a:b].copy())

@@ -447,17 +447,29 @@ def resize_media(
     height: int,
     out_col: str = "resized",
     batch_size: int = 64,
+    method: str = "nearest",
 ) -> DataFrame:
     """Arrow-batched media resize: adds ``out_col`` as a media struct with
-    the target dimensions.
+    the target dimensions. ``method`` picks the pixel kernel:
+    ``"nearest"`` (default — the deterministic dHash-compatible path)
+    or ``"bilinear"`` (r8 — half-pixel-center anti-aliased resample,
+    the model-input preprocessing standard).
 
     PNG, BMP, and (r6) baseline-JPEG payloads take the REAL pixel
-    path: pure stdlib+numpy decode → nearest-neighbor resample → PNG
+    path: pure stdlib+numpy decode → resample → PNG
     re-encode (output mime becomes ``image/png``). The ``fake/`` mime
     family keeps its deterministic truncate/cycle payload for
     oracle-friendly tests; other mimes (arithmetic JPEG without PIL,
     video) raise NotImplementedError.
     """
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(
+            f"method must be 'nearest' or 'bilinear', got {method!r}"
+        )
+    kernel = (
+        _codecs.resize_nearest if method == "nearest"
+        else _codecs.resize_bilinear
+    )
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     media_field = next(f for f in df.schema.fields if f.name == media_col)
@@ -500,7 +512,7 @@ def resize_media(
                         img = _codecs.decode_bmp(payload)
                     else:
                         img = _codecs.decode_jpeg(payload)
-                    resized = _codecs.resize_nearest(img, width, height)
+                    resized = kernel(img, width, height)
                     r = dict(m)
                     r["payload"] = _codecs.encode_png(resized)
                     r["mime"] = "image/png"

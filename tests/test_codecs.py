@@ -939,3 +939,92 @@ class TestCorruptStreamRobustness:
         data[pos + 2 : pos + 4] = struct.pack(">H", 4)  # len covers 2 bytes
         with pytest.raises(ValueError, match="truncated SOS"):
             C.decode_jpeg(bytes(data))
+
+
+class TestResizeCropAudioPrep:
+    """r8: bilinear resize, center crop, linear audio resample,
+    silence trim — hand-computed expectations."""
+
+    def test_bilinear_identity(self):
+        px = bytes(range(48))
+        img = C.ImageData(4, 4, 3, px)
+        out = C.resize_bilinear(img, 4, 4)
+        assert out.pixels == px  # same size -> exact passthrough
+
+    def test_bilinear_2x_upsample_midpoints(self):
+        # 1-channel 2x1 [0, 100] -> 4x1: half-pixel centers at source
+        # coords -0.25, 0.25, 0.75, 1.25 -> clamped 0, 25, 75, 100
+        img = C.ImageData(2, 1, 1, bytes([0, 100]))
+        out = C.resize_bilinear(img, 4, 1)
+        assert list(out.pixels) == [0, 25, 75, 100]
+
+    def test_bilinear_downsample_average(self):
+        # 2x1 -> 1x1 lands exactly between the two pixels
+        img = C.ImageData(2, 1, 1, bytes([10, 30]))
+        out = C.resize_bilinear(img, 1, 1)
+        assert list(out.pixels) == [20]
+
+    def test_bilinear_vs_nearest_smoother(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        img = C.ImageData(
+            8, 8, 1, rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+        )
+        bi = np.frombuffer(
+            C.resize_bilinear(img, 16, 16).pixels, np.uint8
+        ).astype(int).reshape(16, 16)
+        nn = np.frombuffer(
+            C.resize_nearest(img, 16, 16).pixels, np.uint8
+        ).astype(int).reshape(16, 16)
+        # total variation of the bilinear upsample is strictly lower
+        tv = lambda a: np.abs(np.diff(a, axis=0)).sum() + np.abs(
+            np.diff(a, axis=1)
+        ).sum()
+        assert tv(bi) < tv(nn)
+
+    def test_center_crop(self):
+        px = bytes(range(16))  # 4x4 single channel, row-major 0..15
+        img = C.ImageData(4, 4, 1, px)
+        out = C.center_crop(img, 2, 2)
+        assert list(out.pixels) == [5, 6, 9, 10]
+
+    def test_center_crop_too_big_raises(self):
+        img = C.ImageData(2, 2, 1, bytes(4))
+        with pytest.raises(ValueError, match="exceeds source"):
+            C.center_crop(img, 3, 2)
+
+    def test_resample_double_rate_ramp(self):
+        import numpy as np
+
+        a = C.AudioData(100, 1, np.arange(10, dtype=float))
+        out = C.resample_linear(a, 200)
+        assert out.rate == 200 and len(out.samples) == 20
+        # a linear ramp stays linear under linear interpolation
+        d = np.diff(out.samples[:-1])
+        assert np.allclose(d, d[0])
+
+    def test_resample_same_rate_is_copy(self):
+        import numpy as np
+
+        a = C.AudioData(100, 1, np.array([1.0, -1.0]))
+        out = C.resample_linear(a, 100)
+        assert np.array_equal(out.samples, a.samples)
+
+    def test_trim_silence(self):
+        import numpy as np
+
+        s = np.concatenate([np.zeros(50), np.ones(30) * 0.5, np.zeros(20)])
+        a = C.AudioData(1000, 1, s)
+        out = C.trim_silence(a, threshold=0.01)
+        assert len(out.samples) == 30 and out.samples.min() == 0.5
+
+    def test_trim_silence_with_pad_and_all_silent(self):
+        import numpy as np
+
+        s = np.concatenate([np.zeros(50), np.ones(10), np.zeros(50)])
+        a = C.AudioData(1000, 1, s)
+        out = C.trim_silence(a, threshold=0.5, pad_ms=10)  # 10 samples
+        assert len(out.samples) == 30  # 10 pad + 10 loud + 10 pad
+        silent = C.trim_silence(C.AudioData(1000, 1, np.zeros(99)))
+        assert len(silent.samples) == 0 and silent.duration_ms == 0

@@ -251,3 +251,34 @@ class TestPerceptualHash:
             MM.image_near_duplicates(
                 images, "media", "id", max_distance=8, bands=8
             )
+
+
+class TestResizeMediaBilinear:
+    def test_bilinear_method_real_pixels(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions import _codecs as C
+        from pandas_weights_spark.functions.multimodal import resize_media
+
+        img = C.ImageData(2, 1, 1, bytes([0, 100]))
+        png = C.encode_png(img)
+        df = spark.createDataFrame(
+            [(1, {"mime": "image/png", "payload": png, "width": 2,
+                  "height": 1})],
+            "id long, media struct<mime:string,payload:binary,"
+            "width:int,height:int>",
+        )
+        out = resize_media(
+            df, "media", 4, 1, method="bilinear"
+        ).first()["resized"]
+        dec = C.decode_png(bytes(out["payload"]))
+        assert list(dec.pixels) == [0, 25, 75, 100]
+
+    def test_bad_method_raises(self, spark):
+        from pandas_weights_spark.functions.multimodal import resize_media
+
+        df = spark.createDataFrame([(1,)], "id long")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="method"):
+            resize_media(df, "id", 2, 2, method="cubic")
