@@ -955,9 +955,32 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.round(F.col("logprob_mean"), 6).alias("v1"),
         F.round(F.col("ppl"), 6).alias("v2"),
     )
+    # r8: GENERAL-ORDER interpolated LM at KenLM order 5 (text.
+    # ngram_lm_score over the NON-CONSECUTIVE order set {5, 2} — a
+    # valid Jelinek-Mercer model; the fixed-order bigram/trigram
+    # functions are parity-pinned specializations in pytest):
+    # p = 0.5*p5 + (0.3*p2 + (1-(0.3+0.5))*p_uni), capped quintuple
+    # table with w1..w4 context marginals, same smoothed floor.
+    from pandas_weights_spark.functions.text import (
+        ngram_counts,
+        ngram_lm_score,
+    )
+
+    qgt = ngram_counts(docs, "text", 5, max_ngrams=5000)
+    lm5 = ngram_lm_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id", lmvocab,
+        {5: qgt, 2: bgt}, {5: 0.5, 2: 0.3}, alpha=0.5,
+    ).select(
+        F.lit("lm5").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.round(F.col("logprob_mean"), 6).alias("v1"),
+        F.round(F.col("ppl"), 6).alias("v2"),
+    )
     return (
         tf.unionByName(vocab).unionByName(bpe).unionByName(usd)
         .unionByName(lm).unionByName(lm2).unionByName(lm3)
+        .unionByName(lm5)
     )
 
 
@@ -4288,6 +4311,96 @@ _ORACLE["tfidf_top_terms"] = r"""
         CROSS JOIN tot
       )
       SELECT doc_id, AVG(lp) AS lpm FROM sc3 GROUP BY doc_id
+    )
+    UNION ALL
+    -- r8: general-order interpolated LM replay (text.ngram_lm_score,
+    -- non-consecutive orders {5, 2}): p = 0.5*c5/c(w1..w4.)
+    -- + (0.3*c2/c(w4.) + (1-(0.3+0.5))*p_uni(w5)) — parens mirror the
+    -- engine's accumulation order; capped quintuple table, same
+    -- smoothed floor; docs < 50 scored over token QUINTUPLES
+    SELECT 'lm5' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+           round(lpm, 6) AS v1, round(exp(-lpm), 6) AS v2
+    FROM (
+      WITH dt AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+      ), lt2 AS (
+        SELECT doc_id, unnest(w) AS term FROM dt
+      ), lt3 AS (SELECT doc_id, term FROM lt2 WHERE term <> ''),
+      vm AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS mass FROM lt3
+        GROUP BY term HAVING COUNT(*) >= 1.0
+        ORDER BY mass DESC, term LIMIT 5000
+      ),
+      tot AS (SELECT SUM(mass) AS W, COUNT(*) AS V FROM vm),
+      bp AS (
+        SELECT p.a AS w1, p.b AS w2 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 2
+                        THEN [{'a': w[i], 'b': w[i+1]}
+                              for i in range(1, len(w))]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      bgr AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+        GROUP BY w1, w2
+        ORDER BY mass DESC, w1, w2 LIMIT 5000
+      ),
+      mg AS (SELECT w1, SUM(mass) AS m1 FROM bgr GROUP BY w1),
+      qp AS (
+        SELECT p.a AS w1, p.b AS w2, p.c AS w3, p.d AS w4, p.e AS w5
+        FROM (
+          SELECT unnest(CASE WHEN len(w) >= 5
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2],
+                               'd': w[i+3], 'e': w[i+4]}
+                              for i in range(1, len(w) - 3)]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      qgr AS (
+        SELECT w1, w2, w3, w4, w5, CAST(COUNT(*) AS DOUBLE) AS mass
+        FROM qp GROUP BY w1, w2, w3, w4, w5
+        ORDER BY mass DESC, w1, w2, w3, w4, w5 LIMIT 5000
+      ),
+      qmg AS (
+        SELECT w1, w2, w3, w4, SUM(mass) AS m1234 FROM qgr
+        GROUP BY w1, w2, w3, w4
+      ),
+      dquint AS (
+        SELECT doc_id, p.a AS w1, p.b AS w2, p.c AS w3, p.d AS w4,
+               p.e AS w5
+        FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= 5
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2],
+                               'd': w[i+3], 'e': w[i+4]}
+                              for i in range(1, len(w) - 3)]
+                        ELSE [] END) AS p
+          FROM dt WHERE doc_id < 50
+        )
+      ),
+      sc5 AS (
+        SELECT d.doc_id,
+               ln(0.5 * COALESCE(qgr.mass / qmg.m1234, 0.0)
+                  + (0.3 * COALESCE(bgr.mass / mg.m1, 0.0)
+                     + (1.0 - (0.3 + 0.5)) * exp(
+                         COALESCE(ln(vm.mass + 0.5), ln(0.5))
+                         - ln(tot.W + 0.5 * (tot.V + 1))))) AS lp
+        FROM dquint d
+        LEFT JOIN qgr ON d.w1 = qgr.w1 AND d.w2 = qgr.w2
+                     AND d.w3 = qgr.w3 AND d.w4 = qgr.w4
+                     AND d.w5 = qgr.w5
+        LEFT JOIN qmg ON d.w1 = qmg.w1 AND d.w2 = qmg.w2
+                     AND d.w3 = qmg.w3 AND d.w4 = qmg.w4
+        LEFT JOIN bgr ON d.w4 = bgr.w1 AND d.w5 = bgr.w2
+        LEFT JOIN mg ON d.w4 = mg.w1
+        LEFT JOIN vm ON d.w5 = vm.term
+        CROSS JOIN tot
+      )
+      SELECT doc_id, AVG(lp) AS lpm FROM sc5 GROUP BY doc_id
     )
 """
 

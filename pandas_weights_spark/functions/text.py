@@ -51,6 +51,8 @@ __all__ = [
     "normalize_text",
     "SENTENCE_ABBREVIATIONS",
     "split_sentences",
+    "ngram_counts",
+    "ngram_lm_score",
 ]
 
 
@@ -1177,4 +1179,149 @@ def split_sentences_sql(expr: str) -> str:
     return (
         f"list_filter(list_transform(string_split({e}, chr(2)), "
         f"s -> trim(replace(s, chr(1), '.'))), s -> length(s) > 0)"
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    max_ngrams: int = 500_000,
+    lowercase: bool = True,
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Corpus n-gram table ``(w1..wn, mass)`` for ANY order ``n >= 2``
+    — the general form of :func:`bigram_counts` / :func:`trigram_counts`
+    (same row-local fan-out + map-side-combining aggregate + exact
+    capped top-``max_ngrams`` by (mass desc, w1..wn) via
+    ``topk.global_top_by_mass``; output rows arrive in no promised
+    order). CCNet's KenLM is order 5 — ``ngram_counts(df, t, 5)`` is
+    that table."""
+    n = int(n)
+    if n < 2:
+        raise ValueError("n must be >= 2 (use unigram_logprobs below)")
+    w = weight if weight is not None else F.lit(1.0)
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+    toks = tokens(lowered)
+    grams = F.when(
+        F.size(toks) >= n, word_ngrams(lowered, n, toks=toks)
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        w.cast("double").alias("__w__"), F.explode(grams).alias("g")
+    ).where(F.length("g") > 0)
+    split = F.split(F.col("g"), " ", n)
+    cols = [F.get(split, i).alias(f"w{i + 1}") for i in range(n)]
+    from pandas_weights_spark.topk import global_top_by_mass
+
+    agg = (
+        rows.select(*cols, "__w__")
+        .groupBy(*[f"w{i + 1}" for i in range(n)])
+        .agg(F.sum("__w__").alias("mass"))
+    )
+    order = [F.col("mass").desc()] + [
+        F.col(f"w{i + 1}") for i in range(n)
+    ]
+    return global_top_by_mass(agg, "mass", order, max_ngrams)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    tables: "dict[int, DataFrame]",
+    lambdas: "dict[int, float]",
+    alpha: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated LM perplexity for an ARBITRARY set
+    of orders — the general rung of the CCNet ladder (Wenzek et al.
+    2019 run order 5):
+
+    ``p(w_N | context) = Σ_k λ_k · c(last k words)/c(context_k) +
+    (1 − Σλ) · p_uni(w_N)``
+
+    ``tables[k]`` is the :func:`ngram_counts` table of order ``k``
+    (orders need not be consecutive — ``{5: t5, 2: t2}`` is a valid
+    model); each order's conditional uses its own capped table's
+    context marginal, and unseen grams at any order fall through to
+    the lower terms. Output ``(id_col, n_ngrams, logprob_mean, ppl)``
+    over the doc's N-tuples (N = max order); docs with fewer than N
+    tokens emit no row.
+
+    Scale shape identical to :func:`trigram_lm_score`: one row-local
+    N-tuple fan-out, one BROADCAST join per order plus the V-row
+    unigram table, one doc-keyed aggregate. ``bigram_lm_score`` /
+    ``trigram_lm_score`` are the fixed-order specializations (parity
+    pinned in tests)."""
+    orders = sorted(tables)
+    if not orders or min(orders) < 2:
+        raise ValueError("tables must be keyed by orders >= 2")
+    if set(lambdas) != set(tables):
+        raise ValueError("lambdas and tables must share the same orders")
+    lam = {k: float(lambdas[k]) for k in orders}
+    if any(v < 0 for v in lam.values()) or sum(lam.values()) >= 1.0:
+        raise ValueError(
+            "need every lambda >= 0 and sum(lambdas) < 1 "
+            "(the unigram floor must stay positive)"
+        )
+    N = max(orders)
+    lp, oov = unigram_logprobs(vocab, alpha)
+
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+    toks = tokens(lowered)
+    grams = F.when(
+        F.size(toks) >= N, word_ngrams(lowered, N, toks=toks)
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).where(F.length("g") > 0)
+    split = F.split(F.col("g"), " ", N)
+    tuples = pos.select(
+        id_col,
+        *[F.get(split, i).alias(f"t{i + 1}") for i in range(N)],
+    )
+    joined = tuples
+    for k in orders:
+        tab = tables[k]
+        ctx = [f"w{i + 1}" for i in range(k - 1)]
+        marg = tab.groupBy(*ctx).agg(F.sum("mass").alias("__m__"))
+        cond = tab.join(marg, ctx).select(
+            *[
+                # table position i+1 aligns with tuple position
+                # N - k + i + 1 (the LAST k words of the N-tuple)
+                F.col(f"w{i + 1}").alias(f"t{N - k + i + 1}")
+                for i in range(k)
+            ],
+            (F.col("mass") / F.col("__m__")).alias(f"__p{k}__"),
+        )
+        joined = joined.join(
+            F.broadcast(cond),
+            [f"t{N - k + i + 1}" for i in range(k)],
+            "left",
+        )
+    joined = joined.join(
+        F.broadcast(lp.withColumnRenamed("term", f"t{N}")),
+        f"t{N}",
+        "left",
+    )
+    p_uni = F.exp(F.coalesce(F.col("logp"), F.lit(float(oov))))
+    p = F.lit(1.0 - sum(lam.values())) * p_uni
+    for k in orders:
+        p = (
+            F.lit(lam[k]) * F.coalesce(F.col(f"__p{k}__"), F.lit(0.0))
+            + p
+        )
+    scored = joined.select(id_col, F.log(p).alias("__lp__"))
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.avg("__lp__").alias("logprob_mean"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "logprob_mean",
+        F.exp(-F.col("logprob_mean")).alias("ppl"),
     )

@@ -988,3 +988,150 @@ class TestSplitSentences:
             ).fetchall()
         )
         assert got == want
+
+
+class TestGeneralOrderNgramLM:
+    """r8: ngram_counts / ngram_lm_score — the arbitrary-order
+    Jelinek-Mercer generalization. Fixed-order parity with the
+    bigram/trigram specializations is the main contract."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox leaps over the lazy cat"),
+            (2, "a completely different sentence with novel words"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+            (4, "quick the fox brown dog lazy the over jumps"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _vocab(self, corpus):
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        return build_vocabulary(corpus, "text", max_size=1000)
+
+    def test_order2_matches_bigram_lm_score(self, spark, corpus):
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            bigram_lm_score,
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        v = self._vocab(corpus)
+        bg_old = bigram_counts(corpus, "text", max_bigrams=100)
+        bg_new = ngram_counts(corpus, "text", 2, max_ngrams=100)
+        # same capped table (as sets)
+        a = {(r["w1"], r["w2"], r["mass"]) for r in bg_old.collect()}
+        b = {(r["w1"], r["w2"], r["mass"]) for r in bg_new.collect()}
+        assert a == b
+        old = {
+            r["doc_id"]: r["ppl"]
+            for r in bigram_lm_score(
+                corpus, "text", "doc_id", v, bg_old,
+                alpha=0.5, interp=0.7,
+            ).collect()
+        }
+        new = {
+            r["doc_id"]: r["ppl"]
+            for r in ngram_lm_score(
+                corpus, "text", "doc_id", v, {2: bg_new}, {2: 0.7},
+                alpha=0.5,
+            ).collect()
+        }
+        assert set(old) == set(new)
+        for k in old:
+            assert new[k] == pytest.approx(old[k], rel=1e-9)
+
+    def test_order32_matches_trigram_lm_score(self, spark, corpus):
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            ngram_counts,
+            ngram_lm_score,
+            trigram_counts,
+            trigram_lm_score,
+        )
+
+        v = self._vocab(corpus)
+        bg = bigram_counts(corpus, "text", max_bigrams=100)
+        tg = trigram_counts(corpus, "text", max_trigrams=100)
+        old = {
+            r["doc_id"]: (r["n_trigrams"], r["ppl"])
+            for r in trigram_lm_score(
+                corpus, "text", "doc_id", v, bg, tg,
+                alpha=0.5, lambda3=0.6, lambda2=0.3,
+            ).collect()
+        }
+        new = {
+            r["doc_id"]: (r["n_ngrams"], r["ppl"])
+            for r in ngram_lm_score(
+                corpus, "text", "doc_id", v,
+                {3: ngram_counts(corpus, "text", 3, 100), 2: bg},
+                {3: 0.6, 2: 0.3}, alpha=0.5,
+            ).collect()
+        }
+        assert set(old) == set(new)
+        for k in old:
+            assert new[k][0] == old[k][0]
+            assert new[k][1] == pytest.approx(old[k][1], rel=1e-9)
+
+    def test_order5_discriminates_novel_quintuples(self, spark, corpus):
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        # train the tables on docs 0-3 ONLY; doc 4 is held out — it
+        # reuses the training WORDS (unigram-blind) in a novel order,
+        # so its quintuples and pairs are unseen and it must fall to
+        # the unigram floor, while doc 0's quintuples are attested
+        train = corpus.where(F.col("doc_id") < 4)
+        v = self._vocab(train)
+        t5 = ngram_counts(train, "text", 5, 1000)
+        t2 = ngram_counts(train, "text", 2, 1000)
+        ppl = {
+            r["doc_id"]: r["ppl"]
+            for r in ngram_lm_score(
+                corpus, "text", "doc_id", v, {5: t5, 2: t2},
+                {5: 0.5, 2: 0.3},
+            ).collect()
+        }
+        assert ppl[4] > 2.0 * ppl[0]
+
+    def test_short_docs_emit_no_row(self, spark):
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        df = spark.createDataFrame(
+            [(0, "only four words here"), (1, "a b c d e")],
+            "doc_id long, text string",
+        )
+        v = build_vocabulary(df, "text", max_size=100)
+        out = ngram_lm_score(
+            df, "text", "doc_id", v,
+            {5: ngram_counts(df, "text", 5, 100)}, {5: 0.5},
+        )
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+    def test_guards(self, spark, corpus):
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        v = self._vocab(corpus)
+        t2 = ngram_counts(corpus, "text", 2, 100)
+        with pytest.raises(ValueError, match="n must be >= 2"):
+            ngram_counts(corpus, "text", 1)
+        with pytest.raises(ValueError, match="same orders"):
+            ngram_lm_score(
+                corpus, "text", "doc_id", v, {2: t2}, {3: 0.5}
+            )
+        with pytest.raises(ValueError, match="unigram floor"):
+            ngram_lm_score(
+                corpus, "text", "doc_id", v, {2: t2}, {2: 1.0}
+            )
