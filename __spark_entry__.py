@@ -7810,6 +7810,47 @@ _ORACLE["link_graph"] = """
 """
 
 
+def _q_pdf_extract(spark, sf_dir):
+    # r8: PDF text layer (pure-stdlib _codecs.encode_pdf /
+    # pdf_to_text — FlateDecode streams + Tj/TJ/' operator replay,
+    # the documents-modality sibling of the JPEG/PNG/WAV codecs).
+    # Each doc becomes a real compressed one-page PDF in mapInPandas,
+    # then the extraction surface parses the text layer back; the
+    # oracle states the roundtrip identity. Foreign-operator shapes
+    # (TJ kerning arrays, ', octal escapes) and the crash-free fuzz
+    # contract are pytest-pinned.
+    from pandas_weights_spark.functions import _codecs
+    from pandas_weights_spark.functions.multimodal import (
+        pdf_extract_text,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _codecs.encode_pdf([t if t is not None else ""])
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    return pdf_extract_text(built, "payload", out_col="text").select(
+        "doc_id", "text"
+    )
+
+
+_ORACLE["pdf_extract"] = """
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
+"""
+
+
 def _q_datasheet(spark, sf_dir):
     # r8: corpus datasheet (functions/datasheet.py — the Datasheets-
     # for-Datasets / Dolma release-table rollup): per source, doc and
@@ -8079,6 +8120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _q_link_graph,
         "code_detect": _q_code_detect,
         "datasheet": _q_datasheet,
+        "pdf_extract": _q_pdf_extract,
     }
 
 

@@ -104,6 +104,7 @@ HEADLINE = [
     "link_graph",          # host-level link edges from HTML (r8)
     "code_detect",         # code-vs-prose signal panel (r8)
     "datasheet",           # corpus data-card rollup (r8)
+    "pdf_extract",         # pure-stdlib PDF text layer roundtrip (r8)
 ]
 
 

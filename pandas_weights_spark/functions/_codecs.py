@@ -1888,3 +1888,243 @@ def trim_silence(
     a = max(0, int(loud[0]) - pad)
     b = min(len(s), int(loud[-1]) + 1 + pad)
     return AudioData(audio.rate, audio.channels, s[a:b].copy())
+
+
+# --- PDF (text documents) --------------------------------------------
+# Public spec: ISO 32000-1 / the Adobe PDF 1.4 reference. Pure stdlib:
+# the only compression is FlateDecode (zlib). encode_pdf writes the
+# minimal conforming single-font document (the fixture/round-trip
+# counterpart, like encode_jpeg for the JPEG decoder); pdf_to_text
+# walks content streams and replays the text-showing operators.
+
+
+def _pdf_escape(line: str) -> bytes:
+    out = bytearray()
+    for ch in line:
+        o = ord(ch)
+        if o > 255:
+            raise ValueError(
+                "encode_pdf supports Latin-1 text only "
+                f"(codepoint {o} cannot be a PDFDocEncoded literal)"
+            )
+        if ch in "\\()":
+            out += b"\\" + ch.encode("latin-1")
+        elif o < 32 or o > 126:
+            out += ("\\%03o" % o).encode("ascii")
+        else:
+            out.append(o)
+    return bytes(out)
+
+
+def encode_pdf(pages: "list[str]", compress: bool = True) -> bytes:
+    """Minimal valid PDF 1.4: one Helvetica text page per input
+    string (lines split on ``\\n``, one ``Tj`` per line, ``0 -14 Td``
+    line advance), FlateDecode-compressed content streams by default.
+    Deterministic bytes for the same input."""
+    if not pages:
+        raise ValueError("encode_pdf needs at least one page")
+    n_pages = len(pages)
+    font_num = 3 + n_pages
+    objs: "list[bytes]" = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    content_nums = []
+    for i in range(n_pages):
+        cnum = font_num + 1 + i
+        content_nums.append(cnum)
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {cnum} 0 R >>"
+            ).encode()
+        )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    streams = []
+    for text in pages:
+        body = bytearray(b"BT /F1 11 Tf 50 750 Td\n")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b"0 -14 Td\n"
+            body += b"(" + _pdf_escape(line) + b") Tj\n"
+        body += b"ET"
+        raw = bytes(body)
+        if compress:
+            comp = zlib.compress(raw, 6)
+            streams.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(comp) + comp + b"\nendstream"
+            )
+        else:
+            streams.append(
+                b"<< /Length %d >>\nstream\n" % len(raw)
+                + raw + b"\nendstream"
+            )
+    objs.extend(streams)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _pdf_string(data: bytes, i: int) -> "tuple[str, int]":
+    """Parse a PDF literal string starting at the '(' — returns
+    (decoded text, index past the ')')."""
+    assert data[i : i + 1] == b"("
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x5C:  # backslash
+            nxt = data[i + 1 : i + 2]
+            if nxt.isdigit():
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                    oct_digits += data[j : j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            mapping = {
+                b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+                b"(": 40, b")": 41, b"\\": 92,
+            }
+            if nxt in mapping:
+                out.append(mapping[nxt])
+                i += 2
+                continue
+            if nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            i += 1  # lone backslash: drop (spec: ignore)
+            continue
+        if b == 0x28:  # (
+            depth += 1
+        elif b == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), i + 1
+        out.append(b)
+        i += 1
+    raise ValueError("unterminated PDF string literal")
+
+
+def _pdf_content_text(stream: bytes) -> "list[str]":
+    """Text chunks of one content stream in operator order: every
+    Tj / ' / \" string and every TJ array's string pieces (joined);
+    a Td/TD/T*/' between showings starts a new chunk."""
+    chunks: "list[str]" = []
+    cur: "list[str]" = []
+    i, n = 0, len(stream)
+    pending: "list[str]" = []
+
+    def flush_line():
+        if pending:
+            cur.append("".join(pending))
+            pending.clear()
+
+    while i < n:
+        b = stream[i : i + 1]
+        if b == b"(":
+            s, i = _pdf_string(stream, i)
+            pending.append(s)
+            continue
+        if b == b"[":  # TJ array: strings + kerning numbers
+            i += 1
+            continue
+        if stream[i : i + 2] in (b"Td", b"TD", b"T*"):
+            flush_line()
+            i += 2
+            continue
+        if b == b"'":
+            # ' is T* + Tj: ITS OWN string (the last one scanned)
+            # starts the new line; everything before it flushes first
+            own = pending.pop() if pending else ""
+            flush_line()
+            if own:
+                pending.append(own)
+            i += 1
+            continue
+        i += 1
+    flush_line()
+    chunks.extend(cur)
+    return chunks
+
+
+def pdf_to_text(payload: bytes) -> str:
+    """Text of a (simple, text-based) PDF: every stream object is
+    inflated when ``/FlateDecode``-filtered, and the text-showing
+    operators (``Tj``, ``'``, ``TJ``) are replayed in order; ``Td`` /
+    ``TD`` / ``T*`` line moves become newlines, page streams join
+    with ``\\f``. Image-only or exotic PDFs (cross-reference streams,
+    LZW, encrypted) yield whatever literal text parses — or raise
+    ``ValueError`` when the payload is not a PDF at all. Scanned PDFs
+    have no text layer (that is OCR's job, out of scope)."""
+    if payload[:5] != b"%PDF-":
+        raise ValueError("not a PDF: bad header")
+    pages: "list[str]" = []
+    pos = 0
+    n = len(payload)
+    while True:
+        s = payload.find(b"stream", pos)
+        if s < 0:
+            break
+        dict_start = payload.rfind(b"<<", 0, s)
+        header = payload[dict_start:s] if dict_start >= 0 else b""
+        data_start = s + 6
+        if payload[data_start : data_start + 2] == b"\r\n":
+            data_start += 2
+        elif payload[data_start : data_start + 1] == b"\n":
+            data_start += 1
+        e = payload.find(b"endstream", data_start)
+        if e < 0:
+            break
+        import re as _re
+
+        m = _re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", header)
+        if m:
+            # direct /Length: the EXACT data byte count (T 7.3.8) —
+            # never guess, a stream may legitimately end in \r/\n
+            raw = payload[data_start : data_start + int(m.group(1))]
+        else:
+            # indirect/missing length: strip the writer's EOL-before-
+            # endstream heuristically
+            raw = payload[data_start:e]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+        pos = e + 9
+        if b"/FlateDecode" in header:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue  # corrupt/unsupported stream: skip it
+        elif b"/Filter" in header:
+            continue  # other filters unsupported: skip
+        chunks = _pdf_content_text(raw)
+        if chunks:
+            pages.append("\n".join(chunks))
+    return "\f".join(pages)

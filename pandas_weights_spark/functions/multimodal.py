@@ -47,6 +47,7 @@ __all__ = [
     "audio_feature_vector",
     "decode_features",
     "probe_media",
+    "pdf_extract_text",
     "frame_sample_plan",
     "resize_media",
     "perceptual_hash",
@@ -393,6 +394,8 @@ def probe_media(
             if payload[:2] == b"\xff\xd8":
                 w, h, comps = _codecs.jpeg_dimensions(payload)
                 return ("jpeg", w, h, comps, None, None)
+            if payload[:5] == b"%PDF-":
+                return ("pdf", None, None, None, None, None)
             if payload[4:8] == b"ftyp" or payload[4:8] == b"moov":
                 m = _codecs.mp4_metadata(payload)
                 return ("mp4", m["width"], m["height"], m["n_tracks"],
@@ -766,6 +769,46 @@ def spectral_audio_features(
                     rows.append(None)
             yield pd.DataFrame(
                 {**{c: pdf[c] for c in pdf.columns}, out_col: rows}
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def pdf_extract_text(
+    df: DataFrame,
+    payload_col: str,
+    out_col: str = "pdf_text",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Text layer of PDF payloads (pure-stdlib ``_codecs.pdf_to_text``:
+    FlateDecode streams + Tj/TJ/' text-showing operators, Td/TD/T*
+    line moves → newlines, pages join with ``\\f``). NULL / non-PDF /
+    corrupt payloads yield NULL (batch-safe — one bad document never
+    kills a 100 TB scan). Arrow-batched ``mapInPandas``, no shuffle —
+    the documents-modality sibling of :func:`decode_features`."""
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.StringType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(_codecs.pdf_to_text(bytes(payload)))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in pdf.columns}, out_col: out}
             )
 
     return df.mapInPandas(run, out_schema)

@@ -1028,3 +1028,117 @@ class TestResizeCropAudioPrep:
         assert len(out.samples) == 30  # 10 pad + 10 loud + 10 pad
         silent = C.trim_silence(C.AudioData(1000, 1, np.zeros(99)))
         assert len(silent.samples) == 0 and silent.duration_ms == 0
+
+
+class TestPdfCodec:
+    """r8: pure-stdlib PDF text layer (encode_pdf fixture writer +
+    pdf_to_text extractor). Hand-built raw content streams cover the
+    foreign-operator shapes our encoder never emits (TJ kerning
+    arrays, the ' move-and-show operator, octal escapes)."""
+
+    def test_roundtrip_multipage(self):
+        texts = [
+            "Hello world\nSecond line with (parens) and \\ backslash",
+            "Page two: tab\there\nand more",
+        ]
+        assert C.pdf_to_text(C.encode_pdf(texts)) == "\f".join(texts)
+
+    def test_roundtrip_uncompressed(self):
+        t = ["plain stream body"]
+        data = C.encode_pdf(t, compress=False)
+        assert b"/FlateDecode" not in data
+        assert C.pdf_to_text(data) == t[0]
+
+    def test_valid_structure_for_foreign_readers(self):
+        data = C.encode_pdf(["x"])
+        assert data.startswith(b"%PDF-1.4\n")
+        assert data.rstrip().endswith(b"%%EOF")
+        assert b"xref" in data and b"trailer" in data
+        # the startxref offset actually points at the xref table
+        tail = data[data.rindex(b"startxref") :]
+        off = int(tail.split(b"\n")[1])
+        assert data[off : off + 4] == b"xref"
+
+    def test_tj_array_and_quote_operator(self):
+        # hand-built content stream: TJ with kerning numbers joins its
+        # pieces; ' starts a new line with ITS OWN string
+        body = b"BT /F1 11 Tf 50 750 Td\n" \
+               b"[(Hel) -30 (lo)] TJ\n(world) '\nET"
+        data = (
+            b"%PDF-1.4\n1 0 obj\n"
+            + b"<< /Length %d >>\nstream\n" % len(body)
+            + body + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert C.pdf_to_text(data) == "Hello\nworld"
+
+    def test_octal_and_escape_sequences(self):
+        body = b"BT (A\\051B\\\\C\\nD) Tj ET"  # \051 = ')'
+        data = (
+            b"%PDF-1.4\n1 0 obj\n"
+            + b"<< /Length %d >>\nstream\n" % len(body)
+            + body + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert C.pdf_to_text(data) == "A)B\\C\nD"
+
+    def test_non_pdf_raises_and_non_latin1_encode_raises(self):
+        with pytest.raises(ValueError, match="not a PDF"):
+            C.pdf_to_text(b"hello")
+        with pytest.raises(ValueError, match="Latin-1"):
+            C.encode_pdf(["snowman ☃"])
+
+    def test_corrupt_flate_stream_skipped(self):
+        data = bytearray(C.encode_pdf(["kept page"]))
+        bad_body = b"\x00corrupt\x00"
+        data += (
+            b"9 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(bad_body) + bad_body + b"\nendstream\nendobj\n"
+        )
+        assert C.pdf_to_text(bytes(data)) == "kept page"
+
+    def test_fuzz_valueerror_only(self):
+        data = bytearray(C.encode_pdf(["some resilient text page"]))
+        for pos in range(0, len(data), 2):
+            for val in (0x00, 0x7F, 0xFE):
+                if data[pos] == val:
+                    continue
+                d2 = bytes(data[:pos]) + bytes([val]) + bytes(data[pos + 1 :])
+                try:
+                    C.pdf_to_text(d2)
+                except ValueError:
+                    pass
+                # other exception types propagate = failure
+
+
+class TestPdfSparkSurface:
+    def test_extract_and_probe(self, spark):
+        from pandas_weights_spark.functions.multimodal import (
+            pdf_extract_text,
+            probe_media,
+        )
+
+        texts = ["doc one text", "doc two\nwith lines"]
+        rows = [
+            (0, C.encode_pdf([texts[0]])),
+            (1, C.encode_pdf([texts[1]])),
+            (2, b"not a pdf"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r["id"]: r["pdf_text"]
+            for r in pdf_extract_text(df, "payload").collect()
+        }
+        assert got == {0: texts[0], 1: texts[1], 2: None, 3: None}
+        mdf = df.select(
+            "id",
+            F.struct(
+                F.lit("application/pdf").alias("mime"),
+                F.col("payload").alias("payload"),
+            ).alias("media"),
+        )
+        probes = {
+            r["id"]: r["probe"]
+            for r in probe_media(mdf, "media").collect()
+        }
+        assert probes[0]["format"] == "pdf"
+        assert probes[2] is None

@@ -40,6 +40,10 @@ ALLOW = {
     # container's contract (one Arrow row per SHARD, not per record;
     # the record parse itself is Column-level from_json)
     "jsonl_roundtrip": {"arrow"},
+    # PDF build (mapInPandas fixture writer) + text extraction
+    # (pdf_extract_text) are per-document codec work — the
+    # multimodal_features contract on the documents modality
+    "pdf_extract": {"arrow"},
     # weighted_linreg solves the normal equations in applyInPandas over
     # the per-group MOMENT rows (one row per group) — python above the
     # aggregate, never on the data (pinned by test_regression)
