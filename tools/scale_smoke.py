@@ -575,6 +575,38 @@ def main() -> int:
     dbench("robots_allowed", lambda: robots_allowed(
         urls, rrules, "url", "host"), docs_n)
 
+    from pandas_weights_spark.functions.datasheet import corpus_datasheet
+    from pandas_weights_spark.functions.multimodal import pdf_extract_text
+    from pandas_weights_spark.functions.quality import code_score
+    from pandas_weights_spark.functions import _codecs as _CC
+
+    dbench("code_score", lambda: docs.select(
+        "doc_id", code_score(F.col("text")).alias("cs")), docs_n)
+    sheet_src = docs.select(
+        (F.col("doc_id") % 20).cast("string").alias("source"), "text"
+    )
+    dbench("corpus_datasheet 20 groups", lambda: corpus_datasheet(
+        sheet_src, "text", ["source"]), docs_n)
+
+    # PDF codec throughput: per-doc encode+extract is Python+zlib —
+    # measure on a tenth of the corpus (the per-doc cost is the number)
+    pdf_src = docs.where(F.col("doc_id") % 10 == 0)
+
+    def _pdf_build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    _CC.encode_pdf([t or ""]) for t in pdf["text"]
+                ],
+            })
+
+    dbench("pdf encode+extract (1/10)", lambda: pdf_extract_text(
+        pdf_src.mapInPandas(_pdf_build, "doc_id long, payload binary"),
+        "payload"), int(docs_n / 10))
+
     spark.stop()
     return 0
 
