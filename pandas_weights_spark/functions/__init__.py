@@ -7,11 +7,14 @@ Pandas UDFs only where they genuinely don't (multimodal decode).
 """
 
 from pandas_weights_spark.functions import (  # noqa: F401
+    datasheet,
     dedup,
     fuzzy,
+    html,
     multimodal,
     pca,
     quality,
+    robots,
     similarity,
     text,
     vocab,

@@ -40,6 +40,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard",
     "minhash_near_duplicates",
+    "lsh_tuning",
     "minhash_signatures_agg",
     "minhash_join",
     "chunk_near_duplicates",
@@ -1270,3 +1271,52 @@ def ngram_novelty(
             F.col("n_shingles").cast("double"),
         ).alias("novelty"),
     )
+
+
+def lsh_tuning(
+    threshold: float,
+    num_hashes: int,
+    false_negative_weight: float = 0.5,
+) -> "tuple[int, int]":
+    """Pick ``(bands, rows_per_band)`` for MinHash LSH banding at a
+    target Jaccard ``threshold`` — the datasketch-style S-curve
+    optimizer (public method): candidate probability at similarity s
+    is ``1 − (1 − s^r)^b``; choose the factorization of ``num_hashes``
+    minimizing the weighted integral of false positives (area under
+    the curve below the threshold) and false negatives (area above
+    ``1 − curve``), with ``false_negative_weight`` trading recall
+    against candidate volume (raise it toward 1 for dedup pipelines
+    where a missed duplicate costs more than an extra verify).
+
+    Driver-side arithmetic over ≤ num_hashes factorizations — feed the
+    result straight into ``minhash_near_duplicates(bands=b)`` (which
+    requires ``bands | num_hashes``, exactly what this returns)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    wfn = float(false_negative_weight)
+    if not 0.0 <= wfn <= 1.0:
+        raise ValueError("false_negative_weight must be in [0, 1]")
+    wfp = 1.0 - wfn
+    steps = 200
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = 0.0
+        fn = 0.0
+        # integrate the S-curve on each side of the threshold
+        dx_lo = threshold / steps
+        for i in range(steps):
+            s = (i + 0.5) * dx_lo
+            fp += (1.0 - (1.0 - s**r) ** b) * dx_lo
+        dx_hi = (1.0 - threshold) / steps
+        for i in range(steps):
+            s = threshold + (i + 0.5) * dx_hi
+            fn += (1.0 - (1.0 - (1.0 - s**r) ** b)) * dx_hi
+        err = wfp * fp + wfn * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -136,7 +136,12 @@ def to_warc_shards(
     base = df.select(
         F.col(record_col).alias("__rec__"),
         *([F.col(order_col).alias("__ord__")] if order_col else []),
-        (uniform_hash([F.col(record_col)], seed=seed) * n_shards)
+        # base64 the binary before hashing: a binary->string cast
+        # mangles invalid-UTF8 bytes to replacement chars, which would
+        # collide distinct payloads onto one shard (balance, not
+        # correctness — but base64 is exact)
+        (uniform_hash([F.base64(F.col(record_col))], seed=seed)
+         * n_shards)
         .cast("int")
         .alias("shard"),
     )

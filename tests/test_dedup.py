@@ -807,3 +807,75 @@ class TestMinhashFastPath:
         assert [row[f"h{i}"] for i in range(4)] == [
             again[f"h{i}"] for i in range(4)
         ]
+
+
+class TestLshTuning:
+    """r8: the datasketch-style (bands, rows) S-curve optimizer."""
+
+    def test_factorization_and_monotonicity(self):
+        from pandas_weights_spark.functions.dedup import lsh_tuning
+
+        b1, r1 = lsh_tuning(0.5, 128)
+        assert b1 * r1 == 128
+        # lower thresholds want MORE bands (catch lower similarities);
+        # higher thresholds want LONGER rows (stricter bands)
+        b_lo, _ = lsh_tuning(0.2, 128)
+        b_hi, _ = lsh_tuning(0.9, 128)
+        assert b_lo >= b1 >= b_hi
+
+    def test_curve_crosses_near_threshold(self):
+        from pandas_weights_spark.functions.dedup import lsh_tuning
+
+        t = 0.5
+        b, r = lsh_tuning(t, 256)
+        curve = lambda s: 1.0 - (1.0 - s**r) ** b
+        # the 50%-candidate point lands near the target threshold
+        # (the defining property of a good banding)
+        lo, hi = t - 0.18, t + 0.18
+        assert curve(lo) < 0.5 < curve(hi)
+
+    def test_false_negative_weight_shifts_recall(self):
+        from pandas_weights_spark.functions.dedup import lsh_tuning
+
+        b_recall, r_recall = lsh_tuning(
+            0.6, 128, false_negative_weight=0.95
+        )
+        b_prec, r_prec = lsh_tuning(
+            0.6, 128, false_negative_weight=0.05
+        )
+        curve = lambda b, r, s: 1.0 - (1.0 - s**r) ** b
+        # recall-weighted tuning catches MORE at the threshold
+        assert curve(b_recall, r_recall, 0.6) >= curve(b_prec, r_prec, 0.6)
+
+    def test_feeds_minhash_near_duplicates(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            lsh_tuning,
+            minhash_near_duplicates,
+        )
+
+        b, r = lsh_tuning(0.4, 64)
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely unrelated text about spark plans"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = minhash_near_duplicates(
+            docs, "text", "doc_id", num_hashes=64, bands=b,
+            threshold=0.4,
+        )
+        cols = pairs.columns
+        got = {(p[cols[0]], p[cols[1]]) for p in pairs.collect()}
+        assert (1, 2) in got and len(got) == 1
+
+    def test_guards(self):
+        from pandas_weights_spark.functions.dedup import lsh_tuning
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="threshold"):
+            lsh_tuning(1.5, 64)
+        with _pt.raises(ValueError, match="num_hashes"):
+            lsh_tuning(0.5, 1)
