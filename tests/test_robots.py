@@ -166,3 +166,69 @@ class TestDecisions:
             .toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestRandomizedDifferential:
+    """r8: randomized rule sets vs a transparent Python reference of
+    the RFC 9309 decision (longest pattern wins, Allow wins ties,
+    exact-token groups override *) — covers a far wider space than
+    the hand matrix."""
+
+    @staticmethod
+    def _py_decide(rules, path):
+        # rules: list of (allow: bool, pattern_path: str)
+        import re as _re
+
+        best = None  # (spec, allow)
+        for allow, rp in rules:
+            # translate the RFC pattern exactly like _like_pattern:
+            # '*' any-sequence, trailing '$' anchors; spec = LIKE
+            # pattern length
+            body = rp[:-1] if rp.endswith("$") else rp
+            regex = "^" + ".*".join(
+                _re.escape(seg) for seg in body.split("*")
+            ) + ("$" if rp.endswith("$") else "")
+            # spec = length of the LIKE translation (the engine's
+            # documented tiebreak): '$' drops, a trailing '%' appends
+            like_len = len(rp) - 1 if rp.endswith("$") else len(rp) + 1
+            if _re.search(regex, path):
+                key = (like_len, allow)
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+
+    def test_random_rule_sets_match_reference(self, spark):
+        import random
+
+        rng = random.Random(81)
+        segs = ["/a", "/bb", "/ccc", "/a/b", "/x", "/*.pdf$", "/a*",
+                "/a/*/c", "/priv$"]
+        paths = ["/", "/a", "/a/b", "/a/b/c", "/bb", "/bbq", "/x/doc.pdf",
+                 "/doc.pdf", "/doc.pdfx", "/priv", "/priv/1", "/a/z/c"]
+        for trial in range(6):
+            n_rules = rng.randint(1, 6)
+            rules = [
+                (rng.random() < 0.5, rng.choice(segs))
+                for _ in range(n_rules)
+            ]
+            txt = "User-agent: *\n" + "\n".join(
+                ("Allow: " if a else "Disallow: ") + p
+                for a, p in rules
+            )
+            robots = spark.createDataFrame([("h.io", txt)], ["host", "txt"])
+            urls = spark.createDataFrame(
+                [(f"https://h.io{p}", "h.io") for p in paths],
+                ["url", "host"],
+            )
+            got = {
+                r["url"]: r["allowed"]
+                for r in robots_allowed(
+                    urls, robots_rules(robots, "host", "txt", "bot"),
+                    "url", "host",
+                ).collect()
+            }
+            for p in paths:
+                want = self._py_decide(rules, p)
+                assert got[f"https://h.io{p}"] is want, (
+                    trial, rules, p, got[f"https://h.io{p}"], want
+                )
