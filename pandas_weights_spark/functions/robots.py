@@ -18,18 +18,43 @@ Rule semantics implemented (RFC 9309 §2.2.2–2.2.3):
   (any-sequence) and a trailing ``$`` (end anchor) — translated to a
   SQL ``LIKE`` pattern (``%``/``_`` escaped), which both engines
   evaluate with column patterns;
-* the most specific match wins (longest pattern), ``Allow`` wins
-  ties; an empty ``Disallow:`` value means unrestricted (the rule is
-  dropped); a URL with no matching rule — or a host with no
-  robots.txt — is allowed.
+* **percent-encoding normalization** (RFC 9309 §2.2.2): both rule
+  patterns and URL paths are rewritten to one canonical form before
+  matching — every octet outside printable ASCII is ``%XX``-escaped
+  (uppercase hex), pre-existing escapes are uppercased, and
+  over-escaped printable ASCII is decoded — EXCEPT the reserved
+  escapes ``%2F`` (an encoded ``/`` is distinct from a path slash,
+  per the RFC), ``%25`` (would forge new escapes), and ``%2A``/
+  ``%24`` (would inject ``*``/``$`` metacharacters into patterns).
+  So ``Disallow: /caf%C3%A9`` matches the raw path ``/café`` and
+  vice versa. Deviation, documented: a pattern ``%2A`` therefore
+  matches a literal ``*`` in the path (both canonicalize to
+  ``%2A``) but a pattern ``%41`` DOES match a literal ``A``;
+* the most specific match wins: specificity is the OCTET length of
+  the canonical pattern including its ``$`` anchor (the canonical
+  form is pure ASCII, so octets == characters). This is the
+  measured-on-the-escaped-pattern convention of Google's reference
+  parser (github.com/google/robotstxt, robots.cc ``Matches``): an
+  anchored ``Allow: /p$`` (3 octets) beats ``Disallow: /p`` (2) on
+  path ``/p`` → allowed. ``Allow`` wins exact ties. An empty
+  ``Disallow:`` value means unrestricted (the rule is dropped); a
+  URL with no matching rule — or a host with no robots.txt — is
+  allowed.
 
-Not implemented (documented): percent-decoding normalization and the
-``crawl-delay``/``sitemap`` extensions (non-normative in RFC 9309).
+Not implemented (documented): the ``crawl-delay``/``sitemap``
+extensions (non-normative in RFC 9309); a bare unescaped ``%`` that
+is not followed by two hex digits passes through literally (Google's
+parser does the same; RFC-invalid input).
 
-Scale shape: robots tables are per-HOST (tiny next to a URL corpus) —
-the rules side of :func:`robots_allowed` broadcasts; the URL side is
-one row-local path extraction + one broadcast join + one per-URL
-arg-max window over its matching rules (bounded by rules-per-host).
+Scale shape: robots tables are per-HOST (tiny next to a URL corpus).
+:func:`robots_allowed` packs each host's rules into ONE array row
+(``collect_list`` over the tiny rules table), broadcast-joins that to
+the URL corpus, and resolves the winning rule with a row-local
+``filter``/``array_max`` HOF arg-max — the URL side is scan →
+broadcast join → row-local expressions, with NO shuffle of the URL
+corpus at all (r8 used a per-URL ``row_number`` window keyed on
+``monotonically_increasing_id``: correct and skew-free, but one full
+exchange of the corpus this design deletes).
 """
 
 from __future__ import annotations
@@ -37,21 +62,85 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["robots_rules", "robots_allowed", "url_path"]
+__all__ = [
+    "robots_rules",
+    "robots_allowed",
+    "url_path",
+    "canonical_path",
+]
+
+# octets kept literal in the canonical form: printable ASCII…
+_LO, _HI = 0x20, 0x7E
+# …except these, which always stay %XX-escaped (RFC 9309 reserves
+# %2F; %25 would forge escapes; %2A/%24 would inject metacharacters)
+_KEEP_ESCAPED = (0x2F, 0x25, 0x2A, 0x24)
 
 
-def _like_pattern(path: Column) -> Column:
-    """RFC 9309 path pattern → SQL LIKE pattern: escape ``\\ % _``,
-    ``*`` → ``%``, trailing ``$`` anchors (no trailing ``%``)."""
-    p = F.replace(path, F.lit("\\"), F.lit("\\\\"))
+def _canon(col: Column, keep_meta: bool) -> Column:
+    """Canonical percent-encoding of ``col`` (RFC 9309 §2.2.2
+    normalization): UTF-8 octets outside printable ASCII become
+    uppercase ``%XX``; existing ``%XX`` escapes are uppercased;
+    over-escaped printable ASCII is decoded back to the literal char
+    except the reserved set. With ``keep_meta`` (pattern side) the
+    raw ``*``/``$`` metacharacters stay raw; on the path side they
+    are escaped so a pattern's ``%2A`` matches a path's literal
+    ``*``. Pure Column algebra — hex the UTF-8 bytes, re-emit octet
+    by octet, then normalize escape triples with one split+transform.
+    """
+    # pass 1 — byte-level escape: hex() is uppercase, 2 chars/octet
+    pairs = F.regexp_extract_all(
+        F.hex(F.encode(col, "UTF-8")), F.lit("(..)"), 1
+    )
+
+    def emit(p: Column) -> Column:
+        b = F.conv(p, 16, 10).cast("int")
+        literal = (b >= _LO) & (b <= _HI)
+        if keep_meta:  # pattern side: * and $ stay functional
+            keep = literal
+        else:  # path side: literal * and $ get escaped too
+            keep = literal & (b != 0x2A) & (b != 0x24)
+        return F.when(keep, F.char(b)).otherwise(
+            F.concat(F.lit("%"), p)
+        )
+
+    enc = F.array_join(F.transform(pairs, emit), "")
+
+    # pass 2 — normalize pre-existing %XX escape triples: uppercase
+    # the hex; decode over-escaped printable ASCII except reserved
+    pieces = F.split(enc, r"(?=%)")
+
+    def fix(piece: Column) -> Column:
+        is_esc = piece.rlike("^%[0-9A-Fa-f]{2}")
+        hx = F.upper(F.substring(piece, 2, 2))
+        b = F.conv(hx, 16, 10).cast("int")
+        rest = F.substr(piece, F.lit(4))
+        decodable = (b >= _LO) & (b <= _HI)
+        for k in _KEEP_ESCAPED:
+            decodable = decodable & (b != k)
+        return (
+            F.when(~is_esc, piece)
+            .when(decodable, F.concat(F.char(b), rest))
+            .otherwise(F.concat(F.lit("%"), hx, rest))
+        )
+
+    return F.array_join(F.transform(pieces, fix), "")
+
+
+def canonical_path(path: Column) -> Column:
+    """Public alias: canonical percent-encoded form of a URL path
+    (the form :func:`robots_allowed` matches on)."""
+    return _canon(path, keep_meta=False)
+
+
+def _like_pattern(canon_body: Column, anchored: Column) -> Column:
+    """Canonical RFC 9309 pattern body (``$`` already stripped) →
+    SQL LIKE pattern: escape ``\\ % _``, ``*`` → ``%``, and append a
+    trailing ``%`` unless anchored."""
+    p = F.replace(canon_body, F.lit("\\"), F.lit("\\\\"))
     p = F.replace(p, F.lit("%"), F.lit("\\%"))
     p = F.replace(p, F.lit("_"), F.lit("\\_"))
     p = F.replace(p, F.lit("*"), F.lit("%"))
-    anchored = p.endswith("$")
-    body = F.when(
-        anchored, F.substring(p, 1, F.length(p) - 1)
-    ).otherwise(F.concat(p, F.lit("%")))
-    return body
+    return F.when(anchored, p).otherwise(F.concat(p, F.lit("%")))
 
 
 def robots_rules(
@@ -62,8 +151,11 @@ def robots_rules(
 ) -> DataFrame:
     """Parse robots.txt bodies into the effective rule table for
     ``agent``: ``(host, allow boolean, path, pattern, spec)`` where
-    ``pattern`` is the LIKE translation and ``spec`` the specificity
-    (pattern character length — RFC longest-match). Only the groups
+    ``pattern`` is the LIKE translation of the canonical
+    percent-normalized pattern and ``spec`` the specificity — the
+    octet length of the canonical pattern INCLUDING its ``$`` anchor
+    (RFC 9309 longest-match, measured on the normalized-escaped
+    pattern as Google's reference parser does). Only the groups
     selected for ``agent`` survive (exact token groups if any exist
     on that host, else the ``*`` groups)."""
     a = agent.lower()
@@ -128,13 +220,22 @@ def robots_rules(
             | ((F.col("h_exact") == 0) & (F.col("g_star") == 1))
         )
     )
-    pat = _like_pattern(F.col("v"))
+    anchored = F.col("v").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(v, 1, length(v) - 1)")
+    ).otherwise(F.col("v"))
+    canon = _canon(body, keep_meta=True)
+    # spec: canonical pattern octets, counting the stripped anchor —
+    # canonical form is pure ASCII so octet_length == length
+    spec = (
+        F.octet_length(canon) + anchored.cast("int")
+    ).cast("long")
     return rules.select(
         "host",
         (F.col("k") == "allow").alias("allow"),
         F.col("v").alias("path"),
-        pat.alias("pattern"),
-        F.length(pat).cast("long").alias("spec"),
+        _like_pattern(canon, anchored).alias("pattern"),
+        spec.alias("spec"),
     )
 
 
@@ -152,34 +253,44 @@ def robots_allowed(
     host_col: str,
 ) -> DataFrame:
     """Adds ``allowed`` (boolean) per URL row: the most specific
-    matching rule of the url's host decides (longest pattern; Allow
-    wins ties); no matching rule or no rules for the host → allowed.
-    ``rules`` is the output of :func:`robots_rules` — broadcast (the
-    per-host rule table is tiny next to a URL corpus)."""
-    path = url_path(F.col(url_col))
-    # one window per URL ROW: the id is assigned once in this single
-    # lineage (no self-join of independently re-evaluated branches —
-    # the pattern that IS unsafe), and never escapes the operator
-    base = urls.withColumn("__path__", path).withColumn(
-        "__uid__", F.monotonically_increasing_id()
+    matching rule of the url's host decides (longest canonical
+    pattern; Allow wins ties); no matching rule or no rules for the
+    host → allowed. ``rules`` is the output of :func:`robots_rules`.
+
+    Scale shape — the URL corpus is NEVER shuffled: the per-host rule
+    table packs to one array row per host (``collect_list`` over the
+    tiny rules side only), broadcasts, and the winner is a row-local
+    ``filter`` + ``array_max`` over structs ordered ``(spec, allow)``
+    — Spark's struct ordering is lexicographic and ``true > false``,
+    which IS the RFC tiebreak."""
+    packed = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct("spec", "allow", "pattern")
+        ).alias("__rules__")
     )
-    # the LIKE lives in the JOIN condition: a URL whose host has rules
-    # but none matching keeps its row (NULL rule side → allowed)
+    base = urls.withColumn(
+        "__path__", _canon(url_path(F.col(url_col)), keep_meta=False)
+    )
     joined = base.join(
-        F.broadcast(rules.withColumnRenamed("host", "__rh__")),
-        (F.col(host_col) == F.col("__rh__"))
-        & F.like(F.col("__path__"), F.col("pattern"), F.lit("\\")),
+        F.broadcast(packed.withColumnRenamed("host", "__rh__")),
+        F.col(host_col) == F.col("__rh__"),
         "left",
     )
-    w = Window.partitionBy("__uid__").orderBy(
-        F.col("spec").desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
+    matching = F.filter(
+        F.col("__rules__"),
+        lambda r: F.like(
+            F.col("__path__"), r["pattern"], F.lit("\\")
+        ),
     )
-    best = (
-        joined.withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") == 1)
-        .withColumn(
-            "allowed", F.coalesce(F.col("allow"), F.lit(True))
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                r["spec"].alias("spec"), r["allow"].alias("allow")
+            ),
         )
     )
-    return best.select(*urls.columns, "allowed")
+    out = joined.withColumn(
+        "allowed", F.coalesce(best["allow"], F.lit(True))
+    )
+    return out.select(*urls.columns, "allowed")

