@@ -8051,7 +8051,34 @@ _ORACLE["jsonl_roundtrip"] = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (r10): the driver's correctness snapshot checks
+    # the FIRST 50 keys only.  Newest queries therefore go FIRST (newest
+    # round at the very front), so every query whose engine code changed
+    # recently sits inside the checked window; long-stable queries (green
+    # since r1-r5) rotate out the back.  tests/test_registry.py pins
+    # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
+        # --- r6-r9 queries (rotated into the checked window in r10) ---
+        "quality_classifier": _q_quality_classifier,
+        "dsir_select": _q_dsir_select,
+        "semdedup": _q_semdedup,
+        "web_hygiene": _q_web_hygiene,
+        "edit_join": _q_edit_join,
+        "bm25": _q_bm25,
+        "pagerank": _q_pagerank,
+        "pq_topk": _q_pq_topk,
+        "rp_project": _q_rp_project,
+        "mixture_sample": _q_mixture_sample,
+        "html_extract": _q_html_extract,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "sentences": _q_sentences,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "robots_filter": _q_robots_filter,
+        "link_graph": _q_link_graph,
+        "code_detect": _q_code_detect,
+        "datasheet": _q_datasheet,
+        "pdf_extract": _q_pdf_extract,
+        # --- r1-r5 queries, original order (oldest rotate out back) ---
         "global_stats": _q_global_stats,
         "null_semantics": _q_null_semantics,
         "group_mean": _q_group_mean,
@@ -8102,25 +8129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": _q_session_agg,
         "stream_resample": _q_stream_resample,
         "multimodal_features": _q_multimodal_features,
-        "quality_classifier": _q_quality_classifier,
-        "dsir_select": _q_dsir_select,
-        "semdedup": _q_semdedup,
-        "web_hygiene": _q_web_hygiene,
-        "edit_join": _q_edit_join,
-        "bm25": _q_bm25,
-        "pagerank": _q_pagerank,
-        "pq_topk": _q_pq_topk,
-        "rp_project": _q_rp_project,
-        "mixture_sample": _q_mixture_sample,
-        "html_extract": _q_html_extract,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "sentences": _q_sentences,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "robots_filter": _q_robots_filter,
-        "link_graph": _q_link_graph,
-        "code_detect": _q_code_detect,
-        "datasheet": _q_datasheet,
-        "pdf_extract": _q_pdf_extract,
     }
 
 
