@@ -7940,18 +7940,23 @@ _ORACLE["datasheet"] = _datasheet_sql()
 
 
 def _q_robots_filter(spark, sf_dir):
-    # r8: robots.txt crawl-permission gate (functions/robots.py, RFC
-    # 9309). One robots.txt per source-host — all carry a '*' group
-    # (Disallow /private/ + Allow /private/ok/ + Disallow /*.pdf$);
-    # hosts whose source ends in an even digit ALSO carry a 'databot'
-    # group (Disallow /beta/). Crawling as 'databot', RFC group
-    # selection means: on databot-group hosts ONLY that group applies
-    # (exact overrides '*': /private/ and .pdf become allowed, /beta/
-    # blocked); elsewhere the '*' group rules decide, with the
-    # longest-match Allow rescuing /private/ok/. The oracle states
+    # r8 (extended r10): robots.txt crawl-permission gate
+    # (functions/robots.py, RFC 9309). One robots.txt per source-host —
+    # all carry a '*' group (Disallow /private/ + Allow /private/ok/ +
+    # Disallow /*.pdf$ + the r10 additions: a competing anchored/plain
+    # pair Allow /t$ vs Disallow /t, and a percent-escaped rule
+    # Disallow /caf%C3%A9/); hosts whose source ends in an even digit
+    # ALSO carry a 'databot' group (Disallow /beta/). Crawling as
+    # 'databot', RFC group selection means: on databot-group hosts ONLY
+    # that group applies (exact overrides '*': everything except /beta/
+    # allowed); elsewhere the '*' group rules decide — longest-match
+    # Allow rescues /private/ok/, the anchored Allow /t$ (3 octets)
+    # beats Disallow /t (2) on the exact path /t, the unanchored
+    # Disallow /t blocks /tq…, and the escaped rule blocks the raw
+    # /café/ paths (RFC 9309 §2.2.2 normalization). The oracle states
     # that decision in CLOSED FORM (an independent spec of the same
-    # RFC rules, the web_hygiene style); the parse mechanics (group
-    # windows, LIKE translation, tie rules) are pytest-pinned.
+    # RFC rules); the parse mechanics (group windows, LIKE translation,
+    # tie rules) are pytest-pinned.
     from pandas_weights_spark.functions.robots import (
         robots_allowed,
         robots_rules,
@@ -7960,7 +7965,8 @@ def _q_robots_filter(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     star = (
         "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
-        "Disallow: /*.pdf$\n"
+        "Disallow: /*.pdf$\nAllow: /t$\nDisallow: /t\n"
+        "Disallow: /caf%C3%A9/\n"
     )
     databot = "\nUser-agent: databot\nDisallow: /beta/\n"
     host = F.concat(F.col("source"), F.lit(".example.com"))
@@ -7977,7 +7983,7 @@ def _q_robots_filter(spark, sf_dir):
         )
     )
     rules = robots_rules(robots, "host", "txt", agent="databot")
-    variant = F.col("doc_id") % 5
+    variant = F.col("doc_id") % 8
     path = (
         F.when(variant == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
         .when(variant == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
@@ -7989,7 +7995,10 @@ def _q_robots_filter(spark, sf_dir):
             variant == 3,
             F.concat(F.lit("/files/"), F.col("doc_id"), F.lit(".pdf")),
         )
-        .otherwise(F.concat(F.lit("/beta/"), F.col("doc_id")))
+        .when(variant == 4, F.concat(F.lit("/beta/"), F.col("doc_id")))
+        .when(variant == 5, F.concat(F.lit("/café/"), F.col("doc_id")))
+        .when(variant == 6, F.lit("/t"))
+        .otherwise(F.concat(F.lit("/tq"), F.col("doc_id")))
     )
     urls = docs.select(
         "doc_id",
@@ -8005,17 +8014,23 @@ _ORACLE["robots_filter"] = """
     SELECT doc_id,
       source || '.example.com' AS host,
       'https://' || source || '.example.com' ||
-        CASE doc_id % 5
+        CASE doc_id % 8
           WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
           WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
           WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
           WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.pdf'
-          ELSE '/beta/' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN '/beta/' || CAST(doc_id AS VARCHAR)
+          WHEN 5 THEN '/café/' || CAST(doc_id AS VARCHAR)
+          WHEN 6 THEN '/t'
+          ELSE '/tq' || CAST(doc_id AS VARCHAR)
         END AS url,
       CASE
         WHEN ascii(substr(source, -1, 1)) % 2 = 0
-          THEN doc_id % 5 != 4          -- databot group: only /beta/
-        ELSE doc_id % 5 NOT IN (1, 3)   -- '*' group: /private/, *.pdf$
+          THEN doc_id % 8 != 4            -- databot group: only /beta/
+        -- '*' group: /private/ prefix, *.pdf$ anchor, escaped /café/,
+        -- unanchored /t blocks /tq…; anchored Allow /t$ (3 octets)
+        -- beats Disallow /t (2) on the exact path /t -> allowed
+        ELSE doc_id % 8 NOT IN (1, 3, 5, 7)
       END AS allowed
     FROM documents
 """

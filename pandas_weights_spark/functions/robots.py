@@ -17,7 +17,10 @@ Rule semantics implemented (RFC 9309 §2.2.2–2.2.3):
 * ``Allow``/``Disallow`` values are path patterns with ``*``
   (any-sequence) and a trailing ``$`` (end anchor) — translated to a
   SQL ``LIKE`` pattern (``%``/``_`` escaped), which both engines
-  evaluate with column patterns;
+  evaluate with column patterns. A NON-trailing ``$`` is a literal
+  octet (canonicalized to ``%24`` on both sides, matching Google's
+  reference parser), so ``Disallow: /a$b`` blocks ``/a$b`` and
+  ``Disallow: /p$$`` anchors on the literal path ``/p$``;
 * **percent-encoding normalization** (RFC 9309 §2.2.2): both rule
   patterns and URL paths are rewritten to one canonical form before
   matching — every octet outside printable ASCII is ``%XX``-escaped
@@ -46,13 +49,18 @@ extensions (non-normative in RFC 9309); a bare unescaped ``%`` that
 is not followed by two hex digits passes through literally (Google's
 parser does the same; RFC-invalid input).
 
-Scale shape: robots tables are per-HOST (tiny next to a URL corpus).
-:func:`robots_allowed` packs each host's rules into ONE array row
-(``collect_list`` over the tiny rules table), broadcast-joins that to
-the URL corpus, and resolves the winning rule with a row-local
-``filter``/``array_max`` HOF arg-max — the URL side is scan →
-broadcast join → row-local expressions, with NO shuffle of the URL
-corpus at all (r8 used a per-URL ``row_number`` window keyed on
+Scale shape: robots tables are per-HOST (small next to a URL corpus,
+but their cardinality grows with the crawl — tens of millions of
+robots-bearing hosts at Common-Crawl scale). :func:`robots_allowed`
+packs each host's rules into ONE array row (``collect_list`` over the
+rules table only), joins that to the URL corpus on host, and resolves
+the winning rule with a row-local ``filter``/``array_max`` HOF
+arg-max. The join strategy defaults to ``'auto'`` (AQE broadcasts the
+packed side when it actually fits, shuffled join above that — r10,
+replacing r9's unconditional broadcast that would FAIL past Spark's
+8 GB broadcast cap); ``strategy='broadcast'`` restores the zero-
+URL-shuffle hint for rule tables known to be executor-small (r8 used
+a per-URL ``row_number`` window keyed on
 ``monotonically_increasing_id``: correct and skew-free, but one full
 exchange of the corpus this design deletes).
 """
@@ -76,15 +84,20 @@ _LO, _HI = 0x20, 0x7E
 _KEEP_ESCAPED = (0x2F, 0x25, 0x2A, 0x24)
 
 
-def _canon(col: Column, keep_meta: bool) -> Column:
+def _canon(col: Column, keep_star: bool) -> Column:
     """Canonical percent-encoding of ``col`` (RFC 9309 §2.2.2
     normalization): UTF-8 octets outside printable ASCII become
     uppercase ``%XX``; existing ``%XX`` escapes are uppercased;
     over-escaped printable ASCII is decoded back to the literal char
-    except the reserved set. With ``keep_meta`` (pattern side) the
-    raw ``*``/``$`` metacharacters stay raw; on the path side they
-    are escaped so a pattern's ``%2A`` matches a path's literal
-    ``*``. Pure Column algebra — hex the UTF-8 bytes, re-emit octet
+    except the reserved set. With ``keep_star`` (pattern side) the
+    raw ``*`` metacharacter stays functional; on the path side it is
+    escaped so a pattern's ``%2A`` matches a path's literal ``*``.
+    A raw ``$`` is escaped on BOTH sides — the only functional ``$``
+    is the trailing anchor, which :func:`robots_rules` strips BEFORE
+    canonicalizing, so a mid-pattern ``$`` (``Disallow: /a$b``) is a
+    literal octet exactly as in Google's reference parser (r10 fix:
+    previously the pattern side kept ``$`` raw and the rule failed
+    OPEN). Pure Column algebra — hex the UTF-8 bytes, re-emit octet
     by octet, then normalize escape triples with one split+transform.
     """
     # pass 1 — byte-level escape: hex() is uppercase, 2 chars/octet
@@ -94,11 +107,11 @@ def _canon(col: Column, keep_meta: bool) -> Column:
 
     def emit(p: Column) -> Column:
         b = F.conv(p, 16, 10).cast("int")
-        literal = (b >= _LO) & (b <= _HI)
-        if keep_meta:  # pattern side: * and $ stay functional
+        literal = (b >= _LO) & (b <= _HI) & (b != 0x24)
+        if keep_star:  # pattern side: * stays functional
             keep = literal
-        else:  # path side: literal * and $ get escaped too
-            keep = literal & (b != 0x2A) & (b != 0x24)
+        else:  # path side: literal * gets escaped too
+            keep = literal & (b != 0x2A)
         return F.when(keep, F.char(b)).otherwise(
             F.concat(F.lit("%"), p)
         )
@@ -129,7 +142,7 @@ def _canon(col: Column, keep_meta: bool) -> Column:
 def canonical_path(path: Column) -> Column:
     """Public alias: canonical percent-encoded form of a URL path
     (the form :func:`robots_allowed` matches on)."""
-    return _canon(path, keep_meta=False)
+    return _canon(path, keep_star=False)
 
 
 def _like_pattern(canon_body: Column, anchored: Column) -> Column:
@@ -224,7 +237,7 @@ def robots_rules(
     body = F.when(
         anchored, F.expr("substring(v, 1, length(v) - 1)")
     ).otherwise(F.col("v"))
-    canon = _canon(body, keep_meta=True)
+    canon = _canon(body, keep_star=True)
     # spec: canonical pattern octets, counting the stripped anchor —
     # canonical form is pure ASCII so octet_length == length
     spec = (
@@ -251,28 +264,53 @@ def robots_allowed(
     rules: DataFrame,
     url_col: str,
     host_col: str,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Adds ``allowed`` (boolean) per URL row: the most specific
     matching rule of the url's host decides (longest canonical
     pattern; Allow wins ties); no matching rule or no rules for the
     host → allowed. ``rules`` is the output of :func:`robots_rules`.
 
-    Scale shape — the URL corpus is NEVER shuffled: the per-host rule
-    table packs to one array row per host (``collect_list`` over the
-    tiny rules side only), broadcasts, and the winner is a row-local
-    ``filter`` + ``array_max`` over structs ordered ``(spec, allow)``
-    — Spark's struct ordering is lexicographic and ``true > false``,
-    which IS the RFC tiebreak."""
+    Scale shape: the per-host rule table packs to one array row per
+    host (``collect_list`` over the tiny rules side only) and joins
+    to the URL corpus on host; the winner is a row-local ``filter``
+    + ``array_max`` over structs ordered ``(spec, allow)`` — Spark's
+    struct ordering is lexicographic and ``true > false``, which IS
+    the RFC tiebreak.  ``strategy`` picks the join physical shape
+    (decisions are identical under all three):
+
+    * ``'auto'`` (default) — no hint; AQE measures the packed rules
+      side at runtime and broadcasts it when it fits (the common
+      case: ≲ a few million hosts), else falls back to a shuffled
+      join.  This is the only strategy that SURVIVES web-crawl host
+      cardinality: at tens of millions of robots-bearing hosts ×
+      ~0.5–2 KB of packed rule structs the table is tens of GB —
+      over Spark's 8 GB broadcast hard cap and every executor's
+      memory, so a forced broadcast FAILS rather than slows.
+    * ``'broadcast'`` — force the broadcast hint: zero shuffle of
+      the URL corpus, for rule tables known to be executor-small.
+    * ``'shuffle'`` — force a shuffled hash join (both sides
+      exchange on host), for rule tables known to be broadcast-
+      infeasible."""
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            "strategy must be 'auto', 'broadcast' or 'shuffle', got "
+            f"{strategy!r}"
+        )
     packed = rules.groupBy("host").agg(
         F.collect_list(
             F.struct("spec", "allow", "pattern")
         ).alias("__rules__")
-    )
+    ).withColumnRenamed("host", "__rh__")
+    if strategy == "broadcast":
+        packed = F.broadcast(packed)
+    elif strategy == "shuffle":
+        packed = packed.hint("shuffle_hash")
     base = urls.withColumn(
-        "__path__", _canon(url_path(F.col(url_col)), keep_meta=False)
+        "__path__", _canon(url_path(F.col(url_col)), keep_star=False)
     )
     joined = base.join(
-        F.broadcast(packed.withColumnRenamed("host", "__rh__")),
+        packed,
         F.col(host_col) == F.col("__rh__"),
         "left",
     )

@@ -165,7 +165,7 @@ class TestDecisions:
             [("https://a.com/x", "a.com")], ["url", "host"]
         )
         plan = (
-            robots_allowed(df, rules, "url", "host")
+            robots_allowed(df, rules, "url", "host", strategy="broadcast")
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
@@ -173,10 +173,10 @@ class TestDecisions:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
     def test_url_side_never_shuffles(self, spark):
-        # r9 (VERDICT r8 #7): the URL corpus must reach the decision
-        # without any exchange of its own — rules pre-materialized so
-        # the only hash exchange in the whole plan is the tiny
-        # per-host rule packing on the broadcast side.
+        # r9 (VERDICT r8 #7): under strategy='broadcast' the URL corpus
+        # must reach the decision without any exchange of its own —
+        # rules pre-materialized so the only hash exchange in the whole
+        # plan is the tiny per-host rule packing on the broadcast side.
         rules = spark.createDataFrame(
             [("a.com", False, "/x%", 2)],
             ["host", "allow", "pattern", "spec"],
@@ -185,7 +185,7 @@ class TestDecisions:
             [("https://a.com/x/1", "a.com")], ["url", "host"]
         )
         plan = (
-            robots_allowed(df, rules, "url", "host")
+            robots_allowed(df, rules, "url", "host", strategy="broadcast")
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
@@ -197,6 +197,104 @@ class TestDecisions:
 
         for m in re.findall(r"Exchange hashpartitioning\(([^,]*)", plan):
             assert "host" in m, plan
+
+    def test_shuffle_strategy_plan_has_no_broadcast(self, spark):
+        # r10 (VERDICT r9 #1): the broadcast-cap guard — 'shuffle'
+        # must not broadcast the rules side at all (the web-scale
+        # fallback when the packed host table exceeds the 8 GB cap),
+        # and 'auto' must carry no unconditional broadcast hint (AQE
+        # decides from the runtime size).
+        rules = spark.createDataFrame(
+            [("a.com", False, "/x%", 2)],
+            ["host", "allow", "pattern", "spec"],
+        )
+        df = spark.createDataFrame(
+            [("https://a.com/x/1", "a.com")], ["url", "host"]
+        )
+        plan = (
+            robots_allowed(df, rules, "url", "host", strategy="shuffle")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastExchange" not in plan
+        auto_logical = (
+            robots_allowed(df, rules, "url", "host", strategy="auto")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "ResolvedHint" not in auto_logical
+        with pytest.raises(ValueError, match="strategy"):
+            robots_allowed(df, rules, "url", "host", strategy="bogus")
+
+    def test_strategies_agree_on_decisions(self, spark, robots):
+        # decisions must be byte-identical under all three strategies
+        urls = [u for u, _ in TestDecisions.CASES]
+        rules = robots_rules(robots, "host", "txt", agent="anybot")
+        df = spark.createDataFrame(
+            [(u,) for u in urls], ["url"]
+        ).withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
+        got = {}
+        for s in ("auto", "broadcast", "shuffle"):
+            got[s] = {
+                r["url"]: r["allowed"]
+                for r in robots_allowed(
+                    df, rules, "url", "host", strategy=s
+                ).collect()
+            }
+        assert got["auto"] == got["broadcast"] == got["shuffle"]
+
+    def test_mid_pattern_dollar_is_literal(self, spark):
+        # r10 (ADVICE r9): a non-trailing '$' is a literal octet, as in
+        # Google's parser — previously the Disallow failed OPEN because
+        # the pattern side kept '$' raw while the path side escaped it
+        robots = spark.createDataFrame(
+            [(
+                "dollar.com",
+                "User-agent: *\n"
+                "Disallow: /a$b\n"     # literal mid-$
+                "Disallow: /p$$\n",    # literal '$' then the anchor
+            )],
+            ["host", "txt"],
+        )
+        got = _decide(
+            spark, robots, "anybot",
+            [
+                "https://dollar.com/a$b",    # blocked: literal match
+                "https://dollar.com/a",      # not matched by /a$b
+                "https://dollar.com/p$",     # blocked: anchored /p$
+                "https://dollar.com/p$x",    # anchor: no match
+                "https://dollar.com/p",      # no rule matches bare /p
+            ],
+        )
+        assert got["https://dollar.com/a$b"] is False
+        assert got["https://dollar.com/a"] is True
+        assert got["https://dollar.com/p$"] is False
+        assert got["https://dollar.com/p$x"] is True
+        assert got["https://dollar.com/p"] is True
+
+    def test_over_escaped_spec_tie_pinned(self, spark):
+        # r10 (ADVICE r9): documented deviation pinned — over-escaped
+        # printable ASCII decodes, so Allow /%41%41 canonicalizes to
+        # /AA (spec 3), TIES Disallow /AA (spec 3), and Allow wins the
+        # tie.  Under Google's no-decode convention the Allow would
+        # score 6 and win by length instead — same decision, but the
+        # spec accounting differs; this test pins ours.
+        robots = spark.createDataFrame(
+            [(
+                "tie2.com",
+                "User-agent: *\nAllow: /%41%41\nDisallow: /AA\n",
+            )],
+            ["host", "txt"],
+        )
+        got = _decide(
+            spark, robots, "anybot",
+            ["https://tie2.com/AA", "https://tie2.com/AAx"],
+        )
+        assert got["https://tie2.com/AA"] is True
+        assert got["https://tie2.com/AAx"] is True
 
     def test_anchored_beats_shorter_plain_on_tie_path(self, spark):
         # the r8 verdict counterexample: RFC 9309 longest-match counts
@@ -272,7 +370,9 @@ def _py_canon(s: str, pattern: bool) -> str:
     engine): work on UTF-8 octets; decode-then-reencode %XX escapes so
     both sides land on one spelling; printable ASCII stays literal
     except the reserved set (/ % * $ stay escaped); pattern side keeps
-    raw * and $ functional, path side escapes them."""
+    raw * functional, path side escapes it.  A raw $ escapes on BOTH
+    sides — the anchor is stripped before canonicalization, so a
+    non-trailing $ is a literal octet (Google's parser convention)."""
     reserved = {0x2F, 0x25, 0x2A, 0x24}
     hexd = "0123456789abcdefABCDEF"
     data = s.encode("utf-8")
@@ -294,8 +394,8 @@ def _py_canon(s: str, pattern: bool) -> str:
                 out.append("%%%02X" % b)
             continue
         i += 1
-        if 0x20 <= c <= 0x7E and (
-            pattern or c not in (0x2A, 0x24)
+        if 0x20 <= c <= 0x7E and c != 0x24 and (
+            pattern or c != 0x2A
         ):
             out.append(chr(c))
         else:
@@ -341,10 +441,14 @@ class TestRandomizedDifferential:
         rng = random.Random(81)
         segs = ["/a", "/bb", "/ccc", "/a/b", "/x", "/*.pdf$", "/a*",
                 "/a/*/c", "/priv$", "/p$", "/p", "/pi",
-                "/caf%C3%A9", "/%7Ea", "/a%2Fb"]
+                "/caf%C3%A9", "/%7Ea", "/a%2Fb",
+                # r10 (ADVICE r9): non-trailing literal '$' patterns and
+                # an over-escaped-vs-plain spec-tie pair
+                "/a$b", "/p$$", "/%41%41", "/AA"]
         paths = ["/", "/a", "/a/b", "/a/b/c", "/bb", "/bbq", "/x/doc.pdf",
                  "/doc.pdf", "/doc.pdfx", "/priv", "/priv/1", "/a/z/c",
-                 "/p", "/pq", "/pi", "/café/x", "/~a", "/a%2Fb", "/a/b/"]
+                 "/p", "/pq", "/pi", "/café/x", "/~a", "/a%2Fb", "/a/b/",
+                 "/a$b", "/p$", "/AA", "/AAx"]
         for trial in range(10):
             n_rules = rng.randint(1, 6)
             rules = [
