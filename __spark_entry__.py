@@ -8065,6 +8065,94 @@ _ORACLE["jsonl_roundtrip"] = """
 """
 
 
+def _q_charset_decode(spark, sf_dir):
+    # r10 (VERDICT r9 #1 carried item): charset-aware HTTP body decode
+    # end to end. Each doc becomes an HTTP response page in a charset
+    # chosen by a SQL-expressible rule — ASCII-only docs split between
+    # windows-1252 (even doc_id, with a cp1252-only suffix appended)
+    # and Shift_JIS (odd, with a Japanese suffix); non-ASCII docs stay
+    # UTF-8. Pages are ENCODED in that charset (encode_text), wrapped
+    # in WARC response records whose Content-Type carries the charset
+    # param (per-row Column, r10), shard-packed, parsed back, and
+    # decoded via the BOM>header>meta>default sniffer. The oracle
+    # states the roundtrip identity: decoded text must equal the page
+    # the rule implies — the cp1252/shift_jis bodies are NOT valid
+    # UTF-8, so the r8/r9 blind F.decode(...,'UTF-8') pipeline would
+    # hash-mismatch here (mojibake), which is the point of the gate.
+    from pandas_weights_spark.sources.warc import (
+        decode_http_body,
+        encode_text,
+        from_warc_shards,
+        to_warc_shards,
+        warc_record,
+    )
+
+    docs = _docs(spark, sf_dir)
+    is_ascii = F.octet_length("text") == F.length("text")
+    w1252 = is_ascii & (F.col("doc_id") % 2 == 0)
+    sjis = is_ascii & (F.col("doc_id") % 2 != 0)
+    label = (
+        F.when(w1252, F.lit("windows-1252"))
+        .when(sjis, F.lit("Shift_JIS"))
+        .otherwise(F.lit("utf-8"))
+    )
+    page = (
+        F.when(w1252, F.concat("text", F.lit(" — café naïve £")))
+        .when(sjis, F.concat("text", F.lit(" 日本語テキスト")))
+        .otherwise(F.col("text"))
+    )
+    uri = F.concat(
+        F.lit("https://charset.example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec = warc_record(
+        uri,
+        F.lit("2026-01-01T00:00:00Z"),
+        encode_text(page, label),
+        "response",
+        content_type=F.concat(F.lit("text/html; charset="), label),
+    )
+    shards = to_warc_shards(
+        docs.select(rec.alias("rec")), "rec", n_shards=8,
+        gzip_records=True,
+    )
+    back = from_warc_shards(shards)
+    d = decode_http_body(F.col("http_body"), F.col("http_headers"))
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        d.alias("d"),
+    ).select(
+        "doc_id",
+        F.col("d.charset").alias("charset"),
+        F.col("d.charset_source").alias("charset_source"),
+        F.col("d.text").alias("text"),
+    )
+
+
+# strlen() is DuckDB's byte length of a VARCHAR (length() is chars):
+# ASCII-only test replayed as strlen = length
+_ORACLE["charset_decode"] = """
+    SELECT doc_id,
+      CASE
+        WHEN strlen(text) = length(text) AND doc_id % 2 = 0
+          THEN 'cp1252'
+        WHEN strlen(text) = length(text) THEN 'shift_jis'
+        ELSE 'utf-8'
+      END AS charset,
+      'header' AS charset_source,
+      CASE
+        WHEN strlen(text) = length(text) AND doc_id % 2 = 0
+          THEN text || ' — café naïve £'
+        WHEN strlen(text) = length(text)
+          THEN text || ' 日本語テキスト'
+        ELSE text
+      END AS text
+    FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (r10): the driver's correctness snapshot checks
     # the FIRST 50 keys only.  Newest queries therefore go FIRST (newest
@@ -8073,6 +8161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since r1-r5) rotate out the back.  tests/test_registry.py pins
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
+        # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "charset_decode": _q_charset_decode,
         # --- r6-r9 queries (rotated into the checked window in r10) ---
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,

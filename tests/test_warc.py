@@ -200,3 +200,142 @@ class TestReadWarc:
         }
         assert len(got) == 10
         assert got["https://e.org/f/3"] == "text 3"
+
+
+class TestCharsetDecode:
+    """r10 (VERDICT r9 #1 carried item): charset-aware body decode —
+    BOM > Content-Type charset= > <meta> prescan > UTF-8/replace."""
+
+    def test_sniff_priority_and_remaps(self):
+        from pandas_weights_spark.sources.warc import sniff_charset
+
+        hdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=Shift_JIS"
+        assert sniff_charset(b"<html>", hdr) == ("shift_jis", "header")
+        # BOM beats a (wrong) header declaration
+        assert sniff_charset(
+            b"\xef\xbb\xbfx", hdr.replace("Shift_JIS", "windows-1252")
+        ) == ("utf-8", "bom")
+        assert sniff_charset(b"\xff\xfex\x00", None) == ("utf-16-le", "bom")
+        assert sniff_charset(b"\xfe\xff\x00x", None) == ("utf-16-be", "bom")
+        # meta prescan fills in when the header has no charset param
+        body = b'<html><head><meta charset="EUC-JP"></head>'
+        assert sniff_charset(body, "Content-Type: text/html") == (
+            "euc_jp", "meta",
+        )
+        equiv = (
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=windows-1251">'
+        )
+        assert sniff_charset(equiv, None) == ("cp1251", "meta")
+        # WHATWG superset remaps
+        assert sniff_charset(b"", "charset=ISO-8859-1")[0] == "cp1252"
+        assert sniff_charset(b"", "charset=GBK")[0] == "gb18030"
+        # unknown label falls through to the next source
+        assert sniff_charset(b"x", "charset=no-such-enc") == (
+            "utf-8", "default",
+        )
+        # meta beyond the 1024-byte prescan window is ignored
+        far = b"<p>" + b"x" * 1100 + b'<meta charset="shift_jis">'
+        assert sniff_charset(far, None) == ("utf-8", "default")
+
+    @pytest.fixture(scope="class")
+    def pages(self):
+        # (uri, original text, charset label in the header, encoding)
+        return [
+            ("https://e.org/w1252", "café naïve £ deal",
+             "windows-1252", "cp1252"),
+            ("https://e.org/sjis", "日本語のテキ"
+             "ストです", "Shift_JIS", "shift_jis"),
+            ("https://e.org/utf8", "plain ascii and ümläuts",
+             "utf-8", "utf-8"),
+        ]
+
+    def test_warc_roundtrip_transcodes(self, spark, pages):
+        from pandas_weights_spark.sources.warc import decode_http_body
+
+        rows = [
+            (uri, bytearray(text.encode(codec)),
+             f"text/html; charset={label}")
+            for uri, text, label, codec in pages
+        ]
+        df = spark.createDataFrame(rows, ["uri", "payload", "ct"])
+        rec = warc_record(
+            F.col("uri"), F.lit(DATE), F.col("payload"),
+            "response", content_type=F.col("ct"),
+        )
+        back = from_warc_shards(
+            to_warc_shards(df.select("uri", rec.alias("rec")), "rec",
+                           n_shards=1)
+        )
+        out = back.select(
+            "target_uri",
+            decode_http_body(
+                F.col("http_body"), F.col("http_headers")
+            ).alias("d"),
+        ).select("target_uri", "d.charset", "d.charset_source", "d.text")
+        got = {r["target_uri"]: r for r in out.collect()}
+        for uri, text, _, codec in pages:
+            assert got[uri]["text"] == text, uri
+            assert got[uri]["charset"] == codec, uri
+            assert got[uri]["charset_source"] == "header", uri
+        # blind UTF-8 decode WOULD have produced mojibake (the bug
+        # this replaces): the shift_jis body is not valid UTF-8
+        sjis = [r for r in pages if r[3] == "shift_jis"][0]
+        assert sjis[1].encode("shift_jis").decode("utf-8", "replace") != sjis[1]
+
+    def test_meta_sniff_when_header_silent(self, spark):
+        from pandas_weights_spark.sources.warc import decode_http_body
+
+        text = "précis — résumé"
+        html = f'<html><head><meta charset="windows-1252"></head>{text}'
+        df = spark.createDataFrame(
+            [("u", bytearray(html.encode("cp1252")), "text/html")],
+            ["uri", "payload", "ct"],
+        )
+        rec = warc_record(
+            F.col("uri"), F.lit(DATE), F.col("payload"),
+            "response", content_type=F.col("ct"),
+        )
+        back = from_warc_shards(
+            to_warc_shards(df.select("uri", rec.alias("rec")), "rec",
+                           n_shards=1)
+        )
+        row = back.select(
+            decode_http_body(
+                F.col("http_body"), F.col("http_headers")
+            ).alias("d")
+        ).first()["d"]
+        assert row["charset"] == "cp1252"
+        assert row["charset_source"] == "meta"
+        assert text in row["text"]
+
+    def test_bom_strip_and_replacement_fallback(self, spark):
+        from pandas_weights_spark.sources.warc import decode_http_body
+
+        rows = [
+            ("bom", bytearray(b"\xef\xbb\xbf" + "héllo".encode())),
+            ("junk", bytearray(b"ok \xff\xfe\x9d then")),
+        ]
+        df = spark.createDataFrame(rows, ["uri", "body"])
+        out = {
+            r["uri"]: r["d"]
+            for r in df.select(
+                "uri",
+                decode_http_body(F.col("body"), F.lit(None)).alias("d"),
+            ).collect()
+        }
+        assert out["bom"]["text"] == "héllo"  # BOM stripped
+        assert out["bom"]["charset_source"] == "bom"
+        assert "�" in out["junk"]["text"]  # never raises
+        assert out["junk"]["text"].startswith("ok ")
+
+    def test_resource_records_have_null_headers(self, spark):
+        built = _build(spark, [("u4", "raw")], warc_type="resource")
+        rec = parse_warc_bytes(bytes(built.first()["rec"]))[0]
+        assert rec["http_headers"] is None
+
+    def test_response_headers_kept(self, spark):
+        built = _build(spark, [("u5", "b")])
+        rec = parse_warc_bytes(bytes(built.first()["rec"]))[0]
+        assert rec["http_headers"].startswith("HTTP/1.1 200 OK")
+        assert "Content-Type: text/html" in rec["http_headers"]
