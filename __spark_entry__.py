@@ -7471,6 +7471,9 @@ _HTML_FIXTURE_SQL = """'<html><head><title>' || source || ' &amp; doc '
       then '<script>var x="<p>hidden</p>";</script>' else '' end
  || case when doc_id % 2 = 0 then '<div>Short note.</div>'
       else '<div>A sufficiently long plain division block with several words kept here.</div>' end
+ || '<p>Press release &#8212; caf&#233; digest &#x4E2D;&#25991; '
+ || '&#147;quoted&#148; &#38;lt; literal &amp;#65; and bad &#0;'
+ || '&#12345678; refs kept verbatim in this block.</p>'
  || '<footer><a href="/terms">Terms</a> &copy; 2026</footer></body></html>'"""
 
 
@@ -7505,6 +7508,14 @@ def _q_html_extract(spark, sf_dir):
                 "<div>A sufficiently long plain division block "
                 "with several words kept here.</div>"
             )
+        ),
+        # r10: numeric character references — decimal/hex/C1-remap
+        # decode, escaped refs stay literal, invalid refs -> U+FFFD
+        # or pass through; bit-exact in both engines
+        F.lit(
+            "<p>Press release &#8212; caf&#233; digest &#x4E2D;&#25991; "
+            "&#147;quoted&#148; &#38;lt; literal &amp;#65; and bad &#0;"
+            "&#12345678; refs kept verbatim in this block.</p>"
         ),
         F.lit(
             '<footer><a href="/terms">Terms</a> &copy; 2026'

@@ -19,8 +19,12 @@ oracle. Regex dialect notes (Spark = java.util.regex, DuckDB = RE2):
 This is a HEURISTIC extractor (like every regex-based one): it does
 not build a DOM, so pathological markup (unclosed ``<script>``,
 attributes containing ``>``) degrades gracefully rather than exactly.
-The fixed entity set below is decoded; other entities pass through
-unchanged.
+Entity handling (r10): generic numeric character references
+(``&#NNN;`` / ``&#xHH;`` — C1 range remapped through windows-1252 per
+the WHATWG spec, NUL/surrogates/out-of-range → U+FFFD, semicolon
+required) decode first, then the fixed NAMED set below (``&amp;``
+last, so refs produced by escaping stay literal); other named
+entities pass through unchanged.
 """
 
 from __future__ import annotations
@@ -74,6 +78,28 @@ _ENTITIES = (
     ("&amp;", "&"),
 )
 
+#: WHATWG "numeric character reference end state" remaps: the C1
+#: control range 0x80–0x9F means the windows-1252 glyphs in real
+#: pages (``&#147;`` is a curly quote, not a control char); the five
+#: unmapped slots (0x81 0x8D 0x8F 0x90 0x9D) pass through unchanged,
+#: exactly as browsers emit them.
+_C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E,
+    0x85: 0x2026, 0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6,
+    0x89: 0x2030, 0x8A: 0x0160, 0x8B: 0x2039, 0x8C: 0x0152,
+    0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C,
+    0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A,
+    0x9C: 0x0153, 0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+#: ref bodies AFTER a ``&#`` split: decimal / hex forms (semicolon
+#: required — HTML's legacy semicolon-less refs are not decoded; 7
+#: decimal / 6 hex digits cover every valid codepoint, longer runs
+#: stay literal text)
+_DEC_REF = r"^([0-9]{1,7});"
+_HEX_REF = r"^[xX]([0-9A-Fa-f]{1,6});"
+
 _WS = r"[ \t\n\r\f]"
 
 #: comments + invisible containers, one alternation (non-greedy bodies)
@@ -91,7 +117,101 @@ _HREF_RE = "(?is)<a\\b[^>]*?href" + _WS + "*=" + _WS + "*[\"']([^\"']*)[\"']"
 _ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>([^\x00]*?)</a"
 
 
+def _cp_char(cp: Column) -> Column:
+    """Codepoint (int Column) → one-character string, HTML-spec
+    normalized: C1 range remapped through windows-1252 (WHATWG),
+    NUL / surrogates / >U+10FFFF become U+FFFD. Spark's ``char()``
+    is modulo-256, so the UTF-8 bytes are assembled by Column
+    arithmetic and decoded (the DuckDB replay just calls ``chr``)."""
+    remap = F.create_map(
+        *[F.lit(x) for kv in _C1_REMAP.items() for x in kv]
+    )
+    cp = F.coalesce(F.try_element_at(remap, cp), cp)
+    invalid = (
+        (cp <= 0)
+        | (cp > 0x10FFFF)
+        | ((cp >= 0xD800) & (cp <= 0xDFFF))
+    )
+    cp = F.when(invalid, F.lit(0xFFFD)).otherwise(cp)
+
+    def h(b: Column) -> Column:  # byte value -> two hex chars
+        return F.lpad(F.conv(b.cast("string"), 10, 16), 2, "0")
+
+    six = F.lit(0x3F)
+    hexs = (
+        F.when(cp < 0x80, h(cp))
+        .when(
+            cp < 0x800,
+            F.concat(
+                h(F.shiftright(cp, 6) + 0xC0),
+                h(cp.bitwiseAND(six) + 0x80),
+            ),
+        )
+        .when(
+            cp < 0x10000,
+            F.concat(
+                h(F.shiftright(cp, 12) + 0xE0),
+                h(F.shiftright(cp, 6).bitwiseAND(six) + 0x80),
+                h(cp.bitwiseAND(six) + 0x80),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                h(F.shiftright(cp, 18) + 0xF0),
+                h(F.shiftright(cp, 12).bitwiseAND(six) + 0x80),
+                h(F.shiftright(cp, 6).bitwiseAND(six) + 0x80),
+                h(cp.bitwiseAND(six) + 0x80),
+            )
+        )
+    )
+    return F.decode(F.unhex(hexs), "UTF-8")
+
+
+def _decode_numeric_refs(col: Column) -> Column:
+    """Decode ``&#NNN;`` / ``&#xHH;`` character references (r10 —
+    previously only the fixed named set decoded, so non-English pages
+    kept refs as literal text). Split on ``&#`` with a \\x01 sentinel
+    prefix so the first piece needs no restoration (an input
+    containing the illegal sequence ``&#\\x01`` loses its ``&#`` —
+    \\x01 is not HTML text). ``&#38;``/``&#x26;`` emit ``&amp;`` so
+    the named chain's LAST replace turns them into ``&``, keeping
+    refs produced by decoding inert — ``&#38;lt;`` renders ``&lt;``
+    literally, per the spec. Runs BEFORE the named chain for the same
+    reason (``&amp;#65;`` must stay ``&#65;``)."""
+    pieces = F.split(F.concat(F.lit("\x01"), col), "&#", -1)
+
+    def emit(cp: Column) -> Column:
+        return F.when(cp == 38, F.lit("&amp;")).otherwise(_cp_char(cp))
+
+    def fix(piece: Column) -> Column:
+        dec = F.regexp_extract(piece, _DEC_REF, 1)
+        hx = F.regexp_extract(piece, _HEX_REF, 1)
+        return (
+            F.when(
+                dec != "",
+                F.concat(
+                    emit(dec.cast("int")),
+                    F.substr(piece, F.length(dec) + F.lit(2)),
+                ),
+            )
+            .when(
+                hx != "",
+                F.concat(
+                    emit(F.conv(hx, 16, 10).cast("int")),
+                    F.substr(piece, F.length(hx) + F.lit(3)),
+                ),
+            )
+            .when(piece.startswith("\x01"), piece)
+            .otherwise(F.concat(F.lit("&#"), piece))
+        )
+
+    return F.substr(
+        F.array_join(F.transform(pieces, fix), ""), F.lit(2)
+    )
+
+
 def _decode_entities(col: Column) -> Column:
+    col = _decode_numeric_refs(col)
     for src, dst in _ENTITIES:
         col = F.replace(col, F.lit(src), F.lit(dst))
     return col
@@ -225,7 +345,46 @@ def _collapse_ws_sql(e: str) -> str:
     return f"regexp_replace({e}, '^[ \\n]+|[ \\n]+$', '', 'g')"
 
 
+def _decode_numeric_refs_sql(e: str) -> str:
+    """DuckDB replay of :func:`_decode_numeric_refs` — same split/
+    sentinel/emit shape; DuckDB's ``chr`` is a real codepoint
+    renderer so no byte assembly is needed."""
+    c1 = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in _C1_REMAP.items()
+    )
+
+    def emit(cp: str) -> str:
+        norm = f"(CASE {cp} {c1} ELSE {cp} END)"
+        safe = (
+            f"(CASE WHEN {norm} <= 0 OR {norm} > 1114111 OR "
+            f"({norm} BETWEEN 55296 AND 57343) THEN 65533 "
+            f"ELSE {norm} END)"
+        )
+        return f"(CASE WHEN {cp} = 38 THEN '&amp;' ELSE chr({safe}) END)"
+
+    dec = f"regexp_extract(p, '{_sq(_DEC_REF)}', 1)"
+    hx = f"regexp_extract(p, '{_sq(_HEX_REF)}', 1)"
+
+    def fexpr_hex(h: str) -> str:  # hex digits -> int (0x literal cast)
+        return f"CAST('0x' || {h} AS INT)"
+    fix = (
+        "CASE "
+        f"WHEN {dec} != '' THEN {emit(f'CAST({dec} AS INT)')} || "
+        f"substr(p, length({dec}) + 2) "
+        f"WHEN {hx} != '' THEN "
+        f"{emit(fexpr_hex(hx))} || "
+        f"substr(p, length({hx}) + 3) "
+        "WHEN starts_with(p, chr(1)) THEN p "
+        "ELSE '&#' || p END"
+    )
+    return (
+        f"substr(array_to_string(list_transform("
+        f"str_split(chr(1) || ({e}), '&#'), p -> {fix}), ''), 2)"
+    )
+
+
 def _decode_entities_sql(e: str) -> str:
+    e = _decode_numeric_refs_sql(e)
     for src, dst in _ENTITIES:
         e = f"replace({e}, '{_sq(src)}', '{_sq(dst)}')"
     return e
