@@ -977,10 +977,26 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.round(F.col("logprob_mean"), 6).alias("v1"),
         F.round(F.col("ppl"), 6).alias("v2"),
     )
+    # r10: Kneser-Ney rows (text.ngram_lm_score smoothing='kn' at
+    # orders {2,3} — the CCNet/KenLM smoother: discounted raw counts
+    # at the top order, CONTINUATION counts below, alpha-pooled
+    # continuation-unigram base; the oracle replays the fold
+    # num3 + bw3*(num2 + bw2*base) with the same capped tables)
+    lmkn = ngram_lm_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id", None,
+        {2: bgt, 3: tgt}, None, alpha=0.5, smoothing="kn",
+        discount=0.75,
+    ).select(
+        F.lit("lmkn").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.round(F.col("logprob_mean"), 6).alias("v1"),
+        F.round(F.col("ppl"), 6).alias("v2"),
+    )
     return (
         tf.unionByName(vocab).unionByName(bpe).unionByName(usd)
         .unionByName(lm).unionByName(lm2).unionByName(lm3)
-        .unionByName(lm5)
+        .unionByName(lm5).unionByName(lmkn)
     )
 
 
@@ -4401,6 +4417,105 @@ _ORACLE["tfidf_top_terms"] = r"""
         CROSS JOIN tot
       )
       SELECT doc_id, AVG(lp) AS lpm FROM sc5 GROUP BY doc_id
+    )
+    UNION ALL
+    -- r10: interpolated Kneser-Ney replay (text.ngram_lm_score
+    -- smoothing='kn', orders {2,3}, D=0.75): top order discounts raw
+    -- trigram counts, order 2 uses CONTINUATION counts N1+(.w2w3)
+    -- from the trigram table, base is the alpha-pooled continuation
+    -- unigram off the bigram table; fold mirrors the engine's
+    -- bottom-up num + bw*p accumulation; docs < 50 over TRIPLES
+    SELECT 'lmkn' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+           round(lpm, 6) AS v1, round(exp(-lpm), 6) AS v2
+    FROM (
+      WITH dt AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+      ),
+      bp AS (
+        SELECT p.a AS w1, p.b AS w2 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 2
+                        THEN [{'a': w[i], 'b': w[i+1]}
+                              for i in range(1, len(w))]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      bgr AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+        GROUP BY w1, w2
+        ORDER BY mass DESC, w1, w2 LIMIT 5000
+      ),
+      tp AS (
+        SELECT p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 3
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                              for i in range(1, len(w) - 1)]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      tgr AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS mass FROM tp
+        GROUP BY w1, w2, w3
+        ORDER BY mass DESC, w1, w2, w3 LIMIT 5000
+      ),
+      tmg AS (
+        SELECT w1, w2, SUM(mass) AS m,
+               CAST(COUNT(*) AS DOUBLE) AS nd
+        FROM tgr GROUP BY w1, w2
+      ),
+      cc2 AS (
+        SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS cc
+        FROM tgr GROUP BY w2, w3
+      ),
+      cd2 AS (
+        SELECT w2, SUM(cc) AS cm, CAST(COUNT(*) AS DOUBLE) AS cnd
+        FROM cc2 GROUP BY w2
+      ),
+      c1 AS (
+        SELECT w2 AS term, CAST(COUNT(*) AS DOUBLE) AS c1
+        FROM bgr GROUP BY w2
+      ),
+      t0 AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS T,
+               COUNT(DISTINCT w2) AS V1
+        FROM bgr
+      ),
+      dtrip AS (
+        SELECT doc_id, p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= 3
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                              for i in range(1, len(w) - 1)]
+                        ELSE [] END) AS p
+          FROM dt WHERE doc_id < 50
+        )
+      ),
+      sckn AS (
+        SELECT d.doc_id,
+               ln(
+                 COALESCE(greatest(tgr.mass - 0.75, 0.0) / tmg.m, 0.0)
+                 + COALESCE(0.75 * tmg.nd / tmg.m, 1.0) * (
+                     COALESCE(greatest(cc2.cc - 0.75, 0.0) / cd2.cm,
+                              0.0)
+                     + COALESCE(0.75 * cd2.cnd / cd2.cm, 1.0) * (
+                         (COALESCE(c1.c1, 0.0) + 0.5)
+                         / (t0.T + 0.5 * (t0.V1 + 1))
+                     )
+                 )
+               ) AS lp
+        FROM dtrip d
+        LEFT JOIN tgr ON d.w1 = tgr.w1 AND d.w2 = tgr.w2
+                     AND d.w3 = tgr.w3
+        LEFT JOIN tmg ON d.w1 = tmg.w1 AND d.w2 = tmg.w2
+        LEFT JOIN cc2 ON d.w2 = cc2.w2 AND d.w3 = cc2.w3
+        LEFT JOIN cd2 ON d.w2 = cd2.w2
+        LEFT JOIN c1 ON d.w3 = c1.term
+        CROSS JOIN t0
+      )
+      SELECT doc_id, AVG(lp) AS lpm FROM sckn GROUP BY doc_id
     )
 """
 

@@ -1225,19 +1225,141 @@ def ngram_counts(
     return global_top_by_mass(agg, "mass", order, max_ngrams)
 
 
+def _kn_score(
+    tuples: DataFrame,
+    id_col: str,
+    tables: "dict[int, DataFrame]",
+    orders: "list[int]",
+    N: int,
+    D: float,
+    alpha: float,
+) -> DataFrame:
+    """Interpolated-Kneser-Ney evaluation over the N-tuple frame (see
+    :func:`ngram_lm_score` ``smoothing='kn'`` for the model).  Per
+    order two broadcast-joined capped tables: the numerator (keyed on
+    the last k tuple slots) and the backoff weight (keyed on the k−1
+    context slots); the probability folds bottom-up so a missing
+    context at any order falls through with weight 1.  The base is
+    the α-smoothed continuation unigram off ``tables[2]`` — its two
+    totals are driver scalars from the capped table (the
+    :func:`unigram_logprobs` convention)."""
+    t2 = tables[2]
+    row = t2.agg(
+        F.count(F.lit(1)).alias("T"),
+        F.countDistinct("w2").alias("V1"),
+    ).first()
+    denom0 = float(row["T"]) + alpha * (int(row["V1"]) + 1)
+    cont1 = t2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("__c1__")
+    )
+    joined = tuples.join(
+        F.broadcast(cont1.withColumnRenamed("w2", f"t{N}")),
+        f"t{N}",
+        "left",
+    )
+    p = (
+        F.coalesce(F.col("__c1__"), F.lit(0.0)) + F.lit(alpha)
+    ) / F.lit(denom0)
+    for k in orders:
+        if k == N:
+            tab = tables[N]
+            ctx = [f"w{i + 1}" for i in range(N - 1)]
+            marg = tab.groupBy(*ctx).agg(
+                F.sum("mass").alias("__m__"),
+                F.count(F.lit(1)).cast("double").alias("__nd__"),
+            )
+            cond = tab.join(marg, ctx).select(
+                *[
+                    F.col(f"w{i + 1}").alias(f"t{i + 1}")
+                    for i in range(N)
+                ],
+                (
+                    F.greatest(F.col("mass") - F.lit(D), F.lit(0.0))
+                    / F.col("__m__")
+                ).alias(f"__num{k}__"),
+            )
+            bw = marg.select(
+                *[
+                    F.col(f"w{i + 1}").alias(f"t{i + 1}")
+                    for i in range(N - 1)
+                ],
+                (F.lit(D) * F.col("__nd__") / F.col("__m__")).alias(
+                    f"__bw{k}__"
+                ),
+            )
+            num_keys = [f"t{i + 1}" for i in range(N)]
+            bw_keys = [f"t{i + 1}" for i in range(N - 1)]
+        else:
+            # order-k continuation counts from the order-(k+1) table:
+            # the k-gram u occupies w2..w_{k+1}; rows per u = N1+(·u)
+            hi = tables[k + 1]
+            ukeys = [f"w{i + 2}" for i in range(k)]
+            cont = hi.groupBy(*ukeys).agg(
+                F.count(F.lit(1)).cast("double").alias("__cc__")
+            )
+            dkeys = ukeys[:-1]
+            den = cont.groupBy(*dkeys).agg(
+                F.sum("__cc__").alias("__cm__"),
+                F.count(F.lit(1)).cast("double").alias("__cnd__"),
+            )
+            # u position j aligns with tuple slot N - k + j + 1 (the
+            # LAST k words of the N-tuple)
+            cond = cont.join(den, dkeys).select(
+                *[
+                    F.col(ukeys[j]).alias(f"t{N - k + j + 1}")
+                    for j in range(k)
+                ],
+                (
+                    F.greatest(F.col("__cc__") - F.lit(D), F.lit(0.0))
+                    / F.col("__cm__")
+                ).alias(f"__num{k}__"),
+            )
+            bw = den.select(
+                *[
+                    F.col(dkeys[j]).alias(f"t{N - k + j + 1}")
+                    for j in range(k - 1)
+                ],
+                (F.lit(D) * F.col("__cnd__") / F.col("__cm__")).alias(
+                    f"__bw{k}__"
+                ),
+            )
+            num_keys = [f"t{N - k + j + 1}" for j in range(k)]
+            bw_keys = [f"t{N - k + j + 1}" for j in range(k - 1)]
+        joined = joined.join(F.broadcast(cond), num_keys, "left")
+        joined = joined.join(F.broadcast(bw), bw_keys, "left")
+        p = F.coalesce(F.col(f"__num{k}__"), F.lit(0.0)) + F.coalesce(
+            F.col(f"__bw{k}__"), F.lit(1.0)
+        ) * p
+    scored = joined.select(id_col, F.log(p).alias("__lp__"))
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.avg("__lp__").alias("logprob_mean"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "logprob_mean",
+        F.exp(-F.col("logprob_mean")).alias("ppl"),
+    )
+
+
 def ngram_lm_score(
     df: DataFrame,
     text_col: str,
     id_col: str,
     vocab: DataFrame,
     tables: "dict[int, DataFrame]",
-    lambdas: "dict[int, float]",
+    lambdas: "Optional[dict[int, float]]",
     alpha: float = 0.5,
     lowercase: bool = True,
+    smoothing: str = "jm",
+    discount: float = 0.75,
 ) -> DataFrame:
-    """Jelinek-Mercer interpolated LM perplexity for an ARBITRARY set
-    of orders — the general rung of the CCNet ladder (Wenzek et al.
-    2019 run order 5):
+    """Interpolated LM perplexity for an ARBITRARY set of orders —
+    the general rung of the CCNet ladder (Wenzek et al. 2019 run
+    order 5). Two smoothers:
+
+    ``smoothing='jm'`` (Jelinek-Mercer, the default):
 
     ``p(w_N | context) = Σ_k λ_k · c(last k words)/c(context_k) +
     (1 − Σλ) · p_uni(w_N)``
@@ -1246,28 +1368,67 @@ def ngram_lm_score(
     (orders need not be consecutive — ``{5: t5, 2: t2}`` is a valid
     model); each order's conditional uses its own capped table's
     context marginal, and unseen grams at any order fall through to
-    the lower terms. Output ``(id_col, n_ngrams, logprob_mean, ppl)``
-    over the doc's N-tuples (N = max order); docs with fewer than N
-    tokens emit no row.
+    the lower terms.
+
+    ``smoothing='kn'`` (r10 — interpolated Kneser-Ney with one fixed
+    ``discount`` D per order, the smoother CCNet's KenLM actually
+    uses, Kneser & Ney 1995 / Chen & Goodman 1999 eq. 4.25 shape):
+
+    ``p_N(w|c) = max(c(cw) − D, 0)/c(c) + D·N1+(c·)/c(c) ·
+    p_{N−1}(w|c')`` with every LOWER order built from CONTINUATION
+    counts — order-k numerators are ``N1+(·u)`` (how many distinct
+    left-extensions of the k-gram ``u`` the order-(k+1) table holds),
+    not raw counts, and the base is the continuation-unigram
+    ``(N1+(·w) + α)/(N1+(··) + α·(V+1))`` (α pools OOV mass exactly
+    like :func:`unigram_logprobs`; ``vocab`` is unused for KN).
+    Requires CONSECUTIVE orders ``{2..N}`` (the recursion derives
+    order-k continuation counts from ``tables[k+1]``); ``lambdas``
+    must be ``None``. A context absent from a capped table backs off
+    with weight 1 (pure fall-through), the same capped-table
+    convention the JM path uses.
+
+    Output ``(id_col, n_ngrams, logprob_mean, ppl)`` over the doc's
+    N-tuples (N = max order); docs with fewer than N tokens emit no
+    row.
 
     Scale shape identical to :func:`trigram_lm_score`: one row-local
-    N-tuple fan-out, one BROADCAST join per order plus the V-row
-    unigram table, one doc-keyed aggregate. ``bigram_lm_score`` /
-    ``trigram_lm_score`` are the fixed-order specializations (parity
-    pinned in tests)."""
+    N-tuple fan-out, BROADCAST joins against capped tables only (two
+    per order for KN: numerator + backoff weight), one doc-keyed
+    aggregate. ``bigram_lm_score`` / ``trigram_lm_score`` are the
+    fixed-order JM specializations (parity pinned in tests)."""
     orders = sorted(tables)
     if not orders or min(orders) < 2:
         raise ValueError("tables must be keyed by orders >= 2")
-    if set(lambdas) != set(tables):
-        raise ValueError("lambdas and tables must share the same orders")
-    lam = {k: float(lambdas[k]) for k in orders}
-    if any(v < 0 for v in lam.values()) or sum(lam.values()) >= 1.0:
+    if smoothing not in ("jm", "kn"):
         raise ValueError(
-            "need every lambda >= 0 and sum(lambdas) < 1 "
-            "(the unigram floor must stay positive)"
+            f"smoothing must be 'jm' or 'kn', got {smoothing!r}"
         )
+    if smoothing == "kn":
+        if lambdas is not None:
+            raise ValueError(
+                "lambdas are a JM parameter; pass None with "
+                "smoothing='kn' (KN interpolates via the discount)"
+            )
+        if orders != list(range(2, max(orders) + 1)):
+            raise ValueError(
+                "smoothing='kn' needs consecutive orders {2..N} "
+                f"(continuation counts come from the next order up), "
+                f"got {orders}"
+            )
+        if not 0.0 < float(discount) < 1.0:
+            raise ValueError("discount must be in (0, 1)")
+    else:
+        if lambdas is None or set(lambdas) != set(tables):
+            raise ValueError(
+                "lambdas and tables must share the same orders"
+            )
+        lam = {k: float(lambdas[k]) for k in orders}
+        if any(v < 0 for v in lam.values()) or sum(lam.values()) >= 1.0:
+            raise ValueError(
+                "need every lambda >= 0 and sum(lambdas) < 1 "
+                "(the unigram floor must stay positive)"
+            )
     N = max(orders)
-    lp, oov = unigram_logprobs(vocab, alpha)
 
     t = F.col(text_col)
     lowered = F.lower(t) if lowercase else t
@@ -1283,6 +1444,12 @@ def ngram_lm_score(
         id_col,
         *[F.get(split, i).alias(f"t{i + 1}") for i in range(N)],
     )
+    if smoothing == "kn":
+        return _kn_score(
+            tuples, id_col, tables, orders, N,
+            float(discount), float(alpha),
+        )
+    lp, oov = unigram_logprobs(vocab, alpha)
     joined = tuples
     for k in orders:
         tab = tables[k]

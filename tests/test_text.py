@@ -1135,3 +1135,203 @@ class TestGeneralOrderNgramLM:
             ngram_lm_score(
                 corpus, "text", "doc_id", v, {2: t2}, {2: 1.0}
             )
+
+
+class TestKneserNey:
+    """r10 (VERDICT r9 #2 carried item): smoothing='kn' — interpolated
+    Kneser-Ney with continuation counts, checked bit-exact against an
+    independent pure-Python reference, plus the held-out-perplexity
+    claim (KN <= JM on the fixture) and the validation surface."""
+
+    CORPUS = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog sat here"),
+        (3, "the cat ate the fish and the dog ate the bone"),
+        (4, "cats and dogs sat on mats"),
+    ]
+    HELD = [
+        (10, "the cat sat on the rug"),
+        (11, "a dog ate the fish"),
+    ]
+
+    @staticmethod
+    def _py_kn(corpus, held, D=0.75, alpha=0.5):
+        """Independent interpolated-KN (Chen & Goodman 1999 shape),
+        written from the formula — continuation counts for the lower
+        order, alpha-pooled continuation-unigram base."""
+        import collections
+        import math
+
+        bi = collections.Counter()
+        tri = collections.Counter()
+        for _, s in corpus:
+            w = s.lower().split()
+            for i in range(len(w) - 1):
+                bi[(w[i], w[i + 1])] += 1
+            for i in range(len(w) - 2):
+                tri[(w[i], w[i + 1], w[i + 2])] += 1
+        c1 = collections.Counter(b for _, b in bi)
+        den0 = len(bi) + alpha * (len(c1) + 1)
+        cc2 = collections.Counter((b, c) for _, b, c in tri)
+        cm2, cnd2 = collections.Counter(), collections.Counter()
+        for (b, _), n in cc2.items():
+            cm2[b] += n
+            cnd2[b] += 1
+        m3, nd3 = collections.Counter(), collections.Counter()
+        for (a, b, _), n in tri.items():
+            m3[(a, b)] += n
+            nd3[(a, b)] += 1
+
+        def p_kn(a, b, c):
+            p = (c1.get(c, 0) + alpha) / den0
+            if b in cm2:
+                p = (
+                    max(cc2.get((b, c), 0) - D, 0) / cm2[b]
+                    + D * cnd2[b] / cm2[b] * p
+                )
+            if (a, b) in m3:
+                p = (
+                    max(tri.get((a, b, c), 0) - D, 0) / m3[(a, b)]
+                    + D * nd3[(a, b)] / m3[(a, b)] * p
+                )
+            return p
+
+        out = {}
+        for did, s in held:
+            w = s.lower().split()
+            lps = [
+                math.log(p_kn(w[i], w[i + 1], w[i + 2]))
+                for i in range(len(w) - 2)
+            ]
+            out[did] = (len(lps), sum(lps) / len(lps))
+        return out
+
+    def test_matches_python_reference_bit_exact(self, spark):
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        held = spark.createDataFrame(self.HELD, ["doc_id", "text"])
+        t2 = ngram_counts(df, "text", 2, max_ngrams=100000)
+        t3 = ngram_counts(df, "text", 3, max_ngrams=100000)
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["logprob_mean"])
+            for r in ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2, 3: t3},
+                None, alpha=0.5, smoothing="kn", discount=0.75,
+            ).collect()
+        }
+        want = self._py_kn(self.CORPUS, self.HELD)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert got[k][1] == want[k][1], k  # bit-exact
+
+    def test_kn_beats_jm_on_held_out(self, spark):
+        # the Kneser-Ney motivation (the "san francisco" effect):
+        # 'francisco' is token-frequent but appears after exactly one
+        # context, so JM's raw-count unigram floor overrates it and
+        # starves versatile words; KN's continuation counts give the
+        # versatile words the mass instead — held-out perplexity on
+        # unseen-but-plausible bigrams must come out lower for KN
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+        from pandas_weights_spark.functions.vocab import (
+            build_vocabulary,
+        )
+
+        train_rows = [(0, ("san francisco " * 12).strip())] + [
+            (i + 1, s)
+            for i, s in enumerate(
+                [
+                    "the cat sat on the mat",
+                    "a cat ran to the door",
+                    "the dog sat by a door",
+                    "a dog ran in the park",
+                    "the bird sat on a wall",
+                    "one bird ran past the gate",
+                ]
+            )
+        ]
+        held_rows = [
+            (10, "one dog sat past a mat"),
+            (11, "the bird ran by a door"),
+        ]
+        df = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        held = spark.createDataFrame(held_rows, ["doc_id", "text"])
+        t2 = ngram_counts(df, "text", 2, max_ngrams=100000)
+        v = build_vocabulary(df, "text", max_size=1000)
+        kn = {
+            r["doc_id"]: r["ppl"]
+            for r in ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2},
+                None, alpha=0.5, smoothing="kn",
+            ).collect()
+        }
+        jm = {
+            r["doc_id"]: r["ppl"]
+            for r in ngram_lm_score(
+                held, "text", "doc_id", v, {2: t2}, {2: 0.7},
+                alpha=0.5,
+            ).collect()
+        }
+        # corpus-level claim (the standard one): mean held-out
+        # perplexity — doc 10 is where the effect lives (its unseen
+        # bigrams fall to the floor both models provide), doc 11 is
+        # mostly-seen bigrams and nearly ties
+        kn_mean = sum(kn.values()) / len(kn)
+        jm_mean = sum(jm.values()) / len(jm)
+        assert kn_mean < jm_mean, (kn_mean, jm_mean)
+        assert kn[10] < jm[10], (kn[10], jm[10])
+
+    def test_kn_bigram_only_order(self, spark):
+        # N=2: top order raw counts + continuation-unigram base only
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        t2 = ngram_counts(df, "text", 2, max_ngrams=100000)
+        out = ngram_lm_score(
+            df, "text", "doc_id", None, {2: t2}, None,
+            smoothing="kn",
+        )
+        rows = out.collect()
+        assert len(rows) == len(self.CORPUS)
+        assert all(r["ppl"] > 0 for r in rows)
+
+    def test_validation_surface(self, spark):
+        from pandas_weights_spark.functions.text import (
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        t2 = ngram_counts(df, "text", 2, max_ngrams=100)
+        t4 = ngram_counts(df, "text", 4, max_ngrams=100)
+        with pytest.raises(ValueError, match="consecutive"):
+            ngram_lm_score(
+                df, "text", "doc_id", None, {2: t2, 4: t4}, None,
+                smoothing="kn",
+            )
+        with pytest.raises(ValueError, match="lambdas"):
+            ngram_lm_score(
+                df, "text", "doc_id", None, {2: t2}, {2: 0.5},
+                smoothing="kn",
+            )
+        with pytest.raises(ValueError, match="discount"):
+            ngram_lm_score(
+                df, "text", "doc_id", None, {2: t2}, None,
+                smoothing="kn", discount=1.5,
+            )
+        with pytest.raises(ValueError, match="smoothing"):
+            ngram_lm_score(
+                df, "text", "doc_id", None, {2: t2}, {2: 0.5},
+                smoothing="wb",
+            )
