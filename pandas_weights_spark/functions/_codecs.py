@@ -1984,9 +1984,114 @@ def encode_pdf(pages: "list[str]", compress: bool = True) -> bytes:
     return bytes(out)
 
 
-def _pdf_string(data: bytes, i: int) -> "tuple[str, int]":
+def encode_pdf_subset(
+    pages: "list[str]", compress: bool = True
+) -> bytes:
+    """Subset-font fixture writer (r10, the round-trip counterpart of
+    the ToUnicode reader): text is shown as HEX strings of 1-byte
+    codes assigned in first-appearance order, and a ``/ToUnicode``
+    CMap (``beginbfchar`` entries) maps the codes back — the shape
+    every real-world subset-embedded font uses, where the byte codes
+    are MEANINGLESS without the CMap (a latin-1 replay would be pure
+    mojibake). Any unicode text works, up to 255 distinct characters
+    per document (1-byte code space)."""
+    if not pages:
+        raise ValueError("encode_pdf_subset needs at least one page")
+    charset: "dict[str, int]" = {}
+    for text in pages:
+        for ch in text:
+            if ch != "\n" and ch not in charset:
+                charset[ch] = len(charset) + 1
+    if len(charset) > 255:
+        raise ValueError(
+            "encode_pdf_subset supports <= 255 distinct characters "
+            f"(1-byte code space), got {len(charset)}"
+        )
+    n_pages = len(pages)
+    font_num = 3 + n_pages
+    tounicode_num = font_num + 1
+    objs: "list[bytes]" = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i in range(n_pages):
+        cnum = tounicode_num + 1 + i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {cnum} 0 R >>"
+            ).encode()
+        )
+    objs.append(
+        (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Subset "
+            f"/ToUnicode {tounicode_num} 0 R >>"
+        ).encode()
+    )
+    bfchars = "\n".join(
+        "<%02X> <%s>"
+        % (
+            code,
+            ch.encode("utf-16-be").hex().upper(),
+        )
+        for ch, code in sorted(charset.items(), key=lambda kv: kv[1])
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        f"{len(charset)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend\n"
+    ).encode("ascii")
+    objs.append(
+        b"<< /Length %d >>\nstream\n" % len(cmap)
+        + cmap + b"\nendstream"
+    )
+    for text in pages:
+        body = bytearray(b"BT /F1 11 Tf 50 750 Td\n")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b"0 -14 Td\n"
+            hx = "".join("%02X" % charset[ch] for ch in line)
+            body += b"<" + hx.encode("ascii") + b"> Tj\n"
+        body += b"ET"
+        raw = bytes(body)
+        if compress:
+            comp = zlib.compress(raw, 6)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(comp) + comp + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n" % len(raw)
+                + raw + b"\nendstream"
+            )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _pdf_string(data: bytes, i: int) -> "tuple[bytes, int]":
     """Parse a PDF literal string starting at the '(' — returns
-    (decoded text, index past the ')')."""
+    (raw string BYTES, index past the ')').  Decoding to text happens
+    at the call site (latin-1, or the font's ToUnicode CMap — r10)."""
     assert data[i : i + 1] == b"("
     i += 1
     out = bytearray()
@@ -2025,20 +2130,147 @@ def _pdf_string(data: bytes, i: int) -> "tuple[str, int]":
         elif b == 0x29:  # )
             depth -= 1
             if depth == 0:
-                return out.decode("latin-1"), i + 1
+                return bytes(out), i + 1
         out.append(b)
         i += 1
     raise ValueError("unterminated PDF string literal")
 
 
-def _pdf_content_text(stream: bytes) -> "list[str]":
+def _pdf_hex_string(data: bytes, i: int) -> "tuple[bytes, int]":
+    """Parse a PDF hex string starting at the '<' (NOT '<<') —
+    returns (raw bytes, index past the '>'); whitespace inside is
+    legal, an odd final digit pads with 0 (ISO 32000 §7.3.4.3)."""
+    j = data.find(b">", i + 1)
+    if j < 0:
+        raise ValueError("unterminated PDF hex string")
+    hx = b"".join(data[i + 1 : j].split())
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")), j + 1
+    except (ValueError, UnicodeDecodeError):
+        return b"", j + 1  # malformed hex: empty string, keep walking
+
+
+def _apply_cmap(bts: bytes, cmap) -> str:
+    """Decode shown-string bytes through a ToUnicode CMap ``(table,
+    max_code_len)`` — greedy longest-code match; an unmapped code
+    emits U+FFFD (the LOUD mojibake boundary — a subset font without
+    a mapping is unrecoverable without OCR). ``cmap=None`` falls back
+    to latin-1, the pre-r10 behavior for unmapped simple fonts."""
+    if cmap is None:
+        return bts.decode("latin-1")
+    table, clen = cmap
+    out = []
+    i, n = 0, len(bts)
+    while i < n:
+        for length in range(min(clen, n - i), 0, -1):
+            hit = table.get(bts[i : i + length])
+            if hit is not None:
+                out.append(hit)
+                i += length
+                break
+        else:
+            out.append("�")
+            i += 1
+    return "".join(out)
+
+
+def _parse_tounicode(cmap_stream: bytes):
+    """Parse a ToUnicode CMap stream (ISO 32000 §9.10.3): returns
+    ``(code->text table, max code byte-length)`` from the
+    ``beginbfchar``/``beginbfrange`` sections, or None when nothing
+    parses. Destination hex is UTF-16BE code units; bfrange
+    increments apply to the LAST code unit (the spec's convention);
+    ranges are capped at 65536 entries as a corrupt-input guard."""
+    import re as _re
+
+    table: "dict[bytes, str]" = {}
+    clen = 1
+
+    def _hx(h: bytes) -> bytes:  # hex with legal internal whitespace
+        return b"".join(h.split())
+
+    try:
+        for m in _re.finditer(
+            rb"beginbfchar(.*?)endbfchar", cmap_stream, _re.S
+        ):
+            for a, b in _re.findall(
+                rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]*)>", m.group(1)
+            ):
+                a, b = _hx(a), _hx(b)
+                if not a or len(a) % 2 or len(b) % 2:
+                    continue
+                src = bytes.fromhex(a.decode("ascii"))
+                table[src] = bytes.fromhex(b.decode("ascii")).decode(
+                    "utf-16-be", "replace"
+                )
+                clen = max(clen, len(src))
+        for m in _re.finditer(
+            rb"beginbfrange(.*?)endbfrange", cmap_stream, _re.S
+        ):
+            entries = _re.findall(
+                rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*"
+                rb"(?:<([0-9A-Fa-f\s]+)>|\[(.*?)\])",
+                m.group(1),
+                _re.S,
+            )
+            for lo_h, hi_h, base_h, arr in entries:
+                lo_h, hi_h = _hx(lo_h), _hx(hi_h)
+                base_h = _hx(base_h)
+                if not lo_h or len(lo_h) % 2 or len(lo_h) != len(hi_h):
+                    continue
+                width = len(lo_h) // 2
+                lo = int(lo_h, 16)
+                hi = int(hi_h, 16)
+                if hi < lo or hi - lo >= 0x10000:
+                    continue
+                clen = max(clen, width)
+                if base_h:
+                    blen = max(2, len(base_h) // 2)
+                    base = int(base_h, 16)
+                    for k in range(hi - lo + 1):
+                        dst = base + k
+                        table[(lo + k).to_bytes(width, "big")] = (
+                            dst.to_bytes(
+                                max(blen, (dst.bit_length() + 7) // 8),
+                                "big",
+                            ).decode("utf-16-be", "replace")
+                        )
+                else:
+                    dsts = [
+                        _hx(x)
+                        for x in _re.findall(rb"<([0-9A-Fa-f\s]*)>", arr)
+                    ]
+                    for k, dh in enumerate(dsts[: hi - lo + 1]):
+                        if len(dh) % 2:
+                            continue
+                        table[(lo + k).to_bytes(width, "big")] = (
+                            bytes.fromhex(dh.decode("ascii")).decode(
+                                "utf-16-be", "replace"
+                            )
+                        )
+    except (ValueError, OverflowError):
+        return None
+    return (table, clen) if table else None
+
+
+def _pdf_content_text(
+    stream: bytes, fonts: "dict[str, tuple] | None" = None
+) -> "list[str]":
     """Text chunks of one content stream in operator order: every
-    Tj / ' / \" string and every TJ array's string pieces (joined);
-    a Td/TD/T*/' between showings starts a new chunk."""
+    Tj / ' / \" string and every TJ array's string pieces (joined),
+    literal AND hex strings (r10); a Td/TD/T*/' between showings
+    starts a new chunk. ``fonts`` maps resource names (``F1``) to
+    parsed ToUnicode CMaps — ``/Fx … Tf`` switches the active decode
+    (latin-1 when the font has no CMap)."""
     chunks: "list[str]" = []
     cur: "list[str]" = []
     i, n = 0, len(stream)
     pending: "list[str]" = []
+    fonts = fonts or {}
+    cmap = None
+    last_name = None
 
     def flush_line():
         if pending:
@@ -2049,10 +2281,31 @@ def _pdf_content_text(stream: bytes) -> "list[str]":
         b = stream[i : i + 1]
         if b == b"(":
             s, i = _pdf_string(stream, i)
-            pending.append(s)
+            pending.append(_apply_cmap(s, cmap))
+            continue
+        if b == b"<":
+            if stream[i : i + 2] == b"<<":  # inline dict: skip opener
+                i += 2
+                continue
+            s, i = _pdf_hex_string(stream, i)
+            pending.append(_apply_cmap(s, cmap))
+            continue
+        if b == b"/":  # name token — remembered for a following Tf
+            j = i + 1
+            while j < n and stream[j : j + 1] not in (
+                b" ", b"\t", b"\r", b"\n", b"\f", b"(", b"<", b"[",
+                b"/", b">", b"]",
+            ):
+                j += 1
+            last_name = stream[i + 1 : j].decode("latin-1")
+            i = j
             continue
         if b == b"[":  # TJ array: strings + kerning numbers
             i += 1
+            continue
+        if stream[i : i + 2] == b"Tf":
+            cmap = fonts.get(last_name)
+            i += 2
             continue
         if stream[i : i + 2] in (b"Td", b"TD", b"T*"):
             flush_line()
@@ -2073,17 +2326,171 @@ def _pdf_content_text(stream: bytes) -> "list[str]":
     return chunks
 
 
+def _pdf_inflate(header: bytes, raw: bytes) -> "bytes | None":
+    """Apply the stream's filter: FlateDecode inflates, no filter
+    passes through, anything else (or corrupt zlib) yields None."""
+    if b"/FlateDecode" in header:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    if b"/Filter" in header:
+        return None
+    return raw
+
+
+def _pdf_object_stream(body: bytes) -> "bytes | None":
+    """The (inflated) stream of one object body, or None."""
+    import re as _re
+
+    s = body.find(b"stream")
+    if s < 0:
+        return None
+    header = body[:s]
+    data_start = s + 6
+    if body[data_start : data_start + 2] == b"\r\n":
+        data_start += 2
+    elif body[data_start : data_start + 1] == b"\n":
+        data_start += 1
+    e = body.find(b"endstream", data_start)
+    if e < 0:
+        return None
+    m = _re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", header)
+    if m:
+        raw = body[data_start : data_start + int(m.group(1))]
+    else:
+        raw = body[data_start:e]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+            raw = raw[:-1]
+    return _pdf_inflate(header, raw)
+
+
+def _pdf_pages(objs: "dict[int, bytes]"):
+    """Resolve the page graph: list of ``(content_streams, fonts)``
+    per page in /Kids order (object-number order when no /Pages node
+    parses), where fonts maps resource names to ToUnicode CMaps from
+    the page's DIRECT /Resources (inherited resources are not
+    chased — documented simple-writer scope). None when no /Type
+    /Page object exists (the legacy whole-file walk takes over)."""
+    import re as _re
+
+    page_nums = [
+        num
+        for num, body in objs.items()
+        if _re.search(rb"/Type\s*/Page\b", body)
+    ]
+    if not page_nums:
+        return None
+    order = None
+    for body in objs.values():
+        if _re.search(rb"/Type\s*/Pages\b", body):
+            km = _re.search(rb"/Kids\s*\[(.*?)\]", body, _re.S)
+            if km:
+                order = [
+                    int(x)
+                    for x in _re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))
+                ]
+                break
+    if order:
+        in_kids = [n for n in order if n in set(page_nums)]
+        rest = sorted(set(page_nums) - set(in_kids))
+        page_nums = in_kids + rest
+    else:
+        page_nums = sorted(page_nums)
+    cmap_cache: dict = {}
+    pages = []
+    for num in page_nums:
+        body = objs[num]
+        refs = []
+        cm = _re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        if cm:
+            refs = [int(cm.group(1))]
+        else:
+            am = _re.search(rb"/Contents\s*\[(.*?)\]", body, _re.S)
+            if am:
+                refs = [
+                    int(x)
+                    for x in _re.findall(rb"(\d+)\s+\d+\s+R", am.group(1))
+                ]
+        fonts: dict = {}
+        fm = _re.search(rb"/Font\s*<<(.*?)>>", body, _re.S)
+        if fm:
+            for name, fnum in _re.findall(
+                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
+            ):
+                fbody = objs.get(int(fnum))
+                if fbody is None:
+                    continue
+                tm = _re.search(
+                    rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody
+                )
+                if not tm:
+                    continue
+                tn = int(tm.group(1))
+                if tn not in cmap_cache:
+                    tb = objs.get(tn)
+                    ts = _pdf_object_stream(tb) if tb else None
+                    cmap_cache[tn] = (
+                        _parse_tounicode(ts) if ts else None
+                    )
+                if cmap_cache[tn]:
+                    fonts[name.decode("latin-1")] = cmap_cache[tn]
+        raws = []
+        for r in refs:
+            rb_ = objs.get(r)
+            if rb_ is None:
+                continue
+            data = _pdf_object_stream(rb_)
+            if data is not None:
+                raws.append(data)
+        pages.append((raws, fonts))
+    return pages
+
+
 def pdf_to_text(payload: bytes) -> str:
-    """Text of a (simple, text-based) PDF: every stream object is
-    inflated when ``/FlateDecode``-filtered, and the text-showing
-    operators (``Tj``, ``'``, ``TJ``) are replayed in order; ``Td`` /
-    ``TD`` / ``T*`` line moves become newlines, page streams join
-    with ``\\f``. Image-only or exotic PDFs (cross-reference streams,
-    LZW, encrypted) yield whatever literal text parses — or raise
+    """Text of a (simple, text-based) PDF: the text-showing operators
+    (``Tj``, ``'``, ``TJ`` — literal and hex strings) are replayed in
+    order; ``Td`` / ``TD`` / ``T*`` line moves become newlines, pages
+    join with ``\\f``.
+
+    r10 — **ToUnicode CMaps are honored**: when the page graph parses
+    (``/Type /Page`` objects with ``/Contents`` + direct
+    ``/Resources /Font``), each shown string decodes through the
+    active font's ``beginbfchar``/``beginbfrange`` mapping (``/Fx …
+    Tf`` tracked through the stream), so subset-font PDFs — most
+    real-world ones — extract real text instead of mojibake; a code
+    the CMap misses emits U+FFFD, the LOUD boundary. Fonts without a
+    CMap (and documents without a parsable page graph, which fall
+    back to the whole-file stream walk) decode latin-1 as before.
+    Image-only or exotic PDFs (cross-reference streams, LZW,
+    encrypted) yield whatever literal text parses — or raise
     ``ValueError`` when the payload is not a PDF at all. Scanned PDFs
     have no text layer (that is OCR's job, out of scope)."""
     if payload[:5] != b"%PDF-":
         raise ValueError("not a PDF: bad header")
+    import re as _re
+
+    objs: "dict[int, bytes]" = {}
+    for m in _re.finditer(rb"(\d{1,9})\s+\d+\s+obj\b", payload):
+        end = payload.find(b"endobj", m.end())
+        objs[int(m.group(1))] = payload[
+            m.end() : end if end >= 0 else len(payload)
+        ]
+    graph = _pdf_pages(objs) if objs else None
+    if graph:
+        texts: "list[str]" = []
+        for raws, fonts in graph:
+            chunks: "list[str]" = []
+            for raw in raws:
+                chunks.extend(_pdf_content_text(raw, fonts))
+            if chunks:
+                texts.append("\n".join(chunks))
+        if texts:
+            return "\f".join(texts)
+        # page graph parsed but yielded nothing: fall through to the
+        # legacy whole-file walk (damaged refs, unusual writers)
     pages: "list[str]" = []
     pos = 0
     n = len(payload)

