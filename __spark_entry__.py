@@ -8257,6 +8257,204 @@ def _q_charset_decode(spark, sf_dir):
     )
 
 
+def _q_lang_id_ngram(spark, sf_dir):
+    # r10 frontier slab (VERDICT r9 item 8): trainable character-
+    # n-gram language ID (Cavnar-Trenkle 1994, the public design
+    # fastText-style LID refines) replacing reliance on the fixed
+    # marker-word heuristic. Profiles train on the corpus's own lang
+    # labels (docs with doc_id%5 != 0, top-40 trigrams per label);
+    # docs with doc_id%5 == 0 are held out and classified by add-one
+    # multinomial NB over the union profile vocabulary. The oracle
+    # replays the whole chain: gram fan-out, per-label top-k window,
+    # smoothed log-probs, per-doc sums, argmax with lexicographic
+    # tie-break, 'und' when no gram hits.
+    from pandas_weights_spark.functions.text import (
+        char_ngram_lang_profile,
+        ngram_lang_id,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = char_ngram_lang_profile(
+        docs.where(F.col("doc_id") % 5 != 0), "text", "lang",
+        n=3, top_k=40,
+    )
+    return ngram_lang_id(
+        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", prof,
+        labels=["de", "en", "es", "fr", "zh"], n=3,
+    )
+
+
+_ORACLE["lang_id_ngram"] = r"""
+    WITH tr AS (
+      SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 5 != 0
+    ), trg AS (
+      SELECT lang, substr(t, CAST(i AS INT), 3) AS gram
+      FROM (
+        SELECT lang, t,
+               unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS i
+        FROM tr
+      )
+    ), trg3 AS (
+      SELECT lang, gram FROM trg WHERE length(gram) = 3
+    ), pm AS (
+      SELECT lang, gram, CAST(COUNT(*) AS DOUBLE) AS mass
+      FROM trg3 GROUP BY 1, 2
+    ), pr AS (
+      SELECT lang, gram, mass FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY mass DESC, gram) AS rk
+        FROM pm
+      ) WHERE rk <= 40
+    ), wl AS (
+      SELECT lang, SUM(mass) AS W FROM pr GROUP BY lang
+    ), vv AS (
+      SELECT COUNT(DISTINCT gram) AS V FROM pr
+    ), wide AS (
+      SELECT gram,
+        ln(COALESCE(SUM(CASE WHEN lang='de' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='de') + (SELECT V FROM vv) + 1) AS lp0,
+        ln(COALESCE(SUM(CASE WHEN lang='en' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='en') + (SELECT V FROM vv) + 1) AS lp1,
+        ln(COALESCE(SUM(CASE WHEN lang='es' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='es') + (SELECT V FROM vv) + 1) AS lp2,
+        ln(COALESCE(SUM(CASE WHEN lang='fr' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='fr') + (SELECT V FROM vv) + 1) AS lp3,
+        ln(COALESCE(SUM(CASE WHEN lang='zh' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='zh') + (SELECT V FROM vv) + 1) AS lp4
+      FROM pr GROUP BY gram
+    ), te AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 5 = 0
+    ), teg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS i
+        FROM te
+      )
+    ), teg3 AS (
+      SELECT doc_id, gram FROM teg WHERE length(gram) = 3
+    ), sc AS (
+      SELECT doc_id, SUM(lp0) AS s0, SUM(lp1) AS s1, SUM(lp2) AS s2,
+             SUM(lp3) AS s3, SUM(lp4) AS s4
+      FROM teg3 JOIN wide USING (gram) GROUP BY doc_id
+    ), fin AS (
+      SELECT b.doc_id, sc.s0, sc.s1, sc.s2, sc.s3, sc.s4,
+             greatest(sc.s0, sc.s1, sc.s2, sc.s3, sc.s4) AS best
+      FROM (SELECT DISTINCT doc_id FROM te) b
+      LEFT JOIN sc ON b.doc_id = sc.doc_id
+    )
+    SELECT doc_id,
+      CASE WHEN best IS NULL THEN 'und'
+           WHEN s0 = best THEN 'de'
+           WHEN s1 = best THEN 'en'
+           WHEN s2 = best THEN 'es'
+           WHEN s3 = best THEN 'fr'
+           WHEN s4 = best THEN 'zh'
+           ELSE 'und' END AS pred_lang,
+      round(best, 6) AS score
+    FROM fin
+"""
+
+
+def _q_charset_stats(spark, sf_dir):
+    # r10 frontier slab, paired with charset_decode: the per-charset
+    # hygiene rollup a crawl pipeline reports — doc counts, decoded
+    # chars, and U+FFFD replacement-character counts (the mojibake /
+    # UTF-8-validity metric). Corruption is injected deliberately:
+    # cp1252 rows with doc_id%16==0 get a trailing 0x9D byte, which
+    # is UNDEFINED in windows-1252 and decodes to exactly one
+    # replacement char — so the replacement counters are provably
+    # nonzero and the oracle states them in closed form.
+    from pandas_weights_spark.functions.text import (
+        utf8_replacement_count,
+    )
+    from pandas_weights_spark.sources.warc import (
+        decode_http_body,
+        encode_text,
+        from_warc_shards,
+        to_warc_shards,
+        warc_record,
+    )
+
+    docs = _docs(spark, sf_dir)
+    is_ascii = F.octet_length("text") == F.length("text")
+    w1252 = is_ascii & (F.col("doc_id") % 2 == 0)
+    sjis = is_ascii & (F.col("doc_id") % 2 != 0)
+    label = (
+        F.when(w1252, F.lit("windows-1252"))
+        .when(sjis, F.lit("Shift_JIS"))
+        .otherwise(F.lit("utf-8"))
+    )
+    page = (
+        F.when(w1252, F.concat("text", F.lit(" — café naïve £")))
+        .when(sjis, F.concat("text", F.lit(" 日本語テキスト")))
+        .otherwise(F.col("text"))
+    )
+    corrupted = w1252 & (F.col("doc_id") % 16 == 0)
+    payload = encode_text(page, label)
+    payload = F.when(
+        corrupted, F.concat(payload, F.unhex(F.lit("9D")))
+    ).otherwise(payload)
+    uri = F.concat(
+        F.lit("https://cs.example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec = warc_record(
+        uri, F.lit("2026-01-01T00:00:00Z"), payload, "response",
+        content_type=F.concat(F.lit("text/html; charset="), label),
+    )
+    shards = to_warc_shards(
+        docs.select(rec.alias("rec")), "rec", n_shards=8,
+        gzip_records=True,
+    )
+    back = from_warc_shards(shards)
+    d = decode_http_body(F.col("http_body"), F.col("http_headers"))
+    per = back.select(d.alias("d")).select(
+        F.col("d.charset").alias("charset"),
+        F.length("d.text").cast("long").alias("n_chars"),
+        utf8_replacement_count(F.col("d.text")).alias("n_repl"),
+    )
+    return per.groupBy("charset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_repl").cast("long").alias("total_repl"),
+        F.sum((F.col("n_repl") > 0).cast("long"))
+        .cast("long")
+        .alias("corrupt_docs"),
+    )
+
+
+_ORACLE["charset_stats"] = """
+    WITH a AS (
+      SELECT doc_id,
+        CASE
+          WHEN strlen(text) = length(text) AND doc_id % 2 = 0
+            THEN 'cp1252'
+          WHEN strlen(text) = length(text) THEN 'shift_jis'
+          ELSE 'utf-8'
+        END AS charset,
+        CASE
+          WHEN strlen(text) = length(text) AND doc_id % 2 = 0
+            THEN length(text || ' — café naïve £')
+          WHEN strlen(text) = length(text)
+            THEN length(text || ' 日本語テキスト')
+          ELSE length(text)
+        END AS page_chars,
+        (strlen(text) = length(text) AND doc_id % 16 = 0) AS corr
+      FROM documents
+    )
+    SELECT charset,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(page_chars + CASE WHEN corr THEN 1 ELSE 0 END)
+           AS BIGINT) AS total_chars,
+      CAST(SUM(CASE WHEN corr THEN 1 ELSE 0 END) AS BIGINT)
+        AS total_repl,
+      CAST(SUM(CASE WHEN corr THEN 1 ELSE 0 END) AS BIGINT)
+        AS corrupt_docs
+    FROM a GROUP BY charset
+"""
+
+
 # strlen() is DuckDB's byte length of a VARCHAR (length() is chars):
 # ASCII-only test replayed as strlen = length
 _ORACLE["charset_decode"] = """
@@ -8289,6 +8487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
         "charset_decode": _q_charset_decode,
+        "charset_stats": _q_charset_stats,
+        "lang_id_ngram": _q_lang_id_ngram,
         # --- r6-r9 queries (rotated into the checked window in r10) ---
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,

@@ -26,6 +26,9 @@ __all__ = [
     "occurrences",
     "lang_scores",
     "lang_id",
+    "utf8_replacement_count",
+    "char_ngram_lang_profile",
+    "ngram_lang_id",
     "quality_score",
     "fingerprint",
     "LANG_MARKERS",
@@ -155,6 +158,127 @@ def lang_id(text: Column) -> Column:
             expr
         )
     return expr
+
+
+def utf8_replacement_count(text: Column) -> Column:
+    """Count of U+FFFD replacement characters — the post-decode
+    mojibake/validity metric of a quality panel (pairs with
+    ``sources.warc.decode_http_body``, whose undecodable bytes become
+    exactly this character). Pure length arithmetic, SQL-replayable.
+    """
+    return occurrences(text, "�").cast("long")
+
+
+def char_ngram_lang_profile(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n: int = 3,
+    top_k: int = 300,
+) -> DataFrame:
+    """Per-language character-n-gram profile ``(label, gram, mass)``
+    — the trainable half of Cavnar-Trenkle 1994 "N-Gram-Based Text
+    Categorization" (the public design fastText-style LID refines):
+    each label keeps its ``top_k`` grams by (mass desc, gram). One
+    explode + one (label, gram) aggregate + a per-label top-k window
+    over the AGGREGATED table (bounded by the charset's n-gram space,
+    never the corpus)."""
+    grams = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    ).where(F.length("gram") == n)
+    mass = grams.groupBy("label", "gram").agg(
+        F.count(F.lit(1)).cast("double").alias("mass")
+    )
+    from pyspark.sql import Window as _W
+
+    rk = F.row_number().over(
+        _W.partitionBy("label").orderBy(F.col("mass").desc(), "gram")
+    )
+    return (
+        mass.withColumn("__rk__", rk)
+        .where(F.col("__rk__") <= int(top_k))
+        .drop("__rk__")
+    )
+
+
+def ngram_lang_id(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    profile: DataFrame,
+    labels: "Optional[list[str]]" = None,
+    n: int = 3,
+) -> DataFrame:
+    """Classify documents against a :func:`char_ngram_lang_profile`:
+    multinomial naive Bayes with add-one smoothing over the UNION
+    vocabulary of all profiles — ``logp_L(g) = ln(mass_L(g)+1) −
+    ln(W_L + V + 1)``, doc score per label = Σ over the doc's gram
+    occurrences that hit the union vocabulary, argmax label
+    (lexicographically first wins ties), ``'und'`` when no gram hits.
+    Returns ``(id_col, pred_lang, score)`` with score the winning
+    log-likelihood rounded to 6 dp.
+
+    Scale shape: the profile pivots to ONE wide gram→per-label-logp
+    table (≤ top_k·|labels| rows, broadcast), so classification is a
+    row-local explode + one broadcast join + one doc-keyed aggregate
+    — the fastText-scoring shape, no per-label fan-out of the corpus.
+    ``labels``/totals are driver scalars off the AGGREGATED profile
+    (the :func:`unigram_logprobs` convention)."""
+    import math
+
+    if labels is None:
+        labels = sorted(
+            r["label"]
+            for r in profile.select("label").distinct().collect()
+        )
+    totals = {
+        r["label"]: float(r["W"])
+        for r in profile.groupBy("label")
+        .agg(F.sum("mass").alias("W"))
+        .collect()
+    }
+    V = profile.select("gram").distinct().count()
+    wide = profile.groupBy("gram").pivot("label", labels).sum("mass")
+    lp_cols = [
+        (
+            F.log(F.coalesce(F.col(f"`{lab}`"), F.lit(0.0)) + F.lit(1.0))
+            - F.lit(math.log(totals.get(lab, 0.0) + V + 1))
+        ).alias(f"__lp_{i}__")
+        for i, lab in enumerate(labels)
+    ]
+    wide = wide.select("gram", *lp_cols)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    ).where(F.length("gram") == n)
+    scored = (
+        doc_grams.join(F.broadcast(wide), "gram")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(f"__lp_{i}__").alias(f"__s_{i}__")
+                for i in range(len(labels))
+            ]
+        )
+    )
+    base = docs.select(id_col).distinct()
+    joined = base.join(scored, id_col, "left")
+    best = F.greatest(
+        *[F.col(f"__s_{i}__") for i in range(len(labels))]
+    )
+    pred = F.lit("und")
+    for i, lab in reversed(list(enumerate(labels))):
+        pred = F.when(
+            F.col(f"__s_{i}__") == best, F.lit(lab)
+        ).otherwise(pred)
+    return joined.select(
+        id_col,
+        F.when(best.isNull(), F.lit("und")).otherwise(pred).alias(
+            "pred_lang"
+        ),
+        F.round(best, 6).alias("score"),
+    )
 
 
 def quality_score(text: Column) -> Column:

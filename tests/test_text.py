@@ -1335,3 +1335,117 @@ class TestKneserNey:
                 df, "text", "doc_id", None, {2: t2}, {2: 0.5},
                 smoothing="wb",
             )
+
+
+class TestNgramLangId:
+    """r10 frontier slab: trainable char-n-gram language ID
+    (Cavnar-Trenkle profile + add-one multinomial NB) and the U+FFFD
+    replacement counter."""
+
+    TRAIN = [
+        ("en", "the quick brown fox jumps over the lazy dog and the cat"),
+        ("en", "this is another english sentence with the usual words"),
+        ("fr", "le renard brun saute par dessus le chien paresseux et le chat"),
+        ("fr", "ceci est une autre phrase avec les mots habituels"),
+        ("de", "der schnelle braune fuchs springt über den faulen hund"),
+        ("de", "dies ist ein weiterer deutscher satz mit den üblichen wörtern"),
+    ]
+
+    def test_discriminates_real_languages(self, spark):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            ngram_lang_id,
+        )
+
+        df = spark.createDataFrame(self.TRAIN, ["lang", "text"])
+        prof = char_ngram_lang_profile(df, "text", "lang", n=3,
+                                       top_k=200)
+        held = spark.createDataFrame(
+            [
+                (0, "the dog jumps over the fox"),
+                (1, "le chat saute par dessus le chien"),
+                (2, "der hund springt über den fuchs"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["pred_lang"]
+            for r in ngram_lang_id(
+                held, "text", "doc_id", prof, n=3
+            ).collect()
+        }
+        assert got == {0: "en", 1: "fr", 2: "de"}
+
+    def test_und_when_no_gram_hits(self, spark):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            ngram_lang_id,
+        )
+
+        df = spark.createDataFrame(self.TRAIN, ["lang", "text"])
+        prof = char_ngram_lang_profile(df, "text", "lang", n=3,
+                                       top_k=10)
+        held = spark.createDataFrame(
+            [(9, "XXXXQQQQZZZZ")], ["doc_id", "text"]
+        )
+        row = ngram_lang_id(held, "text", "doc_id", prof).first()
+        assert row["pred_lang"] == "und" and row["score"] is None
+
+    def test_profile_capped_and_deterministic(self, spark):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+        )
+
+        df = spark.createDataFrame(self.TRAIN, ["lang", "text"])
+        a = char_ngram_lang_profile(df, "text", "lang", n=3, top_k=5)
+        rows = a.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["label"], []).append(
+                (r["gram"], r["mass"])
+            )
+        assert all(len(v) <= 5 for v in per.values())
+        b = {
+            (r["label"], r["gram"], r["mass"])
+            for r in char_ngram_lang_profile(
+                df.repartition(7), "text", "lang", n=3, top_k=5
+            ).collect()
+        }
+        assert {(r["label"], r["gram"], r["mass"]) for r in rows} == b
+
+    def test_tie_break_lexicographic(self, spark):
+        # two labels with IDENTICAL training text -> identical
+        # profiles and scores; the lexicographically first label wins
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            ngram_lang_id,
+        )
+
+        df = spark.createDataFrame(
+            [("aa", "same text here"), ("bb", "same text here")],
+            ["lang", "text"],
+        )
+        prof = char_ngram_lang_profile(df, "text", "lang", n=3,
+                                       top_k=50)
+        held = spark.createDataFrame(
+            [(0, "same text here")], ["doc_id", "text"]
+        )
+        row = ngram_lang_id(held, "text", "doc_id", prof).first()
+        assert row["pred_lang"] == "aa"
+
+    def test_utf8_replacement_count(self, spark):
+        from pandas_weights_spark.functions.text import (
+            utf8_replacement_count,
+        )
+
+        df = spark.createDataFrame(
+            [("clean text",), ("one � here",), ("��",), ("",)],
+            ["t"],
+        )
+        got = [
+            r["c"]
+            for r in df.select(
+                utf8_replacement_count(F.col("t")).alias("c")
+            ).collect()
+        ]
+        assert got == [0, 1, 2, 0]
