@@ -105,6 +105,8 @@ HEADLINE = [
     "code_detect",         # code-vs-prose signal panel (r8)
     "datasheet",           # corpus data-card rollup (r8)
     "pdf_extract",         # pure-stdlib PDF text layer roundtrip (r8)
+    "charset_decode",      # charset-sniffed HTTP body transcode (r10)
+    "lang_id_ngram",       # trainable char-trigram language ID (r10)
 ]
 
 

@@ -211,7 +211,21 @@ def _decode_numeric_refs(col: Column) -> Column:
 
 
 def _decode_entities(col: Column) -> Column:
-    col = _decode_numeric_refs(col)
+    # gate the (split+transform) numeric pass on a cheap substring
+    # probe — most blocks/titles of a real page carry no '&#' at all,
+    # and the gate keeps them on the plain replace chain.  The
+    # single-element transform is a LET binding: HOFs run interpreted
+    # (no codegen CSE), so referencing `col` three times would
+    # re-evaluate the whole upstream regexp chain three times.
+    col = F.get(
+        F.transform(
+            F.array(col),
+            lambda c: F.when(
+                F.contains(c, F.lit("&#")), _decode_numeric_refs(c)
+            ).otherwise(c),
+        ),
+        0,
+    )
     for src, dst in _ENTITIES:
         col = F.replace(col, F.lit(src), F.lit(dst))
     return col
@@ -384,7 +398,13 @@ def _decode_numeric_refs_sql(e: str) -> str:
 
 
 def _decode_entities_sql(e: str) -> str:
-    e = _decode_numeric_refs_sql(e)
+    # same LET binding as the Column side: bind e once, gate, decode
+    e = (
+        f"(list_transform([{e}], __nc -> "
+        f"CASE WHEN contains(__nc, '&#') "
+        f"THEN {_decode_numeric_refs_sql('__nc')} "
+        f"ELSE __nc END)[1])"
+    )
     for src, dst in _ENTITIES:
         e = f"replace({e}, '{_sq(src)}', '{_sq(dst)}')"
     return e

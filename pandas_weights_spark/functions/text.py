@@ -219,35 +219,51 @@ def ngram_lang_id(
     Returns ``(id_col, pred_lang, score)`` with score the winning
     log-likelihood rounded to 6 dp.
 
-    Scale shape: the profile pivots to ONE wide gram→per-label-logp
-    table (≤ top_k·|labels| rows, broadcast), so classification is a
+    Scale shape: the profile is MATERIALIZED ONCE to the driver — it
+    is bounded by construction (≤ top_k·|labels| rows, the aggregated
+    model, never data) — and re-enters the plan as a local wide
+    gram→per-label-logp table, broadcast; classification is then a
     row-local explode + one broadcast join + one doc-keyed aggregate
-    — the fastText-scoring shape, no per-label fan-out of the corpus.
-    ``labels``/totals are driver scalars off the AGGREGATED profile
-    (the :func:`unigram_logprobs` convention)."""
+    — the fastText-scoring shape, no per-label fan-out of the corpus
+    and no recomputation of the training aggregation per driver
+    scalar (r10 fix: the pivot formulation re-ran profile training
+    3-4x — once per collected scalar and once in the plan)."""
     import math
 
+    rows = profile.collect()
     if labels is None:
-        labels = sorted(
-            r["label"]
-            for r in profile.select("label").distinct().collect()
+        labels = sorted({r["label"] for r in rows})
+    totals: "dict[str, float]" = {}
+    grams: "dict[str, dict[str, float]]" = {}
+    for r in rows:
+        totals[r["label"]] = totals.get(r["label"], 0.0) + float(
+            r["mass"]
         )
-    totals = {
-        r["label"]: float(r["W"])
-        for r in profile.groupBy("label")
-        .agg(F.sum("mass").alias("W"))
-        .collect()
+        grams.setdefault(r["gram"], {})[r["label"]] = float(r["mass"])
+    V = len(grams)
+    denoms = {
+        lab: math.log(totals.get(lab, 0.0) + V + 1) for lab in labels
     }
-    V = profile.select("gram").distinct().count()
-    wide = profile.groupBy("gram").pivot("label", labels).sum("mass")
-    lp_cols = [
-        (
-            F.log(F.coalesce(F.col(f"`{lab}`"), F.lit(0.0)) + F.lit(1.0))
-            - F.lit(math.log(totals.get(lab, 0.0) + V + 1))
-        ).alias(f"__lp_{i}__")
-        for i, lab in enumerate(labels)
+    wide_rows = [
+        tuple(
+            [g]
+            + [
+                math.log(m.get(lab, 0.0) + 1.0) - denoms[lab]
+                for lab in labels
+            ]
+        )
+        for g, m in grams.items()
     ]
-    wide = wide.select("gram", *lp_cols)
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [_T.StructField("gram", _T.StringType())]
+        + [
+            _T.StructField(f"__lp_{i}__", _T.DoubleType())
+            for i in range(len(labels))
+        ]
+    )
+    wide = docs.sparkSession.createDataFrame(wide_rows, schema)
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),

@@ -44,6 +44,12 @@ ALLOW = {
     # (pdf_extract_text) are per-document codec work — the
     # multimodal_features contract on the documents modality
     "pdf_extract": {"arrow"},
+    # r10: charset transcode (encode_text / decode_http_body) is the
+    # sanctioned Arrow surface — a per-row charset has no Column
+    # analog (Spark's encode/decode take constant charsets); the WARC
+    # shard assembly/parse ride along as in warc_roundtrip
+    "charset_decode": {"arrow"},
+    "charset_stats": {"arrow"},
     # weighted_linreg solves the normal equations in applyInPandas over
     # the per-group MOMENT rows (one row per group) — python above the
     # aggregate, never on the data (pinned by test_regression)

@@ -607,6 +607,37 @@ def main() -> int:
         pdf_src.mapInPandas(_pdf_build, "doc_id long, payload binary"),
         "payload"), int(docs_n / 10))
 
+    # round-10 wave: charset-sniffed transcode + trainable char-ngram LID
+    from pandas_weights_spark.functions.text import (
+        char_ngram_lang_profile,
+        ngram_lang_id,
+    )
+    from pandas_weights_spark.sources.warc import decode_http_body
+
+    hdr = F.lit(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252"
+    )
+    body_src = docs.select(
+        "doc_id", F.encode(F.col("text"), "ISO-8859-1").alias("b"),
+        hdr.alias("h"),
+    ).localCheckpoint(eager=True)
+    dbench("charset decode (header)", lambda: body_src.select(
+        "doc_id",
+        F.length(decode_http_body(F.col("b"), F.col("h"))["text"])
+        .alias("n"),
+    ), docs_n)
+    lid_train = docs.where(F.col("doc_id") % 5 != 0).select(
+        (F.col("doc_id") % 5).cast("string").alias("lang"), "text"
+    )
+    lid_prof = char_ngram_lang_profile(
+        lid_train, "text", "lang", n=3, top_k=300
+    ).localCheckpoint(eager=True)
+    lid_held = docs.where(F.col("doc_id") % 5 == 0)
+    dbench("ngram lang-id (1/5 held)", lambda: ngram_lang_id(
+        lid_held, "text", "doc_id", lid_prof,
+        labels=[str(i) for i in range(5)], n=3,
+    ), int(docs_n / 5))
+
     spark.stop()
     return 0
 
