@@ -8257,6 +8257,67 @@ def _q_charset_decode(spark, sf_dir):
     )
 
 
+def _q_robots_directives(spark, sf_dir):
+    # r10: the non-rule robots.txt directives (functions/robots.py
+    # robots_directives — previously a documented gap). Same host
+    # fixture shape as robots_filter: every host's '*' group carries
+    # Crawl-delay: 2 and a group-adjacent Sitemap; even-digit hosts
+    # ALSO carry a databot group with Crawl-delay: 7.5 plus a bogus
+    # non-numeric delay (ignored); one host-level Sitemap line sits
+    # outside all groups. Crawling as databot: the delay is
+    # group-SELECTED (7.5 on databot-group hosts, else 2), sitemaps
+    # are host-scoped (both lines, sorted) per the sitemaps.org
+    # extension. The oracle states both in closed form.
+    from pandas_weights_spark.functions.robots import (
+        robots_directives,
+    )
+
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    even = (
+        F.ascii(F.substring(F.col("source"), -1, 1)) % 2 == 0
+    )
+    star = F.concat(
+        F.lit(
+            "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+            "Sitemap: https://"
+        ),
+        host,
+        F.lit("/sm-star.xml\n"),
+    )
+    databot = F.lit(
+        "\nUser-agent: databot\nDisallow: /beta/\n"
+        "Crawl-delay: 7.5\nCrawl-delay: bogus\n"
+    )
+    tail = F.concat(
+        F.lit("\nSitemap: https://"), host, F.lit("/sm-global.xml\n")
+    )
+    robots = docs.select("source").distinct().select(
+        host.alias("host"),
+        F.concat(
+            star,
+            F.when(even, databot).otherwise(F.lit("")),
+            tail,
+        ).alias("txt"),
+    )
+    out = robots_directives(robots, "host", "txt", agent="databot")
+    return out.select(
+        "host",
+        "crawl_delay",
+        F.concat_ws("|", "sitemaps").alias("sitemaps"),
+    )
+
+
+_ORACLE["robots_directives"] = """
+    SELECT source || '.example.com' AS host,
+      CAST(CASE WHEN ascii(substr(source, -1, 1)) % 2 = 0
+           THEN 7.5 ELSE 2.0 END AS DOUBLE) AS crawl_delay,
+      'https://' || source || '.example.com/sm-global.xml|' ||
+      'https://' || source || '.example.com/sm-star.xml' AS sitemaps
+    FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
 def _q_lang_id_ngram(spark, sf_dir):
     # r10 frontier slab (VERDICT r9 item 8): trainable character-
     # n-gram language ID (Cavnar-Trenkle 1994, the public design
@@ -8489,6 +8550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": _q_charset_decode,
         "charset_stats": _q_charset_stats,
         "lang_id_ngram": _q_lang_id_ngram,
+        "robots_directives": _q_robots_directives,
         # --- r6-r9 queries (rotated into the checked window in r10) ---
         "quality_classifier": _q_quality_classifier,
         "dsir_select": _q_dsir_select,

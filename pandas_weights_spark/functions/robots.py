@@ -44,8 +44,10 @@ Rule semantics implemented (RFC 9309 §2.2.2–2.2.3):
   URL with no matching rule — or a host with no robots.txt — is
   allowed.
 
-Not implemented (documented): the ``crawl-delay``/``sitemap``
-extensions (non-normative in RFC 9309); a bare unescaped ``%`` that
+Non-rule directives: :func:`robots_directives` parses the
+``crawl-delay`` (group-scoped, Bing/Yandex extension) and ``sitemap``
+(host-scoped, sitemaps.org extension) lines (r10 — previously a
+documented gap). Not implemented: a bare unescaped ``%`` that
 is not followed by two hex digits passes through literally (Google's
 parser does the same; RFC-invalid input).
 
@@ -72,6 +74,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "robots_rules",
+    "robots_directives",
     "robots_allowed",
     "url_path",
     "canonical_path",
@@ -156,21 +159,14 @@ def _like_pattern(canon_body: Column, anchored: Column) -> Column:
     return F.when(anchored, p).otherwise(F.concat(p, F.lit("%")))
 
 
-def robots_rules(
-    robots: DataFrame,
-    host_col: str,
-    txt_col: str,
-    agent: str = "*",
+def _classified_lines(
+    robots: DataFrame, host_col: str, txt_col: str, agent: str
 ) -> DataFrame:
-    """Parse robots.txt bodies into the effective rule table for
-    ``agent``: ``(host, allow boolean, path, pattern, spec)`` where
-    ``pattern`` is the LIKE translation of the canonical
-    percent-normalized pattern and ``spec`` the specificity — the
-    octet length of the canonical pattern INCLUDING its ``$`` anchor
-    (RFC 9309 longest-match, measured on the normalized-escaped
-    pattern as Google's reference parser does). Only the groups
-    selected for ``agent`` survive (exact token groups if any exist
-    on that host, else the ``*`` groups)."""
+    """Shared parse stage: robots.txt bodies → one row per line with
+    ``(host, pos, k, v)`` plus the RFC 9309 §2.2.1 group flags
+    (``g_exact``/``g_star``/``h_exact`` — the group-selection inputs
+    for ``agent``). Used by :func:`robots_rules` (allow/disallow) and
+    :func:`robots_directives` (crawl-delay/sitemap)."""
     a = agent.lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -212,7 +208,7 @@ def robots_rules(
     # per-group agent set; per-host "has an exact group" flag
     wg = Window.partitionBy("host", "gid")
     wh = Window.partitionBy("host")
-    flagged = grouped.withColumn(
+    return grouped.withColumn(
         "g_exact",
         F.max(
             (is_ua & (F.lower("v") == F.lit(a))).cast("int")
@@ -225,13 +221,36 @@ def robots_rules(
     ).withColumn(
         "h_exact", F.max(F.col("g_exact")).over(wh)
     )
+
+
+def _group_selected() -> Column:
+    """RFC 9309 group selection predicate over the flagged line frame:
+    exact-token groups when the host has any, else the ``*`` groups."""
+    return (F.col("g_exact") == 1) | (
+        (F.col("h_exact") == 0) & (F.col("g_star") == 1)
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str,
+    txt_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt bodies into the effective rule table for
+    ``agent``: ``(host, allow boolean, path, pattern, spec)`` where
+    ``pattern`` is the LIKE translation of the canonical
+    percent-normalized pattern and ``spec`` the specificity — the
+    octet length of the canonical pattern INCLUDING its ``$`` anchor
+    (RFC 9309 longest-match, measured on the normalized-escaped
+    pattern as Google's reference parser does). Only the groups
+    selected for ``agent`` survive (exact token groups if any exist
+    on that host, else the ``*`` groups)."""
+    flagged = _classified_lines(robots, host_col, txt_col, agent)
     rules = flagged.where(
         F.col("k").isin("allow", "disallow")
         & (F.length("v") > 0)
-        & (
-            (F.col("g_exact") == 1)
-            | ((F.col("h_exact") == 0) & (F.col("g_star") == 1))
-        )
+        & _group_selected()
     )
     anchored = F.col("v").endswith("$")
     body = F.when(
@@ -249,6 +268,46 @@ def robots_rules(
         F.col("v").alias("path"),
         _like_pattern(canon, anchored).alias("pattern"),
         spec.alias("spec"),
+    )
+
+
+def robots_directives(
+    robots: DataFrame,
+    host_col: str,
+    txt_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """The non-rule directives of robots.txt (r10 — previously a
+    documented gap): returns one row per input host with
+
+    * ``crawl_delay`` — the minimum valid ``Crawl-delay:`` seconds of
+      the groups SELECTED for ``agent`` (same RFC 9309 §2.2.1 group
+      selection as :func:`robots_rules`; the directive is the Bing/
+      Yandex extension — Google ignores it — and min-across-groups is
+      the conservative politeness choice); non-numeric or negative
+      values are ignored; NULL when absent;
+    * ``sitemaps`` — ALL ``Sitemap:`` URLs of the host, sorted (the
+      sitemaps.org extension is independent of user-agent groups per
+      its spec, so no group filter applies).
+
+    Same scale shape as the rule parse: explode → windows → one
+    host-keyed aggregate of the tiny per-host line set."""
+    flagged = _classified_lines(robots, host_col, txt_col, agent)
+    dval = F.col("v").try_cast("double")
+    delay = F.when(
+        (F.col("k") == "crawl-delay")
+        & _group_selected()
+        & (dval >= 0),
+        dval,
+    )
+    sitemap = F.when(
+        (F.col("k") == "sitemap") & (F.length("v") > 0), F.col("v")
+    )
+    return flagged.groupBy("host").agg(
+        F.min(delay).alias("crawl_delay"),
+        F.array_sort(
+            F.collect_list(sitemap)
+        ).alias("sitemaps"),
     )
 
 

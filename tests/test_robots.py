@@ -476,3 +476,69 @@ class TestRandomizedDifferential:
                 assert got[f"https://h.io{p}"] is want, (
                     trial, rules, p, got[f"https://h.io{p}"], want
                 )
+
+
+class TestDirectives:
+    """r10: crawl-delay/sitemap directives (robots_directives) —
+    group-scoped delay selection, host-scoped sitemaps, invalid
+    values ignored."""
+
+    TXT = (
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+        "Sitemap: https://a.com/sm2.xml\n\n"
+        "User-agent: databot\nDisallow: /beta/\n"
+        "Crawl-delay: 7.5\nCrawl-delay: 3.25\n\n"
+        "Sitemap: https://a.com/sm1.xml\n"
+    )
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        from pandas_weights_spark.functions.robots import (
+            robots_directives,
+        )
+
+        robots = spark.createDataFrame(
+            [
+                ("a.com", self.TXT),
+                ("b.com",
+                 "User-agent: *\nDisallow: /x\n"
+                 "Crawl-delay: bogus\nCrawl-delay: -1\n"),
+                ("c.com", "User-agent: *\nAllow: /\n"),
+            ],
+            ["host", "txt"],
+        )
+        return robots, robots_directives
+
+    def test_group_scoped_delay(self, frame):
+        robots, robots_directives = frame
+        for agent, want in (("anybot", 2.0), ("databot", 3.25)):
+            got = {
+                r["host"]: r["crawl_delay"]
+                for r in robots_directives(
+                    robots, "host", "txt", agent=agent
+                ).collect()
+            }
+            assert got["a.com"] == want  # min of the selected group
+            assert got["b.com"] is None  # bogus/negative ignored
+            assert got["c.com"] is None  # absent
+
+    def test_sitemaps_host_scoped_sorted(self, frame):
+        robots, robots_directives = frame
+        got = {
+            r["host"]: r["sitemaps"]
+            for r in robots_directives(
+                robots, "host", "txt", agent="databot"
+            ).collect()
+        }
+        # both sitemap lines, regardless of which group selected
+        assert got["a.com"] == [
+            "https://a.com/sm1.xml", "https://a.com/sm2.xml"
+        ]
+        assert got["b.com"] == [] and got["c.com"] == []
+
+    def test_every_input_host_appears(self, frame):
+        robots, robots_directives = frame
+        out = robots_directives(robots, "host", "txt")
+        assert {r["host"] for r in out.collect()} == {
+            "a.com", "b.com", "c.com"
+        }
