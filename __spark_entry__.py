@@ -8215,15 +8215,18 @@ def _q_charset_decode(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     is_ascii = F.octet_length("text") == F.length("text")
-    w1252 = is_ascii & (F.col("doc_id") % 2 == 0)
+    w1252 = is_ascii & (F.col("doc_id") % 4 == 0)
+    gbk = is_ascii & (F.col("doc_id") % 4 == 2)
     sjis = is_ascii & (F.col("doc_id") % 2 != 0)
     label = (
         F.when(w1252, F.lit("windows-1252"))
+        .when(gbk, F.lit("GBK"))  # WHATWG remap: decoded as gb18030
         .when(sjis, F.lit("Shift_JIS"))
         .otherwise(F.lit("utf-8"))
     )
     page = (
         F.when(w1252, F.concat("text", F.lit(" — café naïve £")))
+        .when(gbk, F.concat("text", F.lit(" 中文测试页")))
         .when(sjis, F.concat("text", F.lit(" 日本語テキスト")))
         .otherwise(F.col("text"))
     )
@@ -8521,15 +8524,19 @@ _ORACLE["charset_stats"] = """
 _ORACLE["charset_decode"] = """
     SELECT doc_id,
       CASE
-        WHEN strlen(text) = length(text) AND doc_id % 2 = 0
+        WHEN strlen(text) = length(text) AND doc_id % 4 = 0
           THEN 'cp1252'
+        WHEN strlen(text) = length(text) AND doc_id % 4 = 2
+          THEN 'gb18030'
         WHEN strlen(text) = length(text) THEN 'shift_jis'
         ELSE 'utf-8'
       END AS charset,
       'header' AS charset_source,
       CASE
-        WHEN strlen(text) = length(text) AND doc_id % 2 = 0
+        WHEN strlen(text) = length(text) AND doc_id % 4 = 0
           THEN text || ' — café naïve £'
+        WHEN strlen(text) = length(text) AND doc_id % 4 = 2
+          THEN text || ' 中文测试页'
         WHEN strlen(text) = length(text)
           THEN text || ' 日本語テキスト'
         ELSE text

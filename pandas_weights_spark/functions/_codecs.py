@@ -2367,13 +2367,47 @@ def _pdf_object_stream(body: bytes) -> "bytes | None":
     return _pdf_inflate(header, raw)
 
 
+def _pdf_fonts(
+    body: bytes, objs: "dict[int, bytes]", cmap_cache: dict
+) -> dict:
+    """Resource-name → ToUnicode CMap map of one object body's
+    ``/Resources /Font`` dictionary (fonts without a parsable CMap
+    are omitted — they decode latin-1)."""
+    import re as _re
+
+    fonts: dict = {}
+    fm = _re.search(rb"/Font\s*<<(.*?)>>", body, _re.S)
+    if not fm:
+        return fonts
+    for name, fnum in _re.findall(
+        rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
+    ):
+        fbody = objs.get(int(fnum))
+        if fbody is None:
+            continue
+        tm = _re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if not tm:
+            continue
+        tn = int(tm.group(1))
+        if tn not in cmap_cache:
+            tb = objs.get(tn)
+            ts = _pdf_object_stream(tb) if tb else None
+            cmap_cache[tn] = _parse_tounicode(ts) if ts else None
+        if cmap_cache[tn]:
+            fonts[name.decode("latin-1")] = cmap_cache[tn]
+    return fonts
+
+
 def _pdf_pages(objs: "dict[int, bytes]"):
     """Resolve the page graph: list of ``(content_streams, fonts)``
     per page in /Kids order (object-number order when no /Pages node
     parses), where fonts maps resource names to ToUnicode CMaps from
-    the page's DIRECT /Resources (inherited resources are not
-    chased — documented simple-writer scope). None when no /Type
-    /Page object exists (the legacy whole-file walk takes over)."""
+    the page's /Resources — INHERITED from the /Pages node when the
+    page has none of its own (ISO 32000 §7.7.3.4 inheritable
+    attributes; one level, the shape every common writer emits), the
+    page's own entries winning on name collisions. None when no
+    /Type /Page object exists (the legacy whole-file walk takes
+    over)."""
     import re as _re
 
     page_nums = [
@@ -2383,7 +2417,9 @@ def _pdf_pages(objs: "dict[int, bytes]"):
     ]
     if not page_nums:
         return None
+    cmap_cache: dict = {}
     order = None
+    parent_fonts: dict = {}
     for body in objs.values():
         if _re.search(rb"/Type\s*/Pages\b", body):
             km = _re.search(rb"/Kids\s*\[(.*?)\]", body, _re.S)
@@ -2392,14 +2428,14 @@ def _pdf_pages(objs: "dict[int, bytes]"):
                     int(x)
                     for x in _re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))
                 ]
-                break
+            parent_fonts = _pdf_fonts(body, objs, cmap_cache)
+            break
     if order:
         in_kids = [n for n in order if n in set(page_nums)]
         rest = sorted(set(page_nums) - set(in_kids))
         page_nums = in_kids + rest
     else:
         page_nums = sorted(page_nums)
-    cmap_cache: dict = {}
     pages = []
     for num in page_nums:
         body = objs[num]
@@ -2414,29 +2450,8 @@ def _pdf_pages(objs: "dict[int, bytes]"):
                     int(x)
                     for x in _re.findall(rb"(\d+)\s+\d+\s+R", am.group(1))
                 ]
-        fonts: dict = {}
-        fm = _re.search(rb"/Font\s*<<(.*?)>>", body, _re.S)
-        if fm:
-            for name, fnum in _re.findall(
-                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
-            ):
-                fbody = objs.get(int(fnum))
-                if fbody is None:
-                    continue
-                tm = _re.search(
-                    rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody
-                )
-                if not tm:
-                    continue
-                tn = int(tm.group(1))
-                if tn not in cmap_cache:
-                    tb = objs.get(tn)
-                    ts = _pdf_object_stream(tb) if tb else None
-                    cmap_cache[tn] = (
-                        _parse_tounicode(ts) if ts else None
-                    )
-                if cmap_cache[tn]:
-                    fonts[name.decode("latin-1")] = cmap_cache[tn]
+        fonts = dict(parent_fonts)
+        fonts.update(_pdf_fonts(body, objs, cmap_cache))
         raws = []
         for r in refs:
             rb_ = objs.get(r)

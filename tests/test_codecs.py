@@ -1231,3 +1231,20 @@ class TestPdfToUnicode:
             for r in pdf_extract_text(df, "payload").collect()
         }
         assert got == {0: pages[0], 1: pages[1]}
+
+    def test_inherited_resources_from_pages_node(self):
+        # real-world writers put /Resources on the /Pages node (ISO
+        # 32000 §7.7.3.4 inheritable attributes); the page inherits
+        import re
+
+        pages = ["Héllo ünïcode"]
+        data = C.encode_pdf_subset(pages)
+        # move the /Resources dict from the page object to /Pages
+        res = re.search(rb"/Resources << /Font << /F1 \d+ 0 R >> >> ", data)
+        assert res
+        moved = data.replace(res.group(0), b"", 1).replace(
+            b"/Count 1 >>",
+            b"/Count 1 " + res.group(0) + b">>",
+            1,
+        )
+        assert C.pdf_to_text(moved) == pages[0]
