@@ -1451,3 +1451,77 @@ class TestStreamingContainerReaders:
             for r in spark.sql("SELECT * FROM jsonl_stream").collect()
         }
         assert got == orig
+
+
+class TestStreamingCharsetDecode:
+    """r10: decode_http_body is an Arrow-batched pandas UDF over
+    per-record columns, so it composes with readStream unchanged —
+    availableNow over WARC shards with a non-UTF-8 page must equal
+    the batch transcode."""
+
+    def test_charset_decode_stream_equals_batch(
+        self, spark, tmp_path_factory
+    ):
+        from pandas_weights_spark.sources.warc import (
+            decode_http_body,
+            from_warc_shards,
+            to_warc_shards,
+            warc_record,
+        )
+
+        rows = [
+            (0, "https://s.io/sjis", "日本語ページ", "Shift_JIS",
+             "shift_jis"),
+            (1, "https://s.io/w1252", "café naïve", "windows-1252",
+             "cp1252"),
+            (2, "https://s.io/utf8", "plain page", "utf-8", "utf-8"),
+        ]
+        df = spark.createDataFrame(
+            [
+                (u, bytearray(t.encode(codec)),
+                 f"text/html; charset={label}")
+                for _, u, t, label, codec in rows
+            ],
+            ["uri", "payload", "ct"],
+        )
+        rec = warc_record(
+            F.col("uri"), F.lit("2026-01-01T00:00:00Z"),
+            F.col("payload"), "response", content_type=F.col("ct"),
+        )
+        shards = to_warc_shards(
+            df.select(rec.alias("r")), "r", n_shards=2,
+            gzip_records=True,
+        )
+        d = tmp_path_factory.mktemp("charset_shards")
+        shards.write.parquet(str(d), mode="overwrite")
+
+        def pipe(frame):
+            recs = from_warc_shards(frame)
+            dd = decode_http_body(
+                F.col("http_body"), F.col("http_headers")
+            )
+            return recs.select(
+                "target_uri", dd["charset"].alias("cs"),
+                dd["text"].alias("t"),
+            )
+
+        batch = {
+            r["target_uri"]: (r["cs"], r["t"])
+            for r in pipe(spark.read.parquet(str(d))).collect()
+        }
+        stream = spark.readStream.schema(
+            "shard int, n_records long, warc binary"
+        ).parquet(str(d))
+        q = (
+            pipe(stream)
+            .writeStream.format("memory").queryName("cs_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["target_uri"]: (r["cs"], r["t"])
+            for r in spark.sql("SELECT * FROM cs_stream").collect()
+        }
+        assert got == batch
+        assert got["https://s.io/sjis"] == ("shift_jis", "日本語ページ")
+        assert got["https://s.io/w1252"] == ("cp1252", "café naïve")
