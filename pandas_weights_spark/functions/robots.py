@@ -324,11 +324,22 @@ def robots_allowed(
     url_col: str,
     host_col: str,
     strategy: str = "auto",
+    statuses: "DataFrame | None" = None,
 ) -> DataFrame:
     """Adds ``allowed`` (boolean) per URL row: the most specific
     matching rule of the url's host decides (longest canonical
     pattern; Allow wins ties); no matching rule or no rules for the
     host → allowed. ``rules`` is the output of :func:`robots_rules`.
+
+    ``statuses`` (r10, optional) — a per-host ``(host, status)``
+    frame carrying the HTTP status of the robots.txt FETCH, applying
+    RFC 9309 §2.3.1 unreachability semantics: a 4xx status means "no
+    robots.txt" → the whole host is ALLOWED regardless of any (stale)
+    rules; 5xx means "temporarily unreachable" → the whole host is
+    DISALLOWED (the MUST-assume-complete-disallow rule); any other
+    status, or a host absent from ``statuses``, decides by rules as
+    usual. The status frame is host-cardinality like the rule table
+    and joins under the same ``strategy``.
 
     Scale shape: the per-host rule table packs to one array row per
     host (``collect_list`` over the tiny rules side only) and joins
@@ -360,7 +371,15 @@ def robots_allowed(
         F.collect_list(
             F.struct("spec", "allow", "pattern")
         ).alias("__rules__")
-    ).withColumnRenamed("host", "__rh__")
+    )
+    if statuses is not None:
+        st = statuses.select(
+            F.col("host"), F.col("status").alias("__st__")
+        )
+        # host-keyed outer merge of the two tiny per-host frames, so
+        # the URL corpus still sees ONE probe-side join
+        packed = packed.join(st, "host", "full_outer")
+    packed = packed.withColumnRenamed("host", "__rh__")
     if strategy == "broadcast":
         packed = F.broadcast(packed)
     elif strategy == "shuffle":
@@ -387,7 +406,15 @@ def robots_allowed(
             ),
         )
     )
-    out = joined.withColumn(
-        "allowed", F.coalesce(best["allow"], F.lit(True))
-    )
+    by_rules = F.coalesce(best["allow"], F.lit(True))
+    if statuses is not None:
+        st = F.col("__st__")
+        decision = (
+            F.when((st >= 500) & (st <= 599), F.lit(False))
+            .when((st >= 400) & (st <= 499), F.lit(True))
+            .otherwise(by_rules)
+        )
+    else:
+        decision = by_rules
+    out = joined.withColumn("allowed", decision)
     return out.select(*urls.columns, "allowed")

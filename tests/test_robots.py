@@ -542,3 +542,76 @@ class TestDirectives:
         assert {r["host"] for r in out.collect()} == {
             "a.com", "b.com", "c.com"
         }
+
+
+class TestFetchStatus:
+    """r10: RFC 9309 §2.3.1 unreachability — 4xx robots.txt means no
+    restrictions (allow all), 5xx means assume complete disallow;
+    other statuses / absent hosts decide by rules."""
+
+    def test_status_semantics(self, spark, robots):
+        rules = robots_rules(robots, "host", "txt", agent="anybot")
+        statuses = spark.createDataFrame(
+            [("a.com", 404), ("b.com", 503), ("loner.com", 200)],
+            ["host", "status"],
+        )
+        urls = [
+            "https://a.com/private/doc",   # rules say NO, 404 says yes
+            "https://b.com/y",             # rules say yes, 503 says NO
+            "https://loner.com/anything",  # 200: rules decide (allow)
+            "https://c.com/z",             # no status, no rules: allow
+        ]
+        df = spark.createDataFrame(
+            [(u,) for u in urls], ["url"]
+        ).withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
+        got = {
+            r["url"]: r["allowed"]
+            for r in robots_allowed(
+                df, rules, "url", "host", statuses=statuses
+            ).collect()
+        }
+        assert got["https://a.com/private/doc"] is True
+        assert got["https://b.com/y"] is False
+        assert got["https://loner.com/anything"] is True
+        assert got["https://c.com/z"] is True
+
+    def test_no_statuses_identical_decisions(self, spark, robots):
+        rules = robots_rules(robots, "host", "txt", agent="anybot")
+        urls = [u for u, _ in TestDecisions.CASES]
+        df = spark.createDataFrame(
+            [(u,) for u in urls], ["url"]
+        ).withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
+        empty = spark.createDataFrame([], "host string, status int")
+        a = {
+            r["url"]: r["allowed"]
+            for r in robots_allowed(df, rules, "url", "host").collect()
+        }
+        b = {
+            r["url"]: r["allowed"]
+            for r in robots_allowed(
+                df, rules, "url", "host", statuses=empty
+            ).collect()
+        }
+        assert a == b
+
+    def test_status_only_host_without_rules(self, spark):
+        # a 5xx host that never yielded parseable rules still blocks
+        rules = spark.createDataFrame(
+            [], "host string, allow boolean, pattern string, spec long"
+        )
+        statuses = spark.createDataFrame(
+            [("down.io", 500)], ["host", "status"]
+        )
+        df = spark.createDataFrame(
+            [("https://down.io/x", "down.io"),
+             ("https://up.io/x", "up.io")],
+            ["url", "host"],
+        )
+        got = {
+            r["url"]: r["allowed"]
+            for r in robots_allowed(
+                df, rules, "url", "host", statuses=statuses
+            ).collect()
+        }
+        assert got["https://down.io/x"] is False
+        assert got["https://up.io/x"] is True
