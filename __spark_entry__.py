@@ -993,10 +993,29 @@ def _q_tfidf_top_terms(spark, sf_dir):
         F.round(F.col("logprob_mean"), 6).alias("v1"),
         F.round(F.col("ppl"), 6).alias("v2"),
     )
+    # r10: MODIFIED Kneser-Ney rows (smoothing='mkn' — KenLM's actual
+    # default: count-bucketed D1/D2/D3+ discounts with the 3-term
+    # backoff weight (D1·N1 + D2·N2 + D3·N3+)/c(ctx)).  Discounts are
+    # EXPLICIT here because the tables are top-k capped (a cap cuts
+    # the count-1 tail, so count-of-counts estimation would raise —
+    # the documented at-scale usage is text.mkn_discounts on the
+    # uncapped aggregation); distinct values per order catch any
+    # cross-order wiring mistake.
+    lmmkn = ngram_lm_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id", None,
+        {2: bgt, 3: tgt}, None, alpha=0.5, smoothing="mkn",
+        discounts={2: (0.4, 1.1, 1.9), 3: (0.5, 1.3, 2.2)},
+    ).select(
+        F.lit("lmmkn").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.round(F.col("logprob_mean"), 6).alias("v1"),
+        F.round(F.col("ppl"), 6).alias("v2"),
+    )
     return (
         tf.unionByName(vocab).unionByName(bpe).unionByName(usd)
         .unionByName(lm).unionByName(lm2).unionByName(lm3)
-        .unionByName(lm5).unionByName(lmkn)
+        .unionByName(lm5).unionByName(lmkn).unionByName(lmmkn)
     )
 
 
@@ -4516,6 +4535,117 @@ _ORACLE["tfidf_top_terms"] = r"""
         CROSS JOIN t0
       )
       SELECT doc_id, AVG(lp) AS lpm FROM sckn GROUP BY doc_id
+    )
+    UNION ALL
+    -- r10: MODIFIED Kneser-Ney replay (text.ngram_lm_score
+    -- smoothing='mkn', orders {2,3}, explicit discounts
+    -- {2: (0.4, 1.1, 1.9), 3: (0.5, 1.3, 2.2)}): the discount is
+    -- bucketed by the gram's own count (1 / 2 / >=3) and the backoff
+    -- weight is (D1*N1(ctx) + D2*N2(ctx) + D3*N3+(ctx)) / c(ctx);
+    -- same fold, tables, and fall-through as the 'kn' replay above
+    SELECT 'lmmkn' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+           round(lpm, 6) AS v1, round(exp(-lpm), 6) AS v2
+    FROM (
+      WITH dt AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+      ),
+      bp AS (
+        SELECT p.a AS w1, p.b AS w2 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 2
+                        THEN [{'a': w[i], 'b': w[i+1]}
+                              for i in range(1, len(w))]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      bgr AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+        GROUP BY w1, w2
+        ORDER BY mass DESC, w1, w2 LIMIT 5000
+      ),
+      tp AS (
+        SELECT p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+          SELECT unnest(CASE WHEN len(w) >= 3
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                              for i in range(1, len(w) - 1)]
+                        ELSE [] END) AS p
+          FROM dt
+        )
+      ),
+      tgr AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS mass FROM tp
+        GROUP BY w1, w2, w3
+        ORDER BY mass DESC, w1, w2, w3 LIMIT 5000
+      ),
+      tmg AS (
+        SELECT w1, w2, SUM(mass) AS m,
+               SUM(CASE WHEN mass = 1.0 THEN 1.0 ELSE 0.0 END) AS k1,
+               SUM(CASE WHEN mass = 2.0 THEN 1.0 ELSE 0.0 END) AS k2,
+               SUM(CASE WHEN mass >= 3.0 THEN 1.0 ELSE 0.0 END) AS k3
+        FROM tgr GROUP BY w1, w2
+      ),
+      cc2 AS (
+        SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS cc
+        FROM tgr GROUP BY w2, w3
+      ),
+      cd2 AS (
+        SELECT w2, SUM(cc) AS cm,
+               SUM(CASE WHEN cc = 1.0 THEN 1.0 ELSE 0.0 END) AS k1,
+               SUM(CASE WHEN cc = 2.0 THEN 1.0 ELSE 0.0 END) AS k2,
+               SUM(CASE WHEN cc >= 3.0 THEN 1.0 ELSE 0.0 END) AS k3
+        FROM cc2 GROUP BY w2
+      ),
+      c1 AS (
+        SELECT w2 AS term, CAST(COUNT(*) AS DOUBLE) AS c1
+        FROM bgr GROUP BY w2
+      ),
+      t0 AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS T,
+               COUNT(DISTINCT w2) AS V1
+        FROM bgr
+      ),
+      dtrip AS (
+        SELECT doc_id, p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= 3
+                        THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                              for i in range(1, len(w) - 1)]
+                        ELSE [] END) AS p
+          FROM dt WHERE doc_id < 50
+        )
+      ),
+      scmkn AS (
+        SELECT d.doc_id,
+               ln(
+                 COALESCE(greatest(tgr.mass - (CASE
+                       WHEN tgr.mass = 1.0 THEN 0.5
+                       WHEN tgr.mass = 2.0 THEN 1.3
+                       ELSE 2.2 END), 0.0) / tmg.m, 0.0)
+                 + COALESCE((0.5 * tmg.k1 + 1.3 * tmg.k2
+                             + 2.2 * tmg.k3) / tmg.m, 1.0) * (
+                     COALESCE(greatest(cc2.cc - (CASE
+                           WHEN cc2.cc = 1.0 THEN 0.4
+                           WHEN cc2.cc = 2.0 THEN 1.1
+                           ELSE 1.9 END), 0.0) / cd2.cm, 0.0)
+                     + COALESCE((0.4 * cd2.k1 + 1.1 * cd2.k2
+                                 + 1.9 * cd2.k3) / cd2.cm, 1.0) * (
+                         (COALESCE(c1.c1, 0.0) + 0.5)
+                         / (t0.T + 0.5 * (t0.V1 + 1))
+                     )
+                 )
+               ) AS lp
+        FROM dtrip d
+        LEFT JOIN tgr ON d.w1 = tgr.w1 AND d.w2 = tgr.w2
+                     AND d.w3 = tgr.w3
+        LEFT JOIN tmg ON d.w1 = tmg.w1 AND d.w2 = tmg.w2
+        LEFT JOIN cc2 ON d.w2 = cc2.w2 AND d.w3 = cc2.w3
+        LEFT JOIN cd2 ON d.w2 = cd2.w2
+        LEFT JOIN c1 ON d.w3 = c1.term
+        CROSS JOIN t0
+      )
+      SELECT doc_id, AVG(lp) AS lpm FROM scmkn GROUP BY doc_id
     )
 """
 

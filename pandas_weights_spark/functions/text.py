@@ -56,6 +56,7 @@ __all__ = [
     "split_sentences",
     "ngram_counts",
     "ngram_lm_score",
+    "mkn_discounts",
 ]
 
 
@@ -1365,6 +1366,76 @@ def ngram_counts(
     return global_top_by_mass(agg, "mass", order, max_ngrams)
 
 
+def mkn_discounts(src: DataFrame, count_col: str = "mass") -> "tuple":
+    """Public alias of the modified-KN discount estimator — run it on
+    an UNCAPPED count table (a top-k cap cuts off the count-1 tail and
+    zeroes n1, making the estimate impossible; that is why
+    :func:`ngram_lm_score` also accepts explicit ``discounts``)."""
+    return _mkn_discounts(src, count_col)
+
+
+def _mkn_discounts(src: DataFrame, count_col: str) -> "tuple":
+    """Modified-Kneser-Ney discounts (Chen & Goodman 1999 eq. 26 /
+    KenLM's defaults) from the count-of-counts of one order's count
+    source: ``Y = n1/(n1+2·n2)``, ``D1 = 1−2Y·n2/n1``, ``D2 =
+    2−3Y·n3/n2``, ``D3 = 3−4Y·n4/n3``. Raises when the corpus cannot
+    support the estimate (some ``n_k`` is zero or a discount leaves
+    (0, k]) — the same loud failure KenLM gives; use
+    ``smoothing='kn'`` with a fixed discount there."""
+    c = F.col(count_col)
+    row = src.agg(
+        *[
+            F.sum((c == float(j)).cast("long")).alias(f"n{j}")
+            for j in (1, 2, 3, 4)
+        ]
+    ).first()
+    n1, n2, n3, n4 = (
+        float(row["n1"]), float(row["n2"]),
+        float(row["n3"]), float(row["n4"]),
+    )
+    if 0.0 in (n1, n2, n3, n4):
+        raise ValueError(
+            "modified-KN discounts need nonzero count-of-counts "
+            f"n1..n4, got ({n1:.0f}, {n2:.0f}, {n3:.0f}, {n4:.0f}) — "
+            "use smoothing='kn' with a fixed discount"
+        )
+    y = n1 / (n1 + 2 * n2)
+    d1 = 1 - 2 * y * n2 / n1
+    d2 = 2 - 3 * y * n3 / n2
+    d3 = 3 - 4 * y * n4 / n3
+    if not (0 < d1 <= 1 and 0 < d2 <= 2 and 0 < d3 <= 3):
+        raise ValueError(
+            f"degenerate modified-KN discounts ({d1:.4f}, {d2:.4f}, "
+            f"{d3:.4f}) — use smoothing='kn' with a fixed discount"
+        )
+    return d1, d2, d3
+
+
+def _mkn_num(c: Column, m: Column, d1, d2, d3) -> Column:
+    disc = (
+        F.when(c == 1.0, F.lit(d1))
+        .when(c == 2.0, F.lit(d2))
+        .otherwise(F.lit(d3))
+    )
+    return F.greatest(c - disc, F.lit(0.0)) / m
+
+
+def _mkn_bw_aggs(c: Column) -> "list[Column]":
+    return [
+        F.sum((c == 1.0).cast("double")).alias("__k1__"),
+        F.sum((c == 2.0).cast("double")).alias("__k2__"),
+        F.sum((c >= 3.0).cast("double")).alias("__k3__"),
+    ]
+
+
+def _mkn_bw(m: Column, d1, d2, d3) -> Column:
+    return (
+        F.lit(d1) * F.col("__k1__")
+        + F.lit(d2) * F.col("__k2__")
+        + F.lit(d3) * F.col("__k3__")
+    ) / m
+
+
 def _kn_score(
     tuples: DataFrame,
     id_col: str,
@@ -1373,6 +1444,8 @@ def _kn_score(
     N: int,
     D: float,
     alpha: float,
+    mode: str = "kn",
+    discounts: "Optional[dict[int, tuple]]" = None,
 ) -> DataFrame:
     """Interpolated-Kneser-Ney evaluation over the N-tuple frame (see
     :func:`ngram_lm_score` ``smoothing='kn'`` for the model).  Per
@@ -1404,28 +1477,41 @@ def _kn_score(
         if k == N:
             tab = tables[N]
             ctx = [f"w{i + 1}" for i in range(N - 1)]
+            if mode == "mkn":
+                d1, d2, d3 = (
+                    discounts[N]
+                    if discounts is not None
+                    else _mkn_discounts(tab, "mass")
+                )
             marg = tab.groupBy(*ctx).agg(
                 F.sum("mass").alias("__m__"),
                 F.count(F.lit(1)).cast("double").alias("__nd__"),
+                *(_mkn_bw_aggs(F.col("mass")) if mode == "mkn" else []),
+            )
+            num_expr = (
+                _mkn_num(F.col("mass"), F.col("__m__"), d1, d2, d3)
+                if mode == "mkn"
+                else F.greatest(F.col("mass") - F.lit(D), F.lit(0.0))
+                / F.col("__m__")
             )
             cond = tab.join(marg, ctx).select(
                 *[
                     F.col(f"w{i + 1}").alias(f"t{i + 1}")
                     for i in range(N)
                 ],
-                (
-                    F.greatest(F.col("mass") - F.lit(D), F.lit(0.0))
-                    / F.col("__m__")
-                ).alias(f"__num{k}__"),
+                num_expr.alias(f"__num{k}__"),
+            )
+            bw_expr = (
+                _mkn_bw(F.col("__m__"), d1, d2, d3)
+                if mode == "mkn"
+                else F.lit(D) * F.col("__nd__") / F.col("__m__")
             )
             bw = marg.select(
                 *[
                     F.col(f"w{i + 1}").alias(f"t{i + 1}")
                     for i in range(N - 1)
                 ],
-                (F.lit(D) * F.col("__nd__") / F.col("__m__")).alias(
-                    f"__bw{k}__"
-                ),
+                bw_expr.alias(f"__bw{k}__"),
             )
             num_keys = [f"t{i + 1}" for i in range(N)]
             bw_keys = [f"t{i + 1}" for i in range(N - 1)]
@@ -1437,10 +1523,17 @@ def _kn_score(
             cont = hi.groupBy(*ukeys).agg(
                 F.count(F.lit(1)).cast("double").alias("__cc__")
             )
+            if mode == "mkn":
+                d1, d2, d3 = (
+                    discounts[k]
+                    if discounts is not None
+                    else _mkn_discounts(cont, "__cc__")
+                )
             dkeys = ukeys[:-1]
             den = cont.groupBy(*dkeys).agg(
                 F.sum("__cc__").alias("__cm__"),
                 F.count(F.lit(1)).cast("double").alias("__cnd__"),
+                *(_mkn_bw_aggs(F.col("__cc__")) if mode == "mkn" else []),
             )
             # u position j aligns with tuple slot N - k + j + 1 (the
             # LAST k words of the N-tuple)
@@ -1450,7 +1543,9 @@ def _kn_score(
                     for j in range(k)
                 ],
                 (
-                    F.greatest(F.col("__cc__") - F.lit(D), F.lit(0.0))
+                    _mkn_num(F.col("__cc__"), F.col("__cm__"), d1, d2, d3)
+                    if mode == "mkn"
+                    else F.greatest(F.col("__cc__") - F.lit(D), F.lit(0.0))
                     / F.col("__cm__")
                 ).alias(f"__num{k}__"),
             )
@@ -1459,9 +1554,11 @@ def _kn_score(
                     F.col(dkeys[j]).alias(f"t{N - k + j + 1}")
                     for j in range(k - 1)
                 ],
-                (F.lit(D) * F.col("__cnd__") / F.col("__cm__")).alias(
-                    f"__bw{k}__"
-                ),
+                (
+                    _mkn_bw(F.col("__cm__"), d1, d2, d3)
+                    if mode == "mkn"
+                    else F.lit(D) * F.col("__cnd__") / F.col("__cm__")
+                ).alias(f"__bw{k}__"),
             )
             num_keys = [f"t{N - k + j + 1}" for j in range(k)]
             bw_keys = [f"t{N - k + j + 1}" for j in range(k - 1)]
@@ -1494,6 +1591,7 @@ def ngram_lm_score(
     lowercase: bool = True,
     smoothing: str = "jm",
     discount: float = 0.75,
+    discounts: "Optional[dict[int, tuple]]" = None,
 ) -> DataFrame:
     """Interpolated LM perplexity for an ARBITRARY set of orders —
     the general rung of the CCNet ladder (Wenzek et al. 2019 run
@@ -1527,6 +1625,20 @@ def ngram_lm_score(
     with weight 1 (pure fall-through), the same capped-table
     convention the JM path uses.
 
+    ``smoothing='mkn'`` (r10 — MODIFIED Kneser-Ney, KenLM's actual
+    default, Chen & Goodman 1999 eq. 26): three count-bucketed
+    discounts per order — D1/D2/D3+ applied by whether the gram's
+    count is 1, 2, or ≥3, with the backoff weight ``(D1·N1(ctx) +
+    D2·N2(ctx) + D3·N3+(ctx)) / c(ctx)``. Discounts are estimated
+    per order from the count-of-counts (``Y = n1/(n1+2n2)`` etc.) of
+    the given tables — which MUST be uncapped for that (a top-k cap
+    cuts off the count-1 tail, zeroing ``n1``; the estimator raises
+    loudly, as KenLM does) — or passed explicitly via ``discounts=
+    {order: (D1, D2, D3)}`` (use :func:`mkn_discounts` on the
+    uncapped aggregation, or KenLM-style fixed values). Everything
+    else (continuation counts, base, fold, join shape) is the KN
+    path.
+
     Output ``(id_col, n_ngrams, logprob_mean, ppl)`` over the doc's
     N-tuples (N = max order); docs with fewer than N tokens emit no
     row.
@@ -1539,24 +1651,36 @@ def ngram_lm_score(
     orders = sorted(tables)
     if not orders or min(orders) < 2:
         raise ValueError("tables must be keyed by orders >= 2")
-    if smoothing not in ("jm", "kn"):
+    if smoothing not in ("jm", "kn", "mkn"):
         raise ValueError(
-            f"smoothing must be 'jm' or 'kn', got {smoothing!r}"
+            f"smoothing must be 'jm', 'kn' or 'mkn', got {smoothing!r}"
         )
-    if smoothing == "kn":
+    if smoothing in ("kn", "mkn"):
         if lambdas is not None:
             raise ValueError(
                 "lambdas are a JM parameter; pass None with "
-                "smoothing='kn' (KN interpolates via the discount)"
+                "smoothing='kn'/'mkn' (KN interpolates via discounts)"
             )
         if orders != list(range(2, max(orders) + 1)):
             raise ValueError(
-                "smoothing='kn' needs consecutive orders {2..N} "
-                f"(continuation counts come from the next order up), "
-                f"got {orders}"
+                f"smoothing={smoothing!r} needs consecutive orders "
+                "{2..N} (continuation counts come from the next order "
+                f"up), got {orders}"
             )
-        if not 0.0 < float(discount) < 1.0:
+        if smoothing == "kn" and not 0.0 < float(discount) < 1.0:
             raise ValueError("discount must be in (0, 1)")
+        if smoothing == "mkn" and discounts is not None:
+            if set(discounts) != set(orders):
+                raise ValueError(
+                    "explicit mkn discounts must cover exactly the "
+                    f"table orders {orders}, got {sorted(discounts)}"
+                )
+            for k, ds in discounts.items():
+                if len(ds) != 3 or any(d <= 0 for d in ds):
+                    raise ValueError(
+                        f"discounts[{k}] must be three positive "
+                        f"(D1, D2, D3+) values, got {ds}"
+                    )
     else:
         if lambdas is None or set(lambdas) != set(tables):
             raise ValueError(
@@ -1584,10 +1708,11 @@ def ngram_lm_score(
         id_col,
         *[F.get(split, i).alias(f"t{i + 1}") for i in range(N)],
     )
-    if smoothing == "kn":
+    if smoothing in ("kn", "mkn"):
         return _kn_score(
             tuples, id_col, tables, orders, N,
-            float(discount), float(alpha),
+            float(discount), float(alpha), mode=smoothing,
+            discounts=discounts,
         )
     lp, oov = unigram_logprobs(vocab, alpha)
     joined = tuples

@@ -1449,3 +1449,195 @@ class TestNgramLangId:
             ).collect()
         ]
         assert got == [0, 1, 2, 0]
+
+
+class TestModifiedKneserNey:
+    """r10: smoothing='mkn' — KenLM's default: count-bucketed
+    D1/D2/D3+ discounts with the 3-term backoff weight, estimated
+    from count-of-counts of UNCAPPED tables or passed explicitly."""
+
+    # Corpus engineered so BOTH estimation sources have a healthy
+    # count-of-counts tail (n1 > n2 > n3 > n4 >= 1 keeps every
+    # discount in its (0, k] band):
+    #   * trigram counts  {1: 15, 2: 4, 3: 2, 4: 1}
+    #   * order-2 continuation counts (distinct predecessors per
+    #     (b, c) bigram) {1: 6, 2: 3, 3: 2, 4: 1}
+    # built from 3-token sentences, each contributing exactly one
+    # trigram type with a chosen multiplicity and predecessor set.
+    @staticmethod
+    def _gen_corpus():
+        types = []
+        for j in range(6):  # six (b, c) bigrams, one predecessor each
+            types.append((f"p{j}", f"b{j}", f"c{j}"))
+        for j in range(3):  # three bigrams with two predecessors
+            for a in range(2):
+                types.append((f"q{j}{a}", f"d{j}", f"e{j}"))
+        for j in range(2):  # two bigrams with three predecessors
+            for a in range(3):
+                types.append((f"r{j}{a}", f"f{j}", f"g{j}"))
+        for a in range(4):  # one bigram with four predecessors
+            types.append((f"s{a}", "h", "i"))
+        mult = [4, 3, 3, 2, 2, 2, 2] + [1] * 15  # n1..n4 = 15,4,2,1
+        corpus, i = [], 0
+        for (a, b, c), m in zip(types, mult):
+            for _ in range(m):
+                corpus.append((i, f"{a} {b} {c}"))
+                i += 1
+        return corpus
+
+    HELD = [
+        (100, "p0 b0 c0"),       # the count-4 trigram
+        (101, "q00 d0 e0"),      # a count-2 trigram
+        (102, "s0 h i"),         # count-1 trigram in the cc=4 bigram
+        (103, "zz b0 c0"),       # OOV predecessor: order-2 hit only
+        (104, "p0 b0 c0 zz"),    # 2nd tuple falls through to base
+    ]
+
+    @staticmethod
+    def _py_mkn(corpus, held, alpha=0.5, explicit=None):
+        import collections
+        import math
+
+        bi = collections.Counter()
+        tri = collections.Counter()
+        for _, s in corpus:
+            w = s.lower().split()
+            for i in range(len(w) - 1):
+                bi[(w[i], w[i + 1])] += 1
+            for i in range(len(w) - 2):
+                tri[(w[i], w[i + 1], w[i + 2])] += 1
+        cc2 = collections.Counter((b, c) for _, b, c in tri)
+
+        def est(counts):
+            n = collections.Counter(counts.values())
+            n1, n2, n3, n4 = (float(n[j]) for j in (1, 2, 3, 4))
+            y = n1 / (n1 + 2 * n2)
+            return (
+                1 - 2 * y * n2 / n1,
+                2 - 3 * y * n3 / n2,
+                3 - 4 * y * n4 / n3,
+            )
+
+        ds2 = explicit[2] if explicit else est(cc2)
+        ds3 = explicit[3] if explicit else est(tri)
+
+        def disc(c, ds):
+            return ds[0] if c == 1 else (ds[1] if c == 2 else ds[2])
+
+        c1 = collections.Counter(b for _, b in bi)
+        den0 = len(bi) + alpha * (len(c1) + 1)
+        cm2 = collections.Counter()
+        k2 = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+        for (b, _), n in cc2.items():
+            cm2[b] += n
+            k2[b][0 if n == 1 else (1 if n == 2 else 2)] += 1
+        m3 = collections.Counter()
+        k3 = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+        for (a, b, _), n in tri.items():
+            m3[(a, b)] += n
+            k3[(a, b)][0 if n == 1 else (1 if n == 2 else 2)] += 1
+
+        def p_mkn(a, b, c):
+            p = (c1.get(c, 0) + alpha) / den0
+            if b in cm2:
+                n = cc2.get((b, c), 0)
+                bw = (
+                    ds2[0] * k2[b][0] + ds2[1] * k2[b][1]
+                    + ds2[2] * k2[b][2]
+                ) / cm2[b]
+                num = max(n - disc(n, ds2), 0) / cm2[b] if n else 0.0
+                p = num + bw * p
+            if (a, b) in m3:
+                n = tri.get((a, b, c), 0)
+                bw = (
+                    ds3[0] * k3[(a, b)][0] + ds3[1] * k3[(a, b)][1]
+                    + ds3[2] * k3[(a, b)][2]
+                ) / m3[(a, b)]
+                num = max(n - disc(n, ds3), 0) / m3[(a, b)] if n else 0.0
+                p = num + bw * p
+            return p
+
+        out = {}
+        for did, s in held:
+            w = s.lower().split()
+            lps = [
+                math.log(p_mkn(w[i], w[i + 1], w[i + 2]))
+                for i in range(len(w) - 2)
+            ]
+            out[did] = (len(lps), sum(lps) / len(lps))
+        return out
+
+    def _frames(self, spark):
+        from pandas_weights_spark.functions.text import ngram_counts
+
+        df = spark.createDataFrame(self._gen_corpus(), ["doc_id", "text"])
+        held = spark.createDataFrame(self.HELD, ["doc_id", "text"])
+        t2 = ngram_counts(df, "text", 2, max_ngrams=1000000)
+        t3 = ngram_counts(df, "text", 3, max_ngrams=1000000)
+        return df, held, t2, t3
+
+    def test_estimated_matches_python_reference(self, spark):
+        from pandas_weights_spark.functions.text import ngram_lm_score
+
+        _, held, t2, t3 = self._frames(spark)
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["logprob_mean"])
+            for r in ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2, 3: t3},
+                None, alpha=0.5, smoothing="mkn",
+            ).collect()
+        }
+        want = self._py_mkn(self._gen_corpus(), self.HELD)
+        assert got == want  # bit-exact
+
+    def test_explicit_discounts_match_reference(self, spark):
+        from pandas_weights_spark.functions.text import ngram_lm_score
+
+        _, held, t2, t3 = self._frames(spark)
+        ds = {2: (0.4, 1.1, 1.8), 3: (0.5, 1.2, 2.1)}
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["logprob_mean"])
+            for r in ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2, 3: t3},
+                None, alpha=0.5, smoothing="mkn", discounts=ds,
+            ).collect()
+        }
+        want = self._py_mkn(self._gen_corpus(), self.HELD, explicit=ds)
+        assert got == want
+
+    def test_estimator_public_and_capped_raises(self, spark):
+        from pandas_weights_spark.functions.text import (
+            mkn_discounts,
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        df = spark.createDataFrame(self._gen_corpus(), ["doc_id", "text"])
+        t3 = ngram_counts(df, "text", 3, max_ngrams=1000000)
+        d1, d2, d3 = mkn_discounts(t3, "mass")
+        assert 0 < d1 <= 1 and 0 < d2 <= 2 and 0 < d3 <= 3
+        # a top-k cap cuts the count-1 tail: estimation must fail LOUD
+        capped = ngram_counts(df, "text", 3, max_ngrams=5)
+        held = spark.createDataFrame(self.HELD, ["doc_id", "text"])
+        t2 = ngram_counts(df, "text", 2, max_ngrams=1000000)
+        with pytest.raises(ValueError, match="count-of-counts"):
+            ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2, 3: capped},
+                None, smoothing="mkn",
+            ).collect()
+
+    def test_discounts_validation(self, spark):
+        from pandas_weights_spark.functions.text import ngram_lm_score
+
+        _, held, t2, t3 = self._frames(spark)
+        with pytest.raises(ValueError, match="cover exactly"):
+            ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2, 3: t3},
+                None, smoothing="mkn", discounts={2: (0.4, 1.1, 1.8)},
+            )
+        with pytest.raises(ValueError, match="three positive"):
+            ngram_lm_score(
+                held, "text", "doc_id", None, {2: t2, 3: t3},
+                None, smoothing="mkn",
+                discounts={2: (0.4, 1.1, 1.8), 3: (0.5, -1.0, 2.0)},
+            )
