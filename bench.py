@@ -107,6 +107,8 @@ HEADLINE = [
     "pdf_extract",         # pure-stdlib PDF text layer roundtrip (r8)
     "charset_decode",      # charset-sniffed HTTP body transcode (r10)
     "lang_id_ngram",       # trainable char-trigram language ID (r10)
+    "charset_stats",       # per-charset hygiene rollup + U+FFFD metric (r10)
+    "robots_directives",   # crawl-delay / sitemap directives (r10)
 ]
 
 
