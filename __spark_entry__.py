@@ -8675,6 +8675,153 @@ _ORACLE["charset_decode"] = """
 """
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    # r10: CCNet's final selection stage (Wenzek et al. 2019 §4.4 —
+    # functions/text.py ccnet_ppl_buckets): per-shard perplexity
+    # terciles head/middle/tail, keep head+middle.  The ladder end to
+    # end: capped {2,3} tables → modified-KN perplexity (explicit
+    # per-order discounts — the capped tables cannot support
+    # count-of-counts estimation) → rank cut per source host.  Both
+    # engines order by (round(ppl, 6), doc_id), so the ntile
+    # assignment is deterministic and identical; docs with < 3 tokens
+    # emit no LM row and drop out in BOTH (inner join / CTE shape).
+    from pandas_weights_spark.functions.text import (
+        ccnet_ppl_buckets,
+        ngram_counts,
+        ngram_lm_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bgt = ngram_counts(docs, "text", 2, max_ngrams=5000)
+    tgt = ngram_counts(docs, "text", 3, max_ngrams=5000)
+    sc = ngram_lm_score(
+        docs, "text", "doc_id", None, {2: bgt, 3: tgt}, None,
+        alpha=0.5, smoothing="mkn",
+        discounts={2: (0.4, 1.1, 1.9), 3: (0.5, 1.3, 2.2)},
+    ).select("doc_id", F.round(F.col("ppl"), 6).alias("ppl"))
+    scored = docs.select("doc_id", "source").join(sc, "doc_id")
+    return ccnet_ppl_buckets(
+        scored, "ppl", "doc_id", by=["source"]
+    ).select("doc_id", "source", "ppl", "bucket", "keep")
+
+
+_ORACLE["ccnet_buckets"] = r"""
+    WITH dt AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    bp AS (
+      SELECT p.a AS w1, p.b AS w2 FROM (
+        SELECT unnest(CASE WHEN len(w) >= 2
+                      THEN [{'a': w[i], 'b': w[i+1]}
+                            for i in range(1, len(w))]
+                      ELSE [] END) AS p
+        FROM dt
+      )
+    ),
+    bgr AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+      GROUP BY w1, w2
+      ORDER BY mass DESC, w1, w2 LIMIT 5000
+    ),
+    tp AS (
+      SELECT p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+        SELECT unnest(CASE WHEN len(w) >= 3
+                      THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                            for i in range(1, len(w) - 1)]
+                      ELSE [] END) AS p
+        FROM dt
+      )
+    ),
+    tgr AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS mass FROM tp
+      GROUP BY w1, w2, w3
+      ORDER BY mass DESC, w1, w2, w3 LIMIT 5000
+    ),
+    tmg AS (
+      SELECT w1, w2, SUM(mass) AS m,
+             SUM(CASE WHEN mass = 1.0 THEN 1.0 ELSE 0.0 END) AS k1,
+             SUM(CASE WHEN mass = 2.0 THEN 1.0 ELSE 0.0 END) AS k2,
+             SUM(CASE WHEN mass >= 3.0 THEN 1.0 ELSE 0.0 END) AS k3
+      FROM tgr GROUP BY w1, w2
+    ),
+    cc2 AS (
+      SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS cc
+      FROM tgr GROUP BY w2, w3
+    ),
+    cd2 AS (
+      SELECT w2, SUM(cc) AS cm,
+             SUM(CASE WHEN cc = 1.0 THEN 1.0 ELSE 0.0 END) AS k1,
+             SUM(CASE WHEN cc = 2.0 THEN 1.0 ELSE 0.0 END) AS k2,
+             SUM(CASE WHEN cc >= 3.0 THEN 1.0 ELSE 0.0 END) AS k3
+      FROM cc2 GROUP BY w2
+    ),
+    c1 AS (
+      SELECT w2 AS term, CAST(COUNT(*) AS DOUBLE) AS c1
+      FROM bgr GROUP BY w2
+    ),
+    t0 AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS T,
+             COUNT(DISTINCT w2) AS V1
+      FROM bgr
+    ),
+    dtrip AS (
+      SELECT doc_id, p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                            for i in range(1, len(w) - 1)]
+                      ELSE [] END) AS p
+        FROM dt
+      )
+    ),
+    scmkn AS (
+      SELECT d.doc_id,
+             ln(
+               COALESCE(greatest(tgr.mass - (CASE
+                     WHEN tgr.mass = 1.0 THEN 0.5
+                     WHEN tgr.mass = 2.0 THEN 1.3
+                     ELSE 2.2 END), 0.0) / tmg.m, 0.0)
+               + COALESCE((0.5 * tmg.k1 + 1.3 * tmg.k2
+                           + 2.2 * tmg.k3) / tmg.m, 1.0) * (
+                   COALESCE(greatest(cc2.cc - (CASE
+                         WHEN cc2.cc = 1.0 THEN 0.4
+                         WHEN cc2.cc = 2.0 THEN 1.1
+                         ELSE 1.9 END), 0.0) / cd2.cm, 0.0)
+                   + COALESCE((0.4 * cd2.k1 + 1.1 * cd2.k2
+                               + 1.9 * cd2.k3) / cd2.cm, 1.0) * (
+                       (COALESCE(c1.c1, 0.0) + 0.5)
+                       / (t0.T + 0.5 * (t0.V1 + 1))
+                   )
+               )
+             ) AS lp
+      FROM dtrip d
+      LEFT JOIN tgr ON d.w1 = tgr.w1 AND d.w2 = tgr.w2
+                   AND d.w3 = tgr.w3
+      LEFT JOIN tmg ON d.w1 = tmg.w1 AND d.w2 = tmg.w2
+      LEFT JOIN cc2 ON d.w2 = cc2.w2 AND d.w3 = cc2.w3
+      LEFT JOIN cd2 ON d.w2 = cd2.w2
+      LEFT JOIN c1 ON d.w3 = c1.term
+      CROSS JOIN t0
+    ),
+    ppl AS (
+      SELECT doc_id, round(exp(-AVG(lp)), 6) AS ppl
+      FROM scmkn GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT p.doc_id, d0.source, p.ppl,
+             ntile(3) OVER (PARTITION BY d0.source
+                            ORDER BY p.ppl ASC, p.doc_id ASC) AS b
+      FROM ppl p JOIN documents d0 ON d0.doc_id = p.doc_id
+    )
+    SELECT doc_id, source, ppl,
+           (['head', 'middle', 'tail'])[b] AS bucket,
+           b <= 2 AS keep
+    FROM nt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (r10): the driver's correctness snapshot checks
     # the FIRST 50 keys only.  Newest queries therefore go FIRST (newest
@@ -8684,6 +8831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "ccnet_buckets": _q_ccnet_buckets,
         "charset_decode": _q_charset_decode,
         "charset_stats": _q_charset_stats,
         "lang_id_ngram": _q_lang_id_ngram,

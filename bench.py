@@ -109,6 +109,7 @@ HEADLINE = [
     "lang_id_ngram",       # trainable char-trigram language ID (r10)
     "charset_stats",       # per-charset hygiene rollup + U+FFFD metric (r10)
     "robots_directives",   # crawl-delay / sitemap directives (r10)
+    "ccnet_buckets",       # CCNet MKN-perplexity head/middle/tail cut (r10)
 ]
 
 

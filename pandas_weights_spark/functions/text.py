@@ -57,6 +57,7 @@ __all__ = [
     "ngram_counts",
     "ngram_lm_score",
     "mkn_discounts",
+    "ccnet_ppl_buckets",
 ]
 
 
@@ -907,6 +908,66 @@ def remove_corpus_duplicate_lines(
         F.coalesce(F.col("__nrem__"), F.lit(0)).cast("long").alias(
             "n_removed"
         ),
+    )
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    ppl_col: str,
+    id_col: str,
+    by: Sequence[str],
+    n_buckets: int = 3,
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    keep: Sequence[str] = ("head", "middle"),
+) -> DataFrame:
+    """CCNet's final selection stage (Wenzek et al. 2019 §4.4): cut
+    each language shard into equal-size perplexity buckets — ``head``
+    (lowest ppl, most Wikipedia-like), ``middle``, ``tail`` — and keep
+    a configurable subset (CCNet ships head+middle).  This is the rung
+    ABOVE :func:`ngram_lm_score` on the ladder: normalize
+    (:func:`ccnet_normalize`) → corpus line dedup
+    (:func:`remove_corpus_duplicate_lines`) → LM perplexity → THIS.
+
+    Rank-based, like CCNet's percentile cut: ``ntile(n_buckets)`` over
+    ``(ppl asc nulls last, id asc)`` within each ``by`` group — ties
+    and cross-engine float noise are pinned by the deterministic id
+    tiebreak (round the ppl upstream when an oracle must reproduce the
+    assignment bit-exactly).  Appends ``bucket`` (label) and ``keep``
+    (boolean) columns.
+
+    Scale: one sort per ``by`` group — the window is PARTITIONED
+    (never global; ``by`` is required, CCNet cuts per language shard —
+    for one corpus-wide cut pass a constant column and accept the
+    single-reducer sort, or pre-round and use a quantile cut instead).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    labels = list(labels)
+    if len(labels) != n_buckets or len(set(labels)) != n_buckets:
+        raise ValueError(
+            f"labels must be {n_buckets} distinct names, got {labels}"
+        )
+    bad = sorted(set(keep) - set(labels))
+    if bad:
+        raise ValueError(f"keep labels not in labels: {bad}")
+    if not by:
+        raise ValueError(
+            "by must name at least one grouping column (CCNet cuts "
+            "per language shard); pass a constant column for a "
+            "single corpus-wide cut"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(
+        F.col(ppl_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), F.ntile(n_buckets).over(w)
+    )
+    return df.select(
+        "*",
+        lab.alias("bucket"),
+        lab.isin(*list(keep)).alias("keep"),
     )
 
 

@@ -1641,3 +1641,71 @@ class TestModifiedKneserNey:
                 None, smoothing="mkn",
                 discounts={2: (0.4, 1.1, 1.8), 3: (0.5, -1.0, 2.0)},
             )
+
+
+class TestCcnetPplBuckets:
+    """r10: ccnet_ppl_buckets — CCNet's rank-based head/middle/tail
+    perplexity cut per shard (Wenzek et al. 2019 §4.4)."""
+
+    def test_assignment_uneven_groups_and_ties(self, spark):
+        from pandas_weights_spark.functions.text import ccnet_ppl_buckets
+
+        # group a: 7 rows -> ntile(3) = 3,2,2; two ppl ties broken by id
+        rows = (
+            [(i, "a", float(v)) for i, v in
+             enumerate([5.0, 1.0, 3.0, 3.0, 9.0, 2.0, 7.0])]
+            + [(10 + i, "b", float(v)) for i, v in enumerate([4.0, 4.0])]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "g", "ppl"])
+        got = {
+            r["doc_id"]: (r["bucket"], r["keep"])
+            for r in ccnet_ppl_buckets(
+                df, "ppl", "doc_id", by=["g"]
+            ).collect()
+        }
+        # a sorted by (ppl, id): 1(1.0) 5(2.0) 2(3.0) 3(3.0) 0(5.0)
+        #                        6(7.0) 4(9.0) -> head:3 middle:2 tail:2
+        assert got[1] == ("head", True)
+        assert got[5] == ("head", True)
+        assert got[2] == ("head", True)
+        assert got[3] == ("middle", True)
+        assert got[0] == ("middle", True)
+        assert got[6] == ("tail", False)
+        assert got[4] == ("tail", False)
+        # b: tie on ppl -> id order; 2 rows over 3 buckets -> head, middle
+        assert got[10] == ("head", True)
+        assert got[11] == ("middle", True)
+
+    def test_custom_buckets_and_keep(self, spark):
+        from pandas_weights_spark.functions.text import ccnet_ppl_buckets
+
+        df = spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(4)],
+            ["doc_id", "g", "ppl"],
+        )
+        got = [
+            (r["bucket"], r["keep"])
+            for r in ccnet_ppl_buckets(
+                df, "ppl", "doc_id", by=["g"], n_buckets=2,
+                labels=("lo", "hi"), keep=("lo",),
+            ).orderBy("doc_id").collect()
+        ]
+        assert got == [("lo", True), ("lo", True),
+                       ("hi", False), ("hi", False)]
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.functions.text import ccnet_ppl_buckets
+
+        df = spark.createDataFrame([(0, "g", 1.0)], ["doc_id", "g", "ppl"])
+        with pytest.raises(ValueError, match="n_buckets"):
+            ccnet_ppl_buckets(df, "ppl", "doc_id", by=["g"], n_buckets=1)
+        with pytest.raises(ValueError, match="distinct names"):
+            ccnet_ppl_buckets(
+                df, "ppl", "doc_id", by=["g"], labels=("a", "a", "b")
+            )
+        with pytest.raises(ValueError, match="keep labels"):
+            ccnet_ppl_buckets(
+                df, "ppl", "doc_id", by=["g"], keep=("nope",)
+            )
+        with pytest.raises(ValueError, match="grouping column"):
+            ccnet_ppl_buckets(df, "ppl", "doc_id", by=[])

@@ -80,6 +80,11 @@ ALLOW = {
     # TakeOrderedAndProject-limited cut (the tfidf/bpe/usd plan shape
     # — the limit executes BEFORE the window, visible in the plan)
     "quality_classifier": {"global-window"},
+    # r10: the bucket cut itself is PARTITIONED (ntile per source);
+    # the only global window is ngram_counts' top-k cap over the
+    # AGGREGATED gram table (the tfidf_top_terms shape — bounded by
+    # the 5000-row limit, never the corpus)
+    "ccnet_buckets": {"global-window"},
 }
 
 _GLOBAL_WINDOW = re.compile(

@@ -638,6 +638,19 @@ def main() -> int:
         labels=[str(i) for i in range(5)], n=3,
     ), int(docs_n / 5))
 
+    # CCNet bucket cut: the op alone (one partitioned ntile sort) over
+    # a synthetic per-doc ppl column — scores come from the LM family
+    # benched above
+    from pandas_weights_spark.functions.text import ccnet_ppl_buckets
+
+    ppl_src = docs.select(
+        "doc_id", "source",
+        (F.abs(F.hash("doc_id")) % 100000 / 100.0).alias("ppl"),
+    ).localCheckpoint(eager=True)
+    dbench("ccnet bucket cut", lambda: ccnet_ppl_buckets(
+        ppl_src, "ppl", "doc_id", by=["source"]
+    ), docs_n)
+
     spark.stop()
     return 0
 
