@@ -8822,6 +8822,58 @@ _ORACLE["ccnet_buckets"] = r"""
 """
 
 
+def _q_snapshot_delta(spark, sf_dir):
+    # r10: incremental-recrawl snapshot diff (functions/dedup.py
+    # snapshot_delta).  Old crawl = doc_id % 10 != 0; new crawl =
+    # doc_id % 7 != 0 with every %5==0 page's content edited — so the
+    # matrix covers all four statuses: added (%10==0, %7!=0), removed
+    # (%7==0, %10!=0), changed (in both, %5==0 → odd multiples of 5),
+    # unchanged (the rest).  Content identity is content_key's
+    # md5(lower(trim(text))), the dedup_exact convention.  ONE
+    # key-hash shuffle per side (full-outer equi-join), no fan-out.
+    from pandas_weights_spark.functions.dedup import (
+        content_key,
+        snapshot_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", content_key(F.col("text")).alias("fp")
+    )
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        content_key(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return snapshot_delta(old, new, ["doc_id"], "fp")
+
+
+_ORACLE["snapshot_delta"] = """
+    WITH o AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(lower(trim(CASE WHEN doc_id % 5 = 0
+                            THEN text || ' updated'
+                            ELSE text END))) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           o.fp AS old_fp, n.fp AS new_fp,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (r10): the driver's correctness snapshot checks
     # the FIRST 50 keys only.  Newest queries therefore go FIRST (newest
@@ -8831,6 +8883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "snapshot_delta": _q_snapshot_delta,
         "ccnet_buckets": _q_ccnet_buckets,
         "charset_decode": _q_charset_decode,
         "charset_stats": _q_charset_stats,

@@ -110,6 +110,7 @@ HEADLINE = [
     "charset_stats",       # per-charset hygiene rollup + U+FFFD metric (r10)
     "robots_directives",   # crawl-delay / sitemap directives (r10)
     "ccnet_buckets",       # CCNet MKN-perplexity head/middle/tail cut (r10)
+    "snapshot_delta",      # incremental recrawl snapshot diff (r10)
 ]
 
 

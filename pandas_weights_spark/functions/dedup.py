@@ -51,6 +51,7 @@ __all__ = [
     "embedding_join",
     "ngram_jaccard_near_duplicates",
     "ngram_novelty",
+    "snapshot_delta",
 ]
 
 
@@ -1320,3 +1321,66 @@ def lsh_tuning(
         if best is None or err < best[0]:
             best = (err, b, r)
     return best[1], best[2]
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_col: str,
+    status_col: str = "status",
+) -> DataFrame:
+    """Classify every document key across two corpus snapshots — the
+    incremental-recrawl primitive: re-process only what changed
+    instead of re-running the pipeline over the full corpus.
+
+    Full-outer join on ``keys`` (each snapshot must already be unique
+    per key — run :func:`exact_dedup` / ``dropDuplicates`` first);
+    ``compare_col`` is the content identity (e.g. :func:`content_key`
+    over the text).  Output: the key columns, ``old_<compare_col>`` /
+    ``new_<compare_col>``, and ``status``:
+
+    * ``added`` — key only in the new snapshot
+    * ``removed`` — key only in the old snapshot
+    * ``changed`` — in both, content identities differ
+    * ``unchanged`` — in both, identical content (null-safe: two NULL
+      identities compare equal, matching SQL ``IS NOT DISTINCT FROM``)
+
+    Scale: ONE key-hash shuffle of each snapshot (the join), no
+    fan-out, no driver state; with both snapshots bucketed/partitioned
+    by key the exchange disappears entirely, and AQE handles skewed
+    hot keys.  Presence is tracked with explicit flags, so a present
+    row with a NULL content identity is never mistaken for an absent
+    row.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    o = old.select(
+        *keys,
+        F.col(compare_col).alias(f"old_{compare_col}"),
+        F.lit(True).alias("__in_old__"),
+    )
+    n = new.select(
+        *keys,
+        F.col(compare_col).alias(f"new_{compare_col}"),
+        F.lit(True).alias("__in_new__"),
+    )
+    j = o.join(n, keys, "full_outer")
+    in_old = F.coalesce(F.col("__in_old__"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new__"), F.lit(False))
+    same = F.col(f"old_{compare_col}").eqNullSafe(
+        F.col(f"new_{compare_col}")
+    )
+    status = (
+        F.when(in_new & ~in_old, F.lit("added"))
+        .when(in_old & ~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *keys,
+        f"old_{compare_col}",
+        f"new_{compare_col}",
+        status.alias(status_col),
+    )

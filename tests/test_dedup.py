@@ -879,3 +879,65 @@ class TestLshTuning:
             lsh_tuning(1.5, 64)
         with _pt.raises(ValueError, match="num_hashes"):
             lsh_tuning(0.5, 1)
+
+
+class TestSnapshotDelta:
+    """r10: snapshot_delta — incremental-recrawl status classification
+    (added/removed/changed/unchanged) via full-outer key join."""
+
+    def test_all_four_statuses(self, spark):
+        from pandas_weights_spark.functions.dedup import snapshot_delta
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "fp"]
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], ["k", "fp"]
+        )
+        got = {
+            r["k"]: (r["old_fp"], r["new_fp"], r["status"])
+            for r in snapshot_delta(old, new, ["k"], "fp").collect()
+        }
+        assert got == {
+            1: ("a", None, "removed"),
+            2: ("b", "b", "unchanged"),
+            3: ("c", "C", "changed"),
+            4: (None, "d", "added"),
+        }
+
+    def test_null_identity_not_absence(self, spark):
+        from pandas_weights_spark.functions.dedup import snapshot_delta
+
+        # a PRESENT row with a NULL fingerprint must not read as
+        # added/removed; two NULLs compare equal (null-safe)
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")],
+            "k int, fp string",
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, "y"), (3, None)],
+            "k int, fp string",
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot_delta(old, new, ["k"], "fp").collect()
+        }
+        assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+    def test_composite_keys_and_validation(self, spark):
+        from pandas_weights_spark.functions.dedup import snapshot_delta
+
+        old = spark.createDataFrame(
+            [("h", "/a", "x")], ["host", "path", "fp"]
+        )
+        new = spark.createDataFrame(
+            [("h", "/a", "x"), ("h", "/b", "y")],
+            ["host", "path", "fp"],
+        )
+        rows = snapshot_delta(
+            old, new, ["host", "path"], "fp"
+        ).orderBy("path").collect()
+        assert [r["status"] for r in rows] == ["unchanged", "added"]
+        assert rows[0]["host"] == "h" and rows[1]["path"] == "/b"
+        with pytest.raises(ValueError, match="at least one column"):
+            snapshot_delta(old, new, [], "fp")

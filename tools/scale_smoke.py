@@ -651,6 +651,28 @@ def main() -> int:
         ppl_src, "ppl", "doc_id", by=["source"]
     ), docs_n)
 
+    # incremental-recrawl diff: one key-hash shuffle per snapshot side
+    from pandas_weights_spark.functions.dedup import (
+        content_key,
+        snapshot_delta,
+    )
+
+    snap_old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", content_key(F.col("text")).alias("fp")
+    )
+    snap_new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        content_key(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    dbench("snapshot delta", lambda: snapshot_delta(
+        snap_old, snap_new, ["doc_id"], "fp"
+    ), docs_n)
+
     spark.stop()
     return 0
 
