@@ -8822,6 +8822,135 @@ _ORACLE["ccnet_buckets"] = r"""
 """
 
 
+def _q_lang_mix(spark, sf_dir):
+    # r10: per-document language MIXTURE from per-sentence LID
+    # (functions/text.py sentence_lang_mix) — the mixed-language
+    # detector monolingual pipelines threshold on. Same trained
+    # profile as lang_id_ngram (docs %5 != 0, top-40 trigrams per
+    # label); the held-out fifth is split into sentences, each
+    # sentence classified by the identical broadcast NB model ('und'
+    # counts as a language), then rolled up per doc: sentence count,
+    # majority language (ties to the lexicographically first),
+    # majority fraction, distinct languages. The oracle replays the
+    # FULL chain: sentence split, gram fan-out, profile, per-sentence
+    # argmax, per-doc majority window.
+    from pandas_weights_spark.functions.text import (
+        char_ngram_lang_profile,
+        sentence_lang_mix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = char_ngram_lang_profile(
+        docs.where(F.col("doc_id") % 5 != 0), "text", "lang",
+        n=3, top_k=40,
+    )
+    return sentence_lang_mix(
+        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", prof,
+        labels=["de", "en", "es", "fr", "zh"], n=3,
+    )
+
+
+def _lang_mix_sql() -> str:
+    from pandas_weights_spark.functions.text import split_sentences_sql
+
+    s = split_sentences_sql("text")
+    return rf"""
+    WITH tr AS (
+      SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 5 != 0
+    ), trg AS (
+      SELECT lang, substr(t, CAST(i AS INT), 3) AS gram
+      FROM (
+        SELECT lang, t,
+               unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS i
+        FROM tr
+      )
+    ), trg3 AS (
+      SELECT lang, gram FROM trg WHERE length(gram) = 3
+    ), pm AS (
+      SELECT lang, gram, CAST(COUNT(*) AS DOUBLE) AS mass
+      FROM trg3 GROUP BY 1, 2
+    ), pr AS (
+      SELECT lang, gram, mass FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY mass DESC, gram) AS rk
+        FROM pm
+      ) WHERE rk <= 40
+    ), wl AS (
+      SELECT lang, SUM(mass) AS W FROM pr GROUP BY lang
+    ), vv AS (
+      SELECT COUNT(DISTINCT gram) AS V FROM pr
+    ), wide AS (
+      SELECT gram,
+        ln(COALESCE(SUM(CASE WHEN lang='de' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='de') + (SELECT V FROM vv) + 1) AS lp0,
+        ln(COALESCE(SUM(CASE WHEN lang='en' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='en') + (SELECT V FROM vv) + 1) AS lp1,
+        ln(COALESCE(SUM(CASE WHEN lang='es' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='es') + (SELECT V FROM vv) + 1) AS lp2,
+        ln(COALESCE(SUM(CASE WHEN lang='fr' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='fr') + (SELECT V FROM vv) + 1) AS lp3,
+        ln(COALESCE(SUM(CASE WHEN lang='zh' THEN mass END), 0) + 1)
+          - ln((SELECT W FROM wl WHERE lang='zh') + (SELECT V FROM vv) + 1) AS lp4
+      FROM pr GROUP BY gram
+    ), hd AS (
+      SELECT doc_id, {s} AS sa FROM documents WHERE doc_id % 5 = 0
+    ), se AS (
+      SELECT doc_id, CAST(i AS INT) AS sent_idx,
+             lower(sa[CAST(i AS INT)]) AS t
+      FROM (
+        SELECT doc_id, sa, unnest(range(1, len(sa) + 1)) AS i FROM hd
+      )
+    ), sg AS (
+      SELECT doc_id, sent_idx, substr(t, CAST(j AS INT), 3) AS gram
+      FROM (
+        SELECT doc_id, sent_idx, t,
+               unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS j
+        FROM se
+      )
+    ), sg3 AS (
+      SELECT doc_id, sent_idx, gram FROM sg WHERE length(gram) = 3
+    ), sc AS (
+      SELECT doc_id, sent_idx, SUM(lp0) AS s0, SUM(lp1) AS s1,
+             SUM(lp2) AS s2, SUM(lp3) AS s3, SUM(lp4) AS s4
+      FROM sg3 JOIN wide USING (gram) GROUP BY 1, 2
+    ), fin AS (
+      SELECT b.doc_id, b.sent_idx, sc.s0, sc.s1, sc.s2, sc.s3, sc.s4,
+             greatest(sc.s0, sc.s1, sc.s2, sc.s3, sc.s4) AS best
+      FROM se b
+      LEFT JOIN sc ON b.doc_id = sc.doc_id
+                  AND b.sent_idx = sc.sent_idx
+    ), pred AS (
+      SELECT doc_id,
+        CASE WHEN best IS NULL THEN 'und'
+             WHEN s0 = best THEN 'de'
+             WHEN s1 = best THEN 'en'
+             WHEN s2 = best THEN 'es'
+             WHEN s3 = best THEN 'fr'
+             WHEN s4 = best THEN 'zh'
+             ELSE 'und' END AS pl
+      FROM fin
+    ), cnt AS (
+      SELECT doc_id, pl, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ), roll AS (
+      SELECT doc_id, pl, n,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY n DESC, pl ASC) AS rk,
+             SUM(n) OVER (PARTITION BY doc_id) AS tot,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nl
+      FROM cnt
+    )
+    SELECT doc_id,
+           CAST(tot AS BIGINT) AS n_sentences,
+           pl AS majority_lang,
+           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS majority_frac,
+           CAST(nl AS BIGINT) AS n_langs
+    FROM roll WHERE rk = 1
+"""
+
+
+_ORACLE["lang_mix"] = _lang_mix_sql()
+
+
 def _q_snapshot_delta(spark, sf_dir):
     # r10: incremental-recrawl snapshot diff (functions/dedup.py
     # snapshot_delta).  Old crawl = doc_id % 10 != 0; new crawl =
@@ -8883,6 +9012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "lang_mix": _q_lang_mix,
         "snapshot_delta": _q_snapshot_delta,
         "ccnet_buckets": _q_ccnet_buckets,
         "charset_decode": _q_charset_decode,

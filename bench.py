@@ -111,6 +111,7 @@ HEADLINE = [
     "robots_directives",   # crawl-delay / sitemap directives (r10)
     "ccnet_buckets",       # CCNet MKN-perplexity head/middle/tail cut (r10)
     "snapshot_delta",      # incremental recrawl snapshot diff (r10)
+    "lang_mix",            # per-sentence LID -> doc language mixture (r10)
 ]
 
 

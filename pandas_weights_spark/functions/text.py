@@ -29,6 +29,7 @@ __all__ = [
     "utf8_replacement_count",
     "char_ngram_lang_profile",
     "ngram_lang_id",
+    "sentence_lang_mix",
     "quality_score",
     "fingerprint",
     "LANG_MARKERS",
@@ -230,6 +231,20 @@ def ngram_lang_id(
     and no recomputation of the training aggregation per driver
     scalar (r10 fix: the pivot formulation re-ran profile training
     3-4x — once per collected scalar and once in the plan)."""
+    return _lid_score(docs, text_col, [id_col], profile, labels, n)
+
+
+def _lid_score(
+    frame: DataFrame,
+    text_col: str,
+    key_cols: "list[str]",
+    profile: DataFrame,
+    labels: "Optional[list[str]]",
+    n: int,
+) -> DataFrame:
+    """The scoring body of :func:`ngram_lang_id`, key-generic so
+    :func:`sentence_lang_mix` can score (doc, sentence) units with
+    the identical model and plan shape."""
     import math
 
     rows = profile.collect()
@@ -265,14 +280,14 @@ def ngram_lang_id(
             for i in range(len(labels))
         ]
     )
-    wide = docs.sparkSession.createDataFrame(wide_rows, schema)
-    doc_grams = docs.select(
-        F.col(id_col),
+    wide = frame.sparkSession.createDataFrame(wide_rows, schema)
+    doc_grams = frame.select(
+        *key_cols,
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
     ).where(F.length("gram") == n)
     scored = (
         doc_grams.join(F.broadcast(wide), "gram")
-        .groupBy(id_col)
+        .groupBy(*key_cols)
         .agg(
             *[
                 F.sum(f"__lp_{i}__").alias(f"__s_{i}__")
@@ -280,8 +295,8 @@ def ngram_lang_id(
             ]
         )
     )
-    base = docs.select(id_col).distinct()
-    joined = base.join(scored, id_col, "left")
+    base = frame.select(*key_cols).distinct()
+    joined = base.join(scored, key_cols, "left")
     best = F.greatest(
         *[F.col(f"__s_{i}__") for i in range(len(labels))]
     )
@@ -291,11 +306,73 @@ def ngram_lang_id(
             F.col(f"__s_{i}__") == best, F.lit(lab)
         ).otherwise(pred)
     return joined.select(
-        id_col,
+        *key_cols,
         F.when(best.isNull(), F.lit("und")).otherwise(pred).alias(
             "pred_lang"
         ),
         F.round(best, 6).alias("score"),
+    )
+
+
+def sentence_lang_mix(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    profile: DataFrame,
+    labels: "Optional[list[str]]" = None,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document language MIXTURE from per-sentence LID — the
+    mixed-language detector CCNet-style pipelines threshold on (a doc
+    whose sentences disagree about the language is boilerplate-heavy,
+    a template page, or genuinely multilingual — all of which poison
+    monolingual LM training): :func:`split_sentences` → classify each
+    sentence with the :func:`char_ngram_lang_profile` model (the same
+    broadcast-scored naive Bayes as :func:`ngram_lang_id`, keyed by
+    (doc, sentence) — ``'und'`` sentences count as a language) →
+    per-doc rollup.
+
+    Output ``(id_col, n_sentences, majority_lang, majority_frac,
+    n_langs)``; majority ties break to the lexicographically first
+    language; docs with zero sentences emit no row.
+
+    Scale: sentence explode is row-local; ONE broadcast join against
+    the bounded model table; one (doc, sentence)-keyed and one
+    (doc, lang)-keyed aggregate — both partial-aggregated map-side;
+    the argmax is a struct-min inside the doc aggregate, no window.
+    """
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(split_sentences(F.col(text_col))).alias(
+            "sent_idx", "__sent__"
+        ),
+    )
+    per = _lid_score(
+        sents, "__sent__", [id_col, "sent_idx"], profile, labels, n
+    )
+    cnt = per.groupBy(id_col, "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    arg = F.min(
+        F.struct(
+            (-F.col("__n__")).alias("a"),
+            F.col("pred_lang").alias("l"),
+        )
+    )
+    out = cnt.groupBy(id_col).agg(
+        F.sum("__n__").alias("n_sentences"),
+        arg.alias("__arg__"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return out.select(
+        id_col,
+        "n_sentences",
+        F.col("__arg__.l").alias("majority_lang"),
+        (
+            (-F.col("__arg__.a")).cast("double")
+            / F.col("n_sentences").cast("double")
+        ).alias("majority_frac"),
+        "n_langs",
     )
 
 

@@ -1709,3 +1709,91 @@ class TestCcnetPplBuckets:
             )
         with pytest.raises(ValueError, match="grouping column"):
             ccnet_ppl_buckets(df, "ppl", "doc_id", by=[])
+
+
+class TestSentenceLangMix:
+    """r10: sentence_lang_mix — per-doc language mixture from
+    per-sentence n-gram LID."""
+
+    def _profile(self, spark):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+        )
+
+        train = spark.createDataFrame(
+            [("aa", "aaa bab aab abba baab aa ab")] * 3
+            + [("zz", "zzz yzy zzy zyyz yzzy zz zy")] * 3,
+            ["lang", "text"],
+        )
+        return char_ngram_lang_profile(train, "text", "lang", n=3)
+
+    def test_mixture_rollup(self, spark):
+        from pandas_weights_spark.functions.text import sentence_lang_mix
+
+        prof = self._profile(spark)
+        docs = spark.createDataFrame(
+            [
+                (0, "aaa bab aab. zzz yzy zzy. aab abba baab."),
+                (1, "zzz yzy. aaa bab."),   # 1-1 tie -> 'aa' (lex)
+                (2, "aaa aab abba"),        # single sentence
+                (3, ""),                    # no sentences -> no row
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_sentences"], r["majority_lang"],
+                r["majority_frac"], r["n_langs"],
+            )
+            for r in sentence_lang_mix(
+                docs, "text", "doc_id", prof, labels=["aa", "zz"]
+            ).collect()
+        }
+        assert set(got) == {0, 1, 2}
+        assert got[0] == (3, "aa", 2.0 / 3.0, 2)
+        assert got[1] == (2, "aa", 0.5, 2)
+        assert got[2] == (1, "aa", 1.0, 1)
+
+    def test_matches_per_sentence_ngram_lang_id(self, spark):
+        # the rollup must agree with classifying each sentence
+        # separately through the public ngram_lang_id
+        from pandas_weights_spark.functions.text import (
+            ngram_lang_id,
+            sentence_lang_mix,
+        )
+
+        prof = self._profile(spark)
+        docs = spark.createDataFrame(
+            [(0, "aaa bab aab. zzz yzy zzy. qqq qqq."),
+             (1, "zyyz yzzy. zzy zyyz.")],
+            ["doc_id", "text"],
+        )
+        sents = spark.createDataFrame(
+            [(0, 0, "aaa bab aab."), (0, 1, "zzz yzy zzy."),
+             (0, 2, "qqq qqq."),  # no profile gram hits -> 'und'
+             (1, 0, "zyyz yzzy."), (1, 1, "zzy zyyz.")],
+            ["doc_id", "sent_idx", "text"],
+        )
+        indiv = ngram_lang_id(
+            sents.select(
+                F.concat_ws("#", "doc_id", "sent_idx").alias("sid"),
+                "text",
+            ),
+            "text", "sid", prof, labels=["aa", "zz"],
+        ).collect()
+        import collections
+
+        want = collections.defaultdict(collections.Counter)
+        for r in indiv:
+            want[int(r["sid"].split("#")[0])][r["pred_lang"]] += 1
+        got = {
+            r["doc_id"]: (
+                r["n_sentences"], r["majority_lang"], r["n_langs"]
+            )
+            for r in sentence_lang_mix(
+                docs, "text", "doc_id", prof, labels=["aa", "zz"]
+            ).collect()
+        }
+        for did, c in want.items():
+            maj = min(c, key=lambda k: (-c[k], k))
+            assert got[did] == (sum(c.values()), maj, len(c))

@@ -673,6 +673,14 @@ def main() -> int:
         snap_old, snap_new, ["doc_id"], "fp"
     ), docs_n)
 
+    # per-sentence LID -> doc language mixture (same trained profile)
+    from pandas_weights_spark.functions.text import sentence_lang_mix
+
+    dbench("sentence lang mix (1/5 held)", lambda: sentence_lang_mix(
+        lid_held, "text", "doc_id", lid_prof,
+        labels=[str(i) for i in range(5)], n=3,
+    ), int(docs_n / 5))
+
     spark.stop()
     return 0
 
