@@ -7,15 +7,29 @@ Pandas UDFs only where they genuinely don't (multimodal decode).
 """
 
 from pandas_weights_spark.functions import (  # noqa: F401
+    asof,
+    bloom,
+    classifier,
     datasheet,
+    decontam,
     dedup,
+    distinct,
+    dsir,
     fuzzy,
+    graph,
     html,
     multimodal,
+    packing,
     pca,
+    pq,
     quality,
+    range_join,
     robots,
+    search,
     similarity,
+    sketch,
+    tdigest,
     text,
     vocab,
+    webdataset,
 )

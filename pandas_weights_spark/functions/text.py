@@ -1465,7 +1465,7 @@ def ngram_counts(
     df: DataFrame,
     text_col: str,
     n: int,
-    max_ngrams: int = 500_000,
+    max_ngrams: "Optional[int]" = 500_000,
     lowercase: bool = True,
     weight: Optional[Column] = None,
 ) -> DataFrame:
@@ -1475,7 +1475,13 @@ def ngram_counts(
     capped top-``max_ngrams`` by (mass desc, w1..wn) via
     ``topk.global_top_by_mass``; output rows arrive in no promised
     order). CCNet's KenLM is order 5 — ``ngram_counts(df, t, 5)`` is
-    that table."""
+    that table.
+
+    ``max_ngrams=None`` (r10) skips the top-k entirely and returns the
+    full distributed count table — the input :func:`mkn_discounts`
+    needs (any cap cuts the count-1 tail the count-of-counts estimate
+    lives on).  The uncapped table is one map-side-combined aggregate,
+    never collected; the estimator reduces it to four scalars."""
     n = int(n)
     if n < 2:
         raise ValueError("n must be >= 2 (use unigram_logprobs below)")
@@ -1498,6 +1504,8 @@ def ngram_counts(
         .groupBy(*[f"w{i + 1}" for i in range(n)])
         .agg(F.sum("__w__").alias("mass"))
     )
+    if max_ngrams is None:
+        return agg
     order = [F.col("mass").desc()] + [
         F.col(f"w{i + 1}") for i in range(n)
     ]

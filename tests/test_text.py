@@ -1613,7 +1613,14 @@ class TestModifiedKneserNey:
         )
 
         df = spark.createDataFrame(self._gen_corpus(), ["doc_id", "text"])
-        t3 = ngram_counts(df, "text", 3, max_ngrams=1000000)
+        # max_ngrams=None: the UNCAPPED table — the at-scale estimator
+        # input (no top-k stage at all); same rows as a cap above the
+        # vocabulary size
+        t3 = ngram_counts(df, "text", 3, max_ngrams=None)
+        t3_capped = ngram_counts(df, "text", 3, max_ngrams=1000000)
+        assert sorted(map(tuple, t3.collect())) == sorted(
+            map(tuple, t3_capped.collect())
+        )
         d1, d2, d3 = mkn_discounts(t3, "mass")
         assert 0 < d1 <= 1 and 0 < d2 <= 2 and 0 < d3 <= 3
         # a top-k cap cuts the count-1 tail: estimation must fail LOUD
