@@ -5,7 +5,15 @@
 Data is generated distributed via spark.range — nothing is written to
 disk. Not part of the driver gates; a dev tool for perf iteration.
 
-Usage: python tools/scale_smoke.py [rows_millions=20]
+Usage: python tools/scale_smoke.py [rows_millions=20] [name-filter]
+
+A second argument runs only the bench/dbench entries whose name
+contains one of its comma-separated terms (case-insensitive
+substrings) — targeted re-measurement
+without the full ~12 min sweep; fixtures still synthesize lazily, so
+skipped entries cost nothing beyond the eager checkpoints they share.
+The driver-loop train blocks (bpe/pca/classifier/pagerank/pq/jpeg)
+are not gated — they always run (~1 min at rows_m=20).
 """
 
 from __future__ import annotations
@@ -18,6 +26,7 @@ sys.path.insert(0, "/root/repo")
 
 def main() -> int:
     rows_m = float(sys.argv[1]) if len(sys.argv) > 1 else 20
+    name_filter = sys.argv[2].lower() if len(sys.argv) > 2 else ""
     n = int(rows_m * 1_000_000)
 
     from pyspark.sql import SparkSession
@@ -56,6 +65,10 @@ def main() -> int:
     wdf = wt(df, "w")
 
     def bench(name, thunk):
+        if name_filter and not any(
+            t in name.lower() for t in name_filter.split(",")
+        ):
+            return
         t0 = time.perf_counter()
         thunk().write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -138,6 +151,10 @@ def main() -> int:
     corpus = docs.unionByName(near)
 
     def dbench(name, thunk, rows):
+        if name_filter and not any(
+            t in name.lower() for t in name_filter.split(",")
+        ):
+            return
         t0 = time.perf_counter()
         thunk().write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -644,7 +661,8 @@ def main() -> int:
     from pandas_weights_spark.functions.text import ccnet_ppl_buckets
 
     ppl_src = docs.select(
-        "doc_id", "source",
+        "doc_id",
+        (F.col("doc_id") % 20).cast("string").alias("source"),
         (F.abs(F.hash("doc_id")) % 100000 / 100.0).alias("ppl"),
     ).localCheckpoint(eager=True)
     dbench("ccnet bucket cut", lambda: ccnet_ppl_buckets(
