@@ -498,3 +498,93 @@ class TestSentenceSplitProperties:
             want = "".join(t.split())
             have = "".join("".join(got[i]).split())
             assert have == want, (t, got[i])
+
+
+class TestSnapshotDeltaProperties:
+    """snapshot_delta invariants for ANY pair of keyed snapshots:
+    output keys = the union, each once; status is decided exactly by
+    presence + null-safe fingerprint equality."""
+
+    snap = st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        max_size=8,
+    )
+
+    @given(old=snap, new=snap)
+    @settings(**SETTINGS)
+    def test_status_partition(self, sp, old, new):
+        from pandas_weights_spark.functions.dedup import snapshot_delta
+
+        schema = "k int, fp string"
+        o = sp.createDataFrame(list(old.items()) or [], schema)
+        n = sp.createDataFrame(list(new.items()) or [], schema)
+        rows = snapshot_delta(o, n, ["k"], "fp").collect()
+        assert sorted(r["k"] for r in rows) == sorted(
+            set(old) | set(new)
+        )
+        for r in rows:
+            k = r["k"]
+            if k not in old:
+                want = "added"
+            elif k not in new:
+                want = "removed"
+            elif old[k] == new[k]:  # None == None -> unchanged
+                want = "unchanged"
+            else:
+                want = "changed"
+            assert r["status"] == want, (k, old.get(k), new.get(k))
+            assert r["old_fp"] == old.get(k)
+            assert r["new_fp"] == new.get(k)
+
+
+class TestCcnetBucketProperties:
+    """ccnet_ppl_buckets invariants for ANY grouped ppl column: the
+    assignment IS SQL ntile over (ppl, id) — equal-size buckets
+    (first buckets one larger on remainders), order-respecting, keep
+    = bucket membership."""
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # group
+            st.floats(min_value=0, max_value=9, allow_nan=False,
+                      width=16),                        # ppl (few ties)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(rows=rows, nb=st.integers(min_value=2, max_value=4))
+    @settings(**SETTINGS)
+    def test_matches_python_ntile(self, sp, rows, nb):
+        from pandas_weights_spark.functions.text import ccnet_ppl_buckets
+
+        data = [(i, f"g{g}", float(p)) for i, (g, p) in enumerate(rows)]
+        labels = tuple(f"b{j}" for j in range(nb))
+        keep = labels[: nb - 1]
+        got = {
+            r["doc_id"]: (r["bucket"], r["keep"])
+            for r in ccnet_ppl_buckets(
+                sp.createDataFrame(data, "doc_id int, g string, ppl double"),
+                "ppl", "doc_id", by=["g"], n_buckets=nb,
+                labels=labels, keep=keep,
+            ).collect()
+        }
+        # python ntile: first (sz % nb) buckets get one extra row
+        import collections
+
+        groups = collections.defaultdict(list)
+        for i, g, p in data:
+            groups[g].append((p, i))
+        want = {}
+        for g, members in groups.items():
+            members.sort()
+            sz = len(members)
+            base, extra = divmod(sz, nb)
+            pos = 0
+            for j in range(nb):
+                take = base + (1 if j < extra else 0)
+                for p, i in members[pos:pos + take]:
+                    want[i] = (labels[j], labels[j] in keep)
+                pos += take
+        assert got == want
