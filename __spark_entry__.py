@@ -8822,6 +8822,76 @@ _ORACLE["ccnet_buckets"] = r"""
 """
 
 
+def _q_anchor_stats(spark, sf_dir):
+    # r10: inbound anchor-text profile per target host
+    # (functions/html.py extract_anchors / anchor_stats — how other
+    # pages DESCRIBE a host, the classic web relevance signal).
+    # Fixture: every doc's page carries three anchors — an absolute
+    # link to src{(doc_id+3)%20}.example.com whose text exercises
+    # entity decode ('Read &amp; more k'), a RELATIVE link (self edge
+    # by the link_graph convention) whose text exercises the
+    # label-flatten ('home\npage' -> 'home page'), and an EMPTY-text
+    # absolute link to hub.example.com. The oracle states the rollup
+    # in CLOSED FORM (an independent spec, not a regex replay — the
+    # regex chain itself is pinned by the extract_anchors DuckDB
+    # parity test): counts, distinct non-empty texts, and the
+    # (count desc, text asc) top anchor with NULL when every inbound
+    # anchor is empty.
+    from pandas_weights_spark.functions.html import anchor_stats
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p><a href="https://src'),
+        ((F.col("doc_id") + 3) % 20).cast("string"),
+        F.lit('.example.com/p'), did,
+        F.lit('">Read &amp; more '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</a></p><a href="/rel'), did,
+        F.lit('">home\npage</a>'),
+        F.lit('<a href="https://hub.example.com/x'), did,
+        F.lit('"></a>'),
+    )
+    pages = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        html.alias("html"),
+    )
+    return anchor_stats(pages, "html", "host")
+
+
+_ORACLE["anchor_stats"] = """
+    WITH pairs AS (
+      SELECT 'src' || CAST((doc_id + 3) % 20 AS VARCHAR)
+             || '.example.com' AS dst,
+             'Read & more ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM documents
+      UNION ALL
+      SELECT source || '.example.com', 'home page' FROM documents
+      UNION ALL
+      SELECT 'hub.example.com', '' FROM documents
+    ), cnt AS (
+      SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2
+    ), roll AS (
+      SELECT dst, anchor, n,
+             row_number() OVER (
+               PARTITION BY dst
+               ORDER BY CASE WHEN length(anchor) > 0 THEN 0 ELSE 1 END,
+                        n DESC, anchor ASC) AS rk,
+             SUM(n) OVER (PARTITION BY dst) AS nl,
+             SUM(CASE WHEN length(anchor) > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY dst) AS nt
+      FROM cnt
+    )
+    SELECT dst,
+           CAST(nl AS BIGINT) AS n_links,
+           CAST(nt AS BIGINT) AS n_texts,
+           CASE WHEN length(anchor) > 0 THEN anchor END AS top_anchor,
+           CASE WHEN length(anchor) > 0 THEN n END AS top_n
+    FROM roll WHERE rk = 1
+"""
+
+
 def _q_lang_mix(spark, sf_dir):
     # r10: per-document language MIXTURE from per-sentence LID
     # (functions/text.py sentence_lang_mix) — the mixed-language
@@ -9012,6 +9082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "anchor_stats": _q_anchor_stats,
         "lang_mix": _q_lang_mix,
         "snapshot_delta": _q_snapshot_delta,
         "ccnet_buckets": _q_ccnet_buckets,

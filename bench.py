@@ -112,6 +112,7 @@ HEADLINE = [
     "ccnet_buckets",       # CCNet MKN-perplexity head/middle/tail cut (r10)
     "snapshot_delta",      # incremental recrawl snapshot diff (r10)
     "lang_mix",            # per-sentence LID -> doc language mixture (r10)
+    "anchor_stats",        # inbound anchor-text profile per host (r10)
 ]
 
 

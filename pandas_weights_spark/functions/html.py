@@ -36,6 +36,8 @@ __all__ = [
     "html_to_text",
     "extract_title",
     "extract_links",
+    "extract_anchors",
+    "anchor_stats",
     "main_content",
     "html_extract",
     "link_graph",
@@ -115,6 +117,13 @@ _ANY_TAG_RE = r"(?s)<[^>]*>"
 _TITLE_RE = r"(?is)<title[^>]*>([^\x00]*?)</title"
 _HREF_RE = "(?is)<a\\b[^>]*?href" + _WS + "*=" + _WS + "*[\"']([^\"']*)[\"']"
 _ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>([^\x00]*?)</a"
+#: A whole href-carrying anchor ELEMENT (open tag through its first
+#: ``</a``) — the unit :func:`extract_anchors` pairs href with text
+#: over; an unclosed ``<a>`` never matches (documented: no pair).
+_A_ELEM_RE = (
+    "(?is)<a\\b[^>]*?href" + _WS + "*=" + _WS
+    + "*[\"'][^\"']*[\"'][^>]*>[^\\x00]*?</a" + _WS + "*>"
+)
 
 
 def _cp_char(cp: Column) -> Column:
@@ -429,6 +438,22 @@ def extract_links_sql(expr: str) -> str:
     return f"regexp_extract_all({expr}, '{_sq(_HREF_RE)}', 1)"
 
 
+def extract_anchors_sql(expr: str) -> str:
+    anchor = _decode_entities_sql(
+        f"regexp_replace(e, '{_sq(_ANY_TAG_RE)}', '', 'g')"
+    )
+    anchor = (
+        f"trim(regexp_replace({anchor}, '[ \\t\\r\\n\\f]+', ' ', 'g'))"
+    )
+    return (
+        f"list_transform("
+        f"regexp_extract_all({expr}, '{_sq(_A_ELEM_RE)}', 0), "
+        f"e -> struct_pack("
+        f"href := regexp_extract(e, '{_sq(_HREF_RE)}', 1), "
+        f"anchor := {anchor}))"
+    )
+
+
 def main_content_sql(
     expr: str, min_words: int = 5, max_link_density: float = 0.5
 ) -> str:
@@ -496,4 +521,93 @@ def link_graph(
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def extract_anchors(html: Column) -> Column:
+    """``(href, anchor)`` pairs for every href-carrying ``<a>``
+    element, in document order (``array<struct<href,anchor>>``): the
+    anchor text is the element's tag-stripped, entity-decoded,
+    whitespace-collapsed inner text — the classic inbound-link
+    relevance signal :func:`extract_links` drops.  An element with no
+    closing ``</a`` yields no pair.  Row-local HOF chain, same
+    java-regex ∩ RE2 dialect as the rest of the module
+    (:func:`extract_anchors_sql` is the DuckDB twin)."""
+    elems = F.regexp_extract_all(html, F.lit(_A_ELEM_RE), F.lit(0))
+
+    def flat(c: Column) -> Column:
+        # anchor text is a LABEL: every whitespace run (incl.
+        # newlines) -> one space, trimmed — unlike _collapse_ws,
+        # which preserves document line structure
+        return F.trim(F.regexp_replace(c, r"[ \t\r\n\f]+", " "))
+
+    return F.transform(
+        elems,
+        lambda e: F.struct(
+            F.regexp_extract(e, _HREF_RE, 1).alias("href"),
+            flat(
+                _decode_entities(F.regexp_replace(e, _ANY_TAG_RE, ""))
+            ).alias("anchor"),
+        ),
+    )
+
+
+def anchor_stats(
+    df: DataFrame,
+    html_col: str,
+    src_host_col: str,
+) -> DataFrame:
+    """Per-target-host INBOUND anchor-text profile — what the web
+    calls a page's "anchor text corpus" (a strong relevance/quality
+    signal: how other pages describe a host).  Target resolution is
+    the :func:`link_graph` convention: absolute ``http(s)`` hrefs go
+    to their own host (``url_domain``), everything else is a self
+    edge.  Output per ``dst`` host: ``n_links`` (total inbound
+    anchors), ``n_texts`` (distinct non-empty anchor texts),
+    ``top_anchor`` / ``top_n`` (the most frequent non-empty text —
+    count desc, text asc on ties; NULL when every anchor is empty).
+
+    Scale: row-local explode + one (dst, anchor) aggregate + one dst
+    aggregate whose argmax is a struct-min — no window, no self-join,
+    the link_graph scan/agg shape."""
+    from pandas_weights_spark.functions.text import url_domain
+
+    src = F.lower(F.col(src_host_col))
+    pairs = df.select(
+        src.alias("src"),
+        F.explode(extract_anchors(F.col(html_col))).alias("a"),
+    )
+    dst_host = url_domain(F.col("a.href"))
+    base = pairs.select(
+        F.when(F.length(dst_host) > 0, dst_host)
+        .otherwise(F.col("src"))
+        .alias("dst"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    cnt = base.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    nonempty = F.length("anchor") > 0
+    arg = F.min(
+        F.when(
+            nonempty,
+            F.struct(
+                (-F.col("__n__")).alias("a"),
+                F.col("anchor").alias("t"),
+            ),
+        )
+    )
+    out = cnt.groupBy("dst").agg(
+        F.sum("__n__").alias("n_links"),
+        F.sum(F.when(nonempty, 1).otherwise(0))
+        .cast("long")
+        .alias("n_texts"),
+        arg.alias("__arg__"),
+    )
+    return out.select(
+        "dst",
+        "n_links",
+        "n_texts",
+        F.col("__arg__.t").alias("top_anchor"),
+        (-F.col("__arg__.a")).cast("long").alias("top_n"),
     )

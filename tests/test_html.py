@@ -313,3 +313,92 @@ class TestNumericCharRefs:
         ).first()
         assert row["t"] == "café — news"
         assert "café “menu”" in row["c"]
+
+
+class TestExtractAnchors:
+    """r10: extract_anchors / anchor_stats — (href, anchor text)
+    pairs and the per-target inbound anchor-text profile."""
+
+    CASES = [
+        # entities + inner tags in the anchor text
+        ('<a href="https://x.com/a"><b>Read &amp; more</b></a>',
+         [("https://x.com/a", "Read & more")]),
+        # attribute order, single quotes, numeric reference, newline
+        ("<p><a class='z' href='/rel'>caf&#233;\n now</a></p>",
+         [("/rel", "café now")]),
+        # two anchors in order; empty anchor text kept as ''
+        ('<a href="https://y.org/1">one</a> mid '
+         '<a href="https://y.org/2"></a>',
+         [("https://y.org/1", "one"), ("https://y.org/2", "")]),
+        # UNCLOSED anchor: no pair; href-less anchor: no pair
+        ('<a href="https://z.net/p">dangling <a name="k">text</a>',
+         [("https://z.net/p", "dangling text")]),
+        ("<a name='frag'>no href</a>", []),
+        ("plain text, no anchors", []),
+    ]
+
+    def test_pairs(self, spark):
+        from pandas_weights_spark.functions.html import extract_anchors
+
+        df = spark.createDataFrame([(c,) for c, _ in self.CASES], ["h"])
+        got = [
+            [(p["href"], p["anchor"]) for p in r["a"]]
+            for r in df.select(
+                extract_anchors(F.col("h")).alias("a")
+            ).collect()
+        ]
+        for (src, want), g in zip(self.CASES, got):
+            assert g == want, src
+
+    def test_duckdb_replay_bit_exact(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            extract_anchors,
+            extract_anchors_sql,
+        )
+
+        df = spark.createDataFrame([(c,) for c, _ in self.CASES], ["h"])
+        got = [
+            [(p["href"], p["anchor"]) for p in r["a"]]
+            for r in df.select(
+                extract_anchors(F.col("h")).alias("a")
+            ).collect()
+        ]
+        con = duckdb.connect()
+        sql = extract_anchors_sql("h")
+        for (src, _), g in zip(self.CASES, got):
+            w = con.sql(
+                f"SELECT {sql} AS a FROM (SELECT ? AS h)", params=[src]
+            ).fetchone()[0]
+            assert [(p["href"], p["anchor"]) for p in w] == g, src
+
+    def test_anchor_stats_rollup(self, spark):
+        from pandas_weights_spark.functions.html import anchor_stats
+
+        pages = spark.createDataFrame(
+            [
+                # two pages on a.com both describe b.com as "B site";
+                # one calls it "beta" -> top_anchor 'B site' (2 > 1)
+                ("a.com", '<a href="https://b.com/1">B site</a>'
+                          '<a href="https://b.com/2">beta</a>'),
+                ("a.com", '<a href="https://b.com/3">B site</a>'
+                          '<a href="/home">self link</a>'),
+                # tie on c.com: 'x' vs 'y' 1-1 -> lexicographic 'x'
+                ("d.com", '<a href="https://c.com/1">y</a>'
+                          '<a href="https://c.com/2">x</a>'),
+                # only empty anchors -> NULL top
+                ("e.com", '<a href="https://f.com/1"></a>'),
+            ],
+            ["host", "html"],
+        )
+        got = {
+            r["dst"]: (
+                r["n_links"], r["n_texts"], r["top_anchor"], r["top_n"]
+            )
+            for r in anchor_stats(pages, "html", "host").collect()
+        }
+        assert got["b.com"] == (3, 2, "B site", 2)
+        assert got["a.com"] == (1, 1, "self link", 1)  # relative self
+        assert got["c.com"] == (2, 2, "x", 1)
+        assert got["f.com"] == (1, 0, None, None)

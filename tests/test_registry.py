@@ -72,8 +72,9 @@ class TestRegistry:
     #: the 4-round-old driver blind spot called out in VERDICT r6-r9).
     _RECENT_QUERIES = (
         # r10
-        "lang_mix", "snapshot_delta", "ccnet_buckets", "charset_decode",
-        "charset_stats", "lang_id_ngram", "robots_directives",
+        "anchor_stats", "lang_mix", "snapshot_delta", "ccnet_buckets",
+        "charset_decode", "charset_stats", "lang_id_ngram",
+        "robots_directives",
         # r6-r9
         "quality_classifier", "dsir_select", "semdedup", "web_hygiene",
         "edit_join", "bm25", "pagerank", "pq_topk", "rp_project",

@@ -699,6 +699,27 @@ def main() -> int:
         labels=[str(i) for i in range(5)], n=3,
     ), int(docs_n / 5))
 
+    # inbound anchor-text rollup over synthetic 3-anchor pages
+    from pandas_weights_spark.functions.html import anchor_stats
+
+    anchor_pages = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(
+            F.lit('<a href="https://h'),
+            ((F.col("doc_id") + 7) % 1000).cast("string"),
+            F.lit('.example.com/p">Read &amp; more '),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit('</a><a href="/rel">home</a>'),
+            F.lit('<a href="https://hub.example.com/x"></a>'),
+        ).alias("html"),
+    )
+    dbench("anchor-text rollup", lambda: anchor_stats(
+        anchor_pages, "html", "host"
+    ), docs_n)
+
     spark.stop()
     return 0
 
