@@ -8822,6 +8822,86 @@ _ORACLE["ccnet_buckets"] = r"""
 """
 
 
+def _q_hits(spark, sf_dir):
+    # r10: HITS hubs/authorities (functions/graph.py hits — Kleinberg
+    # 1999) over a synthesized domain link graph: source domain links
+    # to 'src{(doc_id*11+5)%25}' per doc (multi-edges fold to
+    # weights; domains 20-24 never appear as sources, so they are
+    # pure authorities with hub 0 — and some in-degree-0 sources are
+    # pure hubs with authority 0). The oracle unrolls 2 alternating
+    # L2-normalized half-steps as chained CTEs — the recurrence and
+    # normalization algebra are pinned; longer-run convergence is
+    # pytest-pinned against numpy power iteration.
+    from pandas_weights_spark.functions.graph import hits
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    edges = (
+        docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * 11 + 5) % 25).cast("string"),
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    out = hits(edges, weight=F.col("w"), iters=2)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+_ORACLE["hits"] = """
+    -- r10: 2 unrolled HITS iterations (graph.hits' exact algebra):
+    -- a <- normalize_l2(W^T h); h <- normalize_l2(W a), from h0 = 1
+    WITH e AS (
+      SELECT source AS s,
+             'src' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) AS t,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM documents GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT s AS n FROM e
+      UNION SELECT DISTINCT t FROM e
+    ), h0 AS (
+      SELECT n, 1.0 AS v FROM nodes
+    ), a1r AS (
+      SELECT e.t AS n, SUM(e.w * h0.v) AS c
+      FROM e JOIN h0 ON h0.n = e.s GROUP BY 1
+    ), a1n AS (SELECT sqrt(SUM(c * c)) AS nm FROM a1r),
+    a1 AS (
+      SELECT nodes.n, COALESCE(a1r.c, 0.0) / a1n.nm AS v
+      FROM nodes LEFT JOIN a1r ON a1r.n = nodes.n, a1n
+    ), h1r AS (
+      SELECT e.s AS n, SUM(e.w * a1.v) AS c
+      FROM e JOIN a1 ON a1.n = e.t GROUP BY 1
+    ), h1n AS (SELECT sqrt(SUM(c * c)) AS nm FROM h1r),
+    h1 AS (
+      SELECT nodes.n, COALESCE(h1r.c, 0.0) / h1n.nm AS v
+      FROM nodes LEFT JOIN h1r ON h1r.n = nodes.n, h1n
+    ), a2r AS (
+      SELECT e.t AS n, SUM(e.w * h1.v) AS c
+      FROM e JOIN h1 ON h1.n = e.s GROUP BY 1
+    ), a2n AS (SELECT sqrt(SUM(c * c)) AS nm FROM a2r),
+    a2 AS (
+      SELECT nodes.n, COALESCE(a2r.c, 0.0) / a2n.nm AS v
+      FROM nodes LEFT JOIN a2r ON a2r.n = nodes.n, a2n
+    ), h2r AS (
+      SELECT e.s AS n, SUM(e.w * a2.v) AS c
+      FROM e JOIN a2 ON a2.n = e.t GROUP BY 1
+    ), h2n AS (SELECT sqrt(SUM(c * c)) AS nm FROM h2r),
+    h2 AS (
+      SELECT nodes.n, COALESCE(h2r.c, 0.0) / h2n.nm AS v
+      FROM nodes LEFT JOIN h2r ON h2r.n = nodes.n, h2n
+    )
+    SELECT h2.n AS node, round(h2.v, 6) AS hub,
+           round(a2.v, 6) AS authority
+    FROM h2 JOIN a2 ON a2.n = h2.n
+"""
+
+
 def _q_anchor_stats(spark, sf_dir):
     # r10: inbound anchor-text profile per target host
     # (functions/html.py extract_anchors / anchor_stats — how other
@@ -9082,6 +9162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "hits": _q_hits,
         "anchor_stats": _q_anchor_stats,
         "lang_mix": _q_lang_mix,
         "snapshot_delta": _q_snapshot_delta,

@@ -113,6 +113,7 @@ HEADLINE = [
     "snapshot_delta",      # incremental recrawl snapshot diff (r10)
     "lang_mix",            # per-sentence LID -> doc language mixture (r10)
     "anchor_stats",        # inbound anchor-text profile per host (r10)
+    "hits",                # Kleinberg hubs/authorities on the link graph (r10)
 ]
 
 

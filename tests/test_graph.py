@@ -176,3 +176,77 @@ class TestNeardupClusters:
 def docs_df(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     return df.select("doc_id", "text")
+
+
+class TestHits:
+    """r10: hits — Kleinberg hubs/authorities, alternating L2-normed
+    power iterations over the weighted adjacency."""
+
+    def test_differential_vs_numpy(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.graph import hits
+
+        rng = np.random.RandomState(7)
+        n = 9
+        W = np.zeros((n, n))
+        rows = []
+        for _ in range(25):
+            s, d = rng.randint(0, n, 2)
+            if s == d:
+                continue
+            w = float(rng.randint(1, 4))
+            W[s, d] += w
+            rows.append((f"n{s}", f"n{d}", w))
+        df = spark.createDataFrame(rows, ["src", "dst", "w"])
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, weight=F.col("w"), iters=4).collect()
+        }
+        h = np.ones(n)
+        for _ in range(4):
+            a = W.T @ h
+            a = a / np.sqrt((a * a).sum())
+            h = W @ a
+            h = h / np.sqrt((h * h).sum())
+        present = sorted({i for e in np.argwhere(W) for i in e})
+        assert set(got) == {f"n{i}" for i in present}
+        for i in present:
+            assert got[f"n{i}"][0] == pytest.approx(h[i], abs=1e-9)
+            assert got[f"n{i}"][1] == pytest.approx(a[i], abs=1e-9)
+
+    def test_hub_authority_structure(self, spark):
+        from pandas_weights_spark.functions.graph import hits
+
+        # star: hubby h0 points at a1..a3; a1 also pointed at by h1
+        df = spark.createDataFrame(
+            [("h0", "a1"), ("h0", "a2"), ("h0", "a3"), ("h1", "a1")],
+            ["src", "dst"],
+        )
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, iters=8).collect()
+        }
+        # pure hubs have zero authority and vice versa
+        assert got["h0"][1] == 0.0 and got["h1"][1] == 0.0
+        assert all(got[a][0] == 0.0 for a in ("a1", "a2", "a3"))
+        # h0 out-links 3 authorities vs h1's 1 -> bigger hub score;
+        # a1 has 2 in-links vs a2/a3's 1 -> biggest authority
+        assert got["h0"][0] > got["h1"][0] > 0
+        assert got["a1"][1] > got["a2"][1] > 0
+        assert got["a2"][1] == got["a3"][1]
+
+    def test_validation_and_drops(self, spark):
+        from pandas_weights_spark.functions.graph import hits
+
+        df = spark.createDataFrame(
+            [("a", "b", 1.0)], ["src", "dst", "w"]
+        )
+        with pytest.raises(ValueError, match="iters"):
+            hits(df, iters=0)
+        empty = spark.createDataFrame(
+            [("a", "b", -1.0), ("a", None, 2.0)],
+            "src string, dst string, w double",
+        )
+        with pytest.raises(ValueError, match="at least one"):
+            hits(empty, weight=F.col("w"))

@@ -720,6 +720,23 @@ def main() -> int:
         anchor_pages, "html", "host"
     ), docs_n)
 
+    # HITS on the 1 M-edge synthetic graph pagerank uses (2 shuffles +
+    # 2 one-row L2 aggregates per iteration)
+    from pandas_weights_spark.functions.graph import hits as _hits
+
+    hedges = spark.range(int(n / 20)).select(
+        (F.col("id") % 100_000).cast("string").alias("src"),
+        (F.pmod(F.col("id") * 31 + 7, F.lit(100_000))).cast("string")
+        .alias("dst"),
+        (F.pmod(F.col("id"), 5) + 1).cast("double").alias("w"),
+    )
+    t0 = time.perf_counter()
+    _hits(hedges, weight=F.col("w"), iters=3).write.mode(
+        "overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'hits 3 iters':28s} {dt:7.2f}s  "
+          f"({n / 20 / dt / 1e6:6.1f} M edges/s)")
+
     spark.stop()
     return 0
 
