@@ -8822,6 +8822,76 @@ _ORACLE["ccnet_buckets"] = r"""
 """
 
 
+def _q_hybrid_search(spark, sf_dir):
+    # r10: hybrid retrieval via reciprocal-rank fusion
+    # (functions/search.py rrf_fuse — Cormack et al. 2009, k=60): the
+    # SAME eight queries run both a lexical BM25 top-10 (docs 0..7's
+    # first-3-token queries, the bm25 fixture) and an exact embedding
+    # cosine top-10 (embeddings 0..7 as query vectors; vec_id is the
+    # doc key for this fixture), fused by sum of reciprocal ranks and
+    # re-ranked. Two rankings -> the fused sum is IEEE-commutative, so
+    # the DuckDB replay (both rank computations + the fusion) is
+    # bit-exact; ties break to the lower doc id in both engines.
+    from pandas_weights_spark.functions.search import bm25_topk, rrf_fuse
+    from pandas_weights_spark.functions.similarity import topk_bruteforce
+    from pandas_weights_spark.functions.text import tokens as _tk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(_tk(F.col("text")), 1, 3)).alias(
+            "qtext"
+        ),
+    )
+    lex = bm25_topk(
+        docs, "text", "doc_id", queries, "qid", "qtext", k=10
+    ).select("query_id", "doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = topk_bruteforce(qv, emb, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], "query_id", "doc_id", k=60.0).select(
+        "query_id",
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ORACLE["hybrid_search"] = f"""
+    WITH lex AS (
+      SELECT query_id, doc_id, rank FROM ({_bm25_sql()})
+    ), sem AS (
+      SELECT query_id, neighbor_id AS doc_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings c CROSS JOIN (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+        ) q
+      ) WHERE rank <= 10
+    ), fu AS (
+      SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM sem
+    ), sc AS (
+      SELECT query_id, doc_id, SUM(c) AS s FROM fu GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, round(s, 6) AS rrf_score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY s DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM sc
+"""
+
+
 def _q_hits(spark, sf_dir):
     # r10: HITS hubs/authorities (functions/graph.py hits — Kleinberg
     # 1999) over a synthesized domain link graph: source domain links
@@ -9162,6 +9232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "hybrid_search": _q_hybrid_search,
         "hits": _q_hits,
         "anchor_stats": _q_anchor_stats,
         "lang_mix": _q_lang_mix,

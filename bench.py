@@ -114,6 +114,7 @@ HEADLINE = [
     "lang_mix",            # per-sentence LID -> doc language mixture (r10)
     "anchor_stats",        # inbound anchor-text profile per host (r10)
     "hits",                # Kleinberg hubs/authorities on the link graph (r10)
+    "hybrid_search",       # BM25 + cosine reciprocal-rank fusion (r10)
 ]
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark.functions.text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -124,3 +124,68 @@ def bm25_topk(
         salt_by=["doc_id"],
         rank_col="rank",
     ).select("query_id", "doc_id", "score", "rank")
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    k: float = 60.0,
+    topk: "int | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009 —
+    public; k=60 is the paper's constant): combine any number of
+    per-query rankings — lexical BM25, embedding cosine, freshness —
+    into one list by ``score(q, d) = Σ_r 1/(k + rank_r(q, d))``,
+    re-ranked (score desc, id asc).  Rank-based, so no per-ranking
+    score calibration is needed — THE standard hybrid-retrieval
+    combiner.  A document missing from a ranking simply contributes
+    nothing from it.  Output ``(query_col, id_col, rrf_score, rank)``;
+    ``topk`` keeps the fused top-k per query.
+
+    Scale: a union of the (already top-k-bounded) input rankings, one
+    (query, id) aggregate, and one per-query window over ≤ Σk_r
+    candidate rows per query — never corpus-sized.  Determinism: with
+    two rankings the fused sum is IEEE-commutative (bit-exact across
+    engines and partitionings); with three or more it is
+    associativity-bound at ulp level — round before comparing across
+    engines.
+    """
+    if not rankings:
+        raise ValueError("rankings must name at least one DataFrame")
+    if not float(k) > 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if topk is not None and topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    parts = [
+        df.select(
+            F.col(query_col).alias("__q__"),
+            F.col(id_col).alias("__i__"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("__c__"),
+        )
+        for df in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__q__", "__i__").agg(
+        F.sum("__c__").alias("rrf_score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__q__").orderBy(
+        F.col("rrf_score").desc(), F.col("__i__").asc()
+    )
+    out = fused.select(
+        F.col("__q__").alias(query_col),
+        F.col("__i__").alias(id_col),
+        "rrf_score",
+        F.row_number().over(w).alias("rank"),
+    )
+    if topk is not None:
+        out = out.where(F.col("rank") <= int(topk))
+    return out

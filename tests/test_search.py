@@ -107,3 +107,72 @@ class TestBM25:
             bm25_topk(D, "text", "doc_id", Q, "qid", "qtext", k=0)
         with pytest.raises(ValueError, match="k1"):
             bm25_topk(D, "text", "doc_id", Q, "qid", "qtext", b=2.0)
+
+
+class TestRrfFuse:
+    """r10: rrf_fuse — reciprocal-rank fusion of per-query rankings."""
+
+    def _lists(self, spark):
+        lex = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+             (2, "x", 1), (2, "y", 2)],
+            ["q", "d", "rank"],
+        )
+        sem = spark.createDataFrame(
+            [(1, "b", 1), (1, "a", 2), (1, "z", 3),
+             (2, "y", 1)],
+            ["q", "d", "rank"],
+        )
+        return lex, sem
+
+    def test_fusion_math_and_order(self, spark):
+        from pandas_weights_spark.functions.search import rrf_fuse
+
+        lex, sem = self._lists(spark)
+        got = {
+            (r["q"], r["d"]): (r["rrf_score"], r["rank"])
+            for r in rrf_fuse([lex, sem], "q", "d", k=60.0).collect()
+        }
+        # hand-computed sums (two-term IEEE sums are commutative)
+        want = {
+            (1, "a"): 1 / 61 + 1 / 62,
+            (1, "b"): 1 / 62 + 1 / 61,
+            (1, "c"): 1 / 63,
+            (1, "z"): 1 / 63,
+            (2, "x"): 1 / 61,
+            (2, "y"): 1 / 62 + 1 / 61,
+        }
+        for k_, v in want.items():
+            assert got[k_][0] == v, k_
+        # q1: a and b tie on score -> id tiebreak (a first); c/z tie
+        assert [got[(1, d)][1] for d in ("a", "b", "c", "z")] == [
+            1, 2, 3, 4,
+        ]
+        assert got[(2, "y")][1] == 1 and got[(2, "x")][1] == 2
+
+    def test_topk_and_three_lists(self, spark):
+        from pandas_weights_spark.functions.search import rrf_fuse
+
+        lex, sem = self._lists(spark)
+        third = spark.createDataFrame([(1, "c", 1)], ["q", "d", "rank"])
+        rows = rrf_fuse(
+            [lex, sem, third], "q", "d", k=60.0, topk=2
+        ).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["q"], []).append((r["rank"], r["d"]))
+        assert len(per_q[1]) == 2 and len(per_q[2]) == 2
+        # c gains the third list's 1/61 (total ~0.03227) but stays
+        # below the a/b pair (~0.03252): top-2 is still a, b
+        assert sorted(per_q[1]) == [(1, "a"), (2, "b")]
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.functions.search import rrf_fuse
+
+        lex, _ = self._lists(spark)
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([], "q", "d")
+        with pytest.raises(ValueError, match="k must be"):
+            rrf_fuse([lex], "q", "d", k=0.0)
+        with pytest.raises(ValueError, match="topk"):
+            rrf_fuse([lex], "q", "d", topk=0)

@@ -737,6 +737,22 @@ def main() -> int:
     print(f"{'hits 3 iters':28s} {dt:7.2f}s  "
           f"({n / 20 / dt / 1e6:6.1f} M edges/s)")
 
+    # RRF fusion of two synthetic top-10 rankings (the op is bounded
+    # by the already-top-k inputs: union + one agg + per-query window)
+    from pandas_weights_spark.functions.search import rrf_fuse
+
+    nq = int(n / 200)  # rows_m=20 -> 100k queries x 10 ranks x 2 lists
+    def _ranking(mult):
+        return spark.range(nq * 10).select(
+            (F.col("id") / 10).cast("long").alias("q"),
+            F.pmod(F.col("id") * mult + 1, F.lit(100_000)).alias("d"),
+            (F.pmod(F.col("id"), 10) + 1).cast("int").alias("rank"),
+        )
+    rk1, rk2 = _ranking(7), _ranking(13)
+    dbench("rrf fuse 2x top-10", lambda: rrf_fuse(
+        [rk1, rk2], "q", "d", k=60.0, topk=10
+    ), nq)
+
     spark.stop()
     return 0
 
