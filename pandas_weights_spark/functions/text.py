@@ -59,6 +59,11 @@ __all__ = [
     "ngram_lm_score",
     "mkn_discounts",
     "ccnet_ppl_buckets",
+    "ccnet_normalize",
+    "remove_corpus_duplicate_lines",
+    "trigram_counts",
+    "trigram_lm_score",
+    "split_sentences_sql",
 ]
 
 
