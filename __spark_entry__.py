@@ -8822,6 +8822,58 @@ _ORACLE["ccnet_buckets"] = r"""
 """
 
 
+def _q_pipeline_funnel(spark, sf_dir):
+    # r10: curation-funnel attrition report (functions/quality.py
+    # pipeline_funnel) — the observability table every filtering
+    # pipeline publishes: three cumulative gates (lang == 'en',
+    # token_count >= 8, a %7 holdout) weighted by TOKEN mass, so the
+    # funnel reports data volume, not doc counts. ONE aggregate pass;
+    # masses are integer-valued doubles, so distributed summation
+    # order cannot perturb them and the oracle's closed-form scalar
+    # CTE matches bit-exactly (rates are exact integer ratios).
+    from pandas_weights_spark.functions.quality import pipeline_funnel
+    from pandas_weights_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    ntok = token_count(F.col("text")).cast("double")
+    gates = [
+        ("lang_en", F.col("lang") == F.lit("en")),
+        ("min_tokens", token_count(F.col("text")) >= 8),
+        ("held_in", F.col("doc_id") % 7 != 0),
+    ]
+    return pipeline_funnel(docs, gates, weight=ntok)
+
+
+_ORACLE["pipeline_funnel"] = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                            AS DOUBLE)
+             END AS ntok
+      FROM documents
+    ), m AS (
+      SELECT COALESCE(SUM(ntok), 0.0) AS m0,
+             COALESCE(SUM(CASE WHEN lang = 'en' THEN ntok END),
+                      0.0) AS m1,
+             COALESCE(SUM(CASE WHEN lang = 'en' AND ntok >= 8
+                           THEN ntok END), 0.0) AS m2,
+             COALESCE(SUM(CASE WHEN lang = 'en' AND ntok >= 8
+                           AND doc_id % 7 <> 0 THEN ntok END),
+                      0.0) AS m3
+      FROM t
+    )
+    SELECT 0 AS stage, 'input' AS gate, m0 AS survivors,
+           0.0 AS dropped, m0 / m0 AS survival_rate FROM m
+    UNION ALL
+    SELECT 1, 'lang_en', m1, m0 - m1, m1 / m0 FROM m
+    UNION ALL
+    SELECT 2, 'min_tokens', m2, m1 - m2, m2 / m0 FROM m
+    UNION ALL
+    SELECT 3, 'held_in', m3, m2 - m3, m3 / m0 FROM m
+"""
+
+
 def _q_hybrid_search(spark, sf_dir):
     # r10: hybrid retrieval via reciprocal-rank fusion
     # (functions/search.py rrf_fuse — Cormack et al. 2009, k=60): the
@@ -9232,6 +9284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this invariant — update _RECENT_QUERIES there when adding queries.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
+        "pipeline_funnel": _q_pipeline_funnel,
         "hybrid_search": _q_hybrid_search,
         "hits": _q_hits,
         "anchor_stats": _q_anchor_stats,

@@ -115,6 +115,7 @@ HEADLINE = [
     "anchor_stats",        # inbound anchor-text profile per host (r10)
     "hits",                # Kleinberg hubs/authorities on the link graph (r10)
     "hybrid_search",       # BM25 + cosine reciprocal-rank fusion (r10)
+    "pipeline_funnel",     # token-mass curation attrition report (r10)
 ]
 
 

@@ -54,6 +54,7 @@ __all__ = [
     "CODE_KEYWORDS",
     "code_metrics",
     "code_score",
+    "pipeline_funnel",
 ]
 
 _L = F.lit
@@ -410,3 +411,71 @@ def code_score(text: Column) -> Column:
     return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
         score
     )
+
+
+def pipeline_funnel(
+    df: DataFrame,
+    gates: "Sequence[tuple[str, Column]]",
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Curation-funnel attrition report — the observability table
+    every filtering pipeline publishes: apply the named boolean
+    ``gates`` IN ORDER as cumulative conjunctions and report, per
+    stage, how much of the corpus is still alive.  Output one row per
+    stage (plus a stage-0 ``input`` row):
+    ``(stage, gate, survivors, dropped, survival_rate)`` where
+    ``survivors`` is the mass passing gates 1..stage, ``dropped`` the
+    mass the stage removed from the previous stage's survivors, and
+    ``survival_rate`` = survivors / total input mass.
+
+    ``weight`` (default 1 per row) reports weighted mass — token
+    counts make the funnel a data-volume report instead of a doc
+    count.  A NULL gate value counts as False (the row drops), the
+    conservative filter convention.
+
+    Scale: ONE aggregate pass over the corpus, no shuffle beyond the
+    1-row final combine — every stage is a conditional sum in the same
+    map-side-combined aggregate, and the per-stage rows are assembled
+    from that single collected row (stage count is bounded by the
+    pipeline definition, never the data).
+    """
+    if not gates:
+        raise ValueError("gates must name at least one (name, Column)")
+    names = [n for n, _ in gates]
+    if len(set(names)) != len(names):
+        raise ValueError(f"gate names must be unique, got {names}")
+    w = (weight if weight is not None else F.lit(1.0)).cast("double")
+    cum = F.lit(True)
+    aggs = [F.coalesce(F.sum(w), F.lit(0.0)).alias("__m0__")]
+    for i, (_, g) in enumerate(gates):
+        cum = cum & F.coalesce(g, F.lit(False))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cum, w)), F.lit(0.0)).alias(
+                f"__m{i + 1}__"
+            )
+        )
+    row = df.agg(*aggs).first()
+    masses = [float(row[f"__m{i}__"]) for i in range(len(gates) + 1)]
+    total = masses[0]
+    out = [
+        (
+            i,
+            "input" if i == 0 else names[i - 1],
+            masses[i],
+            0.0 if i == 0 else masses[i - 1] - masses[i],
+            (masses[i] / total) if total > 0 else None,
+        )
+        for i in range(len(masses))
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("stage", T.IntegerType()),
+            T.StructField("gate", T.StringType()),
+            T.StructField("survivors", T.DoubleType()),
+            T.StructField("dropped", T.DoubleType()),
+            T.StructField("survival_rate", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

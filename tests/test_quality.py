@@ -248,3 +248,58 @@ class TestCodeDetection:
         # 'definition' must not count as the keyword 'def'
         s_word = self._score(spark, "definition of terms")
         assert s_word == 0.0
+
+
+class TestPipelineFunnel:
+    """r10: pipeline_funnel — cumulative-gate attrition report."""
+
+    def test_stages_and_masses(self, spark):
+        from pandas_weights_spark.functions.quality import pipeline_funnel
+
+        df = spark.createDataFrame(
+            [
+                (1, True, True, 2.0),
+                (2, True, False, 3.0),
+                (3, False, True, 5.0),   # g2 True but already dead
+                (4, True, True, 1.0),
+                (5, None, True, 7.0),    # NULL gate -> drops
+            ],
+            "id int, g1 boolean, g2 boolean, w double",
+        )
+        rows = {
+            r["stage"]: (
+                r["gate"], r["survivors"], r["dropped"],
+                r["survival_rate"],
+            )
+            for r in pipeline_funnel(
+                df,
+                [("lang", F.col("g1")), ("quality", F.col("g2"))],
+                weight=F.col("w"),
+            ).collect()
+        }
+        assert rows[0] == ("input", 18.0, 0.0, 1.0)
+        assert rows[1] == ("lang", 6.0, 12.0, 6.0 / 18.0)
+        assert rows[2] == ("quality", 3.0, 3.0, 3.0 / 18.0)
+
+    def test_unweighted_and_empty_input(self, spark):
+        from pandas_weights_spark.functions.quality import pipeline_funnel
+
+        df = spark.createDataFrame([(1, True), (2, False)], "id int, g boolean")
+        rows = pipeline_funnel(df, [("g", F.col("g"))]).collect()
+        assert [(r["survivors"], r["dropped"]) for r in rows] == [
+            (2.0, 0.0), (1.0, 1.0),
+        ]
+        empty = df.where("id < 0")
+        rows = pipeline_funnel(empty, [("g", F.col("g"))]).collect()
+        assert [(r["survivors"], r["survival_rate"]) for r in rows] == [
+            (0.0, None), (0.0, None),
+        ]
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.functions.quality import pipeline_funnel
+
+        df = spark.createDataFrame([(1, True)], "id int, g boolean")
+        with pytest.raises(ValueError, match="at least one"):
+            pipeline_funnel(df, [])
+        with pytest.raises(ValueError, match="unique"):
+            pipeline_funnel(df, [("g", F.col("g")), ("g", F.col("g"))])

@@ -72,7 +72,8 @@ class TestRegistry:
     #: the 4-round-old driver blind spot called out in VERDICT r6-r9).
     _RECENT_QUERIES = (
         # r10
-        "hybrid_search", "hits", "anchor_stats", "lang_mix",
+        "pipeline_funnel", "hybrid_search", "hits", "anchor_stats",
+        "lang_mix",
         "snapshot_delta",
         "ccnet_buckets",
         "charset_decode", "charset_stats", "lang_id_ngram",

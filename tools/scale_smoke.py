@@ -753,6 +753,19 @@ def main() -> int:
         [rk1, rk2], "q", "d", k=60.0, topk=10
     ), nq)
 
+    # curation-funnel attrition (one aggregate pass, token-weighted)
+    from pandas_weights_spark.functions.quality import pipeline_funnel
+    from pandas_weights_spark.functions.text import token_count
+
+    fun_gates = [
+        ("hash_gate", F.pmod(F.xxhash64("text"), F.lit(10)) < 7),
+        ("min_tokens", token_count(F.col("text")) >= 50),
+        ("holdout", F.col("doc_id") % 7 != 0),
+    ]
+    dbench("pipeline funnel (3 gates)", lambda: pipeline_funnel(
+        docs, fun_gates, weight=token_count(F.col("text")).cast("double")
+    ), docs_n)
+
     spark.stop()
     return 0
 
