@@ -126,54 +126,45 @@ _A_ELEM_RE = (
 )
 
 
+#: C1 remap as a FOLDABLE array literal indexed by ``cp - 0x7F``
+#: (1-based ``element_at``): Catalyst constant-folds it into one
+#: ``Literal``, unlike ``create_map(...)``, whose 54-literal tree was
+#: rebuilt on every interpreted evaluation (r11 — the r10 shape made
+#: ``html_extract`` the slowest bench entry).
+_C1_ARR = [_C1_REMAP.get(c, c) for c in range(0x80, 0xA0)]
+
+
 def _cp_char(cp: Column) -> Column:
     """Codepoint (int Column) → one-character string, HTML-spec
     normalized: C1 range remapped through windows-1252 (WHATWG),
-    NUL / surrogates / >U+10FFFF become U+FFFD. Spark's ``char()``
-    is modulo-256, so the UTF-8 bytes are assembled by Column
-    arithmetic and decoded (the DuckDB replay just calls ``chr``)."""
-    remap = F.create_map(
-        *[F.lit(x) for kv in _C1_REMAP.items() for x in kv]
-    )
-    cp = F.coalesce(F.try_element_at(remap, cp), cp)
-    invalid = (
-        (cp <= 0)
-        | (cp > 0x10FFFF)
-        | ((cp >= 0xD800) & (cp <= 0xDFFF))
-    )
-    cp = F.when(invalid, F.lit(0xFFFD)).otherwise(cp)
+    NUL / surrogates / >U+10FFFF become U+FFFD.
 
-    def h(b: Column) -> Column:  # byte value -> two hex chars
-        return F.lpad(F.conv(b.cast("string"), 10, 16), 2, "0")
-
-    six = F.lit(0x3F)
-    hexs = (
-        F.when(cp < 0x80, h(cp))
-        .when(
-            cp < 0x800,
-            F.concat(
-                h(F.shiftright(cp, 6) + 0xC0),
-                h(cp.bitwiseAND(six) + 0x80),
+    ``format_string('%c', cp)`` is java.util.Formatter's codepoint
+    conversion — it emits the surrogate pair for supplementary-plane
+    codepoints, bit-identical to manual UTF-8 assembly (pinned by
+    tests); the pre-guards make the invalid-codepoint path (which
+    ``%c`` would throw on) unreachable. The C1 remap and the
+    invalid range are disjoint, so one flat ``CASE`` suffices — but
+    ``cp`` is still referenced several times, so callers must pass a
+    CHEAP expression (a lambda-struct field, never a regexp chain):
+    interpreted mode has no common-subexpression elimination and
+    re-evaluates ``cp`` at every reference. The DuckDB replay just
+    calls ``chr``."""
+    return (
+        F.when(
+            (cp >= 0x80) & (cp <= 0x9F),
+            F.format_string(
+                "%c", F.element_at(F.lit(_C1_ARR), cp - 0x7F)
             ),
         )
         .when(
-            cp < 0x10000,
-            F.concat(
-                h(F.shiftright(cp, 12) + 0xE0),
-                h(F.shiftright(cp, 6).bitwiseAND(six) + 0x80),
-                h(cp.bitwiseAND(six) + 0x80),
-            ),
+            (cp <= 0)
+            | (cp > 0x10FFFF)
+            | ((cp >= 0xD800) & (cp <= 0xDFFF)),
+            F.lit("\N{REPLACEMENT CHARACTER}"),
         )
-        .otherwise(
-            F.concat(
-                h(F.shiftright(cp, 18) + 0xF0),
-                h(F.shiftright(cp, 12).bitwiseAND(six) + 0x80),
-                h(F.shiftright(cp, 6).bitwiseAND(six) + 0x80),
-                h(cp.bitwiseAND(six) + 0x80),
-            )
-        )
+        .otherwise(F.format_string("%c", cp))
     )
-    return F.decode(F.unhex(hexs), "UTF-8")
 
 
 def _decode_numeric_refs(col: Column) -> Column:
@@ -186,55 +177,69 @@ def _decode_numeric_refs(col: Column) -> Column:
     the named chain's LAST replace turns them into ``&``, keeping
     refs produced by decoding inert — ``&#38;lt;`` renders ``&lt;``
     literally, per the spec. Runs BEFORE the named chain for the same
-    reason (``&amp;#65;`` must stay ``&#65;``)."""
+    reason (``&amp;#65;`` must stay ``&#65;``).
+
+    Cost shape (r11): interpreted HOF lambdas have no common-
+    subexpression elimination, so any derived value referenced twice
+    re-runs its whole subtree per piece — the r10 single-transform
+    form re-evaluated each ``regexp_extract`` (and a ``create_map``)
+    up to 15× per piece and made ``html_extract`` the slowest bench
+    entry (1.6 → 5.8 s at sf0.1). The staged ``transform`` chain
+    below is a LET cascade: each level binds what the next needs as
+    struct fields, so every regexp runs exactly once per piece and
+    every later reference is a cheap field access (bench back to
+    ~1.9 s, byte-identical on crafted edge cases incl. supplementary
+    plane / surrogate / C1 / escaped refs)."""
     pieces = F.split(F.concat(F.lit("\x01"), col), "&#", -1)
 
-    def emit(cp: Column) -> Column:
-        return F.when(cp == 38, F.lit("&amp;")).otherwise(_cp_char(cp))
-
-    def fix(piece: Column) -> Column:
-        dec = F.regexp_extract(piece, _DEC_REF, 1)
-        hx = F.regexp_extract(piece, _HEX_REF, 1)
-        return (
-            F.when(
-                dec != "",
-                F.concat(
-                    emit(dec.cast("int")),
-                    F.substr(piece, F.length(dec) + F.lit(2)),
-                ),
-            )
-            .when(
-                hx != "",
-                F.concat(
-                    emit(F.conv(hx, 16, 10).cast("int")),
-                    F.substr(piece, F.length(hx) + F.lit(3)),
-                ),
-            )
-            .when(piece.startswith("\x01"), piece)
-            .otherwise(F.concat(F.lit("&#"), piece))
-        )
-
-    return F.substr(
-        F.array_join(F.transform(pieces, fix), ""), F.lit(2)
+    # LET 1: run each ref regexp ONCE per piece
+    lets = F.transform(
+        pieces,
+        lambda p: F.struct(
+            F.regexp_extract(p, _DEC_REF, 1).alias("d"),
+            F.regexp_extract(p, _HEX_REF, 1).alias("x"),
+            p.alias("p"),
+        ),
     )
+    # LET 2: codepoint (NULL = no ref) + remainder offset
+    lets2 = F.transform(
+        lets,
+        lambda s: F.struct(
+            F.when(s["d"] != "", s["d"].cast("int"))
+            .when(s["x"] != "", F.conv(s["x"], 16, 10).cast("int"))
+            .alias("cp"),
+            F.when(s["d"] != "", F.length(s["d"]) + 2)
+            .when(s["x"] != "", F.length(s["x"]) + 3)
+            .alias("cut"),
+            s["p"].alias("p"),
+        ),
+    )
+    # emit: decoded char + rest of the piece; non-refs restored
+    fixed = F.transform(
+        lets2,
+        lambda s: F.when(
+            s["cp"].isNotNull(),
+            F.concat(
+                F.when(s["cp"] == 38, F.lit("&amp;")).otherwise(
+                    _cp_char(s["cp"])
+                ),
+                F.substr(s["p"], s["cut"]),
+            ),
+        )
+        .when(s["p"].startswith("\x01"), s["p"])
+        .otherwise(F.concat(F.lit("&#"), s["p"])),
+    )
+    return F.substr(F.array_join(fixed, ""), F.lit(2))
 
 
 def _decode_entities(col: Column) -> Column:
-    # gate the (split+transform) numeric pass on a cheap substring
-    # probe — most blocks/titles of a real page carry no '&#' at all,
-    # and the gate keeps them on the plain replace chain.  The
-    # single-element transform is a LET binding: HOFs run interpreted
-    # (no codegen CSE), so referencing `col` three times would
-    # re-evaluate the whole upstream regexp chain three times.
-    col = F.get(
-        F.transform(
-            F.array(col),
-            lambda c: F.when(
-                F.contains(c, F.lit("&#")), _decode_numeric_refs(c)
-            ).otherwise(c),
-        ),
-        0,
-    )
+    # The numeric pass runs UNGATED: on a ref-free string the split
+    # yields one piece that round-trips untouched, which measures
+    # CHEAPER than any gate — a `when(contains(col,'&#'), ...)`
+    # gate re-evaluates the upstream regexp chain (interpreted mode
+    # has no CSE), and the r10 single-element-array LET binding cost
+    # more than the work it saved (~0.5 s/projection at sf0.1).
+    col = _decode_numeric_refs(col)
     for src, dst in _ENTITIES:
         col = F.replace(col, F.lit(src), F.lit(dst))
     return col
