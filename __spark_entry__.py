@@ -9275,13 +9275,74 @@ _ORACLE["snapshot_delta"] = """
 """
 
 
+# --- driver correctness-window ROTATION POLICY (r11) -----------------
+#
+# The driver's correctness snapshot checks only the FIRST 50 keys of
+# queries().  r10 ordered newest-first as a one-shot, which left the 30
+# back-of-dict queries driver-unchecked for a whole round (VERDICT r10
+# "What's wrong" #2).  The ordering is now COMPUTED from three explicit
+# sets so the window rotates every round and no query goes
+# driver-unchecked two rounds running:
+#
+#   front  = added or engine-touched THIS round   (hard signal on new code)
+#   middle = NOT in last round's checked window   (rotate back in)
+#   back   = checked last round and untouched     (rotate out)
+#
+# Per-round procedure (tests/test_registry.py enforces the outcome):
+#   1. at round start, set _PREV_WINDOW to the key set of the previous
+#      round's CORRECTNESS_r{N}.json (= that round's first 50);
+#   2. reset _NEW_THIS_ROUND / _TOUCHED_THIS_ROUND to (), then append
+#      every query you add, and every existing query whose engine code
+#      path changes, as you work.
+# Feasibility bound: every-other-round coverage needs
+# len(queries()) - 50 <= 50 - len(front); the registry test asserts it.
+
+#: first-50 window of CORRECTNESS_r10.json (driver-checked last round).
+_PREV_WINDOW: frozenset = frozenset({
+    "pipeline_funnel", "hybrid_search", "hits", "anchor_stats",
+    "lang_mix", "snapshot_delta", "ccnet_buckets", "charset_decode",
+    "charset_stats", "lang_id_ngram", "robots_directives",
+    "quality_classifier", "dsir_select", "semdedup", "web_hygiene",
+    "edit_join", "bm25", "pagerank", "pq_topk", "rp_project",
+    "mixture_sample", "html_extract", "warc_roundtrip", "sentences",
+    "jsonl_roundtrip", "robots_filter", "link_graph", "code_detect",
+    "datasheet", "pdf_extract", "global_stats", "null_semantics",
+    "group_mean", "group_var", "group_quantile",
+    "group_quantile_binned", "group_mad", "group_zscore", "crosstab",
+    "weighted_tests", "resample_2d", "resample_rules",
+    "resample_quantile", "neardup_clusters", "ewm_mean",
+    "corr_cov_matrix", "group_skew_kurt", "value_counts",
+    "group_corr", "spearman_corr",
+})
+
+#: queries ADDED in the current round (r11) — always in the window.
+_NEW_THIS_ROUND: tuple = ()
+
+#: pre-existing queries whose ENGINE code path changed this round —
+#: forced back into the window even if checked last round.
+_TOUCHED_THIS_ROUND: tuple = (
+    "html_extract",   # r11 numeric-charref decode rewrite (html.py)
+    "web_hygiene",    # shares _decode_entities via html_to_text
+    "anchor_stats",   # shares _decode_entities via extract_anchors
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (r10): the driver's correctness snapshot checks
-    # the FIRST 50 keys only.  Newest queries therefore go FIRST (newest
-    # round at the very front), so every query whose engine code changed
-    # recently sits inside the checked window; long-stable queries (green
-    # since r1-r5) rotate out the back.  tests/test_registry.py pins
-    # this invariant — update _RECENT_QUERIES there when adding queries.
+    allq = _all_queries()
+    priority = set(_NEW_THIS_ROUND) | set(_TOUCHED_THIS_ROUND)
+    front = [n for n in allq if n in priority]
+    middle = [
+        n for n in allq if n not in priority and n not in _PREV_WINDOW
+    ]
+    back = [
+        n for n in allq if n not in priority and n in _PREV_WINDOW
+    ]
+    return {n: allq[n] for n in front + middle + back}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # stable REGISTRATION order (r10 head, then r6-r9, then r1-r5);
+    # the driver-facing order is computed by queries() above.
     return {
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
         "pipeline_funnel": _q_pipeline_funnel,

@@ -66,33 +66,57 @@ class TestRegistry:
         for name, sql in entry_mod.oracle_sql().items():
             assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
-    #: the driver's correctness snapshot checks only the FIRST 50 keys of
-    #: queries(); every query added (or whose engine code changed) in a
-    #: recent round MUST sit inside that window (r10 rotation — closes
-    #: the 4-round-old driver blind spot called out in VERDICT r6-r9).
-    _RECENT_QUERIES = (
-        # r10
-        "pipeline_funnel", "hybrid_search", "hits", "anchor_stats",
-        "lang_mix",
-        "snapshot_delta",
-        "ccnet_buckets",
-        "charset_decode", "charset_stats", "lang_id_ngram",
-        "robots_directives",
-        # r6-r9
-        "quality_classifier", "dsir_select", "semdedup", "web_hygiene",
-        "edit_join", "bm25", "pagerank", "pq_topk", "rp_project",
-        "mixture_sample", "html_extract", "warc_roundtrip", "sentences",
-        "jsonl_roundtrip", "robots_filter", "link_graph", "code_detect",
-        "datasheet", "pdf_extract",
-    )
+    #: the driver's correctness snapshot checks only the FIRST 50 keys
+    #: of queries().  r11 made rotation a POLICY (VERDICT r10 "What's
+    #: wrong" #2): the ordering is computed from _PREV_WINDOW /
+    #: _NEW_THIS_ROUND / _TOUCHED_THIS_ROUND in __spark_entry__; these
+    #: tests enforce the policy's OUTCOMES so a stale set is a failure.
+    _WINDOW = 50
 
-    def test_recent_queries_inside_checked_window(self, entry_mod):
-        first_50 = list(entry_mod.queries())[:50]
-        missing = [q for q in self._RECENT_QUERIES if q not in first_50]
-        assert not missing, (
-            "recently-added/changed queries outside the driver's first-50 "
-            f"correctness window: {missing}"
+    def test_new_and_touched_inside_window(self, entry_mod):
+        window = set(list(entry_mod.queries())[: self._WINDOW])
+        priority = set(entry_mod._NEW_THIS_ROUND) | set(
+            entry_mod._TOUCHED_THIS_ROUND
         )
+        missing = sorted(priority - window)
+        assert not missing, (
+            "queries added/engine-touched this round outside the "
+            f"driver's first-{self._WINDOW} correctness window: {missing}"
+        )
+
+    def test_unchecked_last_round_inside_window(self, entry_mod):
+        # the rotation guarantee: no query is driver-unchecked two
+        # rounds running
+        window = set(list(entry_mod.queries())[: self._WINDOW])
+        unchecked_last = set(entry_mod.queries()) - entry_mod._PREV_WINDOW
+        missing = sorted(unchecked_last - window)
+        assert not missing, (
+            "queries unchecked last round AND outside this round's "
+            f"window (would go 2 rounds driver-unchecked): {missing}"
+        )
+
+    def test_two_round_coverage_complete(self, entry_mod):
+        window = set(list(entry_mod.queries())[: self._WINDOW])
+        uncovered = sorted(
+            set(entry_mod.queries()) - window - entry_mod._PREV_WINDOW
+        )
+        assert not uncovered, uncovered
+
+    def test_rotation_feasible(self, entry_mod):
+        # every-other-round coverage needs the out-of-window remainder
+        # to fit next round's window alongside next round's new/touched
+        # queries; flag well before the hard bound so the policy can be
+        # widened deliberately (e.g. rotate thirds) instead of breaking.
+        n = len(entry_mod.queries())
+        assert n - self._WINDOW <= 40, (
+            f"{n} registered queries leave {n - self._WINDOW} outside "
+            "the window — nearing the every-other-round feasibility "
+            "bound; widen the rotation policy in __spark_entry__"
+        )
+
+    def test_prev_window_names_resolve(self, entry_mod):
+        stale = sorted(entry_mod._PREV_WINDOW - set(entry_mod.queries()))
+        assert not stale, f"_PREV_WINDOW names not in queries(): {stale}"
 
 
 class TestSurveyInventory:
