@@ -9324,6 +9324,11 @@ _TOUCHED_THIS_ROUND: tuple = (
     "html_extract",   # r11 numeric-charref decode rewrite (html.py)
     "web_hygiene",    # shares _decode_entities via html_to_text
     "anchor_stats",   # shares _decode_entities via extract_anchors
+    "charset_decode",  # r11 ADVICE: meta prescan + encode_text NULLs
+    "charset_stats",   # same sniffer path
+    "lang_id_ngram",   # r11 ADVICE: single-label/empty-profile guard
+    "lang_mix",        # shares _lid_score
+    "pdf_extract",     # r11 ADVICE: bfrange supplementary-plane fix
 )
 
 

@@ -2231,12 +2231,25 @@ def _parse_tounicode(cmap_stream: bytes):
                     base = int(base_h, 16)
                     for k in range(hi - lo + 1):
                         dst = base + k
-                        table[(lo + k).to_bytes(width, "big")] = (
-                            dst.to_bytes(
-                                max(blen, (dst.bit_length() + 7) // 8),
-                                "big",
-                            ).decode("utf-16-be", "replace")
-                        )
+                        nbytes = max(blen, (dst.bit_length() + 7) // 8)
+                        if nbytes % 2:
+                            # r11 (ADVICE): a 2-byte base whose range
+                            # crosses U+FFFF yields a 3-byte value —
+                            # raw big-endian bytes are odd/non-UTF-16
+                            # and decoded to a wrong char + U+FFFD.
+                            # The destination is a CODEPOINT: emit it
+                            # via chr() (Python encodes the surrogate
+                            # pair when the string is used).
+                            s = (
+                                chr(dst)
+                                if dst <= 0x10FFFF
+                                else "�"
+                            )
+                        else:
+                            s = dst.to_bytes(nbytes, "big").decode(
+                                "utf-16-be", "replace"
+                            )
+                        table[(lo + k).to_bytes(width, "big")] = s
                 else:
                     dsts = [
                         _hx(x)

@@ -255,6 +255,11 @@ def _lid_score(
     rows = profile.collect()
     if labels is None:
         labels = sorted({r["label"] for r in rows})
+    if not labels:
+        raise ValueError(
+            "language-ID needs at least one label: the profile is "
+            "empty and no explicit labels= were given"
+        )
     totals: "dict[str, float]" = {}
     grams: "dict[str, dict[str, float]]" = {}
     for r in rows:
@@ -302,9 +307,14 @@ def _lid_score(
     )
     base = frame.select(*key_cols).distinct()
     joined = base.join(scored, key_cols, "left")
-    best = F.greatest(
-        *[F.col(f"__s_{i}__") for i in range(len(labels))]
-    )
+    # F.greatest asserts >= 2 operands — a single-label profile (an
+    # is-this-English check) scores with the lone sum directly
+    if len(labels) == 1:
+        best = F.col("__s_0__")
+    else:
+        best = F.greatest(
+            *[F.col(f"__s_{i}__") for i in range(len(labels))]
+        )
     pred = F.lit("und")
     for i, lab in reversed(list(enumerate(labels))):
         pred = F.when(

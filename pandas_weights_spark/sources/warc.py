@@ -360,6 +360,15 @@ _CHARSET_PARAM_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: name="value" / name='value' / name=bare attribute pairs of one tag
+#: (quoted values consume greedily, so a ``charset=`` INSIDE an
+#: unrelated attribute value is never read as an attribute — r11,
+#: WHATWG-prescan conformance)
+_TAG_ATTR_RE = _re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'"""
+    r"""|([^\s"'>]*))"""
+)
+
 
 def _resolve_charset(label: "str | None") -> "str | None":
     """Charset label -> canonical Python codec name (WHATWG remaps
@@ -395,11 +404,36 @@ def sniff_charset(
     # WHATWG prescan: <meta charset=…> or http-equiv Content-Type
     # inside the first 1024 bytes (latin-1 is byte-transparent, and
     # the declarations themselves are ASCII in every ASCII-compatible
-    # encoding this sniff can act on)
+    # encoding this sniff can act on). r11 (ADVICE): only a real
+    # ``charset`` ATTRIBUTE or the ``content`` param of an
+    # http-equiv="Content-Type" meta counts — ``charset=`` inside an
+    # unrelated attribute value is ignored, and commented-out markup
+    # is skipped (an unclosed comment hides the rest of the window),
+    # matching the spec's prescan.
     head = body[:1024].decode("latin-1", "replace")
-    for tag in _re.finditer(r"<meta[^>]*>", head, _re.IGNORECASE):
-        m = _CHARSET_PARAM_RE.search(tag.group(0))
-        cs = _resolve_charset(m.group(1)) if m else None
+    head = _re.sub(r"<!--.*?-->", " ", head, flags=_re.S)
+    cut = head.find("<!--")
+    if cut != -1:
+        head = head[:cut]
+    for tag in _re.finditer(r"<meta\b[^>]*>", head, _re.IGNORECASE):
+        attrs = {
+            m.group(1).lower(): (
+                m.group(2)
+                if m.group(2) is not None
+                else m.group(3) if m.group(3) is not None
+                else m.group(4) or ""
+            )
+            for m in _TAG_ATTR_RE.finditer(tag.group(0))
+        }
+        label = attrs.get("charset")
+        if (
+            label is None
+            and attrs.get("http-equiv", "").strip().lower()
+            == "content-type"
+        ):
+            m = _CHARSET_PARAM_RE.search(attrs.get("content", ""))
+            label = m.group(1) if m else None
+        cs = _resolve_charset(label)
         if cs:
             return cs, "meta"
     return "utf-8", "default"
@@ -448,7 +482,9 @@ def encode_text(text: Column, charset: "Column | str") -> Column:
     ``text`` to BINARY in a per-row ``charset`` (label resolved like
     the sniffer — WHATWG remaps + codec registry; unknown labels fall
     back to UTF-8; unencodable characters become ``?`` rather than an
-    error). Arrow-batched pandas UDF — Spark's ``encode`` takes a
+    error). NULL text stays NULL, like Spark's own ``encode`` — a
+    missing document is distinguishable from an empty one (r11,
+    ADVICE). Arrow-batched pandas UDF — Spark's ``encode`` takes a
     constant charset only."""
     from pyspark.sql import functions as _F
 
@@ -460,10 +496,11 @@ def encode_text(text: Column, charset: "Column | str") -> Column:
 
         out = []
         for txt, lab in zip(t, c):
+            if not isinstance(txt, str):  # None / NaN null spelling
+                out.append(None)
+                continue
             codec = _resolve_charset(lab) or "utf-8"
-            out.append(
-                (txt or "").encode(codec, "replace")
-            )
+            out.append(txt.encode(codec, "replace"))
         return pd.Series(out)
 
     return _encode(text, cs)

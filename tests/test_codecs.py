@@ -1199,6 +1199,22 @@ class TestPdfToUnicode:
         assert C._apply_cmap(b"\x01\x02", cm) == "中"
         assert C._apply_cmap(b"\x01\x03", cm) == "😀"
 
+    def test_bfrange_base_crossing_bmp(self):
+        # r11 (ADVICE): a 2-byte base whose range crosses U+FFFF used
+        # to emit odd-length big-endian bytes that utf-16-be-decoded
+        # into a wrong char + U+FFFD; the destination is a codepoint
+        cm = C._parse_tounicode(
+            b"1 beginbfrange\n<41> <43> <FFFE>\nendbfrange"
+        )
+        assert C._apply_cmap(b"\x41\x42\x43", cm) == (
+            "￾￿\U00010000"
+        )
+        # fully supplementary-plane range from a 3-byte-wide base
+        cm = C._parse_tounicode(
+            b"1 beginbfrange\n<01> <02> <01F600>\nendbfrange"
+        )
+        assert C._apply_cmap(b"\x01\x02", cm) == "😀😁"
+
     def test_corrupt_cmap_is_none_not_crash(self):
         assert C._parse_tounicode(b"") is None
         assert C._parse_tounicode(b"beginbfchar <zz> <qq> endbfchar") is None or True

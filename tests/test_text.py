@@ -1391,6 +1391,43 @@ class TestNgramLangId:
         row = ngram_lang_id(held, "text", "doc_id", prof).first()
         assert row["pred_lang"] == "und" and row["score"] is None
 
+    def test_single_label_profile(self, spark):
+        # r11 (ADVICE): F.greatest asserts >= 2 columns, so a
+        # one-label profile (an is-this-English check) used to crash
+        # with a bare AssertionError
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            ngram_lang_id,
+        )
+
+        df = spark.createDataFrame(
+            [t for t in self.TRAIN if t[0] == "en"], ["lang", "text"]
+        )
+        prof = char_ngram_lang_profile(df, "text", "lang", n=3,
+                                       top_k=200)
+        held = spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "XXXXQQQQZZZZ")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: (r["pred_lang"], r["score"])
+            for r in ngram_lang_id(
+                held, "text", "doc_id", prof, n=3
+            ).collect()
+        }
+        assert got[0][0] == "en" and got[0][1] is not None
+        assert got[1] == ("und", None)
+
+    def test_empty_profile_raises(self, spark):
+        from pandas_weights_spark.functions.text import ngram_lang_id
+
+        empty = spark.createDataFrame(
+            [], "label string, gram string, mass double"
+        )
+        held = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="at least one label"):
+            ngram_lang_id(held, "text", "doc_id", empty, n=3)
+
     def test_profile_capped_and_deterministic(self, spark):
         from pandas_weights_spark.functions.text import (
             char_ngram_lang_profile,

@@ -238,6 +238,61 @@ class TestCharsetDecode:
         far = b"<p>" + b"x" * 1100 + b'<meta charset="shift_jis">'
         assert sniff_charset(far, None) == ("utf-8", "default")
 
+    def test_meta_prescan_whatwg_conformance(self):
+        # r11 (ADVICE): only a charset ATTRIBUTE or an http-equiv
+        # Content-Type content param counts; charset= inside an
+        # unrelated attribute value / commented-out markup is ignored
+        from pandas_weights_spark.sources.warc import sniff_charset
+
+        decoy = (
+            b'<meta name="description" '
+            b'content="how to set charset=x-sjis in PHP">'
+        )
+        assert sniff_charset(decoy, None) == ("utf-8", "default")
+        # a decoy must not mask a later REAL declaration
+        assert sniff_charset(
+            decoy + b'<meta charset="koi8-r">', None
+        ) == ("koi8-r", "meta")
+        # http-equiv of a different kind never donates its content
+        refresh = (
+            b'<meta http-equiv="refresh" '
+            b'content="0; url=/?charset=shift_jis">'
+        )
+        assert sniff_charset(refresh, None) == ("utf-8", "default")
+        # commented-out declarations are skipped (closed comment)
+        assert sniff_charset(
+            b'<!-- <meta charset="shift_jis"> --><meta charset=greek>',
+            None,
+        ) == ("iso8859-7", "meta")
+        # an unclosed comment hides the rest of the prescan window
+        assert sniff_charset(
+            b'<!-- <meta charset="shift_jis">', None
+        ) == ("utf-8", "default")
+        # unquoted content value still parses its charset param
+        assert sniff_charset(
+            b"<meta http-equiv=Content-Type "
+            b"content=text/html;charset=windows-1251>",
+            None,
+        ) == ("cp1251", "meta")
+
+    def test_encode_text_null_propagates(self, spark):
+        # r11 (ADVICE): NULL text -> NULL binary (like F.encode), not
+        # an empty string
+        from pandas_weights_spark.sources.warc import encode_text
+
+        df = spark.createDataFrame(
+            [(0, None), (1, ""), (2, "x")], ["i", "t"]
+        )
+        got = {
+            r["i"]: r["b"]
+            for r in df.select(
+                "i", encode_text(F.col("t"), "utf-8").alias("b")
+            ).collect()
+        }
+        assert got[0] is None
+        assert bytes(got[1]) == b""
+        assert bytes(got[2]) == b"x"
+
     @pytest.fixture(scope="class")
     def pages(self):
         # (uri, original text, charset label in the header, encoding)
