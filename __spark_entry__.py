@@ -8874,6 +8874,210 @@ _ORACLE["pipeline_funnel"] = r"""
 """
 
 
+def _q_c4_fineweb(spark, sf_dir):
+    # r11 (VERDICT r10 "What's missing" #1): C4's line/page rule
+    # filters (Raffel et al. 2020 §2.2) + FineWeb's three custom
+    # document filters (Penedo et al. 2024) — functions/quality.py
+    # c4_filter / fineweb_flags. Each doc becomes a 9-line page with
+    # planted rule triggers: a no-terminal-punctuation nav line
+    # (%3), a policy-phrase line (%4), a javascript line (%5), a
+    # sub-minimum-words line, a padded line (strip check), a lorem
+    # ipsum line (%7), a curly-brace line (%11), and a duplicated
+    # line (%2, drives the FineWeb dup-char fraction). The oracle
+    # replays every rule in closed form from the SAME module
+    # constants (end marks, policy phrases, strip regex — emitted,
+    # not copied), and the sentence gate reuses the established
+    # split_sentences_sql pair. All fractions are single IEEE
+    # divisions of integer counts: bit-exact across engines. Pure
+    # row-local Column algebra — zero shuffle at any scale.
+    from pandas_weights_spark.functions.quality import (
+        c4_filter,
+        fineweb_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    l2 = F.concat(
+        F.lit("This is retained sentence number "),
+        did.cast("string"),
+        F.lit(" of the fixture."),
+    )
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        l2,
+        F.when(
+            did % 3 == 0,
+            F.lit("a navigation line with no terminal punctuation"),
+        ).otherwise(
+            F.lit("Another good sentence appears right here.")
+        ),
+        F.when(
+            did % 4 == 0,
+            F.lit(
+                "This site uses cookies and you accept the "
+                "Privacy Policy."
+            ),
+        ).otherwise(
+            F.lit("A third retained sentence lands safely today.")
+        ),
+        F.when(
+            did % 5 == 0,
+            F.lit(
+                "Please enable JavaScript to continue reading "
+                "this page."
+            ),
+        ).otherwise(F.lit("Too short.")),
+        F.lit(
+            "   Padded sentence with leading and trailing "
+            "whitespace retained intact.   "
+        ),
+        F.when(
+            did % 7 == 0,
+            F.lit("Insert the lorem ipsum placeholder paragraph now."),
+        ).otherwise(
+            F.lit("Final sentence of the page wraps up nicely.")
+        ),
+        F.when(
+            did % 11 == 0,
+            F.lit("code sample with a brace { inside it."),
+        ).otherwise(
+            F.lit("One more concluding sentence for good measure.")
+        ),
+        F.when(did % 2 == 0, l2).otherwise(
+            F.lit("A unique closing line rounds out the document.")
+        ),
+    )
+    staged = c4_filter(
+        docs.select("doc_id", page.alias("text")), "text"
+    )
+    fw = fineweb_flags(F.col("text"))
+    return staged.select(
+        "doc_id",
+        "c4_n_lines",
+        "c4_n_lines_kept",
+        "c4_n_sentences",
+        "c4_has_lorem_ipsum",
+        "c4_has_curly_brace",
+        "c4_keep",
+        F.md5(F.col("c4_text")).alias("c4_fp"),
+        fw["fw_punct_line_frac"].alias("fw_punct_line_frac"),
+        fw["fw_dup_line_char_frac"].alias("fw_dup_line_char_frac"),
+        fw["fw_short_line_frac"].alias("fw_short_line_frac"),
+        fw["ok_punct_lines"].alias("ok_punct_lines"),
+        fw["ok_dup_line_chars"].alias("ok_dup_line_chars"),
+        fw["ok_short_lines"].alias("ok_short_lines"),
+        fw["keep"].alias("fw_keep"),
+    )
+
+
+def _c4_fineweb_sql() -> str:
+    from pandas_weights_spark.functions.quality import (
+        C4_END_MARKS,
+        C4_POLICY_PHRASES,
+        _LINE_STRIP_RE,
+    )
+    from pandas_weights_spark.functions.text import (
+        split_sentences_sql,
+    )
+
+    end_re = "[" + "".join(C4_END_MARKS).replace("'", "''") + "]$"
+    strip = _LINE_STRIP_RE.replace("\t", "\\t").replace("\f", "\\f")
+    phrases = " AND ".join(
+        f"NOT contains(lower(s), '{p}')" for p in C4_POLICY_PHRASES
+    )
+    keep_line = (
+        f"regexp_matches(s, '{end_re}') AND "
+        "len(list_filter(str_split_regex(s, '[ \\t]+'), "
+        "w -> w != '')) >= 3 AND "
+        "NOT contains(lower(s), 'javascript') AND " + phrases
+    )
+    n_sent = f"len({split_sentences_sql('c4_text')})"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, concat_ws(chr(10),
+        text,
+        'This is retained sentence number ' ||
+          CAST(doc_id AS VARCHAR) || ' of the fixture.',
+        CASE WHEN doc_id % 3 = 0
+          THEN 'a navigation line with no terminal punctuation'
+          ELSE 'Another good sentence appears right here.' END,
+        CASE WHEN doc_id % 4 = 0
+          THEN 'This site uses cookies and you accept the Privacy Policy.'
+          ELSE 'A third retained sentence lands safely today.' END,
+        CASE WHEN doc_id % 5 = 0
+          THEN 'Please enable JavaScript to continue reading this page.'
+          ELSE 'Too short.' END,
+        '   Padded sentence with leading and trailing whitespace retained intact.   ',
+        CASE WHEN doc_id % 7 = 0
+          THEN 'Insert the lorem ipsum placeholder paragraph now.'
+          ELSE 'Final sentence of the page wraps up nicely.' END,
+        CASE WHEN doc_id % 11 = 0
+          THEN 'code sample with a brace {{ inside it.'
+          ELSE 'One more concluding sentence for good measure.' END,
+        CASE WHEN doc_id % 2 = 0
+          THEN 'This is retained sentence number ' ||
+            CAST(doc_id AS VARCHAR) || ' of the fixture.'
+          ELSE 'A unique closing line rounds out the document.' END
+      ) AS page FROM documents
+    ), s AS (
+      SELECT doc_id, page,
+        list_transform(string_split(page, chr(10)),
+          l -> regexp_replace(l, '{strip}', '', 'g')) AS sl
+      FROM d
+    ), k AS (
+      SELECT doc_id, page, sl,
+        list_filter(sl, s -> {keep_line}) AS kept
+      FROM s
+    ), c AS (
+      SELECT doc_id, page, sl, kept,
+        array_to_string(kept, chr(10)) AS c4_text
+      FROM k
+    ), c2 AS (
+      SELECT doc_id, page, sl, kept, c4_text,
+        CAST({n_sent} AS BIGINT) AS n_sent,
+        contains(lower(page), 'lorem ipsum') AS lorem,
+        contains(page, '{{') AS curly,
+        CAST(len(list_filter(sl,
+          s -> regexp_matches(s, '{end_re}'))) AS DOUBLE)
+          / CAST(len(sl) AS DOUBLE) AS punctf,
+        CAST(len(list_filter(sl, s -> length(s) < 30)) AS DOUBLE)
+          / CAST(len(sl) AS DOUBLE) AS shortf
+      FROM c
+    ), lc AS (
+      SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS ln
+      FROM (SELECT doc_id, unnest(string_split(page, chr(10)))
+            AS line FROM d)
+      GROUP BY doc_id, line
+    ), lstats AS (
+      SELECT doc_id,
+        CAST(SUM((cnt - 1) * ln) AS DOUBLE)
+          / CAST(NULLIF(SUM(cnt * ln), 0) AS DOUBLE) AS dupf
+      FROM lc GROUP BY doc_id
+    )
+    SELECT c2.doc_id,
+      CAST(len(sl) AS BIGINT) AS c4_n_lines,
+      CAST(len(kept) AS BIGINT) AS c4_n_lines_kept,
+      n_sent AS c4_n_sentences,
+      lorem AS c4_has_lorem_ipsum,
+      curly AS c4_has_curly_brace,
+      (NOT lorem AND NOT curly AND n_sent >= 5) AS c4_keep,
+      md5(c4_text) AS c4_fp,
+      punctf AS fw_punct_line_frac,
+      dupf AS fw_dup_line_char_frac,
+      shortf AS fw_short_line_frac,
+      punctf > 0.12 AS ok_punct_lines,
+      COALESCE(dupf, 0.0) < 0.1 AS ok_dup_line_chars,
+      shortf < 0.67 AS ok_short_lines,
+      (punctf > 0.12 AND COALESCE(dupf, 0.0) < 0.1
+       AND shortf < 0.67) AS fw_keep
+    FROM c2 JOIN lstats ON c2.doc_id = lstats.doc_id
+"""
+
+
+_ORACLE["c4_fineweb"] = _c4_fineweb_sql()
+
+
 def _q_hybrid_search(spark, sf_dir):
     # r10: hybrid retrieval via reciprocal-rank fusion
     # (functions/search.py rrf_fuse — Cormack et al. 2009, k=60): the
@@ -9316,7 +9520,7 @@ _PREV_WINDOW: frozenset = frozenset({
 })
 
 #: queries ADDED in the current round (r11) — always in the window.
-_NEW_THIS_ROUND: tuple = ()
+_NEW_THIS_ROUND: tuple = ("c4_fineweb",)
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
@@ -9349,6 +9553,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable REGISTRATION order (r10 head, then r6-r9, then r1-r5);
     # the driver-facing order is computed by queries() above.
     return {
+        # --- r11 queries ---
+        "c4_fineweb": _q_c4_fineweb,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
         "pipeline_funnel": _q_pipeline_funnel,
         "hybrid_search": _q_hybrid_search,

@@ -116,6 +116,7 @@ HEADLINE = [
     "hits",                # Kleinberg hubs/authorities on the link graph (r10)
     "hybrid_search",       # BM25 + cosine reciprocal-rank fusion (r10)
     "pipeline_funnel",     # token-mass curation attrition report (r10)
+    "c4_fineweb",          # C4 line/page rules + FineWeb ratios (r11)
 ]
 
 

@@ -55,6 +55,10 @@ __all__ = [
     "code_metrics",
     "code_score",
     "pipeline_funnel",
+    "C4_END_MARKS",
+    "C4_POLICY_PHRASES",
+    "c4_filter",
+    "fineweb_flags",
 ]
 
 _L = F.lit
@@ -411,6 +415,220 @@ def code_score(text: Column) -> Column:
     return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
         score
     )
+
+
+#: C4's terminal punctuation (Raffel et al. 2020, "Exploring the
+#: Limits of Transfer Learning with a Unified Text-to-Text
+#: Transformer", §2.2; the public tensorflow-datasets ``c4_utils``
+#: end-mark set): period, exclamation mark, question mark, closing
+#: double quote.
+C4_END_MARKS: "tuple[str, ...]" = (".", "!", "?", '"')
+
+#: C4's policy-boilerplate substrings — a line containing any of
+#: these is dropped (``c4_utils`` ``_POLICY_SUBSTRINGS``, public).
+C4_POLICY_PHRASES: "tuple[str, ...]" = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+#: per-line strip — Python ``str.strip()``'s whitespace minus ``\n``
+#: (the split delimiter) and ``\x0b`` (kept for Java/RE2 class parity)
+_LINE_STRIP_RE = r"^[ \t\r\f]+|[ \t\r\f]+$"
+
+
+def _end_marks_class(end_marks: "Sequence[str]") -> str:
+    """``[...]$`` regex for "line ends in a terminal mark" — valid in
+    BOTH Java regex and RE2 (every C4 mark is class-literal-safe)."""
+    for m in end_marks:
+        if len(m) != 1 or m in r"\]^-":
+            raise ValueError(f"end mark not class-literal-safe: {m!r}")
+    return "[" + "".join(end_marks) + "]$"
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    end_marks: "Sequence[str]" = C4_END_MARKS,
+    policy_phrases: "Sequence[str]" = C4_POLICY_PHRASES,
+    blocklist: "Sequence[str]" = (),
+    prefix: str = "c4_",
+) -> DataFrame:
+    """C4's line- and page-level rule filters (Raffel et al. 2020
+    §2.2 — the most-used public cleaning recipe after Gopher), pure
+    row-local Column algebra, zero shuffle.
+
+    Line rules (each line stripped first, like the reference
+    implementation): keep a line iff it ends in a terminal
+    punctuation mark, has ≥ ``min_words_per_line`` whitespace words,
+    does not contain ``javascript`` (case-insensitive), and contains
+    no policy phrase. Page rules (on the ORIGINAL text, as in
+    ``c4_utils``): drop pages containing ``lorem ipsum`` or a curly
+    brace ``{``, and pages whose RETAINED text has fewer than
+    ``min_sentences`` sentences (counted with the engine's rule-based
+    :func:`~pandas_weights_spark.functions.text.split_sentences` —
+    C4 used langdetect+nltk; the rule shape is identical, the
+    tokenizer is the documented public approximation).
+
+    ``blocklist`` optionally adds C4's bad-word page rule (the public
+    recipe uses the "List of Dirty, Naughty, Obscene…" list, not
+    shipped here): a page containing any listed phrase as a
+    case-insensitive substring is dropped.
+
+    Adds ``{prefix}text`` (retained lines joined with ``\\n``),
+    ``{prefix}n_lines``, ``{prefix}n_lines_kept``,
+    ``{prefix}n_sentences``, ``{prefix}has_lorem_ipsum``,
+    ``{prefix}has_curly_brace`` (+ ``{prefix}has_blocked_word`` when
+    a blocklist is given) and ``{prefix}keep``. NULL text yields NULL
+    stats and a NULL keep (the funnel's conservative-drop
+    convention).
+
+    Cost shape: the stripped-line array and each line's lowercase
+    form are LET-bound via staged columns / struct fields (HOFs run
+    interpreted with no CSE — the ``quality_panel`` discipline), so
+    the text splits once and ``lower()`` runs once per line.
+    """
+    t = F.col(text_col)
+    end_re = _end_marks_class(end_marks)
+    sl_c = f"__{prefix}sl__"
+    staged = df.withColumn(
+        sl_c,
+        # nested transforms LET-bind the stripped line, so the strip
+        # regex and lower() each run once per line
+        F.transform(
+            F.transform(
+                F.split(t, "\n"),
+                lambda l: F.regexp_replace(l, _LINE_STRIP_RE, ""),
+            ),
+            lambda s: F.struct(
+                s.alias("s"), F.lower(s).alias("low")
+            ),
+        ),
+    )
+    sl = F.col(sl_c)
+
+    def line_keep(s: Column) -> Column:
+        words = F.size(
+            F.filter(
+                F.split(s["s"], "[ \t]+"), lambda w: w != ""
+            )
+        )
+        keep = (
+            s["s"].rlike(end_re)
+            & (words >= _L(int(min_words_per_line)))
+            & ~s["low"].contains(_L("javascript"))
+        )
+        for ph in policy_phrases:
+            keep = keep & ~s["low"].contains(_L(ph))
+        return keep
+
+    kept = F.filter(sl, line_keep)
+    txt_c = f"{prefix}text"
+    staged = staged.withColumns(
+        {
+            txt_c: F.array_join(
+                F.transform(kept, lambda s: s["s"]), "\n"
+            ),
+            f"{prefix}n_lines": F.size(sl).cast("long"),
+            f"{prefix}n_lines_kept": F.size(kept).cast("long"),
+        }
+    )
+    from pandas_weights_spark.functions.text import split_sentences
+
+    low_page = F.lower(t)
+    out: Dict[str, Column] = {
+        f"{prefix}n_sentences": F.size(
+            split_sentences(F.col(txt_c))
+        ).cast("long"),
+        f"{prefix}has_lorem_ipsum": low_page.contains(
+            _L("lorem ipsum")
+        ),
+        f"{prefix}has_curly_brace": t.contains(_L("{")),
+    }
+    keep = (
+        ~out[f"{prefix}has_lorem_ipsum"]
+        & ~out[f"{prefix}has_curly_brace"]
+        & (out[f"{prefix}n_sentences"] >= _L(int(min_sentences)))
+    )
+    if blocklist:
+        blocked = None
+        for w in blocklist:
+            hit = low_page.contains(_L(w.lower()))
+            blocked = hit if blocked is None else blocked | hit
+        out[f"{prefix}has_blocked_word"] = blocked
+        keep = keep & ~blocked
+    out[f"{prefix}keep"] = keep
+    return staged.withColumns(out).drop(sl_c)
+
+
+def fineweb_flags(
+    text: Column,
+    lines: Optional[Column] = None,
+    min_punct_line_frac: float = 0.12,
+    max_dup_line_char_frac: float = 0.1,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    end_marks: "Sequence[str]" = C4_END_MARKS,
+) -> Dict[str, Column]:
+    """FineWeb's three custom document filters (Penedo et al. 2024,
+    "The FineWeb Datasets: Decanting the Web for the Finest Text Data
+    at Scale", §3 — the ablation-selected refinements applied on top
+    of the C4/Gopher rules), row-local Column algebra:
+
+    - drop when the fraction of lines ending in terminal punctuation
+      is ≤ ``min_punct_line_frac`` (lines stripped like C4's);
+    - drop when the fraction of characters in duplicated lines is
+      ≥ ``max_dup_line_char_frac`` (occurrences beyond the first, the
+      exact :func:`duplicate_item_stats` / Gopher metric, on the raw
+      ``\\n``-split lines);
+    - drop when the fraction of lines shorter than
+      ``short_line_chars`` characters is ≥ ``max_short_line_frac``.
+
+    Returns ``{"fw_punct_line_frac", "fw_dup_line_char_frac",
+    "fw_short_line_frac", "ok_punct_lines", "ok_dup_line_chars",
+    "ok_short_lines", "keep"}`` — fractions for observability, ``ok_``
+    booleans per rule, ``keep`` their conjunction. ``lines``
+    optionally supplies the pre-split raw line array (the
+    ``quality_panel`` producer discipline)."""
+    if lines is None:
+        lines = F.split(text, "\n")
+    stripped = F.transform(
+        lines, lambda l: F.regexp_replace(l, _LINE_STRIP_RE, "")
+    )
+    end_re = _end_marks_class(end_marks)
+    n = F.size(lines).cast("double")
+    n_punct = F.size(F.filter(stripped, lambda s: s.rlike(end_re)))
+    n_short = F.size(
+        F.filter(
+            stripped,
+            lambda s: F.length(s) < _L(int(short_line_chars)),
+        )
+    )
+    dup = duplicate_item_stats(lines)["dup_char_frac"]
+    punct_frac = F.try_divide(n_punct.cast("double"), n)
+    short_frac = F.try_divide(n_short.cast("double"), n)
+    flags: Dict[str, Column] = {
+        "fw_punct_line_frac": punct_frac,
+        "fw_dup_line_char_frac": dup,
+        "fw_short_line_frac": short_frac,
+        "ok_punct_lines": punct_frac > _L(float(min_punct_line_frac)),
+        # an all-unique doc has a NULL dup fraction only when it has
+        # zero characters; treat "no duplicated mass" (0.0) normally
+        "ok_dup_line_chars": F.coalesce(dup, _L(0.0))
+        < _L(float(max_dup_line_char_frac)),
+        "ok_short_lines": short_frac < _L(float(max_short_line_frac)),
+    }
+    flags["keep"] = (
+        flags["ok_punct_lines"]
+        & flags["ok_dup_line_chars"]
+        & flags["ok_short_lines"]
+    )
+    return flags
 
 
 def pipeline_funnel(

