@@ -8074,7 +8074,12 @@ def _q_pdf_extract(spark, sf_dir):
     # then the extraction surface parses the text layer back; the
     # oracle states the roundtrip identity. Foreign-operator shapes
     # (TJ kerning arrays, ', octal escapes) and the crash-free fuzz
-    # contract are pytest-pinned.
+    # contract are pytest-pinned. r11: every third doc is written by
+    # encode_pdf_objstm instead — a PDF 1.5 file whose page/font/
+    # catalog dictionaries live in a /Type /ObjStm object stream with
+    # a real cross-reference STREAM (the post-2005 writer layout the
+    # r10 reader silently extracted nothing from), so ObjStm support
+    # sits inside the hard roundtrip signal.
     from pandas_weights_spark.functions import _codecs
     from pandas_weights_spark.functions.multimodal import (
         pdf_extract_text,
@@ -8090,8 +8095,12 @@ def _q_pdf_extract(spark, sf_dir):
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        _codecs.encode_pdf([t if t is not None else ""])
-                        for t in pdf["text"]
+                        (
+                            _codecs.encode_pdf_objstm
+                            if i % 3 == 0
+                            else _codecs.encode_pdf
+                        )([t if t is not None else ""])
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }
             )

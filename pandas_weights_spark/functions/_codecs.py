@@ -1984,6 +1984,123 @@ def encode_pdf(pages: "list[str]", compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def encode_pdf_objstm(pages: "list[str]") -> bytes:
+    """PDF 1.5 fixture writer (r11): the catalog, /Pages node, page
+    dictionaries, and font dictionary are packed into a FlateDecode'd
+    ``/Type /ObjStm`` object stream, and the file carries a REAL
+    cross-reference STREAM (``/Type /XRef``, ``/W [1 4 2]``, type-2
+    entries pointing into the ObjStm) instead of a classic table —
+    the layout most post-2005 writers emit, which the r10 reader
+    silently extracted nothing from. Content streams stay regular
+    objects (the spec forbids streams inside an ObjStm).
+    Deterministic bytes for the same input."""
+    if not pages:
+        raise ValueError("encode_pdf_objstm needs at least one page")
+    n = len(pages)
+    font_num = 3 + n
+    first_content = font_num + 1  # content streams: regular objects
+    objstm_num = first_content + n
+    xref_num = objstm_num + 1
+
+    # --- packed objects (dictionaries only) ---
+    packed: "list[tuple[int, bytes]]" = []
+    packed.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    packed.append(
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    )
+    for i in range(n):
+        packed.append(
+            (
+                3 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                    f"/Contents {first_content + i} 0 R >>"
+                ).encode(),
+            )
+        )
+    packed.append(
+        (
+            font_num,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        )
+    )
+    bodies = b" ".join(b for _, b in packed)
+    offs = []
+    at = 0
+    for _, b in packed:
+        offs.append(at)
+        at += len(b) + 1  # the single joining space
+    pair_hdr = (
+        " ".join(f"{num} {off}" for (num, _), off in zip(packed, offs))
+        + "\n"
+    ).encode()
+    stm_plain = pair_hdr + bodies
+    stm_comp = zlib.compress(stm_plain, 6)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(packed), len(pair_hdr), len(stm_comp))
+        + stm_comp
+        + b"\nendstream"
+    )
+
+    # --- regular objects: content streams, then the ObjStm ---
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: "dict[int, int]" = {}
+    for i, text in enumerate(pages):
+        body = bytearray(b"BT /F1 11 Tf 50 750 Td\n")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b"0 -14 Td\n"
+            body += b"(" + _pdf_escape(line) + b") Tj\n"
+        body += b"ET"
+        comp = zlib.compress(bytes(body), 6)
+        num = first_content + i
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(comp)
+            + comp
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
+
+    # --- cross-reference STREAM: W [1 4 2], uncompressed rows ---
+    size = xref_num + 1
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> bytes:
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    xref_at = len(out)
+    for num in range(size):
+        if num == 0:
+            rows += row(0, 0, 65535)
+        elif num in offsets:
+            rows += row(1, offsets[num], 0)
+        elif num == xref_num:
+            rows += row(1, xref_at, 0)
+        else:  # packed into the ObjStm
+            idx = next(
+                i for i, (pn, _) in enumerate(packed) if pn == num
+            )
+            rows += row(2, objstm_num, idx)
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d >>\nstream\n" % (size, len(rows))
+        + rows
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
 def encode_pdf_subset(
     pages: "list[str]", compress: bool = True
 ) -> bytes:
@@ -2380,6 +2497,49 @@ def _pdf_object_stream(body: bytes) -> "bytes | None":
     return _pdf_inflate(header, raw)
 
 
+def _pdf_unpack_objstm(body: bytes) -> "dict[int, bytes] | None":
+    """Unpack one ``/Type /ObjStm`` object stream (ISO 32000 §7.5.7 —
+    the PDF 1.5+ container most post-2005 writers pack their page /
+    font / catalog dictionaries into): the inflated stream carries
+    ``/N`` (objnum, offset) integer pairs followed by the object
+    bodies at ``/First``-relative offsets. Returns objnum → body, or
+    None when the stream is corrupt / the header lies. Packed objects
+    are dictionaries only (the spec forbids streams inside an
+    ObjStm), so the returned bodies feed the page-graph resolution
+    exactly like scanned ``N 0 obj`` bodies."""
+    import re as _re
+
+    s = body.find(b"stream")
+    header = body[:s] if s >= 0 else body
+    nm = _re.search(rb"/N\s+(\d+)", header)
+    fm = _re.search(rb"/First\s+(\d+)", header)
+    if not (nm and fm):
+        return None
+    n, first = int(nm.group(1)), int(fm.group(1))
+    if not (0 < n <= 100_000) or first <= 0:
+        return None
+    data = _pdf_object_stream(body)
+    if data is None or first > len(data):
+        return None
+    head = data[:first].split()
+    if len(head) < 2 * n:
+        return None
+    try:
+        pairs = [
+            (int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)
+        ]
+    except ValueError:
+        return None
+    out: "dict[int, bytes]" = {}
+    body_len = len(data) - first
+    for i, (num, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else body_len
+        if not (0 <= off <= end <= body_len):
+            return None
+        out[num] = data[first + off : first + end]
+    return out
+
+
 def _pdf_fonts(
     body: bytes, objs: "dict[int, bytes]", cmap_cache: dict
 ) -> dict:
@@ -2506,6 +2666,24 @@ def pdf_to_text(payload: bytes) -> str:
         objs[int(m.group(1))] = payload[
             m.end() : end if end >= 0 else len(payload)
         ]
+    # r11: PDF 1.5+ object streams — unpack /Type /ObjStm containers
+    # so the page/font/catalog dictionaries most post-2005 writers
+    # compress into them are visible to the page-graph walk (they
+    # were silently invisible before, extracting empty/partial text).
+    # A present-but-corrupt ObjStm raises: pdf_extract_text turns it
+    # into a per-doc NULL — loud, never a silent partial extract.
+    for num in sorted(objs):
+        body = objs[num]
+        if _re.search(rb"/Type\s*/ObjStm\b", body):
+            packed = _pdf_unpack_objstm(body)
+            if packed is None:
+                raise ValueError(
+                    "corrupt PDF object stream (/Type /ObjStm "
+                    f"object {num} failed to unpack)"
+                )
+            for pn, pb in packed.items():
+                # a directly-scanned `N 0 obj` wins on collisions
+                objs.setdefault(pn, pb)
     graph = _pdf_pages(objs) if objs else None
     if graph:
         texts: "list[str]" = []
