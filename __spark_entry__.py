@@ -1697,11 +1697,40 @@ def _q_dedup_exact(spark, sf_dir):
         "doc_id",
         F.lit(None).cast("string").alias("fp"),
     )
+    # r11: UNICODE-normalized dedup keys (normalize='ccnet_nfkc', the
+    # Arrow NFKC pass) — fullwidth/ideographic-space copies (+50000)
+    # must fold back onto their ASCII originals. NFKC itself has no
+    # SQL analog, but its action on THIS fixture's alphabet is an
+    # exact character map, so the oracle replays it with the inverse
+    # translate (closed form, no assumption about key collisions).
+    ucopies = sdocs.select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.translate("text", _FW_ASCII, _FW_WIDE).alias("text"),
+    )
+    usurv = exact_dedup(
+        sdocs.unionByName(ucopies), "text", "doc_id",
+        normalize="ccnet_nfkc",
+    ).select(
+        F.lit("usurv").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("fp"),
+    )
     return (
         survivors.unionByName(fps).unionByName(nov).unionByName(span)
         .unionByName(xspan).unionByName(clinef).unionByName(clineb)
-        .unionByName(qsurv).unionByName(nsurv)
+        .unionByName(qsurv).unionByName(nsurv).unionByName(usurv)
     )
+
+
+#: printable ASCII ↔ fullwidth forms (U+FF01–U+FF5E) + space ↔
+#: ideographic space — the exact character map NFKC applies on this
+#: restricted alphabet (both the Spark fixture builder and the DuckDB
+#: inverse-translate replay read these, so they cannot drift)
+_FW_ASCII = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+_FW_WIDE = (
+    "".join(chr(c - 0x21 + 0xFF01) for c in range(0x21, 0x7F))
+    + "　"
+)
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -5855,6 +5884,42 @@ def _cline_sql(mode: str) -> str:
     """
 
 
+def _usurv_sql() -> str:
+    """Replay of exact_dedup(normalize='ccnet_nfkc') over the
+    fullwidth-copy fixture: NFKC has no SQL analog, but on the
+    fixture's alphabet (printable ASCII ↔ U+FF01–FF5E + ideographic
+    space) it IS the inverse character translate — applied before the
+    same ccnet chain as _nsurv_sql. The translate pair is imported
+    from the fixture constant so fixture and replay cannot drift."""
+    from pandas_weights_spark.functions.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+    )
+
+    wide = _FW_WIDE.replace("'", "''")
+    ascii_ = _FW_ASCII.replace("'", "''")
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"translate(lower(translate(text, '{wide}', '{ascii_}')), "
+        f"'{_ACCENT_SRC}', '{_ACCENT_DST}'), "
+        "'[0-9]', '0', 'g'), "
+        r"'[^\p{L}\p{N}\s]', '', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH ub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 50000,
+             translate(text, '{ascii_}', '{wide}')
+      FROM documents WHERE doc_id < 60
+    ), uk AS (
+      SELECT doc_id, md5({norm}) AS ck FROM ub
+    )
+    SELECT MIN(doc_id) AS doc_id FROM uk GROUP BY ck
+    """
+
+
 def _nsurv_sql() -> str:
     """Replay of exact_dedup(normalize='ccnet') over the noised-copy
     fixture — the same lowercase → accent translate → digits→0 →
@@ -5954,6 +6019,12 @@ _ORACLE["dedup_exact"] = (
     SELECT 'nsurv' AS kind, doc_id, CAST(NULL AS VARCHAR) AS fp
     FROM ("""
     + _nsurv_sql()
+    + """)
+    UNION ALL
+    -- r11: NFKC dedup keys (fullwidth copies fold back)
+    SELECT 'usurv' AS kind, doc_id, CAST(NULL AS VARCHAR) AS fp
+    FROM ("""
+    + _usurv_sql()
     + """)"""
 )
 
@@ -9542,6 +9613,8 @@ _TOUCHED_THIS_ROUND: tuple = (
     "lang_id_ngram",   # r11 ADVICE: single-label/empty-profile guard
     "lang_mix",        # shares _lid_score
     "pdf_extract",     # r11 ADVICE: bfrange supplementary-plane fix
+                       #   + every 3rd doc now an ObjStm PDF 1.5 file
+    "dedup_exact",     # r11: usurv rows (NFKC unicode dedup keys)
 )
 
 

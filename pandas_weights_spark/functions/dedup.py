@@ -60,11 +60,20 @@ def content_key(text: Column, normalize=True) -> Column:
     ``normalize``: ``True`` = lowercase + trim (the default),
     ``"ccnet"`` = :func:`~pandas_weights_spark.functions.text.
     ccnet_normalize` (case/accents/digits/punctuation folded — the
-    CCNet paragraph-hash recipe, r7), ``False`` = raw bytes."""
-    if normalize == "ccnet":
+    CCNet paragraph-hash recipe, r7), ``"ccnet_nfkc"`` = the same
+    with a leading NFKC pass (r11 — fullwidth forms, ligatures,
+    combining marks; CJK/mixed-script crawls fold wrongly without
+    it; takes the sanctioned Arrow surface), ``False`` = raw
+    bytes."""
+    if normalize in ("ccnet", "ccnet_nfkc"):
         from pandas_weights_spark.functions.text import ccnet_normalize
 
-        t = ccnet_normalize(text)
+        t = ccnet_normalize(
+            text,
+            normalize_unicode=(
+                "NFKC" if normalize == "ccnet_nfkc" else None
+            ),
+        )
     elif normalize:
         t = F.lower(F.trim(text))
     else:

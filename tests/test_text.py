@@ -1841,3 +1841,67 @@ class TestSentenceLangMix:
         for did, c in want.items():
             maj = min(c, key=lambda k: (-c[k], k))
             assert got[did] == (sum(c.values()), maj, len(c))
+
+
+class TestUnicodeNormalize:
+    """r11 (VERDICT r10 'What's missing' #3): NFC/NFKC normalization
+    for dedup keys — fullwidth forms, ligatures, combining marks."""
+
+    def _n(self, spark, vals, **kw):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "t string"
+        )
+        return [
+            r["n"]
+            for r in df.select(
+                TX.unicode_normalize(F.col("t"), **kw).alias("n")
+            ).collect()
+        ]
+
+    def test_forms(self, spark):
+        fw = "Ｈｅｌｌｏ　Ｗｏｒｌｄ！４２"
+        lig = "ﬁle"
+        comb = "café"
+        got = self._n(spark, [fw, lig, comb, "ascii", "", None])
+        assert got[0] == "Hello World!42"
+        assert got[1] == "file"
+        assert got[2] == "café"  # NFKC composes e + U+0301
+        assert got[3] == "ascii" and got[4] == "" and got[5] is None
+        # NFC: canonical only — fullwidth/ligature stay
+        nfc = self._n(spark, [fw, lig, comb], form="NFC")
+        assert nfc[0] == fw and nfc[1] == lig and nfc[2] == "café"
+
+    def test_invalid_form_raises(self, spark):
+        with pytest.raises(ValueError, match="NFC/NFD/NFKC/NFKD"):
+            TX.unicode_normalize(F.col("t"), "nfkc")
+
+    def test_ccnet_key_folds_fullwidth_copies(self, spark):
+        # noised CJK/fullwidth copies fold onto their originals
+        pairs = [
+            ("Ｈｅｌｌｏ　Ｗｏｒｌｄ！　４２", "Hello, World 42"),
+            ("中文　文档　１２３。", "中文 文档 123."),
+            ("Caﬀé ﬁne", "caffé fine"),
+        ]
+        df = spark.createDataFrame(pairs, "a string, b string")
+        rows = df.select(
+            TX.ccnet_normalize(
+                F.col("a"), normalize_unicode="NFKC"
+            ).alias("ka"),
+            TX.ccnet_normalize(
+                F.col("b"), normalize_unicode="NFKC"
+            ).alias("kb"),
+        ).collect()
+        for r in rows:
+            assert r["ka"] == r["kb"], (r["ka"], r["kb"])
+
+    def test_ascii_is_fixed_point_of_option(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        rows = docs.select(
+            TX.ccnet_normalize(F.col("text")).alias("plain"),
+            TX.ccnet_normalize(
+                F.col("text"), normalize_unicode="NFKC"
+            ).alias("nfkc"),
+        ).collect()
+        assert all(r["plain"] == r["nfkc"] for r in rows)

@@ -50,6 +50,11 @@ ALLOW = {
     # shard assembly/parse ride along as in warc_roundtrip
     "charset_decode": {"arrow"},
     "charset_stats": {"arrow"},
+    # r11: the usurv rows key on ccnet_normalize(normalize_unicode=
+    # 'NFKC') — unicodedata's per-codepoint tables have no Column
+    # analog, so unicode_normalize is a sanctioned Arrow pass (like
+    # decode_http_body); every other row group stays Column-only
+    "dedup_exact": {"arrow"},
     # weighted_linreg solves the normal equations in applyInPandas over
     # the per-group MOMENT rows (one row per group) — python above the
     # aggregate, never on the data (pinned by test_regression)
