@@ -58,6 +58,7 @@ HEADLINE = [
     "tfidf_top_terms",     # inverted-index tf-idf, top-k window
     "vocab_encode",        # top-V vocabulary + order-preserving encode
     "bpe_train",           # iterative merge learning on the word table
+    "bpe_bytes",           # byte-level BPE train + no-OOV encode (r11)
     "group_quantile_binned",  # binned CDF quantile (scale path)
     "group_mode",          # per-group argmax by weight mass
     "spearman_corr",       # rank transform + pearson kernel
@@ -714,9 +715,26 @@ def main() -> int:
         _merges, segs = train_bpe(docs, "text", num_merges=6)
         return segs
 
+    def _bpe_bytes(spark_, sf_dir_):
+        # r11: byte-level BPE (GPT-2 recipe) — local-mode training on
+        # the collected capped pre-token table (the production path),
+        # then the order-preserving encode over the corpus; the
+        # no-OOV encode output is the benched result.
+        from pandas_weights_spark.functions.vocab import (
+            encode_bpe_bytes,
+            train_bpe_bytes,
+        )
+
+        docs = fan_out(load_table(spark_, sf_dir_, "documents"))
+        _m, segs = train_bpe_bytes(
+            docs, "text", num_merges=200, mode="local"
+        )
+        return encode_bpe_bytes(docs, "text", "doc_id", segs)
+
     qs["tfidf_top_terms"] = _tfidf_r3
     qs["vocab_encode"] = _vocab_encode
     qs["bpe_train"] = _bpe_train
+    qs["bpe_bytes"] = _bpe_bytes
 
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the

@@ -36,6 +36,14 @@ __all__ = [
     "bpe_pair_counts",
     "train_bpe",
     "encode_bpe",
+    "GPT2_SPLIT_RE",
+    "gpt2_byte_map",
+    "gpt2_pretokenize",
+    "byte_symbols",
+    "bpe_byte_word_table",
+    "train_bpe_bytes",
+    "encode_bpe_bytes",
+    "decode_bpe_bytes",
     "unigram_seed_table",
     "train_unigram_lm",
     "encode_unigram",
@@ -248,6 +256,7 @@ def _train_bpe_local(
     num_merges: int,
     min_frequency: float,
     end_of_word: str,
+    init_syms: "Optional[list[list[str]]]" = None,
 ) -> "tuple[list, list]":
     """Driver-side BPE merge loop over the COLLECTED capped word table
     — the fast path for real vocab sizes (VERDICT r5 item 3): the
@@ -272,7 +281,14 @@ def _train_bpe_local(
     import heapq
     from collections import Counter, defaultdict
 
-    words = [list(w) + [end_of_word] for w, _ in word_freqs]
+    # init_syms (r11, byte-level BPE): precomputed initial symbol
+    # sequences (the byte-alphabet split, no end-of-word marker);
+    # default = Sennrich character split + marker
+    words = (
+        [list(s) for s in init_syms]
+        if init_syms is not None
+        else [list(w) + [end_of_word] for w, _ in word_freqs]
+    )
     freqs = [float(f) for _, f in word_freqs]
     pair_counts: "dict[tuple[str, str], float]" = defaultdict(float)
     pair_words: "dict[tuple[str, str], set[int]]" = defaultdict(set)
@@ -404,6 +420,21 @@ def train_bpe(
             segments, "word string, freq double, syms array<string>"
         )
         return merges_df, segs_df
+    return _train_bpe_distributed(
+        words, num_merges, min_frequency, checkpoint_every, spark
+    )
+
+
+def _train_bpe_distributed(
+    words: DataFrame,
+    num_merges: int,
+    min_frequency: float,
+    checkpoint_every: int,
+    spark,
+) -> "tuple[DataFrame, DataFrame]":
+    """The per-round cluster merge loop over a prepared word table —
+    shared by :func:`train_bpe` (char alphabet + marker) and
+    :func:`train_bpe_bytes` (byte alphabet, r11)."""
     merges: list = []
     for rank in range(num_merges):
         # truncate the growing fold lineage every few rounds (graph.py
@@ -476,6 +507,220 @@ def encode_bpe(
         .cast("long")
         .alias("n_oov_words"),
     )
+
+
+# --- byte-level BPE with GPT-2 pre-tokenization (r11) ----------------
+#
+# The tokenizer most code/LLM corpora actually ship (public design:
+# openai/gpt-2 src/encoder.py, MIT): pre-tokenize with the GPT-2
+# regex, map each pre-token's UTF-8 BYTES through the bytes_to_unicode
+# bijection (so every symbol is a printable BMP char and no input is
+# ever out-of-alphabet), then run ordinary BPE over those chars — no
+# end-of-word marker (leading spaces live inside tokens).
+
+#: the public GPT-2 pre-tokenizer regex (contractions, optionally
+#: space-prefixed letter/number/punctuation runs, trailing-whitespace
+#: lookahead). Java regex supports \p{L}/\p{N} and the lookahead, so
+#: pre-tokenization is one Column-level regexp_extract_all — note the
+#: lookahead makes this Java-only (no RE2/DuckDB replay; the
+#: correctness story is the pure-Python differential + round-trip).
+GPT2_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def gpt2_byte_map() -> "dict[int, str]":
+    """The GPT-2 ``bytes_to_unicode`` bijection (public algorithm):
+    printable ASCII and most of Latin-1 map to themselves; the 68
+    control/space/soft-hyphen bytes map to U+0100.. so every byte is
+    a visible, non-space BMP character."""
+    bs = (
+        list(range(0x21, 0x7F))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(0x100 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+#: translate() pair for the non-identity part of the byte map — the
+#: Column-side mapping is decode(bytes, latin-1) then one translate
+_BYTE_MAP = gpt2_byte_map()
+_BM_SRC = "".join(chr(b) for b, c in _BYTE_MAP.items() if chr(b) != c)
+_BM_DST = "".join(c for b, c in _BYTE_MAP.items() if chr(b) != c)
+
+
+def gpt2_pretokenize(text: Column) -> Column:
+    """GPT-2 pre-tokens of a string Column (``array<string>``, raw
+    text — byte mapping happens in :func:`byte_symbols`)."""
+    return F.regexp_extract_all(text, F.lit(GPT2_SPLIT_RE), F.lit(0))
+
+
+def byte_symbols(tok: Column) -> Column:
+    """Initial byte-level symbol sequence of one pre-token: UTF-8
+    bytes through the GPT-2 byte→unicode map, one single-char symbol
+    per byte. Pure Column algebra: ``encode`` to UTF-8, ``decode``
+    latin-1 (byte i → char i), one ``translate`` for the 68 remapped
+    bytes, then split to chars."""
+    latin = F.decode(F.encode(tok, "UTF-8"), "ISO-8859-1")
+    return F.split(F.translate(latin, _BM_SRC, _BM_DST), "")
+
+
+def _byte_symbols_py(tok: str) -> "list[str]":
+    """Driver twin of :func:`byte_symbols`."""
+    return [_BYTE_MAP[b] for b in tok.encode("utf-8")]
+
+
+def bpe_byte_word_table(
+    df: DataFrame,
+    text_col: str,
+    weight: Optional[Column] = None,
+    max_words: int = 1_000_000,
+) -> DataFrame:
+    """Byte-level BPE training state: ``(word, freq, syms)`` over
+    DISTINCT GPT-2 pre-tokens (whitespace runs included — they carry
+    real mass), capped at the top ``max_words`` by frequency
+    (TakeOrdered, the same practical bound as
+    :func:`bpe_word_table`). No lowercasing, no marker — byte-level
+    BPE is case- and whitespace-faithful by design."""
+    w = weight if weight is not None else F.lit(1.0)
+    rows = df.select(
+        w.alias("__w__"),
+        F.explode(gpt2_pretokenize(F.col(text_col))).alias("word"),
+    ).where(F.length("word") > 0)
+    counted = (
+        rows.groupBy("word")
+        .agg(F.sum("__w__").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+    )
+    return counted.select(
+        "word", "freq", byte_symbols(F.col("word")).alias("syms")
+    )
+
+
+def train_bpe_bytes(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 100,
+    min_frequency: float = 2.0,
+    weight: Optional[Column] = None,
+    max_words: int = 1_000_000,
+    checkpoint_every: int = 4,
+    mode: str = "auto",
+) -> "tuple[DataFrame, DataFrame]":
+    """Learn byte-level BPE merges (GPT-2 recipe): returns
+    ``(merges, segments)`` shaped exactly like :func:`train_bpe`.
+    Same local/distributed/auto mode contract and the same
+    determinism (freq desc, (left, right) code-point asc tie-break);
+    the two paths produce identical merges and double as each other's
+    differential in tests. Because the alphabet is the byte map's
+    256 chars, NO input is ever out-of-alphabet — encoding falls back
+    to the byte split, never to an OOV sentinel."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError("mode must be auto|local|distributed")
+    words = bpe_byte_word_table(
+        df, text_col, weight=weight, max_words=max_words
+    )
+    spark = df.sparkSession
+    if mode == "local" or (mode == "auto" and num_merges >= 16):
+        wf = [
+            (r["word"], float(r["freq"]))
+            for r in words.select("word", "freq").collect()
+        ]
+        merges, segments = _train_bpe_local(
+            wf,
+            num_merges,
+            min_frequency,
+            end_of_word="",
+            init_syms=[_byte_symbols_py(w_) for w_, _ in wf],
+        )
+        merges_df = spark.createDataFrame(
+            merges,
+            "rank int, left string, right string, merged string, "
+            "freq double",
+        )
+        segs_df = spark.createDataFrame(
+            segments, "word string, freq double, syms array<string>"
+        )
+        return merges_df, segs_df
+    return _train_bpe_distributed(
+        words, num_merges, min_frequency, checkpoint_every, spark
+    )
+
+
+def encode_bpe_bytes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    segments: DataFrame,
+) -> DataFrame:
+    """Encode documents against byte-level ``segments``: ``(id_col,
+    symbols array<string>, n_pretokens, n_symbols,
+    n_fallback_words)``. Pre-tokens outside the (capped) training
+    table fall back to their BYTE split — with a 256-char closed
+    alphabet there is no OOV, so round-tripping any UTF-8 input is
+    total (:func:`decode_bpe_bytes` inverts exactly). Same broadcast
+    join + (position, payload) sort-regroup as :func:`encode_bpe` —
+    one data-sized shuffle, the floor for an order-preserving
+    encode."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(gpt2_pretokenize(F.col(text_col))).alias(
+            "__pos__", "word"
+        ),
+    ).where(F.length("word") > 0)
+    joined = pos.join(
+        F.broadcast(segments.select("word", "syms")), "word", "left"
+    )
+    syms = F.coalesce(F.col("syms"), byte_symbols(F.col("word")))
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos__").alias("p"), syms.alias("s")
+                        )
+                    )
+                ),
+                lambda e: e["s"],
+            )
+        ).alias("symbols"),
+        F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+        F.sum(F.size(syms)).cast("long").alias("n_symbols"),
+        F.sum(F.when(F.col("syms").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fallback_words"),
+    )
+
+
+def decode_bpe_bytes(symbols: Column) -> Column:
+    """Exact inverse of the byte-level encode: join the symbols,
+    translate the byte map back, reinterpret chars 0–255 as bytes
+    (latin-1 encode), decode UTF-8. ``decode_bpe_bytes(
+    encode.symbols) == original text`` for ANY input string — the
+    no-OOV round-trip contract, property-tested.
+
+    Byte 0 is restored with ``replace``, not ``translate``: Spark's
+    ``translate`` treats a U+0000 REPLACEMENT char as the deletion
+    marker (Java semantics), which silently dropped NUL bytes."""
+    nul = _BM_SRC.index("\x00")
+    src = _BM_SRC[:nul] + _BM_SRC[nul + 1 :]
+    dst = _BM_DST[:nul] + _BM_DST[nul + 1 :]
+    joined = F.array_join(symbols, "")
+    latin = F.translate(joined, dst, src)
+    latin = F.replace(latin, F.lit(_BM_DST[nul]), F.lit("\x00"))
+    return F.decode(F.encode(latin, "ISO-8859-1"), "UTF-8")
 
 
 def unigram_seed_table(

@@ -274,6 +274,22 @@ def main() -> int:
     dt = time.perf_counter() - t0
     print(f"{'bpe_train local 1000':28s} {dt:7.2f}s  "
           f"({docs_n / dt / 1e3:6.1f} K docs/s)")
+    # r11: byte-level BPE (GPT-2 recipe) — local train + no-OOV encode
+    from pandas_weights_spark.functions.vocab import (
+        encode_bpe_bytes,
+        train_bpe_bytes,
+    )
+
+    t0 = time.perf_counter()
+    _m3, segs3 = train_bpe_bytes(
+        docs, "text", num_merges=1000, min_frequency=1.0, mode="local"
+    )
+    encode_bpe_bytes(docs, "text", "doc_id", segs3).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'bpe_bytes 1000 + encode':28s} {dt:7.2f}s  "
+          f"({docs_n / dt / 1e3:6.1f} K docs/s)")
     dbench("unigram_seed_table", lambda: unigram_seed_table(
         docs, "text", max_piece_len=6, seed_size=100_000), docs_n)
     labeled = docs.select(
