@@ -2785,9 +2785,19 @@ def _q_calibration(spark, sf_dir):
     # weights' own p90 under unit mass, redistribute to the original
     # total). l_quantity is integral, so bound / sums / rescale ratio
     # are exact and the replay is bit-for-bit.
+    # r11 (VERDICT r10 "What's wrong" #3): ride the BINNED quantile —
+    # the 100 TB path; the exact default serialized the p90 into one
+    # global window partition. With integral l_quantity ∈ [1, 50] and
+    # a binary bin width (64/4096 = 2^-6), every value sits exactly on
+    # a bin lower edge, so the binned bound EQUALS the exact inverted-
+    # CDF value bit-for-bit and the unchanged _TRIM_SQL replay (the
+    # exact-path formulation) still states the same numbers.
     from pandas_weights_spark.calibration import trim_weights
 
-    trimmed = trim_weights(li, "l_quantity", upper_q=0.9, rescale=True)
+    trimmed = trim_weights(
+        li, "l_quantity", upper_q=0.9, rescale=True,
+        exact=False, lo=0.0, hi=64.0, bins=4096,
+    )
     tw = F.col("weight_trimmed")
     trim = trimmed.agg(
         F.sum(tw).alias("__m__"),
@@ -9615,6 +9625,7 @@ _TOUCHED_THIS_ROUND: tuple = (
     "pdf_extract",     # r11 ADVICE: bfrange supplementary-plane fix
                        #   + every 3rd doc now an ObjStm PDF 1.5 file
     "dedup_exact",     # r11: usurv rows (NFKC unicode dedup keys)
+    "calibration",     # r11: trim rows ride the binned quantile path
 )
 
 
