@@ -8964,6 +8964,105 @@ _ORACLE["pipeline_funnel"] = r"""
 """
 
 
+def _q_html_tables(spark, sf_dir):
+    # r11: structured TABLE recovery from HTML (functions/html.py
+    # extract_tables) — tables → rows → entity-decoded cell texts,
+    # with the messy real-page shapes planted in the fixture: omitted
+    # closing tags (<tr><td>a<td>b), a header row of <th> cells, an
+    # empty cell, caption junk before the first row (dropped), a
+    # nested inline tag, numeric + named entities in cells, and a
+    # second table on every third doc. The oracle replays the same
+    # constants through RE2 (html.py emits the SQL); rows flatten via
+    # double posexplode ≡ DuckDB's parallel unnest + generate_series
+    # zip. Row-local HOFs — zero shuffle at any scale.
+    import pandas_weights_spark.functions.html as H
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    h = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<table id="t1"><tr><th>Key</th><th>Val&#233;</th></tr>'),
+        F.lit("<tr><td>doc<td>"), did, F.lit("</tr>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<tr><td> padded </td><td><b>"),
+                F.col("source"),
+                F.lit("</b></td><td></td></tr>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</table>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<table><caption>cap</caption><tr><td>"),
+                F.col("source"),
+                F.lit(" &amp; co</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    tabled = docs.select(
+        "doc_id", H.extract_tables(h).alias("tables")
+    )
+    rows = tabled.select(
+        "doc_id", F.posexplode("tables").alias("t_idx", "rows")
+    ).select(
+        "doc_id", "t_idx", F.posexplode("rows").alias("r_idx", "cells")
+    )
+    return rows.select(
+        "doc_id",
+        F.col("t_idx").cast("long").alias("t_idx"),
+        F.col("r_idx").cast("long").alias("r_idx"),
+        F.size("cells").cast("long").alias("n_cells"),
+        F.array_join("cells", "\x1f").alias("cells"),
+    )
+
+
+def _html_tables_sql() -> str:
+    import pandas_weights_spark.functions.html as H
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><body><p>' || text || '</p>'
+        || '<table id="t1"><tr><th>Key</th><th>Val&#233;</th></tr>'
+        || '<tr><td>doc<td>' || CAST(doc_id AS VARCHAR) || '</tr>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<tr><td> padded </td><td><b>' || source
+               || '</b></td><td></td></tr>'
+             ELSE '' END
+        || '</table>'
+        || CASE WHEN doc_id % 3 = 0
+             THEN '<table><caption>cap</caption><tr><td>' || source
+               || ' &amp; co</td></tr></table>'
+             ELSE '' END
+        || '</body></html>' AS h
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, {H.extract_tables_sql('h')} AS tables FROM d
+    ), t AS (
+      SELECT doc_id,
+             unnest(tables) AS rws,
+             unnest(generate_series(0, len(tables) - 1)) AS t_idx
+      FROM tb
+    ), r AS (
+      SELECT doc_id, t_idx,
+             unnest(rws) AS cells,
+             unnest(generate_series(0, len(rws) - 1)) AS r_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(t_idx AS BIGINT) AS t_idx,
+           CAST(r_idx AS BIGINT) AS r_idx,
+           CAST(len(cells) AS BIGINT) AS n_cells,
+           array_to_string(cells, chr(31)) AS cells
+    FROM r
+"""
+
+
+_ORACLE["html_tables"] = _html_tables_sql()
+
+
 def _q_c4_fineweb(spark, sf_dir):
     # r11 (VERDICT r10 "What's missing" #1): C4's line/page rule
     # filters (Raffel et al. 2020 §2.2) + FineWeb's three custom
@@ -9610,7 +9709,7 @@ _PREV_WINDOW: frozenset = frozenset({
 })
 
 #: queries ADDED in the current round (r11) — always in the window.
-_NEW_THIS_ROUND: tuple = ("c4_fineweb",)
+_NEW_THIS_ROUND: tuple = ("c4_fineweb", "html_tables")
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
@@ -9648,6 +9747,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r11 queries ---
         "c4_fineweb": _q_c4_fineweb,
+        "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
         "pipeline_funnel": _q_pipeline_funnel,
         "hybrid_search": _q_hybrid_search,

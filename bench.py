@@ -118,6 +118,7 @@ HEADLINE = [
     "hybrid_search",       # BM25 + cosine reciprocal-rank fusion (r10)
     "pipeline_funnel",     # token-mass curation attrition report (r10)
     "c4_fineweb",          # C4 line/page rules + FineWeb ratios (r11)
+    "html_tables",         # structured table recovery from HTML (r11)
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "anchor_stats",
     "main_content",
     "html_extract",
+    "extract_tables",
     "link_graph",
 ]
 
@@ -456,6 +457,92 @@ def extract_anchors_sql(expr: str) -> str:
         f"e -> struct_pack("
         f"href := regexp_extract(e, '{_sq(_HREF_RE)}', 1), "
         f"anchor := {anchor}))"
+    )
+
+
+#: table BODY (capture group 1) — a nested table's inner ``</table>``
+#: ends the outer match early (documented heuristic degradation; this
+#: module never builds a DOM)
+_TABLE_RE = "(?is)<table\\b[^>]*>([^\\x00]*?)</table" + _WS + "*>"
+_TR_SPLIT_RE = r"(?i)<tr\b[^>]*>"
+_CELL_SPLIT_RE = r"(?i)<t[dh]\b[^>]*>"
+
+
+def _tail(pieces: Column) -> Column:
+    """Everything after the first split piece (the pre-first-tag
+    junk): ``pieces[2:]`` 1-based, empty when there is no tag."""
+    return F.when(
+        F.size(pieces) > 1, F.slice(pieces, 2, F.size(pieces) - 1)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def extract_tables(html: Column) -> Column:
+    """Structured table recovery (r11):
+    ``array<array<array<string>>>`` — tables → rows → cell texts, in
+    document order. The recipe web-corpus structured-data extraction
+    uses: table bodies by regex, rows split on ``<tr>`` OPENING tags
+    and cells on ``<td>/<th>`` opening tags (so the omitted closing
+    tags real pages ship — ``<tr><td>a<td>b`` — parse correctly);
+    each cell is tag-stripped, entity-decoded, and whitespace-
+    collapsed exactly like :func:`html_to_text`. Header cells
+    (``<th>``) are ordinary cells — row 0 is the header by HTML
+    convention. Rows with no cells (caption/colgroup junk before the
+    first ``<td>``) drop; empty cells survive as ``""``. Invisible
+    containers (script/style/comments) strip FIRST, so a script
+    inside a table never leaks into cell text. NULL html → NULL.
+
+    Pure HOF pipeline — row-local, zero shuffle; colspan/rowspan are
+    presentation hints and are ignored (documented: the cell GRID is
+    returned, not the rendered geometry). Nested tables degrade to a
+    truncated outer body (no DOM — same stance as the rest of this
+    module)."""
+    clean = _strip_invisible(html)
+    bodies = F.regexp_extract_all(clean, F.lit(_TABLE_RE), F.lit(1))
+
+    def cell_text(c: Column) -> Column:
+        return _collapse_ws(
+            _decode_entities(F.regexp_replace(c, _ANY_TAG_RE, ""))
+        )
+
+    def cells_of(row: Column) -> Column:
+        return F.transform(
+            _tail(F.split(row, _CELL_SPLIT_RE, -1)), cell_text
+        )
+
+    def rows_of(body: Column) -> Column:
+        rows = F.transform(
+            _tail(F.split(body, _TR_SPLIT_RE, -1)), cells_of
+        )
+        return F.filter(rows, lambda r: F.size(r) > 0)
+
+    return F.transform(bodies, rows_of)
+
+
+def extract_tables_sql(expr: str) -> str:
+    """DuckDB replay of :func:`extract_tables` — same constants, RE2
+    dialect; ``list_slice(x, 2, len(x))`` is the 1-based ``[2:]``."""
+    cell = _collapse_ws_sql(
+        _decode_entities_sql(
+            f"regexp_replace(c, '{_sq(_ANY_TAG_RE)}', '', 'g')"
+        )
+    )
+
+    def tail(pieces: str) -> str:
+        return f"list_slice({pieces}, 2, len({pieces}))"
+
+    cell_pieces = f"str_split_regex(r, '{_sq(_CELL_SPLIT_RE)}')"
+    row_pieces = f"str_split_regex(b, '{_sq(_TR_SPLIT_RE)}')"
+    cells = (
+        f"list_transform({tail(cell_pieces)}, c -> {cell})"
+    )
+    rows = (
+        f"list_filter(list_transform({tail(row_pieces)}, "
+        f"r -> {cells}), r -> len(r) > 0)"
+    )
+    clean = f"regexp_replace({expr}, '{_sq(_INVISIBLE_RE)}', ' ', 'g')"
+    return (
+        f"list_transform(regexp_extract_all("
+        f"{clean}, '{_sq(_TABLE_RE)}', 1), b -> {rows})"
     )
 
 

@@ -402,3 +402,108 @@ class TestExtractAnchors:
         assert got["a.com"] == (1, 1, "self link", 1)  # relative self
         assert got["c.com"] == (2, 2, "x", 1)
         assert got["f.com"] == (1, 0, None, None)
+
+
+class TestExtractTables:
+    """r11: structured table recovery — tables -> rows -> decoded
+    cell texts, tolerant of the omitted closing tags real pages
+    ship."""
+
+    def _t(self, spark, html):
+        from pandas_weights_spark.functions.html import extract_tables
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(
+            extract_tables(F.col("h")).alias("t")
+        ).first()["t"]
+
+    def test_basic_grid_with_header(self, spark):
+        got = self._t(
+            spark,
+            "<table><tr><th>Name</th><th>Qty</th></tr>"
+            "<tr><td>tea</td><td>4</td></tr></table>",
+        )
+        assert got == [[["Name", "Qty"], ["tea", "4"]]]
+
+    def test_omitted_closing_tags(self, spark):
+        got = self._t(
+            spark, "<table><tr><td>a<td>b<tr><td>c</table>"
+        )
+        assert got == [[["a", "b"], ["c"]]]
+
+    def test_entities_nested_tags_and_empty_cells(self, spark):
+        got = self._t(
+            spark,
+            "<table><tr><td>caf&#233; &amp; tea</td>"
+            "<td><b>bold</b> cell</td><td></td></tr></table>",
+        )
+        assert got == [[["café & tea", "bold cell", ""]]]
+
+    def test_caption_and_script_do_not_leak(self, spark):
+        got = self._t(
+            spark,
+            "<table><caption>Cap</caption><tr><td>x"
+            '<script>var t="<tr><td>evil";</script></td></tr></table>',
+        )
+        assert got == [[["x"]]]
+
+    def test_multiple_tables_no_tables_and_null(self, spark):
+        from pandas_weights_spark.functions.html import extract_tables
+
+        df = spark.createDataFrame(
+            [
+                (0, "<table><tr><td>1</td></tr></table>"
+                    "<p>x</p><table><tr><td>2</td></tr></table>"),
+                (1, "no tables"),
+                (2, None),
+            ],
+            "i int, h string",
+        )
+        got = {
+            r["i"]: r["t"]
+            for r in df.select(
+                "i", extract_tables(F.col("h")).alias("t")
+            ).collect()
+        }
+        assert got[0] == [[["1"]], [["2"]]]
+        assert got[1] == [] and got[2] is None
+
+    def test_nested_table_degrades_documented(self, spark):
+        # no DOM: the inner </table> ends the outer body early — the
+        # outer table keeps the rows seen so far plus the inner rows
+        got = self._t(
+            spark,
+            "<table><tr><td>outer</td></tr>"
+            "<table><tr><td>inner</td></tr></table></table>",
+        )
+        assert got == [[["outer"], ["inner"]]]
+
+    def test_sql_replay_matches(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            extract_tables,
+            extract_tables_sql,
+        )
+
+        docs = [
+            "<table><tr><th> K </th></tr><tr><td>v<td>w</table>",
+            "<p>none</p>",
+            "<table><tr><td>&#38;lt; kept</td></tr></table>",
+        ]
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "i int, h string"
+        )
+        got = {
+            r["i"]: r["t"]
+            for r in df.select(
+                "i", extract_tables(F.col("h")).alias("t")
+            ).collect()
+        }
+        con = duckdb.connect()
+        sql = extract_tables_sql("h")
+        for i, d in enumerate(docs):
+            rep = con.execute(
+                f"SELECT {sql} FROM (SELECT ? AS h)", [d]
+            ).fetchone()[0]
+            assert rep == got[i], d

@@ -798,6 +798,23 @@ def main() -> int:
 
     dbench("c4+fineweb rule filters", _c4fw, docs_n)
 
+    # r11: HTML table recovery — row-local HOF grid parse
+    from pandas_weights_spark.functions.html import extract_tables
+
+    def _tables():
+        h = F.concat(
+            F.lit('<p>x</p><table><tr><th>K</th><th>V</th></tr>'
+                  "<tr><td>doc<td>"),
+            F.col("doc_id").cast("string"),
+            F.lit("</tr><tr><td>"), F.col("text"),
+            F.lit("</td><td>&#233;</td></tr></table>"),
+        )
+        return docs.select(
+            "doc_id", extract_tables(h).alias("tables")
+        )
+
+    dbench("html table extraction", _tables, docs_n)
+
     spark.stop()
     return 0
 
