@@ -1766,6 +1766,16 @@ def _q_text_metrics(spark, sf_dir):
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".example.org/p x"),
     )
+    aug2 = F.concat(
+        t,
+        F.lit(
+            " pay 4111 1111 1111 1111 bogus 4111-1111-1111-1112"
+        ),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit(" amex 378282246310005")
+        ).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
     return _docs(spark, sf_dir).withColumns(
         {"__toks__": TX.tokens(t), "__lines__": F.split(t, "\n")}
     ).select(
@@ -1785,6 +1795,14 @@ def _q_text_metrics(spark, sf_dir):
         TX.pii_counts(aug)["n_email"].cast("long").alias("n_email"),
         F.size(TX.extract_urls(aug)).cast("long").alias("n_urls"),
         F.md5(TX.redact_pii(aug)).alias("red_fp"),
+        # r11: Luhn-gated credit-card PII — one standard valid PAN on
+        # every doc, a checksum-invalid near-miss that must NOT count,
+        # and a second valid (Amex) on even docs; redaction folds
+        # exact replaces over the SORTED valid matches
+        F.size(TX.credit_card_numbers(aug2)).cast("long").alias(
+            "n_cc"
+        ),
+        F.md5(TX.redact_credit_cards(aug2)).alias("cc_fp"),
         # r5: intra-document duplicate-line removal, md5-pinned over
         # text with an injected duplicated line (first stays, blanks
         # exempt)
@@ -5441,19 +5459,38 @@ def _pii_sql() -> str:
         red = f"regexp_replace({red}, '{pat}', '[PII]', 'g')"
     email = PII_PATTERNS["email"].replace("'", "''")
     url = URL_PATTERN.replace("'", "''")
+    # r11: Luhn-gated credit-card columns — the valid-match list and
+    # the sorted-fold redaction replay emitted from the engine module
+    from pandas_weights_spark.functions.text import (
+        credit_card_numbers_sql,
+    )
+
+    ccs = credit_card_numbers_sql("aug2")
+    cc_red = (
+        f"list_reduce(list_prepend(aug2, "
+        f"list_sort(list_distinct({ccs}))), "
+        "(acc, m) -> replace(acc, m, '[CC]'))"
+    )
     return f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT)
              AS n_email,
            CAST(len(regexp_extract_all(aug, '{url}')) AS BIGINT)
              AS n_urls,
-           md5({red}) AS red_fp
+           md5({red}) AS red_fp,
+           CAST(len({ccs}) AS BIGINT) AS n_cc,
+           md5({cc_red}) AS cc_fp
     FROM (
       SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@example.com via https://s'
                   || CAST(doc_id % 7 AS VARCHAR)
-                  || '.example.org/p x' AS aug
+                  || '.example.org/p x' AS aug,
+             text || ' pay 4111 1111 1111 1111 bogus'
+                  || ' 4111-1111-1111-1112'
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN ' amex 378282246310005' ELSE '' END
+                  || ' end' AS aug2
       FROM documents
     )
     """
@@ -5482,7 +5519,8 @@ _ORACLE["text_metrics"] = f"""
          )
     SELECT base.*, rep.dup_line_frac, rep.dup_line_char_frac,
            rep.top2_char_frac, rep.top3_char_frac, rep.dup5_char_frac,
-           rep.keep, pii.n_email, pii.n_urls, pii.red_fp, ddl.ddl_fp
+           rep.keep, pii.n_email, pii.n_urls, pii.red_fp, pii.n_cc,
+           pii.cc_fp, ddl.ddl_fp
     FROM base JOIN rep ON base.doc_id = rep.doc_id
     JOIN pii ON base.doc_id = pii.doc_id
     JOIN ddl ON base.doc_id = ddl.doc_id
@@ -9725,6 +9763,7 @@ _TOUCHED_THIS_ROUND: tuple = (
                        #   + every 3rd doc now an ObjStm PDF 1.5 file
     "dedup_exact",     # r11: usurv rows (NFKC unicode dedup keys)
     "calibration",     # r11: trim rows ride the binned quantile path
+    "text_metrics",    # r11: Luhn-gated credit-card PII columns
 )
 
 

@@ -40,6 +40,10 @@ __all__ = [
     "URL_PATTERN",
     "pii_counts",
     "redact_pii",
+    "CC_CANDIDATE_RE",
+    "luhn_valid",
+    "credit_card_numbers",
+    "redact_credit_cards",
     "extract_urls",
     "url_domain",
     "TRACKING_PARAM_PREFIXES",
@@ -538,11 +542,97 @@ def redact_pii(
     """Replace every PII match with ``token`` — the scrubbing step of a
     training-data pipeline. ``kinds`` defaults to all of
     :data:`PII_PATTERNS` (applied in name order, deterministically).
-    Row-local ``regexp_replace`` chain; no UDF."""
+    Row-local ``regexp_replace`` chain; no UDF. Credit cards are NOT
+    a pattern here — a 13–19-digit run is only a card if its Luhn
+    checksum verifies (pure pattern redaction over-scrubs order ids /
+    ISBNs / timestamps); use :func:`redact_credit_cards`."""
     out = text
     for kind in sorted(kinds if kinds is not None else PII_PATTERNS):
         out = F.regexp_replace(out, PII_PATTERNS[kind], token)
     return out
+
+
+#: candidate payment-card numbers: 13–19 digits, single optional
+#: space/dash separators (ISO/IEC 7812 PAN lengths). A CANDIDATE only
+#: — :func:`luhn_valid` decides (same dialect in Java regex and RE2).
+CC_CANDIDATE_RE = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812 mod-10) of a digits-only string —
+    pure Column fold: reverse the digit array (so the check digit is
+    index 0), double every odd 0-based index (−9 when > 9), sum
+    ≡ 0 (mod 10). The reverse makes the doubling index-local — no
+    outer length reference inside the lambda (interpreted HOFs would
+    re-evaluate it per element)."""
+    rds = F.reverse(F.split(digits, ""))
+
+    def contrib(c: Column, i: Column) -> Column:
+        v = c.cast("int")
+        return F.when(
+            i % 2 == 1,
+            F.when(v * 2 > 9, v * 2 - 9).otherwise(v * 2),
+        ).otherwise(v)
+
+    total = F.aggregate(
+        F.transform(rds, contrib), F.lit(0), lambda a, x: a + x
+    )
+    return (
+        (F.length(digits) >= 13)
+        & (F.length(digits) <= 19)
+        & (total % 10 == 0)
+    )
+
+
+def credit_card_numbers(text: Column) -> Column:
+    """Luhn-VALID payment-card matches in the text, raw form
+    (separators kept), document order — ``array<string>``. Row-local:
+    one ``regexp_extract_all`` + a per-candidate checksum fold;
+    candidates are rare, so the fold's repeated digit-strip inside
+    the filter lambda is per-match, never per-char-of-document."""
+    cands = F.regexp_extract_all(
+        text, F.lit(CC_CANDIDATE_RE), F.lit(0)
+    )
+    return F.filter(
+        cands,
+        lambda m: luhn_valid(F.regexp_replace(m, "[ -]", "")),
+    )
+
+
+def redact_credit_cards(text: Column, token: str = "[CC]") -> Column:
+    """Replace every Luhn-valid card number with ``token`` — the
+    checksum gate keeps order ids / ISBNs / long timestamps intact
+    where a pure pattern redactor would scrub them. Fold of exact
+    ``replace`` over the distinct valid matches, SORTED so the fold
+    order is engine-independent (row-local; a NULL text stays
+    NULL)."""
+    return F.aggregate(
+        F.array_sort(F.array_distinct(credit_card_numbers(text))),
+        text,
+        lambda acc, m: F.replace(acc, m, F.lit(token)),
+    )
+
+
+def luhn_sql(digits: str) -> str:
+    """DuckDB replay of :func:`luhn_valid` (1-based index lambda)."""
+    return (
+        f"(length({digits}) >= 13 AND length({digits}) <= 19 AND "
+        f"list_sum(list_transform(list_reverse("
+        f"[CAST(c AS INT) for c in str_split({digits}, '')]), "
+        "(v, i) -> CASE WHEN (i - 1) % 2 = 1 THEN "
+        "CASE WHEN v * 2 > 9 THEN v * 2 - 9 ELSE v * 2 END "
+        "ELSE v END)) % 10 = 0)"
+    )
+
+
+def credit_card_numbers_sql(expr: str) -> str:
+    """DuckDB replay of :func:`credit_card_numbers` — same candidate
+    constant, same checksum."""
+    digits = "regexp_replace(m, '[ -]', '', 'g')"
+    return (
+        f"list_filter(regexp_extract_all({expr}, "
+        f"'{CC_CANDIDATE_RE}', 0), m -> {luhn_sql(digits)})"
+    )
 
 
 def extract_urls(text: Column) -> Column:

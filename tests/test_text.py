@@ -1905,3 +1905,67 @@ class TestUnicodeNormalize:
             ).alias("nfkc"),
         ).collect()
         assert all(r["plain"] == r["nfkc"] for r in rows)
+
+
+class TestLuhnCreditCards:
+    """r11: Luhn-gated credit-card PII — the checksum gate keeps
+    order ids / ISBNs intact where pure patterns over-scrub."""
+
+    CASES = [
+        ("pay 4111 1111 1111 1111 now", ["4111 1111 1111 1111"]),
+        ("bogus 4111-1111-1111-1112 here", []),           # bad check
+        ("amex 378282246310005 visa 4012888888881881",
+         ["378282246310005", "4012888888881881"]),
+        ("order 1234567890123 ref", []),                  # 13d non-Luhn
+        ("short 4111 1111 done", []),                     # too few
+        ("", []),
+    ]
+
+    def test_detection_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            "i int, t string",
+        )
+        rows = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                TX.credit_card_numbers(F.col("t")).alias("cc"),
+                TX.redact_credit_cards(F.col("t")).alias("red"),
+            ).collect()
+        }
+        for i, (t, expect) in enumerate(self.CASES):
+            assert rows[i]["cc"] == expect, t
+            red = t
+            for m in sorted(set(expect)):
+                red = red.replace(m, "[CC]")
+            assert rows[i]["red"] == red, t
+
+    def test_null_propagates(self, spark):
+        df = spark.createDataFrame([(None,)], "t string")
+        r = df.select(
+            TX.credit_card_numbers(F.col("t")).alias("cc"),
+            TX.redact_credit_cards(F.col("t")).alias("red"),
+        ).first()
+        assert r["cc"] is None and r["red"] is None
+
+    def test_sql_differential(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        sql = TX.credit_card_numbers_sql("t")
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            "i int, t string",
+        )
+        got = {
+            r["i"]: r["cc"]
+            for r in df.select(
+                "i", TX.credit_card_numbers(F.col("t")).alias("cc")
+            ).collect()
+        }
+        for i, (t, _) in enumerate(self.CASES):
+            rep = con.execute(
+                f"SELECT {sql} FROM (SELECT ? AS t)", [t]
+            ).fetchone()[0]
+            assert rep == got[i], t
