@@ -119,6 +119,7 @@ HEADLINE = [
     "pipeline_funnel",     # token-mass curation attrition report (r10)
     "c4_fineweb",          # C4 line/page rules + FineWeb ratios (r11)
     "html_tables",         # structured table recovery from HTML (r11)
+    "wordpiece",           # likelihood-scored WordPiece train + encode (r11)
 ]
 
 
@@ -734,8 +735,23 @@ def main() -> int:
 
     qs["tfidf_top_terms"] = _tfidf_r3
     qs["vocab_encode"] = _vocab_encode
+    def _wordpiece(spark_, sf_dir_):
+        # r11: WordPiece — local likelihood trainer on the collected
+        # capped word table, then the BERT-convention encode
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+            train_wordpiece,
+        )
+
+        docs = fan_out(load_table(spark_, sf_dir_, "documents"))
+        _m, segs = train_wordpiece(
+            docs, "text", num_merges=200, mode="local"
+        )
+        return encode_wordpiece(docs, "text", "doc_id", segs)
+
     qs["bpe_train"] = _bpe_train
     qs["bpe_bytes"] = _bpe_bytes
+    qs["wordpiece"] = _wordpiece
 
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the

@@ -44,6 +44,9 @@ __all__ = [
     "train_bpe_bytes",
     "encode_bpe_bytes",
     "decode_bpe_bytes",
+    "wordpiece_word_table",
+    "train_wordpiece",
+    "encode_wordpiece",
     "unigram_seed_table",
     "train_unigram_lm",
     "encode_unigram",
@@ -160,10 +163,15 @@ def _char_symbols(word: Column, end_of_word: str) -> Column:
     return F.concat(F.split(word, ""), F.array(F.lit(end_of_word)))
 
 
-def _merge_fold(syms: Column, left: str, right: str) -> Column:
+def _merge_fold(
+    syms: Column, left: str, right: str, merged: "Optional[str]" = None
+) -> Column:
     """Greedy left-to-right application of ONE merge (left, right) →
-    left||right over a symbol array — a single row-local fold."""
-    merged = left + right
+    ``merged`` (default ``left||right``; WordPiece passes the
+    ``##``-stripped join) over a symbol array — a single row-local
+    fold."""
+    if merged is None:
+        merged = left + right
     zero = F.array().cast("array<string>")
 
     def step(acc: Column, s: Column) -> Column:
@@ -721,6 +729,273 @@ def decode_bpe_bytes(symbols: Column) -> Column:
     latin = F.translate(joined, dst, src)
     latin = F.replace(latin, F.lit(_BM_DST[nul]), F.lit("\x00"))
     return F.decode(F.encode(latin, "ISO-8859-1"), "UTF-8")
+
+
+# --- WordPiece (r11) --------------------------------------------------
+#
+# The BERT tokenizer's training criterion (Schuster & Nakajima 2012;
+# the public HuggingFace-tokenizers trainer is the reference
+# behavior): like BPE, but the merged pair maximizes the LIKELIHOOD
+# score freq(pair) / (freq(left) · freq(right)) instead of raw pair
+# frequency, and non-initial symbols carry the ``##`` continuation
+# prefix from the start — the initial split of ``word`` is
+# ``[w0, ##w1, ##w2, …]`` and merging ``(a, ##b)`` yields ``a + b``
+# (the marker belongs to the POSITION, not the merged text).
+
+
+def _wp_merge_text(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def _wp_init_syms(word: str) -> "list[str]":
+    cs = list(word)
+    return [cs[0]] + ["##" + c for c in cs[1:]]
+
+
+def _wp_char_symbols(word: Column) -> Column:
+    """Column twin of :func:`_wp_init_syms`."""
+    cs = F.split(word, "")
+    marked = F.transform(
+        cs, lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c))
+    )
+    return marked
+
+
+def wordpiece_word_table(
+    df: DataFrame,
+    text_col: str,
+    weight: Optional[Column] = None,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+) -> DataFrame:
+    """WordPiece training state: ``(word, freq, syms)`` with the
+    ``##``-marked character split; same TakeOrdered cap as
+    :func:`bpe_word_table`."""
+    w = weight if weight is not None else F.lit(1.0)
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    rows = df.select(
+        w.alias("__w__"), F.explode(toks).alias("word")
+    ).where(F.length("word") > 0)
+    counted = (
+        rows.groupBy("word")
+        .agg(F.sum("__w__").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+    )
+    return counted.select(
+        "word", "freq", _wp_char_symbols(F.col("word")).alias("syms")
+    )
+
+
+def _train_wordpiece_local(
+    word_freqs: "list[tuple[str, float]]",
+    num_merges: int,
+    min_frequency: float,
+) -> "tuple[list, list]":
+    """Driver-side WordPiece trainer — FULL recount per round (the
+    likelihood score depends on SYMBOL counts, which shift on every
+    merge, so the BPE heap's incremental maintenance doesn't apply;
+    the word table is ``max_words``-capped, so R·W·L driver work is
+    the honest simple loop). Tie-break: score desc, then (left,
+    right) code-point asc — identical to the distributed path's
+    orderBy."""
+    from collections import Counter
+
+    words = [_wp_init_syms(w) for w, _ in word_freqs]
+    freqs = [float(f) for _, f in word_freqs]
+    merges: list = []
+    for rank in range(num_merges):
+        pair_c: Counter = Counter()
+        sym_c: Counter = Counter()
+        for syms, f in zip(words, freqs):
+            for s in syms:
+                sym_c[s] += f
+            for p in zip(syms, syms[1:]):
+                pair_c[p] += f
+        best = None
+        for (l, r), c in pair_c.items():
+            if c < min_frequency:
+                continue
+            score = c / (sym_c[l] * sym_c[r])
+            key = (-score, l, r)
+            if best is None or key < best[0]:
+                best = (key, l, r, c, score)
+        if best is None:
+            break
+        _, left, right, freq, score = best
+        merged = _wp_merge_text(left, right)
+        merges.append(
+            (rank, left, right, merged, float(freq), float(score))
+        )
+        for i, syms in enumerate(words):
+            out: "list[str]" = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            words[i] = out
+    segments = [
+        (wf[0], freqs[i], words[i]) for i, wf in enumerate(word_freqs)
+    ]
+    return merges, segments
+
+
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 100,
+    min_frequency: float = 2.0,
+    weight: Optional[Column] = None,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+    checkpoint_every: int = 4,
+    mode: str = "auto",
+) -> "tuple[DataFrame, DataFrame]":
+    """Learn WordPiece merges: ``(merges, segments)`` where merges is
+    ``(rank, left, right, merged, freq, score)`` in application order
+    and segments is the fully-merged word table (encoding is a
+    broadcast join — :func:`encode_wordpiece`). Same mode contract as
+    :func:`train_bpe`; the distributed path recomputes pair AND
+    symbol masses each round (two aggregates + a 1-row argmax
+    collect) and doubles as the local trainer's differential."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError("mode must be auto|local|distributed")
+    words = wordpiece_word_table(
+        df, text_col, weight=weight, lowercase=lowercase,
+        max_words=max_words,
+    )
+    spark = df.sparkSession
+    if mode == "local" or (mode == "auto" and num_merges >= 16):
+        wf = [
+            (r["word"], float(r["freq"]))
+            for r in words.select("word", "freq").collect()
+        ]
+        merges, segments = _train_wordpiece_local(
+            wf, num_merges, min_frequency
+        )
+        merges_df = spark.createDataFrame(
+            merges,
+            "rank int, left string, right string, merged string, "
+            "freq double, score double",
+        )
+        segs_df = spark.createDataFrame(
+            segments, "word string, freq double, syms array<string>"
+        )
+        return merges_df, segs_df
+    merges_rows: list = []
+    for rank in range(num_merges):
+        if rank % max(1, checkpoint_every) == 0:
+            words = words.localCheckpoint(eager=True)
+        syms_mass = (
+            words.select(
+                F.col("freq").alias("__f__"),
+                F.explode("syms").alias("s"),
+            )
+            .groupBy("s")
+            .agg(F.sum("__f__").alias("sfreq"))
+        )
+        top = (
+            bpe_pair_counts(words)
+            .where(F.col("freq") >= float(min_frequency))
+            .join(
+                F.broadcast(
+                    syms_mass.select(
+                        F.col("s").alias("left"),
+                        F.col("sfreq").alias("__lf__"),
+                    )
+                ),
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    syms_mass.select(
+                        F.col("s").alias("right"),
+                        F.col("sfreq").alias("__rf__"),
+                    )
+                ),
+                "right",
+            )
+            .select(
+                "left", "right", "freq",
+                (
+                    F.col("freq") / (F.col("__lf__") * F.col("__rf__"))
+                ).alias("score"),
+            )
+            .orderBy(
+                F.col("score").desc(), F.col("left"), F.col("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merged = _wp_merge_text(left, right)
+        merges_rows.append(
+            (
+                rank, left, right, merged,
+                float(top[0]["freq"]), float(top[0]["score"]),
+            )
+        )
+        words = words.withColumn(
+            "syms", _merge_fold(F.col("syms"), left, right, merged)
+        )
+    merges_df = spark.createDataFrame(
+        merges_rows,
+        "rank int, left string, right string, merged string, "
+        "freq double, score double",
+    )
+    return merges_df, words.localCheckpoint(eager=True)
+
+
+def encode_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    segments: DataFrame,
+    lowercase: bool = True,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Encode documents against trained WordPiece ``segments``:
+    ``(id_col, pieces array<string>, n_words, n_pieces, n_unk_words)``
+    — symbols carry the ``##`` continuation convention. A word
+    outside the (capped) training table becomes ONE ``unk`` piece,
+    the BERT convention (BPE falls back to a char split; WordPiece
+    deliberately does not — unknown-word mass is a quality signal).
+    Broadcast join + (position, payload) sort-regroup, one data-sized
+    shuffle."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos__", "word")
+    ).where(F.length("word") > 0)
+    joined = pos.join(
+        F.broadcast(segments.select("word", "syms")), "word", "left"
+    )
+    syms = F.coalesce(F.col("syms"), F.array(F.lit(unk)))
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos__").alias("p"), syms.alias("s")
+                        )
+                    )
+                ),
+                lambda e: e["s"],
+            )
+        ).alias("pieces"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size(syms)).cast("long").alias("n_pieces"),
+        F.sum(F.when(F.col("syms").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk_words"),
+    )
 
 
 def unigram_seed_table(

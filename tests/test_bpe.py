@@ -478,3 +478,130 @@ class TestByteLevelBPE:
             train_bpe_bytes(self._df(spark), "text", num_merges=0)
         with pytest.raises(ValueError, match="mode"):
             train_bpe_bytes(self._df(spark), "text", mode="bogus")
+
+
+class TestWordPiece:
+    """r11: WordPiece training (likelihood-scored merges, ##
+    continuation marking) + BERT-convention encoding."""
+
+    TEXTS = ["hug hug hug pug pug hugs", "bun bug hug pun pug bugs hug"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], ["i", "text"]
+        )
+
+    def test_local_equals_distributed(self, spark):
+        from pandas_weights_spark.functions.vocab import train_wordpiece
+
+        ml, _ = train_wordpiece(
+            self._df(spark), "text", num_merges=6, mode="local",
+            min_frequency=1.0,
+        )
+        md, _ = train_wordpiece(
+            self._df(spark), "text", num_merges=6,
+            mode="distributed", min_frequency=1.0,
+        )
+        a = [tuple(r) for r in ml.orderBy("rank").collect()]
+        b = [tuple(r) for r in md.orderBy("rank").collect()]
+        assert a == b and len(a) == 6
+
+    def test_likelihood_criterion_differs_from_bpe(self, spark):
+        # pair freq argmax is (##u, ##g) at 9; the likelihood score
+        # freq/(f_l*f_r) prefers the rarer (##g, ##s) — the defining
+        # WordPiece-vs-BPE behavior
+        from pandas_weights_spark.functions.vocab import train_wordpiece
+
+        m, _ = train_wordpiece(
+            self._df(spark), "text", num_merges=1, mode="local",
+            min_frequency=1.0,
+        )
+        r = m.first()
+        assert (r["left"], r["right"]) == ("##g", "##s")
+        assert r["freq"] == 2.0
+        # hand-computed: f(gs)=2, f(##g)=11, f(##s)=2 -> 2/22
+        assert r["score"] == pytest.approx(2 / 22)
+
+    def test_merge_text_strips_continuation(self, spark):
+        from pandas_weights_spark.functions.vocab import train_wordpiece
+
+        m, segs = train_wordpiece(
+            self._df(spark), "text", num_merges=6, mode="local",
+            min_frequency=1.0,
+        )
+        rows = m.collect()
+        for r in rows:
+            expect = r["left"] + (
+                r["right"][2:] if r["right"].startswith("##") else r["right"]
+            )
+            assert r["merged"] == expect
+        # word-initial pieces never carry ##, continuations always do
+        for s in segs.collect():
+            assert not s["syms"][0].startswith("##")
+            assert all(p.startswith("##") for p in s["syms"][1:] if len(s["syms"]) > 1) or len(s["syms"]) == 1
+
+    def test_naive_reference_differential(self, spark):
+        # transparent recount trainer on raw Python structures
+        from collections import Counter
+
+        from pandas_weights_spark.functions.vocab import train_wordpiece
+
+        freqs = Counter(
+            w for t in self.TEXTS for w in t.lower().split()
+        )
+        words = {
+            w: [w[0]] + ["##" + c for c in w[1:]] for w in freqs
+        }
+        expect = []
+        for rank in range(6):
+            pc, sc = Counter(), Counter()
+            for w, syms in words.items():
+                for s in syms:
+                    sc[s] += freqs[w]
+                for p in zip(syms, syms[1:]):
+                    pc[p] += freqs[w]
+            scored = sorted(
+                ((-c / (sc[l] * sc[r]), l, r, c) for (l, r), c in pc.items()),
+            )
+            ns, l, r, c = scored[0]
+            merged = l + (r[2:] if r.startswith("##") else r)
+            expect.append((rank, l, r, merged, float(c), -ns))
+            for w in words:
+                out = []
+                for s in words[w]:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                words[w] = out
+        m, _ = train_wordpiece(
+            self._df(spark), "text", num_merges=6, mode="local",
+            min_frequency=1.0,
+        )
+        got = [tuple(r) for r in m.orderBy("rank").collect()]
+        assert got == expect
+
+    def test_encode_unk_convention(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+            train_wordpiece,
+        )
+
+        _m, segs = train_wordpiece(
+            self._df(spark), "text", num_merges=6, mode="local",
+            min_frequency=1.0,
+        )
+        df = spark.createDataFrame(
+            [(9, "zzz hug")], ["i", "text"]
+        )
+        r = encode_wordpiece(df, "text", "i", segs).first()
+        assert r["pieces"][0] == "[UNK]"
+        assert r["n_unk_words"] == 1 and r["n_words"] == 2
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.functions.vocab import train_wordpiece
+
+        with pytest.raises(ValueError, match="num_merges"):
+            train_wordpiece(self._df(spark), "text", num_merges=0)
+        with pytest.raises(ValueError, match="mode"):
+            train_wordpiece(self._df(spark), "text", mode="x")

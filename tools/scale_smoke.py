@@ -290,6 +290,23 @@ def main() -> int:
     dt = time.perf_counter() - t0
     print(f"{'bpe_bytes 1000 + encode':28s} {dt:7.2f}s  "
           f"({docs_n / dt / 1e3:6.1f} K docs/s)")
+    # r11: WordPiece — full-recount local trainer (R·W·L driver work,
+    # capped word table), so the smoke uses a moderate merge count
+    from pandas_weights_spark.functions.vocab import (
+        encode_wordpiece,
+        train_wordpiece,
+    )
+
+    t0 = time.perf_counter()
+    _m4, segs4 = train_wordpiece(
+        docs, "text", num_merges=50, min_frequency=1.0, mode="local"
+    )
+    encode_wordpiece(docs, "text", "doc_id", segs4).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"{'wordpiece 50 + encode':28s} {dt:7.2f}s  "
+          f"({docs_n / dt / 1e3:6.1f} K docs/s)")
     dbench("unigram_seed_table", lambda: unigram_seed_table(
         docs, "text", max_piece_len=6, seed_size=100_000), docs_n)
     labeled = docs.select(
