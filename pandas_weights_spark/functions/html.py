@@ -5,9 +5,14 @@ duplicate content from web corpora" is the block/link-density model
 this module's :func:`main_content` implements).
 
 Everything here is a pure Column-expression chain (regexp + HOFs) —
-JVM-side, whole-stage-codegen, zero shuffle, row-local — so it runs at
-scan speed on a 100 TB crawl and is replayable verbatim by the DuckDB
-oracle. Regex dialect notes (Spark = java.util.regex, DuckDB = RE2):
+JVM-side, zero shuffle, row-local — so it runs at scan speed on a
+100 TB crawl and is replayable verbatim by the DuckDB oracle. Cost
+caveat (measured, r10→r11): higher-order functions run INTERPRETED
+(outside whole-stage codegen) with no common-subexpression
+elimination, so every derived value a lambda references twice is
+computed twice — the LET discipline in ``_decode_numeric_refs`` /
+``c4_filter``-style staged columns is load-bearing, not style.
+Regex dialect notes (Spark = java.util.regex, DuckDB = RE2):
 
 * no backreferences, no lookaround (RE2 has neither) — script/style
   stripping enumerates the tags instead of using ``</\\1>``;
