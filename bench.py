@@ -120,6 +120,7 @@ HEADLINE = [
     "c4_fineweb",          # C4 line/page rules + FineWeb ratios (r11)
     "html_tables",         # structured table recovery from HTML (r11)
     "wordpiece",           # likelihood-scored WordPiece train + encode (r11)
+    "readability",         # Flesch/FK/ARI/CLI/LIX/TTR panel (r11)
 ]
 
 

@@ -59,6 +59,9 @@ __all__ = [
     "C4_POLICY_PHRASES",
     "c4_filter",
     "fineweb_flags",
+    "syllable_count",
+    "syllable_count_sql",
+    "readability_metrics",
 ]
 
 _L = F.lit
@@ -697,3 +700,146 @@ def pipeline_funnel(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------
+# Readability & lexical diversity
+# ---------------------------------------------------------------------
+
+def syllable_count(word: Column) -> Column:
+    """Heuristic English syllable count for one word — the classic
+    vowel-group rule every readability library documents: strip the
+    word to lowercase letters, count maximal ``[aeiouy]+`` runs,
+    subtract one for a consonant-preceded trailing silent ``e`` (but
+    never a ``-le`` ending: *table* keeps both syllables), floor at 1
+    for any word that still has letters. Letterless tokens count 0.
+
+    Pure Column algebra (two regexp passes + a count) so the DuckDB
+    oracle replays it verbatim via :func:`syllable_count_sql`.
+    """
+    wl = F.regexp_replace(F.lower(word), "[^a-z]", "")
+    groups = F.regexp_count(wl, F.lit("[aeiouy]+"))
+    silent = (
+        wl.rlike("[^aeiouy]e$") & ~wl.rlike("le$") & (groups > _L(1))
+    ).cast("int")
+    return F.when(F.length(wl) == _L(0), _L(0)).otherwise(
+        F.greatest(groups - silent, _L(1))
+    )
+
+
+def syllable_count_sql(expr: str) -> str:
+    """DuckDB replay of :func:`syllable_count` for a word expression."""
+    wl = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    groups = f"len(regexp_extract_all({wl}, '[aeiouy]+'))"
+    silent = (
+        f"CASE WHEN regexp_matches({wl}, '[^aeiouy]e$') "
+        f"AND NOT regexp_matches({wl}, 'le$') "
+        f"AND {groups} > 1 THEN 1 ELSE 0 END"
+    )
+    return (
+        f"CASE WHEN length({wl}) = 0 THEN 0 "
+        f"ELSE greatest({groups} - {silent}, 1) END"
+    )
+
+
+def readability_metrics(
+    text: Column,
+    toks: Optional[Column] = None,
+    sents: Optional[Column] = None,
+) -> Dict[str, Column]:
+    """The classic readability formulas + lexical diversity, all
+    row-local Column algebra over one token array and one sentence
+    split (public formulas: Flesch 1948 reading ease, Kincaid 1975
+    grade, Senter & Smith 1967 ARI, Coleman & Liau 1975, Björnsson
+    1968 LIX, type-token ratio) — the feature block quality
+    classifiers for pretraining corpora are trained on.
+
+    Returned columns (ratios NULL on blank text):
+
+    - ``n_words`` — whitespace tokens (0 for blank text)
+    - ``n_sentences`` — rule-based sentence count, floored at 1 so a
+      fragment without terminal punctuation still rates
+    - ``n_syllables`` — :func:`syllable_count` summed over words
+    - ``flesch`` — ``206.835 − 1.015·(W/S) − 84.6·(Y/W)``
+    - ``fk_grade`` — ``0.39·(W/S) + 11.8·(Y/W) − 15.59``
+    - ``ari`` — ``4.71·(C/W) + 0.5·(W/S) − 21.43`` with C = alnum chars
+    - ``coleman_liau`` — ``0.0588·L − 0.296·S − 15.8`` with L/S per
+      100 words (letters resp. sentences)
+    - ``lix`` — ``W/S + 100·(LW/W)``, LW = words with >6 letters
+    - ``ttr`` — distinct lowercased words / W
+
+    Scale: zero shuffle — every metric pipelines into the scan, same
+    as the Gopher panel above. ``toks``/``sents`` accept the fused
+    producer-projection arrays (``quality_panel`` discipline) so a
+    wide panel splits each document exactly once.
+    """
+    from pandas_weights_spark.functions.text import split_sentences
+
+    ws = tokens(text) if toks is None else toks
+    nw_raw = F.size(ws)
+    nw = F.when(F.length(F.trim(text)) == _L(0), _L(0)).otherwise(
+        nw_raw
+    ).cast("long")
+    sc = split_sentences(text) if sents is None else sents
+    ns = F.greatest(F.size(sc), _L(1)).cast("long")
+
+    n_syl = F.aggregate(
+        ws, _L(0).cast("long"),
+        lambda acc, w: acc + syllable_count(w).cast("long"),
+    )
+    letters = F.aggregate(
+        ws, _L(0).cast("long"),
+        lambda acc, w: acc
+        + F.length(F.regexp_replace(w, "[^A-Za-z]", "")).cast("long"),
+    )
+    alnum = F.aggregate(
+        ws, _L(0).cast("long"),
+        lambda acc, w: acc
+        + F.length(F.regexp_replace(w, "[^A-Za-z0-9]", "")).cast(
+            "long"
+        ),
+    )
+    long_words = F.size(
+        F.filter(
+            ws,
+            lambda w: F.length(F.regexp_replace(w, "[^A-Za-z]", ""))
+            > _L(6),
+        )
+    ).cast("long")
+    distinct_words = F.size(
+        F.array_distinct(F.transform(ws, F.lower))
+    ).cast("long")
+
+    wd = nw.cast("double")
+    sd = ns.cast("double")
+    yd = n_syl.cast("double")
+    ok = nw > _L(0)
+    wps = wd / sd  # words per sentence (S floored at 1, never 0)
+    spw = yd / wd  # syllables per word
+    return {
+        "n_words": nw,
+        "n_sentences": ns,
+        "n_syllables": F.when(ok, n_syl).otherwise(_L(0).cast("long")),
+        "flesch": F.when(
+            ok, _L(206.835) - _L(1.015) * wps - _L(84.6) * spw
+        ),
+        "fk_grade": F.when(
+            ok, _L(0.39) * wps + _L(11.8) * spw - _L(15.59)
+        ),
+        "ari": F.when(
+            ok,
+            _L(4.71) * (alnum.cast("double") / wd)
+            + _L(0.5) * wps
+            - _L(21.43),
+        ),
+        "coleman_liau": F.when(
+            ok,
+            _L(0.0588) * (_L(100.0) * letters.cast("double") / wd)
+            - _L(0.296) * (_L(100.0) * sd / wd)
+            - _L(15.8),
+        ),
+        "lix": F.when(
+            ok, wps + _L(100.0) * (long_words.cast("double") / wd)
+        ),
+        "ttr": F.when(ok, distinct_words.cast("double") / wd),
+    }

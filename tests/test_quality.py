@@ -507,3 +507,163 @@ class TestC4FineWebFunnelComposition:
         # it lacks 2 distinct stop words? 'A' is not in the list;
         # the doc fails ok_stop_words -> 0 survivors
         assert surv["gopher"] == 0.0
+
+
+class TestReadability:
+    """readability_metrics / syllable_count (quality.py) vs a
+    transparent pure-Python reference of the same public formulas."""
+
+    TEXTS = [
+        "The quick brown fox jumps over the lazy dog. "
+        "It was a simple table of data! Make no mistake.",
+        "one",
+        "   ",
+        "Incomprehensibilities notwithstanding, the multifaceted "
+        "organization persevered. Extraordinary circumstances demand "
+        "extraordinary responses.",
+        "a b c a b c A B",
+        "Dr. Smith met Mrs. J. Doe near mile 3.14 today! Really? "
+        "Yes.",
+    ]
+
+    @staticmethod
+    def _syl(w):
+        wl = re.sub("[^a-z]", "", w.lower())
+        if not wl:
+            return 0
+        groups = len(re.findall("[aeiouy]+", wl))
+        silent = (
+            1
+            if re.search("[^aeiouy]e$", wl)
+            and not wl.endswith("le")
+            and groups > 1
+            else 0
+        )
+        return max(groups - silent, 1)
+
+    @staticmethod
+    def _sentences(t):
+        # mirror split_sentences: protect abbreviations + initials,
+        # then split on punctuation-run + whitespace
+        from pandas_weights_spark.functions.text import (
+            SENTENCE_ABBREVIATIONS,
+        )
+
+        for ab in SENTENCE_ABBREVIATIONS:
+            t = t.replace(ab, ab[:-1] + "\x01")
+        t = re.sub(r"\b([A-Z])\.", "\\1\x01", t)
+        t = re.sub(r"([.!?]+)[ \t\n\r\f]+", "\\1\x02", t)
+        parts = [
+            p.replace("\x01", ".").strip() for p in t.split("\x02")
+        ]
+        return [p for p in parts if p]
+
+    def _expected(self, t):
+        ws = t.split()
+        W = len(ws)
+        if W == 0:
+            return {"n_words": 0}
+        S = max(len(self._sentences(t)), 1)
+        Y = sum(self._syl(w) for w in ws)
+        L = sum(len(re.sub("[^A-Za-z]", "", w)) for w in ws)
+        C = sum(len(re.sub("[^A-Za-z0-9]", "", w)) for w in ws)
+        LW = sum(
+            1 for w in ws if len(re.sub("[^A-Za-z]", "", w)) > 6
+        )
+        D = len({w.lower() for w in ws})
+        return {
+            "n_words": W,
+            "n_sentences": S,
+            "n_syllables": Y,
+            "flesch": 206.835 - 1.015 * (W / S) - 84.6 * (Y / W),
+            "fk_grade": 0.39 * (W / S) + 11.8 * (Y / W) - 15.59,
+            "ari": 4.71 * (C / W) + 0.5 * (W / S) - 21.43,
+            "coleman_liau": 0.0588 * (100 * L / W)
+            - 0.296 * (100 * S / W)
+            - 15.8,
+            "lix": (W / S) + 100 * (LW / W),
+            "ttr": D / W,
+        }
+
+    def test_differential(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "id long, text string",
+        )
+        m = readability_metrics(F.col("text"))
+        rows = (
+            df.select("id", *[v.alias(k) for k, v in m.items()])
+            .orderBy("id")
+            .collect()
+        )
+        for r in rows:
+            exp = self._expected(self.TEXTS[r["id"]])
+            if exp["n_words"] == 0:
+                assert r["n_words"] == 0
+                assert r["flesch"] is None and r["ttr"] is None
+                continue
+            for k, v in exp.items():
+                got = r[k]
+                assert got == pytest.approx(v, abs=1e-9), (
+                    r["id"],
+                    k,
+                    got,
+                    v,
+                )
+
+    @pytest.mark.parametrize(
+        "word,syl",
+        [
+            ("make", 1),        # silent e
+            ("table", 2),       # -le keeps the syllable
+            ("simple", 2),
+            ("see", 1),         # vowel-preceded final e: no subtract
+            ("the", 1),
+            ("mistake", 2),
+            ("data", 2),
+            ("syzygy", 3),      # y as vowel
+            ("rhythm", 1),      # floor at 1
+            ("123", 0),         # letterless token
+            ("", 0),
+            ("extraordinary", 5),
+        ],
+    )
+    def test_syllable_cases(self, spark, word, syl):
+        from pandas_weights_spark.functions.quality import (
+            syllable_count,
+            syllable_count_sql,
+        )
+
+        got = (
+            spark.range(1)
+            .select(syllable_count(F.lit(word)).alias("s"))
+            .first()["s"]
+        )
+        assert got == syl, word
+        # DuckDB replay agrees
+        import duckdb
+
+        sql_v = duckdb.sql(
+            f"SELECT {syllable_count_sql(repr(word))} AS s"
+        ).fetchone()[0]
+        assert sql_v == syl, word
+
+    def test_row_local_plan(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_metrics,
+        )
+
+        df = spark.createDataFrame([("x y. z",)], "text string")
+        m = readability_metrics(F.col("text"))
+        plan = (
+            df.select(*[v.alias(k) for k, v in m.items()])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
