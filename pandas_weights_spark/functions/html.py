@@ -46,6 +46,8 @@ __all__ = [
     "main_content",
     "html_extract",
     "extract_tables",
+    "extract_meta",
+    "extract_meta_sql",
     "link_graph",
 ]
 
@@ -306,42 +308,59 @@ def main_content(
 
     Pure HOF pipeline (split → transform → filter → array_join): no
     shuffle, no UDF, no per-row Python.
+
+    Cost discipline (r11): the entity decode — the most expensive
+    fragment pass (numeric-charref split + the entity replace chain)
+    — runs ONLY on blocks that survive the filter. The keep decision
+    (word count, length, link density) is measured on tag-stripped,
+    whitespace-collapsed, UNDECODED text, and anchor characters
+    likewise count raw entity text (``&amp;`` is 5 density chars, not
+    1) — a documented approximation that only shifts blocks sitting
+    exactly on a threshold with entity-laden text. Surviving blocks
+    then emit the exact ``collapse(decode(strip(block)))`` string as
+    before.
     """
     clean = _strip_invisible(html)
     blocks = F.split(clean, _BLOCK_RE)
 
-    def block_text(b: Column) -> Column:
-        return _collapse_ws(
-            _decode_entities(F.regexp_replace(b, _ANY_TAG_RE, ""))
-        )
+    def raw_text(b: Column) -> Column:
+        # tag-stripped + collapsed, NO entity decode (filter metrics)
+        return _collapse_ws(F.regexp_replace(b, _ANY_TAG_RE, ""))
 
     def anchor_chars(b: Column) -> Column:
-        # total VISIBLE characters inside <a>…</a> bodies of the block
+        # total characters inside <a>…</a> bodies of the block
+        # (collapsed, undecoded)
         return F.aggregate(
             F.regexp_extract_all(b, F.lit(_ANCHOR_BODY_RE), F.lit(1)),
             F.lit(0),
-            lambda acc, a: acc + F.length(block_text(a)),
+            lambda acc, a: acc + F.length(raw_text(a)),
         )
 
     scored = F.transform(
         blocks,
         lambda b: F.struct(
-            block_text(b).alias("t"),
+            raw_text(b).alias("u"),
+            F.regexp_replace(b, _ANY_TAG_RE, "").alias("x"),
             anchor_chars(b).alias("a"),
         ),
     )
     kept = F.filter(
         scored,
         lambda s: (
-            F.size(F.split(s["t"], "[ \n]")) >= F.lit(int(min_words))
+            F.size(F.split(s["u"], "[ \n]")) >= F.lit(int(min_words))
         )
-        & (F.length(s["t"]) > 0)
+        & (F.length(s["u"]) > 0)
         & (
             s["a"].cast("double")
-            <= F.lit(float(max_link_density)) * F.length(s["t"])
+            <= F.lit(float(max_link_density)) * F.length(s["u"])
         ),
     )
-    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n\n")
+    return F.array_join(
+        F.transform(
+            kept, lambda s: _collapse_ws(_decode_entities(s["x"]))
+        ),
+        "\n\n",
+    )
 
 
 def html_extract(
@@ -554,33 +573,35 @@ def extract_tables_sql(expr: str) -> str:
 def main_content_sql(
     expr: str, min_words: int = 5, max_link_density: float = 0.5
 ) -> str:
-    def block_text(b: str) -> str:
-        return _collapse_ws_sql(
-            _decode_entities_sql(
-                f"regexp_replace({b}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
-            )
-        )
+    def strip(b: str) -> str:
+        return f"regexp_replace({b}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
+
+    def raw_text(b: str) -> str:
+        # mirror of the Column-side raw_text: collapsed, UNDECODED
+        return _collapse_ws_sql(strip(b))
 
     clean = f"regexp_replace({expr}, '{_sq(_INVISIBLE_RE)}', ' ', 'g')"
     blocks = f"str_split_regex({clean}, '{_sq(_BLOCK_RE)}')"
     anchor = (
         f"coalesce(list_sum(list_transform("
         f"regexp_extract_all(b, '{_sq(_ANCHOR_BODY_RE)}', 1), "
-        f"a2 -> length({block_text('a2')}))), 0)"
+        f"a2 -> length({raw_text('a2')}))), 0)"
     )
     scored = (
         f"list_transform({blocks}, "
-        f"b -> struct_pack(t := {block_text('b')}, a := {anchor}))"
+        f"b -> struct_pack(u := {raw_text('b')}, "
+        f"x := {strip('b')}, a := {anchor}))"
     )
     kept = (
         f"list_filter({scored}, s -> "
-        f"len(str_split_regex(s.t, '[ \\n]')) >= {int(min_words)} "
-        f"and length(s.t) > 0 "
+        f"len(str_split_regex(s.u, '[ \\n]')) >= {int(min_words)} "
+        f"and length(s.u) > 0 "
         f"and cast(s.a as double) <= "
-        f"{float(max_link_density)!r} * length(s.t))"
+        f"{float(max_link_density)!r} * length(s.u))"
     )
+    out_t = _collapse_ws_sql(_decode_entities_sql("s.x"))
     return (
-        f"array_to_string(list_transform({kept}, s -> s.t), "
+        f"array_to_string(list_transform({kept}, s -> {out_t}), "
         f"chr(10)||chr(10))"
     )
 
@@ -708,3 +729,148 @@ def anchor_stats(
         F.col("__arg__.t").alias("top_anchor"),
         (-F.col("__arg__.a")).cast("long").alias("top_n"),
     )
+
+
+# ---------------------------------------------------------------------
+# Page metadata: description / OpenGraph / canonical / published date
+# ---------------------------------------------------------------------
+
+def _meta_content_re(key: str) -> "tuple[str, str]":
+    """Regex pair (attribute-order-tolerant) for the ``content`` of a
+    ``<meta>`` whose ``name``/``property`` equals ``key`` — real pages
+    emit both ``<meta name=.. content=..>`` and the reversed order."""
+    attr = f"(?:name|property){_WS}*={_WS}*[\"']{key}[\"']"
+    val = f"content{_WS}*={_WS}*[\"']([^\"']*)[\"']"
+    fwd = f"(?is)<meta\\b[^>]*{attr}[^>]*{val}"
+    rev = f"(?is)<meta\\b[^>]*{val}[^>]*{attr}"
+    return fwd, rev
+
+
+_CANON_HREF = "href" + _WS + "*=" + _WS + "*[\"']([^\"']*)[\"']"
+_CANON_REL = "rel" + _WS + "*=" + _WS + "*[\"']canonical[\"']"
+_CANON_FWD = f"(?is)<link\\b[^>]*{_CANON_REL}[^>]*{_CANON_HREF}"
+_CANON_REV = f"(?is)<link\\b[^>]*{_CANON_HREF}[^>]*{_CANON_REL}"
+_TIME_RE = (
+    "(?is)<time\\b[^>]*datetime" + _WS + "*=" + _WS
+    + "*[\"']([^\"']*)[\"']"
+)
+#: JSON-LD ``datePublished`` — matched anywhere in the document
+#: (documented heuristic: this module never parses JSON or builds a
+#: DOM; a datePublished key outside an ld+json block also matches)
+_LDJSON_DATE_RE = r'(?is)"datePublished"\s*:\s*"([^"]*)"'
+_ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}"
+
+
+def _first_nonempty(*cols: Column) -> Column:
+    return F.coalesce(
+        *[F.nullif(c, F.lit("")) for c in cols], F.lit("")
+    )
+
+
+def _meta_field(html: Column, key: str) -> Column:
+    fwd, rev = _meta_content_re(key)
+    return _first_nonempty(
+        F.regexp_extract(html, fwd, 1), F.regexp_extract(html, rev, 1)
+    )
+
+
+def extract_meta(html: Column) -> "Dict[str, Column]":
+    """Page-level metadata a crawl pipeline filters and joins on —
+    meta description, OpenGraph title/description, the canonical URL,
+    and the publication date (provenance for temporal slicing of a
+    crawl). All single-pass ``regexp_extract`` Column algebra: zero
+    shuffle, attribute-order tolerant, entity-decoded text fields.
+
+    Returned columns (empty string when absent; NULL html → NULL):
+
+    - ``meta_description`` — ``<meta name="description">``
+    - ``og_title`` / ``og_description`` — OpenGraph properties
+    - ``canonical_url`` — ``<link rel="canonical" href>``
+    - ``published_raw`` — first of ``article:published_time`` meta,
+      ``<time datetime>``, JSON-LD ``"datePublished"`` (that priority)
+    - ``published_date`` — ``published_raw``'s leading ISO
+      ``yyyy-MM-dd`` as a DATE, NULL when unparseable
+
+    The date never goes through a locale parser: a regex gate + a
+    10-char slice keeps semantics identical in Spark and the DuckDB
+    oracle replay (:func:`extract_meta_sql`).
+    """
+    desc = _collapse_ws(
+        _decode_entities(_meta_field(html, "description"))
+    )
+    og_title = _collapse_ws(
+        _decode_entities(_meta_field(html, "og:title"))
+    )
+    og_desc = _collapse_ws(
+        _decode_entities(_meta_field(html, "og:description"))
+    )
+    canon = _first_nonempty(
+        F.regexp_extract(html, _CANON_FWD, 1),
+        F.regexp_extract(html, _CANON_REV, 1),
+    )
+    raw = _first_nonempty(
+        _meta_field(html, "article:published_time"),
+        F.regexp_extract(html, _TIME_RE, 1),
+        F.regexp_extract(html, _LDJSON_DATE_RE, 1),
+    )
+    date = F.when(
+        raw.rlike(_ISO_DATE_RE),
+        F.to_date(F.substring(raw, 1, 10), "yyyy-MM-dd"),
+    )
+    return {
+        "meta_description": desc,
+        "og_title": og_title,
+        "og_description": og_desc,
+        "canonical_url": canon,
+        "published_raw": raw,
+        "published_date": date,
+    }
+
+
+def _first_nonempty_sql(*exprs: str) -> str:
+    inner = ", ".join(f"nullif({e}, '')" for e in exprs)
+    return f"coalesce({inner}, '')"
+
+
+def _meta_field_sql(expr: str, key: str) -> str:
+    fwd, rev = _meta_content_re(key)
+    return _first_nonempty_sql(
+        f"regexp_extract({expr}, '{_sq(fwd)}', 1)",
+        f"regexp_extract({expr}, '{_sq(rev)}', 1)",
+    )
+
+
+def extract_meta_sql(expr: str) -> "dict[str, str]":
+    """DuckDB replay of :func:`extract_meta` — same pattern constants
+    (emitted, not copied), same priority order, same regex-gated ISO
+    date slice."""
+    desc = _collapse_ws_sql(
+        _decode_entities_sql(_meta_field_sql(expr, "description"))
+    )
+    og_title = _collapse_ws_sql(
+        _decode_entities_sql(_meta_field_sql(expr, "og:title"))
+    )
+    og_desc = _collapse_ws_sql(
+        _decode_entities_sql(_meta_field_sql(expr, "og:description"))
+    )
+    canon = _first_nonempty_sql(
+        f"regexp_extract({expr}, '{_sq(_CANON_FWD)}', 1)",
+        f"regexp_extract({expr}, '{_sq(_CANON_REV)}', 1)",
+    )
+    raw = _first_nonempty_sql(
+        _meta_field_sql(expr, "article:published_time"),
+        f"regexp_extract({expr}, '{_sq(_TIME_RE)}', 1)",
+        f"regexp_extract({expr}, '{_sq(_LDJSON_DATE_RE)}', 1)",
+    )
+    date = (
+        f"CASE WHEN regexp_matches({raw}, '{_sq(_ISO_DATE_RE)}') "
+        f"THEN CAST(substr({raw}, 1, 10) AS DATE) END"
+    )
+    return {
+        "meta_description": desc,
+        "og_title": og_title,
+        "og_description": og_desc,
+        "canonical_url": canon,
+        "published_raw": raw,
+        "published_date": date,
+    }

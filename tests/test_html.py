@@ -507,3 +507,117 @@ class TestExtractTables:
                 f"SELECT {sql} FROM (SELECT ? AS h)", [d]
             ).fetchone()[0]
             assert rep == got[i], d
+
+
+class TestExtractMeta:
+    META_PAGE = (
+        "<html><head><title>t</title>"
+        '<meta name="description" content="Caf&#233; &amp; more">'
+        '<meta content="OGT" property="og:title">'
+        '<meta property="og:description" content="OGD">'
+        '<link rel="canonical" href="https://ex.org/a">'
+        '<meta property="article:published_time" '
+        'content="2023-05-17T08:30:00Z">'
+        "</head><body>"
+        '<time datetime="2001-01-01">decoy</time>'
+        "x</body></html>"
+    )
+
+    def _meta(self, spark, html):
+        from pandas_weights_spark.functions.html import extract_meta
+
+        df = spark.createDataFrame([(html,)], "h string")
+        m = extract_meta(F.col("h"))
+        return df.select(
+            *[v.alias(k) for k, v in m.items()]
+        ).first()
+
+    def test_full_page(self, spark):
+        r = self._meta(spark, self.META_PAGE)
+        assert r["meta_description"] == "Café & more"
+        assert r["og_title"] == "OGT"  # reversed attribute order
+        assert r["og_description"] == "OGD"
+        assert r["canonical_url"] == "https://ex.org/a"
+        # meta article:published_time wins over the body <time>
+        assert r["published_raw"] == "2023-05-17T08:30:00Z"
+        assert str(r["published_date"]) == "2023-05-17"
+
+    def test_absent_fields_empty(self, spark):
+        r = self._meta(spark, "<html><body>plain</body></html>")
+        assert r["meta_description"] == ""
+        assert r["og_title"] == ""
+        assert r["canonical_url"] == ""
+        assert r["published_raw"] == ""
+        assert r["published_date"] is None
+
+    def test_time_beats_ldjson(self, spark):
+        html = (
+            '<script type="application/ld+json">'
+            '{"datePublished": "2020-02-02"}</script>'
+            '<time datetime="2021-03-03T00:00:00">x</time>'
+        )
+        r = self._meta(spark, html)
+        assert r["published_raw"] == "2021-03-03T00:00:00"
+        assert str(r["published_date"]) == "2021-03-03"
+
+    def test_ldjson_fallback_and_reversed_canonical(self, spark):
+        html = (
+            '<link href="https://c.example/x" rel="canonical">'
+            '<script type="application/ld+json">'
+            '{"datePublished": "2019-12-31T23:59:59+01:00"}</script>'
+        )
+        r = self._meta(spark, html)
+        assert r["canonical_url"] == "https://c.example/x"
+        assert str(r["published_date"]) == "2019-12-31"
+
+    def test_unparseable_date_null(self, spark):
+        r = self._meta(spark, '<time datetime="last tuesday">x</time>')
+        assert r["published_raw"] == "last tuesday"
+        assert r["published_date"] is None
+
+    def test_duckdb_replay_agrees(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            extract_meta_sql,
+        )
+
+        pages = [
+            self.META_PAGE,
+            "<html><body>plain</body></html>",
+            '<time datetime="2021-03-03">x</time>',
+            '<meta content="rev &lt;d&gt;" name="description">',
+        ]
+        m = extract_meta_sql("h")
+        cols = ", ".join(f"{v} AS {k}" for k, v in m.items())
+        for p in pages:
+            got = self._meta(spark, p).asDict()
+            lit = p.replace("'", "''")
+            exp = (
+                duckdb.sql(f"SELECT {cols} FROM (SELECT '{lit}' AS h)")
+                .df()
+                .iloc[0]
+                .to_dict()
+            )
+            for k in got:
+                g, e = got[k], exp[k]
+                if k == "published_date":
+                    g = None if g is None else str(g)
+                    import pandas as pd
+
+                    e = None if pd.isna(e) else str(pd.Timestamp(e).date())
+                assert g == e, (k, p, g, e)
+
+    def test_row_local_plan(self, spark):
+        from pandas_weights_spark.functions.html import extract_meta
+
+        df = spark.createDataFrame([("<p>x</p>",)], "h string")
+        m = extract_meta(F.col("h"))
+        plan = (
+            df.select(*[v.alias(k) for k, v in m.items()])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
