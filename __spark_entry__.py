@@ -9305,6 +9305,316 @@ def _c4_fineweb_sql() -> str:
 _ORACLE["c4_fineweb"] = _c4_fineweb_sql()
 
 
+#: fixture tail shared by the readability query and its oracle — an
+#: abbreviation (Dr.), an e.g., a question, and an exclamation so the
+#: sentence splitter, silent-e and -le syllable rules all fire.
+_READ_TAIL = (
+    " incomprehensible tables. Was it e.g. a simple ruse? "
+    "Make no mistake!"
+)
+
+
+def _q_readability(spark, sf_dir):
+    # r11: the classic readability panel (functions/quality.py
+    # readability_metrics — Flesch 1948, Kincaid 1975, ARI 1967,
+    # Coleman–Liau 1975, LIX 1968, type-token ratio) as row-local
+    # Column algebra over ONE token array + ONE sentence split (the
+    # quality_panel producer-projection discipline). Each doc gains a
+    # crafted tail exercising the abbreviation-protected sentence
+    # splitter and both syllable edge rules (silent-e "mistake"/-le
+    # "tables"/"simple"). Every formula is integer masses feeding
+    # single IEEE divisions in mirrored order; ROUND 6 absorbs ulps.
+    # Zero shuffle — the panel pipelines into the parquet scan.
+    from pandas_weights_spark.functions.quality import (
+        readability_metrics,
+    )
+    from pandas_weights_spark.functions.text import (
+        split_sentences,
+        tokens,
+    )
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Dr. Smith saw "),
+        F.col("doc_id").cast("string"),
+        F.lit(_READ_TAIL),
+    )
+    staged = _docs(spark, sf_dir).withColumns(
+        {
+            "__t__": aug,
+            "__ws__": tokens(aug),
+            "__sents__": split_sentences(aug),
+        }
+    )
+    m = readability_metrics(
+        F.col("__t__"), toks=F.col("__ws__"), sents=F.col("__sents__")
+    )
+    return staged.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["n_sentences"].alias("n_sentences"),
+        m["n_syllables"].alias("n_syllables"),
+        F.round(m["flesch"], 6).alias("flesch"),
+        F.round(m["fk_grade"], 6).alias("fk_grade"),
+        F.round(m["ari"], 6).alias("ari"),
+        F.round(m["coleman_liau"], 6).alias("coleman_liau"),
+        F.round(m["lix"], 6).alias("lix"),
+        F.round(m["ttr"], 6).alias("ttr"),
+    )
+
+
+def _readability_sql() -> str:
+    from pandas_weights_spark.functions.quality import (
+        syllable_count_sql,
+    )
+    from pandas_weights_spark.functions.text import (
+        split_sentences_sql,
+    )
+
+    letters = "length(regexp_replace(w, '[^A-Za-z]', '', 'g'))"
+    alnum = "length(regexp_replace(w, '[^A-Za-z0-9]', '', 'g'))"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Dr. Smith saw ' || CAST(doc_id AS VARCHAR)
+                  || '{_READ_TAIL}' AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(t), '\\s+') AS ws,
+             {split_sentences_sql('t')} AS sents
+      FROM aug
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS W,
+        CAST(greatest(len(sents), 1) AS BIGINT) AS S,
+        CAST(list_sum(list_transform(ws,
+          w -> {syllable_count_sql('w')})) AS BIGINT) AS Y,
+        CAST(list_sum(list_transform(ws, w -> {letters}))
+          AS BIGINT) AS L,
+        CAST(list_sum(list_transform(ws, w -> {alnum}))
+          AS BIGINT) AS C,
+        CAST(len(list_filter(ws, w -> {letters} > 6))
+          AS BIGINT) AS LW,
+        CAST(len(list_distinct(list_transform(ws, w -> lower(w))))
+          AS BIGINT) AS D
+      FROM tok
+    )
+    SELECT doc_id,
+      W AS n_words,
+      S AS n_sentences,
+      Y AS n_syllables,
+      round(206.835 - 1.015 * (CAST(W AS DOUBLE) / CAST(S AS DOUBLE))
+            - 84.6 * (CAST(Y AS DOUBLE) / CAST(W AS DOUBLE)), 6)
+        AS flesch,
+      round(0.39 * (CAST(W AS DOUBLE) / CAST(S AS DOUBLE))
+            + 11.8 * (CAST(Y AS DOUBLE) / CAST(W AS DOUBLE))
+            - 15.59, 6) AS fk_grade,
+      round(4.71 * (CAST(C AS DOUBLE) / CAST(W AS DOUBLE))
+            + 0.5 * (CAST(W AS DOUBLE) / CAST(S AS DOUBLE))
+            - 21.43, 6) AS ari,
+      round(0.0588 * (100.0 * CAST(L AS DOUBLE) / CAST(W AS DOUBLE))
+            - 0.296 * (100.0 * CAST(S AS DOUBLE) / CAST(W AS DOUBLE))
+            - 15.8, 6) AS coleman_liau,
+      round((CAST(W AS DOUBLE) / CAST(S AS DOUBLE))
+            + 100.0 * (CAST(LW AS DOUBLE) / CAST(W AS DOUBLE)), 6)
+        AS lix,
+      round(CAST(D AS DOUBLE) / CAST(W AS DOUBLE), 6) AS ttr
+    FROM agg
+"""
+
+
+_ORACLE["readability"] = _readability_sql()
+
+
+def _q_html_meta(spark, sf_dir):
+    # r11: page-metadata extraction (functions/html.py extract_meta)
+    # — meta description (entity-decoded), OpenGraph title/
+    # description, canonical link, and the publication date with the
+    # documented source priority (article:published_time meta >
+    # <time datetime> > JSON-LD datePublished). The fixture exercises
+    # both attribute orders (odd docs reverse name/content, %3 docs
+    # reverse rel/href), absence (og:description only on even docs),
+    # all three date sources (%3 classes), priority (every %5 doc
+    # plants a DECOY <time> that must lose to the meta tag), and an
+    # unparseable date (%13 docs publish 'soon' → DATE NULL). Single
+    # regexp_extract passes, zero shuffle; the oracle rebuilds the
+    # SAME fixture string and replays via extract_meta_sql.
+    from pandas_weights_spark.functions.html import extract_meta
+
+    did = F.col("doc_id")
+    ds = F.concat(
+        F.lit("2024-"),
+        F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+    )
+    raw_ds = F.when(did % 13 == 0, F.lit("soon")).otherwise(ds)
+    ids = did.cast("string")
+    desc_val = F.concat(
+        F.lit("Caf&#233; guide &amp; tips "), ids
+    )
+    meta_desc = F.when(
+        did % 2 == 1,
+        F.concat(
+            F.lit('<meta content="'),
+            desc_val,
+            F.lit('" name="description">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta name="description" content="'),
+            desc_val,
+            F.lit('">'),
+        )
+    )
+    og_title = F.concat(
+        F.lit('<meta property="og:title" content="OG Title '),
+        ids,
+        F.lit('">'),
+    )
+    og_desc = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<meta property="og:description" content="OG '),
+            F.lit('description '),
+            ids,
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://ex.org/p/'),
+            ids,
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<link href="https://ex.org/p/'),
+            ids,
+            F.lit('" rel="canonical">'),
+        )
+    )
+    pub = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(
+                    '<meta property="article:published_time" '
+                    'content="'
+                ),
+                raw_ds,
+                F.lit('T08:30:00Z">'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('<time datetime="'),
+                raw_ds,
+                F.lit('">posted</time>'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"datePublished": "'
+                ),
+                raw_ds,
+                F.lit('"}</script>'),
+            )
+        )
+    )
+    decoy = F.when(
+        did % 5 == 0, F.lit('<time datetime="1999-01-01">old</time>')
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        meta_desc,
+        og_title,
+        og_desc,
+        canon,
+        pub,
+        F.lit("</head><body>"),
+        decoy,
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    staged = _docs(spark, sf_dir).withColumn("__h__", page)
+    m = extract_meta(F.col("__h__"))
+    return staged.select(
+        "doc_id", *[v.alias(k) for k, v in m.items()]
+    )
+
+
+def _html_meta_sql() -> str:
+    from pandas_weights_spark.functions.html import extract_meta_sql
+
+    m = extract_meta_sql("h")
+    cols = ",\n      ".join(f"{v} AS {k}" for k, v in m.items())
+    return f"""
+    WITH fix AS (
+      SELECT doc_id,
+        '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+          || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          AS ds
+      FROM documents
+    ),
+    page AS (
+      SELECT d.doc_id,
+        '<html><head><title>t</title>'
+        || CASE WHEN d.doc_id % 2 = 1
+             THEN '<meta content="Caf&#233; guide &amp; tips '
+                  || CAST(d.doc_id AS VARCHAR) || '" name="description">'
+             ELSE '<meta name="description" content="Caf&#233; guide '
+                  || '&amp; tips ' || CAST(d.doc_id AS VARCHAR) || '">'
+           END
+        || '<meta property="og:title" content="OG Title '
+           || CAST(d.doc_id AS VARCHAR) || '">'
+        || CASE WHEN d.doc_id % 2 = 0
+             THEN '<meta property="og:description" content="OG '
+                  || 'description ' || CAST(d.doc_id AS VARCHAR) || '">'
+             ELSE '' END
+        || CASE WHEN d.doc_id % 3 = 0
+             THEN '<link rel="canonical" href="https://ex.org/p/'
+                  || CAST(d.doc_id AS VARCHAR) || '">'
+             ELSE '<link href="https://ex.org/p/'
+                  || CAST(d.doc_id AS VARCHAR) || '" rel="canonical">'
+           END
+        || CASE
+             WHEN d.doc_id % 3 = 0
+             THEN '<meta property="article:published_time" content="'
+                  || (CASE WHEN d.doc_id % 13 = 0 THEN 'soon'
+                      ELSE f.ds END) || 'T08:30:00Z">'
+             WHEN d.doc_id % 3 = 1
+             THEN '<time datetime="'
+                  || (CASE WHEN d.doc_id % 13 = 0 THEN 'soon'
+                      ELSE f.ds END) || '">posted</time>'
+             ELSE '<script type="application/ld+json">'
+                  || '{{"datePublished": "'
+                  || (CASE WHEN d.doc_id % 13 = 0 THEN 'soon'
+                      ELSE f.ds END) || '"}}</script>'
+           END
+        || '</head><body>'
+        || CASE WHEN d.doc_id % 5 = 0
+             THEN '<time datetime="1999-01-01">old</time>'
+             ELSE '' END
+        || d.text || '</body></html>' AS h
+      FROM documents d JOIN fix f ON d.doc_id = f.doc_id
+    )
+    SELECT doc_id,
+      {cols}
+    FROM page
+"""
+
+
+_ORACLE["html_meta"] = _html_meta_sql()
+
+
 def _q_hybrid_search(spark, sf_dir):
     # r10: hybrid retrieval via reciprocal-rank fusion
     # (functions/search.py rrf_fuse — Cormack et al. 2009, k=60): the
@@ -9747,7 +10057,12 @@ _PREV_WINDOW: frozenset = frozenset({
 })
 
 #: queries ADDED in the current round (r11) — always in the window.
-_NEW_THIS_ROUND: tuple = ("c4_fineweb", "html_tables")
+_NEW_THIS_ROUND: tuple = (
+    "c4_fineweb",
+    "html_tables",
+    "readability",
+    "html_meta",
+)
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
@@ -9785,6 +10100,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the driver-facing order is computed by queries() above.
     return {
         # --- r11 queries ---
+        "readability": _q_readability,
+        "html_meta": _q_html_meta,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
