@@ -9615,6 +9615,75 @@ def _html_meta_sql() -> str:
 _ORACLE["html_meta"] = _html_meta_sql()
 
 
+def _q_semantic_decontam(spark, sf_dir):
+    # r11: embedding-level decontamination (functions/decontam.py
+    # semantic_overlap) — the semantic complement of the 13-gram
+    # decontam query: paraphrased benchmark leakage that shares no
+    # shingle still lands at cosine ~= 1. Benchmark fixture = every
+    # 10th embedding SCALED BY 2 (cosine is scale-invariant, so the
+    # corpus original must hit ~1.0 against its scaled copy — the
+    # planted leak), everything else sits far below the 0.99 gate.
+    # Shape: broadcast benchmark x streamed corpus (BNL, allowlisted),
+    # per-corpus-id max via ONE struct-max aggregate with map-side
+    # combine; ties to the smaller benchmark id. The oracle replays
+    # scoring + argmax via row_number; ROUND 6 on the cosine.
+    from pandas_weights_spark.functions.decontam import (
+        semantic_overlap,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("bid"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(2.0)
+        ).alias("bv"),
+    )
+    out = semantic_overlap(
+        emb,
+        bench,
+        threshold=0.99,
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        bench_id="bid",
+        bench_vec="bv",
+    )
+    return out.select(
+        "vec_id",
+        F.round("max_cosine", 6).alias("max_cosine"),
+        F.col("nearest_bench_id").cast("long").alias(
+            "nearest_bench_id"
+        ),
+        "contaminated",
+    )
+
+
+_ORACLE["semantic_decontam"] = """
+    WITH bench AS (
+      SELECT vec_id AS bid,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x * 2.0) AS bv
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    scored AS (
+      SELECT c.vec_id, b.bid,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    b.bv) AS cos
+      FROM embeddings c CROSS JOIN bench b
+    ),
+    ranked AS (
+      SELECT vec_id, bid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bid) AS rn
+      FROM scored
+    )
+    SELECT vec_id,
+           round(cos, 6) AS max_cosine,
+           CAST(bid AS BIGINT) AS nearest_bench_id,
+           cos >= 0.99 AS contaminated
+    FROM ranked WHERE rn = 1
+"""
+
+
 def _q_hybrid_search(spark, sf_dir):
     # r10: hybrid retrieval via reciprocal-rank fusion
     # (functions/search.py rrf_fuse — Cormack et al. 2009, k=60): the
@@ -10062,6 +10131,7 @@ _NEW_THIS_ROUND: tuple = (
     "html_tables",
     "readability",
     "html_meta",
+    "semantic_decontam",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10102,6 +10172,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 queries ---
         "readability": _q_readability,
         "html_meta": _q_html_meta,
+        "semantic_decontam": _q_semantic_decontam,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---

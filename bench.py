@@ -121,6 +121,8 @@ HEADLINE = [
     "html_tables",         # structured table recovery from HTML (r11)
     "wordpiece",           # likelihood-scored WordPiece train + encode (r11)
     "readability",         # Flesch/FK/ARI/CLI/LIX/TTR panel (r11)
+    "html_meta",           # meta/OpenGraph/canonical/published-date (r11)
+    "semantic_decontam",   # embedding-level benchmark leakage (r11)
 ]
 
 

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from pandas_weights_spark.functions.text import word_ngrams
 
-__all__ = ["ngram_overlap", "decontaminate"]
+__all__ = [
+    "ngram_overlap",
+    "decontaminate",
+    "semantic_overlap",
+    "semantic_decontaminate",
+]
 
 
 def _shingle_rows(
@@ -118,3 +123,91 @@ def decontaminate(
         broadcast_benchmark=broadcast_benchmark,
     ).where(F.col("contaminated")).select(id_col)
     return df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_id: str = "vec_id",
+    bench_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: for every corpus vector, the
+    maximum cosine against the benchmark's embedding set, the nearest
+    benchmark row, and ``contaminated = max_cosine >= threshold``.
+
+    The semantic complement of :func:`ngram_overlap` — paraphrased or
+    reformatted benchmark leakage that shares no 13-gram still lands
+    at cosine ≈ 1 (the D4/"semantic decontamination" step of modern
+    pipelines, e.g. Phi/DataComp-style near-match filtering).
+
+    Scale shape: the benchmark is an EVAL SET — thousands of rows by
+    definition — so it broadcasts; the corpus streams through a
+    map-side broadcast nested-loop pass, and the only shuffle is the
+    per-corpus-id max aggregation (map-side combine first, one row per
+    corpus vector survives the map side). Nothing is ever collected;
+    argmax ties break to the smaller benchmark id via the struct-max
+    fold. Output: ``(corpus_id, max_cosine, nearest_bench_id,
+    contaminated)``.
+    """
+    from pandas_weights_spark.functions.similarity import dot, l2_norm
+
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bench_id).alias("__bid__"),
+            F.col(bench_vec).alias("__bv__"),
+            l2_norm(F.col(bench_vec)).alias("__bn__"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.col(corpus_vec).alias("__cv__"),
+        l2_norm(F.col(corpus_vec)).alias("__cn__"),
+    )
+    cos = F.try_divide(
+        dot(F.col("__cv__"), F.col("__bv__")),
+        F.col("__cn__") * F.col("__bn__"),
+    )
+    scored = c.crossJoin(b).select(
+        corpus_id,
+        cos.alias("__cos__"),
+        F.col("__bid__"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("__cos__").alias("c"),
+            (-F.col("__bid__")).alias("negid"),
+        )
+    )
+    return scored.groupBy(corpus_id).agg(
+        best.alias("__best__")
+    ).select(
+        corpus_id,
+        F.col("__best__.c").alias("max_cosine"),
+        (-F.col("__best__.negid")).alias("nearest_bench_id"),
+        (F.col("__best__.c") >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_id: str = "vec_id",
+    bench_vec: str = "embedding",
+) -> DataFrame:
+    """``corpus`` minus rows whose embedding sits within ``threshold``
+    cosine of any benchmark embedding (same columns as ``corpus``);
+    the flagged-id list is contamination-sized, so the anti-join
+    broadcasts."""
+    flagged = semantic_overlap(
+        corpus, benchmark, threshold,
+        corpus_id, corpus_vec, bench_id, bench_vec,
+    ).where(F.col("contaminated")).select(corpus_id)
+    return corpus.join(F.broadcast(flagged), corpus_id, "left_anti")

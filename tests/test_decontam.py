@@ -99,3 +99,109 @@ class TestDecontaminate:
         ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
         assert ids == [1, 2, 4]  # 0 exact, 3 whole-text match dropped
         assert kept.columns == corpus.columns
+
+
+class TestSemanticOverlap:
+    """semantic_overlap / semantic_decontaminate (decontam.py) —
+    embedding-level contamination with a numpy differential."""
+
+    @pytest.fixture()
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        v = rng.randn(8, 4)
+        rows = [(i, [float(x) for x in v[i]]) for i in range(8)]
+        return v, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_differential_and_flags(self, spark, vecs):
+        import numpy as np
+
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        v, corpus = vecs
+        # benchmark: scaled copies of vectors 0 and 5 + one unrelated
+        bench_rows = [
+            (0, [float(2 * x) for x in v[0]]),
+            (5, [float(3 * x) for x in v[5]]),
+            (9, [1.0, 0.0, 0.0, 0.0]),
+        ]
+        bench = spark.createDataFrame(
+            bench_rows, "bid long, bv array<double>"
+        )
+        out = {
+            r["vec_id"]: r
+            for r in semantic_overlap(
+                corpus, bench, 0.99,
+                "vec_id", "embedding", "bid", "bv",
+            ).collect()
+        }
+        b = np.array([r[1] for r in bench_rows])
+        bids = [r[0] for r in bench_rows]
+        for i in range(8):
+            cos = b @ v[i] / (
+                np.linalg.norm(b, axis=1) * np.linalg.norm(v[i])
+            )
+            j = int(np.argmax(cos))
+            r = out[i]
+            assert r["max_cosine"] == pytest.approx(cos[j], abs=1e-9)
+            assert r["nearest_bench_id"] == bids[j]
+            assert r["contaminated"] == bool(cos[j] >= 0.99)
+        # the planted scaled copies are flagged, nothing else
+        flagged = sorted(k for k, r in out.items() if r["contaminated"])
+        assert flagged == [0, 5]
+
+    def test_decontaminate_drops_flagged(self, spark, vecs):
+        from pandas_weights_spark.functions.decontam import (
+            semantic_decontaminate,
+        )
+
+        v, corpus = vecs
+        bench = spark.createDataFrame(
+            [(0, [float(2 * x) for x in v[3]])],
+            "bid long, bv array<double>",
+        )
+        kept = semantic_decontaminate(
+            corpus, bench, 0.99, "vec_id", "embedding", "bid", "bv"
+        )
+        ids = sorted(r["vec_id"] for r in kept.collect())
+        assert ids == [0, 1, 2, 4, 5, 6, 7]
+        assert kept.columns == corpus.columns
+
+    def test_tie_breaks_to_smaller_bench_id(self, spark):
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        bench = spark.createDataFrame(
+            [(7, [2.0, 0.0]), (3, [5.0, 0.0])],
+            "bid long, bv array<double>",
+        )
+        r = semantic_overlap(
+            corpus, bench, 0.5, "vec_id", "embedding", "bid", "bv"
+        ).first()
+        assert r["nearest_bench_id"] == 3  # cosine 1.0 tie -> min id
+
+    def test_benchmark_broadcast_in_plan(self, spark, vecs):
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        _, corpus = vecs
+        bench = corpus.select(
+            F.col("vec_id").alias("bid"),
+            F.col("embedding").alias("bv"),
+        )
+        df = semantic_overlap(
+            corpus, bench, 0.9, "vec_id", "embedding", "bid", "bv"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan, plan
+        assert "BatchEvalPython" not in plan
