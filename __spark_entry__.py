@@ -9615,6 +9615,104 @@ def _html_meta_sql() -> str:
 _ORACLE["html_meta"] = _html_meta_sql()
 
 
+def _q_html_markdown(spark, sf_dir):
+    # r11: HTML -> Markdown rendering (functions/html.py
+    # html_to_markdown — the structure-preserving representation LLM
+    # corpora keep where html_to_text flattens). The fixture walks the
+    # whole rewrite table: h1 with entities, bold/italic, bold INSIDE
+    # an anchor (rule-order pin), tight list with an omitted </li>,
+    # fenced pre/code on even docs vs inline code on odd, blockquote
+    # with a numeric charref, hr, img. The oracle rebuilds the same
+    # page and replays the SAME ordered rule table (html_to_markdown_
+    # sql emits it; RE2 \\N vs Java $N is the only divergence). Pure
+    # regexp chain, zero shuffle; md5-pinned like every long-text row.
+    from pandas_weights_spark.functions.html import html_to_markdown
+
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>x</title><style>p{}</style>"),
+        F.lit("</head><body><h1>"),
+        F.upper("source"),
+        F.lit(" &amp; doc "),
+        ids,
+        F.lit('</h1><p>Lead with <strong>bold</strong>, '
+              '<em>italic</em>, and a <a href="/p/'),
+        ids,
+        F.lit('">deep <b>link</b></a>.</p><ul><li>alpha '),
+        ids,
+        F.lit("<li>beta</li></ul>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("<pre><code>x = "),
+                ids,
+                F.lit("\nreturn x</code></pre>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<p>inline <code>f("),
+                ids,
+                F.lit(")</code> call</p>"),
+            )
+        ),
+        F.lit("<blockquote>Quote &#8212; cited</blockquote><hr>"),
+        F.lit('<img src="/img/'),
+        ids,
+        F.lit('.png"><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    md = html_to_markdown(F.col("__h__"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("__h__", page)
+        .select(
+            "doc_id",
+            F.md5(md).alias("md_fp"),
+            F.length(md).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _html_markdown_sql() -> str:
+    from pandas_weights_spark.functions.html import (
+        html_to_markdown_sql,
+    )
+
+    md = html_to_markdown_sql("h")
+    return f"""
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head><title>x</title><style>p{{}}</style>'
+        || '</head><body><h1>' || upper(source) || ' &amp; doc '
+        || CAST(doc_id AS VARCHAR)
+        || '</h1><p>Lead with <strong>bold</strong>, '
+        || '<em>italic</em>, and a <a href="/p/'
+        || CAST(doc_id AS VARCHAR)
+        || '">deep <b>link</b></a>.</p><ul><li>alpha '
+        || CAST(doc_id AS VARCHAR) || '<li>beta</li></ul>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<pre><code>x = ' || CAST(doc_id AS VARCHAR)
+                  || chr(10) || 'return x</code></pre>'
+             ELSE '<p>inline <code>f(' || CAST(doc_id AS VARCHAR)
+                  || ')</code> call</p>'
+           END
+        || '<blockquote>Quote &#8212; cited</blockquote><hr>'
+        || '<img src="/img/' || CAST(doc_id AS VARCHAR) || '.png"><p>'
+        || text || '</p></body></html>' AS h
+      FROM documents
+    )
+    SELECT doc_id,
+      md5({md}) AS md_fp,
+      CAST(length({md}) AS BIGINT) AS n_chars
+    FROM page
+"""
+
+
+_ORACLE["html_markdown"] = _html_markdown_sql()
+
+
 def _q_semantic_decontam(spark, sf_dir):
     # r11: embedding-level decontamination (functions/decontam.py
     # semantic_overlap) — the semantic complement of the 13-gram
@@ -10132,6 +10230,7 @@ _NEW_THIS_ROUND: tuple = (
     "readability",
     "html_meta",
     "semantic_decontam",
+    "html_markdown",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10173,6 +10272,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "html_meta": _q_html_meta,
         "semantic_decontam": _q_semantic_decontam,
+        "html_markdown": _q_html_markdown,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---

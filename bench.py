@@ -123,6 +123,8 @@ HEADLINE = [
     "readability",         # Flesch/FK/ARI/CLI/LIX/TTR panel (r11)
     "html_meta",           # meta/OpenGraph/canonical/published-date (r11)
     "semantic_decontam",   # embedding-level benchmark leakage (r11)
+    "html_markdown",       # HTML -> Markdown rewrite-table render (r11)
+    "compress_ratio",      # zlib DEFLATE compressibility signal (r11)
 ]
 
 
@@ -755,6 +757,20 @@ def main() -> int:
     qs["bpe_train"] = _bpe_train
     qs["bpe_bytes"] = _bpe_bytes
     qs["wordpiece"] = _wordpiece
+
+    def _compress_ratio(spark_, sf_dir_):
+        # Arrow-batched DEFLATE compressibility over the whole
+        # documents table (the RedPajama-v2-family quality signal)
+        from pandas_weights_spark.functions.quality import (
+            compression_ratio,
+        )
+
+        docs = fan_out(load_table(spark_, sf_dir_, "documents"))
+        return docs.select(
+            "doc_id", compression_ratio(F.col("text")).alias("cr")
+        )
+
+    qs["compress_ratio"] = _compress_ratio
 
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the

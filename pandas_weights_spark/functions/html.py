@@ -48,6 +48,8 @@ __all__ = [
     "extract_tables",
     "extract_meta",
     "extract_meta_sql",
+    "html_to_markdown",
+    "html_to_markdown_sql",
     "link_graph",
 ]
 
@@ -874,3 +876,115 @@ def extract_meta_sql(expr: str) -> "dict[str, str]":
         "published_raw": raw,
         "published_date": date,
     }
+
+
+# ---------------------------------------------------------------------
+# HTML -> Markdown (the LLM-corpus text representation)
+# ---------------------------------------------------------------------
+
+def _md_heading_rules() -> "list[tuple[str, str]]":
+    out = []
+    for n in range(1, 7):
+        out.append(
+            (
+                f"(?is)<h{n}\\b[^>]*>([^\\x00]*?)</h{n}{_WS}*>",
+                "\n\n" + "#" * n + " $1\n\n",
+            )
+        )
+    return out
+
+
+#: ordered (pattern, replacement) rewrite table shared by the Column
+#: chain and the SQL replay — replacements use Java's ``$N`` group
+#: syntax; the SQL emitter converts to RE2's ``\N``. ORDER MATTERS:
+#: fences before inline code, inline marks before links (bold inside
+#: anchor text must already carry its ``**`` when the link wraps it).
+_MD_RULES: "list[tuple[str, str]]" = (
+    [
+        # <pre><code>..</code></pre> and bare <pre> -> fenced block
+        (
+            "(?is)<pre\\b[^>]*>" + _WS + "*<code\\b[^>]*>"
+            "([^\\x00]*?)</code>" + _WS + "*</pre" + _WS + "*>",
+            "\n\n```\n$1\n```\n\n",
+        ),
+        (
+            "(?is)<pre\\b[^>]*>([^\\x00]*?)</pre" + _WS + "*>",
+            "\n\n```\n$1\n```\n\n",
+        ),
+        ("(?is)<code\\b[^>]*>([^\\x00]*?)</code" + _WS + "*>",
+         "`$1`"),
+    ]
+    + _md_heading_rules()
+    + [
+        ("(?is)<strong\\b[^>]*>([^\\x00]*?)</strong" + _WS + "*>",
+         "**$1**"),
+        ("(?is)<b\\b[^>]*>([^\\x00]*?)</b" + _WS + "*>", "**$1**"),
+        ("(?is)<em\\b[^>]*>([^\\x00]*?)</em" + _WS + "*>", "*$1*"),
+        ("(?is)<i\\b[^>]*>([^\\x00]*?)</i" + _WS + "*>", "*$1*"),
+        (
+            "(?is)<a\\b[^>]*?href" + _WS + "*=" + _WS
+            + "*[\"']([^\"']*)[\"'][^>]*>([^\\x00]*?)</a" + _WS + "*>",
+            "[$2]($1)",
+        ),
+        (
+            "(?is)<img\\b[^>]*?src" + _WS + "*=" + _WS
+            + "*[\"']([^\"']*)[\"'][^>]*/?>",
+            "![]($1)",
+        ),
+        ("(?i)<hr\\b[^>]*/?>", "\n\n---\n\n"),
+        ("(?i)<li\\b[^>]*>", "\n- "),
+        # </li> vanishes (the next <li> or the list close supplies the
+        # break) so closed and unclosed lists render identically tight
+        ("(?i)</li" + _WS + "*>", ""),
+        ("(?i)<blockquote\\b[^>]*>", "\n\n> "),
+        ("(?i)</blockquote" + _WS + "*>", "\n\n"),
+        ("(?i)<br\\b[^>]*/?>", "\n"),
+        (
+            "(?i)</?(p|div|ul|ol|dl|dt|dd|tr|td|th|table|section|"
+            "article|aside|header|footer|nav|main|figure|figcaption|"
+            "form|fieldset|address)\\b[^>]*/?>",
+            "\n\n",
+        ),
+    ]
+)
+
+
+def html_to_markdown(html: Column) -> Column:
+    """Markdown rendering of an HTML document — the representation
+    modern pretraining corpora keep when structure matters (headings,
+    lists, links, emphasis, code fences survive as text instead of
+    vanishing like in :func:`html_to_text`).
+
+    A fixed, ordered regex rewrite table (``_MD_RULES``) shared with
+    the DuckDB replay: pre/code → fenced/inline code, h1–h6 → ``#``
+    runs, strong/b/em/i → ``**``/``*`` marks, anchors → ``[text]
+    (href)``, images → ``![](src)``, hr → ``---``, list items →
+    ``- `` bullets (ordered lists too — no DOM, no counter),
+    blockquote opens → one ``> `` (not per-line), other block tags →
+    paragraph breaks; leftover tags strip, entities decode, whitespace
+    collapses with paragraph breaks preserved.
+
+    Documented no-DOM approximations: markdown metacharacters in the
+    source text are NOT escaped; whitespace inside code fences
+    collapses like any text (indentation is not preserved); nested
+    same-name elements degrade at the first closing tag. NULL html →
+    NULL. Row-local, zero shuffle, scan-pipelined like every function
+    in this module.
+    """
+    col = _strip_invisible(html)
+    for pat, repl in _MD_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    col = F.regexp_replace(col, _ANY_TAG_RE, "")
+    col = _decode_entities(col)
+    return _collapse_ws(col)
+
+
+def html_to_markdown_sql(expr: str) -> str:
+    """DuckDB replay of :func:`html_to_markdown` — same rewrite table
+    (emitted, not copied), RE2 ``\\N`` group syntax."""
+    e = f"regexp_replace({expr}, '{_sq(_INVISIBLE_RE)}', ' ', 'g')"
+    for pat, repl in _MD_RULES:
+        r = repl.replace("$", "\\")
+        e = f"regexp_replace({e}, '{_sq(pat)}', '{_sq(r)}', 'g')"
+    e = f"regexp_replace({e}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
+    return _collapse_ws_sql(_decode_entities_sql(e))

@@ -62,6 +62,7 @@ __all__ = [
     "syllable_count",
     "syllable_count_sql",
     "readability_metrics",
+    "compression_ratio",
 ]
 
 _L = F.lit
@@ -843,3 +844,39 @@ def readability_metrics(
         ),
         "ttr": F.when(ok, distinct_words.cast("double") / wd),
     }
+
+
+def compression_ratio(text: Column, level: int = 6) -> Column:
+    """DEFLATE compressibility quality signal — ``len(zlib.compress
+    (utf8)) / len(utf8)`` (the RedPajama-v2 / Dolma
+    ``rps_doc_frac_...``-family signal): machine-generated or
+    boilerplate-repetitive text compresses far below prose (~0.3–0.4
+    vs ~0.5–0.7), while random/binary junk sits near or above 1.0.
+
+    Arrow-batched pandas UDF — DEFLATE's LZ77 window + Huffman coding
+    has no Column-algebra analog, so this is the sanctioned Python
+    surface (like ``unicode_normalize``). Deterministic for a fixed
+    zlib level (RFC 1950 stream, same library everywhere), pinned by
+    a pure-Python differential; tests-only by design — no DuckDB
+    replay exists. NULL and empty text → NULL. Row-local, zero
+    shuffle, scan-pipelined.
+    """
+    if not 0 <= int(level) <= 9:
+        raise ValueError(f"level must be 0..9, got {level}")
+    lv = int(level)
+
+    @F.pandas_udf("double")
+    def _ratio(s):  # pd.Series -> pd.Series
+        import zlib
+
+        def one(x):
+            if not isinstance(x, str):
+                return None
+            b = x.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, lv)) / len(b)
+
+        return s.map(one)
+
+    return _ratio(text)

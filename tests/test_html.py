@@ -621,3 +621,109 @@ class TestExtractMeta:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestHtmlToMarkdown:
+    def _md(self, spark, html):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+        )
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(
+            html_to_markdown(F.col("h")).alias("v")
+        ).first()["v"]
+
+    def test_full_page(self, spark):
+        html = (
+            "<html><head><title>x</title><style>p{}</style></head>"
+            "<body><h1>Big &amp; Bold</h1>"
+            "<p>Hello <strong>world</strong> and <em>more</em>.</p>"
+            "<ul><li>one</li><li>two</li></ul>"
+            '<a href="/x">a <b>link</b></a><hr>'
+            "<blockquote>quoted text</blockquote>"
+            "<p>inline <code>x=1</code> here</p>"
+            '<img src="/i.png"></body></html>'
+        )
+        assert self._md(spark, html) == (
+            "# Big & Bold\n\n"
+            "Hello **world** and *more*.\n\n"
+            "- one\n- two\n\n"
+            "[a **link**](/x)\n\n"
+            "---\n\n"
+            "> quoted text\n\n"
+            "inline `x=1` here\n\n"
+            "![](/i.png)"
+        )
+
+    def test_heading_levels(self, spark):
+        html = "".join(f"<h{n}>t{n}</h{n}>" for n in range(1, 7))
+        assert self._md(spark, html) == "\n\n".join(
+            f"{'#' * n} t{n}" for n in range(1, 7)
+        )
+
+    def test_fenced_pre_code(self, spark):
+        md = self._md(
+            spark, "<pre><code>a = 1\nreturn a</code></pre>"
+        )
+        # whitespace collapse inside fences is the documented no-DOM
+        # approximation: lines survive, indentation does not
+        assert md == "```\na = 1\nreturn a\n```"
+
+    def test_unclosed_list_items(self, spark):
+        assert (
+            self._md(spark, "<ol><li>first<li>second</ol>")
+            == "- first\n- second"
+        )
+
+    def test_bold_inside_anchor_rule_order(self, spark):
+        assert (
+            self._md(spark, '<a href="/y"><b>hot</b> take</a>')
+            == "[**hot** take](/y)"
+        )
+
+    def test_invisible_and_entities(self, spark):
+        md = self._md(
+            spark,
+            "<script>var a=1;</script><p>caf&#233; &amp; co</p>",
+        )
+        assert md == "café & co"
+
+    def test_null_html(self, spark):
+        assert self._md(spark, None) is None
+
+    def test_duckdb_replay_agrees(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown_sql,
+        )
+
+        pages = [
+            "<h2>T</h2><p>a <em>b</em> <a href='/u'>c</a></p>"
+            "<ul><li>i<li>j</ul><pre>code  here</pre>",
+            "<blockquote>q &#x4E2D;</blockquote><hr><img src='/s'>",
+        ]
+        sql = html_to_markdown_sql("h")
+        for p in pages:
+            got = self._md(spark, p)
+            lit = p.replace("'", "''")
+            exp = duckdb.sql(
+                f"SELECT {sql} AS v FROM (SELECT '{lit}' AS h)"
+            ).fetchone()[0]
+            assert got == exp, p
+
+    def test_row_local_plan(self, spark):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+        )
+
+        df = spark.createDataFrame([("<p>x</p>",)], "h string")
+        plan = (
+            df.select(html_to_markdown(F.col("h")).alias("v"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan

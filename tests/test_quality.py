@@ -667,3 +667,62 @@ class TestReadability:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestCompressionRatio:
+    def test_differential_and_ordering(self, spark):
+        import zlib
+
+        from pandas_weights_spark.functions.quality import (
+            compression_ratio,
+        )
+
+        texts = [
+            "spam " * 200,                       # repetitive -> low
+            "The quarterly report outlines revenue, margin shifts, "
+            "and the hiring plan across four distinct regions.",
+            "k9$Qz!vX2@pL7#mW4&nB8*cJ5^hT1%gR3(dF6)sY0yU+eI-oA=",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: r["cr"]
+            for r in df.select(
+                "id", compression_ratio(F.col("text")).alias("cr")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            if not t:
+                assert rows[i] is None, i
+                continue
+            b = t.encode("utf-8")
+            exp = len(zlib.compress(b, 6)) / len(b)
+            assert rows[i] == pytest.approx(exp, abs=1e-12), i
+        assert rows[0] < rows[1] < rows[2]  # the signal's whole point
+
+    def test_level_validation(self):
+        from pandas_weights_spark.functions.quality import (
+            compression_ratio,
+        )
+
+        with pytest.raises(ValueError):
+            compression_ratio(F.col("x"), level=17)
+
+    def test_arrow_batched_plan(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            compression_ratio,
+        )
+
+        df = spark.createDataFrame([("abc",)], "text string")
+        plan = (
+            df.select(compression_ratio(F.col("text")).alias("c"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
