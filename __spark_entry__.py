@@ -9615,6 +9615,47 @@ def _html_meta_sql() -> str:
 _ORACLE["html_meta"] = _html_meta_sql()
 
 
+def _q_knn_density(spark, sf_dir):
+    # r11: self-knn graph + embedding-space local density
+    # (functions/similarity.py knn_graph / knn_density — the DataComp/
+    # SemDeDup density signal: cluster cores and outliers both get
+    # pruned in curation). Bruteforce strategy here (exact, oracle-
+    # replayable); the 'ivf' strategy is the scale path — a SHUFFLE
+    # join on the cell key with NO corpus-sized broadcast, pinned
+    # probe-all ≡ bruteforce by tests. Ranking is by UNROUNDED cosine
+    # (ties to the smaller dst) in both engines; each edge cosine
+    # rounds to 6 before the density mean, so the replay is exact
+    # (5-term mean, ROUND 6 absorbs sum-order ulps).
+    from pandas_weights_spark.functions.similarity import knn_density
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_density(emb, k=5, strategy="bruteforce")
+
+
+_ORACLE["knn_density"] = """
+    WITH scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[]))
+               AS cos
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rn
+      FROM scored
+    )
+    SELECT src AS vec_id,
+           round(avg(cosine), 6) AS density,
+           max(cosine) AS nn_cosine,
+           CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM ranked WHERE rn <= 5
+    GROUP BY src
+"""
+
+
 def _q_html_markdown(spark, sf_dir):
     # r11: HTML -> Markdown rendering (functions/html.py
     # html_to_markdown — the structure-preserving representation LLM
@@ -10231,6 +10272,7 @@ _NEW_THIS_ROUND: tuple = (
     "html_meta",
     "semantic_decontam",
     "html_markdown",
+    "knn_density",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10273,6 +10315,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": _q_html_meta,
         "semantic_decontam": _q_semantic_decontam,
         "html_markdown": _q_html_markdown,
+        "knn_density": _q_knn_density,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---

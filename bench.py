@@ -125,6 +125,7 @@ HEADLINE = [
     "semantic_decontam",   # embedding-level benchmark leakage (r11)
     "html_markdown",       # HTML -> Markdown rewrite-table render (r11)
     "compress_ratio",      # zlib DEFLATE compressibility signal (r11)
+    "knn_density",         # self-knn graph + embedding density (r11)
 ]
 
 

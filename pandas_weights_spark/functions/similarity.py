@@ -45,6 +45,8 @@ __all__ = [
     "quantize_embedding",
     "dequantize_embedding",
     "topk_quantized",
+    "knn_graph",
+    "knn_density",
 ]
 
 
@@ -759,4 +761,104 @@ def semantic_dedup(
             "cell",
             F.col("__loser__").isNull().alias("is_survivor"),
         )
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "bruteforce",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """k-nearest-neighbor graph of an embedding table against ITSELF
+    (self-edges excluded): ``(src, dst, cosine, rank)`` with exactly
+    ``k`` edges per source (fewer only when the table has ≤ k rows).
+
+    ``strategy='bruteforce'`` scores all pairs — exact, O(n²), for
+    eval-sized tables and the oracle. ``strategy='ivf'`` is the scale
+    path: both sides carry their IVF cell id and meet in a SHUFFLE
+    join on the cell key — cell-partitioned co-location, NO broadcast
+    of a corpus-sized side (the existing ``topk_ivf`` broadcasts its
+    query side because queries are few; a self-knn's query side IS the
+    corpus, so it must shuffle). Approximate unless
+    ``nprobe == n_cells``, which reproduces bruteforce exactly (pinned
+    by tests, same invariant as ``topk_ivf``).
+    """
+    if strategy not in ("bruteforce", "ivf"):
+        raise ValueError(
+            f"strategy must be 'bruteforce' or 'ivf', got {strategy!r}"
+        )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        l2_norm(F.col(vec_col)).alias("__cn__"),
+    )
+    q = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        l2_norm(F.col(vec_col)).alias("__qn__"),
+    )
+    cos = F.try_divide(
+        dot(F.col("__qv__"), F.col("__cv__")),
+        F.col("__qn__") * F.col("__cn__"),
+    )
+    if strategy == "bruteforce":
+        pairs = c.crossJoin(q)
+    else:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                df, vec_col, n_cells, id_col=id_col, iters=iters
+            )
+        c = c.withColumn(
+            "__cell__", nearest_cell(F.col("__cv__"), centroids)
+        )
+        q = q.select(
+            "query_id", "__qv__", "__qn__",
+            probe_cells(F.col("__qv__"), centroids, nprobe).alias(
+                "__cells__"
+            ),
+        ).select(
+            "query_id", "__qv__", "__qn__",
+            F.explode("__cells__").alias("__cell__"),
+        )
+        pairs = c.join(q, on="__cell__")  # shuffle join, both sides big
+    scored = pairs.where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", cos.alias("cosine"))
+    return _rank_topk(scored, k).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+        "rank",
+    )
+
+
+def knn_density(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **knn_kwargs,
+) -> DataFrame:
+    """Embedding-space local density per row — mean and max cosine to
+    the ``k`` nearest neighbors (the DataComp/SemDeDup-style density
+    signal: dense points are near-redundant cluster cores, sparse
+    points are outliers/noise; both tails get pruned or downweighted
+    in corpus curation). Output ``(id_col, density, nn_cosine,
+    n_neighbors)``.
+
+    One aggregation over :func:`knn_graph` edges — the mean is over
+    the graph's ROUNDED edge cosines (6 dp), so the DuckDB oracle
+    replays it exactly.
+    """
+    edges = knn_graph(df, k, id_col, vec_col, **knn_kwargs)
+    return edges.groupBy(F.col("src").alias(id_col)).agg(
+        F.round(F.avg("cosine"), 6).alias("density"),
+        F.max("cosine").alias("nn_cosine"),
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
     )

@@ -533,3 +533,119 @@ class TestKmeansppDuplicateGuards:
         cents = train_ivf_centroids(df, "vec", 3, id_col="id")
         tup = {tuple(round(x, 6) for x in c) for c in cents}
         assert len(cents) == 3 and len(tup) == 3
+
+
+class TestKnnGraph:
+    """knn_graph / knn_density (similarity.py) — self-knn with a numpy
+    differential, the ivf probe-all ≡ bruteforce invariant, and the
+    no-corpus-broadcast shuffle-join plan pin."""
+
+    @pytest.fixture()
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        v = rng.randn(12, 6)
+        rows = [(i, [float(x) for x in v[i]]) for i in range(12)]
+        return v, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_bruteforce_vs_numpy(self, spark, emb):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        v, df = emb
+        k = 3
+        got = {}
+        for r in knn_graph(df, k).collect():
+            got.setdefault(r["src"], []).append(
+                (r["rank"], r["dst"], r["cosine"])
+            )
+        norms = np.linalg.norm(v, axis=1)
+        for i in range(12):
+            cos = v @ v[i] / (norms * norms[i])
+            order = sorted(
+                (j for j in range(12) if j != i),
+                key=lambda j: (-cos[j], j),
+            )[:k]
+            edges = sorted(got[i])
+            assert [d for _, d, _ in edges] == order, i
+            for (rk, d, c), j in zip(edges, order):
+                assert c == pytest.approx(cos[j], abs=1e-6), (i, j)
+            assert [rk for rk, _, _ in edges] == [1, 2, 3]
+
+    def test_no_self_edges_and_counts(self, spark, emb):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        _, df = emb
+        edges = knn_graph(df, 4).collect()
+        assert all(r["src"] != r["dst"] for r in edges)
+        assert len(edges) == 12 * 4
+
+    def test_ivf_probe_all_equals_bruteforce(self, spark, emb):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        _, df = emb
+        bf = sorted(
+            map(tuple, knn_graph(df, 3).collect())
+        )
+        ivf = sorted(
+            map(
+                tuple,
+                knn_graph(
+                    df, 3, strategy="ivf", n_cells=4, nprobe=4,
+                    iters=1,
+                ).collect(),
+            )
+        )
+        assert bf == ivf
+
+    def test_density_aggregates_edges(self, spark, emb):
+        from pandas_weights_spark.functions.similarity import (
+            knn_density,
+            knn_graph,
+        )
+
+        _, df = emb
+        edges = {}
+        for r in knn_graph(df, 3).collect():
+            edges.setdefault(r["src"], []).append(r["cosine"])
+        for r in knn_density(df, 3).collect():
+            cs = edges[r["vec_id"]]
+            assert r["density"] == pytest.approx(
+                sum(cs) / len(cs), abs=1e-6
+            )
+            assert r["nn_cosine"] == pytest.approx(max(cs), abs=1e-9)
+            assert r["n_neighbors"] == 3
+
+    def test_ivf_plan_has_no_corpus_broadcast(self, spark, emb):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        _, df = emb
+        g = knn_graph(df, 3, strategy="ivf", n_cells=4, nprobe=2,
+                      iters=1)
+        plan = g._jdf.queryExecution().optimizedPlan().toString()
+        # the cell join must NOT carry a broadcast hint — both sides
+        # are corpus-sized in a self-knn (AQE may still pick one at
+        # tiny test scale, so pin the LOGICAL plan, not the physical)
+        assert "ResolvedHint" not in plan
+        assert "broadcast" not in plan.lower()
+
+    def test_validation(self, spark, emb):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        _, df = emb
+        with pytest.raises(ValueError):
+            knn_graph(df, 3, strategy="annoy")

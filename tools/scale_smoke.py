@@ -832,6 +832,77 @@ def main() -> int:
 
     dbench("html table extraction", _tables, docs_n)
 
+    # r11: readability panel — row-local token+sentence algebra
+    from pandas_weights_spark.functions.quality import (
+        readability_metrics,
+    )
+
+    def _readability():
+        m = readability_metrics(F.col("text"))
+        return docs.select(
+            "doc_id", *[c.alias(k) for k, c in m.items()]
+        )
+
+    dbench("readability panel", _readability, docs_n)
+
+    # r11: HTML -> Markdown rewrite table
+    from pandas_weights_spark.functions.html import html_to_markdown
+
+    def _markdown():
+        h = F.concat(
+            F.lit("<h1>T</h1><p>Lead <strong>bold</strong> and "
+                  '<a href="/x">link</a>.</p><ul><li>a<li>b</ul><p>'),
+            F.col("text"),
+            F.lit("</p>"),
+        )
+        return docs.select(
+            "doc_id", F.length(html_to_markdown(h)).alias("n")
+        )
+
+    dbench("html -> markdown", _markdown, docs_n)
+
+    # r11: DEFLATE compressibility (Arrow batch, zlib per row)
+    from pandas_weights_spark.functions.quality import (
+        compression_ratio,
+    )
+
+    def _compress():
+        return docs.select(
+            "doc_id", compression_ratio(F.col("text")).alias("cr")
+        )
+
+    dbench("compression ratio", _compress, docs_n)
+
+    # r11: semantic decontamination — broadcast bench x corpus BNL
+    from pandas_weights_spark.functions.decontam import (
+        semantic_overlap,
+    )
+
+    def _semdecon():
+        emb = spark.range(docs_n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda i: (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * F.lit(13) + i),
+                        F.lit(1000),
+                    ).cast("double")
+                    / 500.0
+                    - 1.0
+                ),
+            ).alias("embedding"),
+        )
+        bench_set = emb.where(F.col("vec_id") % 20_000 == 0).select(
+            F.col("vec_id").alias("bid"),
+            F.col("embedding").alias("bv"),
+        )
+        return semantic_overlap(
+            emb, bench_set, 0.99, "vec_id", "embedding", "bid", "bv"
+        )
+
+    dbench("semantic decontam 25-row bench", _semdecon, docs_n)
+
     spark.stop()
     return 0
 
