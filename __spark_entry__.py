@@ -9615,6 +9615,47 @@ def _html_meta_sql() -> str:
 _ORACLE["html_meta"] = _html_meta_sql()
 
 
+def _q_token_budget(spark, sf_dir):
+    # r11: per-(lang, source) token-budget report (functions/
+    # datasheet.py token_budget) — docs, whitespace tokens, BPE-regex
+    # subword tokens, UTF-8 bytes, and the fertility ratios a mixture
+    # plan weighs groups by. ONE map-side-combined aggregate on the
+    # tiny key space; per-row counts are scan-pipelined regexes. All
+    # integer sums + single divisions: bit-exact replay, ROUND 6 on
+    # the two ratios only.
+    from pandas_weights_spark.functions.datasheet import token_budget
+
+    return token_budget(
+        _docs(spark, sf_dir), "text", by=("lang", "source")
+    )
+
+
+_ORACLE["token_budget"] = f"""
+    WITH staged AS (
+      SELECT lang, source,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+        END AS wt,
+        len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+          AS bt,
+        coalesce(octet_length(CAST(text AS BLOB)), 0) AS nb
+      FROM documents
+    )
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(wt) AS BIGINT) AS ws_tokens,
+      CAST(sum(bt) AS BIGINT) AS bpe_tokens,
+      CAST(sum(nb) AS BIGINT) AS utf8_bytes,
+      round(CAST(sum(bt) AS DOUBLE) * 1024.0
+            / CAST(sum(nb) AS DOUBLE), 6) AS tokens_per_kib,
+      round(CAST(sum(nb) AS DOUBLE)
+            / CAST(sum(bt) AS DOUBLE), 6) AS bytes_per_token
+    FROM staged
+    GROUP BY lang, source
+"""
+
+
 def _q_knn_density(spark, sf_dir):
     # r11: self-knn graph + embedding-space local density
     # (functions/similarity.py knn_graph / knn_density — the DataComp/
@@ -10273,6 +10314,7 @@ _NEW_THIS_ROUND: tuple = (
     "semantic_decontam",
     "html_markdown",
     "knn_density",
+    "token_budget",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10316,6 +10358,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": _q_semantic_decontam,
         "html_markdown": _q_html_markdown,
         "knn_density": _q_knn_density,
+        "token_budget": _q_token_budget,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---

@@ -126,6 +126,7 @@ HEADLINE = [
     "html_markdown",       # HTML -> Markdown rewrite-table render (r11)
     "compress_ratio",      # zlib DEFLATE compressibility signal (r11)
     "knn_density",         # self-knn graph + embedding density (r11)
+    "token_budget",        # per-group fertility / token-budget report (r11)
 ]
 
 

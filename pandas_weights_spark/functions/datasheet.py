@@ -19,7 +19,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_datasheet"]
+__all__ = ["corpus_datasheet", "token_budget"]
 
 
 def corpus_datasheet(
@@ -108,3 +108,55 @@ def corpus_datasheet(
         F.col("ntok_p90").alias("p90_tokens"),
     )
     return stats.join(fp, list(group_cols)).join(q, list(group_cols))
+
+
+def token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    by: "Sequence[str]" = ("lang",),
+) -> DataFrame:
+    """Per-group token-budget report — the numbers a mixture/budget
+    plan needs BEFORE paying for a real tokenizer pass: document
+    count, whitespace tokens, sub-word-ish tokens
+    (:func:`~pandas_weights_spark.functions.text.bpe_token_count`,
+    the regex upper bound every merge only shrinks), UTF-8 bytes, and
+    the fertility ratios ``tokens_per_kib`` / ``bytes_per_token``
+    (how expensive each group's bytes are in tokens — CJK and
+    code-heavy groups differ by 2-4x, which is exactly what skews a
+    naive bytes-proportioned mixture).
+
+    ONE aggregate with map-side combine on the tiny ``by`` key space;
+    the per-row counts are row-local regexes pipelined into the scan.
+    Ratios are single IEEE divisions of exact integer sums (NULL for
+    an all-empty group), so the DuckDB oracle replays them bit-exactly.
+    """
+    from pandas_weights_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    staged = df.select(
+        *[F.col(c) for c in by],
+        token_count(t).cast("long").alias("__wt__"),
+        bpe_token_count(t).cast("long").alias("__bt__"),
+        F.coalesce(F.octet_length(t), F.lit(0))
+        .cast("long")
+        .alias("__nb__"),
+    )
+    bpe = F.sum("__bt__").cast("long")
+    nb = F.sum("__nb__").cast("long")
+    return staged.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__wt__").cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        nb.alias("utf8_bytes"),
+        F.round(
+            F.try_divide(bpe.cast("double") * F.lit(1024.0),
+                         nb.cast("double")),
+            6,
+        ).alias("tokens_per_kib"),
+        F.round(
+            F.try_divide(nb.cast("double"), bpe.cast("double")), 6
+        ).alias("bytes_per_token"),
+    )
