@@ -815,9 +815,13 @@ def extract_meta(html: Column) -> "Dict[str, Column]":
         F.regexp_extract(html, _TIME_RE, 1),
         F.regexp_extract(html, _LDJSON_DATE_RE, 1),
     )
+    # try_to_timestamp: a regex-passing but invalid date (2024-99-99)
+    # must yield NULL, never an ANSI cast error killing a 100 TB scan
     date = F.when(
         raw.rlike(_ISO_DATE_RE),
-        F.to_date(F.substring(raw, 1, 10), "yyyy-MM-dd"),
+        F.try_to_timestamp(
+            F.substring(raw, 1, 10), F.lit("yyyy-MM-dd")
+        ).cast("date"),
     )
     return {
         "meta_description": desc,
@@ -866,7 +870,7 @@ def extract_meta_sql(expr: str) -> "dict[str, str]":
     )
     date = (
         f"CASE WHEN regexp_matches({raw}, '{_sq(_ISO_DATE_RE)}') "
-        f"THEN CAST(substr({raw}, 1, 10) AS DATE) END"
+        f"THEN TRY_CAST(substr({raw}, 1, 10) AS DATE) END"
     )
     return {
         "meta_description": desc,

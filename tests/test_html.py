@@ -727,3 +727,37 @@ class TestHtmlToMarkdown:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestExtractMetaInvalidDate:
+    def test_regex_passing_invalid_date_is_null_not_error(self, spark):
+        # ANSI mode is on: a plain to_date would throw on 2024-99-99;
+        # the gate must yield NULL instead (a bad date on one page
+        # must never kill a corpus-wide scan)
+        from pandas_weights_spark.functions.html import extract_meta
+
+        df = spark.createDataFrame(
+            [('<time datetime="2024-99-99T00:00:00">x</time>',)],
+            "h string",
+        )
+        m = extract_meta(F.col("h"))
+        r = df.select(
+            m["published_raw"].alias("raw"),
+            m["published_date"].alias("d"),
+        ).first()
+        assert r["raw"] == "2024-99-99T00:00:00"
+        assert r["d"] is None
+
+    def test_duckdb_agrees_on_invalid_date(self):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            extract_meta_sql,
+        )
+
+        sql = extract_meta_sql("h")["published_date"]
+        v = duckdb.sql(
+            "SELECT " + sql + " AS d FROM (SELECT "
+            "'<time datetime=\"2024-99-99\">x</time>' AS h)"
+        ).fetchone()[0]
+        assert v is None
