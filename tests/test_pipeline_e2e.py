@@ -253,3 +253,64 @@ def test_web_hygiene_dsir_pagerank_compose(spark, docs):
     assert len(rows) == 20
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert {r["doc_id"] for r in rows} <= kept_ids
+
+
+def test_r11_quality_and_semantic_stages_compose(spark, docs):
+    """r11 stages ride the same frames: readability + compression
+    gates narrow the corpus, semantic decontamination drops planted
+    embedding leaks, and the token-budget report prices what's left."""
+    import numpy as np
+
+    from pandas_weights_spark.functions.datasheet import token_budget
+    from pandas_weights_spark.functions.decontam import (
+        semantic_decontaminate,
+    )
+    from pandas_weights_spark.functions.quality import (
+        compression_ratio,
+        readability_metrics,
+    )
+
+    n0 = docs.count()
+
+    # 1. readability features + a loose gate (synthetic docs are short)
+    m = readability_metrics(F.col("text"))
+    staged = docs.withColumns(m)
+    gated = staged.where(
+        (F.col("n_words") >= 3) & F.col("ttr").isNotNull()
+    )
+    n1 = gated.count()
+    assert 0 < n1 <= n0
+
+    # 2. compression gate: drop the hyper-repetitive tail
+    gated = gated.where(compression_ratio(F.col("text")) > 0.05)
+    n2 = gated.count()
+    assert 0 < n2 <= n1
+
+    # 3. semantic decontamination over derived embeddings: doc_id
+    #    parity plants exact leaks (same vector ends up in the bench)
+    rng = np.random.RandomState(3)
+    ids = [r["doc_id"] for r in gated.select("doc_id").collect()]
+    vecs = {i: [float(x) for x in rng.randn(8)] for i in ids}
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in ids],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(i, vecs[i]) for i in ids if i % 7 == 0],
+        "bid long, bv array<double>",
+    )
+    clean = semantic_decontaminate(
+        emb, bench, 0.99, "doc_id", "embedding", "bid", "bv"
+    )
+    kept_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept_ids == {i for i in ids if i % 7 != 0}
+
+    # 4. token-budget report over the surviving docs
+    final = gated.join(
+        clean.select("doc_id"), "doc_id", "left_semi"
+    )
+    report = token_budget(
+        final.withColumn("lang", F.lit("en")), "text", ("lang",)
+    ).first()
+    assert report["n_docs"] == len(kept_ids)
+    assert report["bpe_tokens"] > 0 and report["utf8_bytes"] > 0
