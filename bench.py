@@ -774,6 +774,22 @@ def main() -> int:
 
     qs["compress_ratio"] = _compress_ratio
 
+    def _knn_density_ivf(spark_, sf_dir_):
+        # the oracle row runs exact bruteforce at sf0.01 (250k pairs);
+        # the bench measures the SCALE path — cell-bucketed shuffle
+        # join, nprobe/n_cells of the pairs scanned (same contract)
+        from pandas_weights_spark.functions.similarity import (
+            knn_density,
+        )
+
+        emb = load_table(spark_, sf_dir_, "embeddings")
+        return knn_density(
+            emb, k=5, strategy="ivf", n_cells=16, nprobe=2, iters=1,
+            arrow=True,
+        )
+
+    qs["knn_density"] = _knn_density_ivf
+
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the
         # chunk-level analogue of minhash_neardup (chunking fan-out +

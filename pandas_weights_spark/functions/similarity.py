@@ -47,6 +47,7 @@ __all__ = [
     "topk_quantized",
     "knn_graph",
     "knn_density",
+    "retrieval_metrics",
 ]
 
 
@@ -764,6 +765,128 @@ def semantic_dedup(
     )
 
 
+def _knn_ivf_arrow(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    centroids: "list[list[float]]",
+    nprobe: int,
+) -> DataFrame:
+    """Arrow fast path of the IVF self-knn: cell assignment, probe
+    ranking, and the per-cell query×corpus scoring all run as numpy
+    matmuls over Arrow batches (the ``assign_cells_arrow`` /
+    ``semantic_dedup(arrow=True)`` duality — the interpreted HOF dot
+    is the wall-clock bottleneck at n·nprobe/n_cells pairs). Data
+    flow is identical to the JVM path: corpus rows carry their cell,
+    probes meet them in a cogrouped per-cell kernel that emits each
+    query's LOCAL top-k, and the global ``_rank_topk`` merges cells.
+    Cosines differ from the HOF path only at matmul-reduction-order
+    ulps; the bruteforce strategy stays the oracle-exact reference.
+    """
+    units = []
+    for cvec in centroids:
+        n = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        units.append([x / n for x in cvec])
+    u = np.asarray(units, float)  # n_cells × d
+    ncell = u.shape[0]
+    npb = min(int(nprobe), ncell)
+
+    id_type = df.schema[id_col].dataType
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
+    )
+    corpus = assign_cells_arrow(
+        base, "__v__", centroids, out_col="__cell__", norm_col="__n__"
+    )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("__id__", id_type),
+            T.StructField("__v__", T.ArrayType(T.DoubleType())),
+            T.StructField("__n__", T.DoubleType()),
+            T.StructField("__cell__", T.IntegerType()),
+        ]
+    )
+
+    def probes(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.vstack(
+                [np.asarray(v, float) for v in pdf["__v__"]]
+            )
+            s = x @ u.T  # n × ncell
+            # top-nprobe cells, descending score; larger index wins a
+            # tie (the engine's array_max rule) — stable argsort over
+            # the reversed axis, same trick as assign_cells_arrow
+            order = np.argsort(-s[:, ::-1], axis=1, kind="stable")
+            cells = (ncell - 1) - order[:, :npb]
+            nrm = np.sqrt((x * x).sum(axis=1))
+            ids = pdf["__id__"].to_numpy()
+            vecs = list(pdf["__v__"])
+            rows = {
+                "__id__": np.repeat(ids, npb),
+                "__v__": [
+                    vecs[i] for i in np.repeat(np.arange(len(pdf)), npb)
+                ],
+                "__n__": np.repeat(nrm, npb),
+                "__cell__": cells.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    q = base.mapInPandas(probes, probe_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def cell_topk(left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        qx = np.vstack([np.asarray(v, float) for v in left["__v__"]])
+        cx = np.vstack([np.asarray(v, float) for v in right["__v__"]])
+        qn = left["__n__"].to_numpy(float)
+        cn = right["__n__"].to_numpy(float)
+        qid = left["__id__"].to_numpy()
+        nid = right["__id__"].to_numpy()
+        s = (qx @ cx.T) / np.outer(qn, cn)
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, s.shape[1])
+        for i in range(s.shape[0]):
+            row = s[i].copy()
+            row[nid == qid[i]] = -np.inf  # self excluded
+            # local top-k by (-cosine, neighbor_id)
+            order = np.lexsort((nid, -row))[:kk]
+            order = order[np.isfinite(row[order])]
+            out_q.extend([int(qid[i])] * len(order))
+            out_n.extend(int(nid[j]) for j in order)
+            out_c.extend(float(row[j]) for j in order)
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+        )
+
+    cand = (
+        q.groupBy("__cell__")
+        .cogroup(corpus.groupBy("__cell__"))
+        .applyInPandas(lambda l, r: cell_topk(l, r), out_schema)
+    )
+    return _rank_topk(cand, k).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+        "rank",
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int,
@@ -774,6 +897,7 @@ def knn_graph(
     nprobe: int = 4,
     iters: int = 2,
     centroids: "list[list[float]] | None" = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """k-nearest-neighbor graph of an embedding table against ITSELF
     (self-edges excluded): ``(src, dst, cosine, rank)`` with exactly
@@ -793,6 +917,15 @@ def knn_graph(
         raise ValueError(
             f"strategy must be 'bruteforce' or 'ivf', got {strategy!r}"
         )
+    if arrow:
+        if strategy != "ivf":
+            raise ValueError("arrow=True requires strategy='ivf'")
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                df, vec_col, n_cells, id_col=id_col, iters=iters,
+                arrow=True,
+            )
+        return _knn_ivf_arrow(df, k, id_col, vec_col, centroids, nprobe)
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
@@ -861,4 +994,63 @@ def knn_density(
         F.round(F.avg("cosine"), 6).alias("density"),
         F.max("cosine").alias("nn_cosine"),
         F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+    )
+
+
+def retrieval_metrics(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    neighbor_id: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query quality of an APPROXIMATE top-k ranking against the
+    EXACT one — the numbers that tune ``nprobe``/``planes``/PQ bits
+    before a corpus-wide ANN deploy:
+
+    - ``recall_at_k`` — |approx∩exact| / |exact| within rank ≤ k;
+    - ``mrr`` — 1/rank of the exact TOP-1 neighbor inside the approx
+      list (0.0 when missed);
+    - ``ndcg`` — binary-relevance nDCG@k (relevant = member of the
+      exact top-k), ideal DCG normalized over |exact| positions.
+
+    Both inputs use the ``topk_*``/``knn_graph`` output contract
+    (query, neighbor, rank). Queries present only in ``exact`` (the
+    approximate index returned nothing) still appear, scored 0. Two
+    hash joins on (query, neighbor) + one per-query aggregate — the
+    join keys are top-k-bounded, never corpus-sized.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ln2 = 0.6931471805599453
+    ex = exact.where(F.col(rank_col) <= k).select(
+        F.col(query_id).alias("__q__"),
+        F.col(neighbor_id).alias("__n__"),
+        F.col(rank_col).alias("__er__"),
+    )
+    ap = approx.where(F.col(rank_col) <= k).select(
+        F.col(query_id).alias("__q__"),
+        F.col(neighbor_id).alias("__n__"),
+        F.col(rank_col).alias("__ar__"),
+    )
+    j = ex.join(ap, ["__q__", "__n__"], "left")
+    hit = F.col("__ar__").isNotNull()
+    dcg = F.sum(
+        F.when(hit, 1.0 / (F.log(F.col("__ar__") + 1.0) / ln2))
+        .otherwise(F.lit(0.0))
+    )
+    idcg = F.sum(1.0 / (F.log(F.col("__er__") + 1.0) / ln2))
+    mrr = F.max(
+        F.when(
+            (F.col("__er__") == 1) & hit, 1.0 / F.col("__ar__")
+        ).otherwise(F.lit(0.0))
+    )
+    return j.groupBy(F.col("__q__").alias(query_id)).agg(
+        F.try_divide(
+            F.sum(hit.cast("int")).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("recall_at_k"),
+        mrr.alias("mrr"),
+        F.try_divide(dcg, idcg).alias("ndcg"),
     )

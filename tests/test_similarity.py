@@ -649,3 +649,153 @@ class TestKnnGraph:
         _, df = emb
         with pytest.raises(ValueError):
             knn_graph(df, 3, strategy="annoy")
+
+
+class TestRetrievalMetrics:
+    """retrieval_metrics — pure-Python differential on hand-built
+    rankings + the self-evaluation identity on real top-k output."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank int"
+        )
+
+    def test_hand_computed(self, spark):
+        import math
+
+        from pandas_weights_spark.functions.similarity import (
+            retrieval_metrics,
+        )
+
+        # exact top-3 for q0: [10, 11, 12]; approx found [11, 10, 99]
+        exact = self._mk(
+            spark,
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+             (1, 20, 1), (1, 21, 2), (1, 22, 3)],
+        )
+        approx = self._mk(
+            spark,
+            [(0, 11, 1), (0, 10, 2), (0, 99, 3),
+             (1, 77, 1), (1, 78, 2), (1, 79, 3)],
+        )
+        out = {
+            r["query_id"]: r
+            for r in retrieval_metrics(approx, exact, 3).collect()
+        }
+        r0 = out[0]
+        assert r0["recall_at_k"] == pytest.approx(2 / 3)
+        assert r0["mrr"] == pytest.approx(1 / 2)  # exact #1 at rank 2
+        dcg = 1 / math.log2(1 + 1) + 1 / math.log2(2 + 1)
+        idcg = sum(1 / math.log2(r + 1) for r in (1, 2, 3))
+        assert r0["ndcg"] == pytest.approx(dcg / idcg)
+        # q1: nothing found
+        r1 = out[1]
+        assert r1["recall_at_k"] == 0.0
+        assert r1["mrr"] == 0.0
+        assert r1["ndcg"] == 0.0
+
+    def test_self_evaluation_is_perfect(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+            retrieval_metrics,
+        )
+
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(5)]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        g = knn_graph(df, 3).select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("neighbor_id"),
+            "rank",
+        )
+        for r in retrieval_metrics(g, g, 3).collect():
+            assert r["recall_at_k"] == 1.0
+            assert r["mrr"] == 1.0
+            assert r["ndcg"] == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            retrieval_metrics,
+        )
+
+        df = self._mk(spark, [(0, 1, 1)])
+        with pytest.raises(ValueError):
+            retrieval_metrics(df, df, 0)
+
+
+class TestKnnArrow:
+    def test_arrow_equals_jvm_ivf_same_centroids(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(2)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(6)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = train_ivf_centroids(
+            df, "embedding", 4, id_col="vec_id", iters=1
+        )
+        jvm = sorted(
+            map(
+                tuple,
+                knn_graph(
+                    df, 3, strategy="ivf", n_cells=4, nprobe=4,
+                    centroids=cents,
+                ).collect(),
+            )
+        )
+        arw = sorted(
+            map(
+                tuple,
+                knn_graph(
+                    df, 3, strategy="ivf", n_cells=4, nprobe=4,
+                    centroids=cents, arrow=True,
+                ).collect(),
+            )
+        )
+        assert jvm == arw
+
+    def test_arrow_probe_all_equals_bruteforce(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        rng = np.random.RandomState(9)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(4)]) for i in range(15)],
+            "vec_id long, embedding array<double>",
+        )
+        bf = sorted(
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(df, 3).collect()
+        )
+        arw = sorted(
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(
+                df, 3, strategy="ivf", n_cells=3, nprobe=3, iters=1,
+                arrow=True,
+            ).collect()
+        )
+        assert bf == arw
+
+    def test_arrow_requires_ivf(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            knn_graph(df, 1, strategy="bruteforce", arrow=True)
