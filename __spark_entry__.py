@@ -9326,11 +9326,7 @@ def _q_readability(spark, sf_dir):
     # single IEEE divisions in mirrored order; ROUND 6 absorbs ulps.
     # Zero shuffle — the panel pipelines into the parquet scan.
     from pandas_weights_spark.functions.quality import (
-        readability_metrics,
-    )
-    from pandas_weights_spark.functions.text import (
-        split_sentences,
-        tokens,
+        readability_panel,
     )
 
     aug = F.concat(
@@ -9339,27 +9335,20 @@ def _q_readability(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.lit(_READ_TAIL),
     )
-    staged = _docs(spark, sf_dir).withColumns(
-        {
-            "__t__": aug,
-            "__ws__": tokens(aug),
-            "__sents__": split_sentences(aug),
-        }
-    )
-    m = readability_metrics(
-        F.col("__t__"), toks=F.col("__ws__"), sents=F.col("__sents__")
+    staged = readability_panel(
+        _docs(spark, sf_dir).withColumn("__t__", aug), "__t__"
     )
     return staged.select(
         "doc_id",
-        m["n_words"].alias("n_words"),
-        m["n_sentences"].alias("n_sentences"),
-        m["n_syllables"].alias("n_syllables"),
-        F.round(m["flesch"], 6).alias("flesch"),
-        F.round(m["fk_grade"], 6).alias("fk_grade"),
-        F.round(m["ari"], 6).alias("ari"),
-        F.round(m["coleman_liau"], 6).alias("coleman_liau"),
-        F.round(m["lix"], 6).alias("lix"),
-        F.round(m["ttr"], 6).alias("ttr"),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round("flesch", 6).alias("flesch"),
+        F.round("fk_grade", 6).alias("fk_grade"),
+        F.round("ari", 6).alias("ari"),
+        F.round("coleman_liau", 6).alias("coleman_liau"),
+        F.round("lix", 6).alias("lix"),
+        F.round("ttr", 6).alias("ttr"),
     )
 
 

@@ -62,6 +62,8 @@ __all__ = [
     "syllable_count",
     "syllable_count_sql",
     "readability_metrics",
+    "readability_from_counts",
+    "readability_panel",
     "compression_ratio",
 ]
 
@@ -772,8 +774,29 @@ def readability_metrics(
     Scale: zero shuffle — every metric pipelines into the scan, same
     as the Gopher panel above. ``toks``/``sents`` accept the fused
     producer-projection arrays (``quality_panel`` discipline) so a
-    wide panel splits each document exactly once.
+    wide panel splits each document exactly once. NB: each returned
+    formula Column embeds its own copy of the count folds — selecting
+    the WHOLE dict re-evaluates the syllable fold once per consumer
+    (interpreted HOFs, no CSE). :func:`readability_panel` is the
+    fused DataFrame-level variant that materializes the counts once.
     """
+    counts = _readability_counts(text, toks, sents)
+    out = {
+        k: counts[k]
+        for k in ("n_words", "n_sentences", "n_syllables")
+    }
+    out.update(readability_from_counts(counts))
+    return out
+
+
+def _readability_counts(
+    text: Column,
+    toks: Optional[Column] = None,
+    sents: Optional[Column] = None,
+) -> Dict[str, Column]:
+    """The seven per-document integer masses every readability formula
+    derives from: ``n_words``, ``n_sentences``, ``n_syllables``,
+    ``letters``, ``alnum``, ``long_words``, ``distinct_words``."""
     from pandas_weights_spark.functions.text import split_sentences
 
     ws = tokens(text) if toks is None else toks
@@ -784,14 +807,44 @@ def readability_metrics(
     sc = split_sentences(text) if sents is None else sents
     ns = F.greatest(F.size(sc), _L(1)).cast("long")
 
-    n_syl = F.aggregate(
-        ws, _L(0).cast("long"),
-        lambda acc, w: acc + syllable_count(w).cast("long"),
+    # LET discipline (interpreted HOFs have no CSE): strip each word
+    # to lowercase letters ONCE and count its vowel groups ONCE via a
+    # struct transform; every consumer reads the materialized fields.
+    # Values are bit-identical to the naive per-metric regexes.
+    staged = F.transform(
+        ws,
+        lambda w: F.struct(
+            F.regexp_replace(F.lower(w), "[^a-z]", "").alias("w")
+        ),
     )
+    staged = F.transform(
+        staged,
+        lambda s: F.struct(
+            s["w"].alias("w"),
+            F.length(s["w"]).alias("l"),
+            F.regexp_count(s["w"], F.lit("[aeiouy]+")).alias("g"),
+        ),
+    )
+
+    def _syl(s: Column) -> Column:
+        silent = (
+            s["w"].rlike("[^aeiouy]e$")
+            & ~s["w"].rlike("le$")
+            & (s["g"] > _L(1))
+        ).cast("int")
+        return F.when(s["l"] == _L(0), _L(0)).otherwise(
+            F.greatest(s["g"] - silent, _L(1))
+        )
+
+    n_syl = F.aggregate(
+        staged, _L(0).cast("long"),
+        lambda acc, s: acc + _syl(s).cast("long"),
+    )
+    # [^A-Za-z]-stripped length of the original word == length of the
+    # lowercased letters-only fold — reuse the materialized `l`
     letters = F.aggregate(
-        ws, _L(0).cast("long"),
-        lambda acc, w: acc
-        + F.length(F.regexp_replace(w, "[^A-Za-z]", "")).cast("long"),
+        staged, _L(0).cast("long"),
+        lambda acc, s: acc + s["l"].cast("long"),
     )
     alnum = F.aggregate(
         ws, _L(0).cast("long"),
@@ -801,26 +854,36 @@ def readability_metrics(
         ),
     )
     long_words = F.size(
-        F.filter(
-            ws,
-            lambda w: F.length(F.regexp_replace(w, "[^A-Za-z]", ""))
-            > _L(6),
-        )
+        F.filter(staged, lambda s: s["l"] > _L(6))
     ).cast("long")
     distinct_words = F.size(
         F.array_distinct(F.transform(ws, F.lower))
     ).cast("long")
-
-    wd = nw.cast("double")
-    sd = ns.cast("double")
-    yd = n_syl.cast("double")
     ok = nw > _L(0)
-    wps = wd / sd  # words per sentence (S floored at 1, never 0)
-    spw = yd / wd  # syllables per word
     return {
         "n_words": nw,
         "n_sentences": ns,
         "n_syllables": F.when(ok, n_syl).otherwise(_L(0).cast("long")),
+        "letters": letters,
+        "alnum": alnum,
+        "long_words": long_words,
+        "distinct_words": distinct_words,
+    }
+
+
+def readability_from_counts(
+    counts: "Dict[str, Column]",
+) -> Dict[str, Column]:
+    """The six formulas over already-materialized count Columns (the
+    cheap scalar-algebra half of the panel)."""
+    nw = counts["n_words"]
+    wd = nw.cast("double")
+    sd = counts["n_sentences"].cast("double")
+    yd = counts["n_syllables"].cast("double")
+    ok = nw > _L(0)
+    wps = wd / sd  # words per sentence (S floored at 1, never 0)
+    spw = yd / wd  # syllables per word
+    return {
         "flesch": F.when(
             ok, _L(206.835) - _L(1.015) * wps - _L(84.6) * spw
         ),
@@ -829,21 +892,65 @@ def readability_metrics(
         ),
         "ari": F.when(
             ok,
-            _L(4.71) * (alnum.cast("double") / wd)
+            _L(4.71) * (counts["alnum"].cast("double") / wd)
             + _L(0.5) * wps
             - _L(21.43),
         ),
         "coleman_liau": F.when(
             ok,
-            _L(0.0588) * (_L(100.0) * letters.cast("double") / wd)
+            _L(0.0588)
+            * (_L(100.0) * counts["letters"].cast("double") / wd)
             - _L(0.296) * (_L(100.0) * sd / wd)
             - _L(15.8),
         ),
         "lix": F.when(
-            ok, wps + _L(100.0) * (long_words.cast("double") / wd)
+            ok,
+            wps
+            + _L(100.0) * (counts["long_words"].cast("double") / wd),
         ),
-        "ttr": F.when(ok, distinct_words.cast("double") / wd),
+        "ttr": F.when(
+            ok, counts["distinct_words"].cast("double") / wd
+        ),
     }
+
+
+def readability_panel(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Fused DataFrame-level readability pass (the ``quality_panel``
+    discipline): token + sentence arrays materialize once, the seven
+    integer masses materialize once, and the six formulas are scalar
+    algebra over the materialized counts — selecting the whole panel
+    costs ONE syllable fold instead of one per formula. Values are
+    bit-identical to :func:`readability_metrics`. Adds ``n_words``,
+    ``n_sentences``, ``n_syllables`` and the six metric columns."""
+    from pandas_weights_spark.functions.text import split_sentences
+
+    t = F.col(text_col)
+    tc, sc = "__rp_toks__", "__rp_sents__"
+    staged = df.withColumns(
+        {tc: tokens(t), sc: split_sentences(t)}
+    )
+    counts = _readability_counts(
+        t, toks=F.col(tc), sents=F.col(sc)
+    )
+    cnt_cols = {f"__rp_{k}__": v for k, v in counts.items()}
+    staged = staged.withColumns(cnt_cols)
+    mat = {
+        k: F.col(f"__rp_{k}__") for k in counts
+    }
+    out = readability_from_counts(mat)
+    return (
+        staged.withColumns(
+            {
+                "n_words": mat["n_words"],
+                "n_sentences": mat["n_sentences"],
+                "n_syllables": mat["n_syllables"],
+                **out,
+            }
+        )
+        .drop(tc, sc, *cnt_cols)
+    )
 
 
 def compression_ratio(text: Column, level: int = 6) -> Column:

@@ -726,3 +726,49 @@ class TestCompressionRatio:
         )
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestReadabilityPanel:
+    def test_panel_equals_metrics(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_metrics,
+            readability_panel,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TestReadability.TEXTS)],
+            "id long, text string",
+        )
+        m = readability_metrics(F.col("text"))
+        a = (
+            df.select("id", *[v.alias(k) for k, v in m.items()])
+            .orderBy("id")
+            .collect()
+        )
+        b = (
+            readability_panel(df, "text")
+            .select("id", *[k for k in m])
+            .orderBy("id")
+            .collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_panel_single_syllable_fold(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_panel,
+        )
+
+        df = spark.createDataFrame([("a b. c",)], "text string")
+        plan = (
+            readability_panel(df, "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the syllable fold (the aeiouy vowel-group count) must not
+        # replicate once per formula column: the fold carries 2
+        # aeiouy-patterns (group count + silent-e test); the panel
+        # keeps ≤2 fold copies (4 hits) where the naive per-metric
+        # dict measures 8
+        assert plan.count("aeiouy") <= 4, plan.count("aeiouy")
+        assert "Exchange" not in plan
