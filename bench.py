@@ -790,6 +790,29 @@ def main() -> int:
 
     qs["knn_density"] = _knn_density_ivf
 
+    def _semantic_decontam_arrow(spark_, sf_dir_):
+        # the oracle row replays the JVM struct-max path exactly; the
+        # bench measures the Arrow fast path (benchmark collected to a
+        # model-sized matrix, ONE mapInPandas matmul, zero shuffle)
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        emb = load_table(spark_, sf_dir_, "embeddings")
+        bench_set = emb.where(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("bid"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * F.lit(2.0),
+            ).alias("bv"),
+        )
+        return semantic_overlap(
+            emb, bench_set, 0.99, "vec_id", "embedding", "bid", "bv",
+            arrow=True,
+        )
+
+    qs["semantic_decontam"] = _semantic_decontam_arrow
+
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the
         # chunk-level analogue of minhash_neardup (chunking fan-out +

@@ -205,3 +205,86 @@ class TestSemanticOverlap:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan, plan
         assert "BatchEvalPython" not in plan
+
+
+class TestSemanticOverlapArrow:
+    def test_arrow_equals_jvm(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        rng = np.random.RandomState(17)
+        v = rng.randn(20, 5)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v[i]]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        bench = spark.createDataFrame(
+            [(9, [float(2 * x) for x in v[4]]),
+             (3, [float(x) for x in rng.randn(5)]),
+             (7, [float(x) for x in v[4]])],  # tie with bid 9 on row 4
+            "bid long, bv array<double>",
+        )
+        kw = dict(
+            corpus_id="vec_id", corpus_vec="embedding",
+            bench_id="bid", bench_vec="bv",
+        )
+        jvm = {
+            r["vec_id"]: r
+            for r in semantic_overlap(corpus, bench, 0.99, **kw)
+            .collect()
+        }
+        arw = {
+            r["vec_id"]: r
+            for r in semantic_overlap(
+                corpus, bench, 0.99, arrow=True, **kw
+            ).collect()
+        }
+        assert set(jvm) == set(arw)
+        for i in jvm:
+            a, b = jvm[i], arw[i]
+            assert a["max_cosine"] == pytest.approx(
+                b["max_cosine"], abs=1e-9
+            ), i
+            assert a["nearest_bench_id"] == b["nearest_bench_id"], i
+            assert a["contaminated"] == b["contaminated"], i
+        # the tie row resolved to the SMALLER benchmark id
+        assert arw[4]["nearest_bench_id"] == 7
+
+    def test_arrow_zero_shuffle_plan(self, spark):
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        bench = spark.createDataFrame(
+            [(1, [0.0, 1.0])], "bid long, bv array<double>"
+        )
+        df = semantic_overlap(
+            corpus, bench, 0.9, "vec_id", "embedding", "bid", "bv",
+            arrow=True,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_arrow_empty_benchmark_raises(self, spark):
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        bench = spark.createDataFrame(
+            [], "bid long, bv array<double>"
+        )
+        with pytest.raises(ValueError):
+            semantic_overlap(
+                corpus, bench, 0.9, "vec_id", "embedding",
+                "bid", "bv", arrow=True,
+            )
