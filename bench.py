@@ -813,6 +813,47 @@ def main() -> int:
 
     qs["semantic_decontam"] = _semantic_decontam_arrow
 
+    # LID family: the oracle rows replay the JVM explode+join path
+    # exactly; the bench measures the Arrow path (Counter training
+    # partials + closure-model scoring kernel) — labels pinned equal
+    # to the JVM path by tests/test_text.py::TestLidArrow
+    _LID_LABELS = ["de", "en", "es", "fr", "zh"]
+
+    def _lang_id_arrow(spark_, sf_dir_):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            ngram_lang_id,
+        )
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        prof = char_ngram_lang_profile(
+            docs.where(F.col("doc_id") % 5 != 0), "text", "lang",
+            n=3, top_k=40, arrow=True,
+        )
+        return ngram_lang_id(
+            docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+            prof, labels=_LID_LABELS, n=3, arrow=True,
+        )
+
+    def _lang_mix_arrow(spark_, sf_dir_):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            sentence_lang_mix,
+        )
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        prof = char_ngram_lang_profile(
+            docs.where(F.col("doc_id") % 5 != 0), "text", "lang",
+            n=3, top_k=40, arrow=True,
+        )
+        return sentence_lang_mix(
+            docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+            prof, labels=_LID_LABELS, n=3, arrow=True,
+        )
+
+    qs["lang_id_ngram"] = _lang_id_arrow
+    qs["lang_mix"] = _lang_mix_arrow
+
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the
         # chunk-level analogue of minhash_neardup (chunking fan-out +

@@ -188,6 +188,7 @@ def char_ngram_lang_profile(
     label_col: str,
     n: int = 3,
     top_k: int = 300,
+    arrow: bool = False,
 ) -> DataFrame:
     """Per-language character-n-gram profile ``(label, gram, mass)``
     — the trainable half of Cavnar-Trenkle 1994 "N-Gram-Based Text
@@ -195,14 +196,64 @@ def char_ngram_lang_profile(
     each label keeps its ``top_k`` grams by (mass desc, gram). One
     explode + one (label, gram) aggregate + a per-label top-k window
     over the AGGREGATED table (bounded by the charset's n-gram space,
-    never the corpus)."""
-    grams = df.select(
-        F.col(label_col).alias("label"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
-    ).where(F.length("gram") == n)
-    mass = grams.groupBy("label", "gram").agg(
-        F.count(F.lit(1)).cast("double").alias("mass")
-    )
+    never the corpus).
+
+    ``arrow=True`` swaps the interpreted char_ngrams explode for a
+    ``mapInPandas`` Counter emitting per-batch PARTIAL (label, gram)
+    counts — the map-side combine happens in Python, the final
+    (label, gram) sum and the top-k window are unchanged. Counts are
+    exact integers, so the result is IDENTICAL to the JVM path (the
+    oracle keeps replaying the same model)."""
+    if arrow:
+        from pyspark.sql import types as _T
+
+        nn = int(n)
+        part_schema = _T.StructType(
+            [
+                _T.StructField("label", _T.StringType()),
+                _T.StructField("gram", _T.StringType()),
+                _T.StructField("cnt", _T.LongType()),
+            ]
+        )
+        src = df.select(
+            F.col(label_col).alias("label"),
+            F.lower(F.col(text_col)).alias("__t__"),
+        )
+
+        def count_batches(batches):
+            import pandas as pd
+            from collections import Counter
+
+            for pdf in batches:
+                c: Counter = Counter()
+                for lab, t in zip(pdf["label"], pdf["__t__"]):
+                    if not isinstance(t, str):
+                        continue
+                    for i in range(max(len(t) - nn + 1, 0)):
+                        c[(lab, t[i:i + nn])] += 1
+                if c:
+                    labs, gs = zip(*c.keys())
+                    yield pd.DataFrame(
+                        {
+                            "label": labs,
+                            "gram": gs,
+                            "cnt": list(c.values()),
+                        }
+                    )
+
+        mass = (
+            src.mapInPandas(count_batches, part_schema)
+            .groupBy("label", "gram")
+            .agg(F.sum("cnt").cast("double").alias("mass"))
+        )
+    else:
+        grams = df.select(
+            F.col(label_col).alias("label"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        ).where(F.length("gram") == n)
+        mass = grams.groupBy("label", "gram").agg(
+            F.count(F.lit(1)).cast("double").alias("mass")
+        )
     from pyspark.sql import Window as _W
 
     rk = F.row_number().over(
@@ -222,6 +273,7 @@ def ngram_lang_id(
     profile: DataFrame,
     labels: "Optional[list[str]]" = None,
     n: int = 3,
+    arrow: bool = False,
 ) -> DataFrame:
     """Classify documents against a :func:`char_ngram_lang_profile`:
     multinomial naive Bayes with add-one smoothing over the UNION
@@ -240,8 +292,20 @@ def ngram_lang_id(
     — the fastText-scoring shape, no per-label fan-out of the corpus
     and no recomputation of the training aggregation per driver
     scalar (r10 fix: the pivot formulation re-ran profile training
-    3-4x — once per collected scalar and once in the plan)."""
-    return _lid_score(docs, text_col, [id_col], profile, labels, n)
+    3-4x — once per collected scalar and once in the plan).
+
+    ``arrow=True`` keeps the identical model (same collect, same
+    smoothing) but scores each document in a ``mapInPandas`` kernel —
+    gram counting + log-prob sums in Python over the broadcast-closure
+    model dict instead of the interpreted explode + join + aggregate.
+    Log sums accumulate in SORTED-gram order; scores differ from the
+    JVM path only at summation-order ulps (round 6 output absorbs
+    them), argmax and ties are the same rule — equality on the whole
+    sf0.01 fixture is pinned by tests. The JVM path stays the
+    oracle-replayable reference."""
+    return _lid_score(
+        docs, text_col, [id_col], profile, labels, n, arrow=arrow
+    )
 
 
 def _lid_score(
@@ -251,6 +315,7 @@ def _lid_score(
     profile: DataFrame,
     labels: "Optional[list[str]]",
     n: int,
+    arrow: bool = False,
 ) -> DataFrame:
     """The scoring body of :func:`ngram_lang_id`, key-generic so
     :func:`sentence_lang_mix` can score (doc, sentence) units with
@@ -276,6 +341,10 @@ def _lid_score(
     denoms = {
         lab: math.log(totals.get(lab, 0.0) + V + 1) for lab in labels
     }
+    if arrow:
+        return _lid_score_arrow(
+            frame, text_col, key_cols, grams, denoms, labels, n
+        )
     wide_rows = [
         tuple(
             [g]
@@ -341,6 +410,7 @@ def sentence_lang_mix(
     profile: DataFrame,
     labels: "Optional[list[str]]" = None,
     n: int = 3,
+    arrow: bool = False,
 ) -> DataFrame:
     """Per-document language MIXTURE from per-sentence LID — the
     mixed-language detector CCNet-style pipelines threshold on (a doc
@@ -368,7 +438,8 @@ def sentence_lang_mix(
         ),
     )
     per = _lid_score(
-        sents, "__sent__", [id_col, "sent_idx"], profile, labels, n
+        sents, "__sent__", [id_col, "sent_idx"], profile, labels, n,
+        arrow=arrow,
     )
     cnt = per.groupBy(id_col, "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("__n__")
@@ -2053,3 +2124,79 @@ def ngram_lm_score(
         "logprob_mean",
         F.exp(-F.col("logprob_mean")).alias("ppl"),
     )
+
+
+def _lid_score_arrow(
+    frame: DataFrame,
+    text_col: str,
+    key_cols: "list[str]",
+    grams: "dict[str, dict[str, float]]",
+    denoms: "dict[str, float]",
+    labels: "list[str]",
+    n: int,
+) -> DataFrame:
+    """Arrow scoring kernel of :func:`ngram_lang_id` — the model dict
+    travels as a task-closure (profile-sized, like the JVM path's
+    broadcast wide table); each batch counts grams and accumulates
+    per-label log-prob sums in SORTED-gram order (deterministic;
+    differs from the JVM aggregate only at summation-order ulps,
+    absorbed by the 6-dp output round)."""
+    import math
+
+    from pyspark.sql import types as _T
+
+    logp = {
+        g: [
+            math.log(m.get(lab, 0.0) + 1.0) - denoms[lab]
+            for lab in labels
+        ]
+        for g, m in grams.items()
+    }
+    nn = int(n)
+    key_fields = [frame.schema[k] for k in key_cols]
+    out_schema = _T.StructType(
+        list(key_fields)
+        + [
+            _T.StructField("pred_lang", _T.StringType()),
+            _T.StructField("score", _T.DoubleType()),
+        ]
+    )
+    src = frame.select(
+        *key_cols, F.lower(F.col(text_col)).alias("__t__")
+    )
+
+    def score(batches):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in batches:
+            preds, scores = [], []
+            for t in pdf["__t__"]:
+                if not isinstance(t, str):
+                    preds.append("und")
+                    scores.append(None)
+                    continue
+                c: Counter = Counter()
+                for i in range(max(len(t) - nn + 1, 0)):
+                    g = t[i:i + nn]
+                    if g in logp:
+                        c[g] += 1
+                if not c:
+                    preds.append("und")
+                    scores.append(None)
+                    continue
+                sums = [0.0] * len(labels)
+                for g in sorted(c):
+                    k = c[g]
+                    lp = logp[g]
+                    for j in range(len(labels)):
+                        sums[j] += k * lp[j]
+                best = max(sums)
+                preds.append(labels[sums.index(best)])
+                scores.append(round(best, 6))
+            out = {k: pdf[k] for k in key_cols}
+            out["pred_lang"] = preds
+            out["score"] = scores
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(score, out_schema)

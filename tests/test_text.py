@@ -1969,3 +1969,74 @@ class TestLuhnCreditCards:
                 f"SELECT {sql} FROM (SELECT ? AS t)", [t]
             ).fetchone()[0]
             assert rep == got[i], t
+
+
+class TestLidArrow:
+    """arrow=True LID paths — exact model parity (integer counts) and
+    scoring parity (round-6 scores, identical labels) vs the JVM
+    oracle-reference path, on the real sf0.01 documents."""
+
+    def test_profile_arrow_equals_jvm(self, spark):
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        jvm = sorted(
+            map(
+                tuple,
+                char_ngram_lang_profile(
+                    docs, "text", "lang", n=3, top_k=40
+                ).collect(),
+            )
+        )
+        arw = sorted(
+            map(
+                tuple,
+                char_ngram_lang_profile(
+                    docs, "text", "lang", n=3, top_k=40, arrow=True
+                ).collect(),
+            )
+        )
+        assert jvm == arw
+
+    def test_classify_arrow_equals_jvm(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_weights_spark.functions.text import (
+            char_ngram_lang_profile,
+            ngram_lang_id,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        prof = char_ngram_lang_profile(
+            docs.where(F.col("doc_id") % 5 != 0), "text", "lang",
+            n=3, top_k=40,
+        )
+        labels = ["de", "en", "es", "fr", "zh"]
+        held = docs.where(F.col("doc_id") % 5 == 0)
+        jvm = {
+            r["doc_id"]: r
+            for r in ngram_lang_id(
+                held, "text", "doc_id", prof, labels=labels
+            ).collect()
+        }
+        arw = {
+            r["doc_id"]: r
+            for r in ngram_lang_id(
+                held, "text", "doc_id", prof, labels=labels,
+                arrow=True,
+            ).collect()
+        }
+        assert set(jvm) == set(arw)
+        for i in jvm:
+            assert jvm[i]["pred_lang"] == arw[i]["pred_lang"], i
+            a, b = jvm[i]["score"], arw[i]["score"]
+            if a is None:
+                assert b is None, i
+            else:
+                assert b == pytest.approx(a, abs=2e-6), i
