@@ -9645,6 +9645,95 @@ _ORACLE["token_budget"] = f"""
 """
 
 
+def _q_classifier_eval(spark, sf_dir):
+    # r11: threshold sweep + calibration + binned ROC-AUC
+    # (functions/classifier.py classifier_eval) — the report that
+    # decides WHERE to cut a quality-classifier score. Fixture:
+    # deterministic Knuth-hash score quantized to 1000 levels
+    # (bin-stable across engines) and a label correlated with the
+    # score XOR a %7 noise flip, so the curve is neither degenerate
+    # nor perfect. One ≤20-key bin aggregate, windows only over the
+    # aggregated bin rows (the rank-over-40-rows discipline), 1-row
+    # AUC broadcast back. Integer masses + single mirrored divisions;
+    # ROUND 6.
+    from pandas_weights_spark.functions.classifier import (
+        classifier_eval,
+    )
+
+    did = F.col("doc_id")
+    pm = F.pmod(did * F.lit(2654435761), F.lit(1000))
+    score = pm.cast("double") / F.lit(999.0)
+    label = (
+        ((pm >= 500) != (did % 7 == 0)).cast("int")
+    )
+    staged = _docs(spark, sf_dir).select(
+        score.alias("score"), label.alias("label")
+    )
+    return classifier_eval(staged, "score", "label", n_bins=20)
+
+
+_ORACLE["classifier_eval"] = """
+    WITH labeled AS (
+      SELECT CAST(pm AS DOUBLE) / 999.0 AS s,
+             CASE WHEN (pm >= 500) <> (doc_id % 7 = 0)
+                  THEN 1 ELSE 0 END AS y
+      FROM (SELECT doc_id, ((doc_id * 2654435761) % 1000) AS pm
+            FROM documents)
+    ),
+    binned AS (
+      SELECT least(CAST(floor(s * 20) AS INT), 19) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             sum(s) AS ssum
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, n_pos,
+             ssum / CAST(n AS DOUBLE) AS mean_score,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cum_tp,
+             CAST(sum(n) OVER w - sum(n_pos) OVER w AS BIGINT)
+               AS cum_fp
+      FROM binned
+      WINDOW w AS (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS DOUBLE) AS P,
+             CAST(sum(n - n_pos) AS DOUBLE) AS N
+      FROM binned
+    ),
+    seg AS (
+      SELECT c.*, t.P, t.N,
+        (CAST(cum_fp AS DOUBLE) / t.N
+         - lag(CAST(cum_fp AS DOUBLE) / t.N, 1, 0.0)
+             OVER (ORDER BY bin DESC))
+        * (CAST(cum_tp AS DOUBLE) / t.P
+           + lag(CAST(cum_tp AS DOUBLE) / t.P, 1, 0.0)
+               OVER (ORDER BY bin DESC)) / 2.0 AS piece
+      FROM cum c CROSS JOIN tot t
+    ),
+    auc AS (SELECT coalesce(sum(piece), 0.0) AS a FROM seg)
+    SELECT bin,
+      CAST(bin AS DOUBLE) / 20.0 AS threshold,
+      n, n_pos,
+      round(mean_score, 6) AS mean_score,
+      round(frac_pos, 6) AS frac_pos,
+      cum_tp, cum_fp,
+      round(CAST(cum_tp AS DOUBLE)
+            / CAST(cum_tp + cum_fp AS DOUBLE), 6) AS precision,
+      round(CAST(cum_tp AS DOUBLE) / P, 6) AS recall,
+      round(2.0 * (CAST(cum_tp AS DOUBLE)
+                   / CAST(cum_tp + cum_fp AS DOUBLE))
+                * (CAST(cum_tp AS DOUBLE) / P)
+            / ((CAST(cum_tp AS DOUBLE)
+                / CAST(cum_tp + cum_fp AS DOUBLE))
+               + (CAST(cum_tp AS DOUBLE) / P)), 6) AS f1,
+      round((SELECT a FROM auc), 6) AS auc
+    FROM seg
+"""
+
+
 def _q_knn_density(spark, sf_dir):
     # r11: self-knn graph + embedding-space local density
     # (functions/similarity.py knn_graph / knn_density — the DataComp/
@@ -10304,6 +10393,7 @@ _NEW_THIS_ROUND: tuple = (
     "html_markdown",
     "knn_density",
     "token_budget",
+    "classifier_eval",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10348,6 +10438,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_markdown": _q_html_markdown,
         "knn_density": _q_knn_density,
         "token_budget": _q_token_budget,
+        "classifier_eval": _q_classifier_eval,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---

@@ -127,6 +127,7 @@ HEADLINE = [
     "compress_ratio",      # zlib DEFLATE compressibility signal (r11)
     "knn_density",         # self-knn graph + embedding density (r11)
     "token_budget",        # per-group fertility / token-budget report (r11)
+    "classifier_eval",     # threshold sweep + calibration + binned AUC (r11)
 ]
 
 

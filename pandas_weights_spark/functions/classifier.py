@@ -47,6 +47,7 @@ __all__ = [
     "hashed_token_features",
     "train_text_classifier",
     "score_text_classifier",
+    "classifier_eval",
 ]
 
 
@@ -325,3 +326,117 @@ def score_text_classifier(
             )
 
     return src.mapInPandas(run, out_schema)
+
+
+def classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Threshold sweep + calibration + binned ROC-AUC for a ``[0,1]``
+    score column against binary labels — the evaluation report that
+    decides WHERE to cut a quality-classifier score before filtering
+    a corpus with it.
+
+    One row per occupied score bin (``floor(score·n_bins)``, top bin
+    clamped), descending threshold order:
+
+    - ``bin``, ``threshold`` (= bin/n_bins, the cut "keep score ≥ t"),
+      ``n``, ``n_pos``, ``mean_score``, ``frac_pos`` (calibration:
+      a well-calibrated model has ``frac_pos ≈ mean_score``);
+    - ``precision`` / ``recall`` / ``f1`` of the cut at this bin's
+      threshold (cumulative from the top bin down);
+    - ``auc`` — trapezoidal area under the binned ROC (same value on
+      every row). Binned-exact, not rank-exact: ties inside a bin are
+      invisible, which is the standard thresholded-ROC construction
+      and the price of scale-safety.
+
+    Scale shape: ONE bin aggregate (≤ ``n_bins`` keys, map-side
+    combined), a window over the AGGREGATED bin rows (bounded by
+    ``n_bins``, never the data — the rank-over-40-rows discipline),
+    and a 1-row AUC aggregate joined back by broadcast. Integer
+    masses + single divisions: the DuckDB oracle replays bit-exactly.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    from pyspark.sql import Window as _W
+
+    nb = int(n_bins)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(F.floor(s * nb).cast("int"), F.lit(nb - 1))
+    binned = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), s.alias("__s__"), y.alias("__y__"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y__").cast("long").alias("n_pos"),
+            F.sum("__s__").alias("__ssum__"),
+        )
+    )
+    w = _W.orderBy(F.col("bin").desc()).rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    cum = binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("__ssum__") / F.col("n").cast("double")).alias(
+            "mean_score"
+        ),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        .alias("frac_pos"),
+        F.sum("n_pos").over(w).cast("long").alias("cum_tp"),
+        (F.sum("n").over(w) - F.sum("n_pos").over(w))
+        .cast("long")
+        .alias("cum_fp"),
+    )
+    totals = cum.agg(
+        F.sum("n_pos").cast("double").alias("__P__"),
+        F.sum(F.col("n") - F.col("n_pos"))
+        .cast("double")
+        .alias("__N__"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals))
+    tpr = F.col("cum_tp").cast("double") / F.col("__P__")
+    fpr = F.col("cum_fp").cast("double") / F.col("__N__")
+    prec = F.try_divide(
+        F.col("cum_tp").cast("double"),
+        (F.col("cum_tp") + F.col("cum_fp")).cast("double"),
+    )
+    rec = F.try_divide(F.col("cum_tp").cast("double"), F.col("__P__"))
+    f1 = F.try_divide(
+        F.lit(2.0) * prec * rec, prec + rec
+    )
+    # trapezoid over consecutive ROC points (descending threshold):
+    # lag window over the SAME bounded bin table
+    w2 = _W.orderBy(F.col("bin").desc())
+    prev_tpr = F.lag(tpr, 1, 0.0).over(w2)
+    prev_fpr = F.lag(fpr, 1, 0.0).over(w2)
+    with_auc = scored.withColumn(
+        "__seg__", (fpr - prev_fpr) * (tpr + prev_tpr) / F.lit(2.0)
+    )
+    auc_row = with_auc.agg(
+        F.coalesce(F.sum("__seg__"), F.lit(0.0)).alias("__auc__")
+    )
+    return (
+        with_auc.crossJoin(F.broadcast(auc_row))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / F.lit(float(nb))).alias(
+                "threshold"
+            ),
+            "n",
+            "n_pos",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round("frac_pos", 6).alias("frac_pos"),
+            "cum_tp",
+            "cum_fp",
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+            F.round("__auc__", 6).alias("auc"),
+        )
+    )

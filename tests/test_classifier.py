@@ -215,3 +215,107 @@ class TestStreamingScore:
             ).collect()
         }
         assert got == exp
+
+
+class TestClassifierEval:
+    """classifier_eval — pure-Python differential of the bin sweep,
+    calibration, cumulative precision/recall/F1, and the binned
+    trapezoidal AUC."""
+
+    def _ref(self, pairs, nb):
+        import collections
+
+        bins = collections.defaultdict(lambda: [0, 0, 0.0])
+        for s, y in pairs:
+            b = min(int(s * nb), nb - 1)
+            bins[b][0] += 1
+            bins[b][1] += y
+            bins[b][2] += s
+        P = sum(v[1] for v in bins.values())
+        N = sum(v[0] - v[1] for v in bins.values())
+        out = {}
+        cum_tp = cum_fp = 0
+        prev_tpr = prev_fpr = 0.0
+        auc = 0.0
+        for b in sorted(bins, reverse=True):
+            n, npos, ssum = bins[b]
+            cum_tp += npos
+            cum_fp += n - npos
+            tpr, fpr = cum_tp / P, cum_fp / N
+            auc += (fpr - prev_fpr) * (tpr + prev_tpr) / 2
+            prev_tpr, prev_fpr = tpr, fpr
+            prec = cum_tp / (cum_tp + cum_fp)
+            rec = cum_tp / P
+            out[b] = dict(
+                n=n, n_pos=npos, mean_score=ssum / n,
+                frac_pos=npos / n, cum_tp=cum_tp, cum_fp=cum_fp,
+                precision=prec, recall=rec,
+                f1=2 * prec * rec / (prec + rec) if prec + rec else None,
+            )
+        return out, auc
+
+    def test_differential(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.classifier import (
+            classifier_eval,
+        )
+
+        rng = np.random.RandomState(13)
+        scores = rng.rand(400)
+        labels = (scores + rng.randn(400) * 0.3 > 0.5).astype(int)
+        pairs = list(zip(scores.tolist(), labels.tolist()))
+        df = spark.createDataFrame(
+            pairs, "score double, label int"
+        )
+        got = {
+            r["bin"]: r
+            for r in classifier_eval(df, "score", "label", 10)
+            .collect()
+        }
+        exp, auc = self._ref(pairs, 10)
+        assert set(got) == set(exp)
+        for b, e in exp.items():
+            g = got[b]
+            for k in ("n", "n_pos", "cum_tp", "cum_fp"):
+                assert g[k] == e[k], (b, k)
+            for k in (
+                "mean_score", "frac_pos", "precision", "recall", "f1"
+            ):
+                assert g[k] == pytest.approx(e[k], abs=2e-6), (b, k)
+            assert g["auc"] == pytest.approx(auc, abs=2e-6)
+            assert g["threshold"] == pytest.approx(b / 10)
+        # a correlated score must beat coin-flip AUC comfortably
+        assert auc > 0.7
+
+    def test_perfect_classifier_auc_one(self, spark):
+        from pandas_weights_spark.functions.classifier import (
+            classifier_eval,
+        )
+
+        rows = [(i / 100.0, 1 if i >= 50 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        r = classifier_eval(df, "score", "label", 10).first()
+        assert r["auc"] == pytest.approx(1.0)
+
+    def test_validation_and_bounded_plan(self, spark):
+        from pandas_weights_spark.functions.classifier import (
+            classifier_eval,
+        )
+
+        df = spark.createDataFrame(
+            [(0.5, 1)], "score double, label int"
+        )
+        with pytest.raises(ValueError):
+            classifier_eval(df, "score", "label", 1)
+        plan = (
+            classifier_eval(df, "score", "label", 5)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # windows run over the AGGREGATED bin table, after the bin
+        # Aggregate node — never over the raw data
+        agg_pos = plan.rfind("Aggregate")
+        win_pos = plan.find("Window")
+        assert win_pos >= 0 and agg_pos > win_pos
