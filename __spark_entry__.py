@@ -9645,6 +9645,68 @@ _ORACLE["token_budget"] = f"""
 """
 
 
+def _q_ann_recall(spark, sf_dir):
+    # r11: retrieval-quality metrics (functions/similarity.py
+    # retrieval_metrics) — per-query recall@5 / MRR / binary-nDCG@5
+    # of the LSH top-5 against the exact brute-force top-5, the
+    # numbers that tune planes/nprobe before an ANN deploy. Both
+    # rankings are ALREADY deterministic cross-engine (the
+    # hyperplane literals derive from the seed, reused from the
+    # ann_topk oracle pair); the metrics are two top-k-bounded hash
+    # joins + one per-query aggregate. log2 mirrored as ln/ln2 with
+    # the same double literal; ROUND 6.
+    from pandas_weights_spark.functions.similarity import (
+        retrieval_metrics,
+        topk_bruteforce,
+        topk_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = topk_bruteforce(queries, emb, k=5)
+    approx = topk_lsh(queries, emb, k=5, planes=4)
+    out = retrieval_metrics(approx, exact, 5)
+    return out.select(
+        "query_id",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    ln2 = "0.6931471805599453"
+    return f"""
+    WITH ex AS (SELECT query_id, neighbor_id, rank
+                FROM ({_ANN_EXACT_SQL}) WHERE rank <= 5),
+    ap AS (SELECT query_id, neighbor_id, rank
+           FROM ({_ann_lsh_sql()}) WHERE rank <= 5),
+    j AS (
+      SELECT ex.query_id, ex.neighbor_id,
+             ex.rank AS er, ap.rank AS ar
+      FROM ex LEFT JOIN ap
+        ON ex.query_id = ap.query_id
+       AND ex.neighbor_id = ap.neighbor_id
+    )
+    SELECT query_id,
+      round(CAST(sum(CASE WHEN ar IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS recall_at_k,
+      round(max(CASE WHEN er = 1 AND ar IS NOT NULL
+                     THEN 1.0 / ar ELSE 0.0 END), 6) AS mrr,
+      round(sum(CASE WHEN ar IS NOT NULL
+                     THEN 1.0 / (ln(ar + 1.0) / {ln2})
+                     ELSE 0.0 END)
+            / sum(1.0 / (ln(er + 1.0) / {ln2})), 6) AS ndcg
+    FROM j GROUP BY query_id
+"""
+
+
+_ORACLE["ann_recall"] = _ann_recall_sql()
+
+
 def _q_classifier_eval(spark, sf_dir):
     # r11: threshold sweep + calibration + binned ROC-AUC
     # (functions/classifier.py classifier_eval) — the report that
@@ -10394,6 +10456,7 @@ _NEW_THIS_ROUND: tuple = (
     "knn_density",
     "token_budget",
     "classifier_eval",
+    "ann_recall",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10439,6 +10502,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_density": _q_knn_density,
         "token_budget": _q_token_budget,
         "classifier_eval": _q_classifier_eval,
+        "ann_recall": _q_ann_recall,
         "c4_fineweb": _q_c4_fineweb,
         "html_tables": _q_html_tables,
         # --- r10 queries (newest first — see ORDERING CONTRACT) ---
