@@ -855,6 +855,34 @@ def main() -> int:
     qs["lang_id_ngram"] = _lang_id_arrow
     qs["lang_mix"] = _lang_mix_arrow
 
+    def _ccnet_arrow(spark_, sf_dir_):
+        # counting rides the Arrow Counter kernel (exact integer
+        # parity, pinned); MKN scoring + the per-shard ntile unchanged
+        from pandas_weights_spark.functions.text import (
+            ccnet_ppl_buckets,
+            ngram_counts,
+            ngram_lm_score,
+        )
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        bgt = ngram_counts(
+            docs, "text", 2, max_ngrams=5000, arrow=True
+        )
+        tgt = ngram_counts(
+            docs, "text", 3, max_ngrams=5000, arrow=True
+        )
+        sc = ngram_lm_score(
+            docs, "text", "doc_id", None, {2: bgt, 3: tgt}, None,
+            alpha=0.5, smoothing="mkn",
+            discounts={2: (0.4, 1.1, 1.9), 3: (0.5, 1.3, 2.2)},
+        ).select("doc_id", F.round(F.col("ppl"), 6).alias("ppl"))
+        scored = docs.select("doc_id", "source").join(sc, "doc_id")
+        return ccnet_ppl_buckets(
+            scored, "ppl", "doc_id", by=["source"]
+        ).select("doc_id", "source", "ppl", "bucket", "keep")
+
+    qs["ccnet_buckets"] = _ccnet_arrow
+
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the
         # chunk-level analogue of minhash_neardup (chunking fan-out +

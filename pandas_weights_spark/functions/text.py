@@ -1689,6 +1689,7 @@ def ngram_counts(
     max_ngrams: "Optional[int]" = 500_000,
     lowercase: bool = True,
     weight: Optional[Column] = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Corpus n-gram table ``(w1..wn, mass)`` for ANY order ``n >= 2``
     — the general form of :func:`bigram_counts` / :func:`trigram_counts`
@@ -1702,29 +1703,88 @@ def ngram_counts(
     full distributed count table — the input :func:`mkn_discounts`
     needs (any cap cuts the count-1 tail the count-of-counts estimate
     lives on).  The uncapped table is one map-side-combined aggregate,
-    never collected; the estimator reduces it to four scalars."""
+    never collected; the estimator reduces it to four scalars.
+
+    ``arrow=True`` (r11) counts (w1..wn) partials in a ``mapInPandas``
+    Counter instead of the interpreted zip-with fan-out + explode —
+    the LID-profile discipline; the final (w1..wn) sum and the capped
+    top-k are unchanged. Unweighted masses are exact integers, so the
+    table is IDENTICAL to the JVM path (pinned); weighted masses
+    differ only at partial-sum-order ulps, exactly like any grouped
+    float sum."""
     n = int(n)
     if n < 2:
         raise ValueError("n must be >= 2 (use unigram_logprobs below)")
     w = weight if weight is not None else F.lit(1.0)
     t = F.col(text_col)
     lowered = F.lower(t) if lowercase else t
-    toks = tokens(lowered)
-    grams = F.when(
-        F.size(toks) >= n, word_ngrams(lowered, n, toks=toks)
-    ).otherwise(F.array().cast("array<string>"))
-    rows = df.select(
-        w.cast("double").alias("__w__"), F.explode(grams).alias("g")
-    ).where(F.length("g") > 0)
-    split = F.split(F.col("g"), " ", n)
-    cols = [F.get(split, i).alias(f"w{i + 1}") for i in range(n)]
     from pandas_weights_spark.topk import global_top_by_mass
 
-    agg = (
-        rows.select(*cols, "__w__")
-        .groupBy(*[f"w{i + 1}" for i in range(n)])
-        .agg(F.sum("__w__").alias("mass"))
-    )
+    gram_cols = [f"w{i + 1}" for i in range(n)]
+    if arrow:
+        from pyspark.sql import types as _T
+
+        nn = n
+        part_schema = _T.StructType(
+            [_T.StructField(c, _T.StringType()) for c in gram_cols]
+            + [_T.StructField("__c__", _T.DoubleType())]
+        )
+        src = df.select(
+            w.cast("double").alias("__w__"), lowered.alias("__t__")
+        )
+
+        def count_batches(batches):
+            import re as _re
+
+            import pandas as pd
+            from collections import Counter
+
+            # EXACT mirror of tokens(): F.trim strips ASCII spaces
+            # only; Java \s is [ \t\n\x0B\f\r] (NOT unicode spaces,
+            # unlike Python's str.split)
+            ws = _re.compile("[ \t\n\x0b\f\r]+")
+            for pdf in batches:
+                c: Counter = Counter()
+                for wt_, txt in zip(pdf["__w__"], pdf["__t__"]):
+                    if not isinstance(txt, str):
+                        continue
+                    toks_ = ws.split(txt.strip(" "))
+                    if len(toks_) < nn:
+                        continue
+                    for i in range(len(toks_) - nn + 1):
+                        c[tuple(toks_[i:i + nn])] += wt_
+                if c:
+                    keys = list(c.keys())
+                    out = {
+                        gc: [k[j] for k in keys]
+                        for j, gc in enumerate(gram_cols)
+                    }
+                    out["__c__"] = [c[k] for k in keys]
+                    yield pd.DataFrame(out)
+
+        agg = (
+            src.mapInPandas(count_batches, part_schema)
+            .groupBy(*gram_cols)
+            .agg(F.sum("__c__").alias("mass"))
+        )
+    else:
+        toks = tokens(lowered)
+        grams = F.when(
+            F.size(toks) >= n, word_ngrams(lowered, n, toks=toks)
+        ).otherwise(F.array().cast("array<string>"))
+        rows = df.select(
+            w.cast("double").alias("__w__"),
+            F.explode(grams).alias("g"),
+        ).where(F.length("g") > 0)
+        split = F.split(F.col("g"), " ", n)
+        cols = [
+            F.get(split, i).alias(f"w{i + 1}") for i in range(n)
+        ]
+        agg = (
+            rows.select(*cols, "__w__")
+            .groupBy(*gram_cols)
+            .agg(F.sum("__w__").alias("mass"))
+        )
     if max_ngrams is None:
         return agg
     order = [F.col("mass").desc()] + [

@@ -2040,3 +2040,51 @@ class TestLidArrow:
                 assert b is None, i
             else:
                 assert b == pytest.approx(a, abs=2e-6), i
+
+
+class TestNgramCountsArrow:
+    @pytest.mark.parametrize("n,cap", [(2, 5000), (3, 5000), (2, None)])
+    def test_arrow_equals_jvm(self, spark, n, cap):
+        from pandas_weights_spark.functions.text import ngram_counts
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        jvm = sorted(
+            map(
+                tuple,
+                ngram_counts(
+                    docs, "text", n, max_ngrams=cap
+                ).collect(),
+            )
+        )
+        arw = sorted(
+            map(
+                tuple,
+                ngram_counts(
+                    docs, "text", n, max_ngrams=cap, arrow=True
+                ).collect(),
+            )
+        )
+        assert jvm == arw
+
+    def test_whitespace_edge_parity(self, spark):
+        # tab-led token and trailing whitespace: F.trim strips only
+        # ASCII spaces and F.split keeps the resulting empty edge
+        # tokens — the Arrow kernel must reproduce both
+        from pandas_weights_spark.functions.text import ngram_counts
+
+        docs = spark.createDataFrame(
+            [("\ta b",), ("x y \t",), ("p q r",), ("   ",)],
+            "text string",
+        )
+        jvm = sorted(
+            map(tuple, ngram_counts(docs, "text", 2).collect())
+        )
+        arw = sorted(
+            map(
+                tuple,
+                ngram_counts(docs, "text", 2, arrow=True).collect(),
+            )
+        )
+        assert jvm == arw
