@@ -10410,22 +10410,28 @@ _ORACLE["snapshot_delta"] = """
 # The driver's correctness snapshot checks only the FIRST 50 keys of
 # queries().  r10 ordered newest-first as a one-shot, which left the 30
 # back-of-dict queries driver-unchecked for a whole round (VERDICT r10
-# "What's wrong" #2).  The ordering is now COMPUTED from three explicit
-# sets so the window rotates every round and no query goes
-# driver-unchecked two rounds running:
+# "What's wrong" #2).  The ordering is now COMPUTED from explicit sets
+# so the window rotates every round.  r11 closed the round at 90
+# registered queries — the every-OTHER-round guarantee's feasibility
+# bound (n ≤ 90) is exactly saturated — so the policy is widened, as
+# the registry test's message prescribes, to a THREE-round guarantee:
+# no query goes driver-unchecked three rounds running.
 #
-#   front  = added or engine-touched THIS round   (hard signal on new code)
-#   middle = NOT in last round's checked window   (rotate back in)
-#   back   = checked last round and untouched     (rotate out)
+#   front  = added or engine-touched THIS round  (hard signal on new code)
+#   stale2 = checked in NEITHER of the last two windows (must re-check
+#            NOW or it goes 3 rounds dark)
+#   stale1 = unchecked last round, checked the round before
+#   back   = checked last round and untouched    (rotate out)
 #
 # Per-round procedure (tests/test_registry.py enforces the outcome):
-#   1. at round start, set _PREV_WINDOW to the key set of the previous
-#      round's CORRECTNESS_r{N}.json (= that round's first 50);
+#   1. at round start, shift the windows: _PREV_WINDOW2 takes
+#      _PREV_WINDOW's value, _PREV_WINDOW takes the key set of the
+#      previous round's CORRECTNESS_r{N}.json (= that round's first 50);
 #   2. reset _NEW_THIS_ROUND / _TOUCHED_THIS_ROUND to (), then append
 #      every query you add, and every existing query whose engine code
 #      path changes, as you work.
-# Feasibility bound: every-other-round coverage needs
-# len(queries()) - 50 <= 50 - len(front); the registry test asserts it.
+# Hard feasibility: |front ∪ stale2| ≤ 50 every round (asserted);
+# advisory headroom bound n ≤ 140 (asserted with a widen-again message).
 
 #: first-50 window of CORRECTNESS_r10.json (driver-checked last round).
 _PREV_WINDOW: frozenset = frozenset({
@@ -10443,6 +10449,26 @@ _PREV_WINDOW: frozenset = frozenset({
     "resample_quantile", "neardup_clusters", "ewm_mean",
     "corr_cov_matrix", "group_skew_kurt", "value_counts",
     "group_corr", "spearman_corr",
+})
+
+#: first-50 window of CORRECTNESS_r09.json (driver-checked two rounds
+#: back) — the second history term of the three-round guarantee.
+_PREV_WINDOW2: frozenset = frozenset({
+    "global_stats", "null_semantics", "group_mean", "group_var",
+    "group_quantile", "group_quantile_binned", "group_mad",
+    "group_zscore", "crosstab", "weighted_tests", "resample_2d",
+    "resample_rules", "resample_quantile", "neardup_clusters",
+    "ewm_mean", "corr_cov_matrix", "group_skew_kurt", "value_counts",
+    "group_corr", "spearman_corr", "aligned_corr_cov",
+    "grouping_sets", "weighted_sample", "hash_split",
+    "pack_sequences", "tfidf_top_terms", "dedup_exact",
+    "text_metrics", "asof_join", "doc_weighted_stats",
+    "neardup_pairs", "linfit", "ann_topk", "range_join",
+    "weighted_cms", "ewm_pair", "group_transforms", "qcut",
+    "pivot_table", "bloom_semi_join", "weighted_centroids",
+    "window_stats", "star_join_mean", "grouped_apply", "chunk_docs",
+    "decontam", "calibration", "session_agg", "stream_resample",
+    "multimodal_features",
 })
 
 #: queries ADDED in the current round (r11) — always in the window.
@@ -10481,13 +10507,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allq = _all_queries()
     priority = set(_NEW_THIS_ROUND) | set(_TOUCHED_THIS_ROUND)
     front = [n for n in allq if n in priority]
-    middle = [
-        n for n in allq if n not in priority and n not in _PREV_WINDOW
+    rest = [n for n in allq if n not in priority]
+    stale2 = [
+        n for n in rest
+        if n not in _PREV_WINDOW and n not in _PREV_WINDOW2
     ]
-    back = [
-        n for n in allq if n not in priority and n in _PREV_WINDOW
+    stale1 = [
+        n for n in rest
+        if n not in _PREV_WINDOW and n in _PREV_WINDOW2
     ]
-    return {n: allq[n] for n in front + middle + back}
+    back = [n for n in rest if n in _PREV_WINDOW]
+    return {n: allq[n] for n in front + stale2 + stale1 + back}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -68,7 +68,9 @@ class TestRegistry:
 
     #: the driver's correctness snapshot checks only the FIRST 50 keys
     #: of queries().  r11 made rotation a POLICY (VERDICT r10 "What's
-    #: wrong" #2): the ordering is computed from _PREV_WINDOW /
+    #: wrong" #2) and, at 90 registered queries (the every-other-round
+    #: bound exactly saturated), widened it to a THREE-round guarantee:
+    #: the ordering is computed from _PREV_WINDOW / _PREV_WINDOW2 /
     #: _NEW_THIS_ROUND / _TOUCHED_THIS_ROUND in __spark_entry__; these
     #: tests enforce the policy's OUTCOMES so a stale set is a failure.
     _WINDOW = 50
@@ -84,39 +86,83 @@ class TestRegistry:
             f"driver's first-{self._WINDOW} correctness window: {missing}"
         )
 
-    def test_unchecked_last_round_inside_window(self, entry_mod):
-        # the rotation guarantee: no query is driver-unchecked two
-        # rounds running
+    def test_stale2_inside_window(self, entry_mod):
+        # the HARD rotation guarantee: a query checked in NEITHER of
+        # the last two windows must be checked now — otherwise it goes
+        # three rounds driver-unchecked
         window = set(list(entry_mod.queries())[: self._WINDOW])
-        unchecked_last = set(entry_mod.queries()) - entry_mod._PREV_WINDOW
-        missing = sorted(unchecked_last - window)
+        dark = (
+            set(entry_mod.queries())
+            - entry_mod._PREV_WINDOW
+            - entry_mod._PREV_WINDOW2
+        )
+        missing = sorted(dark - window)
         assert not missing, (
-            "queries unchecked last round AND outside this round's "
-            f"window (would go 2 rounds driver-unchecked): {missing}"
+            "queries unchecked in both previous windows AND outside "
+            f"this round's window (3 rounds dark): {missing}"
         )
 
-    def test_two_round_coverage_complete(self, entry_mod):
+    def test_stale1_before_back(self, entry_mod):
+        # unchecked-last-round queries must sort before checked-last-
+        # round ones, so the window prefers the stalest coverage
+        names = list(entry_mod.queries())
+        prio = set(entry_mod._NEW_THIS_ROUND) | set(
+            entry_mod._TOUCHED_THIS_ROUND
+        )
+        rest = [n for n in names if n not in prio]
+        seen_back = False
+        for n in rest:
+            if n in entry_mod._PREV_WINDOW:
+                seen_back = True
+            else:
+                assert not seen_back, (
+                    f"stale query {n} ordered after a checked-last-"
+                    "round query"
+                )
+
+    def test_three_round_coverage_complete(self, entry_mod):
         window = set(list(entry_mod.queries())[: self._WINDOW])
         uncovered = sorted(
-            set(entry_mod.queries()) - window - entry_mod._PREV_WINDOW
+            set(entry_mod.queries())
+            - window
+            - entry_mod._PREV_WINDOW
+            - entry_mod._PREV_WINDOW2
         )
         assert not uncovered, uncovered
 
     def test_rotation_feasible(self, entry_mod):
-        # every-other-round coverage needs the out-of-window remainder
-        # to fit next round's window alongside next round's new/touched
-        # queries; flag well before the hard bound so the policy can be
-        # widened deliberately (e.g. rotate thirds) instead of breaking.
+        # hard bound: this round's must-check set fits the window;
+        # advisory bound: keep headroom before a widen-again is needed
+        prio = set(entry_mod._NEW_THIS_ROUND) | set(
+            entry_mod._TOUCHED_THIS_ROUND
+        )
+        stale2 = (
+            set(entry_mod.queries())
+            - entry_mod._PREV_WINDOW
+            - entry_mod._PREV_WINDOW2
+            - prio
+        )
+        assert len(prio | stale2) <= self._WINDOW, (
+            f"{len(prio | stale2)} must-check queries exceed the "
+            f"{self._WINDOW}-row window — the three-round guarantee "
+            "is infeasible this round; trim _TOUCHED or widen again"
+        )
         n = len(entry_mod.queries())
-        assert n - self._WINDOW <= 40, (
-            f"{n} registered queries leave {n - self._WINDOW} outside "
-            "the window — nearing the every-other-round feasibility "
-            "bound; widen the rotation policy in __spark_entry__"
+        assert n <= 140, (
+            f"{n} registered queries — nearing the three-round "
+            "feasibility ceiling; widen the rotation policy in "
+            "__spark_entry__ (e.g. four-round coverage)"
         )
 
     def test_prev_window_names_resolve(self, entry_mod):
         stale = sorted(entry_mod._PREV_WINDOW - set(entry_mod.queries()))
         assert not stale, f"_PREV_WINDOW names not in queries(): {stale}"
+
+    def test_prev_window2_names_resolve(self, entry_mod):
+        stale = sorted(
+            entry_mod._PREV_WINDOW2 - set(entry_mod.queries())
+        )
+        assert not stale, f"_PREV_WINDOW2 names not in queries(): {stale}"
 
 
 class TestSurveyInventory:
