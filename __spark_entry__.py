@@ -1646,6 +1646,14 @@ def _q_dedup_exact(spark, sf_dir):
         F.concat(
             F.lit("NAV | BAR\n"), F.col("text"),
             F.lit("\nfooter "), (F.col("doc_id") % 3).cast("string"),
+            # r11: a line planted in EXACTLY 3 docs (1, 2, 3) — drops
+            # under unscoped boilerplate (nd=3 ≥ min_docs) but
+            # survives under scope=doc_id%2 (nd per scope is 2 and 1),
+            # discriminating the scoped path from the global one
+            F.when(
+                F.col("doc_id").isin(1, 2, 3),
+                F.lit("\nPROMO BANNER"),
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
 
@@ -1663,6 +1671,24 @@ def _q_dedup_exact(spark, sf_dir):
 
     clinef = _cline_rows("clinef", mode="first")
     clineb = _cline_rows("clineb", mode="boilerplate", min_docs=3)
+    # r11: SCOPED boilerplate (scope= names the grouping column —
+    # per-host in production: two sites sharing a footer must not
+    # dedup against each other). Scope here is doc_id%2; the PROMO
+    # line planted in docs 1/2/3 survives scoped, drops unscoped.
+    clines = remove_corpus_duplicate_lines(
+        csrc.withColumn(
+            "__scope__", (F.col("doc_id") % 2).cast("string")
+        ),
+        "text", "doc_id", mode="boilerplate", min_docs=3,
+        scope="__scope__",
+    ).select(
+        F.lit("clines").alias("kind"),
+        "doc_id",
+        F.concat_ws(
+            ":", F.md5("text"), F.col("n_lines").cast("string"),
+            F.col("n_removed").cast("string"),
+        ).alias("fp"),
+    )
     # r7: QUALITY-survivor rows — exact_dedup(keep=) picks the
     # max-score member per duplicate family (ties → min id) instead
     # of min-id; score doc_id % 7 makes the shifted copy win for most
@@ -1718,6 +1744,7 @@ def _q_dedup_exact(spark, sf_dir):
     return (
         survivors.unionByName(fps).unionByName(nov).unionByName(span)
         .unionByName(xspan).unionByName(clinef).unionByName(clineb)
+        .unionByName(clines)
         .unionByName(qsurv).unionByName(nsurv).unionByName(usurv)
     )
 
@@ -5873,21 +5900,26 @@ def _xspan_sql(L: int = 20) -> str:
     """
 
 
-def _cline_sql(mode: str) -> str:
-    """Replay of remove_corpus_duplicate_lines over the nav/footer
-    fixture: line explode with positions, per-line distinct-doc and
-    occurrence counts, first occurrence via row_number (numeric doc
+def _cline_sql(mode: str, scoped: bool = False) -> str:
+    """Replay of remove_corpus_duplicate_lines over the nav/footer/
+    promo fixture: line explode with positions, per-line distinct-doc
+    and occurrence counts (per SCOPE when ``scoped`` — doc_id%2, the
+    per-host grouping), first occurrence via row_number (numeric doc
     order, then position), blanks exempt, ordered rebuild."""
     dropped = (
         "a.nocc > 1 AND r.rn > 1"
         if mode == "first"
         else "a.nd >= 3"
     )
+    key = "sc, line" if scoped else "line"
     return f"""
     WITH cls AS (
       SELECT doc_id,
              'NAV | BAR' || chr(10) || text || chr(10) || 'footer '
-               || CAST(doc_id % 3 AS VARCHAR) AS text
+               || CAST(doc_id % 3 AS VARCHAR)
+               || CASE WHEN doc_id IN (1, 2, 3)
+                       THEN chr(10) || 'PROMO BANNER' ELSE '' END
+               AS text
       FROM documents WHERE doc_id < 40
     ), clw AS (
       SELECT doc_id,
@@ -5897,26 +5929,28 @@ def _cline_sql(mode: str) -> str:
     ), cln AS (
       SELECT doc_id, ls, len(ls) AS n FROM clw
     ), cll AS (
-      SELECT doc_id, p, ls[p] AS line FROM (
+      SELECT doc_id, CAST(doc_id % 2 AS VARCHAR) AS sc, p, ls[p]
+               AS line
+      FROM (
         SELECT doc_id, ls, unnest(generate_series(1, n)) AS p
         FROM cln WHERE n >= 1
       )
     ), clnb AS (
       SELECT * FROM cll WHERE length(line) > 0
     ), clag AS (
-      SELECT line, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS nocc
-      FROM clnb GROUP BY line
+      SELECT {key}, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS nocc
+      FROM clnb GROUP BY {key}
     ), clr AS (
-      SELECT doc_id, p, line,
-             row_number() OVER (PARTITION BY line ORDER BY doc_id, p)
-               AS rn
+      SELECT doc_id, sc, p, line,
+             row_number() OVER (PARTITION BY {key}
+                                ORDER BY doc_id, p) AS rn
       FROM clnb
     ), clk AS (
       SELECT doc_id, p, line, FALSE AS dropped
       FROM cll WHERE length(line) = 0
       UNION ALL
       SELECT r.doc_id, r.p, r.line, ({dropped}) AS dropped
-      FROM clr r JOIN clag a USING (line)
+      FROM clr r JOIN clag a USING ({key})
     ), clagg AS (
       SELECT doc_id,
              COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
@@ -6045,6 +6079,12 @@ _ORACLE["dedup_exact"] = (
     UNION ALL
     SELECT 'clineb' AS kind, doc_id, fp FROM ("""
     + _cline_sql("boilerplate")
+    + """)
+    UNION ALL
+    -- r11: SCOPED boilerplate (per-host grouping: scope=doc_id%2;
+    -- the 3-doc PROMO line survives scoped, drops unscoped)
+    SELECT 'clines' AS kind, doc_id, fp FROM ("""
+    + _cline_sql("boilerplate", scoped=True)
     + """)
     UNION ALL
     -- r7: quality-survivor policy (max score, ties -> min id)

@@ -2088,3 +2088,66 @@ class TestNgramCountsArrow:
             )
         )
         assert jvm == arw
+
+
+class TestCorpusLinesScoped:
+    """remove_corpus_duplicate_lines(scope=) — per-host line identity:
+    two sites sharing a footer must not dedup against each other."""
+
+    def test_scope_bounds_boilerplate(self, spark):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        rows = [
+            (0, "a", "alpha\nSHARED FOOTER"),
+            (1, "a", "beta\nSHARED FOOTER"),
+            (2, "b", "gamma\nSHARED FOOTER"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, host string, text string"
+        )
+        unscoped = {
+            r["doc_id"]: r["text"]
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="boilerplate", min_docs=2
+            ).collect()
+        }
+        scoped = {
+            r["doc_id"]: r["text"]
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="boilerplate", min_docs=2,
+                scope="host",
+            ).collect()
+        }
+        # unscoped: the footer appears in 3 distinct docs -> gone
+        assert unscoped == {0: "alpha", 1: "beta", 2: "gamma"}
+        # scoped: host a has it twice (dropped), host b once (kept)
+        assert scoped == {
+            0: "alpha",
+            1: "beta",
+            2: "gamma\nSHARED FOOTER",
+        }
+
+    def test_scope_first_mode(self, spark):
+        from pandas_weights_spark.functions.text import (
+            remove_corpus_duplicate_lines,
+        )
+
+        rows = [
+            (0, "a", "dup line\nx"),
+            (1, "a", "dup line\ny"),
+            (2, "b", "dup line\nz"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, host string, text string"
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_corpus_duplicate_lines(
+                df, "text", "doc_id", mode="first", scope="host"
+            ).collect()
+        }
+        # per-scope first occurrence: doc 0 keeps it (first in a),
+        # doc 1 loses it, doc 2 keeps it (first AND only in b)
+        assert out == {0: "dup line\nx", 1: "y", 2: "dup line\nz"}
