@@ -128,6 +128,7 @@ HEADLINE = [
     "knn_density",         # self-knn graph + embedding density (r11)
     "token_budget",        # per-group fertility / token-budget report (r11)
     "classifier_eval",     # threshold sweep + calibration + binned AUC (r11)
+    "ann_recall",          # recall@5/MRR/nDCG of LSH vs exact (r11)
 ]
 
 
