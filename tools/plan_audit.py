@@ -90,6 +90,11 @@ ALLOW = {
     # AGGREGATED gram table (the tfidf_top_terms shape — bounded by
     # the 5000-row limit, never the corpus)
     "ccnet_buckets": {"global-window"},
+    # r11: the cumulative-TP/FP and ROC-lag windows run over the
+    # AGGREGATED bin table (≤ n_bins=20 rows — the rank-over-40-rows
+    # discipline, pinned by a window-after-aggregate test); the
+    # crossJoins broadcast the 1-row totals/AUC aggregates back
+    "classifier_eval": {"global-window"},
 }
 
 _GLOBAL_WINDOW = re.compile(
