@@ -912,6 +912,11 @@ def knn_graph(
     corpus, so it must shuffle). Approximate unless
     ``nprobe == n_cells``, which reproduces bruteforce exactly (pinned
     by tests, same invariant as ``topk_ivf``).
+
+    ``arrow=True`` (requires ``strategy='ivf'``) runs assignment,
+    probe ranking, and the per-cell scoring as numpy matmuls
+    (:func:`_knn_ivf_arrow` — 5.9 → 1.4 s at the sf0.1 bench shape;
+    identical edges to the JVM path with shared centroids, pinned).
     """
     if strategy not in ("bruteforce", "ivf"):
         raise ValueError(
