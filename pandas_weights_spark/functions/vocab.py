@@ -47,6 +47,7 @@ __all__ = [
     "wordpiece_word_table",
     "train_wordpiece",
     "encode_wordpiece",
+    "decode_wordpiece",
     "unigram_seed_table",
     "train_unigram_lm",
     "encode_unigram",
@@ -1383,4 +1384,26 @@ def term_divergence(
         F.lit(na).cast("long").alias("n_terms_a"),
         F.lit(nb).cast("long").alias("n_terms_b"),
         F.lit(u).cast("long").alias("n_union"),
+    )
+
+
+def decode_wordpiece(pieces: Column, unk: str = "[UNK]") -> Column:
+    """Inverse of :func:`encode_wordpiece` for in-vocabulary text:
+    a ``##``-prefixed piece glues to the previous piece, any other
+    piece starts a new space-separated word. Words that encoded to
+    ``unk`` come back as the literal ``unk`` string — the information
+    the BERT convention deliberately discards (unlike the byte-level
+    BPE round trip, which is exact for any input; documented, pinned).
+    Row-local fold, zero shuffle."""
+    return F.aggregate(
+        pieces,
+        F.lit(""),
+        lambda acc, p: F.when(
+            p.startswith(F.lit("##")),
+            F.concat(acc, F.substring(p, 3, 2147483647)),
+        ).otherwise(
+            F.when(acc == F.lit(""), p).otherwise(
+                F.concat(acc, F.lit(" "), p)
+            )
+        ),
     )

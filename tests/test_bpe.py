@@ -605,3 +605,61 @@ class TestWordPiece:
             train_wordpiece(self._df(spark), "text", num_merges=0)
         with pytest.raises(ValueError, match="mode"):
             train_wordpiece(self._df(spark), "text", mode="x")
+
+
+class TestDecodeWordpiece:
+    def test_round_trip_in_vocab(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_weights_spark.functions.vocab import (
+            decode_wordpiece,
+            encode_wordpiece,
+            train_wordpiece,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "low lower lowest low low new newer")],
+            "doc_id long, text string",
+        )
+        _m, segs = train_wordpiece(
+            docs, "text", num_merges=30, mode="local"
+        )
+        enc = encode_wordpiece(docs, "text", "doc_id", segs)
+        out = enc.select(
+            decode_wordpiece(F.col("pieces")).alias("t")
+        ).first()["t"]
+        assert out == "low lower lowest low low new newer"
+
+    def test_unk_survives_as_literal(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_weights_spark.functions.vocab import (
+            decode_wordpiece,
+        )
+
+        df = spark.createDataFrame(
+            [([["ab", "##c", "[UNK]", "x", "##y", "##z"]][0],)],
+            "pieces array<string>",
+        )
+        out = df.select(
+            decode_wordpiece(F.col("pieces")).alias("t")
+        ).first()["t"]
+        # the [UNK] word is irrecoverable by design — it decodes to
+        # the literal marker (unlike byte-BPE's exact round trip)
+        assert out == "abc [UNK] xyz"
+
+    def test_empty_pieces(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_weights_spark.functions.vocab import (
+            decode_wordpiece,
+        )
+
+        df = spark.createDataFrame(
+            [([],)], "pieces array<string>"
+        )
+        assert (
+            df.select(decode_wordpiece(F.col("pieces")).alias("t"))
+            .first()["t"]
+            == ""
+        )
