@@ -687,6 +687,21 @@ def main() -> int:
         lid_held, "text", "doc_id", lid_prof,
         labels=[str(i) for i in range(5)], n=3,
     ), int(docs_n / 5))
+    # r11: the Arrow scoring kernel (same model, closure dict)
+    dbench("ngram lang-id arrow (1/5 held)", lambda: ngram_lang_id(
+        lid_held, "text", "doc_id", lid_prof,
+        labels=[str(i) for i in range(5)], n=3, arrow=True,
+    ), int(docs_n / 5))
+
+    # r11: Arrow Counter training partials vs the explode+agg path
+    from pandas_weights_spark.functions.text import ngram_counts
+
+    dbench("trigram counts arrow (capped 5k)", lambda: ngram_counts(
+        docs, "text", 3, max_ngrams=5000, arrow=True
+    ), docs_n)
+    dbench("trigram counts jvm (capped 5k)", lambda: ngram_counts(
+        docs, "text", 3, max_ngrams=5000
+    ), docs_n)
 
     # CCNet bucket cut: the op alone (one partitioned ntile sort) over
     # a synthetic per-doc ppl column — scores come from the LM family
