@@ -10473,8 +10473,28 @@ _ORACLE["snapshot_delta"] = """
 # Hard feasibility: |front ∪ stale2| ≤ 50 every round (asserted);
 # advisory headroom bound n ≤ 140 (asserted with a widen-again message).
 
-#: first-50 window of CORRECTNESS_r10.json (driver-checked last round).
+#: first-50 window of CORRECTNESS_r11.json (driver-checked last round).
 _PREV_WINDOW: frozenset = frozenset({
+    "aligned_corr_cov", "anchor_stats", "ann_recall", "ann_topk",
+    "asof_join", "bloom_semi_join", "c4_fineweb", "calibration",
+    "charset_decode", "charset_stats", "chunk_docs",
+    "classifier_eval", "decontam", "dedup_exact",
+    "doc_weighted_stats", "ewm_pair", "group_transforms",
+    "grouped_apply", "grouping_sets", "hash_split", "html_extract",
+    "html_markdown", "html_meta", "html_tables", "hybrid_search",
+    "knn_density", "lang_id_ngram", "lang_mix", "linfit",
+    "multimodal_features", "neardup_pairs", "pack_sequences",
+    "pdf_extract", "pipeline_funnel", "pivot_table", "qcut",
+    "range_join", "readability", "semantic_decontam", "session_agg",
+    "star_join_mean", "stream_resample", "text_metrics",
+    "tfidf_top_terms", "token_budget", "web_hygiene",
+    "weighted_centroids", "weighted_cms", "weighted_sample",
+    "window_stats",
+})
+
+#: first-50 window of CORRECTNESS_r10.json (driver-checked two rounds
+#: back) — the second history term of the three-round guarantee.
+_PREV_WINDOW2: frozenset = frozenset({
     "pipeline_funnel", "hybrid_search", "hits", "anchor_stats",
     "lang_mix", "snapshot_delta", "ccnet_buckets", "charset_decode",
     "charset_stats", "lang_id_ngram", "robots_directives",
@@ -10491,55 +10511,13 @@ _PREV_WINDOW: frozenset = frozenset({
     "group_corr", "spearman_corr",
 })
 
-#: first-50 window of CORRECTNESS_r09.json (driver-checked two rounds
-#: back) — the second history term of the three-round guarantee.
-_PREV_WINDOW2: frozenset = frozenset({
-    "global_stats", "null_semantics", "group_mean", "group_var",
-    "group_quantile", "group_quantile_binned", "group_mad",
-    "group_zscore", "crosstab", "weighted_tests", "resample_2d",
-    "resample_rules", "resample_quantile", "neardup_clusters",
-    "ewm_mean", "corr_cov_matrix", "group_skew_kurt", "value_counts",
-    "group_corr", "spearman_corr", "aligned_corr_cov",
-    "grouping_sets", "weighted_sample", "hash_split",
-    "pack_sequences", "tfidf_top_terms", "dedup_exact",
-    "text_metrics", "asof_join", "doc_weighted_stats",
-    "neardup_pairs", "linfit", "ann_topk", "range_join",
-    "weighted_cms", "ewm_pair", "group_transforms", "qcut",
-    "pivot_table", "bloom_semi_join", "weighted_centroids",
-    "window_stats", "star_join_mean", "grouped_apply", "chunk_docs",
-    "decontam", "calibration", "session_agg", "stream_resample",
-    "multimodal_features",
-})
-
-#: queries ADDED in the current round (r11) — always in the window.
+#: queries ADDED in the current round (r12) — always in the window.
 _NEW_THIS_ROUND: tuple = (
-    "c4_fineweb",
-    "html_tables",
-    "readability",
-    "html_meta",
-    "semantic_decontam",
-    "html_markdown",
-    "knn_density",
-    "token_budget",
-    "classifier_eval",
-    "ann_recall",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
-    "html_extract",   # r11 numeric-charref decode rewrite (html.py)
-    "web_hygiene",    # shares _decode_entities via html_to_text
-    "anchor_stats",   # shares _decode_entities via extract_anchors
-    "charset_decode",  # r11 ADVICE: meta prescan + encode_text NULLs
-    "charset_stats",   # same sniffer path
-    "lang_id_ngram",   # r11 ADVICE: single-label/empty-profile guard
-    "lang_mix",        # shares _lid_score
-    "pdf_extract",     # r11 ADVICE: bfrange supplementary-plane fix
-                       #   + every 3rd doc now an ObjStm PDF 1.5 file
-    "dedup_exact",     # r11: usurv rows (NFKC unicode dedup keys)
-    "calibration",     # r11: trim rows ride the binned quantile path
-    "text_metrics",    # r11: Luhn-gated credit-card PII columns
 )
 
 
