@@ -10518,6 +10518,13 @@ _NEW_THIS_ROUND: tuple = (
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
+    "classifier_eval",   # r12 ADVICE: try_divide tpr/fpr, NULL auc
+                         #   on single-class inputs
+    "knn_density",       # r12: knn_graph n_cells='auto' + arrow id
+                         #   pass-through (bruteforce oracle path
+                         #   unchanged; signature shared)
+    "semantic_decontam", # r12 ADVICE: arrow kernel NULL-vector
+                         #   handling (oracle JVM twin unchanged)
 )
 
 

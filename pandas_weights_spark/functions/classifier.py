@@ -400,8 +400,11 @@ def classifier_eval(
         .alias("__N__"),
     )
     scored = cum.crossJoin(F.broadcast(totals))
-    tpr = F.col("cum_tp").cast("double") / F.col("__P__")
-    fpr = F.col("cum_fp").cast("double") / F.col("__N__")
+    # try_divide like precision/recall: a single-class eval sample
+    # (no positives or no negatives) yields NULL roc segments and a
+    # NULL auc, not Infinity/NaN
+    tpr = F.try_divide(F.col("cum_tp").cast("double"), F.col("__P__"))
+    fpr = F.try_divide(F.col("cum_fp").cast("double"), F.col("__N__"))
     prec = F.try_divide(
         F.col("cum_tp").cast("double"),
         (F.col("cum_tp") + F.col("cum_fp")).cast("double"),
@@ -418,9 +421,9 @@ def classifier_eval(
     with_auc = scored.withColumn(
         "__seg__", (fpr - prev_fpr) * (tpr + prev_tpr) / F.lit(2.0)
     )
-    auc_row = with_auc.agg(
-        F.coalesce(F.sum("__seg__"), F.lit(0.0)).alias("__auc__")
-    )
+    # no coalesce: a single-class input has every __seg__ NULL (the
+    # try_divide above), so the sum — and the auc column — is NULL
+    auc_row = with_auc.agg(F.sum("__seg__").alias("__auc__"))
     return (
         with_auc.crossJoin(F.broadcast(auc_row))
         .select(

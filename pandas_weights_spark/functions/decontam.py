@@ -277,19 +277,41 @@ def _semantic_overlap_arrow(
         import pandas as pd
 
         for pdf in batches:
-            x = np.vstack(
-                [np.asarray(v, float) for v in pdf["__v__"]]
-            )
-            cn = np.sqrt((x * x).sum(axis=1))
-            s = (x @ bmat.T) / np.outer(cn, bn)
-            j = np.argmax(s, axis=1)  # first max = smallest bench id
-            best = s[np.arange(len(pdf)), j]
+            # NULL corpus vectors: the JVM twin's struct-max sees
+            # all-NULL cosines, falls through to the negid field, and
+            # emits (NULL max_cosine, smallest bench id, NULL flag) —
+            # mirror that exactly instead of crashing in np.vstack
+            vals = list(pdf["__v__"])
+            ok = np.asarray([v is not None for v in vals])
+            m = len(pdf)
+            best = np.full(m, np.nan)
+            nearest = np.full(m, bids[0], dtype=object)
+            if ok.any():
+                x = np.vstack(
+                    [np.asarray(v, float) for v, o in zip(vals, ok) if o]
+                )
+                cn = np.sqrt((x * x).sum(axis=1))
+                s = (x @ bmat.T) / np.outer(cn, bn)
+                j = np.argmax(s, axis=1)  # first max = smallest id
+                best[ok] = s[np.arange(len(x)), j]
+                nearest[ok] = bids[j]
             yield pd.DataFrame(
                 {
                     corpus_id: pdf["__id__"],
-                    "max_cosine": best,
-                    "nearest_bench_id": bids[j],
-                    "contaminated": best >= thr,
+                    # nullable Float64 so null-vector rows arrive as
+                    # SQL NULL (a bare float NaN would stay NaN)
+                    "max_cosine": pd.array(
+                        [None if not o else b for o, b in zip(ok, best)],
+                        dtype="Float64",
+                    ),
+                    "nearest_bench_id": nearest,
+                    "contaminated": pd.array(
+                        [
+                            None if not o else bool(b >= thr)
+                            for o, b in zip(ok, best)
+                        ],
+                        dtype="boolean",
+                    ),
                 }
             )
 

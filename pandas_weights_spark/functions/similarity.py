@@ -867,8 +867,11 @@ def _knn_ivf_arrow(
             # local top-k by (-cosine, neighbor_id)
             order = np.lexsort((nid, -row))[:kk]
             order = order[np.isfinite(row[order])]
-            out_q.extend([int(qid[i])] * len(order))
-            out_n.extend(int(nid[j]) for j in order)
+            # emit the ORIGINAL id values (never int()-coerce): the
+            # declared out_schema carries the source id_type, so
+            # string/float ids round-trip and Arrow enforces the type
+            out_q.extend([qid[i]] * len(order))
+            out_n.extend(nid[j] for j in order)
             out_c.extend(float(row[j]) for j in order)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
@@ -887,17 +890,43 @@ def _knn_ivf_arrow(
     )
 
 
+#: knn_graph auto cell sizing: target expected rows per IVF cell.
+#: Per-cell join work is |cell|²·(nprobe/n_cells)-ish, so cells must
+#: stay executor-small; 4096² ≈ 16M pair-dots per cell is comfortably
+#: one task.
+KNN_TARGET_CELL_ROWS = 4096
+
+#: expected-cell-size bound past which a fixed n_cells draws a loud
+#: warning (the n²/n_cells blowup footgun).
+KNN_CELL_WARN_ROWS = 65536
+
+
+def auto_n_cells(
+    n_rows: int, target_cell_rows: int = KNN_TARGET_CELL_ROWS
+) -> int:
+    """The ``n_cells='auto'`` sizing rule of :func:`knn_graph`:
+    ``clamp(ceil(n_rows / target_cell_rows), 1, 2**20)`` — expected
+    cell size ≈ ``target_cell_rows``, so the per-cell quadratic stays
+    one executor task no matter the corpus size."""
+    return min(
+        max(1, -(-int(n_rows) // max(1, int(target_cell_rows)))),
+        2 ** 20,
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "bruteforce",
-    n_cells: int = 16,
+    n_cells: "int | str" = 16,
     nprobe: int = 4,
     iters: int = 2,
     centroids: "list[list[float]] | None" = None,
     arrow: bool = False,
+    target_cell_rows: int = KNN_TARGET_CELL_ROWS,
+    check_cell_size: bool = False,
 ) -> DataFrame:
     """k-nearest-neighbor graph of an embedding table against ITSELF
     (self-edges excluded): ``(src, dst, cosine, rank)`` with exactly
@@ -913,6 +942,21 @@ def knn_graph(
     ``nprobe == n_cells``, which reproduces bruteforce exactly (pinned
     by tests, same invariant as ``topk_ivf``).
 
+    ``n_cells`` is the scale knob, exactly as in
+    :func:`semantic_dedup`: expected cell size is ``n/n_cells`` and
+    the per-cell join work is |cell|²-ish, so SIZE IT WITH ``n`` to
+    keep cells executor-small — the default 16 is an eval-table
+    setting, NOT a 100M-row setting (16 cells at 100M rows funnels
+    ~n²/16 pairs through a 16-key skewed shuffle).
+    ``n_cells='auto'`` does this for you: one ``count()`` of ``df``,
+    then ``n_cells = clamp(ceil(n / target_cell_rows), 1, 2**20)``
+    (``target_cell_rows`` defaults to :data:`KNN_TARGET_CELL_ROWS`).
+    With a FIXED ``n_cells``, pass ``check_cell_size=True`` to spend
+    one ``count()`` validating it: a ``RuntimeWarning`` fires when the
+    expected cell size ``n/n_cells`` exceeds
+    :data:`KNN_CELL_WARN_ROWS` (fixed mode without the check never
+    counts and trusts you).
+
     ``arrow=True`` (requires ``strategy='ivf'``) runs assignment,
     probe ranking, and the per-cell scoring as numpy matmuls
     (:func:`_knn_ivf_arrow` — 5.9 → 1.4 s at the sf0.1 bench shape;
@@ -922,6 +966,29 @@ def knn_graph(
         raise ValueError(
             f"strategy must be 'bruteforce' or 'ivf', got {strategy!r}"
         )
+    if n_cells == "auto":
+        if strategy != "ivf":
+            raise ValueError("n_cells='auto' requires strategy='ivf'")
+        n_cells = auto_n_cells(df.count(), target_cell_rows)
+    elif not isinstance(n_cells, int):
+        raise ValueError(
+            f"n_cells must be an int or 'auto', got {n_cells!r}"
+        )
+    elif check_cell_size and strategy == "ivf":
+        n_rows = df.count()
+        if n_rows / max(1, n_cells) > KNN_CELL_WARN_ROWS:
+            import warnings
+
+            warnings.warn(
+                f"knn_graph: expected IVF cell size "
+                f"{n_rows / n_cells:.0f} rows ({n_rows} rows / "
+                f"{n_cells} cells) exceeds {KNN_CELL_WARN_ROWS}; the "
+                f"per-cell join is quadratic in cell size — raise "
+                f"n_cells (rule: n/target_cell_rows) or use "
+                f"n_cells='auto'",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if arrow:
         if strategy != "ivf":
             raise ValueError("arrow=True requires strategy='ivf'")

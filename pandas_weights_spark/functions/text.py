@@ -1745,21 +1745,37 @@ def ngram_counts(
             ws = _re.compile("[ \t\n\x0b\f\r]+")
             for pdf in batches:
                 c: Counter = Counter()
+                seen: set = set()
                 for wt_, txt in zip(pdf["__w__"], pdf["__t__"]):
                     if not isinstance(txt, str):
                         continue
+                    # NULL weight (None, or NaN after the float cast):
+                    # the JVM twin's F.sum SKIPS the contribution but
+                    # still EMITS the gram — a gram seen only under
+                    # NULL weights gets a NULL-mass row (r12 ADVICE)
+                    null_w = wt_ is None or wt_ != wt_
                     toks_ = ws.split(txt.strip(" "))
                     if len(toks_) < nn:
                         continue
                     for i in range(len(toks_) - nn + 1):
-                        c[tuple(toks_[i:i + nn])] += wt_
-                if c:
-                    keys = list(c.keys())
+                        g = tuple(toks_[i:i + nn])
+                        if null_w:
+                            seen.add(g)
+                        else:
+                            c[g] += wt_
+                if c or seen:
+                    keys = list(c.keys()) + [
+                        g for g in seen if g not in c
+                    ]
                     out = {
                         gc: [k[j] for k in keys]
                         for j, gc in enumerate(gram_cols)
                     }
-                    out["__c__"] = [c[k] for k in keys]
+                    # nullable Float64: a bare-float NaN would reach
+                    # the JVM as NaN, not SQL NULL
+                    out["__c__"] = pd.array(
+                        [c.get(k) for k in keys], dtype="Float64"
+                    )
                     yield pd.DataFrame(out)
 
         agg = (

@@ -298,6 +298,27 @@ class TestClassifierEval:
         r = classifier_eval(df, "score", "label", 10).first()
         assert r["auc"] == pytest.approx(1.0)
 
+    @pytest.mark.parametrize("label", [0, 1])
+    def test_single_class_null_auc(self, spark, label):
+        # r12 ADVICE: a single-class eval sample (no positives or no
+        # negatives) must yield NULL auc — try_divide'd tpr/fpr — not
+        # Infinity/NaN ROC segments
+        import math
+
+        from pandas_weights_spark.functions.classifier import (
+            classifier_eval,
+        )
+
+        rows = [(i / 20.0, label) for i in range(20)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = classifier_eval(df, "score", "label", 5).collect()
+        assert out
+        for r in out:
+            assert r["auc"] is None
+            for k in ("precision", "recall", "f1"):
+                v = r[k]
+                assert v is None or math.isfinite(v), (k, v)
+
     def test_validation_and_bounded_plan(self, spark):
         from pandas_weights_spark.functions.classifier import (
             classifier_eval,

