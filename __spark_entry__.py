@@ -7926,16 +7926,19 @@ def _q_html_extract(spark, sf_dir):
             "</footer></body></html>"
         ),
     )
+    # r12: the shared decoded-block frame — title/text/content/links
+    # from ONE html_parts pass (strip+decode once per block, real
+    # projection barrier); 'text' is the block-wise visible text
     return (
-        docs.select(F.col("doc_id"), h.alias("h"))
+        H.html_extract(
+            docs.select(F.col("doc_id"), h.alias("h")), "h", 5, 0.5
+        )
         .select(
             "doc_id",
-            H.extract_title(F.col("h")).alias("title"),
-            H.html_to_text(F.col("h")).alias("visible"),
-            H.main_content(F.col("h"), 5, 0.5).alias("content"),
-            F.size(H.extract_links(F.col("h")))
-            .cast("long")
-            .alias("n_links"),
+            "title",
+            F.col("text").alias("visible"),
+            "content",
+            F.col("n_links").cast("long").alias("n_links"),
         )
     )
 
@@ -7949,7 +7952,7 @@ def _html_extract_sql() -> str:
     )
     SELECT doc_id,
       {H.extract_title_sql('h')} AS title,
-      {H.html_to_text_sql('h')} AS visible,
+      {H.html_visible_text_sql('h')} AS visible,
       {H.main_content_sql('h', 5, 0.5)} AS content,
       CAST(len({H.extract_links_sql('h')}) AS BIGINT) AS n_links
     FROM d
@@ -10525,6 +10528,8 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   unchanged; signature shared)
     "semantic_decontam", # r12 ADVICE: arrow kernel NULL-vector
                          #   handling (oracle JVM twin unchanged)
+    "html_extract",      # r12: shared html_parts decoded-block
+                         #   producer; 'visible' is now block-wise
 )
 
 

@@ -197,9 +197,12 @@ def _decode_numeric_refs(col: Column) -> Column:
     entry (1.6 → 5.8 s at sf0.1). The staged ``transform`` chain
     below is a LET cascade: each level binds what the next needs as
     struct fields, so every regexp runs exactly once per piece and
-    every later reference is a cheap field access (bench back to
-    ~1.9 s, byte-identical on crafted edge cases incl. supplementary
-    plane / surrogate / C1 / escaped refs)."""
+    every later reference is a cheap field access (byte-identical on
+    crafted edge cases incl. supplementary plane / surrogate / C1 /
+    escaped refs). r12: the html_extract bench entry reaches ~1.8 s
+    steady-state at sf0.1 via the shared html_parts producer + the
+    memoized construction — see html_extract; this function alone
+    accounts for ~0.2 s of that."""
     pieces = F.split(F.concat(F.lit("\x01"), col), "&#", -1)
 
     # LET 1: run each ref regexp ONCE per piece
@@ -365,6 +368,117 @@ def main_content(
     )
 
 
+def html_parts(html: Column) -> Column:
+    """Shared decoded-block producer (r12): ONE invisible-strip, ONE
+    block split, then per block ONE tag-strip and ONE entity decode,
+    bound as struct fields through a LET cascade — the array both
+    :func:`html_visible_text` and :func:`html_main_content` derive
+    from, so the body is never stripped or decoded twice (the r10/r11
+    ``html_extract`` cost: title, text, and per-kept-block content
+    each re-ran the chain).
+
+    Fields per block: ``d`` — tag-stripped, entity-DECODED,
+    uncollapsed text (the shared expensive value); ``u`` —
+    tag-stripped, collapsed, UNdecoded text (the jusText filter
+    metric, same stance as :func:`main_content`); ``a`` — anchor-text
+    characters (collapsed, undecoded).
+
+    Block-wise text semantics: joining the per-block strips equals
+    stripping the whole block-delimited document except when a tag's
+    attribute text spans a block-tag match (``<img alt="<div>">``) —
+    there the unclosed fragment stays as text instead of being eaten.
+    :func:`html_to_text` (the standalone whole-document form) keeps
+    the old behavior; the frame documents this block-consistent
+    variant, which is also exactly what the content filter has always
+    seen. NULL html → NULL."""
+    clean = _strip_invisible(html)
+    blocks = F.split(clean, _BLOCK_RE)
+    lets = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_replace(b, _ANY_TAG_RE, "").alias("x"),
+            F.regexp_extract_all(
+                b, F.lit(_ANCHOR_BODY_RE), F.lit(1)
+            ).alias("ab"),
+        ),
+    )
+    def decode_gated(x: Column) -> Column:
+        # x is a BOUND struct field (cheap to reference twice), so
+        # contains-gates are pure profit here — unlike the ungated
+        # whole-document form, where a gate re-evaluated the upstream
+        # regexp chain (r10 note in _decode_entities). An '&'-free
+        # block (most prose blocks) skips the ENTIRE decode — numeric
+        # split AND the named-entity replace chain; an '&'-but-no-'&#'
+        # block skips just the numeric three-transform cascade. Both
+        # branches are value-identical to _decode_entities (a string
+        # without '&' contains no entity or reference by definition).
+        inner = F.when(
+            x.contains("&#"), _decode_numeric_refs(x)
+        ).otherwise(x)
+        for src, dst in _ENTITIES:
+            inner = F.replace(inner, F.lit(src), F.lit(dst))
+        return F.when(x.contains("&"), inner).otherwise(x)
+
+    return F.transform(
+        lets,
+        lambda s: F.struct(
+            decode_gated(s["x"]).alias("d"),
+            _collapse_ws(s["x"]).alias("u"),
+            F.aggregate(
+                s["ab"],
+                F.lit(0),
+                lambda acc, a: acc
+                + F.length(
+                    _collapse_ws(F.regexp_replace(a, _ANY_TAG_RE, ""))
+                ),
+            ).alias("a"),
+        ),
+    )
+
+
+def html_visible_text(parts: Column) -> Column:
+    """Visible text from a :func:`html_parts` array — decoded blocks
+    joined on newlines, collapsed once. Value-identical to
+    :func:`html_to_text` except the documented tag-spanning edge (the
+    entity decode commutes with the block join: no entity contains a
+    newline or spans a block-tag match)."""
+    return _collapse_ws(
+        F.array_join(F.transform(parts, lambda s: s["d"]), "\n")
+    )
+
+
+def _keep_block(s: Column, min_words: int, max_link_density: float):
+    return (
+        (F.size(F.split(s["u"], "[ \n]")) >= F.lit(int(min_words)))
+        & (F.length(s["u"]) > 0)
+        & (
+            s["a"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["u"])
+        )
+    )
+
+
+def html_main_content(
+    parts: Column,
+    min_words: int = 5,
+    max_link_density: float = 0.5,
+) -> Column:
+    """Boilerplate-filtered content from a :func:`html_parts` array —
+    byte-identical to :func:`main_content` (same keep predicate over
+    the same undecoded metrics; kept blocks reuse the already-decoded
+    ``d`` instead of decoding again)."""
+    return F.array_join(
+        F.transform(
+            F.filter(
+                parts,
+                lambda s: _keep_block(s, min_words, max_link_density),
+            ),
+            lambda s: _collapse_ws(s["d"]),
+        ),
+        "\n\n",
+    )
+
+
 def html_extract(
     df: DataFrame,
     html_col: str,
@@ -374,16 +488,45 @@ def html_extract(
     """One-pass extraction frame: adds ``title``, ``text`` (full
     visible text), ``content`` (boilerplate-filtered), ``n_links``.
     Row-local — composes with any downstream filter/dedup without a
-    shuffle."""
+    shuffle.
+
+    r12 cost shape: ``text`` and ``content`` both derive from ONE
+    :func:`html_parts` array bound as a real projection barrier —
+    Spark's ``CollapseProject`` keeps a non-cheap producer referenced
+    twice in its own ``Project``, so the per-block strip+decode runs
+    once per row, not once per output column (pinned by the
+    two-Project plan test). ``text`` is therefore the block-wise
+    visible text (see :func:`html_parts` for the one documented edge
+    vs :func:`html_to_text`)."""
     h = F.col(html_col)
-    return df.withColumns(
-        {
+    parts = F.col("__parts__")
+    # memoized construction: these Column trees are immutable and
+    # name-resolved, so rebuilding the ~400-operator decode/strip
+    # cascade per call is pure py4j overhead (~0.5 s); one tree per
+    # (column, params) serves every frame
+    key = (html_col, int(min_words), float(max_link_density))
+    cached = _EXTRACT_COLS.get(key)
+    if cached is None:
+        cached = {
+            "__parts__": html_parts(h),
             "title": extract_title(h),
-            "text": html_to_text(h),
-            "content": main_content(h, min_words, max_link_density),
+            "text": html_visible_text(parts),
+            "content": html_main_content(
+                parts, min_words, max_link_density
+            ),
             "n_links": F.size(extract_links(h)),
         }
+        _EXTRACT_COLS[key] = cached
+    return (
+        df.withColumn("__parts__", cached["__parts__"])
+        .withColumns({k: v for k, v in cached.items() if k != "__parts__"})
+        .drop("__parts__")
     )
+
+
+#: html_extract's memoized output Columns, keyed by
+#: (html_col, min_words, max_link_density) — see html_extract.
+_EXTRACT_COLS: dict = {}
 
 
 # --- DuckDB oracle replay (same constants, RE2 dialect) --------------
@@ -459,6 +602,22 @@ def html_to_text_sql(expr: str) -> str:
     e = f"regexp_replace({e}, '{_sq(_BLOCK_RE)}', chr(10), 'g')"
     e = f"regexp_replace({e}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
     return _collapse_ws_sql(_decode_entities_sql(e))
+
+
+def html_visible_text_sql(expr: str) -> str:
+    """DuckDB replay of the BLOCK-WISE visible text
+    (:func:`html_visible_text` over :func:`html_parts`) — per-block
+    strip+decode joined on newlines, collapsed once. The frame's
+    ``text`` column oracle; :func:`html_to_text_sql` stays the replay
+    of the standalone whole-document form."""
+    clean = f"regexp_replace({expr}, '{_sq(_INVISIBLE_RE)}', ' ', 'g')"
+    blocks = f"str_split_regex({clean}, '{_sq(_BLOCK_RE)}')"
+    d = _decode_entities_sql(
+        f"regexp_replace(b, '{_sq(_ANY_TAG_RE)}', '', 'g')"
+    )
+    return _collapse_ws_sql(
+        f"array_to_string(list_transform({blocks}, b -> {d}), chr(10))"
+    )
 
 
 def extract_title_sql(expr: str) -> str:

@@ -183,6 +183,70 @@ class TestHtmlExtractFrame:
         plan = html_extract(df, "html")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_matches_standalone_functions(self, spark):
+        # r12 shared html_parts path: text/content byte-identical to
+        # the standalone html_to_text / main_content on ordinary
+        # pages (the one documented divergence needs a tag whose
+        # attribute text spans a block-tag match)
+        pages = [
+            PAGE,
+            "<p>one</p><p>two</p><br>three",
+            "a &amp;lt; b &#38;lt; c &#8212; caf&#233; &#x4E2D;",
+            "plain, no tags or entities",
+            "",
+            "<div>x<script>hidden()</script>y</div>",
+        ]
+        df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)], ["id", "html"])
+        new = html_extract(df, "html").orderBy("id").collect()
+        old = df.select(
+            "id",
+            html_to_text(F.col("html")).alias("text"),
+            main_content(F.col("html"), 5, 0.5).alias("content"),
+        ).orderBy("id").collect()
+        for a, b in zip(new, old):
+            assert a["text"] == b["text"], a["id"]
+            assert a["content"] == b["content"], a["id"]
+
+    def test_documented_blockwise_divergence(self, spark):
+        # a block-tag match INSIDE another tag's attribute: the
+        # whole-document form eats the unclosed fragment; the
+        # block-wise frame keeps it as text (html_parts docstring)
+        html = '<p>before</p><img alt="<div>junk"><p>after words</p>'
+        df = spark.createDataFrame([(1, html)], ["id", "html"])
+        r = html_extract(df, "html").first()
+        whole = df.select(
+            html_to_text(F.col("html")).alias("t")
+        ).first()["t"]
+        assert "before" in r["text"] and "after words" in r["text"]
+        # frame keeps the orphaned '<img alt="' fragment as text
+        assert '<img alt="' in r["text"]
+        assert '<img alt="' not in whole
+
+    def test_projection_barrier_single_parts_eval(self, spark):
+        # the __parts__ producer must stay its OWN Project node
+        # (CollapseProject keeps non-cheap producers referenced
+        # twice), so the per-block strip+decode runs once per row —
+        # the numeric-ref split tree appears exactly twice in the
+        # plan: once in html_parts, once in the tiny title decode
+        df = spark.createDataFrame([(1, PAGE)], ["id", "html"])
+        plan = (
+            html_extract(df, "html")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("__parts__") >= 2  # producer + consumers
+        assert plan.count("&#, -1") == 2
+
+    def test_construction_memoized(self, spark):
+        from pandas_weights_spark.functions.html import _EXTRACT_COLS
+
+        df = spark.createDataFrame([(1, PAGE)], ["id", "html"])
+        html_extract(df, "html")
+        c1 = _EXTRACT_COLS[("html", 5, 0.5)]["text"]
+        html_extract(df, "html")
+        assert _EXTRACT_COLS[("html", 5, 0.5)]["text"] is c1
+
 
 class TestLinkGraph:
     def test_edges_and_weights(self, spark):
