@@ -884,6 +884,43 @@ def main() -> int:
 
     qs["ccnet_buckets"] = _ccnet_arrow
 
+    def _readability_arrow(spark_, sf_dir_):
+        # the driver row keeps the JVM Column panel (DuckDB-replayed);
+        # bench the r12 Arrow twin — the interpreted syllable HOF fold
+        # was the slowest per-doc scale entry (r11 verdict). arrow≡jvm
+        # pinned in tests/test_quality.py (counts exact, formulas
+        # bit-equal on the real fixture).
+        from pandas_weights_spark.functions.quality import (
+            readability_panel,
+        )
+
+        aug = F.concat(
+            F.col("text"),
+            F.lit(" Dr. Smith saw "),
+            F.col("doc_id").cast("string"),
+            F.lit(E._READ_TAIL),
+        )
+        staged = readability_panel(
+            fan_out(load_table(spark_, sf_dir_, "documents"))
+            .withColumn("__t__", aug),
+            "__t__",
+            arrow=True,
+        )
+        return staged.select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round("flesch", 6).alias("flesch"),
+            F.round("fk_grade", 6).alias("fk_grade"),
+            F.round("ari", 6).alias("ari"),
+            F.round("coleman_liau", 6).alias("coleman_liau"),
+            F.round("lix", 6).alias("lix"),
+            F.round("ttr", 6).alias("ttr"),
+        )
+
+    qs["readability"] = _readability_arrow
+
     def _chunk_neardup(spark_, sf_dir_):
         # repeated-span sweep over the WHOLE documents table: the
         # chunk-level analogue of minhash_neardup (chunking fan-out +

@@ -915,7 +915,7 @@ def readability_from_counts(
 
 
 def readability_panel(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", arrow: bool = False
 ) -> DataFrame:
     """Fused DataFrame-level readability pass (the ``quality_panel``
     discipline): token + sentence arrays materialize once, the seven
@@ -923,7 +923,19 @@ def readability_panel(
     algebra over the materialized counts — selecting the whole panel
     costs ONE syllable fold instead of one per formula. Values are
     bit-identical to :func:`readability_metrics`. Adds ``n_words``,
-    ``n_sentences``, ``n_syllables`` and the six metric columns."""
+    ``n_sentences``, ``n_syllables`` and the six metric columns.
+
+    ``arrow=True`` (r12) runs the whole panel as a ``mapInPandas``
+    Python kernel — the LID-family fast-path discipline: the
+    interpreted per-word syllable HOF fold is the slowest per-doc
+    scale entry (r11 verdict), and a compiled-``re`` mirror of the
+    exact token / sentence / syllable rules is ~3× faster. The oracle
+    keeps this JVM Column path (DuckDB replays it verbatim);
+    arrow≡jvm is pinned on the real fixture — counts EXACT (incl. the
+    Java-``\\b`` ASCII initial rule, space-only trim, and Java-``\\s``
+    whitespace split), formulas round-6."""
+    if arrow:
+        return _readability_panel_arrow(df, text_col)
     from pandas_weights_spark.functions.text import split_sentences
 
     t = F.col(text_col)
@@ -951,6 +963,140 @@ def readability_panel(
         )
         .drop(tc, sc, *cnt_cols)
     )
+
+
+def _readability_panel_arrow(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Arrow fast path of :func:`readability_panel` — one
+    ``mapInPandas`` pass whose compiled-``re`` kernel mirrors the JVM
+    rules EXACTLY (the ngram_counts/LID tokenization discipline):
+
+    - tokens: ``strip(' ')`` then split on Java ``\\s`` =
+      ``[ \\t\\n\\x0B\\f\\r]+`` (``F.trim`` strips ASCII spaces ONLY,
+      so ``"\\t\\n"`` tokenizes to two empty tokens — pinned);
+    - sentence rules: the abbreviation replaces in table order, the
+      single-capital-initial rule with ``re.ASCII`` (Java ``\\b`` is
+      ASCII-``\\w`` by default), the ``([.!?]+)[ \\t\\n\\r\\f]+``
+      mark, space-only trim of each part;
+    - syllables: letters-only lowercase fold, ``[aeiouy]+`` runs,
+      consonant-``e``-not-``le`` silent rule, floor 1;
+    - formulas: the same left-associated IEEE expressions over the
+      same integer masses (bit-equal, not just round-6).
+
+    NULL text → (NULL, 1, 0, NULLs) exactly like the Column path.
+    Row-local, zero shuffle; counts are nullable Int64 / metrics
+    nullable Float64 so NULLs arrive as SQL NULL, never NaN.
+    """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from pandas_weights_spark.functions.text import (
+        SENTENCE_ABBREVIATIONS,
+    )
+
+    abbrevs = tuple(SENTENCE_ABBREVIATIONS)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_sentences", T.LongType()),
+            T.StructField("n_syllables", T.LongType()),
+            T.StructField("flesch", T.DoubleType()),
+            T.StructField("fk_grade", T.DoubleType()),
+            T.StructField("ari", T.DoubleType()),
+            T.StructField("coleman_liau", T.DoubleType()),
+            T.StructField("lix", T.DoubleType()),
+            T.StructField("ttr", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
+        non_az = _re.compile("[^a-z]")
+        vowels = _re.compile("[aeiouy]+")
+        non_alnum = _re.compile("[^A-Za-z0-9]")
+        init = _re.compile(r"\b([A-Z])\.", _re.ASCII)
+        mark = _re.compile(r"([.!?]+)[ \t\n\r\f]+")
+
+        def one(t):
+            if not isinstance(t, str):
+                return (None, 1, 0) + (None,) * 6
+            # sentences
+            s = t
+            for ab in abbrevs:
+                s = s.replace(ab, ab[:-1] + "\x01")
+            s = init.sub("\\g<1>\x01", s)
+            s = mark.sub("\\g<1>\x02", s)
+            ns = sum(
+                1
+                for p in s.split("\x02")
+                if p.replace("\x01", ".").strip(" ")
+            ) or 1
+            # tokens
+            if not t.strip(" "):
+                nw = 0
+                toks = []
+            else:
+                toks = ws.split(t.strip(" "))
+                nw = len(toks)
+            syl = letters = alnum = long_w = 0
+            seen = set()
+            for w in toks:
+                wl = non_az.sub("", w.lower())
+                lw = len(wl)
+                letters += lw
+                if lw > 6:
+                    long_w += 1
+                g = len(vowels.findall(wl))
+                if lw:
+                    silent = (
+                        g > 1
+                        and lw >= 2
+                        and wl[-1] == "e"
+                        and wl[-2] not in "aeiouy"
+                        and not wl.endswith("le")
+                    )
+                    syl += max(g - (1 if silent else 0), 1)
+                alnum += len(non_alnum.sub("", w))
+                seen.add(w.lower())
+            if nw == 0:
+                return (0, ns, 0) + (None,) * 6
+            wd, sd, yd = float(nw), float(ns), float(syl)
+            wps = wd / sd
+            spw = yd / wd
+            return (
+                nw,
+                ns,
+                syl,
+                206.835 - 1.015 * wps - 84.6 * spw,
+                0.39 * wps + 11.8 * spw - 15.59,
+                4.71 * (alnum / wd) + 0.5 * wps - 21.43,
+                0.0588 * (100.0 * letters / wd)
+                - 0.296 * (100.0 * sd / wd)
+                - 15.8,
+                wps + 100.0 * (long_w / wd),
+                len(seen) / wd,
+            )
+
+        names = (
+            "n_words", "n_sentences", "n_syllables", "flesch",
+            "fk_grade", "ari", "coleman_liau", "lix", "ttr",
+        )
+        for pdf in batches:
+            vals = [one(t) for t in pdf[text_col]]
+            out = pdf.copy()
+            for i, nm in enumerate(names):
+                col = [v[i] for v in vals]
+                out[nm] = pd.array(
+                    col, dtype="Int64" if i < 3 else "Float64"
+                )
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def compression_ratio(text: Column, level: int = 6) -> Column:

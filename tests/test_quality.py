@@ -772,3 +772,86 @@ class TestReadabilityPanel:
         # dict measures 8
         assert plan.count("aeiouy") <= 4, plan.count("aeiouy")
         assert "Exchange" not in plan
+
+
+class TestReadabilityArrow:
+    """r12: readability_panel(arrow=True) — the mapInPandas compiled-re
+    twin must mirror the JVM rules EXACTLY (counts bit-equal, formulas
+    IEEE-identical): Java-\\s token split after space-only trim, the
+    re.ASCII initial rule, abbreviation table order, silent-e."""
+
+    EDGE_ROWS = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "\t\n"),               # trim strips SPACES only -> 2 tokens
+        (5, "Dr. Smith saw 3.14 cats. The U. S. tables were simple! "
+            "mistake here"),
+        (6, "word"),
+        (7, "é À ütf"),
+        (8, "DNA. test A. B. ok"),  # \b keeps DNA. splitting
+        (9, "a  b\tc"),
+        (10, "O'Neill co-op naïve"),
+        (11, "Prof. X vs. Y etc. e.g. i.e. done"),
+        (12, "queueing strengths rhythm style able table e"),
+    ]
+    COLS = [
+        "n_words", "n_sentences", "n_syllables", "flesch", "fk_grade",
+        "ari", "coleman_liau", "lix", "ttr",
+    ]
+
+    def test_arrow_equals_jvm_edges(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_panel,
+        )
+
+        df = spark.createDataFrame(self.EDGE_ROWS, "id long, t string")
+        a = {
+            r["id"]: r
+            for r in readability_panel(df, "t").collect()
+        }
+        b = {
+            r["id"]: r
+            for r in readability_panel(df, "t", arrow=True).collect()
+        }
+        assert set(a) == set(b)
+        for i in a:
+            for c in self.COLS:
+                assert a[i][c] == b[i][c], (i, c, a[i][c], b[i][c])
+
+    def test_arrow_equals_jvm_fixture(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_panel,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        a = {
+            r["doc_id"]: r
+            for r in readability_panel(docs, "text").collect()
+        }
+        b = {
+            r["doc_id"]: r
+            for r in readability_panel(
+                docs, "text", arrow=True
+            ).collect()
+        }
+        assert set(a) == set(b) and a
+        for i in a:
+            for c in self.COLS:
+                assert a[i][c] == b[i][c], (i, c, a[i][c], b[i][c])
+
+    def test_arrow_zero_shuffle_plan(self, spark):
+        from pandas_weights_spark.functions.quality import (
+            readability_panel,
+        )
+
+        df = spark.createDataFrame([("a b. c",)], "text string")
+        plan = (
+            readability_panel(df, "text", arrow=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

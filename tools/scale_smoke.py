@@ -847,9 +847,12 @@ def main() -> int:
 
     dbench("html table extraction", _tables, docs_n)
 
-    # r11: readability panel — row-local token+sentence algebra
+    # r11: readability panel — row-local token+sentence algebra;
+    # r12 pairs it with the Arrow twin (compiled-re kernel, exact
+    # parity pinned) — the JVM side was the slowest per-doc entry
     from pandas_weights_spark.functions.quality import (
         readability_metrics,
+        readability_panel,
     )
 
     def _readability():
@@ -858,7 +861,10 @@ def main() -> int:
             "doc_id", *[c.alias(k) for k, c in m.items()]
         )
 
-    dbench("readability panel", _readability, docs_n)
+    dbench("readability panel jvm", _readability, docs_n)
+    dbench("readability panel arrow", lambda: readability_panel(
+        docs.select("doc_id", "text"), "text", arrow=True
+    ), docs_n)
 
     # r11: HTML -> Markdown rewrite table
     from pandas_weights_spark.functions.html import html_to_markdown
