@@ -960,15 +960,46 @@ def encode_wordpiece(
     segments: DataFrame,
     lowercase: bool = True,
     unk: str = "[UNK]",
+    mode: str = "lookup",
+    max_input_chars_per_word: int = 100,
+    merges: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Encode documents against trained WordPiece ``segments``:
     ``(id_col, pieces array<string>, n_words, n_pieces, n_unk_words)``
-    — symbols carry the ``##`` continuation convention. A word
-    outside the (capped) training table becomes ONE ``unk`` piece,
-    the BERT convention (BPE falls back to a char split; WordPiece
-    deliberately does not — unknown-word mass is a quality signal).
-    Broadcast join + (position, payload) sort-regroup, one data-sized
-    shuffle."""
+    — symbols carry the ``##`` continuation convention.
+
+    ``mode='lookup'`` (default, the r11 behavior): a word outside the
+    (capped) training WORD table becomes ONE ``unk`` piece — a
+    deliberate divergence from HF inference kept because unknown-word
+    mass is a corpus-quality signal. Broadcast join + (position,
+    payload) sort-regroup, one data-sized shuffle.
+
+    ``mode='greedy'`` (r12): HF/BERT ``WordpieceTokenizer`` inference
+    — greedy LONGEST-MATCH of each word against the trained PIECE
+    vocabulary (``##`` convention), so held-out words that decompose
+    over the vocab get pieces, and ``unk`` only appears when no
+    decomposition exists (or the word exceeds
+    ``max_input_chars_per_word``, HF's guard, default 100). The
+    vocabulary is what a real exported WordPiece vocab holds: the
+    training BASE ALPHABET (first-char + ``##``-continuation chars of
+    every table word) plus every learned piece — the distinct final
+    symbols of ``segments``, plus ``merges.merged`` when the merge
+    table is passed via ``merges=`` (intermediate pieces that were
+    merged out of every table word still belong to the vocab). It is
+    model-sized (lives under the capped word table), so it collects
+    and rides a ``mapInPandas`` kernel — zero shuffle, no join;
+    tokenization mirrors ``tokens()`` exactly (space-only trim +
+    Java-``\\s`` split). Pinned by a pure-Python HF-style
+    differential. NB: greedy segmentation of an in-table word may
+    legitimately differ from its stored training segmentation (true
+    of HF too — inference is longest-match, not merge replay)."""
+    if mode not in ("lookup", "greedy"):
+        raise ValueError(f"mode must be lookup|greedy, got {mode!r}")
+    if mode == "greedy":
+        return _encode_wordpiece_greedy(
+            df, text_col, id_col, segments, lowercase, unk,
+            int(max_input_chars_per_word), merges,
+        )
     t = F.col(text_col)
     toks = tokens(F.lower(t) if lowercase else t)
     pos = df.select(
@@ -997,6 +1028,129 @@ def encode_wordpiece(
         .cast("long")
         .alias("n_unk_words"),
     )
+
+
+def _encode_wordpiece_greedy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    segments: DataFrame,
+    lowercase: bool,
+    unk: str,
+    max_chars: int,
+    merges: "Optional[DataFrame]" = None,
+) -> DataFrame:
+    """HF-style greedy longest-match WordPiece inference — see
+    :func:`encode_wordpiece`. The piece vocabulary (base alphabet of
+    the table words + final segment symbols + optional merge outputs)
+    is model-sized, so the collect is the sanctioned bounded kind
+    (LID-profile discipline); each batch then encodes row-locally."""
+    from pyspark.sql import types as T
+
+    rows = segments.select("word", "syms").collect()
+    vocab: set = set()
+    for r in rows:
+        vocab.update(r["syms"])
+        w = r["word"]
+        if w:
+            # training base alphabet: 'h', '##u', '##g', ... — a real
+            # WordPiece vocab always contains it (HF convention)
+            vocab.add(w[0])
+            vocab.update("##" + c for c in w[1:])
+    if merges is not None:
+        vocab.update(
+            r["m"] for r in merges.select(
+                F.col("merged").alias("m")
+            ).distinct().collect()
+        )
+    if not vocab:
+        raise ValueError("segments has no pieces to encode against")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("pieces", T.ArrayType(T.StringType())),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("n_unk_words", T.LongType()),
+        ]
+    )
+    lower = bool(lowercase)
+    base = df.select(
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
+    )
+
+    def run(batches):
+        import re as _re
+
+        import pandas as pd
+
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
+
+        def word_pieces(w):
+            # HF WordpieceTokenizer: length guard, then greedy
+            # longest-match; any position with no match -> whole
+            # word is UNK
+            if len(w) > max_chars:
+                return None
+            out = []
+            start = 0
+            while start < len(w):
+                end = len(w)
+                cur = None
+                while start < end:
+                    sub = w[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in vocab:
+                        cur = sub
+                        break
+                    end -= 1
+                if cur is None:
+                    return None
+                out.append(cur)
+                start = end
+            return out
+
+        for pdf in batches:
+            ids, pcs, nw_, np_, nu_ = [], [], [], [], []
+            for i, t in zip(pdf["__id__"], pdf["__t__"]):
+                if not isinstance(t, str):
+                    continue
+                if lower:
+                    t = t.lower()
+                words = [
+                    w for w in ws.split(t.strip(" ")) if len(w) > 0
+                ]
+                if not words:
+                    # lookup mode emits no row for wordless docs
+                    # (posexplode yields nothing) — mirror that
+                    continue
+                pieces, unk_n = [], 0
+                for w in words:
+                    wp = word_pieces(w)
+                    if wp is None:
+                        pieces.append(unk)
+                        unk_n += 1
+                    else:
+                        pieces.extend(wp)
+                ids.append(i)
+                pcs.append(pieces)
+                nw_.append(len(words))
+                np_.append(len(pieces))
+                nu_.append(unk_n)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "pieces": pcs,
+                        "n_words": nw_,
+                        "n_pieces": np_,
+                        "n_unk_words": nu_,
+                    }
+                )
+
+    return base.mapInPandas(run, out_schema)
 
 
 def unigram_seed_table(

@@ -663,3 +663,196 @@ class TestDecodeWordpiece:
             .first()["t"]
             == ""
         )
+
+
+class TestWordPieceGreedy:
+    """r12: encode_wordpiece(mode='greedy') — HF/BERT
+    WordpieceTokenizer inference (greedy longest-match over the PIECE
+    vocab, ## convention, max_input_chars guard); [UNK] only when no
+    decomposition exists."""
+
+    TEXTS = ["hug hug hug pug pug hugs", "bun bug hug pun pug bugs hug"]
+
+    def _segs(self, spark, merges=6):
+        from pandas_weights_spark.functions.vocab import train_wordpiece
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], ["i", "text"]
+        )
+        _m, segs = train_wordpiece(
+            df, "text", num_merges=merges, mode="local",
+            min_frequency=1.0,
+        )
+        return segs
+
+    @staticmethod
+    def _hf_reference(word, vocab, max_chars=100, unk="[UNK]"):
+        # transcription of HF tokenizers' WordpieceTokenizer.tokenize
+        # (public algorithm: Schuster & Nakajima 2012; BERT repo)
+        if len(word) > max_chars:
+            return [unk]
+        out, start = [], 0
+        while start < len(word):
+            end, cur = len(word), None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [unk]
+            out.append(cur)
+            start = end
+        return out
+
+    def test_heldout_word_decomposes_not_unk(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+        )
+
+        segs = self._segs(spark)
+        # 'pugs' and 'hun' never appear in training, but p/##ugs and
+        # h/##un are trained pieces -> greedy decomposes where lookup
+        # gives [UNK]
+        df = spark.createDataFrame([(1, "pugs hun")], ["i", "text"])
+        greedy = encode_wordpiece(
+            df, "text", "i", segs, mode="greedy"
+        ).first()
+        lookup = encode_wordpiece(df, "text", "i", segs).first()
+        assert lookup["n_unk_words"] == 2
+        assert greedy["n_unk_words"] == 0
+        assert greedy["pieces"] == ["p", "##ugs", "h", "##un"]
+
+    def test_differential_vs_hf_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+        )
+
+        segs = self._segs(spark)
+        # independent vocab reconstruction, the HF convention: base
+        # alphabet of every table word + every final segment symbol
+        vocab = set()
+        for r in segs.select("word", "syms").collect():
+            vocab.update(r["syms"])
+            vocab.add(r["word"][0])
+            vocab.update("##" + c for c in r["word"][1:])
+        texts = [
+            "hug pug bun gug hugs bugs pugs zzz",
+            "b u n bun gg ug  hug",
+            "hugsbugs punbun",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+        )
+        got = {
+            r["i"]: r
+            for r in encode_wordpiece(
+                df, "text", "i", segs, mode="greedy"
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            words = [w for w in t.lower().split(" ") if w]
+            exp = []
+            unk_n = 0
+            for w in words:
+                wp = self._hf_reference(w, vocab)
+                exp.extend(wp)
+                unk_n += wp == ["[UNK]"]
+            assert got[i]["pieces"] == exp, (i, got[i]["pieces"], exp)
+            assert got[i]["n_words"] == len(words)
+            assert got[i]["n_pieces"] == len(exp)
+            assert got[i]["n_unk_words"] == unk_n
+
+    def test_max_input_chars_guard(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+        )
+
+        segs = self._segs(spark)
+        long_word = "h" + "u" * 150  # 151 chars > default 100
+        df = spark.createDataFrame(
+            [(1, long_word + " hug")], ["i", "text"]
+        )
+        r = encode_wordpiece(
+            df, "text", "i", segs, mode="greedy"
+        ).first()
+        assert r["pieces"][0] == "[UNK]" and r["n_unk_words"] == 1
+        # a larger guard lets it decompose
+        r2 = encode_wordpiece(
+            df, "text", "i", segs, mode="greedy",
+            max_input_chars_per_word=200,
+        ).first()
+        assert r2["n_unk_words"] == 0
+
+    def test_unk_only_when_no_decomposition(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+        )
+
+        segs = self._segs(spark)
+        # 'z' is outside the trained alphabet -> no decomposition
+        df = spark.createDataFrame([(1, "zzz buz")], ["i", "text"])
+        r = encode_wordpiece(
+            df, "text", "i", segs, mode="greedy"
+        ).first()
+        assert r["pieces"] == ["[UNK]", "[UNK]"]
+        assert r["n_unk_words"] == 2
+
+    def test_lookup_mode_unchanged_default(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+        )
+
+        segs = self._segs(spark)
+        df = spark.createDataFrame([(1, "gug hug")], ["i", "text"])
+        assert (
+            encode_wordpiece(df, "text", "i", segs).first()["n_unk_words"]
+            == 1
+        )
+        with pytest.raises(ValueError, match="mode"):
+            encode_wordpiece(df, "text", "i", segs, mode="viterbi")
+
+    def test_merges_param_recovers_intermediate_pieces(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+            train_wordpiece,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], ["i", "text"]
+        )
+        m, segs = train_wordpiece(
+            df, "text", num_merges=6, mode="local", min_frequency=1.0,
+        )
+        merged = {r["merged"] for r in m.collect()}
+        assert "##gs" in merged  # intermediate, absent from final syms
+        probe = spark.createDataFrame([(1, "pgs")], ["i", "text"])
+        without = encode_wordpiece(
+            probe, "text", "i", segs, mode="greedy"
+        ).first()
+        with_m = encode_wordpiece(
+            probe, "text", "i", segs, mode="greedy", merges=m
+        ).first()
+        # alphabet alone decomposes char-wise; the merge table lets
+        # longest-match take the intermediate '##gs' piece
+        assert without["pieces"] == ["p", "##g", "##s"]
+        assert with_m["pieces"] == ["p", "##gs"]
+
+    def test_wordless_docs_emit_no_row(self, spark):
+        from pandas_weights_spark.functions.vocab import (
+            encode_wordpiece,
+        )
+
+        segs = self._segs(spark)
+        df = spark.createDataFrame(
+            [(1, "hug"), (2, "   "), (3, None)], ["i", "text"]
+        )
+        got = encode_wordpiece(
+            df, "text", "i", segs, mode="greedy"
+        ).collect()
+        assert [r["i"] for r in got] == [1]
