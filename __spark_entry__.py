@@ -9081,10 +9081,22 @@ def _q_html_tables(spark, sf_dir):
                 F.lit(" &amp; co</td></tr></table>"),
             ),
         ).otherwise(F.lit("")),
+        # r12: a spanning table on every 4th doc — colspan=2 over a
+        # hanging rowspan; expand_spans=True renders the rectangular
+        # grid [['a','a','b'],['c','d','b']] (closed-form in the
+        # oracle; expansion is the pinned identity on the span-free
+        # tables above)
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                '<table><tr><td colspan=2>a</td><td rowspan="2">b'
+                "</td></tr><tr><td>c<td>d</tr></table>"
+            ),
+        ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
     tabled = docs.select(
-        "doc_id", H.extract_tables(h).alias("tables")
+        "doc_id", H.extract_tables(h, expand_spans=True).alias("tables")
     )
     rows = tabled.select(
         "doc_id", F.posexplode("tables").alias("t_idx", "rows")
@@ -9118,25 +9130,39 @@ def _html_tables_sql() -> str:
              THEN '<table><caption>cap</caption><tr><td>' || source
                || ' &amp; co</td></tr></table>'
              ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+             THEN '<table><tr><td colspan=2>a</td><td rowspan="2">b'
+               || '</td></tr><tr><td>c<td>d</tr></table>'
+             ELSE '' END
         || '</body></html>' AS h
       FROM documents
     ), tb AS (
       SELECT doc_id, {H.extract_tables_sql('h')} AS tables FROM d
     ), t AS (
-      SELECT doc_id,
+      SELECT doc_id, len(tables) AS n_tabs,
              unnest(tables) AS rws,
              unnest(generate_series(0, len(tables) - 1)) AS t_idx
       FROM tb
     ), r AS (
-      SELECT doc_id, t_idx,
+      SELECT doc_id, n_tabs, t_idx,
              unnest(rws) AS cells,
              unnest(generate_series(0, len(rws) - 1)) AS r_idx
       FROM t
     )
+    -- the span-free tables replay the grid algorithm verbatim
+    -- (expand_spans is the pinned identity there); the crafted
+    -- spanning table (always LAST when doc_id%4=0) replays its
+    -- rectangular expansion closed-form: colspan=2 'a' repeats,
+    -- rowspan=2 'b' hangs into row 1 -> [a,a,b] / [c,d,b]
     SELECT doc_id, CAST(t_idx AS BIGINT) AS t_idx,
            CAST(r_idx AS BIGINT) AS r_idx,
-           CAST(len(cells) AS BIGINT) AS n_cells,
-           array_to_string(cells, chr(31)) AS cells
+           CAST(CASE WHEN doc_id % 4 = 0 AND t_idx = n_tabs - 1
+                THEN 3 ELSE len(cells) END AS BIGINT) AS n_cells,
+           CASE WHEN doc_id % 4 = 0 AND t_idx = n_tabs - 1
+                THEN CASE WHEN r_idx = 0
+                     THEN 'a' || chr(31) || 'a' || chr(31) || 'b'
+                     ELSE 'c' || chr(31) || 'd' || chr(31) || 'b' END
+                ELSE array_to_string(cells, chr(31)) END AS cells
     FROM r
 """
 
@@ -10530,6 +10556,8 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   handling (oracle JVM twin unchanged)
     "html_extract",      # r12: shared html_parts decoded-block
                          #   producer; 'visible' is now block-wise
+    "html_tables",       # r12: expand_spans=True + spanning-table
+                         #   fixture rows (closed-form replay)
 )
 
 

@@ -661,7 +661,21 @@ def _tail(pieces: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def extract_tables(html: Column) -> Column:
+#: colspan/rowspan attribute capture (digits bounded so the int cast
+#: can't overflow; HTML spec clamps are applied after the parse)
+_COLSPAN_RE = "(?i)colspan" + _WS + "*=" + _WS + "*[\"']?([0-9]{1,4})"
+_ROWSPAN_RE = "(?i)rowspan" + _WS + "*=" + _WS + "*[\"']?([0-9]{1,5})"
+
+
+def _span_attr(tag: Column, pat: str, clamp: int) -> Column:
+    """Span attribute of one cell tag: missing/0 → 1, clamped to the
+    HTML-spec maximum (colspan 1000, rowspan 65534)."""
+    e = F.regexp_extract(tag, pat, 1)
+    v = F.when(e != "", e.cast("int")).otherwise(F.lit(1))
+    return F.least(F.greatest(v, F.lit(1)), F.lit(int(clamp)))
+
+
+def extract_tables(html: Column, expand_spans: bool = False) -> Column:
     """Structured table recovery (r11):
     ``array<array<array<string>>>`` — tables → rows → cell texts, in
     document order. The recipe web-corpus structured-data extraction
@@ -676,11 +690,24 @@ def extract_tables(html: Column) -> Column:
     containers (script/style/comments) strip FIRST, so a script
     inside a table never leaks into cell text. NULL html → NULL.
 
-    Pure HOF pipeline — row-local, zero shuffle; colspan/rowspan are
-    presentation hints and are ignored (documented: the cell GRID is
-    returned, not the rendered geometry). Nested tables degrade to a
-    truncated outer body (no DOM — same stance as the rest of this
-    module)."""
+    ``expand_spans=False`` (default, the r11 behavior): colspan/
+    rowspan are ignored — the cell GRID is returned, not the rendered
+    geometry. ``expand_spans=True`` (r12) expands both into the
+    rectangular grid the way ``pandas.read_html`` does — a
+    ``colspan=c`` cell repeats its text across ``c`` columns, a
+    ``rowspan=r`` cell repeats down ``r`` rows, a ``c×r`` block fills
+    all its positions; later rows place their cells into the free
+    columns left of/between the hanging spans (wiki/finance tables
+    misalign without this). Missing/0 spans count 1; spec clamps
+    (1000 / 65534) apply; a rowspan overhanging the last ``<tr>``
+    truncates at the table end. On a span-free table the expansion is
+    the identity — byte-identical to the default path (pinned).
+
+    Pure HOF pipeline either way — row-local, zero shuffle; the
+    expansion is one ``aggregate`` over the row array whose
+    accumulator carries (emitted grid, hanging spans). Nested tables
+    degrade to a truncated outer body (no DOM — same stance as the
+    rest of this module)."""
     clean = _strip_invisible(html)
     bodies = F.regexp_extract_all(clean, F.lit(_TABLE_RE), F.lit(1))
 
@@ -694,13 +721,105 @@ def extract_tables(html: Column) -> Column:
             _tail(F.split(row, _CELL_SPLIT_RE, -1)), cell_text
         )
 
-    def rows_of(body: Column) -> Column:
-        rows = F.transform(
-            _tail(F.split(body, _TR_SPLIT_RE, -1)), cells_of
-        )
-        return F.filter(rows, lambda r: F.size(r) > 0)
+    if not expand_spans:
+        def rows_of(body: Column) -> Column:
+            rows = F.transform(
+                _tail(F.split(body, _TR_SPLIT_RE, -1)), cells_of
+            )
+            return F.filter(rows, lambda r: F.size(r) > 0)
 
-    return F.transform(bodies, rows_of)
+        return F.transform(bodies, rows_of)
+
+    def spanned_cells_of(row: Column) -> Column:
+        # the split DELIMITERS carry the span attributes — extract
+        # the opening tags with the same pattern so tag i pairs with
+        # split-tail piece i, then expand colspan into repeated
+        # (text, rowspan) units (a c×r cell becomes c column units
+        # each hanging r rows)
+        tags = F.regexp_extract_all(
+            row, F.lit(_CELL_SPLIT_RE), F.lit(0)
+        )
+        units = F.zip_with(
+            tags,
+            _tail(F.split(row, _CELL_SPLIT_RE, -1)),
+            lambda tag, c: F.struct(
+                cell_text(c).alias("text"),
+                _span_attr(tag, _ROWSPAN_RE, 65534).alias("rs"),
+                _span_attr(tag, _COLSPAN_RE, 1000).alias("cs"),
+            ),
+        )
+        return F.flatten(
+            F.transform(
+                units,
+                lambda u: F.array_repeat(
+                    F.struct(u["text"].alias("text"), u["rs"].alias("rs")),
+                    u["cs"],
+                ),
+            )
+        )
+
+    def expand(body: Column) -> Column:
+        rows = F.filter(
+            F.transform(
+                _tail(F.split(body, _TR_SPLIT_RE, -1)),
+                spanned_cells_of,
+            ),
+            lambda r: F.size(r) > 0,
+        )
+        init = F.struct(
+            F.array().cast("array<array<string>>").alias("out"),
+            F.array()
+            .cast("array<struct<col:int,rem:int,text:string>>")
+            .alias("pend"),
+        )
+
+        def merge(st: Column, units: Column) -> Column:
+            occ = st["pend"]
+            occ_cols = F.transform(occ, lambda p: p["col"])
+            n = F.size(units)
+            # enough candidate positions for every hanging span plus
+            # this row's units: 0 .. max(occ)+n is always sufficient
+            cap = F.coalesce(
+                F.array_max(occ_cols), F.lit(-1)
+            ) + n
+            free = F.slice(
+                F.filter(
+                    F.sequence(F.lit(0), cap),
+                    lambda pos: ~F.array_contains(occ_cols, pos),
+                ),
+                1,
+                n,
+            )
+            placed = F.zip_with(
+                free,
+                units,
+                lambda pos, u: F.struct(
+                    pos.alias("col"),
+                    u["rs"].alias("rem"),
+                    u["text"].alias("text"),
+                ),
+            )
+            allc = F.array_sort(F.concat(occ, placed))
+            row_out = F.transform(allc, lambda x: x["text"])
+            new_pend = F.filter(
+                F.transform(
+                    allc,
+                    lambda x: F.struct(
+                        x["col"].alias("col"),
+                        (x["rem"] - F.lit(1)).alias("rem"),
+                        x["text"].alias("text"),
+                    ),
+                ),
+                lambda x: x["rem"] > 0,
+            )
+            return F.struct(
+                F.concat(st["out"], F.array(row_out)).alias("out"),
+                new_pend.alias("pend"),
+            )
+
+        return F.aggregate(rows, init, merge, lambda st: st["out"])
+
+    return F.transform(bodies, expand)
 
 
 def extract_tables_sql(expr: str) -> str:

@@ -825,3 +825,118 @@ class TestExtractMetaInvalidDate:
             "'<time datetime=\"2024-99-99\">x</time>' AS h)"
         ).fetchone()[0]
         assert v is None
+
+
+class TestExtractTablesSpans:
+    """r12: expand_spans=True — rectangular grid expansion of
+    colspan/rowspan (pandas.read_html semantics), identity on
+    span-free tables."""
+
+    def _tables(self, spark, html, **kw):
+        from pandas_weights_spark.functions.html import extract_tables
+
+        df = spark.createDataFrame([(html,)], ["h"])
+        return df.select(
+            extract_tables(F.col("h"), **kw).alias("t")
+        ).first()["t"]
+
+    def test_colspan_repeats_across_columns(self, spark):
+        t = self._tables(
+            spark,
+            '<table><tr><td colspan="3">wide</td><td>x</td></tr>'
+            "<tr><td>a<td>b<td>c<td>d</tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["wide", "wide", "wide", "x"],
+                      ["a", "b", "c", "d"]]]
+
+    def test_rowspan_hangs_down_rows(self, spark):
+        t = self._tables(
+            spark,
+            '<table><tr><td rowspan="3">tall</td><td>r0</td></tr>'
+            "<tr><td>r1</td></tr><tr><td>r2</td></tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["tall", "r0"], ["tall", "r1"], ["tall", "r2"]]]
+
+    def test_block_span_fills_rectangle(self, spark):
+        t = self._tables(
+            spark,
+            '<table><tr><td colspan="2" rowspan="2">X</td><td>r0'
+            "</td></tr><tr><td>r1</td></tr>"
+            "<tr><td>p<td>q<td>r</tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["X", "X", "r0"], ["X", "X", "r1"],
+                      ["p", "q", "r"]]]
+
+    def test_mid_row_rowspan_interleaves(self, spark):
+        # the hanging span sits BETWEEN later-row cells
+        t = self._tables(
+            spark,
+            '<table><tr><td>a</td><td rowspan="2">m</td><td>b</td>'
+            "</tr><tr><td>c<td>d</tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["a", "m", "b"], ["c", "m", "d"]]]
+
+    def test_span_free_identity(self, spark):
+        html = (
+            "<table><tr><th>K</th><th>V&#233;</th></tr>"
+            "<tr><td>doc<td>7</tr>"
+            "<tr><td> padded </td><td><b>src</b></td><td></td></tr>"
+            "</table><table><caption>c</caption>"
+            "<tr><td>one &amp; two</td></tr></table>"
+        )
+        assert self._tables(spark, html, expand_spans=True) == \
+            self._tables(spark, html)
+
+    def test_overhanging_rowspan_truncates(self, spark):
+        t = self._tables(
+            spark,
+            '<table><tr><td rowspan="9">h</td><td>x</td></tr>'
+            "<tr><td>y</td></tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["h", "x"], ["h", "y"]]]
+
+    def test_zero_and_clamped_spans(self, spark):
+        # rowspan=0 / colspan=0 count 1 (documented); spec clamps
+        t = self._tables(
+            spark,
+            '<table><tr><td rowspan="0">z</td>'
+            "<td colspan=0>w</td></tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["z", "w"]]]
+
+    def test_quote_styles_and_case(self, spark):
+        t = self._tables(
+            spark,
+            "<table><tr><td COLSPAN='2'>a</td><td ROWSPAN=2>b</td>"
+            "</tr><tr><td>c<td>d</tr></table>",
+            expand_spans=True,
+        )
+        assert t == [[["a", "a", "b"], ["c", "d", "b"]]]
+
+    def test_null_html(self, spark):
+        from pandas_weights_spark.functions.html import extract_tables
+
+        df = spark.createDataFrame([(None,)], "h string")
+        assert df.select(
+            extract_tables(F.col("h"), expand_spans=True).alias("t")
+        ).first()["t"] is None
+
+    def test_no_shuffle_plan(self, spark):
+        from pandas_weights_spark.functions.html import extract_tables
+
+        df = spark.createDataFrame(
+            [("<table><tr><td>a</td></tr></table>",)], ["h"]
+        )
+        plan = (
+            df.select(extract_tables(F.col("h"), expand_spans=True))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
