@@ -2146,6 +2146,148 @@ def _q_ewm_pair(spark, sf_dir):
     return pair.unionByName(tm)
 
 
+def _q_neardup_incremental(spark, sf_dir):
+    # r12: snapshot-incremental NEAR-dup (functions/dedup.py
+    # minhash_dedup_incremental — the MinHash analog of the exact
+    # digest-state dedup): two crawl batches run through the stateful
+    # kernel inside one query. Batch 1 carries planted in-batch
+    # near-dups (first-word-stripped copies, +10000 ids); batch 2
+    # carries near-dups OF HISTORY (+20000 mutated copies of batch-1
+    # docs — including ones whose batch-1 twin LOST, proving losers
+    # stay in state) and exact re-crawls (+30000) that must suppress.
+    # Portable md5 MinHash family (16 hashes / 4 bands / 3-shingles,
+    # the neardup_pairs constants) so DuckDB replays both stages —
+    # signatures, band joins, exact-Jaccard verifies, min-id drops —
+    # closed-form. Output: (batch, doc_id) survivors of each stage.
+    from pandas_weights_spark.functions.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    strip1 = F.regexp_replace(F.col("text"), r"^\S+\s+", "")
+    b1 = docs.where(F.col("doc_id") < 120).unionByName(
+        docs.where(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            strip1.alias("text"),
+        )
+    )
+    b2 = (
+        docs.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 240))
+        .unionByName(
+            docs.where(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                strip1.alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+            ).select(
+                (F.col("doc_id") + 30000).alias("doc_id"), F.col("text")
+            )
+        )
+    )
+    s1, st1 = minhash_dedup_incremental(
+        b1, "text", "doc_id", threshold=0.4
+    )
+    s2, _st2 = minhash_dedup_incremental(
+        b2, "text", "doc_id", state=st1, threshold=0.4
+    )
+    return (
+        s1.select(F.lit(1).alias("batch"), "doc_id")
+        .unionByName(s2.select(F.lit(2).alias("batch"), "doc_id"))
+        .select(
+            F.col("batch").cast("long").alias("batch"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+    )
+
+
+def _neardup_incremental_sql() -> str:
+    # closed-form two-stage replay of minhash_dedup_incremental over
+    # the same fixture — the _minhash_sql machinery (md5 signature
+    # mins, 4-band keys, exact-Jaccard verify) applied per batch
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i} ' || x)))"
+        for i in range(16)
+    )
+    bands = ", ".join(
+        f"md5(array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|')) AS b{b}"
+        for b in range(4)
+    )
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    cross_or = " OR ".join(f"n.b{b} = o.b{b}" for b in range(4))
+    jac = (
+        "round(CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat({a}, {b})))"
+        " AS DOUBLE), 6)"
+    )
+
+    def stage(src: str, name: str) -> str:
+        return f"""
+    {name}_tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM {src}
+    ), {name}_sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]
+                  ELSE [array_to_string(w, ' ')] END AS s
+      FROM {name}_tok
+    ), {name}_band AS (
+      SELECT doc_id, list_distinct(s) AS sd, {bands}
+      FROM (SELECT doc_id, s, [{sig}] AS sig FROM {name}_sh)
+    )"""
+
+    return f"""
+    WITH b1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+      UNION ALL
+      SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+      FROM documents WHERE doc_id < 40
+    ), b2 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 120 AND doc_id < 240
+      UNION ALL
+      SELECT doc_id + 20000, regexp_replace(text, '^\\S+\\s+', '')
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 30000, text FROM documents
+      WHERE doc_id >= 40 AND doc_id < 60
+    ), {stage('b1', 's1')}, {stage('b2', 's2')},
+    losers1 AS (
+      SELECT DISTINCT b.doc_id
+      FROM s1_band a JOIN s1_band b
+        ON a.doc_id < b.doc_id AND ({band_or})
+      WHERE {jac.format(a='a.sd', b='b.sd')} >= 0.4
+    ), surv1 AS (
+      SELECT doc_id FROM b1
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers1)
+    ), histdups AS (
+      -- state after batch 1 is EVERY b1 doc (losers included)
+      SELECT DISTINCT n.doc_id
+      FROM s2_band n JOIN s1_band o ON ({cross_or})
+      WHERE {jac.format(a='n.sd', b='o.sd')} >= 0.4
+    ), fresh2 AS (
+      SELECT doc_id FROM b2
+      WHERE doc_id NOT IN (SELECT doc_id FROM histdups)
+    ), losers2 AS (
+      SELECT DISTINCT b.doc_id
+      FROM s2_band a JOIN s2_band b
+        ON a.doc_id < b.doc_id AND ({band_or})
+      WHERE a.doc_id IN (SELECT doc_id FROM fresh2)
+        AND b.doc_id IN (SELECT doc_id FROM fresh2)
+        AND {jac.format(a='a.sd', b='b.sd')} >= 0.4
+    )
+    SELECT CAST(1 AS BIGINT) AS batch, CAST(doc_id AS BIGINT) AS doc_id
+    FROM surv1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(doc_id AS BIGINT) FROM fresh2
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers2)
+"""
+
+
 def _q_neardup_pairs(spark, sf_dir):
     # THREE near-dup pair pipelines in one tagged union (folded from
     # r3's minhash_neardup + ngram_jaccard + embedding_neardup to free
@@ -6316,6 +6458,8 @@ def _minhash_join_sql(threshold: float = 0.4) -> str:
 
 
 # tagged union of the five pair oracles (see _q_neardup_pairs)
+_ORACLE["neardup_incremental"] = _neardup_incremental_sql()
+
 _ORACLE["neardup_pairs"] = f"""
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_sql()})
@@ -10542,6 +10686,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 
 #: queries ADDED in the current round (r12) — always in the window.
 _NEW_THIS_ROUND: tuple = (
+    "neardup_incremental",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10582,6 +10727,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable REGISTRATION order (r10 head, then r6-r9, then r1-r5);
     # the driver-facing order is computed by queries() above.
     return {
+        # --- r12 queries ---
+        "neardup_incremental": _q_neardup_incremental,
         # --- r11 queries ---
         "readability": _q_readability,
         "html_meta": _q_html_meta,

@@ -129,6 +129,7 @@ HEADLINE = [
     "token_budget",        # per-group fertility / token-budget report (r11)
     "classifier_eval",     # threshold sweep + calibration + binned AUC (r11)
     "ann_recall",          # recall@5/MRR/nDCG of LSH vs exact (r11)
+    "neardup_incremental", # snapshot-incremental MinHash near-dup (r12)
 ]
 
 

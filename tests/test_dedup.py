@@ -941,3 +941,123 @@ class TestSnapshotDelta:
         assert rows[0]["host"] == "h" and rows[1]["path"] == "/b"
         with pytest.raises(ValueError, match="at least one column"):
             snapshot_delta(old, new, [], "fp")
+
+
+class TestMinhashDedupIncremental:
+    """r12: snapshot-incremental NEAR-dup (the MinHash analog of
+    exact_dedup_incremental) — three-snapshot lifecycle: cross-
+    snapshot near-dups caught against persisted signature state,
+    state accumulates, re-crawls stay suppressed."""
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning without fail"
+    )
+    NEAR = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single evening without fail"
+    )
+    OTHER = (
+        "completely different text about spark partitions shuffling "
+        "data across executors during wide transformations"
+    )
+    KW = dict(
+        threshold=0.5, num_hashes=16, bands=8, shingle_size=3,
+    )
+
+    def _run(self, spark, rows, state=None):
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return minhash_dedup_incremental(
+            df, "text", "doc_id", state=state, **self.KW
+        )
+
+    def test_three_snapshot_lifecycle(self, spark):
+        # snapshot 1: a batch with an internal near-dup pair
+        s1, st1 = self._run(
+            spark, [(1, self.BASE), (2, self.NEAR), (3, self.OTHER)]
+        )
+        ids1 = {r["doc_id"] for r in s1.collect()}
+        assert ids1 == {1, 3}  # 2 lost to 1 (min-id rule)
+        # state accumulates EVERY batch doc (incl. the loser)
+        assert {r["doc_id"] for r in st1.collect()} == {1, 2, 3}
+
+        # snapshot 2: near-dup of history drops, novel survives
+        s2, st2 = self._run(
+            spark,
+            [(10, self.NEAR), (11, "entirely novel words here that "
+              "share no shingles with anything previously crawled")],
+            state=st1,
+        )
+        ids2 = {r["doc_id"] for r in s2.collect()}
+        assert ids2 == {11}  # 10 ~ history (1/2)
+        assert {r["doc_id"] for r in st2.collect()} == {1, 2, 3, 10, 11}
+
+        # snapshot 3: exact re-crawl of snapshot-1 content suppressed
+        s3, st3 = self._run(
+            spark, [(20, self.BASE), (21, self.OTHER)], state=st2
+        )
+        assert s3.count() == 0
+        assert st3.count() == 7
+
+    def test_first_batch_matches_oneshot_kernel(self, spark):
+        # without state the within-batch drop set equals the verified
+        # pairs of the oracle-checked one-shot pipeline
+        from pandas_weights_spark.functions.dedup import (
+            minhash_near_duplicates,
+        )
+
+        rows = [
+            (1, self.BASE), (2, self.NEAR), (3, self.OTHER),
+            (4, self.BASE + " extra tail words"),
+        ]
+        s, _ = self._run(spark, rows)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_near_duplicates(
+            df, "text", "doc_id", **self.KW
+        ).collect()
+        losers = {r["id_b"] for r in pairs}
+        assert {r["doc_id"] for r in s.collect()} == (
+            {1, 2, 3, 4} - losers
+        )
+
+    def test_state_wins_on_id_recrawl(self, spark):
+        # same id re-crawled with CHANGED content: state keeps the
+        # original signature (deterministic), no duplicate state row
+        s1, st1 = self._run(spark, [(1, self.BASE)])
+        _s2, st2 = self._run(spark, [(1, self.OTHER)], state=st1)
+        rows = st2.collect()
+        assert len(rows) == 1
+        orig = st1.first()
+        kept = st2.first()
+        assert kept["sig"] == orig["sig"]
+
+    def test_band_width_mismatch_fails_loudly(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.BASE)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="divide"):
+            minhash_dedup_incremental(
+                df, "text", "doc_id", num_hashes=16, bands=5
+            )
+
+    def test_survivors_keep_original_columns(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.BASE, "web")], "doc_id long, text string, src string"
+        )
+        s, st = minhash_dedup_incremental(
+            df, "text", "doc_id", **self.KW
+        )
+        assert s.columns == ["doc_id", "text", "src"]
+        assert set(st.columns) == {"doc_id", "sig", "sh"}
