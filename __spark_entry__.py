@@ -10703,6 +10703,8 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   producer; 'visible' is now block-wise
     "html_tables",       # r12: expand_spans=True + spanning-table
                          #   fixture rows (closed-form replay)
+    "c4_fineweb",        # r12: c4_filter blocklist_mode param (query
+                         #   rides the unchanged no-blocklist path)
 )
 
 

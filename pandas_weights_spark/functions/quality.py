@@ -464,6 +464,7 @@ def c4_filter(
     policy_phrases: "Sequence[str]" = C4_POLICY_PHRASES,
     blocklist: "Sequence[str]" = (),
     prefix: str = "c4_",
+    blocklist_mode: str = "substring",
 ) -> DataFrame:
     """C4's line- and page-level rule filters (Raffel et al. 2020
     §2.2 — the most-used public cleaning recipe after Gopher), pure
@@ -483,8 +484,14 @@ def c4_filter(
 
     ``blocklist`` optionally adds C4's bad-word page rule (the public
     recipe uses the "List of Dirty, Naughty, Obscene…" list, not
-    shipped here): a page containing any listed phrase as a
-    case-insensitive substring is dropped.
+    shipped here). ``blocklist_mode='substring'`` (default, the r11
+    behavior kept for fixture compatibility) drops a page containing
+    any listed phrase as a case-insensitive substring — which
+    over-drops on embedded matches (the classic Scunthorpe false
+    positive; C4's published rule is word-level).
+    ``blocklist_mode='word'`` (r12) matches at ``\\b`` word
+    boundaries instead (regex-escaped phrase, case-insensitive), so
+    an innocent containing word never trips the rule.
 
     Adds ``{prefix}text`` (retained lines joined with ``\\n``),
     ``{prefix}n_lines``, ``{prefix}n_lines_kept``,
@@ -561,10 +568,22 @@ def c4_filter(
         & ~out[f"{prefix}has_curly_brace"]
         & (out[f"{prefix}n_sentences"] >= _L(int(min_sentences)))
     )
+    if blocklist_mode not in ("substring", "word"):
+        raise ValueError(
+            "blocklist_mode must be 'substring' or 'word', got "
+            f"{blocklist_mode!r}"
+        )
     if blocklist:
+        import re as _re
+
         blocked = None
         for w in blocklist:
-            hit = low_page.contains(_L(w.lower()))
+            if blocklist_mode == "word":
+                hit = low_page.rlike(
+                    r"\b" + _re.escape(w.lower()) + r"\b"
+                )
+            else:
+                hit = low_page.contains(_L(w.lower()))
             blocked = hit if blocked is None else blocked | hit
         out[f"{prefix}has_blocked_word"] = blocked
         keep = keep & ~blocked

@@ -404,6 +404,56 @@ class TestC4Filter:
         r = c4_filter(df, "text").first()
         assert r["c4_keep"] is None and r["c4_text"] is None
 
+    def test_blocklist_word_mode_scunthorpe(self, spark):
+        # r12 (VERDICT r11 wrong #4): the classic Scunthorpe false
+        # positive — an EMBEDDED match must not drop the page in word
+        # mode, while substring mode (the documented default) does
+        five = "\n".join(
+            "Residents of Scunthorpe wrote sentence number "
+            f"{i} here today." for i in range(5)
+        )
+        sub = self._run(spark, five, blocklist=("thorpe",))
+        assert sub["c4_has_blocked_word"] is True
+        assert sub["c4_keep"] is False
+        word = self._run(
+            spark, five, blocklist=("thorpe",), blocklist_mode="word"
+        )
+        assert word["c4_has_blocked_word"] is False
+        assert word["c4_keep"] is True
+        # a standalone occurrence still trips word mode
+        hit = self._run(
+            spark,
+            five + "\nThe village of Thorpe sits nearby as well.",
+            blocklist=("thorpe",),
+            blocklist_mode="word",
+        )
+        assert hit["c4_has_blocked_word"] is True
+
+    def test_blocklist_word_mode_escapes_regex(self, spark):
+        five = "\n".join(
+            f"Sentence number {i} is here and fully fine." for i in range(5)
+        )
+        # a phrase with regex metachars must match literally, not as
+        # a pattern
+        r = self._run(
+            spark,
+            five + "\nBuy c.heap pills now.",
+            blocklist=("c.heap",),
+            blocklist_mode="word",
+        )
+        assert r["c4_has_blocked_word"] is True
+        r2 = self._run(
+            spark,
+            five + "\nBuy cXheap pills now.",
+            blocklist=("c.heap",),
+            blocklist_mode="word",
+        )
+        assert r2["c4_has_blocked_word"] is False
+
+    def test_blocklist_mode_validation(self, spark):
+        with pytest.raises(ValueError, match="blocklist_mode"):
+            self._run(spark, "x.", blocklist_mode="regex")
+
 
 class TestFineWebFlags:
     """r11: FineWeb's three custom document filters (Penedo et al.
