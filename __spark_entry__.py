@@ -10096,9 +10096,14 @@ def _q_html_markdown(spark, sf_dir):
         ids,
         F.lit('.png"><p>'),
         F.col("text"),
-        F.lit("</p></body></html>"),
+        # r12: literal metachars + an entity-materialized star — the
+        # escaped render must neutralize all of them while the
+        # generated marks and the code interior stay intact
+        F.lit(" star *lit* under_score #tag [br] tick `x` "
+              "ent &#42;y&#42;</p></body></html>"),
     )
     md = html_to_markdown(F.col("__h__"))
+    md_esc = html_to_markdown(F.col("__h__"), escape=True)
     return (
         _docs(spark, sf_dir)
         .withColumn("__h__", page)
@@ -10106,6 +10111,8 @@ def _q_html_markdown(spark, sf_dir):
             "doc_id",
             F.md5(md).alias("md_fp"),
             F.length(md).cast("long").alias("n_chars"),
+            F.md5(md_esc).alias("md_esc_fp"),
+            F.length(md_esc).cast("long").alias("n_esc_chars"),
         )
     )
 
@@ -10116,6 +10123,7 @@ def _html_markdown_sql() -> str:
     )
 
     md = html_to_markdown_sql("h")
+    md_esc = html_to_markdown_sql("h", escape=True)
     return f"""
     WITH page AS (
       SELECT doc_id,
@@ -10135,12 +10143,16 @@ def _html_markdown_sql() -> str:
            END
         || '<blockquote>Quote &#8212; cited</blockquote><hr>'
         || '<img src="/img/' || CAST(doc_id AS VARCHAR) || '.png"><p>'
-        || text || '</p></body></html>' AS h
+        || text
+        || ' star *lit* under_score #tag [br] tick `x` '
+        || 'ent &#42;y&#42;</p></body></html>' AS h
       FROM documents
     )
     SELECT doc_id,
       md5({md}) AS md_fp,
-      CAST(length({md}) AS BIGINT) AS n_chars
+      CAST(length({md}) AS BIGINT) AS n_chars,
+      md5({md_esc}) AS md_esc_fp,
+      CAST(length({md_esc}) AS BIGINT) AS n_esc_chars
     FROM page
 """
 
@@ -10705,6 +10717,8 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   fixture rows (closed-form replay)
     "c4_fineweb",        # r12: c4_filter blocklist_mode param (query
                          #   rides the unchanged no-blocklist path)
+    "html_markdown",     # r12: escape=True metachar render + fixture
+                         #   metachar tail (md_esc_fp columns)
 )
 
 

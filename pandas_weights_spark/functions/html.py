@@ -1231,7 +1231,54 @@ _MD_RULES: "list[tuple[str, str]]" = (
 )
 
 
-def html_to_markdown(html: Column) -> Column:
+#: sentinel marks for the ESCAPED render (\x02 + one char): generated
+#: structure must survive the metachar-escape pass that source text
+#: goes through, so rules emit sentinels and the escape step restores
+#: them afterwards. \x02 is not HTML text (same caveat as the \x01
+#: decode sentinel).
+_MD_SENT_FENCE = "\x02F"
+_MD_SENT_CODE = "\x02C"
+_MD_SENT_SWAPS: "list[tuple[str, str]]" = [
+    ("\x02B", "**"),
+    ("\x02I", "*"),
+    ("\x02L", "["),
+    ("\x02M", "]"),
+] + [("\x02" + str(n), "#" * n) for n in range(1, 7)]
+
+#: markdown metacharacters escaped in source text (escape=True):
+#: backslash itself, backtick, emphasis, heading, link brackets
+_MD_ESCAPE_RE = r"([\\`*_#\[\]])"
+
+
+def _md_rules_escaped() -> "list[tuple[str, str]]":
+    """The rewrite table with sentinel replacements — same patterns
+    and ORDER as ``_MD_RULES``, metachar output swapped for the
+    ``_MD_SENT_*`` codes (asserted 1:1 against the plain table)."""
+    swap = {
+        "```": _MD_SENT_FENCE,
+        "`": _MD_SENT_CODE,
+        "**": "\x02B",
+        "*": "\x02I",
+        "[": "\x02L",
+        "]": "\x02M",
+    }
+    out = []
+    for pat, repl in _MD_RULES:
+        r = repl
+        for n in range(6, 0, -1):
+            r = r.replace("#" * n, "\x02" + str(n))
+        r = r.replace("```", _MD_SENT_FENCE)
+        # longest-first so ** never splits into two italic marks
+        r = r.replace("**", "\x02B")
+        r = r.replace("`", _MD_SENT_CODE)
+        r = r.replace("*", "\x02I")
+        r = r.replace("[", "\x02L").replace("]", "\x02M")
+        out.append((pat, r))
+    assert len(out) == len(_MD_RULES), swap  # table stays 1:1
+    return out
+
+
+def html_to_markdown(html: Column, escape: bool = False) -> Column:
     """Markdown rendering of an HTML document — the representation
     modern pretraining corpora keep when structure matters (headings,
     lists, links, emphasis, code fences survive as text instead of
@@ -1246,27 +1293,108 @@ def html_to_markdown(html: Column) -> Column:
     paragraph breaks; leftover tags strip, entities decode, whitespace
     collapses with paragraph breaks preserved.
 
-    Documented no-DOM approximations: markdown metacharacters in the
-    source text are NOT escaped; whitespace inside code fences
+    ``escape=True`` (r12): markdown metacharacters in the SOURCE text
+    (``\\`` `` ` `` ``*`` ``_`` ``#`` ``[`` ``]`` — including ones
+    materialized by entity decoding, ``&#42;`` → ``\\*``) are
+    backslash-escaped so literal text can never corrupt the rendered
+    structure, while generated marks ride ``\\x02`` sentinels through
+    the escape pass and restore afterwards. CommonMark semantics keep
+    code VERBATIM, so the escape pass skips fenced and inline code
+    interiors (an index-aware split on the code sentinels — code
+    bodies alternate with prose). Default off — the r11 render is
+    unchanged.
+
+    Documented no-DOM approximations: whitespace inside code fences
     collapses like any text (indentation is not preserved); nested
-    same-name elements degrade at the first closing tag. NULL html →
-    NULL. Row-local, zero shuffle, scan-pipelined like every function
-    in this module.
+    same-name elements degrade at the first closing tag; with
+    ``escape=False`` source metachars pass through unescaped. NULL
+    html → NULL. Row-local, zero shuffle, scan-pipelined like every
+    function in this module.
     """
     col = _strip_invisible(html)
-    for pat, repl in _MD_RULES:
+    if not escape:
+        for pat, repl in _MD_RULES:
+            col = F.regexp_replace(col, pat, repl)
+        col = F.regexp_replace(col, _ANY_TAG_RE, "")
+        col = _decode_entities(col)
+        return _collapse_ws(col)
+    for pat, repl in _md_rules_escaped():
         col = F.regexp_replace(col, pat, repl)
     col = F.regexp_replace(col, _ANY_TAG_RE, "")
     col = _decode_entities(col)
+
+    def esc(x: Column) -> Column:
+        return F.regexp_replace(x, _MD_ESCAPE_RE, "\\\\$1")
+
+    # escape prose only: fence pieces alternate prose/code (one rule
+    # emits both fences), and within prose the inline-code pieces
+    # alternate the same way
+    def esc_prose(piece: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.split(piece, _MD_SENT_CODE, -1),
+                lambda x, i: F.when(i % 2 == 0, esc(x)).otherwise(x),
+            ),
+            "`",
+        )
+
+    col = F.array_join(
+        F.transform(
+            F.split(col, _MD_SENT_FENCE, -1),
+            lambda x, i: F.when(
+                i % 2 == 0, esc_prose(x)
+            ).otherwise(x),
+        ),
+        "```",
+    )
+    for sent, mark in _MD_SENT_SWAPS:
+        col = F.replace(col, F.lit(sent), F.lit(mark))
     return _collapse_ws(col)
 
 
-def html_to_markdown_sql(expr: str) -> str:
+def html_to_markdown_sql(expr: str, escape: bool = False) -> str:
     """DuckDB replay of :func:`html_to_markdown` — same rewrite table
-    (emitted, not copied), RE2 ``\\N`` group syntax."""
+    (emitted, not copied), RE2 ``\\N`` group syntax; ``escape=True``
+    mirrors the sentinel render + prose-only escape pass."""
     e = f"regexp_replace({expr}, '{_sq(_INVISIBLE_RE)}', ' ', 'g')"
-    for pat, repl in _MD_RULES:
+    rules = _md_rules_escaped() if escape else _MD_RULES
+    for pat, repl in rules:
         r = repl.replace("$", "\\")
         e = f"regexp_replace({e}, '{_sq(pat)}', '{_sq(r)}', 'g')"
     e = f"regexp_replace({e}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
-    return _collapse_ws_sql(_decode_entities_sql(e))
+    e = _decode_entities_sql(e)
+    if escape:
+        def esc_sql(x: str) -> str:
+            return (
+                f"regexp_replace({x}, '{_sq(_MD_ESCAPE_RE)}', "
+                f"'\\\\\\1', 'g')"
+            )
+
+        # LET-bind each split once (the engine-side transform shape):
+        # 1-based pieces — odd = prose (escape), even = code (verbatim)
+        inner = (
+            "array_to_string(list_transform("
+            "generate_series(1, len(__ip__)), j -> "
+            f"CASE WHEN j % 2 = 1 THEN {esc_sql('__ip__[j]')} "
+            "ELSE __ip__[j] END), '`')"
+        )
+
+        def prose(x: str) -> str:
+            return (
+                f"(list_transform([str_split({x}, chr(2)||'C')], "
+                f"__ip__ -> {inner})[1])"
+            )
+
+        outer = (
+            "array_to_string(list_transform("
+            "generate_series(1, len(__fps__)), i -> "
+            f"CASE WHEN i % 2 = 1 THEN {prose('__fps__[i]')} "
+            "ELSE __fps__[i] END), '```')"
+        )
+        e = (
+            f"(list_transform([str_split({e}, chr(2)||'F')], "
+            f"__fps__ -> {outer})[1])"
+        )
+        for sent, mark in _MD_SENT_SWAPS:
+            e = f"replace({e}, chr(2)||'{sent[1]}', '{_sq(mark)}')"
+    return _collapse_ws_sql(e)

@@ -940,3 +940,109 @@ class TestExtractTablesSpans:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestMarkdownEscape:
+    """r12: html_to_markdown(escape=True) — source metachars
+    backslash-escape, generated structure and code interiors stay
+    verbatim (CommonMark code semantics)."""
+
+    def _md(self, spark, html, **kw):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+        )
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(
+            html_to_markdown(F.col("h"), **kw).alias("m")
+        ).first()["m"]
+
+    def test_source_metachars_escaped(self, spark):
+        m = self._md(
+            spark,
+            "<p>star *a* under_score #tag [br] back\\slash `t`</p>",
+            escape=True,
+        )
+        assert m == (
+            "star \\*a\\* under\\_score \\#tag \\[br\\] "
+            "back\\\\slash \\`t\\`"
+        )
+
+    def test_generated_marks_not_escaped(self, spark):
+        m = self._md(
+            spark,
+            '<h2>T</h2><p><b>bold</b> <i>it</i> <a href="/x">l</a>'
+            '<img src="/i.png"></p>',
+            escape=True,
+        )
+        assert "## T" in m
+        assert "**bold**" in m and "*it*" in m
+        assert "[l](/x)" in m and "![](/i.png)" in m
+        assert "\\" not in m
+
+    def test_code_interiors_stay_verbatim(self, spark):
+        m = self._md(
+            spark,
+            "<pre><code>fence * _k_ #v [r]</code></pre>"
+            "<p>out *esc* and <code>in * raw_</code> done</p>",
+            escape=True,
+        )
+        assert "```\nfence * _k_ #v [r]\n```" in m
+        assert "`in * raw_`" in m
+        assert "\\*esc\\*" in m
+
+    def test_entity_materialized_metachars_escape(self, spark):
+        # &#42; decodes to '*' AFTER the rules run — still escaped
+        m = self._md(
+            spark, "<p>&#42;x&#42; and &#95;y&#95;</p>", escape=True
+        )
+        assert m == "\\*x\\* and \\_y\\_"
+
+    def test_escaped_anchor_text_brackets(self, spark):
+        m = self._md(
+            spark, '<p><a href="/x">l[i]nk</a></p>', escape=True
+        )
+        assert m == "[l\\[i\\]nk](/x)"
+
+    def test_default_unescaped_unchanged(self, spark):
+        html = "<p>star *a* `t` <b>bb</b></p>"
+        assert self._md(spark, html) == "star *a* `t` **bb**"
+
+    def test_null_html(self, spark):
+        assert self._md(spark, None, escape=True) is None
+
+    def test_sql_replay_parity(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+            html_to_markdown_sql,
+        )
+
+        pages = [
+            "<h1>T *l*</h1><p>a_b #c [d] \\e `f`</p>",
+            "<pre><code>k * _x_</code></pre><p>out *y* &#42;z&#42;</p>",
+            '<p><b>B</b> <code>c_*</code> <a href="/u">t[0]</a></p>',
+        ]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(pages)], ["i", "h"]
+        )
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i",
+                html_to_markdown(F.col("h"), escape=True).alias("m"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, '{p.replace(chr(39), chr(39)*2)}')"
+                for i, p in enumerate(pages)
+            )
+            + ") t(i, h)"
+        )
+        sql = html_to_markdown_sql("h", escape=True)
+        want = dict(con.execute(f"SELECT i, {sql} FROM d").fetchall())
+        assert got == want
