@@ -2146,6 +2146,102 @@ def _q_ewm_pair(spark, sf_dir):
     return pair.unionByName(tm)
 
 
+def _q_punkt_abbrevs(spark, sf_dir):
+    # r12: punkt-style TRAINED abbreviation detection (functions/
+    # text.py train_sentence_abbreviations — Kiss & Strunk 2006, the
+    # NLTK type-score formulation: Dunning LLR x exp(-len) x
+    # internal-period boost x bare-occurrence penalty). Each doc
+    # gains a tail planting the evidence classes: a short title
+    # ("dr."), an internal-period type ("e.g."), a mid-length type
+    # ("dept."), a long type below the length bar ("approx."), and a
+    # bare/dotted AMBIGUOUS word ("dog"/"dog.") the penalty must
+    # zero. One explode + one type-keyed aggregate + a 1-row totals
+    # broadcast; n_dot >= 20 keeps the output the deterministic
+    # planted-plus-frequent set (the 1e6 cap never binds). ROUND 6 on
+    # the score; is_abbrev compares the UNROUNDED score in both
+    # engines.
+    from pandas_weights_spark.functions.text import (
+        train_sentence_abbreviations,
+    )
+
+    tail = (
+        " The dept. team and Dr. Lee met at the dept. office with"
+        " approx. forty e.g. cases while the dog ran and the dog"
+        " slept and a dog. barked near more dogs today."
+    )
+    aug = _docs(spark, sf_dir).select(
+        F.concat(F.col("text"), F.lit(tail)).alias("text")
+    )
+    m = train_sentence_abbreviations(
+        aug, "text", min_count=2, threshold=0.3, max_abbrevs=1_000_000
+    )
+    return m.where(F.col("n_dot") >= 20).select(
+        "abbrev", "n_dot", "n_bare", "score", "is_abbrev"
+    )
+
+
+def _punkt_abbrevs_sql() -> str:
+    tail = (
+        " The dept. team and Dr. Lee met at the dept. office with"
+        " approx. forty e.g. cases while the dog ran and the dog"
+        " slept and a dog. barked near more dogs today."
+    )
+    cand = "regexp_matches(w, '^[A-Za-z][A-Za-z.]*\\.$')"
+    return f"""
+    WITH aug AS (
+      SELECT text || '{tail}' AS text FROM documents
+    ), tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM aug
+    ), tok2 AS (
+      SELECT w FROM tok WHERE length(w) > 0
+    ), totals AS (
+      SELECT CAST(count(*) AS DOUBLE) AS N,
+             CAST(sum(CASE WHEN w LIKE '%.' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nper
+      FROM tok2
+    ), typed AS (
+      SELECT CASE WHEN {cand}
+                  THEN lower(substr(w, 1, length(w) - 1))
+                  ELSE lower(w) END AS abbrev,
+             CASE WHEN {cand} THEN 1 ELSE 0 END AS isdot
+      FROM tok2
+    ), counts AS (
+      SELECT abbrev,
+             CAST(sum(isdot) AS BIGINT) AS n_dot,
+             CAST(sum(1 - isdot) AS BIGINT) AS n_bare
+      FROM typed GROUP BY abbrev
+      HAVING sum(isdot) >= 2
+         AND regexp_matches(abbrev, '^[a-z][a-z.]*$')
+    ), scored AS (
+      SELECT abbrev, n_dot, n_bare,
+        (-2.0 * (
+           (CAST(n_dot AS DOUBLE) * ln(least(greatest(nper / N, 1e-9),
+                                             1.0 - 1e-9))
+            + CAST(n_bare AS DOUBLE)
+              * ln(1.0 - least(greatest(nper / N, 1e-9), 1.0 - 1e-9)))
+         - (CAST(n_dot AS DOUBLE) * ln(0.99)
+            + CAST(n_bare AS DOUBLE) * ln(1.0 - 0.99))
+        ))
+        * exp(-(CAST(length(abbrev)
+                     - (length(abbrev)
+                        - length(replace(abbrev, '.', '')))
+                     + 1 AS DOUBLE)))
+        * CAST((length(abbrev) - length(replace(abbrev, '.', '')))
+               + 1 AS DOUBLE)
+        * power(CAST(length(abbrev)
+                     - (length(abbrev)
+                        - length(replace(abbrev, '.', '')))
+                     + 1 AS DOUBLE),
+                -CAST(n_bare AS DOUBLE)) AS score
+      FROM counts CROSS JOIN totals
+    )
+    SELECT abbrev, n_dot, n_bare, round(score, 6) AS score,
+           score >= 0.3 AS is_abbrev
+    FROM scored WHERE n_dot >= 20
+"""
+
+
 def _q_neardup_incremental(spark, sf_dir):
     # r12: snapshot-incremental NEAR-dup (functions/dedup.py
     # minhash_dedup_incremental — the MinHash analog of the exact
@@ -6460,6 +6556,8 @@ def _minhash_join_sql(threshold: float = 0.4) -> str:
 # tagged union of the five pair oracles (see _q_neardup_pairs)
 _ORACLE["neardup_incremental"] = _neardup_incremental_sql()
 
+_ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
+
 _ORACLE["neardup_pairs"] = f"""
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_sql()})
@@ -10699,6 +10797,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 #: queries ADDED in the current round (r12) — always in the window.
 _NEW_THIS_ROUND: tuple = (
     "neardup_incremental",
+    "punkt_abbrevs",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10745,6 +10844,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
+        "punkt_abbrevs": _q_punkt_abbrevs,
         # --- r11 queries ---
         "readability": _q_readability,
         "html_meta": _q_html_meta,

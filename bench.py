@@ -130,6 +130,7 @@ HEADLINE = [
     "classifier_eval",     # threshold sweep + calibration + binned AUC (r11)
     "ann_recall",          # recall@5/MRR/nDCG of LSH vs exact (r11)
     "neardup_incremental", # snapshot-incremental MinHash near-dup (r12)
+    "punkt_abbrevs",       # trained sentence-abbreviation model (r12)
 ]
 
 

@@ -59,6 +59,8 @@ __all__ = [
     "normalize_text",
     "SENTENCE_ABBREVIATIONS",
     "split_sentences",
+    "train_sentence_abbreviations",
+    "split_sentences_trained",
     "ngram_counts",
     "ngram_lm_score",
     "mkn_discounts",
@@ -1649,6 +1651,156 @@ def split_sentences(text: Column) -> Column:
         )
     # single-capital initial: "A." -> "A<prot>" (word boundary keeps
     # "DNA." splitting normally)
+    col = F.regexp_replace(
+        col, r"\b([A-Z])\.", "$1" + _SENT_PROT
+    )
+    col = F.regexp_replace(
+        col, r"([.!?]+)[ \t\n\r\f]+", "$1" + _SENT_MARK
+    )
+    parts = F.split(col, _SENT_MARK)
+    parts = F.transform(
+        parts,
+        lambda s: F.trim(F.replace(s, F.lit(_SENT_PROT), F.lit("."))),
+    )
+    return F.filter(parts, lambda s: F.length(s) > 0)
+
+
+#: candidate abbreviation token: letters with optional internal
+#: periods, ending in a period ("Dr.", "e.g.", "approx.")
+_ABBREV_CAND_RE = r"^[A-Za-z][A-Za-z.]*\.$"
+
+
+def train_sentence_abbreviations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+    threshold: float = 0.3,
+    max_abbrevs: int = 1000,
+) -> DataFrame:
+    """Punkt-style TRAINED abbreviation detection (Kiss & Strunk
+    2006, "Unsupervised multilingual sentence boundary detection" —
+    the public algorithm behind NLTK's punkt; type-classification
+    stage): learn which period-final word types are abbreviations
+    from the corpus itself, so domain abbreviations the fixed
+    :data:`SENTENCE_ABBREVIATIONS` table misses ("approx.", "dept.",
+    "fig.") stop cascading wrong splits into C4's min-sentence gate
+    and the readability panel.
+
+    Scoring (the paper's type score, NLTK formulation): for each
+    candidate type ``w`` (token matching ``[A-Za-z][A-Za-z.]*\\.``,
+    lowercased, final period stripped) with ``n_dot`` period-final
+    occurrences and ``n_bare`` bare occurrences over ``N`` tokens of
+    which ``n_period_total`` end in a period:
+
+    - Dunning log-likelihood of H1 "``w`` takes a period with
+      p=0.99" against H0 "``w`` takes a period at the corpus rate":
+      ``ll = -2·(L0 − L1)`` with binomial log-likelihoods over
+      ``n_dot`` successes in ``n_dot+n_bare`` trials;
+    - with ``n_int`` internal periods and ``np = len − n_int + 1``
+      non-period characters (the NLTK constants): ``f_length =
+      exp(−np)`` (abbreviations are short), ``f_periods = n_int + 1``
+      (internal periods are strong evidence: "e.g"), ``f_penalty =
+      np^(−n_bare)`` (appearing WITHOUT a period is
+      counter-evidence);
+    - ``score = ll · f_length · f_periods · f_penalty``,
+      ``is_abbrev = score ≥ threshold`` (the paper's 0.3).
+
+    Output (model-sized, capped at ``max_abbrevs`` by score desc then
+    type): ``(abbrev, n_dot, n_bare, score, is_abbrev)``. One
+    explode + one type-keyed aggregate + a 1-row corpus-total
+    broadcast — map-side combined, no data-sized collect. Pure
+    Column algebra; the oracle replays it closed-form.
+    """
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__w__")
+    ).where(F.length("__w__") > 0)
+    staged = toks.select(
+        F.col("__w__").alias("w"),
+        F.col("__w__").rlike(_ABBREV_CAND_RE).alias("cand"),
+        F.col("__w__").endswith(".").alias("dotted"),
+    )
+    totals = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("__N__"),
+        F.sum(F.when(F.col("dotted"), 1).otherwise(0))
+        .cast("double")
+        .alias("__ndot__"),
+    )
+    # per-type counts: dotted candidates contribute n_dot under the
+    # stripped lowercase type; bare tokens contribute n_bare under
+    # their lowercase form (only types seen dotted survive the join)
+    typed = staged.select(
+        F.when(
+            F.col("cand"),
+            F.lower(F.expr("substring(w, 1, length(w) - 1)")),
+        )
+        .otherwise(F.lower(F.col("w")))
+        .alias("abbrev"),
+        F.when(F.col("cand"), 1).otherwise(0).alias("__isdot__"),
+    )
+    counts = typed.groupBy("abbrev").agg(
+        F.sum("__isdot__").cast("long").alias("n_dot"),
+        F.sum(1 - F.col("__isdot__")).cast("long").alias("n_bare"),
+    ).where(
+        (F.col("n_dot") >= F.lit(int(min_count)))
+        & F.col("abbrev").rlike(r"^[a-z][a-z.]*$")
+    )
+    cd = F.col("n_dot").cast("double")
+    cb = F.col("n_bare").cast("double")
+    n_trials = cd + cb
+    p0 = F.least(
+        F.greatest(F.col("__ndot__") / F.col("__N__"), F.lit(1e-9)),
+        F.lit(1.0 - 1e-9),
+    )
+    p1 = F.lit(0.99)
+    l0 = cd * F.log(p0) + cb * F.log(F.lit(1.0) - p0)
+    l1 = cd * F.log(p1) + cb * F.log(F.lit(1.0) - p1)
+    ll = F.lit(-2.0) * (l0 - l1)
+    n_int = F.length(F.col("abbrev")) - F.length(
+        F.replace(F.col("abbrev"), F.lit("."), F.lit(""))
+    )
+    num_nonper = (
+        F.length(F.col("abbrev")) - n_int + F.lit(1)
+    ).cast("double")
+    f_length = F.exp(-num_nonper)
+    f_periods = (n_int + F.lit(1)).cast("double")
+    f_penalty = F.pow(num_nonper, -cb)
+    score = ll * f_length * f_periods * f_penalty
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "abbrev",
+        "n_dot",
+        "n_bare",
+        F.round(score, 6).alias("score"),
+        (score >= F.lit(float(threshold))).alias("is_abbrev"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("abbrev")
+    ).limit(int(max_abbrevs))
+
+
+def split_sentences_trained(
+    text: Column, abbrevs: "Sequence[str]"
+) -> Column:
+    """:func:`split_sentences` with a TRAINED abbreviation list (the
+    ``is_abbrev`` types of :func:`train_sentence_abbreviations`,
+    collected — model-sized, the LID-profile discipline) instead of
+    the fixed table. The protect step is ONE case-insensitive
+    alternation pass (``\\b(a|b|…)\\.`` → sentinel) rather than a
+    per-entry replace chain; the initial/mark/split/restore stages
+    are identical to the fixed splitter. Types contain only letters
+    and internal periods (the training candidate shape), escaped into
+    the pattern."""
+    import re as _re
+
+    col = text
+    types = [a for a in abbrevs if a]
+    if types:
+        alt = "|".join(
+            sorted((_re.escape(a) for a in set(types)), key=len,
+                   reverse=True)
+        )
+        col = F.regexp_replace(
+            col, f"(?i)\\b({alt})\\.", "$1" + _SENT_PROT
+        )
     col = F.regexp_replace(
         col, r"\b([A-Z])\.", "$1" + _SENT_PROT
     )

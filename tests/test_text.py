@@ -2192,3 +2192,175 @@ class TestCorpusLinesScoped:
         # per-scope first occurrence: doc 0 keeps it (first in a),
         # doc 1 loses it, doc 2 keeps it (first AND only in b)
         assert out == {0: "dup line\nx", 1: "y", 2: "dup line\nz"}
+
+
+class TestPunktAbbreviations:
+    """r12: train_sentence_abbreviations (Kiss & Strunk 2006 type
+    score, NLTK formulation) + split_sentences_trained."""
+
+    FILLER = " ".join(
+        f"common word number {i} appears in running prose without"
+        " stops" for i in range(6)
+    )
+
+    def _corpus(self, spark):
+        rows = [
+            (
+                k,
+                f"{self.FILLER}. The dept. budget and Dr. Lee met the"
+                " dept. team near the dept. office with approx. forty"
+                " approx. fifty and e.g. cases while the dog ran and"
+                f" the dog slept and a dog. barked {self.FILLER}.",
+            )
+            for k in range(8)
+        ]
+        return spark.createDataFrame(rows, "i long, text string")
+
+    def test_evidence_classes(self, spark):
+        from pandas_weights_spark.functions.text import (
+            train_sentence_abbreviations,
+        )
+
+        m = {
+            r["abbrev"]: r
+            for r in train_sentence_abbreviations(
+                self._corpus(spark), "text", min_count=2
+            ).collect()
+        }
+        # short type, internal-period type, mid-length type classify
+        assert m["dr"]["is_abbrev"] is True
+        assert m["e.g"]["is_abbrev"] is True
+        assert m["dept"]["is_abbrev"] is True
+        # the bare-occurrence penalty zeroes the ambiguous word
+        assert m["dog"]["is_abbrev"] is False
+        assert m["dog"]["n_bare"] > 0
+        # long type needs far more evidence than 16 dotted uses
+        assert m["approx"]["is_abbrev"] is False
+
+    def test_pure_python_differential(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from pandas_weights_spark.functions.text import (
+            train_sentence_abbreviations,
+        )
+
+        rows = self._corpus(spark).collect()
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        cand = re.compile(r"^[A-Za-z][A-Za-z.]*\.$")
+        toks = [
+            w
+            for r in rows
+            for w in ws.split(r["text"].strip(" "))
+            if w
+        ]
+        N = float(len(toks))
+        nper = float(sum(1 for w in toks if w.endswith(".")))
+        c_dot, c_bare = Counter(), Counter()
+        for w in toks:
+            if cand.match(w):
+                c_dot[w[:-1].lower()] += 1
+            else:
+                c_bare[w.lower()] += 1
+        expect = {}
+        p0 = min(max(nper / N, 1e-9), 1.0 - 1e-9)
+        for t, cd in c_dot.items():
+            if cd < 2 or not re.match(r"^[a-z][a-z.]*$", t):
+                continue
+            cb = c_bare.get(t, 0)
+            l0 = cd * math.log(p0) + cb * math.log(1.0 - p0)
+            l1 = cd * math.log(0.99) + cb * math.log(1.0 - 0.99)
+            ll = -2.0 * (l0 - l1)
+            n_int = t.count(".")
+            np_ = len(t) - n_int + 1
+            score = (
+                ll * math.exp(-np_) * (n_int + 1) * np_ ** (-cb)
+            )
+            expect[t] = (cd, cb, round(score, 6), score >= 0.3)
+        got = {
+            r["abbrev"]: (
+                r["n_dot"], r["n_bare"], r["score"], r["is_abbrev"]
+            )
+            for r in train_sentence_abbreviations(
+                self._corpus(spark), "text", min_count=2
+            ).collect()
+        }
+        assert got == expect and expect
+
+    def test_trained_splitter_protects_learned_types(self, spark):
+        from pandas_weights_spark.functions.text import (
+            split_sentences,
+            split_sentences_trained,
+            train_sentence_abbreviations,
+        )
+
+        ab = [
+            r["abbrev"]
+            for r in train_sentence_abbreviations(
+                self._corpus(spark), "text", min_count=2
+            ).collect()
+            if r["is_abbrev"]
+        ]
+        assert "dept" in ab
+        t = spark.createDataFrame(
+            [("The dept. budget rose fast. Dr. Lee left e.g. early.",)],
+            ["text"],
+        )
+        fixed = t.select(
+            split_sentences(F.col("text")).alias("s")
+        ).first()["s"]
+        trained = t.select(
+            split_sentences_trained(F.col("text"), ab).alias("s")
+        ).first()["s"]
+        # the fixed table already knows Dr. and e.g.; only the
+        # trained model knows dept.
+        assert fixed == [
+            "The dept.", "budget rose fast.",
+            "Dr. Lee left e.g. early.",
+        ]
+        assert trained == [
+            "The dept. budget rose fast.",
+            "Dr. Lee left e.g. early.",
+        ]
+
+    def test_trained_splitter_empty_list_and_decimals(self, spark):
+        from pandas_weights_spark.functions.text import (
+            split_sentences,
+            split_sentences_trained,
+        )
+
+        t = spark.createDataFrame(
+            [("Pi is 3.14 here. Another sentence! Done?",)], ["text"]
+        )
+        a = t.select(
+            split_sentences_trained(F.col("text"), []).alias("s")
+        ).first()["s"]
+        b = t.select(
+            split_sentences(F.col("text")).alias("s")
+        ).first()["s"]
+        assert a == b == [
+            "Pi is 3.14 here.", "Another sentence!", "Done?",
+        ]
+
+    def test_trained_splitter_case_insensitive_boundary(self, spark):
+        from pandas_weights_spark.functions.text import (
+            split_sentences_trained,
+        )
+
+        t = spark.createDataFrame(
+            [("See FIG. 3 now. The gherkin fig. is odd. Profig. no.",)],
+            ["text"],
+        )
+        s = t.select(
+            split_sentences_trained(F.col("text"), ["fig"]).alias("s")
+        ).first()["s"]
+        # FIG./fig. protected case-insensitively (no split after
+        # them); 'Profig.' is NOT a word-boundary match so it still
+        # ends a sentence
+        assert s == [
+            "See FIG. 3 now.",
+            "The gherkin fig. is odd.",
+            "Profig.",
+            "no.",
+        ]
