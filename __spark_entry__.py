@@ -2146,6 +2146,80 @@ def _q_ewm_pair(spark, sf_dir):
     return pair.unionByName(tm)
 
 
+_PHRASE_LIST = ("the", "and the", "scunthorpe", "data point")
+
+
+def _q_phrase_hits(spark, sf_dir):
+    # r12: multi-phrase blocklist/taxonomy matching (functions/
+    # text.py phrase_hits) — per-doc non-overlapping occurrence
+    # counts over a phrase list, in BOTH modes: substring (the
+    # replace-length trick) and ASCII word-boundary (the
+    # Scunthorpe-safe c4 'word' rule). Every 3rd doc gains a planted
+    # 'Scunthorpe' tail that must hit as a substring of nothing and
+    # as its own word; 'the' exercises high-count embedding ('the'
+    # inside 'other' counts in substring mode only). The oracle
+    # replays the same normalized list with the same two formulas.
+    # The arrow=True twin (compiled per-phrase C loop, the real
+    # blocklist scale path) is pinned byte-equal in tests; the query
+    # rides the JVM fold DuckDB replays.
+    from pandas_weights_spark.functions.text import phrase_hits
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" The Scunthorpe data point case."),
+            ).otherwise(F.lit("")),
+        ).alias("__t__"),
+    )
+    a = phrase_hits(aug, "__t__", "doc_id", list(_PHRASE_LIST))
+    b = phrase_hits(
+        aug, "__t__", "doc_id", list(_PHRASE_LIST),
+        word_boundary=True,
+    ).select(
+        F.col("doc_id"),
+        F.col("n_hits").alias("wb_n_hits"),
+        F.col("n_matched").alias("wb_n_matched"),
+        F.array_join("hits", ",").alias("wb_hits"),
+    )
+    return (
+        a.select(
+            "doc_id", "n_hits", "n_matched",
+            F.array_join("hits", ",").alias("hits"),
+        )
+        .join(b, "doc_id")
+    )
+
+
+def _phrase_hits_sql() -> str:
+    from pandas_weights_spark.functions.text import phrase_hits_sql
+
+    sub = phrase_hits_sql("t", list(_PHRASE_LIST))
+    wb = phrase_hits_sql(
+        "t", list(_PHRASE_LIST), word_boundary=True
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 3 = 0
+          THEN ' The Scunthorpe data point case.' ELSE '' END AS t
+      FROM documents
+    )
+    -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    -- array_join([]) is ''
+    SELECT doc_id,
+      {sub['n_hits']} AS n_hits,
+      {sub['n_matched']} AS n_matched,
+      coalesce(array_to_string({sub['hits']}, ','), '') AS hits,
+      {wb['n_hits']} AS wb_n_hits,
+      {wb['n_matched']} AS wb_n_matched,
+      coalesce(array_to_string({wb['hits']}, ','), '') AS wb_hits
+    FROM d
+"""
+
+
 def _q_punkt_abbrevs(spark, sf_dir):
     # r12: punkt-style TRAINED abbreviation detection (functions/
     # text.py train_sentence_abbreviations — Kiss & Strunk 2006, the
@@ -6558,6 +6632,8 @@ _ORACLE["neardup_incremental"] = _neardup_incremental_sql()
 
 _ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
 
+_ORACLE["phrase_hits"] = _phrase_hits_sql()
+
 _ORACLE["neardup_pairs"] = f"""
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_sql()})
@@ -10798,6 +10874,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 _NEW_THIS_ROUND: tuple = (
     "neardup_incremental",
     "punkt_abbrevs",
+    "phrase_hits",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10845,6 +10922,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,
+        "phrase_hits": _q_phrase_hits,
         # --- r11 queries ---
         "readability": _q_readability,
         "html_meta": _q_html_meta,

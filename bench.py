@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_recall",          # recall@5/MRR/nDCG of LSH vs exact (r11)
     "neardup_incremental", # snapshot-incremental MinHash near-dup (r12)
     "punkt_abbrevs",       # trained sentence-abbreviation model (r12)
+    "phrase_hits",         # multi-phrase blocklist matching (r12)
 ]
 
 

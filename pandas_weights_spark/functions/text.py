@@ -1815,6 +1815,197 @@ def split_sentences_trained(
     return F.filter(parts, lambda s: F.length(s) > 0)
 
 
+def phrase_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrases: "Sequence[str]",
+    lowercase: bool = True,
+    word_boundary: bool = False,
+    arrow: bool = False,
+) -> DataFrame:
+    """Multi-phrase matching — the blocklist/taxonomy primitive
+    (LDNOOBW-scale bad-word lists run ~1,700 phrases; topical
+    keyword taxonomies run far more). Per document:
+    ``(id_col, n_hits, n_matched, hits)`` — total non-overlapping
+    occurrence count over all phrases, the number of distinct
+    phrases present, and the matched phrases sorted ascending.
+
+    Semantics: each phrase is counted INDEPENDENTLY (left-to-right
+    non-overlapping, the ``replace``-length trick), case-insensitive
+    when ``lowercase`` (phrases fold too). ``word_boundary=True``
+    counts ``\\b phrase \\b`` regex matches instead (ASCII ``\\b``,
+    the c4_filter 'word' rule) — the Scunthorpe-safe mode.
+
+    ``arrow=False`` (default): a per-phrase Column fold — two string
+    ops per phrase, DuckDB-replayable; right for oracle-sized lists
+    (≲100 phrases). ``arrow=True``: ONE ``mapInPandas`` pass whose
+    kernel runs the compiled per-phrase C loop — the scale path for
+    real blocklists, byte-equal counts (``str.count`` IS the
+    replace-length trick; ``re.findall`` with ``re.ASCII`` is
+    ``regexp_count``). Both row-local, zero shuffle."""
+    import re as _re
+
+    plist = [p for p in phrases if p]
+    if not plist:
+        raise ValueError("phrases must contain at least one phrase")
+    if lowercase:
+        plist = [p.lower() for p in plist]
+    plist = sorted(set(plist))
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    if arrow:
+        from pyspark.sql import types as T
+
+        id_type = df.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("n_hits", T.LongType()),
+                T.StructField("n_matched", T.LongType()),
+                T.StructField("hits", T.ArrayType(T.StringType())),
+            ]
+        )
+        base = df.select(
+            F.col(id_col).alias("__id__"), t.alias("__t__")
+        )
+        lower_flag = bool(lowercase)
+        wb = bool(word_boundary)
+
+        def run(batches):
+            import pandas as pd
+
+            pats = (
+                [
+                    _re.compile(
+                        r"\b" + _re.escape(p) + r"\b", _re.ASCII
+                    )
+                    for p in plist
+                ]
+                if wb
+                else None
+            )
+
+            def one(txt):
+                if not isinstance(txt, str):
+                    # JVM twin: NULL text -> NULL n_hits, but the
+                    # filter drops NULL predicates so hits=[] and
+                    # n_matched=0 — mirror exactly
+                    return None, 0, []
+                total = 0
+                hit = []
+                if wb:
+                    for p, pat in zip(plist, pats):
+                        c = len(pat.findall(txt))
+                        if c:
+                            total += c
+                            hit.append(p)
+                else:
+                    for p in plist:
+                        c = txt.count(p)
+                        if c:
+                            total += c
+                            hit.append(p)
+                return total, len(hit), hit
+
+            for pdf in batches:
+                vals = [one(x) for x in pdf["__t__"]]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf["__id__"],
+                        "n_hits": pd.array(
+                            [v[0] for v in vals], dtype="Int64"
+                        ),
+                        "n_matched": pd.array(
+                            [v[1] for v in vals], dtype="Int64"
+                        ),
+                        "hits": [v[2] for v in vals],
+                    }
+                )
+
+        _ = lower_flag  # lowering happened JVM-side in `base`
+        return base.mapInPandas(run, out_schema)
+    counts = []
+    for p in plist:
+        if word_boundary:
+            c = F.regexp_count(
+                t, F.lit(r"\b" + _re.escape(p) + r"\b")
+            )
+        else:
+            c = (
+                (F.length(t) - F.length(F.replace(t, F.lit(p))))
+                / F.lit(len(p))
+            ).cast("int")
+        counts.append(c)
+    arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), c.alias("c"))
+            for p, c in zip(plist, counts)
+        ]
+    )
+    matched = F.filter(arr, lambda s: s["c"] > 0)
+    return df.select(
+        F.col(id_col),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, s: a + s["c"]
+        ).alias("n_hits"),
+        F.size(matched).cast("long").alias("n_matched"),
+        F.transform(matched, lambda s: s["p"]).alias("hits"),
+    )
+
+
+def phrase_hits_sql(
+    expr: str,
+    phrases: "Sequence[str]",
+    lowercase: bool = True,
+    word_boundary: bool = False,
+) -> "dict[str, str]":
+    """DuckDB replay of the JVM :func:`phrase_hits` columns (same
+    normalized phrase list, same replace-length / regexp count)."""
+    import re as _re
+
+    plist = [p for p in phrases if p]
+    if lowercase:
+        plist = [p.lower() for p in plist]
+    plist = sorted(set(plist))
+    t = f"lower({expr})" if lowercase else f"({expr})"
+    cnt = {}
+    for p in plist:
+        if word_boundary:
+            pat = r"\b" + _re.escape(p) + r"\b"
+            cnt[p] = (
+                f"len(regexp_extract_all({t}, '{_sq_text(pat)}'))"
+            )
+        else:
+            cnt[p] = (
+                f"CAST((length({t}) - length(replace({t}, "
+                f"'{_sq_text(p)}', ''))) / {len(p)} AS INT)"
+            )
+    total = " + ".join(f"({c})" for c in cnt.values())
+    matched = (
+        "list_sort(list_filter(["
+        + ", ".join(
+            f"CASE WHEN ({c}) > 0 THEN '{_sq_text(p)}' END"
+            for p, c in cnt.items()
+        )
+        + "], x -> x IS NOT NULL))"
+    )
+    n_matched = (
+        "len(list_filter(["
+        + ", ".join(f"({c})" for c in cnt.values())
+        + "], x -> x > 0))"
+    )
+    return {
+        "n_hits": f"CAST({total} AS BIGINT)",
+        "n_matched": f"CAST({n_matched} AS BIGINT)",
+        "hits": matched,
+    }
+
+
+def _sq_text(s: str) -> str:
+    """Single-quote-escape for SQL literals (local helper)."""
+    return s.replace("'", "''")
+
+
 def split_sentences_sql(expr: str) -> str:
     """DuckDB replay of :func:`split_sentences` — same constant
     tables, RE2 dialect (``\\1`` replacement, ``chr()`` sentinels)."""

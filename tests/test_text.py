@@ -2364,3 +2364,120 @@ class TestPunktAbbreviations:
             "Profig.",
             "no.",
         ]
+
+
+class TestPhraseHits:
+    """r12: phrase_hits — multi-phrase blocklist matching; the JVM
+    fold, the Arrow compiled-loop twin, and the DuckDB replay must
+    agree byte-for-byte in both modes."""
+
+    ROWS = [
+        (1, "The Scunthorpe man saw bad badge bad things"),
+        (2, "nothing here"),
+        (3, None),
+        (4, "BAD bad Bad thorpe"),
+        (5, ""),
+        (6, "overlap overlap overlap"),
+    ]
+    PH = ["bad", "thorpe", "bad badge", "overlap"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "i long, t string")
+
+    @pytest.mark.parametrize("wb", [False, True])
+    def test_arrow_equals_jvm(self, spark, wb):
+        from pandas_weights_spark.functions.text import phrase_hits
+
+        a = sorted(
+            map(
+                tuple,
+                phrase_hits(
+                    self._df(spark), "t", "i", self.PH,
+                    word_boundary=wb,
+                ).collect(),
+            ),
+            key=str,
+        )
+        b = sorted(
+            map(
+                tuple,
+                phrase_hits(
+                    self._df(spark), "t", "i", self.PH,
+                    word_boundary=wb, arrow=True,
+                ).collect(),
+            ),
+            key=str,
+        )
+        assert a == b
+
+    def test_substring_vs_word_boundary(self, spark):
+        from pandas_weights_spark.functions.text import phrase_hits
+
+        sub = {
+            r["i"]: r
+            for r in phrase_hits(
+                self._df(spark), "t", "i", ["thorpe"]
+            ).collect()
+        }
+        wb = {
+            r["i"]: r
+            for r in phrase_hits(
+                self._df(spark), "t", "i", ["thorpe"],
+                word_boundary=True,
+            ).collect()
+        }
+        # Scunthorpe: substring hits, word-boundary does not
+        assert sub[1]["n_hits"] == 1 and wb[1]["n_hits"] == 0
+        # standalone 'thorpe' hits in both
+        assert sub[4]["n_hits"] == 1 and wb[4]["n_hits"] == 1
+
+    def test_counts_and_case_fold(self, spark):
+        from pandas_weights_spark.functions.text import phrase_hits
+
+        r = {
+            x["i"]: x
+            for x in phrase_hits(
+                self._df(spark), "t", "i", self.PH
+            ).collect()
+        }
+        # 'BAD bad Bad' folds to 3 bads + thorpe
+        assert r[4]["n_hits"] == 4 and r[4]["n_matched"] == 2
+        assert r[4]["hits"] == ["bad", "thorpe"]
+        assert r[6]["n_hits"] == 3  # non-overlapping count
+        # NULL text: NULL total, empty hit set (the JVM filter rule)
+        assert r[3]["n_hits"] is None
+        assert r[3]["n_matched"] == 0 and r[3]["hits"] == []
+
+    def test_duckdb_replay_parity(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.text import (
+            phrase_hits,
+            phrase_hits_sql,
+        )
+
+        got = sorted(
+            (r["i"], r["n_hits"], r["n_matched"], tuple(r["hits"]))
+            for r in phrase_hits(
+                self._df(spark), "t", "i", self.PH
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d(i BIGINT, t VARCHAR)")
+        for i, t in self.ROWS:
+            con.execute("INSERT INTO d VALUES (?, ?)", [i, t])
+        c = phrase_hits_sql("t", self.PH)
+        want = sorted(
+            (i, n, m, tuple(h))
+            for i, n, m, h in con.execute(
+                f"SELECT i, {c['n_hits']}, {c['n_matched']}, "
+                f"{c['hits']} FROM d"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_empty_phrase_list_raises(self, spark):
+        from pandas_weights_spark.functions.text import phrase_hits
+
+        with pytest.raises(ValueError, match="phrase"):
+            phrase_hits(self._df(spark), "t", "i", ["", None])
