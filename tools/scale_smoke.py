@@ -924,6 +924,56 @@ def main() -> int:
 
     dbench("semantic decontam 25-row bench", _semdecon, docs_n)
 
+    # r12: multi-phrase blocklist — a realistic ~1.5K-phrase list is
+    # where the Arrow compiled loop earns its keep over the
+    # 2-ops-per-phrase Column fold
+    from pandas_weights_spark.functions.text import phrase_hits
+
+    big_list = [f"phrase {i} marker" for i in range(1500)] + [
+        "data", "processing", "common word",
+    ]
+    dbench("phrase_hits arrow (1.5K list)", lambda: phrase_hits(
+        docs, "text", "doc_id", big_list, arrow=True
+    ), docs_n)
+    small_list = big_list[:64]
+    dbench("phrase_hits jvm (64 list)", lambda: phrase_hits(
+        docs, "text", "doc_id", small_list
+    ), docs_n)
+
+    # r12: punkt abbreviation training — one explode + one type agg
+    from pandas_weights_spark.functions.text import (
+        train_sentence_abbreviations,
+    )
+
+    dbench("punkt abbrev training", lambda: train_sentence_abbreviations(
+        docs, "text", min_count=5
+    ), docs_n)
+
+    # r12: snapshot-incremental near-dup — batch vs a persisted-state
+    # table of equal size (band joins + candidate-only verify)
+    from pandas_weights_spark.functions.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    def _incr():
+        old = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text"
+        )
+        new = docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text"
+        )
+        _s0, st = minhash_dedup_incremental(
+            old, "text", "doc_id", num_hashes=16, bands=4,
+            portable=False,
+        )
+        surv, _st2 = minhash_dedup_incremental(
+            new, "text", "doc_id", state=st, num_hashes=16, bands=4,
+            portable=False,
+        )
+        return surv.select("doc_id")
+
+    dbench("incremental neardup (2 snaps)", _incr, docs_n)
+
     spark.stop()
     return 0
 
