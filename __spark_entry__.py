@@ -10235,8 +10235,6 @@ def _q_html_markdown(spark, sf_dir):
     # page and replays the SAME ordered rule table (html_to_markdown_
     # sql emits it; RE2 \\N vs Java $N is the only divergence). Pure
     # regexp chain, zero shuffle; md5-pinned like every long-text row.
-    from pandas_weights_spark.functions.html import html_to_markdown
-
     did = F.col("doc_id")
     ids = did.cast("string")
     page = F.concat(
@@ -10276,11 +10274,22 @@ def _q_html_markdown(spark, sf_dir):
         F.lit(" star *lit* under_score #tag [br] tick `x` "
               "ent &#42;y&#42;</p></body></html>"),
     )
-    md = html_to_markdown(F.col("__h__"))
-    md_esc = html_to_markdown(F.col("__h__"), escape=True)
+    # both renders derive from ONE sentinel render behind a real
+    # projection barrier (the html_parts discipline) — the ~30-regex
+    # chain runs once per doc, not once per output column; plain-
+    # render parity with html_to_markdown is pinned in tests
+    from pandas_weights_spark.functions.html import (
+        md_escaped_from_sentinels,
+        md_from_sentinels,
+        md_render_sentinels,
+    )
+
+    md = md_from_sentinels(F.col("__mds__"))
+    md_esc = md_escaped_from_sentinels(F.col("__mds__"))
     return (
         _docs(spark, sf_dir)
         .withColumn("__h__", page)
+        .withColumn("__mds__", md_render_sentinels(F.col("__h__")))
         .select(
             "doc_id",
             F.md5(md).alias("md_fp"),

@@ -1311,17 +1311,50 @@ def html_to_markdown(html: Column, escape: bool = False) -> Column:
     html → NULL. Row-local, zero shuffle, scan-pipelined like every
     function in this module.
     """
-    col = _strip_invisible(html)
     if not escape:
+        col = _strip_invisible(html)
         for pat, repl in _MD_RULES:
             col = F.regexp_replace(col, pat, repl)
         col = F.regexp_replace(col, _ANY_TAG_RE, "")
         col = _decode_entities(col)
         return _collapse_ws(col)
+    return md_escaped_from_sentinels(md_render_sentinels(html))
+
+
+def md_render_sentinels(html: Column) -> Column:
+    """The shared sentinel-marked render: invisible-strip → the
+    escaped rewrite table → tag strip → entity decode, UNcollapsed
+    and with generated marks still as ``\\x02`` sentinels. Both
+    :func:`md_from_sentinels` (plain) and
+    :func:`md_escaped_from_sentinels` derive from this one value —
+    bind it behind a projection barrier when computing both renders
+    (the ``html_parts`` discipline) so the ~30-regex chain runs once
+    per document, not once per output column."""
+    col = _strip_invisible(html)
     for pat, repl in _md_rules_escaped():
         col = F.regexp_replace(col, pat, repl)
     col = F.regexp_replace(col, _ANY_TAG_RE, "")
-    col = _decode_entities(col)
+    return _decode_entities(col)
+
+
+def md_from_sentinels(col: Column) -> Column:
+    """Plain markdown from a :func:`md_render_sentinels` value —
+    sentinel swap + collapse. Byte-identical to
+    ``html_to_markdown(escape=False)`` (the emitted marks are inert
+    to every later stage; pinned), modulo the module-wide ``\\x02``
+    source-byte caveat."""
+    for sent, mark in _MD_SENT_SWAPS + [
+        (_MD_SENT_FENCE, "```"),
+        (_MD_SENT_CODE, "`"),
+    ]:
+        col = F.replace(col, F.lit(sent), F.lit(mark))
+    return _collapse_ws(col)
+
+
+def md_escaped_from_sentinels(col: Column) -> Column:
+    """Escaped markdown from a :func:`md_render_sentinels` value —
+    the prose-only metachar escape (index-aware splits keep fenced
+    and inline code verbatim), then sentinel swap + collapse."""
 
     def esc(x: Column) -> Column:
         return F.regexp_replace(x, _MD_ESCAPE_RE, "\\\\$1")

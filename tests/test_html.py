@@ -1046,3 +1046,60 @@ class TestMarkdownEscape:
         sql = html_to_markdown_sql("h", escape=True)
         want = dict(con.execute(f"SELECT i, {sql} FROM d").fetchall())
         assert got == want
+
+
+class TestMarkdownSharedRender:
+    """r12: the sentinel render shared by both markdown outputs —
+    plain derivation must be byte-identical to html_to_markdown."""
+
+    PAGES = [
+        "<h1>T *l*</h1><p>a_b #c [d] \\e `f`</p>",
+        "<pre><code>k * _x_</code></pre><p>out *y* &#42;z&#42;</p>",
+        '<p><b>B</b> <em>i</em> <code>c_*</code>'
+        ' <a href="/u">t[0]</a> <img src="/i.png"><hr></p>',
+        "<ul><li>a<li>b</li></ul><blockquote>q</blockquote>",
+        "plain text, no tags",
+        "",
+    ]
+
+    def test_plain_from_sentinels_equals_direct(self, spark):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+            md_from_sentinels,
+            md_render_sentinels,
+        )
+
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(self.PAGES)], ["i", "h"]
+        )
+        a = df.select(
+            "i", html_to_markdown(F.col("h")).alias("m")
+        ).orderBy("i").collect()
+        b = df.select(
+            "i",
+            md_from_sentinels(
+                md_render_sentinels(F.col("h"))
+            ).alias("m"),
+        ).orderBy("i").collect()
+        assert [r["m"] for r in a] == [r["m"] for r in b]
+
+    def test_escaped_from_sentinels_equals_direct(self, spark):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+            md_escaped_from_sentinels,
+            md_render_sentinels,
+        )
+
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(self.PAGES)], ["i", "h"]
+        )
+        a = df.select(
+            "i", html_to_markdown(F.col("h"), escape=True).alias("m")
+        ).orderBy("i").collect()
+        b = df.select(
+            "i",
+            md_escaped_from_sentinels(
+                md_render_sentinels(F.col("h"))
+            ).alias("m"),
+        ).orderBy("i").collect()
+        assert [r["m"] for r in a] == [r["m"] for r in b]
