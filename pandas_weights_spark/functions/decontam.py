@@ -283,6 +283,23 @@ def _semantic_overlap_arrow(
             # mirror that exactly instead of crashing in np.vstack
             vals = list(pdf["__v__"])
             ok = np.asarray([v is not None for v in vals])
+            if ok.all():
+                # fast path (the normal batch): plain numpy columns,
+                # no nullable-dtype conversion cost
+                x = np.vstack([np.asarray(v, float) for v in vals])
+                cn = np.sqrt((x * x).sum(axis=1))
+                s = (x @ bmat.T) / np.outer(cn, bn)
+                j = np.argmax(s, axis=1)  # first max = smallest id
+                best = s[np.arange(len(vals)), j]
+                yield pd.DataFrame(
+                    {
+                        corpus_id: pdf["__id__"],
+                        "max_cosine": best,
+                        "nearest_bench_id": bids[j],
+                        "contaminated": best >= thr,
+                    }
+                )
+                continue
             m = len(pdf)
             best = np.full(m, np.nan)
             nearest = np.full(m, bids[0], dtype=object)

@@ -2107,18 +2107,22 @@ def ngram_counts(
                         else:
                             c[g] += wt_
                 if c or seen:
-                    keys = list(c.keys()) + [
-                        g for g in seen if g not in c
-                    ]
+                    null_only = [g for g in seen if g not in c]
+                    keys = list(c.keys()) + null_only
                     out = {
                         gc: [k[j] for k in keys]
                         for j, gc in enumerate(gram_cols)
                     }
-                    # nullable Float64: a bare-float NaN would reach
-                    # the JVM as NaN, not SQL NULL
-                    out["__c__"] = pd.array(
-                        [c.get(k) for k in keys], dtype="Float64"
-                    )
+                    if null_only:
+                        # nullable Float64: a bare-float NaN would
+                        # reach the JVM as NaN, not SQL NULL
+                        out["__c__"] = pd.array(
+                            [c.get(k) for k in keys], dtype="Float64"
+                        )
+                    else:
+                        # fast path: plain float column, no nullable
+                        # conversion on NULL-free batches
+                        out["__c__"] = [c[k] for k in keys]
                     yield pd.DataFrame(out)
 
         agg = (
