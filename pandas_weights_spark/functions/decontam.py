@@ -281,6 +281,8 @@ def _semantic_overlap_arrow(
             # all-NULL cosines, falls through to the negid field, and
             # emits (NULL max_cosine, smallest bench id, NULL flag) —
             # mirror that exactly instead of crashing in np.vstack
+            if not len(pdf):  # empty Arrow batch: nothing to score
+                continue
             vals = list(pdf["__v__"])
             ok = np.asarray([v is not None for v in vals])
             if ok.all():

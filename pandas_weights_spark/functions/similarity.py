@@ -813,6 +813,8 @@ def _knn_ivf_arrow(
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):  # an empty Arrow batch would crash vstack
+                continue
             x = np.vstack(
                 [np.asarray(v, float) for v in pdf["__v__"]]
             )
