@@ -1352,16 +1352,24 @@ def md_from_sentinels(col: Column) -> Column:
 
 
 def md_escaped_from_sentinels(col: Column) -> Column:
-    """Escaped markdown from a :func:`md_render_sentinels` value —
-    the prose-only metachar escape (index-aware splits keep fenced
-    and inline code verbatim), then sentinel swap + collapse."""
+    """Escaped markdown from a :func:`md_render_sentinels` value.
+
+    Fence pieces alternate prose/code (one rule emits both fences of
+    a block), so the render assembles PIECE-WISE: prose pieces get
+    the metachar escape (inline-code sub-pieces verbatim via the same
+    index-aware split), the sentinel swap, and the whitespace
+    collapse; fenced CODE pieces keep their whitespace VERBATIM —
+    indentation is semantic in code (CommonMark keeps fenced content
+    untouched; the plain render's whole-document collapse flattens
+    it, a documented r11 approximation this mode removes). Pieces
+    join on paragraph breaks with empties dropped; inline code still
+    collapses with its prose (spacing-accurate inline preservation
+    would need boundary bookkeeping the signal doesn't warrant —
+    documented)."""
 
     def esc(x: Column) -> Column:
         return F.regexp_replace(x, _MD_ESCAPE_RE, "\\\\$1")
 
-    # escape prose only: fence pieces alternate prose/code (one rule
-    # emits both fences), and within prose the inline-code pieces
-    # alternate the same way
     def esc_prose(piece: Column) -> Column:
         return F.array_join(
             F.transform(
@@ -1371,18 +1379,31 @@ def md_escaped_from_sentinels(col: Column) -> Column:
             "`",
         )
 
-    col = F.array_join(
-        F.transform(
-            F.split(col, _MD_SENT_FENCE, -1),
-            lambda x, i: F.when(
-                i % 2 == 0, esc_prose(x)
-            ).otherwise(x),
-        ),
-        "```",
+    def swaps(x: Column, with_code: bool) -> Column:
+        pairs = list(_MD_SENT_SWAPS)
+        if with_code:
+            pairs.append((_MD_SENT_CODE, "`"))
+        for sent, mark in pairs:
+            x = F.replace(x, F.lit(sent), F.lit(mark))
+        return x
+
+    def prose(x: Column) -> Column:
+        return _collapse_ws(swaps(esc_prose(x), False))
+
+    def code(x: Column) -> Column:
+        # the piece is "\nBODY\n" by construction (the fence rule's
+        # replacement); a later rule may have planted sentinels
+        # INSIDE the body (no-DOM degradation) — swap them, never
+        # escape or collapse
+        return F.concat(F.lit("```"), swaps(x, True), F.lit("```"))
+
+    out = F.transform(
+        F.split(col, _MD_SENT_FENCE, -1),
+        lambda x, i: F.when(i % 2 == 0, prose(x)).otherwise(code(x)),
     )
-    for sent, mark in _MD_SENT_SWAPS:
-        col = F.replace(col, F.lit(sent), F.lit(mark))
-    return _collapse_ws(col)
+    return F.array_join(
+        F.filter(out, lambda x: F.length(x) > 0), "\n\n"
+    )
 
 
 def html_to_markdown_sql(expr: str, escape: bool = False) -> str:
@@ -1396,38 +1417,51 @@ def html_to_markdown_sql(expr: str, escape: bool = False) -> str:
         e = f"regexp_replace({e}, '{_sq(pat)}', '{_sq(r)}', 'g')"
     e = f"regexp_replace({e}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
     e = _decode_entities_sql(e)
-    if escape:
-        def esc_sql(x: str) -> str:
-            return (
-                f"regexp_replace({x}, '{_sq(_MD_ESCAPE_RE)}', "
-                f"'\\\\\\1', 'g')"
-            )
+    if not escape:
+        return _collapse_ws_sql(e)
 
-        # LET-bind each split once (the engine-side transform shape):
-        # 1-based pieces — odd = prose (escape), even = code (verbatim)
-        inner = (
-            "array_to_string(list_transform("
-            "generate_series(1, len(__ip__)), j -> "
-            f"CASE WHEN j % 2 = 1 THEN {esc_sql('__ip__[j]')} "
-            "ELSE __ip__[j] END), '`')"
+    # escape mode: mirror the piece-wise assembly of
+    # md_escaped_from_sentinels — prose pieces escape+swap+collapse,
+    # fenced code pieces stay VERBATIM (swap only), empties drop,
+    # paragraph-break join. LET-bind each split once; 1-based pieces:
+    # odd = prose, even = code.
+    def esc_sql(x: str) -> str:
+        return (
+            f"regexp_replace({x}, '{_sq(_MD_ESCAPE_RE)}', "
+            f"'\\\\\\1', 'g')"
         )
 
-        def prose(x: str) -> str:
-            return (
-                f"(list_transform([str_split({x}, chr(2)||'C')], "
-                f"__ip__ -> {inner})[1])"
-            )
+    def swaps_sql(x: str, with_code: bool) -> str:
+        pairs = list(_MD_SENT_SWAPS)
+        if with_code:
+            pairs.append((_MD_SENT_CODE, "`"))
+        for sent, mark in pairs:
+            x = f"replace({x}, chr(2)||'{sent[1]}', '{_sq(mark)}')"
+        return x
 
-        outer = (
-            "array_to_string(list_transform("
-            "generate_series(1, len(__fps__)), i -> "
-            f"CASE WHEN i % 2 = 1 THEN {prose('__fps__[i]')} "
-            "ELSE __fps__[i] END), '```')"
-        )
-        e = (
-            f"(list_transform([str_split({e}, chr(2)||'F')], "
-            f"__fps__ -> {outer})[1])"
-        )
-        for sent, mark in _MD_SENT_SWAPS:
-            e = f"replace({e}, chr(2)||'{sent[1]}', '{_sq(mark)}')"
-    return _collapse_ws_sql(e)
+    inner = (
+        "array_to_string(list_transform("
+        "generate_series(1, len(__ip__)), j -> "
+        f"CASE WHEN j % 2 = 1 THEN {esc_sql('__ip__[j]')} "
+        "ELSE __ip__[j] END), '`')"
+    )
+    esc_prose = (
+        f"(list_transform([str_split(__fps__[i], chr(2)||'C')], "
+        f"__ip__ -> {inner})[1])"
+    )
+    prose = _collapse_ws_sql(swaps_sql(esc_prose, False))
+    code = f"'```' || {swaps_sql('__fps__[i]', True)} || '```'"
+    assembled = (
+        "coalesce(array_to_string(list_filter(list_transform("
+        "generate_series(1, len(__fps__)), i -> "
+        f"CASE WHEN i % 2 = 1 THEN {prose} ELSE {code} END), "
+        "x -> length(x) > 0), chr(10)||chr(10)), '')"
+    )
+    # NULL html must stay NULL (DuckDB's array_to_string NULL quirks
+    # cut both ways: empty list -> NULL needs the coalesce, NULL
+    # input must bypass it)
+    return (
+        f"(list_transform([str_split({e}, chr(2)||'F')], __fps__ -> "
+        f"CASE WHEN __fps__ IS NULL THEN NULL "
+        f"ELSE {assembled} END)[1])"
+    )

@@ -1103,3 +1103,46 @@ class TestMarkdownSharedRender:
             ).alias("m"),
         ).orderBy("i").collect()
         assert [r["m"] for r in a] == [r["m"] for r in b]
+
+
+class TestMarkdownFenceWhitespace:
+    """r12: escape-mode fenced code keeps whitespace VERBATIM
+    (indentation is semantic in code) while prose still collapses."""
+
+    def _md(self, spark, html):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+        )
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(
+            html_to_markdown(F.col("h"), escape=True).alias("m")
+        ).first()["m"]
+
+    def test_indentation_and_blank_lines_preserved(self, spark):
+        body = "def f(x):\n    if x:\n        return  x*2\n\n\n\n    return 0"
+        m = self._md(
+            spark, f"<pre><code>{body}</code></pre><p>t   t *x*</p>"
+        )
+        assert m == f"```\n{body}\n```\n\nt t \\*x\\*"
+
+    def test_tabs_and_runs_inside_fence(self, spark):
+        m = self._md(spark, "<p>x</p><pre>raw   spaces\n\ttab</pre>")
+        assert m == "x\n\n```\nraw   spaces\n\ttab\n```"
+
+    def test_consecutive_fences_clean_seam(self, spark):
+        m = self._md(spark, "<pre>a</pre><pre>b</pre>")
+        assert m == "```\na\n```\n\n```\nb\n```"
+
+    def test_plain_mode_still_collapses(self, spark):
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+        )
+
+        df = spark.createDataFrame(
+            [("<pre>a    b</pre>",)], "h string"
+        )
+        m = df.select(
+            html_to_markdown(F.col("h")).alias("m")
+        ).first()["m"]
+        assert m == "```\na b\n```"
