@@ -673,11 +673,12 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int = 256,
+    n_cells: "int | str" = 256,
     threshold: float = 0.95,
     iters: int = 2,
     centroids: "list[list[float]] | None" = None,
     arrow: bool = False,
+    target_cell_rows: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -688,7 +689,10 @@ def semantic_dedup(
     duplicates that n-gram dedup misses, at a cost bounded by the
     per-cluster quadratic — ``n_cells`` is the knob: expected cluster
     size ``n/n_cells``, so size it to keep clusters executor-small
-    (SemDeDup's own design argument).
+    (SemDeDup's own design argument). ``n_cells='auto'`` applies the
+    same sizing rule as :func:`knn_graph` (one ``count()`` →
+    :func:`auto_n_cells`; ``target_cell_rows`` defaults to
+    :data:`KNN_TARGET_CELL_ROWS`).
 
     Returns ``(id_col, cell, is_survivor)``. ``centroids`` accepts a
     pre-trained quantizer (:func:`train_ivf_centroids` — the
@@ -700,6 +704,17 @@ def semantic_dedup(
     data-sized shuffle is the cell self-join, which never leaves a
     cell.
     """
+    if n_cells == "auto":
+        n_cells = auto_n_cells(
+            df.count(),
+            KNN_TARGET_CELL_ROWS
+            if target_cell_rows is None
+            else target_cell_rows,
+        )
+    elif not isinstance(n_cells, int):
+        raise ValueError(
+            f"n_cells must be an int or 'auto', got {n_cells!r}"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             df, vec_col, n_cells, id_col, iters=iters, arrow=arrow

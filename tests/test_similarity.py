@@ -965,3 +965,52 @@ class TestKnnCellSizing:
         assert not [
             w for w in rec if issubclass(w.category, RuntimeWarning)
         ]
+
+
+class TestSemanticDedupAutoCells:
+    def test_auto_equals_explicit(self, spark):
+        import numpy as np
+
+        from pandas_weights_spark.functions.similarity import (
+            auto_n_cells,
+            semantic_dedup,
+        )
+
+        rng = np.random.RandomState(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(4)]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        # target >= n -> auto resolves to 1 cell; explicit 1-cell run
+        # must produce the identical survivor set
+        assert auto_n_cells(30, 64) == 1
+        a = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    df, "embedding", "vec_id", n_cells="auto",
+                    threshold=0.8, iters=1, target_cell_rows=64,
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    df, "embedding", "vec_id", n_cells=1,
+                    threshold=0.8, iters=1,
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_invalid_n_cells(self, spark):
+        from pandas_weights_spark.functions.similarity import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="n_cells"):
+            semantic_dedup(df, "embedding", "vec_id", n_cells="big")
