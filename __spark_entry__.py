@@ -2146,6 +2146,67 @@ def _q_ewm_pair(spark, sf_dir):
     return pair.unionByName(tm)
 
 
+def _q_zipf_stats(spark, sf_dir):
+    # r12: Zipf/type-token lexical-health block (functions/
+    # datasheet.py zipf_stats — Zipf 1949): exact top-50 head by
+    # (freq desc, token) via the capped top-k (never a vocab-sized
+    # global sort), corpus type/token/hapax scalars from one 1-row
+    # aggregate over the count table, and the ln-ln least-squares
+    # head slope from four regression sums over the <=50-row head
+    # (bounded window + bounded aggregate — the classifier_eval
+    # discipline). The oracle replays tokenization (trim + \\s+ on
+    # lowercase), the counts, the rank, and the closed-form slope;
+    # ROUND 6 on the ratios and slope.
+    from pandas_weights_spark.functions.datasheet import zipf_stats
+
+    return zipf_stats(
+        _docs(spark, sf_dir).select("text"), "text", top_k=50
+    )
+
+
+_ORACLE_ZIPF = """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS token
+      FROM documents
+    ), tok2 AS (
+      SELECT token FROM tok WHERE length(token) > 0
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok2 GROUP BY token
+    ), scalars AS (
+      SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hapax
+      FROM counts
+    ), head AS (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token)
+                  AS BIGINT) AS rank
+      FROM counts
+      ORDER BY freq DESC, token LIMIT 50
+    ), reg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(ln(CAST(rank AS DOUBLE))) AS sx,
+             sum(ln(CAST(freq AS DOUBLE))) AS sy,
+             sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)))
+               AS sxx,
+             sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)))
+               AS sxy
+      FROM head
+    )
+    SELECT rank, token, freq, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                 6) AS type_token_ratio,
+           round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+             AS hapax_frac,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM head CROSS JOIN scalars CROSS JOIN reg
+"""
+
+
 _PHRASE_LIST = ("the", "and the", "scunthorpe", "data point")
 
 
@@ -6634,6 +6695,8 @@ _ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
 
 _ORACLE["phrase_hits"] = _phrase_hits_sql()
 
+_ORACLE["zipf_stats"] = _ORACLE_ZIPF
+
 _ORACLE["neardup_pairs"] = f"""
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS sim
     FROM ({_minhash_sql()})
@@ -10884,6 +10947,7 @@ _NEW_THIS_ROUND: tuple = (
     "neardup_incremental",
     "punkt_abbrevs",
     "phrase_hits",
+    "zipf_stats",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -10932,6 +10996,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,
         "phrase_hits": _q_phrase_hits,
+        "zipf_stats": _q_zipf_stats,
         # --- r11 queries ---
         "readability": _q_readability,
         "html_meta": _q_html_meta,

@@ -132,6 +132,7 @@ HEADLINE = [
     "neardup_incremental", # snapshot-incremental MinHash near-dup (r12)
     "punkt_abbrevs",       # trained sentence-abbreviation model (r12)
     "phrase_hits",         # multi-phrase blocklist matching (r12)
+    "zipf_stats",          # Zipf head slope + type/token/hapax (r12)
 ]
 
 

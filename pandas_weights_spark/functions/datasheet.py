@@ -19,7 +19,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_datasheet", "token_budget"]
+__all__ = ["corpus_datasheet", "token_budget", "zipf_stats"]
 
 
 def corpus_datasheet(
@@ -159,4 +159,112 @@ def token_budget(
         F.round(
             F.try_divide(nb.cast("double"), bpe.cast("double")), 6
         ).alias("bytes_per_token"),
+    )
+
+
+def zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Zipf/type-token corpus statistics — the lexical-health block of
+    a data card (Zipf 1949; the head-slope and hapax mass are the
+    standard corpus sanity signals: scraped boilerplate flattens the
+    slope, OCR noise inflates the hapax fraction, and tokenizer/vocab
+    planning reads the type counts).
+
+    One row per HEAD token (exact global top-``top_k`` by (freq desc,
+    token asc) — :func:`~pandas_weights_spark.topk.global_top_by_mass`,
+    never a vocabulary-sized global sort): ``(rank, token, freq)``
+    plus the corpus scalars repeated per row (the datasheet
+    convention): ``n_tokens``, ``n_types``, ``type_token_ratio``,
+    ``hapax_frac`` (fraction of TYPES occurring once), and
+    ``zipf_slope`` — the least-squares slope of ``ln(freq)`` on
+    ``ln(rank)`` over the head rows (ideal Zipf ≈ −1; computed from
+    the four regression sums in ONE aggregate over the ≤``top_k``
+    table).
+
+    Scale shape: one explode + one token-keyed count aggregate
+    (map-side combined) feeds everything; the type-level scalars are
+    a second 1-row aggregate over the count table; ranking and the
+    regression run on the capped head only. Exact integer counts and
+    single IEEE divisions — the DuckDB oracle replays it closed-form.
+    """
+    from pyspark.sql import Window as W
+
+    from pandas_weights_spark.functions.text import tokens
+    from pandas_weights_spark.topk import global_top_by_mass
+
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2 (the slope needs 2 points)")
+    t = F.col(text_col)
+    tok = F.explode(
+        tokens(F.lower(t) if lowercase else t)
+    ).alias("token")
+    counts = (
+        df.select(tok)
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    scalars = counts.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__hapax__"),
+    )
+    head = global_top_by_mass(
+        counts, "freq", [F.col("freq").desc(), F.col("token")],
+        int(top_k),
+    )
+    # rank within the ≤top_k head — a bounded-table window (the
+    # classifier_eval discipline), never vocabulary-sized
+    ranked = head.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), F.col("token")))
+        .cast("long"),
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("freq").cast("double"))
+    reg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+        F.sum(lr).alias("__sx__"),
+        F.sum(lf).alias("__sy__"),
+        F.sum(lr * lr).alias("__sxx__"),
+        F.sum(lr * lf).alias("__sxy__"),
+    )
+    slope = F.try_divide(
+        F.col("__n__") * F.col("__sxy__")
+        - F.col("__sx__") * F.col("__sy__"),
+        F.col("__n__") * F.col("__sxx__")
+        - F.col("__sx__") * F.col("__sx__"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(scalars))
+        .crossJoin(F.broadcast(reg))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.try_divide(
+                    F.col("n_types").cast("double"),
+                    F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("type_token_ratio"),
+            F.round(
+                F.try_divide(
+                    F.col("__hapax__").cast("double"),
+                    F.col("n_types").cast("double"),
+                ),
+                6,
+            ).alias("hapax_frac"),
+            F.round(slope, 6).alias("zipf_slope"),
+        )
     )

@@ -153,3 +153,94 @@ class TestTokenBudget:
         )
         assert plan.count("Exchange") <= 1, plan
         assert "BatchEvalPython" not in plan
+
+
+class TestZipfStats:
+    """r12: zipf_stats — head ranks, type/token/hapax scalars, and
+    the ln-ln least-squares head slope, pure-Python differential."""
+
+    ROWS = [
+        (1, "the the the the quick quick brown fox fox fox"),
+        (2, "THE quick dog runs past the lazy unique1 unique2"),
+        (3, None),
+        (4, "   "),
+        (5, "the\tquick  fox"),
+    ]
+
+    def _got(self, spark, top_k=10):
+        from pandas_weights_spark.functions.datasheet import zipf_stats
+
+        df = spark.createDataFrame(self.ROWS, "i long, text string")
+        return sorted(
+            map(tuple, zipf_stats(df, "text", top_k=top_k).collect())
+        )
+
+    def test_pure_python_differential(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        c = Counter()
+        for _i, t in self.ROWS:
+            if isinstance(t, str):
+                for w in ws.split(t.lower().strip(" ")):
+                    if w:
+                        c[w] += 1
+        n_tokens = sum(c.values())
+        n_types = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        n = float(len(head))
+        xs = [math.log(r + 1) for r in range(len(head))]
+        ys = [math.log(f) for _w, f in head]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        expect = sorted(
+            (
+                r + 1,
+                w,
+                f,
+                n_tokens,
+                n_types,
+                round(n_types / n_tokens, 6),
+                round(hapax / n_types, 6),
+                slope,
+            )
+            for r, (w, f) in enumerate(head)
+        )
+        got = self._got(spark)
+        assert [g[:3] for g in got] == [e[:3] for e in expect]
+        for g, e in zip(got, expect):
+            assert g[3:5] == e[3:5]
+            for gi, ei in zip(g[5:], e[5:]):
+                assert gi == pytest.approx(ei, abs=2e-6)
+
+    def test_zipfian_fixture_slope_near_minus_one(self, spark):
+        from pandas_weights_spark.functions.datasheet import zipf_stats
+
+        # freq(rank) = 1024/rank exactly -> slope == -1
+        words = []
+        for r in range(1, 17):
+            words += [f"w{r:02d}"] * (1024 // r)
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "i long, text string"
+        )
+        row = zipf_stats(df, "text", top_k=16).first()
+        assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+        assert row["n_types"] == 16
+
+    def test_top_k_caps_head_not_scalars(self, spark):
+        got = self._got(spark, top_k=3)
+        assert len(got) == 3
+        # scalars still reflect the WHOLE vocabulary
+        assert got[0][4] > 3  # n_types
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.functions.datasheet import zipf_stats
+
+        df = spark.createDataFrame([(1, "a b")], "i long, text string")
+        with pytest.raises(ValueError, match="top_k"):
+            zipf_stats(df, "text", top_k=1)

@@ -95,6 +95,11 @@ ALLOW = {
     # discipline, pinned by a window-after-aggregate test); the
     # crossJoins broadcast the 1-row totals/AUC aggregates back
     "classifier_eval": {"global-window"},
+    # r12: zipf_stats ranks the CAPPED head (global_top_by_mass limit
+    # executes BEFORE the window — the tfidf/bpe plan shape, ≤ top_k
+    # rows) and crossJoins the two 1-row scalar/regression aggregates
+    # back (the classifier_eval/weighted_tests discipline)
+    "zipf_stats": {"global-window", "bnl-cross"},
 }
 
 _GLOBAL_WINDOW = re.compile(
