@@ -2371,7 +2371,8 @@ def _punkt_abbrevs_sql() -> str:
                 -CAST(n_bare AS DOUBLE)) AS score
       FROM counts CROSS JOIN totals
     )
-    SELECT abbrev, n_dot, n_bare, round(score, 6) AS score,
+    SELECT abbrev, n_dot, n_bare,
+           round(score, 6) + 0.0 AS score,
            score >= 0.3 AS is_abbrev
     FROM scored WHERE n_dot >= 20
 """
@@ -10904,8 +10905,27 @@ _ORACLE["snapshot_delta"] = """
 # Hard feasibility: |front ∪ stale2| ≤ 50 every round (asserted);
 # advisory headroom bound n ≤ 140 (asserted with a widen-again message).
 
-#: first-50 window of CORRECTNESS_r11.json (driver-checked last round).
+#: first-50 window of CORRECTNESS_r12.json (driver-checked last round).
 _PREV_WINDOW: frozenset = frozenset({
+    "neardup_incremental", "punkt_abbrevs", "phrase_hits",
+    "zipf_stats", "semantic_decontam", "html_markdown",
+    "knn_density", "classifier_eval", "c4_fineweb", "html_tables",
+    "html_extract", "hits", "snapshot_delta", "ccnet_buckets",
+    "robots_directives", "quality_classifier", "dsir_select",
+    "semdedup", "edit_join", "bm25", "pagerank", "pq_topk",
+    "rp_project", "mixture_sample", "warc_roundtrip", "sentences",
+    "jsonl_roundtrip", "robots_filter", "link_graph", "code_detect",
+    "datasheet", "global_stats", "null_semantics", "group_mean",
+    "group_var", "group_quantile", "group_quantile_binned",
+    "group_mad", "group_zscore", "crosstab", "weighted_tests",
+    "resample_2d", "resample_rules", "resample_quantile",
+    "neardup_clusters", "ewm_mean", "corr_cov_matrix",
+    "group_skew_kurt", "value_counts", "group_corr",
+})
+
+#: first-50 window of CORRECTNESS_r11.json (driver-checked two rounds
+#: back) — the second history term of the three-round guarantee.
+_PREV_WINDOW2: frozenset = frozenset({
     "aligned_corr_cov", "anchor_stats", "ann_recall", "ann_topk",
     "asof_join", "bloom_semi_join", "c4_fineweb", "calibration",
     "charset_decode", "charset_stats", "chunk_docs",
@@ -10923,51 +10943,16 @@ _PREV_WINDOW: frozenset = frozenset({
     "window_stats",
 })
 
-#: first-50 window of CORRECTNESS_r10.json (driver-checked two rounds
-#: back) — the second history term of the three-round guarantee.
-_PREV_WINDOW2: frozenset = frozenset({
-    "pipeline_funnel", "hybrid_search", "hits", "anchor_stats",
-    "lang_mix", "snapshot_delta", "ccnet_buckets", "charset_decode",
-    "charset_stats", "lang_id_ngram", "robots_directives",
-    "quality_classifier", "dsir_select", "semdedup", "web_hygiene",
-    "edit_join", "bm25", "pagerank", "pq_topk", "rp_project",
-    "mixture_sample", "html_extract", "warc_roundtrip", "sentences",
-    "jsonl_roundtrip", "robots_filter", "link_graph", "code_detect",
-    "datasheet", "pdf_extract", "global_stats", "null_semantics",
-    "group_mean", "group_var", "group_quantile",
-    "group_quantile_binned", "group_mad", "group_zscore", "crosstab",
-    "weighted_tests", "resample_2d", "resample_rules",
-    "resample_quantile", "neardup_clusters", "ewm_mean",
-    "corr_cov_matrix", "group_skew_kurt", "value_counts",
-    "group_corr", "spearman_corr",
-})
-
-#: queries ADDED in the current round (r12) — always in the window.
+#: queries ADDED in the current round (r13) — always in the window.
 _NEW_THIS_ROUND: tuple = (
-    "neardup_incremental",
-    "punkt_abbrevs",
-    "phrase_hits",
-    "zipf_stats",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
-    "classifier_eval",   # r12 ADVICE: try_divide tpr/fpr, NULL auc
-                         #   on single-class inputs
-    "knn_density",       # r12: knn_graph n_cells='auto' + arrow id
-                         #   pass-through (bruteforce oracle path
-                         #   unchanged; signature shared)
-    "semantic_decontam", # r12 ADVICE: arrow kernel NULL-vector
-                         #   handling (oracle JVM twin unchanged)
-    "html_extract",      # r12: shared html_parts decoded-block
-                         #   producer; 'visible' is now block-wise
-    "html_tables",       # r12: expand_spans=True + spanning-table
-                         #   fixture rows (closed-form replay)
-    "c4_fineweb",        # r12: c4_filter blocklist_mode param (query
-                         #   rides the unchanged no-blocklist path)
-    "html_markdown",     # r12: escape=True metachar render + fixture
-                         #   metachar tail (md_esc_fp columns)
+    "punkt_abbrevs",     # r13: sign-of-zero normalization (+ 0.0) on
+                         #   the type score, both engines — fixes the
+                         #   r12 driver hash red (-0.0 vs +0.0)
 )
 
 

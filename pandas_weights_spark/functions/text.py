@@ -1765,11 +1765,16 @@ def train_sentence_abbreviations(
     f_periods = (n_int + F.lit(1)).cast("double")
     f_penalty = F.pow(num_nonper, -cb)
     score = ll * f_length * f_periods * f_penalty
+    # + 0.0 normalizes the sign of zero: when ll is negative and
+    # f_penalty underflows to +0, the product is IEEE -0.0; Spark's
+    # BigDecimal round would emit +0.0 while a float-native engine
+    # keeps -0.0 (driver hash mismatch, r12). IEEE: -0.0 + 0.0 = +0.0
+    # on BOTH engines, so the normalization is pinned symmetric.
     scored = counts.crossJoin(F.broadcast(totals)).select(
         "abbrev",
         "n_dot",
         "n_bare",
-        F.round(score, 6).alias("score"),
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
         (score >= F.lit(float(threshold))).alias("is_abbrev"),
     )
     return scored.orderBy(

@@ -2237,6 +2237,34 @@ class TestPunktAbbreviations:
         # long type needs far more evidence than 16 dotted uses
         assert m["approx"]["is_abbrev"] is False
 
+    def test_negative_zero_normalized(self, spark):
+        # r12 driver red: the ambiguous word ("dog") has large
+        # NEGATIVE ll and f_penalty underflows to +0, so the raw
+        # score is IEEE -0.0; the engine must emit BIT-positive 0.0
+        # (sign-of-zero normalization, text.py score + 0.0) so the
+        # driver's exact value hash matches a float-native oracle
+        # that applies the same + 0.0.
+        import math
+
+        from pandas_weights_spark.functions.text import (
+            train_sentence_abbreviations,
+        )
+
+        rows = {
+            r["abbrev"]: r
+            for r in train_sentence_abbreviations(
+                self._corpus(spark), "text", min_count=2
+            ).collect()
+        }
+        dog = rows["dog"]
+        assert dog["score"] == 0.0
+        # the actual bit check: copysign exposes -0.0
+        assert math.copysign(1.0, dog["score"]) == 1.0
+        # every emitted zero in the model is positive-zero
+        for r in rows.values():
+            if r["score"] == 0.0:
+                assert math.copysign(1.0, r["score"]) == 1.0, r
+
     def test_pure_python_differential(self, spark):
         import math
         import re

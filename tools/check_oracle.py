@@ -21,7 +21,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        r = round(v, 9)
+        # the driver hashes EXACT values, where -0.0 != +0.0 (r12's
+        # punkt_abbrevs red row); surface the sign of zero here too
+        if r == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, int):
         return float(v)
     return str(v)
