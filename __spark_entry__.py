@@ -2438,7 +2438,9 @@ def _q_neardup_incremental(spark, sf_dir):
 def _neardup_incremental_sql() -> str:
     # closed-form two-stage replay of minhash_dedup_incremental over
     # the same fixture — the _minhash_sql machinery (md5 signature
-    # mins, 4-band keys, exact-Jaccard verify) applied per batch
+    # mins, 4-band keys, exact-Jaccard verify) applied per batch.
+    # r13: the verify runs over 16-char md5-prefix shingle DIGESTS
+    # (the engine's digest-only state schema), not raw shingles
     sig = ", ".join(
         f"list_min(list_transform(s, x -> md5('{i} ' || x)))"
         for i in range(16)
@@ -2468,7 +2470,10 @@ def _neardup_incremental_sql() -> str:
                   ELSE [array_to_string(w, ' ')] END AS s
       FROM {name}_tok
     ), {name}_band AS (
-      SELECT doc_id, list_distinct(s) AS sd, {bands}
+      SELECT doc_id,
+             list_distinct(
+               list_transform(s, x -> substr(md5(x), 1, 16))
+             ) AS sd, {bands}
       FROM (SELECT doc_id, s, [{sig}] AS sig FROM {name}_sh)
     )"""
 
@@ -10953,6 +10958,11 @@ _TOUCHED_THIS_ROUND: tuple = (
     "punkt_abbrevs",     # r13: sign-of-zero normalization (+ 0.0) on
                          #   the type score, both engines — fixes the
                          #   r12 driver hash red (-0.0 vs +0.0)
+    "neardup_incremental",  # r13: digest-only state (md5-prefix /
+                         #   xxhash64 shingle digests, ≤16 B each)
+                         #   replaces raw shingle text; fused
+                         #   explode+agg computes sig + digest set
+                         #   in one pass; oracle replays digests
 )
 
 

@@ -1367,6 +1367,7 @@ def minhash_dedup_incremental(
     bands: int = 4,
     shingle_size: int = 3,
     portable: bool = True,
+    store_shingles: bool = False,
 ) -> "tuple[DataFrame, DataFrame]":
     """SNAPSHOT-incremental NEAR-dup — the MinHash analog of
     :func:`exact_dedup_incremental` (r12, VERDICT r11 missing #2): a
@@ -1378,48 +1379,86 @@ def minhash_dedup_incremental(
     per historical document: its MinHash signature (band keys
     recompute row-locally from slices, so persisted state is one
     compact table, not bands× bucket rows) and its distinct shingle
-    set for the exact-Jaccard verify. Persist it as parquet between
-    runs and feed it back; pass the SAME num_hashes/bands/
-    shingle_size/portable every run (band keys must agree across
-    snapshots — mismatched widths fail loudly on the array index).
+    DIGEST set for the exact-Jaccard verify — md5-prefix 16-char
+    strings when ``portable`` (DuckDB-replayable), ``xxhash64``
+    longs otherwise (8 B/shingle, the fast path). Jaccard over
+    hashed shingle sets is the standard Broder (1997, "On the
+    resemblance and containment of documents") estimator — digest
+    collisions perturb it with probability ~|set|²/2⁶⁴ per pair,
+    negligible against a rounded-6dp threshold — so state size is
+    bounded at ≤16 B per distinct shingle FOREVER, instead of
+    carrying ~3× the corpus text bytes. ``store_shingles=True`` is
+    the escape hatch when bit-exact TEXT Jaccard is required: state
+    then persists the raw shingle strings (state grows with corpus
+    text — a loud, deliberate choice). Persist state as parquet
+    between runs and feed it back; pass the SAME num_hashes/bands/
+    shingle_size/portable/store_shingles every run (band keys must
+    agree across snapshots — mismatched widths fail loudly on the
+    array index; digest vs text state fails the verify join types).
 
-    Per batch: (1) signatures + shingles for the batch (the
-    aggregation formulation); (2) band-bucket join of batch vs state
-    → cross-snapshot candidates, exact-Jaccard verified at
-    ``threshold`` — a batch doc matching history DROPS (re-crawled
-    near-dups stay suppressed forever); (3) the survivors-of-history
-    dedup within the batch (banded self-join, verify, higher id of a
-    verified pair drops — the family's min-id rule); (4)
-    ``new_state`` = old state ∪ every batch doc not already present
-    by id (state wins on id collision, so a re-crawl keeps its
-    original signature).
+    Per batch: (1) ONE explode → ONE id-keyed aggregate computes the
+    signature mins AND the shingle-digest set together (the
+    :func:`minhash_signatures_agg` formulation, map-side combined —
+    no second pass over the text, no sig⋈shingles join); (2)
+    band-bucket join of batch vs state → cross-snapshot candidates,
+    exact-Jaccard verified at ``threshold`` — a batch doc matching
+    history DROPS (re-crawled near-dups stay suppressed forever);
+    (3) the survivors-of-history dedup within the batch (banded
+    self-join, verify, higher id of a verified pair drops — the
+    family's min-id rule); (4) ``new_state`` = old state ∪ every
+    batch doc not already present by id (state wins on id collision,
+    so a re-crawl keeps its original signature).
 
     Scale shape: the only data-sized shuffles are the band-key joins
     (state never broadcasts); verification touches candidates only;
-    state carries signatures + shingle digests, never text. Jaccard
-    compares ROUNDED (6 dp) like the rest of the family.
+    state carries signatures + shingle digests, never text (unless
+    ``store_shingles``). Jaccard compares ROUNDED (6 dp) like the
+    rest of the family.
     """
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}"
         )
-    sigs = minhash_signatures_agg(
-        df, text_col, id_col, num_hashes, shingle_size,
-        portable=portable,
-    )
-    sh = df.select(
+    exploded = df.select(
         F.col(id_col),
-        F.array_distinct(
+        F.explode(
             word_ngrams(F.col(text_col), shingle_size)
-        ).alias("sh"),
+        ).alias("__s__"),
     )
-    packed = sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
-            "sig"
-        ),
-    ).join(sh, id_col)
+    # same permutation-hash formulas as minhash_signatures_agg — the
+    # digest set rides the SAME explode + aggregate (collect_set is
+    # map-side combined like the mins), so signatures stay bit-equal
+    # to the standalone function while the text is read exactly once
+    if portable:
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{i} "), F.col("__s__")))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("__s__"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    if store_shingles:
+        sh_el = F.col("__s__")
+    elif portable:
+        sh_el = F.substring(F.md5(F.col("__s__")), 1, 16)
+    else:
+        sh_el = F.xxhash64(F.col("__s__"))
+    packed = (
+        exploded.groupBy(id_col)
+        .agg(*aggs, F.collect_set(sh_el).alias("sh"))
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"h{i}") for i in range(num_hashes)]
+            ).alias("sig"),
+            F.col("sh"),
+        )
+    )
 
     def banded(st: DataFrame) -> DataFrame:
         return st.select(

@@ -1061,3 +1061,89 @@ class TestMinhashDedupIncremental:
         )
         assert s.columns == ["doc_id", "text", "src"]
         assert set(st.columns) == {"doc_id", "sig", "sh"}
+
+    def test_state_is_digest_only_and_bounded(self, spark):
+        # r13 (VERDICT r12 wrong #2): persisted state must carry NO
+        # text — 16-char md5-prefix digests on the portable path
+        # (≤16 B/shingle), xxhash64 longs on the fast path (8 B) —
+        # so state size is bounded regardless of corpus text bytes.
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        rows = [(1, self.BASE), (2, self.NEAR), (3, self.OTHER)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _, st = minhash_dedup_incremental(
+            df, "text", "doc_id", **self.KW
+        )
+        el = dict(st.schema["sh"].dataType.jsonValue())["elementType"]
+        assert el == "string"
+        for r in st.collect():
+            assert r["sh"], r
+            for d in r["sh"]:
+                assert len(d) == 16 and all(
+                    c in "0123456789abcdef" for c in d
+                ), d
+        _, stf = minhash_dedup_incremental(
+            df, "text", "doc_id", portable=False, **self.KW
+        )
+        elf = dict(stf.schema["sh"].dataType.jsonValue())["elementType"]
+        assert elf == "long"
+
+    def test_store_shingles_escape_hatch(self, spark):
+        # store_shingles=True keeps raw shingle text in state (the
+        # bit-exact-text-Jaccard mode) and the verify still works;
+        # drop decisions match the digest mode on this fixture
+        # (hashing is Jaccard-preserving absent 64-bit collisions)
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        rows = [(1, self.BASE), (2, self.NEAR), (3, self.OTHER)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        s_d, st_d = minhash_dedup_incremental(
+            df, "text", "doc_id", **self.KW
+        )
+        s_t, st_t = minhash_dedup_incremental(
+            df, "text", "doc_id", store_shingles=True, **self.KW
+        )
+        assert {r["doc_id"] for r in s_t.collect()} == {
+            r["doc_id"] for r in s_d.collect()
+        }
+        # raw mode really carries the text (space-joined trigrams)
+        sample = st_t.where(F.col("doc_id") == 1).first()["sh"]
+        assert any("quick brown fox" in x for x in sample)
+        # and the second snapshot verifies against text state too
+        s2_t, _ = minhash_dedup_incremental(
+            spark.createDataFrame(
+                [(10, self.NEAR)], "doc_id long, text string"
+            ),
+            "text",
+            "doc_id",
+            state=st_t,
+            store_shingles=True,
+            **self.KW,
+        )
+        assert s2_t.count() == 0
+
+    def test_digest_state_signatures_match_standalone(self, spark):
+        # the fused explode+agg must produce BIT-EQUAL signatures to
+        # minhash_signatures_agg (the oracle-checked formulation)
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures_agg,
+        )
+
+        rows = [(1, self.BASE), (2, self.NEAR), (3, self.OTHER)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _, st = minhash_dedup_incremental(
+            df, "text", "doc_id", **self.KW
+        )
+        got = {r["doc_id"]: r["sig"] for r in st.collect()}
+        ref = minhash_signatures_agg(
+            df, "text", "doc_id", 16, 3, portable=True
+        ).collect()
+        want = {
+            r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in ref
+        }
+        assert got == want
