@@ -10335,7 +10335,14 @@ def _q_html_markdown(spark, sf_dir):
         F.lit("<blockquote>Quote &#8212; cited</blockquote><hr>"),
         F.lit('<img src="/img/'),
         ids,
-        F.lit('.png"><p>'),
+        # r13: a table page — pipe_tables=True renders it as GFM
+        # pipe rows (th header, inline bold in a cell, a literal
+        # pipe that must escape, an empty cell) instead of the r12
+        # paragraph flatten; both renders (plain + escaped) walk it
+        F.lit('.png"><table><caption>c</caption><tr><th>K</th>'
+              "<th>V &amp; u</th></tr><tr><td><b>id</b></td><td>"),
+        ids,
+        F.lit("|x</td></tr><tr><td></td><td>ok</td></tr></table><p>"),
         F.col("text"),
         # r12: literal metachars + an entity-materialized star — the
         # escaped render must neutralize all of them while the
@@ -10358,7 +10365,10 @@ def _q_html_markdown(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
         .withColumn("__h__", page)
-        .withColumn("__mds__", md_render_sentinels(F.col("__h__")))
+        .withColumn(
+            "__mds__",
+            md_render_sentinels(F.col("__h__"), pipe_tables=True),
+        )
         .select(
             "doc_id",
             F.md5(md).alias("md_fp"),
@@ -10374,8 +10384,8 @@ def _html_markdown_sql() -> str:
         html_to_markdown_sql,
     )
 
-    md = html_to_markdown_sql("h")
-    md_esc = html_to_markdown_sql("h", escape=True)
+    md = html_to_markdown_sql("h", pipe_tables=True)
+    md_esc = html_to_markdown_sql("h", escape=True, pipe_tables=True)
     return f"""
     WITH page AS (
       SELECT doc_id,
@@ -10394,7 +10404,11 @@ def _html_markdown_sql() -> str:
                   || ')</code> call</p>'
            END
         || '<blockquote>Quote &#8212; cited</blockquote><hr>'
-        || '<img src="/img/' || CAST(doc_id AS VARCHAR) || '.png"><p>'
+        || '<img src="/img/' || CAST(doc_id AS VARCHAR)
+        || '.png"><table><caption>c</caption><tr><th>K</th>'
+        || '<th>V &amp; u</th></tr><tr><td><b>id</b></td><td>'
+        || CAST(doc_id AS VARCHAR)
+        || '|x</td></tr><tr><td></td><td>ok</td></tr></table><p>'
         || text
         || ' star *lit* under_score #tag [br] tick `x` '
         || 'ent &#42;y&#42;</p></body></html>' AS h
@@ -10963,6 +10977,11 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   replaces raw shingle text; fused
                          #   explode+agg computes sig + digest set
                          #   in one pass; oracle replays digests
+    "html_markdown",     # r13: pipe_tables=True GFM table render +
+                         #   table section in the fixture page
+    "html_tables",       # r13: extract_tables grid machinery
+                         #   factored into _table_rows (pure refactor,
+                         #   shared with the pipe render) — re-check
 )
 
 

@@ -710,25 +710,39 @@ def extract_tables(html: Column, expand_spans: bool = False) -> Column:
     rest of this module)."""
     clean = _strip_invisible(html)
     bodies = F.regexp_extract_all(clean, F.lit(_TABLE_RE), F.lit(1))
+    return F.transform(
+        bodies,
+        lambda b: _table_rows(b, _table_cell_text, expand_spans),
+    )
 
-    def cell_text(c: Column) -> Column:
-        return _collapse_ws(
-            _decode_entities(F.regexp_replace(c, _ANY_TAG_RE, ""))
-        )
+
+def _table_cell_text(c: Column) -> Column:
+    """Fully rendered cell text (tag-stripped, entity-decoded,
+    whitespace-collapsed) — :func:`extract_tables`'s cell transform."""
+    return _collapse_ws(
+        _decode_entities(F.regexp_replace(c, _ANY_TAG_RE, ""))
+    )
+
+
+def _table_rows(body: Column, cellf, expand: bool) -> Column:
+    """Rows-of-cells grid of ONE table body under cell transform
+    ``cellf`` — the shared parse behind :func:`extract_tables` (cells
+    via :func:`_table_cell_text`) and the markdown pipe render (cells
+    via :func:`_md_cell_prep`, which keeps inline tags for the rule
+    table downstream). Same expression tree :func:`extract_tables`
+    built inline through r12 — the refactor is parameterization, not
+    behavior (pinned by the html_tables oracle)."""
 
     def cells_of(row: Column) -> Column:
         return F.transform(
-            _tail(F.split(row, _CELL_SPLIT_RE, -1)), cell_text
+            _tail(F.split(row, _CELL_SPLIT_RE, -1)), cellf
         )
 
-    if not expand_spans:
-        def rows_of(body: Column) -> Column:
-            rows = F.transform(
-                _tail(F.split(body, _TR_SPLIT_RE, -1)), cells_of
-            )
-            return F.filter(rows, lambda r: F.size(r) > 0)
-
-        return F.transform(bodies, rows_of)
+    if not expand:
+        rows = F.transform(
+            _tail(F.split(body, _TR_SPLIT_RE, -1)), cells_of
+        )
+        return F.filter(rows, lambda r: F.size(r) > 0)
 
     def spanned_cells_of(row: Column) -> Column:
         # the split DELIMITERS carry the span attributes — extract
@@ -743,7 +757,7 @@ def extract_tables(html: Column, expand_spans: bool = False) -> Column:
             tags,
             _tail(F.split(row, _CELL_SPLIT_RE, -1)),
             lambda tag, c: F.struct(
-                cell_text(c).alias("text"),
+                cellf(c).alias("text"),
                 _span_attr(tag, _ROWSPAN_RE, 65534).alias("rs"),
                 _span_attr(tag, _COLSPAN_RE, 1000).alias("cs"),
             ),
@@ -758,7 +772,7 @@ def extract_tables(html: Column, expand_spans: bool = False) -> Column:
             )
         )
 
-    def expand(body: Column) -> Column:
+    def expand_body(body: Column) -> Column:
         rows = F.filter(
             F.transform(
                 _tail(F.split(body, _TR_SPLIT_RE, -1)),
@@ -819,7 +833,7 @@ def extract_tables(html: Column, expand_spans: bool = False) -> Column:
 
         return F.aggregate(rows, init, merge, lambda st: st["out"])
 
-    return F.transform(bodies, expand)
+    return expand_body(body)
 
 
 def extract_tables_sql(expr: str) -> str:
@@ -1238,11 +1252,16 @@ _MD_RULES: "list[tuple[str, str]]" = (
 #: decode sentinel).
 _MD_SENT_FENCE = "\x02F"
 _MD_SENT_CODE = "\x02C"
+#: a SOURCE ``|`` inside a table cell (r13 pipe tables) — restored as
+#: the GFM escape ``\\|`` so literal pipes never break generated rows;
+#: rides the same swap tables as the other generated marks
+_MD_SENT_PIPE = "\x02P"
 _MD_SENT_SWAPS: "list[tuple[str, str]]" = [
     ("\x02B", "**"),
     ("\x02I", "*"),
     ("\x02L", "["),
     ("\x02M", "]"),
+    (_MD_SENT_PIPE, "\\|"),
 ] + [("\x02" + str(n), "#" * n) for n in range(1, 7)]
 
 #: markdown metacharacters escaped in source text (escape=True):
@@ -1278,7 +1297,87 @@ def _md_rules_escaped() -> "list[tuple[str, str]]":
     return out
 
 
-def html_to_markdown(html: Column, escape: bool = False) -> Column:
+def _md_cell_prep(c: Column) -> Column:
+    """Structural prep of ONE table-cell body for the pipe render:
+    block-level tags inside the cell flatten to a space (a GFM cell
+    is one line), source ``|`` swaps to the :data:`_MD_SENT_PIPE`
+    sentinel (restored as ``\\|`` after the escape pass — structural
+    pipes stay raw), whitespace collapses to single spaces, ends
+    trim. INLINE tags (b/em/a/code/img) survive untouched so the
+    rewrite table downstream renders them inside the cell — the
+    markdown analog of :func:`_table_cell_text`."""
+    c = F.regexp_replace(c, _BLOCK_RE, " ")
+    c = F.replace(c, F.lit("|"), F.lit(_MD_SENT_PIPE))
+    c = F.regexp_replace(c, _WS + "+", " ")
+    return F.trim(c)
+
+
+def _md_pipe_row(r: Column) -> Column:
+    return F.concat(F.lit("| "), F.array_join(r, " | "), F.lit(" |"))
+
+
+def _md_render_table(body: Column, expand: bool) -> Column:
+    """GFM pipe render of ONE table body: row 0 is the header (HTML
+    convention, same stance as :func:`extract_tables`), then the
+    ``---`` separator sized to the header, then the data rows —
+    joined on single newlines (which :func:`_collapse_ws` preserves)
+    inside a paragraph break. A rowless table degrades to the plain
+    block break the r12 renderer emitted."""
+    rows = _table_rows(body, _md_cell_prep, expand)
+    r0 = F.get(rows, 0)
+    lines = F.concat(
+        F.array(
+            _md_pipe_row(r0),
+            _md_pipe_row(F.transform(r0, lambda c: F.lit("---"))),
+        ),
+        F.transform(
+            F.slice(rows, 2, F.greatest(F.size(rows), F.lit(1))),
+            _md_pipe_row,
+        ),
+    )
+    return F.when(
+        F.size(rows) > 0,
+        F.concat(
+            F.lit("\n\n"), F.array_join(lines, "\n"), F.lit("\n\n")
+        ),
+    ).otherwise(F.lit("\n\n"))
+
+
+def _md_pipe_pre(col: Column, expand: bool) -> Column:
+    """The pipe-table PRE-pass: replace every ``<table>`` element of
+    the (invisible-stripped) document with its GFM pipe render, prose
+    between tables untouched — split on the table pattern interleaves
+    with the per-body renders (split piece i + render i, one trailing
+    prose piece). Runs BEFORE the rewrite table so the block rule
+    never flattens ``<tr>/<td>`` structure; the render's cells still
+    carry their inline tags for the rules downstream. LET-bound
+    single-element transform so the upstream chain evaluates once
+    (the module's interpreted-HOF discipline). NULL html → NULL."""
+
+    def pre(c: Column) -> Column:
+        pieces = F.split(c, _TABLE_RE, -1)
+        renders = F.transform(
+            F.regexp_extract_all(c, F.lit(_TABLE_RE), F.lit(1)),
+            lambda b: _md_render_table(b, expand),
+        )
+        return F.array_join(
+            F.zip_with(
+                pieces,
+                F.concat(renders, F.array(F.lit(""))),
+                lambda p, r: F.concat(p, r),
+            ),
+            "",
+        )
+
+    return F.get(F.transform(F.array(col), pre), 0)
+
+
+def html_to_markdown(
+    html: Column,
+    escape: bool = False,
+    pipe_tables: bool = False,
+    expand_spans: bool = False,
+) -> Column:
     """Markdown rendering of an HTML document — the representation
     modern pretraining corpora keep when structure matters (headings,
     lists, links, emphasis, code fences survive as text instead of
@@ -1304,6 +1403,15 @@ def html_to_markdown(html: Column, escape: bool = False) -> Column:
     bodies alternate with prose). Default off — the r11 render is
     unchanged.
 
+    ``pipe_tables=True`` (r13): each ``<table>`` renders as GFM pipe
+    rows (``| a | b |`` — header from row 0, ``---`` separator) via
+    the :func:`extract_tables` grid machinery instead of flattening
+    to paragraph text; cell-internal inline tags still render
+    (``**bold**`` inside a cell), source pipes escape as ``\\|``,
+    ``expand_spans`` composes (the colspan/rowspan grid feeds the
+    render). Default off — table tags stay mere block breaks, the
+    r12 render byte-identical.
+
     Documented no-DOM approximations: whitespace inside code fences
     collapses like any text (indentation is not preserved); nested
     same-name elements degrade at the first closing tag; with
@@ -1313,24 +1421,41 @@ def html_to_markdown(html: Column, escape: bool = False) -> Column:
     """
     if not escape:
         col = _strip_invisible(html)
+        if pipe_tables:
+            col = _md_pipe_pre(col, expand_spans)
         for pat, repl in _MD_RULES:
             col = F.regexp_replace(col, pat, repl)
         col = F.regexp_replace(col, _ANY_TAG_RE, "")
         col = _decode_entities(col)
-        return _collapse_ws(col)
-    return md_escaped_from_sentinels(md_render_sentinels(html))
+        col = _collapse_ws(col)
+        if pipe_tables:
+            col = F.replace(
+                col, F.lit(_MD_SENT_PIPE), F.lit("\\|")
+            )
+        return col
+    return md_escaped_from_sentinels(
+        md_render_sentinels(
+            html, pipe_tables=pipe_tables, expand_spans=expand_spans
+        )
+    )
 
 
-def md_render_sentinels(html: Column) -> Column:
-    """The shared sentinel-marked render: invisible-strip → the
-    escaped rewrite table → tag strip → entity decode, UNcollapsed
-    and with generated marks still as ``\\x02`` sentinels. Both
-    :func:`md_from_sentinels` (plain) and
-    :func:`md_escaped_from_sentinels` derive from this one value —
-    bind it behind a projection barrier when computing both renders
-    (the ``html_parts`` discipline) so the ~30-regex chain runs once
-    per document, not once per output column."""
+def md_render_sentinels(
+    html: Column,
+    pipe_tables: bool = False,
+    expand_spans: bool = False,
+) -> Column:
+    """The shared sentinel-marked render: invisible-strip → (r13,
+    ``pipe_tables``) the pipe-table pre-pass → the escaped rewrite
+    table → tag strip → entity decode, UNcollapsed and with generated
+    marks still as ``\\x02`` sentinels. Both :func:`md_from_sentinels`
+    (plain) and :func:`md_escaped_from_sentinels` derive from this
+    one value — bind it behind a projection barrier when computing
+    both renders (the ``html_parts`` discipline) so the ~30-regex
+    chain runs once per document, not once per output column."""
     col = _strip_invisible(html)
+    if pipe_tables:
+        col = _md_pipe_pre(col, expand_spans)
     for pat, repl in _md_rules_escaped():
         col = F.regexp_replace(col, pat, repl)
     col = F.regexp_replace(col, _ANY_TAG_RE, "")
@@ -1406,11 +1531,69 @@ def md_escaped_from_sentinels(col: Column) -> Column:
     )
 
 
-def html_to_markdown_sql(expr: str, escape: bool = False) -> str:
+def _md_pipe_pre_sql(e: str) -> str:
+    """DuckDB replay of :func:`_md_pipe_pre` (``expand_spans=False``
+    grids — the span expansion is engine-side only, like
+    :func:`extract_tables_sql`): same split/interleave, same cell
+    prep, same header/separator/row assembly, LET-bound through
+    single-element ``list_transform``."""
+    prep = (
+        f"trim(regexp_replace(replace(regexp_replace(c, "
+        f"'{_sq(_BLOCK_RE)}', ' ', 'g'), '|', chr(2)||'P'), "
+        f"'{_sq(_WS)}+', ' ', 'g'))"
+    )
+
+    def tail(pieces: str) -> str:
+        return f"list_slice({pieces}, 2, len({pieces}))"
+
+    cell_pieces = f"str_split_regex(r, '{_sq(_CELL_SPLIT_RE)}')"
+    row_pieces = f"str_split_regex(b, '{_sq(_TR_SPLIT_RE)}')"
+    cells = f"list_transform({tail(cell_pieces)}, c -> {prep})"
+    rows = (
+        f"list_filter(list_transform({tail(row_pieces)}, "
+        f"r -> {cells}), r -> len(r) > 0)"
+    )
+    hdr = "'| ' || array_to_string(rw[1], ' | ') || ' |'"
+    sep = (
+        "'| ' || array_to_string("
+        "list_transform(rw[1], x -> '---'), ' | ') || ' |'"
+    )
+    tails = (
+        "list_transform(list_slice(rw, 2, len(rw)), "
+        "r2 -> '| ' || array_to_string(r2, ' | ') || ' |')"
+    )
+    table_txt = (
+        f"CASE WHEN len(rw) > 0 THEN chr(10)||chr(10) || "
+        f"array_to_string(list_concat([{hdr}, {sep}], {tails}), "
+        f"chr(10)) || chr(10)||chr(10) "
+        f"ELSE chr(10)||chr(10) END"
+    )
+    render = f"(list_transform([{rows}], rw -> {table_txt})[1])"
+    pieces = f"str_split_regex(d, '{_sq(_TABLE_RE)}')"
+    renders = (
+        f"list_transform(regexp_extract_all(d, "
+        f"'{_sq(_TABLE_RE)}', 1), b -> {render})"
+    )
+    merged = (
+        f"array_to_string([ {pieces}[i] || "
+        f"list_concat({renders}, [''])[i] "
+        f"for i in range(1, len({pieces})+1) ], '')"
+    )
+    return f"(list_transform([{e}], d -> {merged})[1])"
+
+
+def html_to_markdown_sql(
+    expr: str, escape: bool = False, pipe_tables: bool = False
+) -> str:
     """DuckDB replay of :func:`html_to_markdown` — same rewrite table
     (emitted, not copied), RE2 ``\\N`` group syntax; ``escape=True``
-    mirrors the sentinel render + prose-only escape pass."""
+    mirrors the sentinel render + prose-only escape pass;
+    ``pipe_tables=True`` prepends the pipe-table pre-pass
+    (``expand_spans`` stays engine-side, as for
+    :func:`extract_tables_sql`)."""
     e = f"regexp_replace({expr}, '{_sq(_INVISIBLE_RE)}', ' ', 'g')"
+    if pipe_tables:
+        e = _md_pipe_pre_sql(e)
     rules = _md_rules_escaped() if escape else _MD_RULES
     for pat, repl in rules:
         r = repl.replace("$", "\\")
@@ -1418,7 +1601,10 @@ def html_to_markdown_sql(expr: str, escape: bool = False) -> str:
     e = f"regexp_replace({e}, '{_sq(_ANY_TAG_RE)}', '', 'g')"
     e = _decode_entities_sql(e)
     if not escape:
-        return _collapse_ws_sql(e)
+        plain = _collapse_ws_sql(e)
+        if pipe_tables:
+            plain = f"replace({plain}, chr(2)||'P', '\\|')"
+        return plain
 
     # escape mode: mirror the piece-wise assembly of
     # md_escaped_from_sentinels — prose pieces escape+swap+collapse,
