@@ -2378,6 +2378,179 @@ def _punkt_abbrevs_sql() -> str:
 """
 
 
+_PUNKT_CTX_TAIL = (
+    " We filed No. 5 and No. 7 again and then rested."
+    " Then we began. The dept. budget held. Then we slept."
+)
+
+
+def _q_punkt_context(spark, sf_dir):
+    # r13: Punkt stage 2 (functions/text.py train_sentence_
+    # collocations + train_sentence_starters — Kiss & Strunk 2006
+    # token-level heuristics): planted "No. 5" ordinals must flag as
+    # collocations (the period is NOT a boundary), planted "Then"
+    # openers as frequent sentence starters (a period BEFORE them IS
+    # a boundary even after the "dept" abbreviation, which the
+    # boundary proxy excludes), with the orthographic tallies
+    # (capitalized-at-boundary vs lowercase-internal) in the starter
+    # rows. One tagged union; DuckDB replays both Dunning LLRs
+    # closed-form. Generic count columns per kind: colloc =
+    # (n_pair, n_w1, n_w2, 0); starter = (n_start, n_total,
+    # n_cap_internal, n_low_internal).
+    from pandas_weights_spark.functions.text import (
+        train_sentence_collocations,
+        train_sentence_starters,
+    )
+
+    aug = _docs(spark, sf_dir).select(
+        F.concat(F.col("text"), F.lit(_PUNKT_CTX_TAIL)).alias("text")
+    )
+    co = (
+        train_sentence_collocations(aug, "text", max_pairs=1_000_000)
+        .where(F.col("n_pair") >= 20)
+        .select(
+            F.lit("colloc").alias("kind"),
+            "w1",
+            "w2",
+            F.col("n_pair").alias("c1"),
+            F.col("n_w1").alias("c2"),
+            F.col("n_w2").alias("c3"),
+            F.lit(0).cast("long").alias("c4"),
+            "score",
+            F.col("is_collocation").alias("flag"),
+        )
+    )
+    st = (
+        train_sentence_starters(
+            aug, "text", abbrevs=("dept",), max_starters=1_000_000
+        )
+        .where(F.col("n_start") >= 20)
+        .select(
+            F.lit("starter").alias("kind"),
+            F.lit("").alias("w1"),
+            F.col("starter").alias("w2"),
+            F.col("n_start").alias("c1"),
+            F.col("n_total").alias("c2"),
+            F.col("n_cap_internal").alias("c3"),
+            F.col("n_low_internal").alias("c4"),
+            "score",
+            F.col("is_starter").alias("flag"),
+        )
+    )
+    return co.unionByName(st)
+
+
+def _punkt_context_sql() -> str:
+    typ_a = "lower(regexp_replace(a, '[.!?]+$', ''))"
+    typ_b = "lower(regexp_replace(b, '[.!?]+$', ''))"
+    bnd = (
+        "(regexp_matches(a, '[.!?]$') AND NOT "
+        f"(a LIKE '%.' AND {typ_a} IN ('dept')))"
+    )
+
+    def llr(nab: str, na: str, nb: str) -> str:
+        # the engine's _dunning_col_llr, same clamps ([1e-9, 1-1e-9]
+        # probabilities, >=1 denominators), over doubles
+        def cl(x: str) -> str:
+            return f"least(greatest({x}, 1e-9), 1.0 - 1e-9)"
+
+        p = cl(f"{nb} / greatest(N, 1.0)")
+        p1 = cl(f"{nab} / greatest({na}, 1.0)")
+        p2 = cl(f"({nb} - {nab}) / greatest(N - {na}, 1.0)")
+        return (
+            f"(-2.0 * (({nab} * ln({p}) "
+            f"+ ({na} - {nab}) * ln(1.0 - {p})) "
+            f"+ (({nb} - {nab}) * ln({p}) "
+            f"+ (N - {na} - {nb} + {nab}) * ln(1.0 - {p})) "
+            f"- ({nab} * ln({p1}) "
+            f"+ ({na} - {nab}) * ln(1.0 - {p1})) "
+            f"- (({nb} - {nab}) * ln({p2}) "
+            f"+ (N - {na} - {nb} + {nab}) * ln(1.0 - {p2}))))"
+        )
+
+    co_llr = llr(
+        "CAST(n_pair AS DOUBLE)",
+        "CAST(n_w1 AS DOUBLE)",
+        "CAST(n_w2 AS DOUBLE)",
+    )
+    st_llr = llr(
+        "CAST(n_start AS DOUBLE)", "nb", "CAST(n_total AS DOUBLE)"
+    )
+    return f"""
+    WITH aug AS (
+      SELECT text || '{_PUNKT_CTX_TAIL}' AS text FROM documents
+    ), tok0 AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w FROM aug
+    ), tok AS (
+      SELECT unnest(w) AS x FROM tok0
+    ), tok2 AS (
+      SELECT x FROM tok WHERE length(x) > 0
+    ), totals AS (
+      SELECT CAST(count(*) AS DOUBLE) AS N FROM tok2
+    ), tcounts AS (
+      SELECT lower(regexp_replace(x, '[.!?]+$', '')) AS t,
+             CAST(count(*) AS BIGINT) AS n_t
+      FROM tok2
+      WHERE lower(regexp_replace(x, '[.!?]+$', '')) != ''
+      GROUP BY 1
+    ), pairsrc AS (
+      SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+      FROM tok0
+    ), pc AS (
+      SELECT {typ_a} AS w1, {typ_b} AS w2,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM pairsrc
+      WHERE a LIKE '%.' AND {typ_a} != '' AND {typ_b} != ''
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), co AS (
+      SELECT w1, w2, n_pair,
+             t1.n_t AS n_w1, t2.n_t AS n_w2, N
+      FROM pc
+      JOIN tcounts t1 ON t1.t = pc.w1
+      JOIN tcounts t2 ON t2.t = pc.w2
+      CROSS JOIN totals
+    ), pstsrc AS (
+      SELECT {typ_b} AS starter, {bnd} AS bnd,
+             regexp_matches(b, '^[A-Z]') AS cap,
+             regexp_matches(b, '^[a-z]') AS low
+      FROM pairsrc WHERE {typ_b} != ''
+    ), pst AS (
+      SELECT starter,
+             CAST(sum(CASE WHEN bnd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_start,
+             CAST(sum(CASE WHEN NOT bnd AND cap THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cap_internal,
+             CAST(sum(CASE WHEN NOT bnd AND low THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_low_internal
+      FROM pstsrc GROUP BY 1
+      HAVING sum(CASE WHEN bnd THEN 1 ELSE 0 END) >= 2
+    ), nbound AS (
+      SELECT CAST(sum(CASE WHEN bnd THEN 1 ELSE 0 END) AS DOUBLE)
+               AS nb
+      FROM pstsrc
+    ), st AS (
+      SELECT starter, n_start, n_cap_internal, n_low_internal,
+             t.n_t AS n_total, N, nb
+      FROM pst
+      JOIN tcounts t ON t.t = pst.starter
+      CROSS JOIN totals CROSS JOIN nbound
+    )
+    SELECT 'colloc' AS kind, w1, w2,
+           n_pair AS c1, n_w1 AS c2, n_w2 AS c3,
+           CAST(0 AS BIGINT) AS c4,
+           round({co_llr}, 6) + 0.0 AS score,
+           {co_llr} >= 7.88 AS flag
+    FROM co WHERE n_pair >= 20
+    UNION ALL
+    SELECT 'starter', '', starter,
+           n_start, n_total, n_cap_internal, n_low_internal,
+           round({st_llr}, 6) + 0.0,
+           {st_llr} >= 30.0
+    FROM st WHERE n_start >= 20
+"""
+
+
 def _q_neardup_incremental(spark, sf_dir):
     # r12: snapshot-incremental NEAR-dup (functions/dedup.py
     # minhash_dedup_incremental — the MinHash analog of the exact
@@ -6698,6 +6871,7 @@ def _minhash_join_sql(threshold: float = 0.4) -> str:
 _ORACLE["neardup_incremental"] = _neardup_incremental_sql()
 
 _ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
+_ORACLE["punkt_context"] = _punkt_context_sql()
 
 _ORACLE["phrase_hits"] = _phrase_hits_sql()
 
@@ -10964,6 +11138,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 
 #: queries ADDED in the current round (r13) — always in the window.
 _NEW_THIS_ROUND: tuple = (
+    "punkt_context",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11006,6 +11181,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable REGISTRATION order (r10 head, then r6-r9, then r1-r5);
     # the driver-facing order is computed by queries() above.
     return {
+        # --- r13 queries ---
+        "punkt_context": _q_punkt_context,
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,

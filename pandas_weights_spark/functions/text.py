@@ -61,6 +61,9 @@ __all__ = [
     "split_sentences",
     "train_sentence_abbreviations",
     "split_sentences_trained",
+    "train_sentence_collocations",
+    "train_sentence_starters",
+    "split_sentences_punkt",
     "ngram_counts",
     "ngram_lm_score",
     "mkn_discounts",
@@ -1811,6 +1814,374 @@ def split_sentences_trained(
     )
     col = F.regexp_replace(
         col, r"([.!?]+)[ \t\n\r\f]+", "$1" + _SENT_MARK
+    )
+    parts = F.split(col, _SENT_MARK)
+    parts = F.transform(
+        parts,
+        lambda s: F.trim(F.replace(s, F.lit(_SENT_PROT), F.lit("."))),
+    )
+    return F.filter(parts, lambda s: F.length(s) > 0)
+
+
+#: sentinel for a CONFIRMED sentence boundary (the stage-2 starter
+#: override) — restored as "." + the split mark after the generic
+#: mark pass, so the abbreviation-protect rule can't re-protect it
+_SENT_BOUND = "\x03"
+
+
+def _sent_type(w: Column) -> Column:
+    """Stage-2 token TYPE: lowercase, trailing sentence punctuation
+    stripped (``"Rules."`` and ``"rules"`` are one type). One
+    convention for every stage-2 count so pair, type, and starter
+    tallies compose."""
+    return F.lower(F.regexp_replace(w, r"[.!?]+$", ""))
+
+
+def _sent_pairs(df: DataFrame, text_col: str) -> DataFrame:
+    """Adjacent-token pairs ``(a, b)`` of every document — the unit
+    both stage-2 aggregates consume. Row-local shifted-slice zip
+    (the :func:`word_ngrams` shape — no per-element allocation),
+    then ONE explode; no shuffle until the caller aggregates."""
+    t = tokens(F.col(text_col))
+    m = F.size(t) - 1
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return df.select(F.explode(pairs).alias("__p__")).select(
+        F.col("__p__.a").alias("a"), F.col("__p__.b").alias("b")
+    )
+
+
+def _dunning_col_llr(n_ab, n_a, n_b, n_tot) -> Column:
+    """Dunning (1993) log-likelihood of DEPENDENCE between two
+    events — the Kiss & Strunk 2006 token-stage statistic (the NLTK
+    ``_col_log_likelihood`` formulation): H0 "b occurs after a at
+    b's base rate" vs H1 "b occurs after a at rate n_ab/n_a".
+    Positive and large when the pair co-occurs far above chance.
+    All probabilities clamp to [1e-9, 1-1e-9] and denominators to
+    ≥1, so the expression is TOTAL (no NULL/NaN/∞ paths) and the
+    DuckDB replay is bit-exact. Inputs are double Columns."""
+    eps = 1e-9
+
+    def cl(x: Column) -> Column:
+        return F.least(
+            F.greatest(x, F.lit(eps)), F.lit(1.0 - eps)
+        )
+
+    p = cl(n_b / F.greatest(n_tot, F.lit(1.0)))
+    p1 = cl(n_ab / F.greatest(n_a, F.lit(1.0)))
+    p2 = cl(
+        (n_b - n_ab) / F.greatest(n_tot - n_a, F.lit(1.0))
+    )
+    s1 = n_ab * F.log(p) + (n_a - n_ab) * F.log(F.lit(1.0) - p)
+    s2 = n_ab * F.log(p1) + (n_a - n_ab) * F.log(F.lit(1.0) - p1)
+    s3 = (n_b - n_ab) * F.log(p) + (
+        n_tot - n_a - n_b + n_ab
+    ) * F.log(F.lit(1.0) - p)
+    s4 = (n_b - n_ab) * F.log(p2) + (
+        n_tot - n_a - n_b + n_ab
+    ) * F.log(F.lit(1.0) - p2)
+    return F.lit(-2.0) * (s1 + s3 - s2 - s4)
+
+
+def train_sentence_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_pair_count: int = 2,
+    threshold: float = 7.88,
+    max_pairs: int = 1000,
+) -> DataFrame:
+    """Punkt stage-2 COLLOCATION training (Kiss & Strunk 2006 §4.1.2,
+    the NLTK token-classification heuristic): learn (w1, w2) pairs
+    where a period-final ``w1`` is followed by ``w2`` far more often
+    than chance — evidence the period is NOT a sentence boundary
+    ("No. 5", "Art. 12", "p. 44"), the ordinal/citation shape the
+    type-level stage can't see.
+
+    For each adjacent pair with period-final ``w1`` (surface form)
+    seen ≥ ``min_pair_count`` times: ``score`` = Dunning dependence
+    LLR of (type(w1), type(w2)) — ``n_pair`` joint vs ``n_w1`` /
+    ``n_w2`` type totals over ``N`` tokens — and ``is_collocation =
+    score ≥ threshold`` (7.88 = the paper's χ²₁ p=.005 cutoff, the
+    NLTK constant). Types are :func:`_sent_type` forms.
+
+    Shape: one pair explode + one (w1,w2) aggregate, one token
+    explode + one type aggregate (both map-side combined), two
+    type-keyed joins of the FILTERED pair table, a 1-row totals
+    broadcast. Output capped at ``max_pairs`` (score desc, w1, w2):
+    ``(w1, w2, n_pair, n_w1, n_w2, score, is_collocation)`` —
+    model-sized, feed the flagged pairs to
+    :func:`split_sentences_punkt`."""
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__w__")
+    ).where(F.length("__w__") > 0)
+    totals = toks.agg(F.count(F.lit(1)).cast("double").alias("__N__"))
+    tcounts = (
+        toks.select(_sent_type(F.col("__w__")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    pc = (
+        _sent_pairs(df, text_col)
+        .where(
+            F.col("a").endswith(".")
+            & (_sent_type(F.col("a")) != "")
+            & (_sent_type(F.col("b")) != "")
+        )
+        .select(
+            _sent_type(F.col("a")).alias("w1"),
+            _sent_type(F.col("b")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= F.lit(int(min_pair_count)))
+    )
+    joined = (
+        pc.join(
+            tcounts.select(
+                F.col("t").alias("w1"), F.col("n_t").alias("n_w1")
+            ),
+            "w1",
+        )
+        .join(
+            tcounts.select(
+                F.col("t").alias("w2"), F.col("n_t").alias("n_w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    score = _dunning_col_llr(
+        F.col("n_pair").cast("double"),
+        F.col("n_w1").cast("double"),
+        F.col("n_w2").cast("double"),
+        F.col("__N__"),
+    )
+    out = joined.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
+        (score >= F.lit(float(threshold))).alias("is_collocation"),
+    )
+    return out.orderBy(
+        F.col("score").desc(), "w1", "w2"
+    ).limit(int(max_pairs))
+
+
+def train_sentence_starters(
+    df: DataFrame,
+    text_col: str,
+    abbrevs: "Sequence[str]" = (),
+    min_count: int = 2,
+    threshold: float = 30.0,
+    max_starters: int = 1000,
+) -> DataFrame:
+    """Punkt stage-2 FREQUENT-SENTENCE-STARTER training (Kiss &
+    Strunk 2006 §4.1.3 / NLTK ``sent_starters``): learn the types
+    that open sentences far above chance ("The", "We", "However") —
+    evidence a period BEFORE them IS a boundary even after a trained
+    abbreviation. Boundary proxy (documented): an adjacent pair
+    whose ``a`` ends in ``.!?`` and, for a period, whose type is not
+    in ``abbrevs`` (pass stage 1's flagged types). ``score`` =
+    Dunning LLR of type(b) starting at boundaries (``n_start`` of
+    ``n_bound`` boundary events) vs its base rate (``n_total`` of
+    ``N`` tokens); ``is_starter = score ≥ threshold`` (30.0, the
+    NLTK constant) — plus ORTHOGRAPHIC evidence for the splitter:
+    ``n_cap_internal`` / ``n_low_internal`` count how the type
+    capitalizes in non-boundary positions (ASCII classes), so a
+    caller can demand "capitalized here, lowercase internally"
+    before overriding an abbreviation.
+
+    Same scan shape as :func:`train_sentence_collocations` (the pair
+    explode feeds boundary, starter, AND ortho tallies in one
+    aggregate pass). Output capped at ``max_starters`` (score desc,
+    starter): ``(starter, n_start, n_total, n_cap_internal,
+    n_low_internal, score, is_starter)``."""
+    ab = {str(a).lower() for a in abbrevs if a}
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__w__")
+    ).where(F.length("__w__") > 0)
+    totals = toks.agg(F.count(F.lit(1)).cast("double").alias("__N__"))
+    tcounts = (
+        toks.select(_sent_type(F.col("__w__")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    a_typ = _sent_type(F.col("a"))
+    boundary = F.col("a").rlike(r"[.!?]$") & ~(
+        F.col("a").endswith(".")
+        & (
+            a_typ.isin(sorted(ab))
+            if ab
+            else F.lit(False)
+        )
+    )
+    pairs = _sent_pairs(df, text_col).select(
+        boundary.alias("__bnd__"),
+        _sent_type(F.col("b")).alias("starter"),
+        F.col("b").rlike("^[A-Z]").alias("__cap__"),
+        F.col("b").rlike("^[a-z]").alias("__low__"),
+    ).where(F.col("starter") != "")
+    # ONE aggregate carries boundary-start, internal-cap and
+    # internal-lower tallies per type; the boundary-event total
+    # reduces from the same pass
+    per_type = pairs.groupBy("starter").agg(
+        F.sum(F.when(F.col("__bnd__"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_start"),
+        F.sum(
+            F.when(~F.col("__bnd__") & F.col("__cap__"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cap_internal"),
+        F.sum(
+            F.when(~F.col("__bnd__") & F.col("__low__"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_internal"),
+    )
+    n_bound = pairs.agg(
+        F.sum(F.when(F.col("__bnd__"), 1).otherwise(0))
+        .cast("double")
+        .alias("__nb__")
+    )
+    joined = (
+        per_type.where(F.col("n_start") >= F.lit(int(min_count)))
+        .join(
+            tcounts.select(
+                F.col("t").alias("starter"), "n_total"
+            ),
+            "starter",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bound))
+    )
+    score = _dunning_col_llr(
+        F.col("n_start").cast("double"),
+        F.col("__nb__"),
+        F.col("n_total").cast("double"),
+        F.col("__N__"),
+    )
+    out = joined.select(
+        "starter",
+        "n_start",
+        "n_total",
+        "n_cap_internal",
+        "n_low_internal",
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
+        (score >= F.lit(float(threshold))).alias("is_starter"),
+    )
+    return out.orderBy(
+        F.col("score").desc(), "starter"
+    ).limit(int(max_starters))
+
+
+def split_sentences_punkt(
+    text: Column,
+    abbrevs: "Sequence[str]",
+    collocations: "Sequence[tuple[str, str]]" = (),
+    starters: "Sequence[str]" = (),
+) -> Column:
+    """:func:`split_sentences_trained` + the Kiss & Strunk TOKEN
+    stage: collocation pairs and frequent sentence starters (both
+    trained — :func:`train_sentence_collocations` /
+    :func:`train_sentence_starters`, flagged rows collected
+    model-sized) disambiguate individual periods the type list gets
+    wrong. Decision order per candidate period (the NLTK order):
+
+    1. ``w1. w2`` with (w1, w2) a learned collocation → NEVER a
+       boundary ("No. 5" stays one sentence even though "no" can't
+       be a type-level abbreviation — it's a common bare word);
+    2. a trained abbreviation followed by a CAPITALIZED learned
+       starter → ALWAYS a boundary (orthographic + starter evidence
+       overrides the protect: "… etc. The next day …" splits);
+    3. otherwise stage 1: trained abbreviations and single-capital
+       initials protect, ``[.!?]+`` + whitespace splits.
+
+    The override consumes the period into the :data:`_SENT_BOUND`
+    sentinel BEFORE the protect pass (no lookaround — but this
+    splitter is Java-side only; the TRAINERS are what the oracle
+    replays). Case: collocations/starters are lowercase types;
+    the starter match demands an uppercase first letter (the
+    orthographic gate), collocations match case-insensitively."""
+    import re as _re
+
+    col = text
+    by_w1: "dict[str, list[str]]" = {}
+    for w1, w2 in collocations:
+        if w1 and w2:
+            by_w1.setdefault(str(w1).lower(), []).append(
+                str(w2).lower()
+            )
+    for w1 in sorted(by_w1):
+        alt2 = "|".join(
+            sorted(
+                (_re.escape(w) for w in set(by_w1[w1])),
+                key=len,
+                reverse=True,
+            )
+        )
+        col = F.regexp_replace(
+            col,
+            f"(?i)\\b({_re.escape(w1)})\\."
+            f"([ \\t\\n\\r\\f]+)({alt2})\\b",
+            "$1" + _SENT_PROT + "$2$3",
+        )
+    types = [str(a).lower() for a in abbrevs if a]
+    sts = sorted({str(s).lower() for s in starters if s})
+    if types and sts:
+        aalt = "|".join(
+            sorted(
+                (_re.escape(a) for a in set(types)),
+                key=len,
+                reverse=True,
+            )
+        )
+        salt = "|".join(
+            sorted(
+                (
+                    _re.escape(s[0].upper())
+                    + (f"(?i:{_re.escape(s[1:])})" if len(s) > 1 else "")
+                    for s in sts
+                ),
+                key=len,
+                reverse=True,
+            )
+        )
+        col = F.regexp_replace(
+            col,
+            f"\\b(?i:({aalt}))\\.[ \\t\\n\\r\\f]+({salt})\\b",
+            "$1" + _SENT_BOUND + "$2",
+        )
+    if types:
+        aalt = "|".join(
+            sorted(
+                (_re.escape(a) for a in set(types)),
+                key=len,
+                reverse=True,
+            )
+        )
+        col = F.regexp_replace(
+            col, f"(?i)\\b({aalt})\\.", "$1" + _SENT_PROT
+        )
+    col = F.regexp_replace(
+        col, r"\b([A-Z])\.", "$1" + _SENT_PROT
+    )
+    col = F.regexp_replace(
+        col, r"([.!?]+)[ \t\n\r\f]+", "$1" + _SENT_MARK
+    )
+    col = F.replace(
+        col, F.lit(_SENT_BOUND), F.lit("." + _SENT_MARK)
     )
     parts = F.split(col, _SENT_MARK)
     parts = F.transform(

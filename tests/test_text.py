@@ -2316,6 +2316,237 @@ class TestPunktAbbreviations:
         }
         assert got == expect and expect
 
+    def test_stage2_collocations_differential(self, spark):
+        # pure-Python replay of train_sentence_collocations (Kiss &
+        # Strunk token stage, Dunning dependence LLR) on a corpus
+        # with a planted "No. 5" ordinal pattern
+        import math
+        import re
+        from collections import Counter
+
+        from pandas_weights_spark.functions.text import (
+            train_sentence_collocations,
+        )
+
+        rows = self._corpus2(spark).collect()
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        typ = lambda w: re.sub(r"[.!?]+$", "", w).lower()
+        docs = [
+            [w for w in ws.split(r["text"].strip(" ")) if w]
+            for r in rows
+        ]
+        toks = [w for d in docs for w in d]
+        N = float(len(toks))
+        tc = Counter(typ(w) for w in toks if typ(w))
+        pairs = Counter()
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                if a.endswith(".") and typ(a) and typ(b):
+                    pairs[(typ(a), typ(b))] += 1
+
+        def cl(x):
+            return min(max(x, 1e-9), 1.0 - 1e-9)
+
+        def llr(nab, na, nb, n):
+            p = cl(nb / max(n, 1.0))
+            p1 = cl(nab / max(na, 1.0))
+            p2 = cl((nb - nab) / max(n - na, 1.0))
+            s1 = nab * math.log(p) + (na - nab) * math.log(1.0 - p)
+            s2 = nab * math.log(p1) + (na - nab) * math.log(1.0 - p1)
+            s3 = (nb - nab) * math.log(p) + (
+                n - na - nb + nab
+            ) * math.log(1.0 - p)
+            s4 = (nb - nab) * math.log(p2) + (
+                n - na - nb + nab
+            ) * math.log(1.0 - p2)
+            return -2.0 * (s1 + s3 - s2 - s4)
+
+        expect = {}
+        for (w1, w2), nab in pairs.items():
+            if nab < 2:
+                continue
+            s = llr(float(nab), float(tc[w1]), float(tc[w2]), N)
+            expect[(w1, w2)] = (
+                nab, tc[w1], tc[w2], round(s, 6) + 0.0, s >= 7.88
+            )
+        got = {
+            (r["w1"], r["w2"]): (
+                r["n_pair"], r["n_w1"], r["n_w2"], r["score"],
+                r["is_collocation"],
+            )
+            for r in train_sentence_collocations(
+                self._corpus2(spark), "text", max_pairs=1_000_000
+            ).collect()
+        }
+        assert got == expect and expect
+        assert got[("no", "5")][4] is True
+
+    def test_stage2_starters_differential(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from pandas_weights_spark.functions.text import (
+            train_sentence_starters,
+        )
+
+        ab = ("dept",)
+        rows = self._corpus2(spark).collect()
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        typ = lambda w: re.sub(r"[.!?]+$", "", w).lower()
+        docs = [
+            [w for w in ws.split(r["text"].strip(" ")) if w]
+            for r in rows
+        ]
+        toks = [w for d in docs for w in d]
+        N = float(len(toks))
+        tc = Counter(typ(w) for w in toks if typ(w))
+        st, cap, low = Counter(), Counter(), Counter()
+        nb = 0
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                if not typ(b):
+                    continue
+                bnd = bool(re.search(r"[.!?]$", a)) and not (
+                    a.endswith(".") and typ(a) in ab
+                )
+                if bnd:
+                    nb += 1
+                    st[typ(b)] += 1
+                else:
+                    if re.match(r"^[A-Z]", b):
+                        cap[typ(b)] += 1
+                    if re.match(r"^[a-z]", b):
+                        low[typ(b)] += 1
+
+        def cl(x):
+            return min(max(x, 1e-9), 1.0 - 1e-9)
+
+        def llr(nab, na, nb_, n):
+            p = cl(nb_ / max(n, 1.0))
+            p1 = cl(nab / max(na, 1.0))
+            p2 = cl((nb_ - nab) / max(n - na, 1.0))
+            s1 = nab * math.log(p) + (na - nab) * math.log(1.0 - p)
+            s2 = nab * math.log(p1) + (na - nab) * math.log(1.0 - p1)
+            s3 = (nb_ - nab) * math.log(p) + (
+                n - na - nb_ + nab
+            ) * math.log(1.0 - p)
+            s4 = (nb_ - nab) * math.log(p2) + (
+                n - na - nb_ + nab
+            ) * math.log(1.0 - p2)
+            return -2.0 * (s1 + s3 - s2 - s4)
+
+        expect = {}
+        for w, ns in st.items():
+            if ns < 2:
+                continue
+            s = llr(float(ns), float(nb), float(tc[w]), N)
+            expect[w] = (
+                ns, tc[w], cap[w], low[w],
+                round(s, 6) + 0.0, s >= 30.0,
+            )
+        got = {
+            r["starter"]: (
+                r["n_start"], r["n_total"], r["n_cap_internal"],
+                r["n_low_internal"], r["score"], r["is_starter"],
+            )
+            for r in train_sentence_starters(
+                self._corpus2(spark), "text", abbrevs=ab,
+                max_starters=1_000_000,
+            ).collect()
+        }
+        assert got == expect and expect
+        # "then" opens sentences constantly and is lowercase
+        # internally — flagged, with the ortho counts to prove it
+        assert got["then"][5] is True
+        assert got["then"][3] > 0
+
+    def _corpus2(self, spark):
+        # stage-2 fixture: "No. 5" ordinals (collocation), "Then"
+        # sentence openers (starter; also appears lowercase
+        # internally for the ortho tallies), a dept. abbreviation
+        # (boundary exclusion via abbrevs), plus the stage-1 filler
+        rows = [
+            (
+                k,
+                f"{self.FILLER}. We filed No. 5 and No. 7 again"
+                " and then rested. Then we began anew. The dept."
+                " budget held. Then we slept. He said no to the"
+                f" plan. Then came rain. {self.FILLER}.",
+            )
+            for k in range(8)
+        ]
+        return spark.createDataFrame(rows, "i long, text string")
+
+    def test_punkt_splitter_token_stage(self, spark):
+        from pandas_weights_spark.functions.text import (
+            split_sentences_punkt,
+            split_sentences_trained,
+        )
+
+        t = spark.createDataFrame(
+            [(
+                "He saw No. 5 today. Ask the dept. Then we left."
+                " The dept. budget rose. the dept. then it broke.",
+            )],
+            ["text"],
+        )
+        kw = dict(
+            abbrevs=["dept"],
+            collocations=[("no", "5")],
+            starters=["then"],
+        )
+        got = t.select(
+            split_sentences_punkt(F.col("text"), **kw).alias("s")
+        ).first()["s"]
+        assert got == [
+            # collocation: "No. 5" never splits
+            "He saw No. 5 today.",
+            # starter override: capitalized "Then" after the trained
+            # abbreviation IS a boundary
+            "Ask the dept.",
+            "Then we left.",
+            # no starter after "dept." -> abbreviation protects
+            "The dept. budget rose.",
+            # lowercase "then" fails the orthographic gate
+            "the dept. then it broke.",
+        ]
+        # stage 1 alone gets the middle case wrong (one sentence)
+        base = t.select(
+            split_sentences_trained(
+                F.col("text"), ["dept"]
+            ).alias("s")
+        ).first()["s"]
+        assert "Ask the dept. Then we left." in base
+        # and splits the ordinal
+        assert "He saw No." in base
+
+    def test_punkt_splitter_degenerate_models(self, spark):
+        # empty collocations/starters degrade EXACTLY to the trained
+        # splitter; empty abbrevs disable the override path
+        from pandas_weights_spark.functions.text import (
+            split_sentences_punkt,
+            split_sentences_trained,
+        )
+
+        t = spark.createDataFrame(
+            [("Dr. X left. The dept. budget rose. No. 5 ran.",)],
+            ["text"],
+        )
+        a = t.select(
+            split_sentences_punkt(F.col("text"), ["dept"]).alias("s")
+        ).first()["s"]
+        b = t.select(
+            split_sentences_trained(F.col("text"), ["dept"]).alias("s")
+        ).first()["s"]
+        assert a == b
+        c = t.select(
+            split_sentences_punkt(
+                F.col("text"), [], starters=["the"]
+            ).alias("s")
+        ).first()["s"]
+        assert "The dept." in " ".join(c)
+
     def test_trained_splitter_protects_learned_types(self, spark):
         from pandas_weights_spark.functions.text import (
             split_sentences,
