@@ -2551,6 +2551,113 @@ def _punkt_context_sql() -> str:
 """
 
 
+def _q_semdedup_incremental(spark, sf_dir):
+    # r13: snapshot-incremental SEMANTIC dedup (functions/dedup.py
+    # semantic_dedup_incremental — the embedding analog of
+    # neardup_incremental): two crawl batches through the stateful
+    # kernel in one query, pinned via the semdedup explicit-centroid
+    # trick (one centroid → every vector in cell 0, so the cell-local
+    # verify degenerates to the exact brute cosine DuckDB replays).
+    # Batch 1 plants in-batch scaled copies (+10000, ×1.5 — cosine
+    # exactly 1, higher id loses); batch 2 plants near-dups OF
+    # HISTORY (+20000, ×2.0 copies of batch-1 docs including ones
+    # whose twin LOST — losers stay in state) and exact re-crawls
+    # (+30000) that must suppress. Output: (batch, vec_id) survivors.
+    from pandas_weights_spark.functions.dedup import (
+        semantic_dedup_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def scaled(lo, hi, off, k):
+        return base.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform("v", lambda x: x * F.lit(k)).alias("v"),
+        )
+
+    b1 = base.where(F.col("vec_id") < 150).unionByName(
+        scaled(0, 30, 10000, 1.5)
+    )
+    b2 = (
+        base.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 300))
+        .unionByName(scaled(0, 30, 20000, 2.0))
+        .unionByName(scaled(30, 60, 30000, 1.0))
+    )
+    cents = [[1.0] * 64]
+    s1, st1 = semantic_dedup_incremental(
+        b1, "v", "vec_id", centroids=cents, threshold=0.9
+    )
+    s2, _st2 = semantic_dedup_incremental(
+        b2, "v", "vec_id", centroids=cents, state=st1, threshold=0.9
+    )
+    return (
+        s1.select(F.lit(1).alias("batch"), "vec_id")
+        .unionByName(s2.select(F.lit(2).alias("batch"), "vec_id"))
+        .select(
+            F.col("batch").cast("long").alias("batch"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+    )
+
+
+def _semdedup_incremental_sql() -> str:
+    # closed-form two-stage replay: with ONE cell, state after batch
+    # 1 is EVERY b1 doc (losers included) and every verify is a plain
+    # cosine join; 6-dp round-then-threshold mirrors the engine rule
+    cos = "round(list_cosine_similarity({a}.v, {b}.v), 6) >= 0.9"
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), b1 AS (
+      SELECT vec_id, v FROM e0 WHERE vec_id < 150
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(v, x -> x * 1.5)
+      FROM e0 WHERE vec_id < 30
+    ), b2 AS (
+      SELECT vec_id, v FROM e0
+      WHERE vec_id >= 150 AND vec_id < 300
+      UNION ALL
+      SELECT vec_id + 20000, list_transform(v, x -> x * 2.0)
+      FROM e0 WHERE vec_id < 30
+      UNION ALL
+      SELECT vec_id + 30000, list_transform(v, x -> x * 1.0)
+      FROM e0 WHERE vec_id >= 30 AND vec_id < 60
+    ), losers1 AS (
+      SELECT DISTINCT b.vec_id
+      FROM b1 a JOIN b1 b ON a.vec_id < b.vec_id
+      WHERE {cos.format(a='a', b='b')}
+    ), surv1 AS (
+      SELECT vec_id FROM b1
+      WHERE vec_id NOT IN (SELECT vec_id FROM losers1)
+    ), histdups AS (
+      SELECT DISTINCT n.vec_id
+      FROM b2 n JOIN b1 o ON {cos.format(a='n', b='o')}
+    ), fresh2 AS (
+      SELECT vec_id FROM b2
+      WHERE vec_id NOT IN (SELECT vec_id FROM histdups)
+    ), losers2 AS (
+      SELECT DISTINCT b.vec_id
+      FROM b2 a JOIN b2 b ON a.vec_id < b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM fresh2)
+        AND b.vec_id IN (SELECT vec_id FROM fresh2)
+        AND {cos.format(a='a', b='b')}
+    )
+    SELECT CAST(1 AS BIGINT) AS batch, CAST(vec_id AS BIGINT) AS vec_id
+    FROM surv1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(vec_id AS BIGINT) FROM fresh2
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers2)
+"""
+
+
 def _q_neardup_incremental(spark, sf_dir):
     # r12: snapshot-incremental NEAR-dup (functions/dedup.py
     # minhash_dedup_incremental — the MinHash analog of the exact
@@ -6872,6 +6979,7 @@ _ORACLE["neardup_incremental"] = _neardup_incremental_sql()
 
 _ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
 _ORACLE["punkt_context"] = _punkt_context_sql()
+_ORACLE["semdedup_incremental"] = _semdedup_incremental_sql()
 
 _ORACLE["phrase_hits"] = _phrase_hits_sql()
 
@@ -11139,6 +11247,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 #: queries ADDED in the current round (r13) — always in the window.
 _NEW_THIS_ROUND: tuple = (
     "punkt_context",
+    "semdedup_incremental",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11183,6 +11292,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r13 queries ---
         "punkt_context": _q_punkt_context,
+        "semdedup_incremental": _q_semdedup_incremental,
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,

@@ -1126,6 +1126,107 @@ class TestMinhashDedupIncremental:
         )
         assert s2_t.count() == 0
 
+    def test_semantic_three_snapshot_lifecycle(self, spark):
+        # r13: the embedding analog — drop vs history cell-locally,
+        # state accumulates (losers included), re-crawls suppressed,
+        # explicit centroids shared across snapshots
+        import math
+
+        from pandas_weights_spark.functions.dedup import (
+            semantic_dedup_incremental,
+        )
+
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        kw = dict(centroids=cents, threshold=0.9)
+
+        def run(rows, state=None):
+            df = spark.createDataFrame(
+                rows, "vid long, v array<double>"
+            )
+            return semantic_dedup_incremental(
+                df, "v", "vid", state=state, **kw
+            )
+
+        c10 = [math.cos(math.radians(10)), math.sin(math.radians(10))]
+        c35 = [math.cos(math.radians(35)), math.sin(math.radians(35))]
+        # snapshot 1: 2 loses to 1 (cos 10° ≈ .985 ≥ .9, min-id);
+        # 3 is orthogonal (cell 1), survives
+        s1, st1 = run([(1, [1.0, 0.0]), (2, c10), (3, [0.0, 1.0])])
+        assert {r["vid"] for r in s1.collect()} == {1, 3}
+        assert {r["vid"] for r in st1.collect()} == {1, 2, 3}
+
+        # snapshot 2: 10 (35°, still cell 0) matches ONLY the
+        # batch-1 LOSER (cos vs 2 = cos 25° ≈ .906 ≥ .9, vs 1 =
+        # cos 35° ≈ .819 < .9) -> drops, proving losers stay in
+        # state; 11 is novel (cell 1, anti-parallel cos -1)
+        s2, st2 = run([(10, c35), (11, [0.0, -2.0])], state=st1)
+        assert {r["vid"] for r in s2.collect()} == {11}
+        assert {r["vid"] for r in st2.collect()} == {1, 2, 3, 10, 11}
+
+        # snapshot 3: scaled re-crawl of 1 suppressed by history;
+        # NULL vector passes through untouched and never enters state
+        s3, st3 = run([(20, [5.0, 0.0]), (21, None)], state=st2)
+        assert {r["vid"] for r in s3.collect()} == {21}
+        assert {r["vid"] for r in st3.collect()} == {
+            1, 2, 3, 10, 11, 20,
+        }
+
+    def test_semantic_state_schema_and_id_collision(self, spark):
+        from pandas_weights_spark.functions.dedup import (
+            semantic_dedup_incremental,
+        )
+
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        df1 = spark.createDataFrame(
+            [(1, [3.0, 0.0])], "vid long, v array<double>"
+        )
+        _, st1 = semantic_dedup_incremental(
+            df1, "v", "vid", centroids=cents
+        )
+        assert st1.columns == ["vid", "cell", "v", "norm"]
+        row = st1.first()
+        assert row["cell"] == 0 and row["norm"] == 3.0
+        # re-crawl of the same id with CHANGED vector: state keeps
+        # the original (deterministic), one row per id
+        df2 = spark.createDataFrame(
+            [(1, [0.0, 7.0])], "vid long, v array<double>"
+        )
+        _, st2 = semantic_dedup_incremental(
+            df2, "v", "vid", centroids=cents, state=st1
+        )
+        rows = st2.collect()
+        assert len(rows) == 1 and rows[0]["v"] == [3.0, 0.0]
+
+    def test_semantic_arrow_assignment_parity(self, spark):
+        # arrow=True (batched-matmul assignment) must reach the same
+        # survivor set and state cells as the JVM argmax
+        import math
+
+        from pandas_weights_spark.functions.dedup import (
+            semantic_dedup_incremental,
+        )
+
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [math.cos(0.4), math.sin(0.4)]),
+            (3, [0.0, 1.0]),
+            (4, [2.0, 0.1]),
+        ]
+        df = spark.createDataFrame(rows, "vid long, v array<double>")
+        s_j, st_j = semantic_dedup_incremental(
+            df, "v", "vid", centroids=cents, threshold=0.9
+        )
+        s_a, st_a = semantic_dedup_incremental(
+            df, "v", "vid", centroids=cents, threshold=0.9, arrow=True
+        )
+        assert {r["vid"] for r in s_a.collect()} == {
+            r["vid"] for r in s_j.collect()
+        }
+        assert {
+            (r["vid"], r["cell"]) for r in st_a.collect()
+        } == {(r["vid"], r["cell"]) for r in st_j.collect()}
+
     def test_digest_state_signatures_match_standalone(self, spark):
         # the fused explode+agg must produce BIT-EQUAL signatures to
         # minhash_signatures_agg (the oracle-checked formulation)
