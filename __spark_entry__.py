@@ -2551,6 +2551,20 @@ def _punkt_context_sql() -> str:
 """
 
 
+def _q_class_tfidf(spark, sf_dir):
+    # r13: c-TF-IDF (functions/text.py class_tfidf — Grootendorst
+    # 2022, the BERTopic class-based TF-IDF): top-15 DISTINCTIVE
+    # terms per `source` class over the documents corpus — the
+    # domain-signature report. Closed-form: tokenize, (class, term)
+    # counts, term totals, the 1-row average-tokens-per-class A,
+    # score = tf * ln(1 + A/f), round-6, per-class row_number by
+    # (score desc, term) — every step replays verbatim in DuckDB.
+    from pandas_weights_spark.functions.text import class_tfidf
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    return class_tfidf(docs, "text", "source", k=15)
+
+
 def _q_semdedup_incremental(spark, sf_dir):
     # r13: snapshot-incremental SEMANTIC dedup (functions/dedup.py
     # semantic_dedup_incremental — the embedding analog of
@@ -6980,6 +6994,39 @@ _ORACLE["neardup_incremental"] = _neardup_incremental_sql()
 _ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
 _ORACLE["punkt_context"] = _punkt_context_sql()
 _ORACLE["semdedup_incremental"] = _semdedup_incremental_sql()
+_ORACLE["class_tfidf"] = """
+    WITH tok AS (
+      SELECT source AS c,
+             unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT c, term FROM tok WHERE term != ''
+    ), tf AS (
+      SELECT c, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 GROUP BY 1, 2
+    ), ft AS (
+      SELECT term, CAST(sum(tf) AS DOUBLE) AS ft
+      FROM tf GROUP BY 1
+    ), a AS (
+      SELECT CAST(sum(tf) AS DOUBLE)
+             / CAST(count(DISTINCT c) AS DOUBLE) AS A
+      FROM tf
+    ), scored AS (
+      SELECT c, tf.term, tf.tf,
+             round(CAST(tf.tf AS DOUBLE) * ln(1.0 + A / ft.ft), 6)
+               AS score
+      FROM tf JOIN ft ON ft.term = tf.term CROSS JOIN a
+    ), ranked AS (
+      SELECT c, term, tf, score,
+             row_number() OVER (
+               PARTITION BY c ORDER BY score DESC, term
+             ) AS rank
+      FROM scored
+    )
+    SELECT c AS source, term, tf, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 15
+"""
 
 _ORACLE["phrase_hits"] = _phrase_hits_sql()
 
@@ -11248,6 +11295,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 _NEW_THIS_ROUND: tuple = (
     "punkt_context",
     "semdedup_incremental",
+    "class_tfidf",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11293,6 +11341,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r13 queries ---
         "punkt_context": _q_punkt_context,
         "semdedup_incremental": _q_semdedup_incremental,
+        "class_tfidf": _q_class_tfidf,
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,

@@ -133,6 +133,9 @@ HEADLINE = [
     "punkt_abbrevs",       # trained sentence-abbreviation model (r12)
     "phrase_hits",         # multi-phrase blocklist matching (r12)
     "zipf_stats",          # Zipf head slope + type/token/hapax (r12)
+    "punkt_context",       # punkt stage-2 collocation/starter LLRs (r13)
+    "semdedup_incremental",  # snapshot-incremental semantic dedup (r13)
+    "class_tfidf",         # c-TF-IDF per-class distinctive terms (r13)
 ]
 
 
@@ -954,14 +957,22 @@ def main() -> int:
     # a noisy run) and best-of-N under-reports steady-state cost; the
     # median of three measurements is robust to one outlier in either
     # direction, so round-over-round comparisons stop chasing noise.
+    # r13 (VERDICT r12 item 6): per-entry SPREAD (max - min of the
+    # three samples) rides along in the JSON so a host-wave-inflated
+    # entry is visibly noisy in the recorded artifact — a reader
+    # comparing rounds can discount entries whose spread rivals their
+    # median instead of chasing phantom regressions.
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[1], 4)
+        samples.sort()
+        times[name] = round(samples[1], 4)
+        spread[name] = round(samples[-1] - samples[0], 4)
 
     total = round(sum(times.values()), 4)
     print(
@@ -971,6 +982,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -1302,7 +1302,15 @@ def lsh_tuning(
 
     Driver-side arithmetic over ≤ num_hashes factorizations — feed the
     result straight into ``minhash_near_duplicates(bands=b)`` (which
-    requires ``bands | num_hashes``, exactly what this returns)."""
+    requires ``bands | num_hashes``, exactly what this returns).
+
+    Incremental caveat: when the result feeds
+    :func:`minhash_dedup_incremental`, tune ONCE and pin — band keys
+    persisted in state are only comparable across snapshots when
+    every run uses the same ``(num_hashes, bands)`` (re-tuning
+    mid-corpus silently empties the cross-snapshot candidate join;
+    a changed ``num_hashes`` at least fails loudly on the signature
+    array index)."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
     if num_hashes < 2:

@@ -64,6 +64,7 @@ __all__ = [
     "train_sentence_collocations",
     "train_sentence_starters",
     "split_sentences_punkt",
+    "class_tfidf",
     "ngram_counts",
     "ngram_lm_score",
     "mkn_discounts",
@@ -587,6 +588,89 @@ def tfidf_top_terms(
             "term",
             F.round(F.col("__score__"), 6).alias("tfidf"),
             "rank",
+        )
+    )
+
+
+def class_tfidf(
+    df: "DataFrame",
+    text_col: str,
+    class_col: str,
+    k: int = 10,
+    min_tf: int = 1,
+) -> "DataFrame":
+    """Class-based TF-IDF (c-TF-IDF — Grootendorst 2022, "BERTopic:
+    Neural topic modeling with a class-based TF-IDF procedure",
+    public formulation): the top-``k`` DISTINCTIVE terms of each
+    class, treating every class as one concatenated document — the
+    domain/source/cluster signature report a corpus datasheet wants
+    ("what words make `source=web` different"), and the label step
+    of cluster-then-describe topic pipelines.
+
+    ``W(t, c) = tf(t, c) · ln(1 + A / f(t))`` — ``tf(t, c)`` = count
+    of term t in class c (lowercased whitespace tokens), ``f(t)`` =
+    t's total count across classes, ``A`` = average token count per
+    class. Output: ``(class_col, term, tf, score, rank)`` with score
+    rounded to 6 dp and rank 1..k by (score desc, term asc) —
+    deterministic total order.
+
+    Plan: explode → groupBy(class, term) [shuffle 1, map-side
+    combined] → groupBy(term) totals [shuffle 2, rows = vocab] →
+    join back on term (reuses shuffle-2 partitioning) → the 1-row
+    ``A`` broadcast → per-CLASS top-k window [shuffle 3, one
+    partition per class over that class's vocab — the
+    tfidf_top_terms window shape with far fewer partitions]. All
+    JVM built-ins, no UDF; ``min_tf`` prunes the hapax tail from the
+    (class, term) count table when vocab is huge — ``f(t)``, ``A``,
+    and ranks are then statistics of the PRUNED table (documented;
+    the default 1 prunes nothing)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(class_col).alias("__c__"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("__c__", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    if int(min_tf) > 1:
+        tf = tf.where(F.col("tf") >= F.lit(int(min_tf)))
+    ft = tf.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("__ft__")
+    )
+    avg_tokens = F.broadcast(
+        tf.agg(
+            (
+                F.sum("tf").cast("double")
+                / F.count_distinct(F.col("__c__")).cast("double")
+            ).alias("__A__")
+        )
+    )
+    score = F.col("tf").cast("double") * F.log(
+        F.lit(1.0) + F.col("__A__") / F.col("__ft__")
+    )
+    scored = (
+        tf.join(ft, "term")
+        .crossJoin(avg_tokens)
+        .select(
+            F.col("__c__"),
+            "term",
+            "tf",
+            F.round(score, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__c__").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("__c__").alias(class_col),
+            "term",
+            "tf",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
         )
     )
 

@@ -1190,7 +1190,11 @@ def streaming_semdedup_candidates(
     documented miss in batch too). Zero-norm vectors have no cosine
     and are skipped (not stored). Survivor selection / exact
     re-verification stays a downstream batch step; candidates are the
-    streaming-hard part.
+    streaming-hard part. For UNBOUNDED history with batch-cadence
+    snapshots, use
+    :func:`~pandas_weights_spark.functions.dedup.semantic_dedup_incremental`
+    (r13) — same centroid contract, full drop/state semantics, no
+    capacity eviction.
     """
     import math as _math
 

@@ -99,6 +99,75 @@ class TestTfidf:
         assert top0["term"] == "apple"
 
 
+class TestClassTfidf:
+    """r13: c-TF-IDF (Grootendorst 2022) — per-class distinctive
+    terms; W(t,c) = tf(t,c) * ln(1 + A/f(t))."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            ("web", "spam spam click banner the the"),
+            ("web", "click spam offer the"),
+            ("book", "chapter prose narrative the the"),
+            ("book", "prose chapter the"),
+        ]
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_pure_python_differential(self, corpus):
+        from collections import Counter
+
+        from pandas_weights_spark.functions.text import class_tfidf
+
+        rows = corpus.collect()
+        tf, ft = Counter(), Counter()
+        for r in rows:
+            for w in r["text"].lower().split():
+                tf[(r["source"], w)] += 1
+                ft[w] += 1
+        n_classes = len({c for c, _ in tf})
+        A = sum(tf.values()) / n_classes
+        expect = {}
+        for (c, t), n in tf.items():
+            expect[(c, t)] = (n, round(n * math.log(1.0 + A / ft[t]), 6))
+        got = {
+            (r["source"], r["term"]): (r["tf"], r["score"])
+            for r in class_tfidf(corpus, "text", "source", k=100).collect()
+        }
+        assert got == expect and expect
+
+    def test_distinctive_terms_rank_first(self, corpus):
+        from pandas_weights_spark.functions.text import class_tfidf
+
+        out = class_tfidf(corpus, "text", "source", k=2).collect()
+        by_class = {}
+        for r in out:
+            by_class.setdefault(r["source"], []).append(
+                (r["rank"], r["term"])
+            )
+        # "the" appears everywhere -> low idf; class-specific terms win
+        assert sorted(by_class["web"])[0][1] == "spam"
+        assert sorted(by_class["book"])[0] == (1, "prose") or sorted(
+            by_class["book"]
+        )[0] == (1, "chapter")
+        # shared "the" never ranks 1 despite being frequent
+        assert all(
+            t != "the" for rk, t in by_class["web"] + by_class["book"]
+            if rk == 1
+        )
+        # k caps per class
+        assert all(len(v) == 2 for v in by_class.values())
+
+    def test_min_tf_prunes(self, corpus):
+        from pandas_weights_spark.functions.text import class_tfidf
+
+        out = class_tfidf(
+            corpus, "text", "source", k=100, min_tf=2
+        ).collect()
+        terms = {(r["source"], r["term"]) for r in out}
+        assert ("web", "offer") not in terms  # tf=1 pruned
+        assert ("web", "spam") in terms
+
+
 class TestChunkDocuments:
     """Sliding-window chunking (packing.chunk_documents)."""
 

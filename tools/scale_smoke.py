@@ -974,6 +974,46 @@ def main() -> int:
 
     dbench("incremental neardup (2 snaps)", _incr, docs_n)
 
+    # r13: punkt stage-2 trainers — ONE pair explode feeding the
+    # (w1,w2) / boundary-starter-ortho aggregates + type-keyed joins
+    from pandas_weights_spark.functions.text import (
+        train_sentence_collocations,
+        train_sentence_starters,
+    )
+
+    dbench("punkt collocations", lambda: train_sentence_collocations(
+        docs, "text", min_pair_count=5
+    ), docs_n)
+    dbench("punkt starters", lambda: train_sentence_starters(
+        docs, "text", min_count=5
+    ), docs_n)
+
+    # r13: snapshot-incremental semantic dedup — trained cells shared
+    # across both snapshots, cell-local state join + cosine verify
+    from pandas_weights_spark.functions.dedup import (
+        semantic_dedup_incremental,
+    )
+    from pandas_weights_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+
+    def _sem_incr():
+        cents = train_ivf_centroids(
+            clustered, "v", 1024, "vec_id", iters=1, arrow=True
+        )
+        old = clustered.where(F.col("vec_id") % 2 == 0)
+        new = clustered.where(F.col("vec_id") % 2 == 1)
+        _s0, st = semantic_dedup_incremental(
+            old, "v", "vec_id", cents, threshold=0.99, arrow=True
+        )
+        surv, _st2 = semantic_dedup_incremental(
+            new, "v", "vec_id", cents, state=st, threshold=0.99,
+            arrow=True,
+        )
+        return surv.select("vec_id")
+
+    dbench("incremental semdedup (2 snaps)", _sem_incr, clus_n)
+
     spark.stop()
     return 0
 
