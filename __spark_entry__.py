@@ -2565,6 +2565,104 @@ def _q_class_tfidf(spark, sf_dir):
     return class_tfidf(docs, "text", "source", k=15)
 
 
+def _q_sitemap_parse(spark, sf_dir):
+    # r13: sitemaps.org XML parsing (functions/robots.py
+    # sitemap_entries — the crawl-frontier discovery step pairing
+    # with robots_directives' Sitemap: URLs). Every 3rd doc is a
+    # <sitemapindex> (pointer entries with date-only lastmod), the
+    # rest are <urlset> pages exercising: entity-decoded loc with
+    # query string, W3C datetime lastmod (leading-date parse),
+    # INVALID gated date (2024-99-99 → NULL, never an ANSI error),
+    # changefreq case-folding, parseable and junk priority, a
+    # whitespace-padded loc, and an empty-loc entry that must drop.
+    # Row-local regex + HOF algebra; DuckDB replays via the emitted
+    # sitemap_entries_sql twin.
+    from pandas_weights_spark.functions.robots import sitemap_entries
+
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://h'),
+        ids,
+        F.lit(".ex/a?p=1&amp;q="),
+        ids,
+        F.lit("</loc><lastmod>2024-03-05T10:00:00Z</lastmod>"
+              "<changefreq>WEEKLY</changefreq><priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority></url><url><loc> https://h"),
+        ids,
+        F.lit(".ex/b </loc><lastmod>2024-99-99</lastmod>"
+              "<priority>high</priority></url>"
+              "<url><loc></loc><priority>1.0</priority></url>"
+              "</urlset>"),
+    )
+    smidx = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://h"),
+        ids,
+        F.lit(".ex/s1.xml.gz</loc><lastmod>2024-01-"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></sitemap><sitemap><loc>https://h"),
+        ids,
+        F.lit(".ex/s2.xml.gz</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(did % 3 == 0, smidx).otherwise(urlset)
+    docs = _docs(spark, sf_dir).select("doc_id", xml.alias("__x__"))
+    return docs.select(
+        "doc_id",
+        F.explode(sitemap_entries(F.col("__x__"))).alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e.kind").alias("kind"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod_raw").alias("lastmod_raw"),
+        F.col("e.lastmod_date").alias("lastmod_date"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.col("e.priority").alias("priority"),
+    )
+
+
+def _sitemap_parse_sql() -> str:
+    from pandas_weights_spark.functions.robots import (
+        sitemap_entries_sql,
+    )
+
+    return f"""
+    WITH page AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+          '<sitemapindex><sitemap><loc>https://h'
+          || CAST(doc_id AS VARCHAR)
+          || '.ex/s1.xml.gz</loc><lastmod>2024-01-'
+          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          || '</lastmod></sitemap><sitemap><loc>https://h'
+          || CAST(doc_id AS VARCHAR)
+          || '.ex/s2.xml.gz</loc></sitemap></sitemapindex>'
+        ELSE
+          '<?xml version="1.0"?><urlset><url><loc>https://h'
+          || CAST(doc_id AS VARCHAR) || '.ex/a?p=1&amp;q='
+          || CAST(doc_id AS VARCHAR)
+          || '</loc><lastmod>2024-03-05T10:00:00Z</lastmod>'
+          || '<changefreq>WEEKLY</changefreq><priority>0.'
+          || CAST(doc_id % 10 AS VARCHAR)
+          || '</priority></url><url><loc> https://h'
+          || CAST(doc_id AS VARCHAR)
+          || '.ex/b </loc><lastmod>2024-99-99</lastmod>'
+          || '<priority>high</priority></url>'
+          || '<url><loc></loc><priority>1.0</priority></url>'
+          || '</urlset>'
+        END AS x
+      FROM documents
+    ), ent AS (
+      SELECT doc_id,
+             unnest({sitemap_entries_sql('x')}, recursive := true)
+      FROM page
+    )
+    SELECT doc_id, kind, loc, lastmod_raw, lastmod_date,
+           changefreq, priority
+    FROM ent
+"""
+
+
 def _q_semdedup_incremental(spark, sf_dir):
     # r13: snapshot-incremental SEMANTIC dedup (functions/dedup.py
     # semantic_dedup_incremental — the embedding analog of
@@ -6994,6 +7092,7 @@ _ORACLE["neardup_incremental"] = _neardup_incremental_sql()
 _ORACLE["punkt_abbrevs"] = _punkt_abbrevs_sql()
 _ORACLE["punkt_context"] = _punkt_context_sql()
 _ORACLE["semdedup_incremental"] = _semdedup_incremental_sql()
+_ORACLE["sitemap_parse"] = _sitemap_parse_sql()
 _ORACLE["class_tfidf"] = """
     WITH tok AS (
       SELECT source AS c,
@@ -11296,6 +11395,7 @@ _NEW_THIS_ROUND: tuple = (
     "punkt_context",
     "semdedup_incremental",
     "class_tfidf",
+    "sitemap_parse",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11342,6 +11442,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punkt_context": _q_punkt_context,
         "semdedup_incremental": _q_semdedup_incremental,
         "class_tfidf": _q_class_tfidf,
+        "sitemap_parse": _q_sitemap_parse,
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,

@@ -136,6 +136,7 @@ HEADLINE = [
     "punkt_context",       # punkt stage-2 collocation/starter LLRs (r13)
     "semdedup_incremental",  # snapshot-incremental semantic dedup (r13)
     "class_tfidf",         # c-TF-IDF per-class distinctive terms (r13)
+    "sitemap_parse",       # sitemaps.org urlset/index parsing (r13)
 ]
 
 

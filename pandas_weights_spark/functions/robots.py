@@ -78,6 +78,8 @@ __all__ = [
     "robots_allowed",
     "url_path",
     "canonical_path",
+    "sitemap_entries",
+    "sitemap_entries_sql",
 ]
 
 # octets kept literal in the canonical form: printable ASCII…
@@ -418,3 +420,156 @@ def robots_allowed(
         decision = by_rules
     out = joined.withColumn("allowed", decision)
     return out.select(*urls.columns, "allowed")
+
+
+# ---------------------------------------------------------------------
+# sitemaps.org XML parsing (the discovery side of the politeness gate)
+# ---------------------------------------------------------------------
+
+_SM_WS = r"[ \t\n\r\f]"
+#: a <url>/<sitemap> entry block (word boundary keeps <url> from
+#: matching <urlset>); group 1 = inner body
+_SM_URL_RE = "(?is)<url\\b[^>]*>([^\\x00]*?)</url" + _SM_WS + "*>"
+_SM_SMAP_RE = (
+    "(?is)<sitemap\\b[^>]*>([^\\x00]*?)</sitemap" + _SM_WS + "*>"
+)
+#: leading W3C datetime date (sitemaps.org allows date-only lastmod)
+_SM_DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}"
+#: XML's five predefined entities — decode &amp; LAST so escaped
+#: refs in a loc (&amp;lt;) stay literal, the html-module convention
+_SM_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _sm_field(body: Column, tag: str) -> Column:
+    return F.regexp_extract(
+        body,
+        f"(?is)<{tag}{_SM_WS}*>{_SM_WS}*([^<]*?){_SM_WS}*</{tag}",
+        1,
+    )
+
+
+def _sm_decode(col: Column) -> Column:
+    for src, dst in _SM_ENTITIES:
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def sitemap_entries(xml: Column) -> Column:
+    """Parse a sitemaps.org document (public protocol,
+    sitemaps.org/protocol.html) — the crawl-frontier discovery step
+    that pairs with :func:`robots_directives`'s ``Sitemap:`` URLs:
+    ``array<struct<kind, loc, lastmod_raw, lastmod_date, changefreq,
+    priority>>``, one element per ``<url>`` entry (``kind='url'``,
+    a ``<urlset>`` leaf) or ``<sitemap>`` entry (``kind='sitemap'``,
+    a ``<sitemapindex>`` pointer to fetch next), in document order.
+
+    Per entry: ``loc`` (required — entries with an empty loc drop)
+    with XML's five predefined entities decoded (``&amp;`` last, so
+    escaped refs stay literal); ``lastmod_raw`` verbatim and
+    ``lastmod_date`` as a DATE from the leading W3C-datetime date
+    (regex gate + 10-char slice + try-parse — the
+    ``extract_meta`` discipline: an invalid gated date yields NULL,
+    never an ANSI error killing a 100 TB scan); ``changefreq``
+    lowercased; ``priority`` as a DOUBLE when it parses as a plain
+    decimal, NULL otherwise. Missing optional fields are empty
+    string / NULL.
+
+    Row-local regex + HOF Column algebra — zero shuffle, scan
+    pipelined, RE2-safe (``sitemap_entries_sql`` is the DuckDB
+    twin). No-DOM caveats (the html-module stance): CDATA sections
+    are not unwrapped, and a ``<url>`` entry inside a comment still
+    parses. NULL xml → NULL.
+    """
+
+    def entry(kind: str):
+        def mk(b: Column) -> Column:
+            lastmod = _sm_field(b, "lastmod")
+            prio = _sm_field(b, "priority")
+            return F.struct(
+                F.lit(kind).alias("kind"),
+                _sm_decode(_sm_field(b, "loc")).alias("loc"),
+                lastmod.alias("lastmod_raw"),
+                F.when(
+                    lastmod.rlike(_SM_DATE_RE),
+                    F.try_to_timestamp(
+                        F.substring(lastmod, 1, 10),
+                        F.lit("yyyy-MM-dd"),
+                    ).cast("date"),
+                ).alias("lastmod_date"),
+                F.lower(_sm_field(b, "changefreq")).alias(
+                    "changefreq"
+                ),
+                F.when(
+                    prio.rlike(r"^[0-9]+(\.[0-9]+)?$"),
+                    prio.cast("double"),
+                ).alias("priority"),
+            )
+
+        return mk
+
+    urls = F.transform(
+        F.regexp_extract_all(xml, F.lit(_SM_URL_RE), F.lit(1)),
+        entry("url"),
+    )
+    smaps = F.transform(
+        F.regexp_extract_all(xml, F.lit(_SM_SMAP_RE), F.lit(1)),
+        entry("sitemap"),
+    )
+    return F.filter(
+        F.concat(urls, smaps), lambda e: F.length(e["loc"]) > 0
+    )
+
+
+def sitemap_entries_sql(expr: str) -> str:
+    """DuckDB replay of :func:`sitemap_entries` — same pattern
+    constants (emitted, not copied), RE2 dialect, same field order
+    and gates."""
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    def field(tag: str) -> str:
+        pat = (
+            f"(?is)<{tag}{_SM_WS}*>{_SM_WS}*([^<]*?){_SM_WS}*</{tag}"
+        )
+        return f"regexp_extract(b, '{sq(pat)}', 1)"
+
+    loc = field("loc")
+    for src, dst in _SM_ENTITIES:
+        loc = f"replace({loc}, '{sq(src)}', '{sq(dst)}')"
+    lastmod = field("lastmod")
+    prio = field("priority")
+    def entry(kind: str) -> str:
+        return (
+            "struct_pack("
+            f"kind := '{kind}', "
+            f"loc := {loc}, "
+            f"lastmod_raw := {lastmod}, "
+            f"lastmod_date := CASE WHEN regexp_matches({lastmod}, "
+            f"'{sq(_SM_DATE_RE)}') THEN TRY_CAST(substr({lastmod}, 1, 10)"
+            f" AS DATE) END, "
+            f"changefreq := lower({field('changefreq')}), "
+            f"priority := CASE WHEN regexp_matches({prio}, "
+            f"'^[0-9]+(\\.[0-9]+)?$') THEN CAST({prio} AS DOUBLE) END"
+            ")"
+        )
+
+    urls = (
+        f"list_transform(regexp_extract_all({expr}, "
+        f"'{sq(_SM_URL_RE)}', 1), b -> {entry('url')})"
+    )
+    smaps = (
+        f"list_transform(regexp_extract_all({expr}, "
+        f"'{sq(_SM_SMAP_RE)}', 1), "
+        f"b -> {entry('sitemap')})"
+    )
+    return (
+        f"list_filter(list_concat({urls}, {smaps}), "
+        f"e -> length(e.loc) > 0)"
+    )

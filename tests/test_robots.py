@@ -615,3 +615,124 @@ class TestFetchStatus:
         }
         assert got["https://down.io/x"] is False
         assert got["https://up.io/x"] is True
+
+
+class TestSitemapEntries:
+    """r13: sitemaps.org XML parsing (sitemap_entries) — urlset and
+    sitemapindex entries, field gates, DuckDB twin parity."""
+
+    PAGES = [
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://ex.com/a?x=1&amp;y=2</loc>"
+        "<lastmod>2024-03-05T10:00:00+00:00</lastmod>"
+        "<changefreq>DAILY</changefreq><priority>0.8</priority></url>"
+        "<url><loc> https://ex.com/b </loc></url>"
+        "<url><loc></loc><priority>1.0</priority></url>"
+        "<url><lastmod>2024-99-99</lastmod><loc>https://ex.com/c</loc>"
+        "<priority>high</priority></url></urlset>",
+        "<sitemapindex><sitemap><loc>https://ex.com/s1.xml.gz</loc>"
+        "<lastmod>2024-01-02</lastmod></sitemap>"
+        "<sitemap><loc>https://ex.com/s2.xml.gz</loc></sitemap>"
+        "</sitemapindex>",
+        "no xml at all",
+        None,
+    ]
+
+    def _parse(self, spark):
+        from pandas_weights_spark.functions.robots import (
+            sitemap_entries,
+        )
+
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(self.PAGES)],
+            "i long, x string",
+        )
+        return {
+            r["i"]: r["e"]
+            for r in df.select(
+                "i", sitemap_entries(F.col("x")).alias("e")
+            ).collect()
+        }
+
+    def test_urlset_fields(self, spark):
+        import datetime
+
+        e = self._parse(spark)[0]
+        # empty-loc entry dropped; three survive in document order
+        assert [x["loc"] for x in e] == [
+            "https://ex.com/a?x=1&y=2",   # &amp; decoded
+            "https://ex.com/b",           # whitespace trimmed
+            "https://ex.com/c",           # loc after lastmod (order-free)
+        ]
+        a = e[0]
+        assert a["kind"] == "url"
+        assert a["lastmod_date"] == datetime.date(2024, 3, 5)
+        assert a["changefreq"] == "daily"  # case-folded
+        assert a["priority"] == 0.8
+        c = e[2]
+        # regex-passing but INVALID date -> NULL, never an ANSI error
+        assert c["lastmod_raw"] == "2024-99-99"
+        assert c["lastmod_date"] is None
+        assert c["priority"] is None  # junk priority gated
+
+    def test_sitemapindex_and_degenerate(self, spark):
+        import datetime
+
+        parsed = self._parse(spark)
+        idx = parsed[1]
+        assert [x["kind"] for x in idx] == ["sitemap", "sitemap"]
+        assert idx[0]["lastmod_date"] == datetime.date(2024, 1, 2)
+        assert idx[1]["lastmod_raw"] == ""
+        assert parsed[2] == []      # non-XML -> empty
+        assert parsed[3] is None    # NULL -> NULL
+
+    def test_url_tag_never_matches_urlset(self, spark):
+        # <url\b must not treat the <urlset> wrapper as an entry
+        from pandas_weights_spark.functions.robots import (
+            sitemap_entries,
+        )
+
+        df = spark.createDataFrame(
+            [("<urlset><url><loc>https://e/a</loc></url></urlset>",)],
+            ["x"],
+        )
+        e = df.select(sitemap_entries(F.col("x")).alias("e")).first()[
+            "e"
+        ]
+        assert len(e) == 1 and e[0]["loc"] == "https://e/a"
+
+    def test_duckdb_twin_bit_exact(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.robots import (
+            sitemap_entries,
+            sitemap_entries_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(self.PAGES)],
+            "i long, x string",
+        )
+        got = [
+            tuple(tuple(e) for e in r["e"]) if r["e"] is not None
+            else None
+            for r in df.select(
+                "i", sitemap_entries(F.col("x")).alias("e")
+            ).orderBy("i").collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i INT, x VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            list(enumerate(self.PAGES)),
+        )
+        want = [
+            tuple(tuple(e.values()) for e in row[0])
+            if row[0] is not None else None
+            for row in con.sql(
+                f"SELECT {sitemap_entries_sql('x')} AS e "
+                f"FROM t ORDER BY i"
+            ).fetchall()
+        ]
+        assert got == want
