@@ -10781,30 +10781,50 @@ def _q_html_markdown(spark, sf_dir):
     # both renders derive from ONE sentinel render behind a real
     # projection barrier (the html_parts discipline) — the ~30-regex
     # chain runs once per doc, not once per output column; plain-
-    # render parity with html_to_markdown is pinned in tests
+    # render parity with html_to_markdown is pinned in tests.
+    # Column trees are immutable — memoize the constructed render
+    # (the _EXTRACT_COLS discipline: the bench reconstructs the
+    # query per iteration, and with the r13 pipe-table pre-pass the
+    # sentinel cascade is a few hundred operators of pure py4j to
+    # rebuild)
     from pandas_weights_spark.functions.html import (
         md_escaped_from_sentinels,
         md_from_sentinels,
         md_render_sentinels,
     )
 
-    md = md_from_sentinels(F.col("__mds__"))
-    md_esc = md_escaped_from_sentinels(F.col("__mds__"))
+    cols = _MDQ_COLS.get("cols")
+    if cols is None:
+        md = md_from_sentinels(F.col("__mds__"))
+        md_esc = md_escaped_from_sentinels(F.col("__mds__"))
+        cols = {
+            "__mds__": md_render_sentinels(
+                F.col("__h__"), pipe_tables=True
+            ),
+            "md_fp": F.md5(md),
+            "n_chars": F.length(md).cast("long"),
+            "md_esc_fp": F.md5(md_esc),
+            "n_esc_chars": F.length(md_esc).cast("long"),
+        }
+        _MDQ_COLS["cols"] = cols
     return (
         _docs(spark, sf_dir)
         .withColumn("__h__", page)
-        .withColumn(
-            "__mds__",
-            md_render_sentinels(F.col("__h__"), pipe_tables=True),
-        )
+        .withColumn("__mds__", cols["__mds__"])
         .select(
             "doc_id",
-            F.md5(md).alias("md_fp"),
-            F.length(md).cast("long").alias("n_chars"),
-            F.md5(md_esc).alias("md_esc_fp"),
-            F.length(md_esc).cast("long").alias("n_esc_chars"),
+            cols["md_fp"].alias("md_fp"),
+            cols["n_chars"].alias("n_chars"),
+            cols["md_esc_fp"].alias("md_esc_fp"),
+            cols["n_esc_chars"].alias("n_esc_chars"),
         )
     )
+
+
+#: _q_html_markdown's memoized Column trees (the _EXTRACT_COLS
+#: discipline) — built once per process, reused across bench
+#: iterations.
+_MDQ_COLS: dict = {}
 
 
 def _html_markdown_sql() -> str:
