@@ -8840,6 +8840,88 @@ _ORACLE["warc_roundtrip"] = """
 """
 
 
+def _q_wet_roundtrip(spark, sf_dir):
+    # r13: WET container (sources/warc.py — Common Crawl's extracted-
+    # text sibling: WARC `conversion` records with text/plain blocks
+    # and a WARC-Refers-To header naming the source response record).
+    # Conversion records are built per doc (refers_to = the urn:uuid
+    # the source response WOULD have — a DIFFERENT date, so the two
+    # ids provably differ), packed into 8 member-gzip shards, parsed
+    # back; the oracle states the roundtrip identity including the
+    # refers-to linkage and the text/plain content type.
+    from pandas_weights_spark.sources.warc import (
+        from_warc_shards,
+        to_warc_shards,
+        warc_record,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uri = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+    )
+    src_h = F.md5(F.concat(uri, F.lit("|2026-01-01T00:00:00Z")))
+    refers = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(src_h, 1, 8), F.lit("-"),
+        F.substring(src_h, 9, 4), F.lit("-"),
+        F.substring(src_h, 13, 4), F.lit("-"),
+        F.substring(src_h, 17, 4), F.lit("-"),
+        F.substring(src_h, 21, 12),
+        F.lit(">"),
+    )
+    rec = warc_record(
+        uri,
+        F.lit("2026-01-02T00:00:00Z"),
+        F.encode(F.col("text"), "UTF-8"),
+        "conversion",
+        "text/plain",
+        refers_to=refers,
+    )
+    shards = to_warc_shards(
+        docs.select(rec.alias("rec")), "rec", n_shards=8,
+        gzip_records=True,
+    )
+    back = from_warc_shards(shards)
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "record_id",
+        "refers_to",
+        "content_type",
+        F.decode("block", "UTF-8").alias("text"),
+        F.length("block").cast("long").alias("n_bytes"),
+    )
+
+
+_ORACLE["wet_roundtrip"] = """
+    WITH d AS (
+      SELECT doc_id, text,
+        'https://' || source || '.example.org/doc/'
+          || CAST(doc_id AS VARCHAR) AS target_uri
+      FROM documents
+    ), h AS (
+      SELECT *,
+        md5(target_uri || '|' || '2026-01-02T00:00:00Z') AS hh,
+        md5(target_uri || '|' || '2026-01-01T00:00:00Z') AS hs
+      FROM d
+    )
+    SELECT doc_id, target_uri,
+      '<urn:uuid:' || substr(hh, 1, 8) || '-' || substr(hh, 9, 4)
+        || '-' || substr(hh, 13, 4) || '-' || substr(hh, 17, 4)
+        || '-' || substr(hh, 21, 12) || '>' AS record_id,
+      '<urn:uuid:' || substr(hs, 1, 8) || '-' || substr(hs, 9, 4)
+        || '-' || substr(hs, 13, 4) || '-' || substr(hs, 17, 4)
+        || '-' || substr(hs, 21, 12) || '>' AS refers_to,
+      'text/plain' AS content_type,
+      text,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM h
+"""
+
+
 def _q_sentences(spark, sf_dir):
     # r8: rule-based sentence splitting (functions/text.py
     # split_sentences — abbreviation/initial protection via sentinel
@@ -11416,6 +11498,7 @@ _NEW_THIS_ROUND: tuple = (
     "semdedup_incremental",
     "class_tfidf",
     "sitemap_parse",
+    "wet_roundtrip",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11434,6 +11517,9 @@ _TOUCHED_THIS_ROUND: tuple = (
     "html_tables",       # r13: extract_tables grid machinery
                          #   factored into _table_rows (pure refactor,
                          #   shared with the pipe render) — re-check
+    "warc_roundtrip",    # r13: warc_record gained conversion/WET
+                         #   records + WARC-Refers-To; parser schema
+                         #   gained refers_to (query select unchanged)
 )
 
 
@@ -11463,6 +11549,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_incremental": _q_semdedup_incremental,
         "class_tfidf": _q_class_tfidf,
         "sitemap_parse": _q_sitemap_parse,
+        "wet_roundtrip": _q_wet_roundtrip,
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,

@@ -137,6 +137,7 @@ HEADLINE = [
     "semdedup_incremental",  # snapshot-incremental semantic dedup (r13)
     "class_tfidf",         # c-TF-IDF per-class distinctive terms (r13)
     "sitemap_parse",       # sitemaps.org urlset/index parsing (r13)
+    "wet_roundtrip",       # WET conversion-record container roundtrip (r13)
 ]
 
 

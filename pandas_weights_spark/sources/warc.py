@@ -79,20 +79,31 @@ def warc_record(
     payload: Column,
     warc_type: str = "resource",
     content_type: "str | Column" = "text/html",
+    refers_to: "Column | None" = None,
 ) -> Column:
     """One WARC/1.0 record as a BINARY Column. ``payload`` must be
     binary (``F.encode`` strings first); ``date`` is the
     ``YYYY-MM-DDTHH:MM:SSZ`` string the spec requires. ``resource``
     records carry the payload verbatim; ``response`` records wrap it
     in a minimal ``HTTP/1.1 200 OK`` block (Content-Length set), the
-    Common Crawl shape. ``content_type`` may be a per-row Column
-    (r10 — e.g. ``text/html; charset=shift_jis``). The record id is
-    ``urn:uuid`` over md5(uri, '|', date) — deterministic by
-    construction."""
-    if warc_type not in ("resource", "response"):
+    Common Crawl shape; ``conversion`` records (r13) carry the
+    payload verbatim with an optional ``WARC-Refers-To`` header
+    naming the source record — pass ``content_type='text/plain'``
+    and the extracted text as payload and the file IS a Common Crawl
+    WET file (WET is WARC with conversion records; shard with
+    :func:`to_warc_shards`, parse with :func:`from_warc_shards` —
+    ``refers_to`` comes back as a column). ``content_type`` may be a
+    per-row Column (r10 — e.g. ``text/html; charset=shift_jis``).
+    The record id is ``urn:uuid`` over md5(uri, '|', date) —
+    deterministic by construction."""
+    if warc_type not in ("resource", "response", "conversion"):
         raise ValueError(
-            "warc_type must be 'resource' or 'response', got "
-            f"{warc_type!r}"
+            "warc_type must be 'resource', 'response', or "
+            f"'conversion', got {warc_type!r}"
+        )
+    if refers_to is not None and warc_type != "conversion":
+        raise ValueError(
+            "refers_to is only meaningful on conversion records"
         )
     ct = (
         F.lit(content_type)
@@ -122,11 +133,19 @@ def warc_record(
     else:
         block = payload
         block_ct = ct
+    refers = (
+        F.concat(
+            _enc("WARC-Refers-To: "), _enc(refers_to), _enc(_CRLF)
+        )
+        if refers_to is not None
+        else _enc("")
+    )
     header = F.concat(
         _enc("WARC/1.0" + _CRLF + f"WARC-Type: {warc_type}" + _CRLF),
         _enc("WARC-Target-URI: "), _enc(uri), _enc(_CRLF),
         _enc("WARC-Date: "), _enc(date), _enc(_CRLF),
         _enc("WARC-Record-ID: "), _enc(rid), _enc(_CRLF),
+        refers,
         _enc("Content-Type: "), _enc(block_ct), _enc(_CRLF),
         _enc("Content-Length: "),
         _enc(F.length(block).cast("string")),
@@ -252,6 +271,7 @@ def parse_warc_bytes(data: bytes) -> "list[dict]":
             "date": headers.get("warc-date", ""),
             "record_id": headers.get("warc-record-id", ""),
             "content_type": headers.get("content-type", ""),
+            "refers_to": headers.get("warc-refers-to", ""),
             "block": block,
         }
         if rec["warc_type"] == "response":
@@ -283,6 +303,7 @@ _RECORD_SCHEMA = T.StructType(
         T.StructField("date", T.StringType()),
         T.StructField("record_id", T.StringType()),
         T.StructField("content_type", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
         T.StructField("block", T.BinaryType()),
         T.StructField("http_body", T.BinaryType()),
         T.StructField("http_headers", T.StringType()),
@@ -312,6 +333,7 @@ def from_warc_shards(
                             "date": rec["date"],
                             "record_id": rec["record_id"],
                             "content_type": rec["content_type"],
+                            "refers_to": rec["refers_to"],
                             "block": rec["block"],
                             "http_body": rec["http_body"],
                             "http_headers": rec["http_headers"],

@@ -91,6 +91,67 @@ class TestRecordConstruction:
                 F.lit("u"), F.lit(DATE), F.lit(b"x"), "request"
             )
 
+    def test_conversion_record_wet_shape(self, spark):
+        # r13: WET = WARC conversion records — text/plain payload
+        # verbatim + WARC-Refers-To naming the source record
+        df = spark.createDataFrame(
+            [("https://e.org/3", "extracted text")], ["uri", "text"]
+        )
+        rec = warc_record(
+            F.col("uri"),
+            F.lit(DATE),
+            F.encode(F.col("text"), "UTF-8"),
+            "conversion",
+            "text/plain",
+            refers_to=F.lit("<urn:uuid:aaaa-bbbb>"),
+        )
+        headers, block = _independent_parse_one(
+            bytes(df.select(rec.alias("rec")).first()["rec"])
+        )
+        assert headers["WARC-Type"] == "conversion"
+        assert headers["Content-Type"] == "text/plain"
+        assert headers["WARC-Refers-To"] == "<urn:uuid:aaaa-bbbb>"
+        assert block == b"extracted text"
+
+    def test_conversion_roundtrip_through_shards(self, spark):
+        from pandas_weights_spark.sources.warc import (
+            from_warc_shards,
+            to_warc_shards,
+        )
+
+        df = spark.createDataFrame(
+            [("https://e.org/4", "wet body")], ["uri", "text"]
+        )
+        rec = warc_record(
+            F.col("uri"),
+            F.lit(DATE),
+            F.encode(F.col("text"), "UTF-8"),
+            "conversion",
+            "text/plain",
+            refers_to=F.lit("<urn:uuid:src-1>"),
+        )
+        shards = to_warc_shards(
+            df.select(rec.alias("rec")), "rec", n_shards=2,
+            gzip_records=True,
+        )
+        row = from_warc_shards(shards).first()
+        assert row["warc_type"] == "conversion"
+        assert row["refers_to"] == "<urn:uuid:src-1>"
+        assert row["content_type"] == "text/plain"
+        assert bytes(row["block"]) == b"wet body"
+        assert row["http_body"] is None  # not a response record
+        # response records come back with refers_to = '' (absent)
+        r2 = _build(spark, [("https://e.org/5", "x")])
+        shards2 = to_warc_shards(r2, "rec", n_shards=1)
+        assert from_warc_shards(shards2).first()["refers_to"] == ""
+
+    def test_refers_to_on_non_conversion_raises(self, spark):
+        with pytest.raises(ValueError, match="conversion"):
+            warc_record(
+                F.lit("u"), F.lit(DATE), F.lit(b"x"), "response",
+                refers_to=F.lit("<urn:uuid:z>"),
+            )
+
 
 class TestShardsRoundTrip:
     @pytest.fixture(scope="class")
