@@ -8840,6 +8840,138 @@ _ORACLE["warc_roundtrip"] = """
 """
 
 
+def _q_mink_prob(spark, sf_dir):
+    # r13: Min-K% Prob pretraining-data detection (functions/text.py
+    # mink_prob_score — Shi et al. 2023, over the engine's
+    # interpolated trigram LM): per doc, the mean log-prob of its 20%
+    # LEAST likely trigrams (k_used = max(ceil(0.2·n), 1)). Same
+    # model tables as the lm3 rows (5000-cap vocab/bigram/trigram,
+    # alpha 0.5, lambdas 0.6/0.3), docs < 50 scored; per-triple
+    # values are bit-identical to trigram_lm_score by construction
+    # (shared _trigram_logprob_rows). DuckDB replays the whole chain
+    # closed-form: capped tables, the JM mixture, list(lp ORDER BY
+    # lp) slice, the same left-fold sum.
+    from pandas_weights_spark.functions.text import (
+        bigram_counts,
+        mink_prob_score,
+        trigram_counts,
+    )
+    from pandas_weights_spark.functions.vocab import build_vocabulary
+
+    docs = _docs(spark, sf_dir)
+    lmvocab = build_vocabulary(docs, "text", max_size=5000)
+    bgt = bigram_counts(docs, "text", max_bigrams=5000)
+    tgt = trigram_counts(docs, "text", max_trigrams=5000)
+    out = mink_prob_score(
+        docs.where(F.col("doc_id") < 50), "text", "doc_id",
+        lmvocab, bgt, tgt, k=0.2, alpha=0.5,
+        lambda3=0.6, lambda2=0.3,
+    )
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        "k_used",
+        F.round("mink_logprob", 6).alias("mink_logprob"),
+        F.round("mink_ppl", 6).alias("mink_ppl"),
+    )
+
+
+_MINK_SQL = """
+    WITH dt AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), lt2 AS (
+      SELECT doc_id, unnest(w) AS term FROM dt
+    ), lt3 AS (SELECT doc_id, term FROM lt2 WHERE term <> ''),
+    vm AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS mass FROM lt3
+      GROUP BY term HAVING COUNT(*) >= 1.0
+      ORDER BY mass DESC, term LIMIT 5000
+    ),
+    tot AS (SELECT SUM(mass) AS W, COUNT(*) AS V FROM vm),
+    bp AS (
+      SELECT p.a AS w1, p.b AS w2 FROM (
+        SELECT unnest(CASE WHEN len(w) >= 2
+                      THEN [{'a': w[i], 'b': w[i+1]}
+                            for i in range(1, len(w))]
+                      ELSE [] END) AS p
+        FROM dt
+      )
+    ),
+    bgr AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS mass FROM bp
+      GROUP BY w1, w2
+      ORDER BY mass DESC, w1, w2 LIMIT 5000
+    ),
+    mg AS (SELECT w1, SUM(mass) AS m1 FROM bgr GROUP BY w1),
+    tp AS (
+      SELECT p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+        SELECT unnest(CASE WHEN len(w) >= 3
+                      THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                            for i in range(1, len(w) - 1)]
+                      ELSE [] END) AS p
+        FROM dt
+      )
+    ),
+    tgr AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS mass FROM tp
+      GROUP BY w1, w2, w3
+      ORDER BY mass DESC, w1, w2, w3 LIMIT 5000
+    ),
+    tmg AS (
+      SELECT w1, w2, SUM(mass) AS m12 FROM tgr GROUP BY w1, w2
+    ),
+    dtrip AS (
+      SELECT doc_id, p.a AS w1, p.b AS w2, p.c AS w3 FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN [{'a': w[i], 'b': w[i+1], 'c': w[i+2]}
+                            for i in range(1, len(w) - 1)]
+                      ELSE [] END) AS p
+        FROM dt WHERE doc_id < 50
+      )
+    ),
+    sc3 AS (
+      SELECT d.doc_id,
+             ln(0.6 * COALESCE(tgr.mass / tmg.m12, 0.0)
+                + 0.3 * COALESCE(bgr.mass / mg.m1, 0.0)
+                + 0.1 * exp(
+                    COALESCE(ln(vm.mass + 0.5), ln(0.5))
+                    - ln(tot.W + 0.5 * (tot.V + 1)))) AS lp
+      FROM dtrip d
+      LEFT JOIN tgr ON d.w1 = tgr.w1 AND d.w2 = tgr.w2
+                   AND d.w3 = tgr.w3
+      LEFT JOIN tmg ON d.w1 = tmg.w1 AND d.w2 = tmg.w2
+      LEFT JOIN bgr ON d.w2 = bgr.w1 AND d.w3 = bgr.w2
+      LEFT JOIN mg ON d.w2 = mg.w1
+      LEFT JOIN vm ON d.w3 = vm.term
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n, list(lp ORDER BY lp) AS ls
+      FROM sc3 GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_trigrams,
+      CAST(greatest(CAST(ceil(0.2 * n) AS INT), 1) AS BIGINT)
+        AS k_used,
+      round(
+        list_reduce(ls[1:greatest(CAST(ceil(0.2 * n) AS INT), 1)],
+                    (a, b) -> a + b)
+        / CAST(greatest(CAST(ceil(0.2 * n) AS INT), 1) AS DOUBLE),
+        6) AS mink_logprob,
+      round(exp(
+        -(list_reduce(ls[1:greatest(CAST(ceil(0.2 * n) AS INT), 1)],
+                      (a, b) -> a + b)
+          / CAST(greatest(CAST(ceil(0.2 * n) AS INT), 1) AS DOUBLE))
+      ), 6) AS mink_ppl
+    FROM agg
+"""
+
+_ORACLE["mink_prob"] = _MINK_SQL
+
+
 def _q_wet_roundtrip(spark, sf_dir):
     # r13: WET container (sources/warc.py — Common Crawl's extracted-
     # text sibling: WARC `conversion` records with text/plain blocks
@@ -11499,6 +11631,7 @@ _NEW_THIS_ROUND: tuple = (
     "class_tfidf",
     "sitemap_parse",
     "wet_roundtrip",
+    "mink_prob",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11520,6 +11653,9 @@ _TOUCHED_THIS_ROUND: tuple = (
     "warc_roundtrip",    # r13: warc_record gained conversion/WET
                          #   records + WARC-Refers-To; parser schema
                          #   gained refers_to (query select unchanged)
+    "tfidf_top_terms",   # r13: trigram_lm_score refactored onto the
+                         #   shared _trigram_logprob_rows (lm3 rows
+                         #   pinned bit-identical — re-check)
 )
 
 
@@ -11550,6 +11686,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_tfidf": _q_class_tfidf,
         "sitemap_parse": _q_sitemap_parse,
         "wet_roundtrip": _q_wet_roundtrip,
+        "mink_prob": _q_mink_prob,
         # --- r12 queries ---
         "neardup_incremental": _q_neardup_incremental,
         "punkt_abbrevs": _q_punkt_abbrevs,

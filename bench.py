@@ -138,6 +138,7 @@ HEADLINE = [
     "class_tfidf",         # c-TF-IDF per-class distinctive terms (r13)
     "sitemap_parse",       # sitemaps.org urlset/index parsing (r13)
     "wet_roundtrip",       # WET conversion-record container roundtrip (r13)
+    "mink_prob",           # Min-K% Prob pretraining-data detection (r13)
 ]
 
 

@@ -74,6 +74,7 @@ __all__ = [
     "remove_corpus_duplicate_lines",
     "trigram_counts",
     "trigram_lm_score",
+    "mink_prob_score",
     "split_sentences_sql",
 ]
 
@@ -1633,6 +1634,41 @@ def trigram_lm_score(
     capped bigram table, and the V-row unigram log-prob table → one
     hash aggregate per doc. One data-sized shuffle, no UDF.
     """
+    rows = _trigram_logprob_rows(
+        df, text_col, id_col, vocab, bigrams, trigrams,
+        alpha, lambda3, lambda2, lowercase,
+    )
+    agg = rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.avg("__lp__").alias("logprob_mean"),
+    )
+    return agg.select(
+        id_col,
+        "n_trigrams",
+        "logprob_mean",
+        F.exp(-F.col("logprob_mean")).alias("ppl"),
+    )
+
+
+def _trigram_logprob_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    alpha: float,
+    lambda3: float,
+    lambda2: float,
+    lowercase: bool,
+) -> DataFrame:
+    """Per-TRIPLE interpolated log-probabilities ``(id_col, __lp__)``
+    — the shared pipeline behind :func:`trigram_lm_score` (mean →
+    perplexity) and :func:`mink_prob_score` (mean of the k% lowest):
+    row-local triple fan-out → broadcast joins against the capped
+    trigram/bigram tables and the unigram log-prob table → the
+    Jelinek-Mercer mixture, one log per triple. Identical expression
+    tree to the r7 inline form (the lm3 oracle rows pin it)."""
     l3, l2 = float(lambda3), float(lambda2)
     if l3 < 0 or l2 < 0 or l3 + l2 >= 1.0:
         raise ValueError(
@@ -1685,15 +1721,71 @@ def trigram_lm_score(
         + F.lit(l2) * F.coalesce(F.col("__pb__"), F.lit(0.0))
         + F.lit(1.0 - l3 - l2) * p_uni
     )
-    agg = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-        F.avg(F.log(p)).alias("logprob_mean"),
+    return joined.select(F.col(id_col), F.log(p).alias("__lp__"))
+
+
+def mink_prob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    k: float = 0.2,
+    alpha: float = 0.5,
+    lambda3: float = 0.6,
+    lambda2: float = 0.3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Min-K% Prob membership/contamination score (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models" — the
+    public pretraining-data-detection statistic, here over the
+    engine's interpolated trigram LM instead of a neural LM): a
+    document the model has SEEN has few low-probability tokens, so
+    the mean log-probability of its k% LEAST likely trigrams is high;
+    unseen text keeps genuinely surprising triples. The
+    training-data-pipeline uses: rank eval-set candidates by
+    mink_logprob (high = likely leaked into the reference corpus the
+    LM tables were counted on), or flag corpus docs that score far
+    above their source's baseline (near-duplicates of heavy clusters).
+
+    Per doc over its token TRIPLES (same scoring pipeline as
+    :func:`trigram_lm_score`, bit-identical per-triple values):
+    ``k_used = max(ceil(k·n), 1)`` lowest log-probs, ``mink_logprob``
+    their mean, ``mink_ppl = exp(−mink_logprob)``. Docs with fewer
+    than 3 tokens emit no row.
+
+    Scale shape: the scoring joins are broadcast (capped model
+    tables); the per-doc ``collect_list`` holds ONE document's
+    trigram log-probs (bounded by document length — the chunk_docs
+    discipline applies upstream for pathological docs), sorted and
+    sliced row-locally; one data-sized shuffle total.
+    """
+    kf = float(k)
+    if not 0.0 < kf <= 1.0:
+        raise ValueError(f"k must be in (0, 1], got {k!r}")
+    rows = _trigram_logprob_rows(
+        df, text_col, id_col, vocab, bigrams, trigrams,
+        alpha, lambda3, lambda2, lowercase,
     )
+    agg = rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sort_array(F.collect_list("__lp__")).alias("__ls__"),
+    )
+    kn = F.greatest(
+        F.ceil(F.lit(kf) * F.col("n_trigrams")).cast("int"),
+        F.lit(1),
+    )
+    sel = F.slice(F.col("__ls__"), 1, kn)
+    mink = F.aggregate(
+        sel, F.lit(0.0), lambda acc, x: acc + x
+    ) / kn.cast("double")
     return agg.select(
         id_col,
         "n_trigrams",
-        "logprob_mean",
-        F.exp(-F.col("logprob_mean")).alias("ppl"),
+        kn.cast("long").alias("k_used"),
+        mink.alias("mink_logprob"),
+        F.exp(-mink).alias("mink_ppl"),
     )
 
 

@@ -597,6 +597,115 @@ class TestTrigramLM:
         exp = sum(lpd[w] for w in ws[2:]) / (len(ws) - 2)
         assert out["logprob_mean"] == pytest.approx(exp, rel=1e-9)
 
+    def test_mink_prob_matches_python_reference(self, model, spark):
+        # r13: Min-K% Prob (Shi et al. 2023) — mean of the k% lowest
+        # per-triple logprobs, per-triple values shared with
+        # trigram_lm_score
+        import math
+
+        from pandas_weights_spark.functions.text import (
+            mink_prob_score,
+            trigram_lm_score,
+        )
+
+        vocab, bg, tg, _ = model
+        # "u v w" is corpus-frequent; the alien tail triples are the
+        # low-prob set Min-K% should isolate
+        texts = [
+            (0, "u v w u v w u v w zzz qqq xxx"),
+            (1, "u v w u v w u v w u v w"),
+        ]
+        test = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in mink_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=0.25
+            ).collect()
+        }
+        lm = {
+            r["doc_id"]: r
+            for r in trigram_lm_score(
+                test, "text", "doc_id", vocab, bg, tg
+            ).collect()
+        }
+        # python reference: recompute per-triple logprobs, sort, mean
+        # the lowest ceil(0.25*n)
+        uni = {r["term"]: r["mass"] for r in vocab.collect()}
+        W, V = sum(uni.values()), len(uni)
+        denom = W + 0.5 * (V + 1)
+        bgm = {(r["w1"], r["w2"]): r["mass"] for r in bg.collect()}
+        bmarg = {}
+        for (w1, _), m in bgm.items():
+            bmarg[w1] = bmarg.get(w1, 0) + m
+        tgm = {
+            (r["w1"], r["w2"], r["w3"]): r["mass"]
+            for r in tg.collect()
+        }
+        tmarg = {}
+        for (w1, w2, _), m in tgm.items():
+            tmarg[(w1, w2)] = tmarg.get((w1, w2), 0) + m
+
+        def p(a, b, c):
+            pt = (
+                tgm.get((a, b, c), 0.0) / tmarg[(a, b)]
+                if (a, b) in tmarg else 0.0
+            )
+            pb = bgm.get((b, c), 0.0) / bmarg[b] if b in bmarg else 0.0
+            pu = (uni.get(c, 0) + 0.5) / denom
+            return 0.6 * pt + 0.3 * pb + 0.1 * pu
+
+        for did, text in texts:
+            ws = text.split()
+            lps = sorted(
+                math.log(p(a, b, c))
+                for a, b, c in zip(ws, ws[1:], ws[2:])
+            )
+            kn = max(math.ceil(0.25 * len(lps)), 1)
+            exp = sum(lps[:kn]) / kn
+            assert got[did]["k_used"] == kn
+            assert got[did]["n_trigrams"] == len(lps)
+            assert got[did]["mink_logprob"] == pytest.approx(
+                exp, rel=1e-9
+            )
+            assert got[did]["mink_ppl"] == pytest.approx(
+                math.exp(-exp), rel=1e-9
+            )
+            # the defining inequality: the lowest-k mean never
+            # exceeds the overall mean
+            assert (
+                got[did]["mink_logprob"]
+                <= lm[did]["logprob_mean"] + 1e-12
+            )
+        # membership signal: the fully corpus-attested doc scores
+        # far higher than the one with alien triples
+        assert got[1]["mink_logprob"] > got[0]["mink_logprob"] + 1.0
+
+    def test_mink_k_validation_and_k1(self, model, spark):
+        from pandas_weights_spark.functions.text import (
+            mink_prob_score,
+            trigram_lm_score,
+        )
+
+        vocab, bg, tg, corpus = model
+        for bad in (0.0, -0.2, 1.5):
+            with pytest.raises(ValueError, match="k must be"):
+                mink_prob_score(
+                    corpus, "text", "doc_id", vocab, bg, tg, k=bad
+                )
+        # k=1.0 degenerates to the plain mean (bit-comparable at
+        # rel tolerance; summation order differs sort vs stream)
+        test = corpus.where("doc_id = 200")
+        a = mink_prob_score(
+            test, "text", "doc_id", vocab, bg, tg, k=1.0
+        ).collect()[0]
+        b = trigram_lm_score(
+            test, "text", "doc_id", vocab, bg, tg
+        ).collect()[0]
+        assert a["k_used"] == a["n_trigrams"] == b["n_trigrams"]
+        assert a["mink_logprob"] == pytest.approx(
+            b["logprob_mean"], rel=1e-12
+        )
+
 
 class TestCorpusLineDedup:
     """remove_corpus_duplicate_lines — CCNet paragraph dedup +
