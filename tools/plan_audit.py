@@ -36,6 +36,9 @@ ALLOW = {
     # (mapInPandas) are the operator's contract — a binary container
     # build/walk, per-record memory, like the webdataset tar surface
     "warc_roundtrip": {"arrow"},
+    # r13: WET is the same container machinery (conversion records
+    # through to/from_warc_shards) — the warc_roundtrip contract
+    "wet_roundtrip": {"arrow"},
     # JSONL shard assembly + the per-shard gunzip pass are the
     # container's contract (one Arrow row per SHARD, not per record;
     # the record parse itself is Column-level from_json)
@@ -100,6 +103,12 @@ ALLOW = {
     # rows) and crossJoins the two 1-row scalar/regression aggregates
     # back (the classifier_eval/weighted_tests discipline)
     "zipf_stats": {"global-window", "bnl-cross"},
+    # r13: mink_prob builds the SAME capped model tables as the lm3
+    # rows (global_top_by_mass limit executes BEFORE the window —
+    # the tfidf/bpe/zipf plan shape, ≤ max_size/max_bigrams/
+    # max_trigrams rows under the window); the scoring joins are
+    # broadcast and the per-doc slice is an aggregate, not a window
+    "mink_prob": {"global-window"},
 }
 
 _GLOBAL_WINDOW = re.compile(
