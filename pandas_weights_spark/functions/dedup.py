@@ -1422,7 +1422,12 @@ def minhash_dedup_incremental(
     (state never broadcasts); verification touches candidates only;
     state carries signatures + shingle digests, never text (unless
     ``store_shingles``). Jaccard compares ROUNDED (6 dp) like the
-    rest of the family.
+    rest of the family. State grows one row per first-seen id
+    forever by design (suppression history IS the contract); to
+    bound it, prune ``new_state`` before persisting — e.g. anti-join
+    against ids retired from the corpus, or carry your own
+    ``snapshot_id`` column and filter by age — the kernel only
+    requires (id, sig, sh).
     """
     r = num_hashes // bands
     if r * bands != num_hashes:
@@ -1615,7 +1620,10 @@ def semantic_dedup_incremental(
     ``n_cells`` so cells stay executor-small, the SemDeDup design
     argument). NULL vectors never assign: they survive every batch
     and never enter state (documented, matching ``semantic_dedup``'s
-    NULL handling).
+    NULL handling). State grows one row per first-seen id forever
+    (the suppression-history contract); prune before persisting
+    exactly as for :func:`minhash_dedup_incremental` — the kernel
+    only requires (id, cell, v, norm) under the SAME centroids.
     """
     from pandas_weights_spark.functions.similarity import (
         assign_cells_arrow,

@@ -29,6 +29,7 @@ __all__ = [
     "write_partitioned",
     "write_bucketed",
     "write_sorted",
+    "write_shuffled",
     "zorder_value",
     "write_zordered",
 ]
@@ -111,6 +112,43 @@ def write_sorted(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(path)
+
+
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    key: str,
+    seed: int = 0,
+    n_files: int = 64,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """DETERMINISTIC global shuffle for training-data output — the
+    "shuffle once at write time, stream sequentially at train time"
+    layout every epoch loader wants (a training job reading files
+    0..N-1 in order then sees examples in seeded-random order without
+    any runtime shuffle buffer, and two runs of this writer produce
+    byte-identical file assignments).
+
+    Order is ``xxhash64(key, seed)``: a keyed hash, NOT ``rand()`` —
+    re-running the job, retrying a failed stage, or regenerating a
+    lost partition reproduces the same permutation (``rand()`` with a
+    seed is only deterministic per-partition-layout, which a retry
+    can change). Rows land range-partitioned on the hash
+    (``repartitionByRange`` + ``sortWithinPartitions`` — no
+    single-task global sort), ``n_files`` output files via an exact
+    range split. Ties (hash collisions) are broken by ``key`` so the
+    total order is unique. Different ``seed`` → an independent
+    permutation for the next epoch/run.
+    """
+    h = F.xxhash64(F.col(key), F.lit(int(seed)))
+    out = (
+        df.withColumn("__shuf__", h)
+        .repartitionByRange(int(n_files), F.col("__shuf__"))
+        .sortWithinPartitions("__shuf__", key)
+        .drop("__shuf__")
+    )
+    out.write.mode(mode).format(format).save(path)
 
 
 def zorder_value(

@@ -122,3 +122,73 @@ class TestWriteSorted:
         for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
             assert hi < lo  # disjoint, ordered key ranges
         assert spark.read.parquet(path).count() == 1000
+
+
+class TestWriteShuffled:
+    """r13: deterministic keyed global shuffle for training output."""
+
+    def test_deterministic_across_writes(self, spark, df, tmp_path):
+        from pandas_weights_spark.sources.sinks import write_shuffled
+
+        import pyarrow.parquet as pq
+
+        a, b = str(tmp_path / "sh1"), str(tmp_path / "sh2")
+        write_shuffled(df, a, "id", seed=7, n_files=4)
+        write_shuffled(df, b, "id", seed=7, n_files=4)
+
+        def stream(path):
+            out = []
+            for f in sorted(parquet_files(path)):
+                out.extend(
+                    pq.read_table(f, columns=["id"]).column("id")
+                    .to_pylist()
+                )
+            return out
+
+        sa, sb = stream(a), stream(b)
+        # byte-identical permutation across independent writes
+        assert sa == sb and len(sa) == 1000
+        # it IS a permutation, and not the identity order
+        assert sorted(sa) == list(range(1000)) and sa != sorted(sa)
+
+    def test_seed_changes_permutation(self, spark, df, tmp_path):
+        from pandas_weights_spark.sources.sinks import write_shuffled
+
+        import pyarrow.parquet as pq
+
+        a, b = str(tmp_path / "sh3"), str(tmp_path / "sh4")
+        write_shuffled(df, a, "id", seed=1, n_files=4)
+        write_shuffled(df, b, "id", seed=2, n_files=4)
+
+        def stream(path):
+            out = []
+            for f in sorted(parquet_files(path)):
+                out.extend(
+                    pq.read_table(f, columns=["id"]).column("id")
+                    .to_pylist()
+                )
+            return out
+
+        assert stream(a) != stream(b)
+
+    def test_matches_hash_order_exactly(self, spark, df, tmp_path):
+        # the written stream order equals sort-by-xxhash64(key, seed)
+        from pandas_weights_spark.sources.sinks import write_shuffled
+
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "sh5")
+        write_shuffled(df, path, "id", seed=7, n_files=4)
+        out = []
+        for f in sorted(parquet_files(path)):
+            out.extend(
+                pq.read_table(f, columns=["id"]).column("id")
+                .to_pylist()
+            )
+        want = [
+            r["id"]
+            for r in df.select("id")
+            .orderBy(F.xxhash64(F.col("id"), F.lit(7)), "id")
+            .collect()
+        ]
+        assert out == want
