@@ -1405,18 +1405,20 @@ def minhash_dedup_incremental(
     agree across snapshots — mismatched widths fail loudly on the
     array index; digest vs text state fails the verify join types).
 
-    Per batch: (1) ONE explode → ONE id-keyed aggregate computes the
-    signature mins AND the shingle-digest set together (the
-    :func:`minhash_signatures_agg` formulation, map-side combined —
-    no second pass over the text, no sig⋈shingles join); (2)
-    band-bucket join of batch vs state → cross-snapshot candidates,
-    exact-Jaccard verified at ``threshold`` — a batch doc matching
-    history DROPS (re-crawled near-dups stay suppressed forever);
-    (3) the survivors-of-history dedup within the batch (banded
-    self-join, verify, higher id of a verified pair drops — the
-    family's min-id rule); (4) ``new_state`` = old state ∪ every
-    batch doc not already present by id (state wins on id collision,
-    so a re-crawl keeps its original signature).
+    Per batch: (1) signatures via :func:`minhash_signatures_agg`
+    (map-side-combined mins) plus a ROW-LOCAL digest-set column
+    joined by id — measured faster at 100× than fusing
+    ``collect_set`` into the signature aggregate, which pushes the
+    whole explode through ``ObjectHashAggregate``'s sort-based
+    fallback; (2) band-bucket join of batch vs state →
+    cross-snapshot candidates, exact-Jaccard verified at
+    ``threshold`` — a batch doc matching history DROPS (re-crawled
+    near-dups stay suppressed forever); (3) the survivors-of-history
+    dedup within the batch (banded self-join, verify, higher id of a
+    verified pair drops — the family's min-id rule); (4)
+    ``new_state`` = old state ∪ every batch doc not already present
+    by id (state wins on id collision, so a re-crawl keeps its
+    original signature).
 
     Scale shape: the only data-sized shuffles are the band-key joins
     (state never broadcasts); verification touches candidates only;
@@ -1434,45 +1436,30 @@ def minhash_dedup_incremental(
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}"
         )
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(
-            word_ngrams(F.col(text_col), shingle_size)
-        ).alias("__s__"),
+    sigs = minhash_signatures_agg(
+        df, text_col, id_col, num_hashes, shingle_size,
+        portable=portable,
     )
-    # same permutation-hash formulas as minhash_signatures_agg — the
-    # digest set rides the SAME explode + aggregate (collect_set is
-    # map-side combined like the mins), so signatures stay bit-equal
-    # to the standalone function while the text is read exactly once
-    if portable:
-        aggs = [
-            F.min(
-                F.md5(F.concat(F.lit(f"{i} "), F.col("__s__")))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    else:
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("__s__"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    grams = word_ngrams(F.col(text_col), shingle_size)
     if store_shingles:
-        sh_el = F.col("__s__")
+        sh = F.array_distinct(grams)
     elif portable:
-        sh_el = F.substring(F.md5(F.col("__s__")), 1, 16)
-    else:
-        sh_el = F.xxhash64(F.col("__s__"))
-    packed = (
-        exploded.groupBy(id_col)
-        .agg(*aggs, F.collect_set(sh_el).alias("sh"))
-        .select(
-            F.col(id_col),
-            F.array(
-                *[F.col(f"h{i}") for i in range(num_hashes)]
-            ).alias("sig"),
-            F.col("sh"),
+        sh = F.array_distinct(
+            F.transform(
+                grams, lambda s: F.substring(F.md5(s), 1, 16)
+            )
         )
-    )
+    else:
+        sh = F.array_distinct(
+            F.transform(grams, lambda s: F.xxhash64(s))
+        )
+    shdf = df.select(F.col(id_col), sh.alias("sh"))
+    packed = sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+            "sig"
+        ),
+    ).join(shdf, id_col)
 
     def banded(st: DataFrame) -> DataFrame:
         return st.select(

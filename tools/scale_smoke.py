@@ -1014,6 +1014,38 @@ def main() -> int:
 
     dbench("incremental semdedup (2 snaps)", _sem_incr, clus_n)
 
+    # r13: c-TF-IDF over a 20-way synthetic class split — explode +
+    # (class, term) agg + vocab-keyed join + per-class top-k window
+    from pandas_weights_spark.functions.text import class_tfidf
+
+    cdocs = docs.select(
+        (F.col("doc_id") % 20).cast("string").alias("src"), "text"
+    )
+    dbench("class_tfidf top-10 x20", lambda: class_tfidf(
+        cdocs, "text", "src", k=10, min_tf=2
+    ), docs_n)
+
+    # r13: Min-K% Prob over the trigram LM — capped model tables
+    # trained on the full corpus, a 10% slice scored (per-doc
+    # collect/sort/slice after broadcast joins)
+    from pandas_weights_spark.functions.text import (
+        bigram_counts,
+        mink_prob_score,
+        trigram_counts,
+    )
+    from pandas_weights_spark.functions.vocab import build_vocabulary
+
+    def _mink():
+        v = build_vocabulary(docs, "text", max_size=50_000)
+        bg = bigram_counts(docs, "text", max_bigrams=100_000)
+        tg = trigram_counts(docs, "text", max_trigrams=200_000)
+        return mink_prob_score(
+            docs.where(F.col("doc_id") % 10 == 0), "text", "doc_id",
+            v, bg, tg, k=0.2,
+        )
+
+    dbench("mink_prob (train+score 10%)", _mink, docs_n)
+
     spark.stop()
     return 0
 
