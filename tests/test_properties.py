@@ -712,3 +712,94 @@ class TestR11CrossEngineFuzz:
         exp = duckdb.sql(sql).fetchone()
         for i, k in enumerate(keys):
             assert got[k] == exp[i], (k, text)
+
+
+class TestR13CrossEngineFuzz:
+    """Random-input cross-engine agreement for the r13 regex
+    surfaces: pipe-table markdown rendering and sitemaps.org parsing
+    must produce the SAME value in Spark (java.util.regex) and the
+    DuckDB replay (RE2) on arbitrary junk."""
+
+    _table_soup = st.lists(
+        st.sampled_from(
+            list("abXY 01<>/&#;=\"'|.*-\n\t")
+            + ["<table>", "</table>", "<tr>", "</tr>", "<td>",
+               "</td>", "<th>", "</th>", "<caption>c</caption>",
+               "<p>", "</p>", "<b>", "</b>", "&amp;", "&#124;",
+               "<td colspan=\"2\">", "<thead>", "</thead>"]
+        ),
+        min_size=0,
+        max_size=25,
+    ).map("".join)
+
+    @settings(**SETTINGS)
+    @given(html=_table_soup)
+    def test_pipe_tables_cross_engine(self, spark, html):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            html_to_markdown,
+            html_to_markdown_sql,
+        )
+
+        row = (
+            spark.createDataFrame([(html,)], "h string")
+            .select(
+                html_to_markdown(
+                    F.col("h"), pipe_tables=True
+                ).alias("p"),
+                html_to_markdown(
+                    F.col("h"), escape=True, pipe_tables=True
+                ).alias("e"),
+            )
+            .first()
+        )
+        lit = html.replace("'", "''")
+        exp = duckdb.sql(
+            f"SELECT {html_to_markdown_sql('h', pipe_tables=True)} "
+            f"AS p, "
+            f"{html_to_markdown_sql('h', escape=True, pipe_tables=True)}"
+            f" AS e FROM (SELECT '{lit}' AS h)"
+        ).fetchone()
+        assert row["p"] == exp[0], html
+        assert row["e"] == exp[1], html
+
+    _xml_soup = st.lists(
+        st.sampled_from(
+            list("abZ 019<>/&;=\"'.-:T+")
+            + ["<url>", "</url>", "<loc>", "</loc>", "<lastmod>",
+               "</lastmod>", "<priority>", "</priority>",
+               "<changefreq>", "</changefreq>", "<sitemap>",
+               "</sitemap>", "<urlset>", "</urlset>", "&amp;",
+               "2024-03-05", "0.8", "daily", "https://e/x"]
+        ),
+        min_size=0,
+        max_size=25,
+    ).map("".join)
+
+    @settings(**SETTINGS)
+    @given(xml=_xml_soup)
+    def test_sitemap_cross_engine(self, spark, xml):
+        import duckdb
+
+        from pandas_weights_spark.functions.robots import (
+            sitemap_entries,
+            sitemap_entries_sql,
+        )
+
+        got = (
+            spark.createDataFrame([(xml,)], "x string")
+            .select(sitemap_entries(F.col("x")).alias("v"))
+            .first()["v"]
+        )
+        got = [tuple(e) for e in got] if got is not None else None
+        lit = xml.replace("'", "''")
+        exp = duckdb.sql(
+            f"SELECT {sitemap_entries_sql('x')} AS v "
+            f"FROM (SELECT '{lit}' AS x)"
+        ).fetchone()[0]
+        exp = (
+            [tuple(e.values()) for e in exp] if exp is not None
+            else None
+        )
+        assert got == exp, xml
