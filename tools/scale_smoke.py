@@ -1046,6 +1046,31 @@ def main() -> int:
 
     dbench("mink_prob (train+score 10%)", _mink, docs_n)
 
+    # r13: sitemap XML parsing — row-local regex+HOF over synthetic
+    # 10-entry urlsets (scan-speed claim for the discovery step)
+    from pandas_weights_spark.functions.robots import sitemap_entries
+
+    sm_xml = F.concat(
+        F.lit("<urlset>"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(10)),
+            F.lit(""),
+            lambda acc, i: F.concat(
+                acc,
+                F.lit("<url><loc>https://h"),
+                F.col("doc_id").cast("string"),
+                F.lit(".ex/p"),
+                i.cast("string"),
+                F.lit("</loc><lastmod>2024-03-05</lastmod>"
+                      "<priority>0.5</priority></url>"),
+            ),
+        ),
+        F.lit("</urlset>"),
+    )
+    dbench("sitemap_entries 10-url", lambda: docs.select(
+        F.size(sitemap_entries(sm_xml)).alias("n")
+    ), docs_n)
+
     spark.stop()
     return 0
 
