@@ -63,6 +63,7 @@ __all__ = [
     "split_sentences_trained",
     "train_sentence_collocations",
     "train_sentence_starters",
+    "train_punkt",
     "split_sentences_punkt",
     "class_tfidf",
     "ngram_counts",
@@ -2260,6 +2261,57 @@ def train_sentence_starters(
     return out.orderBy(
         F.col("score").desc(), "starter"
     ).limit(int(max_starters))
+
+
+def train_punkt(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+    abbrev_threshold: float = 0.3,
+    colloc_threshold: float = 7.88,
+    starter_threshold: float = 30.0,
+    require_ortho: bool = True,
+    max_rows: int = 1000,
+) -> "dict[str, list]":
+    """End-to-end Punkt training — both stages in one call, returning
+    the COLLECTED model (model-sized lists, the LID-profile
+    discipline) shaped for :func:`split_sentences_punkt`:
+    ``{"abbrevs": [...], "collocations": [(w1, w2), ...],
+    "starters": [...]}``. Stage 1 trains the abbreviation types;
+    stage 2 trains collocations and sentence starters with the
+    learned abbreviations excluded from the boundary proxy.
+    ``require_ortho`` keeps only starters with LOWERCASE internal
+    evidence (``n_low_internal > 0`` — a type that capitalizes
+    everywhere, like a proper noun, is not orthographic evidence of
+    a boundary). Three aggregate jobs over the corpus; feed the dict
+    straight through: ``split_sentences_punkt(col, **model)``."""
+    ab = [
+        r["abbrev"]
+        for r in train_sentence_abbreviations(
+            df, text_col, min_count=min_count,
+            threshold=abbrev_threshold, max_abbrevs=max_rows,
+        ).collect()
+        if r["is_abbrev"]
+    ]
+    co = [
+        (r["w1"], r["w2"])
+        for r in train_sentence_collocations(
+            df, text_col, min_pair_count=min_count,
+            threshold=colloc_threshold, max_pairs=max_rows,
+        ).collect()
+        if r["is_collocation"]
+    ]
+    st_rows = train_sentence_starters(
+        df, text_col, abbrevs=ab, min_count=min_count,
+        threshold=starter_threshold, max_starters=max_rows,
+    ).collect()
+    st = [
+        r["starter"]
+        for r in st_rows
+        if r["is_starter"]
+        and (not require_ortho or r["n_low_internal"] > 0)
+    ]
+    return {"abbrevs": ab, "collocations": co, "starters": st}
 
 
 def split_sentences_punkt(

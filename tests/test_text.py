@@ -2630,6 +2630,37 @@ class TestPunktAbbreviations:
         # and splits the ordinal
         assert "He saw No." in base
 
+    def test_train_punkt_end_to_end(self, spark):
+        # one call trains both stages and the dict feeds the splitter
+        from pandas_weights_spark.functions.text import (
+            split_sentences_punkt,
+            train_punkt,
+        )
+
+        # union of the stage-1 corpus (dense abbreviation evidence)
+        # and the stage-2 corpus (ordinals + starters)
+        both = self._corpus(spark).unionByName(self._corpus2(spark))
+        model = train_punkt(both, "text")
+        assert "dept" in model["abbrevs"]
+        assert ("no", "5") in model["collocations"]
+        assert "then" in model["starters"]
+        # require_ortho: "then" is seen lowercase internally, kept;
+        # with the gate off the list can only grow
+        loose = train_punkt(both, "text", require_ortho=False)
+        assert set(model["starters"]) <= set(loose["starters"])
+        t = spark.createDataFrame(
+            [("We filed No. 5 today. Ask the dept. Then we left.",)],
+            ["text"],
+        )
+        got = t.select(
+            split_sentences_punkt(F.col("text"), **model).alias("s")
+        ).first()["s"]
+        assert got == [
+            "We filed No. 5 today.",
+            "Ask the dept.",
+            "Then we left.",
+        ]
+
     def test_punkt_splitter_degenerate_models(self, spark):
         # empty collocations/starters degrade EXACTLY to the trained
         # splitter; empty abbrevs disable the override path
