@@ -11586,8 +11586,27 @@ _ORACLE["snapshot_delta"] = """
 # Hard feasibility: |front ∪ stale2| ≤ 50 every round (asserted);
 # advisory headroom bound n ≤ 140 (asserted with a widen-again message).
 
-#: first-50 window of CORRECTNESS_r12.json (driver-checked last round).
+#: first-50 window of CORRECTNESS_r13.json (driver-checked last round).
 _PREV_WINDOW: frozenset = frozenset({
+    "punkt_context", "semdedup_incremental", "class_tfidf",
+    "sitemap_parse", "wet_roundtrip", "mink_prob",
+    "neardup_incremental", "punkt_abbrevs", "html_markdown",
+    "html_tables", "warc_roundtrip", "tfidf_top_terms",
+    "spearman_corr", "readability", "html_meta", "token_budget",
+    "ann_recall", "pipeline_funnel", "hybrid_search", "anchor_stats",
+    "lang_mix", "charset_decode", "charset_stats", "lang_id_ngram",
+    "web_hygiene", "pdf_extract", "aligned_corr_cov",
+    "grouping_sets", "weighted_sample", "hash_split",
+    "pack_sequences", "dedup_exact", "text_metrics", "asof_join",
+    "doc_weighted_stats", "neardup_pairs", "linfit", "ann_topk",
+    "range_join", "weighted_cms", "ewm_pair", "group_transforms",
+    "qcut", "pivot_table", "bloom_semi_join", "weighted_centroids",
+    "window_stats", "star_join_mean", "grouped_apply", "chunk_docs",
+})
+
+#: first-50 window of CORRECTNESS_r12.json (driver-checked two rounds
+#: back) — the second history term of the three-round guarantee.
+_PREV_WINDOW2: frozenset = frozenset({
     "neardup_incremental", "punkt_abbrevs", "phrase_hits",
     "zipf_stats", "semantic_decontam", "html_markdown",
     "knn_density", "classifier_eval", "c4_fineweb", "html_tables",
@@ -11604,58 +11623,13 @@ _PREV_WINDOW: frozenset = frozenset({
     "group_skew_kurt", "value_counts", "group_corr",
 })
 
-#: first-50 window of CORRECTNESS_r11.json (driver-checked two rounds
-#: back) — the second history term of the three-round guarantee.
-_PREV_WINDOW2: frozenset = frozenset({
-    "aligned_corr_cov", "anchor_stats", "ann_recall", "ann_topk",
-    "asof_join", "bloom_semi_join", "c4_fineweb", "calibration",
-    "charset_decode", "charset_stats", "chunk_docs",
-    "classifier_eval", "decontam", "dedup_exact",
-    "doc_weighted_stats", "ewm_pair", "group_transforms",
-    "grouped_apply", "grouping_sets", "hash_split", "html_extract",
-    "html_markdown", "html_meta", "html_tables", "hybrid_search",
-    "knn_density", "lang_id_ngram", "lang_mix", "linfit",
-    "multimodal_features", "neardup_pairs", "pack_sequences",
-    "pdf_extract", "pipeline_funnel", "pivot_table", "qcut",
-    "range_join", "readability", "semantic_decontam", "session_agg",
-    "star_join_mean", "stream_resample", "text_metrics",
-    "tfidf_top_terms", "token_budget", "web_hygiene",
-    "weighted_centroids", "weighted_cms", "weighted_sample",
-    "window_stats",
-})
-
-#: queries ADDED in the current round (r13) — always in the window.
+#: queries ADDED in the current round (r14) — always in the window.
 _NEW_THIS_ROUND: tuple = (
-    "punkt_context",
-    "semdedup_incremental",
-    "class_tfidf",
-    "sitemap_parse",
-    "wet_roundtrip",
-    "mink_prob",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
-    "punkt_abbrevs",     # r13: sign-of-zero normalization (+ 0.0) on
-                         #   the type score, both engines — fixes the
-                         #   r12 driver hash red (-0.0 vs +0.0)
-    "neardup_incremental",  # r13: digest-only state (md5-prefix /
-                         #   xxhash64 shingle digests, ≤16 B each)
-                         #   replaces raw shingle text; fused
-                         #   explode+agg computes sig + digest set
-                         #   in one pass; oracle replays digests
-    "html_markdown",     # r13: pipe_tables=True GFM table render +
-                         #   table section in the fixture page
-    "html_tables",       # r13: extract_tables grid machinery
-                         #   factored into _table_rows (pure refactor,
-                         #   shared with the pipe render) — re-check
-    "warc_roundtrip",    # r13: warc_record gained conversion/WET
-                         #   records + WARC-Refers-To; parser schema
-                         #   gained refers_to (query select unchanged)
-    "tfidf_top_terms",   # r13: trigram_lm_score refactored onto the
-                         #   shared _trigram_logprob_rows (lm3 rows
-                         #   pinned bit-identical — re-check)
 )
 
 
