@@ -11630,6 +11630,21 @@ _NEW_THIS_ROUND: tuple = (
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
+    "dsir_select",       # r14: dsir_gumbel_topk routes k > group-limit
+                         #   threshold through the salted executor-side
+                         #   global_top_by_mass (no TakeOrdered driver
+                         #   merge at selection-scale k); small-k plan
+                         #   and all row sets unchanged
+    "weighted_sample",   # r14: same threshold guard on the πps
+                         #   sequential-Poisson selection; docstring
+                         #   overclaim ("scales to any corpus size")
+                         #   corrected to the partitions × n driver
+                         #   bound of the TakeOrdered regime
+    "class_tfidf",       # r14: per-class rank routes through
+                         #   partitioned_topk(salt_by=term) — Partial
+                         #   WindowGroupLimit pre-filter under the
+                         #   threshold, salted two-stage above; same
+                         #   rows, same plan at default k
 )
 
 

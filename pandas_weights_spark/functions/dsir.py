@@ -40,10 +40,18 @@ Scale design:
   document: one shuffle keyed by the document id. No Python in the
   hot path; everything is Column algebra.
 * **Resampling** (:func:`dsir_gumbel_topk`) — map-only key
-  construction (the engine's md5 ``uniform_hash`` → Gumbel) +
-  ``orderBy().limit(k)``, which Spark executes as
-  TakeOrderedAndProject: per-partition top-k partials, never a full
-  sort. Deterministic under reshuffling/seed.
+  construction (the engine's md5 ``uniform_hash`` → Gumbel), then a
+  scale-guarded global top-k: ``k`` at or under the session's window
+  group-limit threshold keeps ``orderBy().limit(k)``
+  (TakeOrderedAndProject — per-partition top-k partials, driver
+  merge bounded by ``partitions × threshold`` rows); above it the
+  selection routes through
+  :func:`~pandas_weights_spark.topk.global_top_by_mass`'s salted
+  executor-side two-stage — DSIR's real ``k`` is MILLIONS of
+  documents out of a raw corpus scan, and a TakeOrdered at that
+  ``k`` holds ``partitions × k`` rows on the driver (the exact OOM
+  topk.py documents). Identical row set either way; deterministic
+  under reshuffling/seed.
 
 Determinism: bucket ids and uniforms are md5 arithmetic (bit-exact in
 the DuckDB oracle); log/ratio algebra is IEEE-deterministic given the
@@ -300,10 +308,28 @@ def dsir_gumbel_topk(
     on rounded inputs) break by ``id_cols`` ascending for a stable
     result set.
 
-    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
-    per-partition top-k then a k-row merge on the driver; no global
-    sort, no full shuffle. Returns ``df``'s columns plus ``key_col``.
+    Execution is scale-guarded on the session's window group-limit
+    threshold (the :func:`~pandas_weights_spark.topk.partitioned_topk`
+    convention): ``k`` at or under it compiles to
+    TakeOrderedAndProject — per-partition top-k partials, then a
+    driver merge bounded by ``partitions × threshold`` rows; ABOVE it
+    (DSIR's real regime — k = millions of training documents from a
+    raw corpus scan) the TakeOrdered driver reduce would hold
+    ``partitions × k`` rows (the driver-OOM topk.py:50–54 documents),
+    so selection routes through
+    :func:`~pandas_weights_spark.topk.global_top_by_mass`: salted
+    per-bucket rank, then a single spillable executor-side re-rank of
+    ``≤ buckets × k`` survivors — nothing k-sized ever lands on the
+    driver. Both plans produce EXACTLY the same row set (the salted
+    stage never drops a true top-k row — topk.py's invariant).
+    Returns ``df``'s columns plus ``key_col``; no output ordering is
+    promised in the salted regime (samples are consumed as sets).
     """
+    from pandas_weights_spark.topk import (
+        _group_limit_threshold,
+        global_top_by_mass,
+    )
+
     if k < 1:
         raise ValueError("k must be >= 1")
     ids = list(id_cols)
@@ -312,6 +338,7 @@ def dsir_gumbel_topk(
     keyed = df.select(
         *df.columns, (log_weight + g).alias(key_col)
     ).where(F.col(key_col).isNotNull())
-    return keyed.orderBy(
-        F.col(key_col).desc(), *[F.col(c).asc() for c in ids]
-    ).limit(int(k))
+    order = [F.col(key_col).desc(), *[F.col(c).asc() for c in ids]]
+    if int(k) <= _group_limit_threshold(df):
+        return keyed.orderBy(*order).limit(int(k))
+    return global_top_by_mass(keyed, key_col, order, int(k))

@@ -619,14 +619,23 @@ def class_tfidf(
     Plan: explode → groupBy(class, term) [shuffle 1, map-side
     combined] → groupBy(term) totals [shuffle 2, rows = vocab] →
     join back on term (reuses shuffle-2 partitioning) → the 1-row
-    ``A`` broadcast → per-CLASS top-k window [shuffle 3, one
-    partition per class over that class's vocab — the
-    tfidf_top_terms window shape with far fewer partitions]. All
-    JVM built-ins, no UDF; ``min_tf`` prunes the hapax tail from the
+    ``A`` broadcast → per-class top-k via
+    :func:`~pandas_weights_spark.topk.partitioned_topk` salted by
+    ``term``. Class columns are LOW-cardinality by definition
+    (source/domain/cluster — 5–50 values), so a plain per-class
+    window would funnel each class's entire distinct-term table
+    (easily 10⁸ rows for a web-scale class) into ONE sort task;
+    partitioned_topk instead keeps the single window only while the
+    optimizer's Partial WindowGroupLimit pre-filters every map task
+    to its local top-``k`` per class BEFORE the exchange (k ≤ the
+    group-limit threshold — only ``k × map_partitions`` rows per
+    class ever shuffle), and switches to the salted two-stage above
+    it, so no task ever sorts a class's full vocabulary. All JVM
+    built-ins, no UDF; ``min_tf`` prunes the hapax tail from the
     (class, term) count table when vocab is huge — ``f(t)``, ``A``,
     and ranks are then statistics of the PRUNED table (documented;
     the default 1 prunes nothing)."""
-    from pyspark.sql import Window
+    from pandas_weights_spark.topk import partitioned_topk
 
     tok = df.select(
         F.col(class_col).alias("__c__"),
@@ -661,19 +670,19 @@ def class_tfidf(
             F.round(score, 6).alias("score"),
         )
     )
-    w = Window.partitionBy("__c__").orderBy(
-        F.col("score").desc(), F.col("term")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select(
-            F.col("__c__").alias(class_col),
-            "term",
-            "tf",
-            "score",
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return partitioned_topk(
+        scored,
+        part_by=["__c__"],
+        order_by=[F.col("score").desc(), F.col("term")],
+        k=int(k),
+        salt_by=["term"],
+        rank_col="rank",
+    ).select(
+        F.col("__c__").alias(class_col),
+        "term",
+        "tf",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

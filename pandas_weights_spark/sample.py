@@ -21,11 +21,16 @@ Design constraints, in priority order:
    Efraimidis-Spirakis. Division is exactly rounded in IEEE 754, so
    Spark and the oracle rank identically bit-for-bit; ``pow``/``ln``
    are only faithfully rounded and could disagree at the margin.
-3. **Scale.** :func:`weighted_sample` is ``orderBy(key).limit(n)`` —
-   Spark's TakeOrdered: each partition keeps its local top-``n`` and
-   only ``n × partitions`` candidate rows ever move, no full sort, no
-   full shuffle. :func:`stratified_sample` is a rank-limited window
-   with group-limit pushdown (salted above the threshold — topk.py).
+3. **Scale.** :func:`weighted_sample` is threshold-guarded: ``n`` at
+   or under the window group-limit threshold is ``orderBy(key).
+   limit(n)`` — Spark's TakeOrdered, whose driver merge holds
+   ``n × partitions`` candidate rows (bounded by the ≤ 1000-row
+   threshold); above it the selection routes through the salted
+   executor-side two-stage of topk.py, because a TakeOrdered at
+   πps-real ``n`` (millions of docs over a 100 TB scan's 50 k+
+   splits) is a driver OOM, not a slowdown.
+   :func:`stratified_sample` is a rank-limited window with
+   group-limit pushdown (salted above the threshold — topk.py).
    :func:`hash_split` is a pure map — no shuffle at all.
 """
 
@@ -107,16 +112,41 @@ def weighted_sample(
     Sequential Poisson sampling: rank ascending by ``u / w`` (ties broken
     by the key columns) and keep the first ``n``. Rows with NULL or
     non-positive weight are excluded — they have no selection
-    probability. Executes as TakeOrdered (per-partition top-``n``, then a
-    single merge of ``n``-row candidate sets), so it scales to any corpus
-    size for ``n`` that fits on one executor.
+    probability.
+
+    Execution is scale-guarded on the session's window group-limit
+    threshold (the :func:`~pandas_weights_spark.topk.partitioned_topk`
+    convention). ``n`` at or under it executes as TakeOrdered
+    (per-partition top-``n`` partials, then a DRIVER merge of the
+    per-partition candidate sets — ``n × partitions`` rows on the
+    driver, bounded by the ≤ 1000-row threshold). Above it — πps
+    sampling n = millions of documents from a 100 TB scan is the
+    normal pipeline use, and there the candidate sets from every
+    input split land on the driver, not an executor — selection
+    routes through
+    :func:`~pandas_weights_spark.topk.global_top_by_mass`: salted
+    per-bucket rank, one spillable executor-side re-rank of
+    ``≤ buckets × n`` survivors, nothing n-sized on the driver.
+    Identical row set either way (topk.py's exactness invariant); no
+    output ordering is promised in the salted regime (samples are
+    consumed as sets). :func:`poisson_sample` is the map-only
+    alternative when expected-size semantics suffice.
     """
+    from pandas_weights_spark.topk import (
+        _group_limit_threshold,
+        global_top_by_mass,
+    )
+
     u = uniform_hash([F.col(c) for c in key_cols], seed)
     w = weight.cast("double")
     ranked = df.where(w.isNotNull() & (w > 0)).withColumn(
         "__pw_skey__", u / w
     )
-    out = ranked.orderBy(F.col("__pw_skey__").asc(), *key_cols).limit(n)
+    order = [F.col("__pw_skey__").asc(), *[F.col(c) for c in key_cols]]
+    if int(n) <= _group_limit_threshold(df):
+        out = ranked.orderBy(*order).limit(int(n))
+    else:
+        out = global_top_by_mass(ranked, "__pw_skey__", order, int(n))
     return out.drop("__pw_skey__")
 
 

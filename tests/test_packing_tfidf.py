@@ -167,6 +167,45 @@ class TestClassTfidf:
         assert ("web", "offer") not in terms  # tf=1 pruned
         assert ("web", "spam") in terms
 
+    def test_rank_has_group_limit_pushdown(self, corpus):
+        # r14: the per-class rank routes through partitioned_topk —
+        # under the threshold the optimizer's Partial WindowGroupLimit
+        # pre-filters every map task to its local top-k per class
+        # BEFORE the exchange, so a web-scale class's vocabulary never
+        # funnels into one sort task unfiltered
+        from pandas_weights_spark.functions.text import class_tfidf
+
+        df = class_tfidf(corpus, "text", "source", k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+    def test_huge_k_salts_same_rows(self, corpus):
+        # above the threshold the rank switches to the salted
+        # two-stage (salt_by=term) — identical rows, no class's full
+        # vocab in a single unsalted window task
+        from pandas_weights_spark.functions.text import class_tfidf
+
+        spark = corpus.sparkSession
+        ref = {
+            (r["source"], r["term"], r["tf"], r["score"], r["rank"])
+            for r in class_tfidf(corpus, "text", "source", k=100).collect()
+        }
+        key = "spark.sql.optimizer.windowGroupLimitThreshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "10")
+        try:
+            salted = class_tfidf(corpus, "text", "source", k=100)
+            plan = salted._jdf.queryExecution().executedPlan().toString()
+            assert "pmod" in plan, plan
+            assert plan.count("Window [") == 2, plan
+            got = {
+                (r["source"], r["term"], r["tf"], r["score"], r["rank"])
+                for r in salted.collect()
+            }
+        finally:
+            spark.conf.set(key, old)
+        assert got == ref and ref
+
 
 class TestChunkDocuments:
     """Sliding-window chunking (packing.chunk_documents)."""

@@ -461,3 +461,79 @@ class TestMixtureMaterialize:
         assert sorted((r["id"], r["epoch"]) for r in out) == [
             (1, 0), (1, 1), (3, 0), (3, 1)
         ]
+
+
+class TestScaleGuardedSelection:
+    """r14: above the session's window group-limit threshold,
+    weighted_sample and dsir_gumbel_topk route through the salted
+    executor-side two-stage (topk.global_top_by_mass) instead of
+    ``orderBy().limit(n)`` — TakeOrdered's driver merge holds
+    ``partitions × n`` candidate rows, the exact OOM topk.py:50-54
+    documents for million-row selections over a 100 TB scan. Both
+    regimes must select EXACTLY the same rows."""
+
+    THRESH = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_weighted_sample_salted_regime_same_rows(self, spark):
+        # unique keys -> (u/w, keys) is a TOTAL order (the operator's
+        # documented precondition; the synthetic lineitem table has
+        # duplicate (orderkey, linenumber) pairs, so a frame with a
+        # real key column is the right exactness fixture)
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 17) + 1).cast("double").alias("w"),
+        )
+        ref = {
+            r["doc_id"]
+            for r in weighted_sample(df, F.col("w"), 60, ["doc_id"]).collect()
+        }
+        old = spark.conf.get(self.THRESH)
+        spark.conf.set(self.THRESH, "10")
+        try:
+            salted = weighted_sample(df, F.col("w"), 60, ["doc_id"])
+            plan = self._plan(salted)
+            assert "TakeOrdered" not in plan, plan
+            assert "pmod" in plan, plan  # salted stage-1 routing
+            got = {r["doc_id"] for r in salted.collect()}
+        finally:
+            spark.conf.set(self.THRESH, old)
+        assert got == ref and len(got) == 60
+
+    def test_weighted_sample_small_n_keeps_take_ordered(self, lineitem):
+        # under the threshold the driver merge is bounded (<= 1000 x
+        # partitions rows) and TakeOrdered's no-shuffle plan wins
+        df = weighted_sample(
+            lineitem, F.col("l_quantity"), 60,
+            ["l_orderkey", "l_linenumber"],
+        )
+        assert "TakeOrderedAndProject" in self._plan(df)
+
+    def test_dsir_gumbel_topk_salted_regime_same_rows(self, spark):
+        from pandas_weights_spark.functions.dsir import dsir_gumbel_topk
+
+        df = spark.createDataFrame(
+            [(i, float(i % 13) / 3.0) for i in range(400)],
+            "doc_id long, lw double",
+        )
+        ref = {
+            r["doc_id"]
+            for r in dsir_gumbel_topk(
+                df, F.col("lw"), 50, ["doc_id"], seed=3
+            ).collect()
+        }
+        old = spark.conf.get(self.THRESH)
+        spark.conf.set(self.THRESH, "10")
+        try:
+            salted = dsir_gumbel_topk(df, F.col("lw"), 50, ["doc_id"], seed=3)
+            plan = self._plan(salted)
+            assert "TakeOrdered" not in plan, plan
+            assert "pmod" in plan, plan
+            got = {r["doc_id"] for r in salted.collect()}
+        finally:
+            spark.conf.set(self.THRESH, old)
+        assert got == ref and len(got) == 50
+        # gumbel key column survives in both regimes
+        assert "gumbel_key" in salted.columns
