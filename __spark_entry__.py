@@ -2575,6 +2575,10 @@ def _q_sitemap_parse(spark, sf_dir):
     # INVALID gated date (2024-99-99 → NULL, never an ANSI error),
     # changefreq case-folding, parseable and junk priority, a
     # whitespace-padded loc, and an empty-loc entry that must drop.
+    # r14: CDATA rows — a Google-News-style <![CDATA[...]]> loc whose
+    # &amp; must stay LITERAL (CDATA content is never entity-decoded),
+    # a bracket-whitespace-trimmed CDATA loc, a CDATA lastmod, and an
+    # empty-CDATA loc that drops like an empty plain loc.
     # Row-local regex + HOF algebra; DuckDB replays via the emitted
     # sitemap_entries_sql twin.
     from pandas_weights_spark.functions.robots import sitemap_entries
@@ -2594,6 +2598,14 @@ def _q_sitemap_parse(spark, sf_dir):
         F.lit(".ex/b </loc><lastmod>2024-99-99</lastmod>"
               "<priority>high</priority></url>"
               "<url><loc></loc><priority>1.0</priority></url>"
+              "<url><loc><![CDATA[https://h"),
+        ids,
+        F.lit(".ex/n?a=1&amp;b=2]]></loc>"
+              "<lastmod><![CDATA[2024-05-06]]></lastmod></url>"
+              "<url><loc> <![CDATA[ https://h"),
+        ids,
+        F.lit(".ex/t ]]> </loc></url>"
+              "<url><loc><![CDATA[]]></loc></url>"
               "</urlset>"),
     )
     smidx = F.concat(
@@ -2649,6 +2661,14 @@ def _sitemap_parse_sql() -> str:
           || '.ex/b </loc><lastmod>2024-99-99</lastmod>'
           || '<priority>high</priority></url>'
           || '<url><loc></loc><priority>1.0</priority></url>'
+          || '<url><loc><![CDATA[https://h'
+          || CAST(doc_id AS VARCHAR)
+          || '.ex/n?a=1&amp;b=2]]></loc>'
+          || '<lastmod><![CDATA[2024-05-06]]></lastmod></url>'
+          || '<url><loc> <![CDATA[ https://h'
+          || CAST(doc_id AS VARCHAR)
+          || '.ex/t ]]> </loc></url>'
+          || '<url><loc><![CDATA[]]></loc></url>'
           || '</urlset>'
         END AS x
       FROM documents
@@ -11640,6 +11660,11 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   overclaim ("scales to any corpus size")
                          #   corrected to the partitions × n driver
                          #   bound of the TakeOrdered regime
+    "sitemap_parse",     # r14: CDATA sections unwrap verbatim in
+                         #   sitemap_entries (both engines); fixture
+                         #   gained CDATA loc/lastmod/empty rows;
+                         #   docstring order claim corrected to
+                         #   "document order within each kind"
     "class_tfidf",       # r14: per-class rank routes through
                          #   partitioned_topk(salt_by=term) — Partial
                          #   WindowGroupLimit pre-filter under the

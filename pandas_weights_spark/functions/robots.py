@@ -446,12 +446,31 @@ _SM_ENTITIES = (
 )
 
 
-def _sm_field(body: Column, tag: str) -> Column:
-    return F.regexp_extract(
-        body,
-        f"(?is)<{tag}{_SM_WS}*>{_SM_WS}*([^<]*?){_SM_WS}*</{tag}",
-        1,
+def _sm_plain_pat(tag: str) -> str:
+    return f"(?is)<{tag}{_SM_WS}*>{_SM_WS}*([^<]*?){_SM_WS}*</{tag}"
+
+
+def _sm_cdata_pat(tag: str) -> str:
+    # a value that is a single CDATA section: real-world sitemaps
+    # (notably Google News) wrap <loc> in <![CDATA[...]]>; content is
+    # verbatim per XML (entity refs inside CDATA are LITERAL text),
+    # whitespace-trimmed at the brackets like the plain form
+    return (
+        f"(?is)<{tag}{_SM_WS}*>{_SM_WS}*<!\\[CDATA\\[{_SM_WS}*"
+        f"([^\\x00]*?){_SM_WS}*\\]\\]>{_SM_WS}*</{tag}"
     )
+
+
+def _sm_field(body: Column, tag: str, decode: bool = False) -> Column:
+    """Extract ``<tag>``'s value from an entry body. A value wrapped
+    in one ``<![CDATA[...]]>`` section is unwrapped VERBATIM (XML:
+    CDATA content is never entity-decoded); a plain value is
+    entity-decoded only when ``decode=True`` (the loc field)."""
+    cdata = F.regexp_extract(body, _sm_cdata_pat(tag), 1)
+    plain = F.regexp_extract(body, _sm_plain_pat(tag), 1)
+    if decode:
+        plain = _sm_decode(plain)
+    return F.when(cdata != F.lit(""), cdata).otherwise(plain)
 
 
 def _sm_decode(col: Column) -> Column:
@@ -467,11 +486,17 @@ def sitemap_entries(xml: Column) -> Column:
     ``array<struct<kind, loc, lastmod_raw, lastmod_date, changefreq,
     priority>>``, one element per ``<url>`` entry (``kind='url'``,
     a ``<urlset>`` leaf) or ``<sitemap>`` entry (``kind='sitemap'``,
-    a ``<sitemapindex>`` pointer to fetch next), in document order.
+    a ``<sitemapindex>`` pointer to fetch next), in document order
+    WITHIN each kind (all url entries first, then all sitemap
+    entries — a document mixing both kinds concatenates the two
+    runs, not the interleaving).
 
     Per entry: ``loc`` (required — entries with an empty loc drop)
     with XML's five predefined entities decoded (``&amp;`` last, so
-    escaped refs stay literal); ``lastmod_raw`` verbatim and
+    escaped refs stay literal); a field value wrapped in a single
+    ``<![CDATA[...]]>`` section (the Google-News-style loc wrapper)
+    is unwrapped VERBATIM — CDATA content is never entity-decoded,
+    per XML; ``lastmod_raw`` verbatim and
     ``lastmod_date`` as a DATE from the leading W3C-datetime date
     (regex gate + 10-char slice + try-parse — the
     ``extract_meta`` discipline: an invalid gated date yields NULL,
@@ -482,8 +507,9 @@ def sitemap_entries(xml: Column) -> Column:
 
     Row-local regex + HOF Column algebra — zero shuffle, scan
     pipelined, RE2-safe (``sitemap_entries_sql`` is the DuckDB
-    twin). No-DOM caveats (the html-module stance): CDATA sections
-    are not unwrapped, and a ``<url>`` entry inside a comment still
+    twin). No-DOM caveats (the html-module stance): only a value
+    that IS one whole CDATA section unwraps (mixed text+CDATA
+    values don't), and a ``<url>`` entry inside a comment still
     parses. NULL xml → NULL.
     """
 
@@ -493,7 +519,7 @@ def sitemap_entries(xml: Column) -> Column:
             prio = _sm_field(b, "priority")
             return F.struct(
                 F.lit(kind).alias("kind"),
-                _sm_decode(_sm_field(b, "loc")).alias("loc"),
+                _sm_field(b, "loc", decode=True).alias("loc"),
                 lastmod.alias("lastmod_raw"),
                 F.when(
                     lastmod.rlike(_SM_DATE_RE),
@@ -534,15 +560,20 @@ def sitemap_entries_sql(expr: str) -> str:
     def sq(s: str) -> str:
         return s.replace("'", "''")
 
-    def field(tag: str) -> str:
-        pat = (
-            f"(?is)<{tag}{_SM_WS}*>{_SM_WS}*([^<]*?){_SM_WS}*</{tag}"
+    def field(tag: str, decode: bool = False) -> str:
+        cdata = f"regexp_extract(b, '{sq(_sm_cdata_pat(tag))}', 1)"
+        plain = f"regexp_extract(b, '{sq(_sm_plain_pat(tag))}', 1)"
+        if decode:
+            for src, dst in _SM_ENTITIES:
+                plain = f"replace({plain}, '{sq(src)}', '{sq(dst)}')"
+        # LET-bind the cdata extract so it runs once (the engine-side
+        # when/otherwise twin)
+        return (
+            f"(list_transform([{cdata}], c -> "
+            f"CASE WHEN c <> '' THEN c ELSE {plain} END)[1])"
         )
-        return f"regexp_extract(b, '{sq(pat)}', 1)"
 
-    loc = field("loc")
-    for src, dst in _SM_ENTITIES:
-        loc = f"replace({loc}, '{sq(src)}', '{sq(dst)}')"
+    loc = field("loc", decode=True)
     lastmod = field("lastmod")
     prio = field("priority")
     def entry(kind: str) -> str:

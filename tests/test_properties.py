@@ -771,7 +771,9 @@ class TestR13CrossEngineFuzz:
                "</lastmod>", "<priority>", "</priority>",
                "<changefreq>", "</changefreq>", "<sitemap>",
                "</sitemap>", "<urlset>", "</urlset>", "&amp;",
-               "2024-03-05", "0.8", "daily", "https://e/x"]
+               "2024-03-05", "0.8", "daily", "https://e/x",
+               # r14: CDATA unwrap branch
+               "<![CDATA[", "]]>", "<![CDATA[x]]>"]
         ),
         min_size=0,
         max_size=25,

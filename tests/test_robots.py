@@ -637,6 +637,15 @@ class TestSitemapEntries:
         "</sitemapindex>",
         "no xml at all",
         None,
+        # r14: Google-News-style CDATA wrappers — content verbatim
+        # (&amp; inside CDATA is LITERAL, never decoded), bracket
+        # whitespace trimmed, empty CDATA drops like an empty loc
+        "<urlset>"
+        "<url><loc><![CDATA[https://news.ex/a?x=1&amp;y=2]]></loc>"
+        "<lastmod><![CDATA[2024-05-06]]></lastmod></url>"
+        "<url><loc> <![CDATA[ https://news.ex/b ]]> </loc></url>"
+        "<url><loc><![CDATA[]]></loc></url>"
+        "</urlset>",
     ]
 
     def _parse(self, spark):
@@ -686,6 +695,18 @@ class TestSitemapEntries:
         assert idx[1]["lastmod_raw"] == ""
         assert parsed[2] == []      # non-XML -> empty
         assert parsed[3] is None    # NULL -> NULL
+
+    def test_cdata_unwrapped_verbatim(self, spark):
+        import datetime
+
+        e = self._parse(spark)[4]
+        assert [x["loc"] for x in e] == [
+            # CDATA content is literal text: &amp; stays &amp;
+            "https://news.ex/a?x=1&amp;y=2",
+            "https://news.ex/b",  # bracket whitespace trimmed
+        ]
+        assert e[0]["lastmod_raw"] == "2024-05-06"
+        assert e[0]["lastmod_date"] == datetime.date(2024, 5, 6)
 
     def test_url_tag_never_matches_urlset(self, spark):
         # <url\b must not treat the <urlset> wrapper as an entry
