@@ -80,3 +80,41 @@ def test_keyed_calls_do_not_warn(spark):
             on="t",
             by=["g"],
         )
+
+
+class TestPlanAuditGate:
+    """r14: the plan-audit gate must FAIL a real large×large cross
+    join — bnl-cross lost its unconditional exemption; every
+    legitimate cross is now an explicit ALLOW entry with a
+    1-row-broadcast / capped-table rationale."""
+
+    def _audit(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_audit", "/root/repo/tools/plan_audit.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_injected_cross_join_fails_gate(self, spark):
+        mod = self._audit()
+        a = spark.range(1000).select(F.col("id").alias("x"))
+        b = spark.range(1000).select(F.col("id").alias("y"))
+        crossed = a.crossJoin(b)
+        plan = crossed._jdf.queryExecution().executedPlan().toString()
+        risks = mod.audit_plan(plan)
+        # a data×data cross shows up as one of the two cross tags
+        assert risks & {"bnl-cross", "cartesian"}, plan
+        # ... and no hypothetical unlisted query may pass it
+        assert mod.unallowed_risks("some_new_query", risks)
+
+    def test_allowed_queries_still_pass_their_tags(self):
+        mod = self._audit()
+        assert not mod.unallowed_risks("class_tfidf", {"bnl-cross"})
+        assert not mod.unallowed_risks(
+            "pq_topk", {"arrow", "bnl-cross"}
+        )
+        # but an allowed query does NOT get a free pass on other tags
+        assert mod.unallowed_risks("class_tfidf", {"python-eval"})

@@ -109,7 +109,57 @@ ALLOW = {
     # max_trigrams rows under the window); the scoring joins are
     # broadcast and the per-doc slice is an aggregate, not a window
     "mink_prob": {"global-window"},
+    # ------------------------------------------------------------------
+    # r14: bnl-cross is NO LONGER globally exempt — every legitimate
+    # BroadcastNestedLoopJoin-Cross below broadcasts a 1-ROW scalar
+    # aggregate or a capped/bounded-by-construction table back onto
+    # the data; a real large×large cross now FAILS the gate
+    # (tests/test_guards.py pins the negative case).
+    # ------------------------------------------------------------------
+    # 1-row grand-total / grand-moment frames crossJoined back onto
+    # the aggregate (inference.py/pivot.py/corr.py scalar-attach)
+    "global_stats": {"bnl-cross"},
+    "null_semantics": {"bnl-cross"},
+    "crosstab": {"bnl-cross"},
+    "spearman_corr": {"bnl-cross"},
+    # 1-row average-class-mass aggregate (text.py class_tfidf's __A__)
+    "class_tfidf": {"bnl-cross"},
+    # 1-row corpus-total frames over the CAPPED Punkt model tables
+    # (text.py punkt training: totals attach to ≤ max_types rows)
+    "punkt_abbrevs": {"bnl-cross"},
+    "punkt_context": {"bnl-cross"},
+    # broadcast-capped QUERY tables: the probe side is explicitly
+    # capped (pq.py:501 / similarity.py broadcast-query contract), so
+    # the cross is (capped queries) × (candidate cells), never
+    # data × data
+    "ann_topk": {"bnl-cross"},
+    "ann_recall": {"bnl-cross"},
+    "hybrid_search": {"bnl-cross"},
+    "knn_density": {"bnl-cross"},
+    # broadcast benchmark/decontam reference table (decontam.py —
+    # bounded by the benchmark suite's size, not the corpus)
+    "semantic_decontam": {"bnl-cross"},
+    # 1-row bloom-filter aggregate broadcast to the probe side
+    "bloom_semi_join": {"bnl-cross"},
+    # band-interval table broadcast for the range predicate (bounded
+    # by the band count, not the data)
+    "range_join": {"bnl-cross"},
 }
+
+#: r14 additions to pre-existing entries (kept separate so the
+#: original rationales above stay verbatim): classifier_eval crosses
+#: the 1-row totals/AUC aggregates; pq_topk broadcasts the capped
+#: query table (pq.py:501)
+ALLOW["classifier_eval"] = ALLOW["classifier_eval"] | {"bnl-cross"}
+ALLOW["pq_topk"] = ALLOW["pq_topk"] | {"bnl-cross"}
+
+
+def unallowed_risks(name: str, risks: "set[str]") -> "set[str]":
+    """Risks the gate fails on: everything not in the query's ALLOW
+    entry. Since r14 there is NO unconditional exemption — bnl-cross
+    must be explicitly allowed with a 1-row-broadcast/capped-table
+    rationale, so a real large×large cross fails the gate."""
+    return {r for r in risks if r not in ALLOW.get(name, set())}
 
 _GLOBAL_WINDOW = re.compile(
     r"windowspecdefinition\((?![^)]*,\s*[^)]*\bASC\b[^)]*,)"
@@ -172,8 +222,7 @@ def main() -> int:
             failures.append(name)
             continue
         risks = audit_plan(plan)
-        allowed = ALLOW.get(name, set())
-        bad = {r for r in risks if r not in allowed and r != "bnl-cross"}
+        bad = unallowed_risks(name, risks)
         status = "FAIL" if bad else "ok"
         detail = ",".join(sorted(risks)) or "-"
         print(f"{status:4} {name:28} {detail}")
