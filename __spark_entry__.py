@@ -8871,9 +8871,17 @@ def _q_mink_prob(spark, sf_dir):
     # (shared _trigram_logprob_rows). DuckDB replays the whole chain
     # closed-form: capped tables, the JM mixture, list(lp ORDER BY
     # lp) slice, the same left-fold sum.
+    # r14: mkpp_score rows — Min-K%++ (Zhang et al. 2024): each
+    # triple's log-prob z-normalized by its context's exact
+    # mean/std under the mixture's next-token distribution (constant
+    # + capped-table corrections; minkpp_prob_score), then the same
+    # bottom-k mean. DuckDB replays the moment CTEs closed-form;
+    # round-6 + 0.0 guards the sign of a zero score (the
+    # punkt_abbrevs rule).
     from pandas_weights_spark.functions.text import (
         bigram_counts,
         mink_prob_score,
+        minkpp_prob_score,
         trigram_counts,
     )
     from pandas_weights_spark.functions.vocab import build_vocabulary
@@ -8882,17 +8890,24 @@ def _q_mink_prob(spark, sf_dir):
     lmvocab = build_vocabulary(docs, "text", max_size=5000)
     bgt = bigram_counts(docs, "text", max_bigrams=5000)
     tgt = trigram_counts(docs, "text", max_trigrams=5000)
+    scored = docs.where(F.col("doc_id") < 50)
     out = mink_prob_score(
-        docs.where(F.col("doc_id") < 50), "text", "doc_id",
+        scored, "text", "doc_id",
         lmvocab, bgt, tgt, k=0.2, alpha=0.5,
         lambda3=0.6, lambda2=0.3,
     )
-    return out.select(
+    pp = minkpp_prob_score(
+        scored, "text", "doc_id",
+        lmvocab, bgt, tgt, k=0.2, alpha=0.5,
+        lambda3=0.6, lambda2=0.3,
+    ).select("doc_id", "mkpp_score")
+    return out.join(pp, "doc_id").select(
         "doc_id",
         "n_trigrams",
         "k_used",
         F.round("mink_logprob", 6).alias("mink_logprob"),
         F.round("mink_ppl", 6).alias("mink_ppl"),
+        (F.round("mkpp_score", 6) + F.lit(0.0)).alias("mkpp_score"),
     )
 
 
@@ -8953,7 +8968,7 @@ _MINK_SQL = """
       )
     ),
     sc3 AS (
-      SELECT d.doc_id,
+      SELECT d.doc_id, d.w1, d.w2,
              ln(0.6 * COALESCE(tgr.mass / tmg.m12, 0.0)
                 + 0.3 * COALESCE(bgr.mass / mg.m1, 0.0)
                 + 0.1 * exp(
@@ -8971,8 +8986,118 @@ _MINK_SQL = """
     agg AS (
       SELECT doc_id, COUNT(*) AS n, list(lp ORDER BY lp) AS ls
       FROM sc3 GROUP BY doc_id
+    ),
+    -- r14 Min-K%++ moment machinery: exact mu/sigma per context
+    -- under the mixture's next-token distribution, as a pure-unigram
+    -- CONSTANT plus per-stored-continuation corrections (mirrors
+    -- minkpp_prob_score's decomposition term-for-term)
+    lpt AS (
+      SELECT term,
+             ln(mass + 0.5) - ln(tot.W + 0.5 * (tot.V + 1)) AS lpv
+      FROM vm CROSS JOIN tot
+    ),
+    ocon AS (SELECT ln(0.5) - ln(W + 0.5 * (V + 1)) AS oov FROM tot),
+    uag AS (
+      SELECT SUM(exp(lpv) * lpv) AS su1,
+             SUM(exp(lpv) * lpv * lpv) AS su2
+      FROM lpt
+    ),
+    kon AS (
+      SELECT oov, u1, u2,
+        (1.0 - 0.6 - 0.3) * (ln(1.0 - 0.6 - 0.3) + u1) AS c1,
+        (1.0 - 0.6 - 0.3) * (ln(1.0 - 0.6 - 0.3) * ln(1.0 - 0.6 - 0.3)
+          + 2.0 * ln(1.0 - 0.6 - 0.3) * u1 + u2) AS c2,
+        ln(1.0 - 0.6 - 0.3) + u1 AS cmu,
+        greatest(sqrt(greatest(u2 - u1 * u1, 0.0)), 1e-9) AS csd
+      FROM (
+        SELECT oov,
+               su1 + exp(oov) * oov AS u1,
+               su2 + exp(oov) * oov * oov AS u2
+        FROM uag CROSS JOIN ocon
+      )
+    ),
+    tts AS (
+      SELECT t.w1, t.w2, t.w3, t.mass / m.m12 AS pt
+      FROM tgr t JOIN tmg m ON t.w1 = m.w1 AND t.w2 = m.w2
+    ),
+    bts AS (
+      SELECT b.w1 AS w2, b.w2 AS w3, b.mass / g.m1 AS pb
+      FROM bgr b JOIN mg g ON b.w1 = g.w1
+    ),
+    ctxq AS (SELECT DISTINCT w1, w2 FROM tts),
+    bca AS (
+      SELECT c.w1, c.w2, b.w3, b.pb
+      FROM ctxq c JOIN bts b ON b.w2 = c.w2
+    ),
+    uaq AS (
+      SELECT u.w1, u.w2,
+        0.6 * COALESCE(u.pt, 0.0) + 0.3 * COALESCE(u.pb, 0.0)
+          + (1.0 - 0.6 - 0.3) * exp(COALESCE(l.lpv, k.oov)) AS q,
+        (1.0 - 0.6 - 0.3) * exp(COALESCE(l.lpv, k.oov)) AS r
+      FROM (
+        SELECT COALESCE(t.w1, b.w1) AS w1, COALESCE(t.w2, b.w2) AS w2,
+               COALESCE(t.w3, b.w3) AS w3, t.pt, b.pb
+        FROM tts t FULL OUTER JOIN bca b
+          ON t.w1 = b.w1 AND t.w2 = b.w2 AND t.w3 = b.w3
+      ) u
+      LEFT JOIN lpt l ON u.w3 = l.term
+      CROSS JOIN kon k
+    ),
+    staf AS (
+      SELECT w1, w2, mu, greatest(sqrt(greatest(v2, 0.0)), 1e-9) AS sd
+      FROM (
+        SELECT w1, w2,
+          (k.c1 + d1) / ((1.0 - 0.6 - 0.3) + dm) AS mu,
+          (k.c2 + d2) / ((1.0 - 0.6 - 0.3) + dm)
+            - ((k.c1 + d1) / ((1.0 - 0.6 - 0.3) + dm))
+              * ((k.c1 + d1) / ((1.0 - 0.6 - 0.3) + dm)) AS v2
+        FROM (
+          SELECT w1, w2, SUM(q - r) AS dm,
+                 SUM(q * ln(q) - r * ln(r)) AS d1,
+                 SUM(q * ln(q) * ln(q) - r * ln(r) * ln(r)) AS d2
+          FROM uaq GROUP BY w1, w2
+        ) CROSS JOIN kon k
+      )
+    ),
+    ubq AS (
+      SELECT b.w2,
+        0.3 * b.pb
+          + (1.0 - 0.6 - 0.3) * exp(COALESCE(l.lpv, k.oov)) AS q,
+        (1.0 - 0.6 - 0.3) * exp(COALESCE(l.lpv, k.oov)) AS r
+      FROM bts b
+      LEFT JOIN lpt l ON b.w3 = l.term
+      CROSS JOIN kon k
+    ),
+    stbf AS (
+      SELECT w2, mu2, greatest(sqrt(greatest(v2, 0.0)), 1e-9) AS sd2
+      FROM (
+        SELECT w2,
+          (k.c1 + d1) / ((1.0 - 0.6 - 0.3) + dm) AS mu2,
+          (k.c2 + d2) / ((1.0 - 0.6 - 0.3) + dm)
+            - ((k.c1 + d1) / ((1.0 - 0.6 - 0.3) + dm))
+              * ((k.c1 + d1) / ((1.0 - 0.6 - 0.3) + dm)) AS v2
+        FROM (
+          SELECT w2, SUM(q - r) AS dm,
+                 SUM(q * ln(q) - r * ln(r)) AS d1,
+                 SUM(q * ln(q) * ln(q) - r * ln(r) * ln(r)) AS d2
+          FROM ubq GROUP BY w2
+        ) CROSS JOIN kon k
+      )
+    ),
+    scn AS (
+      SELECT s3.doc_id,
+        (s3.lp - COALESCE(a.mu, b.mu2, k.cmu))
+          / COALESCE(a.sd, b.sd2, k.csd) AS s
+      FROM sc3 s3
+      LEFT JOIN staf a ON s3.w1 = a.w1 AND s3.w2 = a.w2
+      LEFT JOIN stbf b ON s3.w2 = b.w2
+      CROSS JOIN kon k
+    ),
+    aggp AS (
+      SELECT doc_id, list(s ORDER BY s) AS ss
+      FROM scn GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT a.doc_id,
       CAST(n AS BIGINT) AS n_trigrams,
       CAST(greatest(CAST(ceil(0.2 * n) AS INT), 1) AS BIGINT)
         AS k_used,
@@ -8985,8 +9110,13 @@ _MINK_SQL = """
         -(list_reduce(ls[1:greatest(CAST(ceil(0.2 * n) AS INT), 1)],
                       (a, b) -> a + b)
           / CAST(greatest(CAST(ceil(0.2 * n) AS INT), 1) AS DOUBLE))
-      ), 6) AS mink_ppl
-    FROM agg
+      ), 6) AS mink_ppl,
+      round(
+        list_reduce(ss[1:greatest(CAST(ceil(0.2 * n) AS INT), 1)],
+                    (a, b) -> a + b)
+        / CAST(greatest(CAST(ceil(0.2 * n) AS INT), 1) AS DOUBLE),
+        6) + 0.0 AS mkpp_score
+    FROM agg a JOIN aggp p ON a.doc_id = p.doc_id
 """
 
 _ORACLE["mink_prob"] = _MINK_SQL
@@ -11660,6 +11790,16 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   overclaim ("scales to any corpus size")
                          #   corrected to the partitions × n driver
                          #   bound of the TakeOrdered regime
+    "mink_prob",         # r14: mkpp_score column — Min-K%++ (Zhang
+                         #   et al. 2024) context-normalized variant
+                         #   (minkpp_prob_score); oracle replays the
+                         #   moment CTEs closed-form; also the
+                         #   _jm_mixture_tables refactor under
+                         #   _trigram_logprob_rows (lm3 rows pinned)
+    "tfidf_top_terms",   # r14: its lm3 rows ride the refactored
+                         #   _trigram_logprob_rows (context keys now
+                         #   carried, pruned by the mean aggregate) —
+                         #   re-check; values pinned bit-identical
     "sitemap_parse",     # r14: CDATA sections unwrap verbatim in
                          #   sitemap_entries (both engines); fixture
                          #   gained CDATA loc/lastmod/empty rows;

@@ -76,6 +76,7 @@ __all__ = [
     "trigram_counts",
     "trigram_lm_score",
     "mink_prob_score",
+    "minkpp_prob_score",
     "split_sentences_sql",
 ]
 
@@ -1685,22 +1686,8 @@ def _trigram_logprob_rows(
             "need lambda3 >= 0, lambda2 >= 0 and lambda3 + lambda2 < 1 "
             "(the unigram floor must stay positive)"
         )
-    lp, oov = unigram_logprobs(vocab, alpha)
-    tmarg = trigrams.groupBy("w1", "w2").agg(
-        F.sum("mass").alias("__m12__")
-    )
-    ttab = trigrams.join(tmarg, ["w1", "w2"]).select(
-        "w1", "w2", "w3",
-        (F.col("mass") / F.col("__m12__")).alias("__pt__"),
-    )
-    bmarg = bigrams.groupBy("w1").agg(F.sum("mass").alias("__m1__"))
-    btab = (
-        bigrams.join(bmarg, "w1")
-        .select(
-            F.col("w1").alias("w2"),
-            F.col("w2").alias("w3"),
-            (F.col("mass") / F.col("__m1__")).alias("__pb__"),
-        )
+    lp, oov, ttab, btab = _jm_mixture_tables(
+        vocab, bigrams, trigrams, alpha
     )
     t = F.col(text_col)
     lowered = F.lower(t) if lowercase else t
@@ -1731,7 +1718,43 @@ def _trigram_logprob_rows(
         + F.lit(l2) * F.coalesce(F.col("__pb__"), F.lit(0.0))
         + F.lit(1.0 - l3 - l2) * p_uni
     )
-    return joined.select(F.col(id_col), F.log(p).alias("__lp__"))
+    # context keys ride along for the ++ normalization; the two mean
+    # consumers aggregate by id and prune them, so the lm3-pinned
+    # per-triple expression tree is untouched
+    return joined.select(
+        F.col(id_col), "w1", "w2", F.log(p).alias("__lp__")
+    )
+
+
+def _jm_mixture_tables(
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    alpha: float,
+) -> "tuple[DataFrame, float, DataFrame, DataFrame]":
+    """The Jelinek-Mercer mixture's three model tables (shared by
+    :func:`_trigram_logprob_rows` and :func:`minkpp_prob_score`):
+    ``(lp(term, logp), oov_logp, ttab(w1, w2, w3, __pt__),
+    btab(w2, w3, __pb__))`` — each conditional normalized over its
+    own capped table's context marginal."""
+    lp, oov = unigram_logprobs(vocab, alpha)
+    tmarg = trigrams.groupBy("w1", "w2").agg(
+        F.sum("mass").alias("__m12__")
+    )
+    ttab = trigrams.join(tmarg, ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        (F.col("mass") / F.col("__m12__")).alias("__pt__"),
+    )
+    bmarg = bigrams.groupBy("w1").agg(F.sum("mass").alias("__m1__"))
+    btab = (
+        bigrams.join(bmarg, "w1")
+        .select(
+            F.col("w1").alias("w2"),
+            F.col("w2").alias("w3"),
+            (F.col("mass") / F.col("__m1__")).alias("__pb__"),
+        )
+    )
+    return lp, oov, ttab, btab
 
 
 def mink_prob_score(
@@ -1796,6 +1819,155 @@ def mink_prob_score(
         kn.cast("long").alias("k_used"),
         mink.alias("mink_logprob"),
         F.exp(-mink).alias("mink_ppl"),
+    )
+
+
+def minkpp_prob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    k: float = 0.2,
+    alpha: float = 0.5,
+    lambda3: float = 0.6,
+    lambda2: float = 0.3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Min-K%++ membership score (Zhang et al. 2024, "Min-K%++:
+    Improved Baseline for Detecting Pre-training Data from Large
+    Language Models" — the public successor normalization of
+    :func:`mink_prob_score`): instead of ranking raw log-probs, each
+    triple's log-prob is z-normalized by its CONTEXT's expected
+    log-prob and standard deviation under the model's next-token
+    distribution — ``s = (log p(w3|c) − μ_c) / σ_c`` — then the mean
+    of the k% lowest ``s`` is the score. The normalization removes
+    the "this context is just low-entropy" confound that makes raw
+    Min-K% flag formulaic-but-unseen text; the paper shows it
+    separates member/non-member documents strictly better.
+
+    Exact context moments over the engine's interpolated trigram LM:
+    with mixture ``p̃(z|c) = λ3·pt(z|c) + λ2·pb(z|w2) + λu·pu(z)``
+    over the support V ∪ {pooled OOV bucket} (the
+    :func:`unigram_logprobs` convention — a trigram/bigram
+    continuation outside V takes the bucket's probability, same as
+    scoring), ``μ_c = Σ p̃·ln p̃ / Σ p̃`` and ``σ_c`` likewise, where
+    only continuations stored in the CAPPED tables differ from the
+    pure-unigram closed form — so the sums decompose into a model
+    CONSTANT plus per-stored-row corrections. Three context classes:
+    trigram-attested ``(w1,w2)`` (stats keyed by the ≤ max_trigrams
+    contexts ∪ their bigram continuations), bigram-only ``w2``, and
+    pure-unigram (a scalar). ``σ`` clamps at 1e-9 so the score is
+    TOTAL (degenerate one-continuation contexts).
+
+    Output ``(id_col, n_trigrams, k_used, mkpp_score)``; docs with
+    fewer than 3 tokens emit no row. Scale shape: all moment math is
+    capped-table × capped-table (model-sized, never data-sized); the
+    doc scan does the same broadcast joins as
+    :func:`trigram_lm_score` plus two broadcast stat joins; one
+    data-sized shuffle total. U1/U2 are two driver scalars off the
+    V-row lp table (the :func:`unigram_logprobs` discipline).
+    """
+    import math
+
+    kf = float(k)
+    if not 0.0 < kf <= 1.0:
+        raise ValueError(f"k must be in (0, 1], got {k!r}")
+    l3, l2 = float(lambda3), float(lambda2)
+    lu = 1.0 - l3 - l2
+    lp, oov, ttab, btab = _jm_mixture_tables(
+        vocab, bigrams, trigrams, alpha
+    )
+    # unigram moment constants (V-row aggregate + the OOV bucket)
+    row = lp.agg(
+        F.sum(F.exp("logp") * F.col("logp")).alias("u1"),
+        F.sum(F.exp("logp") * F.col("logp") * F.col("logp")).alias("u2"),
+    ).first()
+    p_oov = math.exp(oov)
+    u1 = float(row["u1"] or 0.0) + p_oov * oov
+    u2 = float(row["u2"] or 0.0) + p_oov * oov * oov
+    ln_lu = math.log(lu)
+    c1 = lu * (ln_lu + u1)
+    c2 = lu * (ln_lu * ln_lu + 2.0 * ln_lu * u1 + u2)
+    mu_c = ln_lu + u1
+    sd_c = max(math.sqrt(max(u2 - u1 * u1, 0.0)), 1e-9)
+
+    pu = F.exp(F.coalesce(F.col("logp"), F.lit(float(oov))))
+    r = F.lit(lu) * pu
+
+    def _stats(rows: DataFrame, keys: "list[str]", q: Column) -> DataFrame:
+        agg = rows.groupBy(*keys).agg(
+            F.sum(q - r).alias("__dm__"),
+            F.sum(q * F.log(q) - r * F.log(r)).alias("__d1__"),
+            F.sum(
+                q * F.log(q) * F.log(q) - r * F.log(r) * F.log(r)
+            ).alias("__d2__"),
+        )
+        m = F.lit(lu) + F.col("__dm__")
+        mu = (F.lit(c1) + F.col("__d1__")) / m
+        var = (F.lit(c2) + F.col("__d2__")) / m - mu * mu
+        sd = F.greatest(
+            F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(1e-9)
+        )
+        return agg.select(*keys, mu.alias("__mu__"), sd.alias("__sd__"))
+
+    # class A: trigram-attested contexts — support union of the
+    # context's stored trigram continuations and w2's stored bigram
+    # continuations (full-outer on w3), everything else constant
+    ctx = ttab.select("w1", "w2").distinct()
+    bcand = ctx.join(btab, "w2")
+    ua = (
+        ttab.join(bcand, ["w1", "w2", "w3"], "full_outer")
+        .join(F.broadcast(lp.withColumnRenamed("term", "w3")), "w3", "left")
+    )
+    q_a = (
+        F.lit(l3) * F.coalesce(F.col("__pt__"), F.lit(0.0))
+        + F.lit(l2) * F.coalesce(F.col("__pb__"), F.lit(0.0))
+        + F.lit(lu) * pu
+    )
+    stats_a = _stats(ua, ["w1", "w2"], q_a)
+    # class B: bigram-only contexts (no λ3 term anywhere)
+    ub = btab.join(
+        F.broadcast(lp.withColumnRenamed("term", "w3")), "w3", "left"
+    )
+    q_b = F.lit(l2) * F.col("__pb__") + F.lit(lu) * pu
+    stats_b = _stats(ub, ["w2"], q_b).select(
+        "w2",
+        F.col("__mu__").alias("__mu2__"),
+        F.col("__sd__").alias("__sd2__"),
+    )
+
+    rows = _trigram_logprob_rows(
+        df, text_col, id_col, vocab, bigrams, trigrams,
+        alpha, lambda3, lambda2, lowercase,
+    )
+    scored = (
+        rows.join(F.broadcast(stats_a), ["w1", "w2"], "left")
+        .join(F.broadcast(stats_b), ["w2"], "left")
+    )
+    mu = F.coalesce(F.col("__mu__"), F.col("__mu2__"), F.lit(mu_c))
+    sd = F.coalesce(F.col("__sd__"), F.col("__sd2__"), F.lit(sd_c))
+    s = (F.col("__lp__") - mu) / sd
+    agg = scored.select(F.col(id_col), s.alias("__s__")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sort_array(F.collect_list("__s__")).alias("__ss__"),
+    )
+    kn = F.greatest(
+        F.ceil(F.lit(kf) * F.col("n_trigrams")).cast("int"),
+        F.lit(1),
+    )
+    sel = F.slice(F.col("__ss__"), 1, kn)
+    mkpp = F.aggregate(
+        sel, F.lit(0.0), lambda acc, x: acc + x
+    ) / kn.cast("double")
+    return agg.select(
+        id_col,
+        "n_trigrams",
+        kn.cast("long").alias("k_used"),
+        mkpp.alias("mkpp_score"),
     )
 
 

@@ -707,6 +707,160 @@ class TestTrigramLM:
         )
 
 
+class TestMinKPlusPlus:
+    """r14: Min-K%++ (Zhang et al. 2024) — per-context z-normalized
+    Min-K%. The planted fixture reproduces the paper's confound: raw
+    Min-K% ranks a fully-attested member doc from a HIGH-ENTROPY
+    context below an unseen-continuation doc from a deterministic
+    context; the ++ normalization ranks them correctly."""
+
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            trigram_counts,
+        )
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        # (h g) -> t0..t9 uniformly (entropy ~ln 10); (a b) -> c
+        # deterministically; "q b e" gives the unseen continuation e
+        # bigram support out of b
+        corpus = spark.createDataFrame(
+            [(10 * i + j, f"h g t{i}") for i in range(10)
+             for j in range(2)]
+            + [(200 + i, "a b c") for i in range(30)]
+            + [(300 + i, "q b e") for i in range(20)],
+            "doc_id long, text string",
+        )
+        return (
+            build_vocabulary(corpus, "text"),
+            bigram_counts(corpus, "text"),
+            trigram_counts(corpus, "text"),
+            corpus,
+        )
+
+    def _scores(self, spark, model, texts, k=1.0):
+        from pandas_weights_spark.functions.text import (
+            mink_prob_score,
+            minkpp_prob_score,
+        )
+
+        vocab, bg, tg, _ = model
+        test = spark.createDataFrame(texts, "doc_id long, text string")
+        raw = {
+            r["doc_id"]: r["mink_logprob"]
+            for r in mink_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=k
+            ).collect()
+        }
+        pp = {
+            r["doc_id"]: r["mkpp_score"]
+            for r in minkpp_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=k
+            ).collect()
+        }
+        return raw, pp
+
+    def test_fixes_the_entropy_confound(self, model, spark):
+        # member: attested triple from the 10-way context (raw lp is
+        # LOW because the context is high-entropy, not because the
+        # doc is unseen). nonmember: unseen continuation of the
+        # deterministic context, propped up by bigram support.
+        raw, pp = self._scores(
+            spark, model, [(0, "h g t3"), (1, "a b e")]
+        )
+        assert raw[0] < raw[1], raw     # raw MISRANKS (the confound)
+        assert pp[0] > pp[1], pp        # ++ ranks member first
+
+    def test_matches_python_reference(self, model, spark):
+        # full-support recomputation of mu_c / sigma_c in python
+        import math
+
+        from pandas_weights_spark.functions.text import (
+            minkpp_prob_score,
+        )
+
+        vocab, bg, tg, _ = model
+        texts = [(0, "h g t3 a b c"), (1, "a b e q b e")]
+        test = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in minkpp_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=0.5
+            ).collect()
+        }
+        uni = {r["term"]: r["mass"] for r in vocab.collect()}
+        W, V = sum(uni.values()), len(uni)
+        denom = W + 0.5 * (V + 1)
+        p_oov = 0.5 / denom
+        bgm = {(r["w1"], r["w2"]): r["mass"] for r in bg.collect()}
+        bmarg = {}
+        for (w1, _), m in bgm.items():
+            bmarg[w1] = bmarg.get(w1, 0) + m
+        tgm = {
+            (r["w1"], r["w2"], r["w3"]): r["mass"]
+            for r in tg.collect()
+        }
+        tmarg = {}
+        for (w1, w2, _), m in tgm.items():
+            tmarg[(w1, w2)] = tmarg.get((w1, w2), 0) + m
+        lu = 1.0 - 0.6 - 0.3
+
+        def p(a, b, c):
+            pt = (
+                tgm.get((a, b, c), 0.0) / tmarg[(a, b)]
+                if (a, b) in tmarg else 0.0
+            )
+            pb = bgm.get((b, c), 0.0) / bmarg[b] if b in bmarg else 0.0
+            pu = (uni.get(c, 0) + 0.5) / denom
+            return 0.6 * pt + 0.3 * pb + lu * pu
+
+        def ctx_stats(a, b):
+            # full support: every vocab term + the pooled OOV bucket
+            qs = [p(a, b, z) for z in uni] + [lu * p_oov]
+            m = sum(qs)
+            s1 = sum(q * math.log(q) for q in qs)
+            s2 = sum(q * math.log(q) ** 2 for q in qs)
+            mu = s1 / m
+            var = s2 / m - mu * mu
+            return mu, max(math.sqrt(max(var, 0.0)), 1e-9)
+
+        for did, text in texts:
+            ws = text.split()
+            ss = []
+            for a, b, c in zip(ws, ws[1:], ws[2:]):
+                mu, sd = ctx_stats(a, b)
+                ss.append((math.log(p(a, b, c)) - mu) / sd)
+            ss.sort()
+            kn = max(math.ceil(0.5 * len(ss)), 1)
+            exp = sum(ss[:kn]) / kn
+            assert got[did]["k_used"] == kn
+            assert got[did]["n_trigrams"] == len(ss)
+            assert got[did]["mkpp_score"] == pytest.approx(
+                exp, rel=1e-9
+            ), (did, text)
+
+    def test_validation_and_short_docs(self, model, spark):
+        from pandas_weights_spark.functions.text import (
+            minkpp_prob_score,
+        )
+
+        vocab, bg, tg, corpus = model
+        for bad in (0.0, -0.2, 1.5):
+            with pytest.raises(ValueError, match="k must be"):
+                minkpp_prob_score(
+                    corpus, "text", "doc_id", vocab, bg, tg, k=bad
+                )
+        test = spark.createDataFrame(
+            [(0, "h g"), (1, None), (2, "h g t1")],
+            "doc_id long, text string",
+        )
+        out = minkpp_prob_score(
+            test, "text", "doc_id", vocab, bg, tg
+        ).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+
 class TestCorpusLineDedup:
     """remove_corpus_duplicate_lines — CCNet paragraph dedup +
     boilerplate removal (r7)."""
