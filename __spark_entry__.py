@@ -11796,6 +11796,12 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   moment CTEs closed-form; also the
                          #   _jm_mixture_tables refactor under
                          #   _trigram_logprob_rows (lm3 rows pinned)
+    "neardup_incremental",  # r14: state-format probe guard (ADVICE
+                         #   r13) — one LIMIT-1 job validating that
+                         #   portable digest state holds 16-hex
+                         #   digests, so stale r12 raw-shingle state
+                         #   fails loudly instead of silently
+                         #   disabling suppression
     "tfidf_top_terms",   # r14: its lm3 rows ride the refactored
                          #   _trigram_logprob_rows (context keys now
                          #   carried, pruned by the mean aggregate) —

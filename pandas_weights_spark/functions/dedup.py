@@ -24,6 +24,7 @@ All hot-path logic is JVM expressions; no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1403,7 +1404,16 @@ def minhash_dedup_incremental(
     between runs and feed it back; pass the SAME num_hashes/bands/
     shingle_size/portable/store_shingles every run (band keys must
     agree across snapshots — mismatched widths fail loudly on the
-    array index; digest vs text state fails the verify join types).
+    array index). Digest-vs-text state mismatches also fail LOUDLY,
+    by different mechanisms: with ``portable=False`` the long digests
+    fail the verify join types against text state, while on the
+    default ``portable=True`` path both text state (the r12 format)
+    and md5-prefix digests are ``array<string>`` — a silent
+    ~0-Jaccard hole — so this function PROBES one state element and
+    raises unless it matches the 16-char-hex digest shape (one
+    LIMIT-1 job per batch). Pre-r13 raw-shingle state must be
+    rebuilt, or migrated in place with ``state.withColumn("sh",
+    F.transform("sh", lambda s: F.substring(F.md5(s), 1, 16)))``.
 
     Per batch: (1) signatures via :func:`minhash_signatures_agg`
     (map-side-combined mins) plus a ROW-LOCAL digest-set column
@@ -1436,6 +1446,30 @@ def minhash_dedup_incremental(
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}"
         )
+    if state is not None and not store_shingles and portable:
+        # state-format guard (ADVICE r13): r12 raw-shingle state and
+        # md5-prefix digest state are both array<string>, so a stale
+        # state file would otherwise flow through with ~0 Jaccard
+        # intersections and cross-snapshot suppression silently off.
+        # One LIMIT-1 probe per batch; real shingle text is
+        # (astronomically) unlikely to be exactly 16 lowercase hex.
+        probe = (
+            state.select(F.explode("sh").alias("__e__"))
+            .where(F.col("__e__").isNotNull())
+            .limit(1)
+            .collect()
+        )
+        if probe and not re.fullmatch(
+            r"[0-9a-f]{16}", probe[0]["__e__"]
+        ):
+            raise ValueError(
+                "state.sh does not hold md5-prefix-16 shingle digests "
+                f"(sampled element {probe[0]['__e__']!r}) — this looks "
+                "like pre-r13 raw-shingle state. Rebuild it, or "
+                "migrate in place: state.withColumn('sh', F.transform("
+                "'sh', lambda s: F.substring(F.md5(s), 1, 16))). For "
+                "raw-text state, pass store_shingles=True."
+            )
     sigs = minhash_signatures_agg(
         df, text_col, id_col, num_hashes, shingle_size,
         portable=portable,

@@ -125,10 +125,16 @@ def write_shuffled(
 ) -> None:
     """DETERMINISTIC global shuffle for training-data output — the
     "shuffle once at write time, stream sequentially at train time"
-    layout every epoch loader wants (a training job reading files
-    0..N-1 in order then sees examples in seeded-random order without
-    any runtime shuffle buffer, and two runs of this writer produce
-    byte-identical file assignments).
+    layout every epoch loader wants: a training job reading files
+    0..N-1 in order sees examples in seeded-random order without any
+    runtime shuffle buffer, and two runs of this writer produce the
+    same CONCATENATED file-ordered stream. The per-FILE assignment is
+    NOT pinned across runs: ``repartitionByRange`` computes its range
+    bounds by sampling with an RDD-id-derived seed, so rows near a
+    boundary can land in the adjacent file in another session —
+    consume the files as an ordered stream (which is all an epoch
+    loader does), never as stable shards (use ``write_bucketed`` for
+    stable key→file placement).
 
     Order is ``xxhash64(key, seed)``: a keyed hash, NOT ``rand()`` —
     re-running the job, retrying a failed stage, or regenerating a
@@ -136,9 +142,9 @@ def write_shuffled(
     seed is only deterministic per-partition-layout, which a retry
     can change). Rows land range-partitioned on the hash
     (``repartitionByRange`` + ``sortWithinPartitions`` — no
-    single-task global sort), ``n_files`` output files via an exact
-    range split. Ties (hash collisions) are broken by ``key`` so the
-    total order is unique. Different ``seed`` → an independent
+    single-task global sort), ``n_files`` output files via the
+    sampled range split. Ties (hash collisions) are broken by ``key``
+    so the total order is unique. Different ``seed`` → an independent
     permutation for the next epoch/run.
     """
     h = F.xxhash64(F.col(key), F.lit(int(seed)))

@@ -1248,3 +1248,38 @@ class TestMinhashDedupIncremental:
             r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in ref
         }
         assert got == want
+
+    def test_stale_text_state_fails_loudly(self, spark):
+        # r14 (ADVICE r13): r12-format raw-shingle state is
+        # array<string> like md5-prefix digests — without the probe
+        # guard it would flow through with ~0 Jaccard intersections
+        # and cross-snapshot suppression silently OFF
+        from pandas_weights_spark.functions.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.BASE)], "doc_id long, text string"
+        )
+        # build a digest state, then fake the r12 format by replacing
+        # digests with raw shingle text
+        _, st = minhash_dedup_incremental(
+            df, "text", "doc_id", **self.KW
+        )
+        legacy = st.withColumn(
+            "sh",
+            F.array(F.lit("the quick brown"), F.lit("quick brown fox")),
+        )
+        batch = spark.createDataFrame(
+            [(2, self.NEAR)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="pre-r13 raw-shingle"):
+            minhash_dedup_incremental(
+                batch, "text", "doc_id", state=legacy, **self.KW
+            ) and None
+        # digest state passes the guard; text state passes under the
+        # store_shingles escape hatch (no guard on that path)
+        s, _ = minhash_dedup_incremental(
+            batch, "text", "doc_id", state=st, **self.KW
+        )
+        assert s.count() == 0  # suppression actually ON
