@@ -9204,6 +9204,113 @@ _ORACLE["wet_roundtrip"] = """
 """
 
 
+def _q_wat_roundtrip(spark, sf_dir):
+    # r14 (VERDICT r13 missing #1): WAT metadata records (sources/
+    # warc.py wat_record / parse_wat_records — the third Common Crawl
+    # format: WARC `metadata` records carrying the envelope JSON with
+    # title + outlink table, so link-graph pipelines never re-parse
+    # response HTML). Per doc: a page with an entity-encoded title,
+    # an absolute anchor (entity + text), and a relative anchor whose
+    # text exercises the label flatten ('home\npage' -> 'home page');
+    # WAT records built with WARC-Refers-To naming the urn the source
+    # response WOULD have (different date -> ids provably differ),
+    # packed into 8 member-gzip shards, parsed back, envelopes
+    # decoded column-level. The oracle states the whole chain's
+    # expected values in CLOSED FORM (html build -> extract -> JSON
+    # -> WARC -> gzip -> parse -> from_json).
+    from pandas_weights_spark.sources.warc import (
+        from_warc_shards,
+        parse_wat_records,
+        to_warc_shards,
+        wat_record,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    uri = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.org/doc/"), did,
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc &amp; "), did,
+        F.lit('</title></head><body><a href="https://src'),
+        ((F.col("doc_id") + 3) % 20).cast("string"),
+        F.lit(".example.com/p"), did,
+        F.lit('">Read &amp; more '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</a><a href="/rel'), did,
+        F.lit('">home\npage</a></body></html>'),
+    )
+    src_h = F.md5(F.concat(uri, F.lit("|2026-01-01T00:00:00Z")))
+    refers = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(src_h, 1, 8), F.lit("-"),
+        F.substring(src_h, 9, 4), F.lit("-"),
+        F.substring(src_h, 13, 4), F.lit("-"),
+        F.substring(src_h, 17, 4), F.lit("-"),
+        F.substring(src_h, 21, 12),
+        F.lit(">"),
+    )
+    rec = wat_record(
+        uri, F.lit("2026-01-02T00:00:00Z"), html, refers_to=refers
+    )
+    shards = to_warc_shards(
+        docs.select(rec.alias("rec")), "rec", n_shards=8,
+        gzip_records=True,
+    )
+    out = parse_wat_records(from_warc_shards(shards))
+    link1 = F.element_at(F.col("links"), 1)
+    link2 = F.element_at(F.col("links"), 2)
+    return out.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "record_id",
+        "refers_to",
+        "env_uri",
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        link1["path"].alias("path1"),
+        link1["url"].alias("url1"),
+        link1["text"].alias("text1"),
+        link2["url"].alias("url2"),
+        link2["text"].alias("text2"),
+    )
+
+
+_ORACLE["wat_roundtrip"] = """
+    WITH d AS (
+      SELECT doc_id,
+        'https://' || source || '.example.org/doc/'
+          || CAST(doc_id AS VARCHAR) AS target_uri
+      FROM documents
+    ), h AS (
+      SELECT *,
+        md5(target_uri || '|' || '2026-01-02T00:00:00Z') AS hh,
+        md5(target_uri || '|' || '2026-01-01T00:00:00Z') AS hs
+      FROM d
+    )
+    SELECT doc_id, target_uri,
+      '<urn:uuid:' || substr(hh, 1, 8) || '-' || substr(hh, 9, 4)
+        || '-' || substr(hh, 13, 4) || '-' || substr(hh, 17, 4)
+        || '-' || substr(hh, 21, 12) || '>' AS record_id,
+      '<urn:uuid:' || substr(hs, 1, 8) || '-' || substr(hs, 9, 4)
+        || '-' || substr(hs, 13, 4) || '-' || substr(hs, 17, 4)
+        || '-' || substr(hs, 21, 12) || '>' AS refers_to,
+      target_uri AS env_uri,
+      'Doc & ' || CAST(doc_id AS VARCHAR) AS title,
+      CAST(2 AS BIGINT) AS n_links,
+      'A@/href' AS path1,
+      'https://src' || CAST((doc_id + 3) % 20 AS VARCHAR)
+        || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url1,
+      'Read & more ' || CAST(doc_id % 7 AS VARCHAR) AS text1,
+      '/rel' || CAST(doc_id AS VARCHAR) AS url2,
+      'home page' AS text2
+    FROM h
+"""
+
+
 def _q_sentences(spark, sf_dir):
     # r8: rule-based sentence splitting (functions/text.py
     # split_sentences — abbreviation/initial protection via sentinel
@@ -11775,6 +11882,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 
 #: queries ADDED in the current round (r14) — always in the window.
 _NEW_THIS_ROUND: tuple = (
+    "wat_roundtrip",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -11840,6 +11948,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable REGISTRATION order (r10 head, then r6-r9, then r1-r5);
     # the driver-facing order is computed by queries() above.
     return {
+        # --- r14 queries ---
+        "wat_roundtrip": _q_wat_roundtrip,
         # --- r13 queries ---
         "punkt_context": _q_punkt_context,
         "semdedup_incremental": _q_semdedup_incremental,

@@ -56,6 +56,9 @@ from pandas_weights_spark.sample import uniform_hash
 
 __all__ = [
     "warc_record",
+    "wat_record",
+    "wat_envelope_schema",
+    "parse_wat_records",
     "to_warc_shards",
     "parse_warc_bytes",
     "from_warc_shards",
@@ -96,14 +99,17 @@ def warc_record(
     per-row Column (r10 — e.g. ``text/html; charset=shift_jis``).
     The record id is ``urn:uuid`` over md5(uri, '|', date) —
     deterministic by construction."""
-    if warc_type not in ("resource", "response", "conversion"):
+    if warc_type not in ("resource", "response", "conversion", "metadata"):
         raise ValueError(
-            "warc_type must be 'resource', 'response', or "
-            f"'conversion', got {warc_type!r}"
+            "warc_type must be 'resource', 'response', 'conversion', "
+            f"or 'metadata', got {warc_type!r}"
         )
-    if refers_to is not None and warc_type != "conversion":
+    if refers_to is not None and warc_type not in (
+        "conversion", "metadata",
+    ):
         raise ValueError(
-            "refers_to is only meaningful on conversion records"
+            "refers_to is only meaningful on conversion/metadata "
+            "records"
         )
     ct = (
         F.lit(content_type)
@@ -152,6 +158,184 @@ def warc_record(
         _enc(_CRLF + _CRLF),
     )
     return F.concat(header, block, _enc(_CRLF + _CRLF))
+
+
+def wat_record(
+    uri: Column,
+    date: Column,
+    html: Column,
+    refers_to: "Column | None" = None,
+) -> Column:
+    """One WAT metadata record as a BINARY Column — the third Common
+    Crawl format next to WARC (:func:`warc_record` ``response``) and
+    WET (``conversion``): a WARC ``metadata`` record whose payload is
+    the JSON "envelope" describing a crawled page — target URI/date,
+    ``<title>``, and the outlink table — so link-graph pipelines read
+    WAT instead of re-parsing response HTML (the public WAT layout,
+    commoncrawl.org/the-data/get-started; field names follow its
+    ``Envelope``/``Payload-Metadata``/``HTML-Metadata`` nesting, the
+    link rows its ``{path, url, text}`` shape with ``path =
+    'A@/href'``).
+
+    Extraction is the html module's row-local Column algebra
+    (:func:`~pandas_weights_spark.functions.html.extract_title`,
+    :func:`~pandas_weights_spark.functions.html.extract_anchors` —
+    entity-decoded, whitespace-collapsed, document order), the JSON
+    is ``to_json`` over a fixed struct (deterministic field and
+    array order — the reason the DuckDB oracle can replay the
+    envelope byte-for-byte), and the WARC framing is
+    :func:`warc_record` with ``content_type='application/json'`` and
+    ``WARC-Refers-To`` naming the source response record. Shard with
+    :func:`to_warc_shards`, parse back with :func:`from_warc_shards`
+    → :func:`parse_wat_records`. Zero shuffle, scan-pipelined.
+    """
+    from pandas_weights_spark.functions.html import (
+        extract_anchors,
+        extract_title,
+    )
+
+    links = F.transform(
+        extract_anchors(html),
+        lambda a: F.struct(
+            F.lit("A@/href").alias("path"),
+            a["href"].alias("url"),
+            a["anchor"].alias("text"),
+        ),
+    )
+    envelope = F.struct(
+        F.struct(
+            F.struct(
+                uri.alias("WARC-Target-URI"),
+                date.alias("WARC-Date"),
+                F.lit("response").alias("WARC-Type"),
+            ).alias("WARC-Header-Metadata"),
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            extract_title(html).alias("Title")
+                        ).alias("Head"),
+                        links.alias("Links"),
+                    ).alias("HTML-Metadata")
+                ).alias("HTTP-Response-Metadata")
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope")
+    )
+    return warc_record(
+        uri,
+        date,
+        F.encode(F.to_json(envelope), "UTF-8"),
+        "metadata",
+        "application/json",
+        refers_to=refers_to,
+    )
+
+
+def wat_envelope_schema() -> T.StructType:
+    """Schema of the WAT envelope JSON :func:`wat_record` writes —
+    feed to ``from_json`` over a metadata record's decoded block
+    (:func:`parse_wat_records` does exactly that)."""
+    links_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("url", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+    )
+    return T.StructType(
+        [
+            T.StructField(
+                "Envelope",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "WARC-Header-Metadata",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "WARC-Target-URI", T.StringType()
+                                    ),
+                                    T.StructField(
+                                        "WARC-Date", T.StringType()
+                                    ),
+                                    T.StructField(
+                                        "WARC-Type", T.StringType()
+                                    ),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "Payload-Metadata",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "HTTP-Response-Metadata",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "HTML-Metadata",
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "Head",
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "Title",
+                                                                            T.StringType(),
+                                                                        )
+                                                                    ]
+                                                                ),
+                                                            ),
+                                                            T.StructField(
+                                                                "Links",
+                                                                links_t,
+                                                            ),
+                                                        ]
+                                                    ),
+                                                )
+                                            ]
+                                        ),
+                                    )
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def parse_wat_records(records: DataFrame) -> DataFrame:
+    """Decode the WAT envelopes out of a :func:`from_warc_shards`
+    record table: keeps ``metadata`` records and returns ``(shard,
+    rec_idx, target_uri, date, record_id, refers_to, env_uri, title,
+    links)`` with ``links`` the ``array<struct<path, url, text>>``
+    outlink table — ready to explode into
+    :func:`~pandas_weights_spark.functions.html.link_graph`-shaped
+    edges without touching response HTML. Column-level ``from_json``
+    — no Python beyond the container walk that produced ``records``.
+    """
+    env = F.from_json(
+        F.decode(F.col("block"), "UTF-8"), wat_envelope_schema()
+    )["Envelope"]
+    html_md = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]
+    return records.where(F.col("warc_type") == "metadata").select(
+        "shard",
+        "rec_idx",
+        "target_uri",
+        "date",
+        "record_id",
+        "refers_to",
+        env["WARC-Header-Metadata"]["WARC-Target-URI"].alias("env_uri"),
+        html_md["Head"]["Title"].alias("title"),
+        html_md["Links"].alias("links"),
+    )
 
 
 def to_warc_shards(

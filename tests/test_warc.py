@@ -455,3 +455,126 @@ class TestCharsetDecode:
         rec = parse_warc_bytes(bytes(built.first()["rec"]))[0]
         assert rec["http_headers"].startswith("HTTP/1.1 200 OK")
         assert "Content-Type: text/html" in rec["http_headers"]
+
+
+class TestWatRecords:
+    """r14 (VERDICT r13 missing #1): WAT metadata records — the third
+    Common Crawl format. Envelope JSON (title + outlink table) over
+    the warc_record/to_warc_shards machinery; link-graph pipelines
+    read WAT instead of re-parsing response HTML."""
+
+    HTML = (
+        '<html><head><title>A &amp; B</title></head><body>'
+        '<a href="https://other.ex/x">go  there</a>'
+        '<a href="/relative">rel</a>'
+        '<a name="noanchor">no href keeps no pair? has no href</a>'
+        "</body></html>"
+    )
+
+    def _roundtrip(self, spark, rows, gz=True):
+        from pandas_weights_spark.sources.warc import (
+            from_warc_shards,
+            parse_wat_records,
+            to_warc_shards,
+            wat_record,
+        )
+
+        df = spark.createDataFrame(rows, "uri string, html string")
+        rec = wat_record(
+            F.col("uri"),
+            F.lit("2026-01-02T00:00:00Z"),
+            F.col("html"),
+            refers_to=F.lit("<urn:uuid:src>"),
+        )
+        shards = to_warc_shards(
+            df.select(rec.alias("r")), "r", n_shards=2,
+            gzip_records=gz,
+        )
+        return parse_wat_records(from_warc_shards(shards))
+
+    def test_envelope_roundtrip(self, spark):
+        out = {
+            r["target_uri"]: r
+            for r in self._roundtrip(
+                spark,
+                [("https://a.ex/p", self.HTML), ("https://b.ex/q", "<p>x</p>")],
+            ).collect()
+        }
+        a = out["https://a.ex/p"]
+        assert a["title"] == "A & B"          # entity-decoded
+        assert a["env_uri"] == "https://a.ex/p"
+        assert a["refers_to"] == "<urn:uuid:src>"
+        assert [(l["path"], l["url"], l["text"]) for l in a["links"]] == [
+            ("A@/href", "https://other.ex/x", "go there"),
+            ("A@/href", "/relative", "rel"),
+        ]
+        b = out["https://b.ex/q"]
+        assert b["title"] == "" and list(b["links"]) == []
+
+    def test_record_is_warc_metadata_json(self, spark):
+        from pandas_weights_spark.sources.warc import (
+            parse_warc_bytes,
+            wat_record,
+        )
+
+        df = spark.createDataFrame(
+            [("https://a.ex/p", self.HTML)], "uri string, html string"
+        )
+        rec = df.select(
+            wat_record(
+                F.col("uri"), F.lit("2026-01-02T00:00:00Z"),
+                F.col("html"),
+            ).alias("r")
+        ).first()["r"]
+        parsed = parse_warc_bytes(bytes(rec))[0]
+        assert parsed["warc_type"] == "metadata"
+        assert parsed["content_type"] == "application/json"
+        import json
+
+        env = json.loads(parsed["block"].decode())["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Type"] == "response"
+        md = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"
+        ]
+        assert md["Head"]["Title"] == "A & B"
+        assert md["Links"][0]["path"] == "A@/href"
+
+    def test_composes_into_link_graph(self, spark):
+        # WAT links -> link_graph edges must equal link_graph straight
+        # off the response HTML (the WAT promise: same graph, no HTML)
+        from pandas_weights_spark.functions.html import link_graph
+        from pandas_weights_spark.functions.text import url_domain
+
+        rows = [
+            ("https://a.ex/p",
+             '<a href="https://b.ex/1">x</a><a href="https://b.ex/2">y</a>'
+             '<a href="/self">s</a>'),
+            ("https://b.ex/q", '<a href="https://a.ex/z">back</a>'),
+        ]
+        df = spark.createDataFrame(rows, "uri string, html string")
+        direct = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in link_graph(
+                df.withColumn("host", url_domain(F.col("uri"))),
+                "html", "host",
+            ).collect()
+        }
+        wat = self._roundtrip(spark, rows)
+        src = F.lower(url_domain(F.col("target_uri")))
+        edges = wat.select(
+            src.alias("src"), F.explode("links").alias("l")
+        )
+        dst = url_domain(F.col("l.url"))
+        got = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in edges.select(
+                "src",
+                F.when(F.length(dst) > 0, dst)
+                .otherwise(F.col("src"))
+                .alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+            .collect()
+        }
+        assert got == direct and got

@@ -39,6 +39,9 @@ ALLOW = {
     # r13: WET is the same container machinery (conversion records
     # through to/from_warc_shards) — the warc_roundtrip contract
     "wet_roundtrip": {"arrow"},
+    # r14: WAT rides the same shard build/walk; the envelope JSON
+    # itself is Column-level to_json/from_json
+    "wat_roundtrip": {"arrow"},
     # JSONL shard assembly + the per-shard gunzip pass are the
     # container's contract (one Arrow row per SHARD, not per record;
     # the record parse itself is Column-level from_json)
