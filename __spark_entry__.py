@@ -1205,6 +1205,24 @@ def _pq_centroids(n=4, d=64, seed=14):
     ]
 
 
+def _opq_rotation(d=64, seed=15):
+    # r14: deterministic literal orthonormal rotation (the explicit-
+    # codebook trick): the OPQ TRAINER (train_opq_rotation — PCA
+    # eigh + eigenvalue allocation) is pinned by tests/test_pq.py's
+    # numpy differential and recall inequality; the oracle replays
+    # rotation → encode → ADC closed-form against this literal.
+    # Generated in-process, so the engine query and the SQL embed the
+    # SAME floats by construction.
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    q, _ = _np.linalg.qr(rng.normal(size=(d, d)))
+    s = _np.sign(_np.diag(q))
+    s[s == 0] = 1.0
+    q = q * s[None, :]
+    return [[float(x) for x in row] for row in q.T]
+
+
 def _q_pq_topk(spark, sf_dir):
     # r6: product quantization (functions/pq.py — Jégou et al. 2011).
     # Tagged union: `enc` rows pin the per-subspace argmin code of
@@ -1315,9 +1333,45 @@ def _q_pq_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("i"),
         F.col("dist").alias("d"),
     )
+    # `opq`/`oad` rows (r14): the OPQ pipeline — rotate by the
+    # deterministic literal orthonormal matrix (the portable
+    # zip_with/fold dot chain), encode the ROTATED vectors with the
+    # same codebooks, ADC-rank 4 rotated queries against the rotated
+    # codes. Bounded to the 500-vector sub-corpus (the rfn cost rule:
+    # the interpreted 64×64 rotation fold prices per row). The
+    # trained rotation (train_opq_rotation: PCA eigh + eigenvalue
+    # allocation) is pytest-pinned — recall(OPQ) ≥ recall(PQ),
+    # isometry, numpy parity (tests/test_pq.py TestOPQ).
+    from pandas_weights_spark.functions.pq import opq_rotate
+
+    rotv = opq_rotate(
+        subemb, "embedding", _opq_rotation(), out_col="rv",
+        arrow=False,
+    ).select("vec_id", F.col("rv").alias("embedding"))
+    ocodes = pq_encode(rotv, "embedding", cbs, arrow=False)
+    oenc = ocodes.select(
+        F.lit("opq").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.posexplode("pq_code").alias("b", "i"),
+    ).select(
+        "part", "a", F.col("b").cast("long").alias("b"),
+        F.col("i").cast("long").alias("i"),
+        F.lit(None).cast("double").alias("d"),
+    )
+    oqueries = rotv.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    oad = topk_pq_adc(oqueries, ocodes, cbs, k=5, arrow=False).select(
+        F.lit("oad").alias("part"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").cast("long").alias("i"),
+        F.col("dist").alias("d"),
+    )
     return (
         enc.unionByName(adc).unionByName(ivq)
         .unionByName(renc).unionByName(rvq).unionByName(rfn)
+        .unionByName(oenc).unionByName(oad)
     )
 
 
@@ -8365,6 +8419,51 @@ def _pq_sql() -> str:
         f"WHEN 2 THEN q.rd{s}2 ELSE q.rd{s}3 END)"
         for s in range(m)
     )
+    # r14 OPQ replay: rotated coords as one dot chain per output
+    # coordinate — engine fold starts at the 0.0 accumulator, so the
+    # chain leads with 0.0 (a −0.0 first product normalizes to +0.0
+    # on both engines); then the SAME encode/ADC machinery over the
+    # rotated columns
+    rot = _opq_rotation()
+    rd = len(rot)
+    rv_cols = ",\n             ".join(
+        "(0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{t + 1}] AS DOUBLE) * ({rot[i][t]!r})"
+            for t in range(rd)
+        )
+        + f") AS v{i}"
+        for i in range(rd)
+    )
+
+    def odist(s: int, j: int) -> str:
+        return " + ".join(
+            f"((v{s * dsub + t}) - ({cbs[s][j][t]!r})) * "
+            f"((v{s * dsub + t}) - ({cbs[s][j][t]!r}))"
+            for t in range(dsub)
+        )
+
+    odist_cols = ",\n             ".join(
+        f"({odist(s, j)}) AS od{s}{j}"
+        for s in range(m)
+        for j in range(k)
+    )
+    ocode_cols = ", ".join(
+        f"list_position([od{s}0, od{s}1, od{s}2, od{s}3], "
+        f"list_min([od{s}0, od{s}1, od{s}2, od{s}3])) - 1 AS oc{s}"
+        for s in range(m)
+    )
+    oenc_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT 'opq' AS part, vec_id AS a, CAST({s} AS BIGINT) AS b,"
+        f" CAST(oc{s} AS BIGINT) AS i, CAST(NULL AS DOUBLE) AS d "
+        f"FROM ocodes"
+        for s in range(m)
+    )
+    oad_sum = " + ".join(
+        f"(CASE x.oc{s} WHEN 0 THEN q.od{s}0 WHEN 1 THEN q.od{s}1 "
+        f"WHEN 2 THEN q.od{s}2 ELSE q.od{s}3 END)"
+        for s in range(m)
+    )
     # r7 refine replay: exact squared-L2 brute force (probe-all +
     # corpus-covering refine factor make the engine's refined result
     # exactly this), same left-to-right fold order
@@ -8429,6 +8528,29 @@ def _pq_sql() -> str:
              row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
                AS rk
       FROM rpairs
+    ), rve AS (
+      SELECT vec_id,
+             {rv_cols}
+      FROM e WHERE vec_id < 500
+    ), odists AS (
+      SELECT vec_id,
+             {odist_cols}
+      FROM rve
+    ), ocodes AS (
+      SELECT vec_id, {ocode_cols} FROM odists
+    ), oenc AS (
+      {oenc_rows}
+    ), oqd AS (
+      SELECT * FROM odists WHERE vec_id < 4
+    ), opairs AS (
+      SELECT q.vec_id AS qid, x.vec_id AS nid,
+             round({oad_sum}, 6) AS dist
+      FROM oqd q, ocodes x
+    ), oranked AS (
+      SELECT qid, nid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+               AS rk
+      FROM opairs
     )
     SELECT part, a, b, i, d FROM enc
     UNION ALL
@@ -8464,6 +8586,15 @@ def _pq_sql() -> str:
         FROM e q, e x WHERE q.vec_id < 4 AND x.vec_id < 500
       )
     ) WHERE rk <= 5
+    UNION ALL
+    -- opq: codes of the LITERAL-rotation OPQ pipeline (rotation as a
+    -- plan literal -> closed-form dot-chain replay)
+    SELECT part, a, b, i, d FROM oenc
+    UNION ALL
+    -- oad: ADC top-5 of rotated queries against rotated codes
+    SELECT 'oad' AS part, qid AS a, nid AS b, CAST(rk AS BIGINT) AS i,
+           dist AS d
+    FROM oranked WHERE rk <= 5
 """
 
 
@@ -11904,6 +12035,11 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   moment CTEs closed-form; also the
                          #   _jm_mixture_tables refactor under
                          #   _trigram_logprob_rows (lm3 rows pinned)
+    "pq_topk",           # r14: OPQ rows — `opq` (codes of the
+                         #   literal-rotation pipeline) and `oad`
+                         #   (ADC top-5 of rotated queries vs rotated
+                         #   codes) over the 500-vector sub-corpus;
+                         #   trained rotation pinned in tests
     "neardup_incremental",  # r14: state-format probe guard (ADVICE
                          #   r13) — one LIMIT-1 job validating that
                          #   portable digest state holds 16-hex

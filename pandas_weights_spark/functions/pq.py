@@ -56,6 +56,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "train_pq_codebooks",
+    "train_opq_rotation",
+    "opq_rotate",
     "pq_encode",
     "topk_pq_adc",
     "topk_ivfpq",
@@ -243,6 +245,138 @@ def train_pq_codebooks(
             nz = cnt[s] > 0
             cbs[s][nz] = sums[s][nz] / cnt[s][nz, None]
     return [[list(map(float, c)) for c in cb] for cb in cbs]
+
+
+def train_opq_rotation(
+    df: DataFrame,
+    vec_col: str,
+    m: int,
+    center: bool = False,
+) -> "list[list[float]]":
+    """Parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized Product
+    Quantization for Approximate Nearest Neighbor Search", CVPR 2013
+    §4 — the eigenvalue-allocation solution, public paper): an
+    orthonormal ``d × d`` matrix ``R`` (rows = output coordinates)
+    such that PQ on ``R·x`` quantizes strictly better than PQ on raw
+    ``x`` when dimensions are correlated or variance is unbalanced —
+    the paper's two conditions for optimality are (1) independence
+    across subspaces (PCA decorrelates) and (2) balanced per-subspace
+    variance PRODUCTS (greedy eigenvalue allocation: eigenvalues
+    descending, each assigned to the unfilled bucket with the
+    smallest log-product). Typically ~halves ADC error at the same
+    code size on anisotropic embeddings.
+
+    Rotation is an ISOMETRY: ``‖Rx − Ry‖ = ‖x − y‖``, so exact
+    brute-force rankings are preserved and ADC distances in the
+    rotated space estimate ORIGINAL-space distances — compose as
+    ``opq_rotate`` → ``train_pq_codebooks`` → ``pq_encode`` →
+    ``topk_pq_adc``/``topk_ivfpq`` with queries rotated by the same
+    ``R``.
+
+    Scale shape: one :func:`~pandas_weights_spark.functions.pca.
+    _embedding_moments` pass (d² doubles per partition, tree-merged
+    past 32 partitions), then a driver-side d×d ``eigh`` — the
+    pca_fit discipline, driver math on AGGREGATED data only.
+    ``center=False`` (default) fits axes on raw second moments (the
+    normalized-embedding convention); either way ``R`` applies
+    WITHOUT mean subtraction, keeping the isometry exact. Returns
+    plain floats (picklable, plan-literal for the SQL oracle).
+    """
+    from pandas_weights_spark.functions.pca import _embedding_moments
+
+    n, s, g = _embedding_moments(df, vec_col)
+    d = len(s)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < 2:
+        raise ValueError("OPQ needs at least 2 vectors")
+    dsub = d // m
+    mu = s / n if center else np.zeros(d)
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    # deterministic sign (the pca_fit convention): largest-|coeff|
+    # entry of each axis positive, ties to the earliest index
+    axes = []
+    for idx in order:
+        v = vecs[:, idx].copy()
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        axes.append((float(vals[idx]), v))
+    # greedy eigenvalue allocation: balance per-bucket log-products
+    buckets: "list[list[np.ndarray]]" = [[] for _ in range(m)]
+    logp = [0.0] * m
+    for lam, v in axes:
+        cands = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(cands, key=lambda i: (logp[i], i))
+        buckets[b].append(v)
+        logp[b] += float(np.log(max(lam, 1e-12)))
+    rows = [v for b in buckets for v in b]
+    return [[float(x) for x in v] for v in rows]
+
+
+def opq_rotate(
+    df: DataFrame,
+    vec_col: str,
+    rotation: "list[list[float]]",
+    out_col: str = "opq_vec",
+    arrow: bool = True,
+) -> DataFrame:
+    """Apply an OPQ rotation: append ``out_col = R·x`` (length d,
+    NULL vectors stay NULL). ``arrow=True`` is one batched matmul per
+    Arrow batch (the pca_transform shape); ``arrow=False`` is the
+    Column-expression twin — one zip_with/aggregate dot product per
+    output coordinate over the rotation LITERAL, the DuckDB-
+    replayable oracle path (fold-order sums; agrees with the matmul
+    to ulps, tests pin round-6 parity)."""
+    rot = [list(map(float, r)) for r in rotation]
+    d = len(rot)
+    if any(len(r) != d for r in rot):
+        raise ValueError("rotation must be a square d × d matrix")
+    if not arrow:
+        v = F.col(vec_col)
+
+        def dot(row: "list[float]") -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        out = F.array(*[dot(r) for r in rot])
+        return df.select(
+            *df.columns, F.when(v.isNotNull(), out).alias(out_col)
+        )
+    rmat = np.asarray(rot, float)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    cols = df.columns
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[vec_col]
+            mask = vals.notna().to_numpy()
+            res = np.empty(len(pdf), dtype=object)
+            res[~mask] = None
+            if mask.any():
+                x = np.vstack([np.asarray(v, float) for v in vals[mask]])
+                proj = x @ rmat.T
+                lists = np.empty(proj.shape[0], dtype=object)
+                for i in range(proj.shape[0]):
+                    lists[i] = list(proj[i])
+                res[mask] = lists
+            yield pd.DataFrame({**{c: pdf[c] for c in cols}, out_col: res})
+
+    return df.mapInPandas(run, out_schema)
 
 
 def _sub_slice(vec: Column, s: int, dsub: int) -> Column:
