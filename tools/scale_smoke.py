@@ -91,6 +91,11 @@ def main() -> int:
           .quantile([0.5, 0.9]))
     bench("pps sample 10k", lambda: weighted_sample(
         df, F.col("w"), 10_000, ["id"]))
+    # r14: selection-scale n (> the group-limit threshold) — exercises
+    # the salted executor-side two-stage that replaced the TakeOrdered
+    # driver merge (partitions x n rows on the driver)
+    bench("pps sample 100k salted", lambda: weighted_sample(
+        df, F.col("w"), 100_000, ["id"]))
     bench("rolling mean w=100", lambda: wt(
         df.select("g", "id", "x", "w"), "w")
         .rolling(100, order_by=["id"], partition_by=["g"]).mean())
@@ -355,12 +360,15 @@ def main() -> int:
             tagged, "text", lr, ["doc_id"], n_buckets=1 << 13,
             doc_counts=db.drop("dom"), portable=False,
         )
+        # r14: k = 100k (DSIR's real selection regime) — the Gumbel
+        # top-k routes through the salted executor-side two-stage,
+        # never the partitions x k TakeOrdered driver merge
         return dsir_gumbel_topk(
             scored.select("doc_id", "log_importance"),
-            F.col("log_importance"), 10_000, ["doc_id"],
+            F.col("log_importance"), 100_000, ["doc_id"],
         )
 
-    dbench("dsir select chain", dsir_thunk, docs_n)
+    dbench("dsir select chain k=100k", dsir_thunk, docs_n)
 
     urls = spark.range(n).select(
         F.col("id"),
@@ -1024,6 +1032,47 @@ def main() -> int:
     dbench("class_tfidf top-10 x20", lambda: class_tfidf(
         cdocs, "text", "src", k=10, min_tf=2
     ), docs_n)
+
+    # r14: the skew case the partitioned_topk route is for — 90% of
+    # docs in ONE class (a web-scale class), the rest across 19; the
+    # per-class rank must not serialize on the big class (Partial
+    # WindowGroupLimit pre-filters every map task before the exchange)
+    skewed = docs.select(
+        F.when(F.col("doc_id") % 10 < 9, F.lit("web"))
+        .otherwise((F.col("doc_id") % 19).cast("string"))
+        .alias("src"),
+        "text",
+    )
+    dbench("class_tfidf skewed 90/10", lambda: class_tfidf(
+        skewed, "text", "src", k=10, min_tf=2
+    ), docs_n)
+
+    # r14: write_shuffled at n_files=512 — the deterministic keyed
+    # global shuffle sink (repartitionByRange + sortWithinPartitions;
+    # REAL parquet write, tmpdir cleaned up). Reported as files/s.
+    import shutil
+    import tempfile
+
+    from pandas_weights_spark.sources.sinks import write_shuffled
+
+    if not name_filter or any(
+        t in "write_shuffled 512 files" for t in name_filter.split(",")
+    ):
+        tmpd = tempfile.mkdtemp(prefix="pw_shuf_")
+        try:
+            t0 = time.perf_counter()
+            write_shuffled(
+                docs.select("doc_id", "text"), f"{tmpd}/out",
+                key="doc_id", n_files=512,
+            )
+            dt = time.perf_counter() - t0
+            print(
+                f"{'write_shuffled 512 files':28s} {dt:7.2f}s  "
+                f"({512 / dt:6.1f} files/s, {docs_n / dt / 1e3:6.1f} "
+                f"K docs/s)"
+            )
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
 
     # r13: Min-K% Prob over the trigram LM — capped model tables
     # trained on the full corpus, a 10% slice scored (per-doc
