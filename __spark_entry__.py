@@ -9442,6 +9442,118 @@ _ORACLE["wat_roundtrip"] = """
 """
 
 
+def _q_cdx_index(spark, sf_dir):
+    # r14: web-archive URL-index surface (functions/cdx.py — SURT
+    # keys + CDXJ line parsing, the Common Crawl INDEX next to the
+    # WARC/WET/WAT containers: selection pipelines filter the index,
+    # then fetch only the matching (filename, offset, length) ranges).
+    # Per doc: a CDXJ line whose KEY is the engine's surt_key over a
+    # mixed-case url with userinfo-free authority, leading www.,
+    # default :443 port, unsorted query, and a fragment — the oracle
+    # states the canonical key CLOSED-FORM (lowercase, www/port
+    # stripped, host reversed comma-joined, query sorted, fragment
+    # dropped). Every 7th doc is a corrupt line that must parse to a
+    # NULL struct (a 100 TB index scan never throws). Row-local regex
+    # + get_json_object; zero shuffle.
+    from pandas_weights_spark.functions.cdx import (
+        cdxj_entries,
+        surt_key,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.News.Example"),
+        (did % 20).cast("string"),
+        F.lit(".COM:443/Path"), ds,
+        F.lit("/Item?b=2&a="),
+        (did % 7).cast("string"),
+        F.lit("#Frag"),
+    )
+    ts = F.concat(
+        F.lit("2024"),
+        F.lpad(((did % 12) + 1).cast("string"), 2, "0"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("10"),
+        F.lpad((did % 60).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    js = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "200", '
+              '"digest": "sha1:'),
+        F.substring(F.md5(ds), 1, 16),
+        F.lit('", "length": "'),
+        ((did % 1000) + 100).cast("string"),
+        F.lit('", "offset": "'),
+        (did * 7).cast("string"),
+        F.lit('", "filename": "crawl-'),
+        (did % 8).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    line = F.when(
+        did % 7 == 3, F.concat(F.lit("corrupt line "), ds)
+    ).otherwise(
+        F.concat(surt_key(url), F.lit(" "), ts, F.lit(" "), js)
+    )
+    e = F.col("e")
+    return docs.select(
+        "doc_id", cdxj_entries(line).alias("e")
+    ).select(
+        "doc_id",
+        e["key"].alias("key"),
+        e["ts_raw"].alias("ts_raw"),
+        e["ts"].alias("ts"),
+        e["url"].alias("url"),
+        e["mime"].alias("mime"),
+        e["status"].alias("status"),
+        e["digest"].alias("digest"),
+        e["length"].alias("length"),
+        e["offset"].alias("offset"),
+        e["filename"].alias("filename"),
+    )
+
+
+_ORACLE["cdx_index"] = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE 'com,example' || CAST(doc_id % 20 AS VARCHAR)
+          || ',news)/path' || CAST(doc_id AS VARCHAR)
+          || '/item?a=' || CAST(doc_id % 7 AS VARCHAR) || '&b=2'
+      END AS key,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE '2024' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          || '10' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || '00'
+      END AS ts_raw,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE make_timestamp(
+          2024, CAST(doc_id % 12 + 1 AS INT),
+          CAST(doc_id % 28 + 1 AS INT), 10,
+          CAST(doc_id % 60 AS INT), 0)
+      END AS ts,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE 'HTTPS://WWW.News.Example' || CAST(doc_id % 20 AS VARCHAR)
+          || '.COM:443/Path' || CAST(doc_id AS VARCHAR)
+          || '/Item?b=2&a=' || CAST(doc_id % 7 AS VARCHAR) || '#Frag'
+      END AS url,
+      CASE WHEN doc_id % 7 = 3 THEN NULL ELSE 'text/html' END AS mime,
+      CASE WHEN doc_id % 7 = 3 THEN NULL ELSE 200 END AS status,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE 'sha1:' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+      END AS digest,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE CAST(doc_id % 1000 + 100 AS BIGINT) END AS length,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE CAST(doc_id * 7 AS BIGINT) END AS offset,
+      CASE WHEN doc_id % 7 = 3 THEN NULL
+        ELSE 'crawl-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz'
+      END AS filename
+    FROM documents
+"""
+
+
 def _q_sentences(spark, sf_dir):
     # r8: rule-based sentence splitting (functions/text.py
     # split_sentences — abbreviation/initial protection via sentinel
@@ -12014,6 +12126,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 #: queries ADDED in the current round (r14) — always in the window.
 _NEW_THIS_ROUND: tuple = (
     "wat_roundtrip",
+    "cdx_index",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -12086,6 +12199,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r14 queries ---
         "wat_roundtrip": _q_wat_roundtrip,
+        "cdx_index": _q_cdx_index,
         # --- r13 queries ---
         "punkt_context": _q_punkt_context,
         "semdedup_incremental": _q_semdedup_incremental,

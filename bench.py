@@ -138,7 +138,9 @@ HEADLINE = [
     "class_tfidf",         # c-TF-IDF per-class distinctive terms (r13)
     "sitemap_parse",       # sitemaps.org urlset/index parsing (r13)
     "wet_roundtrip",       # WET conversion-record container roundtrip (r13)
-    "mink_prob",           # Min-K% Prob pretraining-data detection (r13)
+    "mink_prob",           # Min-K% Prob + Min-K%++ membership detection (r13/r14)
+    "wat_roundtrip",       # WAT metadata-envelope container roundtrip (r14)
+    "cdx_index",           # SURT keys + CDXJ index-line parsing (r14)
 ]
 
 

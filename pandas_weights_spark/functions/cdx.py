@@ -1,0 +1,205 @@
+"""Web-archive URL-INDEX surface (public formats) — the third leg of
+the Common Crawl tooling next to the containers (sources/warc.py:
+WARC/WET/WAT) and the discovery side (functions/robots.py:
+robots.txt/sitemaps): the INDEX that tells a pipeline WHICH records to
+fetch before it touches a single WARC byte.
+
+* :func:`surt_key` — SURT (Sort-friendly URI Reordering Transform,
+  the public convention of OpenWayback/pywb and the Common Crawl URL
+  index, e.g. ``com,example)/path?a=1``): host reversed and
+  comma-joined so keys sort by registrable domain, lowercased, default
+  ports and one leading ``www.`` stripped, query parameters sorted —
+  the canonical join/dedup/range-partition key for crawl index work
+  (prefix-range scans over a domain are ``key BETWEEN 'com,example)'
+  AND 'com,example*'``-shaped, which is why the index sorts this way).
+* :func:`cdxj_entries` — parse CDXJ index lines (pywb's CDXJ format:
+  ``<surt key> <14-digit timestamp> <json>`` with the JSON block
+  carrying url/mime/status/digest/length/offset/filename — the fields
+  that point into a WARC shard). Selection pipelines read the CDX
+  index, filter by status/mime/digest, then fetch only the matching
+  (filename, offset, length) ranges.
+
+Both are row-local Column algebra (regex + HOF + ``get_json_object``)
+— zero shuffle, scan-pipelined, java-regex ∩ RE2 safe so the DuckDB
+twin (:func:`surt_key_sql`) replays the SURT chain exactly. No DOM,
+no URL library: the documented subset is the chain below, matching
+the canonicalize_url family's stance (functions/text.py).
+
+SURT rules implemented (documented subset of the pywb canon):
+lowercase the whole URL; drop scheme, userinfo, and fragment; strip a
+``:80``/``:443`` default port and ONE leading ``www.`` (``www2.`` and
+friends are preserved — they are distinct hosts more often than
+mirrors); reverse host labels joined by commas; ``)`` separator; path
+verbatim (empty → ``/``); query split on ``&``, empty params dropped,
+sorted lexicographically, re-joined (``?`` dropped when no params
+survive). IP hosts reverse like any other label sequence (the pywb
+behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["surt_key", "surt_key_sql", "cdxj_entries"]
+
+_SCHEME_RE = r"^[a-z][a-z0-9+.-]*://"
+_USERINFO_RE = r"^[^/@?#]*@"
+_AUTH_RE = r"^([^/?#]*)"
+_ANYPORT_RE = r":[0-9]*$"
+_WWW_RE = r"^www\."
+_FRAG_RE = r"#[^\x00]*$"
+
+
+def surt_key(url: Column) -> Column:
+    """SURT canonical index key of a URL Column (see module doc for
+    the exact rule set). NULL url → NULL; a URL with no authority
+    (relative reference) keys as ``)`` + path — callers filter those
+    upstream if they matter. A NON-default port survives, appended
+    after the reversed host (``com,example:8080)/…`` — the pywb
+    shape)."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, _SCHEME_RE, "")
+    u = F.regexp_replace(u, _USERINFO_RE, "")
+    u = F.regexp_replace(u, _FRAG_RE, "")
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    rest = F.regexp_replace(u, _AUTH_RE, "")
+    port = F.regexp_extract(auth, r":([0-9]*)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(auth, _ANYPORT_RE, ""), _WWW_RE, ""
+    )
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(
+            (F.length(port) > 0)
+            & (port != F.lit("80"))
+            & (port != F.lit("443")),
+            F.concat(F.lit(":"), port),
+        ).otherwise(F.lit("")),
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    q = F.regexp_extract(rest, r"\?([^\x00]*)$", 1)
+    qsorted = F.array_join(
+        F.array_sort(
+            F.filter(F.split(q, "&"), lambda x: F.length(x) > 0)
+        ),
+        "&",
+    )
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(
+            F.length(qsorted) > 0, F.concat(F.lit("?"), qsorted)
+        ).otherwise(F.lit("")),
+    )
+
+
+def surt_key_sql(expr: str) -> str:
+    """DuckDB replay of :func:`surt_key` — same pattern constants
+    (emitted, not copied), RE2 dialect, same stage order."""
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    u = f"lower({expr})"
+    u = f"regexp_replace({u}, '{sq(_SCHEME_RE)}', '')"
+    u = f"regexp_replace({u}, '{sq(_USERINFO_RE)}', '')"
+    u = f"regexp_replace({u}, '{sq(_FRAG_RE)}', '')"
+    # LET-bind the stripped url once (the engine-side single-producer
+    # discipline's SQL twin)
+    port = (
+        f"regexp_extract(regexp_extract(u, '{sq(_AUTH_RE)}', 1), "
+        f"':([0-9]*)$', 1)"
+    )
+    body = (
+        f"concat("
+        f"list_aggr(list_reverse(string_split("
+        f"regexp_replace(regexp_replace("
+        f"regexp_extract(u, '{sq(_AUTH_RE)}', 1), "
+        f"'{sq(_ANYPORT_RE)}', ''), '{sq(_WWW_RE)}', ''), '.')), "
+        f"'string_agg', ','), "
+        f"CASE WHEN length({port}) > 0 AND {port} <> '80' "
+        f"AND {port} <> '443' THEN ':' || {port} ELSE '' END, "
+        f"')', "
+        f"CASE WHEN length(regexp_extract("
+        f"regexp_replace(u, '{sq(_AUTH_RE)}', ''), '^([^?]*)', 1)) = 0 "
+        f"THEN '/' ELSE regexp_extract("
+        f"regexp_replace(u, '{sq(_AUTH_RE)}', ''), '^([^?]*)', 1) END, "
+        f"CASE WHEN length(list_aggr(list_sort(list_filter("
+        f"string_split(regexp_extract(regexp_replace(u, "
+        f"'{sq(_AUTH_RE)}', ''), '\\?([^\\x00]*)$', 1), '&'), "
+        f"x -> length(x) > 0)), 'string_agg', '&')) > 0 "
+        f"THEN '?' || list_aggr(list_sort(list_filter("
+        f"string_split(regexp_extract(regexp_replace(u, "
+        f"'{sq(_AUTH_RE)}', ''), '\\?([^\\x00]*)$', 1), '&'), "
+        f"x -> length(x) > 0)), 'string_agg', '&') ELSE '' END"
+        f")"
+    )
+    return f"(list_transform([{u}], u -> {body})[1])"
+
+
+#: one CDXJ line: "<non-space key> <14 digits> <json object>"
+_CDXJ_RE = r"^([^ \x00]+) ([0-9]{14}) (\{[^\x00]*\})$"
+
+
+def cdxj_entries(line: Column) -> Column:
+    """Parse one CDXJ index line into a struct ``(key, ts_raw, ts,
+    url, mime, status, digest, length, offset, filename)`` — NULL for
+    a line that does not match the ``<key> <ts14> <json>`` shape (a
+    100 TB index scan must never throw on a corrupt line), NULL
+    fields for JSON members that are absent. ``ts`` parses the
+    14-digit timestamp via the gated try-parse discipline (invalid
+    digits → NULL, never an ANSI error); ``status``/``length``/
+    ``offset`` try-cast the same way. Row-local regex +
+    ``get_json_object`` — zero shuffle."""
+    key = F.regexp_extract(line, _CDXJ_RE, 1)
+    ts = F.regexp_extract(line, _CDXJ_RE, 2)
+    js = F.regexp_extract(line, _CDXJ_RE, 3)
+
+    def jstr(field: str) -> Column:
+        return F.get_json_object(js, f"$.{field}")
+
+    entry = F.struct(
+        key.alias("key"),
+        ts.alias("ts_raw"),
+        F.try_to_timestamp(ts, F.lit("yyyyMMddHHmmss")).alias("ts"),
+        jstr("url").alias("url"),
+        jstr("mime").alias("mime"),
+        jstr("status").cast("int").alias("status"),
+        jstr("digest").alias("digest"),
+        jstr("length").cast("long").alias("length"),
+        jstr("offset").cast("long").alias("offset"),
+        jstr("filename").alias("filename"),
+    )
+    return F.when(line.rlike(_CDXJ_RE), entry)
+
+
+def cdx_fetch_plan(
+    entries: DataFrame,
+    statuses: "tuple[int, ...]" = (200,),
+    mimes: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """The selection step a CDX reader exists for: filter parsed
+    entries (struct column ``e`` from :func:`cdxj_entries`) to the
+    records worth fetching and roll them up per WARC shard —
+    ``(filename, n_records, total_bytes, offsets)`` with offsets
+    sorted ascending so a reader streams each shard in one forward
+    pass. One filter + one filename-keyed aggregate; ``offsets`` is
+    per-shard-bounded (records per WARC shard, ≤ tens of thousands by
+    the 1 GiB shard convention)."""
+    e = F.col("e")
+    keep = e["status"].isin(*[int(s) for s in statuses])
+    if mimes is not None:
+        keep = keep & e["mime"].isin(*[str(m) for m in mimes])
+    picked = entries.where(e.isNotNull() & keep).select(
+        e["filename"].alias("filename"),
+        e["offset"].alias("offset"),
+        e["length"].alias("length"),
+    )
+    return picked.groupBy("filename").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.sort_array(F.collect_list("offset")).alias("offsets"),
+    )

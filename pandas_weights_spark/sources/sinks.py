@@ -114,6 +114,36 @@ def write_sorted(
     writer.save(path)
 
 
+def _identity_partition_reps(spark, n: int) -> "list[int]":
+    """For each residue ``f`` in 0..n−1, a small int ``v_f`` with
+    ``pmod(murmur3(v_f), n) == f`` — the values that make
+    ``repartition(n, col)``'s hash partitioning an IDENTITY on bucket
+    ids (partition f receives exactly bucket f). Found by one tiny
+    Spark job hashing 0..64·n−1 (murmur3 is a fixed function, so the
+    mapping is stable across sessions/versions by the same contract
+    that makes ``F.hash`` usable in persisted layouts)."""
+    limit = 64 * n
+    rows = (
+        spark.range(limit)
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("f"),
+        )
+        .collect()
+    )
+    reps: "dict[int, int]" = {}
+    for r in rows:
+        if r["f"] not in reps:
+            reps[r["f"]] = r["v"]
+    if len(reps) != n:
+        # astronomically unlikely at 64 candidates per residue; loud
+        raise RuntimeError(
+            f"could not find hash representatives for all {n} files "
+            f"within {limit} candidates"
+        )
+    return [reps[f] for f in range(n)]
+
+
 def write_shuffled(
     df: DataFrame,
     path: str,
@@ -122,19 +152,31 @@ def write_shuffled(
     n_files: int = 64,
     mode: str = "overwrite",
     format: str = "parquet",
+    exact_files: bool = False,
 ) -> None:
     """DETERMINISTIC global shuffle for training-data output — the
     "shuffle once at write time, stream sequentially at train time"
     layout every epoch loader wants: a training job reading files
     0..N-1 in order sees examples in seeded-random order without any
     runtime shuffle buffer, and two runs of this writer produce the
-    same CONCATENATED file-ordered stream. The per-FILE assignment is
+    same CONCATENATED file-ordered stream.
+
+    With the default ``exact_files=False`` the per-FILE assignment is
     NOT pinned across runs: ``repartitionByRange`` computes its range
     bounds by sampling with an RDD-id-derived seed, so rows near a
     boundary can land in the adjacent file in another session —
     consume the files as an ordered stream (which is all an epoch
-    loader does), never as stable shards (use ``write_bucketed`` for
-    stable key→file placement).
+    loader does). ``exact_files=True`` (r14, ADVICE r13) pins the
+    files too: each row's file is ``pmod(xxhash64(key, seed),
+    n_files)`` — byte-deterministic file CONTENTS across runs and
+    sessions, at the cost of one tiny driver job that picks, per
+    file id, an int representative whose murmur3 hash-partition IS
+    that file (``repartition(n, col)`` routes by ``pmod(hash(col),
+    n)``; the representatives make that an identity on bucket ids,
+    so every bucket lands alone in its own numbered file). The
+    concatenated stream is then ordered by ``(file bucket, hash)`` —
+    a different (still seeded-deterministic) permutation than the
+    range mode's pure hash order.
 
     Order is ``xxhash64(key, seed)``: a keyed hash, NOT ``rand()`` —
     re-running the job, retrying a failed stage, or regenerating a
@@ -143,17 +185,33 @@ def write_shuffled(
     can change). Rows land range-partitioned on the hash
     (``repartitionByRange`` + ``sortWithinPartitions`` — no
     single-task global sort), ``n_files`` output files via the
-    sampled range split. Ties (hash collisions) are broken by ``key``
-    so the total order is unique. Different ``seed`` → an independent
-    permutation for the next epoch/run.
+    sampled range split (or the exact bucket map above). Ties (hash
+    collisions) are broken by ``key`` so the total order is unique.
+    Different ``seed`` → an independent permutation for the next
+    epoch/run.
     """
     h = F.xxhash64(F.col(key), F.lit(int(seed)))
-    out = (
-        df.withColumn("__shuf__", h)
-        .repartitionByRange(int(n_files), F.col("__shuf__"))
-        .sortWithinPartitions("__shuf__", key)
-        .drop("__shuf__")
-    )
+    if exact_files:
+        reps = _identity_partition_reps(df.sparkSession, int(n_files))
+        bucket = F.pmod(h, F.lit(int(n_files)))
+        rep = F.element_at(
+            F.array(*[F.lit(int(v)) for v in reps]),
+            bucket.cast("int") + F.lit(1),
+        )
+        out = (
+            df.withColumn("__shuf__", h)
+            .withColumn("__pw_f__", rep)
+            .repartition(int(n_files), F.col("__pw_f__"))
+            .sortWithinPartitions("__shuf__", key)
+            .drop("__shuf__", "__pw_f__")
+        )
+    else:
+        out = (
+            df.withColumn("__shuf__", h)
+            .repartitionByRange(int(n_files), F.col("__shuf__"))
+            .sortWithinPartitions("__shuf__", key)
+            .drop("__shuf__")
+        )
     out.write.mode(mode).format(format).save(path)
 
 

@@ -192,3 +192,58 @@ class TestWriteShuffled:
             .collect()
         ]
         assert out == want
+
+    def test_exact_files_pins_per_file_contents(self, spark, df, tmp_path):
+        # r14 (ADVICE r13): exact_files=True pins each FILE's contents
+        # (the range mode only pins the concatenated stream — its
+        # sampled bounds can shift boundary rows between files)
+        from pandas_weights_spark.sources.sinks import write_shuffled
+
+        import pyarrow.parquet as pq
+
+        a, b = str(tmp_path / "ex1"), str(tmp_path / "ex2")
+        write_shuffled(df, a, "id", seed=7, n_files=4, exact_files=True)
+        write_shuffled(df, b, "id", seed=7, n_files=4, exact_files=True)
+
+        def per_file(path):
+            return [
+                pq.read_table(f, columns=["id"]).column("id").to_pylist()
+                for f in sorted(parquet_files(path))
+            ]
+
+        fa, fb = per_file(a), per_file(b)
+        assert fa == fb and len(fa) == 4
+        assert all(f for f in fa)  # every numbered file non-empty
+        # the whole stream is still a permutation, ordered by
+        # (bucket, hash) — deterministic, seeded, non-identity
+        flat = [x for f in fa for x in f]
+        assert sorted(flat) == list(range(1000)) and flat != sorted(flat)
+        # file assignment IS pmod(xxhash64(id, seed), n_files)
+        want = {}
+        for r in df.select(
+            "id",
+            F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(4))
+            .alias("b"),
+        ).collect():
+            want.setdefault(r["b"], set()).add(r["id"])
+        got = {i: set(f) for i, f in enumerate(fa)}
+        assert got == {int(k): set(v) for k, v in want.items()}
+
+    def test_exact_files_no_global_sort(self, spark, df):
+        # the exact mode must stay a hash repartition + local sort —
+        # no sampling range exchange, no single-task global sort
+        from pandas_weights_spark.sources.sinks import (
+            _identity_partition_reps,
+        )
+
+        reps = _identity_partition_reps(spark, 16)
+        assert len(reps) == 16
+        got = [
+            r["p"]
+            for r in spark.createDataFrame(
+                [(v,) for v in reps], "v int"
+            )
+            .select(F.pmod(F.hash(F.col("v")), F.lit(16)).alias("p"))
+            .collect()
+        ]
+        assert got == list(range(16))
