@@ -9011,7 +9011,6 @@ def _q_mink_prob(spark, sf_dir):
     # punkt_abbrevs rule).
     from pandas_weights_spark.functions.text import (
         bigram_counts,
-        mink_prob_score,
         minkpp_prob_score,
         trigram_counts,
     )
@@ -9022,17 +9021,15 @@ def _q_mink_prob(spark, sf_dir):
     bgt = bigram_counts(docs, "text", max_bigrams=5000)
     tgt = trigram_counts(docs, "text", max_trigrams=5000)
     scored = docs.where(F.col("doc_id") < 50)
-    out = mink_prob_score(
+    # include_mink=True fuses both statistics onto ONE document scan
+    # (per-triple lp values feed both; bit-identical to the
+    # standalone functions, pinned by tests)
+    out = minkpp_prob_score(
         scored, "text", "doc_id",
         lmvocab, bgt, tgt, k=0.2, alpha=0.5,
-        lambda3=0.6, lambda2=0.3,
+        lambda3=0.6, lambda2=0.3, include_mink=True,
     )
-    pp = minkpp_prob_score(
-        scored, "text", "doc_id",
-        lmvocab, bgt, tgt, k=0.2, alpha=0.5,
-        lambda3=0.6, lambda2=0.3,
-    ).select("doc_id", "mkpp_score")
-    return out.join(pp, "doc_id").select(
+    return out.select(
         "doc_id",
         "n_trigrams",
         "k_used",

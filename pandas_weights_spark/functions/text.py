@@ -1834,6 +1834,7 @@ def minkpp_prob_score(
     lambda3: float = 0.6,
     lambda2: float = 0.3,
     lowercase: bool = True,
+    include_mink: bool = False,
 ) -> DataFrame:
     """Min-K%++ membership score (Zhang et al. 2024, "Min-K%++:
     Improved Baseline for Detecting Pre-training Data from Large
@@ -1862,12 +1863,18 @@ def minkpp_prob_score(
     TOTAL (degenerate one-continuation contexts).
 
     Output ``(id_col, n_trigrams, k_used, mkpp_score)``; docs with
-    fewer than 3 tokens emit no row. Scale shape: all moment math is
-    capped-table × capped-table (model-sized, never data-sized); the
-    doc scan does the same broadcast joins as
-    :func:`trigram_lm_score` plus two broadcast stat joins; one
-    data-sized shuffle total. U1/U2 are two driver scalars off the
-    V-row lp table (the :func:`unigram_logprobs` discipline).
+    fewer than 3 tokens emit no row. ``include_mink=True`` adds the
+    raw :func:`mink_prob_score` columns (``mink_logprob``,
+    ``mink_ppl``) from the SAME single document scan — the per-triple
+    ``__lp__`` values feed both statistics, so computing them
+    together costs one corpus featurization instead of two
+    (bit-identical to the standalone functions by construction).
+    Scale shape: all moment math is capped-table × capped-table
+    (model-sized, never data-sized); the doc scan does the same
+    broadcast joins as :func:`trigram_lm_score` plus two broadcast
+    stat joins; one data-sized shuffle total. U1/U2 are two driver
+    scalars off the V-row lp table (the :func:`unigram_logprobs`
+    discipline).
     """
     import math
 
@@ -1949,26 +1956,41 @@ def minkpp_prob_score(
     mu = F.coalesce(F.col("__mu__"), F.col("__mu2__"), F.lit(mu_c))
     sd = F.coalesce(F.col("__sd__"), F.col("__sd2__"), F.lit(sd_c))
     s = (F.col("__lp__") - mu) / sd
-    agg = scored.select(F.col(id_col), s.alias("__s__")).groupBy(
-        id_col
-    ).agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         F.sort_array(F.collect_list("__s__")).alias("__ss__"),
-    )
+    ]
+    if include_mink:
+        aggs.append(
+            F.sort_array(F.collect_list("__lp__")).alias("__ls__")
+        )
+    agg = scored.select(
+        F.col(id_col), s.alias("__s__"), F.col("__lp__")
+    ).groupBy(id_col).agg(*aggs)
     kn = F.greatest(
         F.ceil(F.lit(kf) * F.col("n_trigrams")).cast("int"),
         F.lit(1),
     )
-    sel = F.slice(F.col("__ss__"), 1, kn)
-    mkpp = F.aggregate(
-        sel, F.lit(0.0), lambda acc, x: acc + x
-    ) / kn.cast("double")
-    return agg.select(
-        id_col,
-        "n_trigrams",
+
+    def lowk_mean(arr: str) -> Column:
+        return F.aggregate(
+            F.slice(F.col(arr), 1, kn), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / kn.cast("double")
+
+    out = [
+        F.col(id_col),
+        F.col("n_trigrams"),
         kn.cast("long").alias("k_used"),
-        mkpp.alias("mkpp_score"),
-    )
+    ]
+    if include_mink:
+        mink = lowk_mean("__ls__")
+        out += [
+            mink.alias("mink_logprob"),
+            F.exp(-mink).alias("mink_ppl"),
+        ]
+    out.append(lowk_mean("__ss__").alias("mkpp_score"))
+    return agg.select(*out)
 
 
 #: Abbreviations whose trailing period never ends a sentence (fixed,

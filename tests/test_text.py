@@ -840,6 +840,42 @@ class TestMinKPlusPlus:
                 exp, rel=1e-9
             ), (did, text)
 
+    def test_include_mink_fusion_bit_identical(self, model, spark):
+        # the fused single-scan path must reproduce BOTH standalone
+        # statistics exactly (same per-triple lp expression tree)
+        from pandas_weights_spark.functions.text import (
+            mink_prob_score,
+            minkpp_prob_score,
+        )
+
+        vocab, bg, tg, corpus = model
+        test = corpus.where("doc_id IN (0, 10, 200, 205)")
+        fused = {
+            r["doc_id"]: r
+            for r in minkpp_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=0.3,
+                include_mink=True,
+            ).collect()
+        }
+        raw = {
+            r["doc_id"]: r
+            for r in mink_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=0.3
+            ).collect()
+        }
+        pp = {
+            r["doc_id"]: r
+            for r in minkpp_prob_score(
+                test, "text", "doc_id", vocab, bg, tg, k=0.3
+            ).collect()
+        }
+        assert set(fused) == set(raw) == set(pp) and fused
+        for d in fused:
+            assert fused[d]["mink_logprob"] == raw[d]["mink_logprob"]
+            assert fused[d]["mink_ppl"] == raw[d]["mink_ppl"]
+            assert fused[d]["mkpp_score"] == pp[d]["mkpp_score"]
+            assert fused[d]["k_used"] == raw[d]["k_used"]
+
     def test_validation_and_short_docs(self, model, spark):
         from pandas_weights_spark.functions.text import (
             minkpp_prob_score,
