@@ -184,11 +184,14 @@ def cdx_fetch_plan(
     """The selection step a CDX reader exists for: filter parsed
     entries (struct column ``e`` from :func:`cdxj_entries`) to the
     records worth fetching and roll them up per WARC shard —
-    ``(filename, n_records, total_bytes, offsets)`` with offsets
-    sorted ascending so a reader streams each shard in one forward
-    pass. One filter + one filename-keyed aggregate; ``offsets`` is
-    per-shard-bounded (records per WARC shard, ≤ tens of thousands by
-    the 1 GiB shard convention)."""
+    ``(filename, n_records, total_bytes, offsets, ranges)`` with
+    ``offsets`` sorted ascending and ``ranges`` the matching
+    ``(offset, length)`` structs in the same order, so a reader
+    streams each shard in one forward pass
+    (:func:`~pandas_weights_spark.sources.warc.read_warc_ranges`
+    consumes ``ranges`` directly). One filter + one filename-keyed
+    aggregate; per-shard arrays are bounded (records per WARC shard,
+    ≤ tens of thousands by the 1 GiB shard convention)."""
     e = F.col("e")
     keep = e["status"].isin(*[int(s) for s in statuses])
     if mimes is not None:
@@ -202,4 +205,7 @@ def cdx_fetch_plan(
         F.count(F.lit(1)).cast("long").alias("n_records"),
         F.sum("length").cast("long").alias("total_bytes"),
         F.sort_array(F.collect_list("offset")).alias("offsets"),
+        F.sort_array(
+            F.collect_list(F.struct("offset", "length"))
+        ).alias("ranges"),
     )

@@ -62,6 +62,8 @@ __all__ = [
     "to_warc_shards",
     "parse_warc_bytes",
     "from_warc_shards",
+    "warc_shard_index",
+    "read_warc_ranges",
     "read_warc",
     "sniff_charset",
     "encode_text",
@@ -528,6 +530,170 @@ def from_warc_shards(
             )
 
     return df.select(shard_col, warc_col).mapInPandas(
+        emit, _RECORD_SCHEMA
+    )
+
+
+def _record_spans(data: bytes) -> "list[tuple[int, int, dict]]":
+    """Byte spans of each record in one STORED shard — ``(offset,
+    length, parsed record)`` where the span slices the shard bytes
+    AS WRITTEN (a whole gzip member in the member-gzip framing, the
+    raw record otherwise), so ``data[offset:offset+length]`` is
+    independently parseable. The random-access contract the CDX
+    index points through."""
+    spans = []
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n:
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            payload = d.decompress(data[pos:])
+            consumed = n - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            recs = parse_warc_bytes(payload)
+            if recs:
+                spans.append((pos, consumed, recs[0]))
+            pos += consumed
+        return spans
+    starts = []
+    pos = 0
+    while True:
+        s = data.find(b"WARC/1.0\r\n", pos)
+        if s < 0:
+            break
+        starts.append(s)
+        hdr_end = data.find(b"\r\n\r\n", s)
+        if hdr_end < 0:
+            break
+        pos = hdr_end + 4
+    for i, s in enumerate(starts):
+        end = starts[i + 1] if i + 1 < len(starts) else len(data)
+        recs = parse_warc_bytes(data[s:end])
+        if recs:
+            spans.append((s, end - s, recs[0]))
+    return spans
+
+
+_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+    ]
+)
+
+
+def warc_shard_index(
+    df: DataFrame, warc_col: str = "warc", shard_col: str = "shard"
+) -> DataFrame:
+    """BUILD the URL index of a WARC shard table — one row per record
+    with its STORED byte span ``(offset, length)`` plus the header
+    fields a CDX line carries: exactly what Common Crawl's cdx-index
+    job computes over its crawl output. Compose with
+    :func:`~pandas_weights_spark.functions.cdx.surt_key` +
+    ``to_json``-style line building for CDXJ output, and feed
+    selections back through :func:`read_warc_ranges` — the full
+    index → filter → random-access-fetch loop without touching
+    unselected records. ``mapInPandas``, per-record memory, no
+    shuffle."""
+
+    def emit(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf[shard_col], pdf[warc_col]):
+                for i, (off, ln, rec) in enumerate(
+                    _record_spans(bytes(blob))
+                ):
+                    rows.append(
+                        {
+                            "shard": int(shard),
+                            "rec_idx": i,
+                            "offset": off,
+                            "length": ln,
+                            "warc_type": rec["warc_type"],
+                            "target_uri": rec["target_uri"],
+                            "date": rec["date"],
+                            "record_id": rec["record_id"],
+                            "content_type": rec["content_type"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _INDEX_SCHEMA.fields]
+            )
+
+    return df.select(shard_col, warc_col).mapInPandas(
+        emit, _INDEX_SCHEMA
+    )
+
+
+def read_warc_ranges(
+    df: DataFrame,
+    ranges_col: str,
+    warc_col: str = "warc",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Random-access record fetch: ``df`` carries whole shard bytes
+    plus a bounded ``array<struct<offset, length>>`` column of spans
+    to extract (the
+    :func:`~pandas_weights_spark.functions.cdx.cdx_fetch_plan`
+    ``ranges`` output joined back by shard/filename) — only the
+    selected spans are parsed, the rest of the shard is skipped, the
+    read path a CDX index exists for. Output schema matches
+    :func:`from_warc_shards` (one row per fetched record; ``rec_idx``
+    is the position in the RANGE LIST, offsets having been sorted
+    forward by the plan). NULL/empty range lists fetch nothing.
+
+    NOTE on I/O: this still materializes each shard row's bytes
+    before slicing (the binaryFile/one-row-per-shard model of this
+    module); the operator saves PARSE/decompress work per record,
+    not shard I/O — on object storage a reader would push the byte
+    ranges into the GET itself.
+    """
+
+    def emit(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for shard, blob, ranges in zip(
+                pdf[shard_col], pdf[warc_col], pdf[ranges_col]
+            ):
+                if ranges is None:
+                    continue
+                data = bytes(blob)
+                for i, r in enumerate(ranges):
+                    off, ln = int(r["offset"]), int(r["length"])
+                    sl = data[off : off + ln]
+                    for rec in parse_warc_bytes(sl):
+                        rows.append(
+                            {
+                                "shard": int(shard),
+                                "rec_idx": i,
+                                "warc_type": rec["warc_type"],
+                                "target_uri": rec["target_uri"],
+                                "date": rec["date"],
+                                "record_id": rec["record_id"],
+                                "content_type": rec["content_type"],
+                                "refers_to": rec["refers_to"],
+                                "block": rec["block"],
+                                "http_body": rec["http_body"],
+                                "http_headers": rec["http_headers"],
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RECORD_SCHEMA.fields]
+            )
+
+    return df.select(shard_col, warc_col, ranges_col).mapInPandas(
         emit, _RECORD_SCHEMA
     )
 

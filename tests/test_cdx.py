@@ -196,3 +196,137 @@ class TestFetchPlan:
             for r in cdx_fetch_plan(entries, statuses=(200,)).collect()
         }
         assert plan2 == {"a.warc.gz", "b.warc.gz"}
+
+
+class TestIndexToFetchLoop:
+    """r14: the full index -> filter -> random-access-fetch loop —
+    warc_shard_index builds the CDX off real shards, cdxj lines
+    roundtrip through cdxj_entries, cdx_fetch_plan selects, and
+    read_warc_ranges fetches ONLY the selected spans."""
+
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_roundtrip_selected_records(self, spark, gz):
+        from pandas_weights_spark.functions.cdx import cdx_fetch_plan
+        from pandas_weights_spark.sources.warc import (
+            from_warc_shards,
+            read_warc_ranges,
+            to_warc_shards,
+            warc_record,
+            warc_shard_index,
+        )
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body text "), F.col("id").cast("string"))
+            .alias("text"),
+        )
+        rec = warc_record(
+            F.concat(F.lit("https://e.org/p"), F.col("doc_id").cast("string")),
+            F.lit("2026-01-02T00:00:00Z"),
+            F.encode(F.col("text"), "UTF-8"),
+            "response",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("text/html"))
+            .otherwise(F.lit("application/pdf")),
+        )
+        shards = to_warc_shards(
+            docs.select(rec.alias("r")), "r", n_shards=3,
+            gzip_records=gz,
+        ).cache()
+
+        # 1. build the index off the stored shards
+        idx = warc_shard_index(shards)
+        # 2. render CDXJ lines (mime from the HTTP block's
+        # Content-Type is what a real indexer writes; here the header
+        # content_type is the http envelope, so carry the uri parity
+        # through the json instead)
+        lines = idx.select(
+            F.concat(
+                F.lit("org,e)/p"),
+                F.regexp_extract("target_uri", r"p(\d+)$", 1),
+                F.lit(" 20260102000000 "),
+                F.lit('{"url": "'), F.col("target_uri"),
+                F.lit('", "mime": "'),
+                F.when(
+                    F.regexp_extract("target_uri", r"p(\d+)$", 1)
+                    .cast("long") % 2 == 0,
+                    F.lit("text/html"),
+                ).otherwise(F.lit("application/pdf")),
+                F.lit('", "status": "200", "length": "'),
+                F.col("length").cast("string"),
+                F.lit('", "offset": "'),
+                F.col("offset").cast("string"),
+                F.lit('", "filename": "shard-'),
+                F.col("shard").cast("string"),
+                F.lit('"}'),
+            ).alias("line")
+        )
+        from pandas_weights_spark.functions.cdx import cdxj_entries
+
+        entries = lines.select(cdxj_entries(F.col("line")).alias("e"))
+        # 3. select only the html records
+        plan = cdx_fetch_plan(entries, statuses=(200,),
+                              mimes=("text/html",))
+        # 4. join the plan back to the shards and fetch the spans
+        joined = shards.join(
+            plan.select(
+                F.regexp_extract("filename", r"(\d+)$", 1)
+                .cast("int")
+                .alias("shard"),
+                "ranges",
+            ),
+            "shard",
+        )
+        got = read_warc_ranges(joined, "ranges").collect()
+        want_ids = {i for i in range(40) if i % 2 == 0}
+        got_ids = {
+            int(r["target_uri"].rsplit("p", 1)[1]) for r in got
+        }
+        assert got_ids == want_ids
+        # fetched records parse COMPLETELY (body + headers intact)
+        by_id = {
+            int(r["target_uri"].rsplit("p", 1)[1]): r for r in got
+        }
+        for i in sorted(want_ids)[:5]:
+            assert bytes(by_id[i]["http_body"]).decode() == f"body text {i}"
+            assert by_id[i]["http_headers"].startswith("HTTP/1.1 200 OK")
+        # parity with the full parse, restricted to the selection
+        full = {
+            r["record_id"]: bytes(r["block"])
+            for r in from_warc_shards(shards).collect()
+        }
+        for r in got:
+            assert bytes(r["block"]) == full[r["record_id"]]
+
+    def test_index_spans_slice_independently(self, spark):
+        from pandas_weights_spark.sources.warc import (
+            parse_warc_bytes,
+            to_warc_shards,
+            warc_record,
+            warc_shard_index,
+        )
+
+        docs = spark.range(10).select(
+            F.concat(F.lit("https://e.org/x"), F.col("id").cast("string"))
+            .alias("uri"),
+            F.encode(
+                F.concat(F.lit("payload "), F.col("id").cast("string")),
+                "UTF-8",
+            ).alias("p"),
+        )
+        rec = warc_record(
+            F.col("uri"), F.lit("2026-01-02T00:00:00Z"), F.col("p"),
+            "resource", "text/plain",
+        )
+        shards = to_warc_shards(
+            docs.select(rec.alias("r")), "r", n_shards=1,
+            gzip_records=True,
+        ).cache()
+        blob = bytes(shards.first()["warc"])
+        idx = warc_shard_index(shards).collect()
+        assert len(idx) == 10
+        for r in idx:
+            sl = blob[r["offset"] : r["offset"] + r["length"]]
+            recs = parse_warc_bytes(sl)
+            assert len(recs) == 1
+            assert recs[0]["target_uri"] == r["target_uri"]
+            assert recs[0]["record_id"] == r["record_id"]
