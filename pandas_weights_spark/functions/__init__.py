@@ -9,6 +9,7 @@ Pandas UDFs only where they genuinely don't (multimodal decode).
 from pandas_weights_spark.functions import (  # noqa: F401
     asof,
     bloom,
+    cdx,
     classifier,
     datasheet,
     decontam,
