@@ -12145,6 +12145,8 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   moment CTEs closed-form; also the
                          #   _jm_mixture_tables refactor under
                          #   _trigram_logprob_rows (lm3 rows pinned)
+                         #   and the include_mink fusion (both stats
+                         #   off ONE doc scan, bit-identical pinned)
     "pq_topk",           # r14: OPQ rows — `opq` (codes of the
                          #   literal-rotation pipeline) and `oad`
                          #   (ADC top-5 of rotated queries vs rotated
