@@ -153,27 +153,43 @@ def cdxj_entries(line: Column) -> Column:
     14-digit timestamp via the gated try-parse discipline (invalid
     digits → NULL, never an ANSI error); ``status``/``length``/
     ``offset`` try-cast the same way. Row-local regex +
-    ``get_json_object`` — zero shuffle."""
-    key = F.regexp_extract(line, _CDXJ_RE, 1)
-    ts = F.regexp_extract(line, _CDXJ_RE, 2)
-    js = F.regexp_extract(line, _CDXJ_RE, 3)
+    ``get_json_object`` — zero shuffle.
 
-    def jstr(field: str) -> Column:
-        return F.get_json_object(js, f"$.{field}")
+    Expression shape: the LINE and its extracted JSON block are each
+    LET-bound once (the 1-element ``transform`` binding — the
+    interpreted-HOF LET discipline), so a caller may pass an
+    arbitrarily expensive line EXPRESSION without CollapseProject
+    inlining it into all ~11 field extracts (measured 4.4 → ~1 s on
+    the cdx_index bench entry, whose lines are built in place)."""
 
-    entry = F.struct(
-        key.alias("key"),
-        ts.alias("ts_raw"),
-        F.try_to_timestamp(ts, F.lit("yyyyMMddHHmmss")).alias("ts"),
-        jstr("url").alias("url"),
-        jstr("mime").alias("mime"),
-        jstr("status").cast("int").alias("status"),
-        jstr("digest").alias("digest"),
-        jstr("length").cast("long").alias("length"),
-        jstr("offset").cast("long").alias("offset"),
-        jstr("filename").alias("filename"),
-    )
-    return F.when(line.rlike(_CDXJ_RE), entry)
+    def build(ln: Column) -> Column:
+        key = F.regexp_extract(ln, _CDXJ_RE, 1)
+        ts = F.regexp_extract(ln, _CDXJ_RE, 2)
+        js = F.regexp_extract(ln, _CDXJ_RE, 3)
+
+        def fields(j: Column) -> Column:
+            def jstr(field: str) -> Column:
+                return F.get_json_object(j, f"$.{field}")
+
+            return F.struct(
+                key.alias("key"),
+                ts.alias("ts_raw"),
+                F.try_to_timestamp(
+                    ts, F.lit("yyyyMMddHHmmss")
+                ).alias("ts"),
+                jstr("url").alias("url"),
+                jstr("mime").alias("mime"),
+                jstr("status").cast("int").alias("status"),
+                jstr("digest").alias("digest"),
+                jstr("length").cast("long").alias("length"),
+                jstr("offset").cast("long").alias("offset"),
+                jstr("filename").alias("filename"),
+            )
+
+        entry = F.element_at(F.transform(F.array(js), fields), 1)
+        return F.when(ln.rlike(_CDXJ_RE), entry)
+
+    return F.element_at(F.transform(F.array(line), build), 1)
 
 
 def cdx_fetch_plan(
