@@ -9439,6 +9439,92 @@ _ORACLE["wat_roundtrip"] = """
 """
 
 
+def _q_unimax_alloc(spark, sf_dir):
+    # r14: UniMax budget allocation (sample.py unimax_rates — Chung
+    # et al. 2023: epoch-capped uniform water-filling over language/
+    # source masses, the multilingual mixing algorithm that replaces
+    # temperature sampling's alpha knob). Fixture: sources src0..src9
+    # collapse into one 'big' group (~half the token mass) so the
+    # allocation exercises BOTH branches — the ten small groups cap
+    # at max_epochs=1.5 of their supply, 'big' splits the remaining
+    # budget. Masses are exact integer-valued doubles, so the
+    # capped-prefix comparisons are bit-identical across engines; the
+    # oracle replays the two window passes closed-form over the
+    # 11-row group table (window-over-aggregate, the classifier_eval
+    # discipline).
+    from pandas_weights_spark.functions.text import token_count
+    from pandas_weights_spark.sample import unimax_rates
+
+    docs = _docs(spark, sf_dir)
+    grouped = docs.select(
+        F.when(
+            F.col("source").isin(*[f"src{i}" for i in range(10)]),
+            F.lit("big"),
+        ).otherwise(F.col("source")).alias("g"),
+        token_count(F.col("text")).cast("double").alias("tok"),
+    )
+    out = unimax_rates(
+        grouped, "g", budget=30000.0, weight=F.col("tok"),
+        max_epochs=1.5,
+    )
+    return out.select(
+        F.col("group"),
+        F.col("mass"),
+        F.col("cap"),
+        F.col("capped"),
+        F.round("alloc", 6).alias("alloc"),
+        F.round("epochs", 6).alias("epochs"),
+        F.round("p_alloc", 6).alias("p_alloc"),
+    )
+
+
+_ORACLE["unimax_alloc"] = """
+    WITH toks AS (
+      SELECT
+        CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                             'src5','src6','src7','src8','src9')
+             THEN 'big' ELSE source END AS g,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+        END AS DOUBLE) AS tok
+      FROM documents
+    ), masses AS (
+      SELECT g AS "group", SUM(
+        CASE WHEN tok IS NOT NULL AND tok > 0 THEN tok ELSE 0.0 END
+      ) AS mass
+      FROM toks GROUP BY g
+    ), m2 AS (
+      SELECT "group", mass, mass * 1.5 AS cap
+      FROM masses WHERE mass > 0
+    ), staged AS (
+      SELECT "group", mass, cap,
+        cap <= (30000.0 - COALESCE(SUM(cap) OVER (
+                  ORDER BY cap ASC, "group"
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0.0))
+               / CAST(COUNT(*) OVER ()
+                      - ROW_NUMBER() OVER (ORDER BY cap ASC, "group")
+                      + 1 AS DOUBLE) AS capped
+      FROM m2
+    ), alloced AS (
+      SELECT "group", mass, cap, capped,
+        CASE WHEN capped THEN cap
+          ELSE (30000.0 - COALESCE(SUM(CASE WHEN capped THEN cap END)
+                                   OVER (), 0.0))
+               / CAST(COUNT(*) OVER ()
+                      - SUM(CASE WHEN capped THEN 1 ELSE 0 END)
+                        OVER () AS DOUBLE)
+        END AS alloc
+      FROM staged
+    )
+    SELECT "group", mass, cap, capped,
+      round(alloc, 6) AS alloc,
+      round(alloc / mass, 6) AS epochs,
+      round(alloc / SUM(alloc) OVER (), 6) AS p_alloc
+    FROM alloced
+"""
+
+
 def _q_cdx_index(spark, sf_dir):
     # r14: web-archive URL-index surface (functions/cdx.py — SURT
     # keys + CDXJ line parsing, the Common Crawl INDEX next to the
@@ -12124,6 +12210,7 @@ _PREV_WINDOW2: frozenset = frozenset({
 _NEW_THIS_ROUND: tuple = (
     "wat_roundtrip",
     "cdx_index",
+    "unimax_alloc",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -12199,6 +12286,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r14 queries ---
         "wat_roundtrip": _q_wat_roundtrip,
         "cdx_index": _q_cdx_index,
+        "unimax_alloc": _q_unimax_alloc,
         # --- r13 queries ---
         "punkt_context": _q_punkt_context,
         "semdedup_incremental": _q_semdedup_incremental,

@@ -141,6 +141,7 @@ HEADLINE = [
     "mink_prob",           # Min-K% Prob + Min-K%++ membership detection (r13/r14)
     "wat_roundtrip",       # WAT metadata-envelope container roundtrip (r14)
     "cdx_index",           # SURT keys + CDXJ index-line parsing (r14)
+    "unimax_alloc",        # UniMax epoch-capped budget allocation (r14)
 ]
 
 

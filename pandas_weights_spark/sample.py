@@ -45,6 +45,7 @@ __all__ = [
     "uniform_hash",
     "temperature_rates",
     "temperature_sample",
+    "unimax_rates",
     "mixture_materialize",
     "weighted_sample",
     "poisson_sample",
@@ -345,6 +346,99 @@ def temperature_rates(
         "mass",
         (F.col("mass") / tot).alias("p_raw"),
         (F.pow("mass", F.lit(float(alpha))) / tot_t).alias("p_temp"),
+    )
+
+
+def unimax_rates(
+    df: DataFrame,
+    group_col: str,
+    budget: float,
+    weight: Optional[Column] = None,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax allocation over groups (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR — public paper): distribute a
+    total training ``budget`` (tokens; rows when ``weight`` is None)
+    across languages/sources as UNIFORMLY as possible subject to a
+    per-group repetition cap of ``max_epochs`` epochs — the paper's
+    answer to temperature sampling's two failure modes (head
+    languages starved at low α, tail languages over-epoched at high
+    α). Water-filling: groups ascend by capped supply
+    ``cap = mass · max_epochs``; a group whose cap fits under the
+    running uniform share is taken WHOLE (capped), everyone else
+    splits the remaining budget equally — the standard allocation,
+    here in closed form: with caps sorted ascending the capped
+    prefix is exactly the groups with ``cap ≤ (budget − cum_prev) /
+    remaining``, so two bounded window passes compute it without a
+    sequential loop.
+
+    Output per group: ``(group, mass, cap, capped, alloc, epochs,
+    p_alloc)`` — ``epochs = alloc / mass`` (≤ max_epochs by
+    construction), ``p_alloc`` the group's share of what was
+    actually allocated (= budget unless the whole supply fits, in
+    which case every group is capped and the leftover is unspent).
+    Feed ``{group: alloc}`` into :func:`mixture_materialize` to
+    materialize the corpus.
+
+    Scale shape: one map-side-combining mass aggregate (the
+    :func:`temperature_rates` shape), then windows over the
+    GROUP-CARDINALITY table only (languages/sources — tens of rows;
+    the classifier_eval window-over-aggregate discipline). NULL
+    groups are ordinary buckets; non-positive weights carry no mass.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    w = weight if weight is not None else F.lit(1.0)
+    w = w.cast("double")
+    m = F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0))
+    masses = (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.sum(m).alias("mass"))
+        .where(F.col("mass") > 0)
+        .withColumn("cap", F.col("mass") * F.lit(float(max_epochs)))
+    )
+    b = F.lit(float(budget))
+    order = Window.orderBy(F.col("cap").asc(), F.col("group"))
+    cum_prev = F.coalesce(
+        F.sum("cap").over(
+            order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    i = F.row_number().over(order)
+    everything = Window.partitionBy()
+    k = F.count(F.lit(1)).over(everything)
+    capped = F.col("cap") <= (
+        (b - cum_prev) / (k - i + F.lit(1)).cast("double")
+    )
+    staged = masses.select(
+        "group", "mass", "cap", capped.alias("capped")
+    )
+    s_capped = F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("cap"))).over(everything),
+        F.lit(0.0),
+    )
+    n_capped = F.sum(
+        F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0))
+    ).over(everything)
+    k2 = F.count(F.lit(1)).over(everything)
+    share = (b - s_capped) / (k2 - n_capped).cast("double")
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(share)
+    alloced = staged.select(
+        "group", "mass", "cap", "capped", alloc.alias("alloc")
+    )
+    tot = F.sum("alloc").over(Window.partitionBy())
+    return alloced.select(
+        "group",
+        "mass",
+        "cap",
+        "capped",
+        "alloc",
+        (F.col("alloc") / F.col("mass")).alias("epochs"),
+        (F.col("alloc") / tot).alias("p_alloc"),
     )
 
 

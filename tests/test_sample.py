@@ -537,3 +537,124 @@ class TestScaleGuardedSelection:
         assert got == ref and len(got) == 50
         # gumbel key column survives in both regimes
         assert "gumbel_key" in salted.columns
+
+
+class TestUnimaxRates:
+    """r14: UniMax (Chung et al. 2023) — epoch-capped uniform budget
+    allocation across groups (the multilingual mixing algorithm that
+    replaces temperature sampling's α knob)."""
+
+    def _frame(self, spark):
+        # token masses: a, b tiny (will cap), c, d large (will split)
+        rows = (
+            [("a", 10.0)] * 4        # mass 40
+            + [("b", 30.0)] * 4      # mass 120
+            + [("c", 100.0)] * 30    # mass 3000
+            + [("d", 100.0)] * 50    # mass 5000
+        )
+        return spark.createDataFrame(rows, "g string, tok double")
+
+    def _py_ref(self, masses, budget, max_epochs):
+        caps = sorted(
+            ((m * max_epochs, g) for g, m in masses.items())
+        )
+        k = len(caps)
+        remaining = budget
+        alloc = {}
+        for idx, (cap, g) in enumerate(caps):
+            share = remaining / (k - idx)
+            take = cap if cap <= share else share
+            alloc[g] = take
+            remaining -= take
+        return alloc
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from pandas_weights_spark.sample import unimax_rates
+
+        df = self._frame(spark)
+        budget, me = 2000.0, 4.0
+        got = {
+            r["group"]: r
+            for r in unimax_rates(
+                df, "g", budget, weight=F.col("tok"), max_epochs=me
+            ).collect()
+        }
+        masses = {"a": 40.0, "b": 120.0, "c": 3000.0, "d": 5000.0}
+        want = self._py_ref(masses, budget, me)
+        for g, m in masses.items():
+            assert got[g]["mass"] == m
+            assert math.isclose(got[g]["alloc"], want[g], rel_tol=1e-12)
+            assert got[g]["epochs"] <= me + 1e-9
+        # tiny groups take their whole capped supply
+        assert got["a"]["capped"] and got["b"]["capped"]
+        assert math.isclose(got["a"]["alloc"], 160.0)  # 40 x 4 epochs
+        # the big groups split the rest EQUALLY (the UniMax fairness)
+        assert not got["c"]["capped"] and not got["d"]["capped"]
+        assert math.isclose(got["c"]["alloc"], got["d"]["alloc"])
+        # total spend is the budget
+        assert math.isclose(
+            sum(r["alloc"] for r in got.values()), budget
+        )
+        assert math.isclose(
+            sum(r["p_alloc"] for r in got.values()), 1.0
+        )
+
+    def test_budget_exceeds_supply_all_capped(self, spark):
+        import math
+
+        from pandas_weights_spark.sample import unimax_rates
+
+        df = self._frame(spark)
+        got = {
+            r["group"]: r
+            for r in unimax_rates(
+                df, "g", 1e9, weight=F.col("tok"), max_epochs=2.0
+            ).collect()
+        }
+        assert all(r["capped"] for r in got.values())
+        # everything allocates its full 2-epoch supply; leftover unspent
+        assert math.isclose(
+            sum(r["alloc"] for r in got.values()),
+            2.0 * (40 + 120 + 3000 + 5000),
+        )
+
+    def test_composes_with_mixture_materialize(self, spark):
+        from pandas_weights_spark.sample import (
+            mixture_materialize,
+            unimax_rates,
+        )
+
+        df = self._frame(spark).withColumn(
+            "id", F.monotonically_increasing_id()
+        )
+        rates = unimax_rates(
+            df, "g", 2000.0, weight=F.col("tok"), max_epochs=4.0
+        ).collect()
+        targets = {r["group"]: r["alloc"] for r in rates}
+        out = mixture_materialize(
+            df, "g", targets, ["id"], weight=F.col("tok"),
+            max_repeat=8.0,
+        )
+        got_mass = {
+            r["g"]: r["m"]
+            for r in out.groupBy("g")
+            .agg(F.sum("tok").alias("m"))
+            .collect()
+        }
+        # realized masses land near targets (Bernoulli fractional
+        # epochs; exact when the repeat factor is integral)
+        for g, t in targets.items():
+            assert abs(got_mass[g] - t) <= max(0.35 * t, 120.0), (
+                g, got_mass[g], t,
+            )
+
+    def test_validation(self, spark):
+        from pandas_weights_spark.sample import unimax_rates
+
+        df = self._frame(spark)
+        with pytest.raises(ValueError, match="budget"):
+            unimax_rates(df, "g", 0.0)
+        with pytest.raises(ValueError, match="max_epochs"):
+            unimax_rates(df, "g", 10.0, max_epochs=0.0)

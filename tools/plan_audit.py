@@ -147,6 +147,11 @@ ALLOW = {
     # band-interval table broadcast for the range predicate (bounded
     # by the band count, not the data)
     "range_join": {"bnl-cross"},
+    # r14: the UniMax water-filling windows run over the AGGREGATED
+    # group-mass table ONLY (languages/sources — ≤ tens of rows; the
+    # classifier_eval window-over-aggregate discipline); the corpus
+    # pass is one map-side-combining mass aggregate
+    "unimax_alloc": {"global-window"},
 }
 
 #: r14 additions to pre-existing entries (kept separate so the
