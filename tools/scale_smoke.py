@@ -1120,6 +1120,101 @@ def main() -> int:
         F.size(sitemap_entries(sm_xml)).alias("n")
     ), docs_n)
 
+    # r14: WAT metadata records — envelope build (title + anchors ->
+    # JSON -> WARC framing) per doc over a 3-anchor page, and the
+    # full shard+parse roundtrip on a 10% slice (container Arrow
+    # surfaces price per record)
+    from pandas_weights_spark.sources.warc import (
+        from_warc_shards,
+        parse_wat_records,
+        to_warc_shards,
+        wat_record,
+    )
+
+    wat_html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><a href="https://h'),
+        F.pmod(F.col("doc_id"), 1000).cast("string"),
+        F.lit('.ex/a">read  this</a><a href="/rel">rel</a>'
+              '<a href="https://hub.ex/x">hub &amp; co</a>'
+              "</body></html>"),
+    )
+    wat_uri = F.concat(
+        F.lit("https://s"), F.pmod(F.col("doc_id"), 100).cast("string"),
+        F.lit(".ex/p"), F.col("doc_id").cast("string"),
+    )
+    wrec = wat_record(wat_uri, F.lit("2026-01-02T00:00:00Z"), wat_html)
+    dbench("wat_record build", lambda: docs.select(
+        F.length(wrec).alias("n")
+    ), docs_n)
+
+    def _wat_roundtrip():
+        slice_docs = docs.where(F.col("doc_id") % 10 == 0)
+        shards = to_warc_shards(
+            slice_docs.select(wrec.alias("r")), "r", n_shards=256,
+            gzip_records=True,
+        )
+        return parse_wat_records(from_warc_shards(shards)).select(
+            "target_uri", "title", F.size("links").alias("n")
+        )
+
+    dbench("wat shard+parse (1/10)", _wat_roundtrip, docs_n // 10)
+
+    # r14: SURT canonical keys + CDXJ index-line parse over the full
+    # url table (row-local regex + get_json_object; the index scan a
+    # selection pipeline runs INSTEAD of touching the archive)
+    from pandas_weights_spark.functions.cdx import cdxj_entries, surt_key
+
+    bench("surt_key canonicalize", lambda: urls.select(
+        F.length(surt_key(F.col("url"))).alias("n")
+    ))
+    cdxu = spark.range(n)
+    cdx_line = F.concat(
+        F.lit("com,ex)/p"), F.col("id").cast("string"),
+        F.lit(' 20260102000000 {"url": "https://ex.com/p'),
+        F.col("id").cast("string"),
+        F.lit('", "mime": "text/html", "status": "200", '
+              '"length": "1234", "offset": "'),
+        (F.col("id") * 7).cast("string"),
+        F.lit('", "filename": "crawl-'),
+        F.pmod(F.col("id"), 512).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    bench("cdxj_entries parse", lambda: cdxu.select(
+        cdxj_entries(cdx_line).alias("e")
+    ).select(F.col("e.status").alias("s"), F.col("e.offset").alias("o")))
+
+    # r14: OPQ rotation — arrow batch matmul over 1M 64-d vectors
+    # (the PQ family's new preprocessing stage)
+    from pandas_weights_spark.functions.pq import opq_rotate
+
+    vec_n = min(n // 20, 1_000_000)
+    vecs = spark.range(vec_n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") * i.cast("double")),
+        ).alias("embedding"),
+    )
+    import numpy as _np
+
+    _rng = _np.random.default_rng(5)
+    _q, _ = _np.linalg.qr(_rng.normal(size=(64, 64)))
+    rot64 = [[float(x) for x in row] for row in _q]
+    if not name_filter or any(
+        t in "opq_rotate arrow 1m" for t in name_filter.split(",")
+    ):
+        t0 = time.perf_counter()
+        opq_rotate(vecs, "embedding", rot64).select(
+            "vec_id", F.element_at("opq_vec", 1).alias("x")
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        print(
+            f"{'opq_rotate arrow 1M':28s} {dt:7.2f}s  "
+            f"({vec_n / dt / 1e6:6.1f} M vecs/s)"
+        )
+
     spark.stop()
     return 0
 
