@@ -1874,7 +1874,13 @@ def minkpp_prob_score(
     broadcast joins as :func:`trigram_lm_score` plus two broadcast
     stat joins; one data-sized shuffle total. U1/U2 are two driver
     scalars off the V-row lp table (the :func:`unigram_logprobs`
-    discipline).
+    discipline). The one super-linear model term is the class-A
+    union — ``Σ_ctx |bigram continuations of ctx's w2|`` rows, worst
+    case ``max_trigrams × max continuations per context word`` (25 M
+    at the oracle's 5000/5000 caps), computed DISTRIBUTED (the union
+    and its aggregation never touch the driver); Zipfian real tables
+    land at ``O(max_trigrams · avg continuations)``, a few × the
+    trigram table.
     """
     import math
 

@@ -121,7 +121,9 @@ def _identity_partition_reps(spark, n: int) -> "list[int]":
     ids (partition f receives exactly bucket f). Found by one tiny
     Spark job hashing 0..64·n−1 (murmur3 is a fixed function, so the
     mapping is stable across sessions/versions by the same contract
-    that makes ``F.hash`` usable in persisted layouts)."""
+    that makes ``F.hash`` usable in persisted layouts). Driver
+    ingest is ``64·n`` two-int rows — ~5 MB even at an absurd
+    n_files = 10⁵; real file counts are 10²–10⁴."""
     limit = 64 * n
     rows = (
         spark.range(limit)
