@@ -805,3 +805,41 @@ class TestR13CrossEngineFuzz:
             else None
         )
         assert got == exp, xml
+
+
+class TestR14CrossEngineFuzz:
+    """Random-input cross-engine agreement for the r14 regex surface:
+    SURT canonical keys must produce the SAME value in Spark
+    (java.util.regex) and the DuckDB replay (RE2) on arbitrary junk."""
+
+    _url_soup = st.lists(
+        st.sampled_from(
+            list("abZ 019./:@?&#=%-_~")
+            + ["http://", "https://", "www.", "WWW.", ":80", ":443",
+               ":8080", "user:pw@", "example.com", "E.ORG", "a.b.c",
+               "?a=1", "&b=2", "&", "#frag", "//", "xn--", "%41"]
+        ),
+        min_size=0,
+        max_size=12,
+    ).map("".join)
+
+    @settings(**SETTINGS)
+    @given(url=_url_soup)
+    def test_surt_key_cross_engine(self, spark, url):
+        import duckdb
+
+        from pandas_weights_spark.functions.cdx import (
+            surt_key,
+            surt_key_sql,
+        )
+
+        got = (
+            spark.createDataFrame([(url,)], "u string")
+            .select(surt_key(F.col("u")).alias("k"))
+            .first()["k"]
+        )
+        lit = url.replace("'", "''")
+        exp = duckdb.sql(
+            f"SELECT {surt_key_sql('u')} AS k FROM (SELECT '{lit}' AS u)"
+        ).fetchone()[0]
+        assert got == exp, url
