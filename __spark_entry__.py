@@ -9439,6 +9439,91 @@ _ORACLE["wat_roundtrip"] = """
 """
 
 
+def _q_meta_robots(spark, sf_dir):
+    # r14: page-level robots directives (functions/html.py
+    # meta_robots — the per-PAGE politeness gate next to robots.txt;
+    # compliant pipelines drop noindex pages at hygiene time).
+    # Fixture by doc_id%5: forward-order 'noindex, nofollow', a
+    # REVERSED-attribute upper-case 'NOINDEX', 'none' (implies BOTH
+    # noindex and nofollow), TWO metas (noarchive + nosnippet), and
+    # no meta at all; headers by %3: an X-Robots-Tag nofollow, a
+    # bot-SCOPED token that must NOT flag (conservative: 'somebot:
+    # noindex' is not a directive), and NULL. The oracle rebuilds
+    # the same fixture strings and replays via the emitted
+    # meta_robots_sql twin.
+    from pandas_weights_spark.functions.html import meta_robots
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 5 == 0, F.lit(
+            '<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 5 == 1, F.lit(
+            '<meta content="NOINDEX" name="robots">'))
+        .when(did % 5 == 2, F.lit(
+            '<meta name="robots" content="none">'))
+        .when(did % 5 == 3, F.lit(
+            '<meta name="robots" content="noarchive">'
+            '<meta name="robots" content="nosnippet">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit("</head><body>p "), did.cast("string"),
+        F.lit("</body></html>"),
+    )
+    hdrs = (
+        F.when(did % 3 == 0, F.lit(
+            "HTTP/1.1 200 OK\r\nX-Robots-Tag: nofollow\r\n"
+            "Content-Type: text/html\r\n"))
+        .when(did % 3 == 1, F.lit(
+            "HTTP/1.1 200 OK\r\nX-Robots-Tag: somebot: noindex\r\n"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    cols = meta_robots(html, hdrs)
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in cols.items()]
+    )
+
+
+def _meta_robots_sql() -> str:
+    from pandas_weights_spark.functions.html import meta_robots_sql
+
+    crlf = "chr(13) || chr(10)"
+    sqls = meta_robots_sql("h", "hd")
+    sel = ",\n      ".join(
+        f"{v} AS {k}" for k, v in sqls.items()
+    )
+    return f"""
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head>' || CASE doc_id % 5
+          WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+          WHEN 1 THEN '<meta content="NOINDEX" name="robots">'
+          WHEN 2 THEN '<meta name="robots" content="none">'
+          WHEN 3 THEN '<meta name="robots" content="noarchive">'
+               || '<meta name="robots" content="nosnippet">'
+          ELSE '' END
+        || '</head><body>p ' || CAST(doc_id AS VARCHAR)
+        || '</body></html>' AS h,
+        CASE doc_id % 3
+          WHEN 0 THEN 'HTTP/1.1 200 OK' || {crlf}
+               || 'X-Robots-Tag: nofollow' || {crlf}
+               || 'Content-Type: text/html' || {crlf}
+          WHEN 1 THEN 'HTTP/1.1 200 OK' || {crlf}
+               || 'X-Robots-Tag: somebot: noindex' || {crlf}
+          ELSE NULL END AS hd
+      FROM documents
+    )
+    SELECT doc_id,
+      {sel}
+    FROM page
+"""
+
+
+_ORACLE["meta_robots"] = _meta_robots_sql()
+
+
 def _q_unimax_alloc(spark, sf_dir):
     # r14: UniMax budget allocation (sample.py unimax_rates — Chung
     # et al. 2023: epoch-capped uniform water-filling over language/
@@ -12211,6 +12296,7 @@ _NEW_THIS_ROUND: tuple = (
     "wat_roundtrip",
     "cdx_index",
     "unimax_alloc",
+    "meta_robots",
 )
 
 #: pre-existing queries whose ENGINE code path changed this round —
@@ -12287,6 +12373,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_roundtrip": _q_wat_roundtrip,
         "cdx_index": _q_cdx_index,
         "unimax_alloc": _q_unimax_alloc,
+        "meta_robots": _q_meta_robots,
         # --- r13 queries ---
         "punkt_context": _q_punkt_context,
         "semdedup_incremental": _q_semdedup_incremental,

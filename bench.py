@@ -142,6 +142,7 @@ HEADLINE = [
     "wat_roundtrip",       # WAT metadata-envelope container roundtrip (r14)
     "cdx_index",           # SURT keys + CDXJ index-line parsing (r14)
     "unimax_alloc",        # UniMax epoch-capped budget allocation (r14)
+    "meta_robots",         # page-level robots directives (r14)
 ]
 
 

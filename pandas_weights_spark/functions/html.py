@@ -48,6 +48,8 @@ __all__ = [
     "extract_tables",
     "extract_meta",
     "extract_meta_sql",
+    "meta_robots",
+    "meta_robots_sql",
     "html_to_markdown",
     "html_to_markdown_sql",
     "link_graph",
@@ -1122,6 +1124,112 @@ def extract_meta(html: Column) -> "Dict[str, Column]":
         "canonical_url": canon,
         "published_raw": raw,
         "published_date": date,
+    }
+
+
+#: directive names of the robots meta standard (Google/Bing public
+#: docs; REP meta extension). "none" == noindex + nofollow.
+_ROBOTS_FWD, _ROBOTS_REV = _meta_content_re("robots")
+_XROBOTS_RE = r"(?im)^x-robots-tag[ \t]*:[ \t]*([^\r\n]*)"
+
+
+def meta_robots(
+    html: Column, http_headers: "Column | None" = None
+) -> "Dict[str, Column]":
+    """Page-level robots directives — the per-PAGE politeness gate
+    that complements the per-SITE robots.txt
+    (:func:`~pandas_weights_spark.functions.robots.robots_allowed`):
+    ``<meta name="robots" content="...">`` tags (ALL of them, both
+    attribute orders) unioned with the HTTP ``X-Robots-Tag`` header
+    when the WARC header block is passed (the
+    :func:`~pandas_weights_spark.sources.warc.from_warc_shards`
+    ``http_headers`` column). Common Crawl and every compliant
+    training-data pipeline drop noindex pages at hygiene time.
+
+    Returned columns (the :func:`extract_meta` convention):
+
+    - ``robots_raw`` — the comma-joined directive sources, verbatim
+    - ``noindex`` / ``nofollow`` — booleans; ``none`` implies BOTH
+      (the public REP-meta convention); directives match
+      case-insensitively with surrounding whitespace trimmed
+    - ``noarchive`` / ``nosnippet`` — booleans
+
+    Documented conservatisms (the module's no-DOM stance): only the
+    generic ``robots`` meta name is read (bot-scoped names like
+    ``googlebot`` are product-specific); a bot-scoped
+    ``X-Robots-Tag: somebot: noindex`` token does NOT flag (the
+    token is ``somebot: noindex``, not a directive — unscoped
+    headers, the common form, parse fully). Row-local regex + HOF
+    algebra, zero shuffle; :func:`meta_robots_sql` is the DuckDB
+    twin. NULL html → NULL flags.
+    """
+    metas = F.concat(
+        F.regexp_extract_all(html, F.lit(_ROBOTS_FWD), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_ROBOTS_REV), F.lit(1)),
+    )
+    sources = F.array_join(metas, ",")
+    if http_headers is not None:
+        hdr = F.regexp_extract(
+            F.coalesce(http_headers, F.lit("")), _XROBOTS_RE, 1
+        )
+        raw = F.concat_ws(",", F.nullif(sources, F.lit("")),
+                          F.nullif(hdr, F.lit("")))
+    else:
+        raw = sources
+    toks = F.transform(
+        F.split(raw, ","), lambda x: F.lower(F.trim(x))
+    )
+
+    def has(*names: str) -> Column:
+        out = F.array_contains(toks, names[0])
+        for nm in names[1:]:
+            out = out | F.array_contains(toks, nm)
+        return out
+
+    return {
+        "robots_raw": raw,
+        "noindex": has("noindex", "none"),
+        "nofollow": has("nofollow", "none"),
+        "noarchive": has("noarchive"),
+        "nosnippet": has("nosnippet"),
+    }
+
+
+def meta_robots_sql(
+    html_expr: str, headers_expr: "str | None" = None
+) -> "Dict[str, str]":
+    """DuckDB replay of :func:`meta_robots` — same emitted patterns,
+    RE2 dialect, same token algebra."""
+    fwd = f"regexp_extract_all({html_expr}, '{_sq(_ROBOTS_FWD)}', 1)"
+    rev = f"regexp_extract_all({html_expr}, '{_sq(_ROBOTS_REV)}', 1)"
+    sources = f"list_aggr(list_concat({fwd}, {rev}), 'string_agg', ',')"
+    if headers_expr is not None:
+        hdr = (
+            f"regexp_extract(coalesce({headers_expr}, ''), "
+            f"'{_sq(_XROBOTS_RE)}', 1)"
+        )
+        raw = (
+            f"concat_ws(',', nullif({sources}, ''), "
+            f"nullif({hdr}, ''))"
+        )
+    else:
+        raw = f"coalesce({sources}, '')"
+    toks = (
+        f"list_transform(string_split({raw}, ','), "
+        f"x -> lower(trim(x)))"
+    )
+
+    def has(*names: str) -> str:
+        return " OR ".join(
+            f"list_contains({toks}, '{nm}')" for nm in names
+        )
+
+    return {
+        "robots_raw": raw,
+        "noindex": f"({has('noindex', 'none')})",
+        "nofollow": f"({has('nofollow', 'none')})",
+        "noarchive": f"({has('noarchive')})",
+        "nosnippet": f"({has('nosnippet')})",
     }
 
 

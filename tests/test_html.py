@@ -1282,3 +1282,100 @@ class TestMarkdownPipeTables:
             f" AS e FROM t ORDER BY i"
         ).fetchall()
         assert [(r["p"], r["e"]) for r in got] == want
+
+
+class TestMetaRobots:
+    """r14: page-level robots directives (meta_robots) — the per-page
+    politeness gate next to robots.txt; noindex pages drop at
+    hygiene time."""
+
+    PAGES = [
+        (0, '<meta name="robots" content="noindex, nofollow">', None),
+        (1, '<meta content="NOINDEX" name="robots">', None),  # rev+case
+        (2, '<meta name="robots" content="none">', None),     # none=both
+        (3, '<meta name="robots" content="noarchive">'
+            '<meta name="robots" content="nosnippet">', None),  # multiple
+        (4, "<p>no directives</p>", None),
+        (5, "<p>header only</p>",
+            "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n"),
+        (6, '<meta name="googlebot" content="noindex">', None),  # scoped: ignored
+        (7, "<p>scoped header</p>",
+            "HTTP/1.1 200 OK\r\nX-Robots-Tag: somebot: noindex\r\n"),
+    ]
+
+    def _run(self, spark):
+        from pandas_weights_spark.functions.html import meta_robots
+
+        df = spark.createDataFrame(
+            self.PAGES, "i long, html string, hdrs string"
+        )
+        cols = meta_robots(F.col("html"), F.col("hdrs"))
+        return {
+            r["i"]: r
+            for r in df.select(
+                "i", *[c.alias(k) for k, c in cols.items()]
+            ).collect()
+        }
+
+    def test_directives(self, spark):
+        got = self._run(spark)
+        assert got[0]["noindex"] and got[0]["nofollow"]
+        assert not got[0]["noarchive"]
+        assert got[1]["noindex"] and not got[1]["nofollow"]
+        assert got[2]["noindex"] and got[2]["nofollow"]  # none -> both
+        assert got[3]["noarchive"] and got[3]["nosnippet"]
+        assert not got[3]["noindex"]
+        assert not any(
+            got[4][k] for k in ("noindex", "nofollow", "noarchive")
+        )
+        assert got[5]["noindex"]          # X-Robots-Tag header
+        assert not got[6]["noindex"]      # bot-scoped meta ignored
+        assert not got[7]["noindex"]      # bot-scoped header token
+
+    def test_duckdb_twin(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            meta_robots,
+            meta_robots_sql,
+        )
+
+        df = spark.createDataFrame(
+            self.PAGES, "i long, html string, hdrs string"
+        )
+        cols = meta_robots(F.col("html"), F.col("hdrs"))
+        got = [
+            tuple(r)
+            for r in df.select(
+                "i", *[c.alias(k) for k, c in cols.items()]
+            ).orderBy("i").collect()
+        ]
+        con = duckdb.connect()
+        sqls = meta_robots_sql("html", "hdrs")
+        sel = ", ".join(f"{v} AS {k}" for k, v in sqls.items())
+        vals = ", ".join(
+            "({}, {}, {})".format(
+                i,
+                "'" + h.replace("'", "''") + "'",
+                "NULL" if hd is None
+                else "'" + hd.replace("'", "''") + "'",
+            )
+            for i, h, hd in self.PAGES
+        )
+        exp = con.sql(
+            f"SELECT i, {sel} FROM (VALUES {vals}) AS t(i, html, hdrs) "
+            f"ORDER BY i"
+        ).fetchall()
+        assert got == [tuple(r) for r in exp]
+
+    def test_html_only_signature(self, spark):
+        from pandas_weights_spark.functions.html import meta_robots
+
+        df = spark.createDataFrame(
+            [('<meta name="robots" content=" NoIndex ">',)], ["html"]
+        )
+        cols = meta_robots(F.col("html"))
+        r = df.select(
+            *[c.alias(k) for k, c in cols.items()]
+        ).first()
+        assert r["noindex"] and not r["nofollow"]  # trim + casefold
