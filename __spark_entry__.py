@@ -12254,8 +12254,27 @@ _ORACLE["snapshot_delta"] = """
 # Hard feasibility: |front ∪ stale2| ≤ 50 every round (asserted);
 # advisory headroom bound n ≤ 140 (asserted with a widen-again message).
 
-#: first-50 window of CORRECTNESS_r13.json (driver-checked last round).
+#: first-50 window of CORRECTNESS_r14.json (driver-checked last round).
 _PREV_WINDOW: frozenset = frozenset({
+    "wat_roundtrip", "cdx_index", "unimax_alloc", "meta_robots",
+    "class_tfidf", "sitemap_parse", "mink_prob",
+    "neardup_incremental", "dsir_select", "pq_topk",
+    "weighted_sample", "tfidf_top_terms", "decontam", "calibration",
+    "session_agg", "stream_resample", "multimodal_features",
+    "phrase_hits", "zipf_stats", "semantic_decontam", "knn_density",
+    "classifier_eval", "c4_fineweb", "hits", "snapshot_delta",
+    "ccnet_buckets", "robots_directives", "quality_classifier",
+    "semdedup", "edit_join", "bm25", "pagerank", "rp_project",
+    "mixture_sample", "html_extract", "sentences",
+    "jsonl_roundtrip", "robots_filter", "link_graph", "code_detect",
+    "datasheet", "global_stats", "null_semantics", "group_mean",
+    "group_var", "group_quantile", "group_quantile_binned",
+    "group_mad", "group_zscore", "crosstab",
+})
+
+#: first-50 window of CORRECTNESS_r13.json (driver-checked two rounds
+#: back) — the second history term of the three-round guarantee.
+_PREV_WINDOW2: frozenset = frozenset({
     "punkt_context", "semdedup_incremental", "class_tfidf",
     "sitemap_parse", "wet_roundtrip", "mink_prob",
     "neardup_incremental", "punkt_abbrevs", "html_markdown",
@@ -12272,79 +12291,30 @@ _PREV_WINDOW: frozenset = frozenset({
     "window_stats", "star_join_mean", "grouped_apply", "chunk_docs",
 })
 
-#: first-50 window of CORRECTNESS_r12.json (driver-checked two rounds
-#: back) — the second history term of the three-round guarantee.
-_PREV_WINDOW2: frozenset = frozenset({
-    "neardup_incremental", "punkt_abbrevs", "phrase_hits",
-    "zipf_stats", "semantic_decontam", "html_markdown",
-    "knn_density", "classifier_eval", "c4_fineweb", "html_tables",
-    "html_extract", "hits", "snapshot_delta", "ccnet_buckets",
-    "robots_directives", "quality_classifier", "dsir_select",
-    "semdedup", "edit_join", "bm25", "pagerank", "pq_topk",
-    "rp_project", "mixture_sample", "warc_roundtrip", "sentences",
-    "jsonl_roundtrip", "robots_filter", "link_graph", "code_detect",
-    "datasheet", "global_stats", "null_semantics", "group_mean",
-    "group_var", "group_quantile", "group_quantile_binned",
-    "group_mad", "group_zscore", "crosstab", "weighted_tests",
-    "resample_2d", "resample_rules", "resample_quantile",
-    "neardup_clusters", "ewm_mean", "corr_cov_matrix",
-    "group_skew_kurt", "value_counts", "group_corr",
-})
-
-#: queries ADDED in the current round (r14) — always in the window.
-_NEW_THIS_ROUND: tuple = (
-    "wat_roundtrip",
-    "cdx_index",
-    "unimax_alloc",
-    "meta_robots",
-)
+#: queries ADDED in the current round (r15) — always in the window.
+#: r15 is an optimization round: no new queries.
+_NEW_THIS_ROUND: tuple = ()
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
-    "dsir_select",       # r14: dsir_gumbel_topk routes k > group-limit
-                         #   threshold through the salted executor-side
-                         #   global_top_by_mass (no TakeOrdered driver
-                         #   merge at selection-scale k); small-k plan
-                         #   and all row sets unchanged
-    "weighted_sample",   # r14: same threshold guard on the πps
-                         #   sequential-Poisson selection; docstring
-                         #   overclaim ("scales to any corpus size")
-                         #   corrected to the partitions × n driver
-                         #   bound of the TakeOrdered regime
-    "mink_prob",         # r14: mkpp_score column — Min-K%++ (Zhang
-                         #   et al. 2024) context-normalized variant
-                         #   (minkpp_prob_score); oracle replays the
-                         #   moment CTEs closed-form; also the
-                         #   _jm_mixture_tables refactor under
-                         #   _trigram_logprob_rows (lm3 rows pinned)
-                         #   and the include_mink fusion (both stats
-                         #   off ONE doc scan, bit-identical pinned)
-    "pq_topk",           # r14: OPQ rows — `opq` (codes of the
-                         #   literal-rotation pipeline) and `oad`
-                         #   (ADC top-5 of rotated queries vs rotated
-                         #   codes) over the 500-vector sub-corpus;
-                         #   trained rotation pinned in tests
-    "neardup_incremental",  # r14: state-format probe guard (ADVICE
-                         #   r13) — one LIMIT-1 job validating that
-                         #   portable digest state holds 16-hex
-                         #   digests, so stale r12 raw-shingle state
-                         #   fails loudly instead of silently
-                         #   disabling suppression
-    "tfidf_top_terms",   # r14: its lm3 rows ride the refactored
-                         #   _trigram_logprob_rows (context keys now
-                         #   carried, pruned by the mean aggregate) —
-                         #   re-check; values pinned bit-identical
-    "sitemap_parse",     # r14: CDATA sections unwrap verbatim in
-                         #   sitemap_entries (both engines); fixture
-                         #   gained CDATA loc/lastmod/empty rows;
-                         #   docstring order claim corrected to
-                         #   "document order within each kind"
-    "class_tfidf",       # r14: per-class rank routes through
-                         #   partitioned_topk(salt_by=term) — Partial
-                         #   WindowGroupLimit pre-filter under the
-                         #   threshold, salted two-stage above; same
-                         #   rows, same plan at default k
+    "tfidf_top_terms",   # r15: the vocab/bpe/usd rows' word-table
+                         #   caps route through the threshold-guarded
+                         #   _capped_top (salted executor-side above
+                         #   the window group-limit threshold — the
+                         #   caps here are 5000/1M, above the default
+                         #   1000); identical row sets by topk.py's
+                         #   exactness invariant
+    "doc_weighted_stats",  # r15: its vocab fold (build_vocabulary at
+                         #   the 50k default cap) rides the same
+                         #   _capped_top guard
+    "mink_prob",         # r15: its lm fold's build_vocabulary
+                         #   (max_size=5000) rides the same guard
+    "cdx_index",         # r15: cdxj_entries parses the JSON block
+                         #   ONCE via from_json (all-string schema +
+                         #   the same casts) instead of seven
+                         #   get_json_object re-parses; same member
+                         #   semantics, DuckDB twin unchanged
 )
 
 

@@ -1213,7 +1213,16 @@ def meta_robots_sql(
             f"nullif({hdr}, ''))"
         )
     else:
-        raw = f"coalesce({sources}, '')"
+        # gate on the INPUT, not the extract (r15, ADVICE r14): the
+        # coalesce only exists because DuckDB's list_aggr over an
+        # empty list yields NULL where Spark's array_join yields ''
+        # — but for NULL html the Spark twin (and the documented
+        # contract) propagates NULL flags, so the '' floor must not
+        # swallow that case
+        raw = (
+            f"CASE WHEN {html_expr} IS NULL THEN NULL "
+            f"ELSE coalesce({sources}, '') END"
+        )
     toks = (
         f"list_transform(string_split({raw}, ','), "
         f"x -> lower(trim(x)))"

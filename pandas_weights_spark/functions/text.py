@@ -1881,6 +1881,18 @@ def minkpp_prob_score(
     and its aggregation never touch the driver); Zipfian real tables
     land at ``O(max_trigrams · avg continuations)``, a few × the
     trigram table.
+
+    Cross-engine tolerance (r15, ADVICE r14): ``mkpp_score`` rests on
+    non-integer float sums whose accumulation ORDER differs between
+    engines — ``u1``/``u2`` are a Spark aggregate embedded as a
+    literal while the oracle re-sums in DuckDB order, and the
+    ``dm``/``d1``/``d2`` corrections are grouped float sums on both
+    sides. The round-6 output quantization absorbs the observed ulp
+    drift on every pinned fixture; the ACCEPTED tolerance is that a
+    value within one ulp of a round-6 midpoint may round apart across
+    engines on OTHER data or partitionings. If the correctness gate
+    ever reds on ``mkpp_score`` alone, pin the sum order (aggregate
+    over term-sorted lists) rather than widening the rounding.
     """
     import math
 

@@ -5,10 +5,16 @@ corpus mass, stable integer ids, OOV handling).
 Scale design:
 
 * :func:`build_vocabulary` — ONE explode + map-side-combining term
-  aggregate; the top-V cut is ``orderBy(...).limit(V)`` which Spark
-  executes as TakeOrdered (per-partition heaps of V, never a global
-  sort), and ids come from one window over the V-row result (V is
-  vocabulary-sized: thousands, not data-sized).
+  aggregate; the top-V cut is scale-guarded (:func:`_capped_top`):
+  at or under the session's window group-limit threshold it compiles
+  to TakeOrdered (per-partition heaps of V, driver merge bounded by
+  ``partitions × threshold`` rows), ABOVE it the cut routes through
+  the salted executor-side
+  :func:`~pandas_weights_spark.topk.global_top_by_mass` so nothing
+  cap-sized ever lands on the driver (r15 — the same guard as
+  dsir/weighted_sample/class_tfidf; identical row sets by topk.py's
+  exactness invariant). Ids come from one window over the V-row
+  result (V is vocabulary-sized: thousands, not data-sized).
 * :func:`encode_documents` — posexplode + a BROADCAST join against the
   V-row vocabulary (map-side lookup), then one groupBy(doc) rebuilding
   the id sequence with ``sort_array`` on (position, id) structs. One
@@ -28,6 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pandas_weights_spark.functions.text import tokens
+from pandas_weights_spark.topk import (
+    _group_limit_threshold,
+    global_top_by_mass,
+)
 
 __all__ = [
     "build_vocabulary",
@@ -55,6 +65,29 @@ __all__ = [
 ]
 
 
+def _capped_top(df: DataFrame, mass_col: str, key_col: str,
+                cap: int) -> DataFrame:
+    """EXACT top-``cap`` rows by ``(mass_col desc, key_col asc)`` — a
+    total order (the key column is distinct by construction: these
+    are post-aggregate word/term/piece tables). Scale-guarded the way
+    dsir.py/sample.py guard selection (r15): at or under the
+    session's window group-limit threshold the cut is
+    ``orderBy().limit(cap)`` (TakeOrdered — per-partition heaps, a
+    driver merge bounded by ``partitions × threshold`` rows); ABOVE
+    it — the word-table defaults here are 50 k–1 M, far past the
+    1000-row default threshold — TakeOrdered's driver reduce would
+    hold ``partitions × cap`` rows (the driver OOM topk.py:50–54
+    documents), so the cut routes through the salted executor-side
+    :func:`~pandas_weights_spark.topk.global_top_by_mass` instead.
+    Identical row set either way (topk.py's exactness invariant); no
+    output ordering is promised in the salted regime — the capped
+    tables are consumed as sets (trainer state, broadcast joins)."""
+    order = [F.col(mass_col).desc(), F.col(key_col).asc()]
+    if int(cap) <= _group_limit_threshold(df):
+        return df.orderBy(*order).limit(int(cap))
+    return global_top_by_mass(df, mass_col, order, int(cap))
+
+
 def build_vocabulary(
     df: DataFrame,
     text_col: str,
@@ -79,12 +112,11 @@ def build_vocabulary(
     rows = df.select(
         w.alias("__w__"), F.explode(toks).alias("term")
     ).where(F.length("term") > 0)
-    masses = (
+    masses = _capped_top(
         rows.groupBy("term")
         .agg(F.sum("__w__").alias("mass"))
-        .where(F.col("mass") >= float(min_mass))
-        .orderBy(F.col("mass").desc(), F.col("term"))
-        .limit(max_size)
+        .where(F.col("mass") >= float(min_mass)),
+        "mass", "term", max_size,
     )
     ids = Window.orderBy(F.col("mass").desc(), F.col("term"))
     return masses.select(
@@ -203,8 +235,9 @@ def bpe_word_table(
     with (weighted) corpus frequency and their current symbol split
     (initially characters + the end-of-word marker).
 
-    ``max_words`` caps the state at the top words by frequency
-    (TakeOrdered — per-partition heaps, no global sort); the dropped
+    ``max_words`` caps the state at the top words by frequency (the
+    scale-guarded :func:`_capped_top` cut — executor-side salted
+    top-k above the window group-limit threshold, r15); the dropped
     long tail is the standard practical bound on distributed BPE.
     """
     w = weight if weight is not None else F.lit(1.0)
@@ -213,11 +246,9 @@ def bpe_word_table(
     rows = df.select(w.alias("__w__"), F.explode(toks).alias("word")).where(
         F.length("word") > 0
     )
-    counted = (
-        rows.groupBy("word")
-        .agg(F.sum("__w__").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(max_words)
+    counted = _capped_top(
+        rows.groupBy("word").agg(F.sum("__w__").alias("freq")),
+        "freq", "word", max_words,
     )
     return counted.select(
         "word", "freq", _char_symbols(F.col("word"), end_of_word).alias("syms")
@@ -595,20 +626,18 @@ def bpe_byte_word_table(
 ) -> DataFrame:
     """Byte-level BPE training state: ``(word, freq, syms)`` over
     DISTINCT GPT-2 pre-tokens (whitespace runs included — they carry
-    real mass), capped at the top ``max_words`` by frequency
-    (TakeOrdered, the same practical bound as
-    :func:`bpe_word_table`). No lowercasing, no marker — byte-level
-    BPE is case- and whitespace-faithful by design."""
+    real mass), capped at the top ``max_words`` by frequency (the
+    scale-guarded :func:`_capped_top` cut, the same practical bound
+    as :func:`bpe_word_table`). No lowercasing, no marker —
+    byte-level BPE is case- and whitespace-faithful by design."""
     w = weight if weight is not None else F.lit(1.0)
     rows = df.select(
         w.alias("__w__"),
         F.explode(gpt2_pretokenize(F.col(text_col))).alias("word"),
     ).where(F.length("word") > 0)
-    counted = (
-        rows.groupBy("word")
-        .agg(F.sum("__w__").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(max_words)
+    counted = _capped_top(
+        rows.groupBy("word").agg(F.sum("__w__").alias("freq")),
+        "freq", "word", max_words,
     )
     return counted.select(
         "word", "freq", byte_symbols(F.col("word")).alias("syms")
@@ -770,19 +799,17 @@ def wordpiece_word_table(
     max_words: int = 1_000_000,
 ) -> DataFrame:
     """WordPiece training state: ``(word, freq, syms)`` with the
-    ``##``-marked character split; same TakeOrdered cap as
-    :func:`bpe_word_table`."""
+    ``##``-marked character split; same scale-guarded
+    :func:`_capped_top` cut as :func:`bpe_word_table`."""
     w = weight if weight is not None else F.lit(1.0)
     t = F.col(text_col)
     toks = tokens(F.lower(t) if lowercase else t)
     rows = df.select(
         w.alias("__w__"), F.explode(toks).alias("word")
     ).where(F.length("word") > 0)
-    counted = (
-        rows.groupBy("word")
-        .agg(F.sum("__w__").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(max_words)
+    counted = _capped_top(
+        rows.groupBy("word").agg(F.sum("__w__").alias("freq")),
+        "freq", "word", max_words,
     )
     return counted.select(
         "word", "freq", _wp_char_symbols(F.col("word")).alias("syms")
@@ -1170,11 +1197,12 @@ def unigram_seed_table(
     ``(piece, mass)``, the top ``seed_size`` by (mass desc, piece asc).
 
     Scale shape: the word table is the same ``max_words``-capped
-    TakeOrdered aggregate as :func:`bpe_word_table`; the substring
-    fan-out is a row-local nested ``transform`` + ``flatten`` (every
-    word emits ≤ ``len·max_piece_len`` pieces — bounded by the cap ×
-    word length), then ONE map-side-combining piece aggregate and a
-    TakeOrdered top-``seed_size`` cut. No driver involvement.
+    :func:`_capped_top` aggregate as :func:`bpe_word_table`; the
+    substring fan-out is a row-local nested ``transform`` +
+    ``flatten`` (every word emits ≤ ``len·max_piece_len`` pieces —
+    bounded by the cap × word length), then ONE map-side-combining
+    piece aggregate and a scale-guarded top-``seed_size`` cut.
+    Nothing cap-sized lands on the driver in either cut (r15).
     """
     if max_piece_len < 1:
         raise ValueError("max_piece_len must be >= 1")
@@ -1184,11 +1212,9 @@ def unigram_seed_table(
     rows = df.select(w.alias("__w__"), F.explode(toks).alias("word")).where(
         F.length("word") > 0
     )
-    counted = (
-        rows.groupBy("word")
-        .agg(F.sum("__w__").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(max_words)
+    counted = _capped_top(
+        rows.groupBy("word").agg(F.sum("__w__").alias("freq")),
+        "freq", "word", max_words,
     )
     n = F.length("word")
     subs = F.flatten(
@@ -1202,12 +1228,11 @@ def unigram_seed_table(
             ),
         )
     )
-    return (
+    return _capped_top(
         counted.select(F.col("freq"), F.explode(subs).alias("piece"))
         .groupBy("piece")
-        .agg(F.sum("freq").alias("mass"))
-        .orderBy(F.col("mass").desc(), F.col("piece"))
-        .limit(seed_size)
+        .agg(F.sum("freq").alias("mass")),
+        "mass", "piece", seed_size,
     )
 
 
@@ -1333,8 +1358,9 @@ def train_unigram_lm(
     Scale shape (the BPE-local pattern, VERDICT r5 items 3/5): the
     distributed work is the two capped aggregates — the
     ``max_words`` word table and the ``seed_size``
-    :func:`unigram_seed_table` (both TakeOrdered, both
-    SQL-oracle-checkable); the EM loop then runs driver-side over
+    :func:`unigram_seed_table` (both scale-guarded
+    :func:`_capped_top` cuts, both SQL-oracle-checkable); the EM
+    loop then runs driver-side over
     those BOUNDED tables (the per-word DP has no SQL analog and every
     iteration needs the whole vocab — the driver is the right place
     once the state is capped). Deterministic: seeding, pruning, and
@@ -1353,11 +1379,9 @@ def train_unigram_lm(
     rows = df.select(w.alias("__w__"), F.explode(toks).alias("word")).where(
         F.length("word") > 0
     )
-    counted = (
-        rows.groupBy("word")
-        .agg(F.sum("__w__").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(max_words)
+    counted = _capped_top(
+        rows.groupBy("word").agg(F.sum("__w__").alias("freq")),
+        "freq", "word", max_words,
     )
     word_freqs = sorted(
         (r["word"], float(r["freq"])) for r in counted.collect()

@@ -540,7 +540,17 @@ def _record_spans(data: bytes) -> "list[tuple[int, int, dict]]":
     AS WRITTEN (a whole gzip member in the member-gzip framing, the
     raw record otherwise), so ``data[offset:offset+length]`` is
     independently parseable. The random-access contract the CDX
-    index points through."""
+    index points through.
+
+    The raw framing walks records by Content-Length exactly as
+    :func:`parse_warc_bytes` does (r15, ADVICE r14): the previous
+    magic-scan found ``WARC/1.0\\r\\n`` INSIDE record blocks too (a
+    realistic payload in crawled web text, or nested WARC), silently
+    truncating spans and usually killing the whole job with
+    ``ValueError('no WARC/1.0 record found')`` on the bogus start.
+    Each span runs to the next record's header (or end of data), so
+    the trailing CRLFCRLF separator stays inside the span and the
+    slice reparses standalone."""
     spans = []
     if data[:2] == b"\x1f\x8b":
         pos = 0
@@ -562,11 +572,25 @@ def _record_spans(data: bytes) -> "list[tuple[int, int, dict]]":
         s = data.find(b"WARC/1.0\r\n", pos)
         if s < 0:
             break
-        starts.append(s)
         hdr_end = data.find(b"\r\n\r\n", s)
         if hdr_end < 0:
             break
-        pos = hdr_end + 4
+        clen = None
+        for line in data[s + 10 : hdr_end].split(b"\r\n"):
+            k, sep, v = line.partition(b":")
+            if sep and k.strip().lower() == b"content-length":
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    clen = None
+        if clen is None:
+            # not a parseable record header (parse_warc_bytes skips
+            # it the same way) — resume the scan after the header
+            pos = hdr_end + 4
+            continue
+        starts.append(s)
+        pos = hdr_end + 4 + clen  # skip the BLOCK: magic inside it
+        #                           is payload, not a record start
     for i, s in enumerate(starts):
         end = starts[i + 1] if i + 1 < len(starts) else len(data)
         recs = parse_warc_bytes(data[s:end])

@@ -60,16 +60,40 @@ def global_top_by_mass(
     consumed as sets (broadcast model tables), never as streams.
     ``mass_col`` is unused beyond documentation-by-signature (the
     order columns already encode it); kept so call sites read as
-    "top cap by mass"."""
+    "top cap by mass".
+
+    Salting hashes the xxhash64-HASHABLE columns only (r15, ADVICE
+    r14): a map-typed payload column would fail ``xxhash64`` at
+    analysis time, and the salt only routes rows to stage-1
+    sub-sorts — ANY deterministic row hash yields the same top-cap
+    row set (the exactness invariant above), so narrowing the hash
+    input never changes the result."""
+    salt_cols = [
+        f.name for f in df.schema.fields if _hashable_type(f.dataType)
+    ] or list(df.columns)
     out = partitioned_topk(
         df.withColumn("__g__", F.lit(1)),
         part_by=["__g__"],
         order_by=list(order_cols),
         k=int(cap),
-        salt_by=list(df.columns),  # deterministic row identity
+        salt_by=salt_cols,  # deterministic row identity
         rank_col="__rk__",
     )
     return out.drop("__g__", "__rk__")
+
+
+def _hashable_type(dt) -> bool:
+    """True when ``xxhash64`` accepts a column of this type (maps are
+    the documented unsupported case, including nested ones)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
 
 _ColRef = Union[str, Column]
 

@@ -1379,3 +1379,43 @@ class TestMetaRobots:
             *[c.alias(k) for k, c in cols.items()]
         ).first()
         assert r["noindex"] and not r["nofollow"]  # trim + casefold
+
+
+class TestMetaRobotsNullParity:
+    """r15 (ADVICE r14): NULL html must yield NULL robots_raw/flags in
+    BOTH engines in the no-headers signature — the DuckDB twin's ''
+    floor (needed only because list_aggr of an empty list is NULL)
+    must not swallow NULL inputs."""
+
+    def test_null_html_is_null_in_both_engines(self, spark):
+        import duckdb
+
+        from pandas_weights_spark.functions.html import (
+            meta_robots,
+            meta_robots_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(0, None), (1, '<meta name="robots" content="noindex">'),
+             (2, "<p>plain</p>")],
+            "i long, html string",
+        )
+        cols = meta_robots(F.col("html"))
+        got = [
+            tuple(r)
+            for r in df.select(
+                "i", *[c.alias(k) for k, c in cols.items()]
+            ).orderBy("i").collect()
+        ]
+        assert got[0][1:] == (None, None, None, None, None)
+        assert got[2][1] == "" and got[2][2] is False  # empty page: ''
+        con = duckdb.connect()
+        sqls = meta_robots_sql("html")
+        sel = ", ".join(f"{v} AS {k}" for k, v in sqls.items())
+        exp = con.sql(
+            "SELECT i, " + sel + " FROM (VALUES (0, CAST(NULL AS "
+            "VARCHAR)), (1, '<meta name=\"robots\" "
+            "content=\"noindex\">'), (2, '<p>plain</p>')) AS t(i, html) "
+            "ORDER BY i"
+        ).fetchall()
+        assert got == [tuple(r) for r in exp]

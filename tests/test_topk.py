@@ -132,3 +132,40 @@ class TestGlobalTopByMass:
             df, "mass", [F.col("mass").desc(), F.col("term")], 99
         ).count()
         assert got == 2
+
+
+class TestGlobalTopSaltColumns:
+    def test_map_typed_column_does_not_break_salting(self, spark):
+        # ADVICE r14: salting hashed ALL columns, so a map-typed
+        # payload column failed xxhash64 at analysis time in the
+        # salted regime. The salt only routes rows to stage-1
+        # sub-sorts, so hashing the hashable columns only yields the
+        # same top-cap row set.
+        from pandas_weights_spark.topk import global_top_by_mass
+
+        df = spark.range(2000).select(
+            F.col("id").cast("string").alias("term"),
+            (F.col("id") % 97).cast("double").alias("mass"),
+            F.create_map(F.lit("k"), F.col("id")).alias("payload"),
+        )
+        order = [F.col("mass").desc(), F.col("term")]
+        out = global_top_by_mass(df, "mass", order, 1500)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" not in plan, plan
+        ref = {
+            (r["term"], r["mass"])
+            for r in df.orderBy(*order).limit(1500).collect()
+        }
+        got = {(r["term"], r["mass"]) for r in out.collect()}
+        assert got == ref and len(got) == 1500
+
+    def test_all_map_columns_fall_back_to_full_salt(self, spark):
+        from pandas_weights_spark.topk import _hashable_type
+
+        df = spark.range(5).select(
+            F.create_map(F.lit("k"), F.col("id")).alias("m")
+        )
+        # fallback keeps the old behavior (and its analysis error
+        # surface) rather than salting on nothing
+        assert [f.name for f in df.schema.fields
+                if _hashable_type(f.dataType)] == []

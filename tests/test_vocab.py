@@ -253,3 +253,117 @@ class TestUnigramLM:
         # single high-prob piece beats char spellout
         ps, _ = _viterbi_segment("ab", logp, 2, -100.0)
         assert ps == ["ab"]
+
+
+class TestCappedTopScaleGuard:
+    """r15 (VERDICT r14 item 1): every word/seed-table cap routes
+    through the threshold-guarded _capped_top — TakeOrdered's driver
+    merge holds partitions x cap rows, the OOM topk.py:50-54
+    documents, and the vocab caps default to 50k-1M. Above the
+    window group-limit threshold the cut must salt executor-side and
+    select EXACTLY the same rows."""
+
+    THRESH = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    @pytest.fixture(scope="class")
+    def bigger(self, spark):
+        # enough distinct words that a cap of 12 is a real cut
+        return spark.range(60).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 37).cast("string"),
+                F.lit(" common word w"), (F.col("id") % 11).cast("string"),
+            ).alias("text"),
+        )
+
+    def _assert_salted_same_rows(self, spark, build, key):
+        ref = {tuple(r[k] for k in key) for r in build().collect()}
+        old = spark.conf.get(self.THRESH)
+        spark.conf.set(self.THRESH, "5")
+        try:
+            salted = build()
+            plan = self._plan(salted)
+            assert "TakeOrdered" not in plan, plan
+            assert "pmod" in plan, plan  # salted stage-1 routing
+            got = {tuple(r[k] for k in key) for r in salted.collect()}
+        finally:
+            spark.conf.set(self.THRESH, old)
+        assert got == ref and len(got) > 0
+
+    def test_build_vocabulary(self, spark, bigger):
+        self._assert_salted_same_rows(
+            spark,
+            lambda: build_vocabulary(bigger, "text", max_size=12),
+            ("term", "term_id", "mass"),
+        )
+
+    def test_bpe_word_table(self, spark, bigger):
+        from pandas_weights_spark.functions.vocab import bpe_word_table
+
+        self._assert_salted_same_rows(
+            spark,
+            lambda: bpe_word_table(bigger, "text", max_words=12),
+            ("word", "freq"),
+        )
+
+    def test_bpe_byte_word_table(self, spark, bigger):
+        from pandas_weights_spark.functions.vocab import (
+            bpe_byte_word_table,
+        )
+
+        self._assert_salted_same_rows(
+            spark,
+            lambda: bpe_byte_word_table(bigger, "text", max_words=12),
+            ("word", "freq"),
+        )
+
+    def test_wordpiece_word_table(self, spark, bigger):
+        from pandas_weights_spark.functions.vocab import (
+            wordpiece_word_table,
+        )
+
+        self._assert_salted_same_rows(
+            spark,
+            lambda: wordpiece_word_table(bigger, "text", max_words=12),
+            ("word", "freq"),
+        )
+
+    def test_unigram_seed_table_both_cuts(self, spark, bigger):
+        from pandas_weights_spark.functions.vocab import (
+            unigram_seed_table,
+        )
+
+        self._assert_salted_same_rows(
+            spark,
+            lambda: unigram_seed_table(
+                bigger, "text", max_piece_len=3, seed_size=20,
+                max_words=12,
+            ),
+            ("piece", "mass"),
+        )
+
+    def test_train_unigram_lm_salted_same_pieces(self, spark, bigger):
+        # the trainer's internal word table rides the same guard; the
+        # learned piece table must be identical in both regimes
+        from pandas_weights_spark.functions.vocab import train_unigram_lm
+
+        def pieces():
+            return {
+                (r["piece"], round(r["logp"], 9))
+                for r in train_unigram_lm(
+                    bigger, "text", vocab_size=16, max_piece_len=3,
+                    seed_size=20, max_words=12,
+                ).collect()
+            }
+
+        ref = pieces()
+        old = spark.conf.get(self.THRESH)
+        spark.conf.set(self.THRESH, "5")
+        try:
+            got = pieces()
+        finally:
+            spark.conf.set(self.THRESH, old)
+        assert got == ref and len(got) > 0

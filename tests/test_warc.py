@@ -578,3 +578,60 @@ class TestWatRecords:
             .collect()
         }
         assert got == direct and got
+
+
+class TestRecordSpansContentLengthWalk:
+    """r15 (ADVICE r14, high): the raw-framing span walk must step by
+    Content-Length like parse_warc_bytes, not scan for the next
+    'WARC/1.0\\r\\n' magic — a record whose PAYLOAD contains that byte
+    sequence (crawled text about WARC, nested WARC) got a silently
+    truncated span whose slice then failed to re-parse."""
+
+    @staticmethod
+    def _raw_rec(uri: bytes, payload: bytes) -> bytes:
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: resource\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"WARC-Record-ID: <urn:uuid:t>\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        return hdr + payload + b"\r\n\r\n"
+
+    def test_magic_inside_block_does_not_split_span(self):
+        from pandas_weights_spark.sources.warc import _record_spans
+
+        p1 = b"quoting a header: WARC/1.0\r\nWARC-Type: fake\r\n rest"
+        p2 = b"second record"
+        r1 = self._raw_rec(b"http://a.example/", p1)
+        r2 = self._raw_rec(b"http://b.example/", p2)
+        shard = r1 + r2
+        spans = _record_spans(shard)
+        assert [(off, ln) for off, ln, _ in spans] == [
+            (0, len(r1)), (len(r1), len(r2)),
+        ]
+        # every span slice re-parses standalone to the right record
+        from pandas_weights_spark.sources.warc import parse_warc_bytes
+
+        for (off, ln, rec), uri, payload in zip(
+            spans, ["http://a.example/", "http://b.example/"], [p1, p2]
+        ):
+            got = parse_warc_bytes(shard[off : off + ln])
+            assert len(got) == 1
+            assert got[0]["target_uri"] == uri == rec["target_uri"]
+            assert bytes(got[0]["block"]) == payload
+
+    def test_unparseable_header_is_skipped_not_fatal(self):
+        from pandas_weights_spark.sources.warc import _record_spans
+
+        bogus = (
+            b"WARC/1.0\r\nWARC-Type: junk\r\n"
+            b"Content-Length: NaN\r\n\r\n"
+        )
+        real = self._raw_rec(b"http://c.example/", b"payload")
+        spans = _record_spans(bogus + real)
+        assert len(spans) == 1
+        assert spans[0][0] == len(bogus)
+        assert spans[0][2]["target_uri"] == "http://c.example/"
