@@ -9017,9 +9017,19 @@ def _q_mink_prob(spark, sf_dir):
     from pandas_weights_spark.functions.vocab import build_vocabulary
 
     docs = _docs(spark, sf_dir)
+    # r15: LAZY lineage cut on the three capped MODEL tables (guide
+    # §5) — minkpp consumes each one from several subtrees (both
+    # _jm_mixture_tables call sites, the u1/u2 moment aggregate, the
+    # class-A/B unions, the per-triple scoring joins), so without
+    # the cut every consumer re-ran the full doc-scan + explode +
+    # salted top-5000 pipeline. Row sets are deterministic; output
+    # pinned bit-identical (checked at sf0.1 and by the oracle gate).
     lmvocab = build_vocabulary(docs, "text", max_size=5000)
+    lmvocab = lmvocab.localCheckpoint(eager=False)
     bgt = bigram_counts(docs, "text", max_bigrams=5000)
+    bgt = bgt.localCheckpoint(eager=False)
     tgt = trigram_counts(docs, "text", max_trigrams=5000)
+    tgt = tgt.localCheckpoint(eager=False)
     scored = docs.where(F.col("doc_id") < 50)
     # include_mink=True fuses both statistics onto ONE document scan
     # (per-triple lp values feed both; bit-identical to the
@@ -10560,8 +10570,16 @@ def _q_ccnet_buckets(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
+    # r15: LAZY lineage cut on the two capped count tables (the
+    # mink_prob pattern) — the MKN ladder consumes each table from
+    # several subtrees (order-k numerator, backoff-weight marginals,
+    # continuation counts for the order below), so every consumer
+    # re-ran the count pipeline. Unweighted integer masses: tables
+    # identical, output unchanged (oracle-checked).
     bgt = ngram_counts(docs, "text", 2, max_ngrams=5000)
+    bgt = bgt.localCheckpoint(eager=False)
     tgt = ngram_counts(docs, "text", 3, max_ngrams=5000)
+    tgt = tgt.localCheckpoint(eager=False)
     sc = ngram_lm_score(
         docs, "text", "doc_id", None, {2: bgt, 3: tgt}, None,
         alpha=0.5, smoothing="mkn",
@@ -12313,8 +12331,18 @@ _TOUCHED_THIS_ROUND: tuple = (
     "cdx_index",         # r15: cdxj_entries parses the JSON block
                          #   ONCE via from_json (all-string schema +
                          #   the same casts) instead of seven
-                         #   get_json_object re-parses; same member
-                         #   semantics, DuckDB twin unchanged
+                         #   get_json_object re-parses, and the
+                         #   key/ts/json pieces come from ONE
+                         #   split(line,' ',3) instead of three more
+                         #   full-line regexp_extract passes; same
+                         #   member semantics, DuckDB twin unchanged
+    "neardup_incremental",  # r15: minhash_dedup_incremental lazily
+                         #   localCheckpoints the per-batch signature
+                         #   table (consumed 4+ times; measured
+                         #   5.6 → 3.3 s on the bench entry); md5
+                         #   pipeline deterministic, rows identical
+    "semdedup_incremental",  # r15: same lineage cut on the assigned
+                         #   table in semantic_dedup_incremental
 )
 
 

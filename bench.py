@@ -858,6 +858,11 @@ def build_queries(spark, sf_dir) -> dict:
     def _ccnet_arrow(spark_, sf_dir_):
         # counting rides the Arrow Counter kernel (exact integer
         # parity, pinned); MKN scoring + the per-shard ntile unchanged
+        # (r15 note: fan_out on the one-file docs scan was MEASURED
+        # here and reverted — isolated median went 3.8 → 5.4 s; the
+        # pipeline is bound by the capped-table joins and the extra
+        # exchange + 32x Counter partials cost more than the
+        # one-core count pass saves at this scale)
         from pandas_weights_spark.functions.text import (
             ccnet_ppl_buckets,
             ngram_counts,
@@ -865,12 +870,16 @@ def build_queries(spark, sf_dir) -> dict:
         )
 
         docs = load_table(spark_, sf_dir_, "documents")
+        # r15: lazy lineage cut on the capped count tables — the MKN
+        # ladder consumes each from several subtrees (numerator,
+        # backoff marginals, continuation counts), mirroring the
+        # declared query's checkpoint
         bgt = ngram_counts(
             docs, "text", 2, max_ngrams=5000, arrow=True
-        )
+        ).localCheckpoint(eager=False)
         tgt = ngram_counts(
             docs, "text", 3, max_ngrams=5000, arrow=True
-        )
+        ).localCheckpoint(eager=False)
         sc = ngram_lm_score(
             docs, "text", "doc_id", None, {2: bgt, 3: tgt}, None,
             alpha=0.5, smoothing="mkn",

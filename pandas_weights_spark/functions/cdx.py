@@ -152,50 +152,68 @@ def cdxj_entries(line: Column) -> Column:
     fields for JSON members that are absent. ``ts`` parses the
     14-digit timestamp via the gated try-parse discipline (invalid
     digits → NULL, never an ANSI error); ``status``/``length``/
-    ``offset`` try-cast the same way. Row-local regex + ONE
-    ``from_json`` parse — zero shuffle.
+    ``offset`` try-cast the same way. Row-local: ONE validating
+    regex + ONE space-split + ONE ``from_json`` parse — zero
+    shuffle.
 
-    Expression shape: the LINE and the PARSED JSON STRUCT are each
-    LET-bound once (the 1-element ``transform`` binding — the
-    interpreted-HOF LET discipline), so a caller may pass an
-    arbitrarily expensive line EXPRESSION without CollapseProject
-    inlining it into all ~11 field extracts (measured 4.4 → ~1 s on
-    the cdx_index bench entry, whose lines are built in place).
-    r15 (VERDICT r14 item 3): the seven JSON members come from ONE
-    ``from_json`` with an all-string schema instead of seven
-    ``get_json_object`` calls that each re-parsed the block — same
-    member semantics (absent → NULL, numbers surface as their
-    literal text, the numeric members then cast exactly as before);
-    the DuckDB twin keeps per-field ``json_extract``, which that
-    engine plans as a single parse."""
+    Expression shape: the LINE, its SPLIT PIECES, and the PARSED
+    JSON STRUCT are each LET-bound once (the 1-element ``transform``
+    binding — the interpreted-HOF LET discipline), so a caller may
+    pass an arbitrarily expensive line EXPRESSION without
+    CollapseProject inlining it into all ~11 field extracts
+    (measured 4.4 → ~1 s on the cdx_index bench entry, whose lines
+    are built in place). r15 (VERDICT r14 item 3): the seven JSON
+    members come from ONE ``from_json`` with an all-string schema
+    instead of seven ``get_json_object`` calls that each re-parsed
+    the block — same member semantics (absent → NULL, numbers
+    surface as their literal text, the numeric members then cast
+    exactly as before) — and the key/ts/json pieces come from one
+    ``split(line, ' ', 3)`` instead of three more full-line
+    ``regexp_extract`` passes: on any line the rlike gate admits,
+    key and ts contain no spaces, so the first two space-splits land
+    exactly on the capture-group boundaries (non-matching lines are
+    NULL before the pieces are consulted). Measured 0.5 → ~2.5 M
+    lines/s warm on the 20 M-row scale_smoke entry (the residual
+    floor is the Jackson parse + timestamp parse; a no-LET variant
+    re-measured 4× SLOWER because the optimizer tears the struct
+    apart and re-evaluates from_json per consumed field — the LET
+    stays). The DuckDB twin
+    keeps per-field ``json_extract``, which that engine plans as a
+    single parse."""
 
     def build(ln: Column) -> Column:
-        key = F.regexp_extract(ln, _CDXJ_RE, 1)
-        ts = F.regexp_extract(ln, _CDXJ_RE, 2)
-        js = F.regexp_extract(ln, _CDXJ_RE, 3)
+        def from_parts(parts: Column) -> Column:
+            key = F.element_at(parts, 1)
+            ts = F.element_at(parts, 2)
+            js = F.element_at(parts, 3)
 
-        def fields(p: Column) -> Column:
-            return F.struct(
-                key.alias("key"),
-                ts.alias("ts_raw"),
-                F.try_to_timestamp(
-                    ts, F.lit("yyyyMMddHHmmss")
-                ).alias("ts"),
-                p["url"].alias("url"),
-                p["mime"].alias("mime"),
-                p["status"].cast("int").alias("status"),
-                p["digest"].alias("digest"),
-                p["length"].cast("long").alias("length"),
-                p["offset"].cast("long").alias("offset"),
-                p["filename"].alias("filename"),
+            def fields(p: Column) -> Column:
+                return F.struct(
+                    key.alias("key"),
+                    ts.alias("ts_raw"),
+                    F.try_to_timestamp(
+                        ts, F.lit("yyyyMMddHHmmss")
+                    ).alias("ts"),
+                    p["url"].alias("url"),
+                    p["mime"].alias("mime"),
+                    p["status"].cast("int").alias("status"),
+                    p["digest"].alias("digest"),
+                    p["length"].cast("long").alias("length"),
+                    p["offset"].cast("long").alias("offset"),
+                    p["filename"].alias("filename"),
+                )
+
+            parsed = F.from_json(
+                js,
+                "url string, mime string, status string, "
+                "digest string, length string, offset string, "
+                "filename string",
             )
+            return F.element_at(F.transform(F.array(parsed), fields), 1)
 
-        parsed = F.from_json(
-            js,
-            "url string, mime string, status string, digest string, "
-            "length string, offset string, filename string",
+        entry = F.element_at(
+            F.transform(F.array(F.split(ln, " ", 3)), from_parts), 1
         )
-        entry = F.element_at(F.transform(F.array(parsed), fields), 1)
         return F.when(ln.rlike(_CDXJ_RE), entry)
 
     return F.element_at(F.transform(F.array(line), build), 1)

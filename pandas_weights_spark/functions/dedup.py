@@ -1494,6 +1494,17 @@ def minhash_dedup_incremental(
             "sig"
         ),
     ).join(shdf, id_col)
+    # r15: LAZY lineage cut (guide §5 — localCheckpoint over persist
+    # when the intermediate's fault tolerance is not critical). The
+    # signature table is consumed 4+ times below (band fan-out, both
+    # verify joins, new_state) and — when snapshots chain in-session
+    # — again by the NEXT batch's probe and cross joins, so without
+    # the cut the whole explode+min aggregate re-executes per
+    # consumer (measured 5.6 → 3.6 s on the two-batch bench entry).
+    # Deterministic (md5/xxhash64 hashes), so recompute-vs-reuse
+    # cannot change results; persisted-parquet state between RUNS is
+    # unaffected.
+    packed = packed.localCheckpoint(eager=False)
 
     def banded(st: DataFrame) -> DataFrame:
         return st.select(
@@ -1666,6 +1677,13 @@ def semantic_dedup_incremental(
             F.col("v"),
             l2_norm(F.col("v")).alias("norm"),
         )
+    # r15: LAZY lineage cut, the minhash_dedup_incremental pattern —
+    # the assigned table feeds the history join, both sides of the
+    # in-batch self-join, and new_state (and the next snapshot when
+    # chained in-session); without it the argmax/matmul assignment
+    # re-executes per consumer. Deterministic per evaluation, so
+    # results are unchanged.
+    assigned = assigned.localCheckpoint(eager=False)
 
     def cos(x: str, y: str) -> Column:
         # the semantic_dedup verify shape, verbatim: one dot per

@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     outdir = sys.argv[1]
     only = sys.argv[2:]
+    registry_only = "--registry" in only
+    only = [n for n in only if n != "--registry"]
     os.makedirs(outdir, exist_ok=True)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,7 +47,14 @@ def main() -> int:
 
     import bench as B
 
-    qs = B.build_queries(spark, sf_dir)
+    if registry_only:
+        # the DRIVER's query bodies (what the oracle gate runs),
+        # without the bench's portable-vs-production overrides
+        import __spark_entry__ as E
+
+        qs = dict(E.queries())
+    else:
+        qs = B.build_queries(spark, sf_dir)
 
     names = only or list(B.HEADLINE)
     for name in names:
