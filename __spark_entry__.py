@@ -12343,6 +12343,16 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   pipeline deterministic, rows identical
     "semdedup_incremental",  # r15: same lineage cut on the assigned
                          #   table in semantic_dedup_incremental
+    "punkt_context",     # r15: train_sentence_collocations /
+                         #   _starters caps (the query passes 1M)
+                         #   route through the threshold-guarded
+                         #   _capped_cut — salted executor-side above
+                         #   the window group-limit threshold, no
+                         #   TakeOrdered partitions × cap driver
+                         #   merge; identical row sets (plan + rows
+                         #   pinned in tests/test_text.py)
+    "punkt_abbrevs",     # r15: train_sentence_abbreviations rides
+                         #   the same _capped_cut guard
 )
 
 

@@ -740,6 +740,11 @@ def semantic_dedup(
             l2_norm(v).alias("__n__"),
             nearest_cell(v, centroids).alias("cell"),
         )
+    # r15: LAZY lineage cut (the dedup-family pattern) — the assigned
+    # table feeds BOTH sides of the cell self-join and the survivor
+    # join-back, so the argmax/matmul assignment re-executed three
+    # times per run. Deterministic per evaluation; rows unchanged.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     losers = (

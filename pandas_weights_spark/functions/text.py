@@ -2071,6 +2071,28 @@ def split_sentences(text: Column) -> Column:
 _ABBREV_CAND_RE = r"^[A-Za-z][A-Za-z.]*\.$"
 
 
+def _capped_cut(df: DataFrame, order_cols, cap: int) -> DataFrame:
+    """Threshold-guarded EXACT top-``cap`` cut under ``order_cols``
+    (a total order — callers append tie-break columns): the
+    vocab/dsir discipline (r15). At or under the session's window
+    group-limit threshold, ``orderBy().limit`` compiles to
+    TakeOrdered whose driver merge is bounded by ``partitions ×
+    threshold`` rows; above it (the punkt trainers are called with
+    million-row caps) that merge is the driver OOM topk.py:50–54
+    documents, so the cut routes through the salted executor-side
+    :func:`~pandas_weights_spark.topk.global_top_by_mass`. Identical
+    row set either way; no output ordering is promised in the salted
+    regime (the model tables are consumed as sets)."""
+    from pandas_weights_spark.topk import (
+        _group_limit_threshold,
+        global_top_by_mass,
+    )
+
+    if int(cap) <= _group_limit_threshold(df):
+        return df.orderBy(*order_cols).limit(int(cap))
+    return global_top_by_mass(df, "score", list(order_cols), int(cap))
+
+
 def train_sentence_abbreviations(
     df: DataFrame,
     text_col: str,
@@ -2178,9 +2200,10 @@ def train_sentence_abbreviations(
         (F.round(score, 6) + F.lit(0.0)).alias("score"),
         (score >= F.lit(float(threshold))).alias("is_abbrev"),
     )
-    return scored.orderBy(
-        F.col("score").desc(), F.col("abbrev")
-    ).limit(int(max_abbrevs))
+    return _capped_cut(
+        scored, [F.col("score").desc(), F.col("abbrev")],
+        int(max_abbrevs),
+    )
 
 
 def split_sentences_trained(
@@ -2370,9 +2393,10 @@ def train_sentence_collocations(
         (F.round(score, 6) + F.lit(0.0)).alias("score"),
         (score >= F.lit(float(threshold))).alias("is_collocation"),
     )
-    return out.orderBy(
-        F.col("score").desc(), "w1", "w2"
-    ).limit(int(max_pairs))
+    return _capped_cut(
+        out, [F.col("score").desc(), F.col("w1"), F.col("w2")],
+        int(max_pairs),
+    )
 
 
 def train_sentence_starters(
@@ -2479,9 +2503,10 @@ def train_sentence_starters(
         (F.round(score, 6) + F.lit(0.0)).alias("score"),
         (score >= F.lit(float(threshold))).alias("is_starter"),
     )
-    return out.orderBy(
-        F.col("score").desc(), "starter"
-    ).limit(int(max_starters))
+    return _capped_cut(
+        out, [F.col("score").desc(), F.col("starter")],
+        int(max_starters),
+    )
 
 
 def train_punkt(

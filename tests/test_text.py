@@ -3070,3 +3070,75 @@ class TestPhraseHits:
 
         with pytest.raises(ValueError, match="phrase"):
             phrase_hits(self._df(spark), "t", "i", ["", None])
+
+
+class TestPunktCappedCutScaleGuard:
+    """r15: the punkt trainers' model-table caps route through the
+    threshold-guarded _capped_cut (the vocab/dsir discipline) — above
+    the window group-limit threshold the cut salts executor-side
+    instead of compiling to TakeOrdered's partitions x cap driver
+    merge, with EXACTLY the same row set."""
+
+    THRESH = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+    def _roundtrip(self, spark, build, key):
+        ref = {tuple(r[k] for k in key) for r in build().collect()}
+        old = spark.conf.get(self.THRESH)
+        spark.conf.set(self.THRESH, "2")
+        try:
+            salted = build()
+            plan = salted._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrdered" not in plan, plan
+            assert "pmod" in plan, plan
+            got = {tuple(r[k] for k in key) for r in salted.collect()}
+        finally:
+            spark.conf.set(self.THRESH, old)
+        assert got == ref and len(got) > 0
+
+    @pytest.fixture(scope="class")
+    def prose(self, spark):
+        rows = [
+            (i, "The dept. meeting ended. Then No. %d came up. "
+                "Then it rained. We left dept. early." % (i % 7))
+            for i in range(30)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_collocations_salted_same_rows(self, spark, prose):
+        from pandas_weights_spark.functions.text import (
+            train_sentence_collocations,
+        )
+
+        self._roundtrip(
+            spark,
+            lambda: train_sentence_collocations(
+                prose, "text", max_pairs=5
+            ),
+            ("w1", "w2", "n_pair", "score"),
+        )
+
+    def test_starters_salted_same_rows(self, spark, prose):
+        from pandas_weights_spark.functions.text import (
+            train_sentence_starters,
+        )
+
+        self._roundtrip(
+            spark,
+            lambda: train_sentence_starters(
+                prose, "text", abbrevs=("dept",), max_starters=4
+            ),
+            ("starter", "n_start", "score"),
+        )
+
+    def test_abbreviations_salted_same_rows(self, spark, prose):
+        from pandas_weights_spark.functions.text import (
+            train_sentence_abbreviations,
+        )
+
+        self._roundtrip(
+            spark,
+            lambda: train_sentence_abbreviations(
+                prose, "text", max_abbrevs=3
+            ),
+            ("abbrev", "n_dot", "score"),
+        )
