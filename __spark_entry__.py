@@ -2186,6 +2186,12 @@ def _q_ewm_pair(spark, sf_dir):
         ).alias("p"),
     ).select("p.stat", *keys, F.col("p.val").alias("val"))
     tm = (
+        # (r15 note: sharing ONE exchange across the union via
+        # ReuseExchange was attempted — projecting y into this branch
+        # to make the pre-exchange subtrees canonically identical —
+        # and does not work: column pruning strips the unused y-mean
+        # window expression and then y itself, so the subtrees always
+        # differ. Two narrow per-branch shuffles is the honest shape.)
         wdf[["x"]]
         .ewm(
             order_by=["ts", "event_id"], partition_by=["event_type"],

@@ -1439,25 +1439,36 @@ def _md_render_table(body: Column, expand: bool) -> Column:
     ``---`` separator sized to the header, then the data rows —
     joined on single newlines (which :func:`_collapse_ws` preserves)
     inside a paragraph break. A rowless table degrades to the plain
-    block break the r12 renderer emitted."""
-    rows = _table_rows(body, _md_cell_prep, expand)
-    r0 = F.get(rows, 0)
-    lines = F.concat(
-        F.array(
-            _md_pipe_row(r0),
-            _md_pipe_row(F.transform(r0, lambda c: F.lit("---"))),
-        ),
+    block break the r12 renderer emitted. The row grid is LET-bound
+    (single-element transform) so the full row parse evaluates once
+    per table — the raw expression is referenced four times (header
+    get, slice, size twice) and interpreted HOFs get no CSE."""
+
+    def render(rows: Column) -> Column:
+        r0 = F.get(rows, 0)
+        lines = F.concat(
+            F.array(
+                _md_pipe_row(r0),
+                _md_pipe_row(F.transform(r0, lambda c: F.lit("---"))),
+            ),
+            F.transform(
+                F.slice(rows, 2, F.greatest(F.size(rows), F.lit(1))),
+                _md_pipe_row,
+            ),
+        )
+        return F.when(
+            F.size(rows) > 0,
+            F.concat(
+                F.lit("\n\n"), F.array_join(lines, "\n"), F.lit("\n\n")
+            ),
+        ).otherwise(F.lit("\n\n"))
+
+    return F.get(
         F.transform(
-            F.slice(rows, 2, F.greatest(F.size(rows), F.lit(1))),
-            _md_pipe_row,
+            F.array(_table_rows(body, _md_cell_prep, expand)), render
         ),
+        0,
     )
-    return F.when(
-        F.size(rows) > 0,
-        F.concat(
-            F.lit("\n\n"), F.array_join(lines, "\n"), F.lit("\n\n")
-        ),
-    ).otherwise(F.lit("\n\n"))
 
 
 def _md_pipe_pre(col: Column, expand: bool) -> Column:

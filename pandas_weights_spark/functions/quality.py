@@ -70,17 +70,35 @@ __all__ = [
 _L = F.lit
 
 
+def _let(col: Column, body) -> Column:
+    """LET-bind ``col`` so ``body`` (a Column→Column function) sees it
+    as a lambda variable evaluated ONCE — the 1-element ``transform``
+    binding (html.py's interpreted-HOF LET discipline, r15). The
+    higher-order-function folds this module builds run interpreted
+    with no common-subexpression elimination, so an expression
+    referenced twice is otherwise computed twice."""
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 def _rep_char_mass(sorted_arr: Column) -> Column:
     """Character mass of occurrences BEYOND the first in a sorted array:
     Σ length(a[i]) over i where a[i] == a[i-1]. Zip the array against
-    itself shifted by one — duplicates are adjacent after sort_array."""
-    n = F.size(sorted_arr)
-    pairs = F.zip_with(
-        F.slice(sorted_arr, 1, n - 1),
-        F.slice(sorted_arr, 2, n - 1),
-        lambda a, b: F.when(a == b, F.length(b)).otherwise(_L(0)),
-    )
-    return F.aggregate(pairs, _L(0).cast("long"), lambda acc, x: acc + x)
+    itself shifted by one — duplicates are adjacent after sort_array.
+    The sorted array is LET-bound: it is referenced four times (two
+    slices, two sizes) and the sort is the expensive part."""
+
+    def mass(arr: Column) -> Column:
+        n = F.size(arr)
+        pairs = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.when(a == b, F.length(b)).otherwise(_L(0)),
+        )
+        return F.aggregate(
+            pairs, _L(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    return _let(sorted_arr, mass)
 
 
 def duplicate_item_stats(items: Column) -> Dict[str, Column]:
@@ -107,9 +125,13 @@ def duplicate_item_stats(items: Column) -> Dict[str, Column]:
 def _clamped_frac(mass: Column, text: Column) -> Column:
     """``min(1, mass / length(text))``, NULL for empty text. NB:
     ``least`` skips NULLs, so the clamp must not see the NULL that
-    ``try_divide`` yields at length 0 (it would turn into 1.0)."""
+    ``try_divide`` yields at length 0 (it would turn into 1.0).
+    The fraction is LET-bound — ``mass`` is a whole n-gram fold, and
+    the NULL gate + clamp reference it twice."""
     frac = F.try_divide(mass.cast("double"), F.length(text).cast("double"))
-    return F.when(frac.isNotNull(), F.least(_L(1.0), frac))
+    return _let(
+        frac, lambda f: F.when(f.isNotNull(), F.least(_L(1.0), f))
+    )
 
 
 def top_ngram_char_frac(
@@ -275,8 +297,12 @@ def quality_flags(
 
     flags = {
         "ok_word_count": (nw >= min_words) & (nw <= max_words),
-        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
-        & (mean_wl <= max_mean_word_len),
+        # mean_wl's word-chars fold is referenced by both bounds —
+        # LET-bind so the fold runs once (r15)
+        "ok_mean_word_len": _let(
+            mean_wl,
+            lambda m: (m >= min_mean_word_len) & (m <= max_mean_word_len),
+        ),
         "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
         "ok_bullet_lines": F.try_divide(n_bullet.cast("double"), nl)
         <= max_bullet_frac,
@@ -327,11 +353,25 @@ def quality_panel(
     out: Dict[str, Column] = dict(
         repetition_metrics(t, top_ns, dup_ns, toks=toks, lines=lines)
     )
-    if flags:
-        out.update(
-            quality_flags(t, toks=toks, lines=lines, **flag_kwargs)
-        )
-    return staged.withColumns(out).drop(toks_c, lines_c)
+    if not flags:
+        return staged.withColumns(out).drop(toks_c, lines_c)
+    fl = quality_flags(t, toks=toks, lines=lines, **flag_kwargs)
+    fl.pop("keep")
+    out.update(fl)
+    # keep rides a SECOND projection over the named flag columns
+    # (r15): built inline, the conjunction re-evaluated every flag's
+    # fold a second time inside one Project. CollapseProject declines
+    # to inline non-cheap aliases referenced more than once (each
+    # flag feeds its own output column AND keep), so the flags stay
+    # computed-once. Same operands, same order, same NULL semantics.
+    keep = None
+    for name in fl:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return (
+        staged.withColumns(out)
+        .withColumn("keep", keep)
+        .drop(toks_c, lines_c)
+    )
 
 
 #: Tokens that mark source code across mainstream languages (fixed,

@@ -347,6 +347,15 @@ def weighted_info_panel(
         F.grouping(cat_a).alias("__ga__"),
         F.grouping(cat_b).alias("__gb__"),
     )
+    # r15: LAZY lineage cut on the CELL table (guide §5) — `info`
+    # consumes it once and the donated `bounds` twice more (the
+    # banded frame references its broadcast from both sides of the
+    # offsets join, and exchange reuse does not fire across the
+    # differently-pruned subtrees), so without the cut the full
+    # grouping-sets raw pass executed three times. The table is
+    # |levels(a)|·|levels(b)|-sized; deterministic sums, rows
+    # unchanged (oracle-checked).
+    gs = gs.localCheckpoint(eager=False)
     bounds = gs.agg(
         F.min("__xlo__").alias("__lo__"), F.max("__xhi__").alias("__hi__")
     )

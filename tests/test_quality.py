@@ -186,6 +186,62 @@ class TestQualityFlags:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestPanelComputedOnce:
+    """r15: the fused panel evaluates each expensive fold ONCE.
+
+    Interpreted HOF expressions get no CSE, so before the r15
+    LET-bindings the clamp re-ran every n-gram fold (isnotnull +
+    least), ``keep`` re-ran all seven flags, and ``_rep_char_mass``
+    re-sorted its array per reference — visible as duplicated
+    ``sort_array`` subtrees in the plan."""
+
+    def test_panel_matches_standalone_kernels(self, spark):
+        from pandas_weights_spark.functions.quality import quality_panel
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        got = {
+            r["doc_id"]: r
+            for r in quality_panel(docs).drop("text").collect()
+        }
+        m = repetition_metrics(F.col("text"))
+        fl = quality_flags(F.col("text"))
+        exp = {
+            r["doc_id"]: r
+            for r in docs.select(
+                "doc_id",
+                *[c.alias(k) for k, c in m.items()],
+                *[c.alias(k) for k, c in fl.items()],
+            ).collect()
+        }
+        assert set(got) == set(exp) and len(got) > 0
+        for did, g in got.items():
+            e = exp[did]
+            for k in e.asDict():
+                if k == "doc_id":
+                    continue
+                assert g[k] == e[k], (did, k)
+
+    def test_panel_plan_folds_once(self, spark):
+        from pandas_weights_spark.functions.quality import quality_panel
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        plan = (
+            quality_panel(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one sorted array per fold: top_ns (2,3,4) + dup_ns (5,10)
+        # + the dup-line char mass = 6. The pre-r15 shape had 14.
+        assert plan.count("sort_array(") == 6, plan.count("sort_array(")
+        # still row-local
+        assert "Exchange" not in plan and "Generate" not in plan
+
+
 class TestCodeDetection:
     """r8: code-vs-prose signals (quality.py code_metrics/code_score) —
     replace/regexp arithmetic only, fixtures shaped like real source."""
