@@ -12359,6 +12359,24 @@ _TOUCHED_THIS_ROUND: tuple = (
                          #   pinned in tests/test_text.py)
     "punkt_abbrevs",     # r15: train_sentence_abbreviations rides
                          #   the same _capped_cut guard
+    "html_markdown",     # r15: _md_render_table LET-binds its row
+                         #   grid (the parse evaluated 4× per table
+                         #   — header get, slice, size ×2); identical
+                         #   expression semantics, rows unchanged
+    "text_metrics",      # r15: quality.py LET-bindings (clamped
+                         #   n-gram fracs, mean-word-len bound,
+                         #   _rep_char_mass sort) — each fold now
+                         #   evaluates once; values bit-identical
+    "c4_fineweb",        # r15: same quality.py kernels ride its
+                         #   flag block
+    "semdedup",          # r15: semantic_dedup lazily checkpoints its
+                         #   cell-assignment table (fed both self-
+                         #   join sides + the survivor join-back);
+                         #   deterministic, rows identical
+    "code_detect",       # r15: code_metrics LET-binds the line
+                         #   split / tokenization / whitespace strip
+                         #   inside each fraction (each ran 2× per
+                         #   column); values bit-identical
 )
 
 

@@ -637,6 +637,13 @@ def build_queries(spark, sf_dir) -> dict:
             .resample("1D", on="ts")
             .agg_all(["mean"], complete=True)
         )
+        # r15: LAZY lineage cut (guide §5) — base is one row per DAY
+        # bucket (time-range bounded, scale-safe to materialize) and
+        # both fill branches consume it; without the cut each union
+        # branch re-ran the raw scan + resample aggregate + grid
+        # (plan showed 2 scans per branch). Deterministic; rows
+        # unchanged.
+        base = base.localCheckpoint(eager=False)
         ff = fill_gaps(base, "ts", "ffill").select(
             "ts", F.col("value_mean").alias("v")
         )

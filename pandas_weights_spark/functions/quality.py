@@ -399,37 +399,61 @@ def code_metrics(text: Column) -> "Dict[str, Column]":
     Empty/NULL-safe: fractions are NULL on NULL text, 0 on empty.
     """
     t = text
+    # each fraction LET-binds its shared producer (r15): the line
+    # split / tokenization / whitespace-strip would otherwise run
+    # once per reference inside the same output column (interpreted
+    # HOFs, no CSE). Cross-column sharing is the caller's job (a
+    # producer projection, the quality_panel discipline); within a
+    # column the binding makes each producer run once.
     lines = F.split(t, "\n")
-    n_lines = F.size(lines).cast("double")
-    brace = F.size(
-        F.filter(
+
+    def line_frac(pred) -> Column:
+        return _let(
             lines,
-            lambda l: F.rtrim(l).rlike("[{};]$"),
+            lambda ls: F.round(
+                F.try_divide(
+                    F.size(F.filter(ls, pred)).cast("double"),
+                    F.size(ls).cast("double"),
+                ),
+                6,
+            ),
         )
-    ).cast("double")
-    indent = F.size(
-        F.filter(lines, lambda l: l.rlike("^(\t|  )"))
-    ).cast("double")
+
     toks = tokens(t)
-    n_tok = F.when(
-        F.length(F.trim(t)) == 0, F.lit(0)
-    ).otherwise(F.size(toks)).cast("double")
-    kw = F.size(
-        F.filter(toks, lambda w: w.isin(*CODE_KEYWORDS))
-    ).cast("double")
-    nonspace = F.length(F.regexp_replace(t, r"[ \t\n\r\f]+", ""))
-    sym = nonspace - F.length(
-        F.regexp_replace(
-            F.regexp_replace(t, r"[ \t\n\r\f]+", ""), r"[{}();=<>]", ""
-        )
+    kw_frac = _let(
+        toks,
+        lambda ws: F.round(
+            F.try_divide(
+                F.size(
+                    F.filter(ws, lambda w: w.isin(*CODE_KEYWORDS))
+                ).cast("double"),
+                F.when(F.length(F.trim(t)) == 0, F.lit(0))
+                .otherwise(F.size(ws))
+                .cast("double"),
+            ),
+            6,
+        ),
+    )
+    sym_frac = _let(
+        F.regexp_replace(t, r"[ \t\n\r\f]+", ""),
+        lambda ns: F.round(
+            F.try_divide(
+                (
+                    F.length(ns)
+                    - F.length(F.regexp_replace(ns, r"[{}();=<>]", ""))
+                ).cast("double"),
+                F.length(ns).cast("double"),
+            ),
+            6,
+        ),
     )
     return {
-        "brace_line_frac": F.round(F.try_divide(brace, n_lines), 6),
-        "indent_line_frac": F.round(F.try_divide(indent, n_lines), 6),
-        "keyword_frac": F.round(F.try_divide(kw, n_tok), 6),
-        "symbol_frac": F.round(
-            F.try_divide(sym.cast("double"), nonspace.cast("double")), 6
+        "brace_line_frac": line_frac(
+            lambda l: F.rtrim(l).rlike("[{};]$")
         ),
+        "indent_line_frac": line_frac(lambda l: l.rlike("^(\t|  )")),
+        "keyword_frac": kw_frac,
+        "symbol_frac": sym_frac,
     }
 
 

@@ -81,7 +81,13 @@ ALLOW = {
     # limited tables (50-row vocabulary / 40-row pair cut — the limit
     # executes BEFORE the window, visible in the plan), and tf-idf
     # crosses the 1-row document-count frame — all bounded by
-    # construction (functions/vocab.py, functions/text.py)
+    # construction (functions/vocab.py, functions/text.py).
+    # r15: the word-table caps route through the salted executor-side
+    # cut above the window group-limit threshold (topk.py), whose
+    # stage-2 re-rank is a global window over ≤ salt_buckets × cap
+    # SURVIVORS of the salted stage-1 — bounded by construction,
+    # one spillable executor-side sort, never the corpus (the shape
+    # that REPLACED the partitions × cap TakeOrdered driver merge)
     "tfidf_top_terms": {"global-window", "bnl-cross"},
     # seasonal_decompose windows the BUCKET table (one row per bucket,
     # bounded by range/rule — resample.py docstring) and crosses the
@@ -128,9 +134,19 @@ ALLOW = {
     # 1-row average-class-mass aggregate (text.py class_tfidf's __A__)
     "class_tfidf": {"bnl-cross"},
     # 1-row corpus-total frames over the CAPPED Punkt model tables
-    # (text.py punkt training: totals attach to ≤ max_types rows)
-    "punkt_abbrevs": {"bnl-cross"},
-    "punkt_context": {"bnl-cross"},
+    # (text.py punkt training: totals attach to ≤ max_types rows).
+    # r15: the trainers' million-row caps route through the salted
+    # executor-side _capped_cut above the group-limit threshold
+    # (text.py → topk.py); its stage-2 re-rank is a global window
+    # over ≤ salt_buckets × cap stage-1 survivors — bounded by
+    # construction, spillable, the shape that replaced the
+    # partitions × cap TakeOrdered driver merge
+    "punkt_abbrevs": {"bnl-cross", "global-window"},
+    "punkt_context": {"bnl-cross", "global-window"},
+    # r15: doc_weighted_stats' vocab fold (build_vocabulary at the
+    # 50k default cap) rides the same salted cut — same bounded
+    # stage-2 re-rank rationale as tfidf_top_terms
+    "doc_weighted_stats": {"global-window"},
     # broadcast-capped QUERY tables: the probe side is explicitly
     # capped (pq.py:501 / similarity.py broadcast-query contract), so
     # the cross is (capped queries) × (candidate cells), never
