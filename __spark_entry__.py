@@ -9016,26 +9016,26 @@ def _q_mink_prob(spark, sf_dir):
     # round-6 + 0.0 guards the sign of a zero score (the
     # punkt_abbrevs rule).
     from pandas_weights_spark.functions.text import (
-        bigram_counts,
         minkpp_prob_score,
-        trigram_counts,
+        ngram_model_tables,
     )
-    from pandas_weights_spark.functions.vocab import build_vocabulary
 
     docs = _docs(spark, sf_dir)
-    # r15: LAZY lineage cut on the three capped MODEL tables (guide
-    # §5) — minkpp consumes each one from several subtrees (both
-    # _jm_mixture_tables call sites, the u1/u2 moment aggregate, the
-    # class-A/B unions, the per-triple scoring joins), so without
-    # the cut every consumer re-ran the full doc-scan + explode +
-    # salted top-5000 pipeline. Row sets are deterministic; output
-    # pinned bit-identical (checked at sf0.1 and by the oracle gate).
-    lmvocab = build_vocabulary(docs, "text", max_size=5000)
-    lmvocab = lmvocab.localCheckpoint(eager=False)
-    bgt = bigram_counts(docs, "text", max_bigrams=5000)
-    bgt = bgt.localCheckpoint(eager=False)
-    tgt = trigram_counts(docs, "text", max_trigrams=5000)
-    tgt = tgt.localCheckpoint(eager=False)
+    # r16: the three capped MODEL tables (vocab/bigram/trigram at
+    # 5000) come from ONE fused corpus pass (guide §1.2/§2.4 — the
+    # r15 shape still re-scanned + re-tokenized + re-exploded the
+    # corpus once per order): text.ngram_model_tables tokenizes
+    # once, explodes one combined gram array, aggregates once, and
+    # cuts all three caps in one salted grouped top-k. Per-order row
+    # sets are IDENTICAL to build_vocabulary / bigram_counts /
+    # trigram_counts (pinned in tests/test_text.py); the r15 lazy
+    # lineage cut now lives on the fused ≤15000-row result inside
+    # the builder (minkpp consumes each table from several scoring
+    # subtrees), so output is unchanged (oracle-gated).
+    tabs = ngram_model_tables(
+        docs, "text", {1: 5000, 2: 5000, 3: 5000}
+    )
+    lmvocab, bgt, tgt = tabs[1], tabs[2], tabs[3]
     scored = docs.where(F.col("doc_id") < 50)
     # include_mink=True fuses both statistics onto ONE document scan
     # (per-triple lp values feed both; bit-identical to the
@@ -10571,21 +10571,20 @@ def _q_ccnet_buckets(spark, sf_dir):
     # emit no LM row and drop out in BOTH (inner join / CTE shape).
     from pandas_weights_spark.functions.text import (
         ccnet_ppl_buckets,
-        ngram_counts,
         ngram_lm_score,
+        ngram_model_tables,
     )
 
     docs = _docs(spark, sf_dir)
-    # r15: LAZY lineage cut on the two capped count tables (the
-    # mink_prob pattern) — the MKN ladder consumes each table from
-    # several subtrees (order-k numerator, backoff-weight marginals,
-    # continuation counts for the order below), so every consumer
-    # re-ran the count pipeline. Unweighted integer masses: tables
-    # identical, output unchanged (oracle-checked).
-    bgt = ngram_counts(docs, "text", 2, max_ngrams=5000)
-    bgt = bgt.localCheckpoint(eager=False)
-    tgt = ngram_counts(docs, "text", 3, max_ngrams=5000)
-    tgt = tgt.localCheckpoint(eager=False)
+    # r16: the two capped count tables come from ONE fused corpus
+    # pass (text.ngram_model_tables — guide §1.2/§2.4; the r15 shape
+    # still ran the scan+tokenize+explode+cap pipeline once per
+    # order). Row sets identical to ngram_counts per order (pinned);
+    # the r15 lazy lineage cut now lives on the fused ≤10000-row
+    # result inside the builder (the MKN ladder consumes each table
+    # from several subtrees). Output unchanged (oracle-checked).
+    tabs = ngram_model_tables(docs, "text", {2: 5000, 3: 5000})
+    bgt, tgt = tabs[2], tabs[3]
     sc = ngram_lm_score(
         docs, "text", "doc_id", None, {2: bgt, 3: tgt}, None,
         alpha=0.5, smoothing="mkn",
@@ -12278,8 +12277,28 @@ _ORACLE["snapshot_delta"] = """
 # Hard feasibility: |front ∪ stale2| ≤ 50 every round (asserted);
 # advisory headroom bound n ≤ 140 (asserted with a widen-again message).
 
-#: first-50 window of CORRECTNESS_r14.json (driver-checked last round).
+#: first-50 window of CORRECTNESS_r15.json (driver-checked last round).
 _PREV_WINDOW: frozenset = frozenset({
+    "cdx_index", "punkt_context", "semdedup_incremental",
+    "mink_prob", "neardup_incremental", "punkt_abbrevs",
+    "html_markdown", "c4_fineweb", "semdedup", "code_detect",
+    "tfidf_top_terms", "text_metrics", "doc_weighted_stats",
+    "weighted_tests", "resample_2d", "resample_rules",
+    "resample_quantile", "neardup_clusters", "ewm_mean",
+    "corr_cov_matrix", "group_skew_kurt", "value_counts",
+    "group_corr", "wet_roundtrip", "readability", "html_meta",
+    "token_budget", "ann_recall", "html_tables", "pipeline_funnel",
+    "hybrid_search", "anchor_stats", "lang_mix", "charset_decode",
+    "charset_stats", "lang_id_ngram", "web_hygiene",
+    "warc_roundtrip", "pdf_extract", "spearman_corr",
+    "aligned_corr_cov", "grouping_sets", "hash_split",
+    "pack_sequences", "dedup_exact", "asof_join", "neardup_pairs",
+    "linfit", "ann_topk", "range_join",
+})
+
+#: first-50 window of CORRECTNESS_r14.json (driver-checked two rounds
+#: back) — the second history term of the three-round guarantee.
+_PREV_WINDOW2: frozenset = frozenset({
     "wat_roundtrip", "cdx_index", "unimax_alloc", "meta_robots",
     "class_tfidf", "sitemap_parse", "mink_prob",
     "neardup_incremental", "dsir_select", "pq_topk",
@@ -12296,87 +12315,25 @@ _PREV_WINDOW: frozenset = frozenset({
     "group_mad", "group_zscore", "crosstab",
 })
 
-#: first-50 window of CORRECTNESS_r13.json (driver-checked two rounds
-#: back) — the second history term of the three-round guarantee.
-_PREV_WINDOW2: frozenset = frozenset({
-    "punkt_context", "semdedup_incremental", "class_tfidf",
-    "sitemap_parse", "wet_roundtrip", "mink_prob",
-    "neardup_incremental", "punkt_abbrevs", "html_markdown",
-    "html_tables", "warc_roundtrip", "tfidf_top_terms",
-    "spearman_corr", "readability", "html_meta", "token_budget",
-    "ann_recall", "pipeline_funnel", "hybrid_search", "anchor_stats",
-    "lang_mix", "charset_decode", "charset_stats", "lang_id_ngram",
-    "web_hygiene", "pdf_extract", "aligned_corr_cov",
-    "grouping_sets", "weighted_sample", "hash_split",
-    "pack_sequences", "dedup_exact", "text_metrics", "asof_join",
-    "doc_weighted_stats", "neardup_pairs", "linfit", "ann_topk",
-    "range_join", "weighted_cms", "ewm_pair", "group_transforms",
-    "qcut", "pivot_table", "bloom_semi_join", "weighted_centroids",
-    "window_stats", "star_join_mean", "grouped_apply", "chunk_docs",
-})
-
-#: queries ADDED in the current round (r15) — always in the window.
-#: r15 is an optimization round: no new queries.
+#: queries ADDED in the current round (r16) — always in the window.
+#: r16 is an optimization round: no new queries.
 _NEW_THIS_ROUND: tuple = ()
 
 #: pre-existing queries whose ENGINE code path changed this round —
 #: forced back into the window even if checked last round.
 _TOUCHED_THIS_ROUND: tuple = (
-    "tfidf_top_terms",   # r15: the vocab/bpe/usd rows' word-table
-                         #   caps route through the threshold-guarded
-                         #   _capped_top (salted executor-side above
-                         #   the window group-limit threshold — the
-                         #   caps here are 5000/1M, above the default
-                         #   1000); identical row sets by topk.py's
-                         #   exactness invariant
-    "doc_weighted_stats",  # r15: its vocab fold (build_vocabulary at
-                         #   the 50k default cap) rides the same
-                         #   _capped_top guard
-    "mink_prob",         # r15: its lm fold's build_vocabulary
-                         #   (max_size=5000) rides the same guard
-    "cdx_index",         # r15: cdxj_entries parses the JSON block
-                         #   ONCE via from_json (all-string schema +
-                         #   the same casts) instead of seven
-                         #   get_json_object re-parses, and the
-                         #   key/ts/json pieces come from ONE
-                         #   split(line,' ',3) instead of three more
-                         #   full-line regexp_extract passes; same
-                         #   member semantics, DuckDB twin unchanged
-    "neardup_incremental",  # r15: minhash_dedup_incremental lazily
-                         #   localCheckpoints the per-batch signature
-                         #   table (consumed 4+ times; measured
-                         #   5.6 → 3.3 s on the bench entry); md5
-                         #   pipeline deterministic, rows identical
-    "semdedup_incremental",  # r15: same lineage cut on the assigned
-                         #   table in semantic_dedup_incremental
-    "punkt_context",     # r15: train_sentence_collocations /
-                         #   _starters caps (the query passes 1M)
-                         #   route through the threshold-guarded
-                         #   _capped_cut — salted executor-side above
-                         #   the window group-limit threshold, no
-                         #   TakeOrdered partitions × cap driver
-                         #   merge; identical row sets (plan + rows
-                         #   pinned in tests/test_text.py)
-    "punkt_abbrevs",     # r15: train_sentence_abbreviations rides
-                         #   the same _capped_cut guard
-    "html_markdown",     # r15: _md_render_table LET-binds its row
-                         #   grid (the parse evaluated 4× per table
-                         #   — header get, slice, size ×2); identical
-                         #   expression semantics, rows unchanged
-    "text_metrics",      # r15: quality.py LET-bindings (clamped
-                         #   n-gram fracs, mean-word-len bound,
-                         #   _rep_char_mass sort) — each fold now
-                         #   evaluates once; values bit-identical
-    "c4_fineweb",        # r15: same quality.py kernels ride its
-                         #   flag block
-    "semdedup",          # r15: semantic_dedup lazily checkpoints its
-                         #   cell-assignment table (fed both self-
-                         #   join sides + the survivor join-back);
-                         #   deterministic, rows identical
-    "code_detect",       # r15: code_metrics LET-binds the line
-                         #   split / tokenization / whitespace strip
-                         #   inside each fraction (each ran 2× per
-                         #   column); values bit-identical
+    "mink_prob",         # r16: the three capped LM model tables
+                         #   (vocab/bigram/trigram, 5000 each) come
+                         #   from ONE fused corpus pass
+                         #   (text.ngram_model_tables: one tokenize +
+                         #   one explode + one aggregate + one salted
+                         #   grouped top-k) instead of three separate
+                         #   scan+explode+cap pipelines; per-order
+                         #   row sets identical (pinned in
+                         #   tests/test_text.py), output unchanged
+    "ccnet_buckets",     # r16: same fusion for its {2,3} capped
+                         #   count tables (one corpus pass instead
+                         #   of two)
 )
 
 

@@ -872,21 +872,19 @@ def build_queries(spark, sf_dir) -> dict:
         # one-core count pass saves at this scale)
         from pandas_weights_spark.functions.text import (
             ccnet_ppl_buckets,
-            ngram_counts,
             ngram_lm_score,
+            ngram_model_tables,
         )
 
         docs = load_table(spark_, sf_dir_, "documents")
-        # r15: lazy lineage cut on the capped count tables — the MKN
-        # ladder consumes each from several subtrees (numerator,
-        # backoff marginals, continuation counts), mirroring the
-        # declared query's checkpoint
-        bgt = ngram_counts(
-            docs, "text", 2, max_ngrams=5000, arrow=True
-        ).localCheckpoint(eager=False)
-        tgt = ngram_counts(
-            docs, "text", 3, max_ngrams=5000, arrow=True
-        ).localCheckpoint(eager=False)
+        # r16: ONE fused Arrow Counter pass for both orders (one
+        # Python crossing + one aggregate + one grouped cap instead
+        # of one pipeline per order), mirroring the declared query's
+        # fusion; the lazy lineage cut rides inside the builder
+        tabs = ngram_model_tables(
+            docs, "text", {2: 5000, 3: 5000}, arrow=True
+        )
+        bgt, tgt = tabs[2], tabs[3]
         sc = ngram_lm_score(
             docs, "text", "doc_id", None, {2: bgt, 3: tgt}, None,
             alpha=0.5, smoothing="mkn",

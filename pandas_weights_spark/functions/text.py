@@ -67,6 +67,7 @@ __all__ = [
     "split_sentences_punkt",
     "class_tfidf",
     "ngram_counts",
+    "ngram_model_tables",
     "ngram_lm_score",
     "mkn_discounts",
     "ccnet_ppl_buckets",
@@ -3004,6 +3005,232 @@ def ngram_counts(
         F.col(f"w{i + 1}") for i in range(n)
     ]
     return global_top_by_mass(agg, "mass", order, max_ngrams)
+
+
+def ngram_model_tables(
+    df: DataFrame,
+    text_col: str,
+    caps: "dict[int, int]",
+    lowercase: bool = True,
+    weight: Optional[Column] = None,
+    min_mass: float = 1.0,
+    arrow: bool = False,
+    checkpoint: bool = True,
+) -> "dict[int, DataFrame]":
+    """All requested n-gram model tables from ONE corpus pass — the
+    fused form of ``build_vocabulary`` (order 1) / :func:`bigram_counts`
+    / :func:`trigram_counts` / :func:`ngram_counts` when a language
+    model needs SEVERAL orders of the same corpus (guide §1.2/§2.4:
+    the per-order builders each re-scan, re-tokenize and re-explode the
+    corpus — 2–3 full passes for the interpolated/MKN ladders; this
+    builder tokenizes once, explodes one combined gram array, runs ONE
+    map-side-combining aggregate and ONE salted grouped top-k).
+
+    ``caps`` maps order → cap, e.g. ``{1: 5000, 2: 5000, 3: 5000}``.
+    Returns ``{order: DataFrame}`` where each table is ROW-IDENTICAL to
+    its standalone builder (pinned by tests):
+
+    * order 1 — ``(term, term_id, mass)`` with ``build_vocabulary``'s
+      exact semantics: empty terms dropped, ``min_mass`` tail filter,
+      ``term_id`` by (mass desc, term) over the ≤cap result;
+    * order n ≥ 2 — ``(w1..wn, mass)``, the exact top-``caps[n]`` set
+      under (mass desc, w1..wn), no promised output order.
+
+    The grouped cut routes through
+    :func:`~pandas_weights_spark.topk.partitioned_topk` keyed on the
+    gram order: at or under the session's window group-limit threshold
+    the rank prefilter runs map-side (InferWindowGroupLimit); above it
+    the salted two-stage keeps everything executor-side — the same
+    scale guard as the standalone builders, never a driver merge.
+    Exactness per order is topk.py's invariant (total order via the
+    gram-text tie-break; the padded w-columns are NULL for every row of
+    a lower order, so they never affect that order's ranking).
+
+    ``weight`` follows the count builders (cast to double; a gram seen
+    only under NULL weights keeps its NULL-mass row). ``arrow=True``
+    counts partials for ALL orders in one ``mapInPandas`` Counter pass
+    (one Python crossing instead of one per order; order-1 terms ride
+    along). ``checkpoint=True`` (default) cuts lineage on the fused
+    ≤Σcaps-row result with a LAZY ``localCheckpoint`` — the per-order
+    tables are each consumed from several scoring subtrees, so without
+    the cut every consumer re-runs the corpus pass; the materialized
+    intermediate is model-sized (bounded by Σcaps), never data-sized.
+    Pass ``checkpoint=False`` where recompute-on-executor-loss matters
+    more than the re-run cost (the checkpointed blocks pin executor
+    storage until the DataFrame is garbage-collected).
+    """
+    orders = sorted(int(n) for n in caps)
+    if not orders or orders[0] < 1:
+        raise ValueError("caps must map orders >= 1 to caps")
+    if any(int(caps[n]) < 1 for n in orders):
+        raise ValueError("every cap must be >= 1")
+    maxn = orders[-1]
+    gram_cols = [f"w{i + 1}" for i in range(maxn)]
+    w = (weight if weight is not None else F.lit(1.0)).cast("double")
+    t = F.col(text_col)
+    lowered = F.lower(t) if lowercase else t
+
+    if arrow:
+        from pyspark.sql import types as _T
+
+        part_schema = _T.StructType(
+            [_T.StructField(c, _T.StringType()) for c in gram_cols]
+            + [_T.StructField("__c__", _T.DoubleType())]
+        )
+        src = df.select(w.alias("__w__"), lowered.alias("__t__"))
+        _orders = list(orders)
+        _maxn = maxn
+
+        def count_batches(batches):
+            import re as _re
+            from collections import Counter
+
+            import pandas as pd
+
+            # EXACT mirror of tokens(): Java \s, ASCII-space trim
+            ws = _re.compile("[ \t\n\x0b\f\r]+")
+            pad = (None,) * _maxn
+            for pdf in batches:
+                c: Counter = Counter()
+                seen: set = set()
+                for wt_, txt in zip(pdf["__w__"], pdf["__t__"]):
+                    if not isinstance(txt, str):
+                        continue
+                    null_w = wt_ is None or wt_ != wt_
+                    toks_ = ws.split(txt.strip(" "))
+                    for nn in _orders:
+                        if nn == 1:
+                            gs = (
+                                (tok,) + pad[1:]
+                                for tok in toks_ if tok
+                            )
+                        elif len(toks_) < nn:
+                            continue
+                        else:
+                            gs = (
+                                tuple(toks_[i:i + nn])
+                                + pad[nn:]
+                                for i in range(len(toks_) - nn + 1)
+                            )
+                        if null_w:
+                            seen.update(gs)
+                        else:
+                            for g in gs:
+                                c[g] += wt_
+                if c or seen:
+                    null_only = [g for g in seen if g not in c]
+                    keys = list(c.keys()) + null_only
+                    out = {
+                        gc: [k[j] for k in keys]
+                        for j, gc in enumerate(gram_cols)
+                    }
+                    if null_only:
+                        out["__c__"] = pd.array(
+                            [c.get(k) for k in keys], dtype="Float64"
+                        )
+                    else:
+                        out["__c__"] = [c[k] for k in keys]
+                    yield pd.DataFrame(out)
+
+        rows = src.mapInPandas(count_batches, part_schema)
+        agg = rows.groupBy(*gram_cols).agg(F.sum("__c__").alias("mass"))
+    else:
+        toks = tokens(lowered)
+        null_str = F.lit(None).cast("string")
+        empty = F.array().cast(
+            "array<struct<" + ",".join(f"{c}:string" for c in gram_cols)
+            + ">>"
+        )
+
+        def _gram_struct(parts: "list[Column]") -> Column:
+            padded = parts + [null_str] * (maxn - len(parts))
+            return F.struct(
+                *[p.alias(c) for p, c in zip(padded, gram_cols)]
+            )
+
+        def _zip_lambda(n: int):
+            return lambda e: _gram_struct(
+                [e[str(i)] for i in range(n)]
+            )
+
+        branches = []
+        for n in orders:
+            if n == 1:
+                arr = F.transform(
+                    F.filter(toks, lambda s: F.length(s) > 0),
+                    lambda s: _gram_struct([s]),
+                )
+            else:
+                m = F.size(toks) - F.lit(n - 1)
+                slices = [F.slice(toks, i + 1, m) for i in range(n)]
+                zipped = F.arrays_zip(*slices)
+                arr = F.transform(zipped, _zip_lambda(n))
+                arr = F.when(F.size(toks) >= n, arr).otherwise(empty)
+            branches.append(F.coalesce(arr, empty))
+        combined = (
+            F.concat(*branches) if len(branches) > 1 else branches[0]
+        )
+        rows = df.select(
+            w.alias("__w__"), F.explode(combined).alias("g")
+        ).select(
+            *[F.col(f"g.{c}").alias(c) for c in gram_cols], "__w__"
+        )
+        agg = rows.groupBy(*gram_cols).agg(F.sum("__w__").alias("mass"))
+
+    # the gram order is the struct's null pattern (tokens are never
+    # NULL or, for n >= 2, empty) — no per-occurrence tag shuffled
+    if maxn > 1:
+        order_of = F.coalesce(
+            *[
+                F.when(F.col(gram_cols[i]).isNotNull(), F.lit(i + 1))
+                for i in reversed(range(1, maxn))
+            ],
+            F.lit(1),
+        )
+    else:
+        order_of = F.lit(1)
+    if 1 in caps and min_mass is not None:
+        keep = F.col("mass") >= float(min_mass)
+        if maxn > 1:
+            keep = F.col(gram_cols[1]).isNotNull() | keep
+        agg = agg.where(keep)
+
+    from pandas_weights_spark.topk import partitioned_topk
+
+    top = partitioned_topk(
+        agg.withColumn("__n__", order_of),
+        part_by=["__n__"],
+        order_by=[F.col("mass").desc()]
+        + [F.col(c).asc() for c in gram_cols],
+        k=max(int(caps[n]) for n in orders),
+        salt_by=gram_cols,
+        rank_col="__rk__",
+    )
+    rank_cap = F.lit(None).cast("int")
+    for n in orders:
+        rank_cap = F.when(F.col("__n__") == n, F.lit(int(caps[n]))) \
+            .otherwise(rank_cap)
+    top = top.where(F.col("__rk__") <= rank_cap).drop("__rk__")
+    if checkpoint:
+        top = top.localCheckpoint(eager=False)
+
+    from pyspark.sql import Window
+
+    out: "dict[int, DataFrame]" = {}
+    for n in orders:
+        sub = top.where(F.col("__n__") == n)
+        if n == 1:
+            ids = Window.orderBy(F.col("mass").desc(), F.col("w1"))
+            out[1] = sub.select(
+                F.col("w1").alias("term"),
+                (F.row_number().over(ids) - 1).cast("int").alias(
+                    "term_id"
+                ),
+                "mass",
+            )
+        else:
+            out[n] = sub.select(*gram_cols[:n], "mass")
+    return out
 
 
 def mkn_discounts(src: DataFrame, count_col: str = "mass") -> "tuple":

@@ -3142,3 +3142,135 @@ class TestPunktCappedCutScaleGuard:
             ),
             ("abbrev", "n_dot", "score"),
         )
+
+
+class TestNgramModelTablesFused:
+    """r16: ngram_model_tables fuses the per-order model-table
+    builders (build_vocabulary / bigram_counts / trigram_counts /
+    ngram_counts) into ONE corpus pass. Each per-order table must be
+    ROW-IDENTICAL to its standalone builder in BOTH top-k regimes
+    (plain window-group-limit under the threshold, salted two-stage
+    above it), and the fused construction must contain exactly one
+    gram fan-out (Generate) where the standalone builders pay one per
+    order."""
+
+    THRESH = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = []
+        for i in range(80):
+            rows.append((
+                i,
+                f"w{i % 23} common w{i % 7} filler w{(i * 3) % 11} "
+                f"common w{i % 23}",
+            ))
+        rows += [(80, ""), (81, "solo"), (82, "two words"), (83, None)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _rows(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def _standalone(self, corpus, caps):
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            trigram_counts,
+        )
+        from pandas_weights_spark.functions.vocab import build_vocabulary
+
+        out = {}
+        if 1 in caps:
+            out[1] = build_vocabulary(corpus, "text", max_size=caps[1])
+        if 2 in caps:
+            out[2] = bigram_counts(corpus, "text", max_bigrams=caps[2])
+        if 3 in caps:
+            out[3] = trigram_counts(corpus, "text", max_trigrams=caps[3])
+        return out
+
+    def _assert_equal(self, corpus, caps, **kw):
+        fused = TX.ngram_model_tables(corpus, "text", caps, **kw)
+        ref = self._standalone(corpus, caps)
+        for n in caps:
+            assert fused[n].columns == ref[n].columns, n
+            assert self._rows(fused[n]) == self._rows(ref[n]), n
+            assert fused[n].count() > 0, n
+
+    def test_small_cap_regime(self, corpus):
+        # caps under the default 1000 threshold: plain grouped
+        # window-group-limit path
+        self._assert_equal(corpus, {1: 9, 2: 11, 3: 13})
+
+    def test_salted_regime(self, spark, corpus):
+        old = spark.conf.get(self.THRESH)
+        spark.conf.set(self.THRESH, "5")
+        try:
+            fused = TX.ngram_model_tables(
+                corpus, "text", {1: 9, 2: 11, 3: 13}, checkpoint=False
+            )
+            plan = fused[3]._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrdered" not in plan, plan
+            assert "pmod" in plan, plan
+            self._assert_equal(corpus, {1: 9, 2: 11, 3: 13})
+        finally:
+            spark.conf.set(self.THRESH, old)
+
+    def test_uncapped_equivalent_full_tables(self, corpus):
+        # caps >= distinct grams: every gram survives, so the fused
+        # tables equal the standalone ones with no cut in play
+        self._assert_equal(corpus, {1: 5000, 2: 5000, 3: 5000})
+
+    def test_arrow_matches_jvm(self, corpus):
+        fused_a = TX.ngram_model_tables(
+            corpus, "text", {2: 11, 3: 13}, arrow=True
+        )
+        ref = self._standalone(corpus, {2: 11, 3: 13})
+        for n in (2, 3):
+            assert self._rows(fused_a[n]) == self._rows(ref[n]), n
+
+    def test_weighted_with_null_weights(self, spark):
+        # NULL-weight rows: the gram still appears, with NULL mass
+        # when no weighted occurrence exists (the ngram_counts r12
+        # contract) — pinned against the standalone builders
+        rows = [
+            (0, "a b c a b", 2.0),
+            (1, "a b c", None),
+            (2, "zz yy zz yy", 0.5),
+        ]
+        corpus = spark.createDataFrame(
+            rows, "doc_id long, text string, w double"
+        )
+        from pandas_weights_spark.functions.text import (
+            bigram_counts,
+            trigram_counts,
+        )
+
+        fused = TX.ngram_model_tables(
+            corpus, "text", {2: 100, 3: 100}, weight=F.col("w")
+        )
+        assert self._rows(fused[2]) == self._rows(
+            bigram_counts(corpus, "text", max_bigrams=100,
+                          weight=F.col("w"))
+        )
+        assert self._rows(fused[3]) == self._rows(
+            trigram_counts(corpus, "text", max_trigrams=100,
+                           weight=F.col("w"))
+        )
+
+    def test_min_mass_drops_order1_tail_only(self, spark):
+        corpus = spark.createDataFrame(
+            [(0, "a a a b"), (1, "c c")], "doc_id long, text string"
+        )
+        fused = TX.ngram_model_tables(
+            corpus, "text", {1: 100, 2: 100}, min_mass=2.0
+        )
+        terms = {r["term"] for r in fused[1].collect()}
+        assert terms == {"a", "c"}  # b has mass 1 < 2
+        # bigrams keep their full set regardless of min_mass
+        assert fused[2].count() == 3  # 'a a' x2... ('a a','a b','c c')
+
+    def test_one_generate_in_fused_construction(self, corpus):
+        fused = TX.ngram_model_tables(
+            corpus, "text", {1: 9, 2: 11, 3: 13}, checkpoint=False
+        )
+        plan = fused[3]._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1, plan
