@@ -1027,20 +1027,50 @@ def main() -> int:
     # slowest entries (2 dp) — so the recorded tail always ends with
     # one complete, parseable line. The full per-entry dict (and the
     # contract line) is unchanged above.
-    top20 = sorted(times.items(), key=lambda kv: -kv[1])[:20]
-    summary = json.dumps(
+    # r16 (VERDICT r15 "wrong" #3): the full per-entry dict (~6 KB)
+    # is unrecoverable from the 2000-byte recorded tail, so per-query
+    # round-over-round deltas could not be computed from artifacts.
+    # Named per-entry JSON does not fit either (122 names ≈ 2.4 KB),
+    # so emit the medians as centisecond ints in HEADLINE order —
+    # ~0.6 KB, self-checking via an md5 of the joined entry-name list
+    # (HEADLINE is append-only by contract, so a prefix match of the
+    # committed list reproduces the names; the hash detects any
+    # mismatch). Values are the SAME medians as the contract line.
+    import hashlib
+
+    names = list(HEADLINE)
+    per_entry = json.dumps(
         {
-            "metric": "headline_suite_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(times),
-            "top": {k: round(v, 2) for k, v in top20},
+            "metric": "per_entry_median_centisec",
+            "order": "bench.py HEADLINE",
+            "order_md5": hashlib.md5(
+                ",".join(names).encode()
+            ).hexdigest()[:8],
+            "v": [int(round(times[n] * 100)) for n in names],
         },
         separators=(",", ":"),
     )
-    assert len(summary) <= 1000, len(summary)
-    print(summary)
+    print(per_entry)
+    top20 = sorted(times.items(), key=lambda kv: -kv[1])[:20]
+    summary = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "top": {k: round(v, 2) for k, v in top20},
+    }
+    # r16 (ADVICE r15): never assert-crash after the suite has run —
+    # shrink the trailing line to fit the 1000-byte budget by
+    # dropping 'top' entries (last resort: the whole key)
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > 1000 and summary["top"]:
+        summary["top"].popitem()
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1000:
+        summary.pop("top", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 

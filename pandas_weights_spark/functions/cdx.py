@@ -196,10 +196,15 @@ def cdxj_entries(line: Column) -> Column:
                     ).alias("ts"),
                     p["url"].alias("url"),
                     p["mime"].alias("mime"),
-                    p["status"].cast("int").alias("status"),
+                    # try_cast, not cast (r16, ADVICE r15): under
+                    # ANSI a non-numeric member (e.g. "status": "-")
+                    # must yield NULL, never throw — the documented
+                    # corrupt-line-never-throws contract; identical
+                    # to cast on every parseable value
+                    p["status"].try_cast("int").alias("status"),
                     p["digest"].alias("digest"),
-                    p["length"].cast("long").alias("length"),
-                    p["offset"].cast("long").alias("offset"),
+                    p["length"].try_cast("long").alias("length"),
+                    p["offset"].try_cast("long").alias("offset"),
                     p["filename"].alias("filename"),
                 )
 

@@ -1378,6 +1378,7 @@ def minhash_dedup_incremental(
     shingle_size: int = 3,
     portable: bool = True,
     store_shingles: bool = False,
+    checkpoint: bool = True,
 ) -> "tuple[DataFrame, DataFrame]":
     """SNAPSHOT-incremental NEAR-dup — the MinHash analog of
     :func:`exact_dedup_incremental` (r12, VERDICT r11 missing #2): a
@@ -1440,6 +1441,14 @@ def minhash_dedup_incremental(
     against ids retired from the corpus, or carry your own
     ``snapshot_id`` column and filter by age — the kernel only
     requires (id, sig, sh).
+
+    ``checkpoint=True`` (default) cuts lineage on the reused
+    intermediate with a lazy ``localCheckpoint`` — faster (each
+    consumer reuses the materialized blocks), but executor loss
+    fails the job instead of recomputing and the blocks pin
+    executor storage until the DataFrame is garbage-collected.
+    Pass ``checkpoint=False`` to keep recoverable pure-lineage
+    plans.
     """
     r = num_hashes // bands
     if r * bands != num_hashes:
@@ -1503,8 +1512,14 @@ def minhash_dedup_incremental(
     # consumer (measured 5.6 → 3.6 s on the two-batch bench entry).
     # Deterministic (md5/xxhash64 hashes), so recompute-vs-reuse
     # cannot change results; persisted-parquet state between RUNS is
-    # unaffected.
-    packed = packed.localCheckpoint(eager=False)
+    # unaffected. Gated by ``checkpoint`` (r16, ADVICE r15): the cut
+    # trades fault tolerance for speed — checkpointed blocks skip
+    # lineage recompute on executor loss (the job fails instead) and
+    # pin executor storage until the DataFrame is garbage-collected,
+    # which accumulates when many snapshots chain in one session.
+    # Pass checkpoint=False to keep pure-lineage plans.
+    if checkpoint:
+        packed = packed.localCheckpoint(eager=False)
 
     def banded(st: DataFrame) -> DataFrame:
         return st.select(
@@ -1612,6 +1627,7 @@ def semantic_dedup_incremental(
     state: Optional[DataFrame] = None,
     threshold: float = 0.95,
     arrow: bool = False,
+    checkpoint: bool = True,
 ) -> "tuple[DataFrame, DataFrame]":
     """SNAPSHOT-incremental SEMANTIC dedup (r13, VERDICT r12 missing
     #4) — the embedding analog of :func:`minhash_dedup_incremental`
@@ -1656,6 +1672,14 @@ def semantic_dedup_incremental(
     (the suppression-history contract); prune before persisting
     exactly as for :func:`minhash_dedup_incremental` — the kernel
     only requires (id, cell, v, norm) under the SAME centroids.
+
+    ``checkpoint=True`` (default) cuts lineage on the reused
+    intermediate with a lazy ``localCheckpoint`` — faster (each
+    consumer reuses the materialized blocks), but executor loss
+    fails the job instead of recomputing and the blocks pin
+    executor storage until the DataFrame is garbage-collected.
+    Pass ``checkpoint=False`` to keep recoverable pure-lineage
+    plans.
     """
     from pandas_weights_spark.functions.similarity import (
         assign_cells_arrow,
@@ -1682,8 +1706,12 @@ def semantic_dedup_incremental(
     # in-batch self-join, and new_state (and the next snapshot when
     # chained in-session); without it the argmax/matmul assignment
     # re-executes per consumer. Deterministic per evaluation, so
-    # results are unchanged.
-    assigned = assigned.localCheckpoint(eager=False)
+    # results are unchanged. Gated by ``checkpoint`` (r16, ADVICE
+    # r15): see minhash_dedup_incremental — the cut trades
+    # executor-loss recompute and pinned executor storage for speed;
+    # checkpoint=False keeps pure-lineage plans.
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=False)
 
     def cos(x: str, y: str) -> Column:
         # the semantic_dedup verify shape, verbatim: one dot per

@@ -679,6 +679,7 @@ def semantic_dedup(
     centroids: "list[list[float]] | None" = None,
     arrow: bool = False,
     target_cell_rows: "int | None" = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -703,6 +704,14 @@ def semantic_dedup(
     reduction-order ulps at exact-tie boundaries); the only
     data-sized shuffle is the cell self-join, which never leaves a
     cell.
+
+    ``checkpoint=True`` (default) cuts lineage on the reused
+    intermediate with a lazy ``localCheckpoint`` — faster (each
+    consumer reuses the materialized blocks), but executor loss
+    fails the job instead of recomputing and the blocks pin
+    executor storage until the DataFrame is garbage-collected.
+    Pass ``checkpoint=False`` to keep recoverable pure-lineage
+    plans.
     """
     if n_cells == "auto":
         n_cells = auto_n_cells(
@@ -744,7 +753,11 @@ def semantic_dedup(
     # table feeds BOTH sides of the cell self-join and the survivor
     # join-back, so the argmax/matmul assignment re-executed three
     # times per run. Deterministic per evaluation; rows unchanged.
-    assigned = assigned.localCheckpoint(eager=False)
+    # Gated by ``checkpoint`` (r16, ADVICE r15): the cut trades
+    # executor-loss recompute and pinned executor storage for speed;
+    # checkpoint=False keeps pure-lineage plans.
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     losers = (

@@ -297,6 +297,7 @@ def weighted_info_panel(
     ks_group_a,
     ks_group_b,
     bands: int = 256,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The whole information/dispersion panel — one-way ANOVA F of
     ``value`` across ``cat_a``, weight-mass entropy of ``cat_a``,
@@ -319,6 +320,13 @@ def weighted_info_panel(
 
     Output: tagged long rows ``(t, v)`` with t ∈ {anova, entropy, mi,
     gini, ks}.
+
+    ``checkpoint=True`` (default) cuts lineage on the reused cell
+    table with a lazy ``localCheckpoint`` — faster (each consumer
+    reuses the materialized blocks), but executor loss fails the job
+    instead of recomputing and the blocks pin executor storage until
+    the DataFrame is garbage-collected. Pass ``checkpoint=False`` to
+    keep recoverable pure-lineage plans.
     """
     from pandas_weights_spark.quantile import _banded_cums
 
@@ -354,8 +362,12 @@ def weighted_info_panel(
     # differently-pruned subtrees), so without the cut the full
     # grouping-sets raw pass executed three times. The table is
     # |levels(a)|·|levels(b)|-sized; deterministic sums, rows
-    # unchanged (oracle-checked).
-    gs = gs.localCheckpoint(eager=False)
+    # unchanged (oracle-checked). Gated by ``checkpoint`` (r16,
+    # ADVICE r15): the cut trades executor-loss recompute and pinned
+    # executor storage for speed; checkpoint=False keeps pure-lineage
+    # plans.
+    if checkpoint:
+        gs = gs.localCheckpoint(eager=False)
     bounds = gs.agg(
         F.min("__xlo__").alias("__lo__"), F.max("__xhi__").alias("__hi__")
     )

@@ -588,11 +588,22 @@ def _record_spans(data: bytes) -> "list[tuple[int, int, dict]]":
             # it the same way) — resume the scan after the header
             pos = hdr_end + 4
             continue
-        starts.append(s)
+        # r16 (ADVICE r15): keep each span TIGHT around the record as
+        # written — header + block + trailing CRLFCRLF — instead of
+        # running to the next valid start. Otherwise the bytes of a
+        # skipped (unparseable-header) record are absorbed into the
+        # PREVIOUS record's span and cdx_fetch_plan's total_bytes /
+        # ranges over-report on corrupt shards. Capped at the next
+        # start / end of data so truncated or overlapping lengths
+        # never produce overlapping spans. Well-formed shards are
+        # byte-identical (records are back-to-back, so the tight end
+        # IS the next start / end of data).
+        starts.append((s, hdr_end + 4 + clen + 4))
         pos = hdr_end + 4 + clen  # skip the BLOCK: magic inside it
         #                           is payload, not a record start
-    for i, s in enumerate(starts):
-        end = starts[i + 1] if i + 1 < len(starts) else len(data)
+    for i, (s, tight_end) in enumerate(starts):
+        nxt = starts[i + 1][0] if i + 1 < len(starts) else len(data)
+        end = min(tight_end, nxt, len(data))
         recs = parse_warc_bytes(data[s:end])
         if recs:
             spans.append((s, end - s, recs[0]))

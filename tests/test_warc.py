@@ -635,3 +635,30 @@ class TestRecordSpansContentLengthWalk:
         assert len(spans) == 1
         assert spans[0][0] == len(bogus)
         assert spans[0][2]["target_uri"] == "http://c.example/"
+
+    def test_spans_stay_tight_around_each_record(self):
+        # r16 (ADVICE r15): bytes of a skipped unparseable-header
+        # record between two real records must NOT be absorbed into
+        # the previous record's span — (offset, length) stays tight
+        # at header + block + CRLFCRLF so total_bytes/ranges never
+        # over-report on corrupt shards
+        from pandas_weights_spark.sources.warc import (
+            _record_spans,
+            parse_warc_bytes,
+        )
+
+        r1 = self._raw_rec(b"http://a.example/", b"first")
+        bogus = (
+            b"WARC/1.0\r\nWARC-Type: junk\r\n"
+            b"Content-Length: NaN\r\n\r\njunk-bytes"
+        )
+        r2 = self._raw_rec(b"http://b.example/", b"second")
+        shard = r1 + bogus + r2
+        spans = _record_spans(shard)
+        assert [(off, ln) for off, ln, _ in spans] == [
+            (0, len(r1)), (len(r1) + len(bogus), len(r2)),
+        ]
+        for off, ln, rec in spans:
+            got = parse_warc_bytes(shard[off:off + ln])
+            assert len(got) == 1
+            assert got[0]["target_uri"] == rec["target_uri"]

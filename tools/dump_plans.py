@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: python tools/dump_plans.py OUTDIR "
+              "[--registry] [query ...]", file=sys.stderr)
+        return 2
     outdir = sys.argv[1]
     only = sys.argv[2:]
     registry_only = "--registry" in only
