@@ -663,6 +663,16 @@ def _tail(pieces: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _let(col: Column, body) -> Column:
+    """LET-bind ``col`` so ``body`` (a Column→Column function) sees it
+    as a lambda variable evaluated ONCE — the 1-element ``transform``
+    binding this module's renderers use inline (r15); named helper
+    shared with quality.py/rolling.py since r16. Interpreted HOF
+    expressions get no common-subexpression elimination, so an
+    expression referenced twice is otherwise computed twice."""
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 #: colspan/rowspan attribute capture (digits bounded so the int cast
 #: can't overflow; HTML spec clamps are applied after the parse)
 _COLSPAN_RE = "(?i)colspan" + _WS + "*=" + _WS + "*[\"']?([0-9]{1,4})"
@@ -791,46 +801,64 @@ def _table_rows(body: Column, cellf, expand: bool) -> Column:
 
         def merge(st: Column, units: Column) -> Column:
             occ = st["pend"]
-            occ_cols = F.transform(occ, lambda p: p["col"])
-            n = F.size(units)
-            # enough candidate positions for every hanging span plus
-            # this row's units: 0 .. max(occ)+n is always sufficient
-            cap = F.coalesce(
-                F.array_max(occ_cols), F.lit(-1)
-            ) + n
-            free = F.slice(
-                F.filter(
-                    F.sequence(F.lit(0), cap),
-                    lambda pos: ~F.array_contains(occ_cols, pos),
-                ),
-                1,
-                n,
-            )
-            placed = F.zip_with(
-                free,
-                units,
-                lambda pos, u: F.struct(
-                    pos.alias("col"),
-                    u["rs"].alias("rem"),
-                    u["text"].alias("text"),
-                ),
-            )
-            allc = F.array_sort(F.concat(occ, placed))
-            row_out = F.transform(allc, lambda x: x["text"])
-            new_pend = F.filter(
-                F.transform(
-                    allc,
-                    lambda x: F.struct(
-                        x["col"].alias("col"),
-                        (x["rem"] - F.lit(1)).alias("rem"),
-                        x["text"].alias("text"),
+
+            # r16 LET discipline: occ_cols was referenced from inside
+            # the free-position filter's PER-ELEMENT lambda (so the
+            # hanging-span transform re-ran once per candidate
+            # position — O(cap·|pend|) per row) and allc (the sort)
+            # was evaluated twice (row_out + new_pend). Bind each
+            # once; identical values, same fold semantics.
+            def with_occ_cols(occ_cols: Column) -> Column:
+                n = F.size(units)
+                # enough candidate positions for every hanging span
+                # plus this row's units: 0 .. max(occ)+n always works
+                cap = F.coalesce(
+                    F.array_max(occ_cols), F.lit(-1)
+                ) + n
+                free = F.slice(
+                    F.filter(
+                        F.sequence(F.lit(0), cap),
+                        lambda pos: ~F.array_contains(occ_cols, pos),
                     ),
-                ),
-                lambda x: x["rem"] > 0,
-            )
-            return F.struct(
-                F.concat(st["out"], F.array(row_out)).alias("out"),
-                new_pend.alias("pend"),
+                    1,
+                    n,
+                )
+                placed = F.zip_with(
+                    free,
+                    units,
+                    lambda pos, u: F.struct(
+                        pos.alias("col"),
+                        u["rs"].alias("rem"),
+                        u["text"].alias("text"),
+                    ),
+                )
+
+                def with_allc(allc: Column) -> Column:
+                    row_out = F.transform(allc, lambda x: x["text"])
+                    new_pend = F.filter(
+                        F.transform(
+                            allc,
+                            lambda x: F.struct(
+                                x["col"].alias("col"),
+                                (x["rem"] - F.lit(1)).alias("rem"),
+                                x["text"].alias("text"),
+                            ),
+                        ),
+                        lambda x: x["rem"] > 0,
+                    )
+                    return F.struct(
+                        F.concat(
+                            st["out"], F.array(row_out)
+                        ).alias("out"),
+                        new_pend.alias("pend"),
+                    )
+
+                return _let(
+                    F.array_sort(F.concat(occ, placed)), with_allc
+                )
+
+            return _let(
+                F.transform(occ, lambda p: p["col"]), with_occ_cols
             )
 
         return F.aggregate(rows, init, merge, lambda st: st["out"])

@@ -31,6 +31,11 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: lineage-cut the banded-prefix range probe (see _banded_cums).
+#: Default OFF: measured net-noise-to-slower at bench scale (r15);
+#: a scale_smoke row records the >=20 M-row numbers each round.
+_CHECKPOINT_RANGE_PROBE = False
+
 __all__ = [
     "weighted_quantiles",
     "weighted_quantiles_binned",
@@ -532,6 +537,17 @@ def _banded_cums(
         rng = wdf.df.groupBy(*kcF).agg(
             F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
         )
+        # measurement hook (r15 "Not yet optimized" #2 / r16 VERDICT
+        # item 5): the probe subtree executes under BOTH join sides
+        # when bounds are not donated; the one-line lineage cut below
+        # trades one extra Spark job for one fewer column scan. At
+        # sf0.1 it measured as net noise (qcut consistently slower —
+        # kept OFF); tools/scale_smoke.py flips this flag to record
+        # the keep-or-reject numbers at >=20 M rows, and a 100 TB
+        # deployment (where a column scan costs far more than a job
+        # submission) is where turning it on pays.
+        if _CHECKPOINT_RANGE_PROBE:
+            rng = rng.localCheckpoint(eager=False)
     if keys:
         base = _join_group_stats(wdf.df, rng, list(keys))
     else:

@@ -47,6 +47,16 @@ def _cols(refs: Sequence[_ColRef]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in refs]
 
 
+def _let(col: Column, body) -> Column:
+    """LET-bind ``col`` so ``body`` (a Column→Column function) sees it
+    as a lambda variable evaluated ONCE — the 1-element ``transform``
+    binding (the html.py/quality.py interpreted-HOF LET discipline,
+    r15/r16). Higher-order-function folds run interpreted with no
+    common-subexpression elimination, so an expression referenced
+    twice is otherwise computed twice."""
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 class WeightedRolling:
     """Windowed weighted statistics over a ``WeightedDataFrame``.
 
@@ -346,27 +356,45 @@ class WeightedRolling:
             x.isNotNull() & w.isNotNull() & (w > 0),
             F.struct(x.alias("x"), w.alias("w")),
         )
+
+        # r16 LET discipline: the sorted frame array and the q·W
+        # target are each bound ONCE. Unbound, the interpreted HOF
+        # path re-sorted the collected frame per reference (tot fold,
+        # scan fold, the size guard — 3 sorts per row) and re-ran the
+        # whole tot fold PER SCAN ELEMENT (`target` was embedded in
+        # the scan lambda's body), an O(frame²) term per row. Same
+        # float operations in the same order — values bit-identical.
+        def _with_arr(arr: Column) -> Column:
+            tot = F.aggregate(
+                arr, F.lit(0.0), lambda acc, s: acc + s["w"]
+            )
+
+            def _with_target(target: Column) -> Column:
+                scan = F.aggregate(
+                    arr,
+                    F.struct(
+                        F.lit(0.0).alias("cum"),
+                        F.lit(None).cast("double").alias("ans"),
+                    ),
+                    lambda acc, s: F.struct(
+                        (acc["cum"] + s["w"]).alias("cum"),
+                        F.when(acc["ans"].isNotNull(), acc["ans"])
+                        .when(
+                            acc["cum"] + s["w"] >= target,
+                            s["x"].cast("double"),
+                        )
+                        .alias("ans"),
+                    ),
+                )
+                return F.when(F.size(arr) > 0, scan["ans"])
+
+            return _let(F.lit(float(q)) * tot, _with_target)
+
         # collect_list drops NULLs, so excluded rows never enter the
         # frame; struct sort orders by x first
-        arr = F.sort_array(F.collect_list(pair).over(spec))
-        tot = F.aggregate(
-            arr, F.lit(0.0), lambda acc, s: acc + s["w"]
+        return _let(
+            F.sort_array(F.collect_list(pair).over(spec)), _with_arr
         )
-        target = F.lit(float(q)) * tot
-        scan = F.aggregate(
-            arr,
-            F.struct(
-                F.lit(0.0).alias("cum"),
-                F.lit(None).cast("double").alias("ans"),
-            ),
-            lambda acc, s: F.struct(
-                (acc["cum"] + s["w"]).alias("cum"),
-                F.when(acc["ans"].isNotNull(), acc["ans"])
-                .when(acc["cum"] + s["w"] >= target, s["x"].cast("double"))
-                .alias("ans"),
-            ),
-        )
-        return F.when(F.size(arr) > 0, scan["ans"])
 
     def quantile(self, q: float, skipna: bool = True) -> DataFrame:
         """Windowed weighted quantile (inverted CDF over the frame's

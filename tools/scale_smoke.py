@@ -1234,6 +1234,64 @@ def main() -> int:
             f"({vec_n / dt / 1e6:6.1f} M vecs/s)"
         )
 
+    # r16 (VERDICT r15 item 5): re-measure the two sf0.1-rejected
+    # changes at scale, recording keep-or-reject numbers.
+    # (a) banded-prefix RANGE-PROBE lineage cut (quantile.py
+    # _CHECKPOINT_RANGE_PROBE): the per-group min/max probe executes
+    # under both join sides when bounds are not donated; the cut
+    # trades one extra job for one fewer column scan.
+    from pandas_weights_spark import quantile as _Q
+
+    def _probe_pair(name, thunk):
+        _Q._CHECKPOINT_RANGE_PROBE = False
+        bench(f"{name} probe-cut OFF", thunk)
+        _Q._CHECKPOINT_RANGE_PROBE = True
+        bench(f"{name} probe-cut ON", thunk)
+        _Q._CHECKPOINT_RANGE_PROBE = False
+
+    _probe_pair(
+        "qcut q=4 200 groups",
+        lambda: wdf.groupby("g")[["x"]].qcut("x", 4),
+    )
+    _probe_pair(
+        "group_cdf 200 groups",
+        lambda: wdf.groupby("g")[["x"]].cdf(),
+    )
+
+    # (b) ccnet/mink SCORING fan_out over a one-task source (the
+    # sf0.1 docs table is one parquet file = one scan task; at scale
+    # a few-files shard layout reproduces it). Tables precomputed +
+    # eagerly checkpointed so both arms time ONLY the scoring pass.
+    from pandas_weights_spark.functions.text import (
+        ngram_lm_score,
+        ngram_model_tables,
+    )
+    from pandas_weights_spark.sources import fan_out
+
+    if not name_filter or any(
+        t in "mkn score fan_out" for t in name_filter.split(",")
+    ):
+        docs1 = docs.repartition(1).localCheckpoint(eager=True)
+        _tabs = ngram_model_tables(
+            docs, "text", {2: 5000, 3: 5000}, arrow=True
+        )
+        _bg = _tabs[2].localCheckpoint(eager=True)
+        _tg = _tabs[3].localCheckpoint(eager=True)
+
+        def _score(src):
+            return ngram_lm_score(
+                src, "text", "doc_id", None, {2: _bg, 3: _tg}, None,
+                alpha=0.5, smoothing="mkn",
+                discounts={2: (0.4, 1.1, 1.9), 3: (0.5, 1.3, 2.2)},
+            ).select("doc_id", "ppl")
+
+        dbench("mkn score 1-task src", lambda: _score(docs1), docs_n)
+        dbench(
+            "mkn score fan_out src",
+            lambda: _score(fan_out(docs1)),
+            docs_n,
+        )
+
     spark.stop()
     return 0
 
