@@ -142,6 +142,7 @@ class TestEditDistanceJoin:
             edit_distance_join(L, R, "lid", "name", "rid", "name", q=1)
 
 
+@pytest.mark.slow
 class TestEditJoinProperties:
     def test_symmetry_under_table_swap(self, spark):
         # dist(a,b) == dist(b,a): swapping tables yields the mirrored

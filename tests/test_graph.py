@@ -71,6 +71,7 @@ class TestConnectedComponents:
         got = _run(spark, [(4, 4), (4, 7), (7, 4), (4, 7)])
         assert got == {4: 4, 7: 4}
 
+    @pytest.mark.slow
     def test_differential_random_graph(self, spark):
         rng = random.Random(7)
         nodes = list(range(120))
@@ -97,6 +98,7 @@ class TestConnectedComponents:
 
 
 class TestHybridFastPath:
+    @pytest.mark.slow
     def test_parity_with_distributed_loop(self, spark):
         rng = random.Random(13)
         nodes = list(range(150))

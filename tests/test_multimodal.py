@@ -88,6 +88,7 @@ class TestDecode:
             exc_info.value
         )
 
+    @pytest.mark.slow
     def test_features_flow_into_similarity(self, media, spark):
         from pandas_weights_spark.functions.similarity import cosine_similarity
 

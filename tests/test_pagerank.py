@@ -135,6 +135,7 @@ class TestPageRank:
         for i in range(3):
             assert got[i] == pytest.approx(ref[i], rel=1e-12)
 
+    @pytest.mark.slow
     def test_tol_early_stop_matches_converged(self, spark):
         # symmetric 5-cycle converges to uniform after 1 iteration in
         # exact arithmetic; tol must stop early with the same answer
@@ -145,6 +146,7 @@ class TestPageRank:
         for i in range(5):
             assert early[i] == pytest.approx(full[i], rel=1e-9)
 
+    @pytest.mark.slow
     def test_tol_reaches_same_fixed_point_on_asym_graph(self, spark):
         edges = [(0, 1), (1, 2), (2, 0), (3, 0)]
         tight = _run(spark, 4, edges, iters=60)

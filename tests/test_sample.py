@@ -626,8 +626,28 @@ class TestUnimaxRates:
             unimax_rates,
         )
 
-        df = self._frame(spark).withColumn(
-            "id", F.monotonically_increasing_id()
+        # deterministic per-row ids, NOT monotonically_increasing_id:
+        # that id encodes the partition layout, so the Bernoulli
+        # fractional-epoch draws (keyed on id) — and therefore the
+        # realized masses this test tolerances — would change with
+        # the session's parallelism (r16: it did). Tied rows are
+        # byte-identical, so each group's ID SET is deterministic
+        # under this order whatever the tie order. The frame is the
+        # class fixture's masses at 10× finer row granularity so the
+        # Bernoulli noise (σ ∝ per-row mass) sits well inside the
+        # 0.35·target tolerance instead of at ~1σ of it.
+        from pyspark.sql import Window
+
+        rows = (
+            [("a", 1.0)] * 40        # mass 40
+            + [("b", 3.0)] * 40      # mass 120
+            + [("c", 10.0)] * 300    # mass 3000
+            + [("d", 10.0)] * 500    # mass 5000
+        )
+        df = spark.createDataFrame(
+            rows, "g string, tok double"
+        ).withColumn(
+            "id", F.row_number().over(Window.orderBy("g", "tok"))
         )
         rates = unimax_rates(
             df, "g", 2000.0, weight=F.col("tok"), max_epochs=4.0

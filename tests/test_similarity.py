@@ -551,6 +551,7 @@ class TestKnnGraph:
             rows, "vec_id long, embedding array<double>"
         )
 
+    @pytest.mark.slow
     def test_bruteforce_vs_numpy(self, spark, emb):
         import numpy as np
 
@@ -578,6 +579,7 @@ class TestKnnGraph:
                 assert c == pytest.approx(cos[j], abs=1e-6), (i, j)
             assert [rk for rk, _, _ in edges] == [1, 2, 3]
 
+    @pytest.mark.slow
     def test_no_self_edges_and_counts(self, spark, emb):
         from pandas_weights_spark.functions.similarity import (
             knn_graph,
@@ -588,6 +590,7 @@ class TestKnnGraph:
         assert all(r["src"] != r["dst"] for r in edges)
         assert len(edges) == 12 * 4
 
+    @pytest.mark.slow
     def test_ivf_probe_all_equals_bruteforce(self, spark, emb):
         from pandas_weights_spark.functions.similarity import (
             knn_graph,
@@ -608,6 +611,7 @@ class TestKnnGraph:
         )
         assert bf == ivf
 
+    @pytest.mark.slow
     def test_density_aggregates_edges(self, spark, emb):
         from pandas_weights_spark.functions.similarity import (
             knn_density,
@@ -694,6 +698,7 @@ class TestRetrievalMetrics:
         assert r1["mrr"] == 0.0
         assert r1["ndcg"] == 0.0
 
+    @pytest.mark.slow
     def test_self_evaluation_is_perfect(self, spark):
         from pandas_weights_spark.functions.similarity import (
             knn_graph,
@@ -764,6 +769,7 @@ class TestKnnArrow:
         )
         assert jvm == arw
 
+    @pytest.mark.slow
     def test_arrow_probe_all_equals_bruteforce(self, spark):
         import numpy as np
 
@@ -860,6 +866,7 @@ class TestKnnCellSizing:
         # the default target matches the documented constant
         assert auto_n_cells(KNN_TARGET_CELL_ROWS + 1) == 2
 
+    @pytest.mark.slow
     def test_auto_single_cell_equals_bruteforce(self, spark):
         import numpy as np
 

@@ -492,6 +492,7 @@ class TestStreamingHeavyHitters:
             shard_tot[s] = r["shard_mass"]
         assert sum(shard_tot.values()) == pytest.approx(total)
 
+    @pytest.mark.slow
     def test_capacity_eviction_keeps_heavy_item(self, spark, tmp_path):
         from pandas_weights_spark.streaming import streaming_heavy_hitters
 
@@ -851,6 +852,7 @@ class TestStreamingDistinctCounts:
 
 
 class TestStreamingNeardup:
+    @pytest.mark.slow
     def test_cross_batch_candidate_surfaces(self, spark, tmp_path):
         from pandas_weights_spark.streaming import (
             streaming_neardup_candidates,
@@ -905,6 +907,7 @@ class TestStreamingNeardup:
         }
         assert ests[("3", "1")] == 1.0  # exact dup: all minhashes match
 
+    @pytest.mark.slow
     def test_capacity_evicts_oldest(self, spark, tmp_path):
         from pandas_weights_spark.streaming import (
             streaming_neardup_candidates,
@@ -984,6 +987,7 @@ class TestStreamingSemdedup:
         q.awaitTermination(120)
         return spark.sql(f"SELECT * FROM {name}").collect()
 
+    @pytest.mark.slow
     def test_cross_batch_dup_and_no_false_pairs(self, spark, tmp_path):
         rows1 = [
             (1, [1.0, 0.05, 0.0, 0.0]),    # cell 0
@@ -1014,6 +1018,7 @@ class TestStreamingSemdedup:
         cells = {r["cell"] for r in got}
         assert cells == {0, 1}
 
+    @pytest.mark.slow
     def test_capacity_evicts_oldest(self, spark, tmp_path):
         v = [1.0, 0.01, 0.0, 0.0]
         rows1 = [(6, v), (7, v), (8, v)]
