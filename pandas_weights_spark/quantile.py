@@ -32,9 +32,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: lineage-cut the banded-prefix range probe (see _banded_cums).
-#: Default OFF: measured net-noise-to-slower at bench scale (r15);
-#: a scale_smoke row records the >=20 M-row numbers each round.
-_CHECKPOINT_RANGE_PROBE = False
+#: None = AUTO (r16): cut when the raw side scans >= 16 partitions
+#: (>~2 GB at the default 128 MB split), where re-running the pruned
+#: min/max scan under the second join side costs far more than one
+#: extra job submission — scale_smoke at 20 M rows measured
+#: qcut 28.5 -> 21.0 s and group_cdf 21.6 -> 17.0 s with the cut.
+#: On few-partition inputs (the sf0.1 bench's one-file tables) the
+#: extra job dominates instead (r15 iso: qcut 1.37 -> 1.71 s), so
+#: AUTO leaves those alone. True/False force either regime (the
+#: scale_smoke A/B rows set them explicitly).
+_CHECKPOINT_RANGE_PROBE: "bool | None" = None
 
 __all__ = [
     "weighted_quantiles",
@@ -537,16 +544,20 @@ def _banded_cums(
         rng = wdf.df.groupBy(*kcF).agg(
             F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
         )
-        # measurement hook (r15 "Not yet optimized" #2 / r16 VERDICT
-        # item 5): the probe subtree executes under BOTH join sides
-        # when bounds are not donated; the one-line lineage cut below
-        # trades one extra Spark job for one fewer column scan. At
-        # sf0.1 it measured as net noise (qcut consistently slower —
-        # kept OFF); tools/scale_smoke.py flips this flag to record
-        # the keep-or-reject numbers at >=20 M rows, and a 100 TB
-        # deployment (where a column scan costs far more than a job
-        # submission) is where turning it on pays.
-        if _CHECKPOINT_RANGE_PROBE:
+        # r16 (r15 "Not yet optimized" #2): the probe subtree executes
+        # under BOTH join sides when bounds are not donated; the
+        # lineage cut trades one extra Spark job for one fewer pruned
+        # column scan. Scale-adaptive via the input's partition count
+        # (the fan_out guard pattern — partitions track input bytes
+        # for file sources): ON at >= 16 scan partitions where
+        # scale_smoke measured it 1.27-1.36x at 20 M rows, OFF on the
+        # few-partition inputs where the extra job dominates instead
+        # (module flag _CHECKPOINT_RANGE_PROBE forces either regime;
+        # rows identical in both — the probe is deterministic).
+        cut = _CHECKPOINT_RANGE_PROBE
+        if cut is None:
+            cut = wdf.df.rdd.getNumPartitions() >= 16
+        if cut:
             rng = rng.localCheckpoint(eager=False)
     if keys:
         base = _join_group_stats(wdf.df, rng, list(keys))

@@ -484,3 +484,35 @@ class TestRobustZscore:
         ).count() == 0
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestRangeProbeCutBothRegimes:
+    """r16: the banded-prefix range-probe lineage cut is
+    scale-adaptive (partition-count guard). Values must be identical
+    with the cut forced ON and OFF — the probe is deterministic, so
+    the cut may only change the plan, never the rows."""
+
+    def test_qcut_rows_identical_both_regimes(self, spark):
+        from pandas_weights_spark import quantile as Q
+        from pandas_weights_spark import wt
+
+        df = spark.range(4000).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 97).cast("double").alias("x"),
+            ((F.col("id") % 5) + 1).cast("double").alias("w"),
+        )
+        wdf = wt(df, "w")
+
+        def rows():
+            out = wdf.groupby("g")[["x"]].qcut("x", 4)
+            return sorted(tuple(r) for r in out.collect())
+
+        old = Q._CHECKPOINT_RANGE_PROBE
+        try:
+            Q._CHECKPOINT_RANGE_PROBE = False
+            off = rows()
+            Q._CHECKPOINT_RANGE_PROBE = True
+            on = rows()
+        finally:
+            Q._CHECKPOINT_RANGE_PROBE = old
+        assert off == on and len(off) == 4000
